@@ -1,0 +1,95 @@
+package graft.catalog
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.UUID
+
+import graft.core.Schema
+import graft.meta._
+import graft.table.IceTable
+import org.apache.spark.sql.SparkSession
+
+/** Filesystem ("hadoop"-style) catalog (ref: pyiceberg/catalog/__init__.py:347
+  * Catalog ABC; SURVEY §7 step 5).
+  *
+  * Layout: `<warehouse>/<name>/metadata/v<N>.metadata.json` +
+  * `version-hint.text`. Commits are optimistic: writing `v<N+1>` uses an
+  * atomic create-new — a concurrent commit to the same version loses and
+  * must retry (ref: Transaction commit, table/__init__.py:1039).
+  */
+class HadoopCatalog(val warehouse: String, val spark: SparkSession) {
+
+  private def tableDir(name: String) = s"$warehouse/$name"
+  private def metadataDir(name: String) = s"${tableDir(name)}/metadata"
+  private def hintFile(name: String) = s"${metadataDir(name)}/version-hint.text"
+  private def versionFile(name: String, v: Int) = s"${metadataDir(name)}/v$v.metadata.json"
+
+  def tableExists(name: String): Boolean = Files.exists(Paths.get(hintFile(name)))
+
+  def createTable(
+      name: String,
+      schema: Schema,
+      spec: PartitionSpec = PartitionSpec.Unpartitioned,
+      properties: Map[String, String] = Map.empty): IceTable = {
+    require(!tableExists(name), s"Table $name already exists")
+    val meta = TableMetadata(
+      tableUuid = UUID.randomUUID().toString,
+      location = tableDir(name),
+      lastUpdatedMs = System.currentTimeMillis(),
+      lastColumnId = schema.highestFieldId,
+      schemas = Seq(schema),
+      currentSchemaId = schema.schemaId,
+      partitionSpecs = Seq(spec),
+      defaultSpecId = spec.specId,
+      lastPartitionId = if (spec.fields.isEmpty) PartitionSpec.StartFieldId - 1
+        else spec.fields.map(_.fieldId).max,
+      properties = properties)
+    commit(name, 0, meta)
+    new IceTable(this, name, meta)
+  }
+
+  def loadTable(name: String): IceTable = {
+    val v = currentVersion(name).getOrElse(
+      throw new IllegalArgumentException(s"Table $name not found"))
+    val json = new String(Files.readAllBytes(Paths.get(versionFile(name, v))), "UTF-8")
+    new IceTable(this, name, MetadataJson.fromJson(json))
+  }
+
+  def dropTable(name: String): Unit = {
+    val dir = Paths.get(tableDir(name))
+    if (Files.exists(dir)) {
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
+  def currentVersion(name: String): Option[Int] = {
+    val hint = Paths.get(hintFile(name))
+    if (Files.exists(hint)) Some(new String(Files.readAllBytes(hint), "UTF-8").trim.toInt)
+    else None
+  }
+
+  /** Optimistic commit: atomically create the next version file; fails if a
+    * concurrent writer already created it. Returns the new version. */
+  def commit(name: String, expectedVersion: Int, meta: TableMetadata): Int = {
+    val next = expectedVersion + 1
+    val target = Paths.get(versionFile(name, next))
+    Files.createDirectories(target.getParent)
+    val tmp = Files.createTempFile(target.getParent, s".v$next-", ".json.tmp")
+    Files.write(tmp, MetadataJson.toJson(meta).getBytes("UTF-8"))
+    try {
+      // CREATE_NEW semantics via ATOMIC_MOVE onto a non-existent target:
+      // if a concurrent commit won, the target exists and the move fails
+      if (Files.exists(target)) throw new CommitConflictException(name, next)
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new CommitConflictException(name, next)
+    }
+    Files.write(Paths.get(hintFile(name)), next.toString.getBytes("UTF-8"))
+    next
+  }
+}
+
+class CommitConflictException(table: String, version: Int)
+  extends RuntimeException(s"Concurrent commit to $table at version $version")

@@ -1,0 +1,96 @@
+package graft.core
+
+import org.apache.spark.sql.types.StructType
+
+/** Iceberg schema: an IStruct plus schema-id and identifier fields.
+  *
+  * Replicates the reference's schema machinery (ref: pyiceberg/schema.py:82
+  * Schema; :1041 index_by_id; :1208 index_by_name; :1492 prune_columns).
+  * Column resolution is by field-id — names are labels that can change
+  * (rename) without rewriting data.
+  */
+final case class Schema(
+    fields: Seq[NestedField],
+    schemaId: Int = 0,
+    identifierFieldIds: Seq[Int] = Nil) {
+
+  lazy val struct: IStruct = IStruct(fields)
+
+  /** id → field, including nested (ref: schema.py:1041). */
+  lazy val byId: Map[Int, NestedField] = {
+    val b = Map.newBuilder[Int, NestedField]
+    def walk(fs: Seq[NestedField]): Unit = fs.foreach { f =>
+      b += f.id -> f
+      f.fieldType match {
+        case IStruct(nested) => walk(nested)
+        case IList(eid, e, req) => walk(Seq(NestedField(eid, "element", e, req)))
+        case IMap(kid, k, vid, v, req) =>
+          walk(Seq(NestedField(kid, "key", k, required = true), NestedField(vid, "value", v, req)))
+        case _ =>
+      }
+    }
+    walk(fields)
+    b.result()
+  }
+
+  /** full dotted name → id (ref: schema.py:1208 index_by_name). */
+  lazy val idByName: Map[String, Int] = {
+    val b = Map.newBuilder[String, Int]
+    def walk(prefix: String, fs: Seq[NestedField]): Unit = fs.foreach { f =>
+      val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+      b += path -> f.id
+      f.fieldType match {
+        case IStruct(nested) => walk(path, nested)
+        case _ =>
+      }
+    }
+    walk("", fields)
+    b.result()
+  }
+
+  lazy val idByLowerName: Map[String, Int] = idByName.map { case (k, v) => k.toLowerCase -> v }
+
+  def findField(name: String, caseSensitive: Boolean = true): Option[NestedField] =
+    (if (caseSensitive) idByName.get(name) else idByLowerName.get(name.toLowerCase))
+      .flatMap(byId.get)
+
+  def findType(id: Int): Option[IceType] = byId.get(id).map(_.fieldType)
+
+  /** Top-level position accessor for a field id (ref: schema.py:851 Accessor).
+    * Nested accessors are not needed for partition records (always flat). */
+  lazy val positionById: Map[Int, Int] = fields.zipWithIndex.map { case (f, i) => f.id -> i }.toMap
+
+  /** Keep only the requested top-level columns, by name (ref: schema.py:1492
+    * prune_columns — we prune whole top-level columns; nested pruning is
+    * delegated to Spark's SchemaPruning once the scan projects). */
+  def select(names: Seq[String], caseSensitive: Boolean = true): Schema = {
+    if (names.contains("*")) return this
+    val wanted = names.map { n =>
+      findField(n, caseSensitive).getOrElse(
+        throw new IllegalArgumentException(s"Column not found: $n")).id
+    }.toSet
+    Schema(fields.filter(f => wanted(f.id)), schemaId, identifierFieldIds.filter(wanted))
+  }
+
+  def toSpark: StructType = StructType(fields.map(SchemaConv.toSparkField))
+
+  def highestFieldId: Int = if (byId.isEmpty) 0 else byId.keys.max
+}
+
+object Schema {
+  /** Build from a Spark schema with fresh sequential ids
+    * (ref: schema.py:1316 assign_fresh_schema_ids). */
+  def fromSpark(st: StructType, schemaId: Int = 0): Schema = {
+    var next = 0
+    // top-level ids are assigned first (1..n), then nested — matches the
+    // reference's fresh-id assignment order
+    val topIds = st.fields.map { _ => next += 1; next }
+    val counter = () => { next += 1; next }
+    val fields = st.fields.toSeq.zip(topIds.toSeq).map { case (sf, id) =>
+      val explicit = SchemaConv.fieldId(sf)
+      NestedField(explicit.getOrElse(id), sf.name,
+        SchemaConv.fromSpark(sf.dataType, counter), required = !sf.nullable)
+    }
+    Schema(fields, schemaId)
+  }
+}

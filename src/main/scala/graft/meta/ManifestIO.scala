@@ -1,0 +1,347 @@
+package graft.meta
+
+import java.io.File
+import java.nio.ByteBuffer
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{Schema => AvroSchema, SchemaBuilder}
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+
+import graft.core._
+
+/** Avro manifest + manifest-list reader/writer
+  * (ref: pyiceberg/manifest.py:783 ManifestFile, :1045 ManifestWriter,
+  * :1305 manifest-list writers; avro/file.py).
+  *
+  * Spec-shaped v2 layout: entries carry status/snapshot/sequence numbers
+  * and a data_file struct whose partition is a typed struct per spec and
+  * whose stats maps are int-keyed arrays of key/value with bounds in the
+  * single-value binary encoding (Conversions).
+  */
+object ManifestIO {
+
+  // ---- avro schema construction ----
+
+  private def avroPrim(t: IceType): AvroSchema = t match {
+    case IBoolean => AvroSchema.create(AvroSchema.Type.BOOLEAN)
+    case IInt | IDate => AvroSchema.create(AvroSchema.Type.INT)
+    case ILong | ITime | ITimestamp | ITimestamptz => AvroSchema.create(AvroSchema.Type.LONG)
+    case IFloat => AvroSchema.create(AvroSchema.Type.FLOAT)
+    case IDouble => AvroSchema.create(AvroSchema.Type.DOUBLE)
+    case IString | IUUID => AvroSchema.create(AvroSchema.Type.STRING)
+    case IBinary | IFixed(_) | IDecimal(_, _) => AvroSchema.create(AvroSchema.Type.BYTES)
+    case other => throw new IllegalArgumentException(s"No avro mapping for $other")
+  }
+
+  private def nullable(s: AvroSchema): AvroSchema =
+    AvroSchema.createUnion(AvroSchema.create(AvroSchema.Type.NULL), s)
+
+  private def kvArray(name: String, valueType: AvroSchema.Type): AvroSchema = {
+    val kv = SchemaBuilder.record(name + "_kv").fields()
+      .requiredInt("key")
+      .name("value").`type`(AvroSchema.create(valueType)).noDefault()
+      .endRecord()
+    AvroSchema.createArray(kv)
+  }
+
+  private def partitionSchema(spec: PartitionSpec, schema: Schema): AvroSchema = {
+    if (spec.fields.isEmpty)
+      return SchemaBuilder.record("r102").fields().endRecord()
+    val fields = spec.partitionType(schema).map { nf =>
+      new AvroSchema.Field(sanitize(nf.name), nullable(avroPrim(nf.fieldType)),
+        null, AvroSchema.Field.NULL_DEFAULT_VALUE)
+    }
+    AvroSchema.createRecord("r102", null, null, false, fields.asJava)
+  }
+
+  private def sanitize(n: String): String = n.replaceAll("[^A-Za-z0-9_]", "_")
+
+  private def dataFileSchema(spec: PartitionSpec, schema: Schema): AvroSchema = {
+    val fields = Seq(
+      new AvroSchema.Field("content", AvroSchema.create(AvroSchema.Type.INT), null, null),
+      new AvroSchema.Field("file_path", AvroSchema.create(AvroSchema.Type.STRING), null, null),
+      new AvroSchema.Field("file_format", AvroSchema.create(AvroSchema.Type.STRING), null, null),
+      new AvroSchema.Field("partition", partitionSchema(spec, schema), null, null),
+      new AvroSchema.Field("record_count", AvroSchema.create(AvroSchema.Type.LONG), null, null),
+      new AvroSchema.Field("file_size_in_bytes", AvroSchema.create(AvroSchema.Type.LONG), null, null),
+      new AvroSchema.Field("column_sizes", nullable(kvArray("k117_v118", AvroSchema.Type.LONG)), null, AvroSchema.Field.NULL_DEFAULT_VALUE),
+      new AvroSchema.Field("value_counts", nullable(kvArray("k119_v120", AvroSchema.Type.LONG)), null, AvroSchema.Field.NULL_DEFAULT_VALUE),
+      new AvroSchema.Field("null_value_counts", nullable(kvArray("k121_v122", AvroSchema.Type.LONG)), null, AvroSchema.Field.NULL_DEFAULT_VALUE),
+      new AvroSchema.Field("nan_value_counts", nullable(kvArray("k138_v139", AvroSchema.Type.LONG)), null, AvroSchema.Field.NULL_DEFAULT_VALUE),
+      new AvroSchema.Field("lower_bounds", nullable(kvArray("k126_v127", AvroSchema.Type.BYTES)), null, AvroSchema.Field.NULL_DEFAULT_VALUE),
+      new AvroSchema.Field("upper_bounds", nullable(kvArray("k129_v130", AvroSchema.Type.BYTES)), null, AvroSchema.Field.NULL_DEFAULT_VALUE),
+      new AvroSchema.Field("split_offsets", nullable(AvroSchema.createArray(AvroSchema.create(AvroSchema.Type.LONG))), null, AvroSchema.Field.NULL_DEFAULT_VALUE),
+      new AvroSchema.Field("sort_order_id", nullable(AvroSchema.create(AvroSchema.Type.INT)), null, AvroSchema.Field.NULL_DEFAULT_VALUE))
+    AvroSchema.createRecord("r2", null, null, false, fields.asJava)
+  }
+
+  private def entrySchema(spec: PartitionSpec, schema: Schema): AvroSchema = {
+    val fields = Seq(
+      new AvroSchema.Field("status", AvroSchema.create(AvroSchema.Type.INT), null, null),
+      new AvroSchema.Field("snapshot_id", nullable(AvroSchema.create(AvroSchema.Type.LONG)), null, AvroSchema.Field.NULL_DEFAULT_VALUE),
+      new AvroSchema.Field("sequence_number", nullable(AvroSchema.create(AvroSchema.Type.LONG)), null, AvroSchema.Field.NULL_DEFAULT_VALUE),
+      new AvroSchema.Field("file_sequence_number", nullable(AvroSchema.create(AvroSchema.Type.LONG)), null, AvroSchema.Field.NULL_DEFAULT_VALUE),
+      new AvroSchema.Field("data_file", dataFileSchema(spec, schema), null, null))
+    AvroSchema.createRecord("manifest_entry", null, null, false, fields.asJava)
+  }
+
+  private val fieldSummarySchema: AvroSchema = {
+    val fields = Seq(
+      new AvroSchema.Field("contains_null", AvroSchema.create(AvroSchema.Type.BOOLEAN), null, null),
+      new AvroSchema.Field("contains_nan", nullable(AvroSchema.create(AvroSchema.Type.BOOLEAN)), null, AvroSchema.Field.NULL_DEFAULT_VALUE),
+      new AvroSchema.Field("lower_bound", nullable(AvroSchema.create(AvroSchema.Type.BYTES)), null, AvroSchema.Field.NULL_DEFAULT_VALUE),
+      new AvroSchema.Field("upper_bound", nullable(AvroSchema.create(AvroSchema.Type.BYTES)), null, AvroSchema.Field.NULL_DEFAULT_VALUE))
+    AvroSchema.createRecord("r508", null, null, false, fields.asJava)
+  }
+
+  private val manifestFileSchema: AvroSchema = {
+    def f(n: String, t: AvroSchema.Type) = new AvroSchema.Field(n, AvroSchema.create(t), null, null)
+    val fields = Seq(
+      f("manifest_path", AvroSchema.Type.STRING),
+      f("manifest_length", AvroSchema.Type.LONG),
+      f("partition_spec_id", AvroSchema.Type.INT),
+      f("content", AvroSchema.Type.INT),
+      f("sequence_number", AvroSchema.Type.LONG),
+      f("min_sequence_number", AvroSchema.Type.LONG),
+      f("added_snapshot_id", AvroSchema.Type.LONG),
+      f("added_files_count", AvroSchema.Type.INT),
+      f("existing_files_count", AvroSchema.Type.INT),
+      f("deleted_files_count", AvroSchema.Type.INT),
+      f("added_rows_count", AvroSchema.Type.LONG),
+      f("existing_rows_count", AvroSchema.Type.LONG),
+      f("deleted_rows_count", AvroSchema.Type.LONG),
+      new AvroSchema.Field("partitions", nullable(AvroSchema.createArray(fieldSummarySchema)), null, AvroSchema.Field.NULL_DEFAULT_VALUE))
+    AvroSchema.createRecord("manifest_file", null, null, false, fields.asJava)
+  }
+
+  // ---- write manifest ----
+
+  def writeManifest(path: String, entries: Seq[ManifestEntry], spec: PartitionSpec,
+      schema: Schema): Long = {
+    val avro = entrySchema(spec, schema)
+    val dfSchema = avro.getField("data_file").schema()
+    val partSchema = dfSchema.getField("partition").schema()
+    val partTypes = spec.partitionType(schema)
+
+    val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avro))
+    val file = new File(path)
+    file.getParentFile.mkdirs()
+    writer.create(avro, file)
+    try {
+      entries.foreach { e =>
+        val rec = new GenericData.Record(avro)
+        rec.put("status", e.status)
+        rec.put("snapshot_id", e.snapshotId)
+        rec.put("sequence_number", e.dataSequenceNumber)
+        rec.put("file_sequence_number", e.fileSequenceNumber)
+        val df = new GenericData.Record(dfSchema)
+        df.put("content", e.dataFile.content)
+        df.put("file_path", e.dataFile.filePath)
+        df.put("file_format", e.dataFile.fileFormat)
+        val part = new GenericData.Record(partSchema)
+        partTypes.zip(e.dataFile.partition).foreach { case (nf, v) =>
+          part.put(sanitize(nf.name), avroValue(nf.fieldType, v))
+        }
+        df.put("partition", part)
+        df.put("record_count", e.dataFile.recordCount)
+        df.put("file_size_in_bytes", e.dataFile.fileSizeInBytes)
+        df.put("column_sizes", kvRecords(dfSchema, "column_sizes", e.dataFile.columnSizes))
+        df.put("value_counts", kvRecords(dfSchema, "value_counts", e.dataFile.valueCounts))
+        df.put("null_value_counts", kvRecords(dfSchema, "null_value_counts", e.dataFile.nullValueCounts))
+        df.put("nan_value_counts", kvRecords(dfSchema, "nan_value_counts", e.dataFile.nanValueCounts))
+        df.put("lower_bounds", boundRecords(dfSchema, "lower_bounds", e.dataFile.lowerBounds, schema))
+        df.put("upper_bounds", boundRecords(dfSchema, "upper_bounds", e.dataFile.upperBounds, schema))
+        df.put("split_offsets", if (e.dataFile.splitOffsets.isEmpty) null
+          else e.dataFile.splitOffsets.map(java.lang.Long.valueOf).asJava)
+        df.put("sort_order_id", e.dataFile.sortOrderId.map(Integer.valueOf).orNull)
+        rec.put("data_file", df)
+        writer.append(rec)
+      }
+    } finally writer.close()
+    file.length()
+  }
+
+  private def avroValue(t: IceType, v: Any): Any = v match {
+    case null => null
+    case d: java.math.BigDecimal => ByteBuffer.wrap(d.unscaledValue().toByteArray)
+    case b: Array[Byte] => ByteBuffer.wrap(b)
+    case other => other
+  }
+
+  private def kvRecords(df: AvroSchema, field: String, m: Map[Int, Long]): AnyRef = {
+    if (m.isEmpty) return null
+    val arr = df.getField(field).schema().getTypes.get(1)
+    val kv = arr.getElementType
+    m.toSeq.sortBy(_._1).map { case (k, v) =>
+      val r = new GenericData.Record(kv)
+      r.put("key", k); r.put("value", v); r
+    }.asJava
+  }
+
+  private def boundRecords(df: AvroSchema, field: String, m: Map[Int, Any],
+      schema: Schema): AnyRef = {
+    if (m.isEmpty) return null
+    val arr = df.getField(field).schema().getTypes.get(1)
+    val kv = arr.getElementType
+    m.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+      schema.byId.get(k).map { nf =>
+        val r = new GenericData.Record(kv)
+        r.put("key", k)
+        r.put("value", ByteBuffer.wrap(Conversions.toBytes(nf.fieldType, v)))
+        r
+      }
+    }.asJava
+  }
+
+  // ---- read manifest ----
+
+  def readManifest(path: String, spec: PartitionSpec, schema: Schema): Seq[ManifestEntry] = {
+    val reader = new DataFileReader[GenericRecord](new File(path),
+      new GenericDatumReader[GenericRecord]())
+    val partTypes = spec.partitionType(schema)
+    try {
+      val b = Seq.newBuilder[ManifestEntry]
+      while (reader.hasNext) {
+        val rec = reader.next()
+        val df = rec.get("data_file").asInstanceOf[GenericRecord]
+        val part = df.get("partition").asInstanceOf[GenericRecord]
+        val partValues = partTypes.map { nf =>
+          fromAvro(nf.fieldType, part.get(sanitize(nf.name)))
+        }
+        b += ManifestEntry(
+          status = rec.get("status").asInstanceOf[Int],
+          snapshotId = longOr(rec.get("snapshot_id"), 0L),
+          dataSequenceNumber = longOr(rec.get("sequence_number"), 0L),
+          fileSequenceNumber = longOr(rec.get("file_sequence_number"), 0L),
+          dataFile = DataFile(
+            content = df.get("content").asInstanceOf[Int],
+            filePath = df.get("file_path").toString,
+            fileFormat = df.get("file_format").toString,
+            partition = partValues,
+            recordCount = df.get("record_count").asInstanceOf[Long],
+            fileSizeInBytes = df.get("file_size_in_bytes").asInstanceOf[Long],
+            valueCounts = kvMap(df.get("value_counts")),
+            nullValueCounts = kvMap(df.get("null_value_counts")),
+            nanValueCounts = kvMap(df.get("nan_value_counts")),
+            lowerBounds = boundMap(df.get("lower_bounds"), schema),
+            upperBounds = boundMap(df.get("upper_bounds"), schema),
+            columnSizes = kvMap(df.get("column_sizes")),
+            splitOffsets = Option(df.get("split_offsets"))
+              .map(_.asInstanceOf[java.util.List[Long]].asScala.toSeq).getOrElse(Nil),
+            sortOrderId = Option(df.get("sort_order_id")).map(_.asInstanceOf[Int]),
+            specId = spec.specId))
+      }
+      b.result()
+    } finally reader.close()
+  }
+
+  private def longOr(v: Any, dflt: Long): Long =
+    Option(v).map(_.asInstanceOf[Long]).getOrElse(dflt)
+
+  private def fromAvro(t: IceType, v: Any): Any = v match {
+    case null => null
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case bb: ByteBuffer =>
+      val bytes = new Array[Byte](bb.remaining()); bb.duplicate().get(bytes)
+      t match {
+        case IDecimal(_, s) => new java.math.BigDecimal(new java.math.BigInteger(bytes), s)
+        case _ => bytes
+      }
+    case other => other
+  }
+
+  private def kvMap(v: Any): Map[Int, Long] =
+    Option(v).map(_.asInstanceOf[java.util.List[GenericRecord]].asScala.map { r =>
+      r.get("key").asInstanceOf[Int] -> r.get("value").asInstanceOf[Long]
+    }.toMap).getOrElse(Map.empty)
+
+  private def boundMap(v: Any, schema: Schema): Map[Int, Any] =
+    Option(v).map(_.asInstanceOf[java.util.List[GenericRecord]].asScala.flatMap { r =>
+      val k = r.get("key").asInstanceOf[Int]
+      schema.byId.get(k).map { nf =>
+        val bb = r.get("value").asInstanceOf[ByteBuffer]
+        val bytes = new Array[Byte](bb.remaining()); bb.duplicate().get(bytes)
+        k -> Conversions.fromBytes(nf.fieldType, bytes)
+      }
+    }.toMap).getOrElse(Map.empty)
+
+  // ---- manifest list ----
+
+  def writeManifestList(path: String, manifests: Seq[ManifestFile]): Unit = {
+    val writer = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](manifestFileSchema))
+    val file = new File(path)
+    file.getParentFile.mkdirs()
+    writer.create(manifestFileSchema, file)
+    try {
+      manifests.foreach { m =>
+        val rec = new GenericData.Record(manifestFileSchema)
+        rec.put("manifest_path", m.manifestPath)
+        rec.put("manifest_length", m.manifestLength)
+        rec.put("partition_spec_id", m.partitionSpecId)
+        rec.put("content", m.content)
+        rec.put("sequence_number", m.sequenceNumber)
+        rec.put("min_sequence_number", m.minSequenceNumber)
+        rec.put("added_snapshot_id", m.addedSnapshotId)
+        rec.put("added_files_count", m.addedFilesCount)
+        rec.put("existing_files_count", m.existingFilesCount)
+        rec.put("deleted_files_count", m.deletedFilesCount)
+        rec.put("added_rows_count", m.addedRowsCount)
+        rec.put("existing_rows_count", m.existingRowsCount)
+        rec.put("deleted_rows_count", m.deletedRowsCount)
+        rec.put("partitions", if (m.partitions.isEmpty) null else m.partitions.map { s =>
+          val r = new GenericData.Record(fieldSummarySchema)
+          r.put("contains_null", s.containsNull)
+          r.put("contains_nan", s.containsNan.map(java.lang.Boolean.valueOf).orNull)
+          // summaries carry raw bytes; the typed decode happens at prune
+          // time when the spec's field types are known
+          r.put("lower_bound", s.lowerBound.map(b => ByteBuffer.wrap(b.asInstanceOf[Array[Byte]])).orNull)
+          r.put("upper_bound", s.upperBound.map(b => ByteBuffer.wrap(b.asInstanceOf[Array[Byte]])).orNull)
+          r
+        }.asJava)
+        writer.append(rec)
+      }
+    } finally writer.close()
+  }
+
+  def readManifestList(path: String): Seq[ManifestFile] = {
+    val reader = new DataFileReader[GenericRecord](new File(path),
+      new GenericDatumReader[GenericRecord]())
+    try {
+      val b = Seq.newBuilder[ManifestFile]
+      while (reader.hasNext) {
+        val r = reader.next()
+        b += ManifestFile(
+          manifestPath = r.get("manifest_path").toString,
+          manifestLength = r.get("manifest_length").asInstanceOf[Long],
+          partitionSpecId = r.get("partition_spec_id").asInstanceOf[Int],
+          content = r.get("content").asInstanceOf[Int],
+          sequenceNumber = r.get("sequence_number").asInstanceOf[Long],
+          minSequenceNumber = r.get("min_sequence_number").asInstanceOf[Long],
+          addedSnapshotId = r.get("added_snapshot_id").asInstanceOf[Long],
+          addedFilesCount = r.get("added_files_count").asInstanceOf[Int],
+          existingFilesCount = r.get("existing_files_count").asInstanceOf[Int],
+          deletedFilesCount = r.get("deleted_files_count").asInstanceOf[Int],
+          addedRowsCount = r.get("added_rows_count").asInstanceOf[Long],
+          existingRowsCount = r.get("existing_rows_count").asInstanceOf[Long],
+          deletedRowsCount = r.get("deleted_rows_count").asInstanceOf[Long],
+          partitions = Option(r.get("partitions"))
+            .map(_.asInstanceOf[java.util.List[GenericRecord]].asScala.toSeq.map { s =>
+              FieldSummary(
+                containsNull = s.get("contains_null").asInstanceOf[Boolean],
+                containsNan = Option(s.get("contains_nan")).map(_.asInstanceOf[Boolean]),
+                lowerBound = Option(s.get("lower_bound")).map { bb0 =>
+                  val bb = bb0.asInstanceOf[ByteBuffer]
+                  val bytes = new Array[Byte](bb.remaining()); bb.duplicate().get(bytes); bytes
+                },
+                upperBound = Option(s.get("upper_bound")).map { bb0 =>
+                  val bb = bb0.asInstanceOf[ByteBuffer]
+                  val bytes = new Array[Byte](bb.remaining()); bb.duplicate().get(bytes); bytes
+                })
+            }).getOrElse(Nil))
+      }
+      b.result()
+    } finally reader.close()
+  }
+}

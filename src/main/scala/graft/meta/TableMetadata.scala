@@ -1,0 +1,337 @@
+package graft.meta
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+import graft.core._
+
+/** Iceberg table metadata tree (ref: pyiceberg/table/metadata.py:128,491 —
+  * V2 common fields) with spec-shaped JSON (de)serialization.
+  */
+final case class Snapshot(
+    snapshotId: Long,
+    parentSnapshotId: Option[Long],
+    sequenceNumber: Long,
+    timestampMs: Long,
+    manifestList: String,
+    summary: Map[String, String],
+    schemaId: Int) {
+  def operation: String = summary.getOrElse("operation", "append")
+}
+
+final case class SnapshotRef(snapshotId: Long, refType: String) // "branch" | "tag"
+
+final case class SortField(sourceId: Int, transform: Transform, direction: String, nullOrder: String)
+final case class SortOrder(orderId: Int, fields: Seq[SortField])
+
+final case class SnapshotLogEntry(timestampMs: Long, snapshotId: Long)
+final case class MetadataLogEntry(timestampMs: Long, metadataFile: String)
+
+final case class TableMetadata(
+    formatVersion: Int = 2,
+    tableUuid: String,
+    location: String,
+    lastSequenceNumber: Long = 0,
+    lastUpdatedMs: Long = 0,
+    lastColumnId: Int = 0,
+    schemas: Seq[Schema] = Nil,
+    currentSchemaId: Int = 0,
+    partitionSpecs: Seq[PartitionSpec] = Seq(PartitionSpec.Unpartitioned),
+    defaultSpecId: Int = 0,
+    lastPartitionId: Int = PartitionSpec.StartFieldId - 1,
+    sortOrders: Seq[SortOrder] = Seq(SortOrder(0, Nil)),
+    defaultSortOrderId: Int = 0,
+    properties: Map[String, String] = Map.empty,
+    currentSnapshotId: Option[Long] = None,
+    snapshots: Seq[Snapshot] = Nil,
+    snapshotLog: Seq[SnapshotLogEntry] = Nil,
+    metadataLog: Seq[MetadataLogEntry] = Nil,
+    refs: Map[String, SnapshotRef] = Map.empty) {
+
+  def schema: Schema = schemas.find(_.schemaId == currentSchemaId)
+    .getOrElse(throw new IllegalStateException(s"No schema $currentSchemaId"))
+  def spec: PartitionSpec = partitionSpecs.find(_.specId == defaultSpecId)
+    .getOrElse(throw new IllegalStateException(s"No spec $defaultSpecId"))
+  def specById(id: Int): PartitionSpec = partitionSpecs.find(_.specId == id)
+    .getOrElse(throw new IllegalStateException(s"No spec $id"))
+  def schemaById(id: Int): Schema = schemas.find(_.schemaId == id).getOrElse(schema)
+  def currentSnapshot: Option[Snapshot] =
+    currentSnapshotId.flatMap(id => snapshots.find(_.snapshotId == id))
+  def snapshotById(id: Long): Option[Snapshot] = snapshots.find(_.snapshotId == id)
+
+  def snapshotByName(name: String): Option[Snapshot] =
+    refs.get(name).flatMap(r => snapshotById(r.snapshotId))
+
+  /** Latest snapshot committed at or before `tsMs`
+    * (ref: table/__init__.py:1399 snapshot_as_of_timestamp). */
+  def snapshotAsOf(tsMs: Long): Option[Snapshot] =
+    snapshotLog.filter(_.timestampMs <= tsMs).lastOption
+      .flatMap(e => snapshotById(e.snapshotId))
+
+  /** Ancestors of a snapshot, nearest first (ref: table/snapshots.py ancestors_of). */
+  def ancestorsOf(id: Long): Seq[Snapshot] = {
+    val b = Seq.newBuilder[Snapshot]
+    var cur = snapshotById(id)
+    while (cur.isDefined) {
+      b += cur.get
+      cur = cur.get.parentSnapshotId.flatMap(snapshotById)
+    }
+    b.result()
+  }
+}
+
+object MetadataJson {
+  private val mapper = new ObjectMapper()
+
+  // ---- types ----
+  def typeToJson(t: IceType, o: ObjectNode => Unit = _ => ()): JsonNode = t match {
+    case IStruct(fields) =>
+      val n = mapper.createObjectNode()
+      n.put("type", "struct")
+      o(n)
+      val fs = n.putArray("fields")
+      fields.foreach(f => fs.add(fieldToJson(f)))
+      n
+    case IList(eid, e, req) =>
+      val n = mapper.createObjectNode()
+      n.put("type", "list"); n.put("element-id", eid); n.put("element-required", req)
+      n.set[JsonNode]("element", typeToJson(e)); n
+    case IMap(kid, k, vid, v, req) =>
+      val n = mapper.createObjectNode()
+      n.put("type", "map"); n.put("key-id", kid); n.put("value-id", vid)
+      n.set[JsonNode]("key", typeToJson(k)); n.set[JsonNode]("value", typeToJson(v))
+      n.put("value-required", req); n
+    case IDecimal(p, s) => mapper.getNodeFactory.textNode(s"decimal($p, $s)")
+    case IFixed(l) => mapper.getNodeFactory.textNode(s"fixed[$l]")
+    case prim => mapper.getNodeFactory.textNode(prim.repr)
+  }
+
+  def typeFromJson(n: JsonNode): IceType = {
+    if (n.isTextual) {
+      val s = n.asText()
+      val dec = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+      val fix = """fixed\[(\d+)\]""".r
+      s match {
+        case "boolean" => IBoolean
+        case "int" => IInt
+        case "long" => ILong
+        case "float" => IFloat
+        case "double" => IDouble
+        case "date" => IDate
+        case "time" => ITime
+        case "timestamp" => ITimestamp
+        case "timestamptz" => ITimestamptz
+        case "string" => IString
+        case "uuid" => IUUID
+        case "binary" => IBinary
+        case dec(p, sc) => IDecimal(p.toInt, sc.toInt)
+        case fix(l) => IFixed(l.toInt)
+        case other => throw new IllegalArgumentException(s"Unknown type: $other")
+      }
+    } else n.get("type").asText() match {
+      case "struct" =>
+        IStruct(iter(n.get("fields")).map(fieldFromJson))
+      case "list" =>
+        IList(n.get("element-id").asInt(), typeFromJson(n.get("element")),
+          n.get("element-required").asBoolean())
+      case "map" =>
+        IMap(n.get("key-id").asInt(), typeFromJson(n.get("key")),
+          n.get("value-id").asInt(), typeFromJson(n.get("value")),
+          n.get("value-required").asBoolean())
+      case other => throw new IllegalArgumentException(s"Unknown complex type: $other")
+    }
+  }
+
+  private def fieldToJson(f: NestedField): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("id", f.id); n.put("name", f.name); n.put("required", f.required)
+    n.set[JsonNode]("type", typeToJson(f.fieldType))
+    f.doc.foreach(n.put("doc", _))
+    f.initialDefault.foreach(d => n.putPOJO("initial-default", d))
+    f.writeDefault.foreach(d => n.putPOJO("write-default", d))
+    n
+  }
+
+  private def fieldFromJson(n: JsonNode): NestedField =
+    NestedField(
+      n.get("id").asInt(), n.get("name").asText(), typeFromJson(n.get("type")),
+      n.get("required").asBoolean(),
+      Option(n.get("doc")).map(_.asText()),
+      Option(n.get("initial-default")).map(jsonScalar),
+      Option(n.get("write-default")).map(jsonScalar))
+
+  private def jsonScalar(n: JsonNode): Any =
+    if (n.isIntegralNumber) n.asLong()
+    else if (n.isFloatingPointNumber) n.asDouble()
+    else if (n.isBoolean) n.asBoolean()
+    else n.asText()
+
+  def schemaToJson(s: Schema): ObjectNode = {
+    val n = typeToJson(s.struct, o => {
+      o.put("schema-id", s.schemaId)
+      if (s.identifierFieldIds.nonEmpty) {
+        val arr = o.putArray("identifier-field-ids")
+        s.identifierFieldIds.foreach(arr.add)
+      }
+    }).asInstanceOf[ObjectNode]
+    n
+  }
+
+  def schemaFromJson(n: JsonNode): Schema =
+    Schema(iter(n.get("fields")).map(fieldFromJson),
+      Option(n.get("schema-id")).map(_.asInt()).getOrElse(0),
+      Option(n.get("identifier-field-ids")).map(a => iter(a).map(_.asInt())).getOrElse(Nil))
+
+  def specToJson(sp: PartitionSpec): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("spec-id", sp.specId)
+    val fs = n.putArray("fields")
+    sp.fields.foreach { f =>
+      val fn = mapper.createObjectNode()
+      fn.put("source-id", f.sourceId); fn.put("field-id", f.fieldId)
+      fn.put("name", f.name); fn.put("transform", f.transform.name)
+      fs.add(fn)
+    }
+    n
+  }
+
+  def specFromJson(n: JsonNode): PartitionSpec =
+    PartitionSpec(n.get("spec-id").asInt(), iter(n.get("fields")).map { f =>
+      PartitionField(f.get("source-id").asInt(), f.get("field-id").asInt(),
+        f.get("name").asText(), Transform.parse(f.get("transform").asText()))
+    })
+
+  private def iter(n: JsonNode): Seq[JsonNode] = {
+    val b = Seq.newBuilder[JsonNode]
+    val it = n.elements()
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  // ---- full metadata ----
+  def toJson(m: TableMetadata): String = {
+    val n = mapper.createObjectNode()
+    n.put("format-version", m.formatVersion)
+    n.put("table-uuid", m.tableUuid)
+    n.put("location", m.location)
+    n.put("last-sequence-number", m.lastSequenceNumber)
+    n.put("last-updated-ms", m.lastUpdatedMs)
+    n.put("last-column-id", m.lastColumnId)
+    n.put("current-schema-id", m.currentSchemaId)
+    val sArr = n.putArray("schemas"); m.schemas.foreach(s => sArr.add(schemaToJson(s)))
+    n.put("default-spec-id", m.defaultSpecId)
+    val pArr = n.putArray("partition-specs"); m.partitionSpecs.foreach(p => pArr.add(specToJson(p)))
+    n.put("last-partition-id", m.lastPartitionId)
+    n.put("default-sort-order-id", m.defaultSortOrderId)
+    val soArr = n.putArray("sort-orders")
+    m.sortOrders.foreach { so =>
+      val son = mapper.createObjectNode()
+      son.put("order-id", so.orderId)
+      val sf = son.putArray("fields")
+      so.fields.foreach { f =>
+        val fn = mapper.createObjectNode()
+        fn.put("source-id", f.sourceId); fn.put("transform", f.transform.name)
+        fn.put("direction", f.direction); fn.put("null-order", f.nullOrder)
+        sf.add(fn)
+      }
+      soArr.add(son)
+    }
+    val props = n.putObject("properties")
+    m.properties.foreach { case (k, v) => props.put(k, v) }
+    m.currentSnapshotId.foreach(n.put("current-snapshot-id", _))
+    val snaps = n.putArray("snapshots")
+    m.snapshots.foreach { s =>
+      val sn = mapper.createObjectNode()
+      sn.put("snapshot-id", s.snapshotId)
+      s.parentSnapshotId.foreach(sn.put("parent-snapshot-id", _))
+      sn.put("sequence-number", s.sequenceNumber)
+      sn.put("timestamp-ms", s.timestampMs)
+      sn.put("manifest-list", s.manifestList)
+      sn.put("schema-id", s.schemaId)
+      val sum = sn.putObject("summary")
+      s.summary.foreach { case (k, v) => sum.put(k, v) }
+      snaps.add(sn)
+    }
+    val slog = n.putArray("snapshot-log")
+    m.snapshotLog.foreach { e =>
+      val en = mapper.createObjectNode()
+      en.put("timestamp-ms", e.timestampMs); en.put("snapshot-id", e.snapshotId)
+      slog.add(en)
+    }
+    val mlog = n.putArray("metadata-log")
+    m.metadataLog.foreach { e =>
+      val en = mapper.createObjectNode()
+      en.put("timestamp-ms", e.timestampMs); en.put("metadata-file", e.metadataFile)
+      mlog.add(en)
+    }
+    val refsN = n.putObject("refs")
+    m.refs.foreach { case (name, r) =>
+      val rn = refsN.putObject(name)
+      rn.put("snapshot-id", r.snapshotId); rn.put("type", r.refType)
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)
+  }
+
+  def fromJson(json: String): TableMetadata = {
+    val n = mapper.readTree(json)
+    def optLong(name: String): Option[Long] = Option(n.get(name)).map(_.asLong())
+    TableMetadata(
+      formatVersion = n.get("format-version").asInt(),
+      tableUuid = n.get("table-uuid").asText(),
+      location = n.get("location").asText(),
+      lastSequenceNumber = Option(n.get("last-sequence-number")).map(_.asLong()).getOrElse(0L),
+      lastUpdatedMs = Option(n.get("last-updated-ms")).map(_.asLong()).getOrElse(0L),
+      lastColumnId = Option(n.get("last-column-id")).map(_.asInt()).getOrElse(0),
+      schemas = iter(n.get("schemas")).map(schemaFromJson),
+      currentSchemaId = n.get("current-schema-id").asInt(),
+      partitionSpecs = iter(n.get("partition-specs")).map(specFromJson),
+      defaultSpecId = n.get("default-spec-id").asInt(),
+      lastPartitionId = Option(n.get("last-partition-id")).map(_.asInt())
+        .getOrElse(PartitionSpec.StartFieldId - 1),
+      sortOrders = Option(n.get("sort-orders")).map(a => iter(a).map { so =>
+        SortOrder(so.get("order-id").asInt(), iter(so.get("fields")).map { f =>
+          SortField(f.get("source-id").asInt(), Transform.parse(f.get("transform").asText()),
+            f.get("direction").asText(), f.get("null-order").asText())
+        })
+      }).getOrElse(Seq(SortOrder(0, Nil))),
+      defaultSortOrderId = Option(n.get("default-sort-order-id")).map(_.asInt()).getOrElse(0),
+      properties = Option(n.get("properties")).map { p =>
+        val b = Map.newBuilder[String, String]
+        val it = p.properties().iterator()
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+        b.result()
+      }.getOrElse(Map.empty),
+      currentSnapshotId = optLong("current-snapshot-id").filter(_ != -1),
+      snapshots = Option(n.get("snapshots")).map(a => iter(a).map { s =>
+        Snapshot(
+          s.get("snapshot-id").asLong(),
+          Option(s.get("parent-snapshot-id")).map(_.asLong()),
+          Option(s.get("sequence-number")).map(_.asLong()).getOrElse(0L),
+          s.get("timestamp-ms").asLong(),
+          s.get("manifest-list").asText(),
+          Option(s.get("summary")).map { p =>
+            val b = Map.newBuilder[String, String]
+            val it = p.properties().iterator()
+            while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+            b.result()
+          }.getOrElse(Map.empty),
+          Option(s.get("schema-id")).map(_.asInt()).getOrElse(0))
+      }).getOrElse(Nil),
+      snapshotLog = Option(n.get("snapshot-log")).map(a => iter(a).map { e =>
+        SnapshotLogEntry(e.get("timestamp-ms").asLong(), e.get("snapshot-id").asLong())
+      }).getOrElse(Nil),
+      metadataLog = Option(n.get("metadata-log")).map(a => iter(a).map { e =>
+        MetadataLogEntry(e.get("timestamp-ms").asLong(), e.get("metadata-file").asText())
+      }).getOrElse(Nil),
+      refs = Option(n.get("refs")).map { r =>
+        val b = Map.newBuilder[String, SnapshotRef]
+        val it = r.properties().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          b += e.getKey -> SnapshotRef(e.getValue.get("snapshot-id").asLong(),
+            e.getValue.get("type").asText())
+        }
+        b.result()
+      }.getOrElse(Map.empty))
+  }
+}

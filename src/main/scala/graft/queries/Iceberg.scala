@@ -1,0 +1,308 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.HadoopCatalog
+import graft.core._
+import graft.meta.{PartitionSpec => Spec}
+
+/** Driver-contract queries exercising the Iceberg-format engine end-to-end:
+  * each creates a fresh table in a temp warehouse from the driver-supplied
+  * parquet, runs the operator under test, scans the table back and returns
+  * a DataFrame whose DuckDB oracle is expressed over the ORIGINAL parquet
+  * tables (cross-engine differential testing — the reference's own
+  * integration-test pattern, SURVEY.md §5).
+  */
+object Iceberg {
+  import Tables._
+
+  private def wh(spark: SparkSession): HadoopCatalog =
+    new HadoopCatalog(Files.createTempDirectory("graft_ice").toString, spark)
+
+  private val ordCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority")
+
+  /** A. append + full scan (ref: Transaction.append + DataScan). */
+  def appendScan(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val tab = wh(s).createTable("orders", Schema.fromSpark(orders.schema))
+    tab.append(orders)
+    tab.scan.toDF.orderBy(col("o_orderkey"))
+  }
+  val appendScanSql = "SELECT * FROM orders ORDER BY o_orderkey"
+
+  /** A+B. scan with row-filter DSL + column selection (pushdown path). */
+  def scanFilterDsl(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val tab = wh(s).createTable("lineitem", Schema.fromSpark(li.schema))
+    tab.append(li)
+    tab.scan("l_shipdate >= '1997-01-01' and l_discount > 0.05 and l_quantity < 10")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .toDF.orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+  val scanFilterDslSql =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_discount > 0.05 AND l_quantity < 10
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** B. predicate battery through the DSL parser (IN / LIKE / BETWEEN). */
+  def scanPredicates(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part")
+    val tab = wh(s).createTable("part", Schema.fromSpark(part.schema))
+    tab.append(part)
+    tab.scan("p_brand in ('Brand#1','Brand#2') and p_name not like 'a%' " +
+        "and p_size between 5 and 40 and p_type is not null")
+      .select("p_partkey", "p_name", "p_brand", "p_size")
+      .toDF.orderBy(col("p_partkey"))
+  }
+  val scanPredicatesSql =
+    """SELECT p_partkey, p_name, p_brand, p_size FROM part
+      |WHERE p_brand IN ('Brand#1','Brand#2') AND p_name NOT LIKE 'a%'
+      |  AND p_size BETWEEN 5 AND 40 AND p_type IS NOT NULL
+      |ORDER BY p_partkey""".stripMargin
+
+  /** E+C. time-transform partitioning: month(o_orderdate) fan-out write,
+    * manifest/partition pruning on read. */
+  def partitionPruning(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val schema = Schema.fromSpark(orders.schema)
+    val tab = wh(s).createTable("orders",
+      schema, Spec.build(schema, 0, ("o_orderdate", MonthTransform, "o_month")))
+    tab.append(orders)
+    tab.scan("o_orderdate >= '1997-06-01'").toDF.orderBy(col("o_orderkey"))
+  }
+  val partitionPruningSql =
+    "SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1997-06-01' ORDER BY o_orderkey"
+
+  /** E. Iceberg murmur3 bucket partitioning + equality pruning. */
+  def bucketPruning(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val schema = Schema.fromSpark(cust.schema)
+    val tab = wh(s).createTable("customer",
+      schema, Spec.build(schema, 0, ("c_custkey", BucketTransform(8), "c_bucket")))
+    tab.append(cust)
+    tab.scan("c_custkey in (1, 7, 500)").toDF.orderBy(col("c_custkey"))
+  }
+  val bucketPruningSql =
+    "SELECT * FROM customer WHERE c_custkey IN (1, 7, 500) ORDER BY c_custkey"
+
+  /** E. truncate transform partitioning. */
+  def truncatePartition(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val schema = Schema.fromSpark(orders.schema)
+    val tab = wh(s).createTable("orders",
+      schema, Spec.build(schema, 0, ("o_orderkey", TruncateTransform(1000), "o_trunc")))
+    tab.append(orders)
+    tab.scan("o_orderkey >= 2000 and o_orderkey < 4000").toDF.orderBy(col("o_orderkey"))
+  }
+  val truncatePartitionSql =
+    "SELECT * FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 4000 ORDER BY o_orderkey"
+
+  /** D. copy-on-write delete: strict-metrics whole-file drop + rewrite with
+    * the complementary filter. */
+  def deleteCow(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val tab = wh(s).createTable("orders", Schema.fromSpark(orders.schema))
+    tab.append(orders)
+    tab.delete("o_totalprice < 100000 and o_orderstatus = 'O'")
+    tab.scan.toDF.orderBy(col("o_orderkey"))
+  }
+  val deleteCowSql =
+    """SELECT * FROM orders
+      |WHERE NOT (o_totalprice < 100000 AND o_orderstatus = 'O')
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** D. upsert/MERGE: update matched+changed, insert unmatched
+    * (join-based, no driver key collection). */
+  def upsert(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val tab = wh(s).createTable("orders", Schema.fromSpark(orders.schema))
+    tab.append(orders.filter(col("o_orderkey") <= 12000))
+    val source = orders.filter(col("o_orderkey") > 6000)
+      .withColumn("o_orderstatus", lit("X"))
+    tab.upsert(source, Seq("o_orderkey"))
+    tab.scan.toDF.orderBy(col("o_orderkey"))
+  }
+  val upsertSql =
+    """SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      |FROM orders WHERE o_orderkey > 6000
+      |UNION ALL
+      |SELECT * FROM orders WHERE o_orderkey <= 6000
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** D. dynamic partition overwrite (identity partitioning). */
+  def dynamicOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val schema = Schema.fromSpark(orders.schema)
+    val tab = wh(s).createTable("orders",
+      schema, Spec.build(schema, 0, ("o_orderpriority", IdentityTransform, "prio")))
+    tab.append(orders)
+    tab.dynamicPartitionOverwrite(
+      orders.filter(col("o_orderpriority") === "1-URGENT").withColumn("o_totalprice", lit(0.0)))
+    tab.scan.toDF.orderBy(col("o_orderkey"))
+  }
+  val dynamicOverwriteSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CASE WHEN o_orderpriority = '1-URGENT' THEN 0.0 ELSE o_totalprice END AS o_totalprice,
+      |  o_orderdate, o_orderpriority
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** J. time travel: scan the first snapshot after a second append. */
+  def timeTravel(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val tab = wh(s).createTable("orders", Schema.fromSpark(orders.schema))
+    tab.append(orders.filter(col("o_orderkey") % 3 === 0))
+    val snap1 = tab.metadata.currentSnapshotId.get
+    tab.append(orders.filter(col("o_orderkey") % 3 =!= 0))
+    tab.manageSnapshots.createTag("v1", snap1)
+    tab.scan.useRef("v1").toDF.orderBy(col("o_orderkey"))
+  }
+  val timeTravelSql =
+    "SELECT * FROM orders WHERE o_orderkey % 3 = 0 ORDER BY o_orderkey"
+
+  /** J. incremental append scan between two snapshots. */
+  def incrementalScan(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val tab = wh(s).createTable("orders", Schema.fromSpark(orders.schema))
+    tab.append(orders.filter(col("o_orderkey") % 3 === 0))
+    val snap1 = tab.metadata.currentSnapshotId.get
+    tab.append(orders.filter(col("o_orderkey") % 3 =!= 0))
+    val snap2 = tab.metadata.currentSnapshotId.get
+    tab.incrementalAppendScan(snap1, snap2).orderBy(col("o_orderkey"))
+  }
+  val incrementalScanSql =
+    "SELECT * FROM orders WHERE o_orderkey % 3 <> 0 ORDER BY o_orderkey"
+
+  /** G. schema evolution: rename + add column; old files read by field-id. */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val tab = wh(s).createTable("orders", Schema.fromSpark(orders.schema))
+    tab.append(orders)
+    tab.updateSchema
+      .renameColumn("o_orderstatus", "status")
+      .addColumn("note", IString)
+      .commit()
+    tab.scan("status = 'O'").toDF.orderBy(col("o_orderkey"))
+  }
+  val schemaEvolutionSql =
+    """SELECT o_orderkey, o_orderstatus AS status, o_totalprice, CAST(NULL AS VARCHAR) AS note
+      |FROM orders WHERE o_orderstatus = 'O' ORDER BY o_orderkey""".stripMargin
+
+  /** A (deletes). merge-on-read position deletes applied via row_index
+    * anti-join (ref read path io/pyarrow.py:1629; MoR write is our
+    * extension). */
+  def positionDeletes(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val tab = wh(s).createTable("orders", Schema.fromSpark(orders.schema))
+    tab.append(orders)
+    tab.deletePositional("o_orderstatus = 'F' and o_totalprice < 150000")
+    tab.scan.toDF.orderBy(col("o_orderkey"))
+  }
+  val positionDeletesSql =
+    """SELECT * FROM orders
+      |WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 150000)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** A. metadata-only count (residual-free files never read). */
+  def metadataCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = t(s, dir, "orders")
+    val schema = Schema.fromSpark(orders.schema)
+    val tab = wh(s).createTable("orders",
+      schema, Spec.build(schema, 0, ("o_orderpriority", IdentityTransform, "prio")))
+    tab.append(orders)
+    val n = tab.scan("o_orderpriority = '1-URGENT'").count()
+    s.createDataFrame(Seq(Tuple1(n))).toDF("cnt")
+  }
+  val metadataCountSql =
+    "SELECT count(*) AS cnt FROM orders WHERE o_orderpriority = '1-URGENT'"
+
+  /** F. partitions metadata table: per-partition record counts as a Spark
+    * aggregation over manifest entries. */
+  def partitionsMeta(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val schema = Schema.fromSpark(orders.schema)
+    val tab = wh(s).createTable("orders",
+      schema, Spec.build(schema, 0, ("o_orderdate", MonthTransform, "o_month")))
+    tab.append(orders)
+    tab.inspect.partitions()
+      .select(col("partition"), col("record_count"))
+      .orderBy(col("partition"))
+  }
+  val partitionsMetaSql =
+    """SELECT 'o_month=' || strftime(o_orderdate, '%Y-%m') AS partition,
+      |       count(*) AS record_count
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** F. snapshots metadata table (operations + added record counts). */
+  def snapshotsMeta(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val tab = wh(s).createTable("orders", Schema.fromSpark(orders.schema))
+    tab.append(orders.filter(col("o_orderkey") % 3 === 0))
+    tab.append(orders.filter(col("o_orderkey") % 3 =!= 0))
+    tab.inspect.snapshots()
+      .select(col("operation"),
+        element_at(col("summary"), "added-records").cast("long").as("added_records"))
+      .orderBy(col("added_records"))
+  }
+  val snapshotsMetaSql =
+    """SELECT * FROM (
+      |  SELECT 'append' AS operation,
+      |    (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0) AS added_records
+      |  UNION ALL
+      |  SELECT 'append',
+      |    (SELECT count(*) FROM orders WHERE o_orderkey % 3 <> 0)
+      |) ORDER BY added_records""".stripMargin
+
+  /** A. add_files: register external parquet without rewrite. */
+  def addFiles(s: SparkSession, dir: String): DataFrame = {
+    val nation = t(s, dir, "nation")
+    val tab = wh(s).createTable("nation", Schema.fromSpark(nation.schema))
+    tab.addFiles(Seq(s"$dir/nation.parquet"))
+    tab.scan.toDF.orderBy(col("n_nationkey"))
+  }
+  val addFilesSql = "SELECT * FROM nation ORDER BY n_nationkey"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ice_append_scan" -> (appendScan _),
+    "ice_scan_filter_dsl" -> (scanFilterDsl _),
+    "ice_scan_predicates" -> (scanPredicates _),
+    "ice_partition_pruning" -> (partitionPruning _),
+    "ice_bucket_pruning" -> (bucketPruning _),
+    "ice_truncate_partition" -> (truncatePartition _),
+    "ice_delete_cow" -> (deleteCow _),
+    "ice_upsert" -> (upsert _),
+    "ice_dynamic_overwrite" -> (dynamicOverwrite _),
+    "ice_time_travel" -> (timeTravel _),
+    "ice_incremental_scan" -> (incrementalScan _),
+    "ice_schema_evolution" -> (schemaEvolution _),
+    "ice_position_deletes" -> (positionDeletes _),
+    "ice_metadata_count" -> (metadataCount _),
+    "ice_partitions_meta" -> (partitionsMeta _),
+    "ice_snapshots_meta" -> (snapshotsMeta _),
+    "ice_add_files" -> (addFiles _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ice_append_scan" -> appendScanSql,
+    "ice_scan_filter_dsl" -> scanFilterDslSql,
+    "ice_scan_predicates" -> scanPredicatesSql,
+    "ice_partition_pruning" -> partitionPruningSql,
+    "ice_bucket_pruning" -> bucketPruningSql,
+    "ice_truncate_partition" -> truncatePartitionSql,
+    "ice_delete_cow" -> deleteCowSql,
+    "ice_upsert" -> upsertSql,
+    "ice_dynamic_overwrite" -> dynamicOverwriteSql,
+    "ice_time_travel" -> timeTravelSql,
+    "ice_incremental_scan" -> incrementalScanSql,
+    "ice_schema_evolution" -> schemaEvolutionSql,
+    "ice_position_deletes" -> positionDeletesSql,
+    "ice_metadata_count" -> metadataCountSql,
+    "ice_partitions_meta" -> partitionsMetaSql,
+    "ice_snapshots_meta" -> snapshotsMetaSql,
+    "ice_add_files" -> addFilesSql,
+  )
+}

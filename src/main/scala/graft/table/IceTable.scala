@@ -1,0 +1,438 @@
+package graft.table
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{CommitConflictException, HadoopCatalog}
+import graft.core._
+import graft.meta._
+
+/** Table handle: metadata + catalog + Spark session (ref:
+  * pyiceberg/table/__init__.py:1147 Table).
+  *
+  * All DML goes through `commitSnapshot`, an optimistic-concurrency retry
+  * loop around the catalog's atomic metadata swap (ref: Transaction +
+  * Catalog.commit_table, table/__init__.py:216, catalog/__init__.py:554).
+  */
+class IceTable(
+    val catalog: HadoopCatalog,
+    val name: String,
+    @volatile var metadata: TableMetadata) {
+
+  def spark: SparkSession = catalog.spark
+  def schema: Schema = metadata.schema
+  def spec: PartitionSpec = metadata.spec
+  def location: String = metadata.location
+
+  def refresh(): IceTable = {
+    metadata = catalog.loadTable(name).metadata
+    this
+  }
+
+  def inspect: Inspect = new Inspect(this)
+  def updateSchema: SchemaUpdate = new SchemaUpdate(this)
+  def updateSpec: SpecUpdate = new SpecUpdate(this)
+  def manageSnapshots: ManageSnapshots = new ManageSnapshots(this)
+  def expireSnapshots(olderThanMs: Long, retainLast: Int = 1): Seq[Long] =
+    Maintenance.expireSnapshots(this, olderThanMs, retainLast)
+  def setProperties(props: (String, String)*): Unit =
+    commitMetadata(m => m.copy(properties = m.properties ++ props))
+  def removeProperties(keys: String*): Unit =
+    commitMetadata(m => m.copy(properties = m.properties -- keys))
+
+  // ---- scan --------------------------------------------------------------
+
+  def scan: IceScan = new IceScan(this)
+  def scan(filter: String): IceScan = new IceScan(this).filter(filter)
+
+  /** Committed-append change capture between two snapshots (ref:
+    * IncrementalAppendScan table/__init__.py:2372). */
+  def incrementalAppendScan(fromIdExclusive: Long, toIdInclusive: Long): DataFrame = {
+    val to = metadata.snapshotById(toIdInclusive).getOrElse(
+      throw new IllegalArgumentException(s"No snapshot $toIdInclusive"))
+    val chain = metadata.ancestorsOf(to.snapshotId)
+      .takeWhile(_.snapshotId != fromIdExclusive)
+      .filter(_.operation == "append")
+    val ids = chain.map(_.snapshotId).toSet
+    val schemaAt = metadata.schemaById(to.schemaId)
+    val files = chain.headOption.toSeq.flatMap { newest =>
+      ManifestIO.readManifestList(newest.manifestList)
+        .filter(mf => mf.content == 0 && ids.contains(mf.addedSnapshotId))
+        .flatMap { mf =>
+          val sp = metadata.specById(mf.partitionSpecId)
+          ManifestIO.readManifest(mf.manifestPath, sp, schemaAt)
+            .filter(e => e.status == EntryStatus.Added && ids.contains(e.snapshotId))
+            .map(_.dataFile)
+        }
+    }
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schemaAt.toSpark)
+    else {
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+      spark.read.schema(schemaAt.toSpark).parquet(files.map(_.filePath): _*)
+    }
+  }
+
+  // ---- DML ---------------------------------------------------------------
+
+  /** Fast append (ref: Transaction.append table/__init__.py:460,
+    * _FastAppendFiles update/snapshot.py:503). */
+  def append(df: DataFrame): Unit = {
+    val files = WriteFiles.write(spark, location, schema, spec, df, UUID.randomUUID().toString)
+    commitSnapshot("append", added = files, removedPaths = Set.empty)
+  }
+
+  /** Copy-on-write delete (ref: Transaction.delete table/__init__.py:703):
+    * phase 1 drops whole files where the STRICT evaluator proves all rows
+    * match (metadata-only); phase 2 rewrites partially-matching files with
+    * the null-preserving complementary filter. */
+  def delete(filter: String): Unit = delete(ExprParser.parse(filter))
+
+  def delete(filter: Expr): Unit = {
+    val bound = Exprs.rewriteNot(Binder.bind(schema, filter))
+    if (bound == BFalse) return
+    val tasks = new IceScan(this).filter(filter).planFiles()
+    if (tasks.isEmpty) return
+    val (wholeFiles, rewrites) = tasks.partition(t =>
+      Evaluators.rowsMustMatch(bound, t.file) && t.deletes.isEmpty)
+    var added: Seq[DataFile] = Nil
+    if (rewrites.nonEmpty) {
+      // read only the affected files, keep survivors (NULL rows survive)
+      val survivors = readFilesFully(rewrites)
+        .filter(ToColumn.complementary(bound))
+      added = WriteFiles.write(spark, location, schema, spec, survivors,
+        UUID.randomUUID().toString)
+    }
+    val removed = (wholeFiles ++ rewrites).map(_.file.filePath).toSet
+    commitSnapshot(if (rewrites.isEmpty) "delete" else "overwrite",
+      added = added, removedPaths = removed)
+  }
+
+  /** Overwrite rows matching `filter` (default: full truncate) with `df`
+    * (ref: Transaction.overwrite table/__init__.py:606). */
+  def overwrite(df: DataFrame, filter: Expr = AlwaysTrue): Unit = {
+    val bound = Exprs.rewriteNot(Binder.bind(schema, filter))
+    val tasks = new IceScan(this).filter(filter).planFiles()
+    val (wholeFiles, rewrites) = tasks.partition(t =>
+      Evaluators.rowsMustMatch(bound, t.file) && t.deletes.isEmpty)
+    var added = WriteFiles.write(spark, location, schema, spec, df, UUID.randomUUID().toString)
+    if (rewrites.nonEmpty) {
+      val survivors = readFilesFully(rewrites).filter(ToColumn.complementary(bound))
+      added = added ++ WriteFiles.write(spark, location, schema, spec, survivors,
+        UUID.randomUUID().toString)
+    }
+    val removed = (wholeFiles ++ rewrites).map(_.file.filePath).toSet
+    commitSnapshot("overwrite", added = added, removedPaths = removed)
+  }
+
+  /** Overwrite only the partitions present in `df`
+    * (ref: dynamic_partition_overwrite table/__init__.py:541). */
+  def dynamicPartitionOverwrite(df: DataFrame): Unit = {
+    require(!spec.isUnpartitioned, "dynamic overwrite requires a partitioned table")
+    val aligned = WriteFiles.align(df, schema)
+    val partCols = spec.fields.map { pf =>
+      val src = schema.byId(pf.sourceId)
+      pf.transform.column(col(src.name), src.fieldType).as(pf.name)
+    }
+    // distinct touched partition tuples — a small driver-side set by design
+    // (#partitions << #rows); the data itself never leaves executors
+    val touched: Set[Seq[Any]] = aligned.select(partCols: _*).distinct().collect()
+      .map(r => normalizeTuple(r.toSeq)).toSet
+    val removed = new IceScan(this).planFiles()
+      .filter(t => touched.contains(normalizeTuple(t.file.partition)))
+      .map(_.file.filePath).toSet
+    val added = WriteFiles.write(spark, location, schema, spec, df, UUID.randomUUID().toString)
+    commitSnapshot("overwrite", added = added, removedPaths = removed)
+  }
+
+  private def normalizeTuple(vs: Seq[Any]): Seq[Any] = vs.map {
+    case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+    case d: java.time.LocalDate => d.toEpochDay.toInt
+    case t: java.sql.Timestamp => t.toInstant.toEpochMilli * 1000L
+    case i: java.time.Instant => i.toEpochMilli * 1000L
+    case d: java.math.BigDecimal => d
+    case other => other
+  }
+
+  /** MERGE/upsert (ref: Transaction.upsert table/__init__.py:800,
+    * upsert_util.py): join on key columns; update rows whose non-key
+    * columns differ (null-safe compare), insert unmatched source rows.
+    * The matched-row diff and the file-targeting both run as Spark joins —
+    * no driver-side key collection. Returns (updated, inserted). */
+  def upsert(source: DataFrame, joinCols: Seq[String] = Nil): (Long, Long) = {
+    val keys = if (joinCols.nonEmpty) joinCols
+      else schema.identifierFieldIds.map(id => schema.byId(id).name)
+    require(keys.nonEmpty, "upsert needs join columns or identifier fields")
+    val src = WriteFiles.align(source, schema).cache()
+    try {
+      // duplicate keys in source are an error (ref upsert_util.py:51)
+      val dup = src.groupBy(keys.map(col): _*).count().filter(col("count") > 1).limit(1).count()
+      require(dup == 0, s"Duplicate rows in source on key ${keys.mkString(",")}")
+
+      val nonKeys = schema.fields.map(_.name).filterNot(keys.contains)
+      val target = scan.toDF
+
+      // rows to UPDATE: key matches and any non-key column differs
+      // (null-safe <=>; ref get_rows_to_update upsert_util.py:56)
+      val changedCond = nonKeys.map(c => !(src(c) <=> target(c)))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      val joined = src.join(target, keys.map(k => src(k) === target(k)).reduce(_ && _), "inner")
+      val updates = joined.filter(changedCond).select(src.columns.map(src(_)): _*).cache()
+      val nUpdates = updates.count()
+
+      // rows to INSERT: source keys absent from target
+      val inserts = src.join(target, keys.map(k => src(k) === target(k)).reduce(_ && _),
+        "left_anti").cache()
+      val nInserts = inserts.count()
+
+      if (nUpdates == 0 && nInserts == 0) return (0L, 0L)
+
+      var removedPaths = Set.empty[String]
+      var added: Seq[DataFile] = Nil
+      if (nUpdates > 0) {
+        // locate affected files via _metadata.file_path, rewrite only those:
+        // survivors = rows of affected files whose key is NOT updated
+        val targetWithFile = scanWithFilePath()
+        val updKeys = updates.select(keys.map(col): _*)
+        val affected = targetWithFile
+          .join(updKeys, keys, "left_semi")
+          .select(col("__file")).distinct().collect().map(_.getString(0)).toSet
+        removedPaths = affected
+        val affectedRows = targetWithFile.filter(col("__file").isin(affected.toSeq: _*))
+          .drop("__file")
+        val survivors = affectedRows.join(updKeys, keys, "left_anti")
+        val replacement = survivors.unionByName(updates)
+        added = WriteFiles.write(spark, location, schema, spec, replacement,
+          UUID.randomUUID().toString)
+      }
+      if (nInserts > 0) {
+        added = added ++ WriteFiles.write(spark, location, schema, spec, inserts,
+          UUID.randomUUID().toString)
+      }
+      commitSnapshot("overwrite", added = added, removedPaths = removedPaths)
+      (nUpdates, nInserts)
+    } finally src.unpersist()
+  }
+
+  /** Fallback field-id assignment for files written without ids — id →
+    * name as of registration time (ref: table/name_mapping.py:73
+    * NameMapping; property `schema.name-mapping.default`). */
+  def nameMapping: Map[Int, String] =
+    metadata.properties.get("schema.name-mapping.default").map { json =>
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      val b = Map.newBuilder[Int, String]
+      val it = node.properties().iterator()
+      while (it.hasNext) { val e = it.next(); b += e.getValue.asInt() -> e.getKey }
+      b.result()
+    }.getOrElse(Map.empty)
+
+  /** Register existing parquet files without rewriting them (ref:
+    * add_files table/__init__.py:972; parquet_file_to_data_file
+    * io/pyarrow.py:2887). Stats come from the footers, distributed.
+    * Installs a name mapping so id-less files resolve columns by name. */
+  def addFiles(paths: Seq[String], checkDuplicates: Boolean = true): Unit = {
+    require(spec.isUnpartitioned, "addFiles currently supports unpartitioned tables")
+    if (!metadata.properties.contains("schema.name-mapping.default")) {
+      val json = schema.fields.map(f => s""""${f.name}": ${f.id}""").mkString("{", ", ", "}")
+      setProperties("schema.name-mapping.default" -> json)
+    }
+    if (checkDuplicates) {
+      val existing = new IceScan(this).planFiles().map(_.file.filePath).toSet
+      val dups = paths.filter(existing)
+      require(dups.isEmpty, s"Files already referenced: ${dups.take(3).mkString(",")}")
+    }
+    val colInfo = schema.fields.map(f => (f.name, f.id, f.fieldType.repr))
+    val slices = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
+    val files = spark.sparkContext.parallelize(paths, slices)
+      .map(p => StatsHarvester.fileToDataFile(p, "", colInfo, Nil, Nil))
+      .collect().toSeq
+    commitSnapshot("append", added = files, removedPaths = Set.empty)
+  }
+
+  /** Write position-delete files for rows matching `filter` (merge-on-read
+    * extension beyond the reference, which only reads them — ref rejects
+    * MoR writes at table/__init__.py:726). */
+  def deletePositional(filter: String): Unit = {
+    val expr = ExprParser.parse(filter)
+    val bound = Exprs.rewriteNot(Binder.bind(schema, expr))
+    val tasks = new IceScan(this).filter(expr).planFiles()
+    if (tasks.isEmpty) return
+    val paths = tasks.map(_.file.filePath)
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val matches = spark.read.schema(schema.toSpark).parquet(paths: _*)
+      .select(col("_metadata.file_path").as("file_path"), col("_metadata.row_index").as("pos"))
+      .where(ToColumn.compile(bound))
+      .orderBy(col("file_path"), col("pos"))
+    val stage = s"$location/data/${UUID.randomUUID()}"
+    matches.coalesce(1).write.parquet(stage)
+    val written = WriteFiles.harvest(spark, stage, Schema(Seq(
+      NestedField(2147483546, "file_path", IString, required = true),
+      NestedField(2147483545, "pos", ILong, required = true))), PartitionSpec.Unpartitioned)
+      .map(_.copy(content = FileContent.PositionDeletes))
+    commitSnapshot("delete", added = written, removedPaths = Set.empty)
+  }
+
+  private def scanWithFilePath(): DataFrame = {
+    val tasks = new IceScan(this).planFiles()
+    require(tasks.forall(_.deletes.isEmpty),
+      "rewrite with outstanding position deletes not supported in one pass")
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+    if (tasks.isEmpty) {
+      val st = org.apache.spark.sql.types.StructType(
+        schema.toSpark.fields :+ org.apache.spark.sql.types.StructField("__file",
+          org.apache.spark.sql.types.StringType))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+    } else
+      spark.read.schema(schema.toSpark).parquet(tasks.map(_.file.filePath): _*)
+        .select(col("*"), col("_metadata.file_path").as("__file"))
+  }
+
+  private def readFilesFully(tasks: Seq[FileScanTask]): DataFrame = {
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+    spark.read.schema(schema.toSpark).parquet(tasks.map(_.file.filePath): _*)
+  }
+
+  // ---- snapshot production + commit --------------------------------------
+
+  /** Build and commit one snapshot: rewrite only manifests that reference
+    * removed files, keep the rest as-is, add a fresh manifest for added
+    * files (ref: update/snapshot.py _SnapshotProducer/_FastAppendFiles/
+    * _OverwriteFiles). Retries on optimistic-concurrency conflicts. */
+  def commitSnapshot(operation: String, added: Seq[DataFile], removedPaths: Set[String]): Unit = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      try {
+        commitOnce(operation, added, removedPaths)
+        return
+      } catch {
+        case _: CommitConflictException if attempts < 5 => refresh()
+      }
+    }
+  }
+
+  private def commitOnce(operation: String, added: Seq[DataFile],
+      removedPaths: Set[String]): Unit = {
+    val base = metadata
+    val version = catalog.currentVersion(name).getOrElse(0)
+    val snapId = base.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    val seq = base.lastSequenceNumber + 1
+    val now = System.currentTimeMillis()
+    val metaDir = s"${base.location}/metadata"
+
+    val existing: Seq[ManifestFile] = base.currentSnapshot
+      .map(s => ManifestIO.readManifestList(s.manifestList)).getOrElse(Nil)
+
+    var removedCount = 0L
+    val kept: Seq[ManifestFile] = existing.flatMap { mf =>
+      val sp = base.specById(mf.partitionSpecId)
+      val sch = base.schema
+      if (removedPaths.isEmpty) Some(mf)
+      else {
+        val entries = ManifestIO.readManifest(mf.manifestPath, sp, sch)
+          .filter(_.status != EntryStatus.Deleted)
+        val (dead, alive) = entries.partition(e => removedPaths.contains(e.dataFile.filePath))
+        if (dead.isEmpty) Some(mf)
+        else {
+          removedCount += dead.map(_.dataFile.recordCount).sum
+          if (alive.isEmpty) None
+          else {
+            val path = s"$metaDir/m-${UUID.randomUUID()}.avro"
+            val rewritten = alive.map(_.copy(status = EntryStatus.Existing))
+            val len = ManifestIO.writeManifest(path, rewritten, sp, sch)
+            Some(manifestFileFor(path, len, sp, sch, rewritten, snapId, seq, mf.content))
+          }
+        }
+      }
+    }
+
+    val newManifests: Seq[ManifestFile] = added.groupBy(_.content).toSeq.sortBy(_._1).map {
+      case (content, files) =>
+        val entries = files.map(f => ManifestEntry(EntryStatus.Added, snapId, seq, seq, f))
+        val path = s"$metaDir/m-${UUID.randomUUID()}.avro"
+        val len = ManifestIO.writeManifest(path, entries, base.spec, base.schema)
+        manifestFileFor(path, len, base.spec, base.schema, entries, snapId, seq,
+          if (content == FileContent.Data) 0 else 1)
+    }
+
+    val listPath = s"$metaDir/snap-$snapId-${UUID.randomUUID()}.avro"
+    ManifestIO.writeManifestList(listPath, newManifests ++ kept)
+
+    val addedRecords = added.filter(_.content == FileContent.Data).map(_.recordCount).sum
+    val totalRecords = (kept ++ newManifests)
+      .filter(_.content == 0).map(m => m.addedRowsCount + m.existingRowsCount).sum
+    val summary = Map(
+      "operation" -> operation,
+      "added-data-files" -> added.count(_.content == FileContent.Data).toString,
+      "added-delete-files" -> added.count(_.content != FileContent.Data).toString,
+      "added-records" -> addedRecords.toString,
+      "removed-files" -> removedPaths.size.toString,
+      "deleted-records" -> removedCount.toString,
+      "total-records" -> totalRecords.toString,
+      "total-data-files" ->
+        (kept ++ newManifests).filter(_.content == 0)
+          .map(m => m.addedFilesCount + m.existingFilesCount).sum.toString)
+
+    val snap = Snapshot(snapId, base.currentSnapshotId, seq, now, listPath, summary,
+      base.currentSchemaId)
+    val newMeta = base.copy(
+      lastSequenceNumber = seq,
+      lastUpdatedMs = now,
+      currentSnapshotId = Some(snapId),
+      snapshots = base.snapshots :+ snap,
+      snapshotLog = base.snapshotLog :+ SnapshotLogEntry(now, snapId),
+      metadataLog = base.metadataLog :+ MetadataLogEntry(now, s"$metaDir/v$version.metadata.json"),
+      refs = base.refs + ("main" -> SnapshotRef(snapId, "branch")))
+    catalog.commit(name, version, newMeta)
+    metadata = newMeta
+  }
+
+  private def manifestFileFor(path: String, len: Long, sp: PartitionSpec, sch: Schema,
+      entries: Seq[ManifestEntry], snapId: Long, seq: Long, content: Int): ManifestFile = {
+    val partTypes = sp.partitionType(sch)
+    val summaries = partTypes.zipWithIndex.map { case (nf, i) =>
+      val values = entries.map(_.dataFile.partition.lift(i).orNull)
+      val nonNull = values.filter(_ != null)
+      FieldSummary(
+        containsNull = values.exists(_ == null),
+        containsNan = None,
+        lowerBound = nonNull.reduceOption((a, b) =>
+          if (Literals.compare(nf.fieldType, a, b) <= 0) a else b)
+          .map(v => Conversions.toBytes(nf.fieldType, v)),
+        upperBound = nonNull.reduceOption((a, b) =>
+          if (Literals.compare(nf.fieldType, a, b) >= 0) a else b)
+          .map(v => Conversions.toBytes(nf.fieldType, v)))
+    }
+    val (addedE, existingE) = entries.partition(_.status == EntryStatus.Added)
+    ManifestFile(path, len, sp.specId, content, seq, seq, snapId,
+      addedFilesCount = addedE.size, existingFilesCount = existingE.size, deletedFilesCount = 0,
+      addedRowsCount = addedE.map(_.dataFile.recordCount).sum,
+      existingRowsCount = existingE.map(_.dataFile.recordCount).sum,
+      deletedRowsCount = 0, partitions = summaries)
+  }
+
+  // ---- metadata-only commits ----------------------------------------------
+
+  /** Commit a pure-metadata change (schema/spec/properties/refs). */
+  def commitMetadata(change: TableMetadata => TableMetadata): Unit = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      try {
+        val version = catalog.currentVersion(name).getOrElse(0)
+        val newMeta = change(metadata).copy(lastUpdatedMs = System.currentTimeMillis())
+        catalog.commit(name, version, newMeta)
+        metadata = newMeta
+        return
+      } catch {
+        case _: CommitConflictException if attempts < 5 => refresh()
+      }
+    }
+  }
+}

@@ -1,0 +1,163 @@
+package graft.table
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+import graft.core._
+import graft.meta._
+
+/** Metadata tables (ref: pyiceberg/table/inspect.py) — each is a DataFrame
+  * built from a driver-side metadata walk; `partitions` is a real
+  * groupBy over the entries (ref inspect.py:329's accumulation loop
+  * becomes a Spark aggregation).
+  */
+final class Inspect(table: IceTable) {
+  private def spark = table.spark
+  private def m = table.metadata
+
+  private def df(rows: Seq[Row], schema: StructType): DataFrame =
+    spark.createDataFrame(rows.asJava, schema)
+
+  /** ref: inspect.py:68 */
+  def snapshots(): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("committed_at", TimestampType),
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("parent_id", LongType),
+      StructField("operation", StringType),
+      StructField("manifest_list", StringType),
+      StructField("summary", MapType(StringType, StringType))))
+    df(m.snapshots.map(s => Row(
+      java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(s.timestampMs)),
+      s.snapshotId, s.parentSnapshotId.map(Long.box).orNull, s.operation,
+      s.manifestList, s.summary)), schema)
+  }
+
+  /** ref: inspect.py:233 */
+  def refs(): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("type", StringType),
+      StructField("snapshot_id", LongType)))
+    df(m.refs.toSeq.sortBy(_._1).map { case (n, r) =>
+      Row(n, r.refType.toUpperCase, r.snapshotId) }, schema)
+  }
+
+  /** ref: inspect.py:519 — snapshot lineage with is_current_ancestor. */
+  def history(): DataFrame = {
+    val ancestors: Set[Long] = m.currentSnapshotId
+      .map(id => m.ancestorsOf(id).map(_.snapshotId).toSet).getOrElse(Set.empty)
+    val schema = StructType(Seq(
+      StructField("made_current_at", TimestampType),
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("parent_id", LongType),
+      StructField("is_current_ancestor", BooleanType, nullable = false)))
+    df(m.snapshotLog.map { e =>
+      val snap = m.snapshotById(e.snapshotId)
+      Row(java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(e.timestampMs)),
+        e.snapshotId, snap.flatMap(_.parentSnapshotId).map(Long.box).orNull,
+        ancestors.contains(e.snapshotId))
+    }, schema)
+  }
+
+  /** ref: inspect.py:483 */
+  def metadataLogEntries(): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("timestamp", TimestampType),
+      StructField("file", StringType)))
+    df(m.metadataLog.map(e => Row(
+      java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(e.timestampMs)),
+      e.metadataFile)), schema)
+  }
+
+  /** ref: inspect.py:480 manifests of the current snapshot. */
+  def manifests(): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("length", LongType, nullable = false),
+      StructField("partition_spec_id", IntegerType, nullable = false),
+      StructField("content", IntegerType, nullable = false),
+      StructField("added_snapshot_id", LongType, nullable = false),
+      StructField("added_data_files_count", IntegerType, nullable = false),
+      StructField("existing_data_files_count", IntegerType, nullable = false),
+      StructField("deleted_data_files_count", IntegerType, nullable = false),
+      StructField("added_rows_count", LongType, nullable = false),
+      StructField("existing_rows_count", LongType, nullable = false)))
+    val rows = m.currentSnapshot.toSeq
+      .flatMap(s => ManifestIO.readManifestList(s.manifestList))
+      .map(mf => Row(mf.manifestPath, mf.manifestLength, mf.partitionSpecId, mf.content,
+        mf.addedSnapshotId, mf.addedFilesCount, mf.existingFilesCount, mf.deletedFilesCount,
+        mf.addedRowsCount, mf.existingRowsCount))
+    df(rows, schema)
+  }
+
+  private def liveEntries(): Seq[(ManifestFile, ManifestEntry)] =
+    m.currentSnapshot.toSeq.flatMap { s =>
+      ManifestIO.readManifestList(s.manifestList).flatMap { mf =>
+        val sp = m.specById(mf.partitionSpecId)
+        ManifestIO.readManifest(mf.manifestPath, sp, m.schema)
+          .filter(_.status != EntryStatus.Deleted)
+          .map(mf -> _)
+      }
+    }
+
+  /** ref: inspect.py:682 files / :550 row builder (readable subset). */
+  def files(content: Option[Int] = None): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("content", IntegerType, nullable = false),
+      StructField("file_path", StringType),
+      StructField("file_format", StringType),
+      StructField("spec_id", IntegerType, nullable = false),
+      StructField("partition", StringType),
+      StructField("record_count", LongType, nullable = false),
+      StructField("file_size_in_bytes", LongType, nullable = false)))
+    val rows = liveEntries()
+      .filter { case (_, e) => content.forall(_ == e.dataFile.content) }
+      .map { case (mf, e) =>
+        val sp = m.specById(mf.partitionSpecId)
+        Row(e.dataFile.content, e.dataFile.filePath, e.dataFile.fileFormat, sp.specId,
+          sp.partitionToPath(e.dataFile.partition, m.schema),
+          e.dataFile.recordCount, e.dataFile.fileSizeInBytes)
+      }
+    df(rows, schema)
+  }
+
+  def dataFiles(): DataFrame = files(Some(FileContent.Data))
+  def deleteFiles(): DataFrame = files(Some(FileContent.PositionDeletes))
+
+  /** ref: inspect.py:106 entries (status + snapshot + file path). */
+  def entries(): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("status", IntegerType, nullable = false),
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("sequence_number", LongType, nullable = false),
+      StructField("file_path", StringType),
+      StructField("record_count", LongType, nullable = false)))
+    df(liveEntries().map { case (_, e) =>
+      Row(e.status, e.snapshotId, e.dataSequenceNumber, e.dataFile.filePath,
+        e.dataFile.recordCount) }, schema)
+  }
+
+  /** ref: inspect.py:263 partitions — record/file counts per partition as a
+    * Spark aggregation over the entries. */
+  def partitions(): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val schema = StructType(Seq(
+      StructField("partition", StringType),
+      StructField("spec_id", IntegerType, nullable = false),
+      StructField("record_count", LongType, nullable = false),
+      StructField("file_count", IntegerType, nullable = false)))
+    val rows = liveEntries()
+      .filter(_._2.dataFile.content == FileContent.Data)
+      .map { case (mf, e) =>
+        val sp = m.specById(mf.partitionSpecId)
+        Row(sp.partitionToPath(e.dataFile.partition, m.schema), sp.specId,
+          e.dataFile.recordCount, 1)
+      }
+    df(rows, schema)
+      .groupBy(col("partition"), col("spec_id"))
+      .agg(sum("record_count").as("record_count"), count(lit(1)).cast("int").as("file_count"))
+  }
+}

@@ -1,0 +1,264 @@
+package graft.table
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.meta._
+
+/** One unit of scan work: a data file, its applicable position deletes,
+  * and the per-file residual filter (ref: table/__init__.py:2057
+  * FileScanTask). */
+final case class FileScanTask(file: DataFile, deletes: Seq[DataFile], residual: BoundExpr)
+
+/** Snapshot scan: plan on the driver (manifest → partition → stats
+  * pruning), execute as a Spark DataFrame (ref: DataScan
+  * table/__init__.py:2227; ArrowScan io/pyarrow.py:1741 — replaced by
+  * Spark's vectorized parquet reader).
+  */
+final class IceScan(
+    val table: IceTable,
+    rowFilter: Expr = AlwaysTrue,
+    selected: Seq[String] = Seq("*"),
+    snapshotIdOpt: Option[Long] = None,
+    limitOpt: Option[Long] = None,
+    caseSensitive: Boolean = true) {
+
+  private def spark: SparkSession = table.spark
+  private def metadata = table.metadata
+
+  def filter(expr: String): IceScan = filter(ExprParser.parse(expr))
+  def filter(expr: Expr): IceScan =
+    new IceScan(table, if (rowFilter == AlwaysTrue) expr else And(rowFilter, expr),
+      selected, snapshotIdOpt, limitOpt, caseSensitive)
+  def select(cols: String*): IceScan =
+    new IceScan(table, rowFilter, cols, snapshotIdOpt, limitOpt, caseSensitive)
+  def useSnapshot(id: Long): IceScan =
+    new IceScan(table, rowFilter, selected, Some(id), limitOpt, caseSensitive)
+  def useRef(name: String): IceScan = {
+    val snap = metadata.snapshotByName(name).getOrElse(
+      throw new IllegalArgumentException(s"No ref $name"))
+    useSnapshot(snap.snapshotId)
+  }
+  def asOf(timestampMs: Long): IceScan = {
+    val snap = metadata.snapshotAsOf(timestampMs).getOrElse(
+      throw new IllegalArgumentException(s"No snapshot as of $timestampMs"))
+    useSnapshot(snap.snapshotId)
+  }
+  def limit(n: Long): IceScan =
+    new IceScan(table, rowFilter, selected, snapshotIdOpt, Some(n), caseSensitive)
+
+  def snapshot: Option[Snapshot] =
+    snapshotIdOpt.map(id => metadata.snapshotById(id).getOrElse(
+      throw new IllegalArgumentException(s"No snapshot $id"))).orElse(metadata.currentSnapshot)
+
+  /** Schema as of the scanned snapshot, pruned to the selection
+    * (ref: projection() table/__init__.py:2020). Explicit time travel reads
+    * with the snapshot's schema; a current-snapshot scan always uses the
+    * table's current schema (so schema evolution is visible without a new
+    * data commit). */
+  private def scanSchema: Schema =
+    if (snapshotIdOpt.isDefined)
+      snapshot.map(s => metadata.schemaById(s.schemaId)).getOrElse(metadata.schema)
+    else metadata.schema
+
+  def projection: Schema = scanSchema.select(selected, caseSensitive)
+
+  private def boundFilter(schema: Schema): BoundExpr =
+    Exprs.rewriteNot(Binder.bind(schema, rowFilter, caseSensitive))
+
+  // ---- planning (driver-side; ref ManifestGroupPlanner :2557) ------------
+
+  def planFiles(): Seq[FileScanTask] = {
+    val snap = snapshot.getOrElse(return Nil)
+    val schema = scanSchema
+    val bound = boundFilter(schema)
+    if (bound == BFalse) return Nil
+
+    val manifests = ManifestIO.readManifestList(snap.manifestList)
+
+    // per-spec projected partition predicate, cached
+    val projBySpec = scala.collection.mutable.Map[Int, BoundExpr]()
+    def projected(specId: Int): BoundExpr = projBySpec.getOrElseUpdate(specId,
+      Evaluators.inclusiveProjection(schema, metadata.specById(specId), bound))
+
+    def summariesTyped(mf: ManifestFile): ManifestFile = {
+      val spec = metadata.specById(mf.partitionSpecId)
+      val types = spec.partitionType(schema).map(_.fieldType)
+      mf.copy(partitions = mf.partitions.zip(types).map { case (s, t) =>
+        s.copy(
+          lowerBound = s.lowerBound.map(b => Conversions.fromBytes(t, b.asInstanceOf[Array[Byte]])),
+          upperBound = s.upperBound.map(b => Conversions.fromBytes(t, b.asInstanceOf[Array[Byte]])))
+      })
+    }
+
+    val (dataManifests, deleteManifests) = manifests.partition(_.content == 0)
+
+    // manifest pruning on partition summaries (ref visitors.py:555)
+    val keptData = dataManifests.filter { mf =>
+      val spec = metadata.specById(mf.partitionSpecId)
+      Evaluators.manifestMightMatch(spec, projected(mf.partitionSpecId), summariesTyped(mf))
+    }
+
+    // delete index (ref table/delete_file_index.py)
+    final case class DeleteRef(specId: Int, partition: Seq[Any], seq: Long, file: DataFile)
+    val deleteRefs: Seq[DeleteRef] = deleteManifests.flatMap { mf =>
+      val spec = metadata.specById(mf.partitionSpecId)
+      ManifestIO.readManifest(mf.manifestPath, spec, schema)
+        .filter(_.status != EntryStatus.Deleted)
+        .map(e => DeleteRef(mf.partitionSpecId, e.dataFile.partition, e.dataSequenceNumber, e.dataFile))
+    }
+
+    def applicableDeletes(specId: Int, partition: Seq[Any], dataSeq: Long): Seq[DataFile] =
+      deleteRefs.filter { d =>
+        d.seq >= dataSeq && (
+          metadata.specById(d.specId).isUnpartitioned ||
+          (d.specId == specId && partitionEquals(d.partition, partition)))
+      }.map(_.file)
+
+    keptData.flatMap { mf =>
+      val spec = metadata.specById(mf.partitionSpecId)
+      val proj = projected(mf.partitionSpecId)
+      ManifestIO.readManifest(mf.manifestPath, spec, schema)
+        .filter(_.status != EntryStatus.Deleted)
+        .filter { e =>
+          Evaluators.partitionMatches(spec, proj, e.dataFile.partition) &&
+            Evaluators.rowsMightMatch(bound, e.dataFile)
+        }
+        .map { e =>
+          val res = Evaluators.residual(schema, spec, bound, e.dataFile.partition)
+          FileScanTask(e.dataFile, applicableDeletes(spec.specId, e.dataFile.partition,
+            e.dataSequenceNumber), res)
+        }
+    }
+  }
+
+  private def partitionEquals(a: Seq[Any], b: Seq[Any]): Boolean =
+    a.length == b.length && a.zip(b).forall {
+      case (null, null) => true
+      case (null, _) | (_, null) => false
+      case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+      case (x, y) => x == y
+    }
+
+  // ---- execution (ref ArrowScan.to_table io/pyarrow.py:1792) -------------
+
+  def toDF: DataFrame = {
+    val tasks = planFiles()
+    toDFForTasks(tasks, applyResidualOnlyWhereNeeded = true)
+  }
+
+  private[table] def toDFForTasks(tasks: Seq[FileScanTask],
+      applyResidualOnlyWhereNeeded: Boolean): DataFrame = {
+    val proj = projection
+    val projSpark = proj.toSpark
+    if (tasks.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], projSpark)
+
+    val snap = snapshot.get
+    val schema = scanSchema
+    val bound = boundFilter(schema)
+
+    // id-based resolution: requested columns are matched to parquet fields
+    // by field-id (handles renames); ids absent from a file read as null
+    // (handles add_column over old files)
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+
+    // read ALL columns the filter or the projection needs, then project
+    val neededIds = Exprs.fieldIds(bound)
+    val readSchema = Schema(
+      schema.fields.filter(f => proj.byId.contains(f.id) || neededIds.contains(f.id)),
+      schema.schemaId)
+
+    // files written by this table carry parquet field-ids; externally
+    // registered files (add_files) resolve by NAME MAPPING instead
+    // (ref: io/pyarrow.py:1178 pyarrow_to_schema(…, name_mapping))
+    val dataRoot = s"${table.location}/data/"
+    def isExternal(p: String): Boolean =
+      !p.stripPrefix("file:").startsWith(dataRoot.stripPrefix("file:"))
+    val mapping = table.nameMapping
+
+    val (externalTasks, ownTasks) = tasks.partition(t => isExternal(t.file.filePath))
+    val (plainTasks, deleteTasks) = ownTasks.partition(_.deletes.isEmpty)
+
+    def readFiles(paths: Seq[String], withMeta: Boolean): DataFrame = {
+      val base = spark.read.schema(readSchema.toSpark).parquet(paths: _*)
+      if (withMeta)
+        base.select(col("*"), col("_metadata.file_path").as("__file"),
+          col("_metadata.row_index").as("__pos"))
+      else base
+    }
+
+    /** name-mapped read: request columns under their mapped (registration
+      * time) names with NO id metadata, then alias back to current names. */
+    def readExternal(taskSeq: Seq[FileScanTask]): DataFrame = {
+      val ext = org.apache.spark.sql.types.StructType(readSchema.fields.map { f =>
+        org.apache.spark.sql.types.StructField(
+          mapping.getOrElse(f.id, f.name), f.fieldType.toSpark, nullable = true)
+      })
+      spark.read.schema(ext).parquet(taskSeq.map(_.file.filePath): _*)
+        .select(readSchema.fields.map(f =>
+          col(mapping.getOrElse(f.id, f.name)).as(f.name)): _*)
+    }
+
+    val branches = Seq.newBuilder[DataFrame]
+    if (externalTasks.nonEmpty) {
+      require(externalTasks.forall(_.deletes.isEmpty),
+        "position deletes on externally-registered files are not supported")
+      branches += readExternal(externalTasks)
+    }
+    if (plainTasks.nonEmpty)
+      branches += readFiles(plainTasks.map(_.file.filePath), withMeta = false)
+    if (deleteTasks.nonEmpty) {
+      val dataPaths = deleteTasks.map(_.file.filePath)
+      val deletePaths = deleteTasks.flatMap(_.deletes.map(_.filePath)).distinct
+      // position-delete files have columns (file_path, pos) — spec §Position
+      // Delete Files (ref io/pyarrow.py:1130 _read_deletes)
+      val deletes = spark.read.parquet(deletePaths: _*)
+        .select(col("file_path").as("__dfile"), col("pos").as("__dpos"))
+      val withIdx = readFiles(dataPaths, withMeta = true)
+      // deletes are small relative to data: broadcast the anti-join so the
+      // data side never shuffles
+      branches += withIdx
+        .join(broadcast(deletes),
+          withIdx("__file") === deletes("__dfile") && withIdx("__pos") === deletes("__dpos"),
+          "left_anti")
+        .drop("__file", "__pos")
+    }
+    var df = branches.result().reduce(_ unionByName _)
+
+    // row-level filter: the full bound filter is correct for every file;
+    // skip it only when every task's residual is already TRUE
+    val allTrue = tasks.forall(_.residual == BTrue)
+    if (bound != BTrue && !(applyResidualOnlyWhereNeeded && allTrue))
+      df = df.filter(ToColumn.compile(bound))
+
+    // id-based projection: select + fill defaults for columns missing
+    // entirely (initial-default semantics, ref ArrowProjectionVisitor)
+    val outCols = proj.fields.map { f =>
+      val c = col(f.name)
+      f.initialDefault match {
+        case Some(d) => coalesce(c, Literals.toSparkLit(
+          Literals.coerce(d, f.fieldType) match { case CVal(v) => v; case _ => null },
+          f.fieldType)).as(f.name)
+        case None => c.as(f.name)
+      }
+    }
+    df = df.select(outCols: _*)
+    limitOpt.foreach(n => df = df.limit(n.toInt))
+    df
+  }
+
+  /** Metadata-only count when possible (ref: table/__init__.py:2341):
+    * files whose residual is ALWAYS_TRUE and that carry no deletes
+    * contribute record_count without being read. */
+  def count(): Long = {
+    val tasks = planFiles()
+    val (metaOnly, mustRead) = tasks.partition(t => t.residual == BTrue && t.deletes.isEmpty)
+    val metaCount = metaOnly.map(_.file.recordCount).sum
+    val readCount = if (mustRead.isEmpty) 0L
+      else toDFForTasks(mustRead, applyResidualOnlyWhereNeeded = false).count()
+    metaCount + readCount
+  }
+}

@@ -1,0 +1,243 @@
+package graft.table
+
+import java.net.URLDecoder
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.meta._
+
+/** Data-file writing + statistics harvesting
+  * (ref: pyiceberg/io/pyarrow.py:2718 write_file, :2526
+  * data_file_statistics_from_parquet_metadata, :3053 _determine_partitions).
+  *
+  * Fan-out is a Spark shuffle: partition-transform columns are computed as
+  * synthetic columns and the write uses `partitionBy`, so one task writes
+  * each partition's files — the Arrow group-by loop of the reference
+  * becomes a distributed repartition. Identity source columns stay in the
+  * data files (Iceberg layout: partition values are metadata, data files
+  * carry all columns); the synthetic columns only shape the directory
+  * layout and are reparsed into partition tuples.
+  *
+  * Stats come from parquet footers, read as a distributed Spark job over
+  * the written files (at 100 TB a driver-side footer loop would be the
+  * bottleneck).
+  */
+object WriteFiles {
+
+  val SyntheticPrefix = "_p_"
+
+  /** Align an input DataFrame to the table schema: select columns by name
+    * (case-sensitive), cast to the declared types (ref:
+    * _check_schema_compatible io/pyarrow.py:2846 — here we cast instead of
+    * reject when safely promotable). */
+  def align(df: DataFrame, schema: Schema): DataFrame = {
+    val cols = schema.fields.map { f =>
+      val src = df.schema.fields.find(_.name == f.name).getOrElse(
+        throw new IllegalArgumentException(
+          s"Input is missing table column '${f.name}'; input has ${df.schema.fieldNames.mkString(", ")}"))
+      val target = f.fieldType.toSpark
+      val c = if (src.dataType == target) col(f.name) else col(f.name).cast(target)
+      c.as(f.name, SchemaConv.toSparkField(f).metadata)
+    }
+    df.select(cols: _*)
+  }
+
+  /** Write `df` as data files for the table, returning DataFiles with
+    * stats. Files land under `<location>/data/<commitUuid>/` so a commit's
+    * files are exactly one directory listing (no global listing). */
+  def write(spark: SparkSession, location: String, schema: Schema, spec: PartitionSpec,
+      df: DataFrame, commitUuid: String): Seq[DataFile] = {
+    val stageDir = s"$location/data/$commitUuid"
+    val aligned = align(df, schema)
+
+    // parquet physical settings the stats harvest + id-resolution rely on
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+
+    if (spec.isUnpartitioned) {
+      aligned.write.mode("overwrite").parquet(stageDir)
+    } else {
+      val partCols = spec.fields.map { pf =>
+        val src = schema.byId(pf.sourceId)
+        pf.transform.column(col(src.name), src.fieldType).as(SyntheticPrefix + pf.name)
+      }
+      val withParts = aligned.select((aligned.columns.map(col) ++ partCols): _*)
+      // co-locate each partition in one task: fewer, larger files; AQE
+      // handles skew/coalescing at scale
+      withParts
+        .repartition(spec.fields.map(pf => col(SyntheticPrefix + pf.name)): _*)
+        .write.mode("overwrite")
+        .partitionBy(spec.fields.map(pf => SyntheticPrefix + pf.name): _*)
+        .parquet(stageDir)
+    }
+    harvest(spark, stageDir, schema, spec)
+  }
+
+  /** List written files and collect footer stats as a distributed job. */
+  def harvest(spark: SparkSession, stageDir: String, schema: Schema,
+      spec: PartitionSpec): Seq[DataFile] = {
+    val fs = new Path(stageDir).getFileSystem(new Configuration())
+    val files = {
+      val it = fs.listFiles(new Path(stageDir), true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) b += f.getPath.toString
+      }
+      b.result()
+    }
+    if (files.isEmpty) return Nil
+
+    // (name, id, type-repr) for top-level columns — serializable for tasks
+    val colInfo: Seq[(String, Int, String)] =
+      schema.fields.map(f => (f.name, f.id, f.fieldType.repr))
+    val stage = stageDir
+    val partFieldNames = spec.fields.map(pf => SyntheticPrefix + pf.name)
+    val partTypes = spec.partitionType(schema).map(_.fieldType.repr)
+
+    val slices = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
+    spark.sparkContext.parallelize(files, slices).map { path =>
+      StatsHarvester.fileToDataFile(path, stage, colInfo, partFieldNames, partTypes)
+    }.collect().toSeq
+  }
+}
+
+/** Executor-side footer reading (kept free of Spark session state). */
+object StatsHarvester extends Serializable {
+
+  private def parseType(repr: String): IceType = repr match {
+    case "boolean" => IBoolean
+    case "int" => IInt
+    case "long" => ILong
+    case "float" => IFloat
+    case "double" => IDouble
+    case "date" => IDate
+    case "time" => ITime
+    case "timestamp" => ITimestamp
+    case "timestamptz" => ITimestamptz
+    case "string" => IString
+    case "uuid" => IUUID
+    case "binary" => IBinary
+    case other =>
+      val dec = """decimal\((\d+), (\d+)\)""".r
+      val fix = """fixed\[(\d+)\]""".r
+      other match {
+        case dec(p, s) => IDecimal(p.toInt, s.toInt)
+        case fix(l) => IFixed(l.toInt)
+        case _ => IString
+      }
+  }
+
+  def fileToDataFile(path: String, stageDir: String, colInfo: Seq[(String, Int, String)],
+      partFieldNames: Seq[String], partTypes: Seq[String]): DataFile = {
+    val conf = new Configuration()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val size = fs.getFileStatus(p).getLen
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    try {
+      val footer = reader.getFooter
+      val blocks = footer.getBlocks
+      var rows = 0L
+      val valueCounts = scala.collection.mutable.Map[Int, Long]()
+      val nullCounts = scala.collection.mutable.Map[Int, Long]()
+      val colSizes = scala.collection.mutable.Map[Int, Long]()
+      val lowers = scala.collection.mutable.Map[Int, Any]()
+      val uppers = scala.collection.mutable.Map[Int, Any]()
+      val byName = colInfo.map(c => c._1 -> c).toMap
+      val it = blocks.iterator()
+      while (it.hasNext) {
+        val block = it.next()
+        rows += block.getRowCount
+        val cit = block.getColumns.iterator()
+        while (cit.hasNext) {
+          val cc = cit.next()
+          val topName = cc.getPath.toArray.headOption.getOrElse("")
+          byName.get(topName).foreach { case (_, id, trepr) =>
+            val t = parseType(trepr)
+            valueCounts(id) = valueCounts.getOrElse(id, 0L) + cc.getValueCount
+            colSizes(id) = colSizes.getOrElse(id, 0L) + cc.getTotalSize
+            val st = cc.getStatistics
+            if (st != null && !st.isEmpty) {
+              nullCounts(id) = nullCounts.getOrElse(id, 0L) + st.getNumNulls
+              if (st.hasNonNullValue) {
+                val mn = decodeStat(st.genericGetMin, cc.getPrimitiveType.getPrimitiveTypeName, t)
+                val mx = decodeStat(st.genericGetMax, cc.getPrimitiveType.getPrimitiveTypeName, t)
+                (mn, mx) match {
+                  case (Some(a), Some(b)) =>
+                    lowers(id) = lowers.get(id).map(cur =>
+                      if (Literals.compare(t, a, cur) < 0) a else cur).getOrElse(a)
+                    uppers(id) = uppers.get(id).map(cur =>
+                      if (Literals.compare(t, b, cur) > 0) b else cur).getOrElse(b)
+                  case _ =>
+                }
+              }
+            }
+          }
+        }
+      }
+      val partition = parsePartition(path, stageDir, partFieldNames, partTypes)
+      DataFile(
+        content = FileContent.Data,
+        filePath = path,
+        fileFormat = "PARQUET",
+        partition = partition,
+        recordCount = rows,
+        fileSizeInBytes = size,
+        valueCounts = valueCounts.toMap,
+        nullValueCounts = nullCounts.toMap,
+        lowerBounds = lowers.toMap,
+        upperBounds = uppers.toMap,
+        columnSizes = colSizes.toMap)
+    } finally reader.close()
+  }
+
+  /** Decode a parquet footer min/max into the Iceberg internal value. */
+  private def decodeStat(v: Any, prim: PrimitiveTypeName, t: IceType): Option[Any] =
+    (v, t) match {
+      case (null, _) => None
+      case (i: Integer, IInt | IDate) => Some(i.intValue())
+      case (i: Integer, ILong) => Some(i.longValue())
+      case (l: java.lang.Long, ILong | ITimestamp | ITimestamptz | ITime) => Some(l.longValue())
+      case (l: java.lang.Long, IInt) => Some(l.intValue())
+      case (f: java.lang.Float, IFloat) => Some(f.floatValue())
+      case (d: java.lang.Double, IDouble) => Some(d.doubleValue())
+      case (b: java.lang.Boolean, IBoolean) => Some(b.booleanValue())
+      case (bin: Binary, IString | IUUID) => Some(bin.toStringUsingUTF8)
+      case (bin: Binary, IBinary | IFixed(_)) => Some(bin.getBytes)
+      case (bin: Binary, IDecimal(_, s)) =>
+        Some(new java.math.BigDecimal(new java.math.BigInteger(bin.getBytes), s))
+      case (i: Integer, IDecimal(_, s)) =>
+        Some(java.math.BigDecimal.valueOf(i.longValue(), s))
+      case (l: java.lang.Long, IDecimal(_, s)) =>
+        Some(java.math.BigDecimal.valueOf(l.longValue(), s))
+      case _ => None
+    }
+
+  /** `.../_p_a=v1/_p_b=v2/file.parquet` → partition tuple in internal repr. */
+  def parsePartition(path: String, stageDir: String, partFieldNames: Seq[String],
+      partTypes: Seq[String]): Seq[Any] = {
+    if (partFieldNames.isEmpty) return Nil
+    val rel = path.stripPrefix("file:").stripPrefix(stageDir.stripPrefix("file:")).stripPrefix("/")
+    val kvs: Map[String, String] = rel.split("/").iterator
+      .filter(_.contains("=")).map { seg =>
+        val i = seg.indexOf('=')
+        URLDecoder.decode(seg.substring(0, i), "UTF-8") ->
+          URLDecoder.decode(seg.substring(i + 1), "UTF-8")
+      }.toMap
+    partFieldNames.zip(partTypes).map { case (n, trepr) =>
+      kvs.get(n) match {
+        case Some(s) => Conversions.fromPartitionString(parseType(trepr), s)
+        case None => null
+      }
+    }
+  }
+}

@@ -1,0 +1,192 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+
+/** Golden vectors from the Iceberg spec (Appendix B: 32-bit hash
+  * requirements) and the reference's test_transforms.py. */
+class TransformsSpec extends AnyFunSuite {
+
+  test("bucket hash golden vectors (Iceberg spec Appendix B)") {
+    assert(Transforms.hashLong(34L) === 2017239379)
+    assert(Transforms.hashString("iceberg") === 1210000089)
+    // date 2017-11-16 = 17486 days, hashed as long
+    assert(Transforms.hashLong(17486L) === -653330422)
+    // timestamp 2017-11-16T22:31:08 = 1510871468000000 micros
+    assert(Transforms.hashLong(1510871468000000L) === -2047944441)
+    // decimal 14.20 unscaled 1420
+    assert(Transforms.hashDecimal(java.math.BigInteger.valueOf(1420)) === -500754589)
+  }
+
+  test("bucket transform applies mod after hash") {
+    val b = BucketTransform(16)
+    assert(b.apply(34, IInt) === (2017239379 & Int.MaxValue) % 16)
+    assert(b.apply("iceberg", IString) === (1210000089 & Int.MaxValue) % 16)
+    assert(b.apply(null, IInt) === null)
+  }
+
+  test("truncate") {
+    val t = TruncateTransform(10)
+    assert(t.apply(1, IInt) === 0)
+    assert(t.apply(-1, IInt) === -10)
+    assert(t.apply(99L, ILong) === 90L)
+    assert(TruncateTransform(3).apply("iceberg", IString) === "ice")
+    assert(TruncateTransform(3).apply("ab", IString) === "ab")
+    // decimal truncate 10.65 W=50 -> 10.50 (ref test_transforms)
+    assert(TruncateTransform(50).apply(new java.math.BigDecimal("10.65"),
+      IDecimal(9, 2)) === new java.math.BigDecimal("10.50"))
+  }
+
+  test("time transforms epoch ordinals") {
+    // 2017-12-01 10:30:00 = 1512124200000000 micros
+    val m = 1512124200000000L
+    assert(YearTransform.apply(m, ITimestamp) === 47)
+    assert(MonthTransform.apply(m, ITimestamp) === 575)
+    assert(DayTransform.apply(m, ITimestamp) === 17501)
+    assert(HourTransform.apply(m, ITimestamp) === 420034)
+    // pre-epoch: 1969-12-31 23:59:59 floors to -1
+    val neg = -1000000L
+    assert(DayTransform.apply(neg, ITimestamp) === -1)
+    assert(YearTransform.apply(neg, ITimestamp) === -1)
+    // human strings
+    assert(MonthTransform.toHumanString(575, ITimestamp) === "2017-12")
+    assert(DayTransform.toHumanString(17501, ITimestamp) === "2017-12-01")
+  }
+
+  test("transform parse round-trip") {
+    for (s <- Seq("identity", "bucket[16]", "truncate[4]", "year", "month", "day", "hour", "void"))
+      assert(Transform.parse(s).name === s)
+  }
+}
+
+class ConversionsSpec extends AnyFunSuite {
+  test("single-value binary round-trip") {
+    val cases: Seq[(IceType, Any)] = Seq(
+      (IBoolean, true), (IInt, 42), (ILong, 42L), (IFloat, 1.5f), (IDouble, 2.5),
+      (IDate, 19000), (ITimestamp, 1510871468000000L), (IString, "héllo"),
+      (IDecimal(9, 2), new java.math.BigDecimal("14.20")))
+    cases.foreach { case (t, v) =>
+      assert(Conversions.fromBytes(t, Conversions.toBytes(t, v)) === v, s"type $t")
+    }
+  }
+  test("int is little-endian 4 bytes") {
+    assert(Conversions.toBytes(IInt, 1).toSeq === Seq[Byte](1, 0, 0, 0))
+  }
+}
+
+class ExprSpec extends AnyFunSuite {
+  val schema = Schema(Seq(
+    NestedField(1, "id", ILong, required = true),
+    NestedField(2, "name", IString),
+    NestedField(3, "ts", ITimestamp),
+    NestedField(4, "price", IDouble),
+    NestedField(5, "day", IDate)))
+
+  test("parser handles the reference grammar") {
+    assert(ExprParser.parse("id > 5") === Gt("id", 5L))
+    assert(ExprParser.parse("5 < id") === Gt("id", 5L))
+    assert(ExprParser.parse("name = 'x' and id <= 3") === And(Eq("name", "x"), LtEq("id", 3L)))
+    assert(ExprParser.parse("id in (1, 2, 3)") === In("id", Seq(1L, 2L, 3L)))
+    assert(ExprParser.parse("id NOT IN (1)") === NotIn("id", Seq(1L)))
+    assert(ExprParser.parse("name IS NULL") === IsNull("name"))
+    assert(ExprParser.parse("price is not nan") === NotNaN("price"))
+    assert(ExprParser.parse("name LIKE 'abc%'") === StartsWith("name", "abc"))
+    assert(ExprParser.parse("id BETWEEN 2 AND 7") === And(GtEq("id", 2L), LtEq("id", 7L)))
+    assert(ExprParser.parse("not (id = 1 or id = 2)") === Not(Or(Eq("id", 1L), Eq("id", 2L))))
+    intercept[IllegalArgumentException](ExprParser.parse("name LIKE 'a%b%'"))
+  }
+
+  test("bind coerces literals to internal repr") {
+    val b = Binder.bind(schema, ExprParser.parse("ts >= '2024-01-02T00:00:00'"))
+    assert(b === BGtEq(schema.byId(3), "ts", 1704153600000000L, None))
+    val d = Binder.bind(schema, ExprParser.parse("day = '2024-01-02'"))
+    assert(d === BEq(schema.byId(5), "day", 19724, None))
+  }
+
+  test("bind folds degenerate cases") {
+    // IsNull on required field
+    assert(Binder.bind(schema, IsNull("id")) === BFalse)
+    assert(Binder.bind(schema, NotNull("id")) === BTrue)
+    // NaN on non-floating
+    assert(Binder.bind(schema, IsNaN("id")) === BFalse)
+    // NOT pushed down at bind time
+    assert(Binder.bind(schema, Not(Eq("id", 1L))) === BNotEq(schema.byId(1), "id", 1L, None))
+    // int overflow sentinels on a hypothetical int field
+    val s2 = Schema(Seq(NestedField(1, "i", IInt)))
+    assert(Binder.bind(s2, Lt("i", 5000000000L)) === BTrue)
+    assert(Binder.bind(s2, Gt("i", 5000000000L)) === BFalse)
+  }
+
+  test("evaluator over records") {
+    val e = Binder.bind(schema, ExprParser.parse("id > 5 and name like 'ab%'"))
+    assert(Evaluator.eval(e, Map(1 -> 6L, 2 -> "abc")))
+    assert(!Evaluator.eval(e, Map(1 -> 6L, 2 -> "xbc")))
+    assert(!Evaluator.eval(e, Map(1 -> 4L, 2 -> "abc")))
+    assert(!Evaluator.eval(e, Map(1 -> 6L, 2 -> null)))
+  }
+}
+
+class MetricsSpec extends AnyFunSuite {
+  import graft.meta._
+
+  val schema = Schema(Seq(
+    NestedField(1, "id", ILong, required = true),
+    NestedField(2, "cat", IString)))
+
+  def file(lo: Long, hi: Long, nulls: Long = 0, rows: Long = 100): DataFile =
+    DataFile(0, "f", "PARQUET", Nil, rows, 1000,
+      valueCounts = Map(1 -> rows, 2 -> rows),
+      nullValueCounts = Map(1 -> 0L, 2 -> nulls),
+      lowerBounds = Map(1 -> lo), upperBounds = Map(1 -> hi))
+
+  test("inclusive metrics pruning") {
+    val b = Binder.bind(schema, ExprParser.parse("id > 50"))
+    assert(Evaluators.rowsMightMatch(b, file(0, 100)))
+    assert(!Evaluators.rowsMightMatch(b, file(0, 50)))
+    assert(Evaluators.rowsMightMatch(b, file(51, 60)))
+    val in = Binder.bind(schema, ExprParser.parse("id in (7, 200)"))
+    assert(Evaluators.rowsMightMatch(in, file(0, 100)))
+    assert(!Evaluators.rowsMightMatch(in, file(101, 150)))
+  }
+
+  test("strict metrics: whole-file delete decision") {
+    val b = Binder.bind(schema, ExprParser.parse("id > 50"))
+    assert(Evaluators.rowsMustMatch(b, file(51, 100)))
+    assert(!Evaluators.rowsMustMatch(b, file(50, 100)))
+    assert(!Evaluators.rowsMustMatch(b, file(0, 49)))
+  }
+
+  test("inclusive projection + partition pruning with day transform") {
+    val s = Schema(Seq(NestedField(1, "ts", ITimestamp)))
+    val spec = PartitionSpec(0, Seq(PartitionField(1, 1000, "ts_day", DayTransform)))
+    val b = Binder.bind(s, ExprParser.parse("ts >= '2024-01-02T00:00:00'"))
+    val proj = Evaluators.inclusiveProjection(s, spec, b)
+    // day(2024-01-02) = 19724
+    assert(Evaluators.partitionMatches(spec, proj, Seq(19724)))
+    assert(Evaluators.partitionMatches(spec, proj, Seq(19725)))
+    assert(!Evaluators.partitionMatches(spec, proj, Seq(19723)))
+  }
+
+  test("bucket projection prunes equality only") {
+    val s = Schema(Seq(NestedField(1, "id", ILong)))
+    val spec = PartitionSpec(0, Seq(PartitionField(1, 1000, "id_bucket", BucketTransform(8))))
+    val b = Binder.bind(s, ExprParser.parse("id = 34"))
+    val proj = Evaluators.inclusiveProjection(s, spec, b)
+    val expected = (Transforms.hashLong(34L) & Int.MaxValue) % 8
+    assert(Evaluators.partitionMatches(spec, proj, Seq(expected)))
+    assert(!Evaluators.partitionMatches(spec, proj, Seq((expected + 1) % 8)))
+    // ranges don't constrain buckets
+    val r = Binder.bind(s, ExprParser.parse("id > 34"))
+    assert(Evaluators.inclusiveProjection(s, spec, r) === BTrue)
+  }
+
+  test("residual folds identity partitions") {
+    val s = Schema(Seq(NestedField(1, "cat", IString), NestedField(2, "x", ILong)))
+    val spec = PartitionSpec(0, Seq(PartitionField(1, 1000, "cat", IdentityTransform)))
+    val b = Binder.bind(s, ExprParser.parse("cat = 'a' and x > 5"))
+    val res = Evaluators.residual(s, spec, b, Seq("a"))
+    assert(res === BGt(s.byId(2), "x", 5L, None))
+    assert(Evaluators.residual(s, spec, b, Seq("b")) === BFalse)
+  }
+}

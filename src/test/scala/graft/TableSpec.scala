@@ -1,0 +1,205 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.HadoopCatalog
+import graft.core._
+import graft.meta._
+
+class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val warehouse: String = Files.createTempDirectory("graft-wh").toString
+  lazy val catalog = new HadoopCatalog(warehouse, spark)
+
+  override def afterAll(): Unit = spark.stop()
+
+  def lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+  def orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+
+  test("create + append + full scan round-trips") {
+    val t = catalog.createTable("t_roundtrip", Schema.fromSpark(lineitem.schema))
+    t.append(lineitem)
+    assert(t.scan.toDF.count() === lineitem.count())
+    // metadata-only count
+    assert(t.scan.count() === lineitem.count())
+    // schema field ids assigned
+    assert(t.schema.fields.map(_.id) === (1 to 11))
+  }
+
+  test("filtered scan with DSL matches Spark filter") {
+    val t = catalog.loadTable("t_roundtrip")
+    val got = t.scan("l_quantity > 45 and l_returnflag = 'A'")
+      .select("l_orderkey", "l_quantity").toDF
+    val want = lineitem.filter(col("l_quantity") > 45 && col("l_returnflag") === "A")
+      .select("l_orderkey", "l_quantity")
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).count() === 0)
+  }
+
+  test("partitioned append prunes files by partition") {
+    val schema = Schema.fromSpark(orders.schema)
+    val spec = PartitionSpec.build(schema, 0, ("o_orderdate", MonthTransform, "o_month"))
+    val t = catalog.createTable("t_part", schema, spec)
+    t.append(orders)
+    val all = t.scan.planFiles()
+    val pruned = t.scan("o_orderdate >= '1997-06-01T00:00:00'").planFiles()
+    assert(pruned.size < all.size, s"expected pruning: ${pruned.size} vs ${all.size}")
+    val got = t.scan("o_orderdate >= '1997-06-01T00:00:00'").toDF.count()
+    val want = orders.filter(col("o_orderdate") >= "1997-06-01").count()
+    assert(got === want)
+    // full table round-trips
+    assert(t.scan.toDF.count() === orders.count())
+  }
+
+  test("bucket partitioning prunes equality") {
+    val schema = Schema.fromSpark(orders.schema)
+    val spec = PartitionSpec.build(schema, 0, ("o_orderkey", BucketTransform(8), "o_bucket"))
+    val t = catalog.createTable("t_bucket", schema, spec)
+    t.append(orders)
+    val all = t.scan.planFiles()
+    val pruned = t.scan("o_orderkey = 7").planFiles()
+    assert(all.size === 8)
+    assert(pruned.size === 1)
+    assert(t.scan("o_orderkey = 7").toDF.count() ===
+      orders.filter(col("o_orderkey") === 7).count())
+  }
+
+  test("copy-on-write delete: strict metadata drop + rewrite") {
+    val t = catalog.createTable("t_delete", Schema.fromSpark(orders.schema))
+    t.append(orders)
+    val before = t.scan.toDF.count()
+    t.delete("o_orderkey <= 1000")
+    val after = t.scan.toDF.count()
+    val want = orders.filter(!(col("o_orderkey") <= 1000)).count()
+    assert(after === want)
+    assert(after < before)
+    // snapshot history kept both
+    assert(t.metadata.snapshots.size === 2)
+  }
+
+  test("time travel + incremental scan") {
+    val t = catalog.createTable("t_tt", Schema.fromSpark(orders.schema))
+    val batch1 = orders.filter(col("o_orderkey") % 3 === 0)
+    val batch2 = orders.filter(col("o_orderkey") % 3 =!= 0)
+    t.append(batch1)
+    val snap1 = t.metadata.currentSnapshotId.get
+    t.append(batch2)
+    val snap2 = t.metadata.currentSnapshotId.get
+    assert(t.scan.useSnapshot(snap1).toDF.count() === batch1.count())
+    assert(t.scan.toDF.count() === orders.count())
+    assert(t.incrementalAppendScan(snap1, snap2).count() === batch2.count())
+    // tag + read by ref
+    t.manageSnapshots.createTag("v1", snap1)
+    assert(t.scan.useRef("v1").toDF.count() === batch1.count())
+  }
+
+  test("upsert updates changed rows and inserts new ones") {
+    val t = catalog.createTable("t_upsert", Schema.fromSpark(orders.schema))
+    t.append(orders.filter(col("o_orderkey") <= 12000))
+    val src = orders.filter(col("o_orderkey") > 9000)
+      .withColumn("o_orderstatus", lit("X"))
+    val (updated, inserted) = t.upsert(src, Seq("o_orderkey"))
+    val nOverlap = orders.filter(col("o_orderkey") > 9000 && col("o_orderkey") <= 12000).count()
+    val nNew = orders.filter(col("o_orderkey") > 12000).count()
+    assert(updated === nOverlap)
+    assert(inserted === nNew)
+    val result = t.scan.toDF
+    assert(result.count() === orders.count())
+    assert(result.filter(col("o_orderstatus") === "X").count() === nOverlap + nNew)
+  }
+
+  test("schema evolution: rename + add + promote reads old files") {
+    val t = catalog.createTable("t_evo", Schema.fromSpark(
+      orders.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")).schema))
+    t.append(orders.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
+    t.updateSchema
+      .renameColumn("o_orderstatus", "status")
+      .addColumn("note", IString)
+      .commit()
+    val df = t.scan.toDF
+    assert(df.columns.toSeq === Seq("o_orderkey", "status", "o_totalprice", "note"))
+    // renamed column reads old files by field-id
+    assert(df.filter(col("status").isNotNull).count() === orders.count())
+    assert(df.filter(col("note").isNull).count() === orders.count())
+    // filter on renamed column still binds
+    assert(t.scan("status = 'O'").toDF.count() ===
+      orders.filter(col("o_orderstatus") === "O").count())
+  }
+
+  test("dynamic partition overwrite replaces touched partitions only") {
+    val schema = Schema.fromSpark(orders.schema)
+    val spec = PartitionSpec.build(schema, 0, ("o_orderpriority", IdentityTransform, "prio"))
+    val t = catalog.createTable("t_dpo", schema, spec)
+    t.append(orders)
+    val replacement = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .withColumn("o_totalprice", lit(0.0))
+    t.dynamicPartitionOverwrite(replacement)
+    val result = t.scan.toDF
+    assert(result.count() === orders.count())
+    assert(result.filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") =!= 0.0).count() === 0)
+    assert(result.filter(col("o_orderpriority") =!= "1-URGENT" && col("o_totalprice") === 0.0).count() === 0)
+  }
+
+  test("position deletes apply on read (merge-on-read)") {
+    val t = catalog.createTable("t_mor", Schema.fromSpark(orders.schema))
+    t.append(orders)
+    t.deletePositional("o_orderkey <= 3000")
+    val want = orders.filter(col("o_orderkey") > 3000).count()
+    assert(t.scan.toDF.count() === want)
+    assert(t.scan.count() === want)
+  }
+
+  test("metadata tables") {
+    val t = catalog.loadTable("t_tt")
+    assert(t.inspect.snapshots().count() === 2)
+    assert(t.inspect.history().count() === 2)
+    assert(t.inspect.refs().filter(col("name") === "v1").count() === 1)
+    assert(t.inspect.manifests().count() >= 2)
+    val files = t.inspect.dataFiles()
+    assert(files.count() >= 2)
+    val parts = catalog.loadTable("t_part").inspect.partitions()
+    assert(parts.count() > 1)
+  }
+
+  test("expire snapshots protects refs and current") {
+    val t = catalog.loadTable("t_tt")
+    val expired = t.expireSnapshots(System.currentTimeMillis() + 1000)
+    // snap1 is tagged (v1) and an ancestor of current → nothing expires
+    assert(expired.isEmpty)
+    t.manageSnapshots.removeTag("v1")
+    // still ancestor-protected
+    assert(t.expireSnapshots(System.currentTimeMillis() + 1000).isEmpty)
+  }
+
+  test("add_files registers without rewrite") {
+    val t = catalog.createTable("t_addf", Schema.fromSpark(lineitem.schema))
+    t.addFiles(Seq("/root/testdata/sf0.001/lineitem.parquet"))
+    assert(t.scan.toDF.count() === lineitem.count())
+    assert(t.scan.count() === lineitem.count())
+    intercept[IllegalArgumentException] {
+      t.addFiles(Seq("/root/testdata/sf0.001/lineitem.parquet"))
+    }
+  }
+
+  test("metadata JSON round-trip") {
+    val t = catalog.loadTable("t_part")
+    val json = MetadataJson.toJson(t.metadata)
+    val back = MetadataJson.fromJson(json)
+    assert(back.schema.fields === t.metadata.schema.fields)
+    assert(back.spec === t.metadata.spec)
+    assert(back.snapshots === t.metadata.snapshots)
+    assert(back.refs === t.metadata.refs)
+  }
+}
