@@ -15,8 +15,10 @@ object SparkEntry {
     graft.queries.Relational.q3JoinTopK(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries ++ graft.queries.Iceberg.queries
+    graft.queries.Relational.queries ++ graft.queries.Iceberg.queries ++
+      graft.queries.DataOps.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracles ++ graft.queries.Iceberg.oracles
+    graft.queries.Relational.oracles ++ graft.queries.Iceberg.oracles ++
+      graft.queries.DataOps.oracles
 }

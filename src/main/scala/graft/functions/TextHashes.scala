@@ -1,0 +1,94 @@
+package graft.functions
+
+import com.google.common.hash.Hashing
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared tokenization + seeded murmur3 for the text-dedup operators. */
+object TextHashes {
+  def tokens(text: String): Array[String] =
+    text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+
+  /** Distinct n-word shingles (ref pattern: shingle→minhash→band). */
+  def shingles(text: String, n: Int): Array[String] = {
+    val ws = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (ws.length <= n) Array(ws.mkString(" "))
+    else ws.sliding(n).map(_.mkString(" ")).toArray.distinct
+  }
+
+  def hash(word: String, seed: Int): Int =
+    Hashing.murmur3_32_fixed(seed).hashUnencodedChars(word).asInt()
+
+  def minhashSignature(text: String, numPerms: Int): Array[Int] =
+    minhashOf(shingles(text, 3), numPerms)
+
+  def minhashOf(ws: Array[String], numPerms: Int): Array[Int] = {
+    val sig = Array.fill(numPerms)(Int.MaxValue)
+    var i = 0
+    while (i < ws.length) {
+      var p = 0
+      while (p < numPerms) {
+        val h = hash(ws(i), p)
+        if (h < sig(p)) sig(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash over shingle hashes (two murmur32 halves). */
+  def simhash64(text: String): Long = {
+    val ws = shingles(text, 3)
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < ws.length) {
+      val lo = hash(ws(i), 101)
+      val hi = hash(ws(i), 202)
+      val h = (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+}
+
+/** MinHash signature as a Catalyst expression: one pass over the document,
+  * k seeded murmur3 permutations (ref pattern: shingle→minhash→band;
+  * SURVEY.md §2.L). Returns array<int> of length `numPerms`. */
+case class MinHashSig(child: Expression, numPerms: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val sig = TextHashes.minhashSignature(v.asInstanceOf[UTF8String].toString, numPerms)
+    new GenericArrayData(sig.map(Int.box))
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+/** 64-bit SimHash as a Catalyst expression. */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    TextHashes.simhash64(v.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+object TextFunctions {
+  def minhash_sig(c: Column, numPerms: Int): Column =
+    GraftBridge.column(MinHashSig(GraftBridge.expression(c), numPerms))
+  def simhash64(c: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(c)))
+}

@@ -1,0 +1,380 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.functions.TextFunctions
+import graft.ops.{Multimodal, Vectors}
+
+/** Training-data pipeline operators over `documents` / `embeddings` /
+  * `events` (SURVEY.md §2.L): deduplication (exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard, embedding cosine), similarity search (brute force +
+  * IVF), text analysis (lang-id, quality, tokens, fingerprints),
+  * multimodal plumbing, and a Structured Streaming windowed aggregation.
+  *
+  * Oracle-design rule: every oracle-checked query computes with
+  * deterministic, engine-portable primitives (md5, regex token counts,
+  * list intersections, sequential-fold cosine) and ends in a total ORDER
+  * BY; probabilistic stages (LSH, IVF) are pre-filters whose output is
+  * exact-rescored, with recall driven to ~1 at the tested thresholds.
+  */
+object DataOps {
+  import Tables._
+
+  // ---------------------------------------------------------------- dedup
+
+  /** Exact dedup by content hash: input has injected duplicates; keep the
+    * smallest doc_id per md5(text). */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val dups = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000)
+    docs.unionByName(dups)
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+  }
+  val dedupExactSql =
+    """WITH input AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+      |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM input GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
+  private def wordSet(c: Column): Column =
+    array_distinct(filter(split(lower(trim(c)), "\\s+"), w => w =!= ""))
+
+  /** Distinct 3-word shingles — order-sensitive, so far more discriminative
+    * than word sets on repetitive corpora. */
+  private def shingleSet(c: Column): Column = {
+    val w = filter(split(lower(trim(c)), "\\s+"), x => x =!= "")
+    array_distinct(transform(sequence(lit(1), greatest(size(w) - 2, lit(1))),
+      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+  }
+
+  private val shingleSetSql =
+    """list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))""".stripMargin
+
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_distinct(concat(a, b))).cast("double")
+
+  /** Exact 3-gram (shingle) Jaccard near-dup pairs. */
+  def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), shingleSet(col("text")).as("ws"))
+    val a = docs.select(col("doc_id").as("a_id"), col("ws").as("a_ws"))
+    val b = docs.select(col("doc_id").as("b_id"), col("ws").as("b_ws"))
+    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("j", jaccard(col("a_ws"), col("b_ws")))
+      .filter(col("j") >= 0.5)
+      .select(col("a_id"), col("b_id"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+  val dedupJaccardSql =
+    s"""WITH tok AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, $shingleSetSql AS s FROM tok)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |      CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
+
+  /** MinHash+LSH near-dedup: 64 permutations over 3-word shingles, 1-row
+    * bands (recall 1-(1-j)^64 ≈ 1-5e-20 at j≥0.5), candidates
+    * exact-rescored by shingle Jaccard. Same answer as dedupJaccard, found
+    * the scalable way: signatures shuffle once on (band, hash) instead of
+    * an all-pairs cross join. */
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), shingleSet(col("text")).as("ws"),
+        TextFunctions.minhash_sig(col("text"), 64).as("sig"))
+    val bands = docs.select(col("doc_id"), posexplode(col("sig")).as(Seq("band", "h")))
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val ws = docs.select(col("doc_id"), col("ws"))
+    cands
+      .join(ws.select(col("doc_id").as("a_id"), col("ws").as("a_ws")), Seq("a_id"))
+      .join(ws.select(col("doc_id").as("b_id"), col("ws").as("b_ws")), Seq("b_id"))
+      .withColumn("j", jaccard(col("a_ws"), col("b_ws")))
+      .filter(col("j") >= 0.5)
+      .select(col("a_id"), col("b_id"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+  /** Oracle = the exact pairwise result (LSH is a recall-~1 pre-filter). */
+  val dedupMinhashLshSql = dedupJaccardSql
+
+  /** SimHash near-dup: 64-bit signatures, 4×16-bit band index (pigeonhole:
+    * hamming ≤ 3 ⟹ some band equal), exact hamming verify via bit_count.
+    * No SQL-portable oracle (custom bit hashing) → rows-only check. */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.simhash64(col("text")).as("sh"))
+    val banded = docs.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"), shiftright(col("sh"), i * 16)
+          .bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+    val pairs = banded.as("x").join(banded.as("y"),
+        col("x.bk.band") === col("y.bk.band") && col("x.bk.key") === col("y.bk.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        col("x.sh").as("a_sh"), col("y.sh").as("b_sh"))
+      .distinct()
+    pairs
+      .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))))
+      .filter(col("hamming") <= 3)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Embedding-cosine near-dup pairs (exact, blocked cross join). */
+  def embedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("cos", Vectors.cosine(col("a_v"), col("b_v")))
+      .filter(col("cos") >= 0.4)
+      .select(col("a_id"), col("b_id"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+  val embedNearDupSql =
+    """SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+      |ORDER BY a_id, b_id""".stripMargin
+
+  // ------------------------------------------------------------ similarity
+
+  /** Brute-force cosine top-k against one query vector (the scale baseline:
+    * one pass, map-side top-k via sort+limit). Emits ids only — scores stay
+    | out of the hash so float noise can't flip equality. */
+  def annCosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_v"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("cos", Vectors.cosine(col("embedding"), col("q_v")))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"))
+  }
+  val annCosineTopKSql =
+    """SELECT b.vec_id
+      |FROM embeddings q JOIN embeddings b ON b.vec_id <> 0
+      |WHERE q.vec_id = 0
+      |ORDER BY list_cosine_similarity(q.embedding, b.embedding) DESC, b.vec_id
+      |LIMIT 10""".stripMargin
+
+  /** IVF-style ANN: assign vectors to fixed coarse centroids (embeddings
+    * 0..15 — deterministic, no training step), probe the query's 4 nearest
+    * cells, exact-rescore candidates. The scale path: the bucketed join
+    * touches ~4/16 of the data instead of all of it. Probabilistic recall
+    * → rows-only check; recall vs brute force is asserted in AnnSpec. */
+  def annIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_v"))
+    // cell assignment = argmax cosine over the 16 centroids
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("cs", Vectors.cosine(col("embedding"), col("cent_v")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(col("cs").desc, col("cent_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_v"))
+    val probeCells = cents.crossJoin(broadcast(q))
+      .withColumn("cs", Vectors.cosine(col("cent_v"), col("q_v")))
+      .orderBy(col("cs").desc, col("cent_id")).limit(4)
+      .select(col("cent_id"))
+    assigned.join(broadcast(probeCells), Seq("cent_id"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("cos", Vectors.cosine(col("embedding"), col("q_v")))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"))
+  }
+
+  // ------------------------------------------------------------- text ops
+
+  def textTokens(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(filter(split(trim(col("text")), "\\s+"), w => w =!= "")).as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("bpe_ish_tokens"))
+      .orderBy(col("doc_id"))
+  }
+  val textTokensSql =
+    """SELECT doc_id,
+      |  len(list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_ish_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: length/word/punctuation ratios + a keep/drop flag
+    * (all integer-derived doubles — bit-identical across engines). */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val nChars = length(col("text")).cast("double")
+    val nWords = size(filter(split(trim(col("text")), "\\s+"), w => w =!= "")).cast("double")
+    val nPunct = length(regexp_replace(col("text"), "[^.!?,;:]", "")).cast("double")
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        nChars.cast("long").as("n_chars"),
+        nWords.cast("long").as("n_words"),
+        (length(regexp_replace(col("text"), "\\s", "")).cast("double") / nWords).as("avg_word_len"),
+        (nPunct / nChars).as("punct_ratio"),
+        (nWords >= 20 && nWords <= 1000 && (nPunct / nChars) < 0.1).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+  val textQualitySql =
+    """SELECT doc_id,
+      |  length(text) AS n_chars,
+      |  len(list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '')) AS n_words,
+      |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) /
+      |    len(list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '')) AS avg_word_len,
+      |  CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+      |  (len(list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '')) BETWEEN 20 AND 1000)
+      |    AND (CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text) < 0.1) AS keep
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "with"),
+    "es" -> Seq("el", "la", "que", "los", "una", "por"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ist"),
+    "fr" -> Seq("le", "les", "et", "des", "une", "du"))
+
+  /** Language-ID by stopword-hit counts + CJK script detection — the same
+    * closed-form heuristic on both engines. */
+  def textLangId(s: SparkSession, dir: String): DataFrame = {
+    val toks = wordSet(col("text"))
+    val hits = langStopwords.map { case (lang, words) =>
+      lang -> size(array_intersect(toks, array(words.map(lit): _*)))
+    }.toMap
+    val pred = when(col("text").rlike("[一-鿿]"), lit("zh"))
+      .when(hits("en") >= hits("es") && hits("en") >= hits("de") && hits("en") >= hits("fr"), lit("en"))
+      .when(hits("es") >= hits("de") && hits("es") >= hits("fr"), lit("es"))
+      .when(hits("de") >= hits("fr"), lit("de"))
+      .otherwise(lit("fr"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), pred.as("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+  val textLangIdSql = {
+    def h(words: Seq[String]) =
+      s"len(list_intersect(list_distinct(list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> w <> '')), [${words.map(w => s"'$w'").mkString(",")}]))"
+    val en = h(langStopwords(0)._2); val es = h(langStopwords(1)._2)
+    val de = h(langStopwords(2)._2); val fr = h(langStopwords(3)._2)
+    s"""SELECT doc_id, lang,
+       |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |       WHEN $en >= $es AND $en >= $de AND $en >= $fr THEN 'en'
+       |       WHEN $es >= $de AND $es >= $fr THEN 'es'
+       |       WHEN $de >= $fr THEN 'de'
+       |       ELSE 'fr' END AS lang_pred
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Document fingerprinting: rolling 8-char window hashes (xxhash64),
+    * fingerprint = 4 smallest window hashes (winnowing-style). No portable
+    * oracle for xxhash64 → rows-only; determinism asserted in tests. */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val n = length(col("text"))
+    val windows = transform(sequence(lit(1), greatest(n - 7, lit(1))),
+      i => xxhash64(col("text").substr(i, lit(8))))
+    t(s, dir, "documents")
+      .select(col("doc_id"), slice(array_sort(windows), 1, 4).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------ multimodal
+
+  /** Binary media columns + batched stub decode (see graft.ops.Multimodal).
+    * Only environment-independent plumbing metrics face the oracle. */
+  def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+      .as[Multimodal.MediaRow]
+    Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"), col("n_bytes"), col("n_frames"))
+      .orderBy(col("media_id"))
+  }
+  val multimodalFeaturesSql =
+    """SELECT doc_id AS media_id, strlen(text) AS n_bytes,
+      |  CAST(ceil(strlen(text) / 256.0) AS BIGINT) AS n_frames
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  // ------------------------------------------------------------- streaming
+
+  /** Structured Streaming: tumbling-window counts over the events table
+    * with a watermark, executed with Trigger.AvailableNow against the
+    * parquet as a file-stream source (SURVEY.md §2.J — beyond the
+    * reference's incremental scan). */
+  def streamWindowAgg(s: SparkSession, dir: String): DataFrame = {
+    // the source parquet stores nanosecond timestamps, which Spark's
+    // parquet reader rejects — read them as raw longs (legacy conf) and
+    // stage a micros-typed copy for the streaming file source
+    val staged = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .write.mode("overwrite").parquet(staged)
+    val sch = s.read.parquet(staged).schema
+    val stream = s.readStream.schema(sch).parquet(staged)
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .count()
+    val qname = "ev_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream.format("memory").queryName(qname)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(qname)
+      .select(col("window.start").as("wstart"), col("event_type"), col("count").as("n"))
+      .orderBy(col("wstart"), col("event_type"))
+  }
+  val streamWindowAggSql =
+    """SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_dedup_exact" -> (dedupExact _),
+    "ds_dedup_jaccard" -> (dedupJaccard _),
+    "ds_dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "ds_dedup_simhash" -> (dedupSimhash _),
+    "ds_embed_neardup" -> (embedNearDup _),
+    "ds_ann_cosine_topk" -> (annCosineTopK _),
+    "ds_ann_ivf_topk" -> (annIvfTopK _),
+    "ds_text_tokens" -> (textTokens _),
+    "ds_text_quality" -> (textQuality _),
+    "ds_text_langid" -> (textLangId _),
+    "ds_text_fingerprint" -> (textFingerprint _),
+    "ds_multimodal_features" -> (multimodalFeatures _),
+    "stream_window_agg" -> (streamWindowAgg _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ds_dedup_exact" -> dedupExactSql,
+    "ds_dedup_jaccard" -> dedupJaccardSql,
+    "ds_dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "ds_embed_neardup" -> embedNearDupSql,
+    "ds_ann_cosine_topk" -> annCosineTopKSql,
+    "ds_text_tokens" -> textTokensSql,
+    "ds_text_quality" -> textQualitySql,
+    "ds_text_langid" -> textLangIdSql,
+    "ds_multimodal_features" -> multimodalFeaturesSql,
+    "stream_window_agg" -> streamWindowAggSql,
+  )
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.DataOps
+
+class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("minhash LSH finds exactly the exact-jaccard pairs (recall 1 here)") {
+    val exact = DataOps.dedupJaccard(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lsh = DataOps.dedupMinhashLsh(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(exact.nonEmpty)
+    assert(lsh.toSet === exact.toSet)
+  }
+
+  test("simhash near-dup pairs overlap the jaccard near-dups") {
+    val jac = DataOps.dedupJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = DataOps.dedupSimhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim.nonEmpty)
+    // simhash(hamming<=3) should mostly be true near-dups
+    val precision = sim.count(jac).toDouble / sim.size
+    assert(precision >= 0.5, s"simhash precision $precision")
+  }
+
+  test("IVF ANN recall vs brute force") {
+    val exact = DataOps.annCosineTopK(spark, dir).collect().map(_.getLong(0)).toSet
+    val ivf = DataOps.annIvfTopK(spark, dir).collect().map(_.getLong(0)).toSet
+    val recall = ivf.count(exact).toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall vs brute force")
+  }
+
+  test("fingerprints are deterministic across runs") {
+    val a = DataOps.textFingerprint(spark, dir).collect().map(_.toString)
+    val b = DataOps.textFingerprint(spark, dir).collect().map(_.toString)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("multimodal stub pipeline produces stable features") {
+    import graft.ops.Multimodal
+    val bytes = "hello multimodal".getBytes("UTF-8")
+    val f1 = Multimodal.decodeAndExtract(bytes)
+    val f2 = Multimodal.decodeAndExtract(bytes)
+    assert(f1.length === 8)
+    assert(f1.toSeq === f2.toSeq)
+    val df = DataOps.multimodalFeatures(spark, dir)
+    assert(df.count() === 500)
+  }
+
+  test("langid heuristic is deterministic and total") {
+    // the testdata's lang labels are random (every doc shares one synthetic
+    // English-ish vocabulary), so agreement with the label is meaningless;
+    // assert the heuristic's own invariants instead
+    val df = DataOps.textLangId(spark, dir).cache()
+    try {
+      assert(df.count() === 500)
+      assert(df.filter("lang_pred NOT IN ('en','es','de','fr','zh')").count() === 0)
+      // mostly-English vocabulary → the en stopword set should dominate
+      assert(df.filter("lang_pred = 'en'").count() > 250)
+      val again = DataOps.textLangId(spark, dir).collect().map(_.toString)
+      assert(df.collect().map(_.toString).toSeq === again.toSeq)
+    } finally df.unpersist()
+  }
+}
