@@ -63,13 +63,31 @@ object DataOps {
     size(array_intersect(a, b)).cast("double") /
       size(array_distinct(concat(a, b))).cast("double")
 
-  /** Exact 3-gram (shingle) Jaccard near-dup pairs. */
+  /** Exact 3-gram (shingle) Jaccard near-dup pairs via PREFIX FILTERING —
+    * the standard exact set-similarity join: under a global token order,
+    * two sets with J ≥ t must share a token within their first
+    * |S| - ceil(t·|S|) + 1 tokens, so candidates come from a token-keyed
+    * equi-join (one shuffle) instead of an all-pairs cross join, with zero
+    * false negatives. The DuckDB oracle is the naive quadratic formulation
+    * of the same predicate. */
   def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), shingleSet(col("text")).as("ws"))
-    val a = docs.select(col("doc_id").as("a_id"), col("ws").as("a_ws"))
-    val b = docs.select(col("doc_id").as("b_id"), col("ws").as("b_ws"))
-    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("sorted", array_sort(col("ws")))
+      .withColumn("k", (size(col("ws")) - ceil(size(col("ws")) * 0.5) + 1).cast("int"))
+      .withColumn("prefix", slice(col("sorted"), lit(1), col("k")))
+    // length filter, also lossless at t=0.5: J ≥ 0.5 ⟹ sizes within 2×
+    val tokens = docs.select(col("doc_id"), size(col("ws")).as("n"),
+      explode(col("prefix")).as("tok"))
+    val cands = tokens.as("x").join(tokens.as("y"),
+        col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id") &&
+          col("x.n") <= col("y.n") * 2 && col("y.n") <= col("x.n") * 2)
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val ws = docs.select(col("doc_id"), col("ws"))
+    cands
+      .join(ws.select(col("doc_id").as("a_id"), col("ws").as("a_ws")), Seq("a_id"))
+      .join(ws.select(col("doc_id").as("b_id"), col("ws").as("b_ws")), Seq("b_id"))
       .withColumn("j", jaccard(col("a_ws"), col("b_ws")))
       .filter(col("j") >= 0.5)
       .select(col("a_id"), col("b_id"))

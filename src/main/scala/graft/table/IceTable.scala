@@ -39,6 +39,17 @@ class IceTable(
     Maintenance.expireSnapshots(this, olderThanMs, retainLast)
   def setProperties(props: (String, String)*): Unit =
     commitMetadata(m => m.copy(properties = m.properties ++ props))
+  /** Sort orders are metadata-only in the reference (files carry
+    * sort_order_id=None, ref io/pyarrow.py:2769) — same here. */
+  def replaceSortOrder(fields: (String, String)*): Unit = commitMetadata { m =>
+    val order = SortOrder(m.sortOrders.map(_.orderId).max + 1,
+      fields.map { case (colName, dir) =>
+        SortField(schema.findField(colName).getOrElse(
+          throw new IllegalArgumentException(s"No such column: $colName")).id,
+          IdentityTransform, dir, if (dir == "desc") "nulls-last" else "nulls-first")
+      })
+    m.copy(sortOrders = m.sortOrders :+ order, defaultSortOrderId = order.orderId)
+  }
   def removeProperties(keys: String*): Unit =
     commitMetadata(m => m.copy(properties = m.properties -- keys))
 
@@ -361,11 +372,33 @@ class IceTable(
           if (content == FileContent.Data) 0 else 1)
     }
 
+    // manifest merge: when enabled and the data-manifest count passes the
+    // threshold, bin-pack them into one (ref: merge_append
+    // update/snapshot.py:532, _ManifestMergeManager :733;
+    // `commit.manifest-merge.enabled` + `commit.manifest.min-count-to-merge`)
+    val allManifests = newManifests ++ kept
+    val merged: Seq[ManifestFile] =
+      if (base.properties.get("commit.manifest-merge.enabled").contains("true") &&
+          allManifests.count(_.content == 0) >=
+            base.properties.getOrElse("commit.manifest.min-count-to-merge", "100").toInt) {
+        val (dataMs, deleteMs) = allManifests.partition(_.content == 0)
+        val entries = dataMs.flatMap { mf =>
+          val sp = base.specById(mf.partitionSpecId)
+          ManifestIO.readManifest(mf.manifestPath, sp, base.schema)
+            .filter(_.status != EntryStatus.Deleted)
+            .map(e => if (e.status == EntryStatus.Added && e.snapshotId != snapId)
+              e.copy(status = EntryStatus.Existing) else e)
+        }
+        val path = s"$metaDir/m-${UUID.randomUUID()}.avro"
+        val len = ManifestIO.writeManifest(path, entries, base.spec, base.schema)
+        manifestFileFor(path, len, base.spec, base.schema, entries, snapId, seq, 0) +: deleteMs
+      } else allManifests
+
     val listPath = s"$metaDir/snap-$snapId-${UUID.randomUUID()}.avro"
-    ManifestIO.writeManifestList(listPath, newManifests ++ kept)
+    ManifestIO.writeManifestList(listPath, merged)
 
     val addedRecords = added.filter(_.content == FileContent.Data).map(_.recordCount).sum
-    val totalRecords = (kept ++ newManifests)
+    val totalRecords = merged
       .filter(_.content == 0).map(m => m.addedRowsCount + m.existingRowsCount).sum
     val summary = Map(
       "operation" -> operation,
@@ -376,7 +409,7 @@ class IceTable(
       "deleted-records" -> removedCount.toString,
       "total-records" -> totalRecords.toString,
       "total-data-files" ->
-        (kept ++ newManifests).filter(_.content == 0)
+        merged.filter(_.content == 0)
           .map(m => m.addedFilesCount + m.existingFilesCount).sum.toString)
 
     val snap = Snapshot(snapId, base.currentSnapshotId, seq, now, listPath, summary,

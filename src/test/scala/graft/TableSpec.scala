@@ -193,6 +193,20 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("manifest merge bin-packs small manifests") {
+    val t = catalog.createTable("t_merge", Schema.fromSpark(orders.schema))
+    t.setProperties("commit.manifest-merge.enabled" -> "true",
+      "commit.manifest.min-count-to-merge" -> "2")
+    (0 until 4).foreach(i => t.append(orders.filter(col("o_orderkey") % 4 === i)))
+    val manifests = t.inspect.manifests().count()
+    assert(manifests === 1, s"expected merged manifest, got $manifests")
+    assert(t.scan.toDF.count() === orders.count())
+    assert(t.scan.count() === orders.count())
+    // sort order metadata
+    t.replaceSortOrder("o_orderkey" -> "asc")
+    assert(t.metadata.defaultSortOrderId === 1)
+  }
+
   test("metadata JSON round-trip") {
     val t = catalog.loadTable("t_part")
     val json = MetadataJson.toJson(t.metadata)
