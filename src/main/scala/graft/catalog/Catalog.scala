@@ -93,3 +93,17 @@ class HadoopCatalog(val warehouse: String, val spark: SparkSession) {
 
 class CommitConflictException(table: String, version: Int)
   extends RuntimeException(s"Concurrent commit to $table at version $version")
+
+/** Catalog-less read-only table from a metadata.json file
+  * (ref: StaticTable.from_metadata table/__init__.py:1782). */
+object StaticTable {
+  def fromMetadata(metadataPath: String, spark: SparkSession): IceTable = {
+    val json = new String(Files.readAllBytes(Paths.get(metadataPath)), "UTF-8")
+    val meta = MetadataJson.fromJson(json)
+    val readOnly = new HadoopCatalog(meta.location, spark) {
+      override def commit(name: String, expectedVersion: Int, m: TableMetadata): Int =
+        throw new UnsupportedOperationException("StaticTable is read-only")
+    }
+    new IceTable(readOnly, "static", meta)
+  }
+}

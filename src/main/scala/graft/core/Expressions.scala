@@ -385,9 +385,15 @@ object Evaluator {
     p match {
       case _: BIsNull => v == null
       case _: BNotNull => v != null
+      // Spark's isnan(null) is false (not null): IsNaN drops nulls,
+      // NotNaN keeps them
       case _: BIsNaN => v != null && isNanV
-      case _: BNotNaN => v != null && !isNanV
+      case _: BNotNaN => v == null || !isNanV
       case _ if v == null => false
+      // NaN ordering follows Spark SQL semantics (NaN is greater than any
+      // other value, NaN == NaN), which java.lang.Double.compare matches —
+      // the evaluator must agree with how Spark executes the residual
+      // filter, not with IEEE/Arrow semantics
       case BEq(_, _, x, _) => cmp(x) == 0
       case BNotEq(_, _, x, _) => cmp(x) != 0
       case BLt(_, _, x, _) => cmp(x) < 0

@@ -32,6 +32,8 @@ class IceTable(
   }
 
   def inspect: Inspect = new Inspect(this)
+  /** Multi-op atomic commit (ref: Table.transaction table/__init__.py:1173). */
+  def transaction(): Transaction = new Transaction(this)
   def updateSchema: SchemaUpdate = new SchemaUpdate(this)
   def updateSpec: SpecUpdate = new SpecUpdate(this)
   def manageSnapshots: ManageSnapshots = new ManageSnapshots(this)
@@ -315,12 +317,13 @@ class IceTable(
     * removed files, keep the rest as-is, add a fresh manifest for added
     * files (ref: update/snapshot.py _SnapshotProducer/_FastAppendFiles/
     * _OverwriteFiles). Retries on optimistic-concurrency conflicts. */
-  def commitSnapshot(operation: String, added: Seq[DataFile], removedPaths: Set[String]): Unit = {
+  def commitSnapshot(operation: String, added: Seq[DataFile], removedPaths: Set[String],
+      extraMeta: TableMetadata => TableMetadata = identity): Unit = {
     var attempts = 0
     while (true) {
       attempts += 1
       try {
-        commitOnce(operation, added, removedPaths)
+        commitOnce(operation, added, removedPaths, extraMeta)
         return
       } catch {
         case _: CommitConflictException if attempts < 5 => refresh()
@@ -329,7 +332,7 @@ class IceTable(
   }
 
   private def commitOnce(operation: String, added: Seq[DataFile],
-      removedPaths: Set[String]): Unit = {
+      removedPaths: Set[String], extraMeta: TableMetadata => TableMetadata): Unit = {
     val base = metadata
     val version = catalog.currentVersion(name).getOrElse(0)
     val snapId = base.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
@@ -339,6 +342,22 @@ class IceTable(
 
     val existing: Seq[ManifestFile] = base.currentSnapshot
       .map(s => ManifestIO.readManifestList(s.manifestList)).getOrElse(Nil)
+
+    // conflict validation (ref: table/update/validate.py): every file this
+    // commit removes must still be live — a concurrent commit that dropped
+    // or rewrote one of them invalidates our plan instead of silently
+    // double-deleting after the retry loop refreshes
+    if (removedPaths.nonEmpty) {
+      val live: Set[String] = existing.flatMap { mf =>
+        val sp = base.specById(mf.partitionSpecId)
+        ManifestIO.readManifest(mf.manifestPath, sp, base.schema)
+          .filter(_.status != EntryStatus.Deleted).map(_.dataFile.filePath)
+      }.toSet
+      val gone = removedPaths.filterNot(live)
+      if (gone.nonEmpty)
+        throw new ValidationException(
+          s"Concurrent commit removed files this operation depends on: ${gone.take(3).mkString(", ")}")
+    }
 
     var removedCount = 0L
     val kept: Seq[ManifestFile] = existing.flatMap { mf =>
@@ -414,14 +433,16 @@ class IceTable(
 
     val snap = Snapshot(snapId, base.currentSnapshotId, seq, now, listPath, summary,
       base.currentSchemaId)
-    val newMeta = base.copy(
+    val withExtra = extraMeta(base)
+    val newMeta = withExtra.copy(
       lastSequenceNumber = seq,
       lastUpdatedMs = now,
       currentSnapshotId = Some(snapId),
-      snapshots = base.snapshots :+ snap,
-      snapshotLog = base.snapshotLog :+ SnapshotLogEntry(now, snapId),
-      metadataLog = base.metadataLog :+ MetadataLogEntry(now, s"$metaDir/v$version.metadata.json"),
-      refs = base.refs + ("main" -> SnapshotRef(snapId, "branch")))
+      snapshots = withExtra.snapshots :+ snap,
+      snapshotLog = withExtra.snapshotLog :+ SnapshotLogEntry(now, snapId),
+      metadataLog = withExtra.metadataLog :+
+        MetadataLogEntry(now, s"$metaDir/v$version.metadata.json"),
+      refs = withExtra.refs + ("main" -> SnapshotRef(snapId, "branch")))
     catalog.commit(name, version, newMeta)
     metadata = newMeta
   }

@@ -140,6 +140,39 @@ final class Inspect(table: IceTable) {
         e.dataFile.recordCount) }, schema)
   }
 
+  /** ref: inspect.py:691 all_manifests — manifests of every snapshot. */
+  def allManifests(): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("reference_snapshot_id", LongType, nullable = false),
+      StructField("path", StringType),
+      StructField("content", IntegerType, nullable = false),
+      StructField("added_snapshot_id", LongType, nullable = false)))
+    val rows = m.snapshots.flatMap { s =>
+      ManifestIO.readManifestList(s.manifestList).map(mf =>
+        Row(s.snapshotId, mf.manifestPath, mf.content, mf.addedSnapshotId))
+    }
+    df(rows, schema)
+  }
+
+  /** ref: inspect.py:682 all_files — files reachable from any snapshot. */
+  def allFiles(): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("content", IntegerType, nullable = false),
+      StructField("file_path", StringType),
+      StructField("record_count", LongType, nullable = false)))
+    val rows = m.snapshots.flatMap { s =>
+      ManifestIO.readManifestList(s.manifestList).flatMap { mf =>
+        val sp = m.specById(mf.partitionSpecId)
+        ManifestIO.readManifest(mf.manifestPath, sp, m.schema)
+          .filter(_.status != EntryStatus.Deleted)
+          .map(e => Row(s.snapshotId, e.dataFile.content, e.dataFile.filePath,
+            e.dataFile.recordCount))
+      }
+    }.distinct
+    df(rows, schema)
+  }
+
   /** ref: inspect.py:263 partitions — record/file counts per partition as a
     * Spark aggregation over the entries. */
   def partitions(): DataFrame = {

@@ -207,6 +207,52 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.metadata.defaultSortOrderId === 1)
   }
 
+  test("transaction commits append+delete+properties atomically") {
+    val t = catalog.createTable("t_txn", Schema.fromSpark(orders.schema))
+    t.append(orders.filter(col("o_orderkey") <= 9000))
+    val versionBefore = catalog.currentVersion("t_txn").get
+    t.transaction()
+      .append(orders.filter(col("o_orderkey") > 9000))
+      .delete("o_orderstatus = 'F'")
+      .setProperties("owner" -> "graft")
+      .commit()
+    // exactly one new metadata version and one new snapshot
+    assert(catalog.currentVersion("t_txn").get === versionBefore + 1)
+    assert(t.metadata.snapshots.size === 2)
+    assert(t.metadata.properties("owner") === "graft")
+    val want = orders.filter(col("o_orderstatus") =!= "F").count()
+    assert(t.scan.toDF.count() === want)
+  }
+
+  test("static table reads without a catalog and rejects writes") {
+    val t = catalog.loadTable("t_roundtrip")
+    val v = catalog.currentVersion("t_roundtrip").get
+    val path = s"$warehouse/t_roundtrip/metadata/v$v.metadata.json"
+    val st = graft.catalog.StaticTable.fromMetadata(path, spark)
+    assert(st.scan.toDF.count() === lineitem.count())
+    intercept[UnsupportedOperationException](st.setProperties("a" -> "b"))
+  }
+
+  test("conflict validation rejects double-delete of the same files") {
+    val t = catalog.createTable("t_conflict", Schema.fromSpark(orders.schema))
+    t.append(orders)
+    // plan a delete, then have a "concurrent" writer remove the same rows
+    val tasks = t.scan("o_orderkey <= 5000").planFiles()
+    val other = catalog.loadTable("t_conflict")
+    other.delete("o_orderkey <= 5000")
+    intercept[graft.table.ValidationException] {
+      t.refresh()
+      t.commitSnapshot("delete", Nil, tasks.map(_.file.filePath).toSet)
+    }
+  }
+
+  test("all_files and all_manifests span snapshots") {
+    val t = catalog.loadTable("t_tt")
+    assert(t.inspect.allManifests().count() >= 3) // snap1: 1, snap2: 2
+    val af = t.inspect.allFiles()
+    assert(af.select("snapshot_id").distinct().count() === 2)
+  }
+
   test("metadata JSON round-trip") {
     val t = catalog.loadTable("t_part")
     val json = MetadataJson.toJson(t.metadata)
