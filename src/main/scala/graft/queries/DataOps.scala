@@ -156,13 +156,16 @@ object DataOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** Embedding-cosine near-dup pairs (exact, blocked cross join). */
+  /** Embedding-cosine near-dup pairs (exact). Norms are computed once per
+    * vector before the pair join — the per-pair work is a single dot
+    * product, ~3× less than recomputing both norms per pair. */
   def embedNearDup(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+      .select(col("vec_id"), col("embedding"), Vectors.norm(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_v"), col("nrm").as("a_n"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"), col("nrm").as("b_n"))
     a.crossJoin(b).filter(col("a_id") < col("b_id"))
-      .withColumn("cos", Vectors.cosine(col("a_v"), col("b_v")))
+      .withColumn("cos", Vectors.dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")))
       .filter(col("cos") >= 0.4)
       .select(col("a_id"), col("b_id"))
       .orderBy(col("a_id"), col("b_id"))

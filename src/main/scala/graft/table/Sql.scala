@@ -1,0 +1,34 @@
+package graft.table
+
+import org.apache.spark.sql.DataFrame
+
+import graft.catalog.HadoopCatalog
+
+/** SQL face: expose engine tables to `spark.sql` as temp views.
+  *
+  * The view body is the table's scan DataFrame, which bottoms out in a
+  * parquet relation over the snapshot's (already manifest-pruned) file
+  * list — so SQL `WHERE`/`SELECT` over the view still get Catalyst's
+  * filter pushdown and column pruning into the parquet scan. What a view
+  * cannot do is re-run manifest/partition pruning per query (the file
+  * list is fixed at registration); for that, call
+  * `table.scan(filter).toDF` — or use `sql` below, which re-plans per
+  * invocation. A DataSourceV2 `TableProvider` that pushes filters back
+  * into `planFiles` is the planned follow-up (SURVEY §7 step 10).
+  */
+object GraftSql {
+
+  /** Register the table's current snapshot as a temp view. */
+  def register(table: IceTable, viewName: String): Unit =
+    table.scan.toDF.createOrReplaceTempView(viewName)
+
+  /** Register every table of a catalog warehouse directory. */
+  def registerAll(catalog: HadoopCatalog, names: Seq[String]): Unit =
+    names.foreach(n => register(catalog.loadTable(n), n))
+
+  /** Run SQL with fresh per-query scan planning for the named tables. */
+  def sql(catalog: HadoopCatalog, query: String, tables: Seq[String]): DataFrame = {
+    registerAll(catalog, tables)
+    catalog.spark.sql(query)
+  }
+}

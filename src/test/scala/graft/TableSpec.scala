@@ -253,6 +253,18 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(af.select("snapshot_id").distinct().count() === 2)
   }
 
+  test("SQL face: spark.sql over registered engine tables") {
+    val t = catalog.loadTable("t_roundtrip")
+    graft.table.GraftSql.register(t, "li_view")
+    val got = spark.sql(
+      "SELECT l_returnflag, count(*) AS n FROM li_view WHERE l_quantity > 45 GROUP BY 1 ORDER BY 1")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = lineitem.filter(col("l_quantity") > 45)
+      .groupBy(col("l_returnflag")).count().orderBy(col("l_returnflag"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === want)
+  }
+
   test("metadata JSON round-trip") {
     val t = catalog.loadTable("t_part")
     val json = MetadataJson.toJson(t.metadata)
