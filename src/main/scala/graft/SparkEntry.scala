@@ -16,9 +16,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.Iceberg.queries ++
-      graft.queries.DataOps.queries
+      graft.queries.DataOps.queries ++ graft.queries.Advanced.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.Iceberg.oracles ++
-      graft.queries.DataOps.oracles
+      graft.queries.DataOps.oracles ++ graft.queries.Advanced.oracles
 }

@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Additional relational surface exercised through the engine: multi-level
+  * aggregation (ROLLUP), set operations, event sessionization (windowed
+  * gap detection), and a salted two-phase aggregation — the skew-
+  * mitigation pattern from SCALING.md with an exact oracle (salting must
+  * not change the answer).
+  */
+object Advanced {
+  import Tables._
+
+  /** ROLLUP aggregation with exact decimal sums. */
+  def rollup(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast(Money)).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+  val rollupSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** Set operations: INTERSECT and EXCEPT through the scan. */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val building = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val urgent = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey"))
+    building.intersect(urgent)
+      .unionByName(building.exceptAll(building.intersect(urgent)).distinct()
+        .withColumn("c_custkey", -col("c_custkey")))
+      .orderBy(col("c_custkey"))
+  }
+  val setOpsSql =
+    """SELECT c_custkey FROM (
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  INTERSECT
+      |  SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |  UNION
+      |  SELECT -c_custkey FROM (
+      |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |    EXCEPT
+      |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |) ORDER BY c_custkey""".stripMargin
+
+  /** Event sessionization: a session break is a ≥30-minute silence per
+    * user; emit per-user session counts. Timestamps are int64 epoch-nanos
+    * read raw (`nanosAsLong`) and floor-divided to micros with integer
+    * `div` (double division would lose precision above 2^53). */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = t(s, dir, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    ev.withColumn("prev", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev").isNull || col("ts_us") - col("prev") > 1800000000L, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+  val sessionizeSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events),
+      |flagged AS (
+      |  SELECT user_id,
+      |    CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+      |           OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |              > 1800000000 THEN 1 ELSE 0 END AS new_session
+      |  FROM ev)
+      |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+      |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Salted two-phase aggregation: partial sums on (key, salt) then final
+    * on key — the skew-mitigation shape; the oracle is the plain GROUP BY,
+    * proving salting preserves the answer (decimal-exact sums). */
+  def skewSaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events")
+      .withColumn("salt", pmod(col("event_id"), lit(8)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(sum(col("value").cast(Money)).as("part_sum"), count(lit(1)).as("part_n"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("part_sum")).cast("double").as("total_value"),
+        sum(col("part_n")).as("n"))
+      .orderBy(col("event_type"))
+  }
+  val skewSaltedAggSql =
+    """SELECT event_type,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rollup_agg" -> (rollup _),
+    "set_ops" -> (setOps _),
+    "ev_sessionize" -> (sessionize _),
+    "skew_salted_agg" -> (skewSaltedAgg _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "rollup_agg" -> rollupSql,
+    "set_ops" -> setOpsSql,
+    "ev_sessionize" -> sessionizeSql,
+    "skew_salted_agg" -> skewSaltedAggSql,
+  )
+}

@@ -349,8 +349,10 @@ object DataOps {
     val staged = java.nio.file.Files.createTempDirectory("graft_stream").toString
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // integer `div`, not `/`: double division loses precision above 2^53
+    // and epoch-nanos values are ~1.7e18
     s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .write.mode("overwrite").parquet(staged)
     val sch = s.read.parquet(staged).schema
     val stream = s.readStream.schema(sch).parquet(staged)

@@ -113,6 +113,34 @@ object WriteFiles {
 /** Executor-side footer reading (kept free of Spark session state). */
 object StatsHarvester extends Serializable {
 
+  /** Default metrics mode: truncate(16) like the reference
+    * (ref: io/pyarrow.py:2305 metrics modes; utils/truncate.py:19). */
+  val BoundTruncateLength = 16
+
+  /** Truncate a LOWER bound: plain prefix — always ≤ the true minimum. */
+  def truncateLower(s: String, len: Int = BoundTruncateLength): String =
+    if (s.codePointCount(0, s.length) <= len) s
+    else s.substring(0, s.offsetByCodePoints(0, len))
+
+  /** Truncate an UPPER bound: prefix with the last code point incremented,
+    * so the result stays ≥ the true maximum (ref: utils/truncate.py:19
+    * truncate_upper_bound_text_string). Returns None when no code point
+    * can be incremented (all at max) — bound is then dropped. */
+  def truncateUpper(s: String, len: Int = BoundTruncateLength): Option[String] = {
+    if (s.codePointCount(0, s.length) <= len) return Some(s)
+    val prefix = s.substring(0, s.offsetByCodePoints(0, len))
+    val cps = prefix.codePoints().toArray
+    var i = cps.length - 1
+    while (i >= 0) {
+      if (cps(i) != Character.MAX_CODE_POINT) {
+        cps(i) += 1
+        return Some(new String(cps, 0, i + 1))
+      }
+      i -= 1
+    }
+    None
+  }
+
   private def parseType(repr: String): IceType = repr match {
     case "boolean" => IBoolean
     case "int" => IInt
@@ -180,6 +208,19 @@ object StatsHarvester extends Serializable {
                   case _ =>
                 }
               }
+            }
+          }
+        }
+      }
+      // bound truncation for strings (metrics mode truncate(16)): keeps
+      // manifests small at scale while staying valid for pruning
+      colInfo.foreach { case (_, id, trepr) =>
+        if (trepr == "string" || trepr == "uuid") {
+          lowers.get(id).foreach(v => lowers(id) = truncateLower(v.toString))
+          uppers.get(id).foreach { v =>
+            truncateUpper(v.toString) match {
+              case Some(u) => uppers(id) = u
+              case None => uppers.remove(id)
             }
           }
         }

@@ -75,6 +75,28 @@ class ConversionsSpec extends AnyFunSuite {
   }
 }
 
+class BoundTruncationSpec extends AnyFunSuite {
+  import graft.table.StatsHarvester._
+
+  test("lower bound truncates to prefix") {
+    assert(truncateLower("abcdefghijklmnopqrs") === "abcdefghijklmnop")
+    assert(truncateLower("short") === "short")
+  }
+
+  test("upper bound truncates with code-point increment") {
+    assert(truncateUpper("abcdefghijklmnopqrs") === Some("abcdefghijklmnoq"))
+    assert(truncateUpper("short") === Some("short"))
+    // incremented bound must still be >= any string with the prefix
+    val s = "abcdefghijklmnopzzzzz"
+    assert(truncateUpper(s).get > s.substring(0, 16))
+    assert(s < truncateUpper(s).get)
+    // surrogate-safe: max code point rolls back to previous position
+    val tricky = "abcdefghijklmno" + new String(Character.toChars(Character.MAX_CODE_POINT)) + "x"
+    val u = truncateUpper(tricky)
+    assert(u === Some("abcdefghijklmnp"))
+  }
+}
+
 class ExprSpec extends AnyFunSuite {
   val schema = Schema(Seq(
     NestedField(1, "id", ILong, required = true),
