@@ -11,6 +11,12 @@ import graft.meta._
   * FileScanTask). */
 final case class FileScanTask(file: DataFile, deletes: Seq[DataFile], residual: BoundExpr)
 
+object IceScan {
+  /** Manifest count past which planning fans out as a Spark job instead of
+    * a driver loop (var so tests can exercise the distributed path). */
+  @volatile var distributedPlanningThreshold: Int = 64
+}
+
 /** Snapshot scan: plan on the driver (manifest → partition → stats
   * pruning), execute as a Spark DataFrame (ref: DataScan
   * table/__init__.py:2227; ArrowScan io/pyarrow.py:1741 — replaced by
@@ -116,20 +122,40 @@ final class IceScan(
           (d.specId == specId && partitionEquals(d.partition, partition)))
       }.map(_.file)
 
-    keptData.flatMap { mf =>
-      val spec = metadata.specById(mf.partitionSpecId)
-      val proj = projected(mf.partitionSpecId)
-      ManifestIO.readManifest(mf.manifestPath, spec, schema)
-        .filter(_.status != EntryStatus.Deleted)
-        .filter { e =>
-          Evaluators.partitionMatches(spec, proj, e.dataFile.partition) &&
-            Evaluators.rowsMightMatch(bound, e.dataFile)
-        }
-        .map { e =>
-          val res = Evaluators.residual(schema, spec, bound, e.dataFile.partition)
-          FileScanTask(e.dataFile, applicableDeletes(spec.specId, e.dataFile.partition,
-            e.dataSequenceNumber), res)
-        }
+    // per-manifest open+prune is a pure function of (manifest, spec,
+    // schema, filter); past a threshold it runs as a Spark job so planning
+    // scales with the cluster, not the driver (ref: the thread-pool
+    // boundary at ManifestGroupPlanner :2608 / utils/concurrent.py)
+    val openOne: ManifestFile => Seq[(ManifestEntry, Int)] = {
+      val specsById = keptData.map(_.partitionSpecId).distinct
+        .map(id => id -> metadata.specById(id)).toMap
+      val projBySpecId = specsById.keys.map(id => id -> projected(id)).toMap
+      val schemaLocal = schema
+      val boundLocal = bound
+      mf => {
+        val spec = specsById(mf.partitionSpecId)
+        val proj = projBySpecId(mf.partitionSpecId)
+        ManifestIO.readManifest(mf.manifestPath, spec, schemaLocal)
+          .filter(_.status != EntryStatus.Deleted)
+          .filter { e =>
+            Evaluators.partitionMatches(spec, proj, e.dataFile.partition) &&
+              Evaluators.rowsMightMatch(boundLocal, e.dataFile)
+          }
+          .map(e => (e, mf.partitionSpecId))
+      }
+    }
+
+    val pruned: Seq[(ManifestEntry, Int)] =
+      if (keptData.size < IceScan.distributedPlanningThreshold) keptData.flatMap(openOne)
+      else spark.sparkContext
+        .parallelize(keptData, math.min(keptData.size, spark.sparkContext.defaultParallelism))
+        .flatMap(openOne).collect().toSeq
+
+    pruned.map { case (e, specId) =>
+      val spec = metadata.specById(specId)
+      val res = Evaluators.residual(schema, spec, bound, e.dataFile.partition)
+      FileScanTask(e.dataFile, applicableDeletes(spec.specId, e.dataFile.partition,
+        e.dataSequenceNumber), res)
     }
   }
 

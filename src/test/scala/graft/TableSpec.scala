@@ -265,6 +265,20 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
   }
 
+  test("distributed planning path returns the same tasks as the driver loop") {
+    val t = catalog.createTable("t_distplan", Schema.fromSpark(orders.schema))
+    (0 until 3).foreach(i => t.append(orders.filter(col("o_orderkey") % 3 === i)))
+    val driverTasks = t.scan("o_orderkey > 9000").planFiles()
+    val old = graft.table.IceScan.distributedPlanningThreshold
+    try {
+      graft.table.IceScan.distributedPlanningThreshold = 1
+      val distTasks = t.scan("o_orderkey > 9000").planFiles()
+      assert(distTasks.map(_.file.filePath).toSet === driverTasks.map(_.file.filePath).toSet)
+      assert(t.scan("o_orderkey > 9000").toDF.count() ===
+        orders.filter(col("o_orderkey") > 9000).count())
+    } finally graft.table.IceScan.distributedPlanningThreshold = old
+  }
+
   test("metadata JSON round-trip") {
     val t = catalog.loadTable("t_part")
     val json = MetadataJson.toJson(t.metadata)
