@@ -289,6 +289,25 @@ class IceTable(
     commitSnapshot("delete", added = written, removedPaths = Set.empty)
   }
 
+  /** Compaction (maintenance, beyond the reference — its file GC is
+    * unimplemented): rewrite data files that (a) carry outstanding
+    * position deletes (folding them in and dropping the delete files) or
+    * (b) are smaller than `smallFileBytes` (bin-packed together). One
+    * overwrite snapshot; contents unchanged. */
+  def rewriteDataFiles(smallFileBytes: Long = 32L * 1024 * 1024): Unit = {
+    val scanObj = new IceScan(this)
+    val tasks = scanObj.planFiles()
+    val withDeletes = tasks.filter(_.deletes.nonEmpty)
+    val small = tasks.filter(t => t.deletes.isEmpty && t.file.fileSizeInBytes < smallFileBytes)
+    val toRewrite = withDeletes ++ (if (small.size >= 2) small else Nil)
+    if (toRewrite.isEmpty) return
+    val df = scanObj.toDFForTasks(toRewrite, applyResidualOnlyWhereNeeded = true)
+    val added = WriteFiles.write(spark, location, schema, spec, df, UUID.randomUUID().toString)
+    val removed = toRewrite.map(_.file.filePath).toSet ++
+      withDeletes.flatMap(_.deletes.map(_.filePath))
+    commitSnapshot("replace", added = added, removedPaths = removed)
+  }
+
   private def scanWithFilePath(): DataFrame = {
     val tasks = new IceScan(this).planFiles()
     require(tasks.forall(_.deletes.isEmpty),

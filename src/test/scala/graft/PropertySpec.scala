@@ -147,6 +147,63 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("inclusive projection soundness: a partition holding a matching row is never pruned") {
+    import graft.meta._
+    // schema with a long key and a timestamp, partitioned four ways
+    val s2 = Schema(Seq(
+      NestedField(1, "k", ILong, required = true),
+      NestedField(2, "ts", ITimestamp, required = true),
+      NestedField(3, "tag", IString)))
+    val specs = Seq(
+      PartitionSpec(0, Seq(PartitionField(1, 1000, "k_bucket", BucketTransform(8)))),
+      PartitionSpec(1, Seq(PartitionField(1, 1000, "k_trunc", TruncateTransform(100)))),
+      PartitionSpec(2, Seq(PartitionField(2, 1000, "ts_day", DayTransform))),
+      PartitionSpec(3, Seq(PartitionField(2, 1000, "ts_month", MonthTransform),
+        PartitionField(3, 1001, "tag", IdentityTransform))))
+    val genRow: Gen[(Long, Long, String)] = for {
+      k <- Gen.chooseNum(-500L, 500L)
+      // micros within ±2 years of epoch to cross year/month boundaries
+      ts <- Gen.chooseNum(-63113904000000000L / 1000, 63113904000000L)
+      tag <- Gen.oneOf("a", "b", null)
+    } yield (k, ts, tag)
+    val leafGen: Gen[Expr] = {
+      val kLit: Gen[Any] = Gen.chooseNum(-500L, 500L).map(x => x: Any)
+      val tsLit: Gen[Any] = Gen.chooseNum(-63113904000000L, 63113904000000L)
+        .map(x => x: Any)
+      Gen.oneOf[Gen[Expr]](
+        kLit.map(v => Eq("k", v)), kLit.map(v => Lt("k", v)), kLit.map(v => GtEq("k", v)),
+        Gen.listOfN(3, kLit).map(vs => In("k", vs)),
+        tsLit.map(v => LtEq("ts", v)), tsLit.map(v => Gt("ts", v)), tsLit.map(v => Eq("ts", v)),
+        Gen.oneOf("a", "b", "c").map(v => Eq("tag", v): Expr),
+        Gen.const(IsNull("tag")), Gen.const(NotNull("tag"))).flatMap(identity)
+    }
+    def genPred(depth: Int): Gen[Expr] =
+      if (depth <= 0) leafGen
+      else Gen.frequency(
+        3 -> leafGen,
+        2 -> Gen.zip(genPred(depth - 1), genPred(depth - 1)).map { case (a, b) => And(a, b) },
+        2 -> Gen.zip(genPred(depth - 1), genPred(depth - 1)).map { case (a, b) => Or(a, b) },
+        1 -> genPred(depth - 1).map(Not(_)))
+
+    val rowsSample = samples(genRow, 200)
+    forAllSampled(Gen.zip(genPred(2), Gen.chooseNum(0, 3)), 150) { case (pred, specIdx) =>
+      val spec = specs(specIdx)
+      val bound = Exprs.rewriteNot(Binder.bind(s2, pred))
+      val projected = Evaluators.inclusiveProjection(s2, spec, bound)
+      rowsSample.foreach { case (k, ts, tag) =>
+        val record = Map(1 -> (k: Any), 2 -> (ts: Any), 3 -> (tag: Any))
+        if (Evaluator.eval(bound, record)) {
+          val tuple = spec.fields.map { pf =>
+            val src = s2.byId(pf.sourceId)
+            pf.transform.apply(record(pf.sourceId), src.fieldType)
+          }
+          assert(Evaluators.partitionMatches(spec, projected, tuple),
+            s"UNSOUND: pred=$bound spec=${spec.specId} row=($k,$ts,$tag) tuple=$tuple")
+        }
+      }
+    }
+  }
+
   test("time transforms round-trip through human strings for recent dates") {
     forAllSampled(Gen.chooseNum(0, 40000)) { days =>
       val d = DayTransform.apply(days, IDate).asInstanceOf[Int]

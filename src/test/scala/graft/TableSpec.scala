@@ -279,6 +279,26 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.table.IceScan.distributedPlanningThreshold = old
   }
 
+  test("rewriteDataFiles folds in position deletes and bin-packs small files") {
+    val t = catalog.createTable("t_compact", Schema.fromSpark(orders.schema))
+    (0 until 3).foreach(i => t.append(orders.filter(col("o_orderkey") % 3 === i)))
+    t.deletePositional("o_orderkey <= 3000")
+    val want = orders.filter(col("o_orderkey") > 3000).count()
+    assert(t.scan.toDF.count() === want)
+    val filesBefore = t.scan.planFiles()
+    assert(filesBefore.exists(_.deletes.nonEmpty))
+    t.rewriteDataFiles()
+    val filesAfter = t.scan.planFiles()
+    assert(filesAfter.forall(_.deletes.isEmpty), "deletes not folded in")
+    assert(filesAfter.size < filesBefore.size, "small files not bin-packed")
+    assert(t.scan.toDF.count() === want)
+    // MoR table is now upsertable again (file-targeted rewrite needs
+    // delete-free files)
+    val src = orders.filter(col("o_orderkey") > 14000).withColumn("o_orderstatus", lit("Z"))
+    t.upsert(src, Seq("o_orderkey"))
+    assert(t.scan.toDF.filter(col("o_orderstatus") === "Z").count() === src.count())
+  }
+
   test("metadata JSON round-trip") {
     val t = catalog.loadTable("t_part")
     val json = MetadataJson.toJson(t.metadata)
