@@ -37,7 +37,9 @@ final case class DataFile(
     columnSizes: Map[Int, Long] = Map.empty,
     splitOffsets: Seq[Long] = Nil,
     sortOrderId: Option[Int] = None,
-    specId: Int = 0)
+    specId: Int = 0,
+    /** field ids of the equality columns (content=EqualityDeletes only). */
+    equalityIds: Seq[Int] = Nil)
 
 final case class ManifestEntry(
     status: Int,

@@ -72,6 +72,7 @@ object ManifestIO {
       new AvroSchema.Field("lower_bounds", nullable(kvArray("k126_v127", AvroSchema.Type.BYTES)), null, AvroSchema.Field.NULL_DEFAULT_VALUE),
       new AvroSchema.Field("upper_bounds", nullable(kvArray("k129_v130", AvroSchema.Type.BYTES)), null, AvroSchema.Field.NULL_DEFAULT_VALUE),
       new AvroSchema.Field("split_offsets", nullable(AvroSchema.createArray(AvroSchema.create(AvroSchema.Type.LONG))), null, AvroSchema.Field.NULL_DEFAULT_VALUE),
+      new AvroSchema.Field("equality_ids", nullable(AvroSchema.createArray(AvroSchema.create(AvroSchema.Type.INT))), null, AvroSchema.Field.NULL_DEFAULT_VALUE),
       new AvroSchema.Field("sort_order_id", nullable(AvroSchema.create(AvroSchema.Type.INT)), null, AvroSchema.Field.NULL_DEFAULT_VALUE))
     AvroSchema.createRecord("r2", null, null, false, fields.asJava)
   }
@@ -154,6 +155,8 @@ object ManifestIO {
         df.put("upper_bounds", boundRecords(dfSchema, "upper_bounds", e.dataFile.upperBounds, schema))
         df.put("split_offsets", if (e.dataFile.splitOffsets.isEmpty) null
           else e.dataFile.splitOffsets.map(java.lang.Long.valueOf).asJava)
+        df.put("equality_ids", if (e.dataFile.equalityIds.isEmpty) null
+          else e.dataFile.equalityIds.map(Integer.valueOf).asJava)
         df.put("sort_order_id", e.dataFile.sortOrderId.map(Integer.valueOf).orNull)
         rec.put("data_file", df)
         writer.append(rec)
@@ -230,7 +233,9 @@ object ManifestIO {
             splitOffsets = Option(df.get("split_offsets"))
               .map(_.asInstanceOf[java.util.List[Long]].asScala.toSeq).getOrElse(Nil),
             sortOrderId = Option(df.get("sort_order_id")).map(_.asInstanceOf[Int]),
-            specId = spec.specId))
+            specId = spec.specId,
+            equalityIds = Option(df.get("equality_ids"))
+              .map(_.asInstanceOf[java.util.List[Int]].asScala.toSeq).getOrElse(Nil)))
       }
       b.result()
     } finally reader.close()

@@ -206,6 +206,23 @@ object Iceberg {
       |WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 150000)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** A (deletes). equality deletes (extension — the reference rejects
+    * them): keys deleted from older data only; a later append of the same
+    * keys survives (sequence-number scoping). */
+  def equalityDeletes(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val tab = wh(s).createTable("orders", Schema.fromSpark(orders.schema))
+    tab.append(orders.filter(col("o_orderkey") <= 9000))
+    tab.deleteEqualityKeys(
+      orders.filter(col("o_orderkey") % 5 === 0).select(col("o_orderkey")))
+    tab.append(orders.filter(col("o_orderkey") > 9000))
+    tab.scan.toDF.orderBy(col("o_orderkey"))
+  }
+  val equalityDeletesSql =
+    """SELECT * FROM orders
+      |WHERE (o_orderkey <= 9000 AND o_orderkey % 5 <> 0) OR o_orderkey > 9000
+      |ORDER BY o_orderkey""".stripMargin
+
   /** A. metadata-only count (residual-free files never read). */
   def metadataCount(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -280,6 +297,7 @@ object Iceberg {
     "ice_incremental_scan" -> (incrementalScan _),
     "ice_schema_evolution" -> (schemaEvolution _),
     "ice_position_deletes" -> (positionDeletes _),
+    "ice_equality_deletes" -> (equalityDeletes _),
     "ice_metadata_count" -> (metadataCount _),
     "ice_partitions_meta" -> (partitionsMeta _),
     "ice_snapshots_meta" -> (snapshotsMeta _),
@@ -300,6 +318,7 @@ object Iceberg {
     "ice_incremental_scan" -> incrementalScanSql,
     "ice_schema_evolution" -> schemaEvolutionSql,
     "ice_position_deletes" -> positionDeletesSql,
+    "ice_equality_deletes" -> equalityDeletesSql,
     "ice_metadata_count" -> metadataCountSql,
     "ice_partitions_meta" -> partitionsMetaSql,
     "ice_snapshots_meta" -> snapshotsMetaSql,

@@ -308,6 +308,26 @@ class IceTable(
     commitSnapshot("replace", added = added, removedPaths = removed)
   }
 
+  /** Write an EQUALITY delete file: rows whose values in `keys`' columns
+    * match any key row are deleted from all OLDER data (merge-on-read
+    * extension — the reference rejects equality deletes outright,
+    * table/__init__.py:2651). Later appends with the same keys are
+    * unaffected (sequence-number scoping). */
+  def deleteEqualityKeys(keys: DataFrame): Unit = {
+    val keyFields = keys.columns.toSeq.map(n => schema.findField(n).getOrElse(
+      throw new IllegalArgumentException(s"No such column: $n")))
+    val keySchema = Schema(schema.fields.filter(f => keyFields.exists(_.id == f.id)))
+    val aligned = WriteFiles.align(keys, keySchema)
+    val stage = s"$location/data/${UUID.randomUUID()}"
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    aligned.distinct().coalesce(1).write.parquet(stage)
+    val written = WriteFiles.harvest(spark, stage, keySchema, PartitionSpec.Unpartitioned)
+      .map(_.copy(content = FileContent.EqualityDeletes,
+        equalityIds = keySchema.fields.map(_.id)))
+    commitSnapshot("delete", added = written, removedPaths = Set.empty)
+  }
+
   private def scanWithFilePath(): DataFrame = {
     val tasks = new IceScan(this).planFiles()
     require(tasks.forall(_.deletes.isEmpty),

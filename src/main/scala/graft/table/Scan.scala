@@ -117,7 +117,12 @@ final class IceScan(
 
     def applicableDeletes(specId: Int, partition: Seq[Any], dataSeq: Long): Seq[DataFile] =
       deleteRefs.filter { d =>
-        d.seq >= dataSeq && (
+        // position deletes apply at the same or later sequence; equality
+        // deletes only to STRICTLY older data (Iceberg spec scan rules)
+        val seqOk =
+          if (d.file.content == FileContent.EqualityDeletes) d.seq > dataSeq
+          else d.seq >= dataSeq
+        seqOk && (
           metadata.specById(d.specId).isUnpartitioned ||
           (d.specId == specId && partitionEquals(d.partition, partition)))
       }.map(_.file)
@@ -237,20 +242,41 @@ final class IceScan(
     if (plainTasks.nonEmpty)
       branches += readFiles(plainTasks.map(_.file.filePath), withMeta = false)
     if (deleteTasks.nonEmpty) {
-      val dataPaths = deleteTasks.map(_.file.filePath)
-      val deletePaths = deleteTasks.flatMap(_.deletes.map(_.filePath)).distinct
-      // position-delete files have columns (file_path, pos) — spec §Position
-      // Delete Files (ref io/pyarrow.py:1130 _read_deletes)
-      val deletes = spark.read.parquet(deletePaths: _*)
-        .select(col("file_path").as("__dfile"), col("pos").as("__dpos"))
-      val withIdx = readFiles(dataPaths, withMeta = true)
-      // deletes are small relative to data: broadcast the anti-join so the
-      // data side never shuffles
-      branches += withIdx
-        .join(broadcast(deletes),
-          withIdx("__file") === deletes("__dfile") && withIdx("__pos") === deletes("__dpos"),
-          "left_anti")
-        .drop("__file", "__pos")
+      // one branch per distinct applicable-delete signature (different data
+      // files can see different delete sets via sequence numbers); within a
+      // branch every delete applies to every file
+      val groups = deleteTasks.groupBy { t =>
+        (t.deletes.filter(_.content == FileContent.PositionDeletes).map(_.filePath).sorted,
+          t.deletes.filter(_.content == FileContent.EqualityDeletes).map(_.filePath).sorted)
+      }
+      groups.foreach { case ((posPaths, _), group) =>
+        val eqFiles = group.head.deletes
+          .filter(_.content == FileContent.EqualityDeletes)
+        var dfG = readFiles(group.map(_.file.filePath), withMeta = posPaths.nonEmpty)
+        if (posPaths.nonEmpty) {
+          // position-delete files have columns (file_path, pos) — spec
+          // §Position Delete Files (ref io/pyarrow.py:1130 _read_deletes);
+          // broadcast the anti-join so the data side never shuffles
+          val deletes = spark.read.parquet(posPaths: _*)
+            .select(col("file_path").as("__dfile"), col("pos").as("__dpos"))
+          dfG = dfG.join(broadcast(deletes),
+            dfG("__file") === deletes("__dfile") && dfG("__pos") === deletes("__dpos"),
+            "left_anti").drop("__file", "__pos")
+        }
+        // equality deletes (extension — the reference rejects reading them):
+        // anti-join on the delete file's equality columns, null-safe so a
+        // null key deletes null rows (Iceberg equality semantics)
+        eqFiles.groupBy(_.equalityIds).foreach { case (ids, files) =>
+          val names = ids.map(id => schema.byId(id).name)
+          val keySchema = Schema(schema.fields.filter(f => ids.contains(f.id)))
+          val keys = spark.read.schema(keySchema.toSpark)
+            .parquet(files.map(_.filePath): _*).distinct()
+          val keysAliased = names.foldLeft(keys)((d, n) => d.withColumnRenamed(n, s"__eq_$n"))
+          val cond = names.map(n => dfG(n) <=> keysAliased(s"__eq_$n")).reduce(_ && _)
+          dfG = dfG.join(broadcast(keysAliased), cond, "left_anti")
+        }
+        branches += dfG
+      }
     }
     var df = branches.result().reduce(_ unionByName _)
 

@@ -299,6 +299,23 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.scan.toDF.filter(col("o_orderstatus") === "Z").count() === src.count())
   }
 
+  test("equality deletes apply to older data only") {
+    val t = catalog.createTable("t_eqdel", Schema.fromSpark(orders.schema))
+    val batch1 = orders.filter(col("o_orderkey") <= 9000)
+    val batch2 = orders.filter(col("o_orderkey") > 9000)
+    t.append(batch1)
+    // delete keys spanning both batches — only batch1 rows are affected
+    t.deleteEqualityKeys(orders.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey")))
+    t.append(batch2)
+    val want = batch1.filter(col("o_orderkey") % 5 =!= 0).count() + batch2.count()
+    assert(t.scan.toDF.count() === want)
+    // compaction folds equality deletes in too
+    t.rewriteDataFiles()
+    assert(t.scan.planFiles().forall(_.deletes.isEmpty))
+    assert(t.scan.toDF.count() === want)
+  }
+
   test("metadata JSON round-trip") {
     val t = catalog.loadTable("t_part")
     val json = MetadataJson.toJson(t.metadata)
