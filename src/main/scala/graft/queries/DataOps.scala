@@ -73,12 +73,20 @@ object DataOps {
   def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), shingleSet(col("text")).as("ws"))
-      .withColumn("sorted", array_sort(col("ws")))
-      .withColumn("k", (size(col("ws")) - ceil(size(col("ws")) * 0.5) + 1).cast("int"))
-      .withColumn("prefix", slice(col("sorted"), lit(1), col("k")))
+    // global token order = (document frequency asc, token): any total order
+    // keeps the prefix-filter guarantee, and rarest-first makes the prefix
+    // tokens rare — candidates collapse to docs sharing RARE shingles
+    val exploded = docs.select(col("doc_id"), size(col("ws")).as("n"),
+      explode(col("ws")).as("tok"))
+    val freq = exploded.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ranked = exploded.join(freq, Seq("tok"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("df"), col("tok"))))
+      .withColumn("k", (col("n") - ceil(col("n") * 0.5) + 1).cast("int"))
     // length filter, also lossless at t=0.5: J ≥ 0.5 ⟹ sizes within 2×
-    val tokens = docs.select(col("doc_id"), size(col("ws")).as("n"),
-      explode(col("prefix")).as("tok"))
+    val tokens = ranked.filter(col("rank") <= col("k"))
+      .select(col("doc_id"), col("n"), col("tok"))
     val cands = tokens.as("x").join(tokens.as("y"),
         col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id") &&
           col("x.n") <= col("y.n") * 2 && col("y.n") <= col("x.n") * 2)
@@ -114,11 +122,20 @@ object DataOps {
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), shingleSet(col("text")).as("ws"),
-        TextFunctions.minhash_sig(col("text"), 64).as("sig"))
-    val bands = docs.select(col("doc_id"), posexplode(col("sig")).as(Seq("band", "h")))
+        TextFunctions.minhash_sig(col("text"), 128).as("sig"))
+    // 64 bands × 2 rows: catch probability 1-(1-j²)^64 (≈1-1e-8 at j=0.5)
+    // with far fewer candidates than 1-row bands — a pair must collide on
+    // BOTH permutations of some band
+    val bands = docs.select(col("doc_id"), explode(transform(
+      sequence(lit(0), lit(63)),
+      b => struct(b.as("band"),
+        element_at(col("sig"), b * 2 + 1).as("h1"),
+        element_at(col("sig"), b * 2 + 2).as("h2")))).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.h1").as("h1"), col("bk.h2").as("h2"))
     val cands = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
-          col("x.doc_id") < col("y.doc_id"))
+        col("x.band") === col("y.band") && col("x.h1") === col("y.h1") &&
+          col("x.h2") === col("y.h2") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
     val ws = docs.select(col("doc_id"), col("ws"))
