@@ -98,7 +98,40 @@ object Advanced {
       |  count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** AS-OF join: match every event to the latest "checkpoint" event
+    * (event_id % 10 = 0) of the same user at or before its timestamp.
+    * Spark lacks a native as-of join — composed as union + ordered window
+    * `last(ignoreNulls)` (preference (a) of the custom-operator ladder:
+    * compose built-ins before writing a SparkPlan). One shuffle on
+    * user_id; no range cross join. Oracle: DuckDB's native ASOF JOIN. */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+    val left = ev.select(col("user_id"), col("ts_us"), col("event_id"),
+      lit(null).cast("long").as("cp_id"), lit(0).as("is_right"))
+    val right = ev.filter(col("event_id") % 10 === 0)
+      .select(col("user_id"), col("ts_us"), lit(null).cast("long").as("event_id"),
+        col("event_id").as("cp_id"), lit(1).as("is_right"))
+    // right rows sort before left rows at equal ts so `>=` matches
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("is_right").desc, col("cp_id").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    left.unionByName(right)
+      .withColumn("asof_cp", last(col("cp_id"), ignoreNulls = true).over(w))
+      .filter(col("is_right") === 0)
+      .select(col("event_id"), col("user_id"), col("asof_cp"))
+      .orderBy(col("event_id"))
+  }
+  val asofJoinSql =
+    """WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events),
+      |cp AS (SELECT user_id, event_id AS cp_id, ts_us FROM ev WHERE event_id % 10 = 0)
+      |SELECT ev.event_id, ev.user_id, cp.cp_id AS asof_cp
+      |FROM ev ASOF LEFT JOIN cp
+      |  ON ev.user_id = cp.user_id AND ev.ts_us >= cp.ts_us
+      |ORDER BY ev.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_join" -> (asofJoin _),
     "rollup_agg" -> (rollup _),
     "set_ops" -> (setOps _),
     "ev_sessionize" -> (sessionize _),
@@ -106,6 +139,7 @@ object Advanced {
   )
 
   val oracles: Map[String, String] = Map(
+    "asof_join" -> asofJoinSql,
     "rollup_agg" -> rollupSql,
     "set_ops" -> setOpsSql,
     "ev_sessionize" -> sessionizeSql,

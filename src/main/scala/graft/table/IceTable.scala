@@ -41,8 +41,12 @@ class IceTable(
     Maintenance.expireSnapshots(this, olderThanMs, retainLast)
   def setProperties(props: (String, String)*): Unit =
     commitMetadata(m => m.copy(properties = m.properties ++ props))
-  /** Sort orders are metadata-only in the reference (files carry
-    * sort_order_id=None, ref io/pyarrow.py:2769) — same here. */
+  /** The table's default sort order; writes sort within each file so
+    * min/max stats tighten and row groups prune (the reference leaves
+    * files unsorted with sort_order_id=None, ref io/pyarrow.py:2769). */
+  private[table] def sortOrderOpt: Option[SortOrder] =
+    metadata.sortOrders.find(o => o.orderId == metadata.defaultSortOrderId && o.fields.nonEmpty)
+
   def replaceSortOrder(fields: (String, String)*): Unit = commitMetadata { m =>
     val order = SortOrder(m.sortOrders.map(_.orderId).max + 1,
       fields.map { case (colName, dir) =>
@@ -95,7 +99,8 @@ class IceTable(
   /** Fast append (ref: Transaction.append table/__init__.py:460,
     * _FastAppendFiles update/snapshot.py:503). */
   def append(df: DataFrame): Unit = {
-    val files = WriteFiles.write(spark, location, schema, spec, df, UUID.randomUUID().toString)
+    val files = WriteFiles.write(spark, location, schema, spec, df,
+      UUID.randomUUID().toString, sortOrderOpt)
     commitSnapshot("append", added = files, removedPaths = Set.empty)
   }
 
@@ -118,7 +123,7 @@ class IceTable(
       val survivors = readFilesFully(rewrites)
         .filter(ToColumn.complementary(bound))
       added = WriteFiles.write(spark, location, schema, spec, survivors,
-        UUID.randomUUID().toString)
+      UUID.randomUUID().toString, sortOrderOpt)
     }
     val removed = (wholeFiles ++ rewrites).map(_.file.filePath).toSet
     commitSnapshot(if (rewrites.isEmpty) "delete" else "overwrite",
@@ -132,11 +137,12 @@ class IceTable(
     val tasks = new IceScan(this).filter(filter).planFiles()
     val (wholeFiles, rewrites) = tasks.partition(t =>
       Evaluators.rowsMustMatch(bound, t.file) && t.deletes.isEmpty)
-    var added = WriteFiles.write(spark, location, schema, spec, df, UUID.randomUUID().toString)
+    var added = WriteFiles.write(spark, location, schema, spec, df,
+      UUID.randomUUID().toString, sortOrderOpt)
     if (rewrites.nonEmpty) {
       val survivors = readFilesFully(rewrites).filter(ToColumn.complementary(bound))
       added = added ++ WriteFiles.write(spark, location, schema, spec, survivors,
-        UUID.randomUUID().toString)
+      UUID.randomUUID().toString, sortOrderOpt)
     }
     val removed = (wholeFiles ++ rewrites).map(_.file.filePath).toSet
     commitSnapshot("overwrite", added = added, removedPaths = removed)
@@ -158,7 +164,8 @@ class IceTable(
     val removed = new IceScan(this).planFiles()
       .filter(t => touched.contains(normalizeTuple(t.file.partition)))
       .map(_.file.filePath).toSet
-    val added = WriteFiles.write(spark, location, schema, spec, df, UUID.randomUUID().toString)
+    val added = WriteFiles.write(spark, location, schema, spec, df,
+      UUID.randomUUID().toString, sortOrderOpt)
     commitSnapshot("overwrite", added = added, removedPaths = removed)
   }
 
@@ -220,11 +227,11 @@ class IceTable(
         val survivors = affectedRows.join(updKeys, keys, "left_anti")
         val replacement = survivors.unionByName(updates)
         added = WriteFiles.write(spark, location, schema, spec, replacement,
-          UUID.randomUUID().toString)
+      UUID.randomUUID().toString, sortOrderOpt)
       }
       if (nInserts > 0) {
         added = added ++ WriteFiles.write(spark, location, schema, spec, inserts,
-          UUID.randomUUID().toString)
+      UUID.randomUUID().toString, sortOrderOpt)
       }
       commitSnapshot("overwrite", added = added, removedPaths = removedPaths)
       (nUpdates, nInserts)
@@ -302,7 +309,8 @@ class IceTable(
     val toRewrite = withDeletes ++ (if (small.size >= 2) small else Nil)
     if (toRewrite.isEmpty) return
     val df = scanObj.toDFForTasks(toRewrite, applyResidualOnlyWhereNeeded = true)
-    val added = WriteFiles.write(spark, location, schema, spec, df, UUID.randomUUID().toString)
+    val added = WriteFiles.write(spark, location, schema, spec, df,
+      UUID.randomUUID().toString, sortOrderOpt)
     val removed = toRewrite.map(_.file.filePath).toSet ++
       withDeletes.flatMap(_.deletes.map(_.filePath))
     commitSnapshot("replace", added = added, removedPaths = removed)

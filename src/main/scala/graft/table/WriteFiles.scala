@@ -54,7 +54,8 @@ object WriteFiles {
     * stats. Files land under `<location>/data/<commitUuid>/` so a commit's
     * files are exactly one directory listing (no global listing). */
   def write(spark: SparkSession, location: String, schema: Schema, spec: PartitionSpec,
-      df: DataFrame, commitUuid: String): Seq[DataFile] = {
+      df: DataFrame, commitUuid: String,
+      sortOrder: Option[SortOrder] = None): Seq[DataFile] = {
     val stageDir = s"$location/data/$commitUuid"
     val aligned = align(df, schema)
 
@@ -62,8 +63,23 @@ object WriteFiles {
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
 
+    // the table's sort order applies within each written file — tighter
+    // min/max stats and better row-group pruning (the reference leaves
+    // files unsorted, io/pyarrow.py:2769; this is our improvement)
+    def sorted(d: DataFrame): DataFrame = sortOrder.filter(_.fields.nonEmpty) match {
+      case Some(so) =>
+        val cols = so.fields.map { f =>
+          val name = schema.byId(f.sourceId).name
+          if (f.direction == "desc") col(name).desc else col(name).asc
+        }
+        d.sortWithinPartitions(cols: _*)
+      case None => d
+    }
+
+    val orderId = sortOrder.filter(_.fields.nonEmpty).map(_.orderId)
+
     if (spec.isUnpartitioned) {
-      aligned.write.mode("overwrite").parquet(stageDir)
+      sorted(aligned).write.mode("overwrite").parquet(stageDir)
     } else {
       val partCols = spec.fields.map { pf =>
         val src = schema.byId(pf.sourceId)
@@ -72,13 +88,14 @@ object WriteFiles {
       val withParts = aligned.select((aligned.columns.map(col) ++ partCols): _*)
       // co-locate each partition in one task: fewer, larger files; AQE
       // handles skew/coalescing at scale
-      withParts
-        .repartition(spec.fields.map(pf => col(SyntheticPrefix + pf.name)): _*)
+      sorted(withParts
+        .repartition(spec.fields.map(pf => col(SyntheticPrefix + pf.name)): _*))
         .write.mode("overwrite")
         .partitionBy(spec.fields.map(pf => SyntheticPrefix + pf.name): _*)
         .parquet(stageDir)
     }
     harvest(spark, stageDir, schema, spec)
+      .map(f => orderId.map(id => f.copy(sortOrderId = Some(id))).getOrElse(f))
   }
 
   /** List written files and collect footer stats as a distributed job. */

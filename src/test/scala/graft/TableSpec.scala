@@ -316,6 +316,41 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.scan.toDF.count() === want)
   }
 
+  test("change feed: poll returns exactly the appended batches") {
+    import graft.streaming.TableChanges
+    val t = catalog.createTable("t_feed", Schema.fromSpark(orders.schema))
+    val (b0, c0) = TableChanges.poll(t, None)
+    assert(b0.count() === 0 && c0.isEmpty)
+    t.append(orders.filter(col("o_orderkey") <= 6000))
+    val (b1, c1) = TableChanges.poll(t, c0)
+    assert(b1.count() === orders.filter(col("o_orderkey") <= 6000).count())
+    t.append(orders.filter(col("o_orderkey") > 6000))
+    val (b2, c2) = TableChanges.poll(t, c1)
+    assert(b2.count() === orders.filter(col("o_orderkey") > 6000).count())
+    val (b3, c3) = TableChanges.poll(t, c2)
+    assert(b3.count() === 0 && c3 === c2)
+    // from-scratch poll sees everything
+    assert(TableChanges.poll(t, None)._1.count() === orders.count())
+  }
+
+  test("sorted writes record the sort order and sort within files") {
+    val t = catalog.createTable("t_sorted", Schema.fromSpark(orders.schema))
+    t.replaceSortOrder("o_orderkey" -> "asc")
+    t.append(orders)
+    val tasks = t.scan.planFiles()
+    assert(tasks.forall(_.file.sortOrderId.contains(1)))
+    // rows within each file are sorted: _metadata.row_index order == key order
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val df = spark.read.schema(t.schema.toSpark).parquet(tasks.map(_.file.filePath): _*)
+      .select(col("o_orderkey"), col("_metadata.file_path").as("f"),
+        col("_metadata.row_index").as("i"))
+    import org.apache.spark.sql.expressions.Window
+    val disorder = df.withColumn("prev",
+        lag(col("o_orderkey"), 1).over(Window.partitionBy(col("f")).orderBy(col("i"))))
+      .filter(col("prev").isNotNull && col("prev") > col("o_orderkey")).count()
+    assert(disorder === 0)
+  }
+
   test("metadata JSON round-trip") {
     val t = catalog.loadTable("t_part")
     val json = MetadataJson.toJson(t.metadata)
