@@ -1,0 +1,259 @@
+package graft.spark
+
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{GroupType, MessageType, Type => PType}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table => SparkTable, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.catalog.HadoopCatalog
+import graft.core._
+import graft.meta.MetadataJson
+import graft.table.IceTable
+
+/** DataSourceV2 connector (SURVEY §7 step 10 / §4 DSv2 artifacts):
+  *
+  * ```
+  * spark.read.format("graft")
+  *   .option("warehouse", "/wh").option("table", "events").load()
+  * ```
+  *
+  * Filters pushed by Catalyst are translated back into engine predicates,
+  * so MANIFEST/partition/stats pruning re-runs per SQL query (unlike the
+  * temp-view face, whose file list is fixed at registration). Column
+  * pruning flows into the reader's parquet projection by FIELD-ID (rename
+  * safe). Spark additionally re-applies every filter on the returned rows,
+  * so partially-translatable predicates stay correct.
+  *
+  * v1 limits: batch reads of the current snapshot; tables with outstanding
+  * delete files are rejected (compact with rewriteDataFiles first).
+  */
+class GraftSource extends TableProvider with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def load(options: CaseInsensitiveStringMap): IceTable = {
+    val wh = options.get("warehouse")
+    val name = options.get("table")
+    require(wh != null && name != null, "options 'warehouse' and 'table' are required")
+    // the session is only used driver-side for planning
+    val spark = org.apache.spark.sql.SparkSession.active
+    new HadoopCatalog(wh, spark).loadTable(name)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    load(options).schema.toSpark
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): SparkTable =
+    new GraftSparkTable(load(new CaseInsensitiveStringMap(properties)))
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+class GraftSparkTable(table: IceTable) extends SparkTable with SupportsRead {
+  override def name(): String = table.name
+  override def schema(): StructType = table.schema.toSpark
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(table)
+}
+
+class GraftScanBuilder(table: IceTable)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[sources.Filter] = Array.empty
+  private var expr: Expr = AlwaysTrue
+  private var required: StructType = table.schema.toSpark
+
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    val translated = filters.flatMap(f => toExpr(f).map(e => (f, e)))
+    pushed = translated.map(_._1)
+    expr = translated.map(_._2).foldLeft(AlwaysTrue: Expr)(And(_, _))
+    // return everything as post-scan filters: Spark re-evaluates, so a
+    // may-match pruning translation can never drop correctness
+    filters
+  }
+
+  override def pushedFilters(): Array[sources.Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** sources.Filter → engine predicate (may-match translation). */
+  private def toExpr(f: sources.Filter): Option[Expr] = f match {
+    case sources.EqualTo(a, v) => Some(Eq(a, v))
+    case sources.GreaterThan(a, v) => Some(Gt(a, v))
+    case sources.GreaterThanOrEqual(a, v) => Some(GtEq(a, v))
+    case sources.LessThan(a, v) => Some(Lt(a, v))
+    case sources.LessThanOrEqual(a, v) => Some(LtEq(a, v))
+    case sources.In(a, vs) => Some(In(a, vs.toSeq))
+    case sources.IsNull(a) => Some(IsNull(a))
+    case sources.IsNotNull(a) => Some(NotNull(a))
+    case sources.StringStartsWith(a, p) => Some(StartsWith(a, p))
+    case sources.And(l, r) =>
+      (toExpr(l), toExpr(r)) match {
+        case (Some(a), Some(b)) => Some(And(a, b))
+        case (Some(a), None) => Some(a) // partial AND is still inclusive
+        case (None, Some(b)) => Some(b)
+        case _ => None
+      }
+    case sources.Or(l, r) =>
+      for { a <- toExpr(l); b <- toExpr(r) } yield Or(a, b)
+    case sources.Not(c) => toExpr(c).map(Not(_))
+    case _ => None
+  }
+
+  override def build(): Scan = {
+    // convert Spark literal types to engine-coercible values at bind time
+    val normalized = expr
+    new GraftScan(table, normalized, required)
+  }
+}
+
+final case class GraftInputPartition(
+    filePath: String,
+    readSchemaJson: String) extends InputPartition
+
+class GraftScan(table: IceTable, expr: Expr, required: StructType) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val tasks = table.scan.filter(normalizeLiterals(expr)).planFiles()
+    require(tasks.forall(_.deletes.isEmpty),
+      "graft DSv2 v1 cannot read tables with outstanding delete files; run rewriteDataFiles()")
+    // requested engine schema = table fields matching the pruned columns
+    val names = required.fieldNames.toSet
+    val readSchema = Schema(table.schema.fields.filter(f => names.contains(f.name)))
+    val json = MetadataJson.schemaToJson(readSchema).toString
+    tasks.map(t => GraftInputPartition(t.file.filePath, json): InputPartition).toArray
+  }
+
+  /** Spark pushes java.sql/LocalDate/Timestamp literals; flatten to types
+    * the binder coerces. */
+  private def normalizeLiterals(e: Expr): Expr = {
+    def norm(v: Any): Any = v match {
+      case d: java.sql.Date => d.toLocalDate.toString
+      case d: java.time.LocalDate => d.toString
+      case t: java.sql.Timestamp =>
+        t.toInstant.toEpochMilli * 1000L + (t.getNanos % 1000000) / 1000
+      case i: java.time.Instant => i.toEpochMilli * 1000L
+      case b: java.math.BigDecimal => b
+      case other => other
+    }
+    e match {
+      case And(l, r) => And(normalizeLiterals(l), normalizeLiterals(r))
+      case Or(l, r) => Or(normalizeLiterals(l), normalizeLiterals(r))
+      case Not(c) => Not(normalizeLiterals(c))
+      case Eq(a, v, t) => Eq(a, norm(v), t)
+      case NotEq(a, v, t) => NotEq(a, norm(v), t)
+      case Lt(a, v, t) => Lt(a, norm(v), t)
+      case LtEq(a, v, t) => LtEq(a, norm(v), t)
+      case Gt(a, v, t) => Gt(a, norm(v), t)
+      case GtEq(a, v, t) => GtEq(a, norm(v), t)
+      case In(a, vs, t) => In(a, vs.map(norm), t)
+      case NotIn(a, vs, t) => NotIn(a, vs.map(norm), t)
+      case other => other
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new GraftReaderFactory
+}
+
+class GraftReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    new GraftPartitionReader(p.filePath, p.readSchemaJson)
+  }
+}
+
+/** Row-by-row parquet reader over the example Group API, projecting file
+  * columns by FIELD-ID against the requested engine schema (rename-safe;
+  * name fallback for id-less files). Not vectorized — the library-first
+  * scan path remains the fast lane; this is the SQL connector. */
+class GraftPartitionReader(path: String, schemaJson: String)
+    extends PartitionReader[InternalRow] {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val schema: Schema = MetadataJson.schemaFromJson(mapper.readTree(schemaJson))
+  private val conf = new Configuration()
+
+  // project the FILE schema down to requested ids (or names)
+  private val fileSchema: MessageType = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
+    try r.getFooter.getFileMetaData.getSchema finally r.close()
+  }
+  private case class FieldPlan(outIdx: Int, fileName: Option[String], t: IceType)
+  private val plans: Seq[FieldPlan] = schema.fields.zipWithIndex.map { case (f, i) =>
+    val byId = fileSchema.getFields.asScala.find(ft =>
+      ft.getId != null && ft.getId.intValue() == f.id)
+    val byName = fileSchema.getFields.asScala.find(_.getName == f.name)
+    FieldPlan(i, byId.orElse(byName).map(_.getName), f.fieldType)
+  }
+  private val projection: MessageType = {
+    val wanted = plans.flatMap(_.fileName).toSet
+    new MessageType(fileSchema.getName,
+      fileSchema.getFields.asScala.filter(ft => wanted.contains(ft.getName)).asJava)
+  }
+
+  private val reader: ParquetReader[Group] = {
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      projection.toString)
+    ParquetReader.builder(new GroupReadSupport(), new Path(path)).withConf(conf).build()
+  }
+
+  private var current: Group = _
+
+  override def next(): Boolean = {
+    current = reader.read()
+    current != null
+  }
+
+  override def get(): InternalRow = {
+    val row = new GenericInternalRow(plans.size)
+    val gt: GroupType = current.getType
+    plans.foreach { p =>
+      p.fileName match {
+        case None => row.update(p.outIdx, null)
+        case Some(n) =>
+          val idx = gt.getFieldIndex(n)
+          if (current.getFieldRepetitionCount(idx) == 0) row.update(p.outIdx, null)
+          else row.update(p.outIdx, convert(current, idx, p.t))
+      }
+    }
+    row
+  }
+
+  private def convert(g: Group, idx: Int, t: IceType): Any = t match {
+    case IBoolean => g.getBoolean(idx, 0)
+    case IInt | IDate => g.getInteger(idx, 0)
+    case ILong | ITime | ITimestamp | ITimestamptz => g.getLong(idx, 0)
+    case IFloat => g.getFloat(idx, 0)
+    case IDouble => g.getDouble(idx, 0)
+    case IString | IUUID => UTF8String.fromString(g.getString(idx, 0))
+    case IBinary | IFixed(_) => g.getBinary(idx, 0).getBytes
+    case IDecimal(p, s) =>
+      Decimal(new java.math.BigDecimal(new java.math.BigInteger(g.getBinary(idx, 0).getBytes), s), p, s)
+    case other => throw new UnsupportedOperationException(s"DSv2 reader: $other")
+  }
+
+  override def close(): Unit = reader.close()
+}
