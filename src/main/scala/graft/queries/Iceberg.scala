@@ -22,9 +22,6 @@ object Iceberg {
   private def wh(spark: SparkSession): HadoopCatalog =
     new HadoopCatalog(Files.createTempDirectory("graft_ice").toString, spark)
 
-  private val ordCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-    "o_orderdate", "o_orderpriority")
-
   /** A. append + full scan (ref: Transaction.append + DataScan). */
   def appendScan(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")

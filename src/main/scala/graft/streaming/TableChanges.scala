@@ -13,7 +13,7 @@ import graft.table.IceTable
   * reference's IncrementalAppendScan (table/__init__.py:2372) driven as a
   * stream. `follow` wraps it in a background poller for push-style
   * consumption. A DSv2 MicroBatchStream over the same offsets (snapshot
-  * ids) is the planned round-2 surface.
+  * ids) is the natural next surface on top of this.
   */
 object TableChanges {
 

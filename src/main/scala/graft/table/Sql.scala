@@ -12,9 +12,10 @@ import graft.catalog.HadoopCatalog
   * filter pushdown and column pruning into the parquet scan. What a view
   * cannot do is re-run manifest/partition pruning per query (the file
   * list is fixed at registration); for that, call
-  * `table.scan(filter).toDF` — or use `sql` below, which re-plans per
-  * invocation. A DataSourceV2 `TableProvider` that pushes filters back
-  * into `planFiles` is the planned follow-up (SURVEY §7 step 10).
+  * `table.scan(filter).toDF`, use `sql` below (re-plans per invocation),
+  * or the DataSourceV2 connector (`spark.read.format("graft")`,
+  * graft.spark.GraftSource) whose filter pushdown re-runs manifest
+  * pruning per query.
   */
 object GraftSql {
 
