@@ -39,8 +39,10 @@ import graft.table.IceTable
   * safe). Spark additionally re-applies every filter on the returned rows,
   * so partially-translatable predicates stay correct.
   *
-  * v1 limits: batch reads of the current snapshot; tables with outstanding
-  * delete files are rejected (compact with rewriteDataFiles first).
+  * Position deletes are applied in the reader (sorted row-index skip);
+  * pushed limits stop each partition early. Current limits: batch reads of
+  * the current snapshot; equality deletes must be compacted first
+  * (rewriteDataFiles).
   */
 class GraftSource extends TableProvider with org.apache.spark.sql.sources.DataSourceRegister {
 
@@ -75,11 +77,16 @@ class GraftSparkTable(table: IceTable) extends SparkTable with SupportsRead {
 }
 
 class GraftScanBuilder(table: IceTable)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
 
   private var pushed: Array[sources.Filter] = Array.empty
   private var expr: Expr = AlwaysTrue
   private var required: StructType = table.schema.toSpark
+  private var limit: Long = -1L
+
+  /** per-partition early stop; Spark keeps the global Limit operator. */
+  override def pushLimit(n: Int): Boolean = { limit = n.toLong; true }
 
   override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
     val translated = filters.flatMap(f => toExpr(f).map(e => (f, e)))
@@ -119,18 +126,19 @@ class GraftScanBuilder(table: IceTable)
     case _ => None
   }
 
-  override def build(): Scan = {
-    // convert Spark literal types to engine-coercible values at bind time
-    val normalized = expr
-    new GraftScan(table, normalized, required)
-  }
+  override def build(): Scan = new GraftScan(table, expr, required, limit)
 }
 
 final case class GraftInputPartition(
     filePath: String,
-    readSchemaJson: String) extends InputPartition
+    readSchemaJson: String,
+    /** row indexes deleted from this file (position deletes), sorted. */
+    deletedPositions: Array[Long],
+    /** stop after this many emitted rows (pushed limit), -1 = none. */
+    limit: Long) extends InputPartition
 
-class GraftScan(table: IceTable, expr: Expr, required: StructType) extends Scan with Batch {
+class GraftScan(table: IceTable, expr: Expr, required: StructType,
+    pushedLimit: Long = -1L) extends Scan with Batch {
 
   override def readSchema(): StructType = required
 
@@ -138,13 +146,34 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType) extends Scan 
 
   override def planInputPartitions(): Array[InputPartition] = {
     val tasks = table.scan.filter(normalizeLiterals(expr)).planFiles()
-    require(tasks.forall(_.deletes.isEmpty),
-      "graft DSv2 v1 cannot read tables with outstanding delete files; run rewriteDataFiles()")
+    require(tasks.forall(_.deletes.forall(_.content == graft.meta.FileContent.PositionDeletes)),
+      "graft DSv2 reads position deletes only; fold equality deletes in with rewriteDataFiles()")
     // requested engine schema = table fields matching the pruned columns
     val names = required.fieldNames.toSet
     val readSchema = Schema(table.schema.fields.filter(f => names.contains(f.name)))
     val json = MetadataJson.schemaToJson(readSchema).toString
-    tasks.map(t => GraftInputPartition(t.file.filePath, json): InputPartition).toArray
+
+    // resolve position deletes driver-side: per-file sorted row indexes
+    // (bounded by delete volume, like the reference's in-memory index,
+    // io/pyarrow.py:1160 _combine_positional_deletes)
+    val deletePaths = tasks.flatMap(_.deletes.map(_.filePath)).distinct
+    val positionsByFile: Map[String, Array[Long]] =
+      if (deletePaths.isEmpty) Map.empty
+      else table.spark.read.parquet(deletePaths: _*)
+        .groupBy(org.apache.spark.sql.functions.col("file_path"))
+        .agg(org.apache.spark.sql.functions.sort_array(
+          org.apache.spark.sql.functions.collect_list("pos")).as("ps"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+    def normPath(p: String): String = p.replaceFirst("^file:/+", "/")
+    val positionsNormed = positionsByFile.map { case (k, v) => normPath(k) -> v }
+    def positionsFor(path: String): Array[Long] =
+      positionsNormed.getOrElse(normPath(path), Array.empty[Long])
+
+    tasks.map { t =>
+      val dels = if (t.deletes.isEmpty) Array.empty[Long] else positionsFor(t.file.filePath)
+      GraftInputPartition(t.file.filePath, json, dels, pushedLimit): InputPartition
+    }.toArray
   }
 
   /** Spark pushes java.sql/LocalDate/Timestamp literals; flatten to types
@@ -181,7 +210,7 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType) extends Scan 
 class GraftReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    new GraftPartitionReader(p.filePath, p.readSchemaJson)
+    new GraftPartitionReader(p.filePath, p.readSchemaJson, p.deletedPositions, p.limit)
   }
 }
 
@@ -189,7 +218,8 @@ class GraftReaderFactory extends PartitionReaderFactory {
   * columns by FIELD-ID against the requested engine schema (rename-safe;
   * name fallback for id-less files). Not vectorized — the library-first
   * scan path remains the fast lane; this is the SQL connector. */
-class GraftPartitionReader(path: String, schemaJson: String)
+class GraftPartitionReader(path: String, schemaJson: String,
+    deletedPositions: Array[Long] = Array.empty, limit: Long = -1L)
     extends PartitionReader[InternalRow] {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -210,8 +240,11 @@ class GraftPartitionReader(path: String, schemaJson: String)
   }
   private val projection: MessageType = {
     val wanted = plans.flatMap(_.fileName).toSet
-    new MessageType(fileSchema.getName,
-      fileSchema.getFields.asScala.filter(ft => wanted.contains(ft.getName)).asJava)
+    val kept = fileSchema.getFields.asScala.filter(ft => wanted.contains(ft.getName))
+    // COUNT-style scans prune to zero columns; parquet still needs one
+    // column to drive row iteration (rows are emitted empty)
+    val effective = if (kept.nonEmpty) kept else fileSchema.getFields.asScala.take(1)
+    new MessageType(fileSchema.getName, effective.asJava)
   }
 
   private val reader: ParquetReader[Group] = {
@@ -221,10 +254,24 @@ class GraftPartitionReader(path: String, schemaJson: String)
   }
 
   private var current: Group = _
+  private var rowIdx: Long = -1L
+  private var emitted: Long = 0L
+  private var delPtr: Int = 0
 
   override def next(): Boolean = {
-    current = reader.read()
-    current != null
+    if (limit >= 0 && emitted >= limit) return false
+    while (true) {
+      current = reader.read()
+      if (current == null) return false
+      rowIdx += 1
+      // skip position-deleted rows (sorted walk, O(1) amortized)
+      while (delPtr < deletedPositions.length && deletedPositions(delPtr) < rowIdx) delPtr += 1
+      if (delPtr >= deletedPositions.length || deletedPositions(delPtr) != rowIdx) {
+        emitted += 1
+        return true
+      }
+    }
+    false
   }
 
   override def get(): InternalRow = {

@@ -308,7 +308,13 @@ class IceTable(
     val small = tasks.filter(t => t.deletes.isEmpty && t.file.fileSizeInBytes < smallFileBytes)
     val toRewrite = withDeletes ++ (if (small.size >= 2) small else Nil)
     if (toRewrite.isEmpty) return
+    // bin-pack: coalesce the rewrite into ceil(totalBytes / 4×threshold)
+    // outputs so many small files become few larger ones
+    val totalBytes = toRewrite.map(_.file.fileSizeInBytes).sum
+    val targetFiles =
+      math.max(1L, (totalBytes + 4 * smallFileBytes - 1) / (4 * smallFileBytes)).toInt
     val df = scanObj.toDFForTasks(toRewrite, applyResidualOnlyWhereNeeded = true)
+      .coalesce(targetFiles)
     val added = WriteFiles.write(spark, location, schema, spec, df,
       UUID.randomUUID().toString, sortOrderOpt)
     val removed = toRewrite.map(_.file.filePath).toSet ++

@@ -66,6 +66,18 @@ class DataSourceV2Spec extends AnyFunSuite with BeforeAndAfterAll {
       orders.filter(col("o_orderstatus") === "O").count())
   }
 
+  test("position deletes applied inside the v2 reader; limit pushes down") {
+    val t = catalog.createTable("o_v2_mor", Schema.fromSpark(orders.schema))
+    t.append(orders)
+    t.deletePositional("o_orderkey <= 300")
+    val want = orders.filter(col("o_orderkey") > 300)
+    val df = loadV2("o_v2_mor")
+    assert(df.count() === want.count())
+    assert(df.filter(col("o_orderkey") <= 300).count() === 0)
+    // limit: correct row count and early stop
+    assert(df.limit(7).count() === 7)
+  }
+
   test("sql over the v2 source") {
     spark.sql(
       s"""CREATE OR REPLACE TEMPORARY VIEW o_sql

