@@ -71,7 +71,7 @@ class GraftSparkTable(table: IceTable) extends SparkTable with SupportsRead {
   override def name(): String = table.name
   override def schema(): StructType = table.schema.toSpark
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(table)
 }
@@ -202,6 +202,50 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
       case NotIn(a, vs, t) => NotIn(a, vs.map(norm), t)
       case other => other
     }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new GraftReaderFactory
+
+  /** Streaming face: micro-batches of committed APPENDS; offsets are
+    * snapshot ids (SURVEY §2.J — each micro-batch = one snapshot range,
+    * the DSv2 MicroBatchStream the survey reserves a seam for). */
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(table, required)
+}
+
+final case class SnapshotOffset(snapshotId: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = snapshotId.toString
+}
+
+class GraftMicroBatchStream(table: IceTable, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = SnapshotOffset(0L) // table start
+
+  override def latestOffset(): Offset = {
+    table.refresh()
+    SnapshotOffset(table.metadata.currentSnapshotId.getOrElse(0L))
+  }
+
+  override def deserializeOffset(json: String): Offset = SnapshotOffset(json.toLong)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[SnapshotOffset].snapshotId
+    val to = end.asInstanceOf[SnapshotOffset].snapshotId
+    if (to == 0L || from == to) return Array.empty
+    val names = required.fieldNames.toSet
+    val readSchema = Schema(table.schema.fields.filter(f => names.contains(f.name)))
+    val json = MetadataJson.schemaToJson(readSchema).toString
+    table.incrementalAppendFiles(from, to)
+      .map(f => GraftInputPartition(f.filePath, json, Array.empty[Long], -1L): InputPartition)
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new GraftReaderFactory

@@ -64,9 +64,10 @@ class IceTable(
   def scan: IceScan = new IceScan(this)
   def scan(filter: String): IceScan = new IceScan(this).filter(filter)
 
-  /** Committed-append change capture between two snapshots (ref:
-    * IncrementalAppendScan table/__init__.py:2372). */
-  def incrementalAppendScan(fromIdExclusive: Long, toIdInclusive: Long): DataFrame = {
+  /** Data files appended between two snapshots (exclusive, inclusive) —
+    * append-operation ancestors only (ref: IncrementalAppendScan
+    * plan_files table/__init__.py:2450). `fromIdExclusive=0` = table start. */
+  def incrementalAppendFiles(fromIdExclusive: Long, toIdInclusive: Long): Seq[DataFile] = {
     val to = metadata.snapshotById(toIdInclusive).getOrElse(
       throw new IllegalArgumentException(s"No snapshot $toIdInclusive"))
     val chain = metadata.ancestorsOf(to.snapshotId)
@@ -74,7 +75,7 @@ class IceTable(
       .filter(_.operation == "append")
     val ids = chain.map(_.snapshotId).toSet
     val schemaAt = metadata.schemaById(to.schemaId)
-    val files = chain.headOption.toSeq.flatMap { newest =>
+    chain.headOption.toSeq.flatMap { newest =>
       ManifestIO.readManifestList(newest.manifestList)
         .filter(mf => mf.content == 0 && ids.contains(mf.addedSnapshotId))
         .flatMap { mf =>
@@ -84,6 +85,14 @@ class IceTable(
             .map(_.dataFile)
         }
     }
+  }
+
+  /** Committed-append change capture between two snapshots (ref:
+    * IncrementalAppendScan table/__init__.py:2372). */
+  def incrementalAppendScan(fromIdExclusive: Long, toIdInclusive: Long): DataFrame = {
+    val schemaAt = metadata.schemaById(
+      metadata.snapshotById(toIdInclusive).map(_.schemaId).getOrElse(metadata.currentSchemaId))
+    val files = incrementalAppendFiles(fromIdExclusive, toIdInclusive)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schemaAt.toSpark)
