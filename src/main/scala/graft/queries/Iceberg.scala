@@ -220,6 +220,24 @@ object Iceberg {
       |WHERE (o_orderkey <= 9000 AND o_orderkey % 5 <> 0) OR o_orderkey > 9000
       |ORDER BY o_orderkey""".stripMargin
 
+  /** DSv2 face: read back through spark.read.format("graft") with a
+    * filter pushed into per-query manifest pruning (SURVEY §7 step 10). */
+  def dsv2Scan(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val cat = wh(s)
+    val tab = cat.createTable("customer", Schema.fromSpark(cust.schema))
+    tab.append(cust)
+    s.read.format("graft")
+      .option("warehouse", cat.warehouse).option("table", "customer").load()
+      .filter(col("c_acctbal") > 5000.0 && col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+  val dsv2ScanSql =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE c_acctbal > 5000.0 AND c_mktsegment = 'BUILDING'
+      |ORDER BY c_custkey""".stripMargin
+
   /** A. metadata-only count (residual-free files never read). */
   def metadataCount(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -295,6 +313,7 @@ object Iceberg {
     "ice_schema_evolution" -> (schemaEvolution _),
     "ice_position_deletes" -> (positionDeletes _),
     "ice_equality_deletes" -> (equalityDeletes _),
+    "ice_dsv2_scan" -> (dsv2Scan _),
     "ice_metadata_count" -> (metadataCount _),
     "ice_partitions_meta" -> (partitionsMeta _),
     "ice_snapshots_meta" -> (snapshotsMeta _),
@@ -316,6 +335,7 @@ object Iceberg {
     "ice_schema_evolution" -> schemaEvolutionSql,
     "ice_position_deletes" -> positionDeletesSql,
     "ice_equality_deletes" -> equalityDeletesSql,
+    "ice_dsv2_scan" -> dsv2ScanSql,
     "ice_metadata_count" -> metadataCountSql,
     "ice_partitions_meta" -> partitionsMetaSql,
     "ice_snapshots_meta" -> snapshotsMetaSql,
