@@ -204,6 +204,63 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("metrics evaluators are sound: mustMatch ⟹ all rows match; !mightMatch ⟹ none do") {
+    import graft.meta._
+    val s2 = Schema(Seq(
+      NestedField(1, "k", ILong),
+      NestedField(2, "s", IString)))
+    val genRow: Gen[(java.lang.Long, String)] = for {
+      k <- Gen.oneOf(Gen.const(null: java.lang.Long),
+        Gen.chooseNum(-50L, 50L).map(Long.box))
+      s <- Gen.oneOf(Gen.const(null: String), Gen.oneOf("a", "ab", "abc", "b", "zz"))
+    } yield (k, s)
+    val leaf: Gen[Expr] = {
+      val kLit: Gen[Any] = Gen.chooseNum(-60L, 60L).map(x => x: Any)
+      val sLit: Gen[Any] = Gen.oneOf("a", "ab", "b", "zz", "c").map(x => x: Any)
+      Gen.oneOf[Gen[Expr]](
+        kLit.map(v => Eq("k", v)), kLit.map(v => NotEq("k", v)),
+        kLit.map(v => Lt("k", v)), kLit.map(v => GtEq("k", v)),
+        Gen.listOfN(2, kLit).map(vs => In("k", vs)),
+        Gen.listOfN(2, kLit).map(vs => NotIn("k", vs)),
+        sLit.map(v => Eq("s", v)), sLit.map(v => LtEq("s", v)),
+        Gen.oneOf("a", "z").map(p => StartsWith("s", p): Expr),
+        Gen.const(IsNull("k")), Gen.const(NotNull("s"))).flatMap(identity)
+    }
+    def gen(depth: Int): Gen[Expr] =
+      if (depth <= 0) leaf
+      else Gen.frequency(3 -> leaf,
+        2 -> Gen.zip(gen(depth - 1), gen(depth - 1)).map { case (a, b) => And(a, b) },
+        2 -> Gen.zip(gen(depth - 1), gen(depth - 1)).map { case (a, b) => Or(a, b) },
+        1 -> gen(depth - 1).map(Not(_)))
+
+    def fileFor(rows: Seq[(java.lang.Long, String)]): DataFile = {
+      val ks = rows.map(_._1).filter(_ != null).map(_.longValue())
+      val ss = rows.map(_._2).filter(_ != null)
+      DataFile(0, "f", "PARQUET", Nil, rows.size.toLong, 1L,
+        valueCounts = Map(1 -> rows.size.toLong, 2 -> rows.size.toLong),
+        nullValueCounts = Map(1 -> rows.count(_._1 == null).toLong,
+          2 -> rows.count(_._2 == null).toLong),
+        lowerBounds = Seq(ks.minOption.map(v => 1 -> (v: Any)),
+          ss.minOption.map(v => 2 -> (v: Any))).flatten.toMap,
+        upperBounds = Seq(ks.maxOption.map(v => 1 -> (v: Any)),
+          ss.maxOption.map(v => 2 -> (v: Any))).flatten.toMap)
+    }
+
+    forAllSampled(Gen.zip(gen(2), Gen.listOfN(20, genRow)), 200) { case (pred, rows) =>
+      val bound = Exprs.rewriteNot(Binder.bind(s2, pred))
+      val file = fileFor(rows)
+      def rowMatches(r: (java.lang.Long, String)): Boolean =
+        Evaluator.eval(bound, Map(1 -> r._1, 2 -> r._2))
+      val matches = rows.map(rowMatches)
+      if (!Evaluators.rowsMightMatch(bound, file))
+        assert(!matches.exists(identity),
+          s"UNSOUND prune: $bound dropped a file containing a match; rows=$rows")
+      if (rows.nonEmpty && Evaluators.rowsMustMatch(bound, file))
+        assert(matches.forall(identity),
+          s"UNSOUND strict: $bound claimed all-match on a file with a miss; rows=$rows")
+    }
+  }
+
   test("time transforms round-trip through human strings for recent dates") {
     forAllSampled(Gen.chooseNum(0, 40000)) { days =>
       val d = DayTransform.apply(days, IDate).asInstanceOf[Int]
