@@ -47,7 +47,31 @@ object ExprParser extends RegexParsers {
     }
   }
 
+  /** `transform(column)` term, e.g. `day(ts)`, `bucket[16](id)` —
+    * predicates on transformed terms (ref: BoundTransform
+    * transforms.py:1158). */
+  private def transformTerm: Parser[(String, Transform)] =
+    ("""(?i)(identity|year|month|day|hour|void|bucket\[\d+\]|truncate\[\d+\])""".r <~ "(") ~
+      (ident <~ ")") ^^ { case tname ~ c => (c, Transform.parse(tname.toLowerCase)) }
+
+  private def transformPredicate: Parser[Expr] =
+    transformTerm ~ ("<=" | ">=" | "==" | "!=" | "<>" | "<" | ">" | "=") ~ literal ^^ {
+      case ((c, tr)) ~ op ~ v => op match {
+        case "<" => Lt(c, v, Some(tr))
+        case "<=" => LtEq(c, v, Some(tr))
+        case ">" => Gt(c, v, Some(tr))
+        case ">=" => GtEq(c, v, Some(tr))
+        case "=" | "==" => Eq(c, v, Some(tr))
+        case "!=" | "<>" => NotEq(c, v, Some(tr))
+      }
+    } |
+    transformTerm ~ (opt(kw("NOT")) <~ kw("IN")) ~ literalList ^^ {
+      case ((c, tr)) ~ not ~ vs =>
+        if (not.isDefined) NotIn(c, vs, Some(tr)) else In(c, vs, Some(tr))
+    }
+
   private def predicate: Parser[Expr] =
+    transformPredicate |
     ident ~ (kw("IS") ~> opt(kw("NOT")) ~ (kw("NULL") | kw("NAN"))) ^^ {
       case c ~ (not ~ "NULL") => if (not.isDefined) NotNull(c) else IsNull(c)
       case c ~ (not ~ _) => if (not.isDefined) NotNaN(c) else IsNaN(c)

@@ -34,7 +34,28 @@ object Evaluators {
         case (a, b) => BOr(a, b)
       }
       case BNot(_) => BTrue // NOT-free input expected; stay safe
-      case p: BoundPred if p.transform.isDefined => BTrue // already-transformed terms: no projection
+      // a predicate already on a transformed term projects directly onto a
+      // partition field with the SAME source and transform (its value IS
+      // the partition value)
+      case p: BoundPred if p.transform.isDefined =>
+        spec.fields.find(pf => pf.sourceId == p.field.id && pf.transform == p.transform.get)
+          .map { pf =>
+            val pfField = NestedField(pf.fieldId, pf.name,
+              pf.transform.resultType(p.field.fieldType))
+            (p match {
+              case BEq(_, _, v, _) => BEq(pfField, pf.name, v, None)
+              case BNotEq(_, _, v, _) => BNotEq(pfField, pf.name, v, None)
+              case BLt(_, _, v, _) => BLt(pfField, pf.name, v, None)
+              case BLtEq(_, _, v, _) => BLtEq(pfField, pf.name, v, None)
+              case BGt(_, _, v, _) => BGt(pfField, pf.name, v, None)
+              case BGtEq(_, _, v, _) => BGtEq(pfField, pf.name, v, None)
+              case BIn(_, _, vs, _) => BIn(pfField, pf.name, vs, None)
+              case BNotIn(_, _, vs, _) => BNotIn(pfField, pf.name, vs, None)
+              case _: BIsNull => BIsNull(pfField, pf.name, None)
+              case _: BNotNull => BNotNull(pfField, pf.name, None)
+              case _ => BTrue
+            }): BoundExpr
+          }.getOrElse(BTrue)
       case p: BoundPred =>
         val parts = spec.fields.filter(_.sourceId == p.field.id)
         if (parts.isEmpty) BTrue

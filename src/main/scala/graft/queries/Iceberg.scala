@@ -220,6 +220,24 @@ object Iceberg {
       |WHERE (o_orderkey <= 9000 AND o_orderkey % 5 <> 0) OR o_orderkey > 9000
       |ORDER BY o_orderkey""".stripMargin
 
+  /** B/E. predicate on a TRANSFORMED term (ref: BoundTransform
+    * transforms.py:1158): `day(ts) = D` prunes a day-partitioned table
+    * exactly (the term IS the partition value). */
+  def transformPredicate(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val schema = Schema.fromSpark(li.schema)
+    val tab = wh(s).createTable("lineitem",
+      schema, Spec.build(schema, 0, ("l_shipdate", DayTransform, "l_day")))
+    tab.append(li)
+    tab.scan("day(l_shipdate) = '1997-06-05'")
+      .select("l_orderkey", "l_linenumber", "l_shipdate")
+      .toDF.orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+  val transformPredicateSql =
+    """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) = DATE '1997-06-05'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   /** DSv2 face: read back through spark.read.format("graft") with a
     * filter pushed into per-query manifest pruning (SURVEY §7 step 10). */
   def dsv2Scan(s: SparkSession, dir: String): DataFrame = {
@@ -314,6 +332,7 @@ object Iceberg {
     "ice_position_deletes" -> (positionDeletes _),
     "ice_equality_deletes" -> (equalityDeletes _),
     "ice_dsv2_scan" -> (dsv2Scan _),
+    "ice_transform_predicate" -> (transformPredicate _),
     "ice_metadata_count" -> (metadataCount _),
     "ice_partitions_meta" -> (partitionsMeta _),
     "ice_snapshots_meta" -> (snapshotsMeta _),
@@ -336,6 +355,7 @@ object Iceberg {
     "ice_position_deletes" -> positionDeletesSql,
     "ice_equality_deletes" -> equalityDeletesSql,
     "ice_dsv2_scan" -> dsv2ScanSql,
+    "ice_transform_predicate" -> transformPredicateSql,
     "ice_metadata_count" -> metadataCountSql,
     "ice_partitions_meta" -> partitionsMetaSql,
     "ice_snapshots_meta" -> snapshotsMetaSql,

@@ -119,6 +119,20 @@ class ExprSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ExprParser.parse("name LIKE 'a%b%'"))
   }
 
+  test("transform-term predicates parse and bind") {
+    assert(ExprParser.parse("day(ts) = '2024-01-02'") ===
+      Eq("ts", "2024-01-02", Some(DayTransform)))
+    assert(ExprParser.parse("bucket[16](id) = 3") ===
+      Eq("id", 3L, Some(BucketTransform(16))))
+    assert(ExprParser.parse("year(ts) >= 54") === GtEq("ts", 54L, Some(YearTransform)))
+    // binds with the transform's result type (day → epoch days)
+    val b = Binder.bind(schema, ExprParser.parse("day(ts) = '2024-01-02'"))
+    assert(b === BEq(schema.byId(3), "ts", 19724, Some(DayTransform)))
+    // evaluates against raw micros
+    assert(Evaluator.eval(b, Map(3 -> (19724L * 86400000000L + 5L: Any))))
+    assert(!Evaluator.eval(b, Map(3 -> (19725L * 86400000000L: Any))))
+  }
+
   test("bind coerces literals to internal repr") {
     val b = Binder.bind(schema, ExprParser.parse("ts >= '2024-01-02T00:00:00'"))
     assert(b === BGtEq(schema.byId(3), "ts", 1704153600000000L, None))
