@@ -62,6 +62,11 @@ object WriteFiles {
     // parquet physical settings the stats harvest + id-resolution rely on
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    // task-side commit (v2): job commit renames O(partitions) directories
+    // sequentially on the driver under v1 — dominates fan-out writes with
+    // thousands of partition dirs
+    spark.sparkContext.hadoopConfiguration
+      .set("mapreduce.fileoutputcommitter.algorithm.version", "2")
 
     // the table's sort order applies within each written file — tighter
     // min/max stats and better row-group pruning (the reference leaves
@@ -98,12 +103,27 @@ object WriteFiles {
       .map(f => orderId.map(id => f.copy(sortOrderId = Some(id))).getOrElse(f))
   }
 
-  /** List written files and collect footer stats as a distributed job. */
-  def harvest(spark: SparkSession, stageDir: String, schema: Schema,
-      spec: PartitionSpec): Seq[DataFile] = {
-    val fs = new Path(stageDir).getFileSystem(new Configuration())
-    val files = {
-      val it = fs.listFiles(new Path(stageDir), true)
+  /** Recursively list `.parquet` files under `dir`.
+    *
+    * Local paths go through java.nio: Hadoop's RawLocalFileSystem builds
+    * each FileStatus by FORKING `ls` to load permissions (~30ms/file), so
+    * a recursive listing over thousands of partition directories takes
+    * minutes. Remote schemes (s3/hdfs) keep the Hadoop listing, whose
+    * native LIST calls are fine at scale. */
+  def listParquet(dir: String): Seq[String] = {
+    val isLocal = dir.startsWith("file:") || !dir.contains(":")
+    if (isLocal) {
+      val root = java.nio.file.Paths.get(dir.stripPrefix("file:"))
+      if (!java.nio.file.Files.isDirectory(root)) return Nil
+      val s = java.nio.file.Files.walk(root)
+      try {
+        val b = Seq.newBuilder[String]
+        s.forEach(p => if (p.toString.endsWith(".parquet")) b += p.toString)
+        b.result()
+      } finally s.close()
+    } else {
+      val fs = new Path(dir).getFileSystem(new Configuration())
+      val it = fs.listFiles(new Path(dir), true)
       val b = Seq.newBuilder[String]
       while (it.hasNext) {
         val f = it.next()
@@ -111,6 +131,12 @@ object WriteFiles {
       }
       b.result()
     }
+  }
+
+  /** List written files and collect footer stats as a distributed job. */
+  def harvest(spark: SparkSession, stageDir: String, schema: Schema,
+      spec: PartitionSpec): Seq[DataFile] = {
+    val files = listParquet(stageDir)
     if (files.isEmpty) return Nil
 
     // (name, id, type-repr) for top-level columns — serializable for tasks
@@ -121,8 +147,13 @@ object WriteFiles {
     val partTypes = spec.partitionType(schema).map(_.fieldType.repr)
 
     val slices = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
-    spark.sparkContext.parallelize(files, slices).map { path =>
-      StatsHarvester.fileToDataFile(path, stage, colInfo, partFieldNames, partTypes)
+    // one Hadoop Configuration + FileSystem per task, NOT per file: the
+    // Configuration constructor parses XML resources and is the dominant
+    // cost when harvesting thousands of small files
+    spark.sparkContext.parallelize(files, slices).mapPartitions { paths =>
+      val conf = new Configuration()
+      paths.map(path =>
+        StatsHarvester.fileToDataFile(path, stage, colInfo, partFieldNames, partTypes, conf))
     }.collect().toSeq
   }
 }
@@ -182,8 +213,8 @@ object StatsHarvester extends Serializable {
   }
 
   def fileToDataFile(path: String, stageDir: String, colInfo: Seq[(String, Int, String)],
-      partFieldNames: Seq[String], partTypes: Seq[String]): DataFile = {
-    val conf = new Configuration()
+      partFieldNames: Seq[String], partTypes: Seq[String],
+      conf: Configuration = new Configuration()): DataFile = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val size = fs.getFileStatus(p).getLen
