@@ -293,7 +293,8 @@ class IceTable(
     val paths = tasks.map(_.file.filePath)
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val matches = spark.read.schema(schema.toSpark).parquet(paths: _*)
-      .select(col("_metadata.file_path").as("file_path"), col("_metadata.row_index").as("pos"))
+      .select(PathUtil.canonCol(col("_metadata.file_path")).as("file_path"),
+        col("_metadata.row_index").as("pos"))
       .where(ToColumn.compile(bound))
       .orderBy(col("file_path"), col("pos"))
     val stage = s"$location/data/${UUID.randomUUID()}"
@@ -364,7 +365,7 @@ class IceTable(
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
     } else
       spark.read.schema(schema.toSpark).parquet(tasks.map(_.file.filePath): _*)
-        .select(col("*"), col("_metadata.file_path").as("__file"))
+        .select(col("*"), PathUtil.canonCol(col("_metadata.file_path")).as("__file"))
   }
 
   private def readFilesFully(tasks: Seq[FileScanTask]): DataFrame = {

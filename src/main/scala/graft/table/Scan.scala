@@ -205,9 +205,8 @@ final class IceScan(
     // files written by this table carry parquet field-ids; externally
     // registered files (add_files) resolve by NAME MAPPING instead
     // (ref: io/pyarrow.py:1178 pyarrow_to_schema(…, name_mapping))
-    val dataRoot = s"${table.location}/data/"
-    def isExternal(p: String): Boolean =
-      !p.stripPrefix("file:").startsWith(dataRoot.stripPrefix("file:"))
+    val dataRoot = PathUtil.canon(s"${table.location}/data/")
+    def isExternal(p: String): Boolean = !PathUtil.canon(p).startsWith(dataRoot)
     val mapping = table.nameMapping
 
     val (externalTasks, ownTasks) = tasks.partition(t => isExternal(t.file.filePath))
@@ -216,7 +215,7 @@ final class IceScan(
     def readFiles(paths: Seq[String], withMeta: Boolean): DataFrame = {
       val base = spark.read.schema(readSchema.toSpark).parquet(paths: _*)
       if (withMeta)
-        base.select(col("*"), col("_metadata.file_path").as("__file"),
+        base.select(col("*"), PathUtil.canonCol(col("_metadata.file_path")).as("__file"),
           col("_metadata.row_index").as("__pos"))
       else base
     }
@@ -258,7 +257,7 @@ final class IceScan(
           // §Position Delete Files (ref io/pyarrow.py:1130 _read_deletes);
           // broadcast the anti-join so the data side never shuffles
           val deletes = spark.read.parquet(posPaths: _*)
-            .select(col("file_path").as("__dfile"), col("pos").as("__dpos"))
+            .select(PathUtil.canonCol(col("file_path")).as("__dfile"), col("pos").as("__dpos"))
           dfG = dfG.join(broadcast(deletes),
             dfG("__file") === deletes("__dfile") && dfG("__pos") === deletes("__dpos"),
             "left_anti").drop("__file", "__pos")

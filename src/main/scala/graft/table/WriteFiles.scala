@@ -111,9 +111,13 @@ object WriteFiles {
     * minutes. Remote schemes (s3/hdfs) keep the Hadoop listing, whose
     * native LIST calls are fine at scale. */
   def listParquet(dir: String): Seq[String] = {
-    val isLocal = dir.startsWith("file:") || !dir.contains(":")
-    if (isLocal) {
-      val root = java.nio.file.Paths.get(dir.stripPrefix("file:"))
+    // locality from the RESOLVED filesystem, not string sniffing: a
+    // scheme-less path resolves against fs.defaultFS, which on a cluster
+    // is hdfs/s3 — walking the driver's local disk there would silently
+    // commit zero files
+    val fs = new Path(dir).getFileSystem(new Configuration())
+    if (fs.getScheme == "file") {
+      val root = java.nio.file.Paths.get(PathUtil.canon(dir))
       if (!java.nio.file.Files.isDirectory(root)) return Nil
       val s = java.nio.file.Files.walk(root)
       try {
@@ -122,12 +126,11 @@ object WriteFiles {
         b.result()
       } finally s.close()
     } else {
-      val fs = new Path(dir).getFileSystem(new Configuration())
       val it = fs.listFiles(new Path(dir), true)
       val b = Seq.newBuilder[String]
       while (it.hasNext) {
         val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet")) b += f.getPath.toString
+        if (f.getPath.getName.endsWith(".parquet")) b += PathUtil.canon(f.getPath.toString)
       }
       b.result()
     }
@@ -276,7 +279,7 @@ object StatsHarvester extends Serializable {
       val partition = parsePartition(path, stageDir, partFieldNames, partTypes)
       DataFile(
         content = FileContent.Data,
-        filePath = path,
+        filePath = PathUtil.canon(path),
         fileFormat = "PARQUET",
         partition = partition,
         recordCount = rows,
