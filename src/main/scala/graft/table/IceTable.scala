@@ -124,19 +124,39 @@ class IceTable(
     if (bound == BFalse) return
     val tasks = new IceScan(this).filter(filter).planFiles()
     if (tasks.isEmpty) return
+    // a file whose stats prove EVERY row matches can be dropped whole even
+    // when MoR deletes apply: the live rows are a subset of "all rows match"
     val (wholeFiles, rewrites) = tasks.partition(t =>
-      Evaluators.rowsMustMatch(bound, t.file) && t.deletes.isEmpty)
+      Evaluators.rowsMustMatch(bound, t.file))
     var added: Seq[DataFile] = Nil
     if (rewrites.nonEmpty) {
-      // read only the affected files, keep survivors (NULL rows survive)
-      val survivors = readFilesFully(rewrites)
+      // read the affected files THROUGH the MoR machinery (outstanding
+      // position/equality deletes applied) so previously deleted rows are
+      // not resurrected into the rewrite; survivors = non-matching (NULL
+      // rows survive via the null-preserving complement)
+      val survivors = new IceScan(this)
+        .toDFForTasks(rewrites, applyResidualOnlyWhereNeeded = true)
         .filter(ToColumn.complementary(bound))
       added = WriteFiles.write(spark, location, schema, spec, survivors,
       UUID.randomUUID().toString, sortOrderOpt)
     }
     val removed = (wholeFiles ++ rewrites).map(_.file.filePath).toSet
     commitSnapshot(if (rewrites.isEmpty) "delete" else "overwrite",
-      added = added, removedPaths = removed)
+      added = added, removedPaths = removed ++ deadDeleteFiles(removed))
+  }
+
+  /** Delete files whose every applicable data file is in `removedData`:
+    * dead after this commit (their targets are gone or rewritten with the
+    * deletes folded in), so drop them in the same snapshot instead of
+    * letting MoR state accumulate. */
+  private def deadDeleteFiles(removedData: Set[String]): Set[String] = {
+    if (removedData.isEmpty) return Set.empty
+    val allTasks = new IceScan(this).planFiles()
+    val stillReferenced = allTasks
+      .filterNot(t => removedData.contains(t.file.filePath))
+      .flatMap(_.deletes.map(_.filePath)).toSet
+    allTasks.filter(t => removedData.contains(t.file.filePath))
+      .flatMap(_.deletes.map(_.filePath)).toSet -- stillReferenced
   }
 
   /** Overwrite rows matching `filter` (default: full truncate) with `df`
@@ -145,16 +165,19 @@ class IceTable(
     val bound = Exprs.rewriteNot(Binder.bind(schema, filter))
     val tasks = new IceScan(this).filter(filter).planFiles()
     val (wholeFiles, rewrites) = tasks.partition(t =>
-      Evaluators.rowsMustMatch(bound, t.file) && t.deletes.isEmpty)
+      Evaluators.rowsMustMatch(bound, t.file))
     var added = WriteFiles.write(spark, location, schema, spec, df,
       UUID.randomUUID().toString, sortOrderOpt)
     if (rewrites.nonEmpty) {
-      val survivors = readFilesFully(rewrites).filter(ToColumn.complementary(bound))
+      // MoR-aware read, as in delete(): never resurrect deleted rows
+      val survivors = new IceScan(this)
+        .toDFForTasks(rewrites, applyResidualOnlyWhereNeeded = true)
+        .filter(ToColumn.complementary(bound))
       added = added ++ WriteFiles.write(spark, location, schema, spec, survivors,
       UUID.randomUUID().toString, sortOrderOpt)
     }
     val removed = (wholeFiles ++ rewrites).map(_.file.filePath).toSet
-    commitSnapshot("overwrite", added = added, removedPaths = removed)
+    commitSnapshot("overwrite", added = added, removedPaths = removed ++ deadDeleteFiles(removed))
   }
 
   /** Overwrite only the partitions present in `df`
@@ -368,12 +391,6 @@ class IceTable(
         .select(col("*"), PathUtil.canonCol(col("_metadata.file_path")).as("__file"))
   }
 
-  private def readFilesFully(tasks: Seq[FileScanTask]): DataFrame = {
-    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
-    spark.read.schema(schema.toSpark).parquet(tasks.map(_.file.filePath): _*)
-  }
-
   // ---- snapshot production + commit --------------------------------------
 
   /** Build and commit one snapshot: rewrite only manifests that reference
@@ -433,7 +450,9 @@ class IceTable(
         val (dead, alive) = entries.partition(e => removedPaths.contains(e.dataFile.filePath))
         if (dead.isEmpty) Some(mf)
         else {
-          removedCount += dead.map(_.dataFile.recordCount).sum
+          // count only data rows — dead DELETE files' record counts are
+          // delete entries, not table rows
+          if (mf.content == 0) removedCount += dead.map(_.dataFile.recordCount).sum
           if (alive.isEmpty) None
           else {
             val path = s"$metaDir/m-${UUID.randomUUID()}.avro"
@@ -445,12 +464,23 @@ class IceTable(
       }
     }
 
+    // delete files are staged with EMPTY partition tuples (deletePositional /
+    // deleteEqualityKeys write them unpartitioned), so their manifests must
+    // reference an unpartitioned spec: under a partitioned base.spec the
+    // applicability index would see a partition-scoped delete whose tuple
+    // matches no data partition and silently skip it
+    val unpartSpec: PartitionSpec = base.partitionSpecs.find(_.isUnpartitioned)
+      .getOrElse(PartitionSpec(base.partitionSpecs.map(_.specId).max + 1, Nil))
+    val registerUnpartSpec = added.exists(_.content != FileContent.Data) &&
+      !base.partitionSpecs.exists(_.isUnpartitioned)
+
     val newManifests: Seq[ManifestFile] = added.groupBy(_.content).toSeq.sortBy(_._1).map {
       case (content, files) =>
+        val sp = if (content == FileContent.Data) base.spec else unpartSpec
         val entries = files.map(f => ManifestEntry(EntryStatus.Added, snapId, seq, seq, f))
         val path = s"$metaDir/m-${UUID.randomUUID()}.avro"
-        val len = ManifestIO.writeManifest(path, entries, base.spec, base.schema)
-        manifestFileFor(path, len, base.spec, base.schema, entries, snapId, seq,
+        val len = ManifestIO.writeManifest(path, entries, sp, base.schema)
+        manifestFileFor(path, len, sp, base.schema, entries, snapId, seq,
           if (content == FileContent.Data) 0 else 1)
     }
 
@@ -496,7 +526,10 @@ class IceTable(
 
     val snap = Snapshot(snapId, base.currentSnapshotId, seq, now, listPath, summary,
       base.currentSchemaId)
-    val withExtra = extraMeta(base)
+    val withExtra0 = extraMeta(base)
+    val withExtra = if (registerUnpartSpec)
+      withExtra0.copy(partitionSpecs = withExtra0.partitionSpecs :+ unpartSpec)
+    else withExtra0
     val newMeta = withExtra.copy(
       lastSequenceNumber = seq,
       lastUpdatedMs = now,

@@ -43,16 +43,25 @@ final class Transaction(table: IceTable) {
   def delete(filter: Expr): Transaction = {
     val bound = Exprs.rewriteNot(Binder.bind(table.schema, filter))
     if (bound == BFalse) return this
+    // staged appends are invisible to planFiles (it reads committed
+    // manifests), so test the predicate against the staged files' harvested
+    // stats instead — conservative: a staged file that MIGHT contain
+    // matching rows rejects the transaction (documented semantics: a
+    // transaction cannot delete rows it appended)
+    val stagedHit = added.filter(f => f.content == FileContent.Data &&
+      Evaluators.rowsMightMatch(bound, f))
+    if (stagedHit.nonEmpty)
+      throw new ValidationException(
+        "Transaction cannot delete rows it appended (staged file may match: " +
+          stagedHit.head.filePath + ")")
     val tasks = new IceScan(table).filter(filter).planFiles()
     val (whole, rewrites) = tasks.partition(t =>
-      Evaluators.rowsMustMatch(bound, t.file) && t.deletes.isEmpty)
-    val conflict = tasks.map(_.file.filePath).toSet.intersect(added.map(_.filePath).toSet)
-    if (conflict.nonEmpty)
-      throw new ValidationException("Transaction cannot delete rows it appended")
+      Evaluators.rowsMustMatch(bound, t.file))
     if (rewrites.nonEmpty) {
-      table.spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-      val survivors = table.spark.read.schema(table.schema.toSpark)
-        .parquet(rewrites.map(_.file.filePath): _*)
+      // MoR-aware read: apply outstanding position/equality deletes so the
+      // rewrite cannot resurrect previously deleted rows
+      val survivors = new IceScan(table)
+        .toDFForTasks(rewrites, applyResidualOnlyWhereNeeded = true)
         .filter(ToColumn.complementary(bound))
       added = added ++ stageWrite(survivors)
     }

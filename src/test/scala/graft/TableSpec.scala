@@ -161,6 +161,36 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.scan.count() === want)
   }
 
+  test("MoR deletes apply on PARTITIONED tables (position + equality)") {
+    val schema = Schema.fromSpark(orders.schema)
+    val spec = PartitionSpec.build(schema, 0, ("o_orderkey", BucketTransform(4), "o_bucket"))
+    val t = catalog.createTable("t_mor_part", schema, spec)
+    t.append(orders)
+    t.deletePositional("o_orderkey <= 300")
+    val want = orders.filter(col("o_orderkey") > 300).count()
+    assert(t.scan.toDF.count() === want, "position deletes must apply across partitions")
+    assert(t.scan.count() === want)
+    t.deleteEqualityKeys(orders.filter(col("o_orderkey") === 500).select("o_orderkey"))
+    assert(t.scan.toDF.count() === want - 1, "equality deletes must apply across partitions")
+  }
+
+  test("CoW delete after MoR delete does not resurrect rows") {
+    val t = catalog.createTable("t_cow_mor", Schema.fromSpark(orders.schema))
+    t.append(orders)
+    t.deletePositional("o_orderstatus = 'F'")
+    val afterMor = orders.filter(col("o_orderstatus") =!= "F").count()
+    assert(t.scan.toDF.count() === afterMor)
+    // CoW delete forces a rewrite of every file (predicate matches a slice
+    // of each); the rewrite must carry the position deletes through
+    t.delete("o_orderkey <= 700")
+    val want = orders.filter(col("o_orderstatus") =!= "F" && col("o_orderkey") > 700).count()
+    assert(t.scan.toDF.count() === want, "rewrite must not resurrect MoR-deleted rows")
+    // the folded delete files are dropped in the same commit: nothing in
+    // the new snapshot references them
+    val live = t.scan.planFiles()
+    assert(live.forall(_.deletes.isEmpty), "dead delete files should be dropped")
+  }
+
   test("metadata tables") {
     val t = catalog.loadTable("t_tt")
     assert(t.inspect.snapshots().count() === 2)
@@ -213,18 +243,26 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     val versionBefore = catalog.currentVersion("t_txn").get
     t.transaction()
       .append(orders.filter(col("o_orderkey") > 900))
-      .delete("o_orderstatus = 'F'")
+      .delete("o_orderkey <= 100")
       .setProperties("owner" -> "graft")
       .commit()
     // exactly one new metadata version and one new snapshot
     assert(catalog.currentVersion("t_txn").get === versionBefore + 1)
     assert(t.metadata.snapshots.size === 2)
     assert(t.metadata.properties("owner") === "graft")
-    // staged delete sees PRE-transaction state (documented Transaction
-    // semantics): F-rows appended in the same transaction survive
-    val want = orders.filter(col("o_orderkey") <= 900 && col("o_orderstatus") =!= "F").count() +
+    val want = orders.filter(col("o_orderkey") > 100 && col("o_orderkey") <= 900).count() +
       orders.filter(col("o_orderkey") > 900).count()
     assert(t.scan.toDF.count() === want)
+    // a delete whose predicate may hit rows staged by the SAME transaction
+    // is rejected (we stage against pre-transaction state, so silently
+    // skipping those rows would diverge from the reference's sequential
+    // apply — throw instead of being subtly wrong)
+    intercept[graft.table.ValidationException] {
+      t.transaction()
+        .append(orders.filter(col("o_orderkey") <= 50))
+        .delete("o_orderkey <= 50")
+        .commit()
+    }
   }
 
   test("static table reads without a catalog and rejects writes") {
