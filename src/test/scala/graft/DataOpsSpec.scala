@@ -37,6 +37,24 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(precision >= 0.5, s"simhash precision $precision")
   }
 
+  test("clustered embed near-dup: subset of exact pairs, high recall") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Vectors
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+    val exact = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .filter(Vectors.cosine(col("a_v"), col("b_v")) >= 0.4)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = DataOps.embedNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact), "clustered near-dup must not invent pairs")
+    assert(exact.nonEmpty)
+    val recall = got.count(exact).toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall vs exact join")
+  }
+
   test("IVF ANN recall vs brute force") {
     val exact = DataOps.annCosineTopK(spark, dir).collect().map(_.getLong(0)).toSet
     val ivf = DataOps.annIvfTopK(spark, dir).collect().map(_.getLong(0)).toSet
