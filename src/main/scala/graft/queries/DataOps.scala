@@ -215,16 +215,20 @@ object DataOps {
     * scale K ∝ n keeps candidates ~ n·m² (linear), cells bounded. */
   def embedNearDup(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), Vectors.norm(col("embedding")).as("nrm"))
     val cents = e.filter(col("vec_id") < 256)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_v"))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_v"),
+        col("nrm").as("cent_n"))
+    // norms precomputed ONCE per vector/centroid — the n×K assignment then
+    // costs one dot product per pair instead of three array folds
     val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("cs", Vectors.cosine(col("embedding"), col("cent_v")))
+      .withColumn("cs", Vectors.dot(col("embedding"), col("cent_v")) /
+        (col("nrm") * col("cent_n")))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
           .orderBy(col("cs").desc, col("cent_id"))))
       .filter(col("rn") <= 8)
-      .select(col("cent_id"), col("vec_id"), col("embedding"),
-        Vectors.norm(col("embedding")).as("nrm"))
+      .select(col("cent_id"), col("vec_id"), col("embedding"), col("nrm"))
     val a = assigned.select(col("cent_id"), col("vec_id").as("a_id"),
       col("embedding").as("a_v"), col("nrm").as("a_n"))
     val b = assigned.select(col("cent_id"), col("vec_id").as("b_id"),

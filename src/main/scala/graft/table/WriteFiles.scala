@@ -62,11 +62,13 @@ object WriteFiles {
     // parquet physical settings the stats harvest + id-resolution rely on
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    // task-side commit (v2): job commit renames O(partitions) directories
-    // sequentially on the driver under v1 — dominates fan-out writes with
-    // thousands of partition dirs
-    spark.sparkContext.hadoopConfiguration
-      .set("mapreduce.fileoutputcommitter.algorithm.version", "2")
+    // committer stays v1: v2's task-side commit can leave partial files of
+    // a failed attempt directly in stageDir, and harvest would register
+    // them as data (MAPREDUCE-7282). Under v1 uncommitted output lives in
+    // _temporary and never reaches the listing. The local-fs perf problem
+    // v2 papered over is addressed by RawLocalFileSystem (no .crc
+    // shadow files / fork-based checksummed renames) in the sessions we
+    // own — see Bench/Verify builders.
 
     // the table's sort order applies within each written file — tighter
     // min/max stats and better row-group pruning (the reference leaves
@@ -91,10 +93,15 @@ object WriteFiles {
         pf.transform.column(col(src.name), src.fieldType).as(SyntheticPrefix + pf.name)
       }
       val withParts = aligned.select((aligned.columns.map(col) ++ partCols): _*)
-      // co-locate each partition in one task: fewer, larger files; AQE
-      // handles skew/coalescing at scale
+      // co-locate each partition in one task (one file per partition
+      // value). The task count is EXPLICIT: with a bare repartition(cols)
+      // AQE coalesces the small shuffle into one task and serializes every
+      // per-partition writer open/close behind it — measured 22s vs 16s on
+      // a 2.5k-partition fan-out
+      val writeTasks = math.max(spark.sparkContext.defaultParallelism,
+        spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
       sorted(withParts
-        .repartition(spec.fields.map(pf => col(SyntheticPrefix + pf.name)): _*))
+        .repartition(writeTasks, spec.fields.map(pf => col(SyntheticPrefix + pf.name)): _*))
         .write.mode("overwrite")
         .partitionBy(spec.fields.map(pf => SyntheticPrefix + pf.name): _*)
         .parquet(stageDir)
@@ -115,8 +122,10 @@ object WriteFiles {
     // scheme-less path resolves against fs.defaultFS, which on a cluster
     // is hdfs/s3 — walking the driver's local disk there would silently
     // commit zero files
+    // getUri.getScheme, not getScheme: RawLocalFileSystem (which our
+    // benchmark sessions install for file://) doesn't implement getScheme
     val fs = new Path(dir).getFileSystem(new Configuration())
-    if (fs.getScheme == "file") {
+    if (fs.getUri.getScheme == "file") {
       val root = java.nio.file.Paths.get(PathUtil.canon(dir))
       if (!java.nio.file.Files.isDirectory(root)) return Nil
       val s = java.nio.file.Files.walk(root)
@@ -149,12 +158,13 @@ object WriteFiles {
     val partFieldNames = spec.fields.map(pf => SyntheticPrefix + pf.name)
     val partTypes = spec.partitionType(schema).map(_.fieldType.repr)
 
-    val slices = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
-    // one Hadoop Configuration + FileSystem per task, NOT per file: the
-    // Configuration constructor parses XML resources and is the dominant
-    // cost when harvesting thousands of small files
+    // 4 slices per core for balance (footer sizes vary); one Hadoop
+    // Configuration per task, NOT per file — its constructor parses XML
+    // resources and dominates when harvesting thousands of small files
+    val slices = math.max(1,
+      math.min(files.size, 4 * spark.sparkContext.defaultParallelism))
     spark.sparkContext.parallelize(files, slices).mapPartitions { paths =>
-      val conf = new Configuration()
+      lazy val conf = new Configuration()
       paths.map(path =>
         StatsHarvester.fileToDataFile(path, stage, colInfo, partFieldNames, partTypes, conf))
     }.collect().toSeq
@@ -218,10 +228,20 @@ object StatsHarvester extends Serializable {
   def fileToDataFile(path: String, stageDir: String, colInfo: Seq[(String, Int, String)],
       partFieldNames: Seq[String], partTypes: Seq[String],
       conf: Configuration = new Configuration()): DataFile = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    val size = fs.getFileStatus(p).getLen
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    // local files bypass the Hadoop FS layer entirely (pure NIO input);
+    // remote URIs keep HadoopInputFile
+    val isLocal = !path.contains(":") || path.startsWith("file:")
+    val (size, input) = if (isLocal) {
+      val np = java.nio.file.Paths.get(PathUtil.canon(path))
+      (java.nio.file.Files.size(np),
+        new org.apache.parquet.io.LocalInputFile(np): org.apache.parquet.io.InputFile)
+    } else {
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      (fs.getFileStatus(p).getLen,
+        HadoopInputFile.fromPath(p, conf): org.apache.parquet.io.InputFile)
+    }
+    val reader = ParquetFileReader.open(input)
     try {
       val footer = reader.getFooter
       val blocks = footer.getBlocks
