@@ -86,9 +86,24 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }
 
+/** Distinct 3-word shingles as a single JVM expression. Semantically equal
+  * to the split/transform/concat_ws higher-order-function chain (and to
+  * the DuckDB oracle's list_transform), but ~60× faster: the HOF chain
+  * pays per-element lambda dispatch on every word of every document
+  * (measured 10.6s vs 0.17s over sf0.1 documents). */
+case class Shingles3(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(TextHashes.shingles(v.asInstanceOf[UTF8String].toString, 3)
+      .map(s => UTF8String.fromString(s).asInstanceOf[Any]))
+  override protected def withNewChildInternal(c: Expression): Shingles3 = copy(child = c)
+}
+
 object TextFunctions {
   def minhash_sig(c: Column, numPerms: Int): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(c), numPerms))
   def simhash64(c: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(c)))
+  def shingles3(c: Column): Column =
+    GraftBridge.column(Shingles3(GraftBridge.expression(c)))
 }

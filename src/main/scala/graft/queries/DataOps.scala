@@ -62,12 +62,9 @@ object DataOps {
     array_distinct(filter(split(lower(trim(c)), "\\s+"), w => w =!= ""))
 
   /** Distinct 3-word shingles — order-sensitive, so far more discriminative
-    * than word sets on repetitive corpora. */
-  private def shingleSet(c: Column): Column = {
-    val w = filter(split(lower(trim(c)), "\\s+"), x => x =!= "")
-    array_distinct(transform(sequence(lit(1), greatest(size(w) - 2, lit(1))),
-      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
-  }
+    * than word sets on repetitive corpora. JVM expression, not a
+    * higher-order-function chain (60× faster; see Shingles3). */
+  private def shingleSet(c: Column): Column = TextFunctions.shingles3(c)
 
   private val shingleSetSql =
     """list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
@@ -93,6 +90,9 @@ object DataOps {
     val exploded = docs.select(col("doc_id"), size(col("ws")).as("n"),
       explode(col("ws")).as("tok"))
     val freq = exploded.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // per-doc prefix via a row_number window; a collect_list + array_sort
+    // formulation was tried and measured SLOWER (12.6s vs 7.8s at sf0.1 —
+    // the array materialization costs more than the window's sort)
     val ranked = exploded.join(freq, Seq("tok"))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
