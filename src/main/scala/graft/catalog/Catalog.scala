@@ -1,6 +1,6 @@
 package graft.catalog
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 import java.util.UUID
 
 import graft.core.Schema
@@ -77,15 +77,15 @@ class HadoopCatalog(val warehouse: String, val spark: SparkSession) {
     val tmp = Files.createTempFile(target.getParent, s".v$next-", ".json.tmp")
     Files.write(tmp, MetadataJson.toJson(meta).getBytes("UTF-8"))
     try {
-      // CREATE_NEW semantics via ATOMIC_MOVE onto a non-existent target:
-      // if a concurrent commit won, the target exists and the move fails
-      if (Files.exists(target)) throw new CommitConflictException(name, next)
-      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      // true CREATE_NEW: link(2) fails atomically when the target exists.
+      // (rename(2) — Files.move ATOMIC_MOVE — silently REPLACES an
+      // existing target, so exists()+move is a TOCTOU race where both
+      // concurrent committers can "succeed" and one snapshot is lost.)
+      Files.createLink(target, tmp)
     } catch {
-      case e: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
+      case _: java.nio.file.FileAlreadyExistsException =>
         throw new CommitConflictException(name, next)
-    }
+    } finally Files.deleteIfExists(tmp)
     Files.write(Paths.get(hintFile(name)), next.toString.getBytes("UTF-8"))
     next
   }

@@ -150,6 +150,24 @@ final case class TruncateTransform(width: Int) extends Transform {
 sealed abstract class TimeTransform(val name: String) extends Transform {
   val preservesOrder = true
   def resultType(src: IceType): IceType = if (name == "day") IDate else IInt
+
+  /** Exact floorDiv on a long column: (x - pmod) is a non-negative-remainder
+    * multiple of d, so the decimal division is exact (a bare long `/` would
+    * go through double and lose precision above 2^53, and `div` truncates
+    * toward zero — wrong pre-1970). */
+  protected def floorDivCol(x: Column, d: Long): Column = {
+    val m = x - pmod(x, lit(d))
+    (m.cast(SparkDecimalType(38, 0)) / lit(java.math.BigDecimal.valueOf(d))).cast("long")
+  }
+
+  /** Session-timezone-FREE day ordinal of a timestamp column: raw epoch
+    * micros → floorDiv. `c.cast("date")` / `year(ts)` / `month(ts)` all
+    * interpret the instant in spark.sql.session.timeZone, which would make
+    * written partition values disagree with the UTC-based JVM `apply` used
+    * by predicate projection — wrong pruning on non-UTC sessions. */
+  protected def utcDays(c: Column): Column =
+    floorDivCol(unix_micros(c), 86400000000L).cast("int")
+
   protected def fromMicros(micros: Long): Int
   protected def fromDays(days: Int): Int
   def apply(v: Any, src: IceType): Any = if (v == null) null else src match {
@@ -157,12 +175,26 @@ sealed abstract class TimeTransform(val name: String) extends Transform {
     case ITimestamp | ITimestamptz => fromMicros(v.asInstanceOf[Number].longValue())
     case other => throw new IllegalArgumentException(s"Cannot apply $name to $other")
   }
+  /** Column form for a DateType source (dates carry no timezone, so the
+    * builtin year/month are safe there). */
+  protected def columnFromDate(d: Column): Column
+  def column(c: Column, src: IceType): Column = src match {
+    case IDate => columnFromDate(c)
+    // NTZ is a wall-clock value: its date part is timezone-free by
+    // construction, so the builtin cast is safe (and codegen-friendly)
+    case ITimestamp => columnFromDate(c.cast("date"))
+    // an instant (TIMESTAMP/ltz): NEVER year()/month()/cast(date), which
+    // interpret it in spark.sql.session.timeZone — derive the UTC day
+    // ordinal from raw epoch micros so written partition values agree
+    // with the UTC-based JVM apply used by predicate projection
+    case _ => columnFromDate(date_from_unix_date(utcDays(c)))
+  }
 }
 
 case object YearTransform extends TimeTransform("year") {
   def fromMicros(m: Long): Int = Transforms.microsToLocalDateTime(m).getYear - 1970
   def fromDays(d: Int): Int = Transforms.EpochDay.plusDays(d.toLong).getYear - 1970
-  def column(c: Column, src: IceType): Column = (year(c) - lit(1970)).cast("int")
+  protected def columnFromDate(d: Column): Column = (year(d) - lit(1970)).cast("int")
   def toHumanString(v: Any, src: IceType): String =
     if (v == null) "null" else (v.asInstanceOf[Number].intValue() + 1970).toString
 }
@@ -176,8 +208,8 @@ case object MonthTransform extends TimeTransform("month") {
     val ld = Transforms.EpochDay.plusDays(d.toLong)
     (ld.getYear - 1970) * 12 + (ld.getMonthValue - 1)
   }
-  def column(c: Column, src: IceType): Column =
-    ((year(c) - lit(1970)) * lit(12) + month(c) - lit(1)).cast("int")
+  protected def columnFromDate(d: Column): Column =
+    ((year(d) - lit(1970)) * lit(12) + month(d) - lit(1)).cast("int")
   def toHumanString(v: Any, src: IceType): String = {
     if (v == null) return "null"
     val ord = v.asInstanceOf[Number].intValue()
@@ -188,7 +220,7 @@ case object MonthTransform extends TimeTransform("month") {
 case object DayTransform extends TimeTransform("day") {
   def fromMicros(m: Long): Int = Math.floorDiv(m, 86400000000L).toInt
   def fromDays(d: Int): Int = d
-  def column(c: Column, src: IceType): Column = c.cast("date")
+  protected def columnFromDate(d: Column): Column = d
   def toHumanString(v: Any, src: IceType): String =
     if (v == null) "null" else Transforms.EpochDay.plusDays(v.asInstanceOf[Number].longValue()).toString
 }
@@ -197,8 +229,14 @@ case object HourTransform extends TimeTransform("hour") {
   def fromMicros(m: Long): Int = Math.floorDiv(m, 3600000000L).toInt
   def fromDays(d: Int): Int =
     throw new IllegalArgumentException("hour transform not applicable to date")
-  def column(c: Column, src: IceType): Column =
-    (unix_timestamp(c).cast("long") / lit(3600L)).cast("int")
+  protected def columnFromDate(d: Column): Column =
+    throw new IllegalArgumentException("hour transform not applicable to date")
+  override def column(c: Column, src: IceType): Column = src match {
+    case ITimestamp => // NTZ wall clock: date/hour parts are tz-free
+      (datediff(c.cast("date"), to_date(lit("1970-01-01"))).cast("long") * lit(24L) +
+        hour(c).cast("long")).cast("int")
+    case _ => floorDivCol(unix_micros(c), 3600000000L).cast("int")
+  }
   def toHumanString(v: Any, src: IceType): String = {
     if (v == null) return "null"
     val h = v.asInstanceOf[Number].longValue()

@@ -392,6 +392,49 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(disorder === 0)
   }
 
+  test("time-transform columns match the JVM apply under a NON-UTC session timezone") {
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      import spark.implicits._
+      // instants straddling midnight UTC and the epoch, where a
+      // session-tz interpretation gives a different day/hour
+      val micros = Seq(
+        883612800000000L,      // 1998-01-01T00:00:00Z
+        883612799999999L,      // 1997-12-31T23:59:59.999999Z
+        -1L,                   // 1969-12-31T23:59:59.999999Z
+        -86400000000L,         // 1969-12-31T00:00:00Z
+        3601000000L)           // 1970-01-01T01:00:01Z
+      val df = micros.toDF("us")
+        .select(col("us"), timestamp_micros(col("us")).as("ts"))
+      // timestamp_micros() builds an ltz TIMESTAMP = an instant; this is
+      // the source type whose builtin year()/month()/cast(date) are
+      // session-timezone-dependent
+      for (tr <- Seq(YearTransform, MonthTransform, DayTransform, HourTransform)) {
+        val raw = tr.column(col("ts"), ITimestamptz)
+        // day yields DateType; compare as epoch-day ordinal like apply()
+        val v = if (tr == DayTransform) datediff(raw, to_date(lit("1970-01-01"))) else raw.cast("int")
+        val got = df.select(col("us"), v.as("v"))
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        micros.foreach { m =>
+          assert(got(m) === tr.apply(m, ITimestamptz),
+            s"${tr.name}($m) column=${got(m)} apply=${tr.apply(m, ITimestamptz)}")
+        }
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("catalog commit is CREATE_NEW: losing concurrent writer throws, winner's file survives") {
+    val t = catalog.createTable("t_createnew", Schema.fromSpark(orders.schema))
+    val v = catalog.currentVersion("t_createnew").get
+    val winner = t.metadata.copy(properties = Map("writer" -> "A"))
+    catalog.commit("t_createnew", v, winner)
+    intercept[graft.catalog.CommitConflictException] {
+      catalog.commit("t_createnew", v, t.metadata.copy(properties = Map("writer" -> "B")))
+    }
+    assert(catalog.loadTable("t_createnew").metadata.properties("writer") === "A")
+  }
+
   test("metadata JSON round-trip") {
     val t = catalog.loadTable("t_part")
     val json = MetadataJson.toJson(t.metadata)
