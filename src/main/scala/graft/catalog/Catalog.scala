@@ -43,15 +43,15 @@ class HadoopCatalog(val warehouse: String, val spark: SparkSession) {
       lastPartitionId = if (spec.fields.isEmpty) PartitionSpec.StartFieldId - 1
         else spec.fields.map(_.fieldId).max,
       properties = properties)
-    commit(name, 0, meta)
-    new IceTable(this, name, meta)
+    val v = commit(name, 0, meta)
+    new IceTable(this, name, meta, v)
   }
 
   def loadTable(name: String): IceTable = {
     val v = currentVersion(name).getOrElse(
       throw new IllegalArgumentException(s"Table $name not found"))
     val json = new String(Files.readAllBytes(Paths.get(versionFile(name, v))), "UTF-8")
-    new IceTable(this, name, MetadataJson.fromJson(json))
+    new IceTable(this, name, MetadataJson.fromJson(json), v)
   }
 
   def dropTable(name: String): Unit = {

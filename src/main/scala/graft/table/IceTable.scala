@@ -19,7 +19,12 @@ import graft.meta._
 class IceTable(
     val catalog: HadoopCatalog,
     val name: String,
-    @volatile var metadata: TableMetadata) {
+    @volatile var metadata: TableMetadata,
+    /** catalog version `metadata` was loaded from — commits swap FROM this
+      * version, never from a fresh read: a fresh read would let a commit
+      * that raced in between plan and commit be silently erased (our stale
+      * snapshot list would replace it) instead of forcing a retry. */
+    @volatile var version: Int = 0) {
 
   def spark: SparkSession = catalog.spark
   def schema: Schema = metadata.schema
@@ -27,7 +32,9 @@ class IceTable(
   def location: String = metadata.location
 
   def refresh(): IceTable = {
-    metadata = catalog.loadTable(name).metadata
+    val fresh = catalog.loadTable(name)
+    metadata = fresh.metadata
+    version = fresh.version
     this
   }
 
@@ -122,6 +129,7 @@ class IceTable(
   def delete(filter: Expr): Unit = {
     val bound = Exprs.rewriteNot(Binder.bind(schema, filter))
     if (bound == BFalse) return
+    val baseSnap = metadata.currentSnapshotId
     val tasks = new IceScan(this).filter(filter).planFiles()
     if (tasks.isEmpty) return
     // a file whose stats prove EVERY row matches can be dropped whole even
@@ -142,7 +150,8 @@ class IceTable(
     }
     val removed = (wholeFiles ++ rewrites).map(_.file.filePath).toSet
     commitSnapshot(if (rewrites.isEmpty) "delete" else "overwrite",
-      added = added, removedPaths = removed ++ deadDeleteFiles(removed))
+      added = added, removedPaths = removed ++ deadDeleteFiles(removed),
+      conflictFilter = Some(filter), baseSnapshotId = baseSnap)
   }
 
   /** Delete files whose every applicable data file is in `removedData`:
@@ -163,6 +172,7 @@ class IceTable(
     * (ref: Transaction.overwrite table/__init__.py:606). */
   def overwrite(df: DataFrame, filter: Expr = AlwaysTrue): Unit = {
     val bound = Exprs.rewriteNot(Binder.bind(schema, filter))
+    val baseSnap = metadata.currentSnapshotId
     val tasks = new IceScan(this).filter(filter).planFiles()
     val (wholeFiles, rewrites) = tasks.partition(t =>
       Evaluators.rowsMustMatch(bound, t.file))
@@ -177,7 +187,8 @@ class IceTable(
       UUID.randomUUID().toString, sortOrderOpt)
     }
     val removed = (wholeFiles ++ rewrites).map(_.file.filePath).toSet
-    commitSnapshot("overwrite", added = added, removedPaths = removed ++ deadDeleteFiles(removed))
+    commitSnapshot("overwrite", added = added, removedPaths = removed ++ deadDeleteFiles(removed),
+      conflictFilter = Some(filter), baseSnapshotId = baseSnap)
   }
 
   /** Overwrite only the partitions present in `df`
@@ -219,6 +230,8 @@ class IceTable(
     val keys = if (joinCols.nonEmpty) joinCols
       else schema.identifierFieldIds.map(id => schema.byId(id).name)
     require(keys.nonEmpty, "upsert needs join columns or identifier fields")
+    // upsert reads the whole table, so ANY concurrent commit conflicts
+    val baseSnap = metadata.currentSnapshotId
     val src = WriteFiles.align(source, schema).cache()
     try {
       // duplicate keys in source are an error (ref upsert_util.py:51)
@@ -265,7 +278,8 @@ class IceTable(
         added = added ++ WriteFiles.write(spark, location, schema, spec, inserts,
       UUID.randomUUID().toString, sortOrderOpt)
       }
-      commitSnapshot("overwrite", added = added, removedPaths = removedPaths)
+      commitSnapshot("overwrite", added = added, removedPaths = removedPaths,
+        conflictFilter = Some(AlwaysTrue), baseSnapshotId = baseSnap)
       (nUpdates, nInserts)
     } finally src.unpersist()
   }
@@ -396,14 +410,24 @@ class IceTable(
   /** Build and commit one snapshot: rewrite only manifests that reference
     * removed files, keep the rest as-is, add a fresh manifest for added
     * files (ref: update/snapshot.py _SnapshotProducer/_FastAppendFiles/
-    * _OverwriteFiles). Retries on optimistic-concurrency conflicts. */
+    * _OverwriteFiles). Retries on optimistic-concurrency conflicts.
+    *
+    * `conflictFilter` + `baseSnapshotId` enable full conflict validation
+    * (ref: table/update/validate.py): when the catalog swap loses and the
+    * retry re-runs against a refreshed base, any snapshot committed after
+    * `baseSnapshotId` is checked for added data files matching the filter
+    * the losing operation planned against, and for added delete files —
+    * either means the plan read stale data and must abort rather than
+    * silently commit. */
   def commitSnapshot(operation: String, added: Seq[DataFile], removedPaths: Set[String],
-      extraMeta: TableMetadata => TableMetadata = identity): Unit = {
+      extraMeta: TableMetadata => TableMetadata = identity,
+      conflictFilter: Option[Expr] = None,
+      baseSnapshotId: Option[Long] = None): Unit = {
     var attempts = 0
     while (true) {
       attempts += 1
       try {
-        commitOnce(operation, added, removedPaths, extraMeta)
+        commitOnce(operation, added, removedPaths, extraMeta, conflictFilter, baseSnapshotId)
         return
       } catch {
         case _: CommitConflictException if attempts < 5 => refresh()
@@ -411,10 +435,57 @@ class IceTable(
     }
   }
 
+  /** Snapshots committed after `fromId` on the current-ancestor chain,
+    * nearest first. When `fromId` is not an ancestor (history rewritten),
+    * every reachable snapshot is returned — conservative. */
+  private def snapshotsSince(base: TableMetadata, fromId: Option[Long]): Seq[Snapshot] =
+    base.currentSnapshot.toSeq.flatMap(s =>
+      base.ancestorsOf(s.snapshotId).takeWhile(sn => !fromId.contains(sn.snapshotId)))
+
+  /** Data/delete files first ADDED by snapshot `s`. */
+  private def addedFilesOf(base: TableMetadata, s: Snapshot): Seq[DataFile] =
+    ManifestIO.readManifestList(s.manifestList)
+      .filter(_.addedSnapshotId == s.snapshotId)
+      .flatMap { mf =>
+        val sp = base.specById(mf.partitionSpecId)
+        ManifestIO.readManifest(mf.manifestPath, sp, base.schema)
+          .filter(e => e.status == EntryStatus.Added && e.snapshotId == s.snapshotId)
+          .map(_.dataFile)
+      }
+
+  /** ref: validate.py:171 _validate_added_data_files (+ :282/:303/:330
+    * conflicting-delete checks, conservatively folded into one rule). */
+  private def validateNoConflictingCommits(base: TableMetadata,
+      filter: Expr, fromId: Option[Long]): Unit = {
+    val since = snapshotsSince(base, fromId)
+    if (since.isEmpty) return
+    val bound = Exprs.rewriteNot(Binder.bind(base.schema, filter))
+    since.foreach { s =>
+      val files = addedFilesOf(base, s)
+      // a concurrently added DELETE file may hide rows our plan read —
+      // always a conflict (the ref scopes by partition; we stay
+      // conservative: delete files carry no column stats to test)
+      files.find(_.content != FileContent.Data).foreach { d =>
+        throw new ValidationException(
+          s"Concurrent snapshot ${s.snapshotId} added delete file ${d.filePath}")
+      }
+      // a concurrent append whose stats might satisfy our filter means the
+      // operation planned against stale data
+      files.find(f => f.content == FileContent.Data &&
+          Evaluators.rowsMightMatch(bound, f)).foreach { f =>
+        throw new ValidationException(
+          s"Concurrent snapshot ${s.snapshotId} (${s.operation}) added " +
+            s"${f.filePath} matching this operation's filter")
+      }
+    }
+  }
+
   private def commitOnce(operation: String, added: Seq[DataFile],
-      removedPaths: Set[String], extraMeta: TableMetadata => TableMetadata): Unit = {
+      removedPaths: Set[String], extraMeta: TableMetadata => TableMetadata,
+      conflictFilter: Option[Expr] = None, baseSnapshotId: Option[Long] = None): Unit = {
     val base = metadata
-    val version = catalog.currentVersion(name).getOrElse(0)
+    conflictFilter.foreach(f => validateNoConflictingCommits(base, f, baseSnapshotId))
+    val version = this.version
     val snapId = base.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
     val seq = base.lastSequenceNumber + 1
     val now = System.currentTimeMillis()
@@ -541,6 +612,7 @@ class IceTable(
       refs = withExtra.refs + ("main" -> SnapshotRef(snapId, "branch")))
     catalog.commit(name, version, newMeta)
     metadata = newMeta
+    this.version = version + 1
   }
 
   private def manifestFileFor(path: String, len: Long, sp: PartitionSpec, sch: Schema,
@@ -575,10 +647,11 @@ class IceTable(
     while (true) {
       attempts += 1
       try {
-        val version = catalog.currentVersion(name).getOrElse(0)
+        val v = this.version
         val newMeta = change(metadata).copy(lastUpdatedMs = System.currentTimeMillis())
-        catalog.commit(name, version, newMeta)
+        catalog.commit(name, v, newMeta)
         metadata = newMeta
+        this.version = v + 1
         return
       } catch {
         case _: CommitConflictException if attempts < 5 => refresh()

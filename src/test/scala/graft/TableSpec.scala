@@ -435,6 +435,41 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(catalog.loadTable("t_createnew").metadata.properties("writer") === "A")
   }
 
+  test("conflict validation: concurrent append MATCHING a delete's filter aborts it") {
+    val t0 = catalog.createTable("t_val1", Schema.fromSpark(orders.schema))
+    t0.append(orders)
+    val a = catalog.loadTable("t_val1")
+    val b = catalog.loadTable("t_val1")
+    // concurrent writer adds MORE rows the delete's filter covers — the
+    // delete planned against a snapshot that never saw them
+    b.append(orders.filter(col("o_orderkey") <= 50))
+    intercept[graft.table.ValidationException] { a.delete("o_orderkey <= 100") }
+  }
+
+  test("conflict validation: concurrent NON-matching append lets the delete retry through") {
+    val t0 = catalog.createTable("t_val2", Schema.fromSpark(orders.schema))
+    t0.append(orders.filter(col("o_orderkey") <= 10000))
+    val a = catalog.loadTable("t_val2")
+    val b = catalog.loadTable("t_val2")
+    b.append(orders.filter(col("o_orderkey") > 10000))
+    a.delete("o_orderkey <= 100")
+    val want = orders.filter(col("o_orderkey") > 100 && col("o_orderkey") <= 10000).count() +
+      orders.filter(col("o_orderkey") > 10000).count()
+    assert(catalog.loadTable("t_val2").scan.toDF.count() === want)
+  }
+
+  test("stale-handle commit cannot erase a concurrent snapshot (lost update)") {
+    val t0 = catalog.createTable("t_val3", Schema.fromSpark(orders.schema))
+    t0.append(orders.filter(col("o_orderkey") <= 5000))
+    val a = catalog.loadTable("t_val3")
+    val b = catalog.loadTable("t_val3")
+    b.append(orders.filter(col("o_orderkey") > 10000))
+    a.append(orders.filter(col("o_orderkey") > 5000 && col("o_orderkey") <= 10000))
+    val after = catalog.loadTable("t_val3")
+    assert(after.metadata.snapshots.size === 3, "all three snapshots must survive")
+    assert(after.scan.toDF.count() === orders.count())
+  }
+
   test("metadata JSON round-trip") {
     val t = catalog.loadTable("t_part")
     val json = MetadataJson.toJson(t.metadata)
