@@ -316,7 +316,29 @@ object Iceberg {
   }
   val addFilesSql = "SELECT * FROM nation ORDER BY n_nationkey"
 
+  /** G. catalog surface: namespaces + rename + register, read back through
+    * the registered handle (ref: catalog ABC register_table
+    * catalog/__init__.py:498, rename_table :538, namespace CRUD :470). */
+  def catalogOps(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val cat = wh(s)
+    cat.createNamespace("crm")
+    val tab = cat.createTable("crm.customer", Schema.fromSpark(cust.schema))
+    tab.append(cust)
+    cat.renameTable("crm.customer", "crm.customer_v2")
+    require(!cat.tableExists("crm.customer"))
+    // zero-copy adoption of the renamed table's metadata under a new name
+    val v = cat.currentVersion("crm.customer_v2").get
+    val reg = cat.registerTable("crm.customer_mirror",
+      s"${cat.warehouse}/crm/customer_v2/metadata/v$v.metadata.json")
+    require(cat.listTables("crm") == Seq("crm.customer_mirror", "crm.customer_v2"),
+      s"listTables: ${cat.listTables("crm")}")
+    reg.scan.toDF.orderBy(col("c_custkey"))
+  }
+  val catalogOpsSql = "SELECT * FROM customer ORDER BY c_custkey"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ice_catalog_ops" -> (catalogOps _),
     "ice_append_scan" -> (appendScan _),
     "ice_scan_filter_dsl" -> (scanFilterDsl _),
     "ice_scan_predicates" -> (scanPredicates _),
@@ -340,6 +362,7 @@ object Iceberg {
   )
 
   val oracles: Map[String, String] = Map(
+    "ice_catalog_ops" -> catalogOpsSql,
     "ice_append_scan" -> appendScanSql,
     "ice_scan_filter_dsl" -> scanFilterDslSql,
     "ice_scan_predicates" -> scanPredicatesSql,

@@ -5,7 +5,7 @@ import java.util.UUID
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.catalog.{CommitConflictException, HadoopCatalog}
+import graft.catalog.{Catalog, CommitConflictException}
 import graft.core._
 import graft.meta._
 
@@ -17,7 +17,7 @@ import graft.meta._
   * Catalog.commit_table, table/__init__.py:216, catalog/__init__.py:554).
   */
 class IceTable(
-    val catalog: HadoopCatalog,
+    val catalog: Catalog,
     val name: String,
     @volatile var metadata: TableMetadata,
     /** catalog version `metadata` was loaded from — commits swap FROM this

@@ -2,7 +2,7 @@ package graft.table
 
 import org.apache.spark.sql.DataFrame
 
-import graft.catalog.HadoopCatalog
+import graft.catalog.Catalog
 
 /** SQL face: expose engine tables to `spark.sql` as temp views.
   *
@@ -24,11 +24,11 @@ object GraftSql {
     table.scan.toDF.createOrReplaceTempView(viewName)
 
   /** Register every table of a catalog warehouse directory. */
-  def registerAll(catalog: HadoopCatalog, names: Seq[String]): Unit =
+  def registerAll(catalog: Catalog, names: Seq[String]): Unit =
     names.foreach(n => register(catalog.loadTable(n), n))
 
   /** Run SQL with fresh per-query scan planning for the named tables. */
-  def sql(catalog: HadoopCatalog, query: String, tables: Seq[String]): DataFrame = {
+  def sql(catalog: Catalog, query: String, tables: Seq[String]): DataFrame = {
     registerAll(catalog, tables)
     catalog.spark.sql(query)
   }

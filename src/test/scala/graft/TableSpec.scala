@@ -470,6 +470,42 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.scan.toDF.count() === orders.count())
   }
 
+  test("catalog namespaces, rename, register") {
+    catalog.createNamespace("ns1")
+    val t = catalog.createTable("ns1.orders", Schema.fromSpark(orders.schema))
+    t.append(orders.limit(100))
+    assert(catalog.listTables("ns1") === Seq("ns1.orders"))
+    assert(catalog.listNamespaces().contains("ns1"))
+    catalog.renameTable("ns1.orders", "ns1.orders2")
+    assert(!catalog.tableExists("ns1.orders"))
+    val renamed = catalog.loadTable("ns1.orders2")
+    assert(renamed.scan.toDF.count() === 100)
+    // register the same metadata as a third entry, no data rewrite
+    val v = catalog.currentVersion("ns1.orders2").get
+    val reg = catalog.registerTable("ns1.orders_mirror",
+      s"$warehouse/ns1/orders2/metadata/v$v.metadata.json")
+    assert(reg.scan.toDF.count() === 100)
+    intercept[IllegalArgumentException](catalog.dropNamespace("ns1"))
+  }
+
+  test("in-memory catalog: create/append/scan/conflict semantics") {
+    val mem = new graft.catalog.MemoryCatalog(
+      Files.createTempDirectory("graft-mem").toString, spark)
+    val t = mem.createTable("m.orders", Schema.fromSpark(orders.schema))
+    t.append(orders.limit(500))
+    assert(t.scan.toDF.count() === 500)
+    t.delete("o_orderkey <= 100")
+    assert(t.scan.toDF.count() ===
+      orders.limit(500).filter(col("o_orderkey") > 100).count())
+    assert(mem.listTables("m") === Seq("m.orders"))
+    // stale-version commit conflicts
+    intercept[graft.catalog.CommitConflictException] {
+      mem.commit("m.orders", 0, t.metadata)
+    }
+    mem.dropTable("m.orders")
+    assert(!mem.tableExists("m.orders"))
+  }
+
   test("metadata JSON round-trip") {
     val t = catalog.loadTable("t_part")
     val json = MetadataJson.toJson(t.metadata)
