@@ -60,14 +60,47 @@ final case class Schema(
     * Nested accessors are not needed for partition records (always flat). */
   lazy val positionById: Map[Int, Int] = fields.zipWithIndex.map { case (f, i) => f.id -> i }.toMap
 
+  /** Every field id (nested or not) → the id of its TOP-LEVEL ancestor —
+    * what a columnar reader must materialize to evaluate a predicate on a
+    * nested field (nested pruning within the struct is Spark's
+    * SchemaPruning's job). */
+  lazy val topAncestorById: Map[Int, Int] = {
+    val b = Map.newBuilder[Int, Int]
+    def walk(top: Int, t: IceType): Unit = t match {
+      case IStruct(nested) => nested.foreach { f => b += f.id -> top; walk(top, f.fieldType) }
+      case IList(eid, e, _) => b += eid -> top; walk(top, e)
+      case IMap(kid, k, vid, v, _) =>
+        b += kid -> top; b += vid -> top; walk(top, k); walk(top, v)
+      case _ =>
+    }
+    fields.foreach { f => b += f.id -> f.id; walk(f.id, f.fieldType) }
+    b.result()
+  }
+
+  /** id → full dotted name (inverse of idByName). */
+  lazy val nameById: Map[Int, String] = idByName.map(_.swap)
+
+  /** (dotted path, id, type repr) for every PRIMITIVE leaf reachable
+    * through structs — the stats-harvest column set (a parquet footer's
+    * column chunks are exactly these leaves; struct columns themselves
+    * carry no stats). List/map internals are skipped (no dotted path). */
+  lazy val leafColInfo: Seq[(String, Int, String)] =
+    idByName.toSeq.sortBy(_._2).collect {
+      case (path, id) if byId(id).fieldType.isPrimitive =>
+        (path, id, byId(id).fieldType.repr)
+    }
+
   /** Keep only the requested top-level columns, by name (ref: schema.py:1492
     * prune_columns — we prune whole top-level columns; nested pruning is
     * delegated to Spark's SchemaPruning once the scan projects). */
   def select(names: Seq[String], caseSensitive: Boolean = true): Schema = {
     if (names.contains("*")) return this
+    // a nested selection keeps its whole top-level column (struct-internal
+    // pruning is delegated to Spark's SchemaPruning)
     val wanted = names.map { n =>
-      findField(n, caseSensitive).getOrElse(
+      val id = findField(n, caseSensitive).getOrElse(
         throw new IllegalArgumentException(s"Column not found: $n")).id
+      topAncestorById.getOrElse(id, id)
     }.toSet
     Schema(fields.filter(f => wanted(f.id)), schemaId, identifierFieldIds.filter(wanted))
   }

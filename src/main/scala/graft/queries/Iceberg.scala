@@ -316,6 +316,31 @@ object Iceberg {
   }
   val addFilesSql = "SELECT * FROM nation ORDER BY n_nationkey"
 
+  /** B/G. nested structs end-to-end: struct column write (nested field
+    * ids), DSL filter on a nested field, NESTED RENAME read back through
+    * id-based projection over files written before the rename (ref:
+    * update/schema.py:850 _UnionByNameVisitor; schema.py:1492
+    * prune_columns). */
+  def nestedStruct(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val df = orders.select(col("o_orderkey"),
+      struct(col("o_orderstatus").as("status"), col("o_totalprice").as("price")).as("info"))
+    val tab = wh(s).createTable("orders_nested", Schema.fromSpark(df.schema))
+    tab.append(df)
+    // rename INSIDE the struct; the data files keep the old name and
+    // resolve by field id
+    tab.updateSchema.renameColumn("info.status", "state").commit()
+    tab.scan("info.state = 'F' and info.price > 100000")
+      .toDF
+      .select(col("o_orderkey"), col("info.state").as("state"),
+        col("info.price").as("price"))
+      .orderBy(col("o_orderkey"))
+  }
+  val nestedStructSql =
+    """SELECT o_orderkey, o_orderstatus AS state, o_totalprice AS price
+      |FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 100000
+      |ORDER BY o_orderkey""".stripMargin
+
   /** G. catalog surface: namespaces + rename + register, read back through
     * the registered handle (ref: catalog ABC register_table
     * catalog/__init__.py:498, rename_table :538, namespace CRUD :470). */
@@ -338,6 +363,7 @@ object Iceberg {
   val catalogOpsSql = "SELECT * FROM customer ORDER BY c_custkey"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ice_nested_struct" -> (nestedStruct _),
     "ice_catalog_ops" -> (catalogOps _),
     "ice_append_scan" -> (appendScan _),
     "ice_scan_filter_dsl" -> (scanFilterDsl _),
@@ -362,6 +388,7 @@ object Iceberg {
   )
 
   val oracles: Map[String, String] = Map(
+    "ice_nested_struct" -> nestedStructSql,
     "ice_catalog_ops" -> catalogOpsSql,
     "ice_append_scan" -> appendScanSql,
     "ice_scan_filter_dsl" -> scanFilterDslSql,

@@ -14,103 +14,171 @@ final class SchemaUpdate(table: IceTable) {
   private var nextId: Int = math.max(table.metadata.lastColumnId, table.schema.highestFieldId)
   private var identifierIds: Seq[Int] = table.schema.identifierFieldIds
 
-  private def idx(name: String): Int = {
-    val i = fields.indexWhere(_.name == name)
+  /** Apply `op` to the field list CONTAINING the column at dotted `path` —
+    * every operation below works at any nesting depth (ref:
+    * update/schema.py:850 _UnionByNameVisitor walks struct internals the
+    * same way). */
+  private def editLevel(path: String)(
+      op: (Vector[NestedField], String) => Vector[NestedField]): Unit = {
+    def rec(fs: Vector[NestedField], parts: Seq[String]): Vector[NestedField] = parts match {
+      case Seq(leaf) => op(fs, leaf)
+      case head +: rest =>
+        val i = fs.indexWhere(_.name == head)
+        require(i >= 0, s"No such column: $head")
+        fs(i).fieldType match {
+          case IStruct(children) =>
+            fs.updated(i, fs(i).copy(fieldType = IStruct(rec(children.toVector, rest))))
+          case other =>
+            throw new IllegalArgumentException(s"Column $head is ${other.repr}, not a struct")
+        }
+    }
+    fields = rec(fields, path.split("\\.").toSeq)
+  }
+
+  private def idxIn(fs: Vector[NestedField], name: String): Int = {
+    val i = fs.indexWhere(_.name == name)
     require(i >= 0, s"No such column: $name")
     i
   }
 
-  /** ref: update/schema.py:163 add_column */
+  /** Fresh ids for every nested field of a newly added (possibly complex)
+    * column. */
+  private def assignIds(t: IceType): IceType = t match {
+    case IStruct(fs) => IStruct(fs.map { f =>
+      nextId += 1; val id = nextId
+      f.copy(id = id, fieldType = assignIds(f.fieldType))
+    })
+    case IList(_, e, req) =>
+      nextId += 1; val id = nextId
+      IList(id, assignIds(e), req)
+    case IMap(_, k, _, v, req) =>
+      nextId += 1; val kid = nextId
+      nextId += 1; val vid = nextId
+      IMap(kid, assignIds(k), vid, assignIds(v), req)
+    case prim => prim
+  }
+
+  /** ref: update/schema.py:163 add_column — dotted path adds INSIDE a
+    * struct (`info.score` appends `score` to struct `info`). */
   def addColumn(name: String, t: IceType, doc: Option[String] = None,
       default: Option[Any] = None): SchemaUpdate = {
-    require(!fields.exists(_.name == name), s"Column $name already exists")
-    nextId += 1
-    fields = fields :+ NestedField(nextId, name, t, required = false, doc,
-      initialDefault = default, writeDefault = default)
+    editLevel(name) { (fs, leaf) =>
+      require(!fs.exists(_.name == leaf), s"Column $name already exists")
+      nextId += 1
+      fs :+ NestedField(nextId, leaf, assignIds(t), required = false, doc,
+        initialDefault = default, writeDefault = default)
+    }
     this
   }
 
-  /** ref: update/schema.py:297 rename_column — id stays, name changes. */
+  /** ref: update/schema.py:297 rename_column — id stays, name changes; `to`
+    * is the new LEAF name (`renameColumn("info.status", "state")`). */
   def renameColumn(from: String, to: String): SchemaUpdate = {
-    require(!fields.exists(_.name == to), s"Column $to already exists")
-    val i = idx(from)
-    fields = fields.updated(i, fields(i).copy(name = to))
+    require(!to.contains('.'), "rename target is a leaf name, not a path")
+    editLevel(from) { (fs, leaf) =>
+      require(!fs.exists(_.name == to), s"Column $to already exists")
+      val i = idxIn(fs, leaf)
+      fs.updated(i, fs(i).copy(name = to))
+    }
     this
   }
 
   /** ref: update/schema.py (delete via _ApplyChanges :697) */
   def dropColumn(name: String): SchemaUpdate = {
-    val i = idx(name)
-    require(!identifierIds.contains(fields(i).id), s"Cannot drop identifier field $name")
-    fields = fields.patch(i, Nil, 1)
+    editLevel(name) { (fs, leaf) =>
+      val i = idxIn(fs, leaf)
+      require(!identifierIds.contains(fs(i).id), s"Cannot drop identifier field $name")
+      fs.patch(i, Nil, 1)
+    }
     this
   }
 
   /** ref: update/schema.py:439 update_column — only widening promotions. */
   def updateColumnType(name: String, to: IceType): SchemaUpdate = {
-    val i = idx(name)
-    val from = fields(i).fieldType
-    require(SchemaConv.promotable(from, to), s"Cannot promote ${from.repr} to ${to.repr}")
-    fields = fields.updated(i, fields(i).copy(fieldType = to))
+    editLevel(name) { (fs, leaf) =>
+      val i = idxIn(fs, leaf)
+      val from = fs(i).fieldType
+      require(SchemaConv.promotable(from, to), s"Cannot promote ${from.repr} to ${to.repr}")
+      fs.updated(i, fs(i).copy(fieldType = to))
+    }
     this
   }
 
   /** ref: update/schema.py:343 make_column_optional */
   def makeColumnOptional(name: String): SchemaUpdate = {
-    val i = idx(name)
-    fields = fields.updated(i, fields(i).copy(required = false))
+    editLevel(name) { (fs, leaf) =>
+      val i = idxIn(fs, leaf)
+      fs.updated(i, fs(i).copy(required = false))
+    }
     this
   }
 
   def updateColumnDoc(name: String, doc: String): SchemaUpdate = {
-    val i = idx(name)
-    fields = fields.updated(i, fields(i).copy(doc = Some(doc)))
+    editLevel(name) { (fs, leaf) =>
+      val i = idxIn(fs, leaf)
+      fs.updated(i, fs(i).copy(doc = Some(doc)))
+    }
     this
   }
 
-  /** ref: update/schema.py:538-624 move_first/before/after */
+  /** ref: update/schema.py:538-624 move_first/before/after — within one
+    * struct level. */
   def moveFirst(name: String): SchemaUpdate = {
-    val i = idx(name); val f = fields(i)
-    fields = f +: fields.patch(i, Nil, 1)
+    editLevel(name) { (fs, leaf) =>
+      val i = idxIn(fs, leaf); val f = fs(i)
+      f +: fs.patch(i, Nil, 1)
+    }
     this
   }
 
-  def moveBefore(name: String, other: String): SchemaUpdate = {
-    val i = idx(name); val f = fields(i)
-    val rest = fields.patch(i, Nil, 1)
-    val j = rest.indexWhere(_.name == other)
-    require(j >= 0, s"No such column: $other")
-    fields = (rest.take(j) :+ f) ++ rest.drop(j)
-    this
-  }
+  def moveBefore(name: String, other: String): SchemaUpdate = move(name, other, after = false)
+  def moveAfter(name: String, other: String): SchemaUpdate = move(name, other, after = true)
 
-  def moveAfter(name: String, other: String): SchemaUpdate = {
-    val i = idx(name); val f = fields(i)
-    val rest = fields.patch(i, Nil, 1)
-    val j = rest.indexWhere(_.name == other)
-    require(j >= 0, s"No such column: $other")
-    fields = (rest.take(j + 1) :+ f) ++ rest.drop(j + 1)
+  private def move(name: String, other: String, after: Boolean): SchemaUpdate = {
+    val otherLeaf = other.split("\\.").last
+    editLevel(name) { (fs, leaf) =>
+      val i = idxIn(fs, leaf); val f = fs(i)
+      val rest = fs.patch(i, Nil, 1)
+      val j = idxIn(rest, otherLeaf) + (if (after) 1 else 0)
+      (rest.take(j) :+ f) ++ rest.drop(j)
+    }
     this
   }
 
   /** ref: update/schema.py:355 set_identifier_fields */
   def setIdentifierFields(names: String*): SchemaUpdate = {
-    identifierIds = names.map(n => fields(idx(n)).id)
+    val sch = Schema(fields)
+    identifierIds = names.map(n => sch.findField(n).getOrElse(
+      throw new IllegalArgumentException(s"No such column: $n")).id)
     this
   }
 
-  /** ref: update/schema.py:146 union_by_name — add input fields missing
-    * from the current schema (no type changes here beyond promotion). */
+  /** ref: update/schema.py:146 union_by_name, :850 _UnionByNameVisitor —
+    * recursive: fields missing at ANY depth are added (fresh ids), and
+    * promotable type differences are widened, struct internals included. */
   def unionByName(other: Schema): SchemaUpdate = {
-    other.fields.foreach { of =>
-      fields.find(_.name == of.name) match {
-        case None => addColumn(of.name, of.fieldType, of.doc)
-        case Some(cur) if cur.fieldType != of.fieldType &&
-            SchemaConv.promotable(cur.fieldType, of.fieldType) =>
-          updateColumnType(cur.name, of.fieldType)
-        case _ =>
+    def merge(cur: Vector[NestedField], inc: Seq[NestedField]): Vector[NestedField] = {
+      var out = cur
+      inc.foreach { of =>
+        out.indexWhere(_.name == of.name) match {
+          case -1 =>
+            nextId += 1
+            out = out :+ NestedField(nextId, of.name, assignIds(of.fieldType),
+              required = false, of.doc)
+          case i =>
+            val curF = out(i)
+            (curF.fieldType, of.fieldType) match {
+              case (IStruct(a), IStruct(b)) =>
+                out = out.updated(i, curF.copy(fieldType = IStruct(merge(a.toVector, b))))
+              case (a, b) if a != b && SchemaConv.promotable(a, b) =>
+                out = out.updated(i, curF.copy(fieldType = b))
+              case _ =>
+            }
+        }
       }
+      out
     }
+    fields = merge(fields, other.fields)
     this
   }
 

@@ -311,7 +311,7 @@ class IceTable(
       val dups = paths.filter(existing)
       require(dups.isEmpty, s"Files already referenced: ${dups.take(3).mkString(",")}")
     }
-    val colInfo = schema.fields.map(f => (f.name, f.id, f.fieldType.repr))
+    val colInfo = schema.leafColInfo
     val slices = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
     val files = spark.sparkContext.parallelize(paths, slices)
       .map(p => StatsHarvester.fileToDataFile(p, "", colInfo, Nil, Nil))

@@ -196,10 +196,12 @@ final class IceScan(
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
 
-    // read ALL columns the filter or the projection needs, then project
-    val neededIds = Exprs.fieldIds(bound)
+    // read ALL columns the filter or the projection needs, then project.
+    // A filter on a NESTED field needs its top-level ancestor in the read
+    // schema (the leaf id itself is not a top-level column)
+    val neededTop = Exprs.fieldIds(bound).map(id => schema.topAncestorById.getOrElse(id, id))
     val readSchema = Schema(
-      schema.fields.filter(f => proj.byId.contains(f.id) || neededIds.contains(f.id)),
+      schema.fields.filter(f => proj.byId.contains(f.id) || neededTop.contains(f.id)),
       schema.schemaId)
 
     // files written by this table carry parquet field-ids; externally

@@ -151,9 +151,9 @@ object WriteFiles {
     val files = listParquet(stageDir)
     if (files.isEmpty) return Nil
 
-    // (name, id, type-repr) for top-level columns — serializable for tasks
-    val colInfo: Seq[(String, Int, String)] =
-      schema.fields.map(f => (f.name, f.id, f.fieldType.repr))
+    // (dotted path, id, type-repr) for every primitive leaf — struct
+    // members get their own stats rows keyed by nested field id
+    val colInfo: Seq[(String, Int, String)] = schema.leafColInfo
     val stage = stageDir
     val partFieldNames = spec.fields.map(pf => SyntheticPrefix + pf.name)
     val partTypes = spec.partitionType(schema).map(_.fieldType.repr)
@@ -259,8 +259,9 @@ object StatsHarvester extends Serializable {
         val cit = block.getColumns.iterator()
         while (cit.hasNext) {
           val cc = cit.next()
-          val topName = cc.getPath.toArray.headOption.getOrElse("")
-          byName.get(topName).foreach { case (_, id, trepr) =>
+          // full dotted path: nested leaves match their own field id
+          val pathName = cc.getPath.toArray.mkString(".")
+          byName.get(pathName).foreach { case (_, id, trepr) =>
             val t = parseType(trepr)
             valueCounts(id) = valueCounts.getOrElse(id, 0L) + cc.getValueCount
             colSizes(id) = colSizes.getOrElse(id, 0L) + cc.getTotalSize

@@ -506,6 +506,40 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!mem.tableExists("m.orders"))
   }
 
+  test("nested structs: filter, rename, add, drop, union-by-name") {
+    val df = orders.select(col("o_orderkey"),
+      struct(col("o_orderstatus").as("status"), col("o_totalprice").as("price")).as("info"))
+    val t = catalog.createTable("t_nested", Schema.fromSpark(df.schema))
+    t.append(df)
+    // nested DSL filter
+    val want = orders.filter(col("o_orderstatus") === "F").count()
+    assert(t.scan("info.status = 'F'").toDF.count() === want)
+    // nested rename: old files read through id-based projection
+    t.updateSchema.renameColumn("info.status", "state").commit()
+    assert(t.scan("info.state = 'F'").toDF.count() === want)
+    assert(t.schema.findField("info.state").isDefined)
+    assert(t.schema.findField("info.status").isEmpty)
+    // nested add: reads as null on old files
+    t.updateSchema.addColumn("info.score", IDouble).commit()
+    val withScore = t.scan.toDF.select(col("info.score"))
+    assert(withScore.filter(col("score").isNotNull).count() === 0)
+    // union-by-name adds nested fields recursively
+    val incoming = Schema.fromSpark(orders.select(col("o_orderkey"),
+      struct(lit("x").as("state"), lit(1.0).as("price"), lit(2.0).as("rank")).as("info"),
+      lit("new").as("extra")).schema)
+    t.updateSchema.unionByName(incoming).commit()
+    assert(t.schema.findField("info.rank").isDefined)
+    assert(t.schema.findField("extra").isDefined)
+    // ids never reused: rank's id is fresh
+    val rankId = t.schema.findField("info.rank").get.id
+    assert(rankId > t.schema.findField("info.price").get.id)
+    // nested drop
+    t.updateSchema.dropColumn("info.score").commit()
+    assert(t.schema.findField("info.score").isEmpty)
+    // scan after all evolution still round-trips data
+    assert(t.scan("info.state = 'F'").toDF.count() === want)
+  }
+
   test("metadata JSON round-trip") {
     val t = catalog.loadTable("t_part")
     val json = MetadataJson.toJson(t.metadata)
