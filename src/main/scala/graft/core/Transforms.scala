@@ -254,6 +254,22 @@ case object VoidTransform extends Transform {
   val preservesOrder = false
 }
 
+/** Placeholder for a transform name this engine doesn't know — a table
+  * written by a newer engine stays READABLE (metadata loads; scans cannot
+  * prune or compute on the field and any attempt to apply it fails loudly)
+  * instead of failing at parse (ref: transforms.py:971 UnknownTransform). */
+final case class UnknownTransform(raw: String) extends Transform {
+  /** serialize the ORIGINAL name so metadata round-trips unchanged. */
+  def name: String = raw
+  def apply(v: Any, src: IceType): Any =
+    throw new UnsupportedOperationException(s"Cannot apply unknown transform '$raw'")
+  def column(c: Column, src: IceType): Column =
+    throw new UnsupportedOperationException(s"Cannot apply unknown transform '$raw'")
+  def resultType(src: IceType): IceType = IString
+  def toHumanString(v: Any, src: IceType): String = String.valueOf(v)
+  val preservesOrder = false
+}
+
 object Transform {
   private val BucketRe = """bucket\[(\d+)\]""".r
   private val TruncateRe = """truncate\[(\d+)\]""".r
@@ -268,6 +284,6 @@ object Transform {
     case "void" => VoidTransform
     case BucketRe(n) => BucketTransform(n.toInt)
     case TruncateRe(w) => TruncateTransform(w.toInt)
-    case other => throw new IllegalArgumentException(s"Unknown transform: $other")
+    case other => UnknownTransform(other)
   }
 }

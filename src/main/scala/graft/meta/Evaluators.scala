@@ -70,6 +70,9 @@ object Evaluators {
 
   /** Project one predicate through one partition field's transform. */
   private def projectPred(schema: Schema, pf: PartitionField, p: BoundPred): BoundExpr = {
+    // a transform this engine doesn't know cannot prune anything — its
+    // semantics (even null behavior) are unknown; stay conservative
+    if (pf.transform.isInstanceOf[UnknownTransform]) return BTrue
     val srcType = p.field.fieldType
     val resType = pf.transform.resultType(srcType)
     val pfField = NestedField(pf.fieldId, pf.name, resType)

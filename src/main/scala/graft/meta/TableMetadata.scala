@@ -15,9 +15,29 @@ final case class Snapshot(
     timestampMs: Long,
     manifestList: String,
     summary: Map[String, String],
-    schemaId: Int) {
+    schemaId: Int,
+    /** v3 row lineage: first row id assigned to this snapshot's new rows. */
+    firstRowId: Option[Long] = None) {
   def operation: String = summary.getOrElse("operation", "append")
 }
+
+/** Puffin blob descriptor inside a statistics file
+  * (ref: table/statistics.py BlobMetadata / puffin spec). */
+final case class BlobMetadata(
+    blobType: String,
+    snapshotId: Long,
+    sequenceNumber: Long,
+    fields: Seq[Int],
+    properties: Map[String, String] = Map.empty)
+
+/** Table statistics file entry (ref: table/statistics.py:24 StatisticsFile,
+  * metadata field `statistics`). */
+final case class StatisticsFile(
+    snapshotId: Long,
+    statisticsPath: String,
+    fileSizeInBytes: Long,
+    fileFooterSizeInBytes: Long,
+    blobMetadata: Seq[BlobMetadata] = Nil)
 
 final case class SnapshotRef(snapshotId: Long, refType: String) // "branch" | "tag"
 
@@ -46,7 +66,10 @@ final case class TableMetadata(
     snapshots: Seq[Snapshot] = Nil,
     snapshotLog: Seq[SnapshotLogEntry] = Nil,
     metadataLog: Seq[MetadataLogEntry] = Nil,
-    refs: Map[String, SnapshotRef] = Map.empty) {
+    refs: Map[String, SnapshotRef] = Map.empty,
+    statistics: Seq[StatisticsFile] = Nil,
+    /** v3 row lineage: next row id to assign (spec `next-row-id`). */
+    nextRowId: Option[Long] = None) {
 
   def schema: Schema = schemas.find(_.schemaId == currentSchemaId)
     .getOrElse(throw new IllegalStateException(s"No schema $currentSchemaId"))
@@ -214,7 +237,7 @@ object MetadataJson {
     n.put("format-version", m.formatVersion)
     n.put("table-uuid", m.tableUuid)
     n.put("location", m.location)
-    n.put("last-sequence-number", m.lastSequenceNumber)
+    if (m.formatVersion >= 2) n.put("last-sequence-number", m.lastSequenceNumber)
     n.put("last-updated-ms", m.lastUpdatedMs)
     n.put("last-column-id", m.lastColumnId)
     n.put("current-schema-id", m.currentSchemaId)
@@ -222,6 +245,19 @@ object MetadataJson {
     n.put("default-spec-id", m.defaultSpecId)
     val pArr = n.putArray("partition-specs"); m.partitionSpecs.foreach(p => pArr.add(specToJson(p)))
     n.put("last-partition-id", m.lastPartitionId)
+    if (m.formatVersion == 1) {
+      // v1 legacy single-schema/spec fields, written alongside the list
+      // forms (ref: metadata.py TableMetadataV1 construct_refs/schema)
+      n.set[JsonNode]("schema", schemaToJson(m.schema))
+      val legacy = n.putArray("partition-spec")
+      m.spec.fields.foreach { f =>
+        val fn = mapper.createObjectNode()
+        fn.put("source-id", f.sourceId); fn.put("field-id", f.fieldId)
+        fn.put("name", f.name); fn.put("transform", f.transform.name)
+        legacy.add(fn)
+      }
+    }
+    if (m.formatVersion >= 3) m.nextRowId.foreach(n.put("next-row-id", _))
     n.put("default-sort-order-id", m.defaultSortOrderId)
     val soArr = n.putArray("sort-orders")
     m.sortOrders.foreach { so =>
@@ -248,9 +284,32 @@ object MetadataJson {
       sn.put("timestamp-ms", s.timestampMs)
       sn.put("manifest-list", s.manifestList)
       sn.put("schema-id", s.schemaId)
+      s.firstRowId.foreach(sn.put("first-row-id", _))
       val sum = sn.putObject("summary")
       s.summary.foreach { case (k, v) => sum.put(k, v) }
       snaps.add(sn)
+    }
+    if (m.statistics.nonEmpty) {
+      val stArr = n.putArray("statistics")
+      m.statistics.foreach { st =>
+        val sn = mapper.createObjectNode()
+        sn.put("snapshot-id", st.snapshotId)
+        sn.put("statistics-path", st.statisticsPath)
+        sn.put("file-size-in-bytes", st.fileSizeInBytes)
+        sn.put("file-footer-size-in-bytes", st.fileFooterSizeInBytes)
+        val bArr = sn.putArray("blob-metadata")
+        st.blobMetadata.foreach { b =>
+          val bn = mapper.createObjectNode()
+          bn.put("type", b.blobType)
+          bn.put("snapshot-id", b.snapshotId)
+          bn.put("sequence-number", b.sequenceNumber)
+          val fArr = bn.putArray("fields"); b.fields.foreach(fArr.add)
+          val pObj = bn.putObject("properties")
+          b.properties.foreach { case (k, v) => pObj.put(k, v) }
+          bArr.add(bn)
+        }
+        stArr.add(sn)
+      }
     }
     val slog = n.putArray("snapshot-log")
     m.snapshotLog.foreach { e =>
@@ -275,17 +334,33 @@ object MetadataJson {
   def fromJson(json: String): TableMetadata = {
     val n = mapper.readTree(json)
     def optLong(name: String): Option[Long] = Option(n.get(name)).map(_.asLong())
+    val formatVersion = n.get("format-version").asInt()
+    // v1 legacy single-forms (ref: metadata.py TableMetadataV1 — `schema`
+    // and `partition-spec` predate the versioned lists)
+    val schemas =
+      if (n.has("schemas")) iter(n.get("schemas")).map(schemaFromJson)
+      else Seq(schemaFromJson(n.get("schema")))
+    val specs =
+      if (n.has("partition-specs")) iter(n.get("partition-specs")).map(specFromJson)
+      else if (n.has("partition-spec"))
+        Seq(PartitionSpec(0, iter(n.get("partition-spec")).zipWithIndex.map { case (f, i) =>
+          PartitionField(f.get("source-id").asInt(),
+            Option(f.get("field-id")).map(_.asInt()).getOrElse(PartitionSpec.StartFieldId + i),
+            f.get("name").asText(), Transform.parse(f.get("transform").asText()))
+        }))
+      else Seq(PartitionSpec.Unpartitioned)
     TableMetadata(
-      formatVersion = n.get("format-version").asInt(),
+      formatVersion = formatVersion,
       tableUuid = n.get("table-uuid").asText(),
       location = n.get("location").asText(),
       lastSequenceNumber = Option(n.get("last-sequence-number")).map(_.asLong()).getOrElse(0L),
       lastUpdatedMs = Option(n.get("last-updated-ms")).map(_.asLong()).getOrElse(0L),
       lastColumnId = Option(n.get("last-column-id")).map(_.asInt()).getOrElse(0),
-      schemas = iter(n.get("schemas")).map(schemaFromJson),
-      currentSchemaId = n.get("current-schema-id").asInt(),
-      partitionSpecs = iter(n.get("partition-specs")).map(specFromJson),
-      defaultSpecId = n.get("default-spec-id").asInt(),
+      schemas = schemas,
+      currentSchemaId = Option(n.get("current-schema-id")).map(_.asInt())
+        .orElse(schemas.headOption.map(_.schemaId)).getOrElse(0),
+      partitionSpecs = specs,
+      defaultSpecId = Option(n.get("default-spec-id")).map(_.asInt()).getOrElse(0),
       lastPartitionId = Option(n.get("last-partition-id")).map(_.asInt())
         .getOrElse(PartitionSpec.StartFieldId - 1),
       sortOrders = Option(n.get("sort-orders")).map(a => iter(a).map { so =>
@@ -315,7 +390,8 @@ object MetadataJson {
             while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
             b.result()
           }.getOrElse(Map.empty),
-          Option(s.get("schema-id")).map(_.asInt()).getOrElse(0))
+          Option(s.get("schema-id")).map(_.asInt()).getOrElse(0),
+          Option(s.get("first-row-id")).map(_.asLong()))
       }).getOrElse(Nil),
       snapshotLog = Option(n.get("snapshot-log")).map(a => iter(a).map { e =>
         SnapshotLogEntry(e.get("timestamp-ms").asLong(), e.get("snapshot-id").asLong())
@@ -332,6 +408,27 @@ object MetadataJson {
             e.getValue.get("type").asText())
         }
         b.result()
-      }.getOrElse(Map.empty))
+      }.getOrElse(Map.empty),
+      statistics = Option(n.get("statistics")).map(a => iter(a).map { st =>
+        StatisticsFile(
+          st.get("snapshot-id").asLong(),
+          st.get("statistics-path").asText(),
+          st.get("file-size-in-bytes").asLong(),
+          st.get("file-footer-size-in-bytes").asLong(),
+          Option(st.get("blob-metadata")).map(ba => iter(ba).map { b =>
+            BlobMetadata(
+              b.get("type").asText(),
+              b.get("snapshot-id").asLong(),
+              b.get("sequence-number").asLong(),
+              Option(b.get("fields")).map(fa => iter(fa).map(_.asInt())).getOrElse(Nil),
+              Option(b.get("properties")).map { p =>
+                val pb = Map.newBuilder[String, String]
+                val it = p.properties().iterator()
+                while (it.hasNext) { val e = it.next(); pb += e.getKey -> e.getValue.asText() }
+                pb.result()
+              }.getOrElse(Map.empty))
+          }).getOrElse(Nil))
+      }).getOrElse(Nil),
+      nextRowId = optLong("next-row-id"))
   }
 }

@@ -121,6 +121,19 @@ final class SchemaUpdate(table: IceTable) {
     this
   }
 
+  /** ref: update/schema.py:284 set_default_value — changes the WRITE
+    * default only (initial-default is fixed at add time; rewriting it
+    * would change what old files read back). Pass null to clear. */
+  def setDefaultValue(name: String, value: Any): SchemaUpdate = {
+    editLevel(name) { (fs, leaf) =>
+      val i = idxIn(fs, leaf)
+      require(!(fs(i).required && value == null),
+        s"Cannot clear the default of required column $name")
+      fs.updated(i, fs(i).copy(writeDefault = Option(value)))
+    }
+    this
+  }
+
   /** ref: update/schema.py:538-624 move_first/before/after — within one
     * struct level. */
   def moveFirst(name: String): SchemaUpdate = {

@@ -66,6 +66,66 @@ class IceTable(
   def removeProperties(keys: String*): Unit =
     commitMetadata(m => m.copy(properties = m.properties -- keys))
 
+  /** Upgrade the table's format version (ref: upgrade_format_version
+    * table/__init__.py:294; monotonic only, 1→2→3). Upgrading to v3
+    * starts row lineage: `next-row-id` begins at the current row count so
+    * existing rows keep implicit ids below it. */
+  def upgradeFormatVersion(v: Int): Unit = commitMetadata { m =>
+    require(v >= 1 && v <= 3, s"Unsupported format version $v")
+    require(v >= m.formatVersion,
+      s"Cannot downgrade format version ${m.formatVersion} -> $v")
+    if (v == m.formatVersion) m
+    else {
+      val withRowId = if (v >= 3 && m.nextRowId.isEmpty) {
+        val total = m.currentSnapshot
+          .flatMap(_.summary.get("total-records")).map(_.toLong).getOrElse(0L)
+        m.copy(nextRowId = Some(total))
+      } else m
+      withRowId.copy(formatVersion = v)
+    }
+  }
+
+  /** Attach a statistics file to a snapshot (ref: update_statistics
+    * table/statistics.py:40; metadata-only, replaces any entry for the
+    * same snapshot). */
+  def setStatistics(stats: StatisticsFile): Unit = commitMetadata(m =>
+    m.copy(statistics = m.statistics.filterNot(_.snapshotId == stats.snapshotId) :+ stats))
+
+  def removeStatistics(snapshotId: Long): Unit = commitMetadata(m =>
+    m.copy(statistics = m.statistics.filterNot(_.snapshotId == snapshotId)))
+
+  /** Compute per-column NDV estimates for the current snapshot as ONE
+    * distributed aggregation, write them into a puffin statistics file,
+    * and register it (ref: the theta-sketch ndv blobs pyiceberg reads from
+    * `statistics`, table/statistics.py:40 + puffin.py:48. The datasketches
+    * lib is outside the dependency budget, so the blob type is our own
+    * `graft-ndv-v1` — an 8-byte big-endian count — and the estimate is
+    * ALSO in the `ndv` property, which is where engines look first). */
+  def computeNdvStatistics(columns: Seq[String] = Nil): StatisticsFile = {
+    val snap = metadata.currentSnapshot.getOrElse(
+      throw new IllegalStateException("No snapshot to compute statistics for"))
+    val targets =
+      if (columns.nonEmpty) columns.map(c => schema.findField(c).getOrElse(
+        throw new IllegalArgumentException(s"No such column: $c")))
+      else schema.fields.filter(_.fieldType.isPrimitive)
+    val aggs = targets.map(f => approx_count_distinct(col(f.name)).as(f.name))
+    val row = scan.toDF.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val blobs = targets.zipWithIndex.map { case (f, i) =>
+      val ndv = row.getLong(i)
+      Puffin.Blob("graft-ndv-v1", Seq(f.id), snap.snapshotId, snap.sequenceNumber,
+        java.nio.ByteBuffer.allocate(8).putLong(ndv).array(),
+        Map("ndv" -> ndv.toString))
+    }
+    val path = s"$location/metadata/stats-${snap.snapshotId}-${UUID.randomUUID()}.puffin"
+    val written = Puffin.write(path, blobs)
+    val stats = StatisticsFile(snap.snapshotId, path,
+      written.fileSizeInBytes, written.footerSizeInBytes,
+      written.blobs.map(b => BlobMetadata(b.blobType, b.snapshotId,
+        b.sequenceNumber, b.fields, b.properties)))
+    setStatistics(stats)
+    stats
+  }
+
   // ---- scan --------------------------------------------------------------
 
   def scan: IceScan = new IceScan(this)
@@ -116,7 +176,7 @@ class IceTable(
     * _FastAppendFiles update/snapshot.py:503). */
   def append(df: DataFrame): Unit = {
     val files = WriteFiles.write(spark, location, schema, spec, df,
-      UUID.randomUUID().toString, sortOrderOpt)
+      UUID.randomUUID().toString, sortOrderOpt, metadata.properties)
     commitSnapshot("append", added = files, removedPaths = Set.empty)
   }
 
@@ -146,7 +206,7 @@ class IceTable(
         .toDFForTasks(rewrites, applyResidualOnlyWhereNeeded = true)
         .filter(ToColumn.complementary(bound))
       added = WriteFiles.write(spark, location, schema, spec, survivors,
-      UUID.randomUUID().toString, sortOrderOpt)
+      UUID.randomUUID().toString, sortOrderOpt, metadata.properties)
     }
     val removed = (wholeFiles ++ rewrites).map(_.file.filePath).toSet
     commitSnapshot(if (rewrites.isEmpty) "delete" else "overwrite",
@@ -177,14 +237,14 @@ class IceTable(
     val (wholeFiles, rewrites) = tasks.partition(t =>
       Evaluators.rowsMustMatch(bound, t.file))
     var added = WriteFiles.write(spark, location, schema, spec, df,
-      UUID.randomUUID().toString, sortOrderOpt)
+      UUID.randomUUID().toString, sortOrderOpt, metadata.properties)
     if (rewrites.nonEmpty) {
       // MoR-aware read, as in delete(): never resurrect deleted rows
       val survivors = new IceScan(this)
         .toDFForTasks(rewrites, applyResidualOnlyWhereNeeded = true)
         .filter(ToColumn.complementary(bound))
       added = added ++ WriteFiles.write(spark, location, schema, spec, survivors,
-      UUID.randomUUID().toString, sortOrderOpt)
+      UUID.randomUUID().toString, sortOrderOpt, metadata.properties)
     }
     val removed = (wholeFiles ++ rewrites).map(_.file.filePath).toSet
     commitSnapshot("overwrite", added = added, removedPaths = removed ++ deadDeleteFiles(removed),
@@ -208,7 +268,7 @@ class IceTable(
       .filter(t => touched.contains(normalizeTuple(t.file.partition)))
       .map(_.file.filePath).toSet
     val added = WriteFiles.write(spark, location, schema, spec, df,
-      UUID.randomUUID().toString, sortOrderOpt)
+      UUID.randomUUID().toString, sortOrderOpt, metadata.properties)
     commitSnapshot("overwrite", added = added, removedPaths = removed)
   }
 
@@ -259,24 +319,26 @@ class IceTable(
       var removedPaths = Set.empty[String]
       var added: Seq[DataFile] = Nil
       if (nUpdates > 0) {
-        // locate affected files via _metadata.file_path, rewrite only those:
-        // survivors = rows of affected files whose key is NOT updated
+        // locate affected files via _metadata.file_path (semi-join — the
+        // key set never leaves executors), then RE-READ only those files:
+        // the commit needs the path set driver-side anyway (it is
+        // metadata-sized, #files not #rows), and planning a fresh read over
+        // it beats filtering the full scan through a giant isin predicate
         val targetWithFile = scanWithFilePath()
         val updKeys = updates.select(keys.map(col): _*)
         val affected = targetWithFile
           .join(updKeys, keys, "left_semi")
           .select(col("__file")).distinct().collect().map(_.getString(0)).toSet
         removedPaths = affected
-        val affectedRows = targetWithFile.filter(col("__file").isin(affected.toSeq: _*))
-          .drop("__file")
+        val affectedRows = spark.read.schema(schema.toSpark).parquet(affected.toSeq: _*)
         val survivors = affectedRows.join(updKeys, keys, "left_anti")
         val replacement = survivors.unionByName(updates)
         added = WriteFiles.write(spark, location, schema, spec, replacement,
-      UUID.randomUUID().toString, sortOrderOpt)
+      UUID.randomUUID().toString, sortOrderOpt, metadata.properties)
       }
       if (nInserts > 0) {
         added = added ++ WriteFiles.write(spark, location, schema, spec, inserts,
-      UUID.randomUUID().toString, sortOrderOpt)
+      UUID.randomUUID().toString, sortOrderOpt, metadata.properties)
       }
       commitSnapshot("overwrite", added = added, removedPaths = removedPaths,
         conflictFilter = Some(AlwaysTrue), baseSnapshotId = baseSnap)
@@ -296,12 +358,26 @@ class IceTable(
       b.result()
     }.getOrElse(Map.empty)
 
+  /** Merge updates into the default name mapping (ref: name_mapping.py:153
+    * update_mapping — ours keeps ONE name per id, so an update re-points
+    * the id to the name it carried in externally-written files). */
+  def updateNameMapping(updates: Map[Int, String]): Unit = {
+    updates.keys.foreach(id => require(schema.byId.contains(id), s"No field with id $id"))
+    val merged = nameMapping ++ updates
+    val json = merged.map { case (id, n) => s""""$n": $id""" }.mkString("{", ", ", "}")
+    setProperties("schema.name-mapping.default" -> json)
+  }
+
   /** Register existing parquet files without rewriting them (ref:
     * add_files table/__init__.py:972; parquet_file_to_data_file
     * io/pyarrow.py:2887). Stats come from the footers, distributed.
-    * Installs a name mapping so id-less files resolve columns by name. */
+    * Installs a name mapping so id-less files resolve columns by name.
+    *
+    * On a partitioned table the partition tuple is INFERRED from footer
+    * stats like the reference (io/fileformat.py:49 _partition_value):
+    * the transform must preserve order and transform(min) must equal
+    * transform(max) — i.e. the file must hold exactly one partition. */
   def addFiles(paths: Seq[String], checkDuplicates: Boolean = true): Unit = {
-    require(spec.isUnpartitioned, "addFiles currently supports unpartitioned tables")
     if (!metadata.properties.contains("schema.name-mapping.default")) {
       val json = schema.fields.map(f => s""""${f.name}": ${f.id}""").mkString("{", ", ", "}")
       setProperties("schema.name-mapping.default" -> json)
@@ -312,10 +388,34 @@ class IceTable(
       require(dups.isEmpty, s"Files already referenced: ${dups.take(3).mkString(",")}")
     }
     val colInfo = schema.leafColInfo
+    // full (untruncated) bounds: identity partitions on long strings would
+    // otherwise see truncated min != incremented max and reject the file
+    val fullModes: Map[Int, String] = spec.fields.map(_.sourceId -> "full").toMap
     val slices = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
-    val files = spark.sparkContext.parallelize(paths, slices)
-      .map(p => StatsHarvester.fileToDataFile(p, "", colInfo, Nil, Nil))
+    val harvested = spark.sparkContext.parallelize(paths, slices)
+      .map(p => StatsHarvester.fileToDataFile(p, "", colInfo, Nil, Nil,
+        new org.apache.hadoop.conf.Configuration(), fullModes))
       .collect().toSeq
+    val files =
+      if (spec.isUnpartitioned) harvested
+      else harvested.map { f =>
+        val tuple = spec.fields.map { pf =>
+          require(pf.transform.preservesOrder || pf.transform == VoidTransform,
+            s"Cannot infer partition value for non-linear transform ${pf.transform.name} " +
+              s"(field ${pf.name}) from footer stats")
+          val srcType = schema.byId(pf.sourceId).fieldType
+          (f.lowerBounds.get(pf.sourceId), f.upperBounds.get(pf.sourceId)) match {
+            case (Some(lo), Some(hi)) =>
+              val plo = pf.transform.apply(lo, srcType)
+              val phi = pf.transform.apply(hi, srcType)
+              require(plo == phi,
+                s"File ${f.filePath} spans partitions for ${pf.name}: $plo != $phi")
+              plo
+            case _ => null // all-null (or stat-less) column -> null partition
+          }
+        }
+        f.copy(partition = tuple)
+      }
     commitSnapshot("append", added = files, removedPaths = Set.empty)
   }
 
@@ -323,22 +423,29 @@ class IceTable(
     * extension beyond the reference, which only reads them — ref rejects
     * MoR writes at table/__init__.py:726). */
   def deletePositional(filter: String): Unit = {
+    require(metadata.formatVersion >= 2,
+      s"Delete files require format version >= 2 (table is v${metadata.formatVersion})")
     val expr = ExprParser.parse(filter)
     val bound = Exprs.rewriteNot(Binder.bind(schema, expr))
     val tasks = new IceScan(this).filter(expr).planFiles()
     if (tasks.isEmpty) return
     val paths = tasks.map(_.file.filePath)
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    // global sort = range shuffle on (file_path, pos): one file's deletes
+    // land contiguously and AQE sizes the output task count to the delete
+    // volume — at 100 TB this writes many delete files in parallel instead
+    // of funneling everything through one task
     val matches = spark.read.schema(schema.toSpark).parquet(paths: _*)
       .select(PathUtil.canonCol(col("_metadata.file_path")).as("file_path"),
         col("_metadata.row_index").as("pos"))
       .where(ToColumn.compile(bound))
       .orderBy(col("file_path"), col("pos"))
     val stage = s"$location/data/${UUID.randomUUID()}"
-    matches.coalesce(1).write.parquet(stage)
+    matches.write.parquet(stage)
     val written = WriteFiles.harvest(spark, stage, Schema(Seq(
       NestedField(2147483546, "file_path", IString, required = true),
       NestedField(2147483545, "pos", ILong, required = true))), PartitionSpec.Unpartitioned)
+      .filter(_.recordCount > 0)
       .map(_.copy(content = FileContent.PositionDeletes))
     commitSnapshot("delete", added = written, removedPaths = Set.empty)
   }
@@ -363,7 +470,7 @@ class IceTable(
     val df = scanObj.toDFForTasks(toRewrite, applyResidualOnlyWhereNeeded = true)
       .coalesce(targetFiles)
     val added = WriteFiles.write(spark, location, schema, spec, df,
-      UUID.randomUUID().toString, sortOrderOpt)
+      UUID.randomUUID().toString, sortOrderOpt, metadata.properties)
     val removed = toRewrite.map(_.file.filePath).toSet ++
       withDeletes.flatMap(_.deletes.map(_.filePath))
     commitSnapshot("replace", added = added, removedPaths = removed)
@@ -375,6 +482,8 @@ class IceTable(
     * table/__init__.py:2651). Later appends with the same keys are
     * unaffected (sequence-number scoping). */
   def deleteEqualityKeys(keys: DataFrame): Unit = {
+    require(metadata.formatVersion >= 2,
+      s"Delete files require format version >= 2 (table is v${metadata.formatVersion})")
     val keyFields = keys.columns.toSeq.map(n => schema.findField(n).getOrElse(
       throw new IllegalArgumentException(s"No such column: $n")))
     val keySchema = Schema(schema.fields.filter(f => keyFields.exists(_.id == f.id)))
@@ -382,8 +491,12 @@ class IceTable(
     val stage = s"$location/data/${UUID.randomUUID()}"
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    aligned.distinct().coalesce(1).write.parquet(stage)
+    // distinct() is already a shuffle on the key columns; AQE coalesces the
+    // output to the key volume (no coalesce(1) funnel — a large key set
+    // writes from many tasks)
+    aligned.distinct().write.parquet(stage)
     val written = WriteFiles.harvest(spark, stage, keySchema, PartitionSpec.Unpartitioned)
+      .filter(_.recordCount > 0)
       .map(_.copy(content = FileContent.EqualityDeletes,
         equalityIds = keySchema.fields.map(_.id)))
     commitSnapshot("delete", added = written, removedPaths = Set.empty)
@@ -595,8 +708,12 @@ class IceTable(
         merged.filter(_.content == 0)
           .map(m => m.addedFilesCount + m.existingFilesCount).sum.toString)
 
+    // v3 row lineage: this snapshot's new rows get ids starting at
+    // next-row-id (spec §Row Lineage)
+    val firstRowId = if (base.formatVersion >= 3)
+      Some(base.nextRowId.getOrElse(0L)) else None
     val snap = Snapshot(snapId, base.currentSnapshotId, seq, now, listPath, summary,
-      base.currentSchemaId)
+      base.currentSchemaId, firstRowId)
     val withExtra0 = extraMeta(base)
     val withExtra = if (registerUnpartSpec)
       withExtra0.copy(partitionSpecs = withExtra0.partitionSpecs :+ unpartSpec)
@@ -609,7 +726,8 @@ class IceTable(
       snapshotLog = withExtra.snapshotLog :+ SnapshotLogEntry(now, snapId),
       metadataLog = withExtra.metadataLog :+
         MetadataLogEntry(now, s"$metaDir/v$version.metadata.json"),
-      refs = withExtra.refs + ("main" -> SnapshotRef(snapId, "branch")))
+      refs = withExtra.refs + ("main" -> SnapshotRef(snapId, "branch")),
+      nextRowId = firstRowId.map(_ + addedRecords).orElse(withExtra.nextRowId))
     catalog.commit(name, version, newMeta)
     metadata = newMeta
     this.version = version + 1

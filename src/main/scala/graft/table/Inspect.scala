@@ -103,23 +103,113 @@ final class Inspect(table: IceTable) {
       }
     }
 
-  /** ref: inspect.py:682 files / :550 row builder (readable subset). */
+  // ---- readable_metrics machinery (ref: inspect.py:550 row builder,
+  // :613 _get_files_schema) — per-LEAF stats decoded into typed structs,
+  // keyed by dotted column path (struct members get their own entry).
+
+  private def boundSparkType(t: IceType) = t.toSpark
+
+  /** internal repr → external JVM value createDataFrame accepts. */
+  private def externalValue(t: IceType, v: Any): Any = v match {
+    case null => null
+    case _ => t match {
+      case IDate => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+        v.asInstanceOf[Int].toLong))
+      case ITimestamp => java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(v.asInstanceOf[Long], 1000000L),
+        (Math.floorMod(v.asInstanceOf[Long], 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+      case ITimestamptz =>
+        val us = v.asInstanceOf[Long]
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+      case _ => v
+    }
+  }
+
+  private def readableMetricsType: StructType = StructType(
+    m.schema.leafColInfo.map { case (path, id, _) =>
+      val t = m.schema.byId(id).fieldType
+      StructField(path, StructType(Seq(
+        StructField("column_size", LongType),
+        StructField("value_count", LongType),
+        StructField("null_value_count", LongType),
+        StructField("nan_value_count", LongType),
+        StructField("lower_bound", boundSparkType(t)),
+        StructField("upper_bound", boundSparkType(t)))))
+    })
+
+  private def readableMetricsRow(f: DataFile): Row = Row(
+    m.schema.leafColInfo.map { case (_, id, _) =>
+      val t = m.schema.byId(id).fieldType
+      Row(
+        f.columnSizes.get(id).map(Long.box).orNull,
+        f.valueCounts.get(id).map(Long.box).orNull,
+        f.nullValueCounts.get(id).map(Long.box).orNull,
+        f.nanValueCounts.get(id).map(Long.box).orNull,
+        externalValue(t, f.lowerBounds.getOrElse(id, null)),
+        externalValue(t, f.upperBounds.getOrElse(id, null)))
+    }: _*)
+
+  /** Union of every spec's partition fields, merged by name (first type
+    * wins) — the `partition` struct column (ref: specs_struct
+    * table/metadata.py; a file from an older spec leaves newer fields
+    * null). */
+  private lazy val specsStructFields: Seq[(String, IceType)] = {
+    val seen = scala.collection.mutable.LinkedHashMap[String, IceType]()
+    m.partitionSpecs.foreach(sp => sp.partitionType(m.schema).foreach { nf =>
+      if (!seen.contains(nf.name)) seen += nf.name -> nf.fieldType
+    })
+    seen.toSeq
+  }
+
+  private def partitionStructRow(sp: PartitionSpec, values: Seq[Any]): Row = {
+    val byName = sp.fields.map(_.name).zip(values).toMap
+    Row(specsStructFields.map { case (n, t) =>
+      externalValue(t, byName.getOrElse(n, null)) }: _*)
+  }
+
+  /** ref: inspect.py:682 files / :550 row builder. */
   def files(content: Option[Int] = None): DataFrame = {
+    val partType = StructType(specsStructFields.map { case (n, t) =>
+      StructField(n, t.toSpark) })
     val schema = StructType(Seq(
       StructField("content", IntegerType, nullable = false),
       StructField("file_path", StringType),
       StructField("file_format", StringType),
       StructField("spec_id", IntegerType, nullable = false),
-      StructField("partition", StringType),
+      StructField("partition", partType),
       StructField("record_count", LongType, nullable = false),
-      StructField("file_size_in_bytes", LongType, nullable = false)))
+      StructField("file_size_in_bytes", LongType, nullable = false),
+      StructField("column_sizes", MapType(IntegerType, LongType)),
+      StructField("value_counts", MapType(IntegerType, LongType)),
+      StructField("null_value_counts", MapType(IntegerType, LongType)),
+      StructField("nan_value_counts", MapType(IntegerType, LongType)),
+      StructField("lower_bounds", MapType(IntegerType, BinaryType)),
+      StructField("upper_bounds", MapType(IntegerType, BinaryType)),
+      StructField("key_metadata", BinaryType),
+      StructField("split_offsets", ArrayType(LongType)),
+      StructField("equality_ids", ArrayType(IntegerType)),
+      StructField("sort_order_id", IntegerType),
+      StructField("readable_metrics", readableMetricsType)))
+    def boundsBytes(bounds: Map[Int, Any]): Map[Int, Array[Byte]] =
+      bounds.flatMap { case (id, v) =>
+        m.schema.byId.get(id).map(f => id -> Conversions.toBytes(f.fieldType, v)) }
     val rows = liveEntries()
       .filter { case (_, e) => content.forall(_ == e.dataFile.content) }
       .map { case (mf, e) =>
         val sp = m.specById(mf.partitionSpecId)
-        Row(e.dataFile.content, e.dataFile.filePath, e.dataFile.fileFormat, sp.specId,
-          sp.partitionToPath(e.dataFile.partition, m.schema),
-          e.dataFile.recordCount, e.dataFile.fileSizeInBytes)
+        val f = e.dataFile
+        Row(f.content, f.filePath, f.fileFormat, sp.specId,
+          partitionStructRow(sp, f.partition),
+          f.recordCount, f.fileSizeInBytes,
+          f.columnSizes, f.valueCounts, f.nullValueCounts, f.nanValueCounts,
+          boundsBytes(f.lowerBounds), boundsBytes(f.upperBounds),
+          null,
+          if (f.splitOffsets.isEmpty) null else f.splitOffsets,
+          if (f.equalityIds.isEmpty) null else f.equalityIds,
+          f.sortOrderId.map(Int.box).orNull,
+          readableMetricsRow(f))
       }
     df(rows, schema)
   }
@@ -127,17 +217,20 @@ final class Inspect(table: IceTable) {
   def dataFiles(): DataFrame = files(Some(FileContent.Data))
   def deleteFiles(): DataFrame = files(Some(FileContent.PositionDeletes))
 
-  /** ref: inspect.py:106 entries (status + snapshot + file path). */
+  /** ref: inspect.py:106 entries (status + snapshot + file + metrics). */
   def entries(): DataFrame = {
     val schema = StructType(Seq(
       StructField("status", IntegerType, nullable = false),
       StructField("snapshot_id", LongType, nullable = false),
       StructField("sequence_number", LongType, nullable = false),
+      StructField("file_sequence_number", LongType, nullable = false),
       StructField("file_path", StringType),
-      StructField("record_count", LongType, nullable = false)))
+      StructField("record_count", LongType, nullable = false),
+      StructField("readable_metrics", readableMetricsType)))
     df(liveEntries().map { case (_, e) =>
-      Row(e.status, e.snapshotId, e.dataSequenceNumber, e.dataFile.filePath,
-        e.dataFile.recordCount) }, schema)
+      Row(e.status, e.snapshotId, e.dataSequenceNumber, e.fileSequenceNumber,
+        e.dataFile.filePath, e.dataFile.recordCount,
+        readableMetricsRow(e.dataFile)) }, schema)
   }
 
   /** ref: inspect.py:691 all_manifests — manifests of every snapshot. */

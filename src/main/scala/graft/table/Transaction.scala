@@ -30,7 +30,8 @@ final class Transaction(table: IceTable) {
   private def stageWrite(df: DataFrame): Seq[DataFile] =
     WriteFiles.write(table.spark, table.location, table.schema, table.spec, df,
       UUID.randomUUID().toString,
-      table.metadata.sortOrders.find(_.orderId == table.metadata.defaultSortOrderId))
+      table.metadata.sortOrders.find(_.orderId == table.metadata.defaultSortOrderId),
+      table.metadata.properties)
 
   def append(df: DataFrame): Transaction = {
     added = added ++ stageWrite(df)

@@ -30,6 +30,34 @@ import graft.meta._
   * the written files (at 100 TB a driver-side footer loop would be the
   * bottleneck).
   */
+/** Data-location layout (ref: table/locations.py:103 Simple /
+  * :115 ObjectStoreLocationProvider). Object-storage mode injects binary
+  * entropy directories ahead of the commit dir so S3-style stores spread
+  * requests across key prefixes instead of throttling one hot prefix.
+  * Deviation from the reference: entropy is per COMMIT (the Spark
+  * committer stages a whole commit under one directory), not per file —
+  * same prefix fan-out across commits, cheaper listing within one. */
+object Locations {
+  val HashBits = 20
+  val DirLen = 4
+  val DirDepth = 3
+
+  def entropyDirs(name: String): String = {
+    val h = Transforms.hashString(name) & ((1 << HashBits) - 1)
+    val bits = String.format("%" + HashBits + "s", Integer.toBinaryString(h))
+      .replace(' ', '0')
+    val total = DirLen * DirDepth
+    val dirs = (0 until total by DirLen).map(i => bits.substring(i, i + DirLen))
+    (dirs :+ bits.substring(total)).mkString("/")
+  }
+
+  /** Stage directory for one commit's data files. */
+  def stageDir(location: String, commitUuid: String, props: Map[String, String]): String =
+    if (props.get("write.object-storage.enabled").contains("true"))
+      s"$location/data/${entropyDirs(commitUuid)}/$commitUuid"
+    else s"$location/data/$commitUuid"
+}
+
 object WriteFiles {
 
   val SyntheticPrefix = "_p_"
@@ -50,13 +78,26 @@ object WriteFiles {
     df.select(cols: _*)
   }
 
+  /** Per-leaf metrics mode from table properties (ref: io/pyarrow.py:2305
+    * match_metrics_mode; `write.metadata.metrics.default` +
+    * `write.metadata.metrics.column.<dotted.path>`): none | counts |
+    * truncate(N) | full. */
+  def metricsModes(schema: Schema, props: Map[String, String]): Map[Int, String] = {
+    val default = props.getOrElse("write.metadata.metrics.default",
+      s"truncate(${StatsHarvester.BoundTruncateLength})")
+    schema.leafColInfo.map { case (path, id, _) =>
+      id -> props.getOrElse(s"write.metadata.metrics.column.$path", default)
+    }.toMap
+  }
+
   /** Write `df` as data files for the table, returning DataFiles with
     * stats. Files land under `<location>/data/<commitUuid>/` so a commit's
     * files are exactly one directory listing (no global listing). */
   def write(spark: SparkSession, location: String, schema: Schema, spec: PartitionSpec,
       df: DataFrame, commitUuid: String,
-      sortOrder: Option[SortOrder] = None): Seq[DataFile] = {
-    val stageDir = s"$location/data/$commitUuid"
+      sortOrder: Option[SortOrder] = None,
+      props: Map[String, String] = Map.empty): Seq[DataFile] = {
+    val stageDir = Locations.stageDir(location, commitUuid, props)
     val aligned = align(df, schema)
 
     // parquet physical settings the stats harvest + id-resolution rely on
@@ -106,7 +147,7 @@ object WriteFiles {
         .partitionBy(spec.fields.map(pf => SyntheticPrefix + pf.name): _*)
         .parquet(stageDir)
     }
-    harvest(spark, stageDir, schema, spec)
+    harvest(spark, stageDir, schema, spec, metricsModes(schema, props))
       .map(f => orderId.map(id => f.copy(sortOrderId = Some(id))).getOrElse(f))
   }
 
@@ -147,7 +188,7 @@ object WriteFiles {
 
   /** List written files and collect footer stats as a distributed job. */
   def harvest(spark: SparkSession, stageDir: String, schema: Schema,
-      spec: PartitionSpec): Seq[DataFile] = {
+      spec: PartitionSpec, modes: Map[Int, String] = Map.empty): Seq[DataFile] = {
     val files = listParquet(stageDir)
     if (files.isEmpty) return Nil
 
@@ -166,7 +207,8 @@ object WriteFiles {
     spark.sparkContext.parallelize(files, slices).mapPartitions { paths =>
       lazy val conf = new Configuration()
       paths.map(path =>
-        StatsHarvester.fileToDataFile(path, stage, colInfo, partFieldNames, partTypes, conf))
+        StatsHarvester.fileToDataFile(path, stage, colInfo, partFieldNames, partTypes,
+          conf, modes))
     }.collect().toSeq
   }
 }
@@ -225,9 +267,26 @@ object StatsHarvester extends Serializable {
       }
   }
 
+  /** Parsed metrics mode: what to keep per column. */
+  private[table] final case class ModeSpec(counts: Boolean, bounds: Boolean,
+      trunc: Option[Int])
+
+  private val TruncRe = """truncate\((\d+)\)""".r
+
+  private[table] def parseMode(s: String): ModeSpec = s.trim.toLowerCase match {
+    case "none" => ModeSpec(counts = false, bounds = false, None)
+    case "counts" => ModeSpec(counts = true, bounds = false, None)
+    case "full" => ModeSpec(counts = true, bounds = true, None)
+    case other => other match {
+      case TruncRe(n) => ModeSpec(counts = true, bounds = true, Some(n.toInt))
+      case _ => ModeSpec(counts = true, bounds = true, Some(BoundTruncateLength))
+    }
+  }
+
   def fileToDataFile(path: String, stageDir: String, colInfo: Seq[(String, Int, String)],
       partFieldNames: Seq[String], partTypes: Seq[String],
-      conf: Configuration = new Configuration()): DataFile = {
+      conf: Configuration = new Configuration(),
+      modes: Map[Int, String] = Map.empty): DataFile = {
     // local files bypass the Hadoop FS layer entirely (pure NIO input);
     // remote URIs keep HadoopInputFile
     val isLocal = !path.contains(":") || path.startsWith("file:")
@@ -252,6 +311,10 @@ object StatsHarvester extends Serializable {
       val lowers = scala.collection.mutable.Map[Int, Any]()
       val uppers = scala.collection.mutable.Map[Int, Any]()
       val byName = colInfo.map(c => c._1 -> c).toMap
+      val modeById: Map[Int, ModeSpec] = colInfo.map { case (_, id, _) =>
+        id -> modes.get(id).map(parseMode)
+          .getOrElse(ModeSpec(counts = true, bounds = true, Some(BoundTruncateLength)))
+      }.toMap
       val it = blocks.iterator()
       while (it.hasNext) {
         val block = it.next()
@@ -263,12 +326,15 @@ object StatsHarvester extends Serializable {
           val pathName = cc.getPath.toArray.mkString(".")
           byName.get(pathName).foreach { case (_, id, trepr) =>
             val t = parseType(trepr)
-            valueCounts(id) = valueCounts.getOrElse(id, 0L) + cc.getValueCount
+            val mode = modeById(id)
             colSizes(id) = colSizes.getOrElse(id, 0L) + cc.getTotalSize
+            if (mode.counts) {
+              valueCounts(id) = valueCounts.getOrElse(id, 0L) + cc.getValueCount
+            }
             val st = cc.getStatistics
-            if (st != null && !st.isEmpty) {
+            if (mode.counts && st != null && !st.isEmpty) {
               nullCounts(id) = nullCounts.getOrElse(id, 0L) + st.getNumNulls
-              if (st.hasNonNullValue) {
+              if (mode.bounds && st.hasNonNullValue) {
                 val mn = decodeStat(st.genericGetMin, cc.getPrimitiveType.getPrimitiveTypeName, t)
                 val mx = decodeStat(st.genericGetMax, cc.getPrimitiveType.getPrimitiveTypeName, t)
                 (mn, mx) match {
@@ -284,13 +350,16 @@ object StatsHarvester extends Serializable {
           }
         }
       }
-      // bound truncation for strings (metrics mode truncate(16)): keeps
-      // manifests small at scale while staying valid for pruning
+      // bound truncation for strings (metrics mode truncate(N), default 16):
+      // keeps manifests small at scale while staying valid for pruning;
+      // `full` mode keeps whole bounds
       colInfo.foreach { case (_, id, trepr) =>
-        if (trepr == "string" || trepr == "uuid") {
-          lowers.get(id).foreach(v => lowers(id) = truncateLower(v.toString))
+        val trunc = modeById(id).trunc
+        if ((trepr == "string" || trepr == "uuid") && trunc.isDefined) {
+          val n = trunc.get
+          lowers.get(id).foreach(v => lowers(id) = truncateLower(v.toString, n))
           uppers.get(id).foreach { v =>
-            truncateUpper(v.toString) match {
+            truncateUpper(v.toString, n) match {
               case Some(u) => uppers(id) = u
               case None => uppers.remove(id)
             }

@@ -549,4 +549,177 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.snapshots === t.metadata.snapshots)
     assert(back.refs === t.metadata.refs)
   }
+
+  test("add_files on a partitioned table infers partition from stats") {
+    import graft.table.WriteFiles
+    val schema = Schema.fromSpark(orders.schema)
+    val spec = PartitionSpec.build(schema, 0, ("o_orderstatus", IdentityTransform, "status"))
+    val t = catalog.createTable("t_addpart", schema, spec)
+    val dir = Files.createTempDirectory("graft-addfiles").toString
+    orders.filter(col("o_orderstatus") === "F").coalesce(1).write.parquet(s"$dir/f")
+    orders.filter(col("o_orderstatus") === "O").coalesce(1).write.parquet(s"$dir/o")
+    def one(d: String) = WriteFiles.listParquet(d).head
+    t.addFiles(Seq(one(s"$dir/f"), one(s"$dir/o")))
+    // inferred tuples drive partition pruning
+    assert(t.scan("o_orderstatus = 'F'").planFiles().size === 1)
+    assert(t.scan.toDF.count() ===
+      orders.filter(col("o_orderstatus").isin("F", "O")).count())
+    // a file spanning two partitions is rejected
+    orders.coalesce(1).write.parquet(s"$dir/mixed")
+    intercept[IllegalArgumentException](t.addFiles(Seq(one(s"$dir/mixed"))))
+  }
+
+  test("object-storage location provider spreads commits over entropy dirs") {
+    import graft.table.Locations
+    val t = catalog.createTable("t_objstore", Schema.fromSpark(orders.schema))
+    t.setProperties("write.object-storage.enabled" -> "true")
+    t.append(orders.limit(10))
+    val f = t.scan.planFiles().head.file
+    // path shape: <loc>/data/0101/0110/1001/10110010/<uuid>/...
+    val rel = f.filePath.split("/data/")(1)
+    assert(rel.matches("[01]{4}/[01]{4}/[01]{4}/[01]{8}/.*"),
+      s"expected entropy dirs, got $rel")
+    assert(t.scan.toDF.count() === 10)
+    // deterministic: same name -> same dirs
+    assert(Locations.entropyDirs("x") === Locations.entropyDirs("x"))
+  }
+
+  test("format versions: v1 json read, monotonic upgrade, v3 row lineage") {
+    // v1 metadata with legacy single schema/partition-spec fields
+    val v1 = """{
+      "format-version": 1,
+      "table-uuid": "abc-123",
+      "location": "/tmp/t_v1",
+      "last-updated-ms": 1000,
+      "last-column-id": 2,
+      "schema": {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "k", "required": true, "type": "long"},
+        {"id": 2, "name": "ts", "required": false, "type": "timestamp"}]},
+      "partition-spec": [
+        {"source-id": 2, "field-id": 1000, "name": "ts_day", "transform": "day"}]
+    }"""
+    val m = MetadataJson.fromJson(v1)
+    assert(m.formatVersion === 1)
+    assert(m.schema.fields.map(_.name) === Seq("k", "ts"))
+    assert(m.spec.fields.head.name === "ts_day")
+    assert(m.spec.fields.head.transform === DayTransform)
+    // v1 write emits the legacy fields alongside the lists
+    val out = MetadataJson.toJson(m)
+    assert(out.contains("\"partition-spec\"") && out.contains("\"schema\""))
+    assert(MetadataJson.fromJson(out).spec === m.spec)
+
+    // upgrade path on a real table: v2 -> v3 starts row lineage
+    val t = catalog.createTable("t_fv", Schema.fromSpark(orders.schema))
+    t.append(orders.limit(100))
+    assert(t.metadata.formatVersion === 2)
+    intercept[IllegalArgumentException](t.upgradeFormatVersion(1))
+    t.upgradeFormatVersion(3)
+    assert(t.metadata.formatVersion === 3)
+    assert(t.metadata.nextRowId === Some(100L))
+    t.append(orders.limit(50))
+    assert(t.metadata.currentSnapshot.get.firstRowId === Some(100L))
+    assert(t.metadata.nextRowId === Some(150L))
+    // v3 json round-trips the lineage fields
+    val back = MetadataJson.fromJson(MetadataJson.toJson(t.metadata))
+    assert(back.nextRowId === Some(150L))
+    assert(back.currentSnapshot.get.firstRowId === Some(100L))
+  }
+
+  test("puffin ndv statistics: write, register, read back") {
+    val t = catalog.loadTable("t_fv")
+    val stats = t.computeNdvStatistics(Seq("o_orderkey", "o_orderstatus"))
+    assert(t.metadata.statistics.map(_.snapshotId) ===
+      Seq(t.metadata.currentSnapshotId.get))
+    // footer round-trips: blob directory + ranged blob read
+    val infos = Puffin.readFooter(stats.statisticsPath)
+    assert(infos.map(_.blobType) === Seq("graft-ndv-v1", "graft-ndv-v1"))
+    val keyNdv = infos.find(_.fields ==
+      Seq(t.schema.findField("o_orderkey").get.id)).get
+    val payload = java.nio.ByteBuffer.wrap(Puffin.readBlob(stats.statisticsPath, keyNdv))
+    assert(payload.getLong === keyNdv.properties("ndv").toLong)
+    // approx ndv is within 10% of the truth (150 distinct keys appended)
+    val truth = t.scan.toDF.select("o_orderkey").distinct().count()
+    assert(math.abs(keyNdv.properties("ndv").toLong - truth) <= truth / 10 + 1)
+    t.removeStatistics(stats.snapshotId)
+    assert(t.metadata.statistics.isEmpty)
+  }
+
+  test("unknown transform reads conservatively; set_default_value; name-mapping update") {
+    // unknown transform: metadata parses, pruning stays conservative
+    val t2 = Transform.parse("zorder(4)")
+    assert(t2.isInstanceOf[UnknownTransform])
+    assert(t2.name === "zorder(4)") // round-trips the original string
+    intercept[UnsupportedOperationException](t2.apply(1, ILong))
+
+    // set_default_value changes the WRITE default only
+    val t = catalog.createTable("t_defaults", Schema.fromSpark(orders.schema))
+    t.updateSchema.setDefaultValue("o_orderpriority", "5-LOW").commit()
+    val f = t.schema.findField("o_orderpriority").get
+    assert(f.writeDefault === Some("5-LOW"))
+    assert(f.initialDefault === None)
+
+    // name-mapping update re-points an id
+    t.updateNameMapping(Map(f.id -> "priority_legacy"))
+    assert(t.nameMapping(f.id) === "priority_legacy")
+    intercept[IllegalArgumentException](t.updateNameMapping(Map(9999 -> "x")))
+  }
+
+  test("update statistics: set + remove round-trip") {
+    val t = catalog.loadTable("t_fv")
+    val snapId = t.metadata.currentSnapshotId.get
+    val stats = StatisticsFile(snapId, s"${t.location}/metadata/stats.puffin", 128L, 64L,
+      Seq(BlobMetadata("apache-datasketches-theta-v1", snapId, 1L, Seq(1),
+        Map("ndv" -> "42"))))
+    t.setStatistics(stats)
+    assert(t.metadata.statistics === Seq(stats))
+    val back = MetadataJson.fromJson(MetadataJson.toJson(t.metadata))
+    assert(back.statistics === Seq(stats))
+    t.removeStatistics(snapId)
+    assert(t.metadata.statistics.isEmpty)
+  }
+
+  test("files table exposes readable_metrics with typed bounds") {
+    val t = catalog.loadTable("t_roundtrip")
+    val files = t.inspect.dataFiles()
+    assert(files.schema.fieldNames.contains("readable_metrics"))
+    val rm = files.select(col("readable_metrics.l_quantity.lower_bound").as("lo"),
+      col("readable_metrics.l_quantity.upper_bound").as("hi"),
+      col("readable_metrics.l_quantity.value_count").as("n")).collect()
+    assert(rm.nonEmpty)
+    val realLo = lineitem.agg(min("l_quantity")).collect()(0).getDouble(0)
+    assert(rm.map(_.getDouble(0)).min === realLo)
+    assert(rm.map(_.getLong(2)).sum === lineitem.count())
+    // entries table carries the same struct
+    val ent = t.inspect.entries()
+    assert(ent.schema.fieldNames.contains("readable_metrics"))
+    assert(ent.count() > 0)
+  }
+
+  test("metrics modes: none/counts/full per column") {
+    val t = catalog.createTable("t_metrics", Schema.fromSpark(orders.schema))
+    t.setProperties(
+      "write.metadata.metrics.default" -> "counts",
+      "write.metadata.metrics.column.o_custkey" -> "none",
+      "write.metadata.metrics.column.o_orderkey" -> "full",
+      "write.metadata.metrics.column.o_orderpriority" -> "truncate(4)")
+    t.append(orders)
+    val f = t.scan.planFiles().head.file
+    val sch = t.schema
+    def id(n: String) = sch.findField(n).get.id
+    // none: no counts, no bounds
+    assert(!f.valueCounts.contains(id("o_custkey")))
+    assert(!f.lowerBounds.contains(id("o_custkey")))
+    // counts (default): counts but no bounds
+    assert(f.valueCounts.contains(id("o_orderstatus")))
+    assert(!f.lowerBounds.contains(id("o_orderstatus")))
+    // full: counts + bounds
+    assert(f.valueCounts.contains(id("o_orderkey")))
+    assert(f.lowerBounds.contains(id("o_orderkey")))
+    // truncate(4): string bounds cut to 4 code points, upper still valid
+    val lo = f.lowerBounds(id("o_orderpriority")).toString
+    val hi = f.upperBounds(id("o_orderpriority")).toString
+    assert(lo.length <= 4 && hi.length <= 4)
+    val realHi = orders.agg(max("o_orderpriority")).collect()(0).getString(0)
+    assert(hi >= realHi.substring(0, math.min(4, realHi.length)))
+  }
 }
