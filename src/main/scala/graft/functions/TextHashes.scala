@@ -4,12 +4,21 @@ import com.google.common.hash.Hashing
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Shared tokenization + seeded murmur3 for the text-dedup operators. */
+/** Shared tokenization + hashing for the text-dedup operators.
+  *
+  * MinHash does NOT rehash every shingle per permutation (k murmur3
+  * passes per shingle is the naive formulation): each shingle is hashed
+  * ONCE to 64 bits — word hashes computed once and mixed per 3-window —
+  * and the k permutations are multiply-shift universal hashes of that
+  * value (the standard one-hash + k-mix scheme, e.g. Apache DataSketches).
+  * Cuts signature cost from O(shingles × k × |shingle|) to
+  * O(words × |word| + shingles × k) integer ops.
+  */
 object TextHashes {
   def tokens(text: String): Array[String] =
     text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
@@ -24,17 +33,81 @@ object TextHashes {
   def hash(word: String, seed: Int): Int =
     Hashing.murmur3_32_fixed(seed).hashUnencodedChars(word).asInt()
 
-  def minhashSignature(text: String, numPerms: Int): Array[Int] =
-    minhashOf(shingles(text, 3), numPerms)
+  private def word64(w: String): Long = {
+    val lo = hash(w, 101)
+    val hi = hash(w, 202)
+    (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+  }
 
-  def minhashOf(ws: Array[String], numPerms: Int): Array[Int] = {
-    val sig = Array.fill(numPerms)(Int.MaxValue)
+  private def mix3(h0: Long, h1: Long, h2: Long): Long = {
+    var h = h0
+    h = (h ^ java.lang.Long.rotateLeft(h1, 21)) * 0x9E3779B97F4A7C15L
+    h = (h ^ java.lang.Long.rotateLeft(h2, 42)) * 0xC2B2AE3D27D4EB4FL
+    h ^ (h >>> 29)
+  }
+
+  /** DISTINCT 64-bit hashes of the 3-word shingles, one murmur pass per
+    * WORD (not per shingle×permutation). Identity-by-hash: a 64-bit
+    * collision merges two shingles — harmless inside probabilistic
+    * signatures (the oracle rescans exactly). */
+  def shingleHashes3(text: String): Array[Long] = {
+    val ws = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (ws.length <= 3) return Array(mix3(
+      if (ws.length > 0) word64(ws(0)) else 0L,
+      if (ws.length > 1) word64(ws(1)) else 0L,
+      if (ws.length > 2) word64(ws(2)) else 0L))
+    val wh = new Array[Long](ws.length)
     var i = 0
-    while (i < ws.length) {
+    while (i < ws.length) { wh(i) = word64(ws(i)); i += 1 }
+    val out = new Array[Long](ws.length - 2)
+    i = 0
+    while (i < out.length) { out(i) = mix3(wh(i), wh(i + 1), wh(i + 2)); i += 1 }
+    java.util.Arrays.sort(out)
+    // in-place dedupe of the sorted hashes
+    var n = 0
+    i = 0
+    while (i < out.length) {
+      if (i == 0 || out(i) != out(i - 1)) { out(n) = out(i); n += 1 }
+      i += 1
+    }
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+  }
+
+  /** splitmix64 — deterministic per-permutation multipliers/addends. */
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  private val permCache = new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def perms(k: Int): (Array[Long], Array[Long]) =
+    permCache.computeIfAbsent(k, _ => {
+      val a = new Array[Long](k); val b = new Array[Long](k)
+      var p = 0
+      while (p < k) {
+        a(p) = splitmix64(p.toLong * 2) | 1L // odd multiplier
+        b(p) = splitmix64(p.toLong * 2 + 1)
+        p += 1
+      }
+      (a, b)
+    })
+
+  def minhashSignature(text: String, numPerms: Int): Array[Int] =
+    minhashOfHashes(shingleHashes3(text), numPerms)
+
+  def minhashOfHashes(hs: Array[Long], numPerms: Int): Array[Int] = {
+    val (a, b) = perms(numPerms)
+    val sig = new Array[Int](numPerms)
+    java.util.Arrays.fill(sig, Int.MaxValue)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i)
       var p = 0
       while (p < numPerms) {
-        val h = hash(ws(i), p)
-        if (h < sig(p)) sig(p) = h
+        val v = ((a(p) * h + b(p)) >>> 33).toInt // top bits, non-negative
+        if (v < sig(p)) sig(p) = v
         p += 1
       }
       i += 1
@@ -42,15 +115,13 @@ object TextHashes {
     sig
   }
 
-  /** 64-bit SimHash over shingle hashes (two murmur32 halves). */
+  /** 64-bit SimHash: per-bit majority vote over the shingle hashes. */
   def simhash64(text: String): Long = {
-    val ws = shingles(text, 3)
+    val hs = shingleHashes3(text)
     val acc = new Array[Int](64)
     var i = 0
-    while (i < ws.length) {
-      val lo = hash(ws(i), 101)
-      val hi = hash(ws(i), 202)
-      val h = (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+    while (i < hs.length) {
+      val h = hs(i)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
@@ -65,24 +136,31 @@ object TextHashes {
   }
 }
 
-/** MinHash signature as a Catalyst expression: one pass over the document,
-  * k seeded murmur3 permutations (ref pattern: shingle→minhash→band;
-  * SURVEY.md §2.L). Returns array<int> of length `numPerms`. */
-case class MinHashSig(child: Expression, numPerms: Int)
-    extends UnaryExpression with CodegenFallback {
+/** MinHash signature as a codegen'd Catalyst expression: one pass over the
+  * document, one 64-bit hash per shingle, k multiply-shift permutations
+  * (ref pattern: shingle→minhash→band; SURVEY.md §2.L). Returns
+  * array<int> of length `numPerms`. */
+case class MinHashSig(child: Expression, numPerms: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-  override def nullSafeEval(v: Any): Any = {
-    val sig = TextHashes.minhashSignature(v.asInstanceOf[UTF8String].toString, numPerms)
-    new GenericArrayData(sig.map(Int.box))
+  def compute(v: UTF8String): ArrayData =
+    UnsafeArrayDataBridge.fromIntArray(TextHashes.minhashSignature(v.toString, numPerms))
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhash", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
 
-/** 64-bit SimHash as a Catalyst expression. */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+/** 64-bit SimHash as a codegen'd Catalyst expression. */
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def nullSafeEval(v: Any): Any =
-    TextHashes.simhash64(v.asInstanceOf[UTF8String].toString)
+  def compute(v: UTF8String): Long = TextHashes.simhash64(v.toString)
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }
 
@@ -91,12 +169,24 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   * the DuckDB oracle's list_transform), but ~60× faster: the HOF chain
   * pays per-element lambda dispatch on every word of every document
   * (measured 10.6s vs 0.17s over sf0.1 documents). */
-case class Shingles3(child: Expression) extends UnaryExpression with CodegenFallback {
+case class Shingles3(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullSafeEval(v: Any): Any =
-    new GenericArrayData(TextHashes.shingles(v.asInstanceOf[UTF8String].toString, 3)
+  def compute(v: UTF8String): ArrayData =
+    new GenericArrayData(TextHashes.shingles(v.toString, 3)
       .map(s => UTF8String.fromString(s).asInstanceOf[Any]))
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingles", this, classOf[Shingles3].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
   override protected def withNewChildInternal(c: Expression): Shingles3 = copy(child = c)
+}
+
+/** UnsafeArrayData.fromPrimitiveArray is Spark-internal; bridge it so the
+  * signature array is emitted without boxing every int. */
+object UnsafeArrayDataBridge {
+  def fromIntArray(a: Array[Int]): ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(a)
 }
 
 object TextFunctions {

@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Σ aᵢ·bᵢ over two array<float|double> columns as ONE codegen'd JVM loop.
+  *
+  * Semantically identical to the `aggregate(zip_with(...))` HOF chain —
+  * the sum folds left-to-right in double, so results are BIT-IDENTICAL
+  * (same IEEE op sequence) and hash-compare equal against the DuckDB
+  * oracle's sequential list fold. The HOF chain pays per-element lambda
+  * dispatch plus an intermediate array materialization per row; at
+  * `n_vectors × n_centroids × dims` scale (IVF assignment) that is the
+  * hot loop of the embedding operators. */
+case class VectorDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  // lazy: children may be unresolved when the case class is first built
+  private lazy val leftIsFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val rightIsFloat =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    if (leftIsFloat && rightIsFloat) {
+      while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    } else if (leftIsFloat) {
+      while (i < n) { acc += a.getFloat(i).toDouble * b.getDouble(i); i += 1 }
+    } else if (rightIsFloat) {
+      while (i < n) { acc += a.getDouble(i) * b.getFloat(i).toDouble; i += 1 }
+    } else {
+      while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    }
+    acc
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vecdot", this, classOf[VectorDot].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VectorDot =
+    copy(left = l, right = r)
+}
+
+object VectorFunctions {
+  def vector_dot(a: Column, b: Column): Column =
+    GraftBridge.column(VectorDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+}

@@ -4,14 +4,17 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Embedding-vector math as codegen'd Spark column expressions — no UDFs
-  * (SURVEY.md §2.L). Arrays fold left-to-right in `aggregate`, so the
-  * accumulation order is deterministic and reproducible across runs. */
+  * (SURVEY.md §2.L). The dot product folds left-to-right in double, so
+  * the accumulation order is deterministic and reproducible across runs
+  * (and bit-identical to the DuckDB oracle's sequential fold). */
 object Vectors {
 
-  /** Σ aᵢ·bᵢ over two array<float|double> columns, in double. */
+  /** Σ aᵢ·bᵢ over two array<float|double> columns, in double — a single
+    * codegen'd JVM loop (graft.functions.VectorDot), not a
+    * zip_with+aggregate HOF chain: same IEEE op sequence, none of the
+    * per-element lambda dispatch or intermediate array. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.vector_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -362,7 +362,36 @@ object Iceberg {
   }
   val catalogOpsSql = "SELECT * FROM customer ORDER BY c_custkey"
 
+  /** F. readable_metrics: per-file footer stats decoded into typed structs
+    * (ref: inspect.py:550). Aggregating value counts and bounds across the
+    * files table must reproduce the DuckDB aggregates over the raw data —
+    * an end-to-end gate on the whole stats-harvest path. */
+  def readableMetrics(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val tab = wh(s).createTable("li_rm", Schema.fromSpark(li.schema))
+    tab.append(li)
+    tab.inspect.dataFiles().agg(
+      sum("record_count").as("n_rows"),
+      sum("readable_metrics.l_quantity.value_count").as("qty_values"),
+      sum("readable_metrics.l_quantity.null_value_count").as("qty_nulls"),
+      min("readable_metrics.l_quantity.lower_bound").as("qty_min"),
+      max("readable_metrics.l_quantity.upper_bound").as("qty_max"),
+      min("readable_metrics.l_shipdate.lower_bound").as("ship_min"),
+      max("readable_metrics.l_shipdate.upper_bound").as("ship_max"),
+      min("readable_metrics.l_returnflag.lower_bound").as("flag_min"),
+      max("readable_metrics.l_returnflag.upper_bound").as("flag_max"))
+  }
+  val readableMetricsSql =
+    """SELECT count(*) AS n_rows,
+      |  count(*) AS qty_values,
+      |  count(*) - count(l_quantity) AS qty_nulls,
+      |  min(l_quantity) AS qty_min, max(l_quantity) AS qty_max,
+      |  min(l_shipdate) AS ship_min, max(l_shipdate) AS ship_max,
+      |  min(l_returnflag) AS flag_min, max(l_returnflag) AS flag_max
+      |FROM lineitem""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ice_readable_metrics" -> (readableMetrics _),
     "ice_nested_struct" -> (nestedStruct _),
     "ice_catalog_ops" -> (catalogOps _),
     "ice_append_scan" -> (appendScan _),
@@ -388,6 +417,7 @@ object Iceberg {
   )
 
   val oracles: Map[String, String] = Map(
+    "ice_readable_metrics" -> readableMetricsSql,
     "ice_nested_struct" -> nestedStructSql,
     "ice_catalog_ops" -> catalogOpsSql,
     "ice_append_scan" -> appendScanSql,
