@@ -3,7 +3,7 @@ package graft.functions
 import com.google.common.hash.Hashing
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -152,6 +152,23 @@ case class MinHashSig(child: Expression, numPerms: Int) extends UnaryExpression 
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
 
+/** MinHash signature derived from an ALREADY-COMPUTED shingle-hash array
+  * (ShingleHashes3 output) — lets a query that needs both the hash set
+  * (for exact rescore) and the signature shingle the text exactly once. */
+case class MinHashOfHashes(child: Expression, numPerms: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  def compute(v: ArrayData): ArrayData = {
+    val hs = v.toLongArray()
+    UnsafeArrayDataBridge.fromIntArray(TextHashes.minhashOfHashes(hs, numPerms))
+  }
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashOf", this, classOf[MinHashOfHashes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashOfHashes = copy(child = c)
+}
+
 /** 64-bit SimHash as a codegen'd Catalyst expression. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -182,18 +199,73 @@ case class Shingles3(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Shingles3 = copy(child = c)
 }
 
-/** UnsafeArrayData.fromPrimitiveArray is Spark-internal; bridge it so the
-  * signature array is emitted without boxing every int. */
+/** SORTED DISTINCT 64-bit hashes of the 3-word shingles (see
+  * TextHashes.shingleHashes3). The dedup operators key their candidate
+  * machinery on these instead of shingle strings: every downstream
+  * shuffle (doc-frequency groupBy, prefix equi-join, band join) then
+  * moves fixed 8-byte keys instead of ~25-byte strings, and set overlap
+  * becomes a linear merge over sorted longs (SortedIntersectSize). */
+case class ShingleHashes3(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  def compute(v: UTF8String): ArrayData =
+    UnsafeArrayDataBridge.fromLongArray(TextHashes.shingleHashes3(v.toString))
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleHashes", this, classOf[ShingleHashes3].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(c: Expression): ShingleHashes3 = copy(child = c)
+}
+
+/** |a ∩ b| for two SORTED long arrays as one linear merge — replaces the
+  * array_intersect + array_distinct(concat(...)) chain in the Jaccard
+  * rescore (those build hash sets per row; this is two pointers over
+  * primitive arrays). Inputs MUST be sorted distinct (ShingleHashes3
+  * guarantees it). |a ∪ b| follows as |a| + |b| − |a ∩ b|. */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var n = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("isect", this, classOf[SortedIntersectSize].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectSize =
+    copy(left = l, right = r)
+}
+
+/** UnsafeArrayData.fromPrimitiveArray is Spark-internal; bridge it so
+  * primitive arrays are emitted without boxing every element. */
 object UnsafeArrayDataBridge {
   def fromIntArray(a: Array[Int]): ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(a)
+  def fromLongArray(a: Array[Long]): ArrayData =
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(a)
 }
 
 object TextFunctions {
   def minhash_sig(c: Column, numPerms: Int): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(c), numPerms))
+  def minhash_of_hashes(c: Column, numPerms: Int): Column =
+    GraftBridge.column(MinHashOfHashes(GraftBridge.expression(c), numPerms))
   def simhash64(c: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(c)))
   def shingles3(c: Column): Column =
     GraftBridge.column(Shingles3(GraftBridge.expression(c)))
+  def shingle_hashes3(c: Column): Column =
+    GraftBridge.column(ShingleHashes3(GraftBridge.expression(c)))
+  def sorted_intersect_size(a: Column, b: Column): Column =
+    GraftBridge.column(SortedIntersectSize(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

@@ -61,18 +61,22 @@ object DataOps {
   private def wordSet(c: Column): Column =
     array_distinct(filter(split(lower(trim(c)), "\\s+"), w => w =!= ""))
 
-  /** Distinct 3-word shingles — order-sensitive, so far more discriminative
-    * than word sets on repetitive corpora. JVM expression, not a
-    * higher-order-function chain (60× faster; see Shingles3). */
-  private def shingleSet(c: Column): Column = TextFunctions.shingles3(c)
-
+  // distinct 3-word shingles — order-sensitive, so far more discriminative
+  // than word sets on repetitive corpora (oracle-side formulation; the
+  // Spark side works on ShingleHashes3 int64 arrays)
   private val shingleSetSql =
     """list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))""".stripMargin
 
-  private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_distinct(concat(a, b))).cast("double")
+  /** Jaccard over SORTED DISTINCT int64 shingle-hash arrays: one linear
+    * merge for |∩|, union by inclusion–exclusion. Value-equal to the
+    * string-shingle Jaccard absent 64-bit collisions (P ≈ n²/2⁶⁵ —
+    * ~7e-7 for the 2.6e5 distinct shingles at sf0.1; a collision merges
+    * two shingles and perturbs J by ~1/|set|). */
+  private def jaccardHashes(a: Column, b: Column): Column = {
+    val inter = TextFunctions.sorted_intersect_size(a, b)
+    inter.cast("double") / (size(a) + size(b) - inter).cast("double")
+  }
 
   /** Exact 3-gram (shingle) Jaccard near-dup pairs via PREFIX FILTERING —
     * the standard exact set-similarity join: under a global token order,
@@ -82,8 +86,10 @@ object DataOps {
     * false negatives. The DuckDB oracle is the naive quadratic formulation
     * of the same predicate. */
   def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
+    // sorted distinct int64 shingle hashes, not strings: fixed-width
+    // shuffle keys and a linear-merge rescore (see ShingleHashes3)
     val docs = t(s, dir, "documents")
-      .select(col("doc_id"), shingleSet(col("text")).as("ws"))
+      .select(col("doc_id"), TextFunctions.shingle_hashes3(col("text")).as("ws"))
     // global token order = (document frequency asc, token): any total order
     // keeps the prefix-filter guarantee, and rarest-first makes the prefix
     // tokens rare — candidates collapse to docs sharing RARE shingles
@@ -110,7 +116,7 @@ object DataOps {
     cands
       .join(ws.select(col("doc_id").as("a_id"), col("ws").as("a_ws")), Seq("a_id"))
       .join(ws.select(col("doc_id").as("b_id"), col("ws").as("b_ws")), Seq("b_id"))
-      .withColumn("j", jaccard(col("a_ws"), col("b_ws")))
+      .withColumn("j", jaccardHashes(col("a_ws"), col("b_ws")))
       .filter(col("j") >= 0.5)
       .select(col("a_id"), col("b_id"))
       .orderBy(col("a_id"), col("b_id"))
@@ -135,8 +141,9 @@ object DataOps {
     * an all-pairs cross join. */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-      .select(col("doc_id"), shingleSet(col("text")).as("ws"),
-        TextFunctions.minhash_sig(col("text"), 128).as("sig"))
+      .select(col("doc_id"), TextFunctions.shingle_hashes3(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"),
+        TextFunctions.minhash_of_hashes(col("ws"), 128).as("sig"))
     // 64 bands × 2 rows: catch probability 1-(1-j²)^64 (≈1-1e-8 at j=0.5)
     // with far fewer candidates than 1-row bands — a pair must collide on
     // BOTH permutations of some band
@@ -156,7 +163,7 @@ object DataOps {
     cands
       .join(ws.select(col("doc_id").as("a_id"), col("ws").as("a_ws")), Seq("a_id"))
       .join(ws.select(col("doc_id").as("b_id"), col("ws").as("b_ws")), Seq("b_id"))
-      .withColumn("j", jaccard(col("a_ws"), col("b_ws")))
+      .withColumn("j", jaccardHashes(col("a_ws"), col("b_ws")))
       .filter(col("j") >= 0.5)
       .select(col("a_id"), col("b_id"))
       .orderBy(col("a_id"), col("b_id"))
