@@ -18,6 +18,10 @@ import org.apache.spark.sql.types._
   * hot loop of the embedding operators. */
 case class VectorDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  // mismatched dimensions yield null (not a truncated partial product), so
+  // malformed vectors stay detectable — matches the zip_with+aggregate
+  // chain this expression replaced
+  override def nullable: Boolean = true
 
   // lazy: children may be unresolved when the case class is first built
   private lazy val leftIsFloat =
@@ -25,8 +29,9 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
   private lazy val rightIsFloat =
     right.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  def compute(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     if (leftIsFloat && rightIsFloat) {
@@ -38,7 +43,7 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
     } else {
       while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
     }
-    acc
+    java.lang.Double.valueOf(acc)
   }
 
   override def nullSafeEval(a: Any, b: Any): Any =
@@ -46,7 +51,11 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("vecdot", this, classOf[VectorDot].getName)
-    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_boxed = $ref.compute($a, $b);
+      if (${ev.value}_boxed == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_boxed.doubleValue(); }
+    """)
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VectorDot =

@@ -100,8 +100,19 @@ class IceTable(
     * `statistics`, table/statistics.py:40 + puffin.py:48. The datasketches
     * lib is outside the dependency budget, so the blob type is our own
     * `graft-ndv-v1` — an 8-byte big-endian count — and the estimate is
-    * ALSO in the `ndv` property, which is where engines look first). */
+    * ALSO in the `ndv` property, which is where engines look first).
+    *
+    * COMPATIBILITY GATE: the reference's BlobMetadata model
+    * (table/statistics.py:25) is a closed Literal of
+    * apache-datasketches-theta-v1 / deletion-vector-v1, so registering a
+    * custom blob type makes the WHOLE metadata file unloadable by
+    * reference readers. Requires explicit opt-in via the table property
+    * `graft.ndv-blob.enabled=true`. */
   def computeNdvStatistics(columns: Seq[String] = Nil): StatisticsFile = {
+    require(metadata.properties.get("graft.ndv-blob.enabled").contains("true"),
+      "computeNdvStatistics registers a non-standard blob type (graft-ndv-v1) that " +
+        "pyiceberg's BlobMetadata model rejects, making the table metadata unreadable " +
+        "to reference clients. Opt in with table property graft.ndv-blob.enabled=true.")
     val snap = metadata.currentSnapshot.getOrElse(
       throw new IllegalStateException("No snapshot to compute statistics for"))
     val targets =
@@ -408,7 +419,13 @@ class IceTable(
             case (Some(lo), Some(hi)) =>
               val plo = pf.transform.apply(lo, srcType)
               val phi = pf.transform.apply(hi, srcType)
-              require(plo == phi,
+              // Array[Byte] (binary/fixed sources) compares by reference
+              // under ==; compare content
+              val same = (plo, phi) match {
+                case (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.equals(a, b)
+                case _ => plo == phi
+              }
+              require(same,
                 s"File ${f.filePath} spans partitions for ${pf.name}: $plo != $phi")
               plo
             case _ => null // all-null (or stat-less) column -> null partition

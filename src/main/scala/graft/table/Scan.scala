@@ -254,8 +254,11 @@ final class IceScan(
       // memory (we KNOW the delete-file bytes from the manifests); a large
       // delete set falls back to a shuffle anti-join instead of OOMing
       // every executor (VERDICT W9)
-      val broadcastLimit = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-        .stripSuffix("b").toLong.max(0L) * 4 // parquet→row expansion headroom
+      // the threshold accepts every Spark byte-string form ("10MB", "10m",
+      // "10485760b", plain bytes) — JavaUtils is Spark's own parser for it
+      val broadcastLimit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+        .max(0L) * 4 // parquet→row expansion headroom
       def maybeBroadcast(d: DataFrame, bytes: Long): DataFrame =
         if (bytes <= broadcastLimit) broadcast(d) else d
       groups.foreach { case ((posPaths, _), group) =>

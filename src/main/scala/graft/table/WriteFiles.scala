@@ -86,7 +86,9 @@ object WriteFiles {
     val default = props.getOrElse("write.metadata.metrics.default",
       s"truncate(${StatsHarvester.BoundTruncateLength})")
     schema.leafColInfo.map { case (path, id, _) =>
-      id -> props.getOrElse(s"write.metadata.metrics.column.$path", default)
+      val mode = props.getOrElse(s"write.metadata.metrics.column.$path", default)
+      StatsHarvester.parseMode(mode) // fail fast on the driver, not mid-write
+      id -> mode
     }.toMap
   }
 
@@ -273,13 +275,18 @@ object StatsHarvester extends Serializable {
 
   private val TruncRe = """truncate\((\d+)\)""".r
 
+  /** Unrecognized modes and truncate lengths < 1 are ERRORS, matching the
+    * reference's match_metrics_mode (io/pyarrow.py:2336) — a typo must not
+    * silently fall back to default stats behavior. */
   private[table] def parseMode(s: String): ModeSpec = s.trim.toLowerCase match {
     case "none" => ModeSpec(counts = false, bounds = false, None)
     case "counts" => ModeSpec(counts = true, bounds = false, None)
     case "full" => ModeSpec(counts = true, bounds = true, None)
     case other => other match {
-      case TruncRe(n) => ModeSpec(counts = true, bounds = true, Some(n.toInt))
-      case _ => ModeSpec(counts = true, bounds = true, Some(BoundTruncateLength))
+      case TruncRe(n) if n.toInt >= 1 => ModeSpec(counts = true, bounds = true, Some(n.toInt))
+      case TruncRe(n) => throw new IllegalArgumentException(
+        s"Truncation length must be >= 1: truncate($n)")
+      case _ => throw new IllegalArgumentException(s"Unsupported metrics mode: $s")
     }
   }
 

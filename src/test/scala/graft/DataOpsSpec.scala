@@ -19,6 +19,18 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("vector_dot: mismatched dimensions yield null, not a partial product") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.vector_dot
+    val df = spark.sql(
+      "SELECT vector_dot FROM VALUES (1) t(x)".replace("vector_dot", "x")) // placeholder
+    val rows = spark.range(1).select(
+      vector_dot(array(lit(1.0f), lit(2.0f)), array(lit(3.0f), lit(4.0f))).as("ok"),
+      vector_dot(array(lit(1.0f), lit(2.0f)), array(lit(3.0f))).as("bad")).collect()
+    assert(rows(0).getDouble(0) === 11.0)
+    assert(rows(0).isNullAt(1))
+  }
+
   test("minhash LSH finds exactly the exact-jaccard pairs (recall 1 here)") {
     val exact = DataOps.dedupJaccard(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
     val lsh = DataOps.dedupMinhashLsh(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))

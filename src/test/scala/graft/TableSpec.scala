@@ -627,6 +627,9 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("puffin ndv statistics: write, register, read back") {
     val t = catalog.loadTable("t_fv")
+    // custom blob type is opt-in: pyiceberg's BlobMetadata rejects it
+    intercept[IllegalArgumentException](t.computeNdvStatistics(Seq("o_orderkey")))
+    t.setProperties("graft.ndv-blob.enabled" -> "true")
     val stats = t.computeNdvStatistics(Seq("o_orderkey", "o_orderstatus"))
     assert(t.metadata.statistics.map(_.snapshotId) ===
       Seq(t.metadata.currentSnapshotId.get))
@@ -721,5 +724,12 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lo.length <= 4 && hi.length <= 4)
     val realHi = orders.agg(max("o_orderpriority")).collect()(0).getString(0)
     assert(hi >= realHi.substring(0, math.min(4, realHi.length)))
+
+    // unparseable modes are errors, not silent defaults (ref
+    // match_metrics_mode io/pyarrow.py:2336)
+    t.setProperties("write.metadata.metrics.default" -> "count")
+    intercept[IllegalArgumentException](t.append(orders.limit(1)))
+    t.setProperties("write.metadata.metrics.default" -> "truncate(0)")
+    intercept[IllegalArgumentException](t.append(orders.limit(1)))
   }
 }
