@@ -266,6 +266,7 @@ class IceTable(
     * (ref: dynamic_partition_overwrite table/__init__.py:541). */
   def dynamicPartitionOverwrite(df: DataFrame): Unit = {
     require(!spec.isUnpartitioned, "dynamic overwrite requires a partitioned table")
+    val baseSnap = metadata.currentSnapshotId
     val aligned = WriteFiles.align(df, schema)
     val partCols = spec.fields.map { pf =>
       val src = schema.byId(pf.sourceId)
@@ -280,7 +281,23 @@ class IceTable(
       .map(_.file.filePath).toSet
     val added = WriteFiles.write(spark, location, schema, spec, df,
       UUID.randomUUID().toString, sortOrderOpt, metadata.properties)
-    commitSnapshot("overwrite", added = added, removedPaths = removed)
+    // conflict filter over the touched partitions: a concurrent append into
+    // one of them planned against state this overwrite is about to replace
+    // (ref: _DynamicOverwrite validation, table/update/validate.py). The
+    // per-field In is the cartesian superset of the touched tuples —
+    // conservative: may flag a disjoint tuple sharing every coordinate,
+    // never misses a real conflict.
+    val conflict: Expr = spec.fields.zipWithIndex.map { case (pf, i) =>
+      val src = schema.byId(pf.sourceId)
+      val tr = if (pf.transform == IdentityTransform) None else Some(pf.transform)
+      val vals = touched.map(_(i)).toSeq
+      val nonNull = vals.filter(_ != null)
+      val inPred: Expr =
+        if (nonNull.isEmpty) AlwaysFalse else In(src.name, nonNull, tr)
+      if (vals.contains(null)) Or(inPred, IsNull(src.name, tr)) else inPred
+    }.reduce(And(_, _))
+    commitSnapshot("overwrite", added = added, removedPaths = removed,
+      conflictFilter = Some(conflict), baseSnapshotId = baseSnap)
   }
 
   private def normalizeTuple(vs: Seq[Any]): Seq[Any] = vs.map {
@@ -330,18 +347,28 @@ class IceTable(
       var removedPaths = Set.empty[String]
       var added: Seq[DataFile] = Nil
       if (nUpdates > 0) {
-        // locate affected files via _metadata.file_path (semi-join — the
-        // key set never leaves executors), then RE-READ only those files:
-        // the commit needs the path set driver-side anyway (it is
-        // metadata-sized, #files not #rows), and planning a fresh read over
-        // it beats filtering the full scan through a giant isin predicate
-        val targetWithFile = scanWithFilePath()
+        // locate affected files via the scan's __file column (semi-join —
+        // the key set never leaves executors), then RE-READ only those
+        // files THROUGH the MoR machinery (outstanding position/equality
+        // deletes applied) so deleted rows are not resurrected into the
+        // rewrite. The path set is metadata-sized (#files, not #rows).
+        val scanObj = new IceScan(this)
+        val tasks = scanObj.planFiles()
+        val targetWithFile = scanObj.toDFForTasks(tasks,
+          applyResidualOnlyWhereNeeded = true, keepFile = true)
         val updKeys = updates.select(keys.map(col): _*)
         val affected = targetWithFile
           .join(updKeys, keys, "left_semi")
           .select(col("__file")).distinct().collect().map(_.getString(0)).toSet
-        removedPaths = affected
-        val affectedRows = spark.read.schema(schema.toSpark).parquet(affected.toSeq: _*)
+        val affectedTasks = tasks.filter(t =>
+          affected.contains(graft.core.PathUtil.canon(t.file.filePath)))
+        // raw manifest paths for the commit (removal matches byte-for-byte);
+        // delete files left dangling by the rewrite are dropped in the same
+        // snapshot instead of accumulating dead MoR state
+        val removedData = affectedTasks.map(_.file.filePath).toSet
+        removedPaths = removedData ++ deadDeleteFiles(removedData)
+        val affectedRows = scanObj.toDFForTasks(affectedTasks,
+          applyResidualOnlyWhereNeeded = true)
         val survivors = affectedRows.join(updKeys, keys, "left_anti")
         val replacement = survivors.unionByName(updates)
         added = WriteFiles.write(spark, location, schema, spec, replacement,
@@ -517,22 +544,6 @@ class IceTable(
       .map(_.copy(content = FileContent.EqualityDeletes,
         equalityIds = keySchema.fields.map(_.id)))
     commitSnapshot("delete", added = written, removedPaths = Set.empty)
-  }
-
-  private def scanWithFilePath(): DataFrame = {
-    val tasks = new IceScan(this).planFiles()
-    require(tasks.forall(_.deletes.isEmpty),
-      "rewrite with outstanding position deletes not supported in one pass")
-    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
-    if (tasks.isEmpty) {
-      val st = org.apache.spark.sql.types.StructType(
-        schema.toSpark.fields :+ org.apache.spark.sql.types.StructField("__file",
-          org.apache.spark.sql.types.StringType))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
-    } else
-      spark.read.schema(schema.toSpark).parquet(tasks.map(_.file.filePath): _*)
-        .select(col("*"), PathUtil.canonCol(col("_metadata.file_path")).as("__file"))
   }
 
   // ---- snapshot production + commit --------------------------------------

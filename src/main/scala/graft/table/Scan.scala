@@ -179,10 +179,17 @@ final class IceScan(
     toDFForTasks(tasks, applyResidualOnlyWhereNeeded = true)
   }
 
+  /** `keepFile` appends a `__file` column (canonical source-file path) to
+    * the output — the MoR-correct replacement for a raw parquet read with
+    * `_metadata.file_path` (upsert file targeting, compaction). */
   private[table] def toDFForTasks(tasks: Seq[FileScanTask],
-      applyResidualOnlyWhereNeeded: Boolean): DataFrame = {
+      applyResidualOnlyWhereNeeded: Boolean, keepFile: Boolean = false): DataFrame = {
     val proj = projection
-    val projSpark = proj.toSpark
+    val projSpark0 = proj.toSpark
+    val projSpark = if (keepFile)
+      org.apache.spark.sql.types.StructType(projSpark0.fields :+
+        org.apache.spark.sql.types.StructField("__file", org.apache.spark.sql.types.StringType))
+    else projSpark0
     if (tasks.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], projSpark)
 
@@ -229,9 +236,11 @@ final class IceScan(
         org.apache.spark.sql.types.StructField(
           mapping.getOrElse(f.id, f.name), f.fieldType.toSpark, nullable = true)
       })
+      val cols = readSchema.fields.map(f =>
+        col(mapping.getOrElse(f.id, f.name)).as(f.name)) ++
+        (if (keepFile) Seq(PathUtil.canonCol(col("_metadata.file_path")).as("__file")) else Nil)
       spark.read.schema(ext).parquet(taskSeq.map(_.file.filePath): _*)
-        .select(readSchema.fields.map(f =>
-          col(mapping.getOrElse(f.id, f.name)).as(f.name)): _*)
+        .select(cols: _*)
     }
 
     val branches = Seq.newBuilder[DataFrame]
@@ -240,8 +249,10 @@ final class IceScan(
         "position deletes on externally-registered files are not supported")
       branches += readExternal(externalTasks)
     }
-    if (plainTasks.nonEmpty)
-      branches += readFiles(plainTasks.map(_.file.filePath), withMeta = false)
+    if (plainTasks.nonEmpty) {
+      val base = readFiles(plainTasks.map(_.file.filePath), withMeta = keepFile)
+      branches += (if (keepFile) base.drop("__pos") else base)
+    }
     if (deleteTasks.nonEmpty) {
       // one branch per distinct applicable-delete signature (different data
       // files can see different delete sets via sequence numbers); within a
@@ -254,10 +265,9 @@ final class IceScan(
       // memory (we KNOW the delete-file bytes from the manifests); a large
       // delete set falls back to a shuffle anti-join instead of OOMing
       // every executor (VERDICT W9)
-      // the threshold accepts every Spark byte-string form ("10MB", "10m",
-      // "10485760b", plain bytes) — JavaUtils is Spark's own parser for it
-      val broadcastLimit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+      // Spark's typed accessor handles every byte-string form ("10MB",
+      // "-1" = disabled); negative means "never broadcast"
+      val broadcastLimit = spark.sessionState.conf.autoBroadcastJoinThreshold
         .max(0L) * 4 // parquet→row expansion headroom
       def maybeBroadcast(d: DataFrame, bytes: Long): DataFrame =
         if (bytes <= broadcastLimit) broadcast(d) else d
@@ -266,7 +276,7 @@ final class IceScan(
         val eqFiles = allDeletes.filter(_.content == FileContent.EqualityDeletes)
         val posBytes = allDeletes.filter(_.content == FileContent.PositionDeletes)
           .map(_.fileSizeInBytes).sum
-        var dfG = readFiles(group.map(_.file.filePath), withMeta = posPaths.nonEmpty)
+        var dfG = readFiles(group.map(_.file.filePath), withMeta = posPaths.nonEmpty || keepFile)
         if (posPaths.nonEmpty) {
           // position-delete files have columns (file_path, pos) — spec
           // §Position Delete Files (ref io/pyarrow.py:1130 _read_deletes);
@@ -275,8 +285,10 @@ final class IceScan(
             .select(PathUtil.canonCol(col("file_path")).as("__dfile"), col("pos").as("__dpos"))
           dfG = dfG.join(maybeBroadcast(deletes, posBytes),
             dfG("__file") === deletes("__dfile") && dfG("__pos") === deletes("__dpos"),
-            "left_anti").drop("__file", "__pos")
+            "left_anti")
         }
+        if (posPaths.nonEmpty || keepFile)
+          dfG = dfG.drop((if (keepFile) Seq("__pos") else Seq("__file", "__pos")): _*)
         // equality deletes (extension — the reference rejects reading them):
         // anti-join on the delete file's equality columns, null-safe so a
         // null key deletes null rows (Iceberg equality semantics)
@@ -311,7 +323,7 @@ final class IceScan(
           f.fieldType)).as(f.name)
         case None => c.as(f.name)
       }
-    }
+    } ++ (if (keepFile) Seq(col("__file")) else Nil)
     df = df.select(outCols: _*)
     limitOpt.foreach(n => df = df.limit(n.toInt))
     df

@@ -22,8 +22,6 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("vector_dot: mismatched dimensions yield null, not a partial product") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions.vector_dot
-    val df = spark.sql(
-      "SELECT vector_dot FROM VALUES (1) t(x)".replace("vector_dot", "x")) // placeholder
     val rows = spark.range(1).select(
       vector_dot(array(lit(1.0f), lit(2.0f)), array(lit(3.0f), lit(4.0f))).as("ok"),
       vector_dot(array(lit(1.0f), lit(2.0f)), array(lit(3.0f))).as("bad")).collect()

@@ -174,6 +174,49 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.scan.toDF.count() === want - 1, "equality deletes must apply across partitions")
   }
 
+  test("upsert composes with outstanding MoR deletes") {
+    val t = catalog.createTable("t_upsert_mor", Schema.fromSpark(orders.schema))
+    t.append(orders)
+    t.deletePositional("o_orderkey <= 300")
+    // source spans the deleted range (201..300 -> INSERT, their rows are
+    // dead) and the live range (301..600 -> UPDATE)
+    val src = orders.filter(col("o_orderkey") > 200 && col("o_orderkey") <= 600)
+      .withColumn("o_orderstatus", lit("X"))
+    val (updated, inserted) = t.upsert(src, Seq("o_orderkey"))
+    val nIns = orders.filter(col("o_orderkey") > 200 && col("o_orderkey") <= 300).count()
+    val nUpd = orders.filter(col("o_orderkey") > 300 && col("o_orderkey") <= 600).count()
+    assert(updated === nUpd)
+    assert(inserted === nIns)
+    val result = t.scan.toDF
+    assert(result.count() === orders.filter(col("o_orderkey") > 300).count() + nIns)
+    assert(result.filter(col("o_orderkey") <= 200).count() === 0,
+      "rewrite must not resurrect MoR-deleted rows outside the source")
+    assert(result.filter(col("o_orderstatus") === "X").count() === nUpd + nIns)
+  }
+
+  test("dynamic overwrite aborts on concurrent append into a touched partition") {
+    val schema = Schema.fromSpark(orders.schema)
+    val spec = PartitionSpec.build(schema, 0, ("o_orderpriority", IdentityTransform, "prio"))
+    val t0 = catalog.createTable("t_dpo_conflict", schema, spec)
+    t0.append(orders)
+    val a = catalog.loadTable("t_dpo_conflict")
+    val b = catalog.loadTable("t_dpo_conflict")
+    b.append(orders.filter(col("o_orderpriority") === "1-URGENT").limit(10))
+    intercept[graft.table.ValidationException] {
+      a.dynamicPartitionOverwrite(
+        orders.filter(col("o_orderpriority") === "1-URGENT").withColumn("o_totalprice", lit(0.0)))
+    }
+    // a concurrent append into an UNtouched partition retries through
+    val c = catalog.loadTable("t_dpo_conflict")
+    val d = catalog.loadTable("t_dpo_conflict")
+    d.append(orders.filter(col("o_orderpriority") === "2-HIGH").limit(10))
+    c.dynamicPartitionOverwrite(
+      orders.filter(col("o_orderpriority") === "3-MEDIUM").withColumn("o_totalprice", lit(0.0)))
+    val after = catalog.loadTable("t_dpo_conflict").scan.toDF
+    assert(after.filter(col("o_orderpriority") === "3-MEDIUM" && col("o_totalprice") =!= 0.0)
+      .count() === 0)
+  }
+
   test("CoW delete after MoR delete does not resurrect rows") {
     val t = catalog.createTable("t_cow_mor", Schema.fromSpark(orders.schema))
     t.append(orders)
@@ -731,5 +774,7 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](t.append(orders.limit(1)))
     t.setProperties("write.metadata.metrics.default" -> "truncate(0)")
     intercept[IllegalArgumentException](t.append(orders.limit(1)))
+    // leave the shared table usable for later tests
+    t.setProperties("write.metadata.metrics.default" -> "counts")
   }
 }
