@@ -1,0 +1,248 @@
+package graft.catalog
+
+import java.nio.file.{Files, Paths}
+import java.sql.{Connection, DriverManager, SQLException}
+import java.util.UUID
+
+import graft.core.Schema
+import graft.meta._
+import graft.table.IceTable
+import org.apache.spark.sql.SparkSession
+
+/** JDBC-backed catalog (ref: pyiceberg/catalog/sql.py — the reference's
+  * default shared catalog).
+  *
+  * Layout mirrors the reference exactly: an `iceberg_tables` row per table
+  * holding the current `metadata_location`; metadata JSON lives as files
+  * under each table's own location. Commits are optimistic compare-and-swap
+  * in SQL — `UPDATE … SET metadata_location = new WHERE metadata_location
+  * = old` (ref sql.py:500–516): the row-count tells the loser it lost, no
+  * table locks, any ACID JDBC backend works (tested on embedded Derby;
+  * the SQL is deliberately vanilla so server-backed databases give true
+  * multi-process metastore semantics).
+  *
+  * Metadata files are named `v<N>-<uuid>.metadata.json` — BOTH racers at
+  * version N may write a candidate file; only the SQL swap picks the
+  * winner, so file creation can never collide or clobber.
+  */
+class SqlCatalog(
+    val jdbcUrl: String,
+    val warehouse: String,
+    val spark: SparkSession,
+    val catalogName: String = "graft") extends Catalog {
+
+  // Derby writes its log relative to CWD unless told otherwise; keep test
+  // droppings out of the repo. Harmless for non-Derby URLs.
+  if (System.getProperty("derby.stream.error.file") == null)
+    System.setProperty("derby.stream.error.file",
+      s"${System.getProperty("java.io.tmpdir")}/derby.log")
+
+  private def withConn[A](f: Connection => A): A = {
+    val c = DriverManager.getConnection(jdbcUrl)
+    try f(c) finally c.close()
+  }
+
+  /** ref sql.py:93 IcebergTables / :104 IcebergNamespaceProperties. */
+  private def ensureTables(): Unit = withConn { c =>
+    def createQuietly(ddl: String): Unit = {
+      val st = c.createStatement()
+      try st.executeUpdate(ddl)
+      catch { case e: SQLException if e.getSQLState == "X0Y32" => () } // exists (Derby)
+      finally st.close()
+    }
+    createQuietly(
+      """CREATE TABLE iceberg_tables (
+        |  catalog_name VARCHAR(255) NOT NULL,
+        |  table_namespace VARCHAR(255) NOT NULL,
+        |  table_name VARCHAR(255) NOT NULL,
+        |  metadata_location VARCHAR(1000),
+        |  previous_metadata_location VARCHAR(1000),
+        |  PRIMARY KEY (catalog_name, table_namespace, table_name)
+        |)""".stripMargin)
+    createQuietly(
+      """CREATE TABLE iceberg_namespace_properties (
+        |  catalog_name VARCHAR(255) NOT NULL,
+        |  namespace VARCHAR(255) NOT NULL,
+        |  property_key VARCHAR(255) NOT NULL,
+        |  property_value VARCHAR(1000),
+        |  PRIMARY KEY (catalog_name, namespace, property_key)
+        |)""".stripMargin)
+  }
+  ensureTables()
+
+  private def split(name: String): (String, String) = {
+    val i = name.lastIndexOf('.')
+    if (i < 0) ("", name) else (name.substring(0, i), name.substring(i + 1))
+  }
+  private def tableDir(name: String) = s"$warehouse/${name.replace('.', '/')}"
+
+  private val VersionRe = """.*/v(\d+)-[^/]*\.metadata\.json""".r
+
+  private def versionOf(location: String): Int = location match {
+    case VersionRe(v) => v.toInt
+    case _ => throw new IllegalStateException(s"Unparseable metadata location $location")
+  }
+
+  private def currentLocation(name: String): Option[String] = withConn { c =>
+    val (ns, tbl) = split(name)
+    val ps = c.prepareStatement(
+      "SELECT metadata_location FROM iceberg_tables " +
+        "WHERE catalog_name = ? AND table_namespace = ? AND table_name = ?")
+    try {
+      ps.setString(1, catalogName); ps.setString(2, ns); ps.setString(3, tbl)
+      val rs = ps.executeQuery()
+      if (rs.next()) Option(rs.getString(1)) else None
+    } finally ps.close()
+  }
+
+  def tableExists(name: String): Boolean = currentLocation(name).isDefined
+  def currentVersion(name: String): Option[Int] = currentLocation(name).map(versionOf)
+
+  def createTable(name: String, schema: Schema,
+      spec: PartitionSpec = PartitionSpec.Unpartitioned,
+      properties: Map[String, String] = Map.empty): IceTable = {
+    require(!tableExists(name), s"Table $name already exists")
+    val meta = TableMetadata(
+      tableUuid = UUID.randomUUID().toString,
+      location = tableDir(name),
+      lastUpdatedMs = System.currentTimeMillis(),
+      lastColumnId = schema.highestFieldId,
+      schemas = Seq(schema),
+      currentSchemaId = schema.schemaId,
+      partitionSpecs = Seq(spec),
+      defaultSpecId = spec.specId,
+      lastPartitionId = if (spec.fields.isEmpty) PartitionSpec.StartFieldId - 1
+        else spec.fields.map(_.fieldId).max,
+      properties = properties)
+    val v = commit(name, 0, meta)
+    new IceTable(this, name, meta, v)
+  }
+
+  def loadTable(name: String): IceTable = {
+    val loc = currentLocation(name).getOrElse(
+      throw new IllegalArgumentException(s"Table $name not found"))
+    val json = new String(Files.readAllBytes(Paths.get(loc)), "UTF-8")
+    new IceTable(this, name, MetadataJson.fromJson(json), versionOf(loc))
+  }
+
+  /** Write the candidate metadata file, then CAS the catalog row
+    * (ref: commit_table sql.py:459 — UPDATE guarded by the OLD
+    * metadata_location; rowcount < 1 means a concurrent winner). */
+  def commit(name: String, expectedVersion: Int, meta: TableMetadata): Int = {
+    val (ns, tbl) = split(name)
+    val next = expectedVersion + 1
+    val metaDir = s"${meta.location}/metadata"
+    Files.createDirectories(Paths.get(metaDir))
+    val newLoc = s"$metaDir/v$next-${UUID.randomUUID()}.metadata.json"
+    Files.write(Paths.get(newLoc), MetadataJson.toJson(meta).getBytes("UTF-8"))
+
+    val won: Boolean =
+      if (expectedVersion == 0) withConn { c =>
+        val ps = c.prepareStatement(
+          "INSERT INTO iceberg_tables (catalog_name, table_namespace, table_name, " +
+            "metadata_location, previous_metadata_location) VALUES (?, ?, ?, ?, NULL)")
+        try {
+          ps.setString(1, catalogName); ps.setString(2, ns); ps.setString(3, tbl)
+          ps.setString(4, newLoc)
+          try { ps.executeUpdate(); true }
+          catch { case e: SQLException if isDuplicateKey(e) => false }
+        } finally ps.close()
+      } else {
+        val oldLoc = currentLocation(name).getOrElse(
+          throw new CommitConflictException(name, next))
+        if (versionOf(oldLoc) != expectedVersion) {
+          Files.deleteIfExists(Paths.get(newLoc))
+          throw new CommitConflictException(name, next)
+        }
+        withConn { c =>
+          val ps = c.prepareStatement(
+            "UPDATE iceberg_tables SET metadata_location = ?, previous_metadata_location = ? " +
+              "WHERE catalog_name = ? AND table_namespace = ? AND table_name = ? " +
+              "AND metadata_location = ?")
+          try {
+            ps.setString(1, newLoc); ps.setString(2, oldLoc)
+            ps.setString(3, catalogName); ps.setString(4, ns); ps.setString(5, tbl)
+            ps.setString(6, oldLoc)
+            ps.executeUpdate() == 1
+          } finally ps.close()
+        }
+      }
+    if (!won) {
+      Files.deleteIfExists(Paths.get(newLoc)) // orphaned candidate
+      throw new CommitConflictException(name, next)
+    }
+    next
+  }
+
+  private def isDuplicateKey(e: SQLException): Boolean =
+    e.getSQLState != null && e.getSQLState.startsWith("23") // integrity violation
+
+  def dropTable(name: String): Unit = {
+    forgetTable(name)
+    val dir = Paths.get(tableDir(name))
+    if (Files.exists(dir))
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+  }
+
+  protected def forgetTable(name: String): Unit = withConn { c =>
+    val (ns, tbl) = split(name)
+    val ps = c.prepareStatement(
+      "DELETE FROM iceberg_tables " +
+        "WHERE catalog_name = ? AND table_namespace = ? AND table_name = ?")
+    try {
+      ps.setString(1, catalogName); ps.setString(2, ns); ps.setString(3, tbl)
+      ps.executeUpdate()
+    } finally ps.close()
+  }
+
+  /** ref sql.py:582 — a namespace exists when it has a marker row. */
+  def createNamespace(ns: String): Unit = withConn { c =>
+    val ps = c.prepareStatement(
+      "INSERT INTO iceberg_namespace_properties " +
+        "(catalog_name, namespace, property_key, property_value) VALUES (?, ?, ?, ?)")
+    try {
+      ps.setString(1, catalogName); ps.setString(2, ns)
+      ps.setString(3, "exists"); ps.setString(4, "true")
+      try ps.executeUpdate()
+      catch { case e: SQLException if isDuplicateKey(e) => () }
+    } finally ps.close()
+  }
+
+  def dropNamespace(ns: String): Unit = {
+    require(listTables(ns).isEmpty, s"Namespace $ns is not empty")
+    withConn { c =>
+      val ps = c.prepareStatement(
+        "DELETE FROM iceberg_namespace_properties WHERE catalog_name = ? AND namespace = ?")
+      try { ps.setString(1, catalogName); ps.setString(2, ns); ps.executeUpdate() }
+      finally ps.close()
+    }
+  }
+
+  def listNamespaces(): Seq[String] = withConn { c =>
+    val ps = c.prepareStatement(
+      "SELECT namespace FROM iceberg_namespace_properties WHERE catalog_name = ? " +
+        "UNION SELECT table_namespace FROM iceberg_tables " +
+        "WHERE catalog_name = ? AND table_namespace <> ''")
+    try {
+      ps.setString(1, catalogName); ps.setString(2, catalogName)
+      val rs = ps.executeQuery()
+      val b = Seq.newBuilder[String]
+      while (rs.next()) b += rs.getString(1)
+      b.result().sorted
+    } finally ps.close()
+  }
+
+  def listTables(ns: String = ""): Seq[String] = withConn { c =>
+    val ps = c.prepareStatement(
+      "SELECT table_name FROM iceberg_tables " +
+        "WHERE catalog_name = ? AND table_namespace = ? ORDER BY table_name")
+    try {
+      ps.setString(1, catalogName); ps.setString(2, ns)
+      val rs = ps.executeQuery()
+      val b = Seq.newBuilder[String]
+      while (rs.next()) b += (if (ns.isEmpty) rs.getString(1) else s"$ns.${rs.getString(1)}")
+      b.result()
+    } finally ps.close()
+  }
+}
