@@ -39,7 +39,17 @@ final case class DataFile(
     sortOrderId: Option[Int] = None,
     specId: Int = 0,
     /** field ids of the equality columns (content=EqualityDeletes only). */
-    equalityIds: Seq[Int] = Nil)
+    equalityIds: Seq[Int] = Nil,
+    /** deletion vectors only (v3): the single data file this DV applies to,
+      * plus the blob's byte range inside the puffin file
+      * (ref: manifest.py:413–430). */
+    referencedDataFile: Option[String] = None,
+    contentOffset: Option[Long] = None,
+    contentSizeInBytes: Option[Long] = None) {
+  /** True for a v3 deletion-vector entry (puffin-format position deletes). */
+  def isDeletionVector: Boolean =
+    content == FileContent.PositionDeletes && fileFormat.equalsIgnoreCase("puffin")
+}
 
 final case class ManifestEntry(
     status: Int,

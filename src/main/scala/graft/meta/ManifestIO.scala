@@ -73,7 +73,11 @@ object ManifestIO {
       new AvroSchema.Field("upper_bounds", nullable(kvArray("k129_v130", AvroSchema.Type.BYTES)), null, AvroSchema.Field.NULL_DEFAULT_VALUE),
       new AvroSchema.Field("split_offsets", nullable(AvroSchema.createArray(AvroSchema.create(AvroSchema.Type.LONG))), null, AvroSchema.Field.NULL_DEFAULT_VALUE),
       new AvroSchema.Field("equality_ids", nullable(AvroSchema.createArray(AvroSchema.create(AvroSchema.Type.INT))), null, AvroSchema.Field.NULL_DEFAULT_VALUE),
-      new AvroSchema.Field("sort_order_id", nullable(AvroSchema.create(AvroSchema.Type.INT)), null, AvroSchema.Field.NULL_DEFAULT_VALUE))
+      new AvroSchema.Field("sort_order_id", nullable(AvroSchema.create(AvroSchema.Type.INT)), null, AvroSchema.Field.NULL_DEFAULT_VALUE),
+      // deletion-vector fields (v3; ref manifest.py:413-430)
+      new AvroSchema.Field("referenced_data_file", nullable(AvroSchema.create(AvroSchema.Type.STRING)), null, AvroSchema.Field.NULL_DEFAULT_VALUE),
+      new AvroSchema.Field("content_offset", nullable(AvroSchema.create(AvroSchema.Type.LONG)), null, AvroSchema.Field.NULL_DEFAULT_VALUE),
+      new AvroSchema.Field("content_size_in_bytes", nullable(AvroSchema.create(AvroSchema.Type.LONG)), null, AvroSchema.Field.NULL_DEFAULT_VALUE))
     AvroSchema.createRecord("r2", null, null, false, fields.asJava)
   }
 
@@ -158,6 +162,9 @@ object ManifestIO {
         df.put("equality_ids", if (e.dataFile.equalityIds.isEmpty) null
           else e.dataFile.equalityIds.map(Integer.valueOf).asJava)
         df.put("sort_order_id", e.dataFile.sortOrderId.map(Integer.valueOf).orNull)
+        df.put("referenced_data_file", e.dataFile.referencedDataFile.orNull)
+        df.put("content_offset", e.dataFile.contentOffset.map(java.lang.Long.valueOf).orNull)
+        df.put("content_size_in_bytes", e.dataFile.contentSizeInBytes.map(java.lang.Long.valueOf).orNull)
         rec.put("data_file", df)
         writer.append(rec)
       }
@@ -235,7 +242,10 @@ object ManifestIO {
             sortOrderId = Option(df.get("sort_order_id")).map(_.asInstanceOf[Int]),
             specId = spec.specId,
             equalityIds = Option(df.get("equality_ids"))
-              .map(_.asInstanceOf[java.util.List[Int]].asScala.toSeq).getOrElse(Nil)))
+              .map(_.asInstanceOf[java.util.List[Int]].asScala.toSeq).getOrElse(Nil),
+            referencedDataFile = fieldOpt(df, "referenced_data_file").map(_.toString),
+            contentOffset = fieldOpt(df, "content_offset").map(_.asInstanceOf[Long]),
+            contentSizeInBytes = fieldOpt(df, "content_size_in_bytes").map(_.asInstanceOf[Long])))
       }
       b.result()
     } finally reader.close()
@@ -243,6 +253,12 @@ object ManifestIO {
 
   private def longOr(v: Any, dflt: Long): Long =
     Option(v).map(_.asInstanceOf[Long]).getOrElse(dflt)
+
+  /** Null-safe read of a field that may be absent from older manifests
+    * (pre-DV writers): Avro resolves a missing reader field to its default,
+    * but files written before the field existed have no slot at all. */
+  private def fieldOpt(rec: GenericRecord, name: String): Option[Any] =
+    if (rec.getSchema.getField(name) == null) None else Option(rec.get(name))
 
   private def fromAvro(t: IceType, v: Any): Any = v match {
     case null => null

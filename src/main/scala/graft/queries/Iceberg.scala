@@ -203,6 +203,24 @@ object Iceberg {
       |WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 150000)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** A (deletes). v3 deletion vectors (ref: table/deletion_vector.py,
+    * table/puffin.py): roaring-bitmap position deletes in puffin blobs;
+    * the second delete exercises the merge path (one DV per data file). */
+  def deletionVectors(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val tab = wh(s).createTable("orders", Schema.fromSpark(orders.schema))
+    tab.upgradeFormatVersion(3)
+    tab.append(orders)
+    tab.deleteAsDeletionVector("o_orderstatus = 'F' and o_totalprice < 150000")
+    tab.deleteAsDeletionVector("o_totalprice > 400000")
+    tab.scan.toDF.orderBy(col("o_orderkey"))
+  }
+  val deletionVectorsSql =
+    """SELECT * FROM orders
+      |WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 150000)
+      |  AND NOT (o_totalprice > 400000)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** A (deletes). equality deletes (extension — the reference rejects
     * them): keys deleted from older data only; a later append of the same
     * keys survives (sequence-number scoping). */
@@ -407,6 +425,7 @@ object Iceberg {
     "ice_incremental_scan" -> (incrementalScan _),
     "ice_schema_evolution" -> (schemaEvolution _),
     "ice_position_deletes" -> (positionDeletes _),
+    "ice_deletion_vectors" -> (deletionVectors _),
     "ice_equality_deletes" -> (equalityDeletes _),
     "ice_dsv2_scan" -> (dsv2Scan _),
     "ice_transform_predicate" -> (transformPredicate _),
@@ -433,6 +452,7 @@ object Iceberg {
     "ice_incremental_scan" -> incrementalScanSql,
     "ice_schema_evolution" -> schemaEvolutionSql,
     "ice_position_deletes" -> positionDeletesSql,
+    "ice_deletion_vectors" -> deletionVectorsSql,
     "ice_equality_deletes" -> equalityDeletesSql,
     "ice_dsv2_scan" -> dsv2ScanSql,
     "ice_transform_predicate" -> transformPredicateSql,

@@ -469,6 +469,8 @@ class IceTable(
   def deletePositional(filter: String): Unit = {
     require(metadata.formatVersion >= 2,
       s"Delete files require format version >= 2 (table is v${metadata.formatVersion})")
+    require(metadata.formatVersion < 3,
+      "Format v3 forbids new position-delete files; use deleteAsDeletionVector")
     val expr = ExprParser.parse(filter)
     val bound = Exprs.rewriteNot(Binder.bind(schema, expr))
     val tasks = new IceScan(this).filter(expr).planFiles()
@@ -492,6 +494,104 @@ class IceTable(
       .filter(_.recordCount > 0)
       .map(_.copy(content = FileContent.PositionDeletes))
     commitSnapshot("delete", added = written, removedPaths = Set.empty)
+  }
+
+  /** Write v3 DELETION VECTORS for rows matching `filter`: one
+    * `deletion-vector-v1` puffin blob per affected data file (ref:
+    * table/deletion_vector.py:32, puffin.py — the reference reads DVs;
+    * writing is our extension over the same public format). Spec
+    * invariants enforced: at most one DV per data file — prior DVs and
+    * prior parquet position deletes for an affected file are MERGED into
+    * the new vector, and superseded DV entries are dropped in the same
+    * commit (sibling blobs of a dropped puffin that reference unaffected
+    * files are re-added unchanged).
+    *
+    * Scale shape: matched positions are computed, merged, and
+    * roaring-compressed per data file ON EXECUTORS (groupByKey on the
+    * file path); the driver only assembles the compressed blobs into one
+    * puffin file — bytes proportional to #files, not #deleted-rows. */
+  def deleteAsDeletionVector(filter: String): Unit = {
+    require(metadata.formatVersion >= 3,
+      s"Deletion vectors require format version >= 3 (table is v${metadata.formatVersion})")
+    val expr = ExprParser.parse(filter)
+    val bound = Exprs.rewriteNot(Binder.bind(schema, expr))
+    val baseSnap = metadata.currentSnapshotId
+    val tasks = new IceScan(this).filter(expr).planFiles()
+    if (tasks.isEmpty) return
+    val affected: Map[String, FileScanTask] =
+      tasks.map(t => PathUtil.canon(t.file.filePath) -> t).toMap
+
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val matches = spark.read.schema(schema.toSpark)
+      .parquet(tasks.map(_.file.filePath): _*)
+      .select(PathUtil.canonCol(col("_metadata.file_path")).as("__dfile"),
+        col("_metadata.row_index").as("__dpos"))
+      .where(ToColumn.compile(bound))
+
+    // fold in every prior position delete for the affected files
+    val priorDeletes = tasks.flatMap(_.deletes)
+      .filter(_.content == FileContent.PositionDeletes)
+      .distinctBy(f => (f.filePath, f.contentOffset))
+    val (priorDVs, priorParquet) = priorDeletes.partition(_.isDeletionVector)
+    val branches = Seq.newBuilder[DataFrame]
+    branches += matches
+    if (priorParquet.nonEmpty)
+      branches += spark.read.parquet(priorParquet.map(_.filePath).distinct: _*)
+        .select(PathUtil.canonCol(col("file_path")).as("__dfile"), col("pos").as("__dpos"))
+        .where(col("__dfile").isInCollection(affected.keys.toSeq))
+    if (priorDVs.nonEmpty) {
+      val refs = priorDVs.map(f => (f.filePath, f.contentOffset.get,
+        f.contentSizeInBytes.getOrElse(f.fileSizeInBytes),
+        PathUtil.canon(f.referencedDataFile.get)))
+      val rdd = spark.sparkContext
+        .parallelize(refs, math.min(refs.size, spark.sparkContext.defaultParallelism))
+        .flatMap { case (pp, off, len, ref) =>
+          DeletionVector.readPositions(pp, off, len).iterator.map(p => (ref, p)) }
+      branches += spark.createDataFrame(rdd).toDF("__dfile", "__dpos")
+    }
+
+    val blobs: Seq[(String, Array[Byte], Long)] = branches.result()
+      .reduce(_ unionByName _).distinct()
+      .rdd.map(r => (r.getString(0), r.getLong(1)))
+      .groupByKey()
+      .map { case (fp, it) =>
+        val arr = it.toArray.sorted
+        (fp, DeletionVector.frameBlob(arr), arr.length.toLong)
+      }.collect().toSeq.sortBy(_._1)
+    if (blobs.isEmpty) return
+
+    val puffinPath = s"$location/data/${UUID.randomUUID()}-deletes.puffin"
+    val seq = metadata.lastSequenceNumber + 1
+    val written = Puffin.write(puffinPath, blobs.map { case (fp, bytes, card) =>
+      Puffin.Blob("deletion-vector-v1", Nil, baseSnap.getOrElse(-1L), seq, bytes,
+        Map("referenced-data-file" -> fp, "cardinality" -> card.toString))
+    })
+    val dvFiles = written.blobs.zip(blobs).map { case (info, (fp, _, card)) =>
+      val t = affected(fp)
+      DataFile(
+        content = FileContent.PositionDeletes,
+        filePath = puffinPath,
+        fileFormat = "puffin",
+        partition = t.file.partition,
+        recordCount = card,
+        fileSizeInBytes = written.fileSizeInBytes,
+        specId = t.file.specId,
+        referencedDataFile = Some(fp),
+        contentOffset = Some(info.offset),
+        contentSizeInBytes = Some(info.length))
+    }
+
+    // drop puffins holding superseded blobs; re-add sibling DV entries
+    // (other referenced files) so they stay live under the new manifest
+    val removedPuffins = priorDVs.map(_.filePath).toSet
+    val siblings =
+      if (removedPuffins.isEmpty) Nil
+      else new IceScan(this).planFiles().flatMap(_.deletes)
+        .filter(d => d.isDeletionVector && removedPuffins.contains(d.filePath) &&
+          d.referencedDataFile.forall(r => !affected.contains(PathUtil.canon(r))))
+        .distinctBy(f => (f.filePath, f.contentOffset))
+    commitSnapshot("delete", added = dvFiles ++ siblings, removedPaths = removedPuffins,
+      conflictFilter = Some(expr), baseSnapshotId = baseSnap)
   }
 
   /** Compaction (maintenance, beyond the reference — its file GC is

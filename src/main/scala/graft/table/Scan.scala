@@ -124,15 +124,25 @@ final class IceScan(
     val deletesByPartition: Map[(Int, Seq[Any]), Seq[DeleteRef]] =
       partitionedDeletes.groupBy(d => partKey(d.specId, d.partition))
 
-    def applicableDeletes(specId: Int, partition: Seq[Any], dataSeq: Long): Seq[DataFile] = {
+    def applicableDeletes(specId: Int, partition: Seq[Any], dataSeq: Long,
+        dataPath: String): Seq[DataFile] = {
+      val canonPath = PathUtil.canon(dataPath)
       val candidates = globalDeletes ++
         deletesByPartition.getOrElse(partKey(specId, partition), Nil)
-      candidates.filter { d =>
+      val files = candidates.filter { d =>
         // position deletes apply at the same or later sequence; equality
-        // deletes only to STRICTLY older data (Iceberg spec scan rules)
-        if (d.file.content == FileContent.EqualityDeletes) d.seq > dataSeq
-        else d.seq >= dataSeq
+        // deletes only to STRICTLY older data (Iceberg spec scan rules);
+        // a delete scoped to one data file (v3 DV) applies only to it
+        (if (d.file.content == FileContent.EqualityDeletes) d.seq > dataSeq
+         else d.seq >= dataSeq) &&
+          d.file.referencedDataFile.forall(r => PathUtil.canon(r) == canonPath)
       }.map(_.file)
+      // v3 scan rule: a deletion vector supersedes every position-delete
+      // FILE for its data file (the DV writer merged them; ref spec
+      // §Scan Planning, table/deletion_vector.py)
+      if (files.exists(_.isDeletionVector))
+        files.filterNot(f => f.content == FileContent.PositionDeletes && !f.isDeletionVector)
+      else files
     }
 
     // per-manifest open+prune is a pure function of (manifest, spec,
@@ -168,7 +178,7 @@ final class IceScan(
       val spec = metadata.specById(specId)
       val res = Evaluators.residual(schema, spec, bound, e.dataFile.partition)
       FileScanTask(e.dataFile, applicableDeletes(spec.specId, e.dataFile.partition,
-        e.dataSequenceNumber), res)
+        e.dataSequenceNumber, e.dataFile.filePath), res)
     }
   }
 
@@ -256,9 +266,11 @@ final class IceScan(
     if (deleteTasks.nonEmpty) {
       // one branch per distinct applicable-delete signature (different data
       // files can see different delete sets via sequence numbers); within a
-      // branch every delete applies to every file
+      // branch every delete applies to every file. DV blobs share a puffin
+      // path, so the signature carries the blob offset too.
       val groups = deleteTasks.groupBy { t =>
-        (t.deletes.filter(_.content == FileContent.PositionDeletes).map(_.filePath).sorted,
+        (t.deletes.filter(_.content == FileContent.PositionDeletes)
+          .map(f => (f.filePath, f.contentOffset.getOrElse(-1L))).sorted,
           t.deletes.filter(_.content == FileContent.EqualityDeletes).map(_.filePath).sorted)
       }
       // broadcast the delete side only while it provably fits in executor
@@ -271,23 +283,49 @@ final class IceScan(
         .max(0L) * 4 // parquet→row expansion headroom
       def maybeBroadcast(d: DataFrame, bytes: Long): DataFrame =
         if (bytes <= broadcastLimit) broadcast(d) else d
-      groups.foreach { case ((posPaths, _), group) =>
+      groups.foreach { case ((posKeys, _), group) =>
         val allDeletes = group.head.deletes
         val eqFiles = allDeletes.filter(_.content == FileContent.EqualityDeletes)
-        val posBytes = allDeletes.filter(_.content == FileContent.PositionDeletes)
-          .map(_.fileSizeInBytes).sum
-        var dfG = readFiles(group.map(_.file.filePath), withMeta = posPaths.nonEmpty || keepFile)
-        if (posPaths.nonEmpty) {
+        val (dvFiles, posParquet) = allDeletes
+          .filter(_.content == FileContent.PositionDeletes).partition(_.isDeletionVector)
+        val posPaths = posParquet.map(_.filePath).distinct
+        // parquet delete bytes + decoded DV rows (cardinality is known from
+        // the manifest; ~16B per (path-ref, pos) row after decode)
+        val posBytes = posParquet.map(_.fileSizeInBytes).sum +
+          dvFiles.map(_.recordCount * 16L).sum
+        var dfG = readFiles(group.map(_.file.filePath), withMeta = posKeys.nonEmpty || keepFile)
+        if (posKeys.nonEmpty) {
           // position-delete files have columns (file_path, pos) — spec
           // §Position Delete Files (ref io/pyarrow.py:1130 _read_deletes);
+          // v3 deletion vectors decode to the same shape with a ranged blob
+          // read PER EXECUTOR TASK (the driver never holds positions);
           // broadcast the anti-join so the data side never shuffles
-          val deletes = spark.read.parquet(posPaths: _*)
-            .select(PathUtil.canonCol(col("file_path")).as("__dfile"), col("pos").as("__dpos"))
+          val posBranches = Seq.newBuilder[DataFrame]
+          if (posPaths.nonEmpty)
+            posBranches += spark.read.parquet(posPaths: _*)
+              .select(PathUtil.canonCol(col("file_path")).as("__dfile"), col("pos").as("__dpos"))
+          if (dvFiles.nonEmpty) {
+            val refs = dvFiles.map { f =>
+              val ref = f.referencedDataFile.getOrElse(throw new IllegalStateException(
+                s"Deletion vector ${f.filePath} lacks referenced-data-file"))
+              val off = f.contentOffset.getOrElse(throw new IllegalStateException(
+                s"Deletion vector ${f.filePath} lacks content-offset"))
+              (f.filePath, off, f.contentSizeInBytes.getOrElse(f.fileSizeInBytes),
+                PathUtil.canon(ref))
+            }
+            val rdd = spark.sparkContext
+              .parallelize(refs, math.min(refs.size, spark.sparkContext.defaultParallelism))
+              .flatMap { case (pp, off, len, ref) =>
+                DeletionVector.readPositions(pp, off, len).iterator.map(p => (ref, p))
+              }
+            posBranches += spark.createDataFrame(rdd).toDF("__dfile", "__dpos")
+          }
+          val deletes = posBranches.result().reduce(_ unionByName _)
           dfG = dfG.join(maybeBroadcast(deletes, posBytes),
             dfG("__file") === deletes("__dfile") && dfG("__pos") === deletes("__dpos"),
             "left_anti")
         }
-        if (posPaths.nonEmpty || keepFile)
+        if (posKeys.nonEmpty || keepFile)
           dfG = dfG.drop((if (keepFile) Seq("__pos") else Seq("__file", "__pos")): _*)
         // equality deletes (extension — the reference rejects reading them):
         // anti-join on the delete file's equality columns, null-safe so a
