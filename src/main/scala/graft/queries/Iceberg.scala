@@ -257,12 +257,15 @@ object Iceberg {
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   /** DSv2 face: read back through spark.read.format("graft") with a
-    * filter pushed into per-query manifest pruning (SURVEY §7 step 10). */
+    * filter pushed into per-query manifest pruning (SURVEY §7 step 10).
+    * The table carries MoR position deletes, resolved executor-side in
+    * the partition readers (never collected to the driver). */
   def dsv2Scan(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer")
     val cat = wh(s)
     val tab = cat.createTable("customer", Schema.fromSpark(cust.schema))
     tab.append(cust)
+    tab.deletePositional("c_acctbal > 9000.0")
     s.read.format("graft")
       .option("warehouse", cat.warehouse).option("table", "customer").load()
       .filter(col("c_acctbal") > 5000.0 && col("c_mktsegment") === "BUILDING")
@@ -271,7 +274,7 @@ object Iceberg {
   }
   val dsv2ScanSql =
     """SELECT c_custkey, c_name, c_acctbal FROM customer
-      |WHERE c_acctbal > 5000.0 AND c_mktsegment = 'BUILDING'
+      |WHERE c_acctbal > 5000.0 AND c_acctbal <= 9000.0 AND c_mktsegment = 'BUILDING'
       |ORDER BY c_custkey""".stripMargin
 
   /** A. metadata-only count (residual-free files never read). */

@@ -39,9 +39,10 @@ import graft.table.IceTable
   * safe). Spark additionally re-applies every filter on the returned rows,
   * so partially-translatable predicates stay correct.
   *
-  * Position deletes are applied in the reader (sorted row-index skip);
-  * pushed limits stop each partition early. Current limits: batch reads of
-  * the current snapshot; equality deletes must be compacted first
+  * Position deletes — parquet delete files AND v3 deletion vectors — are
+  * resolved and applied in the reader (executor-side, sorted row-index
+  * skip); pushed limits stop each partition early. Current limits: batch
+  * reads of the current snapshot; equality deletes must be compacted first
   * (rewriteDataFiles).
   */
 class GraftSource extends TableProvider with org.apache.spark.sql.sources.DataSourceRegister {
@@ -129,11 +130,18 @@ class GraftScanBuilder(table: IceTable)
   override def build(): Scan = new GraftScan(table, expr, required, limit)
 }
 
+/** A delete source applicable to one data file, resolved EXECUTOR-side by
+  * the partition reader. `contentOffset >= 0` marks a v3 deletion-vector
+  * blob inside a puffin file (ranged read); `-1` marks a parquet
+  * position-delete file (filtered to this data file while reading). */
+final case class DeleteFileRef(path: String, contentOffset: Long, contentSize: Long)
+
 final case class GraftInputPartition(
     filePath: String,
     readSchemaJson: String,
-    /** row indexes deleted from this file (position deletes), sorted. */
-    deletedPositions: Array[Long],
+    /** position-delete sources for this file; positions are resolved in
+      * the reader so the driver never materializes delete rows. */
+    deletes: Array[DeleteFileRef],
     /** stop after this many emitted rows (pushed limit), -1 = none. */
     limit: Long) extends InputPartition
 
@@ -153,25 +161,19 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
     val readSchema = Schema(table.schema.fields.filter(f => names.contains(f.name)))
     val json = MetadataJson.schemaToJson(readSchema).toString
 
-    // resolve position deletes driver-side: per-file sorted row indexes
-    // (bounded by delete volume, like the reference's in-memory index,
-    // io/pyarrow.py:1160 _combine_positional_deletes)
-    val deletePaths = tasks.flatMap(_.deletes.map(_.filePath)).distinct
-    val positionsByFile: Map[String, Array[Long]] =
-      if (deletePaths.isEmpty) Map.empty
-      else table.spark.read.parquet(deletePaths: _*)
-        .groupBy(org.apache.spark.sql.functions.col("file_path"))
-        .agg(org.apache.spark.sql.functions.sort_array(
-          org.apache.spark.sql.functions.collect_list("pos")).as("ps"))
-        .collect()
-        .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
-    def normPath(p: String): String = p.replaceFirst("^file:/+", "/")
-    val positionsNormed = positionsByFile.map { case (k, v) => normPath(k) -> v }
-    def positionsFor(path: String): Array[Long] =
-      positionsNormed.getOrElse(normPath(path), Array.empty[Long])
-
+    // ship delete SOURCES (paths + blob ranges), not positions: each reader
+    // resolves its own file's deletes executor-side, so driver memory is
+    // independent of delete volume (the old driver-side collect was
+    // VERDICT W2; ref per-task delete reads io/pyarrow.py:1441 _task_to_table)
     tasks.map { t =>
-      val dels = if (t.deletes.isEmpty) Array.empty[Long] else positionsFor(t.file.filePath)
+      val dels = t.deletes.map { f =>
+        if (f.isDeletionVector)
+          DeleteFileRef(f.filePath,
+            f.contentOffset.getOrElse(throw new IllegalStateException(
+              s"Deletion vector ${f.filePath} lacks content-offset")),
+            f.contentSizeInBytes.getOrElse(f.fileSizeInBytes))
+        else DeleteFileRef(f.filePath, -1L, -1L)
+      }.toArray
       GraftInputPartition(t.file.filePath, json, dels, pushedLimit): InputPartition
     }.toArray
   }
@@ -244,7 +246,7 @@ class GraftMicroBatchStream(table: IceTable, required: StructType)
     val readSchema = Schema(table.schema.fields.filter(f => names.contains(f.name)))
     val json = MetadataJson.schemaToJson(readSchema).toString
     table.incrementalAppendFiles(from, to)
-      .map(f => GraftInputPartition(f.filePath, json, Array.empty[Long], -1L): InputPartition)
+      .map(f => GraftInputPartition(f.filePath, json, Array.empty[DeleteFileRef], -1L): InputPartition)
       .toArray
   }
 
@@ -254,21 +256,54 @@ class GraftMicroBatchStream(table: IceTable, required: StructType)
 class GraftReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    new GraftPartitionReader(p.filePath, p.readSchemaJson, p.deletedPositions, p.limit)
+    new GraftPartitionReader(p.filePath, p.readSchemaJson, p.deletes, p.limit)
   }
 }
 
 /** Row-by-row parquet reader over the example Group API, projecting file
   * columns by FIELD-ID against the requested engine schema (rename-safe;
-  * name fallback for id-less files). Not vectorized — the library-first
+  * name fallback for id-less files). Position deletes (parquet files and
+  * v3 deletion-vector blobs) are resolved HERE, in the executor task, then
+  * applied as a sorted row-index skip. Not vectorized — the library-first
   * scan path remains the fast lane; this is the SQL connector. */
 class GraftPartitionReader(path: String, schemaJson: String,
-    deletedPositions: Array[Long] = Array.empty, limit: Long = -1L)
+    deletes: Array[DeleteFileRef] = Array.empty, limit: Long = -1L)
     extends PartitionReader[InternalRow] {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private val schema: Schema = MetadataJson.schemaFromJson(mapper.readTree(schemaJson))
   private val conf = new Configuration()
+
+  /** Sorted, deduped positions deleted from THIS data file. Parquet
+    * position-delete files carry (file_path, pos) rows for possibly many
+    * data files — filter to ours while streaming; DV blobs are per-file by
+    * construction (ref _read_deletes io/pyarrow.py:1130). */
+  private val deletedPositions: Array[Long] = {
+    if (deletes.isEmpty) Array.empty[Long]
+    else {
+      val me = PathUtil.canon(path)
+      val buf = scala.collection.mutable.ArrayBuffer[Long]()
+      deletes.foreach { d =>
+        if (d.contentOffset >= 0L) {
+          buf ++= graft.meta.DeletionVector.readPositions(d.path, d.contentOffset, d.contentSize)
+        } else {
+          val r = ParquetReader.builder(new GroupReadSupport(), new Path(d.path))
+            .withConf(new Configuration()).build()
+          try {
+            var g = r.read()
+            while (g != null) {
+              if (PathUtil.canon(g.getString("file_path", 0)) == me)
+                buf += g.getLong("pos", 0)
+              g = r.read()
+            }
+          } finally r.close()
+        }
+      }
+      val arr = buf.distinct.toArray
+      java.util.Arrays.sort(arr)
+      arr
+    }
+  }
 
   // project the FILE schema down to requested ids (or names)
   private val fileSchema: MessageType = {

@@ -78,6 +78,18 @@ class DataSourceV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.limit(7).count() === 7)
   }
 
+  test("v3 deletion vectors resolved executor-side in the v2 reader") {
+    val t = catalog.createTable("o_v2_dv", Schema.fromSpark(orders.schema))
+    t.upgradeFormatVersion(3)
+    t.append(orders)
+    t.deleteAsDeletionVector("o_orderkey <= 300")
+    t.deleteAsDeletionVector("o_orderkey > 5500") // second DV exercises the merge path
+    val want = orders.filter(col("o_orderkey") > 300 && col("o_orderkey") <= 5500)
+    val df = loadV2("o_v2_dv")
+    assert(df.count() === want.count())
+    assert(df.filter(col("o_orderkey") <= 300 || col("o_orderkey") > 5500).count() === 0)
+  }
+
   test("readStream micro-batches appends with checkpointed snapshot offsets") {
     import org.apache.spark.sql.streaming.Trigger
     val t = catalog.createTable("o_v2_stream", Schema.fromSpark(orders.schema))
