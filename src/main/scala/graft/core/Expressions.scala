@@ -375,6 +375,13 @@ object Evaluator {
       case Some(t) => if (raw == null) null else t.apply(raw, p.field.fieldType)
       case None => raw
     }
+    evalTermValue(p, v)
+  }
+
+  /** Evaluate a predicate given its TERM value directly (already
+    * transformed, if the predicate has a transformed term) — used by the
+    * residual evaluator, where a file's partition value IS the term value. */
+  def evalTermValue(p: BoundPred, v: Any): Boolean = {
     val t = p.termType
     def cmp(other: Any): Int = Literals.compare(t, v, other)
     def isNanV: Boolean = v match {

@@ -278,15 +278,26 @@ object Evaluators {
 
   // ---- residual (ref: visitors.py:1797 ResidualEvaluator) -----------------
 
-  /** Per-file simplified filter given the file's partition values:
-    * identity-partitioned predicates fold to true/false; everything else
+  /** Per-file simplified filter given the file's partition values
+    * (ref: visitors.py:1797 ResidualEvaluator + per-transform
+    * strict/inclusive projections, transforms.py:1069
+    * _truncate_number_strict, :1095 _truncate_array_strict).
+    *
+    * Each predicate is tested against every partition field on its source
+    * column: if a STRICT projection holds on the partition value the
+    * predicate folds to true (every row matches); if the INCLUSIVE
+    * projection fails it folds to false (no row can match); otherwise it
     * stays as residual and is applied by Spark per-file (which still lets
-    * parquet row-group pruning work on it). */
+    * parquet row-group pruning work on it). Identity folds exactly;
+    * order-preserving transforms (truncate, year/month/day/hour) fold
+    * ranges; bucket folds equality/IN and null checks. */
   def residual(schema: Schema, spec: PartitionSpec, expr: BoundExpr, partition: Seq[Any]): BoundExpr = {
-    val identBySource: Map[Int, Int] = spec.fields.zipWithIndex.collect {
-      case (pf, i) if pf.transform == IdentityTransform => pf.sourceId -> i
-    }.toMap
+    val partsBySource: Map[Int, Seq[(PartitionField, Int)]] =
+      spec.fields.zipWithIndex.groupBy(_._1.sourceId)
+
     def fold(e: BoundExpr): BoundExpr = e match {
+      case BTrue => BTrue
+      case BFalse => BFalse
       case BAnd(l, r) => (fold(l), fold(r)) match {
         case (BFalse, _) | (_, BFalse) => BFalse
         case (BTrue, b) => b
@@ -304,11 +315,156 @@ object Evaluators {
         case BFalse => BTrue
         case other => BNot(other)
       }
-      case p: BoundPred if p.transform.isEmpty && identBySource.contains(p.field.id) =>
-        val v = partition(identBySource(p.field.id))
-        if (Evaluator.eval(p, Map(p.field.id -> v))) BTrue else BFalse
-      case other => other
+      // a predicate on a transformed term folds EXACTLY when some
+      // partition field applies the same transform to the same source:
+      // the partition value IS the term value for every row in the file
+      case p: BoundPred if p.transform.isDefined =>
+        spec.fields.zipWithIndex.find { case (pf, _) =>
+          pf.sourceId == p.field.id && pf.transform == p.transform.get
+        } match {
+          case Some((_, i)) =>
+            if (Evaluator.evalTermValue(p, partition(i))) BTrue else BFalse
+          case None => p
+        }
+      case p: BoundPred =>
+        val folds = partsBySource.getOrElse(p.field.id, Nil)
+          .map { case (pf, i) => foldOne(pf, partition(i), p) }
+        if (folds.contains(Some(false))) BFalse
+        else if (folds.contains(Some(true))) BTrue
+        else p
     }
     fold(expr)
+  }
+
+  /** Fold one untransformed predicate against one partition field's value:
+    * Some(true) = every row matches, Some(false) = none can, None = keep. */
+  private def foldOne(pf: PartitionField, pv: Any, p: BoundPred): Option[Boolean] = {
+    val srcType = p.field.fieldType
+    val tr = pf.transform
+    tr match {
+      case VoidTransform | _: UnknownTransform => None
+      // identity: the partition value is the row value — evaluate exactly
+      case IdentityTransform => Some(Evaluator.evalTermValue(p, pv))
+      case _ =>
+        // remaining transforms (bucket/truncate/time) are null-preserving,
+        // so a null partition value ⟺ every source value in the file is
+        // null, and vice versa — unary predicates fold exactly
+        if (pv == null) return Some(p match {
+          case _: BIsNull => true
+          case _: BNotNaN => true // null rows pass NotNaN (Spark isnan(null)=false)
+          case _ => false // NotNull, IsNaN, and all literal predicates
+        })
+        p match {
+          case _: BIsNull => Some(false)
+          case _: BNotNull => Some(true)
+          case _: BIsNaN | _: BNotNaN => None // transformed files may mix NaN
+          case _ => tr match {
+            case TruncateTransform(w) if srcType == IString =>
+              foldTruncateString(w, pv.toString, p)
+            case BucketTransform(_) => foldNonOrdered(tr, srcType, pv, p)
+            case _ if tr.preservesOrder => foldOrdered(tr, srcType, pv, p)
+            case _ => None
+          }
+        }
+    }
+  }
+
+  /** Order-preserving transform over ALIGNED intervals: each partition
+    * value pv covers source range [lo(pv), lo(next)), so comparing pv with
+    * T(boundary) decides strict/inclusive matches
+    * (ref: _truncate_number_strict transforms.py:1069). */
+  private def foldOrdered(tr: Transform, srcType: IceType, pv: Any, p: BoundPred): Option[Boolean] = {
+    val rt = tr.resultType(srcType)
+    def t(v: Any): Any = tr.apply(v, srcType)
+    def c(v: Any): Int = Literals.compare(rt, pv, t(v))
+    // integral boundary nudge (ref: Literal.increment/decrement in
+    // _truncate_number_strict): x <= v over intervals ⟸ pv < T(v+1),
+    // which also covers v exactly at a partition boundary
+    def incr(v: Any): Option[Any] = v match {
+      case i: Int if i != Int.MaxValue => Some(i + 1)
+      case l: Long if l != Long.MaxValue => Some(l + 1)
+      case _ => None
+    }
+    def decr(v: Any): Option[Any] = v match {
+      case i: Int if i != Int.MinValue => Some(i - 1)
+      case l: Long if l != Long.MinValue => Some(l - 1)
+      case _ => None
+    }
+    p match {
+      case BEq(_, _, v, _) => if (c(v) != 0) Some(false) else None
+      case BNotEq(_, _, v, _) => if (c(v) != 0) Some(true) else None
+      case BLt(_, _, v, _) =>
+        if (c(v) < 0) Some(true) else if (c(v) > 0) Some(false) else None
+      case BLtEq(_, _, v, _) =>
+        if (incr(v).map(c).getOrElse(c(v)) < 0) Some(true)
+        else if (c(v) > 0) Some(false) else None
+      case BGt(_, _, v, _) =>
+        if (c(v) > 0) Some(true) else if (c(v) < 0) Some(false) else None
+      case BGtEq(_, _, v, _) =>
+        if (decr(v).map(c).getOrElse(c(v)) > 0) Some(true)
+        else if (c(v) < 0) Some(false) else None
+      case BIn(_, _, vs, _) =>
+        if (vs.forall(v => c(v) != 0)) Some(false) else None
+      case BNotIn(_, _, vs, _) =>
+        if (vs.forall(v => c(v) != 0)) Some(true) else None
+      case _ => None
+    }
+  }
+
+  /** Non-order-preserving transform (bucket): only same-value mapping is
+    * usable — equality/IN fold to false when the boundary lands in a
+    * different bucket; nothing folds to true (collisions). */
+  private def foldNonOrdered(tr: Transform, srcType: IceType, pv: Any, p: BoundPred): Option[Boolean] = {
+    val rt = tr.resultType(srcType)
+    def c(v: Any): Int = Literals.compare(rt, pv, tr.apply(v, srcType))
+    p match {
+      case BEq(_, _, v, _) => if (c(v) != 0) Some(false) else None
+      case BIn(_, _, vs, _) => if (vs.forall(v => c(v) != 0)) Some(false) else None
+      case _ => None
+    }
+  }
+
+  /** truncate[w] over strings: pv is a ≤w-code-point prefix shared by
+    * every row value (ref: TruncateTransform.strict_project
+    * transforms.py:829 string branch). A pv SHORTER than w means no row
+    * was truncated — every row value equals pv exactly, so any predicate
+    * folds exactly. */
+  private def foldTruncateString(w: Int, pv: String, p: BoundPred): Option[Boolean] = {
+    if (pv.codePointCount(0, pv.length) < w)
+      return Some(Evaluator.evalTermValue(p, pv))
+    def cPref(s: String): Int = { // compare pv with the w-prefix of s
+      val sw = if (s.codePointCount(0, s.length) <= w) s
+        else s.substring(0, s.offsetByCodePoints(0, w))
+      pv.compareTo(sw)
+    }
+    p match {
+      case BEq(_, _, v, _) => if (cPref(v.toString) != 0) Some(false) else None
+      case BNotEq(_, _, v, _) => if (cPref(v.toString) != 0) Some(true) else None
+      // prefix blocks are ordered: rows of a lexicographically smaller
+      // (resp. greater) prefix block are all smaller (resp. greater)
+      case BLt(_, _, v, _) =>
+        if (cPref(v.toString) < 0) Some(true) else if (cPref(v.toString) > 0) Some(false) else None
+      case BLtEq(_, _, v, _) =>
+        if (cPref(v.toString) < 0) Some(true) else if (cPref(v.toString) > 0) Some(false) else None
+      case BGt(_, _, v, _) =>
+        if (cPref(v.toString) > 0) Some(true) else if (cPref(v.toString) < 0) Some(false) else None
+      case BGtEq(_, _, v, _) =>
+        if (cPref(v.toString) > 0) Some(true) else if (cPref(v.toString) < 0) Some(false) else None
+      case BIn(_, _, vs, _) =>
+        if (vs.forall(v => cPref(v.toString) != 0)) Some(false) else None
+      case BNotIn(_, _, vs, _) =>
+        if (vs.forall(v => cPref(v.toString) != 0)) Some(true) else None
+      case BStartsWith(_, _, s, _) =>
+        val sLen = s.codePointCount(0, s.length)
+        if (sLen <= w) Some(pv.startsWith(s)) // pv prefixes every row value
+        else if (cPref(s) != 0) Some(false) // s disagrees with the shared prefix
+        else None
+      case BNotStartsWith(_, _, s, _) =>
+        val sLen = s.codePointCount(0, s.length)
+        if (sLen <= w) Some(!pv.startsWith(s))
+        else if (cPref(s) != 0) Some(true)
+        else None
+      case _ => None
+    }
   }
 }

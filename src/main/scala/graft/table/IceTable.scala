@@ -633,12 +633,14 @@ class IceTable(
     val keySchema = Schema(schema.fields.filter(f => keyFields.exists(_.id == f.id)))
     val aligned = WriteFiles.align(keys, keySchema)
     val stage = s"$location/data/${UUID.randomUUID()}"
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     // distinct() is already a shuffle on the key columns; AQE coalesces the
     // output to the key volume (no coalesce(1) funnel — a large key set
     // writes from many tasks)
-    aligned.distinct().write.parquet(stage)
+    WriteFiles.withScopedConfs(spark,
+      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
+      "spark.sql.parquet.fieldId.write.enabled" -> "true") {
+      aligned.distinct().write.parquet(stage)
+    }
     val written = WriteFiles.harvest(spark, stage, keySchema, PartitionSpec.Unpartitioned)
       .filter(_.recordCount > 0)
       .map(_.copy(content = FileContent.EqualityDeletes,

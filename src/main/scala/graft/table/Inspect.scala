@@ -266,24 +266,47 @@ final class Inspect(table: IceTable) {
     df(rows, schema)
   }
 
-  /** ref: inspect.py:263 partitions — record/file counts per partition as a
-    * Spark aggregation over the entries. */
+  /** ref: inspect.py:263 partitions — per-partition data/delete rollups as
+    * a Spark aggregation over the entries. Full reference column parity
+    * (data + position/equality-delete record and file counts, total data
+    * size, last_updated_at/_snapshot_id); the partition itself is the path
+    * STRING (`k=v/...`) rather than the reference's struct — one column
+    * shape across specs. */
   def partitions(): DataFrame = {
     import org.apache.spark.sql.functions._
     val schema = StructType(Seq(
       StructField("partition", StringType),
       StructField("spec_id", IntegerType, nullable = false),
+      StructField("content", IntegerType, nullable = false),
       StructField("record_count", LongType, nullable = false),
-      StructField("file_count", IntegerType, nullable = false)))
-    val rows = liveEntries()
-      .filter(_._2.dataFile.content == FileContent.Data)
-      .map { case (mf, e) =>
-        val sp = m.specById(mf.partitionSpecId)
-        Row(sp.partitionToPath(e.dataFile.partition, m.schema), sp.specId,
-          e.dataFile.recordCount, 1)
-      }
+      StructField("file_size", LongType, nullable = false),
+      StructField("committed_ms", LongType),
+      StructField("snapshot_id", LongType)))
+    val rows = liveEntries().map { case (mf, e) =>
+      val sp = m.specById(mf.partitionSpecId)
+      val snap = m.snapshotById(e.snapshotId)
+      Row(sp.partitionToPath(e.dataFile.partition, m.schema), sp.specId,
+        e.dataFile.content, e.dataFile.recordCount, e.dataFile.fileSizeInBytes,
+        snap.map(s => Long.box(s.timestampMs)).orNull,
+        snap.map(s => Long.box(s.snapshotId)).orNull)
+    }
+    def ifContent(c: Int, v: org.apache.spark.sql.Column) =
+      sum(when(col("content") === c, v).otherwise(0L))
     df(rows, schema)
       .groupBy(col("partition"), col("spec_id"))
-      .agg(sum("record_count").as("record_count"), count(lit(1)).cast("int").as("file_count"))
+      .agg(
+        ifContent(FileContent.Data, col("record_count")).as("record_count"),
+        ifContent(FileContent.Data, lit(1L)).cast("int").as("file_count"),
+        ifContent(FileContent.Data, col("file_size")).as("total_data_file_size_in_bytes"),
+        ifContent(FileContent.PositionDeletes, col("record_count"))
+          .as("position_delete_record_count"),
+        ifContent(FileContent.PositionDeletes, lit(1L)).cast("int")
+          .as("position_delete_file_count"),
+        ifContent(FileContent.EqualityDeletes, col("record_count"))
+          .as("equality_delete_record_count"),
+        ifContent(FileContent.EqualityDeletes, lit(1L)).cast("int")
+          .as("equality_delete_file_count"),
+        timestamp_millis(max(col("committed_ms"))).as("last_updated_at"),
+        max_by(col("snapshot_id"), col("committed_ms")).as("last_updated_snapshot_id"))
   }
 }

@@ -62,6 +62,21 @@ object WriteFiles {
 
   val SyntheticPrefix = "_p_"
 
+  /** Run `body` with session confs set, restoring prior values after — the
+    * library must not leak parquet conf changes into a shared session.
+    * Only valid around EAGER actions: a lazy DataFrame captures confs at
+    * execution time, which would be after the restore (this is why the
+    * scan-side fieldId.read confs stay sticky — the returned DataFrame
+    * outlives any scope we could put here). */
+  def withScopedConfs[T](spark: SparkSession, kvs: (String, String)*)(body: => T): T = {
+    val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** Align an input DataFrame to the table schema: select columns by name
     * (case-sensitive), cast to the declared types (ref:
     * _check_schema_compatible io/pyarrow.py:2846 — here we cast instead of
@@ -101,10 +116,6 @@ object WriteFiles {
       props: Map[String, String] = Map.empty): Seq[DataFile] = {
     val stageDir = Locations.stageDir(location, commitUuid, props)
     val aligned = align(df, schema)
-
-    // parquet physical settings the stats harvest + id-resolution rely on
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     // committer stays v1: v2's task-side commit can leave partial files of
     // a failed attempt directly in stageDir, and harvest would register
     // them as data (MAPREDUCE-7282). Under v1 uncommitted output lives in
@@ -128,26 +139,32 @@ object WriteFiles {
 
     val orderId = sortOrder.filter(_.fields.nonEmpty).map(_.orderId)
 
-    if (spec.isUnpartitioned) {
-      sorted(aligned).write.mode("overwrite").parquet(stageDir)
-    } else {
-      val partCols = spec.fields.map { pf =>
-        val src = schema.byId(pf.sourceId)
-        pf.transform.column(col(src.name), src.fieldType).as(SyntheticPrefix + pf.name)
+    // parquet physical settings the stats harvest + id-resolution rely on,
+    // scoped to this (eager) write so the shared session is unchanged
+    withScopedConfs(spark,
+      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
+      "spark.sql.parquet.fieldId.write.enabled" -> "true") {
+      if (spec.isUnpartitioned) {
+        sorted(aligned).write.mode("overwrite").parquet(stageDir)
+      } else {
+        val partCols = spec.fields.map { pf =>
+          val src = schema.byId(pf.sourceId)
+          pf.transform.column(col(src.name), src.fieldType).as(SyntheticPrefix + pf.name)
+        }
+        val withParts = aligned.select((aligned.columns.map(col) ++ partCols): _*)
+        // co-locate each partition in one task (one file per partition
+        // value). The task count is EXPLICIT: with a bare repartition(cols)
+        // AQE coalesces the small shuffle into one task and serializes every
+        // per-partition writer open/close behind it — measured 22s vs 16s on
+        // a 2.5k-partition fan-out
+        val writeTasks = math.max(spark.sparkContext.defaultParallelism,
+          spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+        sorted(withParts
+          .repartition(writeTasks, spec.fields.map(pf => col(SyntheticPrefix + pf.name)): _*))
+          .write.mode("overwrite")
+          .partitionBy(spec.fields.map(pf => SyntheticPrefix + pf.name): _*)
+          .parquet(stageDir)
       }
-      val withParts = aligned.select((aligned.columns.map(col) ++ partCols): _*)
-      // co-locate each partition in one task (one file per partition
-      // value). The task count is EXPLICIT: with a bare repartition(cols)
-      // AQE coalesces the small shuffle into one task and serializes every
-      // per-partition writer open/close behind it — measured 22s vs 16s on
-      // a 2.5k-partition fan-out
-      val writeTasks = math.max(spark.sparkContext.defaultParallelism,
-        spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-      sorted(withParts
-        .repartition(writeTasks, spec.fields.map(pf => col(SyntheticPrefix + pf.name)): _*))
-        .write.mode("overwrite")
-        .partitionBy(spec.fields.map(pf => SyntheticPrefix + pf.name): _*)
-        .parquet(stageDir)
     }
     harvest(spark, stageDir, schema, spec, metricsModes(schema, props))
       .map(f => orderId.map(id => f.copy(sortOrderId = Some(id))).getOrElse(f))

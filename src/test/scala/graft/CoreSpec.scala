@@ -225,4 +225,43 @@ class MetricsSpec extends AnyFunSuite {
     assert(res === BGt(s.byId(2), "x", 5L, None))
     assert(Evaluators.residual(s, spec, b, Seq("b")) === BFalse)
   }
+
+  test("residual folds transform partitions: day ranges, truncate, bucket") {
+    val s = Schema(Seq(NestedField(1, "ts", ITimestamp), NestedField(2, "name", IString),
+      NestedField(3, "id", ILong)))
+    val spec = PartitionSpec(0, Seq(
+      PartitionField(1, 1000, "day", DayTransform),
+      PartitionField(2, 1001, "pre", TruncateTransform(2)),
+      PartitionField(3, 1002, "bkt", BucketTransform(8))))
+    def res(e: String, part: Seq[Any]) =
+      Evaluators.residual(s, spec, Exprs.rewriteNot(Binder.bind(s, ExprParser.parse(e))), part)
+
+    // day 19724 = 2024-01-02; boundary-aligned >= folds strictly TRUE on
+    // the boundary day itself (decrement trick), FALSE strictly before
+    assert(res("ts >= '2024-01-02'", Seq(19724, null, null)) === BTrue)
+    assert(res("ts >= '2024-01-02'", Seq(19725, null, null)) === BTrue)
+    assert(res("ts >= '2024-01-02'", Seq(19723, null, null)) === BFalse)
+    // a mid-day boundary can't fold on the boundary day — stays residual
+    assert(res("ts > '2024-01-02T12:00:00'", Seq(19724, null, null)).isInstanceOf[BoundPred])
+    assert(res("ts > '2024-01-02T12:00:00'", Seq(19725, null, null)) === BTrue)
+    // a predicate on the transformed term folds exactly
+    assert(res("day(ts) = '2024-01-02'", Seq(19724, null, null)) === BTrue)
+    assert(res("day(ts) = '2024-01-02'", Seq(19723, null, null)) === BFalse)
+    // truncate[2] string prefix blocks are ordered
+    assert(res("name >= 'c'", Seq(null, "ca", null)) === BTrue)
+    assert(res("name = 'xy'", Seq(null, "ab", null)) === BFalse)
+    assert(res("name like 'ab%'", Seq(null, "ab", null)) === BTrue)
+    // a pv shorter than the truncate width IS the exact row value
+    assert(res("name = 'a'", Seq(null, "a", null)) === BTrue)
+    // bucket: wrong bucket folds false; same bucket stays (collisions)
+    val bkt34 = (Transforms.hashLong(34L) & Int.MaxValue) % 8
+    assert(res("id = 34", Seq(null, null, bkt34)).isInstanceOf[BoundPred])
+    assert(res("id = 34", Seq(null, null, (bkt34 + 1) % 8)) === BFalse)
+    // null partition value under a null-preserving transform = all-null rows
+    assert(res("ts is null", Seq(null, null, null)) === BTrue)
+    assert(res("ts is not null", Seq(null, null, null)) === BFalse)
+    assert(res("ts >= '2024-01-02'", Seq(null, null, null)) === BFalse)
+    // conjunction folds per-source
+    assert(res("ts >= '2024-01-02' and id = 34", Seq(19725, null, (bkt34 + 1) % 8)) === BFalse)
+  }
 }

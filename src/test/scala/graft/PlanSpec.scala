@@ -71,6 +71,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       plan.linesIterator.filter(l => l.contains("Join")).mkString("\n"))
   }
 
+  test("day-partitioned range filter folds residuals to metadata-only") {
+    val wh = new HadoopCatalog(
+      java.nio.file.Files.createTempDirectory("plan_wh4").toString, spark)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val schema = Schema.fromSpark(li.schema)
+    val t = wh.createTable("li_day", schema,
+      graft.meta.PartitionSpec.build(schema, 0,
+        ("l_shipdate", graft.core.DayTransform, "l_day")))
+    t.append(li)
+    // boundary-aligned range: every surviving day-partition folds to TRUE,
+    // so count() is pure manifest arithmetic (zero file reads)
+    val scan = t.scan("l_shipdate >= '1997-01-01'")
+    val tasks = scan.planFiles()
+    assert(tasks.nonEmpty)
+    assert(tasks.forall(_.residual == graft.core.BTrue),
+      tasks.map(_.residual).distinct.take(3).mkString("; "))
+    assert(scan.count() === li.filter("l_shipdate >= '1997-01-01'").count())
+  }
+
   test("metadata count plans zero data reads for residual-free files") {
     val wh = new HadoopCatalog(
       java.nio.file.Files.createTempDirectory("plan_wh3").toString, spark)

@@ -246,6 +246,44 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(parts.count() > 1)
   }
 
+  test("writes scope parquet session confs and restore prior values") {
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
+    try {
+      val t = catalog.createTable("t_confscope", Schema.fromSpark(orders.schema))
+      t.append(orders.limit(20))
+      // the write itself used MICROS + field ids, but the session keeps
+      // whatever the user had set
+      assert(spark.conf.get("spark.sql.parquet.outputTimestampType") === "INT96")
+      assert(spark.conf.get("spark.sql.parquet.fieldId.write.enabled") === "false")
+      assert(t.scan.toDF.count() === 20)
+    } finally {
+      spark.conf.unset("spark.sql.parquet.outputTimestampType")
+      spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+    }
+  }
+
+  test("partitions() reports delete rollups and last-updated lineage") {
+    val t = catalog.createTable("t_partstats", Schema.fromSpark(orders.schema))
+    t.append(orders)
+    t.deletePositional("o_orderkey <= 100")
+    val p = t.inspect.partitions()
+    assert(p.columns.toSeq === Seq("partition", "spec_id", "record_count", "file_count",
+      "total_data_file_size_in_bytes", "position_delete_record_count",
+      "position_delete_file_count", "equality_delete_record_count",
+      "equality_delete_file_count", "last_updated_at", "last_updated_snapshot_id"))
+    val r = p.collect()(0)
+    // record_count counts data-file rows (MoR deletes tracked separately)
+    assert(r.getAs[Long]("record_count") === orders.count())
+    assert(r.getAs[Long]("position_delete_record_count") ===
+      orders.filter(col("o_orderkey") <= 100).count())
+    assert(r.getAs[Int]("position_delete_file_count") >= 1)
+    assert(r.getAs[Long]("equality_delete_record_count") === 0L)
+    assert(r.getAs[Long]("total_data_file_size_in_bytes") > 0L)
+    assert(r.getAs[Long]("last_updated_snapshot_id") === t.metadata.currentSnapshotId.get)
+    assert(r.getAs[java.sql.Timestamp]("last_updated_at") != null)
+  }
+
   test("expire snapshots protects refs and current") {
     val t = catalog.loadTable("t_tt")
     val expired = t.expireSnapshots(System.currentTimeMillis() + 1000)
