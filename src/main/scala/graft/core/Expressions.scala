@@ -112,6 +112,53 @@ object Exprs {
     case BNotStartsWith(f, n, v, t) => BStartsWith(f, n, v, t)
   }
 
+  /** Disjunctive normal form: OR-of-ANDs, one element per disjunct
+    * (ref: visitors.py:1015 rewrite_to_dnf). NOT is pushed to the leaves
+    * first; the distributive law can blow up exponentially, so this is an
+    * EXPORT path (external engines that take DNF filter lists), never the
+    * internal evaluator representation. */
+  def rewriteToDnf(e: BoundExpr): Seq[BoundExpr] = {
+    def walk(x: BoundExpr): Seq[BoundExpr] = x match {
+      case BTrue => Seq(BTrue)
+      case BFalse => Seq(BFalse)
+      case BAnd(l, r) => for { a <- walk(l); b <- walk(r) } yield BAnd(a, b)
+      case BOr(l, r) => walk(l) ++ walk(r)
+      case BNot(c) => throw new IllegalArgumentException(s"Not expressions are not allowed: $c")
+      case p => Seq(p)
+    }
+    walk(rewriteNot(e))
+  }
+
+  /** One DNF conjunct → (column, op, value) triples for export to engines
+    * that accept plain filter lists (ref: visitors.py:977
+    * ExpressionToPlainFormat / expression_to_plain_format). Values are the
+    * engine-internal representation; IsNull/NotNull use value null. */
+  def toPlainFormat(e: BoundExpr): Seq[Seq[(String, String, Any)]] =
+    rewriteToDnf(e).map { conjunct =>
+      def walk(x: BoundExpr): Seq[(String, String, Any)] = x match {
+        case BTrue => Nil
+        case BFalse => Nil
+        case BAnd(l, r) => walk(l) ++ walk(r)
+        case BOr(_, _) | BNot(_) =>
+          throw new IllegalStateException("DNF conjunct must be AND-only")
+        case BIsNull(f, _, _) => Seq((f.name, "==", null))
+        case BNotNull(f, _, _) => Seq((f.name, "!=", null))
+        case BIsNaN(f, _, _) => Seq((f.name, "==", Double.NaN))
+        case BNotNaN(f, _, _) => Seq((f.name, "!=", Double.NaN))
+        case BEq(f, _, v, _) => Seq((f.name, "==", v))
+        case BNotEq(f, _, v, _) => Seq((f.name, "!=", v))
+        case BLt(f, _, v, _) => Seq((f.name, "<", v))
+        case BLtEq(f, _, v, _) => Seq((f.name, "<=", v))
+        case BGt(f, _, v, _) => Seq((f.name, ">", v))
+        case BGtEq(f, _, v, _) => Seq((f.name, ">=", v))
+        case BIn(f, _, vs, _) => Seq((f.name, "in", vs))
+        case BNotIn(f, _, vs, _) => Seq((f.name, "not in", vs))
+        case BStartsWith(f, _, s, _) => Seq((f.name, "startswith", s))
+        case BNotStartsWith(f, _, s, _) => Seq((f.name, "not startswith", s))
+      }
+      walk(conjunct)
+    }
+
   /** Field ids referenced by an expression (ref: visitors.py:948). */
   def fieldIds(e: BoundExpr): Set[Int] = e match {
     case BAnd(l, r) => fieldIds(l) ++ fieldIds(r)

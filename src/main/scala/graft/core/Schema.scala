@@ -111,6 +111,44 @@ final case class Schema(
 }
 
 object Schema {
+
+  /** Make a field name Avro-compatible (ref: schema.py:1384
+    * make_compatible_name): first char must be a letter or `_`, the rest
+    * letters, digits or `_`. Invalid chars become `_xHHHH` (uppercase hex
+    * code point) and a leading digit gains a `_` prefix — an INJECTIVE
+    * encoding, unlike lossy `replaceAll("_")` which collides `a.b`/`a_b`. */
+  def makeCompatibleName(name: String): String = {
+    require(name.nonEmpty, "Can not sanitize an empty name")
+    def validFirst(c: Char) = Character.isLetter(c) || c == '_'
+    def validRest(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    def sanitizeChar(c: Char): String =
+      if (Character.isDigit(c)) "_" + c
+      else "_x" + Integer.toHexString(c).toUpperCase
+    val ok = validFirst(name.head) && name.tail.forall(validRest)
+    if (ok) name
+    else {
+      val sb = new StringBuilder
+      sb.append(if (validFirst(name.head)) name.head.toString else sanitizeChar(name.head))
+      name.tail.foreach(c => sb.append(if (validRest(c)) c.toString else sanitizeChar(c)))
+      sb.toString
+    }
+  }
+
+  /** Rewrite every (nested) field name to its Avro-compatible form, ids
+    * and types unchanged (ref: schema.py:1440 sanitize_column_names). */
+  def sanitizeColumnNames(schema: Schema): Schema = {
+    def walk(t: IceType): IceType = t match {
+      case IStruct(fs) => IStruct(fs.map(f =>
+        f.copy(name = makeCompatibleName(f.name), fieldType = walk(f.fieldType))))
+      case IList(id, el, req) => IList(id, walk(el), req)
+      case IMap(kid, k, vid, v, req) => IMap(kid, walk(k), vid, walk(v), req)
+      case prim => prim
+    }
+    Schema(schema.fields.map(f =>
+      f.copy(name = makeCompatibleName(f.name), fieldType = walk(f.fieldType))),
+      schema.schemaId, schema.identifierFieldIds)
+  }
+
   /** Build from a Spark schema with fresh sequential ids
     * (ref: schema.py:1316 assign_fresh_schema_ids). */
   def fromSpark(st: StructType, schemaId: Int = 0): Schema = {

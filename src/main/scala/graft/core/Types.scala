@@ -34,6 +34,12 @@ case object ITimestamp extends IceType { val repr = "timestamp"; val toSpark = T
 /** Micros, UTC-adjusted (ref types.py:844). */
 case object ITimestamptz extends IceType { val repr = "timestamptz"; val toSpark = TimestampType }
 case object IString extends IceType { val repr = "string"; val toSpark = StringType }
+/** Deliberate deviation from the reference (io/pyarrow.py stores UUID as
+  * parquet fixed[16]): Spark's parquet writer cannot emit
+  * FIXED_LEN_BYTE_ARRAY for non-decimal columns, so UUID DATA columns are
+  * stored as canonical strings. Manifest/metadata single-value encoding
+  * stays spec-exact 16-byte big-endian (Conversions.toBytes), so bounds,
+  * partition values and pruning are cross-engine correct. */
 case object IUUID extends IceType { val repr = "uuid"; val toSpark = StringType }
 case object IBinary extends IceType { val repr = "binary"; val toSpark = BinaryType }
 case class IFixed(length: Int) extends IceType {

@@ -55,7 +55,11 @@ object ManifestIO {
     AvroSchema.createRecord("r102", null, null, false, fields.asJava)
   }
 
-  private def sanitize(n: String): String = n.replaceAll("[^A-Za-z0-9_]", "_")
+  /** Partition-struct field names must satisfy Avro naming rules; the
+    * injective `_xHHHH` encoding (ref: schema.py:1384 make_compatible_name)
+    * keeps exotic names (`day(ts)`, `a.b` vs `a_b`) collision-free in
+    * manifests. */
+  private def sanitize(n: String): String = graft.core.Schema.makeCompatibleName(n)
 
   private def dataFileSchema(spec: PartitionSpec, schema: Schema): AvroSchema = {
     val fields = Seq(

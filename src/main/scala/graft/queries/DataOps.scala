@@ -500,9 +500,14 @@ object DataOps {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .count()
     val qname = "ev_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = agg.writeStream.format("memory").queryName(qname)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // the stateful shuffle width is captured at query START: scope it to a
+    // handful of state-store partitions — a 32-way state store spends more
+    // time on per-partition store setup/commit than on this aggregation
+    graft.table.WriteFiles.withScopedConfs(s, "spark.sql.shuffle.partitions" -> "8") {
+      val q = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     // wstart as epoch SECONDS (bigint): parquet nanos (DuckDB) vs micros
     // (Spark) timestamp types can't schema-match in the gate; integers do
     s.table(qname)

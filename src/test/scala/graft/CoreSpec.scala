@@ -119,6 +119,57 @@ class ExprSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ExprParser.parse("name LIKE 'a%b%'"))
   }
 
+  test("rewrite_to_dnf distributes AND over OR; plain-format export") {
+    val b = Binder.bind(schema,
+      ExprParser.parse("(id = 1 or id = 2) and (name = 'a' or name = 'b')"))
+    val dnf = Exprs.rewriteToDnf(b)
+    assert(dnf.size === 4) // cross product of disjuncts
+    assert(dnf.forall {
+      case BAnd(_: BoundPred, _: BoundPred) => true
+      case _ => false
+    })
+    // NOT is eliminated before distribution
+    val n = Binder.bind(schema, ExprParser.parse("not (id = 1 and name = 'a')"))
+    assert(Exprs.rewriteToDnf(n).size === 2)
+    val plain = Exprs.toPlainFormat(
+      Binder.bind(schema, ExprParser.parse("id > 3 and name is null")))
+    assert(plain === Seq(Seq(("id", ">", 3L), ("name", "==", null))))
+  }
+
+  test("exotic partition-field names survive the manifest round-trip") {
+    import graft.meta._
+    val s = Schema(Seq(NestedField(1, "ts", ITimestamp), NestedField(2, "v", ILong)))
+    val spec = PartitionSpec(0, Seq(PartitionField(1, 1000, "day(ts)", DayTransform)))
+    val f = DataFile(content = FileContent.Data, filePath = "/x/y.parquet",
+      fileFormat = "PARQUET", partition = Seq(19724), recordCount = 10,
+      fileSizeInBytes = 100)
+    val e = ManifestEntry(status = EntryStatus.Added, snapshotId = 1L,
+      dataSequenceNumber = 1L, fileSequenceNumber = 1L, dataFile = f)
+    val path = java.nio.file.Files.createTempDirectory("mio").toString + "/m1.avro"
+    ManifestIO.writeManifest(path, Seq(e), spec, s)
+    val back = ManifestIO.readManifest(path, spec, s)
+    assert(back.size === 1)
+    assert(back.head.dataFile.partition === Seq(19724))
+  }
+
+  test("make_compatible_name sanitizes avro-hostile names injectively") {
+    import Schema.makeCompatibleName
+    assert(makeCompatibleName("valid_name") === "valid_name")
+    assert(makeCompatibleName("_ok2") === "_ok2")
+    assert(makeCompatibleName("9col") === "_9col")
+    assert(makeCompatibleName("a.b") === "a_x2Eb")
+    assert(makeCompatibleName("a b") === "a_x20b")
+    assert(makeCompatibleName("day(ts)") === "day_x28ts_x29")
+    // the lossy replaceAll would collide these two
+    assert(makeCompatibleName("a.b") !== makeCompatibleName("a_b"))
+    val s = Schema(Seq(NestedField(1, "a.b", ILong),
+      NestedField(2, "nested", IStruct(Seq(NestedField(3, "x y", IString))))))
+    val clean = Schema.sanitizeColumnNames(s)
+    assert(clean.fields.head.name === "a_x2Eb")
+    assert(clean.fields(1).fieldType.asInstanceOf[IStruct].fields.head.name === "x_x20y")
+    assert(clean.fields.head.id === 1) // ids untouched
+  }
+
   test("transform-term predicates parse and bind") {
     assert(ExprParser.parse("day(ts) = '2024-01-02'") ===
       Eq("ts", "2024-01-02", Some(DayTransform)))
