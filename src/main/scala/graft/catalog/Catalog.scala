@@ -1,6 +1,5 @@
 package graft.catalog
 
-import java.nio.file.{Files, Paths}
 import java.util.UUID
 
 import graft.core.Schema
@@ -41,8 +40,7 @@ trait Catalog {
     * (ref: register_table :498). The table keeps its original location. */
   def registerTable(name: String, metadataPath: String): IceTable = {
     require(!tableExists(name), s"Table $name already exists")
-    val meta = MetadataJson.fromJson(
-      new String(Files.readAllBytes(Paths.get(metadataPath)), "UTF-8"))
+    val meta = MetadataJson.fromJson(new String(Io.readBytes(metadataPath), "UTF-8"))
     commit(name, 0, meta)
     loadTable(name)
   }
@@ -70,12 +68,17 @@ trait Catalog {
   */
 class HadoopCatalog(val warehouse: String, val spark: SparkSession) extends Catalog {
 
+  // metadata IO must see spark.hadoop.* (custom schemes, s3a credentials);
+  // installed once per catalog construction — the factory re-derives the
+  // conf so later session conf changes are picked up
+  Io.confFactory = () => spark.sessionState.newHadoopConf()
+
   private def tableDir(name: String) = s"$warehouse/${name.replace('.', '/')}"
   private def metadataDir(name: String) = s"${tableDir(name)}/metadata"
   private def hintFile(name: String) = s"${metadataDir(name)}/version-hint.text"
   private def versionFile(name: String, v: Int) = s"${metadataDir(name)}/v$v.metadata.json"
 
-  def tableExists(name: String): Boolean = Files.exists(Paths.get(hintFile(name)))
+  def tableExists(name: String): Boolean = Io.exists(hintFile(name))
 
   def createTable(
       name: String,
@@ -102,98 +105,62 @@ class HadoopCatalog(val warehouse: String, val spark: SparkSession) extends Cata
   def loadTable(name: String): IceTable = {
     val v = currentVersion(name).getOrElse(
       throw new IllegalArgumentException(s"Table $name not found"))
-    val json = new String(Files.readAllBytes(Paths.get(versionFile(name, v))), "UTF-8")
+    val json = new String(Io.readBytes(versionFile(name, v)), "UTF-8")
     new IceTable(this, name, MetadataJson.fromJson(json), v)
   }
 
-  def dropTable(name: String): Unit = {
-    val dir = Paths.get(tableDir(name))
-    if (Files.exists(dir)) {
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
-    }
-  }
+  def dropTable(name: String): Unit =
+    if (Io.exists(tableDir(name))) Io.delete(tableDir(name), recursive = true)
 
   protected def forgetTable(name: String): Unit = {
     // the catalog ENTRY is the version hint + version files; the avro
     // manifests in the same dir are table data still referenced by the
     // renamed-to entry's metadata — they must survive
-    val md = Paths.get(metadataDir(name))
-    if (Files.exists(md)) {
-      val s = Files.list(md)
-      try s.forEach { p =>
-        val n = p.getFileName.toString
-        if (n == "version-hint.text" || (n.startsWith("v") && n.endsWith(".metadata.json")))
-          Files.deleteIfExists(p)
-      } finally s.close()
+    val md = metadataDir(name)
+    Io.list(md).foreach { case (n, _) =>
+      if (n == "version-hint.text" || (n.startsWith("v") && n.endsWith(".metadata.json")))
+        Io.delete(s"$md/$n")
     }
   }
 
   def createNamespace(ns: String): Unit =
-    Files.createDirectories(Paths.get(s"$warehouse/${ns.replace('.', '/')}"))
+    Io.mkdirs(s"$warehouse/${ns.replace('.', '/')}")
 
   def dropNamespace(ns: String): Unit = {
     require(listTables(ns).isEmpty, s"Namespace $ns is not empty")
-    Files.deleteIfExists(Paths.get(s"$warehouse/${ns.replace('.', '/')}"))
+    Io.delete(s"$warehouse/${ns.replace('.', '/')}")
   }
 
   /** Directories under the warehouse that are not themselves tables. */
-  def listNamespaces(): Seq[String] = {
-    val root = Paths.get(warehouse)
-    if (!Files.isDirectory(root)) return Nil
-    val s = Files.list(root)
-    try {
-      val b = Seq.newBuilder[String]
-      s.forEach { p =>
-        if (Files.isDirectory(p) &&
-          !Files.exists(p.resolve("metadata/version-hint.text")))
-          b += p.getFileName.toString
-      }
-      b.result().sorted
-    } finally s.close()
-  }
+  def listNamespaces(): Seq[String] =
+    Io.list(warehouse).collect {
+      case (n, true) if !Io.exists(s"$warehouse/$n/metadata/version-hint.text") => n
+    }.sorted
 
   def listTables(ns: String = ""): Seq[String] = {
-    val dir = if (ns.isEmpty) Paths.get(warehouse)
-      else Paths.get(s"$warehouse/${ns.replace('.', '/')}")
-    if (!Files.isDirectory(dir)) return Nil
-    val s = Files.list(dir)
-    try {
-      val b = Seq.newBuilder[String]
-      s.forEach { p =>
-        if (Files.exists(p.resolve("metadata/version-hint.text")))
-          b += (if (ns.isEmpty) p.getFileName.toString
-            else s"$ns.${p.getFileName}")
-      }
-      b.result().sorted
-    } finally s.close()
+    val dir = if (ns.isEmpty) warehouse else s"$warehouse/${ns.replace('.', '/')}"
+    Io.list(dir).collect {
+      case (n, true) if Io.exists(s"$dir/$n/metadata/version-hint.text") =>
+        if (ns.isEmpty) n else s"$ns.$n"
+    }.sorted
   }
 
-  def currentVersion(name: String): Option[Int] = {
-    val hint = Paths.get(hintFile(name))
-    if (Files.exists(hint)) Some(new String(Files.readAllBytes(hint), "UTF-8").trim.toInt)
+  def currentVersion(name: String): Option[Int] =
+    if (Io.exists(hintFile(name)))
+      Some(new String(Io.readBytes(hintFile(name)), "UTF-8").trim.toInt)
     else None
-  }
 
   /** Optimistic commit: atomically create the next version file; fails if a
-    * concurrent writer already created it. Returns the new version. */
+    * concurrent writer already created it. Returns the new version.
+    * (Io.writeBytesIfAbsent is a true CREATE_NEW — link(2) locally, which
+    * fails atomically when the target exists; rename would silently
+    * REPLACE, a TOCTOU race where both committers "succeed".) */
   def commit(name: String, expectedVersion: Int, meta: TableMetadata): Int = {
     val next = expectedVersion + 1
-    val target = Paths.get(versionFile(name, next))
-    Files.createDirectories(target.getParent)
-    val tmp = Files.createTempFile(target.getParent, s".v$next-", ".json.tmp")
-    Files.write(tmp, MetadataJson.toJson(meta).getBytes("UTF-8"))
-    try {
-      // true CREATE_NEW: link(2) fails atomically when the target exists.
-      // (rename(2) — Files.move ATOMIC_MOVE — silently REPLACES an
-      // existing target, so exists()+move is a TOCTOU race where both
-      // concurrent committers can "succeed" and one snapshot is lost.)
-      Files.createLink(target, tmp)
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new CommitConflictException(name, next)
-    } finally Files.deleteIfExists(tmp)
-    Files.write(Paths.get(hintFile(name)), next.toString.getBytes("UTF-8"))
+    if (!Io.writeBytesIfAbsent(versionFile(name, next),
+        MetadataJson.toJson(meta).getBytes("UTF-8")))
+      throw new CommitConflictException(name, next)
+    Io.writeBytes(hintFile(name), next.toString.getBytes("UTF-8"))
     next
   }
 }
@@ -266,7 +233,7 @@ class CommitConflictException(table: String, version: Int)
   * (ref: StaticTable.from_metadata table/__init__.py:1782). */
 object StaticTable {
   def fromMetadata(metadataPath: String, spark: SparkSession): IceTable = {
-    val json = new String(Files.readAllBytes(Paths.get(metadataPath)), "UTF-8")
+    val json = new String(Io.readBytes(metadataPath), "UTF-8")
     val meta = MetadataJson.fromJson(json)
     val readOnly = new HadoopCatalog(meta.location, spark) {
       override def commit(name: String, expectedVersion: Int, m: TableMetadata): Int =

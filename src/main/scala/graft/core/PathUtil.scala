@@ -11,13 +11,21 @@ import org.apache.spark.sql.functions.regexp_replace
   * manifest `DataFile.filePath` is compared against all of them (conflict
   * validation, upsert file targeting, position-delete application), so
   * every producer canonicalizes here: local paths are scheme-less
-  * absolute; remote URIs (hdfs://, s3a://) pass through untouched.
+  * absolute; remote URIs keep their scheme, but an EMPTY authority is
+  * collapsed (`mockfs:///tmp` and Hadoop Path's `mockfs:/tmp` are the
+  * same file). URIs with a real authority (`s3a://bucket/key`,
+  * `hdfs://nn:8020/x`) pass through untouched.
   */
 object PathUtil {
   private val LocalScheme = "^file:/+".r
+  // `scheme://` immediately followed by `/` (or end) = empty authority
+  private val EmptyAuthority = "^([A-Za-z][A-Za-z0-9+.\\-]*)://(?=/|$)".r
 
-  def canon(p: String): String = LocalScheme.replaceFirstIn(p, "/")
+  def canon(p: String): String =
+    EmptyAuthority.replaceFirstIn(LocalScheme.replaceFirstIn(p, "/"), "$1:")
 
   /** Column form, for `_metadata.file_path`. */
-  def canonCol(c: Column): Column = regexp_replace(c, "^file:/+", "/")
+  def canonCol(c: Column): Column =
+    regexp_replace(regexp_replace(c, "^file:/+", "/"),
+      "^([A-Za-z][A-Za-z0-9+.\\-]*)://(?=/|$)", "$1:")
 }

@@ -192,16 +192,8 @@ object DeletionVector {
   }
 
   /** Ranged read of one DV's positions straight from a puffin file —
-    * executor-safe (no driver state, one seek + one read). */
-  def readPositions(puffinPath: String, offset: Long, length: Long): Array[Long] = {
-    val ch = java.nio.channels.FileChannel.open(
-      java.nio.file.Paths.get(puffinPath.stripPrefix("file:")))
-    try {
-      val buf = ByteBuffer.allocate(length.toInt)
-      ch.position(offset)
-      var n = 0
-      while (n < length && ch.read(buf) >= 0) n = buf.position()
-      readBlob(buf.array())
-    } finally ch.close()
-  }
+    * executor-safe (no driver state, one seek + one read). Remote schemes
+    * resolve through the executor's default Hadoop configuration. */
+  def readPositions(puffinPath: String, offset: Long, length: Long): Array[Long] =
+    readBlob(Io.readRange(puffinPath, offset, length))
 }

@@ -1,0 +1,156 @@
+package graft.meta
+
+import java.io.{InputStream, OutputStream}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import graft.core.PathUtil
+
+/** Warehouse file IO (the reference's FileIO seam, pyiceberg/io/__init__.py):
+  * every metadata read/write goes through the Hadoop FileSystem API so a
+  * warehouse can live on hdfs/s3a/any registered scheme, with a java.nio
+  * fast path for local paths (Hadoop's RawLocalFileSystem builds each
+  * FileStatus by forking `ls`, minutes over thousands of files).
+  *
+  * The active Configuration is installed per session by the catalog
+  * (spark.sessionState.newHadoopConf()), so `spark.hadoop.*` settings —
+  * custom schemes, s3a credentials — reach metadata IO. Executor-side
+  * callers that cannot see the session (stats harvest) ship the session
+  * conf entries into their tasks explicitly.
+  */
+object Io {
+
+  @volatile var confFactory: () => Configuration = () => new Configuration()
+  def conf: Configuration = confFactory()
+
+  def isLocal(path: String): Boolean = !path.contains(":") || path.startsWith("file:")
+  private def local(p: String): java.nio.file.Path =
+    java.nio.file.Paths.get(PathUtil.canon(p))
+  private def fs(p: String): FileSystem = new Path(p).getFileSystem(conf)
+
+  def exists(path: String): Boolean =
+    if (isLocal(path)) java.nio.file.Files.exists(local(path))
+    else fs(path).exists(new Path(path))
+
+  def size(path: String): Long =
+    if (isLocal(path)) java.nio.file.Files.size(local(path))
+    else fs(path).getFileStatus(new Path(path)).getLen
+
+  def readBytes(path: String): Array[Byte] =
+    if (isLocal(path)) java.nio.file.Files.readAllBytes(local(path))
+    else {
+      val in = fs(path).open(new Path(path))
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      } finally in.close()
+    }
+
+  /** Ranged read (puffin blob loads): one seek + one bounded read. */
+  def readRange(path: String, offset: Long, length: Long,
+      c: Configuration = conf): Array[Byte] = {
+    val out = new Array[Byte](length.toInt)
+    if (isLocal(path)) {
+      val ch = java.nio.channels.FileChannel.open(local(path))
+      try {
+        val buf = java.nio.ByteBuffer.wrap(out)
+        ch.position(offset)
+        var n = 0
+        while (n < length && ch.read(buf) >= 0) n = buf.position()
+      } finally ch.close()
+    } else {
+      val in = new Path(path).getFileSystem(c).open(new Path(path))
+      try in.readFully(offset, out) finally in.close()
+    }
+    out
+  }
+
+  /** Overwriting write, parent dirs created. */
+  def writeBytes(path: String, bytes: Array[Byte]): Unit =
+    if (isLocal(path)) {
+      val p = local(path)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, bytes)
+      ()
+    } else {
+      val out = fs(path).create(new Path(path), true)
+      try out.write(bytes) finally out.close()
+    }
+
+  /** Atomic-create-new commit write: fails (returns false) when the target
+    * already exists. Local uses link(2) (a true atomic CREATE_NEW — rename
+    * silently replaces); Hadoop uses create(overwrite = false), atomic on
+    * HDFS and on S3A with conditional writes. */
+  def writeBytesIfAbsent(path: String, bytes: Array[Byte]): Boolean =
+    if (isLocal(path)) {
+      val target = local(path)
+      java.nio.file.Files.createDirectories(target.getParent)
+      val tmp = java.nio.file.Files.createTempFile(target.getParent,
+        "." + target.getFileName.toString, ".tmp")
+      java.nio.file.Files.write(tmp, bytes)
+      try { java.nio.file.Files.createLink(target, tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      try {
+        val out = fs(path).create(new Path(path), false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch {
+        // hadoop's FileAlreadyExistsException extends IOException; any
+        // other IO failure with the target present is also a lost race
+        case e: java.io.IOException => if (exists(path)) false else throw e
+      }
+    }
+
+  /** Buffered output stream, parent dirs created (avro manifest writes). */
+  def create(path: String): OutputStream =
+    if (isLocal(path)) {
+      val p = local(path)
+      java.nio.file.Files.createDirectories(p.getParent)
+      new java.io.BufferedOutputStream(java.nio.file.Files.newOutputStream(p))
+    } else fs(path).create(new Path(path), true)
+
+  def open(path: String): InputStream =
+    if (isLocal(path)) new java.io.BufferedInputStream(
+      java.nio.file.Files.newInputStream(local(path)))
+    else fs(path).open(new Path(path))
+
+  def delete(path: String, recursive: Boolean = false): Unit =
+    if (isLocal(path)) {
+      val p = local(path)
+      if (recursive && java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => java.nio.file.Files.deleteIfExists(q))
+        finally s.close()
+      } else java.nio.file.Files.deleteIfExists(p)
+      ()
+    } else { fs(path).delete(new Path(path), recursive); () }
+
+  def mkdirs(path: String): Unit =
+    if (isLocal(path)) { java.nio.file.Files.createDirectories(local(path)); () }
+    else { fs(path).mkdirs(new Path(path)); () }
+
+  /** Immediate children as (name, isDirectory); Nil when absent. */
+  def list(path: String): Seq[(String, Boolean)] =
+    if (isLocal(path)) {
+      val p = local(path)
+      if (!java.nio.file.Files.isDirectory(p)) return Nil
+      val s = java.nio.file.Files.list(p)
+      try {
+        val b = Seq.newBuilder[(String, Boolean)]
+        s.forEach(q => b += q.getFileName.toString -> java.nio.file.Files.isDirectory(q))
+        b.result()
+      } finally s.close()
+    } else {
+      val f = fs(path)
+      val target = new Path(path)
+      if (!f.exists(target)) return Nil
+      f.listStatus(target).toSeq.map(st => st.getPath.getName -> st.isDirectory)
+    }
+}

@@ -134,9 +134,7 @@ object ManifestIO {
     val partTypes = spec.partitionType(schema)
 
     val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avro))
-    val file = new File(path)
-    file.getParentFile.mkdirs()
-    writer.create(avro, file)
+    writer.create(avro, Io.create(path))
     try {
       entries.foreach { e =>
         val rec = new GenericData.Record(avro)
@@ -173,7 +171,7 @@ object ManifestIO {
         writer.append(rec)
       }
     } finally writer.close()
-    file.length()
+    Io.size(path)
   }
 
   private def avroValue(t: IceType, v: Any): Any = v match {
@@ -210,9 +208,18 @@ object ManifestIO {
 
   // ---- read manifest ----
 
-  def readManifest(path: String, spec: PartitionSpec, schema: Schema): Seq[ManifestEntry] = {
-    val reader = new DataFileReader[GenericRecord](new File(path),
+  /** Avro container reader over any warehouse scheme (local fast path;
+    * FsInput/FSDataInputStream elsewhere). */
+  private def openAvro(path: String): DataFileReader[GenericRecord] =
+    if (Io.isLocal(path))
+      new DataFileReader[GenericRecord](new File(PathUtil.canon(path)),
+        new GenericDatumReader[GenericRecord]())
+    else new DataFileReader[GenericRecord](
+      new org.apache.avro.mapred.FsInput(new org.apache.hadoop.fs.Path(path), Io.conf),
       new GenericDatumReader[GenericRecord]())
+
+  def readManifest(path: String, spec: PartitionSpec, schema: Schema): Seq[ManifestEntry] = {
+    val reader = openAvro(path)
     val partTypes = spec.partitionType(schema)
     try {
       val b = Seq.newBuilder[ManifestEntry]
@@ -296,9 +303,7 @@ object ManifestIO {
   def writeManifestList(path: String, manifests: Seq[ManifestFile]): Unit = {
     val writer = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](manifestFileSchema))
-    val file = new File(path)
-    file.getParentFile.mkdirs()
-    writer.create(manifestFileSchema, file)
+    writer.create(manifestFileSchema, Io.create(path))
     try {
       manifests.foreach { m =>
         val rec = new GenericData.Record(manifestFileSchema)
@@ -331,8 +336,7 @@ object ManifestIO {
   }
 
   def readManifestList(path: String): Seq[ManifestFile] = {
-    val reader = new DataFileReader[GenericRecord](new File(path),
-      new GenericDatumReader[GenericRecord]())
+    val reader = openAvro(path)
     try {
       val b = Seq.newBuilder[ManifestFile]
       while (reader.hasNext) {

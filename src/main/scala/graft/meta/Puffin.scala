@@ -68,9 +68,7 @@ object Puffin {
     out.write(tail.array())
     out.write(Magic)
     val bytes = out.toByteArray
-    val p = Paths.get(path.stripPrefix("file:"))
-    Files.createDirectories(p.getParent)
-    Files.write(p, bytes)
+    Io.writeBytes(path, bytes)
     PuffinFile(path, bytes.length.toLong, (bytes.length - footerStart).toLong, infos)
   }
 
@@ -100,7 +98,7 @@ object Puffin {
 
   /** Read the footer's blob directory. */
   def readFooter(path: String): Seq[BlobInfo] = {
-    val bytes = Files.readAllBytes(Paths.get(path.stripPrefix("file:")))
+    val bytes = Io.readBytes(path)
     require(bytes.length >= 20 && bytes.startsWith(Magic), s"Not a puffin file: $path")
     require(bytes.slice(bytes.length - 4, bytes.length).sameElements(Magic),
       s"Corrupt puffin trailer: $path")
@@ -136,14 +134,6 @@ object Puffin {
   }
 
   /** Ranged read of one blob's bytes. */
-  def readBlob(path: String, info: BlobInfo): Array[Byte] = {
-    val ch = java.nio.channels.FileChannel.open(Paths.get(path.stripPrefix("file:")))
-    try {
-      val buf = ByteBuffer.allocate(info.length.toInt)
-      ch.position(info.offset)
-      var n = 0
-      while (n < info.length && ch.read(buf) >= 0) n = buf.position()
-      buf.array()
-    } finally ch.close()
-  }
+  def readBlob(path: String, info: BlobInfo): Array[Byte] =
+    Io.readRange(path, info.offset, info.length)
 }

@@ -75,7 +75,15 @@ final class IceScan(
 
   // ---- planning (driver-side; ref ManifestGroupPlanner :2557) ------------
 
-  def planFiles(): Seq[FileScanTask] = {
+  def planFiles(): Seq[FileScanTask] = planFiles(keepStats = true)
+
+  /** `keepStats = false` strips per-column stats maps from the surviving
+    * entries right after the metrics evaluators run (executor-side in the
+    * distributed branch) — the scan/count execution path needs only file
+    * identity + sizes, so the driver's plan result stays proportional to
+    * the FILE count, not to column-stats width (VERDICT W4). DML callers
+    * (delete's strict whole-file drop) keep the stats. */
+  private[table] def planFiles(keepStats: Boolean): Seq[FileScanTask] = {
     val snap = snapshot.getOrElse(return Nil)
     val schema = scanSchema
     val bound = boundFilter(schema)
@@ -155,6 +163,7 @@ final class IceScan(
       val projBySpecId = specsById.keys.map(id => id -> projected(id)).toMap
       val schemaLocal = schema
       val boundLocal = bound
+      val keep = keepStats
       mf => {
         val spec = specsById(mf.partitionSpecId)
         val proj = projBySpecId(mf.partitionSpecId)
@@ -164,7 +173,13 @@ final class IceScan(
             Evaluators.partitionMatches(spec, proj, e.dataFile.partition) &&
               Evaluators.rowsMightMatch(boundLocal, e.dataFile)
           }
-          .map(e => (e, mf.partitionSpecId))
+          .map { e =>
+            val slim = if (keep) e else e.copy(dataFile = e.dataFile.copy(
+              valueCounts = Map.empty, nullValueCounts = Map.empty,
+              nanValueCounts = Map.empty, lowerBounds = Map.empty,
+              upperBounds = Map.empty, columnSizes = Map.empty))
+            (slim, mf.partitionSpecId)
+          }
       }
     }
 
@@ -185,7 +200,7 @@ final class IceScan(
   // ---- execution (ref ArrowScan.to_table io/pyarrow.py:1792) -------------
 
   def toDF: DataFrame = {
-    val tasks = planFiles()
+    val tasks = planFiles(keepStats = false)
     toDFForTasks(tasks, applyResidualOnlyWhereNeeded = true)
   }
 
@@ -371,7 +386,7 @@ final class IceScan(
     * files whose residual is ALWAYS_TRUE and that carry no deletes
     * contribute record_count without being read. */
   def count(): Long = {
-    val tasks = planFiles()
+    val tasks = planFiles(keepStats = false)
     val (metaOnly, mustRead) = tasks.partition(t => t.residual == BTrue && t.deletes.isEmpty)
     val metaCount = metaOnly.map(_.file.recordCount).sum
     val readCount = if (mustRead.isEmpty) 0L

@@ -187,7 +187,7 @@ object WriteFiles {
     // commit zero files
     // getUri.getScheme, not getScheme: RawLocalFileSystem (which our
     // benchmark sessions install for file://) doesn't implement getScheme
-    val fs = new Path(dir).getFileSystem(new Configuration())
+    val fs = new Path(dir).getFileSystem(graft.meta.Io.conf)
     if (fs.getUri.getScheme == "file") {
       val root = java.nio.file.Paths.get(PathUtil.canon(dir))
       if (!java.nio.file.Files.isDirectory(root)) return Nil
@@ -223,11 +223,22 @@ object WriteFiles {
 
     // 4 slices per core for balance (footer sizes vary); one Hadoop
     // Configuration per task, NOT per file — its constructor parses XML
-    // resources and dominates when harvesting thousands of small files
+    // resources and dominates when harvesting thousands of small files.
+    // The SESSION conf entries ship with the task: a bare Configuration()
+    // in the executor would lose spark.hadoop.* (custom schemes, creds)
+    val confEntries: Array[(String, String)] = {
+      import scala.jdk.CollectionConverters._
+      spark.sessionState.newHadoopConf().iterator().asScala
+        .map(e => e.getKey -> e.getValue).toArray
+    }
     val slices = math.max(1,
       math.min(files.size, 4 * spark.sparkContext.defaultParallelism))
     spark.sparkContext.parallelize(files, slices).mapPartitions { paths =>
-      lazy val conf = new Configuration()
+      lazy val conf = {
+        val c = new Configuration(false)
+        confEntries.foreach { case (k, v) => c.set(k, v) }
+        c
+      }
       paths.map(path =>
         StatsHarvester.fileToDataFile(path, stage, colInfo, partFieldNames, partTypes,
           conf, modes))
