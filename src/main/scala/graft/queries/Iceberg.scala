@@ -291,6 +291,27 @@ object Iceberg {
   val metadataCountSql =
     "SELECT count(*) AS cnt FROM orders WHERE o_orderpriority = '1-URGENT'"
 
+  /** A/C. metadata-only count through TRANSFORM residuals (ref:
+    * visitors.py:1797 ResidualEvaluator): a boundary-aligned range filter
+    * on a month-partitioned table folds every surviving partition's
+    * residual to TRUE, so the count is pure manifest arithmetic — zero
+    * data files are opened. */
+  def transformCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = t(s, dir, "orders")
+    val schema = Schema.fromSpark(orders.schema)
+    val tab = wh(s).createTable("orders",
+      schema, Spec.build(schema, 0, ("o_orderdate", MonthTransform, "o_month")))
+    tab.append(orders)
+    val scan = tab.scan("o_orderdate >= '1997-03-01'")
+    // assert the fold actually happened: every task must be residual-free
+    require(scan.planFiles().forall(_.residual == graft.core.BTrue),
+      "month-aligned range must fold residuals to TRUE")
+    s.createDataFrame(Seq(Tuple1(scan.count()))).toDF("cnt")
+  }
+  val transformCountSql =
+    "SELECT count(*) AS cnt FROM orders WHERE o_orderdate >= TIMESTAMP '1997-03-01'"
+
   /** F. partitions metadata table: per-partition record counts as a Spark
     * aggregation over manifest entries. */
   def partitionsMeta(s: SparkSession, dir: String): DataFrame = {
@@ -433,6 +454,7 @@ object Iceberg {
     "ice_dsv2_scan" -> (dsv2Scan _),
     "ice_transform_predicate" -> (transformPredicate _),
     "ice_metadata_count" -> (metadataCount _),
+    "ice_transform_count" -> (transformCount _),
     "ice_partitions_meta" -> (partitionsMeta _),
     "ice_snapshots_meta" -> (snapshotsMeta _),
     "ice_add_files" -> (addFiles _),
@@ -460,6 +482,7 @@ object Iceberg {
     "ice_dsv2_scan" -> dsv2ScanSql,
     "ice_transform_predicate" -> transformPredicateSql,
     "ice_metadata_count" -> metadataCountSql,
+    "ice_transform_count" -> transformCountSql,
     "ice_partitions_meta" -> partitionsMetaSql,
     "ice_snapshots_meta" -> snapshotsMetaSql,
     "ice_add_files" -> addFilesSql,
