@@ -87,9 +87,12 @@ object DataOps {
     * of the same predicate. */
   def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
     // sorted distinct int64 shingle hashes, not strings: fixed-width
-    // shuffle keys and a linear-merge rescore (see ShingleHashes3)
+    // shuffle keys and a linear-merge rescore (see ShingleHashes3).
+    // Persisted: the shingling feeds the explode branch AND both rescore
+    // sides — recomputing it per consumer tripled the heavy hash pass
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), TextFunctions.shingle_hashes3(col("text")).as("ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // global token order = (document frequency asc, token): any total order
     // keeps the prefix-filter guarantee, and rarest-first makes the prefix
     // tokens rare — candidates collapse to docs sharing RARE shingles
@@ -140,10 +143,15 @@ object DataOps {
     * the scalable way: signatures shuffle once on (band, hash) instead of
     * an all-pairs cross join. */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    // shingling + 128-perm minhash is the heavy compute and feeds THREE
+    // consumers (band explode, both sides of the rescore join) — persist
+    // it once instead of recomputing per branch. MEMORY_AND_DISK: spills
+    // instead of OOMing at scale, and each executor holds only its slice
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), TextFunctions.shingle_hashes3(col("text")).as("ws"))
       .select(col("doc_id"), col("ws"),
         TextFunctions.minhash_of_hashes(col("ws"), 128).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 64 bands × 2 rows: catch probability 1-(1-j²)^64 (≈1-1e-8 at j=0.5)
     // with far fewer candidates than 1-row bands — a pair must collide on
     // BOTH permutations of some band
