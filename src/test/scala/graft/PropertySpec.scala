@@ -261,6 +261,64 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("residual soundness: folding against a row's own partition preserves the filter") {
+    import graft.meta._
+    val s2 = Schema(Seq(
+      NestedField(1, "k", ILong, required = true),
+      NestedField(2, "ts", ITimestamp, required = true),
+      NestedField(3, "tag", IString)))
+    val specs = Seq(
+      PartitionSpec(0, Seq(PartitionField(1, 1000, "k_bucket", BucketTransform(8)))),
+      PartitionSpec(1, Seq(PartitionField(1, 1000, "k_trunc", TruncateTransform(100)))),
+      PartitionSpec(2, Seq(PartitionField(2, 1000, "ts_day", DayTransform))),
+      PartitionSpec(3, Seq(PartitionField(2, 1000, "ts_month", MonthTransform),
+        PartitionField(3, 1001, "tag", IdentityTransform))),
+      PartitionSpec(4, Seq(PartitionField(3, 1000, "tag_t", TruncateTransform(2)))))
+    val genRow: Gen[(Long, Long, String)] = for {
+      k <- Gen.chooseNum(-500L, 500L)
+      ts <- Gen.chooseNum(-63113904000000L, 63113904000000L)
+      tag <- Gen.oneOf("a", "ab", "abc", "abd", "b", "zz", null)
+    } yield (k, ts, tag)
+    val leafGen: Gen[Expr] = {
+      val kLit: Gen[Any] = Gen.chooseNum(-500L, 500L).map(x => x: Any)
+      val tsLit: Gen[Any] = Gen.chooseNum(-63113904000000L, 63113904000000L)
+        .map(x => x: Any)
+      val sLit: Gen[Any] = Gen.oneOf("a", "ab", "abc", "abd", "b", "zz").map(x => x: Any)
+      Gen.oneOf[Gen[Expr]](
+        kLit.map(v => Eq("k", v)), kLit.map(v => NotEq("k", v)),
+        kLit.map(v => Lt("k", v)), kLit.map(v => GtEq("k", v)),
+        Gen.listOfN(3, kLit).map(vs => In("k", vs)),
+        Gen.listOfN(3, kLit).map(vs => NotIn("k", vs)),
+        tsLit.map(v => LtEq("ts", v)), tsLit.map(v => Gt("ts", v)), tsLit.map(v => Eq("ts", v)),
+        sLit.map(v => Eq("tag", v)), sLit.map(v => Lt("tag", v)), sLit.map(v => GtEq("tag", v)),
+        Gen.oneOf("a", "ab", "abc", "z").map(p => StartsWith("tag", p): Expr),
+        Gen.const(IsNull("tag")), Gen.const(NotNull("tag"))).flatMap(identity)
+    }
+    def genPred(depth: Int): Gen[Expr] =
+      if (depth <= 0) leafGen
+      else Gen.frequency(
+        3 -> leafGen,
+        2 -> Gen.zip(genPred(depth - 1), genPred(depth - 1)).map { case (a, b) => And(a, b) },
+        2 -> Gen.zip(genPred(depth - 1), genPred(depth - 1)).map { case (a, b) => Or(a, b) },
+        1 -> genPred(depth - 1).map(Not(_)))
+
+    val rowsSample = samples(genRow, 200)
+    forAllSampled(Gen.zip(genPred(2), Gen.chooseNum(0, 4)), 200) { case (pred, i) =>
+      val spec = specs(i)
+      val bound = Exprs.rewriteNot(Binder.bind(s2, pred))
+      rowsSample.foreach { case (k, ts, tag) =>
+        val record = Map(1 -> (k: Any), 2 -> (ts: Any), 3 -> (tag: Any))
+        // the file's partition tuple for a file containing exactly this row
+        val tuple = spec.fields.map(pf =>
+          pf.transform.apply(record(pf.sourceId), s2.byId(pf.sourceId).fieldType))
+        val res = Evaluators.residual(s2, spec, bound, tuple)
+        assert(Evaluator.eval(res, record) === Evaluator.eval(bound, record),
+          s"residual changed the filter: pred=$bound spec=${spec.specId} " +
+            s"row=($k,$ts,$tag) tuple=$tuple residual=$res")
+      }
+    }
+  }
+
   test("time transforms round-trip through human strings for recent dates") {
     forAllSampled(Gen.chooseNum(0, 40000)) { days =>
       val d = DayTransform.apply(days, IDate).asInstanceOf[Int]
