@@ -258,6 +258,75 @@ class GraftReaderFactory extends PartitionReaderFactory {
     val p = partition.asInstanceOf[GraftInputPartition]
     new GraftPartitionReader(p.filePath, p.readSchemaJson, p.deletes, p.limit)
   }
+
+  /** Delete-free files read VECTORIZED (Spark's parquet batch reader →
+    * ColumnarBatch → whole-stage codegen consumes columns directly);
+    * delete-bearing files fall back to the row reader, whose sorted
+    * row-index skip needs per-row control. */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    partition.asInstanceOf[GraftInputPartition].deletes.isEmpty
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    new GraftColumnarReader(p.filePath, p.readSchemaJson, p.limit)
+  }
+}
+
+/** Vectorized parquet partition reader: drives Spark's own
+  * VectorizedParquetRecordReader (the engine behind FileSourceScanExec's
+  * parquet batches) against one data file, with the engine schema —
+  * field-id metadata included — as the requested Spark schema, so rename
+  * safety and add-column null-fill match the row reader. */
+class GraftColumnarReader(path: String, schemaJson: String, limit: Long = -1L)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val schema: Schema = MetadataJson.schemaFromJson(mapper.readTree(schemaJson))
+  private val sparkSchema: StructType = schema.toSpark
+
+  private val reader = {
+    val conf = new Configuration()
+    // the keys ParquetReadSupport/VectorizedParquetRecordReader consult —
+    // normally installed by ParquetFileFormat.buildReaderWithPartitionValues
+    conf.set("parquet.read.support.class",
+      "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+    conf.set("org.apache.spark.sql.parquet.row.requested_schema", sparkSchema.json)
+    conf.set("spark.sql.session.timeZone", "UTC")
+    conf.setBoolean("spark.sql.caseSensitive", true)
+    conf.setBoolean("spark.sql.parquet.binaryAsString", false)
+    conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+    conf.setBoolean("spark.sql.parquet.fieldId.read.enabled", true)
+    conf.setBoolean("spark.sql.parquet.fieldId.read.ignoreMissing", true)
+    conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+    conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
+    val r = new org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC", /*offHeap*/ false, /*capacity*/ 4096)
+    // the base reader casts to the old-API split class
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      new Path(path), 0, Long.MaxValue, Array.empty[String])
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+    r.initialize(split, ctx)
+    r.initBatch(new StructType(), InternalRow.empty)
+    r.enableReturningBatches()
+    r
+  }
+
+  private var emitted: Long = 0L
+
+  override def next(): Boolean =
+    (limit < 0 || emitted < limit) && reader.nextBatch()
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+    val batch = reader.resultBatch()
+    if (limit >= 0 && emitted + batch.numRows() > limit)
+      batch.setNumRows((limit - emitted).toInt)
+    emitted += batch.numRows()
+    batch
+  }
+
+  override def close(): Unit = reader.close()
 }
 
 /** Row-by-row parquet reader over the example Group API, projecting file

@@ -35,6 +35,9 @@ class DataSourceV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     t.append(orders)
     val df = loadV2("o_v2")
     assert(df.count() === orders.count())
+    // delete-free files must take the VECTORIZED batch path
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "expected the columnar reader for a delete-free table")
     // values round-trip, including timestamps and doubles
     val a = df.orderBy(col("o_orderkey")).collect().map(_.toString).toSeq
     val b = orders.orderBy(col("o_orderkey")).collect().map(_.toString).toSeq
