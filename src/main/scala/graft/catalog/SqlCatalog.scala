@@ -1,6 +1,5 @@
 package graft.catalog
 
-import java.nio.file.{Files, Paths}
 import java.sql.{Connection, DriverManager, SQLException}
 import java.util.UUID
 
@@ -36,6 +35,9 @@ class SqlCatalog(
   if (System.getProperty("derby.stream.error.file") == null)
     System.setProperty("derby.stream.error.file",
       s"${System.getProperty("java.io.tmpdir")}/derby.log")
+
+  // metadata IO must see spark.hadoop.* (custom schemes, s3a credentials)
+  Io.confFactory = () => spark.sessionState.newHadoopConf()
 
   private def withConn[A](f: Connection => A): A = {
     val c = DriverManager.getConnection(jdbcUrl)
@@ -121,7 +123,7 @@ class SqlCatalog(
   def loadTable(name: String): IceTable = {
     val loc = currentLocation(name).getOrElse(
       throw new IllegalArgumentException(s"Table $name not found"))
-    val json = new String(Files.readAllBytes(Paths.get(loc)), "UTF-8")
+    val json = new String(Io.readBytes(loc), "UTF-8")
     new IceTable(this, name, MetadataJson.fromJson(json), versionOf(loc))
   }
 
@@ -132,9 +134,8 @@ class SqlCatalog(
     val (ns, tbl) = split(name)
     val next = expectedVersion + 1
     val metaDir = s"${meta.location}/metadata"
-    Files.createDirectories(Paths.get(metaDir))
     val newLoc = s"$metaDir/v$next-${UUID.randomUUID()}.metadata.json"
-    Files.write(Paths.get(newLoc), MetadataJson.toJson(meta).getBytes("UTF-8"))
+    Io.writeBytes(newLoc, MetadataJson.toJson(meta).getBytes("UTF-8"))
 
     val won: Boolean =
       if (expectedVersion == 0) withConn { c =>
@@ -151,7 +152,7 @@ class SqlCatalog(
         val oldLoc = currentLocation(name).getOrElse(
           throw new CommitConflictException(name, next))
         if (versionOf(oldLoc) != expectedVersion) {
-          Files.deleteIfExists(Paths.get(newLoc))
+          Io.delete(newLoc)
           throw new CommitConflictException(name, next)
         }
         withConn { c =>
@@ -168,7 +169,7 @@ class SqlCatalog(
         }
       }
     if (!won) {
-      Files.deleteIfExists(Paths.get(newLoc)) // orphaned candidate
+      Io.delete(newLoc) // orphaned candidate
       throw new CommitConflictException(name, next)
     }
     next
@@ -179,10 +180,7 @@ class SqlCatalog(
 
   def dropTable(name: String): Unit = {
     forgetTable(name)
-    val dir = Paths.get(tableDir(name))
-    if (Files.exists(dir))
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
+    if (Io.exists(tableDir(name))) Io.delete(tableDir(name), recursive = true)
   }
 
   protected def forgetTable(name: String): Unit = withConn { c =>
