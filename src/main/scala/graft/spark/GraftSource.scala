@@ -206,7 +206,8 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new GraftReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(GraftReaderFactory.sessionConfEntries(table.spark))
 
   /** Streaming face: micro-batches of committed APPENDS; offsets are
     * snapshot ids (SURVEY §2.J — each micro-batch = one snapshot range,
@@ -250,13 +251,35 @@ class GraftMicroBatchStream(table: IceTable, required: StructType)
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new GraftReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(GraftReaderFactory.sessionConfEntries(table.spark))
 }
 
-class GraftReaderFactory extends PartitionReaderFactory {
+object GraftReaderFactory {
+  /** Session Hadoop conf as entries — serialized ONCE with the factory so
+    * executor-side readers see spark.hadoop.* (custom schemes, creds)
+    * instead of a bare default Configuration. */
+  def sessionConfEntries(spark: org.apache.spark.sql.SparkSession): Array[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    spark.sessionState.newHadoopConf().iterator().asScala
+      .map(e => e.getKey -> e.getValue).toArray
+  }
+}
+
+class GraftReaderFactory(confEntries: Array[(String, String)] = Array.empty)
+    extends PartitionReaderFactory {
+
+  private def buildConf(): Configuration =
+    if (confEntries.isEmpty) new Configuration()
+    else {
+      val c = new Configuration(false)
+      confEntries.foreach { case (k, v) => c.set(k, v) }
+      c
+    }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    new GraftPartitionReader(p.filePath, p.readSchemaJson, p.deletes, p.limit)
+    new GraftPartitionReader(p.filePath, p.readSchemaJson, p.deletes, p.limit, buildConf())
   }
 
   /** Delete-free files read VECTORIZED (Spark's parquet batch reader →
@@ -269,7 +292,7 @@ class GraftReaderFactory extends PartitionReaderFactory {
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    new GraftColumnarReader(p.filePath, p.readSchemaJson, p.limit)
+    new GraftColumnarReader(p.filePath, p.readSchemaJson, p.limit, buildConf())
   }
 }
 
@@ -278,7 +301,8 @@ class GraftReaderFactory extends PartitionReaderFactory {
   * parquet batches) against one data file, with the engine schema —
   * field-id metadata included — as the requested Spark schema, so rename
   * safety and add-column null-fill match the row reader. */
-class GraftColumnarReader(path: String, schemaJson: String, limit: Long = -1L)
+class GraftColumnarReader(path: String, schemaJson: String, limit: Long = -1L,
+    conf: Configuration = new Configuration())
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -286,7 +310,6 @@ class GraftColumnarReader(path: String, schemaJson: String, limit: Long = -1L)
   private val sparkSchema: StructType = schema.toSpark
 
   private val reader = {
-    val conf = new Configuration()
     // the keys ParquetReadSupport/VectorizedParquetRecordReader consult —
     // normally installed by ParquetFileFormat.buildReaderWithPartitionValues
     conf.set("parquet.read.support.class",
@@ -336,12 +359,12 @@ class GraftColumnarReader(path: String, schemaJson: String, limit: Long = -1L)
   * applied as a sorted row-index skip. Not vectorized — the library-first
   * scan path remains the fast lane; this is the SQL connector. */
 class GraftPartitionReader(path: String, schemaJson: String,
-    deletes: Array[DeleteFileRef] = Array.empty, limit: Long = -1L)
+    deletes: Array[DeleteFileRef] = Array.empty, limit: Long = -1L,
+    conf: Configuration = new Configuration())
     extends PartitionReader[InternalRow] {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private val schema: Schema = MetadataJson.schemaFromJson(mapper.readTree(schemaJson))
-  private val conf = new Configuration()
 
   /** Sorted, deduped positions deleted from THIS data file. Parquet
     * position-delete files carry (file_path, pos) rows for possibly many
@@ -357,7 +380,7 @@ class GraftPartitionReader(path: String, schemaJson: String,
           buf ++= graft.meta.DeletionVector.readPositions(d.path, d.contentOffset, d.contentSize)
         } else {
           val r = ParquetReader.builder(new GroupReadSupport(), new Path(d.path))
-            .withConf(new Configuration()).build()
+            .withConf(conf).build()
           try {
             var g = r.read()
             while (g != null) {

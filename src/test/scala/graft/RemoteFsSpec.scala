@@ -68,6 +68,15 @@ class RemoteFsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(files.agg(sum("record_count")).collect()(0).getLong(0) === orders.count())
   }
 
+  test("DSv2 reads over a non-file scheme (columnar and MoR row paths)") {
+    def v2(name: String) = spark.read.format("graft")
+      .option("warehouse", warehouse).option("table", name).load()
+    // o_remote carries position deletes → row reader resolves them with
+    // the factory-shipped session conf (knows the mockfs scheme)
+    assert(v2("o_remote").count() ===
+      orders.filter(col("o_orderstatus") =!= "F").count())
+  }
+
   test("catalog listing, rename and reload on a non-file scheme") {
     catalog.createNamespace("ns1")
     val t = catalog.createTable("ns1.t2", Schema.fromSpark(orders.schema))
