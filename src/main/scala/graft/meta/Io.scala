@@ -83,8 +83,10 @@ object Io {
 
   /** Atomic-create-new commit write: fails (returns false) when the target
     * already exists. Local uses link(2) (a true atomic CREATE_NEW — rename
-    * silently replaces); Hadoop uses create(overwrite = false), atomic on
-    * HDFS and on S3A with conditional writes. */
+    * silently replaces there); Hadoop writes a uniquely-named sibling and
+    * renames, which HDFS specifies as atomic AND failing when the target
+    * exists — a crashed writer leaves only an orphan tmp, never a partial
+    * target that would poison every later read of that version. */
   def writeBytesIfAbsent(path: String, bytes: Array[Byte]): Boolean =
     if (isLocal(path)) {
       val target = local(path)
@@ -96,14 +98,19 @@ object Io {
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
       finally java.nio.file.Files.deleteIfExists(tmp)
     } else {
+      val f = fs(path)
+      val target = new Path(path)
+      if (f.exists(target)) return false // cheap pre-check; rename decides
+      val tmp = new Path(path + ".tmp-" + java.util.UUID.randomUUID())
+      val out = f.create(tmp, false)
+      try out.write(bytes) finally out.close()
       try {
-        val out = fs(path).create(new Path(path), false)
-        try out.write(bytes) finally out.close()
-        true
+        if (f.rename(tmp, target)) true
+        else { f.delete(tmp, false); false }
       } catch {
-        // hadoop's FileAlreadyExistsException extends IOException; any
-        // other IO failure with the target present is also a lost race
-        case e: java.io.IOException => if (exists(path)) false else throw e
+        case e: java.io.IOException =>
+          f.delete(tmp, false)
+          if (f.exists(target)) false else throw e
       }
     }
 
