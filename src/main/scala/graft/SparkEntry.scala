@@ -15,8 +15,16 @@ object SparkEntry {
     graft.queries.Relational.q3JoinTopK(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries ++ graft.queries.Iceberg.queries ++
-      graft.queries.DataOps.queries ++ graft.queries.Advanced.queries
+    (graft.queries.Relational.queries ++ graft.queries.Iceberg.queries ++
+      graft.queries.DataOps.queries ++ graft.queries.Advanced.queries)
+      .map { case (name, fn) =>
+        // release the previous query's persisted intermediates (dedup
+        // shingle/minhash caches) so sequential runners (Bench, Verify)
+        // don't accumulate pinned storage memory across queries
+        name -> ((s: SparkSession, d: String) => {
+          graft.queries.DataOps.releaseCaches(); fn(s, d)
+        })
+      }
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.Iceberg.oracles ++

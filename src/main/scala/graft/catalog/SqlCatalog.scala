@@ -46,13 +46,24 @@ class SqlCatalog(
 
   /** ref sql.py:93 IcebergTables / :104 IcebergNamespaceProperties. */
   private def ensureTables(): Unit = withConn { c =>
-    def createQuietly(ddl: String): Unit = {
+    // "already exists" SQLStates differ per backend (Derby X0Y32, Postgres
+    // 42P07, MySQL 42S01, SQLite none) — probe instead of matching states:
+    // skip the DDL when the table answers a query, and after a failed
+    // CREATE re-probe (a concurrent creator racing us is success too)
+    def probe(table: String): Boolean = {
       val st = c.createStatement()
-      try st.executeUpdate(ddl)
-      catch { case e: SQLException if e.getSQLState == "X0Y32" => () } // exists (Derby)
+      try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1 = 0").close(); true }
+      catch { case _: SQLException => false }
       finally st.close()
     }
-    createQuietly(
+    def createQuietly(table: String, ddl: String): Unit = {
+      if (probe(table)) return
+      val st = c.createStatement()
+      try st.executeUpdate(ddl)
+      catch { case e: SQLException => if (!probe(table)) throw e }
+      finally st.close()
+    }
+    createQuietly("iceberg_tables",
       """CREATE TABLE iceberg_tables (
         |  catalog_name VARCHAR(255) NOT NULL,
         |  table_namespace VARCHAR(255) NOT NULL,
@@ -61,7 +72,7 @@ class SqlCatalog(
         |  previous_metadata_location VARCHAR(1000),
         |  PRIMARY KEY (catalog_name, table_namespace, table_name)
         |)""".stripMargin)
-    createQuietly(
+    createQuietly("iceberg_namespace_properties",
       """CREATE TABLE iceberg_namespace_properties (
         |  catalog_name VARCHAR(255) NOT NULL,
         |  namespace VARCHAR(255) NOT NULL,
@@ -149,8 +160,10 @@ class SqlCatalog(
           catch { case e: SQLException if isDuplicateKey(e) => false }
         } finally ps.close()
       } else {
-        val oldLoc = currentLocation(name).getOrElse(
-          throw new CommitConflictException(name, next))
+        val oldLoc = currentLocation(name).getOrElse {
+          Io.delete(newLoc) // concurrent drop: don't leave the candidate
+          throw new CommitConflictException(name, next)
+        }
         if (versionOf(oldLoc) != expectedVersion) {
           Io.delete(newLoc)
           throw new CommitConflictException(name, next)

@@ -192,8 +192,11 @@ object DeletionVector {
   }
 
   /** Ranged read of one DV's positions straight from a puffin file —
-    * executor-safe (no driver state, one seek + one read). Remote schemes
-    * resolve through the executor's default Hadoop configuration. */
-  def readPositions(puffinPath: String, offset: Long, length: Long): Array[Long] =
-    readBlob(Io.readRange(puffinPath, offset, length))
+    * executor-safe (no driver state, one seek + one read). Callers running
+    * in executor tasks must pass the SHIPPED session conf: the default
+    * `Io.conf` on an executor JVM is a bare Configuration without
+    * `spark.hadoop.*` (creds, custom schemes). */
+  def readPositions(puffinPath: String, offset: Long, length: Long,
+      c: org.apache.hadoop.conf.Configuration = Io.conf): Array[Long] =
+    readBlob(Io.readRange(puffinPath, offset, length, c))
 }

@@ -24,6 +24,27 @@ object Io {
   @volatile var confFactory: () => Configuration = () => new Configuration()
   def conf: Configuration = confFactory()
 
+  /** Session Hadoop conf flattened to serializable entries — the one way
+    * executor-side tasks (stats harvest, DSv2 readers, DV blob reads) see
+    * `spark.hadoop.*` (custom schemes, s3a creds): a bare Configuration()
+    * built on an executor has none of it. */
+  def confEntries(spark: org.apache.spark.sql.SparkSession): Array[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    spark.sessionState.newHadoopConf().iterator().asScala
+      .map(e => e.getKey -> e.getValue).toArray
+  }
+
+  /** Rebuild a Configuration from shipped entries. `new Configuration(false)`
+    * skips the XML-resource parse (~6ms), which dominates when tasks build
+    * one per partition. */
+  def confFrom(entries: Array[(String, String)]): Configuration =
+    if (entries == null || entries.isEmpty) new Configuration()
+    else {
+      val c = new Configuration(false)
+      entries.foreach { case (k, v) => c.set(k, v) }
+      c
+    }
+
   def isLocal(path: String): Boolean = !path.contains(":") || path.startsWith("file:")
   private def local(p: String): java.nio.file.Path =
     java.nio.file.Paths.get(PathUtil.canon(p))
@@ -104,13 +125,34 @@ object Io {
       val tmp = new Path(path + ".tmp-" + java.util.UUID.randomUUID())
       val out = f.create(tmp, false)
       try out.write(bytes) finally out.close()
+      // FileContext.rename without OVERWRITE fails when the target exists —
+      // HDFS enforces this atomically server-side. FileSystem.rename does
+      // NOT: RawLocalFileSystem (and schemes like it) map to rename(2),
+      // which silently REPLACES the target, so two racers would both
+      // "win" and one snapshot would be lost. Schemes registered only at
+      // the FileSystem layer fall back to exists+rename (the pre-check
+      // above keeps the race window to the rename call itself).
       try {
-        if (f.rename(tmp, target)) true
-        else { f.delete(tmp, false); false }
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, conf)
+        try { fc.rename(tmp, target); true }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            f.delete(tmp, false); false
+          case e: java.io.IOException =>
+            f.delete(tmp, false)
+            if (f.exists(target)) false else throw e
+        }
       } catch {
-        case e: java.io.IOException =>
-          f.delete(tmp, false)
-          if (f.exists(target)) false else throw e
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          // no AbstractFileSystem binding for this scheme
+          try {
+            if (!f.exists(target) && f.rename(tmp, target)) true
+            else { f.delete(tmp, false); false }
+          } catch {
+            case e: java.io.IOException =>
+              f.delete(tmp, false)
+              if (f.exists(target)) false else throw e
+          }
       }
     }
 

@@ -32,6 +32,18 @@ object DataOps {
   @volatile var oracleExportEnabled: Boolean = true
   private val ExportDir = "/tmp/graft_export"
 
+  /** DataFrames persisted inside query functions, released when the NEXT
+    * query starts (SparkEntry wraps every entry with releaseCaches).
+    * Without this the dedup shingle/minhash caches — the heaviest
+    * intermediates in the suite — pin executor storage memory for the
+    * whole session, competing with later queries' shuffles. */
+  private val liveCaches = new scala.collection.mutable.ArrayBuffer[DataFrame]
+  private[graft] def trackCache(df: DataFrame): DataFrame =
+    liveCaches.synchronized { liveCaches += df; df }
+  private[graft] def releaseCaches(): Unit = liveCaches.synchronized {
+    liveCaches.foreach(_.unpersist(false)); liveCaches.clear()
+  }
+
   private def exportForOracle(df: DataFrame, name: String): Unit =
     if (oracleExportEnabled)
       df.write.mode("overwrite").parquet(s"$ExportDir/$name")
@@ -90,9 +102,9 @@ object DataOps {
     // shuffle keys and a linear-merge rescore (see ShingleHashes3).
     // Persisted: the shingling feeds the explode branch AND both rescore
     // sides — recomputing it per consumer tripled the heavy hash pass
-    val docs = t(s, dir, "documents")
+    val docs = trackCache(t(s, dir, "documents")
       .select(col("doc_id"), TextFunctions.shingle_hashes3(col("text")).as("ws"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // global token order = (document frequency asc, token): any total order
     // keeps the prefix-filter guarantee, and rarest-first makes the prefix
     // tokens rare — candidates collapse to docs sharing RARE shingles
@@ -147,11 +159,11 @@ object DataOps {
     // consumers (band explode, both sides of the rescore join) — persist
     // it once instead of recomputing per branch. MEMORY_AND_DISK: spills
     // instead of OOMing at scale, and each executor holds only its slice
-    val docs = t(s, dir, "documents")
+    val docs = trackCache(t(s, dir, "documents")
       .select(col("doc_id"), TextFunctions.shingle_hashes3(col("text")).as("ws"))
       .select(col("doc_id"), col("ws"),
         TextFunctions.minhash_of_hashes(col("ws"), 128).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // 64 bands × 2 rows: catch probability 1-(1-j²)^64 (≈1-1e-8 at j=0.5)
     // with far fewer candidates than 1-row bands — a pair must collide on
     // BOTH permutations of some band

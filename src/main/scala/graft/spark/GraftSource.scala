@@ -143,7 +143,15 @@ final case class GraftInputPartition(
       * the reader so the driver never materializes delete rows. */
     deletes: Array[DeleteFileRef],
     /** stop after this many emitted rows (pushed limit), -1 = none. */
-    limit: Long) extends InputPartition
+    limit: Long,
+    /** GLOBAL vectorized-read decision, identical across every partition
+      * of a scan: Spark's DataSourceV2ScanExecBase requires all-columnar
+      * or all-row (mixing throws at planning), so the scan — which sees
+      * every task — decides once. Columnar needs every file delete-free
+      * AND library-written (field-id-bearing); external add_files parquet
+      * lacks ids and would silently null-fill under the id-keyed
+      * vectorized reader. */
+    columnar: Boolean = false) extends InputPartition
 
 class GraftScan(table: IceTable, expr: Expr, required: StructType,
     pushedLimit: Long = -1L) extends Scan with Batch {
@@ -165,6 +173,9 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
     // resolves its own file's deletes executor-side, so driver memory is
     // independent of delete volume (the old driver-side collect was
     // VERDICT W2; ref per-task delete reads io/pyarrow.py:1441 _task_to_table)
+    val dataRoot = graft.core.PathUtil.canon(s"${table.location}/data/")
+    val allColumnar = tasks.forall(t => t.deletes.isEmpty &&
+      graft.core.PathUtil.canon(t.file.filePath).startsWith(dataRoot))
     tasks.map { t =>
       val dels = t.deletes.map { f =>
         if (f.isDeletionVector)
@@ -174,7 +185,7 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
             f.contentSizeInBytes.getOrElse(f.fileSizeInBytes))
         else DeleteFileRef(f.filePath, -1L, -1L)
       }.toArray
-      GraftInputPartition(t.file.filePath, json, dels, pushedLimit): InputPartition
+      GraftInputPartition(t.file.filePath, json, dels, pushedLimit, allColumnar): InputPartition
     }.toArray
   }
 
@@ -246,8 +257,13 @@ class GraftMicroBatchStream(table: IceTable, required: StructType)
     val names = required.fieldNames.toSet
     val readSchema = Schema(table.schema.fields.filter(f => names.contains(f.name)))
     val json = MetadataJson.schemaToJson(readSchema).toString
-    table.incrementalAppendFiles(from, to)
-      .map(f => GraftInputPartition(f.filePath, json, Array.empty[DeleteFileRef], -1L): InputPartition)
+    val files = table.incrementalAppendFiles(from, to)
+    val dataRoot = graft.core.PathUtil.canon(s"${table.location}/data/")
+    val allColumnar = files.forall(f =>
+      graft.core.PathUtil.canon(f.filePath).startsWith(dataRoot))
+    files
+      .map(f => GraftInputPartition(f.filePath, json, Array.empty[DeleteFileRef], -1L,
+        allColumnar): InputPartition)
       .toArray
   }
 
@@ -259,35 +275,27 @@ object GraftReaderFactory {
   /** Session Hadoop conf as entries — serialized ONCE with the factory so
     * executor-side readers see spark.hadoop.* (custom schemes, creds)
     * instead of a bare default Configuration. */
-  def sessionConfEntries(spark: org.apache.spark.sql.SparkSession): Array[(String, String)] = {
-    import scala.jdk.CollectionConverters._
-    spark.sessionState.newHadoopConf().iterator().asScala
-      .map(e => e.getKey -> e.getValue).toArray
-  }
+  def sessionConfEntries(spark: org.apache.spark.sql.SparkSession): Array[(String, String)] =
+    graft.meta.Io.confEntries(spark)
 }
 
 class GraftReaderFactory(confEntries: Array[(String, String)] = Array.empty)
     extends PartitionReaderFactory {
 
-  private def buildConf(): Configuration =
-    if (confEntries.isEmpty) new Configuration()
-    else {
-      val c = new Configuration(false)
-      confEntries.foreach { case (k, v) => c.set(k, v) }
-      c
-    }
+  private def buildConf(): Configuration = graft.meta.Io.confFrom(confEntries)
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
     new GraftPartitionReader(p.filePath, p.readSchemaJson, p.deletes, p.limit, buildConf())
   }
 
-  /** Delete-free files read VECTORIZED (Spark's parquet batch reader →
-    * ColumnarBatch → whole-stage codegen consumes columns directly);
-    * delete-bearing files fall back to the row reader, whose sorted
-    * row-index skip needs per-row control. */
+  /** When the SCAN decided every file is delete-free and id-bearing, read
+    * VECTORIZED (Spark's parquet batch reader → ColumnarBatch → whole-stage
+    * codegen consumes columns directly). The flag is uniform across a
+    * scan's partitions — Spark's DataSourceV2ScanExecBase forbids mixing
+    * columnar and row partitions in one scan. */
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    partition.asInstanceOf[GraftInputPartition].deletes.isEmpty
+    partition.asInstanceOf[GraftInputPartition].columnar
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
@@ -377,10 +385,28 @@ class GraftPartitionReader(path: String, schemaJson: String,
       val buf = scala.collection.mutable.ArrayBuffer[Long]()
       deletes.foreach { d =>
         if (d.contentOffset >= 0L) {
-          buf ++= graft.meta.DeletionVector.readPositions(d.path, d.contentOffset, d.contentSize)
+          buf ++= graft.meta.DeletionVector.readPositions(
+            d.path, d.contentOffset, d.contentSize, conf)
         } else {
+          // a shared delete file is opened by EVERY covered data file's
+          // reader — push a file_path predicate so parquet prunes to this
+          // file's row groups (delete files are sorted by (file_path, pos),
+          // so row-group stats make the filter effective) instead of each
+          // reader streaming the whole file. The or-chain covers the path
+          // forms a writer may have stored; the canon check below stays as
+          // the record-level authority.
+          import org.apache.parquet.filter2.predicate.FilterApi
+          import org.apache.parquet.io.api.Binary
+          val forms = (Seq(me) ++
+            (if (me.startsWith("/")) Seq(s"file:$me", s"file://$me") else Nil)).distinct
+          val pred = forms.map(f =>
+            FilterApi.eq(FilterApi.binaryColumn("file_path"), Binary.fromString(f))
+              : org.apache.parquet.filter2.predicate.FilterPredicate)
+            .reduce(FilterApi.or(_, _))
           val r = ParquetReader.builder(new GroupReadSupport(), new Path(d.path))
-            .withConf(conf).build()
+            .withConf(conf)
+            .withFilter(org.apache.parquet.filter2.compat.FilterCompat.get(pred))
+            .build()
           try {
             var g = r.read()
             while (g != null) {

@@ -543,10 +543,12 @@ class IceTable(
       val refs = priorDVs.map(f => (f.filePath, f.contentOffset.get,
         f.contentSizeInBytes.getOrElse(f.fileSizeInBytes),
         PathUtil.canon(f.referencedDataFile.get)))
+      val dvConf = Io.confEntries(spark) // executors lack the driver's confFactory
       val rdd = spark.sparkContext
         .parallelize(refs, math.min(refs.size, spark.sparkContext.defaultParallelism))
         .flatMap { case (pp, off, len, ref) =>
-          DeletionVector.readPositions(pp, off, len).iterator.map(p => (ref, p)) }
+          DeletionVector.readPositions(pp, off, len, Io.confFrom(dvConf))
+            .iterator.map(p => (ref, p)) }
       branches += spark.createDataFrame(rdd).toDF("__dfile", "__dpos")
     }
 

@@ -328,10 +328,14 @@ final class IceScan(
               (f.filePath, off, f.contentSizeInBytes.getOrElse(f.fileSizeInBytes),
                 PathUtil.canon(ref))
             }
+            // ship the session Hadoop conf: executor JVMs on a cluster
+            // don't share the driver's Io.confFactory
+            val dvConf = Io.confEntries(spark)
             val rdd = spark.sparkContext
               .parallelize(refs, math.min(refs.size, spark.sparkContext.defaultParallelism))
               .flatMap { case (pp, off, len, ref) =>
-                DeletionVector.readPositions(pp, off, len).iterator.map(p => (ref, p))
+                DeletionVector.readPositions(pp, off, len, Io.confFrom(dvConf))
+                  .iterator.map(p => (ref, p))
               }
             posBranches += spark.createDataFrame(rdd).toDF("__dfile", "__dpos")
           }

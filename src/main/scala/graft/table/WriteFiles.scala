@@ -226,19 +226,11 @@ object WriteFiles {
     // resources and dominates when harvesting thousands of small files.
     // The SESSION conf entries ship with the task: a bare Configuration()
     // in the executor would lose spark.hadoop.* (custom schemes, creds)
-    val confEntries: Array[(String, String)] = {
-      import scala.jdk.CollectionConverters._
-      spark.sessionState.newHadoopConf().iterator().asScala
-        .map(e => e.getKey -> e.getValue).toArray
-    }
+    val confEntries = graft.meta.Io.confEntries(spark)
     val slices = math.max(1,
       math.min(files.size, 4 * spark.sparkContext.defaultParallelism))
     spark.sparkContext.parallelize(files, slices).mapPartitions { paths =>
-      lazy val conf = {
-        val c = new Configuration(false)
-        confEntries.foreach { case (k, v) => c.set(k, v) }
-        c
-      }
+      lazy val conf = graft.meta.Io.confFrom(confEntries)
       paths.map(path =>
         StatsHarvester.fileToDataFile(path, stage, colInfo, partFieldNames, partTypes,
           conf, modes))

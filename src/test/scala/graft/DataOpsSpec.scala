@@ -36,6 +36,18 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh.toSet === exact.toSet)
   }
 
+  test("query-entry wrapper releases persisted caches between queries") {
+    // dedup queries persist their shingle/minhash features; the next
+    // query invocation through SparkEntry must release them so sequential
+    // runners don't pin storage memory for the session lifetime
+    SparkEntry.queries("ds_dedup_minhash_lsh")(spark, dir).count()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "expected the minhash feature cache to be live during/after its query")
+    SparkEntry.queries("ds_dedup_exact")(spark, dir).count()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "previous query's caches must be released when the next query starts")
+  }
+
   test("simhash near-dup pairs overlap the jaccard near-dups") {
     val jac = DataOps.dedupJaccard(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

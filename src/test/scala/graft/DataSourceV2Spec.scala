@@ -81,6 +81,39 @@ class DataSourceV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.limit(7).count() === 7)
   }
 
+  test("mixed delete-bearing and delete-free files read uniformly") {
+    // append → delete (applies to file 1 only) → append: file 2's sequence
+    // is past the delete's, so one task carries deletes and one doesn't.
+    // Spark's DataSourceV2ScanExecBase forbids mixing columnar and row
+    // partitions in one scan — the columnar decision must be scan-global.
+    val t = catalog.createTable("o_v2_mixed", Schema.fromSpark(orders.schema))
+    t.append(orders.filter(col("o_orderkey") <= 3000))
+    t.deletePositional("o_orderkey <= 300")
+    t.append(orders.filter(col("o_orderkey") > 3000))
+    val want = orders.filter(col("o_orderkey") > 300)
+    val df = loadV2("o_v2_mixed")
+    assert(df.count() === want.count())
+    assert(df.filter(col("o_orderkey") <= 300).count() === 0)
+  }
+
+  test("addFiles-registered id-less parquet reads values, not nulls") {
+    // external files carry no parquet field ids; the id-keyed vectorized
+    // reader would silently null-fill every column, so the scan must fall
+    // back to the row reader's name resolution
+    val dir = Files.createTempDirectory("dsv2-ext").toString
+    orders.limit(50).coalesce(1).write.parquet(s"$dir/ext")
+    val one = new java.io.File(s"$dir/ext").listFiles()
+      .find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    val t = catalog.createTable("o_v2_ext", Schema.fromSpark(orders.schema))
+    t.addFiles(Seq(one))
+    val df = loadV2("o_v2_ext")
+    assert(df.count() === 50)
+    assert(df.filter(col("o_orderkey").isNull).count() === 0,
+      "external id-less file must resolve columns by name, not null-fill")
+    assert(df.agg(sum(col("o_orderkey"))).head.getLong(0) ===
+      orders.limit(50).agg(sum(col("o_orderkey"))).head.getLong(0))
+  }
+
   test("v3 deletion vectors resolved executor-side in the v2 reader") {
     val t = catalog.createTable("o_v2_dv", Schema.fromSpark(orders.schema))
     t.upgradeFormatVersion(3)

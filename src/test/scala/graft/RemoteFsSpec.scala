@@ -28,6 +28,12 @@ class MockFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def listStatus(f: HPath): Array[FileStatus] = super.listStatus(f).map(eager)
 }
 
+/** AbstractFileSystem binding for mockfs:// so FileContext operations —
+  * the no-overwrite commit rename — resolve on the scheme too. */
+class MockAbstractFs(uri: URI, conf: org.apache.hadoop.conf.Configuration)
+    extends org.apache.hadoop.fs.DelegateToFileSystem(
+      uri, new MockFs(), conf, "mockfs", false)
+
 /** End-to-end over a mockfs:// warehouse — the FileIO seam the reference
   * ships as fsspec backends (ref: pyiceberg/io/fsspec.py), exercised here
   * through Hadoop's scheme registry. */
@@ -38,6 +44,8 @@ class RemoteFsSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.hadoop.fs.mockfs.impl", classOf[MockFs].getName)
+    .config("spark.hadoop.fs.AbstractFileSystem.mockfs.impl",
+      classOf[MockAbstractFs].getName)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -75,6 +83,18 @@ class RemoteFsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the factory-shipped session conf (knows the mockfs scheme)
     assert(v2("o_remote").count() ===
       orders.filter(col("o_orderstatus") =!= "F").count())
+  }
+
+  test("commit write never clobbers an existing version on a non-file scheme") {
+    // RawLocalFileSystem.rename maps to rename(2), which silently REPLACES
+    // the target — the no-overwrite guarantee must come from the
+    // FileContext layer. The loser must see false and the winner's bytes
+    // must survive.
+    val _ = catalog // installs Io.confFactory with the mockfs bindings
+    val p = s"$warehouse/casfile-${java.util.UUID.randomUUID()}.json"
+    assert(graft.meta.Io.writeBytesIfAbsent(p, "winner".getBytes("UTF-8")))
+    assert(!graft.meta.Io.writeBytesIfAbsent(p, "loser".getBytes("UTF-8")))
+    assert(new String(graft.meta.Io.readBytes(p), "UTF-8") === "winner")
   }
 
   test("catalog listing, rename and reload on a non-file scheme") {
