@@ -68,7 +68,7 @@ object Conversions {
       case IDate => java.time.LocalDate.parse(s).toEpochDay.toInt
       case ITimestamp | ITimestamptz => Literals.parseTsMicros(s)
       case IDecimal(_, scale) => new java.math.BigDecimal(s).setScale(scale)
-      case IUUID => s
+      case IUUID => java.util.UUID.fromString(s).toString // canonical lowercase
       case IBinary | IFixed(_) => s.getBytes(StandardCharsets.UTF_8)
       case other => throw new IllegalArgumentException(s"Cannot parse partition value for $other")
     }

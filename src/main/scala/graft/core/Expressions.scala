@@ -205,7 +205,9 @@ object Literals {
     case (n: Number, ITimestamp) => CVal(n.longValue())
     case (n: Number, ITimestamptz) => CVal(n.longValue())
     case (s: String, IString) => CVal(s)
-    case (s: String, IUUID) => CVal(s)
+    // canonicalize (validates + lowercases) so comparisons against scan
+    // output and manifest bounds — both canonical — are exact
+    case (s: String, IUUID) => CVal(java.util.UUID.fromString(s).toString)
     case (b: Array[Byte], IBinary) => CVal(b)
     case (b: Array[Byte], IFixed(_)) => CVal(b)
     case (s: String, IBinary) => CVal(s.getBytes("UTF-8"))

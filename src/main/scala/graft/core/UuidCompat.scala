@@ -1,0 +1,70 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Cross-engine UUID read compatibility.
+  *
+  * The reference stores UUID data columns as parquet
+  * FIXED_LEN_BYTE_ARRAY(16) (ref: io/pyarrow.py UUID → fixed[16]); our
+  * writer stores canonical strings (Spark's parquet writer cannot emit
+  * fixed-length binary — documented deviation, core/Types.scala). Scans
+  * must read BOTH: uuid leaves are requested as BINARY — parquet serves
+  * fixed[16] and UTF8-annotated string columns alike — then normalized to
+  * canonical lowercase strings by byte length (16 = fixed vector,
+  * otherwise UTF-8 text). The public Spark type for uuid stays StringType.
+  *
+  * Coverage: top-level fields, struct members, list elements. UUIDs as map
+  * keys/values keep the string-only read (no known writer produces them).
+  */
+object UuidCompat {
+
+  def hasUuid(t: IceType): Boolean = t match {
+    case IUUID => true
+    case IStruct(fs) => fs.exists(f => hasUuid(f.fieldType))
+    case IList(_, el, _) => hasUuid(el)
+    case _ => false
+  }
+
+  def hasUuid(s: Schema): Boolean = s.fields.exists(f => hasUuid(f.fieldType))
+
+  /** Physical read type: uuid → BinaryType, recursing through structs and
+    * lists; everything else keeps its public Spark mapping. */
+  def readType(t: IceType): DataType = t match {
+    case IUUID => BinaryType
+    case IStruct(fs) => StructType(fs.map(readField))
+    case IList(_, el, req) => ArrayType(readType(el), containsNull = !req)
+    case other => other.toSpark
+  }
+
+  /** Like SchemaConv.toSparkField but with the physical uuid read type. */
+  def readField(f: NestedField): StructField =
+    SchemaConv.toSparkField(f).copy(dataType = readType(f.fieldType))
+
+  def readSchema(s: Schema): StructType = StructType(s.fields.map(readField))
+
+  /** Canonical lowercase uuid string from a column read as binary:
+    * 16 bytes → 8-4-4-4-12 hex; anything else is already UTF-8 text. */
+  private def uuidString(c: Column): Column = {
+    val h = lower(hex(c))
+    when(c.isNull, lit(null).cast(StringType))
+      .otherwise(when(length(c) === 16,
+        concat_ws("-",
+          substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+          substring(h, 17, 4), substring(h, 21, 12)))
+        .otherwise(c.cast(StringType)))
+  }
+
+  /** Rewrite a physically-read column back to the public (string-uuid)
+    * shape. Identity for uuid-free types. */
+  def convert(c: Column, t: IceType): Column = t match {
+    case IUUID => uuidString(c)
+    case IStruct(fs) if hasUuid(IStruct(fs)) =>
+      when(c.isNull, lit(null).cast(t.toSpark)).otherwise(
+        struct(fs.map(f => convert(c.getField(f.name), f.fieldType).as(f.name)): _*))
+    case IList(_, el, _) if hasUuid(el) =>
+      transform(c, x => convert(x, el))
+    case _ => c
+  }
+}

@@ -492,7 +492,14 @@ class GraftPartitionReader(path: String, schemaJson: String,
     case ILong | ITime | ITimestamp | ITimestamptz => g.getLong(idx, 0)
     case IFloat => g.getFloat(idx, 0)
     case IDouble => g.getDouble(idx, 0)
-    case IString | IUUID => UTF8String.fromString(g.getString(idx, 0))
+    case IString => UTF8String.fromString(g.getString(idx, 0))
+    case IUUID =>
+      // fixed[16] (other engines) vs our canonical strings — same
+      // normalization the library scan applies (UuidCompat)
+      val b = g.getBinary(idx, 0).getBytes
+      UTF8String.fromString(
+        if (b.length == 16) graft.core.Conversions.fromBytes(IUUID, b).toString
+        else new String(b, java.nio.charset.StandardCharsets.UTF_8))
     case IBinary | IFixed(_) => g.getBinary(idx, 0).getBytes
     case IDecimal(p, s) =>
       Decimal(new java.math.BigDecimal(new java.math.BigInteger(g.getBinary(idx, 0).getBytes), s), p, s)

@@ -246,12 +246,25 @@ final class IceScan(
     val (externalTasks, ownTasks) = tasks.partition(t => isExternal(t.file.filePath))
     val (plainTasks, deleteTasks) = ownTasks.partition(_.deletes.isEmpty)
 
+    // uuid leaves are requested as BINARY (serves fixed[16] files from other
+    // engines and our own string-stored files alike), then normalized to
+    // canonical strings straight after the read — filters and projection
+    // downstream always see the public string shape (UuidCompat)
+    val uuidPresent = UuidCompat.hasUuid(readSchema)
+    def uuidNormalized(df: DataFrame, metaCols: Seq[String]): DataFrame =
+      if (!uuidPresent) df
+      else df.select(readSchema.fields.map(f =>
+        UuidCompat.convert(col(f.name), f.fieldType).as(f.name)) ++
+        metaCols.map(col): _*)
+
     def readFiles(paths: Seq[String], withMeta: Boolean): DataFrame = {
-      val base = spark.read.schema(readSchema.toSpark).parquet(paths: _*)
+      val base = spark.read.schema(UuidCompat.readSchema(readSchema)).parquet(paths: _*)
       if (withMeta)
-        base.select(col("*"), PathUtil.canonCol(col("_metadata.file_path")).as("__file"),
-          col("_metadata.row_index").as("__pos"))
-      else base
+        uuidNormalized(
+          base.select(col("*"), PathUtil.canonCol(col("_metadata.file_path")).as("__file"),
+            col("_metadata.row_index").as("__pos")),
+          Seq("__file", "__pos"))
+      else uuidNormalized(base, Nil)
     }
 
     /** name-mapped read: request columns under their mapped (registration
@@ -259,13 +272,15 @@ final class IceScan(
     def readExternal(taskSeq: Seq[FileScanTask]): DataFrame = {
       val ext = org.apache.spark.sql.types.StructType(readSchema.fields.map { f =>
         org.apache.spark.sql.types.StructField(
-          mapping.getOrElse(f.id, f.name), f.fieldType.toSpark, nullable = true)
+          mapping.getOrElse(f.id, f.name), UuidCompat.readType(f.fieldType), nullable = true)
       })
       val cols = readSchema.fields.map(f =>
         col(mapping.getOrElse(f.id, f.name)).as(f.name)) ++
         (if (keepFile) Seq(PathUtil.canonCol(col("_metadata.file_path")).as("__file")) else Nil)
-      spark.read.schema(ext).parquet(taskSeq.map(_.file.filePath): _*)
-        .select(cols: _*)
+      uuidNormalized(
+        spark.read.schema(ext).parquet(taskSeq.map(_.file.filePath): _*)
+          .select(cols: _*),
+        if (keepFile) Seq("__file") else Nil)
     }
 
     val branches = Seq.newBuilder[DataFrame]

@@ -390,10 +390,12 @@ object StatsHarvester extends Serializable {
       }
       // bound truncation for strings (metrics mode truncate(N), default 16):
       // keeps manifests small at scale while staying valid for pruning;
-      // `full` mode keeps whole bounds
+      // `full` mode keeps whole bounds. uuid is exempt: bounds serialize as
+      // 16-byte vectors (Conversions.toBytes needs the whole canonical
+      // string) and there is nothing to save by truncating
       colInfo.foreach { case (_, id, trepr) =>
         val trunc = modeById(id).trunc
-        if ((trepr == "string" || trepr == "uuid") && trunc.isDefined) {
+        if (trepr == "string" && trunc.isDefined) {
           val n = trunc.get
           lowers.get(id).foreach(v => lowers(id) = truncateLower(v.toString, n))
           uppers.get(id).foreach { v =>
@@ -431,7 +433,12 @@ object StatsHarvester extends Serializable {
       case (f: java.lang.Float, IFloat) => Some(f.floatValue())
       case (d: java.lang.Double, IDouble) => Some(d.doubleValue())
       case (b: java.lang.Boolean, IBoolean) => Some(b.booleanValue())
-      case (bin: Binary, IString | IUUID) => Some(bin.toStringUsingUTF8)
+      case (bin: Binary, IString) => Some(bin.toStringUsingUTF8)
+      case (bin: Binary, IUUID) =>
+        // fixed[16] (other engines) decodes as a uuid vector; our own files
+        // store canonical strings
+        val b = bin.getBytes
+        Some(if (b.length == 16) Conversions.fromBytes(IUUID, b) else bin.toStringUsingUTF8)
       case (bin: Binary, IBinary | IFixed(_)) => Some(bin.getBytes)
       case (bin: Binary, IDecimal(_, s)) =>
         Some(new java.math.BigDecimal(new java.math.BigInteger(bin.getBytes), s))
