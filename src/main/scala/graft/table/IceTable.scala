@@ -476,18 +476,22 @@ class IceTable(
     val tasks = new IceScan(this).filter(expr).planFiles()
     if (tasks.isEmpty) return
     val paths = tasks.map(_.file.filePath)
-    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     // global sort = range shuffle on (file_path, pos): one file's deletes
     // land contiguously and AQE sizes the output task count to the delete
     // volume — at 100 TB this writes many delete files in parallel instead
     // of funneling everything through one task
-    val matches = spark.read.schema(schema.toSpark).parquet(paths: _*)
-      .select(PathUtil.canonCol(col("_metadata.file_path")).as("file_path"),
-        col("_metadata.row_index").as("pos"))
-      .where(ToColumn.compile(bound))
-      .orderBy(col("file_path"), col("pos"))
     val stage = s"$location/data/${UUID.randomUUID()}"
-    matches.write.parquet(stage)
+    // the read executes inside the write action, so the parquet conf can be
+    // scoped (unlike a returned lazy scan DataFrame)
+    WriteFiles.withScopedConfs(spark,
+      "spark.sql.parquet.fieldId.read.enabled" -> "true") {
+      spark.read.schema(schema.toSpark).parquet(paths: _*)
+        .select(PathUtil.canonCol(col("_metadata.file_path")).as("file_path"),
+          col("_metadata.row_index").as("pos"))
+        .where(ToColumn.compile(bound))
+        .orderBy(col("file_path"), col("pos"))
+        .write.parquet(stage)
+    }
     val written = WriteFiles.harvest(spark, stage, Schema(Seq(
       NestedField(2147483546, "file_path", IString, required = true),
       NestedField(2147483545, "pos", ILong, required = true))), PartitionSpec.Unpartitioned)
@@ -521,18 +525,22 @@ class IceTable(
     val affected: Map[String, FileScanTask] =
       tasks.map(t => PathUtil.canon(t.file.filePath) -> t).toMap
 
-    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    // prior deletes for the affected files (metadata only — outside the
+    // scoped block because `priorDVs` also names superseded blobs below)
+    val priorDeletes = tasks.flatMap(_.deletes)
+      .filter(_.content == FileContent.PositionDeletes)
+      .distinctBy(f => (f.filePath, f.contentOffset))
+    val (priorDVs, priorParquet) = priorDeletes.partition(_.isDeletionVector)
+
+    // scoped: every consumer of `matches` collects within this block
+    val blobs: Seq[(String, Array[Byte], Long)] = WriteFiles.withScopedConfs(spark,
+      "spark.sql.parquet.fieldId.read.enabled" -> "true") {
     val matches = spark.read.schema(schema.toSpark)
       .parquet(tasks.map(_.file.filePath): _*)
       .select(PathUtil.canonCol(col("_metadata.file_path")).as("__dfile"),
         col("_metadata.row_index").as("__dpos"))
       .where(ToColumn.compile(bound))
 
-    // fold in every prior position delete for the affected files
-    val priorDeletes = tasks.flatMap(_.deletes)
-      .filter(_.content == FileContent.PositionDeletes)
-      .distinctBy(f => (f.filePath, f.contentOffset))
-    val (priorDVs, priorParquet) = priorDeletes.partition(_.isDeletionVector)
     val branches = Seq.newBuilder[DataFrame]
     branches += matches
     if (priorParquet.nonEmpty)
@@ -552,7 +560,7 @@ class IceTable(
       branches += spark.createDataFrame(rdd).toDF("__dfile", "__dpos")
     }
 
-    val blobs: Seq[(String, Array[Byte], Long)] = branches.result()
+    branches.result()
       .reduce(_ unionByName _).distinct()
       .rdd.map(r => (r.getString(0), r.getLong(1)))
       .groupByKey()
@@ -560,6 +568,7 @@ class IceTable(
         val arr = it.toArray.sorted
         (fp, DeletionVector.frameBlob(arr), arr.length.toLong)
       }.collect().toSeq.sortBy(_._1)
+    }
     if (blobs.isEmpty) return
 
     val puffinPath = s"$location/data/${UUID.randomUUID()}-deletes.puffin"

@@ -294,15 +294,6 @@ final class IceScan(
       branches += (if (keepFile) base.drop("__pos") else base)
     }
     if (deleteTasks.nonEmpty) {
-      // one branch per distinct applicable-delete signature (different data
-      // files can see different delete sets via sequence numbers); within a
-      // branch every delete applies to every file. DV blobs share a puffin
-      // path, so the signature carries the blob offset too.
-      val groups = deleteTasks.groupBy { t =>
-        (t.deletes.filter(_.content == FileContent.PositionDeletes)
-          .map(f => (f.filePath, f.contentOffset.getOrElse(-1L))).sorted,
-          t.deletes.filter(_.content == FileContent.EqualityDeletes).map(_.filePath).sorted)
-      }
       // broadcast the delete side only while it provably fits in executor
       // memory (we KNOW the delete-file bytes from the manifests); a large
       // delete set falls back to a shuffle anti-join instead of OOMing
@@ -313,55 +304,92 @@ final class IceScan(
         .max(0L) * 4 // parquet→row expansion headroom
       def maybeBroadcast(d: DataFrame, bytes: Long): DataFrame =
         if (bytes <= broadcastLimit) broadcast(d) else d
+
+      /** (__dfile, __dpos) rows from position-delete parquet + DV blobs,
+        * with the decoded byte estimate for the broadcast gate.
+        * Position-delete files have columns (file_path, pos) — spec
+        * §Position Delete Files (ref io/pyarrow.py:1130 _read_deletes);
+        * v3 deletion vectors decode to the same shape with a ranged blob
+        * read PER EXECUTOR TASK (the driver never holds positions). */
+      def positionsFrame(posParquet: Seq[DataFile], dvFiles: Seq[DataFile])
+          : (DataFrame, Long) = {
+        // parquet delete bytes + decoded DV rows (cardinality is known from
+        // the manifest; ~16B per (path-ref, pos) row after decode)
+        val bytes = posParquet.map(_.fileSizeInBytes).sum +
+          dvFiles.map(_.recordCount * 16L).sum
+        val posBranches = Seq.newBuilder[DataFrame]
+        val posPaths = posParquet.map(_.filePath).distinct
+        if (posPaths.nonEmpty)
+          posBranches += spark.read.parquet(posPaths: _*)
+            .select(PathUtil.canonCol(col("file_path")).as("__dfile"), col("pos").as("__dpos"))
+        if (dvFiles.nonEmpty) {
+          val refs = dvFiles.map { f =>
+            val ref = f.referencedDataFile.getOrElse(throw new IllegalStateException(
+              s"Deletion vector ${f.filePath} lacks referenced-data-file"))
+            val off = f.contentOffset.getOrElse(throw new IllegalStateException(
+              s"Deletion vector ${f.filePath} lacks content-offset"))
+            (f.filePath, off, f.contentSizeInBytes.getOrElse(f.fileSizeInBytes),
+              PathUtil.canon(ref))
+          }
+          // ship the session Hadoop conf: executor JVMs on a cluster
+          // don't share the driver's Io.confFactory
+          val dvConf = Io.confEntries(spark)
+          val rdd = spark.sparkContext
+            .parallelize(refs, math.min(refs.size, spark.sparkContext.defaultParallelism))
+            .flatMap { case (pp, off, len, ref) =>
+              DeletionVector.readPositions(pp, off, len, Io.confFrom(dvConf))
+                .iterator.map(p => (ref, p))
+            }
+          posBranches += spark.createDataFrame(rdd).toDF("__dfile", "__dpos")
+        }
+        (posBranches.result().reduce(_ unionByName _), bytes)
+      }
+
+      val (eqTasks, posOnlyTasks) =
+        deleteTasks.partition(_.deletes.exists(_.content == FileContent.EqualityDeletes))
+
+      if (posOnlyTasks.nonEmpty) {
+        // position deletes are PATH-KEYED — a delete row can only hit the
+        // data file it names (file paths are unique for the table's
+        // lifetime), so every position-delete/DV task shares ONE branch and
+        // ONE anti-join on (__file, __pos). Per-delete-signature grouping
+        // here would emit one union branch per data file on v3 DV tables
+        // (every file carries its own vector) — a plan explosion at scale.
+        val all = posOnlyTasks.flatMap(_.deletes)
+          .distinctBy(f => (f.filePath, f.contentOffset))
+        val (dvFiles, posParquet) = all.partition(_.isDeletionVector)
+        val (deletes, posBytes) = positionsFrame(posParquet, dvFiles)
+        var dfG = readFiles(posOnlyTasks.map(_.file.filePath), withMeta = true)
+        // broadcast the anti-join so the data side never shuffles
+        dfG = dfG.join(maybeBroadcast(deletes, posBytes),
+          dfG("__file") === deletes("__dfile") && dfG("__pos") === deletes("__dpos"),
+          "left_anti")
+        branches += dfG.drop((if (keepFile) Seq("__pos") else Seq("__file", "__pos")): _*)
+      }
+
+      // equality deletes (extension — the reference rejects reading them)
+      // ARE sequence-scoped (a key deletes rows in strictly-older files
+      // regardless of path), so these keep per-signature grouping: within a
+      // group every delete applies to every file
+      val groups = eqTasks.groupBy { t =>
+        (t.deletes.filter(_.content == FileContent.PositionDeletes)
+          .map(f => (f.filePath, f.contentOffset.getOrElse(-1L))).sorted,
+          t.deletes.filter(_.content == FileContent.EqualityDeletes).map(_.filePath).sorted)
+      }
       groups.foreach { case ((posKeys, _), group) =>
         val allDeletes = group.head.deletes
         val eqFiles = allDeletes.filter(_.content == FileContent.EqualityDeletes)
         val (dvFiles, posParquet) = allDeletes
           .filter(_.content == FileContent.PositionDeletes).partition(_.isDeletionVector)
-        val posPaths = posParquet.map(_.filePath).distinct
-        // parquet delete bytes + decoded DV rows (cardinality is known from
-        // the manifest; ~16B per (path-ref, pos) row after decode)
-        val posBytes = posParquet.map(_.fileSizeInBytes).sum +
-          dvFiles.map(_.recordCount * 16L).sum
         var dfG = readFiles(group.map(_.file.filePath), withMeta = posKeys.nonEmpty || keepFile)
         if (posKeys.nonEmpty) {
-          // position-delete files have columns (file_path, pos) — spec
-          // §Position Delete Files (ref io/pyarrow.py:1130 _read_deletes);
-          // v3 deletion vectors decode to the same shape with a ranged blob
-          // read PER EXECUTOR TASK (the driver never holds positions);
-          // broadcast the anti-join so the data side never shuffles
-          val posBranches = Seq.newBuilder[DataFrame]
-          if (posPaths.nonEmpty)
-            posBranches += spark.read.parquet(posPaths: _*)
-              .select(PathUtil.canonCol(col("file_path")).as("__dfile"), col("pos").as("__dpos"))
-          if (dvFiles.nonEmpty) {
-            val refs = dvFiles.map { f =>
-              val ref = f.referencedDataFile.getOrElse(throw new IllegalStateException(
-                s"Deletion vector ${f.filePath} lacks referenced-data-file"))
-              val off = f.contentOffset.getOrElse(throw new IllegalStateException(
-                s"Deletion vector ${f.filePath} lacks content-offset"))
-              (f.filePath, off, f.contentSizeInBytes.getOrElse(f.fileSizeInBytes),
-                PathUtil.canon(ref))
-            }
-            // ship the session Hadoop conf: executor JVMs on a cluster
-            // don't share the driver's Io.confFactory
-            val dvConf = Io.confEntries(spark)
-            val rdd = spark.sparkContext
-              .parallelize(refs, math.min(refs.size, spark.sparkContext.defaultParallelism))
-              .flatMap { case (pp, off, len, ref) =>
-                DeletionVector.readPositions(pp, off, len, Io.confFrom(dvConf))
-                  .iterator.map(p => (ref, p))
-              }
-            posBranches += spark.createDataFrame(rdd).toDF("__dfile", "__dpos")
-          }
-          val deletes = posBranches.result().reduce(_ unionByName _)
+          val (deletes, posBytes) = positionsFrame(posParquet, dvFiles)
           dfG = dfG.join(maybeBroadcast(deletes, posBytes),
             dfG("__file") === deletes("__dfile") && dfG("__pos") === deletes("__dpos"),
             "left_anti")
         }
         if (posKeys.nonEmpty || keepFile)
           dfG = dfG.drop((if (keepFile) Seq("__pos") else Seq("__file", "__pos")): _*)
-        // equality deletes (extension — the reference rejects reading them):
         // anti-join on the delete file's equality columns, null-safe so a
         // null key deletes null rows (Iceberg equality semantics)
         eqFiles.groupBy(_.equalityIds).foreach { case (ids, files) =>

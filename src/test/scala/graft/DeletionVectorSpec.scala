@@ -100,6 +100,22 @@ class DeletionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(total > afterSecond)
   }
 
+  test("many DV-bearing files scan through ONE anti-join branch") {
+    // every data file carries its own DV (unique delete signature); the
+    // scan must still plan a single path-keyed anti-join — per-signature
+    // branching would union one branch per file (plan explosion at scale)
+    val t = catalog.createTable("t_dv_fanout", Schema.fromSpark(lineitem.schema))
+    t.upgradeFormatVersion(3)
+    (0 until 4).foreach(i => t.append(lineitem.filter(col("l_orderkey") % 4 === i)))
+    t.deleteAsDeletionVector("l_quantity > 45")
+    val tasks = t.scan.planFiles()
+    assert(tasks.count(_.deletes.nonEmpty) === 4, "all four files should carry DVs")
+    val df = t.scan.toDF
+    val joins = "LeftAnti".r.findAllIn(df.queryExecution.optimizedPlan.toString).length
+    assert(joins === 1, s"expected one shared anti-join, saw $joins")
+    assert(df.count() === lineitem.filter(col("l_quantity") <= 45).count())
+  }
+
   test("deletion vector supersedes older parquet position deletes") {
     val t = catalog.createTable("t_dv_merge", Schema.fromSpark(lineitem.schema))
     t.append(lineitem)
