@@ -39,11 +39,11 @@ import graft.table.IceTable
   * safe). Spark additionally re-applies every filter on the returned rows,
   * so partially-translatable predicates stay correct.
   *
-  * Position deletes — parquet delete files AND v3 deletion vectors — are
-  * resolved and applied in the reader (executor-side, sorted row-index
-  * skip); pushed limits stop each partition early. Current limits: batch
-  * reads of the current snapshot; equality deletes must be compacted first
-  * (rewriteDataFiles).
+  * Deletes — parquet position-delete files, v3 deletion vectors, AND
+  * equality deletes — are resolved and applied in the reader
+  * (executor-side: sorted row-index skip for positions, hash-set key probe
+  * for equality); pushed limits stop each partition early. Current limit:
+  * batch reads of the current snapshot.
   */
 class GraftSource extends TableProvider with org.apache.spark.sql.sources.DataSourceRegister {
 
@@ -136,6 +136,11 @@ class GraftScanBuilder(table: IceTable)
   * position-delete file (filtered to this data file while reading). */
 final case class DeleteFileRef(path: String, contentOffset: Long, contentSize: Long)
 
+/** An equality-delete file applicable to one data file (already
+  * sequence-filtered by the planner: it only ships with data files
+  * strictly older than the delete). `ids` are the equality field ids. */
+final case class EqDeleteRef(path: String, ids: Array[Int])
+
 final case class GraftInputPartition(
     filePath: String,
     readSchemaJson: String,
@@ -151,7 +156,13 @@ final case class GraftInputPartition(
       * AND library-written (field-id-bearing); external add_files parquet
       * lacks ids and would silently null-fill under the id-keyed
       * vectorized reader. */
-    columnar: Boolean = false) extends InputPartition
+    columnar: Boolean = false,
+    /** equality-delete files for this data file, applied in the reader. */
+    eqDeletes: Array[EqDeleteRef] = Array.empty,
+    /** schema (field id/name/type) for every id referenced by eqDeletes —
+      * those fields may be absent from the pruned read schema but must
+      * still be read from the data file to apply the deletes. */
+    eqSchemaJson: String = "") extends InputPartition
 
 class GraftScan(table: IceTable, expr: Expr, required: StructType,
     pushedLimit: Long = -1L) extends Scan with Batch {
@@ -162,12 +173,19 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val tasks = table.scan.filter(normalizeLiterals(expr)).planFiles()
-    require(tasks.forall(_.deletes.forall(_.content == graft.meta.FileContent.PositionDeletes)),
-      "graft DSv2 reads position deletes only; fold equality deletes in with rewriteDataFiles()")
     // requested engine schema = table fields matching the pruned columns
     val names = required.fieldNames.toSet
     val readSchema = Schema(table.schema.fields.filter(f => names.contains(f.name)))
     val json = MetadataJson.schemaToJson(readSchema).toString
+
+    // equality-delete key fields may fall outside the pruned columns; ship
+    // their (id, name, type) so readers can still pull them from data files
+    val eqIds = tasks.flatMap(_.deletes)
+      .filter(_.content == graft.meta.FileContent.EqualityDeletes)
+      .flatMap(_.equalityIds).distinct
+    val eqJson = if (eqIds.isEmpty) ""
+      else MetadataJson.schemaToJson(
+        Schema(table.schema.fields.filter(f => eqIds.contains(f.id)))).toString
 
     // ship delete SOURCES (paths + blob ranges), not positions: each reader
     // resolves its own file's deletes executor-side, so driver memory is
@@ -177,7 +195,9 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
     val allColumnar = tasks.forall(t => t.deletes.isEmpty &&
       graft.core.PathUtil.canon(t.file.filePath).startsWith(dataRoot))
     tasks.map { t =>
-      val dels = t.deletes.map { f =>
+      val (eqFiles, posFiles) =
+        t.deletes.partition(_.content == graft.meta.FileContent.EqualityDeletes)
+      val dels = posFiles.map { f =>
         if (f.isDeletionVector)
           DeleteFileRef(f.filePath,
             f.contentOffset.getOrElse(throw new IllegalStateException(
@@ -185,7 +205,9 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
             f.contentSizeInBytes.getOrElse(f.fileSizeInBytes))
         else DeleteFileRef(f.filePath, -1L, -1L)
       }.toArray
-      GraftInputPartition(t.file.filePath, json, dels, pushedLimit, allColumnar): InputPartition
+      val eqs = eqFiles.map(f => EqDeleteRef(f.filePath, f.equalityIds.toArray)).toArray
+      GraftInputPartition(t.file.filePath, json, dels, pushedLimit, allColumnar,
+        eqs, eqJson): InputPartition
     }.toArray
   }
 
@@ -286,7 +308,8 @@ class GraftReaderFactory(confEntries: Array[(String, String)] = Array.empty)
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    new GraftPartitionReader(p.filePath, p.readSchemaJson, p.deletes, p.limit, buildConf())
+    new GraftPartitionReader(p.filePath, p.readSchemaJson, p.deletes, p.limit, buildConf(),
+      p.eqDeletes, p.eqSchemaJson)
   }
 
   /** When the SCAN decided every file is delete-free and id-bearing, read
@@ -363,16 +386,23 @@ class GraftColumnarReader(path: String, schemaJson: String, limit: Long = -1L,
 /** Row-by-row parquet reader over the example Group API, projecting file
   * columns by FIELD-ID against the requested engine schema (rename-safe;
   * name fallback for id-less files). Position deletes (parquet files and
-  * v3 deletion-vector blobs) are resolved HERE, in the executor task, then
-  * applied as a sorted row-index skip. Not vectorized — the library-first
-  * scan path remains the fast lane; this is the SQL connector. */
+  * v3 deletion-vector blobs) AND equality deletes are resolved HERE, in
+  * the executor task — positions as a sorted row-index skip, equality keys
+  * as a per-file hash-set probe (the planner only ships a delete with data
+  * files it applies to, so sequence scoping is already done). Not
+  * vectorized — the library-first scan path remains the fast lane; this is
+  * the SQL connector. */
 class GraftPartitionReader(path: String, schemaJson: String,
     deletes: Array[DeleteFileRef] = Array.empty, limit: Long = -1L,
-    conf: Configuration = new Configuration())
+    conf: Configuration = new Configuration(),
+    eqDeletes: Array[EqDeleteRef] = Array.empty, eqSchemaJson: String = "")
     extends PartitionReader[InternalRow] {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private val schema: Schema = MetadataJson.schemaFromJson(mapper.readTree(schemaJson))
+  private val eqSchema: Schema =
+    if (eqDeletes.isEmpty) Schema(Nil)
+    else MetadataJson.schemaFromJson(mapper.readTree(eqSchemaJson))
 
   /** Sorted, deduped positions deleted from THIS data file. Parquet
     * position-delete files carry (file_path, pos) rows for possibly many
@@ -423,25 +453,91 @@ class GraftPartitionReader(path: String, schemaJson: String,
     }
   }
 
-  // project the FILE schema down to requested ids (or names)
-  private val fileSchema: MessageType = {
-    val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
+  private def footerSchema(p: String): MessageType = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(p), conf))
     try r.getFooter.getFileMetaData.getSchema finally r.close()
   }
+
+  /** id-first, name-fallback resolution of an engine field to a file
+    * column (rename safety; id-less external files match by name). */
+  private def resolveIn(mt: MessageType, id: Int, name: String): Option[String] = {
+    val byId = mt.getFields.asScala.find(ft =>
+      ft.getId != null && ft.getId.intValue() == id)
+    val byName = mt.getFields.asScala.find(_.getName == name)
+    byId.orElse(byName).map(_.getName)
+  }
+
+  // project the FILE schema down to requested ids (or names)
+  private val fileSchema: MessageType = footerSchema(path)
   private case class FieldPlan(outIdx: Int, fileName: Option[String], t: IceType)
   private val plans: Seq[FieldPlan] = schema.fields.zipWithIndex.map { case (f, i) =>
-    val byId = fileSchema.getFields.asScala.find(ft =>
-      ft.getId != null && ft.getId.intValue() == f.id)
-    val byName = fileSchema.getFields.asScala.find(_.getName == f.name)
-    FieldPlan(i, byId.orElse(byName).map(_.getName), f.fieldType)
+    FieldPlan(i, resolveIn(fileSchema, f.id, f.name), f.fieldType)
   }
+
+  /** equality-delete key fields resolved against THIS data file — they are
+    * read (but not emitted) even when pruned out of the requested schema. */
+  private case class EqField(fileName: Option[String], t: IceType)
+  private val eqFieldById: Map[Int, EqField] =
+    eqDeletes.flatMap(_.ids).distinct.toSeq.map { id =>
+      val f = eqSchema.byId(id)
+      id -> EqField(resolveIn(fileSchema, id, f.name), f.fieldType)
+    }.toMap
+
   private val projection: MessageType = {
-    val wanted = plans.flatMap(_.fileName).toSet
+    val wanted = plans.flatMap(_.fileName).toSet ++
+      eqFieldById.values.flatMap(_.fileName)
     val kept = fileSchema.getFields.asScala.filter(ft => wanted.contains(ft.getName))
     // COUNT-style scans prune to zero columns; parquet still needs one
     // column to drive row iteration (rows are emitted empty)
     val effective = if (kept.nonEmpty) kept else fileSchema.getFields.asScala.take(1)
     new MessageType(fileSchema.getName, effective.asJava)
+  }
+
+  /** One hash set of key tuples per distinct equality-id list: Iceberg
+    * equality semantics are null-safe (a null key deletes null rows), which
+    * Seq equality gives directly. Delete files are small keyed extracts —
+    * the set is per-task state, never driver state. */
+  private val eqKeySets: Seq[(Array[Int], java.util.HashSet[Seq[Any]])] =
+    eqDeletes.groupBy(_.ids.toSeq).toSeq.map { case (idSeq, refs) =>
+      val ids = idSeq.toArray
+      val set = new java.util.HashSet[Seq[Any]]()
+      refs.map(_.path).distinct.foreach { dp =>
+        val dmt = footerSchema(dp)
+        val colNames = ids.map(id => resolveIn(dmt, id, eqSchema.byId(id).name))
+        val keepNames = colNames.flatten.toSet
+        val kept = dmt.getFields.asScala.filter(ft => keepNames.contains(ft.getName))
+        val rconf = new Configuration(conf)
+        rconf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+          new MessageType(dmt.getName, kept.asJava).toString)
+        val r = ParquetReader.builder(new GroupReadSupport(), new Path(dp))
+          .withConf(rconf).build()
+        try {
+          var g = r.read()
+          while (g != null) {
+            val gt = g.getType
+            val key: Seq[Any] = colNames.zip(ids).map { case (n, id) =>
+              n.map(gt.getFieldIndex).filter(g.getFieldRepetitionCount(_) > 0)
+                .map(i => convertPlain(g, i, eqFieldById(id).t)).orNull
+            }.toSeq
+            set.add(key)
+            g = r.read()
+          }
+        } finally r.close()
+      }
+      (ids, set)
+    }
+
+  /** Row's key tuple ∈ any applicable delete set → row is deleted. */
+  private def isEqDeleted(g: Group): Boolean = eqKeySets.nonEmpty && {
+    val gt = g.getType
+    eqKeySets.exists { case (ids, set) =>
+      val key: Seq[Any] = ids.map { id =>
+        val ef = eqFieldById(id)
+        ef.fileName.map(gt.getFieldIndex).filter(g.getFieldRepetitionCount(_) > 0)
+          .map(i => convertPlain(g, i, ef.t)).orNull
+      }.toSeq
+      set.contains(key)
+    }
   }
 
   private val reader: ParquetReader[Group] = {
@@ -463,7 +559,8 @@ class GraftPartitionReader(path: String, schemaJson: String,
       rowIdx += 1
       // skip position-deleted rows (sorted walk, O(1) amortized)
       while (delPtr < deletedPositions.length && deletedPositions(delPtr) < rowIdx) delPtr += 1
-      if (delPtr >= deletedPositions.length || deletedPositions(delPtr) != rowIdx) {
+      if ((delPtr >= deletedPositions.length || deletedPositions(delPtr) != rowIdx) &&
+          !isEqDeleted(current)) {
         emitted += 1
         return true
       }
@@ -486,6 +583,18 @@ class GraftPartitionReader(path: String, schemaJson: String,
     row
   }
 
+  /** Decimal physical layouts vary by writer: Spark emits INT32/INT64 for
+    * precision <= 9/18, binary otherwise; other engines use fixed. */
+  private def decimalOf(g: Group, idx: Int, s: Int): java.math.BigDecimal = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    g.getType.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
+      case INT32 => java.math.BigDecimal.valueOf(g.getInteger(idx, 0).toLong, s)
+      case INT64 => java.math.BigDecimal.valueOf(g.getLong(idx, 0), s)
+      case _ =>
+        new java.math.BigDecimal(new java.math.BigInteger(g.getBinary(idx, 0).getBytes), s)
+    }
+  }
+
   private def convert(g: Group, idx: Int, t: IceType): Any = t match {
     case IBoolean => g.getBoolean(idx, 0)
     case IInt | IDate => g.getInteger(idx, 0)
@@ -501,9 +610,27 @@ class GraftPartitionReader(path: String, schemaJson: String,
         if (b.length == 16) graft.core.Conversions.fromBytes(IUUID, b).toString
         else new String(b, java.nio.charset.StandardCharsets.UTF_8))
     case IBinary | IFixed(_) => g.getBinary(idx, 0).getBytes
-    case IDecimal(p, s) =>
-      Decimal(new java.math.BigDecimal(new java.math.BigInteger(g.getBinary(idx, 0).getBytes), s), p, s)
+    case IDecimal(p, s) => Decimal(decimalOf(g, idx, s), p, s)
     case other => throw new UnsupportedOperationException(s"DSv2 reader: $other")
+  }
+
+  /** Plain JVM values (String, boxed primitives, BigDecimal, byte Seq) for
+    * equality-delete key tuples — both the delete-file side and the
+    * data-row side convert through HERE, so tuple equality is exact. */
+  private def convertPlain(g: Group, idx: Int, t: IceType): Any = t match {
+    case IBoolean => g.getBoolean(idx, 0)
+    case IInt | IDate => g.getInteger(idx, 0)
+    case ILong | ITime | ITimestamp | ITimestamptz => g.getLong(idx, 0)
+    case IFloat => g.getFloat(idx, 0)
+    case IDouble => g.getDouble(idx, 0)
+    case IString => g.getString(idx, 0)
+    case IUUID =>
+      val b = g.getBinary(idx, 0).getBytes
+      if (b.length == 16) graft.core.Conversions.fromBytes(IUUID, b).toString
+      else new String(b, java.nio.charset.StandardCharsets.UTF_8)
+    case IBinary | IFixed(_) => g.getBinary(idx, 0).getBytes.toSeq
+    case IDecimal(_, s) => decimalOf(g, idx, s)
+    case other => throw new UnsupportedOperationException(s"DSv2 eq-delete key: $other")
   }
 
   override def close(): Unit = reader.close()

@@ -114,6 +114,29 @@ class DataSourceV2Spec extends AnyFunSuite with BeforeAndAfterAll {
       orders.limit(50).agg(sum(col("o_orderkey"))).head.getLong(0))
   }
 
+  test("equality deletes resolved executor-side, even when pruned out") {
+    val t = catalog.createTable("o_v2_eq", Schema.fromSpark(orders.schema))
+    t.append(orders.filter(col("o_orderkey") <= 2000))
+    t.deleteEqualityKeys(orders.filter(col("o_orderkey") <= 2000)
+      .filter(col("o_orderstatus") === "F").select(col("o_orderkey")))
+    // the NEXT append is newer than the delete's sequence — its rows keep
+    // their 'F' orders (sequence scoping, done by the planner per task)
+    t.append(orders.filter(col("o_orderkey") > 2000))
+    val want = orders.filter(col("o_orderkey") > 2000 ||
+      col("o_orderstatus") =!= "F")
+    val df = loadV2("o_v2_eq")
+    assert(df.count() === want.count())
+    // key column pruned OUT of the projection: the reader must still pull
+    // o_orderkey from the data file to probe the delete set
+    val statuses = loadV2("o_v2_eq").select(col("o_orderstatus"))
+    assert(statuses.count() === want.count())
+    assert(statuses.filter(col("o_orderstatus") === "F").count() ===
+      orders.filter(col("o_orderkey") > 2000 && col("o_orderstatus") === "F").count())
+    // agrees with the library scan
+    assert(df.orderBy(col("o_orderkey")).collect().map(_.toString).toSeq ===
+      t.scan.toDF.orderBy(col("o_orderkey")).collect().map(_.toString).toSeq)
+  }
+
   test("v3 deletion vectors resolved executor-side in the v2 reader") {
     val t = catalog.createTable("o_v2_dv", Schema.fromSpark(orders.schema))
     t.upgradeFormatVersion(3)
