@@ -20,7 +20,11 @@ object SparkEntry {
       .map { case (name, fn) =>
         // release the previous query's persisted intermediates (dedup
         // shingle/minhash caches) so sequential runners (Bench, Verify)
-        // don't accumulate pinned storage memory across queries
+        // don't accumulate pinned storage memory across queries. Contract:
+        // each returned DataFrame is materialized before the next queries()
+        // entry is invoked — exactly how the driver, Bench and Verify run.
+        // (A released cache is only a perf matter anyway: consumers
+        // recompute, results are unchanged.)
         name -> ((s: SparkSession, d: String) => {
           graft.queries.DataOps.releaseCaches(); fn(s, d)
         })

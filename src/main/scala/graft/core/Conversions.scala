@@ -68,7 +68,9 @@ object Conversions {
       case IDate => java.time.LocalDate.parse(s).toEpochDay.toInt
       case ITimestamp | ITimestamptz => Literals.parseTsMicros(s)
       case IDecimal(_, scale) => new java.math.BigDecimal(s).setScale(scale)
-      case IUUID => java.util.UUID.fromString(s).toString // canonical lowercase
+      case IUUID => // canonical lowercase; malformed values kept raw
+        try java.util.UUID.fromString(s).toString
+        catch { case _: IllegalArgumentException => s }
       case IBinary | IFixed(_) => s.getBytes(StandardCharsets.UTF_8)
       case other => throw new IllegalArgumentException(s"Cannot parse partition value for $other")
     }

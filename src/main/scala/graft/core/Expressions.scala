@@ -205,9 +205,14 @@ object Literals {
     case (n: Number, ITimestamp) => CVal(n.longValue())
     case (n: Number, ITimestamptz) => CVal(n.longValue())
     case (s: String, IString) => CVal(s)
-    // canonicalize (validates + lowercases) so comparisons against scan
-    // output and manifest bounds — both canonical — are exact
-    case (s: String, IUUID) => CVal(java.util.UUID.fromString(s).toString)
+    // canonicalize (lowercases, zero-pads) so comparisons against scan
+    // output and manifest bounds — both canonical — are exact; a malformed
+    // literal keeps its raw form and simply matches nothing (same no-match
+    // semantics as any non-existent value — a filter typo must not abort
+    // the query)
+    case (s: String, IUUID) =>
+      CVal(try java.util.UUID.fromString(s).toString
+      catch { case _: IllegalArgumentException => s })
     case (b: Array[Byte], IBinary) => CVal(b)
     case (b: Array[Byte], IFixed(_)) => CVal(b)
     case (s: String, IBinary) => CVal(s.getBytes("UTF-8"))

@@ -28,4 +28,12 @@ object PathUtil {
   def canonCol(c: Column): Column =
     regexp_replace(regexp_replace(c, "^file:/+", "/"),
       "^([A-Za-z][A-Za-z0-9+.\\-]*)://(?=/|$)", "$1:")
+
+  /** `path` lives under the table's own data directory ⇒ the LIBRARY wrote
+    * it: parquet field-ids are present, stored file_path values are canon
+    * form. Externally-registered files (add_files) fail this and resolve
+    * by name mapping instead. ONE definition — the DSv2 columnar decision
+    * and the library scan's external-read branch must agree. */
+  def underDataRoot(tableLocation: String, path: String): Boolean =
+    canon(path).startsWith(canon(s"$tableLocation/data/"))
 }

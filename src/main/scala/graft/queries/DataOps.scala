@@ -41,7 +41,14 @@ object DataOps {
   private[graft] def trackCache(df: DataFrame): DataFrame =
     liveCaches.synchronized { liveCaches += df; df }
   private[graft] def releaseCaches(): Unit = liveCaches.synchronized {
-    liveCaches.foreach(_.unpersist(false)); liveCaches.clear()
+    // a tracked cache may belong to an already-stopped SparkSession (test
+    // suites cycle sessions in one JVM) — never let stale state fail a
+    // fresh query; drop the reference either way
+    liveCaches.foreach { df =>
+      try if (!df.sparkSession.sparkContext.isStopped) df.unpersist(false)
+      catch { case _: Exception => }
+    }
+    liveCaches.clear()
   }
 
   private def exportForOracle(df: DataFrame, name: String): Unit =

@@ -133,8 +133,14 @@ class GraftScanBuilder(table: IceTable)
 /** A delete source applicable to one data file, resolved EXECUTOR-side by
   * the partition reader. `contentOffset >= 0` marks a v3 deletion-vector
   * blob inside a puffin file (ranged read); `-1` marks a parquet
-  * position-delete file (filtered to this data file while reading). */
-final case class DeleteFileRef(path: String, contentOffset: Long, contentSize: Long)
+  * position-delete file (filtered to this data file while reading).
+  * `canonicalPaths` = the library wrote this delete file, so its stored
+  * file_path values are exactly `PathUtil.canon` forms — a parquet-level
+  * equality filter is then safe; foreign delete files are streamed in full
+  * and canon-compared per record (an arbitrary stored path form cannot be
+  * matched byte-wise without risking wrongly-pruned delete rows). */
+final case class DeleteFileRef(path: String, contentOffset: Long, contentSize: Long,
+    canonicalPaths: Boolean = false)
 
 /** An equality-delete file applicable to one data file (already
   * sequence-filtered by the planner: it only ships with data files
@@ -191,9 +197,8 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
     // resolves its own file's deletes executor-side, so driver memory is
     // independent of delete volume (the old driver-side collect was
     // VERDICT W2; ref per-task delete reads io/pyarrow.py:1441 _task_to_table)
-    val dataRoot = graft.core.PathUtil.canon(s"${table.location}/data/")
     val allColumnar = tasks.forall(t => t.deletes.isEmpty &&
-      graft.core.PathUtil.canon(t.file.filePath).startsWith(dataRoot))
+      graft.core.PathUtil.underDataRoot(table.location, t.file.filePath))
     tasks.map { t =>
       val (eqFiles, posFiles) =
         t.deletes.partition(_.content == graft.meta.FileContent.EqualityDeletes)
@@ -203,7 +208,8 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
             f.contentOffset.getOrElse(throw new IllegalStateException(
               s"Deletion vector ${f.filePath} lacks content-offset")),
             f.contentSizeInBytes.getOrElse(f.fileSizeInBytes))
-        else DeleteFileRef(f.filePath, -1L, -1L)
+        else DeleteFileRef(f.filePath, -1L, -1L,
+          canonicalPaths = graft.core.PathUtil.underDataRoot(table.location, f.filePath))
       }.toArray
       val eqs = eqFiles.map(f => EqDeleteRef(f.filePath, f.equalityIds.toArray)).toArray
       GraftInputPartition(t.file.filePath, json, dels, pushedLimit, allColumnar,
@@ -280,9 +286,8 @@ class GraftMicroBatchStream(table: IceTable, required: StructType)
     val readSchema = Schema(table.schema.fields.filter(f => names.contains(f.name)))
     val json = MetadataJson.schemaToJson(readSchema).toString
     val files = table.incrementalAppendFiles(from, to)
-    val dataRoot = graft.core.PathUtil.canon(s"${table.location}/data/")
     val allColumnar = files.forall(f =>
-      graft.core.PathUtil.canon(f.filePath).startsWith(dataRoot))
+      graft.core.PathUtil.underDataRoot(table.location, f.filePath))
     files
       .map(f => GraftInputPartition(f.filePath, json, Array.empty[DeleteFileRef], -1L,
         allColumnar): InputPartition)
@@ -392,6 +397,25 @@ class GraftColumnarReader(path: String, schemaJson: String, limit: Long = -1L,
   * files it applies to, so sequence scoping is already done). Not
   * vectorized — the library-first scan path remains the fast lane; this is
   * the SQL connector. */
+object GraftPartitionReader {
+  /** Per-JVM cache of equality-delete key sets, keyed by (immutable delete
+    * file path, equality ids). Soft values: reclaimable under pressure. */
+  private val eqCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Seq[Int]),
+      java.lang.ref.SoftReference[java.util.HashSet[Seq[Any]]]]()
+
+  private[spark] def eqKeyCache(path: String, ids: Array[Int],
+      load: () => java.util.HashSet[Seq[Any]]): java.util.HashSet[Seq[Any]] = {
+    val key = (path, ids.toSeq)
+    val cached = Option(eqCache.get(key)).flatMap(r => Option(r.get()))
+    cached.getOrElse {
+      val set = load()
+      eqCache.put(key, new java.lang.ref.SoftReference(set))
+      set
+    }
+  }
+}
+
 class GraftPartitionReader(path: String, schemaJson: String,
     deletes: Array[DeleteFileRef] = Array.empty, limit: Long = -1L,
     conf: Configuration = new Configuration(),
@@ -419,24 +443,21 @@ class GraftPartitionReader(path: String, schemaJson: String,
             d.path, d.contentOffset, d.contentSize, conf)
         } else {
           // a shared delete file is opened by EVERY covered data file's
-          // reader — push a file_path predicate so parquet prunes to this
-          // file's row groups (delete files are sorted by (file_path, pos),
-          // so row-group stats make the filter effective) instead of each
-          // reader streaming the whole file. The or-chain covers the path
-          // forms a writer may have stored; the canon check below stays as
-          // the record-level authority.
-          import org.apache.parquet.filter2.predicate.FilterApi
-          import org.apache.parquet.io.api.Binary
-          val forms = (Seq(me) ++
-            (if (me.startsWith("/")) Seq(s"file:$me", s"file://$me") else Nil)).distinct
-          val pred = forms.map(f =>
-            FilterApi.eq(FilterApi.binaryColumn("file_path"), Binary.fromString(f))
-              : org.apache.parquet.filter2.predicate.FilterPredicate)
-            .reduce(FilterApi.or(_, _))
-          val r = ParquetReader.builder(new GroupReadSupport(), new Path(d.path))
+          // reader. For LIBRARY-written delete files the stored file_path
+          // is exactly the canon form, so an equality filter is safe and
+          // prunes to this file's row groups (delete files are sorted by
+          // (file_path, pos), making row-group stats effective). Foreign
+          // delete files may store any canon-equivalent path form — a
+          // byte-wise filter could wrongly drop delete rows (resurrecting
+          // deleted data), so they are streamed in full and canon-compared.
+          val builder = ParquetReader.builder(new GroupReadSupport(), new Path(d.path))
             .withConf(conf)
-            .withFilter(org.apache.parquet.filter2.compat.FilterCompat.get(pred))
-            .build()
+          val r = (if (d.canonicalPaths) {
+            import org.apache.parquet.filter2.predicate.FilterApi
+            import org.apache.parquet.io.api.Binary
+            builder.withFilter(org.apache.parquet.filter2.compat.FilterCompat.get(
+              FilterApi.eq(FilterApi.binaryColumn("file_path"), Binary.fromString(me))))
+          } else builder).build()
           try {
             var g = r.read()
             while (g != null) {
@@ -495,34 +516,43 @@ class GraftPartitionReader(path: String, schemaJson: String,
 
   /** One hash set of key tuples per distinct equality-id list: Iceberg
     * equality semantics are null-safe (a null key deletes null rows), which
-    * Seq equality gives directly. Delete files are small keyed extracts —
-    * the set is per-task state, never driver state. */
+    * Seq equality gives directly. Delete files are small keyed extracts and
+    * IMMUTABLE (uuid-named), so the per-(file, ids) set is cached per
+    * executor JVM — N data-file readers sharing one delete file build its
+    * set once, not N times. SoftReferences let the GC reclaim sets under
+    * memory pressure. */
+  private def loadEqKeys(dp: String, ids: Array[Int]): java.util.HashSet[Seq[Any]] = {
+    val set = new java.util.HashSet[Seq[Any]]()
+    val dmt = footerSchema(dp)
+    val colNames = ids.map(id => resolveIn(dmt, id, eqSchema.byId(id).name))
+    val keepNames = colNames.flatten.toSet
+    val kept = dmt.getFields.asScala.filter(ft => keepNames.contains(ft.getName))
+    val rconf = new Configuration(conf)
+    rconf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      new MessageType(dmt.getName, kept.asJava).toString)
+    val r = ParquetReader.builder(new GroupReadSupport(), new Path(dp))
+      .withConf(rconf).build()
+    try {
+      var g = r.read()
+      while (g != null) {
+        val gt = g.getType
+        val key: Seq[Any] = colNames.zip(ids).map { case (n, id) =>
+          n.map(gt.getFieldIndex).filter(g.getFieldRepetitionCount(_) > 0)
+            .map(i => convertPlain(g, i, eqFieldById(id).t)).orNull
+        }.toSeq
+        set.add(key)
+        g = r.read()
+      }
+    } finally r.close()
+    set
+  }
+
   private val eqKeySets: Seq[(Array[Int], java.util.HashSet[Seq[Any]])] =
     eqDeletes.groupBy(_.ids.toSeq).toSeq.map { case (idSeq, refs) =>
       val ids = idSeq.toArray
       val set = new java.util.HashSet[Seq[Any]]()
       refs.map(_.path).distinct.foreach { dp =>
-        val dmt = footerSchema(dp)
-        val colNames = ids.map(id => resolveIn(dmt, id, eqSchema.byId(id).name))
-        val keepNames = colNames.flatten.toSet
-        val kept = dmt.getFields.asScala.filter(ft => keepNames.contains(ft.getName))
-        val rconf = new Configuration(conf)
-        rconf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
-          new MessageType(dmt.getName, kept.asJava).toString)
-        val r = ParquetReader.builder(new GroupReadSupport(), new Path(dp))
-          .withConf(rconf).build()
-        try {
-          var g = r.read()
-          while (g != null) {
-            val gt = g.getType
-            val key: Seq[Any] = colNames.zip(ids).map { case (n, id) =>
-              n.map(gt.getFieldIndex).filter(g.getFieldRepetitionCount(_) > 0)
-                .map(i => convertPlain(g, i, eqFieldById(id).t)).orNull
-            }.toSeq
-            set.add(key)
-            g = r.read()
-          }
-        } finally r.close()
+        set.addAll(GraftPartitionReader.eqKeyCache(dp, ids, () => loadEqKeys(dp, ids)))
       }
       (ids, set)
     }

@@ -430,9 +430,12 @@ class IceTable(
     // otherwise see truncated min != incremented max and reject the file
     val fullModes: Map[Int, String] = spec.fields.map(_.sourceId -> "full").toMap
     val slices = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
+    val confEntries = Io.confEntries(spark) // executors lack spark.hadoop.* otherwise
     val harvested = spark.sparkContext.parallelize(paths, slices)
-      .map(p => StatsHarvester.fileToDataFile(p, "", colInfo, Nil, Nil,
-        new org.apache.hadoop.conf.Configuration(), fullModes))
+      .mapPartitions { ps =>
+        lazy val c = Io.confFrom(confEntries)
+        ps.map(p => StatsHarvester.fileToDataFile(p, "", colInfo, Nil, Nil, c, fullModes))
+      }
       .collect().toSeq
     val files =
       if (spec.isUnpartitioned) harvested

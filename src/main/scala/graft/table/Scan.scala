@@ -239,8 +239,7 @@ final class IceScan(
     // files written by this table carry parquet field-ids; externally
     // registered files (add_files) resolve by NAME MAPPING instead
     // (ref: io/pyarrow.py:1178 pyarrow_to_schema(…, name_mapping))
-    val dataRoot = PathUtil.canon(s"${table.location}/data/")
-    def isExternal(p: String): Boolean = !PathUtil.canon(p).startsWith(dataRoot)
+    def isExternal(p: String): Boolean = !PathUtil.underDataRoot(table.location, p)
     val mapping = table.nameMapping
 
     val (externalTasks, ownTasks) = tasks.partition(t => isExternal(t.file.filePath))
