@@ -327,4 +327,22 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(java.time.LocalDate.parse(human).toEpochDay === days.toLong)
     }
   }
+
+  test("uuid fixed[16] Spark-side normalization agrees with the JVM codec") {
+    import org.apache.spark.sql.functions._
+    // UuidCompat's hex/substring expression and Conversions.fromBytes are
+    // two independent decoders of the same 16-byte layout — random bits
+    // must agree (including bytes that are not valid UTF-8)
+    forAllSampled(Gen.zip(Gen.long, Gen.long), 60) { case (hi, lo) =>
+      val u = new java.util.UUID(hi, lo)
+      val bytes = Conversions.toBytes(IUUID, u.toString)
+      assert(Conversions.fromBytes(IUUID, bytes) === u.toString)
+      val df = spark.createDataFrame(
+        java.util.List.of(Row(bytes)),
+        StructType(Seq(StructField("u", BinaryType))))
+      val got = df.select(UuidCompat.convert(col("u"), IUUID).as("u"))
+        .head.getString(0)
+      assert(got === u.toString)
+    }
+  }
 }
