@@ -40,6 +40,16 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(catalog.currentVersion("ns1.t_sql") === Some(2)) // create + append
   }
 
+  test("a second catalog instance on the same database sees the same tables") {
+    // second construction re-runs ensureTables against a database whose
+    // tables exist — the probe must skip the DDL on ANY backend (SQLStates
+    // for "already exists" differ per vendor), and the new instance must
+    // read tables committed through the first
+    val again = new SqlCatalog(s"jdbc:derby:$warehouse/catalog;create=true", warehouse, spark)
+    assert(again.tableExists("ns1.t_sql"))
+    assert(again.loadTable("ns1.t_sql").scan.toDF.count() === orders.count())
+  }
+
   test("optimistic CAS: losing concurrent writer throws, winner survives") {
     val t0 = catalog.createTable("t_sql_race", Schema.fromSpark(orders.schema))
     t0.append(orders.limit(100))
