@@ -430,11 +430,18 @@ final class IceScan(
 
   /** Metadata-only count when possible (ref: table/__init__.py:2341):
     * files whose residual is ALWAYS_TRUE and that carry no deletes
-    * contribute record_count without being read. */
+    * contribute record_count without being read. A file whose ONLY delete
+    * is a v3 deletion vector also stays metadata-only: a DV is an exact
+    * deduplicated position set whose cardinality the manifest records
+    * (spec field 144), so the live count is record_count − cardinality —
+    * a 100 TB count on a DV-maintained table reads zero data bytes. */
   def count(): Long = {
     val tasks = planFiles(keepStats = false)
-    val (metaOnly, mustRead) = tasks.partition(t => t.residual == BTrue && t.deletes.isEmpty)
-    val metaCount = metaOnly.map(_.file.recordCount).sum
+    val (metaOnly, rest) = tasks.partition(t => t.residual == BTrue && t.deletes.isEmpty)
+    val (dvOnly, mustRead) = rest.partition(t => t.residual == BTrue &&
+      t.deletes.sizeIs == 1 && t.deletes.head.isDeletionVector)
+    val metaCount = metaOnly.map(_.file.recordCount).sum +
+      dvOnly.map(t => t.file.recordCount - t.deletes.head.recordCount).sum
     val readCount = if (mustRead.isEmpty) 0L
       else toDFForTasks(mustRead, applyResidualOnlyWhereNeeded = false).count()
     metaCount + readCount

@@ -103,4 +103,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n === o.count())
     assert((System.nanoTime() - start) < 2e9, "metadata count took suspiciously long")
   }
+
+  test("count() on a DV-maintained table launches zero Spark jobs") {
+    val wh = new HadoopCatalog(
+      java.nio.file.Files.createTempDirectory("plan_wh4").toString, spark)
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val t = wh.createTable("o_dv", Schema.fromSpark(o.schema))
+    t.upgradeFormatVersion(3)
+    t.append(o)
+    t.deleteAsDeletionVector("o_orderkey <= 300")
+    val want = o.filter(org.apache.spark.sql.functions.col("o_orderkey") > 300).count()
+    // DV cardinality is manifest metadata — the count must be pure driver
+    // arithmetic (recordCount − cardinality), no read job at any size
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = t.scan.count()
+      Thread.sleep(500) // let async listener events drain
+      assert(n === want)
+      assert(jobs.get() === 0, s"expected a metadata-only count, saw ${jobs.get()} Spark jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
