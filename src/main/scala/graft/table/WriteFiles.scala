@@ -93,6 +93,27 @@ object WriteFiles {
     df.select(cols: _*)
   }
 
+  /** Rough encoded bytes per row from the schema — drives the
+    * target-file-size → max-records conversion. Variable-width fields are
+    * guesses (string 24 B, binary 32 B); a factor-of-few error moves file
+    * sizes by the same factor, which is fine for a splitting BOUND. */
+  private[table] def estimatedRowBytes(schema: Schema): Long = {
+    def width(t: IceType): Long = t match {
+      case IBoolean => 1
+      case IInt | IFloat | IDate => 4
+      case ILong | IDouble | ITime | ITimestamp | ITimestamptz => 8
+      case IDecimal(_, _) => 16
+      case IString => 24
+      case IUUID => 36
+      case IBinary => 32
+      case IFixed(l) => l.toLong
+      case IStruct(fs) => fs.map(f => width(f.fieldType)).sum
+      case IList(_, el, _) => 4 * width(el) // guess: few elements
+      case IMap(_, k, _, v, _) => 4 * (width(k) + width(v))
+    }
+    schema.fields.map(f => width(f.fieldType)).sum
+  }
+
   /** Per-leaf metrics mode from table properties (ref: io/pyarrow.py:2305
     * match_metrics_mode; `write.metadata.metrics.default` +
     * `write.metadata.metrics.column.<dotted.path>`): none | counts |
@@ -139,11 +160,26 @@ object WriteFiles {
 
     val orderId = sortOrder.filter(_.fields.nonEmpty).map(_.orderId)
 
+    // file-size bound (ref: TableProperties write.target-file-size-bytes,
+    // default 512 MB): one partition's rows land in ONE task, so without a
+    // per-file record cap a hot partition writes one arbitrarily large
+    // file at 100 TB. Spark's lever is row-count based; rows are derived
+    // from a schema-width estimate (strings/binary guessed) — approximate
+    // by design. `write.spark.max-records-per-file` overrides exactly.
+    val targetBytes = props.get("write.target-file-size-bytes").map(_.toLong)
+      .getOrElse(512L * 1024 * 1024)
+    val maxRecords = props.get("write.spark.max-records-per-file").map(_.toLong)
+      .getOrElse {
+        val rowBytes = math.max(8, estimatedRowBytes(schema))
+        math.max(1000L, targetBytes / rowBytes)
+      }
+
     // parquet physical settings the stats harvest + id-resolution rely on,
     // scoped to this (eager) write so the shared session is unchanged
     withScopedConfs(spark,
       "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
-      "spark.sql.parquet.fieldId.write.enabled" -> "true") {
+      "spark.sql.parquet.fieldId.write.enabled" -> "true",
+      "spark.sql.files.maxRecordsPerFile" -> maxRecords.toString) {
       if (spec.isUnpartitioned) {
         sorted(aligned).write.mode("overwrite").parquet(stageDir)
       } else {

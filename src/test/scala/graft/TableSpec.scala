@@ -650,6 +650,25 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](t.addFiles(Seq(one(s"$dir/mixed"))))
   }
 
+  test("write.target-file-size-bytes splits oversized partitions into multiple files") {
+    val t = catalog.createTable("t_filesize", Schema.fromSpark(orders.schema))
+    // ~100 B/row estimate on this schema → a 64 KB target forces splits;
+    // an unpartitioned append is ONE task = the single-hot-partition shape
+    t.setProperties("write.target-file-size-bytes" -> (64 * 1024).toString)
+    t.append(orders)
+    val files = t.scan.planFiles()
+    assert(files.size > 1, s"expected the append split into multiple files, got ${files.size}")
+    assert(files.map(_.file.recordCount).sum === orders.count())
+    assert(t.scan.toDF.count() === orders.count())
+    // exact override wins over the estimate
+    val t2 = catalog.createTable("t_filesize2", Schema.fromSpark(orders.schema))
+    t2.setProperties("write.spark.max-records-per-file" -> "1000")
+    t2.append(orders) // 1500 rows → at least two files of <= 1000
+    val f2 = t2.scan.planFiles()
+    assert(f2.size >= 2, s"expected >=2 files of <=1000 records, got ${f2.size}")
+    assert(f2.forall(_.file.recordCount <= 1000))
+  }
+
   test("object-storage location provider spreads commits over entropy dirs") {
     import graft.table.Locations
     val t = catalog.createTable("t_objstore", Schema.fromSpark(orders.schema))
