@@ -198,8 +198,21 @@ object WriteFiles {
         // same fan-out)
         val writeTasks = 4 * math.max(spark.sparkContext.defaultParallelism,
           spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-        sorted(withParts
-          .repartition(writeTasks, spec.fields.map(pf => col(SyntheticPrefix + pf.name)): _*))
+        // skew escape hatch: `write.fanout.salt-buckets` = k spreads each
+        // partition over k tasks (deterministic row-hash salt in the
+        // SHUFFLE keys only — the directory layout is unchanged, a salted
+        // partition just gets up to k files written in parallel). Without
+        // it a hot partition serializes through one task no matter the
+        // cluster size.
+        val saltBuckets = props.get("write.fanout.salt-buckets").map(_.toInt).getOrElse(1)
+        val saltCol = SyntheticPrefix + "salt"
+        val salted = if (saltBuckets > 1)
+          withParts.withColumn(saltCol,
+            pmod(hash(aligned.columns.map(col): _*), lit(saltBuckets)))
+        else withParts
+        val repartKeys = spec.fields.map(pf => col(SyntheticPrefix + pf.name)) ++
+          (if (saltBuckets > 1) Seq(col(saltCol)) else Nil)
+        sorted(salted.repartition(writeTasks, repartKeys: _*).drop(saltCol))
           .write.mode("overwrite")
           .partitionBy(spec.fields.map(pf => SyntheticPrefix + pf.name): _*)
           .parquet(stageDir)

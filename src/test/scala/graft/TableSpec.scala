@@ -669,6 +669,26 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f2.forall(_.file.recordCount <= 1000))
   }
 
+  test("write.fanout.salt-buckets parallelizes hot partitions across tasks") {
+    val schema = Schema.fromSpark(orders.schema)
+    val t = catalog.createTable("t_salted", schema,
+      graft.meta.PartitionSpec.build(schema, 0,
+        ("o_orderstatus", graft.core.IdentityTransform, "status")))
+    t.setProperties("write.fanout.salt-buckets" -> "4")
+    t.append(orders) // 3 status partitions; salted → up to 4 files each
+    val files = t.scan.planFiles()
+    val perPartition = files.groupBy(_.file.partition).view.mapValues(_.size)
+    assert(perPartition.values.exists(_ > 1),
+      s"expected a salted partition to carry multiple files: $perPartition")
+    // layout, counts and partition pruning are unchanged by salting
+    assert(files.map(_.file.recordCount).sum === orders.count())
+    assert(t.scan.toDF.count() === orders.count())
+    val want = orders.filter(col("o_orderstatus") === "F").count()
+    assert(t.scan("o_orderstatus = 'F'").toDF.count() === want)
+    assert(t.scan("o_orderstatus = 'F'").planFiles()
+      .forall(_.file.partition == Seq("F")))
+  }
+
   test("object-storage location provider spreads commits over entropy dirs") {
     import graft.table.Locations
     val t = catalog.createTable("t_objstore", Schema.fromSpark(orders.schema))
