@@ -24,9 +24,16 @@ object Bench {
     // SPARK_GRAFT_ONLY=q1,q2 → time just those queries (iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    var failed = List.empty[String]
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a crashing query must fail the bench run, not record a fast time
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          failed ::= name
+          System.err.println(s"BENCH FAILURE in $name: $e")
+          e.printStackTrace()
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -34,5 +41,9 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"BENCH FAILED queries: ${failed.reverse.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -107,16 +107,20 @@ object DataOps {
   def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
     // sorted distinct int64 shingle hashes, not strings: fixed-width
     // shuffle keys and a linear-merge rescore (see ShingleHashes3).
-    // Persisted: the shingling feeds the explode branch AND both rescore
-    // sides — recomputing it per consumer tripled the heavy hash pass
-    val docs = trackCache(t(s, dir, "documents")
+    // NOT persisted: the codegen'd hash recompute per consumer is cheaper
+    // than cache materialization here (measured 2.2-3.1s unpersisted vs
+    // 4.4-4.5s persisted at sf0.1) — unlike minhash below, whose extra
+    // 128-permutation signature pass makes the cache pay for itself
+    val docs = t(s, dir, "documents")
       .select(col("doc_id"), TextFunctions.shingle_hashes3(col("text")).as("ws"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // global token order = (document frequency asc, token): any total order
     // keeps the prefix-filter guarantee, and rarest-first makes the prefix
     // tokens rare — candidates collapse to docs sharing RARE shingles
     val exploded = docs.select(col("doc_id"), size(col("ws")).as("n"),
       explode(col("ws")).as("tok"))
+    // groupBy to a tiny df table that AQE broadcast-joins back — measured
+    // faster than a count-over-tok window (which sorts the whole exploded
+    // frame) because the exploded side never shuffles for the join
     val freq = exploded.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // per-doc prefix via a row_number window; a collect_list + array_sort
     // formulation was tried and measured SLOWER (12.6s vs 7.8s at sf0.1 —
