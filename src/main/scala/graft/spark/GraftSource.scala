@@ -20,7 +20,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.catalog.HadoopCatalog
+import graft.catalog.{HadoopCatalog, SqlCatalog}
 import graft.core._
 import graft.meta.MetadataJson
 import graft.table.IceTable
@@ -29,7 +29,10 @@ import graft.table.IceTable
   *
   * ```
   * spark.read.format("graft")
-  *   .option("warehouse", "/wh").option("table", "events").load()
+  *   .option("warehouse", "/wh").option("table", "events")
+  *   .option("snapshot-id", "123")          // or as-of-timestamp / branch / tag
+  *   .option("catalog", "jdbc:derby:...")   // route through SqlCatalog
+  *   .load()
   * ```
   *
   * Filters pushed by Catalyst are translated back into engine predicates,
@@ -42,48 +45,93 @@ import graft.table.IceTable
   * Deletes — parquet position-delete files, v3 deletion vectors, AND
   * equality deletes — are resolved and applied in the reader
   * (executor-side: sorted row-index skip for positions, hash-set key probe
-  * for equality); pushed limits stop each partition early. Current limit:
-  * batch reads of the current snapshot.
+  * for equality); pushed limits stop each partition early.
+  *
+  * Time travel resolves exactly like the library scan (Scan.scala:42-53;
+  * ref table/__init__.py:2015 TableScan.snapshot, :2040 use_ref):
+  * `snapshot-id` pins an id, `as-of-timestamp` (epoch millis) resolves the
+  * latest snapshot at or before the instant, `branch`/`tag` resolve a
+  * named ref. A pinned scan reads with the SNAPSHOT's schema (rename/drop
+  * evolution shows the schema as of that snapshot). A `catalog` option
+  * holding a JDBC URL routes table resolution through [[SqlCatalog]] (the
+  * reference's default shared catalog) instead of [[HadoopCatalog]].
   */
 class GraftSource extends TableProvider with org.apache.spark.sql.sources.DataSourceRegister {
 
   override def shortName(): String = "graft"
 
-  private def load(options: CaseInsensitiveStringMap): IceTable = {
+  private def load(options: CaseInsensitiveStringMap): (IceTable, Option[Long]) = {
     val wh = options.get("warehouse")
     val name = options.get("table")
     require(wh != null && name != null, "options 'warehouse' and 'table' are required")
     // the session is only used driver-side for planning
     val spark = org.apache.spark.sql.SparkSession.active
-    new HadoopCatalog(wh, spark).loadTable(name)
+    val table = Option(options.get("catalog")) match {
+      case Some(jdbc) => new SqlCatalog(jdbc, wh, spark).loadTable(name)
+      case None => new HadoopCatalog(wh, spark).loadTable(name)
+    }
+    (table, resolveSnapshot(table, options))
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    load(options).schema.toSpark
+  /** At most one of snapshot-id / as-of-timestamp / branch / tag. */
+  private def resolveSnapshot(table: IceTable,
+      options: CaseInsensitiveStringMap): Option[Long] = {
+    val picks = Seq(
+      Option(options.get("snapshot-id")).map(_.toLong),
+      Option(options.get("as-of-timestamp")).map { ms =>
+        table.metadata.snapshotAsOf(ms.toLong).getOrElse(throw new IllegalArgumentException(
+          s"No snapshot as of $ms")).snapshotId
+      },
+      (Option(options.get("branch")) orElse Option(options.get("tag"))).map { ref =>
+        table.metadata.snapshotByName(ref).getOrElse(throw new IllegalArgumentException(
+          s"No ref $ref")).snapshotId
+      }).flatten
+    require(picks.size <= 1,
+      "at most one of snapshot-id / as-of-timestamp / branch / tag may be set")
+    picks.headOption
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (table, snapshotId) = load(options)
+    GraftSparkTable.schemaOf(table, snapshotId).toSpark
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): SparkTable =
-    new GraftSparkTable(load(new CaseInsensitiveStringMap(properties)))
+      properties: JMap[String, String]): SparkTable = {
+    val (table, snapshotId) = load(new CaseInsensitiveStringMap(properties))
+    new GraftSparkTable(table, snapshotId)
+  }
 
   override def supportsExternalMetadata(): Boolean = false
 }
 
-class GraftSparkTable(table: IceTable) extends SparkTable with SupportsRead {
+object GraftSparkTable {
+  /** Schema as of the pinned snapshot; current schema when unpinned (so
+    * schema evolution is visible without a new data commit) — mirrors
+    * IceScan.scanSchema. */
+  def schemaOf(table: IceTable, snapshotId: Option[Long]): Schema =
+    snapshotId.flatMap(id => table.metadata.snapshotById(id)
+        .map(s => table.metadata.schemaById(s.schemaId)))
+      .getOrElse(table.schema)
+}
+
+class GraftSparkTable(table: IceTable, snapshotId: Option[Long] = None)
+    extends SparkTable with SupportsRead {
   override def name(): String = table.name
-  override def schema(): StructType = table.schema.toSpark
+  override def schema(): StructType = GraftSparkTable.schemaOf(table, snapshotId).toSpark
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(table)
+    new GraftScanBuilder(table, snapshotId)
 }
 
-class GraftScanBuilder(table: IceTable)
+class GraftScanBuilder(table: IceTable, snapshotId: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit {
 
   private var pushed: Array[sources.Filter] = Array.empty
   private var expr: Expr = AlwaysTrue
-  private var required: StructType = table.schema.toSpark
+  private var required: StructType = GraftSparkTable.schemaOf(table, snapshotId).toSpark
   private var limit: Long = -1L
 
   /** per-partition early stop; Spark keeps the global Limit operator. */
@@ -127,7 +175,7 @@ class GraftScanBuilder(table: IceTable)
     case _ => None
   }
 
-  override def build(): Scan = new GraftScan(table, expr, required, limit)
+  override def build(): Scan = new GraftScan(table, expr, required, limit, snapshotId)
 }
 
 /** A delete source applicable to one data file, resolved EXECUTOR-side by
@@ -171,17 +219,21 @@ final case class GraftInputPartition(
     eqSchemaJson: String = "") extends InputPartition
 
 class GraftScan(table: IceTable, expr: Expr, required: StructType,
-    pushedLimit: Long = -1L) extends Scan with Batch {
+    pushedLimit: Long = -1L, snapshotId: Option[Long] = None) extends Scan with Batch {
 
   override def readSchema(): StructType = required
 
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val tasks = table.scan.filter(normalizeLiterals(expr)).planFiles()
-    // requested engine schema = table fields matching the pruned columns
+    val base = table.scan.filter(normalizeLiterals(expr))
+    val pinned = snapshotId.fold(base)(base.useSnapshot)
+    val tasks = pinned.planFiles()
+    // requested engine schema = snapshot-schema fields matching the pruned
+    // columns (time travel projects with the schema as of that snapshot)
+    val engineSchema = GraftSparkTable.schemaOf(table, snapshotId)
     val names = required.fieldNames.toSet
-    val readSchema = Schema(table.schema.fields.filter(f => names.contains(f.name)))
+    val readSchema = Schema(engineSchema.fields.filter(f => names.contains(f.name)))
     val json = MetadataJson.schemaToJson(readSchema).toString
 
     // equality-delete key fields may fall outside the pruned columns; ship
@@ -191,7 +243,7 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
       .flatMap(_.equalityIds).distinct
     val eqJson = if (eqIds.isEmpty) ""
       else MetadataJson.schemaToJson(
-        Schema(table.schema.fields.filter(f => eqIds.contains(f.id)))).toString
+        Schema(engineSchema.fields.filter(f => eqIds.contains(f.id)))).toString
 
     // ship delete SOURCES (paths + blob ranges), not positions: each reader
     // resolves its own file's deletes executor-side, so driver memory is

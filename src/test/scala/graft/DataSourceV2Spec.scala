@@ -176,6 +176,65 @@ class DataSourceV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(runOnce() === orders.count())
   }
 
+  test("time travel: snapshot-id / as-of-timestamp / tag options pin the scan") {
+    val t = catalog.createTable("o_v2_tt", Schema.fromSpark(orders.schema))
+    t.append(orders.filter(col("o_orderkey") <= 1000))
+    val snap1 = t.metadata.currentSnapshotId.get
+    val ts1 = t.metadata.currentSnapshot.get.timestampMs
+    t.manageSnapshots.createTag("v1", snap1)
+    t.append(orders.filter(col("o_orderkey") > 1000))
+    val oldCount = orders.filter(col("o_orderkey") <= 1000).count()
+
+    def v2(opts: (String, String)*) = {
+      val r = spark.read.format("graft")
+        .option("warehouse", warehouse).option("table", "o_v2_tt")
+      opts.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load()
+    }
+    assert(v2().count() === orders.count())
+    assert(v2("snapshot-id" -> snap1.toString).count() === oldCount)
+    assert(v2("as-of-timestamp" -> ts1.toString).count() === oldCount)
+    assert(v2("tag" -> "v1").count() === oldCount)
+    // pinned scans re-plan with filters too (pruning against the OLD snapshot)
+    assert(v2("snapshot-id" -> snap1.toString)
+      .filter(col("o_orderkey") > 500).count() ===
+      orders.filter(col("o_orderkey") > 500 && col("o_orderkey") <= 1000).count())
+    intercept[IllegalArgumentException] {
+      v2("snapshot-id" -> snap1.toString, "tag" -> "v1").count()
+    }
+  }
+
+  test("time travel reads with the snapshot's schema") {
+    val t = catalog.createTable("o_v2_tt_schema", Schema.fromSpark(
+      orders.select(col("o_orderkey"), col("o_orderstatus")).schema))
+    t.append(orders.select(col("o_orderkey"), col("o_orderstatus")))
+    val snap1 = t.metadata.currentSnapshotId.get
+    t.updateSchema.renameColumn("o_orderstatus", "status").commit()
+    // unpinned: current schema (rename visible without a data commit)
+    assert(loadV2("o_v2_tt_schema").columns.toSeq ===
+      Seq("o_orderkey", "status"))
+    // pinned: the schema AS OF that snapshot still shows the old name
+    val pinned = spark.read.format("graft").option("warehouse", warehouse)
+      .option("table", "o_v2_tt_schema").option("snapshot-id", snap1.toString).load()
+    assert(pinned.columns.toSeq === Seq("o_orderkey", "o_orderstatus"))
+    assert(pinned.filter(col("o_orderstatus") === "O").count() ===
+      orders.filter(col("o_orderstatus") === "O").count())
+  }
+
+  test("catalog option routes table resolution through SqlCatalog") {
+    val dbDir = Files.createTempDirectory("dsv2-sqlcat").toString
+    val jdbc = s"jdbc:derby:$dbDir/db;create=true"
+    val sqlWh = Files.createTempDirectory("dsv2-sqlwh").toString
+    val sqlCat = new graft.catalog.SqlCatalog(jdbc, sqlWh, spark)
+    val t = sqlCat.createTable("o_sql_routed", Schema.fromSpark(orders.schema))
+    t.append(orders)
+    val df = spark.read.format("graft")
+      .option("warehouse", sqlWh).option("table", "o_sql_routed")
+      .option("catalog", jdbc).load()
+    assert(df.count() === orders.count())
+    assert(df.agg(sum(col("o_orderkey"))).head.getLong(0) ===
+      orders.agg(sum(col("o_orderkey"))).head.getLong(0))
+  }
+
   test("sql over the v2 source") {
     spark.sql(
       s"""CREATE OR REPLACE TEMPORARY VIEW o_sql
