@@ -75,7 +75,12 @@ class DataSourceV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     t.deletePositional("o_orderkey <= 300")
     val want = orders.filter(col("o_orderkey") > 300)
     val df = loadV2("o_v2_mor")
+    val before = graft.spark.GraftVectorizedRowReader.opened.get()
     assert(df.count() === want.count())
+    // delete-bearing library files must still DECODE vectorized (row-mode
+    // batches), not fall back to the Group-API loop
+    assert(graft.spark.GraftVectorizedRowReader.opened.get() > before,
+      "expected the vectorized row reader for a delete-bearing library file")
     assert(df.filter(col("o_orderkey") <= 300).count() === 0)
     // limit: correct row count and early stop
     assert(df.limit(7).count() === 7)
