@@ -90,15 +90,19 @@ object Io {
     out
   }
 
-  /** Overwriting write, parent dirs created. */
-  def writeBytes(path: String, bytes: Array[Byte]): Unit =
+  /** Overwriting write, parent dirs created. `confOverride` lets
+    * EXECUTOR-side writers (DV puffin assembly) supply a shipped conf —
+    * the process-global confFactory is only installed on the driver. */
+  def writeBytes(path: String, bytes: Array[Byte],
+      confOverride: Configuration = null): Unit =
     if (isLocal(path)) {
       val p = local(path)
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, bytes)
       ()
     } else {
-      val out = fs(path).create(new Path(path), true)
+      val c = if (confOverride != null) confOverride else conf
+      val out = new Path(path).getFileSystem(c).create(new Path(path), true)
       try out.write(bytes) finally out.close()
     }
 

@@ -209,17 +209,22 @@ object ManifestIO {
   // ---- read manifest ----
 
   /** Avro container reader over any warehouse scheme (local fast path;
-    * FsInput/FSDataInputStream elsewhere). */
-  private def openAvro(path: String): DataFileReader[GenericRecord] =
+    * FsInput/FSDataInputStream elsewhere). `confOverride` lets
+    * EXECUTOR-side callers (distributed planning) supply a shipped conf —
+    * Io.conf's process-global factory is only installed on the driver. */
+  private def openAvro(path: String,
+      confOverride: org.apache.hadoop.conf.Configuration): DataFileReader[GenericRecord] =
     if (Io.isLocal(path))
       new DataFileReader[GenericRecord](new File(PathUtil.canon(path)),
         new GenericDatumReader[GenericRecord]())
     else new DataFileReader[GenericRecord](
-      new org.apache.avro.mapred.FsInput(new org.apache.hadoop.fs.Path(path), Io.conf),
+      new org.apache.avro.mapred.FsInput(new org.apache.hadoop.fs.Path(path),
+        if (confOverride != null) confOverride else Io.conf),
       new GenericDatumReader[GenericRecord]())
 
-  def readManifest(path: String, spec: PartitionSpec, schema: Schema): Seq[ManifestEntry] = {
-    val reader = openAvro(path)
+  def readManifest(path: String, spec: PartitionSpec, schema: Schema,
+      confOverride: org.apache.hadoop.conf.Configuration = null): Seq[ManifestEntry] = {
+    val reader = openAvro(path, confOverride)
     val partTypes = spec.partitionType(schema)
     try {
       val b = Seq.newBuilder[ManifestEntry]
@@ -336,7 +341,7 @@ object ManifestIO {
   }
 
   def readManifestList(path: String): Seq[ManifestFile] = {
-    val reader = openAvro(path)
+    val reader = openAvro(path, null)
     try {
       val b = Seq.newBuilder[ManifestFile]
       while (reader.hasNext) {

@@ -48,7 +48,8 @@ object Puffin {
   /** Write a puffin file; returns sizes + blob metadata for the
     * `statistics` metadata entry. */
   def write(path: String, blobs: Seq[Blob],
-      fileProperties: Map[String, String] = Map.empty): PuffinFile = {
+      fileProperties: Map[String, String] = Map.empty,
+      confOverride: org.apache.hadoop.conf.Configuration = null): PuffinFile = {
     val out = new ByteArrayOutputStream()
     out.write(Magic)
     val infos = blobs.map { b =>
@@ -68,7 +69,7 @@ object Puffin {
     out.write(tail.array())
     out.write(Magic)
     val bytes = out.toByteArray
-    Io.writeBytes(path, bytes)
+    Io.writeBytes(path, bytes, confOverride)
     PuffinFile(path, bytes.length.toLong, (bytes.length - footerStart).toLong, infos)
   }
 

@@ -513,10 +513,13 @@ class IceTable(
     * commit (sibling blobs of a dropped puffin that reference unaffected
     * files are re-added unchanged).
     *
-    * Scale shape: matched positions are computed, merged, and
-    * roaring-compressed per data file ON EXECUTORS (groupByKey on the
-    * file path); the driver only assembles the compressed blobs into one
-    * puffin file — bytes proportional to #files, not #deleted-rows. */
+    * Scale shape: matched positions are computed, merged,
+    * roaring-compressed, AND assembled into puffin files ON EXECUTORS
+    * (groupByKey on the file path, one puffin per shuffle partition —
+    * `write.dv.blobs-per-puffin`, default 64, sizes the partitioning); the
+    * driver collects only (path, offset, length, cardinality) descriptors,
+    * so its memory is independent of blob bytes — a wide delete over 10⁶
+    * files ships no vector data through the driver. */
   def deleteAsDeletionVector(filter: String): Unit = {
     require(metadata.formatVersion >= 3,
       s"Deletion vectors require format version >= 3 (table is v${metadata.formatVersion})")
@@ -535,8 +538,11 @@ class IceTable(
       .distinctBy(f => (f.filePath, f.contentOffset))
     val (priorDVs, priorParquet) = priorDeletes.partition(_.isDeletionVector)
 
+    // descriptor per written blob: (puffinPath, puffinSize, referenced
+    // data file, blob offset, blob length, cardinality) — metadata-sized
     // scoped: every consumer of `matches` collects within this block
-    val blobs: Seq[(String, Array[Byte], Long)] = WriteFiles.withScopedConfs(spark,
+    val descriptors: Seq[(String, Long, String, Long, Long, Long)] =
+      WriteFiles.withScopedConfs(spark,
       "spark.sql.parquet.fieldId.read.enabled" -> "true") {
     val matches = spark.read.schema(schema.toSpark)
       .parquet(tasks.map(_.file.filePath): _*)
@@ -563,24 +569,43 @@ class IceTable(
       branches += spark.createDataFrame(rdd).toDF("__dfile", "__dpos")
     }
 
+    // one puffin file per shuffle partition, written IN the reduce task:
+    // partition count sized so each puffin holds ~blobsPerPuffin vectors
+    // (small deletes still produce exactly one file)
+    val blobsPerPuffin = math.max(1, metadata.properties
+      .getOrElse("write.dv.blobs-per-puffin", "64").toInt)
+    val numParts = math.max(1, math.min(
+      (affected.size + blobsPerPuffin - 1) / blobsPerPuffin,
+      spark.sparkContext.defaultParallelism))
+    val ioEntries = Io.confEntries(spark)
+    val loc = location
+    val seq = metadata.lastSequenceNumber + 1
+    val snapId = baseSnap.getOrElse(-1L)
     branches.result()
       .reduce(_ unionByName _).distinct()
       .rdd.map(r => (r.getString(0), r.getLong(1)))
-      .groupByKey()
-      .map { case (fp, it) =>
-        val arr = it.toArray.sorted
-        (fp, DeletionVector.frameBlob(arr), arr.length.toLong)
-      }.collect().toSeq.sortBy(_._1)
+      .groupByKey(numParts)
+      .mapPartitions { it =>
+        val blobs = it.map { case (fp, positions) =>
+          val arr = positions.toArray.sorted
+          (fp, DeletionVector.frameBlob(arr), arr.length.toLong)
+        }.toArray.sortBy(_._1)
+        if (blobs.isEmpty) Iterator.empty
+        else {
+          val path = s"$loc/data/${UUID.randomUUID()}-deletes.puffin"
+          val written = Puffin.write(path, blobs.toSeq.map { case (fp, bytes, card) =>
+            Puffin.Blob("deletion-vector-v1", Nil, snapId, seq, bytes,
+              Map("referenced-data-file" -> fp, "cardinality" -> card.toString))
+          }, confOverride = Io.confFrom(ioEntries))
+          written.blobs.zip(blobs).iterator.map { case (info, (fp, _, card)) =>
+            (path, written.fileSizeInBytes, fp, info.offset, info.length, card)
+          }
+        }
+      }.collect().toSeq
     }
-    if (blobs.isEmpty) return
+    if (descriptors.isEmpty) return
 
-    val puffinPath = s"$location/data/${UUID.randomUUID()}-deletes.puffin"
-    val seq = metadata.lastSequenceNumber + 1
-    val written = Puffin.write(puffinPath, blobs.map { case (fp, bytes, card) =>
-      Puffin.Blob("deletion-vector-v1", Nil, baseSnap.getOrElse(-1L), seq, bytes,
-        Map("referenced-data-file" -> fp, "cardinality" -> card.toString))
-    })
-    val dvFiles = written.blobs.zip(blobs).map { case (info, (fp, _, card)) =>
+    val dvFiles = descriptors.map { case (puffinPath, puffinSize, fp, off, len, card) =>
       val t = affected(fp)
       DataFile(
         content = FileContent.PositionDeletes,
@@ -588,11 +613,11 @@ class IceTable(
         fileFormat = "puffin",
         partition = t.file.partition,
         recordCount = card,
-        fileSizeInBytes = written.fileSizeInBytes,
+        fileSizeInBytes = puffinSize,
         specId = t.file.specId,
         referencedDataFile = Some(fp),
-        contentOffset = Some(info.offset),
-        contentSizeInBytes = Some(info.length))
+        contentOffset = Some(off),
+        contentSizeInBytes = Some(len))
     }
 
     // drop puffins holding superseded blobs; re-add sibling DV entries

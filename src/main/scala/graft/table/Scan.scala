@@ -164,10 +164,15 @@ final class IceScan(
       val schemaLocal = schema
       val boundLocal = bound
       val keep = keepStats
+      // executors lack the driver-installed Io.confFactory — ship the
+      // session conf entries (custom schemes, s3a creds) into the closure,
+      // mirroring WriteFiles.harvest and the DSv2 reader factories
+      val ioEntries = Io.confEntries(spark)
       mf => {
         val spec = specsById(mf.partitionSpecId)
         val proj = projBySpecId(mf.partitionSpecId)
-        ManifestIO.readManifest(mf.manifestPath, spec, schemaLocal)
+        ManifestIO.readManifest(mf.manifestPath, spec, schemaLocal,
+            Io.confFrom(ioEntries))
           .filter(_.status != EntryStatus.Deleted)
           .filter { e =>
             Evaluators.partitionMatches(spec, proj, e.dataFile.partition) &&

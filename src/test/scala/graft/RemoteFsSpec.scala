@@ -85,6 +85,37 @@ class RemoteFsSpec extends AnyFunSuite with BeforeAndAfterAll {
       orders.filter(col("o_orderstatus") =!= "F").count())
   }
 
+  test("distributed planning ships the session conf to manifest readers") {
+    val t = catalog.loadTable("o_remote")
+    val snap = t.metadata.currentSnapshot.get
+    val manifests = graft.meta.ManifestIO.readManifestList(snap.manifestList)
+    val spec = t.metadata.specById(manifests.head.partitionSpecId)
+    val shipped = graft.meta.Io.confEntries(spark)
+    // simulate an executor JVM: the driver-installed confFactory is absent,
+    // so only the conf entries shipped in the planning closure can resolve
+    // the scheme (ADVICE r5: the >64-manifest branch used a bare conf)
+    // disable the FileSystem cache on both confs: a warm in-process cache
+    // would resolve mockfs for ANY conf, masking what a fresh executor sees
+    val saved = graft.meta.Io.confFactory
+    try {
+      val bare = new org.apache.hadoop.conf.Configuration()
+      bare.setBoolean("fs.mockfs.impl.disable.cache", true)
+      graft.meta.Io.confFactory = () => bare
+      intercept[Exception](graft.meta.ManifestIO.readManifest(
+        manifests.head.manifestPath, spec, t.schema))
+      val fromShipped = graft.meta.Io.confFrom(shipped)
+      fromShipped.setBoolean("fs.mockfs.impl.disable.cache", true)
+      assert(graft.meta.ManifestIO.readManifest(manifests.head.manifestPath,
+        spec, t.schema, fromShipped).nonEmpty)
+    } finally graft.meta.Io.confFactory = saved
+    // and the real distributed branch plans end-to-end on the scheme
+    val savedThreshold = graft.table.IceScan.distributedPlanningThreshold
+    try {
+      graft.table.IceScan.distributedPlanningThreshold = 1
+      assert(t.scan.planFiles().nonEmpty)
+    } finally graft.table.IceScan.distributedPlanningThreshold = savedThreshold
+  }
+
   test("commit write never clobbers an existing version on a non-file scheme") {
     // RawLocalFileSystem.rename maps to rename(2), which silently REPLACES
     // the target — the no-overwrite guarantee must come from the
