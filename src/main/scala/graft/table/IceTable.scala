@@ -54,15 +54,26 @@ class IceTable(
   private[table] def sortOrderOpt: Option[SortOrder] =
     metadata.sortOrders.find(o => o.orderId == metadata.defaultSortOrderId && o.fields.nonEmpty)
 
-  def replaceSortOrder(fields: (String, String)*): Unit = commitMetadata { m =>
-    val order = SortOrder(m.sortOrders.map(_.orderId).max + 1,
-      fields.map { case (colName, dir) =>
-        SortField(schema.findField(colName).getOrElse(
-          throw new IllegalArgumentException(s"No such column: $colName")).id,
-          IdentityTransform, dir, if (dir == "desc") "nulls-last" else "nulls-first")
-      })
-    m.copy(sortOrders = m.sortOrders :+ order, defaultSortOrderId = order.orderId)
-  }
+  def replaceSortOrder(fields: (String, String)*): Unit =
+    replaceSortOrderTransformed(fields.map { case (c, d) =>
+      (c, IdentityTransform: Transform, d) }: _*)
+
+  /** Sort keys may be TRANSFORMS of columns (ref: table/sorting.py:136
+    * SortField.transform — e.g. sort by truncate[4](s) or day(ts)); the
+    * write path sorts within partitions on the transformed value. */
+  def replaceSortOrderTransformed(fields: (String, Transform, String)*): Unit =
+    commitMetadata { m =>
+      val order = SortOrder(m.sortOrders.map(_.orderId).max + 1,
+        fields.map { case (colName, transform, dir) =>
+          val f = schema.findField(colName).getOrElse(
+            throw new IllegalArgumentException(s"No such column: $colName"))
+          require(transform.resultType(f.fieldType) != null,
+            s"$transform cannot transform ${f.fieldType}")
+          SortField(f.id, transform, dir,
+            if (dir == "desc") "nulls-last" else "nulls-first")
+        })
+      m.copy(sortOrders = m.sortOrders :+ order, defaultSortOrderId = order.orderId)
+    }
   def removeProperties(keys: String*): Unit =
     commitMetadata(m => m.copy(properties = m.properties -- keys))
 
@@ -384,26 +395,30 @@ class IceTable(
     } finally src.unpersist()
   }
 
-  /** Fallback field-id assignment for files written without ids — id →
-    * name as of registration time (ref: table/name_mapping.py:73
-    * NameMapping; property `schema.name-mapping.default`). */
+  /** NESTED name mapping for files written without ids (ref:
+    * table/name_mapping.py:73 NameMapping; property
+    * `schema.name-mapping.default`, spec JSON list format). Struct leaves
+    * keep their registration-time names, so renamed nested columns still
+    * resolve in external files; the legacy flat `{"name": id}` layout of
+    * earlier versions of this library still parses. */
+  def nameMappingNested: Seq[MappedField] =
+    metadata.properties.get("schema.name-mapping.default")
+      .map(NameMapping.fromJson).getOrElse(Nil)
+
+  /** Flat top-level id → name view of the nested mapping. */
   def nameMapping: Map[Int, String] =
-    metadata.properties.get("schema.name-mapping.default").map { json =>
-      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
-      val b = Map.newBuilder[Int, String]
-      val it = node.properties().iterator()
-      while (it.hasNext) { val e = it.next(); b += e.getValue.asInt() -> e.getKey }
-      b.result()
-    }.getOrElse(Map.empty)
+    nameMappingNested.collect {
+      case MappedField(Some(id), names, _) if names.nonEmpty => id -> names.head
+    }.toMap
 
   /** Merge updates into the default name mapping (ref: name_mapping.py:153
     * update_mapping — ours keeps ONE name per id, so an update re-points
-    * the id to the name it carried in externally-written files). */
+    * the id to the name it carried in externally-written files). Children
+    * of updated struct entries are preserved. */
   def updateNameMapping(updates: Map[Int, String]): Unit = {
     updates.keys.foreach(id => require(schema.byId.contains(id), s"No field with id $id"))
-    val merged = nameMapping ++ updates
-    val json = merged.map { case (id, n) => s""""$n": $id""" }.mkString("{", ", ", "}")
-    setProperties("schema.name-mapping.default" -> json)
+    val merged = NameMapping.updateTopLevel(nameMappingNested, updates)
+    setProperties("schema.name-mapping.default" -> NameMapping.toJson(merged))
   }
 
   /** Register existing parquet files without rewriting them (ref:
@@ -416,10 +431,9 @@ class IceTable(
     * the transform must preserve order and transform(min) must equal
     * transform(max) — i.e. the file must hold exactly one partition. */
   def addFiles(paths: Seq[String], checkDuplicates: Boolean = true): Unit = {
-    if (!metadata.properties.contains("schema.name-mapping.default")) {
-      val json = schema.fields.map(f => s""""${f.name}": ${f.id}""").mkString("{", ", ", "}")
-      setProperties("schema.name-mapping.default" -> json)
-    }
+    if (!metadata.properties.contains("schema.name-mapping.default"))
+      setProperties("schema.name-mapping.default" ->
+        NameMapping.toJson(NameMapping.fromSchema(schema)))
     if (checkDuplicates) {
       val existing = new IceScan(this).planFiles().map(_.file.filePath).toSet
       val dups = paths.filter(existing)
@@ -838,25 +852,51 @@ class IceTable(
     }
 
     // manifest merge: when enabled and the data-manifest count passes the
-    // threshold, bin-pack them into one (ref: merge_append
-    // update/snapshot.py:532, _ManifestMergeManager :733;
-    // `commit.manifest-merge.enabled` + `commit.manifest.min-count-to-merge`)
+    // threshold, bin-pack them into TARGET-SIZE bins per spec (ref:
+    // merge_append update/snapshot.py:532, _ManifestMergeManager :733 —
+    // 8 MB default bins; `commit.manifest-merge.enabled` +
+    // `commit.manifest.min-count-to-merge` +
+    // `commit.manifest.target-size-bytes`). All-into-one would make the
+    // single merged manifest a sequential planning bottleneck at 100 TB;
+    // binned manifests keep planning parallel AND partition-prunable.
     val allManifests = newManifests ++ kept
     val merged: Seq[ManifestFile] =
       if (base.properties.get("commit.manifest-merge.enabled").contains("true") &&
           allManifests.count(_.content == 0) >=
             base.properties.getOrElse("commit.manifest.min-count-to-merge", "100").toInt) {
+        val targetSize = base.properties
+          .getOrElse("commit.manifest.target-size-bytes", (8L * 1024 * 1024).toString).toLong
         val (dataMs, deleteMs) = allManifests.partition(_.content == 0)
-        val entries = dataMs.flatMap { mf =>
-          val sp = base.specById(mf.partitionSpecId)
-          ManifestIO.readManifest(mf.manifestPath, sp, base.schema)
-            .filter(_.status != EntryStatus.Deleted)
-            .map(e => if (e.status == EntryStatus.Added && e.snapshotId != snapId)
-              e.copy(status = EntryStatus.Existing) else e)
-        }
-        val path = s"$metaDir/m-${UUID.randomUUID()}.avro"
-        val len = ManifestIO.writeManifest(path, entries, base.spec, base.schema)
-        manifestFileFor(path, len, base.spec, base.schema, entries, snapId, seq, 0) +: deleteMs
+        // per spec: merging across specs would rewrite entries under the
+        // wrong partition struct
+        val binned = dataMs.groupBy(_.partitionSpecId).toSeq.sortBy(_._1)
+          .flatMap { case (specId, ms) =>
+            val sp = base.specById(specId)
+            val bins = scala.collection.mutable.ArrayBuffer[Vector[ManifestFile]]()
+            var cur = Vector.empty[ManifestFile]
+            var curBytes = 0L
+            ms.foreach { m =>
+              if (cur.nonEmpty && curBytes + m.manifestLength > targetSize) {
+                bins += cur; cur = Vector.empty; curBytes = 0L
+              }
+              cur :+= m; curBytes += m.manifestLength
+            }
+            if (cur.nonEmpty) bins += cur
+            bins.flatMap {
+              case Vector(single) => Seq(single) // full bin of one: keep as-is
+              case bin =>
+                val entries = bin.flatMap { mf =>
+                  ManifestIO.readManifest(mf.manifestPath, sp, base.schema)
+                    .filter(_.status != EntryStatus.Deleted)
+                    .map(e => if (e.status == EntryStatus.Added && e.snapshotId != snapId)
+                      e.copy(status = EntryStatus.Existing) else e)
+                }
+                val path = s"$metaDir/m-${UUID.randomUUID()}.avro"
+                val len = ManifestIO.writeManifest(path, entries, sp, base.schema)
+                Seq(manifestFileFor(path, len, sp, base.schema, entries, snapId, seq, 0))
+            }
+          }
+        binned ++ deleteMs
       } else allManifests
 
     val listPath = s"$metaDir/snap-$snapId-${UUID.randomUUID()}.avro"

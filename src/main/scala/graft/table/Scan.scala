@@ -245,7 +245,7 @@ final class IceScan(
     // registered files (add_files) resolve by NAME MAPPING instead
     // (ref: io/pyarrow.py:1178 pyarrow_to_schema(…, name_mapping))
     def isExternal(p: String): Boolean = !PathUtil.underDataRoot(table.location, p)
-    val mapping = table.nameMapping
+    val mapping = table.nameMappingNested
 
     val (externalTasks, ownTasks) = tasks.partition(t => isExternal(t.file.filePath))
     val (plainTasks, deleteTasks) = ownTasks.partition(_.deletes.isEmpty)
@@ -272,14 +272,41 @@ final class IceScan(
     }
 
     /** name-mapped read: request columns under their mapped (registration
-      * time) names with NO id metadata, then alias back to current names. */
+      * time) names with NO id metadata, then alias back to current names —
+      * RECURSIVELY, so renamed struct leaves resolve too (ref
+      * name_mapping.py:73 MappedField nests). List/map element renames are
+      * out of scope (requested under current names). */
     def readExternal(taskSeq: Seq[FileScanTask]): DataFrame = {
-      val ext = org.apache.spark.sql.types.StructType(readSchema.fields.map { f =>
-        org.apache.spark.sql.types.StructField(
-          mapping.getOrElse(f.id, f.name), UuidCompat.readType(f.fieldType), nullable = true)
-      })
+      import org.apache.spark.sql.types.{StructField, StructType}
+      def mappedName(scope: Seq[MappedField], f: NestedField): String =
+        NameMapping.nameOf(scope, f.id).getOrElse(f.name)
+      // request type with registration-time names at every struct level
+      def extType(t: IceType, scope: Seq[MappedField]): org.apache.spark.sql.types.DataType =
+        t match {
+          case IStruct(fs) => StructType(fs.map(ch =>
+            StructField(mappedName(scope, ch),
+              extType(ch.fieldType, NameMapping.childScope(scope, ch.id)), nullable = true)))
+          case other => UuidCompat.readType(other)
+        }
+      // restore current names: primitives alias; structs rebuild member by
+      // member (null structs preserved — struct() of null children is not
+      // null by itself)
+      def restore(path: org.apache.spark.sql.Column, t: IceType,
+          scope: Seq[MappedField]): org.apache.spark.sql.Column = t match {
+        case IStruct(fs) =>
+          val members = fs.map { ch =>
+            restore(path.getField(mappedName(scope, ch)), ch.fieldType,
+              NameMapping.childScope(scope, ch.id)).as(ch.name)
+          }
+          when(path.isNotNull, struct(members: _*))
+        case _ => path
+      }
+      val ext = StructType(readSchema.fields.map(f =>
+        StructField(mappedName(mapping, f),
+          extType(f.fieldType, NameMapping.childScope(mapping, f.id)), nullable = true)))
       val cols = readSchema.fields.map(f =>
-        col(mapping.getOrElse(f.id, f.name)).as(f.name)) ++
+        restore(col(mappedName(mapping, f)), f.fieldType,
+          NameMapping.childScope(mapping, f.id)).as(f.name)) ++
         (if (keepFile) Seq(PathUtil.canonCol(col("_metadata.file_path")).as("__file")) else Nil)
       uuidNormalized(
         spark.read.schema(ext).parquet(taskSeq.map(_.file.filePath): _*)

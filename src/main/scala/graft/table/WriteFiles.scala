@@ -151,8 +151,17 @@ object WriteFiles {
     def sorted(d: DataFrame): DataFrame = sortOrder.filter(_.fields.nonEmpty) match {
       case Some(so) =>
         val cols = so.fields.map { f =>
-          val name = schema.byId(f.sourceId).name
-          if (f.direction == "desc") col(name).desc else col(name).asc
+          val field = schema.byId(f.sourceId)
+          // sort keys may be transforms (bucket/truncate/day/…) of the
+          // source column — evaluate the transform as a Spark Column so
+          // codegen orders rows by the TRANSFORMED value (ref sorting.py:136)
+          val key = f.transform.column(col(field.name), field.fieldType)
+          (f.direction, f.nullOrder) match {
+            case ("desc", "nulls-first") => key.desc_nulls_first
+            case ("desc", _) => key.desc_nulls_last
+            case (_, "nulls-last") => key.asc_nulls_last
+            case _ => key.asc_nulls_first
+          }
         }
         d.sortWithinPartitions(cols: _*)
       case None => d

@@ -304,6 +304,33 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("add_files resolves renamed NESTED struct leaves via name mapping") {
+    // external id-less file with a struct column under registration-time
+    // names; after renaming BOTH the struct and an inner leaf, the scan
+    // must still resolve the old file's values through the nested mapping
+    val dir = Files.createTempDirectory("graft-nested-ext").toString
+    val src = orders.limit(60).select(col("o_orderkey"),
+      struct(col("o_orderstatus").as("status"), col("o_totalprice").as("price")).as("info"))
+    src.coalesce(1).write.parquet(s"$dir/n")
+    val one = new java.io.File(s"$dir/n").listFiles()
+      .find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    val t = catalog.createTable("t_addf_nested", Schema.fromSpark(src.schema))
+    t.addFiles(Seq(one))
+    // the installed mapping is nested (spec JSON list format)
+    val mapped = t.nameMappingNested
+    assert(mapped.exists(m => m.names == Seq("info") && m.fields.nonEmpty))
+    t.updateSchema.renameColumn("info.price", "amount").commit()
+    t.updateSchema.renameColumn("info", "details").commit()
+    val df = t.scan.toDF
+    assert(df.columns.toSeq === Seq("o_orderkey", "details"))
+    assert(df.select(col("details.amount")).filter(col("amount").isNull).count() === 0,
+      "renamed nested leaf must resolve by its mapped name, not null-fill")
+    assert(df.agg(sum(col("details.amount"))).head.getDouble(0) ===
+      src.agg(sum(col("info.price"))).head.getDouble(0))
+    assert(df.select(col("details.status")).distinct().count() ===
+      src.select(col("info.status")).distinct().count())
+  }
+
   test("manifest merge bin-packs small manifests") {
     val t = catalog.createTable("t_merge", Schema.fromSpark(orders.schema))
     t.setProperties("commit.manifest-merge.enabled" -> "true",
@@ -316,6 +343,49 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     // sort order metadata
     t.replaceSortOrder("o_orderkey" -> "asc")
     assert(t.metadata.defaultSortOrderId === 1)
+  }
+
+  test("manifest merge respects target-size bins, not all-into-one") {
+    val t = catalog.createTable("t_merge_bins", Schema.fromSpark(orders.schema))
+    // tiny target: each append writes a ~2.6 KB manifest, so a 6 KB bin
+    // holds about two — many small manifests must merge to SEVERAL
+    // binned manifests, never one unbounded file (planning bottleneck)
+    t.setProperties("commit.manifest-merge.enabled" -> "true",
+      "commit.manifest.min-count-to-merge" -> "2",
+      "commit.manifest.target-size-bytes" -> "6000")
+    (0 until 8).foreach(i => t.append(orders.filter(col("o_orderkey") % 8 === i)))
+    val count = t.inspect.manifests().count()
+    assert(count > 1, s"expected multiple binned manifests, got $count")
+    assert(count < 8, s"expected merging to reduce manifest count, got $count")
+    assert(t.scan.toDF.count() === orders.count())
+    assert(t.scan.count() === orders.count())
+  }
+
+  test("sort order with transform keys round-trips and applies on write") {
+    val t = catalog.createTable("t_sort_tr", Schema.fromSpark(orders.schema))
+    t.replaceSortOrderTransformed(
+      ("o_orderdate", DayTransform, "asc"), ("o_orderkey", BucketTransform(8), "desc"))
+    // transform keys survive the metadata JSON round-trip
+    val reloaded = catalog.loadTable("t_sort_tr")
+    val so = reloaded.metadata.sortOrders
+      .find(_.orderId == reloaded.metadata.defaultSortOrderId).get
+    assert(so.fields.map(_.transform) === Seq(DayTransform, BucketTransform(8)))
+    reloaded.append(orders)
+    val tasks = reloaded.scan.planFiles()
+    assert(tasks.nonEmpty)
+    assert(tasks.forall(_.file.sortOrderId.contains(so.orderId)))
+    // within each written file, rows are ordered by the TRANSFORMED keys:
+    // day(o_orderdate) asc, then bucket8(o_orderkey) desc
+    tasks.map(_.file.filePath).foreach { fp =>
+      val keys = spark.read.parquet(fp)
+        .select(unix_date(DayTransform.column(col("o_orderdate"), ITimestamp)).as("d"),
+          BucketTransform(8).column(col("o_orderkey"), ILong).as("b"))
+        .collect().map(r => (r.getInt(0), -r.getInt(1))).toSeq
+      assert(keys === keys.sorted, s"file $fp not sorted by transformed keys")
+    }
+    // untransformed API still works on top (new order id)
+    reloaded.replaceSortOrder("o_orderkey" -> "asc")
+    assert(reloaded.metadata.defaultSortOrderId === so.orderId + 1)
   }
 
   test("transaction commits append+delete+properties atomically") {
