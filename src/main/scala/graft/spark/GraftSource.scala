@@ -151,8 +151,15 @@ class GraftScanBuilder(table: IceTable, snapshotId: Option[Long] = None)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** sources.Filter → engine predicate (may-match translation). */
-  private def toExpr(f: sources.Filter): Option[Expr] = f match {
+  private def toExpr(f: sources.Filter): Option[Expr] = GraftFilters.toExpr(f)
+
+  override def build(): Scan = new GraftScan(table, expr, required, limit, snapshotId)
+}
+
+object GraftFilters {
+  /** sources.Filter → engine predicate (may-match translation). Shared by
+    * compile-time pushdown and execution-time runtime filtering. */
+  def toExpr(f: sources.Filter): Option[Expr] = f match {
     case sources.EqualTo(a, v) => Some(Eq(a, v))
     case sources.GreaterThan(a, v) => Some(Gt(a, v))
     case sources.GreaterThanOrEqual(a, v) => Some(GtEq(a, v))
@@ -174,8 +181,6 @@ class GraftScanBuilder(table: IceTable, snapshotId: Option[Long] = None)
     case sources.Not(c) => toExpr(c).map(Not(_))
     case _ => None
   }
-
-  override def build(): Scan = new GraftScan(table, expr, required, limit, snapshotId)
 }
 
 /** A delete source applicable to one data file, resolved EXECUTOR-side by
@@ -224,17 +229,49 @@ final case class GraftInputPartition(
       * decodes, so Spark's no-mixing rule is untouched. */
     idBearing: Boolean = false) extends InputPartition
 
+object GraftScan {
+  /** Test seam: partition count of the last planInputPartitions in this
+    * JVM, and whether a runtime filter had been pushed by then. */
+  @volatile var lastPlannedPartitions: Int = -1
+  @volatile var lastRuntimeFiltered: Boolean = false
+}
+
 class GraftScan(table: IceTable, expr: Expr, required: StructType,
-    pushedLimit: Long = -1L, snapshotId: Option[Long] = None) extends Scan with Batch {
+    pushedLimit: Long = -1L, snapshotId: Option[Long] = None)
+    extends Scan with Batch with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
 
   override def toBatch: Batch = this
 
+  /** Runtime filtering (dynamic partition pruning): Spark re-plans this
+    * scan at EXECUTION time with e.g. the IN-set of join keys observed on
+    * a broadcast side — file planning (manifest → partition → stats
+    * pruning) then reruns against the tightened predicate, so a selective
+    * dimension join reads only matching partitions. Offered attributes are
+    * the partition-transform SOURCE columns: only those can prune files. */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val specSourceIds = table.metadata.partitionSpecs.flatMap(_.fields.map(_.sourceId)).distinct
+    specSourceIds.flatMap(id => table.schema.byId.get(id)).map(f =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(f.name)).toArray
+  }
+
+  @volatile private var runtimeExpr: Expr = AlwaysTrue
+
+  override def filter(filters: Array[sources.Filter]): Unit = {
+    val translated = filters.flatMap(GraftFilters.toExpr)
+    if (translated.nonEmpty)
+      runtimeExpr = translated.foldLeft(runtimeExpr)(And(_, _))
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val base = table.scan.filter(normalizeLiterals(expr))
+    val combined =
+      if (runtimeExpr == AlwaysTrue) expr else And(expr, runtimeExpr)
+    val base = table.scan.filter(normalizeLiterals(combined))
     val pinned = snapshotId.fold(base)(base.useSnapshot)
     val tasks = pinned.planFiles()
+    GraftScan.lastPlannedPartitions = tasks.size
+    GraftScan.lastRuntimeFiltered = runtimeExpr != AlwaysTrue
     // requested engine schema = snapshot-schema fields matching the pruned
     // columns (time travel projects with the schema as of that snapshot)
     val engineSchema = GraftSparkTable.schemaOf(table, snapshotId)

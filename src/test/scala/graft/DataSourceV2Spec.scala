@@ -240,6 +240,32 @@ class DataSourceV2Spec extends AnyFunSuite with BeforeAndAfterAll {
       orders.agg(sum(col("o_orderkey"))).head.getLong(0))
   }
 
+  test("runtime filtering prunes partitions under a selective broadcast join") {
+    val schema = Schema.fromSpark(orders.schema)
+    val t = catalog.createTable("o_v2_rtf", schema,
+      Spec.build(schema, 0, ("o_orderpriority", graft.core.IdentityTransform, "prio")))
+    t.append(orders)
+    val totalFiles = t.scan.planFiles().size
+    assert(totalFiles >= 3, s"need multiple partitions to observe pruning, got $totalFiles")
+    // dimension with a selective predicate the optimizer CANNOT propagate
+    // as a static literal (length() is not a pushable source filter) →
+    // dynamic partition pruning must inject the broadcast-observed join
+    // keys as a runtime IN filter into the v2 scan before re-planning
+    val dim = orders.select(col("o_orderpriority").as("prio")).distinct()
+      .filter(length(col("prio")) === 8)
+    val fact = loadV2("o_v2_rtf")
+    graft.spark.GraftScan.lastPlannedPartitions = -1
+    graft.spark.GraftScan.lastRuntimeFiltered = false
+    val joined = fact.join(broadcast(dim), fact("o_orderpriority") === dim("prio"))
+    val want = orders.filter(length(col("o_orderpriority")) === 8).count()
+    assert(joined.count() === want)
+    assert(graft.spark.GraftScan.lastRuntimeFiltered,
+      "expected Spark to push a runtime filter into the v2 scan")
+    assert(graft.spark.GraftScan.lastPlannedPartitions < totalFiles,
+      s"runtime filter should prune partitions: planned " +
+        s"${graft.spark.GraftScan.lastPlannedPartitions} of $totalFiles")
+  }
+
   test("sql over the v2 source") {
     spark.sql(
       s"""CREATE OR REPLACE TEMPORARY VIEW o_sql
