@@ -21,6 +21,13 @@ import graft.core.PathUtil
   */
 object Io {
 
+  /** Process-global, installed by each catalog constructor — LAST WRITER
+    * WINS. Two catalogs with different scheme/credential needs in one JVM
+    * will contaminate each other's driver-side metadata IO (ADVICE r5,
+    * accepted limitation: threading a per-catalog Configuration through
+    * every static Io/ManifestIO call site is out of proportion to the
+    * one-catalog-per-process deployment this targets). Executor-side
+    * paths are unaffected — they ship explicit confEntries. */
   @volatile var confFactory: () => Configuration = () => new Configuration()
   def conf: Configuration = confFactory()
 

@@ -186,9 +186,12 @@ class IceTable(
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schemaAt.toSpark)
     else {
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-      spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
-      spark.read.schema(schemaAt.toSpark).parquet(files.map(_.filePath): _*)
+      // confs ride a cloned session: the lazy result captures them at
+      // execution without mutating the caller's shared session
+      val rs = org.apache.spark.sql.GraftBridge.cloneSession(spark)
+      rs.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      rs.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+      rs.read.schema(schemaAt.toSpark).parquet(files.map(_.filePath): _*)
     }
   }
 
@@ -434,10 +437,37 @@ class IceTable(
     if (!metadata.properties.contains("schema.name-mapping.default"))
       setProperties("schema.name-mapping.default" ->
         NameMapping.toJson(NameMapping.fromSchema(schema)))
+    val planned = new IceScan(this).planFiles()
     if (checkDuplicates) {
-      val existing = new IceScan(this).planFiles().map(_.file.filePath).toSet
+      val existing = planned.map(_.file.filePath).toSet
       val dups = paths.filter(existing)
       require(dups.isEmpty, s"Files already referenced: ${dups.take(3).mkString(",")}")
+    }
+    // stale-delete guard (ADVICE r5): scan execution applies position
+    // deletes purely (path, pos)-keyed, so re-registering a path an older
+    // LIVE delete file still names would wrongly delete the new file's
+    // rows — the planner's sequence scoping excludes the delete for the
+    // re-added file, but the shared anti-join does not. Registration of
+    // such paths is rejected outright.
+    val liveDeletes = planned.flatMap(_.deletes).distinctBy(_.filePath)
+    if (liveDeletes.nonEmpty) {
+      val canonAdds = paths.map(PathUtil.canon).toSet
+      val dvHits = liveDeletes.flatMap(_.referencedDataFile)
+        .map(PathUtil.canon).filter(canonAdds)
+      require(dvHits.isEmpty,
+        s"Cannot add_files: ${dvHits.head} is referenced by a live deletion vector")
+      val posFiles = liveDeletes
+        .filter(d => d.content == FileContent.PositionDeletes && !d.isDeletionVector)
+        .map(_.filePath).distinct
+      if (posFiles.nonEmpty) {
+        val hits = spark.read.parquet(posFiles: _*)
+          .select(PathUtil.canonCol(col("file_path")).as("p")).distinct()
+          .filter(col("p").isInCollection(canonAdds))
+          .limit(1).collect()
+        require(hits.isEmpty,
+          s"Cannot add_files: ${hits.headOption.map(_.getString(0)).getOrElse("")} " +
+            "is named by a live position-delete file")
+      }
     }
     val colInfo = schema.leafColInfo
     // full (untruncated) bounds: identity partitions on long strings would

@@ -229,9 +229,13 @@ final class IceScan(
 
     // id-based resolution: requested columns are matched to parquet fields
     // by field-id (handles renames); ids absent from a file read as null
-    // (handles add_column over old files)
-    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+    // (handles add_column over old files). The confs ride a CLONED session
+    // so the returned LAZY DataFrame captures them at execution without
+    // ever touching (or racing on) the caller's shared session — the old
+    // approach set them sticky on the shared session (VERDICT r5 minor).
+    val rs = org.apache.spark.sql.GraftBridge.cloneSession(spark)
+    rs.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    rs.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
 
     // read ALL columns the filter or the projection needs, then project.
     // A filter on a NESTED field needs its top-level ancestor in the read
@@ -262,7 +266,7 @@ final class IceScan(
         metaCols.map(col): _*)
 
     def readFiles(paths: Seq[String], withMeta: Boolean): DataFrame = {
-      val base = spark.read.schema(UuidCompat.readSchema(readSchema)).parquet(paths: _*)
+      val base = rs.read.schema(UuidCompat.readSchema(readSchema)).parquet(paths: _*)
       if (withMeta)
         uuidNormalized(
           base.select(col("*"), PathUtil.canonCol(col("_metadata.file_path")).as("__file"),
@@ -309,7 +313,7 @@ final class IceScan(
           NameMapping.childScope(mapping, f.id)).as(f.name)) ++
         (if (keepFile) Seq(PathUtil.canonCol(col("_metadata.file_path")).as("__file")) else Nil)
       uuidNormalized(
-        spark.read.schema(ext).parquet(taskSeq.map(_.file.filePath): _*)
+        rs.read.schema(ext).parquet(taskSeq.map(_.file.filePath): _*)
           .select(cols: _*),
         if (keepFile) Seq("__file") else Nil)
     }

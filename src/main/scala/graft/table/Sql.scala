@@ -19,9 +19,15 @@ import graft.catalog.Catalog
   */
 object GraftSql {
 
-  /** Register the table's current snapshot as a temp view. */
+  /** Register the table's current snapshot as a temp view. The scan frame
+    * is re-bound to the TABLE's session first: scan DataFrames are built
+    * on a conf-carrying clone (Scan.toDFForTasks), and a view registered
+    * there would be invisible to `spark.sql` on the user's session. The
+    * underlying parquet relation keeps its creating session, so the
+    * field-id read confs still apply at execution. */
   def register(table: IceTable, viewName: String): Unit =
-    table.scan.toDF.createOrReplaceTempView(viewName)
+    org.apache.spark.sql.GraftBridge.onSession(table.spark, table.scan.toDF)
+      .createOrReplaceTempView(viewName)
 
   /** Register every table of a catalog warehouse directory. */
   def registerAll(catalog: Catalog, names: Seq[String]): Unit =

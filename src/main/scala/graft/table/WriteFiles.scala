@@ -67,7 +67,13 @@ object WriteFiles {
     * Only valid around EAGER actions: a lazy DataFrame captures confs at
     * execution time, which would be after the restore (this is why the
     * scan-side fieldId.read confs stay sticky — the returned DataFrame
-    * outlives any scope we could put here). */
+    * outlives any scope we could put here).
+    *
+    * Concurrency: the set-restore window is visible to other threads on
+    * the same session. The WRITE path therefore uses a cloned session
+    * (see `write`) — misread write confs corrupt files durably. The
+    * remaining users scope READ confs (fieldId.read) whose worst foreign
+    * effect is a transiently id-aware parquet read. */
   def withScopedConfs[T](spark: SparkSession, kvs: (String, String)*)(body: => T): T = {
     val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }
@@ -87,7 +93,16 @@ object WriteFiles {
         throw new IllegalArgumentException(
           s"Input is missing table column '${f.name}'; input has ${df.schema.fieldNames.mkString(", ")}"))
       val target = f.fieldType.toSpark
-      val c = if (src.dataType == target) col(f.name) else col(f.name).cast(target)
+      val base = if (src.dataType == target) col(f.name) else col(f.name).cast(target)
+      // uuid columns store the CANONICAL lowercase form: predicates bind
+      // uuid literals lowercased (Expressions.scala Binder), and metadata
+      // bounds canonicalize through Conversions — an uppercase stored
+      // string would pass pruning yet miss the row filter (the reference's
+      // fixed[16] layout is canonical by construction, io/pyarrow.py:2145)
+      val c = f.fieldType match {
+        case IUUID => lower(base)
+        case _ => base
+      }
       c.as(f.name, SchemaConv.toSparkField(f).metadata)
     }
     df.select(cols: _*)
@@ -183,14 +198,20 @@ object WriteFiles {
         math.max(1000L, targetBytes / rowBytes)
       }
 
-    // parquet physical settings the stats harvest + id-resolution rely on,
-    // scoped to this (eager) write so the shared session is unchanged
-    withScopedConfs(spark,
-      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
-      "spark.sql.parquet.fieldId.write.enabled" -> "true",
-      "spark.sql.files.maxRecordsPerFile" -> maxRecords.toString) {
+    // parquet physical settings the stats harvest + id-resolution rely on
+    // run on a CLONED session: concurrent operations on the shared session
+    // can never observe them, where a set-restore window could let another
+    // thread's write land field-id-less files under the data root
+    // (ADVICE r5). The clone shares the SparkContext; only session state
+    // (confs) is copied.
+    val ws = org.apache.spark.sql.GraftBridge.cloneSession(spark)
+    ws.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    ws.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    ws.conf.set("spark.sql.files.maxRecordsPerFile", maxRecords.toString)
+    def onWs(d: DataFrame): DataFrame = org.apache.spark.sql.GraftBridge.onSession(ws, d)
+    locally {
       if (spec.isUnpartitioned) {
-        sorted(aligned).write.mode("overwrite").parquet(stageDir)
+        onWs(sorted(aligned)).write.mode("overwrite").parquet(stageDir)
       } else {
         val partCols = spec.fields.map { pf =>
           val src = schema.byId(pf.sourceId)
@@ -221,7 +242,7 @@ object WriteFiles {
         else withParts
         val repartKeys = spec.fields.map(pf => col(SyntheticPrefix + pf.name)) ++
           (if (saltBuckets > 1) Seq(col(saltCol)) else Nil)
-        sorted(salted.repartition(writeTasks, repartKeys: _*).drop(saltCol))
+        onWs(sorted(salted.repartition(writeTasks, repartKeys: _*).drop(saltCol)))
           .write.mode("overwrite")
           .partitionBy(spec.fields.map(pf => SyntheticPrefix + pf.name): _*)
           .parquet(stageDir)

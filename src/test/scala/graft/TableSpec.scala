@@ -304,6 +304,66 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("scans leave the shared session confs untouched") {
+    val t = catalog.createTable("t_conf_scan", Schema.fromSpark(orders.schema))
+    t.append(orders.limit(800))
+    val snap1 = t.metadata.currentSnapshotId.get
+    t.append(orders.limit(1000).filter(col("o_orderkey") > 800))
+    // getOption reports registered defaults — capture and compare values
+    val keys = Seq("spark.sql.parquet.fieldId.read.enabled",
+      "spark.sql.parquet.fieldId.read.ignoreMissing")
+    val before = keys.map(k => k -> spark.conf.getOption(k))
+    assert(before.forall(_._2 != Some("true")), s"precondition: $before")
+    assert(t.scan.toDF.count() > 0)
+    assert(t.incrementalAppendScan(snap1, t.metadata.currentSnapshotId.get).count() > 0)
+    // read confs rode cloned sessions; the user's session is still clean
+    val after = keys.map(k => k -> spark.conf.getOption(k))
+    assert(after === before,
+      s"scan must not leak fieldId.read confs into the shared session: $after")
+  }
+
+  test("writes carry parquet confs on a cloned session, not the shared one") {
+    // hostile session state: field-id writing OFF, INT96 timestamps — the
+    // write must still land id-bearing TIMESTAMP_MICROS files (cloned
+    // session), and the shared session keeps the user's settings untouched
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try {
+      val t = catalog.createTable("t_conf_iso", Schema.fromSpark(orders.schema))
+      t.append(orders.limit(500))
+      assert(spark.conf.get("spark.sql.parquet.fieldId.write.enabled") === "false")
+      assert(spark.conf.get("spark.sql.parquet.outputTimestampType") === "INT96")
+      // field ids present: a rename resolves old files by id, not name
+      t.updateSchema.renameColumn("o_orderstatus", "status").commit()
+      assert(t.scan.toDF.filter(col("status").isNotNull).count() === 500)
+    } finally {
+      spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+      spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+  }
+
+  test("add_files rejects paths named by live position deletes or DVs") {
+    // scan execution applies position deletes (path, pos)-keyed; a path
+    // re-registered after deletion would wrongly lose rows — registration
+    // must refuse while a live delete still names the path
+    val t = catalog.createTable("t_addf_guard", Schema.fromSpark(orders.schema))
+    t.append(orders)
+    t.deletePositional("o_orderkey <= 300")
+    val dataPath = t.scan.planFiles().head.file.filePath
+    val e1 = intercept[IllegalArgumentException](
+      t.addFiles(Seq(dataPath), checkDuplicates = false))
+    assert(e1.getMessage.contains("position-delete"))
+
+    val tv = catalog.createTable("t_addf_guard_dv", Schema.fromSpark(orders.schema))
+    tv.upgradeFormatVersion(3)
+    tv.append(orders)
+    tv.deleteAsDeletionVector("o_orderkey <= 300")
+    val dvData = tv.scan.planFiles().head.file.filePath
+    val e2 = intercept[IllegalArgumentException](
+      tv.addFiles(Seq(dvData), checkDuplicates = false))
+    assert(e2.getMessage.contains("deletion vector"))
+  }
+
   test("add_files resolves renamed NESTED struct leaves via name mapping") {
     // external id-less file with a struct column under registration-time
     // names; after renaming BOTH the struct and an inner leaf, the scan

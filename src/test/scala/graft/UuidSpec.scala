@@ -99,6 +99,20 @@ class UuidSpec extends AnyFunSuite with BeforeAndAfterAll {
       uuids.map(_.toString))
   }
 
+  test("uppercase uuid input canonicalizes on write so filters match") {
+    val t = catalog.createTable("uuid_case", tableSchema)
+    val df = spark.createDataFrame(
+      uuids.zipWithIndex.map { case (u, i) => (i + 1, u.toString.toUpperCase) })
+      .toDF("id", "u")
+    t.append(df)
+    // stored form is canonical lowercase, so bound (lowercased) literals
+    // match rows — not just pruning bounds (ADVICE r5)
+    val rows = t.scan.toDF.orderBy(col("id")).collect()
+    assert(rows.map(_.getString(1)).toSeq === uuids.map(_.toString))
+    assert(t.scan(s"u = '${uuids(3)}'").toDF.count() === 1)
+    assert(t.scan(s"u = '${uuids(3).toString.toUpperCase}'").toDF.count() === 1)
+  }
+
   test("uuid inside a struct normalizes through the nested read path") {
     val nested = Schema(Seq(
       NestedField(1, "id", IInt, required = true),
