@@ -277,6 +277,38 @@ object Iceberg {
       |WHERE c_acctbal > 5000.0 AND c_acctbal <= 9000.0 AND c_mktsegment = 'BUILDING'
       |ORDER BY c_custkey""".stripMargin
 
+  private val sqlCatSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** J. The full SQL face through the TableCatalog plugin: CTAS, DELETE
+    * FROM, INSERT INTO, and an aggregating SELECT — pure `spark.sql`, no
+    * library calls (ref exposes these only via its Python API,
+    * catalog/__init__.py Catalog ABC). A unique catalog name per run
+    * sidesteps Spark's per-name catalog-instance cache. */
+  def sqlCatalogDml(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val cat = s"gsql${sqlCatSeq.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      Files.createTempDirectory("graft_sqlcat").toString)
+    orders.createOrReplaceTempView("graft_sqlcat_src")
+    s.sql(s"CREATE TABLE $cat.db.orders PARTITIONED BY (o_orderstatus) " +
+      "AS SELECT * FROM graft_sqlcat_src")
+    s.sql(s"DELETE FROM $cat.db.orders WHERE o_orderstatus = 'F'")
+    s.sql(s"INSERT INTO $cat.db.orders SELECT * FROM graft_sqlcat_src " +
+      "WHERE o_orderstatus = 'F' AND o_totalprice > 200000.0")
+    s.sql(s"""SELECT o_orderstatus, count(*) AS cnt,
+      |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      |FROM $cat.db.orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+  val sqlCatalogDmlSql =
+    """WITH t AS (
+      |  SELECT * FROM orders WHERE o_orderstatus <> 'F'
+      |  UNION ALL
+      |  SELECT * FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 200000.0)
+      |SELECT o_orderstatus, count(*) AS cnt,
+      |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      |FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** A. metadata-only count (residual-free files never read). */
   def metadataCount(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -452,6 +484,7 @@ object Iceberg {
     "ice_deletion_vectors" -> (deletionVectors _),
     "ice_equality_deletes" -> (equalityDeletes _),
     "ice_dsv2_scan" -> (dsv2Scan _),
+    "ice_sql_catalog_dml" -> (sqlCatalogDml _),
     "ice_transform_predicate" -> (transformPredicate _),
     "ice_metadata_count" -> (metadataCount _),
     "ice_transform_count" -> (transformCount _),
@@ -480,6 +513,7 @@ object Iceberg {
     "ice_deletion_vectors" -> deletionVectorsSql,
     "ice_equality_deletes" -> equalityDeletesSql,
     "ice_dsv2_scan" -> dsv2ScanSql,
+    "ice_sql_catalog_dml" -> sqlCatalogDmlSql,
     "ice_transform_predicate" -> transformPredicateSql,
     "ice_metadata_count" -> metadataCountSql,
     "ice_transform_count" -> transformCountSql,

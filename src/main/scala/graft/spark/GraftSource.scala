@@ -116,13 +116,195 @@ object GraftSparkTable {
 }
 
 class GraftSparkTable(table: IceTable, snapshotId: Option[Long] = None)
-    extends SparkTable with SupportsRead {
+    extends SparkTable with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = table.name
   override def schema(): StructType = GraftSparkTable.schemaOf(table, snapshotId).toSpark
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(table, snapshotId)
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(snapshotId.isEmpty, "Cannot write to a time-travel (pinned-snapshot) table")
+    new GraftWriteBuilder(table)
+  }
+
+  /** `DELETE FROM … WHERE` — only when the whole predicate translates
+    * EXACTLY (a weakened predicate would delete extra rows); Spark falls
+    * back to an error otherwise (no row-level-operation rewrite here). */
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    snapshotId.isEmpty && filters.forall(f => GraftFilters.toExprExact(f).isDefined)
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    val expr = filters.flatMap(GraftFilters.toExprExact)
+      .foldLeft(AlwaysTrue: Expr)(And(_, _))
+    table.refresh()
+    table.delete(GraftFilters.normalizeLiterals(expr))
+  }
+}
+
+/** DSv2 write face: Spark plans the write (INSERT INTO / INSERT OVERWRITE /
+  * df.writeTo.append — the analyzer has already aligned and cast the query
+  * to the table schema), and the V1 fallback hands the rows back as a
+  * DataFrame, which flows through the library's full write path: fan-out
+  * shuffle on partition transforms, field-id parquet, footer-stats harvest,
+  * manifest merge, conflict-checked optimistic commit. A native DataWriter
+  * would have to re-implement exactly that machinery per-task — the V1
+  * bridge reuses it verbatim (write modes mirror _FastAppendFiles /
+  * _OverwriteFiles, ref update/snapshot.py:503/:585). */
+class GraftWriteBuilder(table: IceTable)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate
+    with org.apache.spark.sql.connector.write.SupportsOverwrite
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+  import org.apache.spark.sql.connector.write.{V1Write, Write, WriteBuilder}
+
+  private sealed trait Mode
+  private case object AppendMode extends Mode
+  private case class OverwriteMode(filter: Expr) extends Mode
+  private case object DynamicMode extends Mode
+
+  private var mode: Mode = AppendMode
+
+  override def truncate(): WriteBuilder = { mode = OverwriteMode(AlwaysTrue); this }
+
+  override def canOverwrite(filters: Array[sources.Filter]): Boolean =
+    filters.forall(f => GraftFilters.toExprExact(f).isDefined)
+
+  override def overwrite(filters: Array[sources.Filter]): WriteBuilder = {
+    val expr = filters.flatMap(GraftFilters.toExprExact)
+      .foldLeft(AlwaysTrue: Expr)(And(_, _))
+    mode = OverwriteMode(GraftFilters.normalizeLiterals(expr))
+    this
+  }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = { mode = DynamicMode; this }
+
+  override def build(): Write = mode match {
+    // Spark has no V1 fallback for OverwritePartitionsDynamicExec, so
+    // dynamic overwrite is a real BatchWrite (staged executor-side files)
+    case DynamicMode => new GraftDynamicOverwriteWrite(table)
+    case _ => new V1Write {
+      override def toInsertableRelation: sources.InsertableRelation =
+        (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+          // align by POSITION: the analyzer guarantees positional
+          // compatibility; names may differ (INSERT INTO SELECT aliases)
+          table.refresh()
+          val named = data.toDF(table.schema.fields.map(_.name): _*)
+          mode match {
+            case AppendMode => table.append(named)
+            case OverwriteMode(f) => table.overwrite(named, f)
+            case DynamicMode => throw new IllegalStateException("unreachable")
+          }
+        }
+    }
+  }
+}
+
+/** Dynamic INSERT OVERWRITE as a native DSv2 BatchWrite: each task stages
+  * the query output as ONE field-id parquet file (Spark's
+  * ParquetWriteSupport over InternalRow — executor-side, parallel, no
+  * driver materialization), then commit() routes the staged rows through
+  * IceTable.dynamicPartitionOverwrite, which re-applies the partition
+  * fan-out shuffle, conflict filter and optimistic commit. Only committed
+  * tasks' files are read (speculative duplicates are ignored); staging is
+  * removed on commit AND abort. The staging hop costs one extra
+  * materialization — the price of Spark not offering a V1 bridge here. */
+class GraftDynamicOverwriteWrite(table: IceTable)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  private val stagingDir =
+    s"${table.location}/staging/dyn-${java.util.UUID.randomUUID()}"
+  private val tableStruct: StructType = table.schema.toSpark
+
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftStagingWriterFactory(stagingDir, tableStruct.json,
+      graft.meta.Io.confEntries(table.spark))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect { case StagedFileMessage(p) => p }
+    try {
+      if (files.nonEmpty) {
+        val df = table.spark.read.schema(tableStruct).parquet(files.toIndexedSeq: _*)
+        table.refresh()
+        table.dynamicPartitionOverwrite(df)
+      } // empty source → dynamic overwrite touches no partitions: no-op
+    } finally cleanup()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = cleanup()
+
+  private def cleanup(): Unit =
+    try graft.meta.Io.delete(stagingDir, recursive = true) catch { case _: Exception => () }
+}
+
+final case class StagedFileMessage(path: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class GraftStagingWriterFactory(dir: String, schemaJson: String,
+    confEntries: Array[(String, String)])
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new GraftStagingWriter(dir, schemaJson, partitionId, taskId, confEntries)
+}
+
+/** One staged parquet file per task, written with Spark's own
+  * ParquetWriteSupport (same encoder the DataFrame writer uses: micros
+  * timestamps, field ids, non-legacy layout). */
+class GraftStagingWriter(dir: String, schemaJson: String, partitionId: Int,
+    taskId: Long, confEntries: Array[(String, String)])
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+
+  private val path = s"$dir/stage-$partitionId-$taskId-${java.util.UUID.randomUUID()}.parquet"
+
+  private val writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = {
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val conf = graft.meta.Io.confFrom(confEntries)
+    ParquetWriteSupport.setSchema(schema, conf)
+    conf.set("spark.sql.parquet.writeLegacyFormat", "false")
+    conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+    conf.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+    conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
+    conf.set("spark.sql.session.timeZone", "UTC")
+    new org.apache.parquet.hadoop.ParquetWriter[InternalRow](
+      new Path(path), new ParquetWriteSupport,
+      org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY,
+      org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE,
+      org.apache.parquet.hadoop.ParquetWriter.DEFAULT_PAGE_SIZE,
+      org.apache.parquet.hadoop.ParquetWriter.DEFAULT_PAGE_SIZE,
+      org.apache.parquet.hadoop.ParquetWriter.DEFAULT_IS_DICTIONARY_ENABLED,
+      false,
+      org.apache.parquet.hadoop.ParquetWriter.DEFAULT_WRITER_VERSION,
+      conf)
+  }
+
+  override def write(row: InternalRow): Unit = writer.write(row)
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    writer.close()
+    StagedFileMessage(path)
+  }
+
+  override def abort(): Unit = {
+    try writer.close() catch { case _: Exception => () }
+    try graft.meta.Io.delete(path) catch { case _: Exception => () }
+  }
+
+  override def close(): Unit = ()
 }
 
 class GraftScanBuilder(table: IceTable, snapshotId: Option[Long] = None)
@@ -157,6 +339,34 @@ class GraftScanBuilder(table: IceTable, snapshotId: Option[Long] = None)
 }
 
 object GraftFilters {
+  /** Spark pushes java.sql/LocalDate/Timestamp literals; flatten to types
+    * the binder coerces. */
+  def normalizeLiterals(e: Expr): Expr = {
+    def norm(v: Any): Any = v match {
+      case d: java.sql.Date => d.toLocalDate.toString
+      case d: java.time.LocalDate => d.toString
+      case t: java.sql.Timestamp =>
+        t.toInstant.toEpochMilli * 1000L + (t.getNanos % 1000000) / 1000
+      case i: java.time.Instant => i.toEpochMilli * 1000L
+      case b: java.math.BigDecimal => b
+      case other => other
+    }
+    e match {
+      case And(l, r) => And(normalizeLiterals(l), normalizeLiterals(r))
+      case Or(l, r) => Or(normalizeLiterals(l), normalizeLiterals(r))
+      case Not(c) => Not(normalizeLiterals(c))
+      case Eq(a, v, t) => Eq(a, norm(v), t)
+      case NotEq(a, v, t) => NotEq(a, norm(v), t)
+      case Lt(a, v, t) => Lt(a, norm(v), t)
+      case LtEq(a, v, t) => LtEq(a, norm(v), t)
+      case Gt(a, v, t) => Gt(a, norm(v), t)
+      case GtEq(a, v, t) => GtEq(a, norm(v), t)
+      case In(a, vs, t) => In(a, vs.map(norm), t)
+      case NotIn(a, vs, t) => NotIn(a, vs.map(norm), t)
+      case other => other
+    }
+  }
+
   /** sources.Filter → engine predicate (may-match translation). Shared by
     * compile-time pushdown and execution-time runtime filtering. */
   def toExpr(f: sources.Filter): Option[Expr] = f match {
@@ -180,6 +390,20 @@ object GraftFilters {
       for { a <- toExpr(l); b <- toExpr(r) } yield Or(a, b)
     case sources.Not(c) => toExpr(c).map(Not(_))
     case _ => None
+  }
+
+  /** EXACT translation for row-mutating paths (DELETE WHERE, OVERWRITE by
+    * filter): unlike [[toExpr]], a partially-translatable AND returns None —
+    * a weakened predicate would delete MORE rows than the query asked. */
+  def toExprExact(f: sources.Filter): Option[Expr] = f match {
+    case sources.And(l, r) =>
+      for { a <- toExprExact(l); b <- toExprExact(r) } yield And(a, b)
+    case sources.Or(l, r) =>
+      for { a <- toExprExact(l); b <- toExprExact(r) } yield Or(a, b)
+    case sources.Not(c) => toExprExact(c).map(Not(_))
+    case sources.EqualNullSafe(a, v) =>
+      Some(if (v == null) IsNull(a) else Eq(a, v)) // Eq never matches null
+    case leaf => toExpr(leaf)
   }
 }
 
@@ -314,33 +538,7 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
     }.toArray
   }
 
-  /** Spark pushes java.sql/LocalDate/Timestamp literals; flatten to types
-    * the binder coerces. */
-  private def normalizeLiterals(e: Expr): Expr = {
-    def norm(v: Any): Any = v match {
-      case d: java.sql.Date => d.toLocalDate.toString
-      case d: java.time.LocalDate => d.toString
-      case t: java.sql.Timestamp =>
-        t.toInstant.toEpochMilli * 1000L + (t.getNanos % 1000000) / 1000
-      case i: java.time.Instant => i.toEpochMilli * 1000L
-      case b: java.math.BigDecimal => b
-      case other => other
-    }
-    e match {
-      case And(l, r) => And(normalizeLiterals(l), normalizeLiterals(r))
-      case Or(l, r) => Or(normalizeLiterals(l), normalizeLiterals(r))
-      case Not(c) => Not(normalizeLiterals(c))
-      case Eq(a, v, t) => Eq(a, norm(v), t)
-      case NotEq(a, v, t) => NotEq(a, norm(v), t)
-      case Lt(a, v, t) => Lt(a, norm(v), t)
-      case LtEq(a, v, t) => LtEq(a, norm(v), t)
-      case Gt(a, v, t) => Gt(a, norm(v), t)
-      case GtEq(a, v, t) => GtEq(a, norm(v), t)
-      case In(a, vs, t) => In(a, vs.map(norm), t)
-      case NotIn(a, vs, t) => NotIn(a, vs.map(norm), t)
-      case other => other
-    }
-  }
+  private def normalizeLiterals(e: Expr): Expr = GraftFilters.normalizeLiterals(e)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(GraftReaderFactory.sessionConfEntries(table.spark))

@@ -1,0 +1,176 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.HadoopCatalog
+
+/** The Spark TableCatalog plugin: full SQL DDL/DML against a graft
+  * catalog — CREATE/ALTER/DROP TABLE, INSERT INTO/OVERWRITE, DELETE FROM,
+  * VERSION/TIMESTAMP AS OF, namespaces. */
+class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val warehouse: String = Files.createTempDirectory("gcat-wh").toString
+
+  override def beforeAll(): Unit = {
+    // catalog plugins resolve lazily per name, so runtime conf works even
+    // on a shared session
+    spark.conf.set("spark.sql.catalog.g", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.g.warehouse", warehouse)
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  def orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+
+  test("CREATE TABLE + INSERT INTO + SELECT round-trips") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("""CREATE TABLE g.db.orders (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING)
+      PARTITIONED BY (o_orderstatus)""")
+    orders.createOrReplaceTempView("orders_src")
+    spark.sql("INSERT INTO g.db.orders SELECT * FROM orders_src")
+    assert(spark.sql("SELECT * FROM g.db.orders").count() === orders.count())
+    // engine-side: the table is identity-partitioned and committed
+    val t = new HadoopCatalog(warehouse, spark).loadTable("db.orders")
+    assert(t.spec.fields.map(_.name) === Seq("o_orderstatus"))
+    assert(t.metadata.snapshots.size === 1)
+    // values round-trip through write+read
+    val a = spark.sql("SELECT * FROM g.db.orders ORDER BY o_orderkey")
+      .collect().map(_.toString).toSeq
+    val b = orders.orderBy(col("o_orderkey")).collect().map(_.toString).toSeq
+    assert(a === b)
+  }
+
+  test("partition transforms in PARTITIONED BY map to engine transforms") {
+    spark.sql("""CREATE TABLE g.db.ev (
+        event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE)
+      PARTITIONED BY (days(ts), bucket(8, user_id))""")
+    val t = new HadoopCatalog(warehouse, spark).loadTable("db.ev")
+    assert(t.spec.fields.map(f => (f.name, f.transform)) ===
+      Seq(("ts_day", graft.core.DayTransform),
+        ("user_id_bucket", graft.core.BucketTransform(8))))
+    spark.sql("DROP TABLE g.db.ev")
+  }
+
+  test("filtered SELECT prunes partitions through the catalog table") {
+    val df = spark.sql("SELECT * FROM g.db.orders WHERE o_orderstatus = 'F'")
+    val want = orders.filter(col("o_orderstatus") === "F").count()
+    assert(df.count() === want)
+  }
+
+  test("DELETE FROM removes matching rows") {
+    spark.sql("DELETE FROM g.db.orders WHERE o_orderstatus = 'F'")
+    assert(spark.sql("SELECT * FROM g.db.orders WHERE o_orderstatus = 'F'").count() === 0L)
+    val remaining = orders.filter(col("o_orderstatus") =!= "F").count()
+    assert(spark.sql("SELECT * FROM g.db.orders").count() === remaining)
+  }
+
+  test("VERSION AS OF and TIMESTAMP AS OF read older snapshots") {
+    val t = new HadoopCatalog(warehouse, spark).loadTable("db.orders")
+    val snaps = t.metadata.snapshots.sortBy(_.timestampMs)
+    assert(snaps.size === 2) // insert, delete
+    val first = snaps.head
+    assert(spark.sql(s"SELECT * FROM g.db.orders VERSION AS OF ${first.snapshotId}")
+      .count() === orders.count())
+    // a tag resolves as a version string too
+    t.manageSnapshots.createTag("pre-delete", first.snapshotId)
+    assert(spark.sql("SELECT * FROM g.db.orders VERSION AS OF 'pre-delete'")
+      .count() === orders.count())
+    // timestamp pin: just after the first commit
+    val tsExpr = s"TIMESTAMP'${new java.sql.Timestamp(first.timestampMs)}'"
+    assert(spark.sql(s"SELECT * FROM g.db.orders TIMESTAMP AS OF $tsExpr")
+      .count() === orders.count())
+  }
+
+  test("INSERT OVERWRITE truncates then writes (static mode)") {
+    spark.sql("""CREATE TABLE g.db.small (k BIGINT, v STRING)""")
+    spark.sql("INSERT INTO g.db.small VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT OVERWRITE g.db.small VALUES (3, 'c')")
+    val rows = spark.sql("SELECT k, v FROM g.db.small").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSet === Set((3L, "c")))
+  }
+
+  test("dynamic partition overwrite replaces only touched partitions") {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.sql("""CREATE TABLE g.db.dyn (k BIGINT, p STRING) PARTITIONED BY (p)""")
+      spark.sql("INSERT INTO g.db.dyn VALUES (1, 'x'), (2, 'y')")
+      spark.sql("INSERT OVERWRITE g.db.dyn VALUES (9, 'x')")
+      val rows = spark.sql("SELECT k, p FROM g.db.dyn").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows === Set((9L, "x"), (2L, "y"))) // 'y' untouched
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+  }
+
+  test("ALTER TABLE: columns and properties evolve the schema") {
+    spark.sql("ALTER TABLE g.db.small ADD COLUMN note STRING")
+    spark.sql("ALTER TABLE g.db.small RENAME COLUMN v TO val")
+    spark.sql("ALTER TABLE g.db.small SET TBLPROPERTIES ('owner.team' = 'data')")
+    val t = new HadoopCatalog(warehouse, spark).loadTable("db.small")
+    assert(t.schema.fields.map(_.name) === Seq("k", "val", "note"))
+    assert(t.metadata.properties("owner.team") === "data")
+    // old rows read with null-filled new column and renamed projection
+    val r = spark.sql("SELECT k, val, note FROM g.db.small").collect()
+    assert(r.map(_.getLong(0)).toSet === Set(3L))
+    assert(r.forall(_.isNullAt(2)))
+    spark.sql("ALTER TABLE g.db.small DROP COLUMN note")
+    assert(new HadoopCatalog(warehouse, spark).loadTable("db.small")
+      .schema.fields.map(_.name) === Seq("k", "val"))
+  }
+
+  test("CTAS creates and populates in one statement") {
+    spark.sql("""CREATE TABLE g.db.ctas AS
+      SELECT o_orderkey AS k, o_totalprice AS price FROM g.db.orders""")
+    assert(spark.sql("SELECT * FROM g.db.ctas").count() ===
+      spark.sql("SELECT * FROM g.db.orders").count())
+  }
+
+  test("SHOW TABLES / DROP TABLE / namespaces") {
+    val names = spark.sql("SHOW TABLES IN g.db").collect().map(_.getString(1)).toSet
+    assert(Set("orders", "small", "dyn", "ctas").subsetOf(names))
+    spark.sql("DROP TABLE g.db.ctas")
+    assert(!spark.sql("SHOW TABLES IN g.db").collect().map(_.getString(1))
+      .contains("ctas"))
+    spark.sql("CREATE NAMESPACE g.tmpns")
+    assert(spark.sql("SHOW NAMESPACES IN g").collect().map(_.getString(0))
+      .contains("tmpns"))
+    spark.sql("DROP NAMESPACE g.tmpns")
+  }
+
+  test("writes to a time-travel pin are rejected") {
+    val t = new HadoopCatalog(warehouse, spark).loadTable("db.orders")
+    val first = t.metadata.snapshots.minBy(_.timestampMs)
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO g.db.orders VERSION AS OF ${first.snapshotId} VALUES " +
+        "(1, 1, 'O', 1.0, TIMESTAMP'2020-01-01', 'x')")
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("SqlCatalog routing via uri option") {
+    val dbDir = Files.createTempDirectory("gcat-jdbc").toString
+    val wh2 = Files.createTempDirectory("gcat-wh2").toString
+    spark.conf.set("spark.sql.catalog.gj", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gj.warehouse", wh2)
+    spark.conf.set("spark.sql.catalog.gj.uri", s"jdbc:derby:$dbDir/meta;create=true")
+    spark.sql("CREATE TABLE gj.t1 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gj.t1 VALUES (7, 'z')")
+    assert(spark.sql("SELECT k FROM gj.t1").collect().map(_.getLong(0)).toSeq === Seq(7L))
+    // the entry lives in the JDBC metastore, not a version-hint file
+    val sql = new graft.catalog.SqlCatalog(s"jdbc:derby:$dbDir/meta", wh2, spark)
+    assert(sql.tableExists("t1"))
+  }
+}
