@@ -5,6 +5,7 @@ import java.util.UUID
 import graft.core.Schema
 import graft.meta._
 import graft.table.IceTable
+import graft.view.{SqlViewRepresentation, View, ViewHistoryEntry, ViewMetadata, ViewMetadataJson, ViewVersion}
 import org.apache.spark.sql.SparkSession
 
 /** Catalog surface (ref: pyiceberg/catalog/__init__.py:347 Catalog ABC —
@@ -57,6 +58,94 @@ trait Catalog {
 
   /** Remove the catalog ENTRY only (rename support) — never data files. */
   protected def forgetTable(name: String): Unit
+
+  // ---- views (ref: catalog ABC view surface — create_view
+  // catalog/__init__.py:723, view_exists :476, list_views :638, load_view
+  // :652, register_view :696, drop_view :712; metadata model
+  // pyiceberg/view/metadata.py; the reference ships these only on its REST
+  // backend — here all three catalogs implement them) --------------------
+
+  /** Current view-metadata file location (None = no such view). */
+  protected def viewLocation(name: String): Option[String]
+  /** CAS-store view metadata: `expected` is the prior metadata location
+    * (None = create). Returns the new location; throws
+    * [[CommitConflictException]] when a concurrent committer won. */
+  protected def storeView(name: String, version: Int, expected: Option[String],
+      json: String, location: String): String
+  /** Adopt an EXISTING metadata file as a new view entry (register). */
+  protected def linkView(name: String, metadataLocation: String): Unit
+  /** Remove the view ENTRY only. */
+  protected def forgetView(name: String): Unit
+  def listViews(ns: String = ""): Seq[String]
+
+  def viewExists(name: String): Boolean = viewLocation(name).isDefined
+
+  def loadView(name: String): View = {
+    val loc = viewLocation(name).getOrElse(
+      throw new IllegalArgumentException(s"View $name not found"))
+    new View(name, ViewMetadataJson.fromJson(new String(Io.readBytes(loc), "UTF-8")), loc)
+  }
+
+  /** ref create_view :723 (REST impl rest/__init__.py:972): version 1,
+    * one SQL representation, the view's namespace as the default. */
+  def createView(name: String, schema: Schema, sql: String,
+      dialect: String = "spark",
+      properties: Map[String, String] = Map.empty): View = {
+    require(!viewExists(name), s"View $name already exists")
+    require(!tableExists(name), s"Table $name already exists")
+    val now = System.currentTimeMillis()
+    val loc = s"$warehouse/${name.replace('.', '/')}"
+    val version = ViewVersion(
+      versionId = 1, schemaId = schema.schemaId, timestampMs = now,
+      summary = Map("engine-name" -> "graft", "operation" -> "create"),
+      representations = Seq(SqlViewRepresentation(sql, dialect)),
+      defaultNamespace = name.split('.').dropRight(1).toSeq)
+    val meta = ViewMetadata(UUID.randomUUID().toString, 1, loc, Seq(schema), 1,
+      Seq(version), Seq(ViewHistoryEntry(now, 1)), properties)
+    val newLoc = storeView(name, 1, None, ViewMetadataJson.toJson(meta), loc)
+    new View(name, meta, newLoc)
+  }
+
+  /** CREATE OR REPLACE: appends an immutable new ViewVersion (+ its schema
+    * under a fresh schema-id) and bumps current-version-id — the version
+    * log keeps full history, exactly the view spec's evolution model. */
+  def replaceView(name: String, schema: Schema, sql: String,
+      dialect: String = "spark"): View = {
+    val old = loadView(name)
+    val now = System.currentTimeMillis()
+    val newSchemaId = old.metadata.schemas.map(_.schemaId).max + 1
+    val newVersionId = old.metadata.versions.map(_.versionId).max + 1
+    val version = ViewVersion(
+      versionId = newVersionId, schemaId = newSchemaId, timestampMs = now,
+      summary = Map("engine-name" -> "graft", "operation" -> "replace"),
+      representations = Seq(SqlViewRepresentation(sql, dialect)),
+      defaultNamespace = name.split('.').dropRight(1).toSeq)
+    val meta = old.metadata.copy(
+      schemas = old.metadata.schemas :+ Schema(schema.fields, newSchemaId,
+        schema.identifierFieldIds),
+      currentVersionId = newVersionId,
+      versions = old.metadata.versions :+ version,
+      versionLog = old.metadata.versionLog :+ ViewHistoryEntry(now, newVersionId))
+    val newLoc = storeView(name, newVersionId, Some(old.metadataLocation),
+      ViewMetadataJson.toJson(meta), old.metadata.location)
+    new View(name, meta, newLoc)
+  }
+
+  /** ref register_view :696 — adopt existing metadata without rewriting. */
+  def registerView(name: String, metadataLocation: String): View = {
+    require(!viewExists(name), s"View $name already exists")
+    // validate before linking — a bad file must not become an entry
+    ViewMetadataJson.fromJson(new String(Io.readBytes(metadataLocation), "UTF-8"))
+    linkView(name, metadataLocation)
+    loadView(name)
+  }
+
+  /** ref drop_view :712 — the ENTRY is dropped; metadata files a register
+    * might still reference are left in place. */
+  def dropView(name: String): Unit = {
+    require(viewExists(name), s"View $name not found")
+    forgetView(name)
+  }
 }
 
 /** Filesystem ("hadoop"-style) catalog (ref: SURVEY §7 step 5).
@@ -131,10 +220,12 @@ class HadoopCatalog(val warehouse: String, val spark: SparkSession) extends Cata
     Io.delete(s"$warehouse/${ns.replace('.', '/')}")
   }
 
-  /** Directories under the warehouse that are not themselves tables. */
+  /** Directories under the warehouse that are not themselves tables or
+    * views. */
   def listNamespaces(): Seq[String] =
     Io.list(warehouse).collect {
-      case (n, true) if !Io.exists(s"$warehouse/$n/metadata/version-hint.text") => n
+      case (n, true) if !Io.exists(s"$warehouse/$n/metadata/version-hint.text") &&
+        !Io.exists(s"$warehouse/$n/metadata/view-hint.text") => n
     }.sorted
 
   def listTables(ns: String = ""): Seq[String] = {
@@ -149,6 +240,49 @@ class HadoopCatalog(val warehouse: String, val spark: SparkSession) extends Cata
     if (Io.exists(hintFile(name)))
       Some(new String(Io.readBytes(hintFile(name)), "UTF-8").trim.toInt)
     else None
+
+  // ---- views: `view-hint.text` + `v<N>.view-metadata.json` under the
+  // view's own metadata dir — the same optimistic-create commit shape as
+  // tables, with a DIFFERENT hint name so table and view entries stay
+  // disjoint (the metadata JSON also self-discriminates: view-uuid vs
+  // table-uuid) ----------------------------------------------------------
+
+  private def viewHint(name: String) = s"${metadataDir(name)}/view-hint.text"
+
+  protected def viewLocation(name: String): Option[String] =
+    if (Io.exists(viewHint(name)))
+      Some(new String(Io.readBytes(viewHint(name)), "UTF-8").trim)
+    else None
+
+  protected def storeView(name: String, version: Int, expected: Option[String],
+      json: String, location: String): String = {
+    val path = s"$location/metadata/v$version.view-metadata.json"
+    // CREATE_NEW on the versioned file is the commit arbiter, as for
+    // tables: a concurrent replace at the same version loses here
+    if (!Io.writeBytesIfAbsent(path, json.getBytes("UTF-8")))
+      throw new CommitConflictException(name, version)
+    Io.writeBytes(viewHint(name), path.getBytes("UTF-8"))
+    path
+  }
+
+  protected def linkView(name: String, metadataLocation: String): Unit =
+    Io.writeBytes(viewHint(name), metadataLocation.getBytes("UTF-8"))
+
+  protected def forgetView(name: String): Unit = {
+    val md = metadataDir(name)
+    Io.list(md).foreach { case (n, _) =>
+      if (n == "view-hint.text" || n.endsWith(".view-metadata.json"))
+        Io.delete(s"$md/$n")
+    }
+  }
+
+  def listViews(ns: String = ""): Seq[String] = {
+    val dir = if (ns.isEmpty) warehouse else s"$warehouse/${ns.replace('.', '/')}"
+    Io.list(dir).collect {
+      case (n, true) if Io.exists(s"$dir/$n/metadata/view-hint.text") =>
+        if (ns.isEmpty) n else s"$ns.$n"
+    }.sorted
+  }
 
   /** Optimistic commit: atomically create the next version file; fails if a
     * concurrent writer already created it. Returns the new version.
@@ -223,6 +357,33 @@ class MemoryCatalog(val warehouse: String, val spark: SparkSession) extends Cata
   def listTables(ns: String = ""): Seq[String] = tables.synchronized {
     if (ns.isEmpty) tables.keys.filterNot(_.contains('.')).toSeq.sorted
     else tables.keys.filter(_.startsWith(ns + ".")).toSeq.sorted
+  }
+
+  // ---- views: entry map in memory, metadata files under the scratch
+  // warehouse (so register/load round-trip through real files) -----------
+  private val views = scala.collection.mutable.Map[String, String]()
+
+  protected def viewLocation(name: String): Option[String] =
+    views.synchronized(views.get(name))
+
+  protected def storeView(name: String, version: Int, expected: Option[String],
+      json: String, location: String): String = views.synchronized {
+    if (views.get(name) != expected) throw new CommitConflictException(name, version)
+    val path = s"$location/metadata/v$version-${UUID.randomUUID()}.view-metadata.json"
+    Io.writeBytes(path, json.getBytes("UTF-8"))
+    views(name) = path
+    path
+  }
+
+  protected def linkView(name: String, metadataLocation: String): Unit =
+    views.synchronized { views(name) = metadataLocation }
+
+  protected def forgetView(name: String): Unit =
+    views.synchronized { views.remove(name) }
+
+  def listViews(ns: String = ""): Seq[String] = views.synchronized {
+    if (ns.isEmpty) views.keys.filterNot(_.contains('.')).toSeq.sorted
+    else views.keys.filter(_.startsWith(ns + ".")).toSeq.sorted
   }
 }
 

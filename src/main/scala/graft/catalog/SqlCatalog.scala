@@ -70,8 +70,26 @@ class SqlCatalog(
         |  table_name VARCHAR(255) NOT NULL,
         |  metadata_location VARCHAR(1000),
         |  previous_metadata_location VARCHAR(1000),
+        |  iceberg_type VARCHAR(16),
         |  PRIMARY KEY (catalog_name, table_namespace, table_name)
         |)""".stripMargin)
+    // migrate a pre-view metastore in place (ref sql.py:144 — "new
+    // catalogs always get v1 schema with view support"; here the older
+    // layout is upgraded instead of degrading to tables-only). NULL
+    // iceberg_type stays readable as TABLE everywhere below.
+    def hasColumn(table: String, col: String): Boolean = {
+      val st = c.createStatement()
+      try { st.executeQuery(s"SELECT $col FROM $table WHERE 1 = 0").close(); true }
+      catch { case _: SQLException => false }
+      finally st.close()
+    }
+    if (!hasColumn("iceberg_tables", "iceberg_type")) {
+      val st = c.createStatement()
+      try st.executeUpdate("ALTER TABLE iceberg_tables ADD COLUMN iceberg_type VARCHAR(16)")
+      catch { case e: SQLException =>
+        if (!hasColumn("iceberg_tables", "iceberg_type")) throw e }
+      finally st.close()
+    }
     createQuietly("iceberg_namespace_properties",
       """CREATE TABLE iceberg_namespace_properties (
         |  catalog_name VARCHAR(255) NOT NULL,
@@ -96,17 +114,24 @@ class SqlCatalog(
     case _ => throw new IllegalStateException(s"Unparseable metadata location $location")
   }
 
-  private def currentLocation(name: String): Option[String] = withConn { c =>
+  /** ref sql.py:659 — NULL iceberg_type predates views and means TABLE. */
+  private def locationOf(name: String, viewKind: Boolean): Option[String] = withConn { c =>
     val (ns, tbl) = split(name)
+    val typeCond =
+      if (viewKind) "iceberg_type = 'VIEW'"
+      else "(iceberg_type = 'TABLE' OR iceberg_type IS NULL)"
     val ps = c.prepareStatement(
       "SELECT metadata_location FROM iceberg_tables " +
-        "WHERE catalog_name = ? AND table_namespace = ? AND table_name = ?")
+        s"WHERE catalog_name = ? AND table_namespace = ? AND table_name = ? AND $typeCond")
     try {
       ps.setString(1, catalogName); ps.setString(2, ns); ps.setString(3, tbl)
       val rs = ps.executeQuery()
       if (rs.next()) Option(rs.getString(1)) else None
     } finally ps.close()
   }
+
+  private def currentLocation(name: String): Option[String] =
+    locationOf(name, viewKind = false)
 
   def tableExists(name: String): Boolean = currentLocation(name).isDefined
   def currentVersion(name: String): Option[Int] = currentLocation(name).map(versionOf)
@@ -152,7 +177,8 @@ class SqlCatalog(
       if (expectedVersion == 0) withConn { c =>
         val ps = c.prepareStatement(
           "INSERT INTO iceberg_tables (catalog_name, table_namespace, table_name, " +
-            "metadata_location, previous_metadata_location) VALUES (?, ?, ?, ?, NULL)")
+            "metadata_location, previous_metadata_location, iceberg_type) " +
+            "VALUES (?, ?, ?, ?, NULL, 'TABLE')")
         try {
           ps.setString(1, catalogName); ps.setString(2, ns); ps.setString(3, tbl)
           ps.setString(4, newLoc)
@@ -196,11 +222,16 @@ class SqlCatalog(
     if (Io.exists(tableDir(name))) Io.delete(tableDir(name), recursive = true)
   }
 
-  protected def forgetTable(name: String): Unit = withConn { c =>
+  protected def forgetTable(name: String): Unit = forgetEntry(name, viewKind = false)
+
+  private def forgetEntry(name: String, viewKind: Boolean): Unit = withConn { c =>
     val (ns, tbl) = split(name)
+    val typeCond =
+      if (viewKind) "iceberg_type = 'VIEW'"
+      else "(iceberg_type = 'TABLE' OR iceberg_type IS NULL)"
     val ps = c.prepareStatement(
       "DELETE FROM iceberg_tables " +
-        "WHERE catalog_name = ? AND table_namespace = ? AND table_name = ?")
+        s"WHERE catalog_name = ? AND table_namespace = ? AND table_name = ? AND $typeCond")
     try {
       ps.setString(1, catalogName); ps.setString(2, ns); ps.setString(3, tbl)
       ps.executeUpdate()
@@ -244,10 +275,15 @@ class SqlCatalog(
     } finally ps.close()
   }
 
-  def listTables(ns: String = ""): Seq[String] = withConn { c =>
+  def listTables(ns: String = ""): Seq[String] = listEntries(ns, viewKind = false)
+
+  private def listEntries(ns: String, viewKind: Boolean): Seq[String] = withConn { c =>
+    val typeCond =
+      if (viewKind) "iceberg_type = 'VIEW'"
+      else "(iceberg_type = 'TABLE' OR iceberg_type IS NULL)"
     val ps = c.prepareStatement(
       "SELECT table_name FROM iceberg_tables " +
-        "WHERE catalog_name = ? AND table_namespace = ? ORDER BY table_name")
+        s"WHERE catalog_name = ? AND table_namespace = ? AND $typeCond ORDER BY table_name")
     try {
       ps.setString(1, catalogName); ps.setString(2, ns)
       val rs = ps.executeQuery()
@@ -256,4 +292,66 @@ class SqlCatalog(
       b.result()
     } finally ps.close()
   }
+
+  // ---- views: rows in iceberg_tables with iceberg_type = 'VIEW' (the
+  // reference's v1 sql layout, sql.py:144, :659); metadata JSON files live
+  // under the view's own location, commits CAS on metadata_location ------
+
+  protected def viewLocation(name: String): Option[String] =
+    locationOf(name, viewKind = true)
+
+  protected def storeView(name: String, version: Int, expected: Option[String],
+      json: String, location: String): String = {
+    val (ns, tbl) = split(name)
+    val newLoc = s"$location/metadata/v$version-${UUID.randomUUID()}.view-metadata.json"
+    Io.writeBytes(newLoc, json.getBytes("UTF-8"))
+    val won: Boolean = expected match {
+      case None => withConn { c =>
+        val ps = c.prepareStatement(
+          "INSERT INTO iceberg_tables (catalog_name, table_namespace, table_name, " +
+            "metadata_location, previous_metadata_location, iceberg_type) " +
+            "VALUES (?, ?, ?, ?, NULL, 'VIEW')")
+        try {
+          ps.setString(1, catalogName); ps.setString(2, ns); ps.setString(3, tbl)
+          ps.setString(4, newLoc)
+          try { ps.executeUpdate(); true }
+          catch { case e: SQLException if isDuplicateKey(e) => false }
+        } finally ps.close()
+      }
+      case Some(oldLoc) => withConn { c =>
+        val ps = c.prepareStatement(
+          "UPDATE iceberg_tables SET metadata_location = ?, previous_metadata_location = ? " +
+            "WHERE catalog_name = ? AND table_namespace = ? AND table_name = ? " +
+            "AND metadata_location = ? AND iceberg_type = 'VIEW'")
+        try {
+          ps.setString(1, newLoc); ps.setString(2, oldLoc)
+          ps.setString(3, catalogName); ps.setString(4, ns); ps.setString(5, tbl)
+          ps.setString(6, oldLoc)
+          ps.executeUpdate() == 1
+        } finally ps.close()
+      }
+    }
+    if (!won) {
+      Io.delete(newLoc)
+      throw new CommitConflictException(name, version)
+    }
+    newLoc
+  }
+
+  protected def linkView(name: String, metadataLocation: String): Unit = withConn { c =>
+    val (ns, tbl) = split(name)
+    val ps = c.prepareStatement(
+      "INSERT INTO iceberg_tables (catalog_name, table_namespace, table_name, " +
+        "metadata_location, previous_metadata_location, iceberg_type) " +
+        "VALUES (?, ?, ?, ?, NULL, 'VIEW')")
+    try {
+      ps.setString(1, catalogName); ps.setString(2, ns); ps.setString(3, tbl)
+      ps.setString(4, metadataLocation)
+      ps.executeUpdate()
+    } finally ps.close()
+  }
+
+  protected def forgetView(name: String): Unit = forgetEntry(name, viewKind = true)
+
+  def listViews(ns: String = ""): Seq[String] = listEntries(ns, viewKind = true)
 }

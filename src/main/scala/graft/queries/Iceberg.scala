@@ -279,6 +279,39 @@ object Iceberg {
 
   private val sqlCatSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** G. Iceberg VIEWS (ref: pyiceberg/view — metadata.py ViewMetadata,
+    * catalog ABC create_view :723): create a versioned view over a graft
+    * table, REPLACE it (immutable new version + log entry), then execute
+    * the current spark representation. The view's SQL resolves the table
+    * through the TableCatalog plugin. */
+  def icebergView(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val whDir = Files.createTempDirectory("graft_view").toString
+    val cname = s"gview${sqlCatSeq.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cname", "graft.spark.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cname.warehouse", whDir)
+    val cat = new HadoopCatalog(whDir, s)
+    val tab = cat.createTable("orders", Schema.fromSpark(orders.schema))
+    tab.append(orders)
+    val vschema = Schema.fromSpark(
+      orders.groupBy("o_orderpriority").agg(count(lit(1)).as("cnt")).schema)
+    cat.createView("prio_stats", vschema,
+      s"SELECT o_orderpriority, count(*) AS cnt FROM $cname.orders " +
+        "GROUP BY o_orderpriority")
+    // evolve: the replaced definition filters open orders out
+    cat.replaceView("prio_stats", vschema,
+      s"SELECT o_orderpriority, count(*) AS cnt FROM $cname.orders " +
+        "WHERE o_orderstatus <> 'O' GROUP BY o_orderpriority")
+    val v = cat.loadView("prio_stats")
+    require(v.currentVersion.versionId == 2 && v.history.size == 2,
+      "replace must append a version")
+    v.toDataFrame(s).orderBy(col("o_orderpriority"))
+  }
+  val icebergViewSql =
+    """SELECT o_orderpriority, count(*) AS cnt FROM orders
+      |WHERE o_orderstatus <> 'O' GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** J. The full SQL face through the TableCatalog plugin: CTAS, DELETE
     * FROM, INSERT INTO, and an aggregating SELECT — pure `spark.sql`, no
     * library calls (ref exposes these only via its Python API,
@@ -485,6 +518,7 @@ object Iceberg {
     "ice_equality_deletes" -> (equalityDeletes _),
     "ice_dsv2_scan" -> (dsv2Scan _),
     "ice_sql_catalog_dml" -> (sqlCatalogDml _),
+    "ice_view" -> (icebergView _),
     "ice_transform_predicate" -> (transformPredicate _),
     "ice_metadata_count" -> (metadataCount _),
     "ice_transform_count" -> (transformCount _),
@@ -514,6 +548,7 @@ object Iceberg {
     "ice_equality_deletes" -> equalityDeletesSql,
     "ice_dsv2_scan" -> dsv2ScanSql,
     "ice_sql_catalog_dml" -> sqlCatalogDmlSql,
+    "ice_view" -> icebergViewSql,
     "ice_transform_predicate" -> transformPredicateSql,
     "ice_metadata_count" -> metadataCountSql,
     "ice_transform_count" -> transformCountSql,
