@@ -158,8 +158,11 @@ trait Catalog {
 class HadoopCatalog(val warehouse: String, val spark: SparkSession) extends Catalog {
 
   // metadata IO must see spark.hadoop.* (custom schemes, s3a credentials);
-  // installed once per catalog construction — the factory re-derives the
-  // conf so later session conf changes are picked up
+  // registered under the warehouse scheme so catalogs on different schemes
+  // don't contaminate each other (ADVICE r5); the process fallback still
+  // covers scheme-less paths. The factory re-derives the conf so later
+  // session conf changes are picked up
+  Io.register(warehouse, () => spark.sessionState.newHadoopConf())
   Io.confFactory = () => spark.sessionState.newHadoopConf()
 
   private def tableDir(name: String) = s"$warehouse/${name.replace('.', '/')}"

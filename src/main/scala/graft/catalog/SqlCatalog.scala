@@ -36,7 +36,9 @@ class SqlCatalog(
     System.setProperty("derby.stream.error.file",
       s"${System.getProperty("java.io.tmpdir")}/derby.log")
 
-  // metadata IO must see spark.hadoop.* (custom schemes, s3a credentials)
+  // metadata IO must see spark.hadoop.* (custom schemes, s3a credentials);
+  // scheme-registered so other-scheme catalogs stay isolated (ADVICE r5)
+  Io.register(warehouse, () => spark.sessionState.newHadoopConf())
   Io.confFactory = () => spark.sessionState.newHadoopConf()
 
   private def withConn[A](f: Connection => A): A = {

@@ -197,6 +197,7 @@ object DeletionVector {
     * `Io.conf` on an executor JVM is a bare Configuration without
     * `spark.hadoop.*` (creds, custom schemes). */
   def readPositions(puffinPath: String, offset: Long, length: Long,
-      c: org.apache.hadoop.conf.Configuration = Io.conf): Array[Long] =
-    readBlob(Io.readRange(puffinPath, offset, length, c))
+      c: org.apache.hadoop.conf.Configuration = null): Array[Long] =
+    readBlob(Io.readRange(puffinPath, offset, length,
+      if (c != null) c else Io.confFor(puffinPath)))
 }

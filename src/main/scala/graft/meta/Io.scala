@@ -21,15 +21,39 @@ import graft.core.PathUtil
   */
 object Io {
 
-  /** Process-global, installed by each catalog constructor — LAST WRITER
-    * WINS. Two catalogs with different scheme/credential needs in one JVM
-    * will contaminate each other's driver-side metadata IO (ADVICE r5,
-    * accepted limitation: threading a per-catalog Configuration through
-    * every static Io/ManifestIO call site is out of proportion to the
-    * one-catalog-per-process deployment this targets). Executor-side
-    * paths are unaffected — they ship explicit confEntries. */
+  /** Fallback for paths under no registered scheme — kept as a var so
+    * tests can simulate a bare executor JVM. Catalogs both set this AND
+    * register under their warehouse scheme (below), so the var only
+    * decides for scheme-less/unregistered paths. */
   @volatile var confFactory: () => Configuration = () => new Configuration()
   def conf: Configuration = confFactory()
+
+  /** Per-scheme(+authority) Configuration registry (ADVICE r5: one global
+    * last-writer-wins factory contaminated catalogs on different schemes
+    * in one JVM). Driver-side metadata IO resolves the factory by the
+    * PATH being accessed, so an s3a catalog and a mockfs catalog coexist;
+    * two catalogs on the SAME scheme+authority still share (last wins) —
+    * same-bucket-different-credentials is not a supported layout.
+    * Executor-side paths are unaffected: they ship explicit confEntries. */
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, () => Configuration]()
+
+  private def keyOf(path: String): Option[String] = {
+    val uri = try new java.net.URI(path) catch { case _: Exception => return None }
+    Option(uri.getScheme).filter(_ != "file").map(s =>
+      s + Option(uri.getAuthority).map("://" + _).getOrElse(""))
+  }
+
+  def register(pathOrUri: String, f: () => Configuration): Unit =
+    keyOf(pathOrUri).foreach(registry.put(_, f))
+  /** Test seam: drop a registration (simulating a fresh executor JVM). */
+  def deregister(pathOrUri: String): Unit =
+    keyOf(pathOrUri).foreach(registry.remove(_))
+
+  /** The Configuration governing `path`: its scheme's registered factory,
+    * else the process fallback. */
+  def confFor(path: String): Configuration =
+    keyOf(path).flatMap(k => Option(registry.get(k))).map(_()).getOrElse(conf)
 
   /** Session Hadoop conf flattened to serializable entries — the one way
     * executor-side tasks (stats harvest, DSv2 readers, DV blob reads) see
@@ -55,7 +79,7 @@ object Io {
   def isLocal(path: String): Boolean = !path.contains(":") || path.startsWith("file:")
   private def local(p: String): java.nio.file.Path =
     java.nio.file.Paths.get(PathUtil.canon(p))
-  private def fs(p: String): FileSystem = new Path(p).getFileSystem(conf)
+  private def fs(p: String): FileSystem = new Path(p).getFileSystem(confFor(p))
 
   def exists(path: String): Boolean =
     if (isLocal(path)) java.nio.file.Files.exists(local(path))
@@ -80,7 +104,7 @@ object Io {
 
   /** Ranged read (puffin blob loads): one seek + one bounded read. */
   def readRange(path: String, offset: Long, length: Long,
-      c: Configuration = conf): Array[Byte] = {
+      c: Configuration = null): Array[Byte] = {
     val out = new Array[Byte](length.toInt)
     if (isLocal(path)) {
       val ch = java.nio.channels.FileChannel.open(local(path))
@@ -91,7 +115,8 @@ object Io {
         while (n < length && ch.read(buf) >= 0) n = buf.position()
       } finally ch.close()
     } else {
-      val in = new Path(path).getFileSystem(c).open(new Path(path))
+      val cc = if (c != null) c else confFor(path)
+      val in = new Path(path).getFileSystem(cc).open(new Path(path))
       try in.readFully(offset, out) finally in.close()
     }
     out
@@ -108,7 +133,7 @@ object Io {
       java.nio.file.Files.write(p, bytes)
       ()
     } else {
-      val c = if (confOverride != null) confOverride else conf
+      val c = if (confOverride != null) confOverride else confFor(path)
       val out = new Path(path).getFileSystem(c).create(new Path(path), true)
       try out.write(bytes) finally out.close()
     }
@@ -144,7 +169,7 @@ object Io {
       // the FileSystem layer fall back to exists+rename (the pre-check
       // above keeps the race window to the rename call itself).
       try {
-        val fc = org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, conf)
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, confFor(path))
         try { fc.rename(tmp, target); true }
         catch {
           case _: org.apache.hadoop.fs.FileAlreadyExistsException =>

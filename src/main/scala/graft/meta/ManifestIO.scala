@@ -219,7 +219,7 @@ object ManifestIO {
         new GenericDatumReader[GenericRecord]())
     else new DataFileReader[GenericRecord](
       new org.apache.avro.mapred.FsInput(new org.apache.hadoop.fs.Path(path),
-        if (confOverride != null) confOverride else Io.conf),
+        if (confOverride != null) confOverride else Io.confFor(path)),
       new GenericDatumReader[GenericRecord]())
 
   def readManifest(path: String, spec: PartitionSpec, schema: Schema,

@@ -423,6 +423,31 @@ object Iceberg {
   }
   val addFilesSql = "SELECT * FROM nation ORDER BY n_nationkey"
 
+  /** A. ORC data files in one scan with parquet: half the table appended
+    * as parquet, half registered as externally-written ORC (the reference
+    * reads ORC data files: io/pyarrow.py:1119–1125, ORC_FIELD_ID_KEY :740),
+    * plus a post-registration rename so the ORC half proves name-mapping
+    * resolution and the parquet half id-based projection — with footer
+    * stats harvested from the ORC footers for metrics pruning. */
+  def orcRead(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part")
+    val tab = wh(s).createTable("part_orc", Schema.fromSpark(part.schema))
+    tab.append(part.filter(col("p_partkey") % 2 === 0))
+    val orcDir = Files.createTempDirectory("graft_orc").toString
+    part.filter(col("p_partkey") % 2 === 1).repartition(2)
+      .write.mode("overwrite").orc(orcDir)
+    val files = new java.io.File(orcDir).listFiles()
+      .filter(_.getName.endsWith(".orc")).map(_.getAbsolutePath).toSeq
+    tab.addFiles(files)
+    tab.updateSchema.renameColumn("p_retailprice", "price").commit()
+    tab.scan("p_size <= 25 and price > 1000.0")
+      .select("p_partkey", "p_name", "price")
+      .toDF.orderBy(col("p_partkey"))
+  }
+  val orcReadSql =
+    """SELECT p_partkey, p_name, p_retailprice AS price FROM part
+      |WHERE p_size <= 25 AND p_retailprice > 1000.0 ORDER BY p_partkey""".stripMargin
+
   /** B/G. nested structs end-to-end: struct column write (nested field
     * ids), DSL filter on a nested field, NESTED RENAME read back through
     * id-based projection over files written before the rename (ref:
@@ -525,6 +550,7 @@ object Iceberg {
     "ice_partitions_meta" -> (partitionsMeta _),
     "ice_snapshots_meta" -> (snapshotsMeta _),
     "ice_add_files" -> (addFiles _),
+    "ice_orc_read" -> (orcRead _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -555,5 +581,6 @@ object Iceberg {
     "ice_partitions_meta" -> partitionsMetaSql,
     "ice_snapshots_meta" -> snapshotsMetaSql,
     "ice_add_files" -> addFilesSql,
+    "ice_orc_read" -> orcReadSql,
   )
 }

@@ -451,7 +451,9 @@ final case class GraftInputPartition(
       * projection. Unlike `columnar` this may vary across partitions —
       * every row-mode reader emits InternalRow regardless of how it
       * decodes, so Spark's no-mixing rule is untouched. */
-    idBearing: Boolean = false) extends InputPartition
+    idBearing: Boolean = false,
+    /** data-file format ("PARQUET" | "ORC") — selects the reader. */
+    fileFormat: String = "PARQUET") extends InputPartition
 
 object GraftScan {
   /** Test seam: partition count of the last planInputPartitions in this
@@ -533,7 +535,8 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
       val eqs = eqFiles.map(f => EqDeleteRef(f.filePath, f.equalityIds.toArray)).toArray
       GraftInputPartition(t.file.filePath, json, dels, pushedLimit, allColumnar,
         eqs, eqJson,
-        idBearing = graft.core.PathUtil.underDataRoot(table.location, t.file.filePath))
+        idBearing = graft.core.PathUtil.underDataRoot(table.location, t.file.filePath),
+        fileFormat = t.file.fileFormat.toUpperCase)
         : InputPartition
     }.toArray
   }
@@ -586,7 +589,8 @@ class GraftMicroBatchStream(table: IceTable, required: StructType)
     files
       .map(f => GraftInputPartition(f.filePath, json, Array.empty[DeleteFileRef], -1L,
         allColumnar,
-        idBearing = graft.core.PathUtil.underDataRoot(table.location, f.filePath))
+        idBearing = graft.core.PathUtil.underDataRoot(table.location, f.filePath),
+        fileFormat = f.fileFormat.toUpperCase)
         : InputPartition)
       .toArray
   }
@@ -616,7 +620,11 @@ class GraftReaderFactory(confEntries: Array[(String, String)] = Array.empty)
     // faster per byte than the Group-API materialization. Id-less external
     // files keep the Group reader for its name-fallback resolution; both
     // emit InternalRow, so they may mix freely within one scan.
-    if (p.idBearing)
+    if (p.fileFormat == "ORC") {
+      require(p.deletes.isEmpty && p.eqDeletes.isEmpty,
+        "deletes on externally-registered (ORC) files are not supported")
+      new GraftOrcPartitionReader(p.filePath, p.readSchemaJson, p.limit, buildConf())
+    } else if (p.idBearing)
       new GraftVectorizedRowReader(p.filePath, p.readSchemaJson, p.deletes, p.limit,
         buildConf(), p.eqDeletes, p.eqSchemaJson)
     else

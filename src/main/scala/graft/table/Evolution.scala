@@ -285,20 +285,54 @@ final class ManageSnapshots(table: IceTable) {
   }
 }
 
-/** Snapshot expiry (ref: table/maintenance.py:30 + ExpireSnapshots
-  * update/snapshot.py:1032 — branch/tag heads are protected). */
-object Maintenance {
-  def expireSnapshots(table: IceTable, olderThanMs: Long, retainLast: Int = 1): Seq[Long] = {
-    val m = table.metadata
-    val protectedIds: Set[Long] =
-      m.refs.values.map(_.snapshotId).toSet ++ m.currentSnapshotId.toSet ++
-        m.currentSnapshotId.toSeq.flatMap(id => m.ancestorsOf(id).map(_.snapshotId)).toSet
-    val byTime = m.snapshots.sortBy(_.timestampMs)
-    val keepNewest = byTime.takeRight(retainLast).map(_.snapshotId).toSet
-    val expired = byTime
-      .filter(s => s.timestampMs < olderThanMs && !protectedIds(s.snapshotId) &&
-        !keepNewest(s.snapshotId))
-      .map(_.snapshotId)
+/** Chained snapshot-expiry builder (ref: MaintenanceTable
+  * table/maintenance.py:30 returns ExpireSnapshots update/snapshot.py:1032
+  * — by_id :1082 / by_ids :1103 / older_than :1118; branch/tag heads are
+  * always protected, and by_id of a protected id raises while commit
+  * silently re-filters, matching the reference's asymmetry). `retainLast`
+  * is our extension (the reference keeps the current head via ref
+  * protection only). */
+final class ExpireSnapshots private[table] (table: IceTable) {
+  private val toExpire = scala.collection.mutable.LinkedHashSet[Long]()
+  // 0 = no newest-N retention (the reference protects via refs only);
+  // the legacy expireSnapshots(olderThanMs, retainLast) sets it explicitly
+  private var keepLast = 0
+
+  private def m = table.metadata
+  private def protectedIds: Set[Long] =
+    m.refs.values.map(_.snapshotId).toSet ++ m.currentSnapshotId.toSet ++
+      m.currentSnapshotId.toSeq.flatMap(id => m.ancestorsOf(id).map(_.snapshotId)).toSet
+
+  def byId(id: Long): this.type = {
+    require(m.snapshotById(id).isDefined, s"Snapshot with ID $id does not exist")
+    require(!protectedIds(id), s"Snapshot with ID $id is protected and cannot be expired")
+    toExpire += id
+    this
+  }
+
+  def byIds(ids: Seq[Long]): this.type = { ids.foreach(byId); this }
+
+  def olderThan(tsMs: Long): this.type = {
+    val prot = protectedIds
+    m.snapshots.filter(s => s.timestampMs < tsMs && !prot(s.snapshotId))
+      .foreach(toExpire += _.snapshotId)
+    this
+  }
+
+  def retainLast(n: Int): this.type = {
+    require(n >= 1, s"retainLast must be >= 1: $n")
+    keepLast = n
+    this
+  }
+
+  /** Expired snapshot ids actually removed (protected / retained ids are
+    * re-filtered at commit, like the reference's _commit :1050). */
+  def commit(): Seq[Long] = {
+    val prot = protectedIds
+    val keepNewest = if (keepLast == 0) Set.empty[Long]
+      else m.snapshots.sortBy(_.timestampMs).takeRight(keepLast).map(_.snapshotId).toSet
+    val expired = m.snapshots.sortBy(_.timestampMs).map(_.snapshotId)
+      .filter(id => toExpire(id) && !prot(id) && !keepNewest(id))
     if (expired.nonEmpty) {
       val gone = expired.toSet
       table.commitMetadata(meta => meta.copy(
@@ -307,4 +341,11 @@ object Maintenance {
     }
     expired
   }
+}
+
+/** Snapshot expiry (ref: table/maintenance.py:30 + ExpireSnapshots
+  * update/snapshot.py:1032 — branch/tag heads are protected). */
+object Maintenance {
+  def expireSnapshots(table: IceTable, olderThanMs: Long, retainLast: Int = 1): Seq[Long] =
+    new ExpireSnapshots(table).olderThan(olderThanMs).retainLast(retainLast).commit()
 }

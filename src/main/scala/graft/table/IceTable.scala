@@ -46,6 +46,9 @@ class IceTable(
   def manageSnapshots: ManageSnapshots = new ManageSnapshots(this)
   def expireSnapshots(olderThanMs: Long, retainLast: Int = 1): Seq[Long] =
     Maintenance.expireSnapshots(this, olderThanMs, retainLast)
+  /** Chained builder (ref: tbl.maintenance.expire_snapshots()
+    * table/maintenance.py:36 — by_id/by_ids/older_than then commit). */
+  def expireSnapshots(): ExpireSnapshots = new ExpireSnapshots(this)
   def setProperties(props: (String, String)*): Unit =
     commitMetadata(m => m.copy(properties = m.properties ++ props))
   /** The table's default sort order; writes sort within each file so
@@ -478,7 +481,15 @@ class IceTable(
     val harvested = spark.sparkContext.parallelize(paths, slices)
       .mapPartitions { ps =>
         lazy val c = Io.confFrom(confEntries)
-        ps.map(p => StatsHarvester.fileToDataFile(p, "", colInfo, Nil, Nil, c, fullModes))
+        // format by extension (ref add_files is parquet-only,
+        // table/__init__.py:972; ORC registration is our extension so the
+        // scan's ORC read path — io/pyarrow.py:1119 in the reference — is
+        // reachable without a foreign writer)
+        ps.map { p =>
+          if (p.toLowerCase.endsWith(".orc"))
+            OrcStats.fileToDataFile(p, colInfo, c, fullModes)
+          else StatsHarvester.fileToDataFile(p, "", colInfo, Nil, Nil, c, fullModes)
+        }
       }
       .collect().toSeq
     val files =

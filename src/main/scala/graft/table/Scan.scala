@@ -280,7 +280,7 @@ final class IceScan(
       * RECURSIVELY, so renamed struct leaves resolve too (ref
       * name_mapping.py:73 MappedField nests). List/map element renames are
       * out of scope (requested under current names). */
-    def readExternal(taskSeq: Seq[FileScanTask]): DataFrame = {
+    def readExternal(taskSeq: Seq[FileScanTask], format: String): DataFrame = {
       import org.apache.spark.sql.types.{StructField, StructType}
       def mappedName(scope: Seq[MappedField], f: NestedField): String =
         NameMapping.nameOf(scope, f.id).getOrElse(f.name)
@@ -312,17 +312,22 @@ final class IceScan(
         restore(col(mappedName(mapping, f)), f.fieldType,
           NameMapping.childScope(mapping, f.id)).as(f.name)) ++
         (if (keepFile) Seq(PathUtil.canonCol(col("_metadata.file_path")).as("__file")) else Nil)
-      uuidNormalized(
-        rs.read.schema(ext).parquet(taskSeq.map(_.file.filePath): _*)
-          .select(cols: _*),
-        if (keepFile) Seq("__file") else Nil)
+      // same projection machinery over either columnar format — Spark's
+      // ORC reader is vectorized and prunes/pushes down just like parquet
+      // (the reference reads ORC data files too, io/pyarrow.py:1119–1125)
+      val rdr = rs.read.schema(ext)
+      val base = if (format == "ORC") rdr.orc(taskSeq.map(_.file.filePath): _*)
+        else rdr.parquet(taskSeq.map(_.file.filePath): _*)
+      uuidNormalized(base.select(cols: _*), if (keepFile) Seq("__file") else Nil)
     }
 
     val branches = Seq.newBuilder[DataFrame]
     if (externalTasks.nonEmpty) {
       require(externalTasks.forall(_.deletes.isEmpty),
         "position deletes on externally-registered files are not supported")
-      branches += readExternal(externalTasks)
+      externalTasks.groupBy(_.file.fileFormat.toUpperCase).foreach {
+        case (fmt, ts) => branches += readExternal(ts, fmt)
+      }
     }
     if (plainTasks.nonEmpty) {
       val base = readFiles(plainTasks.map(_.file.filePath), withMeta = keepFile)

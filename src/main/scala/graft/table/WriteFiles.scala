@@ -266,7 +266,7 @@ object WriteFiles {
     // commit zero files
     // getUri.getScheme, not getScheme: RawLocalFileSystem (which our
     // benchmark sessions install for file://) doesn't implement getScheme
-    val fs = new Path(dir).getFileSystem(graft.meta.Io.conf)
+    val fs = new Path(dir).getFileSystem(graft.meta.Io.confFor(dir))
     if (fs.getUri.getScheme == "file") {
       val root = java.nio.file.Paths.get(PathUtil.canon(dir))
       if (!java.nio.file.Files.isDirectory(root)) return Nil
@@ -356,7 +356,7 @@ object StatsHarvester extends Serializable {
     None
   }
 
-  private def parseType(repr: String): IceType = repr match {
+  private[table] def parseType(repr: String): IceType = repr match {
     case "boolean" => IBoolean
     case "int" => IInt
     case "long" => ILong

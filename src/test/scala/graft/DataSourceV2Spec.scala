@@ -278,4 +278,20 @@ class DataSourceV2Spec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got === want)
   }
+
+  test("ORC data files read through the v2 source, mixed with parquet") {
+    val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    val t = catalog.createTable("p_orc_v2", Schema.fromSpark(part.schema))
+    t.append(part.filter(col("p_partkey") % 2 === 0))
+    val orcDir = Files.createTempDirectory("dsv2-orc").toString
+    part.filter(col("p_partkey") % 2 === 1).coalesce(1).write.mode("overwrite").orc(orcDir)
+    t.addFiles(new java.io.File(orcDir).listFiles()
+      .filter(_.getName.endsWith(".orc")).map(_.getAbsolutePath).toSeq)
+    val df = loadV2("p_orc_v2").filter(col("p_size") <= 25)
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+    val want = part.filter(col("p_size") <= 25)
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+    assert(df.count() === want.count())
+    assert(df.exceptAll(want).count() === 0)
+  }
 }

@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.HadoopCatalog
+import graft.core._
+
+/** ORC data files registered via add_files: footer-stats harvest, scan
+  * (mixed with parquet in one snapshot), rename-after-registration through
+  * the name mapping, and metrics pruning on ORC footer bounds (ref reads
+  * ORC data files: io/pyarrow.py:1119–1125). */
+class OrcSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val warehouse: String = Files.createTempDirectory("graft-orc-wh").toString
+  lazy val catalog = new HadoopCatalog(warehouse, spark)
+
+  override def afterAll(): Unit = spark.stop()
+
+  def part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+
+  private def writeOrc(df: org.apache.spark.sql.DataFrame, n: Int = 1): Seq[String] = {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    df.repartition(n).write.mode("overwrite").orc(dir)
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".orc"))
+      .map(_.getAbsolutePath).toSeq
+  }
+
+  test("ORC add_files round-trips with footer stats") {
+    val t = catalog.createTable("orc_rt", Schema.fromSpark(part.schema))
+    val files = writeOrc(part, n = 2)
+    t.addFiles(files)
+    assert(t.scan.toDF.count() === part.count())
+    // metadata-only count comes from the ORC footers
+    assert(t.scan.count() === part.count())
+    val dfs = new graft.table.IceScan(t).planFiles().map(_.file)
+    assert(dfs.forall(_.fileFormat == "ORC"))
+    // bounds harvested: p_partkey (long) and p_name (string, truncated)
+    val pk = t.schema.byId.values.find(_.name == "p_partkey").get.id
+    assert(dfs.forall(f => f.lowerBounds.contains(pk) && f.upperBounds.contains(pk)))
+    // null counts sound (column has no nulls)
+    assert(dfs.forall(_.nullValueCounts(pk) == 0L))
+  }
+
+  test("mixed parquet + ORC snapshot with rename resolves both") {
+    val t = catalog.createTable("orc_mixed", Schema.fromSpark(part.schema))
+    t.append(part.filter(col("p_partkey") % 2 === 0))
+    t.addFiles(writeOrc(part.filter(col("p_partkey") % 2 === 1)))
+    t.updateSchema.renameColumn("p_retailprice", "price").commit()
+    val got = t.scan("price > 1500.0").select("p_partkey", "price").toDF
+    val want = part.filter(col("p_retailprice") > 1500.0)
+      .select(col("p_partkey"), col("p_retailprice").as("price"))
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).count() === 0)
+  }
+
+  test("metrics pruning skips ORC files on footer bounds") {
+    val t = catalog.createTable("orc_prune", Schema.fromSpark(part.schema))
+    val lo = writeOrc(part.filter(col("p_partkey") <= 50))
+    val hi = writeOrc(part.filter(col("p_partkey") > 50))
+    t.addFiles(lo ++ hi)
+    val tasks = new graft.table.IceScan(t).filter("p_partkey <= 10").planFiles()
+    assert(tasks.size === 1, "upper-half ORC file should be pruned by footer bounds")
+    assert(t.scan("p_partkey <= 10").toDF.count() ===
+      part.filter(col("p_partkey") <= 10).count())
+  }
+
+  test("ORC registration rejects duplicate paths and spans") {
+    val t = catalog.createTable("orc_dup", Schema.fromSpark(part.schema))
+    val files = writeOrc(part)
+    t.addFiles(files)
+    val e = intercept[IllegalArgumentException](t.addFiles(files))
+    assert(e.getMessage.contains("already referenced"))
+  }
+}

@@ -101,19 +101,38 @@ class RemoteFsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val bare = new org.apache.hadoop.conf.Configuration()
       bare.setBoolean("fs.mockfs.impl.disable.cache", true)
       graft.meta.Io.confFactory = () => bare
+      // a fresh executor has neither the fallback factory nor the
+      // driver's per-scheme registration
+      graft.meta.Io.deregister(warehouse)
       intercept[Exception](graft.meta.ManifestIO.readManifest(
         manifests.head.manifestPath, spec, t.schema))
       val fromShipped = graft.meta.Io.confFrom(shipped)
       fromShipped.setBoolean("fs.mockfs.impl.disable.cache", true)
       assert(graft.meta.ManifestIO.readManifest(manifests.head.manifestPath,
         spec, t.schema, fromShipped).nonEmpty)
-    } finally graft.meta.Io.confFactory = saved
+    } finally {
+      graft.meta.Io.confFactory = saved
+      graft.meta.Io.register(warehouse, () => spark.sessionState.newHadoopConf())
+    }
     // and the real distributed branch plans end-to-end on the scheme
     val savedThreshold = graft.table.IceScan.distributedPlanningThreshold
     try {
       graft.table.IceScan.distributedPlanningThreshold = 1
       assert(t.scan.planFiles().nonEmpty)
     } finally graft.table.IceScan.distributedPlanningThreshold = savedThreshold
+  }
+
+  test("per-scheme registration survives another catalog's fallback factory") {
+    // ADVICE r5: a second catalog's constructor overwrites the process
+    // fallback; mockfs paths must keep resolving through THIS catalog's
+    // scheme registration, not the (hostile) fallback
+    val saved = graft.meta.Io.confFactory
+    try {
+      val bare = new org.apache.hadoop.conf.Configuration()
+      bare.setBoolean("fs.mockfs.impl.disable.cache", true)
+      graft.meta.Io.confFactory = () => bare
+      assert(catalog.loadTable("o_remote").scan.planFiles().nonEmpty)
+    } finally graft.meta.Io.confFactory = saved
   }
 
   test("commit write never clobbers an existing version on a non-file scheme") {

@@ -294,6 +294,24 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.expireSnapshots(System.currentTimeMillis() + 1000).isEmpty)
   }
 
+  test("expire-snapshots builder: by_id rejects protected, expires orphans") {
+    val t = catalog.createTable("t_expire_b", Schema.fromSpark(orders.schema))
+    t.append(orders.limit(10))
+    val snap1 = t.metadata.currentSnapshotId.get
+    t.append(orders.limit(10))
+    val snap2 = t.metadata.currentSnapshotId.get
+    // roll back so snap2 leaves the current ancestry (an orphan branch tip)
+    t.manageSnapshots.rollbackToSnapshot(snap1)
+    // protected ids raise on by_id (ref update/snapshot.py:1096)
+    val e = intercept[IllegalArgumentException](t.expireSnapshots().byId(snap1))
+    assert(e.getMessage.contains("protected"))
+    intercept[IllegalArgumentException](t.expireSnapshots().byId(999999L))
+    // the orphan expires through the builder; its id is reported
+    assert(t.expireSnapshots().byIds(Seq(snap2)).commit() === Seq(snap2))
+    assert(t.metadata.snapshotById(snap2).isEmpty)
+    assert(t.scan.toDF.count() === 10)
+  }
+
   test("add_files registers without rewrite") {
     val t = catalog.createTable("t_addf", Schema.fromSpark(lineitem.schema))
     t.addFiles(Seq("/root/testdata/sf0.001/lineitem.parquet"))
