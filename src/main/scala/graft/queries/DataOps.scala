@@ -104,7 +104,12 @@ object DataOps {
     * equi-join (one shuffle) instead of an all-pairs cross join, with zero
     * false negatives. The DuckDB oracle is the naive quadratic formulation
     * of the same predicate. */
-  def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
+  def dedupJaccard(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(s, dir).orderBy(col("a_id"), col("b_id"))
+
+  /** Unordered (a_id < b_id) near-dup pair frame shared by dedupJaccard
+    * and dedupCluster. */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     // sorted distinct int64 shingle hashes, not strings: fixed-width
     // shuffle keys and a linear-merge rescore (see ShingleHashes3).
     // NOT persisted: the codegen'd hash recompute per consumer is cheaper
@@ -145,8 +150,79 @@ object DataOps {
       .withColumn("j", jaccardHashes(col("a_ws"), col("b_ws")))
       .filter(col("j") >= 0.5)
       .select(col("a_id"), col("b_id"))
-      .orderBy(col("a_id"), col("b_id"))
   }
+
+  /** Connected-component dedup CLUSTERING over the exact-Jaccard pair
+    * graph: a production dedup pipeline keeps one document per near-dup
+    * cluster, not per pair — (a,b) and (b,c) must collapse into one group
+    * even when (a,c) itself is under threshold. Min-label propagation:
+    * every matched node starts labeled with its own id; each round one
+    * shuffle join propagates labels across edges and a groupBy takes the
+    * min, until no label changes. Rounds ≈ component diameter — near-dup
+    * clusters are near-cliques, so 2–4 rounds; for adversarial
+    * long-chain graphs the large-star/small-star formulation (same join
+    * shape) halves diameters per round. Each round's label frame is
+    * persisted and materialized (the convergence count), so lineage
+    * depth is bounded by the round count; superseded rounds unpersist
+    * immediately and the final frame rides the trackCache contract. The
+    * DuckDB oracle derives the same components with a recursive CTE. */
+  def dedupCluster(s: SparkSession, dir: String): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pairs = jaccardPairs(s, dir).persist(lvl)
+    try {
+      val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+        .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+      var labels = edges.select(col("u").as("node")).distinct()
+        .withColumn("label", col("node"))
+        .persist(lvl)
+      var changed = 1L
+      var prev: DataFrame = null
+      while (changed > 0) {
+        val prop = edges.join(labels, edges("u") === labels("node"))
+          .select(edges("v").as("node"), labels("label"))
+        val next = labels.union(prop).groupBy(col("node"))
+          .agg(min(col("label")).as("label"))
+          .persist(lvl)
+        val old = labels.select(col("node"), col("label").as("old_label"))
+        // materializes `next`, so the superseded round can release
+        changed = next.join(old, "node")
+          .filter(col("label") =!= col("old_label")).count()
+        if (prev != null) prev.unpersist(false)
+        prev = labels
+        labels = next
+      }
+      if (prev != null) prev.unpersist(false)
+      trackCache(labels)
+      labels.groupBy(col("label"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .select(col("label").as("cluster_rep"), col("cluster_size"))
+        .orderBy(col("cluster_rep"))
+    } finally pairs.unpersist()
+  }
+  val dedupClusterSql =
+    s"""WITH RECURSIVE tok AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, $shingleSetSql AS s FROM tok),
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5),
+      |edges AS (
+      |  SELECT a_id AS u, b_id AS v FROM pairs
+      |  UNION ALL SELECT b_id, a_id FROM pairs),
+      |cc(node, comp) AS (
+      |  SELECT DISTINCT u, u FROM edges
+      |  UNION
+      |  SELECT e.v, cc.comp FROM cc JOIN edges e ON e.u = cc.node
+      |  WHERE cc.comp < e.v),
+      |comps AS (SELECT node, min(comp) AS comp FROM cc GROUP BY node)
+      |SELECT comp AS cluster_rep, count(*) AS cluster_size
+      |FROM comps GROUP BY comp ORDER BY cluster_rep""".stripMargin
+
   val dedupJaccardSql =
     s"""WITH tok AS (
       |  SELECT doc_id,
@@ -554,6 +630,7 @@ object DataOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_dedup_exact" -> (dedupExact _),
     "ds_dedup_jaccard" -> (dedupJaccard _),
+    "ds_dedup_cluster" -> (dedupCluster _),
     "ds_dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "ds_dedup_simhash" -> (dedupSimhash _),
     "ds_embed_neardup" -> (embedNearDup _),
@@ -570,6 +647,7 @@ object DataOps {
   val oracles: Map[String, String] = Map(
     "ds_dedup_exact" -> dedupExactSql,
     "ds_dedup_jaccard" -> dedupJaccardSql,
+    "ds_dedup_cluster" -> dedupClusterSql,
     "ds_dedup_minhash_lsh" -> dedupMinhashLshSql,
     "ds_dedup_simhash" -> dedupSimhashSql,
     "ds_embed_neardup" -> embedNearDupSql,

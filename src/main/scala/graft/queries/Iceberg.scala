@@ -448,6 +448,29 @@ object Iceberg {
     """SELECT p_partkey, p_name, p_retailprice AS price FROM part
       |WHERE p_size <= 25 AND p_retailprice > 1000.0 ORDER BY p_partkey""".stripMargin
 
+  /** J. streaming SINK end-to-end: the supplier parquet streamed through
+    * `writeStream.format("graft")` (AvailableNow), committed as per-epoch
+    * snapshots with exactly-once markers, read back via the library scan
+    * (the reference has no streaming face; extension, see GraftSource
+    * GraftStreamingWrite). */
+  def streamSink(s: SparkSession, dir: String): DataFrame = {
+    val sch = t(s, dir, "supplier").schema
+    val cat = wh(s)
+    val tab = cat.createTable("supplier_sink", Schema.fromSpark(sch))
+    val stream = s.readStream.schema(sch)
+      .option("pathGlobFilter", "supplier.parquet").parquet(dir)
+    val ckpt = Files.createTempDirectory("graft_sink_ckpt").toString
+    val q = stream.writeStream.format("graft")
+      .option("warehouse", cat.warehouse).option("table", "supplier_sink")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    tab.refresh()
+    tab.scan.toDF.orderBy(col("s_suppkey"))
+  }
+  val streamSinkSql = "SELECT * FROM supplier ORDER BY s_suppkey"
+
   /** B/G. nested structs end-to-end: struct column write (nested field
     * ids), DSL filter on a nested field, NESTED RENAME read back through
     * id-based projection over files written before the rename (ref:
@@ -551,6 +574,7 @@ object Iceberg {
     "ice_snapshots_meta" -> (snapshotsMeta _),
     "ice_add_files" -> (addFiles _),
     "ice_orc_read" -> (orcRead _),
+    "ice_stream_sink" -> (streamSink _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -582,5 +606,6 @@ object Iceberg {
     "ice_snapshots_meta" -> snapshotsMetaSql,
     "ice_add_files" -> addFilesSql,
     "ice_orc_read" -> orcReadSql,
+    "ice_stream_sink" -> streamSinkSql,
   )
 }

@@ -125,14 +125,14 @@ class GraftSparkTable(table: IceTable, snapshotId: Option[Long] = None)
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.OVERWRITE_DYNAMIC)
+      TableCapability.OVERWRITE_DYNAMIC, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(table, snapshotId)
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     require(snapshotId.isEmpty, "Cannot write to a time-travel (pinned-snapshot) table")
-    new GraftWriteBuilder(table)
+    new GraftWriteBuilder(table, info)
   }
 
   /** `DELETE FROM … WHERE` — only when the whole predicate translates
@@ -158,7 +158,8 @@ class GraftSparkTable(table: IceTable, snapshotId: Option[Long] = None)
   * would have to re-implement exactly that machinery per-task — the V1
   * bridge reuses it verbatim (write modes mirror _FastAppendFiles /
   * _OverwriteFiles, ref update/snapshot.py:503/:585). */
-class GraftWriteBuilder(table: IceTable)
+class GraftWriteBuilder(table: IceTable,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate
     with org.apache.spark.sql.connector.write.SupportsOverwrite
@@ -203,8 +204,87 @@ class GraftWriteBuilder(table: IceTable)
             case DynamicMode => throw new IllegalStateException("unreachable")
           }
         }
+      // df.writeStream.format("graft"): Append appends per epoch;
+      // Complete arrives as truncate() → whole-table overwrite per epoch
+      override def toStreaming
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite = mode match {
+        case AppendMode =>
+          new GraftStreamingWrite(table, info.queryId(), info.schema(), truncateEachEpoch = false)
+        case OverwriteMode(AlwaysTrue) =>
+          new GraftStreamingWrite(table, info.queryId(), info.schema(), truncateEachEpoch = true)
+        case _ => throw new UnsupportedOperationException(
+          "streaming writes support Append and Complete output modes only")
+      }
     }
   }
+}
+
+/** Streaming sink: `df.writeStream.format("graft")`. Each micro-batch
+  * stages field-id parquet files executor-side (the same staging writers
+  * as the dynamic-overwrite path) and commits ONE table snapshot per
+  * epoch through the library's append/overwrite — fan-out shuffle,
+  * footer-stats harvest, optimistic commit included. Exactly-once across
+  * restarts: every epoch commit stamps (streaming-query-id,
+  * streaming-epoch-id) into the snapshot summary, and a replayed epoch —
+  * Structured Streaming re-runs the last uncommitted-at-crash batch from
+  * the checkpoint — is detected by scanning snapshot summaries and
+  * skipped. The reference has no streaming face; this is the
+  * Structured-Streaming-native extension of its append/overwrite
+  * (ref write ops: table/__init__.py:1535/:1569). */
+class GraftStreamingWrite(table: IceTable, queryId: String,
+    inputSchema: StructType, truncateEachEpoch: Boolean)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write._
+
+  private val stagingRoot = s"${table.location}/staging/stream-$queryId"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : streaming.StreamingDataWriterFactory =
+    new GraftStreamingStagingFactory(stagingRoot, inputSchema.json,
+      graft.meta.Io.confEntries(table.spark))
+
+  /** Epoch ids are monotone per query: any committed epoch ≥ this one
+    * means this batch's rows are already in the table. (Snapshot summary
+    * scan — expire_snapshots keeps the current head, and Structured
+    * Streaming only ever replays the LATEST epoch.) */
+  private def alreadyCommitted(epochId: Long): Boolean =
+    table.metadata.snapshots.exists(s =>
+      s.summary.get("streaming-query-id").contains(queryId) &&
+        s.summary.get("streaming-epoch-id").exists(_.toLong >= epochId))
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect { case StagedFileMessage(p) => p }
+    try {
+      table.refresh()
+      if (!alreadyCommitted(epochId) && files.nonEmpty) {
+        val staged = table.spark.read.schema(inputSchema).parquet(files.toIndexedSeq: _*)
+        // align by NAME: streaming frames carry the table's column names
+        // (there is no analyzer-alignment step for DSv2 streaming sinks)
+        val aligned = staged.select(table.schema.fields.map(f =>
+          org.apache.spark.sql.functions.col(f.name)): _*)
+        val marks = Map("streaming-query-id" -> queryId,
+          "streaming-epoch-id" -> epochId.toString)
+        if (truncateEachEpoch) table.overwrite(aligned, AlwaysTrue, marks)
+        else table.append(aligned, marks)
+      }
+    } finally cleanupEpoch(epochId)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    cleanupEpoch(epochId)
+
+  private def cleanupEpoch(epochId: Long): Unit =
+    try graft.meta.Io.delete(s"$stagingRoot/epoch-$epochId", recursive = true)
+    catch { case _: Exception => () }
+}
+
+class GraftStreamingStagingFactory(root: String, schemaJson: String,
+    confEntries: Array[(String, String)])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new GraftStagingWriter(s"$root/epoch-$epochId", schemaJson, partitionId, taskId,
+      confEntries)
 }
 
 /** Dynamic INSERT OVERWRITE as a native DSv2 BatchWrite: each task stages

@@ -202,10 +202,15 @@ class IceTable(
 
   /** Fast append (ref: Transaction.append table/__init__.py:460,
     * _FastAppendFiles update/snapshot.py:503). */
-  def append(df: DataFrame): Unit = {
+  def append(df: DataFrame): Unit = append(df, Map.empty[String, String])
+
+  /** `snapshotProperties` land in the snapshot summary (ref: append
+    * table/__init__.py:1535 snapshot_properties). */
+  def append(df: DataFrame, snapshotProperties: Map[String, String]): Unit = {
     val files = WriteFiles.write(spark, location, schema, spec, df,
       UUID.randomUUID().toString, sortOrderOpt, metadata.properties)
-    commitSnapshot("append", added = files, removedPaths = Set.empty)
+    commitSnapshot("append", added = files, removedPaths = Set.empty,
+      extraSummary = snapshotProperties)
   }
 
   /** Copy-on-write delete (ref: Transaction.delete table/__init__.py:703):
@@ -258,7 +263,11 @@ class IceTable(
 
   /** Overwrite rows matching `filter` (default: full truncate) with `df`
     * (ref: Transaction.overwrite table/__init__.py:606). */
-  def overwrite(df: DataFrame, filter: Expr = AlwaysTrue): Unit = {
+  def overwrite(df: DataFrame, filter: Expr = AlwaysTrue): Unit =
+    overwrite(df, filter, Map.empty[String, String])
+
+  def overwrite(df: DataFrame, filter: Expr,
+      snapshotProperties: Map[String, String]): Unit = {
     val bound = Exprs.rewriteNot(Binder.bind(schema, filter))
     val baseSnap = metadata.currentSnapshotId
     val tasks = new IceScan(this).filter(filter).planFiles()
@@ -276,7 +285,8 @@ class IceTable(
     }
     val removed = (wholeFiles ++ rewrites).map(_.file.filePath).toSet
     commitSnapshot("overwrite", added = added, removedPaths = removed ++ deadDeleteFiles(removed),
-      conflictFilter = Some(filter), baseSnapshotId = baseSnap)
+      conflictFilter = Some(filter), baseSnapshotId = baseSnap,
+      extraSummary = snapshotProperties)
   }
 
   /** Overwrite only the partitions present in `df`
@@ -331,9 +341,20 @@ class IceTable(
     * columns differ (null-safe compare), insert unmatched source rows.
     * The matched-row diff and the file-targeting both run as Spark joins —
     * no driver-side key collection. Returns (updated, inserted). */
-  def upsert(source: DataFrame, joinCols: Seq[String] = Nil): (Long, Long) = {
-    val keys = if (joinCols.nonEmpty) joinCols
-      else schema.identifierFieldIds.map(id => schema.byId(id).name)
+  def upsert(source: DataFrame, joinCols: Seq[String] = Nil): (Long, Long) =
+    upsert(source, joinCols, whenMatchedUpdateAll = true,
+      whenNotMatchedInsertAll = true, caseSensitive = true)
+
+  /** (ref: upsert table/__init__.py:800 — join_cols default to identifier
+    * fields, when_matched_update_all / when_not_matched_insert_all toggle
+    * the two MERGE branches, case_sensitive governs key resolution). */
+  def upsert(source: DataFrame, joinCols: Seq[String],
+      whenMatchedUpdateAll: Boolean, whenNotMatchedInsertAll: Boolean,
+      caseSensitive: Boolean): (Long, Long) = {
+    val keys = (if (joinCols.nonEmpty) joinCols
+      else schema.identifierFieldIds.map(id => schema.byId(id).name))
+      .map(k => schema.findField(k, caseSensitive).getOrElse(
+        throw new IllegalArgumentException(s"Join column not found: $k")).name)
     require(keys.nonEmpty, "upsert needs join columns or identifier fields")
     // upsert reads the whole table, so ANY concurrent commit conflicts
     val baseSnap = metadata.currentSnapshotId
@@ -352,12 +373,12 @@ class IceTable(
         .reduceOption(_ || _).getOrElse(lit(false))
       val joined = src.join(target, keys.map(k => src(k) === target(k)).reduce(_ && _), "inner")
       val updates = joined.filter(changedCond).select(src.columns.map(src(_)): _*).cache()
-      val nUpdates = updates.count()
+      val nUpdates = if (whenMatchedUpdateAll) updates.count() else 0L
 
       // rows to INSERT: source keys absent from target
       val inserts = src.join(target, keys.map(k => src(k) === target(k)).reduce(_ && _),
         "left_anti").cache()
-      val nInserts = inserts.count()
+      val nInserts = if (whenNotMatchedInsertAll) inserts.count() else 0L
 
       if (nUpdates == 0 && nInserts == 0) return (0L, 0L)
 
@@ -759,12 +780,14 @@ class IceTable(
   def commitSnapshot(operation: String, added: Seq[DataFile], removedPaths: Set[String],
       extraMeta: TableMetadata => TableMetadata = identity,
       conflictFilter: Option[Expr] = None,
-      baseSnapshotId: Option[Long] = None): Unit = {
+      baseSnapshotId: Option[Long] = None,
+      extraSummary: Map[String, String] = Map.empty): Unit = {
     var attempts = 0
     while (true) {
       attempts += 1
       try {
-        commitOnce(operation, added, removedPaths, extraMeta, conflictFilter, baseSnapshotId)
+        commitOnce(operation, added, removedPaths, extraMeta, conflictFilter,
+          baseSnapshotId, extraSummary)
         return
       } catch {
         case _: CommitConflictException if attempts < 5 => refresh()
@@ -819,7 +842,8 @@ class IceTable(
 
   private def commitOnce(operation: String, added: Seq[DataFile],
       removedPaths: Set[String], extraMeta: TableMetadata => TableMetadata,
-      conflictFilter: Option[Expr] = None, baseSnapshotId: Option[Long] = None): Unit = {
+      conflictFilter: Option[Expr] = None, baseSnapshotId: Option[Long] = None,
+      extraSummary: Map[String, String] = Map.empty): Unit = {
     val base = metadata
     conflictFilter.foreach(f => validateNoConflictingCommits(base, f, baseSnapshotId))
     val version = this.version
@@ -946,6 +970,9 @@ class IceTable(
     val addedRecords = added.filter(_.content == FileContent.Data).map(_.recordCount).sum
     val totalRecords = merged
       .filter(_.content == 0).map(m => m.addedRowsCount + m.existingRowsCount).sum
+    // extraSummary last: caller-supplied keys (user snapshot properties,
+    // ref append(..., snapshot_properties) table/__init__.py:1535; the
+    // streaming sink's epoch markers) win over the derived metrics
     val summary = Map(
       "operation" -> operation,
       "added-data-files" -> added.count(_.content == FileContent.Data).toString,
@@ -956,7 +983,7 @@ class IceTable(
       "total-records" -> totalRecords.toString,
       "total-data-files" ->
         merged.filter(_.content == 0)
-          .map(m => m.addedFilesCount + m.existingFilesCount).sum.toString)
+          .map(m => m.addedFilesCount + m.existingFilesCount).sum.toString) ++ extraSummary
 
     // v3 row lineage: this snapshot's new rows get ids starting at
     // next-row-id (spec §Row Lineage)

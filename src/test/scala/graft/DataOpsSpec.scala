@@ -36,6 +36,27 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh.toSet === exact.toSet)
   }
 
+  test("dedup clusters are the connected components of the pair graph") {
+    val pairs = DataOps.dedupJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // reference union-find over the same pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .groupBy(find).map { case (rep, ms) => (rep, ms.length.toLong) }
+    val got = DataOps.dedupCluster(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === want)
+    assert(got.values.forall(_ >= 2), "clusters contain only matched docs")
+  }
+
   test("query-entry wrapper releases persisted caches between queries") {
     // dedup queries persist their shingle/minhash features; the next
     // query invocation through SparkEntry must release them so sequential

@@ -279,6 +279,52 @@ class DataSourceV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
   }
 
+  test("writeStream sinks micro-batches exactly once across restarts") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val df = mem.toDF().withColumnRenamed("value", "id")
+    val tab = catalog.createTable("stream_sink", Schema.fromSpark(df.schema))
+    val ckpt = Files.createTempDirectory("sink-ckpt").toString
+    def start() = df.writeStream.format("graft")
+      .option("warehouse", warehouse).option("table", "stream_sink")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q = start()
+    mem.addData(1L to 10L: _*)
+    q.processAllAvailable()
+    mem.addData(11L to 20L: _*)
+    q.processAllAvailable()
+    q.stop()
+    tab.refresh()
+    assert(tab.scan.count() === 20)
+    // restart from the same checkpoint: no duplicates, new data flows
+    val q2 = start()
+    mem.addData(21L to 30L: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    tab.refresh()
+    assert(tab.scan.count() === 30)
+    // snapshots carry the (query, epoch) markers the dedup relies on
+    assert(tab.metadata.snapshots.exists(_.summary.contains("streaming-epoch-id")))
+
+    // a REPLAYED epoch (post-crash re-delivery) must be a no-op
+    val w = new graft.spark.GraftStreamingWrite(tab, "replay-test", df.schema,
+      truncateEachEpoch = false)
+    def commitEpoch(epoch: Long): Unit = {
+      val writer = w.createStreamingWriterFactory(null).createWriter(0, 0L, epoch)
+      writer.write(org.apache.spark.sql.catalyst.InternalRow(1000L + epoch))
+      val msg = writer.commit()
+      w.commit(epoch, Array(msg))
+    }
+    commitEpoch(0L)
+    tab.refresh()
+    assert(tab.scan.count() === 31)
+    commitEpoch(0L) // same epoch again — deduped
+    tab.refresh()
+    assert(tab.scan.count() === 31)
+  }
+
   test("ORC data files read through the v2 source, mixed with parquet") {
     val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
     val t = catalog.createTable("p_orc_v2", Schema.fromSpark(part.schema))

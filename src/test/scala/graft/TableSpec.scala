@@ -120,6 +120,33 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(result.filter(col("o_orderstatus") === "X").count() === nOverlap + nNew)
   }
 
+  test("upsert flags: insert-only / update-only / case-insensitive keys") {
+    val t = catalog.createTable("t_upsert_flags", Schema.fromSpark(orders.schema))
+    t.append(orders.filter(col("o_orderkey") <= 1200))
+    val src = orders.filter(col("o_orderkey") > 600)
+      .withColumn("o_orderstatus", lit("Y"))
+    val nOverlap = orders.filter(col("o_orderkey") > 600 && col("o_orderkey") <= 1200).count()
+    val nNew = orders.filter(col("o_orderkey") > 1200).count()
+    // insert-only: matched rows untouched (ref when_matched_update_all=False)
+    val (u1, i1) = t.upsert(src, Seq("O_ORDERKEY"),
+      whenMatchedUpdateAll = false, whenNotMatchedInsertAll = true,
+      caseSensitive = false)
+    assert((u1, i1) === (0L, nNew))
+    assert(t.scan.toDF.filter(col("o_orderstatus") === "Y").count() === nNew)
+    // update-only: new keys not inserted (ref when_not_matched_insert_all=False)
+    val src2 = orders.withColumn("o_orderstatus", lit("Z"))
+    val (u2, i2) = t.upsert(src2, Seq("o_orderkey"),
+      whenMatchedUpdateAll = true, whenNotMatchedInsertAll = false,
+      caseSensitive = true)
+    assert(u2 === orders.count())
+    assert(i2 === 0L)
+    assert(t.scan.toDF.count() === orders.count())
+    // unknown key name fails loudly under case-sensitive resolution
+    intercept[IllegalArgumentException](t.upsert(src, Seq("O_ORDERKEY"),
+      whenMatchedUpdateAll = true, whenNotMatchedInsertAll = true,
+      caseSensitive = true))
+  }
+
   test("schema evolution: rename + add + promote reads old files") {
     val t = catalog.createTable("t_evo", Schema.fromSpark(
       orders.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")).schema))
