@@ -168,36 +168,42 @@ object DataOps {
     * DuckDB oracle derives the same components with a recursive CTE. */
   def dedupCluster(s: SparkSession, dir: String): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val pairs = jaccardPairs(s, dir).persist(lvl)
+    // BOTH edge directions from ONE pass over the pair chain (explode, not
+    // a self-union: two union branches racing on an uncached frame each
+    // compute the full jaccard chain — measured 10.8 s vs 4.5 s init)
+    val edges = jaccardPairs(s, dir)
+      .select(explode(array(
+        struct(col("a_id").as("u"), col("b_id").as("v")),
+        struct(col("b_id").as("u"), col("a_id").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .persist(lvl)
     try {
-      val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
-        .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+      // the label frame is LINEAGE-TRUNCATED every round (eager
+      // localCheckpoint): an iterative frame otherwise nests the whole
+      // prior round's plan — including two copies of the jaccard chain
+      // via `edges` — so round N re-analyzes and re-codegens an
+      // exponentially-growing tree (measured 11 s → 41 s per round at
+      // sf0.1; ~0.3 s with truncation). On a cluster, swap
+      // localCheckpoint (executor-storage, lost-executor = job restart)
+      // for reliable checkpoint(dir) — same shape, durable blocks.
       var labels = edges.select(col("u").as("node")).distinct()
-        .withColumn("label", col("node"))
-        .persist(lvl)
+        .withColumn("label", col("node")).localCheckpoint()
       var changed = 1L
-      var prev: DataFrame = null
       while (changed > 0) {
         val prop = edges.join(labels, edges("u") === labels("node"))
           .select(edges("v").as("node"), labels("label"))
         val next = labels.union(prop).groupBy(col("node"))
-          .agg(min(col("label")).as("label"))
-          .persist(lvl)
-        val old = labels.select(col("node"), col("label").as("old_label"))
-        // materializes `next`, so the superseded round can release
-        changed = next.join(old, "node")
+          .agg(min(col("label")).as("label")).localCheckpoint()
+        changed = next
+          .join(labels.select(col("node"), col("label").as("old_label")), "node")
           .filter(col("label") =!= col("old_label")).count()
-        if (prev != null) prev.unpersist(false)
-        prev = labels
         labels = next
       }
-      if (prev != null) prev.unpersist(false)
-      trackCache(labels)
       labels.groupBy(col("label"))
         .agg(count(lit(1)).as("cluster_size"))
         .select(col("label").as("cluster_rep"), col("cluster_size"))
         .orderBy(col("cluster_rep"))
-    } finally pairs.unpersist()
+    } finally edges.unpersist(false)
   }
   val dedupClusterSql =
     s"""WITH RECURSIVE tok AS (
