@@ -38,8 +38,13 @@ object DataOps {
     * intermediates in the suite — pin executor storage memory for the
     * whole session, competing with later queries' shuffles. */
   private val liveCaches = new scala.collection.mutable.ArrayBuffer[DataFrame]
+  private val liveRdds = new scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]
   private[graft] def trackCache(df: DataFrame): DataFrame =
     liveCaches.synchronized { liveCaches += df; df }
+  /** RDD-level caches (lineage-truncated iterative frames) ride the same
+    * release contract as DataFrame persists. */
+  private[graft] def trackRdd(r: org.apache.spark.rdd.RDD[_]): Unit =
+    liveCaches.synchronized { liveRdds += r }
   private[graft] def releaseCaches(): Unit = liveCaches.synchronized {
     // a tracked cache may belong to an already-stopped SparkSession (test
     // suites cycle sessions in one JVM) — never let stale state fail a
@@ -49,6 +54,11 @@ object DataOps {
       catch { case _: Exception => }
     }
     liveCaches.clear()
+    liveRdds.foreach { r =>
+      try if (!r.sparkContext.isStopped) r.unpersist(false)
+      catch { case _: Exception => }
+    }
+    liveRdds.clear()
   }
 
   private def exportForOracle(df: DataFrame, name: String): Unit =
@@ -178,27 +188,34 @@ object DataOps {
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .persist(lvl)
     try {
-      // the label frame is LINEAGE-TRUNCATED every round (eager
-      // localCheckpoint): an iterative frame otherwise nests the whole
+      // the label frame is LINEAGE-TRUNCATED every round (persisted
+      // leaf-RDD frame): an iterative frame otherwise nests the whole
       // prior round's plan — including two copies of the jaccard chain
       // via `edges` — so round N re-analyzes and re-codegens an
       // exponentially-growing tree (measured 11 s → 41 s per round at
-      // sf0.1; ~0.3 s with truncation). On a cluster, swap
-      // localCheckpoint (executor-storage, lost-executor = job restart)
-      // for reliable checkpoint(dir) — same shape, durable blocks.
-      var labels = edges.select(col("u").as("node")).distinct()
-        .withColumn("label", col("node")).localCheckpoint()
+      // sf0.1; ~0.3 s with truncation). cachedLeafFrame over
+      // localCheckpoint so each superseded round's blocks release
+      // immediately and the final round's ride the releaseCaches
+      // contract; on a cluster a reliable checkpoint(dir) gives the same
+      // shape with executor-loss durability.
+      val bridge = org.apache.spark.sql.GraftBridge
+      var (labels, labelsRdd) = bridge.cachedLeafFrame(
+        edges.select(col("u").as("node")).distinct().withColumn("label", col("node")))
       var changed = 1L
       while (changed > 0) {
         val prop = edges.join(labels, edges("u") === labels("node"))
           .select(edges("v").as("node"), labels("label"))
-        val next = labels.union(prop).groupBy(col("node"))
-          .agg(min(col("label")).as("label")).localCheckpoint()
+        val (next, nextRdd) = bridge.cachedLeafFrame(
+          labels.union(prop).groupBy(col("node")).agg(min(col("label")).as("label")))
+        // the count both decides convergence and materializes `next`
         changed = next
           .join(labels.select(col("node"), col("label").as("old_label")), "node")
           .filter(col("label") =!= col("old_label")).count()
+        labelsRdd.unpersist(false)
         labels = next
+        labelsRdd = nextRdd
       }
+      trackRdd(labelsRdd) // consumed by the returned frame; freed next query
       labels.groupBy(col("label"))
         .agg(count(lit(1)).as("cluster_size"))
         .select(col("label").as("cluster_rep"), col("cluster_size"))

@@ -277,6 +277,32 @@ object Iceberg {
       |WHERE c_acctbal > 5000.0 AND c_acctbal <= 9000.0 AND c_mktsegment = 'BUILDING'
       |ORDER BY c_custkey""".stripMargin
 
+  /** DSv2 aggregate pushdown: a global count/min/max through
+    * spark.read.format("graft") is answered from MANIFEST stats — the SQL
+    * face of the metadata count() short-circuit (ref table/__init__.py:2341;
+    * GraftAggPushdown). The assert guards the pushdown actually firing, so
+    * a regression shows up as a query failure, not a silent slow path. */
+  def dsv2AggPushdown(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val cat = wh(s)
+    val tab = cat.createTable("customer_agg", Schema.fromSpark(cust.schema))
+    tab.append(cust)
+    graft.spark.GraftAggPushdown.lastPushed = None
+    val out = s.read.format("graft")
+      .option("warehouse", cat.warehouse).option("table", "customer_agg").load()
+      .agg(count(lit(1)).as("n"), min(col("c_custkey")).as("mn"),
+        max(col("c_custkey")).as("mx"),
+        count(col("c_mktsegment")).as("n_seg"))
+    val row = out.head()
+    require(graft.spark.GraftAggPushdown.lastPushed.isDefined,
+      "expected the aggregation to be answered from manifest stats")
+    require(row.getLong(0) > 0, "empty table in agg pushdown query")
+    out
+  }
+  val dsv2AggPushdownSql =
+    """SELECT count(*) AS n, min(c_custkey) AS mn, max(c_custkey) AS mx,
+      |count(c_mktsegment) AS n_seg FROM customer""".stripMargin
+
   private val sqlCatSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** G. Iceberg VIEWS (ref: pyiceberg/view — metadata.py ViewMetadata,
@@ -565,6 +591,7 @@ object Iceberg {
     "ice_deletion_vectors" -> (deletionVectors _),
     "ice_equality_deletes" -> (equalityDeletes _),
     "ice_dsv2_scan" -> (dsv2Scan _),
+    "ice_dsv2_agg" -> (dsv2AggPushdown _),
     "ice_sql_catalog_dml" -> (sqlCatalogDml _),
     "ice_view" -> (icebergView _),
     "ice_transform_predicate" -> (transformPredicate _),
@@ -597,6 +624,7 @@ object Iceberg {
     "ice_deletion_vectors" -> deletionVectorsSql,
     "ice_equality_deletes" -> equalityDeletesSql,
     "ice_dsv2_scan" -> dsv2ScanSql,
+    "ice_dsv2_agg" -> dsv2AggPushdownSql,
     "ice_sql_catalog_dml" -> sqlCatalogDmlSql,
     "ice_view" -> icebergViewSql,
     "ice_transform_predicate" -> transformPredicateSql,

@@ -389,12 +389,13 @@ class GraftStagingWriter(dir: String, schemaJson: String, partitionId: Int,
 
 class GraftScanBuilder(table: IceTable, snapshotId: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
 
   private var pushed: Array[sources.Filter] = Array.empty
   private var expr: Expr = AlwaysTrue
   private var required: StructType = GraftSparkTable.schemaOf(table, snapshotId).toSpark
   private var limit: Long = -1L
+  private var aggResult: Option[(StructType, Array[Any])] = None
 
   /** per-partition early stop; Spark keeps the global Limit operator. */
   override def pushLimit(n: Int): Boolean = { limit = n.toLong; true }
@@ -415,7 +416,195 @@ class GraftScanBuilder(table: IceTable, snapshotId: Option[Long] = None)
 
   private def toExpr(f: sources.Filter): Option[Expr] = GraftFilters.toExpr(f)
 
-  override def build(): Scan = new GraftScan(table, expr, required, limit, snapshotId)
+  /** COUNT(*)/COUNT(col)/MIN/MAX answered from MANIFEST stats — the SQL
+    * face of the library's metadata count() short-circuit (Scan.scala
+    * count(); ref table/__init__.py:2341): `SELECT count(*) FROM t` on a
+    * 100 TB table reads zero data bytes. Only COMPLETE pushdown is
+    * offered, and only when the stats make the answer exact (see
+    * GraftAggPushdown.compute); Spark re-plans the normal scan otherwise. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    GraftAggPushdown.compute(table, snapshotId, expr, agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    aggResult = GraftAggPushdown.compute(table, snapshotId, expr, agg)
+    aggResult.isDefined
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((schema, row)) => new GraftAggScan(schema, row)
+    case None => new GraftScan(table, expr, required, limit, snapshotId)
+  }
+}
+
+object GraftAggPushdown {
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.connector.expressions.NamedReference
+
+  /** Test seam: description of the last aggregation answered from
+    * metadata in this JVM ("count(*),min(x)"), if any. */
+  @volatile var lastPushed: Option[String] = None
+
+  /** Spark-internal value for an aggregate output cell. Bounds decode to
+    * plain JVM values (Conversions.fromBytes); Spark internal rows want
+    * UTF8String/Decimal forms. */
+  private def internalValue(v: Any, t: IceType): Any = v match {
+    case null => null
+    case bd: java.math.BigDecimal => Decimal(bd)
+    case s: String => UTF8String.fromString(s)
+    case other => other
+  }
+
+  /** None ⟹ not answerable exactly from metadata (Spark then runs the
+    * normal scan). Some((schema, row)) ⟹ the one-row complete answer.
+    *
+    * Exactness rules per aggregate:
+    *  - count(*): residual-free tasks contribute record_count; a task
+    *    whose ONLY delete is a v3 deletion vector contributes
+    *    record_count − DV cardinality (manifest field 144). Any other
+    *    delete ⟹ unanswerable.
+    *  - count(col): value_count − null_count, required in EVERY file;
+    *    no deletes (a delete may remove counted rows).
+    *  - min/max(col): lower/upper bounds in EVERY file; no deletes (a
+    *    delete may remove the extreme row); not float/double (NaN is not
+    *    ordered in bounds), not string/binary/fixed/uuid (bounds are
+    *    truncate(16)-mode prefixes — an upper bound is not an attained
+    *    max). Bool/int/long/date/time/ts/decimal bounds are exact.
+    *
+    * Filters: Spark only pushes aggregates when no post-scan Filter
+    * remains; this source reports every filter as post-scan, so `expr`
+    * is AlwaysTrue here — asserted defensively. */
+  def compute(table: IceTable, snapshotId: Option[Long], expr: Expr,
+      agg: Aggregation): Option[(StructType, Array[Any])] = {
+    if (expr != AlwaysTrue || agg.groupByExpressions().nonEmpty) return None
+    val schema = GraftSparkTable.schemaOf(table, snapshotId)
+
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[graft.core.NestedField] = e match {
+      case r: NamedReference => schema.findField(r.fieldNames.mkString("."))
+      case _ => None
+    }
+
+    val base = table.scan
+    val pinned = snapshotId.fold(base)(base.useSnapshot)
+    val tasks = pinned.planFiles()
+
+    val anyDeletes = tasks.exists(_.deletes.nonEmpty)
+    // count(*)-compatible deletes: none, or exactly one DV per task
+    lazy val countStarOk = tasks.forall(t => t.deletes.isEmpty ||
+      (t.deletes.sizeIs == 1 && t.deletes.head.isDeletionVector))
+    def countStar: Option[Any] =
+      if (countStarOk)
+        Some(java.lang.Long.valueOf(tasks.map(t =>
+          t.file.recordCount - t.deletes.headOption.map(_.recordCount).getOrElse(0L)).sum))
+      else None
+
+    def countCol(f: graft.core.NestedField): Option[Any] =
+      if (!anyDeletes && tasks.forall(t => t.file.valueCounts.contains(f.id) &&
+          t.file.nullValueCounts.contains(f.id)))
+        Some(java.lang.Long.valueOf(tasks.map(t =>
+          t.file.valueCounts(f.id) - t.file.nullValueCounts(f.id)).sum))
+      else None
+
+    def boundsExact(t: IceType): Boolean = t match {
+      case IBoolean | IInt | ILong | IDate | ITime | ITimestamp | ITimestamptz |
+           IDecimal(_, _) => true
+      case _ => false // float/double (NaN), string/binary/fixed/uuid (truncation)
+    }
+
+    def minMax(f: graft.core.NestedField, isMin: Boolean): Option[Any] = {
+      if (anyDeletes || !boundsExact(f.fieldType)) return None
+      val bounds = tasks.map(t =>
+        if (isMin) t.file.lowerBounds.get(f.id) else t.file.upperBounds.get(f.id))
+      // a file of ONLY nulls for f legitimately has no bound — it cannot
+      // hold the extreme, so it may be skipped; a file with non-null
+      // values but missing stats makes the answer inexact
+      val perFile = tasks.zip(bounds).flatMap { case (t, b) =>
+        val nonNull = for {
+          vc <- t.file.valueCounts.get(f.id)
+          nc <- t.file.nullValueCounts.get(f.id)
+        } yield vc - nc
+        (b, nonNull) match {
+          case (Some(v), _) => Seq(Some(v))
+          case (None, Some(0L)) => Nil // all-null file: no bound needed
+          case _ => Seq(None) // unknown: give up
+        }
+      }
+      if (perFile.exists(_.isEmpty)) return None
+      val vs = perFile.flatten
+      if (vs.isEmpty) Some(internalValue(null, f.fieldType)) // zero matching rows → NULL
+      else {
+        val pick = vs.reduceLeft { (a, b) =>
+          val le = Literals.compare(f.fieldType, a, b) <= 0
+          if (le == isMin) a else b
+        }
+        Some(internalValue(pick, f.fieldType))
+      }
+    }
+
+    val outFields = Seq.newBuilder[StructField]
+    val outValues = Seq.newBuilder[Any]
+    val described = Seq.newBuilder[String]
+    agg.aggregateExpressions().foreach {
+      case _: CountStar => countStar match {
+        case Some(v) =>
+          outFields += StructField("count(*)", LongType, nullable = false)
+          outValues += v; described += "count(*)"
+        case None => return None
+      }
+      case c: Count if !c.isDistinct => fieldOf(c.column).flatMap(countCol) match {
+        case Some(v) =>
+          outFields += StructField(s"count(${c.column})", LongType, nullable = false)
+          outValues += v; described += s"count(${c.column})"
+        case None => return None
+      }
+      case m: Min => fieldOf(m.column) match {
+        case Some(f) => minMax(f, isMin = true) match {
+          case Some(v) =>
+            outFields += StructField(s"min(${m.column})", SchemaConv.toSparkField(f).dataType)
+            outValues += v; described += s"min(${m.column})"
+          case None => return None
+        }
+        case None => return None
+      }
+      case m: Max => fieldOf(m.column) match {
+        case Some(f) => minMax(f, isMin = false) match {
+          case Some(v) =>
+            outFields += StructField(s"max(${m.column})", SchemaConv.toSparkField(f).dataType)
+            outValues += v; described += s"max(${m.column})"
+          case None => return None
+        }
+        case None => return None
+      }
+      case _ => return None
+    }
+    lastPushed = Some(described.result().mkString(","))
+    Some((StructType(outFields.result()), outValues.result().toArray))
+  }
+}
+
+/** The one-row scan a completely-pushed aggregation builds: the answer was
+  * computed on the driver from manifest stats; the single input partition
+  * just emits it. */
+final case class GraftAggPartition(values: Array[Any]) extends InputPartition
+
+class GraftAggScan(schema: StructType, row: Array[Any]) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftAggPartition(row))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val vs = partition.asInstanceOf[GraftAggPartition].values
+          private var done = false
+          override def next(): Boolean = if (done) false else { done = true; true }
+          override def get(): InternalRow = new GenericInternalRow(vs.clone())
+          override def close(): Unit = ()
+        }
+    }
 }
 
 object GraftFilters {
@@ -544,11 +733,70 @@ object GraftScan {
 
 class GraftScan(table: IceTable, expr: Expr, required: StructType,
     pushedLimit: Long = -1L, snapshotId: Option[Long] = None)
-    extends Scan with Batch with SupportsRuntimeFiltering {
+    extends Scan with Batch with SupportsRuntimeFiltering with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
 
   override def toBatch: Batch = this
+
+  /** One planning pass shared by estimateStatistics (logical planning) and
+    * planInputPartitions (physical), re-run only when runtime filtering
+    * tightens the predicate between the two. */
+  @volatile private var planned: (Expr, Seq[graft.table.FileScanTask]) = null
+
+  private def combinedExpr: Expr =
+    if (runtimeExpr == AlwaysTrue) expr else And(expr, runtimeExpr)
+
+  private def plannedTasks(): Seq[graft.table.FileScanTask] = {
+    val key = combinedExpr
+    val cached = planned
+    if (cached != null && cached._1 == key) cached._2
+    else {
+      val base = table.scan.filter(GraftFilters.normalizeLiterals(key))
+      val pinned = snapshotId.fold(base)(base.useSnapshot)
+      val tasks = pinned.planFiles()
+      planned = (key, tasks)
+      tasks
+    }
+  }
+
+  /** POST-PRUNING stats for Spark's planner: a selective partition filter
+    * shrinks sizeInBytes below the broadcast threshold, so joins against a
+    * pruned dimension scan broadcast instead of shuffling — without this,
+    * DSv2 relations default to "unknown = huge" and every join on the SQL
+    * face shuffles at 100 TB (the library face gets the same effect from
+    * toDF reading only the planned files). numRows subtracts exact v3 DV
+    * cardinalities; other deletes leave it an upper bound (estimate-safe). */
+  override def estimateStatistics(): Statistics = {
+    val tasks = plannedTasks()
+    var rows = 0L
+    var bytes = 0L
+    tasks.foreach { t =>
+      val dvRemoved = t.deletes.filter(_.isDeletionVector).map(_.recordCount).sum
+      rows += math.max(0L, t.file.recordCount - dvRemoved)
+      bytes += t.file.fileSizeInBytes
+    }
+    val limited = if (pushedLimit >= 0) math.min(rows, pushedLimit) else rows
+    // scale bytes to the pruned column set via on-disk column sizes, so a
+    // 2-column projection of a wide table reports 2 columns' bytes
+    val names = required.fieldNames.toSet
+    val wantedIds = GraftSparkTable.schemaOf(table, snapshotId).fields
+      .filter(f => names.contains(f.name)).map(_.id).toSet
+    val (wantedBytes, allBytes) = tasks.foldLeft((0L, 0L)) { case ((w, a), t) =>
+      val cs = t.file.columnSizes
+      (w + cs.filter { case (id, _) => wantedIds.contains(id) }.values.sum, a + cs.values.sum)
+    }
+    val projected =
+      if (allBytes > 0L && wantedBytes > 0L)
+        (bytes.toDouble * wantedBytes / allBytes).toLong.max(1L)
+      else bytes
+    val scaled = if (rows > 0 && limited < rows)
+      (projected.toDouble * limited / rows).toLong.max(1L) else projected
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(scaled)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(limited)
+    }
+  }
 
   /** Runtime filtering (dynamic partition pruning): Spark re-plans this
     * scan at EXECUTION time with e.g. the IN-set of join keys observed on
@@ -558,8 +806,14 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
     * the partition-transform SOURCE columns: only those can prune files. */
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
     val specSourceIds = table.metadata.partitionSpecs.flatMap(_.fields.map(_.sourceId)).distinct
-    specSourceIds.flatMap(id => table.schema.byId.get(id)).map(f =>
-      org.apache.spark.sql.connector.expressions.Expressions.column(f.name)).toArray
+    // only columns surviving column pruning: Spark resolves these against
+    // the scan OUTPUT, and an unresolvable reference fails analysis of any
+    // pruned scan (a projection rarely keeps the partition source column)
+    val visible = required.fieldNames.toSet
+    specSourceIds.flatMap(id => table.schema.byId.get(id))
+      .filter(f => visible.contains(f.name))
+      .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+      .toArray
   }
 
   @volatile private var runtimeExpr: Expr = AlwaysTrue
@@ -571,11 +825,7 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val combined =
-      if (runtimeExpr == AlwaysTrue) expr else And(expr, runtimeExpr)
-    val base = table.scan.filter(normalizeLiterals(combined))
-    val pinned = snapshotId.fold(base)(base.useSnapshot)
-    val tasks = pinned.planFiles()
+    val tasks = plannedTasks()
     GraftScan.lastPlannedPartitions = tasks.size
     GraftScan.lastRuntimeFiltered = runtimeExpr != AlwaysTrue
     // requested engine schema = snapshot-schema fields matching the pruned
@@ -620,8 +870,6 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
         : InputPartition
     }.toArray
   }
-
-  private def normalizeLiterals(e: Expr): Expr = GraftFilters.normalizeLiterals(e)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(GraftReaderFactory.sessionConfEntries(table.spark))

@@ -19,4 +19,20 @@ object GraftBridge {
     * conf — `cloneSession` is private[sql] in Spark 4. */
   def cloneSession(s: SparkSession): SparkSession =
     s.asInstanceOf[classic.SparkSession].cloneSession()
+
+  /** Lineage-truncating materialization for iterative frames: persist the
+    * frame's InternalRow RDD and wrap it as a leaf LogicalRDD frame — the
+    * SQL plan collapses to a scan of the cached blocks, like
+    * localCheckpoint, but the caller HOLDS the persisted RDD and can
+    * release its blocks deterministically (localCheckpoint's internal RDD
+    * is unreachable, so its blocks pin storage until GC). The caller must
+    * run an action before relying on the cache (persist is lazy);
+    * `internalCreateDataFrame` is private[sql], hence this bridge. */
+  def cachedLeafFrame(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = ds.sparkSession.internalCreateDataFrame(rdd, ds.schema)
+    (out, rdd)
+  }
 }

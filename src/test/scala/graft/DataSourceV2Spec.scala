@@ -325,6 +325,110 @@ class DataSourceV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tab.scan.count() === 31)
   }
 
+  test("global count/min/max answered from manifest stats (aggregate pushdown)") {
+    import graft.spark.GraftAggPushdown
+    val t = catalog.createTable("o_v2_agg", Schema.fromSpark(orders.schema))
+    t.append(orders.filter(col("o_orderkey") <= 3000))
+    t.append(orders.filter(col("o_orderkey") > 3000)) // several files
+    GraftAggPushdown.lastPushed = None
+    val r = loadV2("o_v2_agg").agg(
+      count(lit(1)).as("n"), min(col("o_orderkey")).as("mn"),
+      max(col("o_orderkey")).as("mx"), count(col("o_orderpriority")).as("nc"),
+      min(col("o_orderdate")).as("md")).head()
+    assert(GraftAggPushdown.lastPushed.isDefined,
+      "count/min/max over exact stats should be answered from metadata")
+    assert(r.getLong(0) === orders.count())
+    assert(r.getLong(1) === orders.agg(min(col("o_orderkey"))).head().getLong(0))
+    assert(r.getLong(2) === orders.agg(max(col("o_orderkey"))).head().getLong(0))
+    assert(r.getLong(3) === orders.filter(col("o_orderpriority").isNotNull).count())
+    // the engine stores timestamps as NTZ micros — compare via the library
+    // scan, which carries the same type
+    assert(r.get(4) === t.scan.toDF.agg(min(col("o_orderdate"))).head().get(0))
+
+    // string bounds are truncate(16)-mode prefixes — NOT an attained
+    // min/max → must fall back to a real scan (and still be right)
+    GraftAggPushdown.lastPushed = None
+    val s = loadV2("o_v2_agg").agg(min(col("o_orderpriority"))).head().getString(0)
+    assert(GraftAggPushdown.lastPushed.isEmpty,
+      "string min/max must not be answered from truncated bounds")
+    assert(s === orders.agg(min(col("o_orderpriority"))).head().getString(0))
+
+    // double bounds order NaN unreliably — excluded too
+    GraftAggPushdown.lastPushed = None
+    loadV2("o_v2_agg").agg(max(col("o_totalprice"))).head()
+    assert(GraftAggPushdown.lastPushed.isEmpty)
+
+    // a WHERE stays a post-scan Filter (may-match pruning), which blocks
+    // aggregate pushdown — the filtered count must come from a real scan
+    GraftAggPushdown.lastPushed = None
+    assert(loadV2("o_v2_agg").filter(col("o_orderkey") > 1000).count() ===
+      orders.filter(col("o_orderkey") > 1000).count())
+    assert(GraftAggPushdown.lastPushed.isEmpty)
+  }
+
+  test("aggregate pushdown declines when deletes could change the answer") {
+    import graft.spark.GraftAggPushdown
+    val t = catalog.createTable("o_v2_agg_del", Schema.fromSpark(orders.schema))
+    t.append(orders)
+    t.deletePositional("o_orderkey <= 300")
+    GraftAggPushdown.lastPushed = None
+    assert(loadV2("o_v2_agg_del").count() ===
+      orders.filter(col("o_orderkey") > 300).count())
+    assert(GraftAggPushdown.lastPushed.isEmpty,
+      "a position-delete file makes record_count inexact")
+  }
+
+  test("count(*) on a DV-maintained table is pure manifest arithmetic") {
+    import graft.spark.GraftAggPushdown
+    val t = catalog.createTable("o_v2_agg_dv", Schema.fromSpark(orders.schema))
+    t.upgradeFormatVersion(3)
+    t.append(orders)
+    t.deleteAsDeletionVector("o_orderkey <= 300")
+    GraftAggPushdown.lastPushed = None
+    assert(loadV2("o_v2_agg_dv").count() ===
+      orders.filter(col("o_orderkey") > 300).count())
+    assert(GraftAggPushdown.lastPushed.contains("count(*)"),
+      "DV cardinality is exact (manifest field 144) — count stays metadata-only")
+    // …but min/max cannot trust bounds once rows are deleted
+    GraftAggPushdown.lastPushed = None
+    loadV2("o_v2_agg_dv").agg(min(col("o_orderkey"))).head()
+    assert(GraftAggPushdown.lastPushed.isEmpty)
+  }
+
+  test("scan statistics reflect pruning; joins broadcast without a hint") {
+    val schema = Schema.fromSpark(orders.schema)
+    val t = catalog.createTable("o_v2_stats", schema,
+      Spec.build(schema, 0, ("o_orderpriority", graft.core.IdentityTransform, "prio")))
+    t.append(orders)
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    def relStats(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case r: DataSourceV2ScanRelation => r.stats
+      }.get
+    val full = relStats(loadV2("o_v2_stats"))
+    val pruned = relStats(loadV2("o_v2_stats")
+      .filter(col("o_orderpriority") === "1-URGENT"))
+    assert(full.rowCount.contains(BigInt(orders.count())))
+    assert(pruned.sizeInBytes < full.sizeInBytes,
+      s"partition pruning must shrink reported size: $pruned vs $full")
+    assert(pruned.rowCount.get ===
+      BigInt(orders.filter(col("o_orderpriority") === "1-URGENT").count()))
+    // column pruning shrinks the estimate too (columnSizes-proportional)
+    val narrow = relStats(loadV2("o_v2_stats").select(col("o_orderkey")))
+    assert(narrow.sizeInBytes < full.sizeInBytes)
+
+    // the planner now sees a broadcastable pruned side: a fact⋈dim join
+    // through the v2 source broadcasts WITHOUT an explicit hint
+    val dim = loadV2("o_v2_stats").filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("k"))
+    val fact = loadV2("o_v2_stats")
+    val joined = fact.join(dim, fact("o_orderkey") === dim("k"))
+    assert(joined.count() ===
+      orders.filter(col("o_orderpriority") === "1-URGENT").count())
+    assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "reported statistics should make the pruned side broadcast")
+  }
+
   test("ORC data files read through the v2 source, mixed with parquet") {
     val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
     val t = catalog.createTable("p_orc_v2", Schema.fromSpark(part.schema))
