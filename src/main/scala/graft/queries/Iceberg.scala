@@ -303,6 +303,54 @@ object Iceberg {
     """SELECT count(*) AS n, min(c_custkey) AS mn, max(c_custkey) AS mx,
       |count(c_mktsegment) AS n_seg FROM customer""".stripMargin
 
+  /** Storage-partitioned join: orders and customer bucketed the SAME way
+    * on the join key join with NO shuffle on either side — Spark groups
+    * each scan's splits by the partition-key rows they carry
+    * (KeyGroupedPartitioning + HasPartitionKey; transform functions
+    * resolved through the catalog's FunctionCatalog). The require()
+    * fails the query if an Exchange ever reappears in the plan. */
+  def spjJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val orders = t(s, dir, "orders")
+    val whDir = Files.createTempDirectory("graft_spj").toString
+    val cname = s"gspj${sqlCatSeq.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cname", "graft.spark.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cname.warehouse", whDir)
+    val cat = new HadoopCatalog(whDir, s)
+    val cs = Schema.fromSpark(cust.schema)
+    val os = Schema.fromSpark(orders.schema)
+    cat.createTable("customer", cs,
+      Spec.build(cs, 0, ("c_custkey", BucketTransform(8), "cb"))).append(cust)
+    cat.createTable("orders", os,
+      Spec.build(os, 0, ("o_custkey", BucketTransform(8), "ob"))).append(orders)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a real join
+      "spark.sql.adaptive.enabled" -> "false") // stable plan to assert on
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      // assert on the bare join (the presentation ORDER BY below adds a
+      // legitimate range exchange for the global sort)
+      val joined = s.sql(
+        s"""SELECT o.o_orderkey, o.o_custkey, c.c_name, o.o_totalprice
+           |FROM $cname.orders o JOIN $cname.customer c ON o.o_custkey = c.c_custkey
+           |""".stripMargin)
+      val plan = joined.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange"),
+        s"storage-partitioned join must not shuffle:\n${plan.take(1500)}")
+      joined.count() // execute the shuffle-free plan while the confs hold
+      joined.orderBy(col("o_orderkey"))
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+  val spjJoinSql =
+    """SELECT o_orderkey, o_custkey, c_name, o_totalprice
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin
+
   private val sqlCatSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** G. Iceberg VIEWS (ref: pyiceberg/view — metadata.py ViewMetadata,
@@ -592,6 +640,7 @@ object Iceberg {
     "ice_equality_deletes" -> (equalityDeletes _),
     "ice_dsv2_scan" -> (dsv2Scan _),
     "ice_dsv2_agg" -> (dsv2AggPushdown _),
+    "ice_spj_join" -> (spjJoin _),
     "ice_sql_catalog_dml" -> (sqlCatalogDml _),
     "ice_view" -> (icebergView _),
     "ice_transform_predicate" -> (transformPredicate _),
@@ -625,6 +674,7 @@ object Iceberg {
     "ice_equality_deletes" -> equalityDeletesSql,
     "ice_dsv2_scan" -> dsv2ScanSql,
     "ice_dsv2_agg" -> dsv2AggPushdownSql,
+    "ice_spj_join" -> spjJoinSql,
     "ice_sql_catalog_dml" -> sqlCatalogDmlSql,
     "ice_view" -> icebergViewSql,
     "ice_transform_predicate" -> transformPredicateSql,

@@ -34,7 +34,7 @@ import graft.meta.{PartitionSpec}
   * drop_table :490, rename_table :538, list_tables :589, namespaces :470+);
   * this plugin is the Spark-native equivalent surface.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
 
   private var catalogName: String = _
   private var catalog: graft.catalog.Catalog = _
@@ -162,6 +162,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
     catalog.renameTable(fullName(oldIdent), fullName(newIdent))
   }
+
+  // ---- functions --------------------------------------------------------
+  // The partition-transform functions (bucket/truncate/years/…) live in
+  // every namespace incl. the root: Spark resolves the functions named by
+  // a scan's KeyGroupedPartitioning through the TABLE's catalog, which is
+  // what lets two co-partitioned graft tables join shuffle-free
+  // (storage-partitioned joins; GraftFunctions).
+
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] =
+    GraftFunctions.names.map(n => Identifier.of(namespace, n)).toArray
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    GraftFunctions.load(ident.name()).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
 
   // ---- namespaces -------------------------------------------------------
 

@@ -160,6 +160,40 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage != null)
   }
 
+  test("co-bucketed tables join without a shuffle (storage-partitioned join)") {
+    spark.sql("""CREATE TABLE g.db.spj_a (k BIGINT, v DOUBLE)
+      PARTITIONED BY (bucket(4, k))""")
+    spark.sql("""CREATE TABLE g.db.spj_b (k BIGINT, w STRING)
+      PARTITIONED BY (bucket(4, k))""")
+    import spark.implicits._
+    (1L to 400L).map(i => (i, i * 0.5)).toDF("k", "v")
+      .createOrReplaceTempView("spj_src_a")
+    (1L to 400L).filter(_ % 2 == 0).map(i => (i, s"s$i")).toDF("k", "w")
+      .createOrReplaceTempView("spj_src_b")
+    spark.sql("INSERT INTO g.db.spj_a SELECT * FROM spj_src_a")
+    spark.sql("INSERT INTO g.db.spj_b SELECT * FROM spj_src_b")
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a non-broadcast join
+      "spark.sql.adaptive.enabled" -> "false") // deterministic plan to inspect
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = spark.sql(
+        """SELECT a.k, a.v, b.w FROM g.db.spj_a a JOIN g.db.spj_b b ON a.k = b.k""")
+      assert(joined.count() === 200)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed tables must join with NO shuffle on either side:\n${plan.take(2000)}")
+      // values survive the grouped read
+      assert(joined.agg(sum(col("k"))).head().getLong(0) ===
+        (1L to 400L).filter(_ % 2 == 0).sum)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("SqlCatalog routing via uri option") {
     val dbDir = Files.createTempDirectory("gcat-jdbc").toString
     val wh2 = Files.createTempDirectory("gcat-wh2").toString
