@@ -395,7 +395,7 @@ class GraftScanBuilder(table: IceTable, snapshotId: Option[Long] = None)
   private var expr: Expr = AlwaysTrue
   private var required: StructType = GraftSparkTable.schemaOf(table, snapshotId).toSpark
   private var limit: Long = -1L
-  private var aggResult: Option[(StructType, Array[Any])] = None
+  private var aggResult: Option[(StructType, Seq[Array[Any]])] = None
 
   /** per-partition early stop; Spark keeps the global Limit operator. */
   override def pushLimit(n: Int): Boolean = { limit = n.toLong; true }
@@ -433,7 +433,7 @@ class GraftScanBuilder(table: IceTable, snapshotId: Option[Long] = None)
   }
 
   override def build(): Scan = aggResult match {
-    case Some((schema, row)) => new GraftAggScan(schema, row)
+    case Some((schema, rows)) => new GraftAggScan(schema, rows)
     case None => new GraftScan(table, expr, required, limit, snapshotId)
   }
 }
@@ -457,7 +457,11 @@ object GraftAggPushdown {
   }
 
   /** None ⟹ not answerable exactly from metadata (Spark then runs the
-    * normal scan). Some((schema, row)) ⟹ the one-row complete answer.
+    * normal scan). Some((schema, rows)) ⟹ the complete answer — one row
+    * globally, or one row per group when grouping by IDENTITY partition
+    * columns (files then partition the groups exactly, so per-group
+    * manifest arithmetic is exact: `SELECT day, count(*) … GROUP BY day`
+    * on a day-partitioned 100 TB table reads zero data bytes).
     *
     * Exactness rules per aggregate:
     *  - count(*): residual-free tasks contribute record_count; a task
@@ -476,8 +480,8 @@ object GraftAggPushdown {
     * remains; this source reports every filter as post-scan, so `expr`
     * is AlwaysTrue here — asserted defensively. */
   def compute(table: IceTable, snapshotId: Option[Long], expr: Expr,
-      agg: Aggregation): Option[(StructType, Array[Any])] = {
-    if (expr != AlwaysTrue || agg.groupByExpressions().nonEmpty) return None
+      agg: Aggregation): Option[(StructType, Seq[Array[Any]])] = {
+    if (expr != AlwaysTrue) return None
     val schema = GraftSparkTable.schemaOf(table, snapshotId)
 
     def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
@@ -490,118 +494,158 @@ object GraftAggPushdown {
     val pinned = snapshotId.fold(base)(base.useSnapshot)
     val tasks = pinned.planFiles()
 
-    val anyDeletes = tasks.exists(_.deletes.nonEmpty)
-    // count(*)-compatible deletes: none, or exactly one DV per task
-    lazy val countStarOk = tasks.forall(t => t.deletes.isEmpty ||
-      (t.deletes.sizeIs == 1 && t.deletes.head.isDeletionVector))
-    def countStar: Option[Any] =
-      if (countStarOk)
-        Some(java.lang.Long.valueOf(tasks.map(t =>
-          t.file.recordCount - t.deletes.headOption.map(_.recordCount).getOrElse(0L)).sum))
-      else None
-
-    def countCol(f: graft.core.NestedField): Option[Any] =
-      if (!anyDeletes && tasks.forall(t => t.file.valueCounts.contains(f.id) &&
-          t.file.nullValueCounts.contains(f.id)))
-        Some(java.lang.Long.valueOf(tasks.map(t =>
-          t.file.valueCounts(f.id) - t.file.nullValueCounts(f.id)).sum))
-      else None
-
-    def boundsExact(t: IceType): Boolean = t match {
-      case IBoolean | IInt | ILong | IDate | ITime | ITimestamp | ITimestamptz |
-           IDecimal(_, _) => true
-      case _ => false // float/double (NaN), string/binary/fixed/uuid (truncation)
-    }
-
-    def minMax(f: graft.core.NestedField, isMin: Boolean): Option[Any] = {
-      if (anyDeletes || !boundsExact(f.fieldType)) return None
-      val bounds = tasks.map(t =>
-        if (isMin) t.file.lowerBounds.get(f.id) else t.file.upperBounds.get(f.id))
-      // a file of ONLY nulls for f legitimately has no bound — it cannot
-      // hold the extreme, so it may be skipped; a file with non-null
-      // values but missing stats makes the answer inexact
-      val perFile = tasks.zip(bounds).flatMap { case (t, b) =>
-        val nonNull = for {
-          vc <- t.file.valueCounts.get(f.id)
-          nc <- t.file.nullValueCounts.get(f.id)
-        } yield vc - nc
-        (b, nonNull) match {
-          case (Some(v), _) => Seq(Some(v))
-          case (None, Some(0L)) => Nil // all-null file: no bound needed
-          case _ => Seq(None) // unknown: give up
-        }
-      }
-      if (perFile.exists(_.isEmpty)) return None
-      val vs = perFile.flatten
-      if (vs.isEmpty) Some(internalValue(null, f.fieldType)) // zero matching rows → NULL
+    // grouping: every groupBy column must be an IDENTITY partition source
+    // in the ONE spec every task shares — then a group = a set of whole
+    // files and per-group stats arithmetic is exact
+    val groupFields: Seq[graft.core.NestedField] =
+      agg.groupByExpressions().toSeq.map(e => fieldOf(e).getOrElse(return None))
+    val groupIdx: Seq[Int] =
+      if (groupFields.isEmpty) Nil
       else {
-        val pick = vs.reduceLeft { (a, b) =>
-          val le = Literals.compare(f.fieldType, a, b) <= 0
-          if (le == isMin) a else b
+        val specIds = tasks.map(_.file.specId).distinct
+        if (specIds.sizeIs > 1) return None
+        val spec = table.metadata.specById(specIds.headOption.getOrElse(
+          table.metadata.defaultSpecId))
+        groupFields.map { f =>
+          val i = spec.fields.indexWhere(pf =>
+            pf.sourceId == f.id && pf.transform == IdentityTransform)
+          if (i < 0) return None
+          i
         }
-        Some(internalValue(pick, f.fieldType))
       }
+
+    def normGroupKey(p: Seq[Any]): Seq[Any] =
+      groupIdx.map(i => p(i) match { case a: Array[Byte] => (a.toSeq: Any); case x => x })
+
+    def aggregateGroup(ts: Seq[graft.table.FileScanTask]): Option[Seq[Any]] = {
+      val anyDeletes = ts.exists(_.deletes.nonEmpty)
+      lazy val countStarOk = ts.forall(t => t.deletes.isEmpty ||
+        (t.deletes.sizeIs == 1 && t.deletes.head.isDeletionVector))
+      def countStar: Option[Any] =
+        if (countStarOk)
+          Some(java.lang.Long.valueOf(ts.map(t =>
+            t.file.recordCount - t.deletes.headOption.map(_.recordCount).getOrElse(0L)).sum))
+        else None
+
+      def countCol(f: graft.core.NestedField): Option[Any] =
+        if (!anyDeletes && ts.forall(t => t.file.valueCounts.contains(f.id) &&
+            t.file.nullValueCounts.contains(f.id)))
+          Some(java.lang.Long.valueOf(ts.map(t =>
+            t.file.valueCounts(f.id) - t.file.nullValueCounts(f.id)).sum))
+        else None
+
+      def boundsExact(t: IceType): Boolean = t match {
+        case IBoolean | IInt | ILong | IDate | ITime | ITimestamp | ITimestamptz |
+             IDecimal(_, _) => true
+        case _ => false // float/double (NaN), string/binary/fixed/uuid (truncation)
+      }
+
+      def minMax(f: graft.core.NestedField, isMin: Boolean): Option[Any] = {
+        if (anyDeletes || !boundsExact(f.fieldType)) return None
+        val bounds = ts.map(t =>
+          if (isMin) t.file.lowerBounds.get(f.id) else t.file.upperBounds.get(f.id))
+        // a file of ONLY nulls for f legitimately has no bound — it cannot
+        // hold the extreme, so it may be skipped; a file with non-null
+        // values but missing stats makes the answer inexact
+        val perFile = ts.zip(bounds).flatMap { case (t, b) =>
+          val nonNull = for {
+            vc <- t.file.valueCounts.get(f.id)
+            nc <- t.file.nullValueCounts.get(f.id)
+          } yield vc - nc
+          (b, nonNull) match {
+            case (Some(v), _) => Seq(Some(v))
+            case (None, Some(0L)) => Nil // all-null file: no bound needed
+            case _ => Seq(None) // unknown: give up
+          }
+        }
+        if (perFile.exists(_.isEmpty)) return None
+        val vs = perFile.flatten
+        if (vs.isEmpty) Some(internalValue(null, f.fieldType)) // all-null group → NULL
+        else {
+          val pick = vs.reduceLeft { (a, b) =>
+            val le = Literals.compare(f.fieldType, a, b) <= 0
+            if (le == isMin) a else b
+          }
+          Some(internalValue(pick, f.fieldType))
+        }
+      }
+
+      val out = Seq.newBuilder[Any]
+      agg.aggregateExpressions().foreach {
+        case _: CountStar => out += (countStar getOrElse (return None))
+        case c: Count if !c.isDistinct =>
+          out += (fieldOf(c.column).flatMap(countCol) getOrElse (return None))
+        case m: Min =>
+          val f = fieldOf(m.column).getOrElse(return None)
+          out += (minMax(f, isMin = true) getOrElse (return None))
+        case m: Max =>
+          val f = fieldOf(m.column).getOrElse(return None)
+          out += (minMax(f, isMin = false) getOrElse (return None))
+        case _ => return None
+      }
+      Some(out.result())
     }
 
-    val outFields = Seq.newBuilder[StructField]
-    val outValues = Seq.newBuilder[Any]
-    val described = Seq.newBuilder[String]
-    agg.aggregateExpressions().foreach {
-      case _: CountStar => countStar match {
-        case Some(v) =>
-          outFields += StructField("count(*)", LongType, nullable = false)
-          outValues += v; described += "count(*)"
-        case None => return None
-      }
-      case c: Count if !c.isDistinct => fieldOf(c.column).flatMap(countCol) match {
-        case Some(v) =>
-          outFields += StructField(s"count(${c.column})", LongType, nullable = false)
-          outValues += v; described += s"count(${c.column})"
-        case None => return None
-      }
-      case m: Min => fieldOf(m.column) match {
-        case Some(f) => minMax(f, isMin = true) match {
-          case Some(v) =>
-            outFields += StructField(s"min(${m.column})", SchemaConv.toSparkField(f).dataType)
-            outValues += v; described += s"min(${m.column})"
-          case None => return None
-        }
-        case None => return None
-      }
-      case m: Max => fieldOf(m.column) match {
-        case Some(f) => minMax(f, isMin = false) match {
-          case Some(v) =>
-            outFields += StructField(s"max(${m.column})", SchemaConv.toSparkField(f).dataType)
-            outValues += v; described += s"max(${m.column})"
-          case None => return None
-        }
-        case None => return None
-      }
+    // output schema: groupBy columns first, then aggregates (Spark's
+    // complete-pushdown contract is positional)
+    val aggFields: Seq[StructField] = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => StructField("count(*)", LongType, nullable = false)
+      case c: Count => StructField(s"count(${c.column})", LongType, nullable = false)
+      case m: Min =>
+        val f = fieldOf(m.column).getOrElse(return None)
+        StructField(s"min(${m.column})", SchemaConv.toSparkField(f).dataType)
+      case m: Max =>
+        val f = fieldOf(m.column).getOrElse(return None)
+        StructField(s"max(${m.column})", SchemaConv.toSparkField(f).dataType)
       case _ => return None
     }
-    lastPushed = Some(described.result().mkString(","))
-    Some((StructType(outFields.result()), outValues.result().toArray))
+    val outSchema = StructType(
+      groupFields.map(f => StructField(f.name, SchemaConv.toSparkField(f).dataType)) ++
+        aggFields)
+
+    val rows: Seq[Array[Any]] =
+      if (groupFields.isEmpty)
+        Seq(aggregateGroup(tasks).getOrElse(return None).toArray)
+      else tasks.groupBy(t => normGroupKey(t.file.partition)).toSeq
+        .map { case (_, ts) =>
+          val keyVals = groupIdx.zip(groupFields).map { case (i, f) =>
+            internalValue(ts.head.file.partition(i), f.fieldType)
+          }
+          (keyVals ++ aggregateGroup(ts).getOrElse(return None)).toArray
+        }
+
+    lastPushed = Some((groupFields.map(f => s"group:${f.name}") ++
+      agg.aggregateExpressions().toSeq.map {
+        case _: CountStar => "count(*)"
+        case c: Count => s"count(${c.column})"
+        case m: Min => s"min(${m.column})"
+        case m: Max => s"max(${m.column})"
+        case other => other.toString
+      }).mkString(","))
+    Some((outSchema, rows))
   }
 }
 
-/** The one-row scan a completely-pushed aggregation builds: the answer was
-  * computed on the driver from manifest stats; the single input partition
-  * just emits it. */
-final case class GraftAggPartition(values: Array[Any]) extends InputPartition
+/** The tiny scan a completely-pushed aggregation builds: the answer rows
+  * (one globally, or one per partition-column group) were computed on the
+  * driver from manifest stats; the single input partition just emits
+  * them. */
+final case class GraftAggPartition(rows: Seq[Array[Any]]) extends InputPartition
 
-class GraftAggScan(schema: StructType, row: Array[Any]) extends Scan with Batch {
+class GraftAggScan(schema: StructType, rows: Seq[Array[Any]]) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Array(GraftAggPartition(row))
+    Array(GraftAggPartition(rows))
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
-          private val vs = partition.asInstanceOf[GraftAggPartition].values
-          private var done = false
-          override def next(): Boolean = if (done) false else { done = true; true }
-          override def get(): InternalRow = new GenericInternalRow(vs.clone())
+          private val it = partition.asInstanceOf[GraftAggPartition].rows.iterator
+          private var current: Array[Any] = _
+          override def next(): Boolean =
+            if (it.hasNext) { current = it.next(); true } else false
+          override def get(): InternalRow = new GenericInternalRow(current.clone())
           override def close(): Unit = ()
         }
     }

@@ -366,6 +366,32 @@ class DataSourceV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(GraftAggPushdown.lastPushed.isEmpty)
   }
 
+  test("GROUP BY an identity partition column stays metadata-only") {
+    import graft.spark.GraftAggPushdown
+    val schema = Schema.fromSpark(orders.schema)
+    val t = catalog.createTable("o_v2_agg_grp", schema,
+      Spec.build(schema, 0, ("o_orderstatus", graft.core.IdentityTransform, "st")))
+    t.append(orders)
+    GraftAggPushdown.lastPushed = None
+    val got = loadV2("o_v2_agg_grp")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("mn"))
+      .orderBy(col("o_orderstatus"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(GraftAggPushdown.lastPushed.exists(_.contains("group:o_orderstatus")),
+      s"per-partition group-by should be manifest arithmetic, got ${GraftAggPushdown.lastPushed}")
+    val want = orders.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("mn"))
+      .orderBy(col("o_orderstatus"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want)
+
+    // grouping by a NON-partition column cannot use file boundaries
+    GraftAggPushdown.lastPushed = None
+    loadV2("o_v2_agg_grp").groupBy(col("o_orderpriority")).count().collect()
+    assert(GraftAggPushdown.lastPushed.isEmpty)
+  }
+
   test("aggregate pushdown declines when deletes could change the answer") {
     import graft.spark.GraftAggPushdown
     val t = catalog.createTable("o_v2_agg_del", Schema.fromSpark(orders.schema))
