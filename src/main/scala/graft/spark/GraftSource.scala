@@ -785,6 +785,14 @@ final class GraftKeyedInputPartition(val inner: GraftInputPartition,
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
+/** Several small files bin-packed into ONE scan task: a task per file
+  * would mean a million Spark tasks on a million-file table — scheduling
+  * overhead alone dwarfs the reads. Packed with the same policy Spark's
+  * file sources use (target split size capped below by open-cost and by
+  * total/defaultParallelism so small tables keep their parallelism). */
+final case class GraftMultiFilePartition(parts: Array[GraftInputPartition])
+    extends InputPartition
+
 class GraftScan(table: IceTable, expr: Expr, required: StructType,
     pushedLimit: Long = -1L, snapshotId: Option[Long] = None)
     extends Scan with Batch with SupportsRuntimeFiltering with SupportsReportStatistics
@@ -994,7 +1002,45 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
           new GraftKeyedInputPartition(base, key): InputPartition
         case None => base: InputPartition
       }
-    }.toArray
+    } match {
+      // key-grouped partitions are packed by Spark itself (same-key splits
+      // land in one task group); everything else is bin-packed here so a
+      // million-file table doesn't become a million tasks
+      case parts if grouping.isDefined => parts.toArray
+      case parts => binPack(parts.map(_.asInstanceOf[GraftInputPartition]),
+        tasks.map(_.file.fileSizeInBytes))
+    }
+  }
+
+  /** Spark-file-source split policy: target = min(configured target,
+    * max(open-cost, total/defaultParallelism)) — small tables keep their
+    * parallelism, huge file counts collapse into ~total/target tasks. */
+  private def binPack(parts: Seq[GraftInputPartition], sizes: Seq[Long])
+      : Array[InputPartition] = {
+    val openCost = 4L * 1024 * 1024
+    val configured = table.spark.conf.getOption("spark.graft.read.split.target-size")
+      .orElse(table.metadata.properties.get("read.split.target-size"))
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    val weights = sizes.map(_ + openCost)
+    val parallelism = math.max(1, table.spark.sparkContext.defaultParallelism)
+    val target = math.min(configured, math.max(openCost, weights.sum / parallelism))
+    val out = Array.newBuilder[InputPartition]
+    val bin = Seq.newBuilder[GraftInputPartition]
+    var binW = 0L
+    var binN = 0
+    parts.zip(weights).foreach { case (p, w) =>
+      if (binN > 0 && binW + w > target) {
+        val b = bin.result()
+        out += (if (b.sizeIs == 1) b.head else GraftMultiFilePartition(b.toArray))
+        bin.clear(); binW = 0L; binN = 0
+      }
+      bin += p; binW += w; binN += 1
+    }
+    if (binN > 0) {
+      val b = bin.result()
+      out += (if (b.sizeIs == 1) b.head else GraftMultiFilePartition(b.toArray))
+    }
+    out.result()
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1066,14 +1112,15 @@ class GraftReaderFactory(confEntries: Array[(String, String)] = Array.empty)
 
   private def buildConf(): Configuration = graft.meta.Io.confFrom(confEntries)
 
-  /** Key-carrying partitions (storage-partitioned joins) read identically. */
-  private def unwrap(partition: InputPartition): GraftInputPartition = partition match {
-    case k: GraftKeyedInputPartition => k.inner
-    case g: GraftInputPartition => g
+  /** Key-carrying partitions (storage-partitioned joins) read identically;
+    * bin-packed partitions read their files back to back. */
+  private def unwrap(partition: InputPartition): Seq[GraftInputPartition] = partition match {
+    case k: GraftKeyedInputPartition => Seq(k.inner)
+    case m: GraftMultiFilePartition => m.parts.toSeq
+    case g: GraftInputPartition => Seq(g)
   }
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = unwrap(partition)
+  private def singleRowReader(p: GraftInputPartition): PartitionReader[InternalRow] = {
     // library-written (field-id-bearing) files decode through the
     // VECTORIZED parquet reader even in row mode — deletes are applied as
     // per-row position skips / key probes over batch-decoded rows, ~5-10×
@@ -1092,19 +1139,85 @@ class GraftReaderFactory(confEntries: Array[(String, String)] = Array.empty)
         p.eqDeletes, p.eqSchemaJson)
   }
 
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    unwrap(partition) match {
+      case Seq(one) => singleRowReader(one)
+      case many => new GraftChainedRowReader(many, singleRowReader, many.head.limit)
+    }
+
   /** When the SCAN decided every file is delete-free and id-bearing, read
     * VECTORIZED (Spark's parquet batch reader → ColumnarBatch → whole-stage
     * codegen consumes columns directly). The flag is uniform across a
     * scan's partitions — Spark's DataSourceV2ScanExecBase forbids mixing
     * columnar and row partitions in one scan. */
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    unwrap(partition).columnar
+    unwrap(partition).head.columnar
 
   override def createColumnarReader(partition: InputPartition)
-      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val p = unwrap(partition)
-    new GraftColumnarReader(p.filePath, p.readSchemaJson, p.limit, buildConf())
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    unwrap(partition) match {
+      case Seq(one) =>
+        new GraftColumnarReader(one.filePath, one.readSchemaJson, one.limit, buildConf())
+      case many => new GraftChainedColumnarReader(many,
+        p => new GraftColumnarReader(p.filePath, p.readSchemaJson, p.limit, buildConf()),
+        many.head.limit)
+    }
+}
+
+/** Reads a bin-packed partition's files back to back; the pushed limit
+  * (if any) bounds the TOTAL rows emitted, and remaining files are never
+  * opened once it's reached (readers open lazily). */
+class GraftChainedRowReader(parts: Seq[GraftInputPartition],
+    mk: GraftInputPartition => PartitionReader[InternalRow], limit: Long)
+    extends PartitionReader[InternalRow] {
+  private val it = parts.iterator
+  private var cur: PartitionReader[InternalRow] = _
+  private var emitted = 0L
+  override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
+    while (true) {
+      if (cur == null) {
+        if (!it.hasNext) return false
+        cur = mk(it.next())
+      }
+      if (cur.next()) { emitted += 1; return true }
+      cur.close(); cur = null
+    }
+    false
   }
+  override def get(): InternalRow = cur.get()
+  override def close(): Unit = if (cur != null) cur.close()
+}
+
+/** Columnar twin of [[GraftChainedRowReader]]: per-file vectorized readers
+  * opened lazily, batches trimmed at the global pushed limit. */
+class GraftChainedColumnarReader(parts: Seq[GraftInputPartition],
+    mk: GraftInputPartition => PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch],
+    limit: Long)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  private val it = parts.iterator
+  private var cur: PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = _
+  private var emitted = 0L
+  override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
+    while (true) {
+      if (cur == null) {
+        if (!it.hasNext) return false
+        cur = mk(it.next())
+      }
+      if (cur.next()) return true
+      cur.close(); cur = null
+    }
+    false
+  }
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+    val batch = cur.get()
+    if (limit >= 0 && emitted + batch.numRows() > limit)
+      batch.setNumRows((limit - emitted).toInt)
+    emitted += batch.numRows()
+    batch
+  }
+  override def close(): Unit = if (cur != null) cur.close()
 }
 
 object ParquetVectorized {

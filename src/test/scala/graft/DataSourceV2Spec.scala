@@ -455,6 +455,25 @@ class DataSourceV2Spec extends AnyFunSuite with BeforeAndAfterAll {
       "reported statistics should make the pruned side broadcast")
   }
 
+  test("small files bin-pack into fewer scan tasks") {
+    val t = catalog.createTable("o_v2_pack", Schema.fromSpark(orders.schema))
+    (0 until 8).foreach(i => t.append(orders.filter(col("o_orderkey") % 8 === i)))
+    assert(t.scan.planFiles().size >= 8, "expected one file per append")
+    val df = loadV2("o_v2_pack")
+    val nParts = df.rdd.getNumPartitions
+    assert(nParts < 8, s"8 small files should bin-pack, got $nParts tasks")
+    assert(nParts >= 2, s"packing must respect the parallelism floor, got $nParts")
+    // chained readers preserve every row (columnar path: delete-free)
+    assert(df.agg(sum(col("o_orderkey"))).head().getLong(0) ===
+      orders.agg(sum(col("o_orderkey"))).head().getLong(0))
+    // and the row-mode chain too (deletes force the vectorized row reader)
+    t.deletePositional("o_orderkey <= 100")
+    val df2 = loadV2("o_v2_pack")
+    assert(df2.rdd.getNumPartitions < 8)
+    assert(df2.agg(sum(col("o_orderkey"))).head().getLong(0) ===
+      orders.filter(col("o_orderkey") > 100).agg(sum(col("o_orderkey"))).head().getLong(0))
+  }
+
   test("ORC data files read through the v2 source, mixed with parquet") {
     val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
     val t = catalog.createTable("p_orc_v2", Schema.fromSpark(part.schema))
