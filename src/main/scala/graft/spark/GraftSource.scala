@@ -766,7 +766,13 @@ final case class GraftInputPartition(
       * decodes, so Spark's no-mixing rule is untouched. */
     idBearing: Boolean = false,
     /** data-file format ("PARQUET" | "ORC") — selects the reader. */
-    fileFormat: String = "PARQUET") extends InputPartition
+    fileFormat: String = "PARQUET",
+    /** byte range of the file this partition reads (row groups whose
+      * midpoint falls inside, the parquet split rule) — large DELETE-FREE
+      * files are split at row-group boundaries so one 4 GB file is not
+      * one task. (0, Long.MaxValue) = whole file. */
+    splitStart: Long = 0L,
+    splitLength: Long = Long.MaxValue) extends InputPartition
 
 object GraftScan {
   /** Test seam: partition count of the last planInputPartitions in this
@@ -995,40 +1001,76 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
         eqs, eqJson,
         idBearing = graft.core.PathUtil.underDataRoot(table.location, t.file.filePath),
         fileFormat = t.file.fileFormat.toUpperCase)
+      (t, base)
+    } match { case pairs =>
+      // key-grouped partitions are packed by Spark itself (same-key splits
+      // land in one task group); everything else is range-split and
+      // bin-packed so a million-file table isn't a million tasks and one
+      // 4 GB file isn't one task
       grouping match {
         case Some((_, types)) =>
-          val key = t.file.partition.zip(types)
-            .map { case (v, _) => GraftFunctions.internalOf(v) }.toArray
-          new GraftKeyedInputPartition(base, key): InputPartition
-        case None => base: InputPartition
+          pairs.map { case (t, base) =>
+            val key = t.file.partition.zip(types)
+              .map { case (v, _) => GraftFunctions.internalOf(v) }.toArray
+            new GraftKeyedInputPartition(base, key): InputPartition
+          }.toArray
+        case None =>
+          val target = splitTarget(pairs.map(_._1.file.fileSizeInBytes))
+          binPack(pairs.flatMap { case (t, b) => splitRanges(t, b, target) }, target)
       }
-    } match {
-      // key-grouped partitions are packed by Spark itself (same-key splits
-      // land in one task group); everything else is bin-packed here so a
-      // million-file table doesn't become a million tasks
-      case parts if grouping.isDefined => parts.toArray
-      case parts => binPack(parts.map(_.asInstanceOf[GraftInputPartition]),
-        tasks.map(_.file.fileSizeInBytes))
     }
   }
 
   /** Spark-file-source split policy: target = min(configured target,
     * max(open-cost, total/defaultParallelism)) — small tables keep their
     * parallelism, huge file counts collapse into ~total/target tasks. */
-  private def binPack(parts: Seq[GraftInputPartition], sizes: Seq[Long])
-      : Array[InputPartition] = {
-    val openCost = 4L * 1024 * 1024
+  private val OpenCost = 4L * 1024 * 1024
+
+  private def splitTarget(sizes: Seq[Long]): Long = {
     val configured = table.spark.conf.getOption("spark.graft.read.split.target-size")
       .orElse(table.metadata.properties.get("read.split.target-size"))
       .map(_.toLong).getOrElse(128L * 1024 * 1024)
-    val weights = sizes.map(_ + openCost)
     val parallelism = math.max(1, table.spark.sparkContext.defaultParallelism)
-    val target = math.min(configured, math.max(openCost, weights.sum / parallelism))
+    math.min(configured,
+      math.max(OpenCost, sizes.map(_ + OpenCost).sum / parallelism))
+  }
+
+  /** A large DELETE-FREE library parquet file splits at row-group
+    * boundaries (manifest split_offsets) into ~target-sized ranges; the
+    * vectorized readers select row groups by the parquet midpoint rule.
+    * Delete-bearing files never split: the position-delete skip walks a
+    * whole-file row index. Returns (partition, weight) for bin-packing. */
+  private def splitRanges(t: graft.table.FileScanTask, base: GraftInputPartition,
+      target: Long): Seq[(GraftInputPartition, Long)] = {
+    val size = t.file.fileSizeInBytes
+    val offs = t.file.splitOffsets
+    if (!(base.deletes.isEmpty && base.eqDeletes.isEmpty && base.idBearing &&
+        base.fileFormat == "PARQUET" && size > 2 * target && offs.sizeIs > 1))
+      return Seq((base, size))
+    val bounds = offs :+ size
+    val out = Seq.newBuilder[(GraftInputPartition, Long)]
+    var start = 0L
+    var acc = 0L
+    offs.indices.foreach { i =>
+      acc += bounds(i + 1) - offs(i)
+      if (acc >= target || i == offs.length - 1) {
+        val end = bounds(i + 1)
+        out += ((base.copy(splitStart = start, splitLength = end - start), end - start))
+        start = end
+        acc = 0L
+      }
+    }
+    out.result()
+  }
+
+  private def binPack(weighted: Seq[(GraftInputPartition, Long)], target: Long)
+      : Array[InputPartition] = {
     val out = Array.newBuilder[InputPartition]
     val bin = Seq.newBuilder[GraftInputPartition]
     var binW = 0L
     var binN = 0
-    parts.zip(weights).foreach { case (p, w) =>
+    weighted.foreach { case (p, w0) =>
+      val w = w0 + OpenCost
       if (binN > 0 && binW + w > target) {
         val b = bin.result()
         out += (if (b.sizeIs == 1) b.head else GraftMultiFilePartition(b.toArray))
@@ -1133,7 +1175,7 @@ class GraftReaderFactory(confEntries: Array[(String, String)] = Array.empty)
       new GraftOrcPartitionReader(p.filePath, p.readSchemaJson, p.limit, buildConf())
     } else if (p.idBearing)
       new GraftVectorizedRowReader(p.filePath, p.readSchemaJson, p.deletes, p.limit,
-        buildConf(), p.eqDeletes, p.eqSchemaJson)
+        buildConf(), p.eqDeletes, p.eqSchemaJson, p.splitStart, p.splitLength)
     else
       new GraftPartitionReader(p.filePath, p.readSchemaJson, p.deletes, p.limit, buildConf(),
         p.eqDeletes, p.eqSchemaJson)
@@ -1157,9 +1199,11 @@ class GraftReaderFactory(confEntries: Array[(String, String)] = Array.empty)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     unwrap(partition) match {
       case Seq(one) =>
-        new GraftColumnarReader(one.filePath, one.readSchemaJson, one.limit, buildConf())
+        new GraftColumnarReader(one.filePath, one.readSchemaJson, one.limit, buildConf(),
+          one.splitStart, one.splitLength)
       case many => new GraftChainedColumnarReader(many,
-        p => new GraftColumnarReader(p.filePath, p.readSchemaJson, p.limit, buildConf()),
+        p => new GraftColumnarReader(p.filePath, p.readSchemaJson, p.limit, buildConf(),
+          p.splitStart, p.splitLength),
         many.head.limit)
     }
 }
@@ -1230,7 +1274,8 @@ object ParquetVectorized {
     * with row-granular consumption, the same fallback shape Spark's own
     * parquet path uses when batch output is off. */
   def open(path: String, sparkSchema: StructType, conf: Configuration,
-      rowMode: Boolean): org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader = {
+      rowMode: Boolean, splitStart: Long = 0L, splitLength: Long = Long.MaxValue)
+      : org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader = {
     conf.set("parquet.read.support.class",
       "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
     conf.set("org.apache.spark.sql.parquet.row.requested_schema", sparkSchema.json)
@@ -1244,9 +1289,11 @@ object ParquetVectorized {
     conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
     val r = new org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader(
       null, "CORRECTED", "UTC", "CORRECTED", "UTC", /*offHeap*/ false, /*capacity*/ 4096)
-    // the base reader casts to the old-API split class
+    // the base reader casts to the old-API split class; a bounded range
+    // selects the row groups whose midpoint falls inside (parquet's
+    // split-assignment rule), enabling sub-file task splitting
     val split = new org.apache.hadoop.mapred.FileSplit(
-      new Path(path), 0, Long.MaxValue, Array.empty[String])
+      new Path(path), splitStart, splitLength, Array.empty[String])
     val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
       conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
     r.initialize(split, ctx)
@@ -1262,13 +1309,15 @@ object ParquetVectorized {
   * field-id metadata included — as the requested Spark schema, so rename
   * safety and add-column null-fill match the row reader. */
 class GraftColumnarReader(path: String, schemaJson: String, limit: Long = -1L,
-    conf: Configuration = new Configuration())
+    conf: Configuration = new Configuration(),
+    splitStart: Long = 0L, splitLength: Long = Long.MaxValue)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private val schema: Schema = MetadataJson.schemaFromJson(mapper.readTree(schemaJson))
 
-  private val reader = ParquetVectorized.open(path, schema.toSpark, conf, rowMode = false)
+  private val reader = ParquetVectorized.open(path, schema.toSpark, conf, rowMode = false,
+    splitStart, splitLength)
 
   private var emitted: Long = 0L
 
@@ -1593,8 +1642,15 @@ object GraftVectorizedRowReader {
 class GraftVectorizedRowReader(path: String, schemaJson: String,
     deletes: Array[DeleteFileRef] = Array.empty, limit: Long = -1L,
     conf: Configuration = new Configuration(),
-    eqDeletes: Array[EqDeleteRef] = Array.empty, eqSchemaJson: String = "")
+    eqDeletes: Array[EqDeleteRef] = Array.empty, eqSchemaJson: String = "",
+    splitStart: Long = 0L, splitLength: Long = Long.MaxValue)
     extends PartitionReader[InternalRow] {
+
+  // a bounded split is only planned for DELETE-FREE files: the
+  // position-delete skip below indexes the sequential whole-file row
+  // position, which a ranged read would misalign
+  require((splitStart == 0L && splitLength == Long.MaxValue) || deletes.isEmpty,
+    "ranged reads cannot carry position deletes")
 
   GraftVectorizedRowReader.opened.incrementAndGet()
 
@@ -1623,7 +1679,8 @@ class GraftVectorizedRowReader(path: String, schemaJson: String,
   private val eqKeySets: Seq[(Array[Int], java.util.HashSet[Seq[Any]])] =
     GraftPartitionReader.eqKeySetsOf(eqDeletes, eqSchema, conf)
 
-  private val reader = ParquetVectorized.open(path, readSparkSchema, conf, rowMode = true)
+  private val reader = ParquetVectorized.open(path, readSparkSchema, conf, rowMode = true,
+    splitStart, splitLength)
 
   /** Strips appended eq-key columns before emitting. Codegen'd unsafe
     * projection over the leading |schema| ordinals; identity when the keys

@@ -486,6 +486,14 @@ object StatsHarvester extends Serializable {
         }
       }
       val partition = parsePartition(path, stageDir, partFieldNames, partTypes)
+      // row-group start offsets (spec: split_offsets, ascending) — what
+      // lets the scan split a large file into sub-file read tasks
+      val splitOffsets = {
+        val b = Seq.newBuilder[Long]
+        val bit = blocks.iterator()
+        while (bit.hasNext) b += bit.next().getStartingPos
+        b.result()
+      }
       DataFile(
         content = FileContent.Data,
         filePath = PathUtil.canon(path),
@@ -497,7 +505,8 @@ object StatsHarvester extends Serializable {
         nullValueCounts = nullCounts.toMap,
         lowerBounds = lowers.toMap,
         upperBounds = uppers.toMap,
-        columnSizes = colSizes.toMap)
+        columnSizes = colSizes.toMap,
+        splitOffsets = splitOffsets)
     } finally reader.close()
   }
 

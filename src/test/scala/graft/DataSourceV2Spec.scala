@@ -474,6 +474,35 @@ class DataSourceV2Spec extends AnyFunSuite with BeforeAndAfterAll {
       orders.filter(col("o_orderkey") > 100).agg(sum(col("o_orderkey"))).head().getLong(0))
   }
 
+  test("large files split into row-group-ranged tasks") {
+    val big = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    // small row groups so one file carries several split offsets
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.setInt("parquet.block.size", 64 * 1024)
+    hc.setInt("parquet.page.size", 16 * 1024)
+    val t = try {
+      val t0 = catalog.createTable("o_v2_split", Schema.fromSpark(big.schema))
+      t0.append(big.coalesce(1))
+      t0
+    } finally {
+      hc.unset("parquet.block.size")
+      hc.unset("parquet.page.size")
+    }
+    val files = t.scan.planFiles()
+    assert(files.map(_.file.splitOffsets.size).sum > files.size,
+      s"expected multi-row-group files, got offsets ${files.map(_.file.splitOffsets)}")
+    spark.conf.set("spark.graft.read.split.target-size", (64 * 1024).toString)
+    try {
+      val df = loadV2("o_v2_split")
+      assert(df.rdd.getNumPartitions > files.size,
+        s"a large file should split into several tasks: ${df.rdd.getNumPartitions} vs ${files.size}")
+      // ranged reads cover every row exactly once
+      assert(df.agg(sum(col("o_orderkey"))).head().getLong(0) ===
+        big.agg(sum(col("o_orderkey"))).head().getLong(0))
+      assert(df.filter(col("o_orderkey") >= 0).count() === big.count())
+    } finally spark.conf.unset("spark.graft.read.split.target-size")
+  }
+
   test("ORC data files read through the v2 source, mixed with parquet") {
     val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
     val t = catalog.createTable("p_orc_v2", Schema.fromSpark(part.schema))
