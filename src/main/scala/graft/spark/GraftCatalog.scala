@@ -72,8 +72,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     catalog.tableExists(fullName(ident))
 
   override def loadTable(ident: Identifier): Table = {
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    new GraftSparkTable(catalog.loadTable(fullName(ident)))
+    if (tableExists(ident)) return new GraftSparkTable(catalog.loadTable(fullName(ident)))
+    metadataTableOf(ident).getOrElse(throw new NoSuchTableException(ident))
+  }
+
+  /** `SELECT * FROM g.db.t.snapshots` — the reference's inspect API
+    * (table/inspect.py) on the SQL face: a trailing metadata-table name
+    * after an existing table resolves to a read-only relation of that
+    * inspect frame (snapshots/refs/history/manifests/files/partitions/…). */
+  private def metadataTableOf(ident: Identifier): Option[Table] = {
+    if (ident.namespace().isEmpty) return None
+    val baseIdent = Identifier.of(ident.namespace().dropRight(1), ident.namespace().last)
+    if (!tableExists(baseIdent)) return None
+    val build: Option[graft.table.IceTable => org.apache.spark.sql.DataFrame] =
+      ident.name().toLowerCase match {
+        case "snapshots" => Some(_.inspect.snapshots())
+        case "refs" => Some(_.inspect.refs())
+        case "history" => Some(_.inspect.history())
+        case "metadata_log_entries" => Some(_.inspect.metadataLogEntries())
+        case "manifests" => Some(_.inspect.manifests())
+        case "all_manifests" => Some(_.inspect.allManifests())
+        case "entries" => Some(_.inspect.entries())
+        case "files" => Some(_.inspect.files())
+        case "data_files" => Some(_.inspect.dataFiles())
+        case "delete_files" => Some(_.inspect.deleteFiles())
+        case "all_files" => Some(_.inspect.allFiles())
+        case "partitions" => Some(_.inspect.partitions())
+        case _ => None
+      }
+    build.map { fn =>
+      val t = catalog.loadTable(fullName(baseIdent))
+      new GraftMetadataTable(s"${fullName(baseIdent)}.${ident.name()}", fn(t))
+    }
   }
 
   /** `VERSION AS OF x` — a snapshot id, or a branch/tag name. */

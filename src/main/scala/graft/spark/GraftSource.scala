@@ -127,7 +127,7 @@ class GraftSparkTable(table: IceTable, snapshotId: Option[Long] = None)
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(table, snapshotId)
+    new GraftScanBuilder(table, snapshotId, options)
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -387,7 +387,8 @@ class GraftStagingWriter(dir: String, schemaJson: String, partitionId: Int,
   override def close(): Unit = ()
 }
 
-class GraftScanBuilder(table: IceTable, snapshotId: Option[Long] = None)
+class GraftScanBuilder(table: IceTable, snapshotId: Option[Long] = None,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownAggregates {
 
@@ -434,7 +435,8 @@ class GraftScanBuilder(table: IceTable, snapshotId: Option[Long] = None)
 
   override def build(): Scan = aggResult match {
     case Some((schema, rows)) => new GraftAggScan(schema, rows)
-    case None => new GraftScan(table, expr, required, limit, snapshotId)
+    case None => new GraftScan(table, expr, required, limit, snapshotId,
+      Option(options.get("max-snapshots-per-trigger")).map(_.toInt))
   }
 }
 
@@ -626,6 +628,45 @@ object GraftAggPushdown {
   }
 }
 
+/** Read-only DSv2 table serving one METADATA table (snapshots / files /
+  * partitions / …) through SQL — the reference's inspect API
+  * (table/inspect.py) behind `SELECT * FROM cat.db.t.snapshots`. The
+  * inspect frame is a driver-built metadata projection (row count ∝
+  * manifests, not data), so the scan materializes it at planning time. */
+class GraftMetadataTable(name0: String, df: org.apache.spark.sql.DataFrame)
+    extends SparkTable with SupportsRead {
+  override def name(): String = name0
+  override def schema(): StructType = df.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new GraftRowsScan(df)
+    }
+}
+
+/** One-partition scan over driver-materialized internal rows. */
+final case class GraftRowsPartition(rows: Array[InternalRow]) extends InputPartition
+
+class GraftRowsScan(df: org.apache.spark.sql.DataFrame) extends Scan with Batch {
+  override def readSchema(): StructType = df.schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftRowsPartition(org.apache.spark.sql.GraftBridge.internalRows(df)))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val it = partition.asInstanceOf[GraftRowsPartition].rows.iterator
+          private var current: InternalRow = _
+          override def next(): Boolean =
+            if (it.hasNext) { current = it.next(); true } else false
+          override def get(): InternalRow = current
+          override def close(): Unit = ()
+        }
+    }
+}
+
 /** The tiny scan a completely-pushed aggregation builds: the answer rows
   * (one globally, or one per partition-column group) were computed on the
   * driver from manifest stats; the single input partition just emits
@@ -800,7 +841,8 @@ final case class GraftMultiFilePartition(parts: Array[GraftInputPartition])
     extends InputPartition
 
 class GraftScan(table: IceTable, expr: Expr, required: StructType,
-    pushedLimit: Long = -1L, snapshotId: Option[Long] = None)
+    pushedLimit: Long = -1L, snapshotId: Option[Long] = None,
+    maxSnapshotsPerTrigger: Option[Int] = None)
     extends Scan with Batch with SupportsRuntimeFiltering with SupportsReportStatistics
     with SupportsReportPartitioning {
 
@@ -1093,7 +1135,7 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
     * the DSv2 MicroBatchStream the survey reserves a seam for). */
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(table, required)
+    new GraftMicroBatchStream(table, required, maxSnapshotsPerTrigger)
 }
 
 final case class SnapshotOffset(snapshotId: Long)
@@ -1101,16 +1143,72 @@ final case class SnapshotOffset(snapshotId: Long)
   override def json(): String = snapshotId.toString
 }
 
-class GraftMicroBatchStream(table: IceTable, required: StructType)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+class GraftMicroBatchStream(table: IceTable, required: StructType,
+    maxSnapshotsPerTrigger: Option[Int] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   override def initialOffset(): Offset = SnapshotOffset(0L) // table start
+
+  /** Trigger.AvailableNow: pin the end of the run at prepare time, so the
+    * stream drains bounded batches up to exactly this snapshot and stops
+    * (later commits belong to the next run). */
+  @volatile private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    table.refresh()
+    availableNowEnd = Some(table.metadata.currentSnapshotId.getOrElse(0L))
+  }
 
   override def latestOffset(): Offset = {
     table.refresh()
     SnapshotOffset(table.metadata.currentSnapshotId.getOrElse(0L))
   }
+
+  /** Admission control: a backfill over 10k committed snapshots becomes
+    * bounded micro-batches instead of one giant batch. The batch-end
+    * offset advances along the CURRENT snapshot's ancestry (offsets are
+    * snapshot ids, so a batch is always a contiguous snapshot range);
+    * `max-snapshots-per-trigger` caps snapshots per batch, and Spark's
+    * maxFiles read limit caps by the snapshots' added-data-files
+    * summaries (always admitting at least one snapshot so the stream
+    * advances). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    table.refresh()
+    val from = start.asInstanceOf[SnapshotOffset].snapshotId
+    val cur = availableNowEnd
+      .orElse(table.metadata.currentSnapshotId)
+      .getOrElse(return SnapshotOffset(0L))
+    if (cur == from) return SnapshotOffset(from)
+    // oldest-first chain of snapshots strictly after `from`
+    val chain = table.metadata.ancestorsOf(cur)
+      .takeWhile(_.snapshotId != from).reverse
+    val bySnapshots = maxSnapshotsPerTrigger.fold(chain)(n => chain.take(math.max(1, n)))
+    val capped = limit match {
+      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        // stop at the FIRST over-limit snapshot — offsets are a contiguous
+        // ancestry range, so later snapshots cannot be admitted around it
+        val out = Seq.newBuilder[graft.meta.Snapshot]
+        var files = 0L
+        var n = 0
+        var stopped = false
+        bySnapshots.foreach { s =>
+          if (!stopped) {
+            val added = s.summary.get("added-data-files").flatMap(_.toLongOption).getOrElse(1L)
+            if (n == 0 || files + added <= mf.maxFiles()) { out += s; files += added; n += 1 }
+            else stopped = true
+          }
+        }
+        out.result()
+      case _ => bySnapshots
+    }
+    SnapshotOffset(capped.lastOption.map(_.snapshotId).getOrElse(cur))
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): Offset = latestOffset()
 
   override def deserializeOffset(json: String): Offset = SnapshotOffset(json.toLong)
 

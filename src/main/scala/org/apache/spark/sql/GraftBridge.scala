@@ -20,6 +20,11 @@ object GraftBridge {
   def cloneSession(s: SparkSession): SparkSession =
     s.asInstanceOf[classic.SparkSession].cloneSession()
 
+  /** Driver-materialized internal rows of a (small, metadata-sized) frame
+    * — `executeCollect` is private[sql]-adjacent via queryExecution. */
+  def internalRows(df: DataFrame): Array[org.apache.spark.sql.catalyst.InternalRow] =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.executedPlan.executeCollect()
+
   /** Lineage-truncating materialization for iterative frames: persist the
     * frame's InternalRow RDD and wrap it as a leaf LogicalRDD frame — the
     * SQL plan collapses to a scan of the cached blocks, like

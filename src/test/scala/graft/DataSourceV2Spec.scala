@@ -181,6 +181,27 @@ class DataSourceV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(runOnce() === orders.count())
   }
 
+  test("streaming admission control bounds snapshots per micro-batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val t = catalog.createTable("o_v2_adm", Schema.fromSpark(orders.schema))
+    t.append(orders.filter(col("o_orderkey") <= 500))
+    t.append(orders.filter(col("o_orderkey") > 500 && col("o_orderkey") <= 1000))
+    t.append(orders.filter(col("o_orderkey") > 1000))
+    val ckpt = Files.createTempDirectory("adm-ckpt").toString
+    val out = Files.createTempDirectory("adm-sink").toString
+    val stream = spark.readStream.format("graft")
+      .option("warehouse", warehouse).option("table", "o_v2_adm")
+      .option("max-snapshots-per-trigger", "1").load()
+    val q = stream.writeStream.format("parquet").option("path", out)
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // one snapshot per batch → at least 3 non-empty batches, all rows once
+    assert(spark.read.parquet(out).count() === orders.count())
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 3, s"expected >=3 bounded batches, got $batches")
+  }
+
   test("time travel: snapshot-id / as-of-timestamp / tag options pin the scan") {
     val t = catalog.createTable("o_v2_tt", Schema.fromSpark(orders.schema))
     t.append(orders.filter(col("o_orderkey") <= 1000))

@@ -194,6 +194,24 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("metadata tables readable through SQL") {
+    // db.orders was created + appended by the first test
+    val snaps = spark.sql("SELECT snapshot_id, operation FROM g.db.orders.snapshots")
+      .collect()
+    assert(snaps.nonEmpty)
+    assert(snaps.map(_.getString(1)).forall(Set("append", "overwrite", "delete", "replace")))
+    val files = spark.sql(
+      "SELECT file_path, record_count FROM g.db.orders.files ORDER BY file_path").collect()
+    assert(files.nonEmpty)
+    val parts = spark.sql(
+      "SELECT record_count FROM g.db.orders.partitions").collect()
+    assert(parts.map(_.getLong(0)).sum === spark.sql("SELECT count(*) FROM g.db.orders")
+      .head().getLong(0))
+    // history joins snapshots; unknown suffixes still error cleanly
+    assert(spark.sql("SELECT * FROM g.db.orders.history").count() >= 1)
+    intercept[Exception](spark.sql("SELECT * FROM g.db.orders.nope").collect())
+  }
+
   test("SqlCatalog routing via uri option") {
     val dbDir = Files.createTempDirectory("gcat-jdbc").toString
     val wh2 = Files.createTempDirectory("gcat-wh2").toString
