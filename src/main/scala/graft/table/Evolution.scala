@@ -297,11 +297,25 @@ final class ExpireSnapshots private[table] (table: IceTable) {
   // 0 = no newest-N retention (the reference protects via refs only);
   // the legacy expireSnapshots(olderThanMs, retainLast) sets it explicitly
   private var keepLast = 0
+  private var cleanFiles = false
+
+  /** Also DELETE files reachable only from expired snapshots (our
+    * extension — the reference removes metadata only, update/snapshot.py
+    * :1032, so expired storage is never reclaimed). A data file survives
+    * iff some SURVIVING snapshot references it LIVE (Added/Existing);
+    * Deleted-status references do not retain — matching Iceberg-format
+    * expiry semantics, where changelog reads older than the expiry
+    * horizon lose removed-row contents. Metadata is committed BEFORE any
+    * delete, so a crash leaves only orphans, never dangling references. */
+  def cleanExpiredFiles(enabled: Boolean): this.type = { cleanFiles = enabled; this }
 
   private def m = table.metadata
+  /** Branch/tag HEADS plus the current snapshot — exactly the reference's
+    * protection set (update/snapshot.py:1068 _get_protected_snapshot_ids).
+    * Ancestors are expirable: snapshots are self-contained (each owns its
+    * manifest list), so removing history only retires time travel to it. */
   private def protectedIds: Set[Long] =
-    m.refs.values.map(_.snapshotId).toSet ++ m.currentSnapshotId.toSet ++
-      m.currentSnapshotId.toSeq.flatMap(id => m.ancestorsOf(id).map(_.snapshotId)).toSet
+    m.refs.values.map(_.snapshotId).toSet ++ m.currentSnapshotId.toSet
 
   def byId(id: Long): this.type = {
     require(m.snapshotById(id).isDefined, s"Snapshot with ID $id does not exist")
@@ -335,11 +349,88 @@ final class ExpireSnapshots private[table] (table: IceTable) {
       .filter(id => toExpire(id) && !prot(id) && !keepNewest(id))
     if (expired.nonEmpty) {
       val gone = expired.toSet
+      val orphans = if (cleanFiles) orphanFiles(gone) else Nil
       table.commitMetadata(meta => meta.copy(
         snapshots = meta.snapshots.filterNot(s => gone(s.snapshotId)),
         snapshotLog = meta.snapshotLog.filterNot(e => gone(e.snapshotId))))
+      if (orphans.nonEmpty) deleteOrphans(orphans)
     }
     expired
+  }
+
+  /** Files reachable ONLY from expired snapshots: expired manifest lists,
+    * manifests absent from every surviving list, and content files with
+    * no LIVE reference in any surviving manifest. The content-file diff
+    * runs as a Spark job past the distributed-planning threshold —
+    * reachability over a 100 TB table's manifests is a cluster walk, not
+    * a driver loop. */
+  private def orphanFiles(gone: Set[Long]): Seq[String] = {
+    import graft.meta.{EntryStatus, ManifestIO, Io}
+    val (expSnaps, keptSnaps) = m.snapshots.partition(s => gone(s.snapshotId))
+    val keptLists = keptSnaps.map(_.manifestList).toSet
+    val expLists = expSnaps.map(_.manifestList).distinct.filterNot(keptLists)
+
+    val keptManifests = keptSnaps.flatMap(s =>
+      ManifestIO.readManifestList(s.manifestList)).map(_.manifestPath).toSet
+    val expManifestsAll = expSnaps.flatMap(s =>
+      ManifestIO.readManifestList(s.manifestList)).distinctBy(_.manifestPath)
+    val expManifests = expManifestsAll.filterNot(mf => keptManifests(mf.manifestPath))
+
+    // content-file reachability: candidate paths from expired-only
+    // manifests minus LIVE paths of surviving manifests
+    val keptMfs = keptSnaps.flatMap(s => ManifestIO.readManifestList(s.manifestList))
+      .distinctBy(_.manifestPath)
+    val schemaLocal = m.schema
+    val specsById = (keptMfs ++ expManifests).map(_.partitionSpecId).distinct
+      .map(id => id -> m.specById(id)).toMap
+    def pathsOf(mfs: Seq[graft.meta.ManifestFile], liveOnly: Boolean): Set[String] = {
+      val entries: Seq[String] =
+        if (mfs.size < IceScan.distributedPlanningThreshold)
+          mfs.flatMap { mf =>
+            ManifestIO.readManifest(mf.manifestPath, specsById(mf.partitionSpecId), schemaLocal)
+              .filter(e => !liveOnly || e.status != EntryStatus.Deleted)
+              .map(_.dataFile.filePath)
+          }
+        else {
+          val ioEntries = Io.confEntries(table.spark)
+          val sc = table.spark.sparkContext
+          sc.parallelize(mfs, math.min(mfs.size, sc.defaultParallelism))
+            .flatMap { mf =>
+              ManifestIO.readManifest(mf.manifestPath, specsById(mf.partitionSpecId),
+                  schemaLocal, Io.confFrom(ioEntries))
+                .filter(e => !liveOnly || e.status != EntryStatus.Deleted)
+                .map(_.dataFile.filePath)
+            }.distinct().collect().toSeq
+        }
+      entries.toSet
+    }
+    val keptLive = pathsOf(keptMfs, liveOnly = true)
+    val candidates = pathsOf(expManifests, liveOnly = false)
+    (expLists ++ expManifests.map(_.manifestPath) ++ (candidates -- keptLive)).distinct
+  }
+
+  private def deleteOrphans(paths: Seq[String]): Unit = {
+    import graft.meta.Io
+    if (paths.size < 64) paths.foreach(p =>
+      try Io.delete(p) catch { case _: Exception => () })
+    else {
+      // executor-side deletes with the shipped session conf — a wide
+      // expiry on an object store is bounded by store throughput, not one
+      // driver thread
+      val ioEntries = Io.confEntries(table.spark)
+      val sc = table.spark.sparkContext
+      sc.parallelize(paths, math.min(paths.size / 32 + 1, sc.defaultParallelism))
+        .foreachPartition { it =>
+          val c = Io.confFrom(ioEntries)
+          it.foreach { p =>
+            try {
+              val hp = new org.apache.hadoop.fs.Path(p)
+              if (!Io.isLocal(p)) hp.getFileSystem(c).delete(hp, false)
+              else Io.delete(p)
+            } catch { case _: Exception => () }
+          }
+        }
+    }
   }
 }
 

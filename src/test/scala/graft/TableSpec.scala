@@ -311,14 +311,22 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[java.sql.Timestamp]("last_updated_at") != null)
   }
 
-  test("expire snapshots protects refs and current") {
-    val t = catalog.loadTable("t_tt")
+  test("expire snapshots protects ref heads; ancestors expire once untagged") {
+    val t = catalog.createTable("t_expire_anc", Schema.fromSpark(orders.schema))
+    t.append(orders.limit(100))
+    t.manageSnapshots.createTag("v1", t.metadata.currentSnapshotId.get)
+    t.append(orders.limit(200).filter(col("o_orderkey") > 100))
     val expired = t.expireSnapshots(System.currentTimeMillis() + 1000)
-    // snap1 is tagged (v1) and an ancestor of current → nothing expires
+    // snap1 is tagged (v1), snap2 is current → nothing expires
     assert(expired.isEmpty)
     t.manageSnapshots.removeTag("v1")
-    // still ancestor-protected
-    assert(t.expireSnapshots(System.currentTimeMillis() + 1000).isEmpty)
+    // untagged ancestors ARE expirable (ref protects HEADS only,
+    // update/snapshot.py:1068); snapshots are self-contained, so the
+    // current snapshot keeps reading
+    val expired2 = t.expireSnapshots(System.currentTimeMillis() + 1000)
+    assert(expired2.nonEmpty)
+    assert(t.metadata.snapshots.map(_.snapshotId) === t.metadata.currentSnapshotId.toSeq)
+    assert(t.scan.toDF.count() > 0)
   }
 
   test("expire-snapshots builder: by_id rejects protected, expires orphans") {
@@ -337,6 +345,29 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.expireSnapshots().byIds(Seq(snap2)).commit() === Seq(snap2))
     assert(t.metadata.snapshotById(snap2).isEmpty)
     assert(t.scan.toDF.count() === 10)
+  }
+
+  test("expire-snapshots cleanExpiredFiles reclaims expired-only storage") {
+    val t = catalog.createTable("t_expire_gc", Schema.fromSpark(orders.schema))
+    t.append(orders.filter(col("o_orderkey") <= 500)) // s1: files A
+    val s1 = t.metadata.currentSnapshotId.get
+    val s1List = t.metadata.snapshotById(s1).get.manifestList
+    val filesA = t.scan.useSnapshot(s1).planFiles().map(_.file.filePath)
+    t.overwrite(orders.filter(col("o_orderkey") > 500 && col("o_orderkey") <= 1000),
+      graft.core.AlwaysTrue) // s2: files B; A logically deleted
+    t.append(orders.filter(col("o_orderkey") > 1000)) // s3: files C
+    val survivors = t.scan.planFiles().map(_.file.filePath)
+    assert(filesA.forall(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+
+    val expired = t.expireSnapshots().byIds(Seq(s1)).cleanExpiredFiles(true).commit()
+    assert(expired === Seq(s1))
+    // A's data files and s1's manifest list are reclaimed…
+    assert(filesA.forall(p => !java.nio.file.Files.exists(java.nio.file.Paths.get(p))),
+      "expired-only data files must be deleted")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s1List)))
+    // …while every surviving file is intact and the table still reads
+    assert(survivors.forall(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+    assert(t.scan.toDF.count() === orders.filter(col("o_orderkey") > 500).count())
   }
 
   test("add_files registers without rewrite") {
