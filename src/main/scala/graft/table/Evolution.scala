@@ -439,4 +439,53 @@ final class ExpireSnapshots private[table] (table: IceTable) {
 object Maintenance {
   def expireSnapshots(table: IceTable, olderThanMs: Long, retainLast: Int = 1): Seq[Long] =
     new ExpireSnapshots(table).olderThan(olderThanMs).retainLast(retainLast).commit()
+
+  /** Delete files under the table's data/staging directories that NO
+    * snapshot references and that are older than `olderThanMs` — the
+    * leftovers of crashed writes (staged files whose commit never
+    * happened, speculative task output). The age guard keeps in-flight
+    * commits safe: a file younger than the horizon may belong to a write
+    * racing this call. Returns the deleted paths. (Our extension — the
+    * reference has no orphan-file GC; complements
+    * expireSnapshots().cleanExpiredFiles, which reclaims files that WERE
+    * referenced. Listing walks the driver here; on an object store at
+    * 100 TB, run the listing as a distributed job against the store's
+    * native LIST.) */
+  def removeOrphanFiles(table: IceTable, olderThanMs: Long): Seq[String] = {
+    import graft.meta.{Io, ManifestIO}
+    import graft.core.PathUtil
+    val m = table.metadata
+    val referenced: Set[String] = m.snapshots.flatMap { s =>
+      val mfs = ManifestIO.readManifestList(s.manifestList)
+      (s.manifestList +: mfs.map(_.manifestPath)) ++ mfs.flatMap { mf =>
+        ManifestIO.readManifest(mf.manifestPath, m.specById(mf.partitionSpecId), m.schema)
+          .map(_.dataFile.filePath)
+      }
+    }.map(PathUtil.canon).toSet
+
+    def walk(dir: String): Seq[(String, Long)] = {
+      if (!Io.exists(dir)) return Nil
+      Io.list(dir).flatMap {
+        case (name, true) => walk(s"$dir/$name")
+        case (name, false) =>
+          val p = s"$dir/$name"
+          val mtime =
+            if (Io.isLocal(p))
+              java.nio.file.Files.getLastModifiedTime(
+                java.nio.file.Paths.get(PathUtil.canon(p))).toMillis
+            else {
+              val hp = new org.apache.hadoop.fs.Path(p)
+              hp.getFileSystem(Io.confFor(p)).getFileStatus(hp).getModificationTime
+            }
+          Seq((p, mtime))
+      }
+    }
+
+    val candidates = walk(s"${table.location}/data") ++ walk(s"${table.location}/staging")
+    val orphans = candidates.collect {
+      case (p, mtime) if mtime < olderThanMs && !referenced(PathUtil.canon(p)) => p
+    }
+    orphans.foreach(p => try Io.delete(p) catch { case _: Exception => () })
+    orphans
+  }
 }

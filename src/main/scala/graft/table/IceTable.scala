@@ -49,6 +49,9 @@ class IceTable(
   /** Chained builder (ref: tbl.maintenance.expire_snapshots()
     * table/maintenance.py:36 — by_id/by_ids/older_than then commit). */
   def expireSnapshots(): ExpireSnapshots = new ExpireSnapshots(this)
+  /** Crash-leftover GC (see Maintenance.removeOrphanFiles). */
+  def removeOrphanFiles(olderThanMs: Long): Seq[String] =
+    Maintenance.removeOrphanFiles(this, olderThanMs)
   def setProperties(props: (String, String)*): Unit =
     commitMetadata(m => m.copy(properties = m.properties ++ props))
   /** The table's default sort order; writes sort within each file so

@@ -93,8 +93,11 @@ final class Inspect(table: IceTable) {
     df(rows, schema)
   }
 
-  private def liveEntries(): Seq[(ManifestFile, ManifestEntry)] =
-    m.currentSnapshot.toSeq.flatMap { s =>
+  private def liveEntries(snapshotId: Option[Long] = None)
+      : Seq[(ManifestFile, ManifestEntry)] =
+    snapshotId.map(id => m.snapshotById(id).getOrElse(
+        throw new IllegalArgumentException(s"No snapshot $id")))
+      .orElse(m.currentSnapshot).toSeq.flatMap { s =>
       ManifestIO.readManifestList(s.manifestList).flatMap { mf =>
         val sp = m.specById(mf.partitionSpecId)
         ManifestIO.readManifest(mf.manifestPath, sp, m.schema)
@@ -272,7 +275,13 @@ final class Inspect(table: IceTable) {
     * size, last_updated_at/_snapshot_id); the partition itself is the path
     * STRING (`k=v/...`) rather than the reference's struct — one column
     * shape across specs. */
-  def partitions(): DataFrame = {
+  /** Per-partition aggregation (ref inspect.py:263 — `snapshot_id` pins
+    * the walked snapshot, `row_filter` prunes partitions through the
+    * same inclusive projection + partition evaluator the scan planner
+    * uses, so only partitions that COULD match contribute). */
+  def partitions(snapshotId: Option[Long] = None,
+      rowFilter: graft.core.Expr = graft.core.AlwaysTrue,
+      caseSensitive: Boolean = true): DataFrame = {
     import org.apache.spark.sql.functions._
     val schema = StructType(Seq(
       StructField("partition", StringType),
@@ -282,7 +291,18 @@ final class Inspect(table: IceTable) {
       StructField("file_size", LongType, nullable = false),
       StructField("committed_ms", LongType),
       StructField("snapshot_id", LongType)))
-    val rows = liveEntries().map { case (mf, e) =>
+    val bound = graft.core.Exprs.rewriteNot(
+      graft.core.Binder.bind(m.schema, rowFilter, caseSensitive))
+    val projBySpec = scala.collection.mutable.Map[Int, graft.core.BoundExpr]()
+    def matches(specId: Int, partition: Seq[Any]): Boolean = {
+      val sp = m.specById(specId)
+      val proj = projBySpec.getOrElseUpdate(specId,
+        Evaluators.inclusiveProjection(m.schema, sp, bound))
+      Evaluators.partitionMatches(sp, proj, partition)
+    }
+    val rows = liveEntries(snapshotId)
+      .filter { case (mf, e) => matches(mf.partitionSpecId, e.dataFile.partition) }
+      .map { case (mf, e) =>
       val sp = m.specById(mf.partitionSpecId)
       val snap = m.snapshotById(e.snapshotId)
       Row(sp.partitionToPath(e.dataFile.partition, m.schema), sp.specId,

@@ -370,6 +370,48 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.scan.toDF.count() === orders.filter(col("o_orderkey") > 500).count())
   }
 
+  test("removeOrphanFiles deletes only unreferenced, old-enough files") {
+    val t = catalog.createTable("t_orphan", Schema.fromSpark(orders.schema))
+    t.append(orders.limit(100))
+    val live = t.scan.planFiles().map(_.file.filePath)
+    // a crash leftover: an unreferenced file in the data dir, and a stale
+    // staging dir
+    val stray = java.nio.file.Paths.get(t.location, "data", "stray.parquet")
+    java.nio.file.Files.write(stray, Array[Byte](1, 2, 3))
+    val staged = java.nio.file.Paths.get(t.location, "staging", "dead", "x.parquet")
+    java.nio.file.Files.createDirectories(staged.getParent)
+    java.nio.file.Files.write(staged, Array[Byte](4, 5))
+    // horizon in the past → nothing qualifies
+    assert(t.removeOrphanFiles(System.currentTimeMillis() - 3600_000).isEmpty)
+    assert(java.nio.file.Files.exists(stray))
+    // horizon now → both leftovers go (plus _SUCCESS/.crc write
+    // bookkeeping, which is equally unreferenced), every data file stays
+    val gone = t.removeOrphanFiles(System.currentTimeMillis() + 1000).toSet
+    assert(gone.contains(stray.toString) && gone.contains(staged.toString))
+    assert(gone.intersect(live.toSet).isEmpty)
+    assert(!java.nio.file.Files.exists(stray) && !java.nio.file.Files.exists(staged))
+    assert(live.forall(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+    assert(t.scan.toDF.count() === 100)
+  }
+
+  test("partitions() pins a snapshot and prunes by row filter") {
+    val schema = Schema.fromSpark(orders.schema)
+    val t = catalog.createTable("t_part_args", schema,
+      PartitionSpec.build(schema, 0, ("o_orderpriority", IdentityTransform, "prio")))
+    t.append(orders.filter(col("o_orderkey") <= 1000))
+    val s1 = t.metadata.currentSnapshotId.get
+    t.append(orders.filter(col("o_orderkey") > 1000))
+    // filter prunes to ONE partition through the scan's evaluators
+    val one = t.inspect.partitions(
+      rowFilter = graft.core.ExprParser.parse("o_orderpriority = '1-URGENT'"))
+    assert(one.count() === 1)
+    assert(one.head().getString(0).contains("1-URGENT"))
+    // snapshot pin aggregates the OLD snapshot's files only
+    val old = t.inspect.partitions(snapshotId = Some(s1))
+    val oldTotal = old.agg(sum(col("record_count"))).head().getLong(0)
+    assert(oldTotal === orders.filter(col("o_orderkey") <= 1000).count())
+  }
+
   test("add_files registers without rewrite") {
     val t = catalog.createTable("t_addf", Schema.fromSpark(lineitem.schema))
     t.addFiles(Seq("/root/testdata/sf0.001/lineitem.parquet"))
