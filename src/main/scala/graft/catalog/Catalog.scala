@@ -24,6 +24,26 @@ trait Catalog {
       properties: Map[String, String] = Map.empty): IceTable
   def loadTable(name: String): IceTable
   def dropTable(name: String): Unit
+
+  /** Drop AND delete every file any snapshot references — including
+    * externally-registered (add_files) data living OUTSIDE the table
+    * directory, which a plain drop leaves in place (ref: purge_table
+    * catalog/__init__.py:525, :952 — deletion failures warn, not raise). */
+  def purgeTable(name: String): Unit = {
+    val table = loadTable(name)
+    val m = table.metadata
+    val referenced = m.snapshots.flatMap { s =>
+      val mfs = try graft.meta.ManifestIO.readManifestList(s.manifestList)
+        catch { case _: Exception => Nil }
+      (s.manifestList +: mfs.map(_.manifestPath)) ++ mfs.flatMap { mf =>
+        try graft.meta.ManifestIO.readManifest(mf.manifestPath,
+            m.specById(mf.partitionSpecId), m.schema).map(_.dataFile.filePath)
+        catch { case _: Exception => Nil }
+      }
+    }.distinct
+    dropTable(name)
+    referenced.foreach(p => try Io.delete(p) catch { case _: Exception => () })
+  }
   def tableExists(name: String): Boolean
   def currentVersion(name: String): Option[Int]
   /** Atomic optimistic swap to `expectedVersion + 1`; throws

@@ -413,6 +413,17 @@ class DataSourceV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(GraftAggPushdown.lastPushed.isEmpty)
   }
 
+  test("aggregate pushdown over an empty table returns count 0 / null extremes") {
+    import graft.spark.GraftAggPushdown
+    catalog.createTable("o_v2_agg_empty", Schema.fromSpark(orders.schema))
+    GraftAggPushdown.lastPushed = None
+    val r = loadV2("o_v2_agg_empty")
+      .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("mn")).head()
+    assert(GraftAggPushdown.lastPushed.isDefined)
+    assert(r.getLong(0) === 0L)
+    assert(r.isNullAt(1))
+  }
+
   test("aggregate pushdown declines when deletes could change the answer") {
     import graft.spark.GraftAggPushdown
     val t = catalog.createTable("o_v2_agg_del", Schema.fromSpark(orders.schema))

@@ -212,6 +212,28 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception](spark.sql("SELECT * FROM g.db.orders.nope").collect())
   }
 
+  test("storage-partitioned join survives AQE") {
+    // same co-bucketed pair as above, but with AQE ON (the production
+    // default): the key-grouped plan must still carry no shuffle
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = spark.sql(
+        "SELECT a.k, b.w FROM g.db.spj_a a JOIN g.db.spj_b b ON a.k = b.k")
+      assert(joined.count() === 200)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"SPJ under AQE must not shuffle:\n${plan.take(1500)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("SqlCatalog routing via uri option") {
     val dbDir = Files.createTempDirectory("gcat-jdbc").toString
     val wh2 = Files.createTempDirectory("gcat-wh2").toString

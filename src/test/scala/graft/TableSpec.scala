@@ -412,6 +412,21 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(oldTotal === orders.filter(col("o_orderkey") <= 1000).count())
   }
 
+  test("purgeTable deletes externally-registered data a drop leaves behind") {
+    val t = catalog.createTable("t_purge", Schema.fromSpark(orders.schema))
+    t.append(orders.limit(10))
+    // external file OUTSIDE the table dir (a copy, safe to delete)
+    val extDir = java.nio.file.Files.createTempDirectory("purge-ext")
+    orders.limit(20).coalesce(1).write.mode("overwrite").parquet(extDir.toString)
+    val ext = new java.io.File(extDir.toString).listFiles()
+      .find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    t.addFiles(Seq(ext))
+    catalog.purgeTable("t_purge")
+    assert(!catalog.tableExists("t_purge"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(ext)),
+      "purge must delete externally-registered data files")
+  }
+
   test("add_files registers without rewrite") {
     val t = catalog.createTable("t_addf", Schema.fromSpark(lineitem.schema))
     t.addFiles(Seq("/root/testdata/sf0.001/lineitem.parquet"))
