@@ -351,6 +351,26 @@ object Iceberg {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |ORDER BY o_orderkey""".stripMargin
 
+  /** G/K. snapshot expiry WITH storage reclamation: append → overwrite →
+    * expire the old snapshot cleaning its files — the first append's
+    * files must be physically gone (reclaimed storage), while the
+    * surviving snapshot still reads exactly the overwrite's rows. */
+  def expireGc(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val tab = wh(s).createTable("orders", Schema.fromSpark(orders.schema))
+    tab.append(orders.filter(col("o_orderkey") % 2 === 0))
+    val s1 = tab.metadata.currentSnapshotId.get
+    val filesA = tab.scan.planFiles().map(_.file.filePath)
+    tab.overwrite(orders.filter(col("o_orderkey") % 2 === 1), AlwaysTrue)
+    val expired = tab.expireSnapshots().byIds(Seq(s1)).cleanExpiredFiles(true).commit()
+    require(expired == Seq(s1), s"expected to expire $s1, got $expired")
+    require(filesA.forall(p => !graft.meta.Io.exists(p)),
+      "expired-only files must be reclaimed")
+    tab.scan.toDF.orderBy(col("o_orderkey"))
+  }
+  val expireGcSql =
+    "SELECT * FROM orders WHERE o_orderkey % 2 = 1 ORDER BY o_orderkey"
+
   private val sqlCatSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** G. Iceberg VIEWS (ref: pyiceberg/view — metadata.py ViewMetadata,
@@ -641,6 +661,7 @@ object Iceberg {
     "ice_dsv2_scan" -> (dsv2Scan _),
     "ice_dsv2_agg" -> (dsv2AggPushdown _),
     "ice_spj_join" -> (spjJoin _),
+    "ice_expire_gc" -> (expireGc _),
     "ice_sql_catalog_dml" -> (sqlCatalogDml _),
     "ice_view" -> (icebergView _),
     "ice_transform_predicate" -> (transformPredicate _),
@@ -675,6 +696,7 @@ object Iceberg {
     "ice_dsv2_scan" -> dsv2ScanSql,
     "ice_dsv2_agg" -> dsv2AggPushdownSql,
     "ice_spj_join" -> spjJoinSql,
+    "ice_expire_gc" -> expireGcSql,
     "ice_sql_catalog_dml" -> sqlCatalogDmlSql,
     "ice_view" -> icebergViewSql,
     "ice_transform_predicate" -> transformPredicateSql,
