@@ -199,18 +199,25 @@ object DataOps {
       // contract; on a cluster a reliable checkpoint(dir) gives the same
       // shape with executor-loss durability.
       val bridge = org.apache.spark.sql.GraftBridge
+      // label sums detect the fixpoint WITHOUT a per-round join: labels
+      // only ever decrease (min over self ∪ neighbors), so the decimal
+      // sum strictly decreases until converged
+      def labelSum(d: DataFrame): java.math.BigDecimal =
+        d.agg(sum(col("label")).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .head().getDecimal(0)
       var (labels, labelsRdd) = bridge.cachedLeafFrame(
         edges.select(col("u").as("node")).distinct().withColumn("label", col("node")))
-      var changed = 1L
-      while (changed > 0) {
+      var prevSum = labelSum(labels)
+      var converged = false
+      while (!converged) {
         val prop = edges.join(labels, edges("u") === labels("node"))
           .select(edges("v").as("node"), labels("label"))
         val (next, nextRdd) = bridge.cachedLeafFrame(
           labels.union(prop).groupBy(col("node")).agg(min(col("label")).as("label")))
-        // the count both decides convergence and materializes `next`
-        changed = next
-          .join(labels.select(col("node"), col("label").as("old_label")), "node")
-          .filter(col("label") =!= col("old_label")).count()
+        // the sum both decides convergence and materializes `next`
+        val s = labelSum(next)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
         labelsRdd.unpersist(false)
         labels = next
         labelsRdd = nextRdd

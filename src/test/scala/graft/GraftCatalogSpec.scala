@@ -234,6 +234,42 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("catalog V2 transform functions agree with engine transforms") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier}
+    import org.apache.spark.unsafe.types.UTF8String
+    val fc = spark.sessionState.catalogManager.catalog("g").asInstanceOf[FunctionCatalog]
+    assert(fc.functionExists(Identifier.of(Array("db"), "bucket")))
+
+    def scalar(name: String, input: StructType) =
+      fc.loadFunction(Identifier.of(Array.empty[String], name)).bind(input)
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Any]]
+
+    // bucket over long/string matches the engine's spec murmur3
+    val bLong = scalar("bucket", StructType(Seq(
+      StructField("n", IntegerType), StructField("v", LongType))))
+    for (v <- Seq(0L, 1L, -57L, 1234567890123L))
+      assert(bLong.produceResult(InternalRow(16, v)) ===
+        graft.core.BucketTransform(16).apply(v, graft.core.ILong))
+    val bStr = scalar("bucket", StructType(Seq(
+      StructField("n", IntegerType), StructField("v", StringType))))
+    for (v <- Seq("", "iceberg", "graft-ω"))
+      assert(bStr.produceResult(InternalRow(8, UTF8String.fromString(v))) ===
+        graft.core.BucketTransform(8).apply(v, graft.core.IString))
+
+    // days over a date (int ordinal) is identity; truncate over string
+    val dDate = scalar("days", StructType(Seq(StructField("v", DateType))))
+    assert(dDate.produceResult(InternalRow(19000)) ===
+      graft.core.DayTransform.apply(19000, graft.core.IDate))
+    val tStr = scalar("truncate", StructType(Seq(
+      StructField("w", IntegerType), StructField("v", StringType))))
+    assert(tStr.produceResult(InternalRow(3, UTF8String.fromString("abcdef"))) ===
+      UTF8String.fromString("abc"))
+    // nulls propagate
+    assert(bLong.produceResult(InternalRow(16, null)) === null)
+  }
+
   test("SqlCatalog routing via uri option") {
     val dbDir = Files.createTempDirectory("gcat-jdbc").toString
     val wh2 = Files.createTempDirectory("gcat-wh2").toString
