@@ -97,6 +97,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         case "data_files" => Some(_.inspect.dataFiles())
         case "delete_files" => Some(_.inspect.deleteFiles())
         case "all_files" => Some(_.inspect.allFiles())
+        case "all_data_files" => Some(_.inspect.allDataFiles())
+        case "all_delete_files" => Some(_.inspect.allDeleteFiles())
         case "partitions" => Some(_.inspect.partitions())
         case _ => None
       }

@@ -269,6 +269,12 @@ final class Inspect(table: IceTable) {
     df(rows, schema)
   }
 
+  /** ref: inspect.py:725/:728 — all_files restricted by content kind. */
+  def allDataFiles(): DataFrame =
+    allFiles().filter(org.apache.spark.sql.functions.col("content") === FileContent.Data)
+  def allDeleteFiles(): DataFrame =
+    allFiles().filter(org.apache.spark.sql.functions.col("content") =!= FileContent.Data)
+
   /** ref: inspect.py:263 partitions — per-partition data/delete rollups as
     * a Spark aggregation over the entries. Full reference column parity
     * (data + position/equality-delete record and file counts, total data

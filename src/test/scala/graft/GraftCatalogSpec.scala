@@ -209,6 +209,10 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getLong(0))
     // history joins snapshots; unknown suffixes still error cleanly
     assert(spark.sql("SELECT * FROM g.db.orders.history").count() >= 1)
+    // all_data_files + all_delete_files partition all_files by content
+    val allN = spark.sql("SELECT * FROM g.db.orders.all_files").count()
+    assert(allN === spark.sql("SELECT * FROM g.db.orders.all_data_files").count() +
+      spark.sql("SELECT * FROM g.db.orders.all_delete_files").count())
     intercept[Exception](spark.sql("SELECT * FROM g.db.orders.nope").collect())
   }
 
