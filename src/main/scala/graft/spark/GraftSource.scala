@@ -423,13 +423,27 @@ class GraftScanBuilder(table: IceTable, snapshotId: Option[Long] = None,
     * 100 TB table reads zero data bytes. Only COMPLETE pushdown is
     * offered, and only when the stats make the answer exact (see
     * GraftAggPushdown.compute); Spark re-plans the normal scan otherwise. */
+  // Spark probes supportCompletePushDown then pushAggregation with the
+  // same aggregation — memoize so file planning (a manifest walk on a
+  // big table) runs once per query, not twice
+  private var aggMemo: (String, Option[(StructType, Seq[Array[Any]])]) = null
+
+  private def computeAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Array[Any]])] = {
+    val key = s"$agg|$expr"
+    if (aggMemo == null || aggMemo._1 != key)
+      aggMemo = (key, GraftAggPushdown.compute(table, snapshotId, expr, agg))
+    aggMemo._2
+  }
+
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    GraftAggPushdown.compute(table, snapshotId, expr, agg).isDefined
+    computeAgg(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    aggResult = GraftAggPushdown.compute(table, snapshotId, expr, agg)
+    aggResult = computeAgg(agg)
     aggResult.isDefined
   }
 
