@@ -53,6 +53,10 @@ final class IceScan(
   }
   def limit(n: Long): IceScan =
     new IceScan(table, rowFilter, selected, snapshotIdOpt, Some(n), caseSensitive)
+  /** ref: TableScan.with_case_sensitive — name resolution mode for
+    * filter binding and column selection. */
+  def withCaseSensitive(cs: Boolean): IceScan =
+    new IceScan(table, rowFilter, selected, snapshotIdOpt, limitOpt, cs)
 
   def snapshot: Option[Snapshot] =
     snapshotIdOpt.map(id => metadata.snapshotById(id).getOrElse(

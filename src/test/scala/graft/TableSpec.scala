@@ -427,6 +427,15 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
       "purge must delete externally-registered data files")
   }
 
+  test("withCaseSensitive(false) resolves mixed-case names") {
+    val t = catalog.loadTable("t_roundtrip")
+    val want = t.scan("l_quantity > 45").select("l_orderkey").toDF.count()
+    val got = t.scan.withCaseSensitive(false)
+      .filter("L_QUANTITY > 45").select("L_ORDERKEY").toDF.count()
+    assert(got === want)
+    intercept[Exception](t.scan.filter("L_QUANTITY > 45").toDF.count())
+  }
+
   test("add_files registers without rewrite") {
     val t = catalog.createTable("t_addf", Schema.fromSpark(lineitem.schema))
     t.addFiles(Seq("/root/testdata/sf0.001/lineitem.parquet"))
