@@ -25,11 +25,16 @@ trait Catalog {
   def loadTable(name: String): IceTable
   def dropTable(name: String): Unit
 
-  /** Drop AND delete every file any snapshot references — including
-    * externally-registered (add_files) data living OUTSIDE the table
-    * directory, which a plain drop leaves in place (ref: purge_table
-    * catalog/__init__.py:525, :952 — deletion failures warn, not raise). */
-  def purgeTable(name: String): Unit = {
+  /** Drop AND delete every file any snapshot references (ref: purge_table
+    * catalog/__init__.py:525, :952 — deletion failures warn, not raise).
+    *
+    * By default deletion is RESTRICTED to paths under the table location:
+    * externally-registered (add_files) files may also be registered in a
+    * second table or owned by an external writer, so purging one table
+    * must not silently destroy data it doesn't own. Pass
+    * `deleteExternalFiles = true` to opt into deleting add_files paths
+    * too. Failures are surfaced as warnings, never swallowed. */
+  def purgeTable(name: String, deleteExternalFiles: Boolean = false): Unit = {
     val table = loadTable(name)
     val m = table.metadata
     val referenced = m.snapshots.flatMap { s =>
@@ -41,8 +46,20 @@ trait Catalog {
         catch { case _: Exception => Nil }
       }
     }.distinct
+    val loc = table.location
+    val (owned, external) = referenced.partition(p =>
+      graft.core.PathUtil.canon(p).startsWith(graft.core.PathUtil.canon(loc) + "/"))
     dropTable(name)
-    referenced.foreach(p => try Io.delete(p) catch { case _: Exception => () })
+    val toDelete = if (deleteExternalFiles) owned ++ external else owned
+    if (!deleteExternalFiles && external.nonEmpty)
+      System.err.println(s"[purgeTable] $name: kept ${external.size} externally-registered " +
+        "file(s) outside the table location (pass deleteExternalFiles=true to remove)")
+    toDelete.foreach { p =>
+      try Io.delete(p)
+      catch { case e: Exception =>
+        System.err.println(s"[purgeTable] $name: failed to delete $p: ${e.getMessage}")
+      }
+    }
   }
   def tableExists(name: String): Boolean
   def currentVersion(name: String): Option[Int]

@@ -202,8 +202,11 @@ object DataOps {
       // label sums detect the fixpoint WITHOUT a per-round join: labels
       // only ever decrease (min over self ∪ neighbors), so the decimal
       // sum strictly decreases until converged
+      // cast BEFORE aggregating: decimal partial sums are exact, while
+      // Long partials could wrap on large id spaces (ANSI off) and make
+      // two distinct label states compare equal — a premature fixpoint
       def labelSum(d: DataFrame): java.math.BigDecimal =
-        d.agg(sum(col("label")).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        d.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
           .head().getDecimal(0)
       var (labels, labelsRdd) = bridge.cachedLeafFrame(
         edges.select(col("u").as("node")).distinct().withColumn("label", col("node")))

@@ -22,6 +22,15 @@ object Iceberg {
   private def wh(spark: SparkSession): HadoopCatalog =
     new HadoopCatalog(Files.createTempDirectory("graft_ice").toString, spark)
 
+  /** Guard for gate queries whose filter is MEANT to select data: a filter
+    * that can never match (e.g. a threshold above the column's max) would
+    * otherwise "pass" vacuously with 0 rows on both engines. The limit(1)
+    * probe terminates at the first row, so the cost is one tiny job. */
+  private def nonEmpty(df: DataFrame): DataFrame = {
+    require(!df.isEmpty, "gate query selected 0 rows — vacuous gate, check the filter against the testdata")
+    df
+  }
+
   /** A. append + full scan (ref: Transaction.append + DataScan). */
   def appendScan(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
@@ -36,9 +45,9 @@ object Iceberg {
     val li = t(s, dir, "lineitem")
     val tab = wh(s).createTable("lineitem", Schema.fromSpark(li.schema))
     tab.append(li)
-    tab.scan("l_shipdate >= '1997-01-01' and l_discount > 0.05 and l_quantity < 10")
+    nonEmpty(tab.scan("l_shipdate >= '1997-01-01' and l_discount > 0.05 and l_quantity < 10")
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-      .toDF.orderBy(col("l_orderkey"), col("l_linenumber"))
+      .toDF.orderBy(col("l_orderkey"), col("l_linenumber")))
   }
   val scanFilterDslSql =
     """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
@@ -69,7 +78,7 @@ object Iceberg {
     val tab = wh(s).createTable("orders",
       schema, Spec.build(schema, 0, ("o_orderdate", MonthTransform, "o_month")))
     tab.append(orders)
-    tab.scan("o_orderdate >= '1997-06-01'").toDF.orderBy(col("o_orderkey"))
+    nonEmpty(tab.scan("o_orderdate >= '1997-06-01'").toDF.orderBy(col("o_orderkey")))
   }
   val partitionPruningSql =
     "SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1997-06-01' ORDER BY o_orderkey"
@@ -81,7 +90,7 @@ object Iceberg {
     val tab = wh(s).createTable("customer",
       schema, Spec.build(schema, 0, ("c_custkey", BucketTransform(8), "c_bucket")))
     tab.append(cust)
-    tab.scan("c_custkey in (1, 7, 500)").toDF.orderBy(col("c_custkey"))
+    nonEmpty(tab.scan("c_custkey in (1, 7, 500)").toDF.orderBy(col("c_custkey")))
   }
   val bucketPruningSql =
     "SELECT * FROM customer WHERE c_custkey IN (1, 7, 500) ORDER BY c_custkey"
@@ -93,7 +102,7 @@ object Iceberg {
     val tab = wh(s).createTable("orders",
       schema, Spec.build(schema, 0, ("o_orderkey", TruncateTransform(1000), "o_trunc")))
     tab.append(orders)
-    tab.scan("o_orderkey >= 2000 and o_orderkey < 4000").toDF.orderBy(col("o_orderkey"))
+    nonEmpty(tab.scan("o_orderkey >= 2000 and o_orderkey < 4000").toDF.orderBy(col("o_orderkey")))
   }
   val truncatePartitionSql =
     "SELECT * FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 4000 ORDER BY o_orderkey"
@@ -247,9 +256,9 @@ object Iceberg {
     val tab = wh(s).createTable("lineitem",
       schema, Spec.build(schema, 0, ("l_shipdate", DayTransform, "l_day")))
     tab.append(li)
-    tab.scan("day(l_shipdate) = '1997-06-05'")
+    nonEmpty(tab.scan("day(l_shipdate) = '1997-06-05'")
       .select("l_orderkey", "l_linenumber", "l_shipdate")
-      .toDF.orderBy(col("l_orderkey"), col("l_linenumber"))
+      .toDF.orderBy(col("l_orderkey"), col("l_linenumber")))
   }
   val transformPredicateSql =
     """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
@@ -266,11 +275,11 @@ object Iceberg {
     val tab = cat.createTable("customer", Schema.fromSpark(cust.schema))
     tab.append(cust)
     tab.deletePositional("c_acctbal > 9000.0")
-    s.read.format("graft")
+    nonEmpty(s.read.format("graft")
       .option("warehouse", cat.warehouse).option("table", "customer").load()
       .filter(col("c_acctbal") > 5000.0 && col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
-      .orderBy(col("c_custkey"))
+      .orderBy(col("c_custkey")))
   }
   val dsv2ScanSql =
     """SELECT c_custkey, c_name, c_acctbal FROM customer
@@ -534,13 +543,44 @@ object Iceberg {
       .filter(_.getName.endsWith(".orc")).map(_.getAbsolutePath).toSeq
     tab.addFiles(files)
     tab.updateSchema.renameColumn("p_retailprice", "price").commit()
-    tab.scan("p_size <= 25 and price > 1000.0")
+    // p_retailprice spans [900, 919.9] at sf0.001 and [900, 999.9] at
+    // sf0.01+; 910.0 selects rows at EVERY scale factor through BOTH the
+    // ORC name-mapped branch and the parquet id-projection branch (the
+    // old 1000.0 threshold made this gate vacuous).
+    nonEmpty(tab.scan("p_size <= 25 and price > 910.0")
       .select("p_partkey", "p_name", "price")
-      .toDF.orderBy(col("p_partkey"))
+      .toDF.orderBy(col("p_partkey")))
   }
   val orcReadSql =
     """SELECT p_partkey, p_name, p_retailprice AS price FROM part
-      |WHERE p_size <= 25 AND p_retailprice > 1000.0 ORDER BY p_partkey""".stripMargin
+      |WHERE p_size <= 25 AND p_retailprice > 910.0 ORDER BY p_partkey""".stripMargin
+
+  /** A+D. row-level deletes over ORC-registered files: half the table
+    * parquet, half ORC via add_files, a rename, then ONE positional
+    * delete spanning BOTH formats — the parquet half resolves positions
+    * through `_metadata.row_index` + the shared anti-join, the ORC half
+    * through the DSv2 ORC reader (Spark's ORC source has no row_index),
+    * matching the reference's format-agnostic delete application
+    * (io/pyarrow.py:1629). */
+  def orcMor(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part")
+    val tab = wh(s).createTable("part_orc_mor", Schema.fromSpark(part.schema))
+    tab.append(part.filter(col("p_partkey") % 2 === 0))
+    val orcDir = Files.createTempDirectory("graft_orc_mor").toString
+    part.filter(col("p_partkey") % 2 === 1).repartition(2)
+      .write.mode("overwrite").orc(orcDir)
+    val files = new java.io.File(orcDir).listFiles()
+      .filter(_.getName.endsWith(".orc")).map(_.getAbsolutePath).toSeq
+    tab.addFiles(files)
+    tab.updateSchema.renameColumn("p_retailprice", "price").commit()
+    tab.deletePositional("price > 915.0")
+    nonEmpty(tab.scan("p_size <= 25")
+      .select("p_partkey", "p_name", "price")
+      .toDF.orderBy(col("p_partkey")))
+  }
+  val orcMorSql =
+    """SELECT p_partkey, p_name, p_retailprice AS price FROM part
+      |WHERE p_size <= 25 AND p_retailprice <= 915.0 ORDER BY p_partkey""".stripMargin
 
   /** J. streaming SINK end-to-end: the supplier parquet streamed through
     * `writeStream.format("graft")` (AvailableNow), committed as per-epoch
@@ -671,6 +711,7 @@ object Iceberg {
     "ice_snapshots_meta" -> (snapshotsMeta _),
     "ice_add_files" -> (addFiles _),
     "ice_orc_read" -> (orcRead _),
+    "ice_orc_mor" -> (orcMor _),
     "ice_stream_sink" -> (streamSink _),
   )
 
@@ -706,6 +747,7 @@ object Iceberg {
     "ice_snapshots_meta" -> snapshotsMetaSql,
     "ice_add_files" -> addFilesSql,
     "ice_orc_read" -> orcReadSql,
+    "ice_orc_mor" -> orcMorSql,
     "ice_stream_sink" -> streamSinkSql,
   )
 }

@@ -256,8 +256,15 @@ class GraftStreamingWrite(table: IceTable, queryId: String,
     val files = messages.collect { case StagedFileMessage(p) => p }
     try {
       table.refresh()
-      if (!alreadyCommitted(epochId) && files.nonEmpty) {
-        val staged = table.spark.read.schema(inputSchema).parquet(files.toIndexedSeq: _*)
+      // Complete mode must commit even an EMPTY epoch: the table's
+      // contents are "whatever this epoch produced", so a result that
+      // became empty truncates to empty rather than keeping stale rows
+      if (!alreadyCommitted(epochId) && (files.nonEmpty || truncateEachEpoch)) {
+        val staged =
+          if (files.nonEmpty)
+            table.spark.read.schema(inputSchema).parquet(files.toIndexedSeq: _*)
+          else table.spark.createDataFrame(
+            table.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], inputSchema)
         // align by NAME: streaming frames carry the table's column names
         // (there is no analyzer-alignment step for DSv2 streaming sinks)
         val aligned = staged.select(table.schema.fields.map(f =>
@@ -1034,8 +1041,14 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
     // resolves its own file's deletes executor-side, so driver memory is
     // independent of delete volume (the old driver-side collect was
     // VERDICT W2; ref per-task delete reads io/pyarrow.py:1441 _task_to_table)
+    // format gate: addFiles can register an ORC file UNDER the data root;
+    // the columnar/id-bearing paths open the vectorized PARQUET reader, so
+    // they must never see a non-parquet task
+    def parquetOwn(path: String, fmt: String): Boolean =
+      fmt.toUpperCase == "PARQUET" &&
+        graft.core.PathUtil.underDataRoot(table.location, path)
     val allColumnar = tasks.forall(t => t.deletes.isEmpty &&
-      graft.core.PathUtil.underDataRoot(table.location, t.file.filePath))
+      parquetOwn(t.file.filePath, t.file.fileFormat))
     // when the scan reported a KeyGroupedPartitioning, every partition
     // MUST carry its key (Spark groups them; a keyless partition would
     // fail the whole scan) — same gating as outputPartitioning
@@ -1055,7 +1068,7 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
       val eqs = eqFiles.map(f => EqDeleteRef(f.filePath, f.equalityIds.toArray)).toArray
       val base = GraftInputPartition(t.file.filePath, json, dels, pushedLimit, allColumnar,
         eqs, eqJson,
-        idBearing = graft.core.PathUtil.underDataRoot(table.location, t.file.filePath),
+        idBearing = parquetOwn(t.file.filePath, t.file.fileFormat),
         fileFormat = t.file.fileFormat.toUpperCase)
       (t, base)
     } match { case pairs =>
@@ -1238,12 +1251,16 @@ class GraftMicroBatchStream(table: IceTable, required: StructType,
     val readSchema = Schema(table.schema.fields.filter(f => names.contains(f.name)))
     val json = MetadataJson.schemaToJson(readSchema).toString
     val files = table.incrementalAppendFiles(from, to)
-    val allColumnar = files.forall(f =>
-      graft.core.PathUtil.underDataRoot(table.location, f.filePath))
+    // same format gate as the batch planner: only library-written parquet
+    // may take the vectorized-parquet columnar / id-bearing routes
+    def parquetOwn(f: graft.meta.DataFile): Boolean =
+      f.fileFormat.toUpperCase == "PARQUET" &&
+        graft.core.PathUtil.underDataRoot(table.location, f.filePath)
+    val allColumnar = files.forall(parquetOwn)
     files
       .map(f => GraftInputPartition(f.filePath, json, Array.empty[DeleteFileRef], -1L,
         allColumnar,
-        idBearing = graft.core.PathUtil.underDataRoot(table.location, f.filePath),
+        idBearing = parquetOwn(f),
         fileFormat = f.fileFormat.toUpperCase)
         : InputPartition)
       .toArray
@@ -1282,9 +1299,11 @@ class GraftReaderFactory(confEntries: Array[(String, String)] = Array.empty)
     // files keep the Group reader for its name-fallback resolution; both
     // emit InternalRow, so they may mix freely within one scan.
     if (p.fileFormat == "ORC") {
-      require(p.deletes.isEmpty && p.eqDeletes.isEmpty,
-        "deletes on externally-registered (ORC) files are not supported")
-      new GraftOrcPartitionReader(p.filePath, p.readSchemaJson, p.limit, buildConf())
+      // deletes apply regardless of data format (ref io/pyarrow.py:1629):
+      // the ORC reader resolves position skips / equality probes with the
+      // same executor-side machinery as the parquet readers
+      new GraftOrcPartitionReader(p.filePath, p.readSchemaJson, p.limit, buildConf(),
+        p.deletes, p.eqDeletes, p.eqSchemaJson)
     } else if (p.idBearing)
       new GraftVectorizedRowReader(p.filePath, p.readSchemaJson, p.deletes, p.limit,
         buildConf(), p.eqDeletes, p.eqSchemaJson, p.splitStart, p.splitLength)

@@ -557,7 +557,10 @@ class IceTable(
     val bound = Exprs.rewriteNot(Binder.bind(schema, expr))
     val tasks = new IceScan(this).filter(expr).planFiles()
     if (tasks.isEmpty) return
-    val paths = tasks.map(_.file.filePath)
+    // ORC-registered files can't ride the parquet `_metadata.row_index`
+    // read; their (file, pos) tuples come from the DSv2 ORC reader
+    // (OrcScanBridge), which tracks absolute positions itself
+    val (orcTasks, pqTasks) = tasks.partition(_.file.fileFormat.toUpperCase == "ORC")
     // global sort = range shuffle on (file_path, pos): one file's deletes
     // land contiguously and AQE sizes the output task count to the delete
     // volume — at 100 TB this writes many delete files in parallel instead
@@ -567,10 +570,20 @@ class IceTable(
     // scoped (unlike a returned lazy scan DataFrame)
     WriteFiles.withScopedConfs(spark,
       "spark.sql.parquet.fieldId.read.enabled" -> "true") {
-      spark.read.schema(schema.toSpark).parquet(paths: _*)
-        .select(PathUtil.canonCol(col("_metadata.file_path")).as("file_path"),
-          col("_metadata.row_index").as("pos"))
-        .where(ToColumn.compile(bound))
+      val branches = Seq.newBuilder[DataFrame]
+      if (pqTasks.nonEmpty)
+        branches += spark.read.schema(schema.toSpark).parquet(pqTasks.map(_.file.filePath): _*)
+          .select(PathUtil.canonCol(col("_metadata.file_path")).as("file_path"),
+            col("_metadata.row_index").as("pos"))
+          .where(ToColumn.compile(bound))
+      if (orcTasks.nonEmpty)
+        branches += OrcScanBridge.frame(spark, nameMappingNested, schema, Schema(Nil),
+            orcTasks.map(t => (t.file.filePath, Array.empty[graft.spark.DeleteFileRef],
+              Array.empty[graft.spark.EqDeleteRef])),
+            keepFile = true, keepPos = true)
+          .where(ToColumn.compile(bound))
+          .select(col("__file").as("file_path"), col("__pos").as("pos"))
+      branches.result().reduce(_ unionByName _)
         .orderBy(col("file_path"), col("pos"))
         .write.parquet(stage)
     }
@@ -623,14 +636,23 @@ class IceTable(
     val descriptors: Seq[(String, Long, String, Long, Long, Long)] =
       WriteFiles.withScopedConfs(spark,
       "spark.sql.parquet.fieldId.read.enabled" -> "true") {
-    val matches = spark.read.schema(schema.toSpark)
-      .parquet(tasks.map(_.file.filePath): _*)
-      .select(PathUtil.canonCol(col("_metadata.file_path")).as("__dfile"),
-        col("_metadata.row_index").as("__dpos"))
-      .where(ToColumn.compile(bound))
-
+    val (orcTasks, pqTasks) = tasks.partition(_.file.fileFormat.toUpperCase == "ORC")
     val branches = Seq.newBuilder[DataFrame]
-    branches += matches
+    if (pqTasks.nonEmpty)
+      branches += spark.read.schema(schema.toSpark)
+        .parquet(pqTasks.map(_.file.filePath): _*)
+        .select(PathUtil.canonCol(col("_metadata.file_path")).as("__dfile"),
+          col("_metadata.row_index").as("__dpos"))
+        .where(ToColumn.compile(bound))
+    // ORC-registered files: absolute positions from the DSv2 ORC reader
+    // (no _metadata.row_index in Spark's ORC source)
+    if (orcTasks.nonEmpty)
+      branches += OrcScanBridge.frame(spark, nameMappingNested, schema, Schema(Nil),
+          orcTasks.map(t => (t.file.filePath, Array.empty[graft.spark.DeleteFileRef],
+            Array.empty[graft.spark.EqDeleteRef])),
+          keepFile = true, keepPos = true)
+        .where(ToColumn.compile(bound))
+        .select(col("__file").as("__dfile"), col("__pos").as("__dpos"))
     if (priorParquet.nonEmpty)
       branches += spark.read.parquet(priorParquet.map(_.filePath).distinct: _*)
         .select(PathUtil.canonCol(col("file_path")).as("__dfile"), col("pos").as("__dpos"))

@@ -255,7 +255,15 @@ final class IceScan(
     def isExternal(p: String): Boolean = !PathUtil.underDataRoot(table.location, p)
     val mapping = table.nameMappingNested
 
-    val (externalTasks, ownTasks) = tasks.partition(t => isExternal(t.file.filePath))
+    // non-parquet files are ALWAYS name-mapped reads, even when addFiles
+    // registered them under the table's data root (the own-file branch
+    // below is a parquet read and would crash on an ORC payload)
+    val (externalAll, ownTasks) = tasks.partition(t =>
+      isExternal(t.file.filePath) || t.file.fileFormat.toUpperCase != "PARQUET")
+    // ORC under row-level deletes reads through the DSv2 ORC reader (own
+    // branch below): Spark's ORC source has no _metadata.row_index
+    val (orcDeleteTasks, externalTasks) = externalAll.partition(t =>
+      t.deletes.nonEmpty && t.file.fileFormat.toUpperCase == "ORC")
     val (plainTasks, deleteTasks) = ownTasks.partition(_.deletes.isEmpty)
 
     // uuid leaves are requested as BINARY (serves fixed[16] files from other
@@ -328,10 +336,24 @@ final class IceScan(
     val branches = Seq.newBuilder[DataFrame]
     if (externalTasks.nonEmpty) {
       require(externalTasks.forall(_.deletes.isEmpty),
-        "position deletes on externally-registered files are not supported")
+        "position deletes on externally-registered non-ORC files are not supported")
       externalTasks.groupBy(_.file.fileFormat.toUpperCase).foreach {
         case (fmt, ts) => branches += readExternal(ts, fmt)
       }
+    }
+    if (orcDeleteTasks.nonEmpty) {
+      // Deletes apply regardless of data format (ref io/pyarrow.py:1629
+      // applies deletes before projection). Spark's ORC source exposes no
+      // _metadata.row_index (parquet-only in 4.1), so position deletes
+      // cannot ride the shared (__file, __pos) anti-join; these tasks read
+      // through the DSv2 ORC partition reader, which applies position
+      // skips and equality-key probes executor-side (OrcScanBridge).
+      val eqIds = orcDeleteTasks.flatMap(_.deletes)
+        .filter(_.content == FileContent.EqualityDeletes).flatMap(_.equalityIds).distinct
+      val eqSchema = Schema(schema.fields.filter(f => eqIds.contains(f.id)))
+      branches += OrcScanBridge.frame(rs, mapping, readSchema, eqSchema,
+        orcDeleteTasks.map(t => OrcScanBridge.descOf(table.location, t)),
+        keepFile = keepFile, keepPos = false)
     }
     if (plainTasks.nonEmpty) {
       val base = readFiles(plainTasks.map(_.file.filePath), withMeta = keepFile)

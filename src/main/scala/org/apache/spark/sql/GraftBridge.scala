@@ -25,6 +25,16 @@ object GraftBridge {
   def internalRows(df: DataFrame): Array[org.apache.spark.sql.catalyst.InternalRow] =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.executedPlan.executeCollect()
 
+  /** Wrap an executor-produced InternalRow RDD as a DataFrame —
+    * `internalCreateDataFrame` is private[sql], hence this bridge. Used
+    * for the rare read path Spark's file sources can't express (ORC
+    * files under row-level deletes: the ORC source has no
+    * _metadata.row_index, so positions must come from a custom reader). */
+  def frameOfInternalRows(s: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
+
   /** Lineage-truncating materialization for iterative frames: persist the
     * frame's InternalRow RDD and wrap it as a leaf LogicalRDD frame — the
     * SQL plan collapses to a scan of the cached blocks, like

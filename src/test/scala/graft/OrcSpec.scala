@@ -58,9 +58,64 @@ class OrcSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.append(part.filter(col("p_partkey") % 2 === 0))
     t.addFiles(writeOrc(part.filter(col("p_partkey") % 2 === 1)))
     t.updateSchema.renameColumn("p_retailprice", "price").commit()
-    val got = t.scan("price > 1500.0").select("p_partkey", "price").toDF
-    val want = part.filter(col("p_retailprice") > 1500.0)
+    // p_retailprice spans ~900–1000 in the testdata; the threshold must
+    // select rows or this test is vacuous
+    val got = t.scan("price > 910.0").select("p_partkey", "price").toDF
+    val want = part.filter(col("p_retailprice") > 910.0)
       .select(col("p_partkey"), col("p_retailprice").as("price"))
+    assert(want.count() > 0, "threshold selects nothing — vacuous test")
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).count() === 0)
+  }
+
+  test("position deletes apply to ORC-registered files (library + DSv2)") {
+    val t = catalog.createTable("orc_mor_pos", Schema.fromSpark(part.schema))
+    t.addFiles(writeOrc(part, n = 2))
+    t.deletePositional("p_partkey <= 20")
+    val want = part.filter(col("p_partkey") > 20)
+    val got = t.scan.toDF
+    assert(want.count() > 0 && want.count() < part.count())
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).count() === 0)
+    // DSv2 face routes the delete-bearing ORC task to the ORC row reader
+    val dsv2 = spark.read.format("graft")
+      .option("warehouse", warehouse).option("table", "orc_mor_pos").load()
+    assert(dsv2.count() === want.count())
+    assert(dsv2.filter(col("p_partkey") <= 20).count() === 0)
+  }
+
+  test("equality deletes apply to ORC-registered files") {
+    val t = catalog.createTable("orc_mor_eq", Schema.fromSpark(part.schema))
+    t.addFiles(writeOrc(part))
+    t.deleteEqualityKeys(part.filter(col("p_partkey") % 10 === 0).select("p_partkey"))
+    val want = part.filter(col("p_partkey") % 10 =!= 0)
+    assert(t.scan.toDF.count() === want.count())
+    val dsv2 = spark.read.format("graft")
+      .option("warehouse", warehouse).option("table", "orc_mor_eq").load()
+    assert(dsv2.count() === want.count())
+  }
+
+  test("deletion vectors (v3) apply to ORC-registered files") {
+    val t = catalog.createTable("orc_mor_dv", Schema.fromSpark(part.schema))
+    t.upgradeFormatVersion(3)
+    t.addFiles(writeOrc(part, n = 2))
+    t.deleteAsDeletionVector("p_size > 30")
+    val want = part.filter(col("p_size") <= 30)
+    assert(want.count() > 0 && want.count() < part.count())
+    val got = t.scan.toDF
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).count() === 0)
+  }
+
+  test("position deletes + rename resolve ORC through the name mapping") {
+    val t = catalog.createTable("orc_mor_ren", Schema.fromSpark(part.schema))
+    t.addFiles(writeOrc(part))
+    t.updateSchema.renameColumn("p_retailprice", "price").commit()
+    t.deletePositional("price > 915.0")
+    val want = part.filter(col("p_retailprice") <= 915.0)
+      .select(col("p_partkey"), col("p_retailprice").as("price"))
+    assert(want.count() > 0 && want.count() < part.count())
+    val got = t.scan.select("p_partkey", "price").toDF
     assert(got.count() === want.count())
     assert(got.exceptAll(want).count() === 0)
   }

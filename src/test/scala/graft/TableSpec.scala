@@ -421,10 +421,22 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ext = new java.io.File(extDir.toString).listFiles()
       .find(_.getName.endsWith(".parquet")).get.getAbsolutePath
     t.addFiles(Seq(ext))
+    val ownData = new java.io.File(s"${t.location}/data")
     catalog.purgeTable("t_purge")
     assert(!catalog.tableExists("t_purge"))
+    // default purge scope is the table location only: an add_files path
+    // may be shared with another table or owned by an external writer
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(ext)),
+      "default purge must NOT delete externally-registered data files")
+    assert(!ownData.exists() || ownData.listFiles().forall(!_.getName.endsWith(".parquet")),
+      "purge must delete the table's own data files")
+
+    // opt-in flag extends deletion to external registrations
+    val t2 = catalog.createTable("t_purge2", Schema.fromSpark(orders.schema))
+    t2.addFiles(Seq(ext))
+    catalog.purgeTable("t_purge2", deleteExternalFiles = true)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(ext)),
-      "purge must delete externally-registered data files")
+      "deleteExternalFiles=true must delete externally-registered data files")
   }
 
   test("withCaseSensitive(false) resolves mixed-case names") {
