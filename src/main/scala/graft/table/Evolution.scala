@@ -339,23 +339,38 @@ final class ExpireSnapshots private[table] (table: IceTable) {
     this
   }
 
-  /** Expired snapshot ids actually removed (protected / retained ids are
-    * re-filtered at commit, like the reference's _commit :1050). */
+  /** Expired snapshot ids actually removed. Protection and retention are
+    * re-derived INSIDE the commit closure, against whatever (possibly
+    * refreshed-on-retry) metadata the swap ultimately applies to — a
+    * concurrent tag/branch/rollback to an expiring snapshot that lands
+    * before our CAS keeps that snapshot (the reference re-filters at
+    * commit time too, update/snapshot.py:1050). Orphan reachability runs
+    * AFTER the successful swap, from the winning base's surviving
+    * snapshots, so no file referenced by concurrently-committed state is
+    * ever deleted; a crash between swap and delete leaves only orphans,
+    * never dangling references. */
   def commit(): Seq[Long] = {
-    val prot = protectedIds
-    val keepNewest = if (keepLast == 0) Set.empty[Long]
-      else m.snapshots.sortBy(_.timestampMs).takeRight(keepLast).map(_.snapshotId).toSet
-    val expired = m.snapshots.sortBy(_.timestampMs).map(_.snapshotId)
-      .filter(id => toExpire(id) && !prot(id) && !keepNewest(id))
-    if (expired.nonEmpty) {
-      val gone = expired.toSet
-      val orphans = if (cleanFiles) orphanFiles(gone) else Nil
-      table.commitMetadata(meta => meta.copy(
-        snapshots = meta.snapshots.filterNot(s => gone(s.snapshotId)),
-        snapshotLog = meta.snapshotLog.filterNot(e => gone(e.snapshotId))))
+    val wanted = toExpire.toSet
+    // captured from the closure's FINAL (winning) application
+    var expSnaps: Seq[graft.meta.Snapshot] = Nil
+    var keptSnaps: Seq[graft.meta.Snapshot] = Nil
+    table.commitMetadata { meta =>
+      val prot = meta.refs.values.map(_.snapshotId).toSet ++ meta.currentSnapshotId.toSet
+      val keepNewest = if (keepLast == 0) Set.empty[Long]
+        else meta.snapshots.sortBy(_.timestampMs).takeRight(keepLast).map(_.snapshotId).toSet
+      val gone = meta.snapshots.sortBy(_.timestampMs).map(_.snapshotId)
+        .filter(id => wanted(id) && !prot(id) && !keepNewest(id)).toSet
+      expSnaps = meta.snapshots.filter(s => gone(s.snapshotId))
+      keptSnaps = meta.snapshots.filterNot(s => gone(s.snapshotId))
+      meta.copy(
+        snapshots = keptSnaps,
+        snapshotLog = meta.snapshotLog.filterNot(e => gone(e.snapshotId)))
+    }
+    if (cleanFiles && expSnaps.nonEmpty) {
+      val orphans = orphanFiles(expSnaps, keptSnaps)
       if (orphans.nonEmpty) deleteOrphans(orphans)
     }
-    expired
+    expSnaps.map(_.snapshotId)
   }
 
   /** Files reachable ONLY from expired snapshots: expired manifest lists,
@@ -364,9 +379,9 @@ final class ExpireSnapshots private[table] (table: IceTable) {
     * runs as a Spark job past the distributed-planning threshold —
     * reachability over a 100 TB table's manifests is a cluster walk, not
     * a driver loop. */
-  private def orphanFiles(gone: Set[Long]): Seq[String] = {
+  private def orphanFiles(expSnaps: Seq[graft.meta.Snapshot],
+      keptSnaps: Seq[graft.meta.Snapshot]): Seq[String] = {
     import graft.meta.{EntryStatus, ManifestIO, Io}
-    val (expSnaps, keptSnaps) = m.snapshots.partition(s => gone(s.snapshotId))
     val keptLists = keptSnaps.map(_.manifestList).toSet
     val expLists = expSnaps.map(_.manifestList).distinct.filterNot(keptLists)
 
@@ -448,44 +463,96 @@ object Maintenance {
     * racing this call. Returns the deleted paths. (Our extension — the
     * reference has no orphan-file GC; complements
     * expireSnapshots().cleanExpiredFiles, which reclaims files that WERE
-    * referenced. Listing walks the driver here; on an object store at
-    * 100 TB, run the listing as a distributed job against the store's
-    * native LIST.) */
+    * referenced.)
+    *
+    * Scale shape: the LISTING fans out per first-level prefix ON
+    * EXECUTORS, each prefix served by one recursive `FileSystem
+    * .listFiles` — object stores implement it as flat LIST pages with
+    * the mtime riding each page (no per-file stat round-trips), so a
+    * 10⁶-object tree costs (prefixes × pages) parallel requests rather
+    * than hours of one-thread driver walking. The referenced-set
+    * manifest read likewise fans out past the distributed-planning
+    * threshold; the driver keeps only the path diff (metadata-sized),
+    * and deletes are batched executor-side past 64 paths. */
   def removeOrphanFiles(table: IceTable, olderThanMs: Long): Seq[String] = {
     import graft.meta.{Io, ManifestIO}
     import graft.core.PathUtil
     val m = table.metadata
-    val referenced: Set[String] = m.snapshots.flatMap { s =>
-      val mfs = ManifestIO.readManifestList(s.manifestList)
-      (s.manifestList +: mfs.map(_.manifestPath)) ++ mfs.flatMap { mf =>
-        ManifestIO.readManifest(mf.manifestPath, m.specById(mf.partitionSpecId), m.schema)
-          .map(_.dataFile.filePath)
-      }
-    }.map(PathUtil.canon).toSet
+    val sc = table.spark.sparkContext
+    val ioEntries = Io.confEntries(table.spark)
 
-    def walk(dir: String): Seq[(String, Long)] = {
-      if (!Io.exists(dir)) return Nil
-      Io.list(dir).flatMap {
-        case (name, true) => walk(s"$dir/$name")
-        case (name, false) =>
-          val p = s"$dir/$name"
-          val mtime =
-            if (Io.isLocal(p))
-              java.nio.file.Files.getLastModifiedTime(
-                java.nio.file.Paths.get(PathUtil.canon(p))).toMillis
-            else {
-              val hp = new org.apache.hadoop.fs.Path(p)
-              hp.getFileSystem(Io.confFor(p)).getFileStatus(hp).getModificationTime
-            }
-          Seq((p, mtime))
-      }
-    }
+    val allMfs = m.snapshots.flatMap(s => ManifestIO.readManifestList(s.manifestList))
+      .distinctBy(_.manifestPath)
+    val specsById = allMfs.map(_.partitionSpecId).distinct
+      .map(id => id -> m.specById(id)).toMap
+    val schemaLocal = m.schema
+    val dataRefs: Seq[String] =
+      if (allMfs.size < IceScan.distributedPlanningThreshold)
+        allMfs.flatMap(mf => ManifestIO.readManifest(mf.manifestPath,
+          specsById(mf.partitionSpecId), schemaLocal).map(_.dataFile.filePath))
+      else
+        sc.parallelize(allMfs, math.min(allMfs.size, sc.defaultParallelism))
+          .flatMap(mf => ManifestIO.readManifest(mf.manifestPath,
+            specsById(mf.partitionSpecId), schemaLocal, Io.confFrom(ioEntries))
+            .map(_.dataFile.filePath))
+          .collect().toSeq
+    val referenced: Set[String] =
+      (m.snapshots.map(_.manifestList) ++ allMfs.map(_.manifestPath) ++ dataRefs)
+        .map(PathUtil.canon).toSet
 
-    val candidates = walk(s"${table.location}/data") ++ walk(s"${table.location}/staging")
-    val orphans = candidates.collect {
-      case (p, mtime) if mtime < olderThanMs && !referenced(PathUtil.canon(p)) => p
+    // first-level split on the driver (one LIST per root), recursive
+    // listing per prefix on executors; age-filter applied executor-side
+    // so only old-enough candidates travel back
+    val roots = Seq(s"${table.location}/data", s"${table.location}/staging")
+      .filter(Io.exists)
+    val firstLevel: Seq[(String, Boolean, Long)] = roots.flatMap { r =>
+      val hp = new org.apache.hadoop.fs.Path(r)
+      hp.getFileSystem(Io.confFor(r)).listStatus(hp).toSeq
+        .map(st => (st.getPath.toString, st.isDirectory, st.getModificationTime))
     }
-    orphans.foreach(p => try Io.delete(p) catch { case _: Exception => () })
+    val prefixes = firstLevel.collect { case (p, true, _) => p }
+    val rootFiles = firstLevel.collect { case (p, false, mt) if mt < olderThanMs => p }
+    val walked: Seq[String] =
+      if (prefixes.isEmpty) Nil
+      else sc.parallelize(prefixes, math.min(prefixes.size, sc.defaultParallelism))
+        .flatMap { d =>
+          val hp = new org.apache.hadoop.fs.Path(d)
+          val fs = hp.getFileSystem(Io.confFrom(ioEntries))
+          val it = fs.listFiles(hp, true)
+          val buf = Seq.newBuilder[String]
+          while (it.hasNext) {
+            val st = it.next()
+            if (st.getModificationTime < olderThanMs) buf += st.getPath.toString
+          }
+          buf.result()
+        }.collect().toSeq
+
+    val orphans = (rootFiles ++ walked).map(PathUtil.canon).distinct
+      .filterNot(referenced)
+    deletePaths(table, orphans)
     orphans
+  }
+
+  /** Distributed deletes past a small threshold — shared by orphan GC
+    * (the expiry path has its own copy keyed to its instance state). */
+  private def deletePaths(table: IceTable, paths: Seq[String]): Unit = {
+    import graft.meta.Io
+    if (paths.size < 64) paths.foreach(p =>
+      try Io.delete(p) catch { case _: Exception => () })
+    else {
+      val ioEntries = Io.confEntries(table.spark)
+      val sc = table.spark.sparkContext
+      sc.parallelize(paths, math.min(paths.size / 32 + 1, sc.defaultParallelism))
+        .foreachPartition { it =>
+          val c = Io.confFrom(ioEntries)
+          it.foreach { p =>
+            try {
+              val hp = new org.apache.hadoop.fs.Path(p)
+              if (!Io.isLocal(p)) hp.getFileSystem(c).delete(hp, false)
+              else Io.delete(p)
+            } catch { case _: Exception => () }
+          }
+        }
+    }
   }
 }

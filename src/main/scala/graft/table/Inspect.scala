@@ -93,42 +93,48 @@ final class Inspect(table: IceTable) {
     df(rows, schema)
   }
 
-  private def liveEntries(snapshotId: Option[Long] = None)
-      : Seq[(ManifestFile, ManifestEntry)] =
+  private def manifestsOf(snapshotId: Option[Long]): Seq[(Long, ManifestFile)] =
     snapshotId.map(id => m.snapshotById(id).getOrElse(
         throw new IllegalArgumentException(s"No snapshot $id")))
-      .orElse(m.currentSnapshot).toSeq.flatMap { s =>
-      ManifestIO.readManifestList(s.manifestList).flatMap { mf =>
-        val sp = m.specById(mf.partitionSpecId)
-        ManifestIO.readManifest(mf.manifestPath, sp, m.schema)
+      .orElse(m.currentSnapshot).toSeq
+      .flatMap(s => ManifestIO.readManifestList(s.manifestList).map(s.snapshotId -> _))
+
+  /** One Row per LIVE manifest entry — a driver loop under the
+    * distributed-planning threshold, a Spark job over the manifest list
+    * past it (VERDICT r6 W2: `files()` with readable_metrics on a
+    * 10⁶-file table is GBs of driver heap if rows build driver-side;
+    * same fan-out seam as Scan.planFiles and the expiry walk). `build`
+    * MUST capture only serializable metadata (schema, spec maps,
+    * precomputed leaf/struct lists) — never `this`. */
+  private def entryRowsDF(mfs: Seq[(Long, ManifestFile)], outSchema: StructType,
+      build: (Long, ManifestFile, ManifestEntry) => Option[Row]): DataFrame = {
+    val specsById = mfs.map(_._2.partitionSpecId).distinct
+      .map(id => id -> m.specById(id)).toMap
+    val mSchema = m.schema
+    if (mfs.size < IceScan.distributedPlanningThreshold) {
+      val rows = mfs.flatMap { case (sid, mf) =>
+        ManifestIO.readManifest(mf.manifestPath, specsById(mf.partitionSpecId), mSchema)
           .filter(_.status != EntryStatus.Deleted)
-          .map(mf -> _)
+          .flatMap(e => build(sid, mf, e))
       }
+      df(rows, outSchema)
+    } else {
+      val ioEntries = Io.confEntries(spark)
+      val sc = spark.sparkContext
+      val rdd = sc.parallelize(mfs, math.min(mfs.size, sc.defaultParallelism))
+        .flatMap { case (sid, mf) =>
+          ManifestIO.readManifest(mf.manifestPath, specsById(mf.partitionSpecId), mSchema,
+              Io.confFrom(ioEntries))
+            .filter(_.status != EntryStatus.Deleted)
+            .flatMap(e => build(sid, mf, e))
+        }
+      spark.createDataFrame(rdd, outSchema)
     }
+  }
 
   // ---- readable_metrics machinery (ref: inspect.py:550 row builder,
   // :613 _get_files_schema) — per-LEAF stats decoded into typed structs,
   // keyed by dotted column path (struct members get their own entry).
-
-  private def boundSparkType(t: IceType) = t.toSpark
-
-  /** internal repr → external JVM value createDataFrame accepts. */
-  private def externalValue(t: IceType, v: Any): Any = v match {
-    case null => null
-    case _ => t match {
-      case IDate => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
-        v.asInstanceOf[Int].toLong))
-      case ITimestamp => java.time.LocalDateTime.ofEpochSecond(
-        Math.floorDiv(v.asInstanceOf[Long], 1000000L),
-        (Math.floorMod(v.asInstanceOf[Long], 1000000L) * 1000L).toInt,
-        java.time.ZoneOffset.UTC)
-      case ITimestamptz =>
-        val us = v.asInstanceOf[Long]
-        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
-          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
-      case _ => v
-    }
-  }
 
   private def readableMetricsType: StructType = StructType(
     m.schema.leafColInfo.map { case (path, id, _) =>
@@ -138,21 +144,14 @@ final class Inspect(table: IceTable) {
         StructField("value_count", LongType),
         StructField("null_value_count", LongType),
         StructField("nan_value_count", LongType),
-        StructField("lower_bound", boundSparkType(t)),
-        StructField("upper_bound", boundSparkType(t)))))
+        StructField("lower_bound", t.toSpark),
+        StructField("upper_bound", t.toSpark))))
     })
 
-  private def readableMetricsRow(f: DataFile): Row = Row(
-    m.schema.leafColInfo.map { case (_, id, _) =>
-      val t = m.schema.byId(id).fieldType
-      Row(
-        f.columnSizes.get(id).map(Long.box).orNull,
-        f.valueCounts.get(id).map(Long.box).orNull,
-        f.nullValueCounts.get(id).map(Long.box).orNull,
-        f.nanValueCounts.get(id).map(Long.box).orNull,
-        externalValue(t, f.lowerBounds.getOrElse(id, null)),
-        externalValue(t, f.upperBounds.getOrElse(id, null)))
-    }: _*)
+  /** (leaf id, type) in readable_metrics column order — the serializable
+    * input the static row builders take instead of `this`. */
+  private def leafInfo: Seq[(Int, IceType)] =
+    m.schema.leafColInfo.map { case (_, id, _) => (id, m.schema.byId(id).fieldType) }
 
   /** Union of every spec's partition fields, merged by name (first type
     * wins) — the `partition` struct column (ref: specs_struct
@@ -164,12 +163,6 @@ final class Inspect(table: IceTable) {
       if (!seen.contains(nf.name)) seen += nf.name -> nf.fieldType
     })
     seen.toSeq
-  }
-
-  private def partitionStructRow(sp: PartitionSpec, values: Seq[Any]): Row = {
-    val byName = sp.fields.map(_.name).zip(values).toMap
-    Row(specsStructFields.map { case (n, t) =>
-      externalValue(t, byName.getOrElse(n, null)) }: _*)
   }
 
   /** ref: inspect.py:682 files / :550 row builder. */
@@ -195,26 +188,28 @@ final class Inspect(table: IceTable) {
       StructField("equality_ids", ArrayType(IntegerType)),
       StructField("sort_order_id", IntegerType),
       StructField("readable_metrics", readableMetricsType)))
-    def boundsBytes(bounds: Map[Int, Any]): Map[Int, Array[Byte]] =
-      bounds.flatMap { case (id, v) =>
-        m.schema.byId.get(id).map(f => id -> Conversions.toBytes(f.fieldType, v)) }
-    val rows = liveEntries()
-      .filter { case (_, e) => content.forall(_ == e.dataFile.content) }
-      .map { case (mf, e) =>
-        val sp = m.specById(mf.partitionSpecId)
-        val f = e.dataFile
-        Row(f.content, f.filePath, f.fileFormat, sp.specId,
-          partitionStructRow(sp, f.partition),
-          f.recordCount, f.fileSizeInBytes,
-          f.columnSizes, f.valueCounts, f.nullValueCounts, f.nanValueCounts,
-          boundsBytes(f.lowerBounds), boundsBytes(f.upperBounds),
-          null,
-          if (f.splitOffsets.isEmpty) null else f.splitOffsets,
-          if (f.equalityIds.isEmpty) null else f.equalityIds,
-          f.sortOrderId.map(Int.box).orNull,
-          readableMetricsRow(f))
-      }
-    df(rows, schema)
+    // serializable captures only — the build closure may run on executors
+    val structFields = specsStructFields
+    val leaves = leafInfo
+    val typesById: Map[Int, IceType] = m.schema.byId.map { case (id, f) => id -> f.fieldType }
+    val specNames: Map[Int, Seq[String]] =
+      m.partitionSpecs.map(sp => sp.specId -> sp.fields.map(_.name)).toMap
+    val cont = content
+    entryRowsDF(manifestsOf(None), schema, (_, mf, e) => {
+      val f = e.dataFile
+      if (!cont.forall(_ == f.content)) None
+      else Some(Row(f.content, f.filePath, f.fileFormat, mf.partitionSpecId,
+        Inspect.partitionRow(structFields, specNames(mf.partitionSpecId), f.partition),
+        f.recordCount, f.fileSizeInBytes,
+        f.columnSizes, f.valueCounts, f.nullValueCounts, f.nanValueCounts,
+        Inspect.boundsBytes(typesById, f.lowerBounds),
+        Inspect.boundsBytes(typesById, f.upperBounds),
+        null,
+        if (f.splitOffsets.isEmpty) null else f.splitOffsets,
+        if (f.equalityIds.isEmpty) null else f.equalityIds,
+        f.sortOrderId.map(Int.box).orNull,
+        Inspect.metricsRow(leaves, f)))
+    })
   }
 
   def dataFiles(): DataFrame = files(Some(FileContent.Data))
@@ -230,10 +225,11 @@ final class Inspect(table: IceTable) {
       StructField("file_path", StringType),
       StructField("record_count", LongType, nullable = false),
       StructField("readable_metrics", readableMetricsType)))
-    df(liveEntries().map { case (_, e) =>
-      Row(e.status, e.snapshotId, e.dataSequenceNumber, e.fileSequenceNumber,
+    val leaves = leafInfo
+    entryRowsDF(manifestsOf(None), schema, (_, _, e) =>
+      Some(Row(e.status, e.snapshotId, e.dataSequenceNumber, e.fileSequenceNumber,
         e.dataFile.filePath, e.dataFile.recordCount,
-        readableMetricsRow(e.dataFile)) }, schema)
+        Inspect.metricsRow(leaves, e.dataFile))))
   }
 
   /** ref: inspect.py:691 all_manifests — manifests of every snapshot. */
@@ -257,16 +253,11 @@ final class Inspect(table: IceTable) {
       StructField("content", IntegerType, nullable = false),
       StructField("file_path", StringType),
       StructField("record_count", LongType, nullable = false)))
-    val rows = m.snapshots.flatMap { s =>
-      ManifestIO.readManifestList(s.manifestList).flatMap { mf =>
-        val sp = m.specById(mf.partitionSpecId)
-        ManifestIO.readManifest(mf.manifestPath, sp, m.schema)
-          .filter(_.status != EntryStatus.Deleted)
-          .map(e => Row(s.snapshotId, e.dataFile.content, e.dataFile.filePath,
-            e.dataFile.recordCount))
-      }
-    }.distinct
-    df(rows, schema)
+    val mfsAll = m.snapshots.flatMap(s =>
+      ManifestIO.readManifestList(s.manifestList).map(s.snapshotId -> _))
+    entryRowsDF(mfsAll, schema, (sid, _, e) =>
+      Some(Row(sid, e.dataFile.content, e.dataFile.filePath,
+        e.dataFile.recordCount))).distinct()
   }
 
   /** ref: inspect.py:725/:728 — all_files restricted by content kind. */
@@ -299,26 +290,25 @@ final class Inspect(table: IceTable) {
       StructField("snapshot_id", LongType)))
     val bound = graft.core.Exprs.rewriteNot(
       graft.core.Binder.bind(m.schema, rowFilter, caseSensitive))
-    val projBySpec = scala.collection.mutable.Map[Int, graft.core.BoundExpr]()
-    def matches(specId: Int, partition: Seq[Any]): Boolean = {
-      val sp = m.specById(specId)
-      val proj = projBySpec.getOrElseUpdate(specId,
-        Evaluators.inclusiveProjection(m.schema, sp, bound))
-      Evaluators.partitionMatches(sp, proj, partition)
-    }
-    val rows = liveEntries(snapshotId)
-      .filter { case (mf, e) => matches(mf.partitionSpecId, e.dataFile.partition) }
-      .map { case (mf, e) =>
-      val sp = m.specById(mf.partitionSpecId)
-      val snap = m.snapshotById(e.snapshotId)
-      Row(sp.partitionToPath(e.dataFile.partition, m.schema), sp.specId,
+    // serializable captures: projections and snapshot lineage precomputed
+    // per spec / per snapshot (both metadata-sized), never `this`
+    val mSchema = m.schema
+    val specsLocal: Map[Int, PartitionSpec] =
+      m.partitionSpecs.map(sp => sp.specId -> sp).toMap
+    val projBySpec: Map[Int, graft.core.BoundExpr] = specsLocal.map { case (id, sp) =>
+      id -> Evaluators.inclusiveProjection(mSchema, sp, bound) }
+    val snapInfo: Map[Long, Long] = m.snapshots.map(s => s.snapshotId -> s.timestampMs).toMap
+    val rowsDF = entryRowsDF(manifestsOf(snapshotId), schema, (_, mf, e) => {
+      val sp = specsLocal(mf.partitionSpecId)
+      if (!Evaluators.partitionMatches(sp, projBySpec(sp.specId), e.dataFile.partition)) None
+      else Some(Row(sp.partitionToPath(e.dataFile.partition, mSchema), sp.specId,
         e.dataFile.content, e.dataFile.recordCount, e.dataFile.fileSizeInBytes,
-        snap.map(s => Long.box(s.timestampMs)).orNull,
-        snap.map(s => Long.box(s.snapshotId)).orNull)
-    }
+        snapInfo.get(e.snapshotId).map(Long.box).orNull,
+        if (snapInfo.contains(e.snapshotId)) Long.box(e.snapshotId) else null))
+    })
     def ifContent(c: Int, v: org.apache.spark.sql.Column) =
       sum(when(col("content") === c, v).otherwise(0L))
-    df(rows, schema)
+    rowsDF
       .groupBy(col("partition"), col("spec_id"))
       .agg(
         ifContent(FileContent.Data, col("record_count")).as("record_count"),
@@ -335,4 +325,54 @@ final class Inspect(table: IceTable) {
         timestamp_millis(max(col("committed_ms"))).as("last_updated_at"),
         max_by(col("snapshot_id"), col("committed_ms")).as("last_updated_snapshot_id"))
   }
+}
+
+/** Static row builders for the metadata tables — free of any reference to
+  * the table handle so `entryRowsDF`'s build closures can run on
+  * executors (the distributed path past the planning threshold). */
+private[table] object Inspect {
+
+  /** internal repr → external JVM value createDataFrame accepts. */
+  def externalValue(t: IceType, v: Any): Any = v match {
+    case null => null
+    case _ => t match {
+      case IDate => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+        v.asInstanceOf[Int].toLong))
+      case ITimestamp => java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(v.asInstanceOf[Long], 1000000L),
+        (Math.floorMod(v.asInstanceOf[Long], 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+      case ITimestamptz =>
+        val us = v.asInstanceOf[Long]
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+      case _ => v
+    }
+  }
+
+  /** readable_metrics struct row (ref: inspect.py:550 row builder). */
+  def metricsRow(leaves: Seq[(Int, IceType)], f: DataFile): Row = Row(
+    leaves.map { case (id, t) =>
+      Row(
+        f.columnSizes.get(id).map(Long.box).orNull,
+        f.valueCounts.get(id).map(Long.box).orNull,
+        f.nullValueCounts.get(id).map(Long.box).orNull,
+        f.nanValueCounts.get(id).map(Long.box).orNull,
+        externalValue(t, f.lowerBounds.getOrElse(id, null)),
+        externalValue(t, f.upperBounds.getOrElse(id, null)))
+    }: _*)
+
+  /** Partition tuple → merged-by-name specs struct (older-spec files
+    * leave newer fields null). */
+  def partitionRow(structFields: Seq[(String, IceType)], specFieldNames: Seq[String],
+      values: Seq[Any]): Row = {
+    val byName = specFieldNames.zip(values).toMap
+    Row(structFields.map { case (n, t) =>
+      externalValue(t, byName.getOrElse(n, null)) }: _*)
+  }
+
+  def boundsBytes(typesById: Map[Int, IceType],
+      bounds: Map[Int, Any]): Map[Int, Array[Byte]] =
+    bounds.flatMap { case (id, v) =>
+      typesById.get(id).map(t => id -> Conversions.toBytes(t, v)) }
 }

@@ -147,6 +147,29 @@ class RemoteFsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(new String(graft.meta.Io.readBytes(p), "UTF-8") === "winner")
   }
 
+  test("removeOrphanFiles lists per-prefix distributed over a non-file scheme") {
+    val t = catalog.createTable("o_orphan_remote", Schema.fromSpark(orders.schema))
+    t.append(orders.limit(100))
+    val referenced = new graft.table.IceScan(t).planFiles().map(_.file.filePath)
+    // orphans across MANY first-level prefixes (the executor fan-out unit)
+    val fs = new org.apache.hadoop.fs.Path(t.location)
+      .getFileSystem(graft.meta.Io.confFor(t.location))
+    val orphanPaths = (1 to 8).map { i =>
+      val p = new org.apache.hadoop.fs.Path(s"${t.location}/data/prefix$i/orphan-$i.parquet")
+      val out = fs.create(p)
+      out.write(Array.fill[Byte](16)(i.toByte)); out.close()
+      p.toString
+    }
+    val deleted = graft.table.Maintenance
+      .removeOrphanFiles(t, System.currentTimeMillis() + 60000)
+    val deletedCanon = deleted.map(graft.core.PathUtil.canon).toSet
+    assert(orphanPaths.map(graft.core.PathUtil.canon).forall(deletedCanon),
+      "orphans under every prefix must be found by the distributed listing")
+    assert(referenced.map(graft.core.PathUtil.canon).forall(!deletedCanon.contains(_)),
+      "referenced files must survive")
+    assert(t.scan.toDF.count() === 100)
+  }
+
   test("catalog listing, rename and reload on a non-file scheme") {
     catalog.createNamespace("ns1")
     val t = catalog.createTable("ns1.t2", Schema.fromSpark(orders.schema))

@@ -370,6 +370,61 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.scan.toDF.count() === orders.filter(col("o_orderkey") > 500).count())
   }
 
+  test("metadata tables build distributed past the planning threshold") {
+    val t = catalog.createTable("t_meta_dist", Schema.fromSpark(orders.schema))
+    t.append(orders.filter(col("o_orderkey") <= 500))
+    t.append(orders.filter(col("o_orderkey") > 500))
+    def filesRows() = t.inspect.files()
+      .select(col("content"), col("file_path"), col("spec_id"), col("record_count"),
+        col("file_size_in_bytes"), col("readable_metrics"))
+      .collect().map(_.toString).sorted.toSeq
+    def entriesRows() = t.inspect.entries().collect().map(_.toString).sorted.toSeq
+    def partsRows() = t.inspect.partitions().collect().map(_.toString).sorted.toSeq
+    val (fD, eD, pD) = (filesRows(), entriesRows(), partsRows())
+    val old = graft.table.IceScan.distributedPlanningThreshold
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    try {
+      graft.table.IceScan.distributedPlanningThreshold = 1
+      spark.sparkContext.addSparkListener(listener)
+      val fX = filesRows()
+      Thread.sleep(500) // let async listener events drain
+      assert(jobs.get() > 0, "past the threshold, files() must build as a Spark job")
+      assert(fX === fD)
+      assert(entriesRows() === eD)
+      assert(partsRows() === pD)
+    } finally {
+      graft.table.IceScan.distributedPlanningThreshold = old
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
+  test("expire commit retry re-derives protection against refreshed metadata") {
+    val t = catalog.createTable("t_expire_race", Schema.fromSpark(orders.schema))
+    t.append(orders.limit(100))
+    val s1 = t.metadata.currentSnapshotId.get
+    val files1 = t.scan.useSnapshot(s1).planFiles().map(_.file.filePath)
+    t.overwrite(orders.limit(50), graft.core.AlwaysTrue)
+    // plan the expiry on this handle…
+    val exp = t.expireSnapshots().byIds(Seq(s1)).cleanExpiredFiles(true)
+    // …then a CONCURRENT writer tags s1 (bumps the catalog version, so
+    // the expiry's CAS fails, refreshes, and re-derives protection inside
+    // the retry — the tagged snapshot and its files must survive)
+    val t2 = catalog.loadTable("t_expire_race")
+    t2.manageSnapshots.createTag("keep", s1)
+    val expired = exp.commit()
+    assert(expired.isEmpty, "a concurrently-tagged snapshot must not expire")
+    t.refresh()
+    assert(t.metadata.snapshotById(s1).isDefined)
+    assert(files1.forall(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))),
+      "files of the concurrently-protected snapshot must survive")
+    assert(t.scan.useRef("keep").toDF.count() === 100)
+  }
+
   test("removeOrphanFiles deletes only unreferenced, old-enough files") {
     val t = catalog.createTable("t_orphan", Schema.fromSpark(orders.schema))
     t.append(orders.limit(100))
