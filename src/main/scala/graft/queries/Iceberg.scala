@@ -102,10 +102,13 @@ object Iceberg {
     val tab = wh(s).createTable("orders",
       schema, Spec.build(schema, 0, ("o_orderkey", TruncateTransform(1000), "o_trunc")))
     tab.append(orders)
-    nonEmpty(tab.scan("o_orderkey >= 2000 and o_orderkey < 4000").toDF.orderBy(col("o_orderkey")))
+    // [500, 1500) spans two truncate-1000 buckets and is non-empty at
+    // EVERY scale factor (sf0.001 tops out at o_orderkey 1499 — the old
+    // [2000, 4000) range was vacuous there)
+    nonEmpty(tab.scan("o_orderkey >= 500 and o_orderkey < 1500").toDF.orderBy(col("o_orderkey")))
   }
   val truncatePartitionSql =
-    "SELECT * FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 4000 ORDER BY o_orderkey"
+    "SELECT * FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1500 ORDER BY o_orderkey"
 
   /** D. copy-on-write delete: strict-metrics whole-file drop + rewrite with
     * the complementary filter. */
@@ -445,6 +448,43 @@ object Iceberg {
       |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
       |FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** DSv2 SQL face: UPDATE + MERGE INTO through SupportsRowLevelOperations
+    * (group-based copy-on-write — Spark rewrites both into ReplaceData
+    * over the operation's scan; the commit swaps scanned files for the
+    * rewritten ones; ref upsert, table/__init__.py:800). The UPDATE's
+    * modulo predicate has no sources.Filter form, so it can ONLY succeed
+    * through the row-level rewrite. */
+  def sqlMerge(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val cat = s"gsqlm${sqlCatSeq.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      Files.createTempDirectory("graft_sqlmerge").toString)
+    orders.filter(col("o_orderkey") <= 12000).createOrReplaceTempView("graft_merge_base")
+    orders.filter(col("o_orderkey") > 6000)
+      .withColumn("o_orderstatus", lit("X")).createOrReplaceTempView("graft_merge_src")
+    s.sql(s"CREATE TABLE $cat.db.orders AS SELECT * FROM graft_merge_base")
+    s.sql(s"""MERGE INTO $cat.db.orders t USING graft_merge_src s
+      |ON t.o_orderkey = s.o_orderkey
+      |WHEN MATCHED THEN UPDATE SET *
+      |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql(s"UPDATE $cat.db.orders SET o_totalprice = 0.0 WHERE o_orderkey % 10 = 0")
+    nonEmpty(s.sql(s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderdate, o_orderpriority
+      |FROM $cat.db.orders ORDER BY o_orderkey""".stripMargin))
+  }
+  val sqlMergeSql =
+    """WITH merged AS (
+      |  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus, o_totalprice,
+      |    o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey > 6000
+      |  UNION ALL
+      |  SELECT * FROM orders WHERE o_orderkey <= 6000)
+      |SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CASE WHEN o_orderkey % 10 = 0 THEN 0.0 ELSE o_totalprice END AS o_totalprice,
+      |  o_orderdate, o_orderpriority
+      |FROM merged ORDER BY o_orderkey""".stripMargin
+
   /** A. metadata-only count (residual-free files never read). */
   def metadataCount(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -703,6 +743,7 @@ object Iceberg {
     "ice_spj_join" -> (spjJoin _),
     "ice_expire_gc" -> (expireGc _),
     "ice_sql_catalog_dml" -> (sqlCatalogDml _),
+    "ice_sql_merge" -> (sqlMerge _),
     "ice_view" -> (icebergView _),
     "ice_transform_predicate" -> (transformPredicate _),
     "ice_metadata_count" -> (metadataCount _),
@@ -739,6 +780,7 @@ object Iceberg {
     "ice_spj_join" -> spjJoinSql,
     "ice_expire_gc" -> expireGcSql,
     "ice_sql_catalog_dml" -> sqlCatalogDmlSql,
+    "ice_sql_merge" -> sqlMergeSql,
     "ice_view" -> icebergViewSql,
     "ice_transform_predicate" -> transformPredicateSql,
     "ice_metadata_count" -> metadataCountSql,

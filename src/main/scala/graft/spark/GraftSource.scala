@@ -113,12 +113,18 @@ object GraftSparkTable {
     snapshotId.flatMap(id => table.metadata.snapshotById(id)
         .map(s => table.metadata.schemaById(s.schemaId)))
       .getOrElse(table.schema)
+
+  /** Metadata column: canon path of the file each row came from — the
+    * row-lineage handle the SQL row-level operations group by. */
+  val FileColumn = "_file"
 }
 
 class GraftSparkTable(table: IceTable, snapshotId: Option[Long] = None)
     extends SparkTable with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = table.name
   override def schema(): StructType = GraftSparkTable.schemaOf(table, snapshotId).toSpark
   override def capabilities(): java.util.Set[TableCapability] =
@@ -147,6 +153,116 @@ class GraftSparkTable(table: IceTable, snapshotId: Option[Long] = None)
     table.refresh()
     table.delete(GraftFilters.normalizeLiterals(expr))
   }
+
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftSparkTable.FileColumn
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "Path of the file the row belongs to"
+    })
+
+  /** SQL `UPDATE` / `MERGE INTO` / rewritten `DELETE` (ref upsert,
+    * table/__init__.py:800): group-based COPY-ON-WRITE — Spark rewrites
+    * the command into a ReplaceData over this operation's scan, and the
+    * write atomically swaps the scanned files for the rewritten ones. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(snapshotId.isEmpty, "Cannot modify a time-travel (pinned-snapshot) table")
+    () => new GraftRowLevelOperation(table, info.command)
+  }
+}
+
+/** Copy-on-write row-level operation: the scan selects affected GROUPS
+  * (files) via manifest pruning on the command's condition — returning
+  * ALL rows of selected files, per the group-based contract — narrowed
+  * further at runtime by the `_file IN (matched)` group filter; the write
+  * stages the replacement rows executor-side and commits ONE overwrite
+  * snapshot that drops the scanned files and adds the staged ones
+  * (delta/merge-on-read SQL writes are a possible future extension —
+  * SupportsDelta — the library face already writes MoR deletes). */
+class GraftRowLevelOperation(table: IceTable,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+  import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+
+  /** Set when Spark builds the operation's scan; read by the write's
+    * commit to learn the copy-on-write replacement group. */
+  @volatile private[spark] var configuredScan: GraftScan = _
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(table, None, options, rowLevelOp = Some(this))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new GraftReplaceDataWrite(table, GraftRowLevelOperation.this, info.schema())
+    }
+
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(GraftSparkTable.FileColumn))
+
+  override def description(): String = s"GraftRowLevelOperation[$cmd, copy-on-write]"
+}
+
+/** The ReplaceData write of a row-level operation: staged parquet files
+  * per task (same writers as the dynamic-overwrite path), then ONE
+  * commit that atomically drops every file the operation's scan planned
+  * (post runtime group filtering) and adds the staged replacements
+  * through the library's fan-out write — with the command's condition as
+  * the commit's conflict filter, so a concurrent writer into the same
+  * key range forces a retry-time re-validation. */
+class GraftReplaceDataWrite(table: IceTable, op: GraftRowLevelOperation,
+    rowSchema: StructType)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  private val stagingDir =
+    s"${table.location}/staging/cow-${java.util.UUID.randomUUID()}"
+
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftStagingWriterFactory(stagingDir, rowSchema.json,
+      graft.meta.Io.confEntries(table.spark))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect { case StagedFileMessage(p) => p }
+    try {
+      val scan = op.configuredScan
+      require(scan != null, "row-level operation committed without a configured scan")
+      val removed = scan.plannedTasks().map(_.file.filePath).toSet
+      if (removed.nonEmpty || files.nonEmpty) {
+        // the scan planned against the pre-command snapshot this handle
+        // still holds; conflict validation replays from there
+        val base = table.metadata.currentSnapshotId
+        val replacement =
+          if (files.isEmpty)
+            table.spark.createDataFrame(
+              table.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rowSchema)
+          else table.spark.read.schema(rowSchema).parquet(files.toIndexedSeq: _*)
+        // align by POSITION (the rewrite emits table-schema rows)
+        val named = replacement.toDF(table.schema.fields.map(_.name): _*)
+        table.refresh()
+        table.replaceFiles(removed, named,
+          conflictFilter = Some(GraftFilters.normalizeLiterals(scan.planExpr)),
+          baseSnapshotId = base)
+      }
+    } finally cleanup()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = cleanup()
+
+  private def cleanup(): Unit =
+    try graft.meta.Io.delete(stagingDir, recursive = true) catch { case _: Exception => () }
 }
 
 /** DSv2 write face: Spark plans the write (INSERT INTO / INSERT OVERWRITE /
@@ -395,13 +511,15 @@ class GraftStagingWriter(dir: String, schemaJson: String, partitionId: Int,
 }
 
 class GraftScanBuilder(table: IceTable, snapshotId: Option[Long] = None,
-    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
+    rowLevelOp: Option[GraftRowLevelOperation] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownAggregates {
 
   private var pushed: Array[sources.Filter] = Array.empty
   private var expr: Expr = AlwaysTrue
   private var required: StructType = GraftSparkTable.schemaOf(table, snapshotId).toSpark
+  private var emitFile: Boolean = false
   private var limit: Long = -1L
   private var aggResult: Option[(StructType, Seq[Array[Any]])] = None
 
@@ -419,8 +537,14 @@ class GraftScanBuilder(table: IceTable, snapshotId: Option[Long] = None,
 
   override def pushedFilters(): Array[sources.Filter] = pushed
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // `_file` is a metadata column (SupportsMetadataColumns), not a data
+    // column: strip it here, re-append it LAST in the scan's readSchema
+    // so readers emit [data columns..., _file]
+    emitFile = requiredSchema.fieldNames.contains(GraftSparkTable.FileColumn)
+    required = StructType(
+      requiredSchema.fields.filterNot(_.name == GraftSparkTable.FileColumn))
+  }
 
   private def toExpr(f: sources.Filter): Option[Expr] = GraftFilters.toExpr(f)
 
@@ -456,8 +580,13 @@ class GraftScanBuilder(table: IceTable, snapshotId: Option[Long] = None,
 
   override def build(): Scan = aggResult match {
     case Some((schema, rows)) => new GraftAggScan(schema, rows)
-    case None => new GraftScan(table, expr, required, limit, snapshotId,
-      Option(options.get("max-snapshots-per-trigger")).map(_.toInt))
+    case None =>
+      val scan = new GraftScan(table, expr, required, limit, snapshotId,
+        Option(options.get("max-snapshots-per-trigger")).map(_.toInt), emitFile)
+      // the row-level operation's write needs THIS scan's final planned
+      // file set at commit (the copy-on-write replacement group)
+      rowLevelOp.foreach(_.configuredScan = scan)
+      scan
   }
 }
 
@@ -834,7 +963,10 @@ final case class GraftInputPartition(
       * files are split at row-group boundaries so one 4 GB file is not
       * one task. (0, Long.MaxValue) = whole file. */
     splitStart: Long = 0L,
-    splitLength: Long = Long.MaxValue) extends InputPartition
+    splitLength: Long = Long.MaxValue,
+    /** append the `_file` metadata column (canon source path) after the
+      * data columns — requested by the row-level operations' scans. */
+    emitFile: Boolean = false) extends InputPartition
 
 object GraftScan {
   /** Test seam: partition count of the last planInputPartitions in this
@@ -863,34 +995,50 @@ final case class GraftMultiFilePartition(parts: Array[GraftInputPartition])
 
 class GraftScan(table: IceTable, expr: Expr, required: StructType,
     pushedLimit: Long = -1L, snapshotId: Option[Long] = None,
-    maxSnapshotsPerTrigger: Option[Int] = None)
-    extends Scan with Batch with SupportsRuntimeFiltering with SupportsReportStatistics
-    with SupportsReportPartitioning {
+    maxSnapshotsPerTrigger: Option[Int] = None,
+    emitFile: Boolean = false)
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with SupportsReportStatistics with SupportsReportPartitioning {
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    if (!emitFile) required
+    else StructType(required.fields :+
+      org.apache.spark.sql.types.StructField(GraftSparkTable.FileColumn,
+        org.apache.spark.sql.types.StringType, nullable = false))
 
   override def toBatch: Batch = this
 
   /** One planning pass shared by estimateStatistics (logical planning) and
     * planInputPartitions (physical), re-run only when runtime filtering
     * tightens the predicate between the two. */
-  @volatile private var planned: (Expr, Seq[graft.table.FileScanTask]) = null
+  @volatile private var planned: ((Expr, Option[Set[String]]), Seq[graft.table.FileScanTask]) = null
 
   private def combinedExpr: Expr =
     if (runtimeExpr == AlwaysTrue) expr else And(expr, runtimeExpr)
 
-  private def plannedTasks(): Seq[graft.table.FileScanTask] = {
-    val key = combinedExpr
+  private[spark] def plannedTasks(): Seq[graft.table.FileScanTask] = {
+    val key = (combinedExpr, runtimeFiles)
     val cached = planned
     if (cached != null && cached._1 == key) cached._2
     else {
-      val base = table.scan.filter(GraftFilters.normalizeLiterals(key))
+      val base = table.scan.filter(GraftFilters.normalizeLiterals(key._1))
       val pinned = snapshotId.fold(base)(base.useSnapshot)
-      val tasks = pinned.planFiles()
+      val all = pinned.planFiles()
+      // runtime GROUP filter (row-level ops): keep only the named files
+      val tasks = runtimeFiles match {
+        case Some(keep) => all.filter(t =>
+          keep.contains(graft.core.PathUtil.canon(t.file.filePath)))
+        case None => all
+      }
       planned = (key, tasks)
       tasks
     }
   }
+
+  /** The condition this scan planned with — the row-level operation's
+    * write uses it as the commit's conflict filter. */
+  private[spark] def planExpr: Expr = expr
 
   /** POST-PRUNING stats for Spark's planner: a selective partition filter
     * shrinks sizeInBytes below the broadcast threshold, so joins against a
@@ -942,19 +1090,39 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
     // the scan OUTPUT, and an unresolvable reference fails analysis of any
     // pruned scan (a projection rarely keeps the partition source column)
     val visible = required.fieldNames.toSet
-    specSourceIds.flatMap(id => table.schema.byId.get(id))
+    val cols = specSourceIds.flatMap(id => table.schema.byId.get(id))
       .filter(f => visible.contains(f.name))
       .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
-      .toArray
+    // _file prunes files directly — the row-level ops' runtime GROUP
+    // filter (RowLevelOperationRuntimeGroupFiltering) arrives as
+    // `_file IN (matched paths)`
+    (if (emitFile) cols :+
+      org.apache.spark.sql.connector.expressions.Expressions.column(GraftSparkTable.FileColumn)
+    else cols).toArray
   }
 
   @volatile private var runtimeExpr: Expr = AlwaysTrue
+  @volatile private var runtimeFiles: Option[Set[String]] = None
 
   override def filter(filters: Array[sources.Filter]): Unit = {
-    val translated = filters.flatMap(GraftFilters.toExpr)
+    val (fileIn, rest) = filters.partition {
+      case sources.In(att, _) => att == GraftSparkTable.FileColumn
+      case _ => false
+    }
+    fileIn.foreach { case sources.In(_, values) =>
+      val keep = values.collect { case s: String => s }.toSet
+      runtimeFiles = Some(runtimeFiles.fold(keep)(_ intersect keep))
+    }
+    val translated = rest.flatMap(GraftFilters.toExpr)
     if (translated.nonEmpty)
       runtimeExpr = translated.foldLeft(runtimeExpr)(And(_, _))
   }
+
+  /** V2 runtime filtering (the row-level group-filtering rule speaks V2
+    * predicates): translate to V1 and reuse the same paths. */
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    filter(org.apache.spark.sql.GraftBridge.predicatesToV1(predicates))
 
   // ---- storage-partitioned joins ----------------------------------------
 
@@ -1047,7 +1215,9 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
     def parquetOwn(path: String, fmt: String): Boolean =
       fmt.toUpperCase == "PARQUET" &&
         graft.core.PathUtil.underDataRoot(table.location, path)
-    val allColumnar = tasks.forall(t => t.deletes.isEmpty &&
+    // _file emission rides the row readers (a constant-per-file column
+    // appended post-decode); row-level-op scans are not the hot read path
+    val allColumnar = !emitFile && tasks.forall(t => t.deletes.isEmpty &&
       parquetOwn(t.file.filePath, t.file.fileFormat))
     // when the scan reported a KeyGroupedPartitioning, every partition
     // MUST carry its key (Spark groups them; a keyless partition would
@@ -1069,7 +1239,8 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
       val base = GraftInputPartition(t.file.filePath, json, dels, pushedLimit, allColumnar,
         eqs, eqJson,
         idBearing = parquetOwn(t.file.filePath, t.file.fileFormat),
-        fileFormat = t.file.fileFormat.toUpperCase)
+        fileFormat = t.file.fileFormat.toUpperCase,
+        emitFile = emitFile)
       (t, base)
     } match { case pairs =>
       // key-grouped partitions are packed by Spark itself (same-key splits
@@ -1292,6 +1463,12 @@ class GraftReaderFactory(confEntries: Array[(String, String)] = Array.empty)
   }
 
   private def singleRowReader(p: GraftInputPartition): PartitionReader[InternalRow] = {
+    val inner = singleRowReaderInner(p)
+    if (!p.emitFile) inner
+    else new GraftFileAppendReader(inner, p.readSchemaJson, p.filePath)
+  }
+
+  private def singleRowReaderInner(p: GraftInputPartition): PartitionReader[InternalRow] = {
     // library-written (field-id-bearing) files decode through the
     // VECTORIZED parquet reader even in row mode — deletes are applied as
     // per-row position skips / key probes over batch-decoded rows, ~5-10×
@@ -1626,6 +1803,33 @@ object GraftPartitionReader {
       }
       (ids, set)
     }
+}
+
+/** Appends the constant `_file` column (canon path) after the data
+  * columns of an inner row reader — the metadata-column shape the
+  * row-level operations' scans request. */
+class GraftFileAppendReader(inner: PartitionReader[InternalRow],
+    schemaJson: String, path: String) extends PartitionReader[InternalRow] {
+  private val types: Array[org.apache.spark.sql.types.DataType] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    graft.meta.MetadataJson.schemaFromJson(mapper.readTree(schemaJson))
+      .toSpark.fields.map(_.dataType)
+  }
+  private val pathU = org.apache.spark.unsafe.types.UTF8String
+    .fromString(graft.core.PathUtil.canon(path))
+
+  override def next(): Boolean = inner.next()
+
+  override def get(): InternalRow = {
+    val r = inner.get()
+    val out = new GenericInternalRow(types.length + 1)
+    var i = 0
+    while (i < types.length) { out.update(i, r.get(i, types(i))); i += 1 }
+    out.update(types.length, pathU)
+    out
+  }
+
+  override def close(): Unit = inner.close()
 }
 
 class GraftPartitionReader(path: String, schemaJson: String,

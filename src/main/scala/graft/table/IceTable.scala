@@ -254,6 +254,22 @@ class IceTable(
     * dead after this commit (their targets are gone or rewritten with the
     * deletes folded in), so drop them in the same snapshot instead of
     * letting MoR state accumulate. */
+  /** Copy-on-write group replacement for the SQL row-level operations
+    * (UPDATE / MERGE INTO / rewritten DELETE — the SQL face of the
+    * library upsert, ref table/__init__.py:800): drop the scanned data
+    * files, write `df` as their complete replacement through the normal
+    * fan-out write, and retire delete files left dangling by the rewrite
+    * in the same snapshot. */
+  private[graft] def replaceFiles(removed: Set[String], df: DataFrame,
+      conflictFilter: Option[Expr] = None,
+      baseSnapshotId: Option[Long] = None): Unit = {
+    val added = WriteFiles.write(spark, location, schema, spec, df,
+      UUID.randomUUID().toString, sortOrderOpt, metadata.properties)
+    commitSnapshot("overwrite", added = added,
+      removedPaths = removed ++ deadDeleteFiles(removed),
+      conflictFilter = conflictFilter, baseSnapshotId = baseSnapshotId)
+  }
+
   private def deadDeleteFiles(removedData: Set[String]): Set[String] = {
     if (removedData.isEmpty) return Set.empty
     val allTasks = new IceScan(this).planFiles()

@@ -25,6 +25,13 @@ object GraftBridge {
   def internalRows(df: DataFrame): Array[org.apache.spark.sql.catalyst.InternalRow] =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.executedPlan.executeCollect()
 
+  /** V2 connector Predicate → V1 source Filter (drops untranslatable
+    * ones) — `PredicateUtils` is private[sql], hence this bridge. */
+  def predicatesToV1(
+      ps: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Array[org.apache.spark.sql.sources.Filter] =
+    internal.connector.PredicateUtils.toV1(ps)
+
   /** Wrap an executor-produced InternalRow RDD as a DataFrame —
     * `internalCreateDataFrame` is private[sql], hence this bridge. Used
     * for the rare read path Spark's file sources can't express (ORC

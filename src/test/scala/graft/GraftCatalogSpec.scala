@@ -78,6 +78,100 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT * FROM g.db.orders").count() === remaining)
   }
 
+  test("UPDATE rewrites matching groups copy-on-write") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("""CREATE TABLE g.db.o_upd (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING)""")
+    orders.createOrReplaceTempView("o_upd_src")
+    spark.sql("INSERT INTO g.db.o_upd SELECT * FROM o_upd_src")
+    spark.sql("UPDATE g.db.o_upd SET o_orderstatus = 'X', o_totalprice = 0.0 " +
+      "WHERE o_orderkey % 7 = 0")
+    val got = spark.sql("SELECT * FROM g.db.o_upd ORDER BY o_orderkey")
+      .collect().map(_.toString).toSeq
+    val want = orders
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 7 === 0, lit("X")).otherwise(col("o_orderstatus")))
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, lit(0.0)).otherwise(col("o_totalprice")))
+      .orderBy(col("o_orderkey")).collect().map(_.toString).toSeq
+    assert(got === want)
+    // the rewrite is a single overwrite snapshot on the engine side
+    val t = new HadoopCatalog(warehouse, spark).loadTable("db.o_upd")
+    assert(t.metadata.currentSnapshot.map(_.operation) === Some("overwrite"))
+  }
+
+  test("UPDATE only rewrites files containing matches (group pruning)") {
+    spark.sql("""CREATE TABLE g.db.o_upd_p (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING)
+      PARTITIONED BY (o_orderstatus)""")
+    orders.createOrReplaceTempView("o_upd_p_src")
+    spark.sql("INSERT INTO g.db.o_upd_p SELECT * FROM o_upd_p_src")
+    val t = new HadoopCatalog(warehouse, spark).loadTable("db.o_upd_p")
+    val before = new graft.table.IceScan(t).planFiles().map(_.file.filePath).toSet
+    spark.sql("UPDATE g.db.o_upd_p SET o_totalprice = -1.0 WHERE o_orderstatus = 'F'")
+    t.refresh()
+    val after = new graft.table.IceScan(t).planFiles().map(_.file.filePath).toSet
+    // untouched partitions keep their files byte-identical
+    val fFiles = before.filterNot(after)
+    assert(fFiles.nonEmpty, "the F partition must be rewritten")
+    assert((before -- fFiles).subsetOf(after),
+      "files of untouched partitions must survive the UPDATE")
+    val got = spark.sql(
+      "SELECT count(*) FROM g.db.o_upd_p WHERE o_totalprice = -1.0").head().getLong(0)
+    assert(got === orders.filter(col("o_orderstatus") === "F").count())
+  }
+
+  test("MERGE INTO updates matched and inserts unmatched rows") {
+    spark.sql("""CREATE TABLE g.db.o_merge (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING)""")
+    orders.filter(col("o_orderkey") <= 1000).createOrReplaceTempView("o_merge_base")
+    spark.sql("INSERT INTO g.db.o_merge SELECT * FROM o_merge_base")
+    orders.filter(col("o_orderkey") > 500)
+      .withColumn("o_orderstatus", lit("M")).createOrReplaceTempView("o_merge_src")
+    spark.sql("""MERGE INTO g.db.o_merge t USING o_merge_src s
+      ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val got = spark.sql("SELECT * FROM g.db.o_merge ORDER BY o_orderkey")
+      .collect().map(_.toString).toSeq
+    val want = orders.filter(col("o_orderkey") <= 500)
+      .unionByName(orders.filter(col("o_orderkey") > 500)
+        .withColumn("o_orderstatus", lit("M")))
+      .orderBy(col("o_orderkey")).collect().map(_.toString).toSeq
+    assert(got === want)
+  }
+
+  test("MERGE INTO WHEN MATCHED DELETE removes matched rows") {
+    spark.sql("""CREATE TABLE g.db.o_mdel (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING)""")
+    orders.createOrReplaceTempView("o_mdel_base")
+    spark.sql("INSERT INTO g.db.o_mdel SELECT * FROM o_mdel_base")
+    orders.filter(col("o_orderkey") % 3 === 0).select("o_orderkey")
+      .createOrReplaceTempView("o_mdel_keys")
+    spark.sql("""MERGE INTO g.db.o_mdel t USING o_mdel_keys s
+      ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED THEN DELETE""")
+    assert(spark.sql("SELECT count(*) FROM g.db.o_mdel").head().getLong(0) ===
+      orders.filter(col("o_orderkey") % 3 =!= 0).count())
+  }
+
+  test("DELETE with a non-pushable predicate rewrites via row-level op") {
+    spark.sql("""CREATE TABLE g.db.o_rldel (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING)""")
+    orders.createOrReplaceTempView("o_rldel_src")
+    spark.sql("INSERT INTO g.db.o_rldel SELECT * FROM o_rldel_src")
+    // modulo arithmetic has no sources.Filter form → canDeleteWhere is
+    // false → Spark MUST take the copy-on-write rewrite
+    spark.sql("DELETE FROM g.db.o_rldel WHERE o_orderkey % 5 = 0")
+    assert(spark.sql("SELECT count(*) FROM g.db.o_rldel").head().getLong(0) ===
+      orders.filter(col("o_orderkey") % 5 =!= 0).count())
+  }
+
   test("VERSION AS OF and TIMESTAMP AS OF read older snapshots") {
     val t = new HadoopCatalog(warehouse, spark).loadTable("db.orders")
     val snaps = t.metadata.snapshots.sortBy(_.timestampMs)
