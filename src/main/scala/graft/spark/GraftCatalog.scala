@@ -100,6 +100,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         case "all_data_files" => Some(_.inspect.allDataFiles())
         case "all_delete_files" => Some(_.inspect.allDeleteFiles())
         case "partitions" => Some(_.inspect.partitions())
+        // full change feed (table start → current), the SQL face of the
+        // incremental append scan; bounded ranges ride the
+        // spark.read.format("graft") change-range-from/-to options
+        case "changes" => Some(t => graft.streaming.TableChanges.poll(t, None)._1)
         case _ => None
       }
     build.map { fn =>

@@ -98,8 +98,35 @@ class GraftSource extends TableProvider with org.apache.spark.sql.sources.DataSo
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): SparkTable = {
-    val (table, snapshotId) = load(new CaseInsensitiveStringMap(properties))
-    new GraftSparkTable(table, snapshotId)
+    val options = new CaseInsensitiveStringMap(properties)
+    val (table, snapshotId) = load(options)
+    changesRange(table, options) match {
+      case Some((from, to)) =>
+        require(snapshotId.isEmpty,
+          "change-range options and time-travel options are mutually exclusive")
+        new GraftMetadataTable(s"${table.name}.changes",
+          if (from == to) table.spark.createDataFrame(
+            table.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            table.schema.toSpark)
+          else table.incrementalAppendScan(from, to))
+      case None => new GraftSparkTable(table, snapshotId)
+    }
+  }
+
+  /** Change-feed read: `change-range-from` (exclusive snapshot id;
+    * defaults to the table's FIRST ancestor when only `-to` is set) /
+    * `change-range-to` (inclusive; defaults to current) — the options
+    * face of IncrementalAppendScan (ref table/__init__.py:2372), matching
+    * the streaming source's offset semantics. */
+  private def changesRange(table: IceTable,
+      options: CaseInsensitiveStringMap): Option[(Long, Long)] = {
+    val from = Option(options.get("change-range-from")).map(_.toLong)
+    val to = Option(options.get("change-range-to")).map(_.toLong)
+    if (from.isEmpty && to.isEmpty) return None
+    val cur = to.orElse(table.metadata.currentSnapshotId).getOrElse(
+      throw new IllegalArgumentException("change-range on an empty table"))
+    val start = from.getOrElse(table.metadata.ancestorsOf(cur).last.snapshotId)
+    Some((start, cur))
   }
 
   override def supportsExternalMetadata(): Boolean = false
@@ -1212,8 +1239,13 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
     // format gate: addFiles can register an ORC file UNDER the data root;
     // the columnar/id-bearing paths open the vectorized PARQUET reader, so
     // they must never see a non-parquet task
+    // fixed16 uuid tables read through the Group-API row reader: the
+    // vectorized readers request uuid as STRING, which Spark's updater
+    // rejects over FLBA(16) — the documented write.uuid.fixed16 tradeoff
+    val uuidFixed16 = table.metadata.properties.get("write.uuid.fixed16").contains("true") &&
+      GraftSparkTable.schemaOf(table, snapshotId).fields.exists(_.fieldType == graft.core.IUUID)
     def parquetOwn(path: String, fmt: String): Boolean =
-      fmt.toUpperCase == "PARQUET" &&
+      fmt.toUpperCase == "PARQUET" && !uuidFixed16 &&
         graft.core.PathUtil.underDataRoot(table.location, path)
     // _file emission rides the row readers (a constant-per-file column
     // appended post-decode); row-level-op scans are not the hot read path
@@ -1424,8 +1456,11 @@ class GraftMicroBatchStream(table: IceTable, required: StructType,
     val files = table.incrementalAppendFiles(from, to)
     // same format gate as the batch planner: only library-written parquet
     // may take the vectorized-parquet columnar / id-bearing routes
+    // (fixed16 uuid tables fall back to the Group-API row reader)
+    val uuidFixed16 = table.metadata.properties.get("write.uuid.fixed16").contains("true") &&
+      table.schema.fields.exists(_.fieldType == graft.core.IUUID)
     def parquetOwn(f: graft.meta.DataFile): Boolean =
-      f.fileFormat.toUpperCase == "PARQUET" &&
+      f.fileFormat.toUpperCase == "PARQUET" && !uuidFixed16 &&
         graft.core.PathUtil.underDataRoot(table.location, f.filePath)
     val allColumnar = files.forall(parquetOwn)
     files

@@ -18,6 +18,11 @@ final class SchemaUpdate(table: IceTable) {
     * every operation below works at any nesting depth (ref:
     * update/schema.py:850 _UnionByNameVisitor walks struct internals the
     * same way). */
+  /** Path navigation uses Iceberg's canonical segments: struct members by
+    * name, list elements as `element`, map sides as `key`/`value` — so
+    * `renameColumn("items.element.status", "state")` renames a leaf
+    * INSIDE a list of structs (ref schema.py:1141 _IndexByName indexes
+    * the same paths). */
   private def editLevel(path: String)(
       op: (Vector[NestedField], String) => Vector[NestedField]): Unit = {
     def rec(fs: Vector[NestedField], parts: Seq[String]): Vector[NestedField] = parts match {
@@ -25,12 +30,24 @@ final class SchemaUpdate(table: IceTable) {
       case head +: rest =>
         val i = fs.indexWhere(_.name == head)
         require(i >= 0, s"No such column: $head")
-        fs(i).fieldType match {
-          case IStruct(children) =>
-            fs.updated(i, fs(i).copy(fieldType = IStruct(rec(children.toVector, rest))))
-          case other =>
-            throw new IllegalArgumentException(s"Column $head is ${other.repr}, not a struct")
-        }
+        fs.updated(i, fs(i).copy(fieldType = recType(fs(i).fieldType, head, rest)))
+    }
+    def recType(t: IceType, owner: String, parts: Seq[String]): IceType = t match {
+      case IStruct(children) => IStruct(rec(children.toVector, parts))
+      case IList(eid, el, req) =>
+        require(parts.head == "element" && parts.sizeIs > 1,
+          s"Column $owner is a list; address its members as $owner.element.<name>")
+        IList(eid, recType(el, s"$owner.element", parts.tail), req)
+      case IMap(kid, k, vid, v, req) => parts.head match {
+        case "key" if parts.sizeIs > 1 =>
+          IMap(kid, recType(k, s"$owner.key", parts.tail), vid, v, req)
+        case "value" if parts.sizeIs > 1 =>
+          IMap(kid, k, vid, recType(v, s"$owner.value", parts.tail), req)
+        case other => throw new IllegalArgumentException(
+          s"Column $owner is a map; address $owner.key.<name> or $owner.value.<name>, not $other")
+      }
+      case other =>
+        throw new IllegalArgumentException(s"Column $owner is ${other.repr}, not a struct")
     }
     fields = rec(fields, path.split("\\.").toSeq)
   }

@@ -289,24 +289,40 @@ final class IceScan(
 
     /** name-mapped read: request columns under their mapped (registration
       * time) names with NO id metadata, then alias back to current names —
-      * RECURSIVELY, so renamed struct leaves resolve too (ref
-      * name_mapping.py:73 MappedField nests). List/map element renames are
-      * out of scope (requested under current names). */
+      * RECURSIVELY through structs AND list/map element types, so renamed
+      * leaves inside collections resolve too (ref name_mapping.py:73
+      * MappedField nests through elements and key/value). */
     def readExternal(taskSeq: Seq[FileScanTask], format: String): DataFrame = {
-      import org.apache.spark.sql.types.{StructField, StructType}
+      import org.apache.spark.sql.types.{ArrayType, MapType, StructField, StructType}
       def mappedName(scope: Seq[MappedField], f: NestedField): String =
         NameMapping.nameOf(scope, f.id).getOrElse(f.name)
-      // request type with registration-time names at every struct level
+      // request type with registration-time names at every nesting level
       def extType(t: IceType, scope: Seq[MappedField]): org.apache.spark.sql.types.DataType =
         t match {
           case IStruct(fs) => StructType(fs.map(ch =>
             StructField(mappedName(scope, ch),
               extType(ch.fieldType, NameMapping.childScope(scope, ch.id)), nullable = true)))
+          case IList(eid, el, _) =>
+            ArrayType(extType(el, NameMapping.childScope(scope, eid)), containsNull = true)
+          case IMap(kid, k, vid, v, _) =>
+            MapType(extType(k, NameMapping.childScope(scope, kid)),
+              extType(v, NameMapping.childScope(scope, vid)), valueContainsNull = true)
           case other => UuidCompat.readType(other)
         }
+      // a subtree needs a restore projection only if some name changed
+      // since registration — primitives and unrenamed trees pass through
+      def renamed(t: IceType, scope: Seq[MappedField]): Boolean = t match {
+        case IStruct(fs) => fs.exists(ch => mappedName(scope, ch) != ch.name ||
+          renamed(ch.fieldType, NameMapping.childScope(scope, ch.id)))
+        case IList(eid, el, _) => renamed(el, NameMapping.childScope(scope, eid))
+        case IMap(kid, k, vid, v, _) =>
+          renamed(k, NameMapping.childScope(scope, kid)) ||
+            renamed(v, NameMapping.childScope(scope, vid))
+        case _ => false
+      }
       // restore current names: primitives alias; structs rebuild member by
       // member (null structs preserved — struct() of null children is not
-      // null by itself)
+      // null by itself); collections rebuild elements via transform()
       def restore(path: org.apache.spark.sql.Column, t: IceType,
           scope: Seq[MappedField]): org.apache.spark.sql.Column = t match {
         case IStruct(fs) =>
@@ -315,6 +331,14 @@ final class IceScan(
               NameMapping.childScope(scope, ch.id)).as(ch.name)
           }
           when(path.isNotNull, struct(members: _*))
+        case IList(eid, el, _) if renamed(el, NameMapping.childScope(scope, eid)) =>
+          transform(path, x => restore(x, el, NameMapping.childScope(scope, eid)))
+        case IMap(kid, k, vid, v, _)
+            if renamed(k, NameMapping.childScope(scope, kid)) ||
+              renamed(v, NameMapping.childScope(scope, vid)) =>
+          map_from_arrays(
+            transform(map_keys(path), x => restore(x, k, NameMapping.childScope(scope, kid))),
+            transform(map_values(path), x => restore(x, v, NameMapping.childScope(scope, vid))))
         case _ => path
       }
       val ext = StructType(readSchema.fields.map(f =>

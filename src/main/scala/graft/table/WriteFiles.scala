@@ -209,6 +209,24 @@ object WriteFiles {
     ws.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     ws.conf.set("spark.sql.files.maxRecordsPerFile", maxRecords.toString)
     def onWs(d: DataFrame): DataFrame = org.apache.spark.sql.GraftBridge.onSession(ws, d)
+    // write.uuid.fixed16=true: store uuid columns in the spec's physical
+    // layout (FLBA(16) + UUID annotation, like the reference's writer —
+    // io/pyarrow.py:2145+) via a per-partition ParquetWriter with a
+    // patched message type; Spark's own writer cannot emit FLBA
+    val fixed16 = props.get("write.uuid.fixed16").contains("true") &&
+      schema.fields.exists(_.fieldType == IUUID)
+    if (fixed16) {
+      require(spec.isUnpartitioned,
+        "write.uuid.fixed16 currently supports unpartitioned tables only")
+      val uuidCols = schema.fields.filter(_.fieldType == IUUID).map(_.name).toSet
+      // canonical string → 16 raw bytes (unhex of the dashless hex form);
+      // codegen'd builtins, no UDF
+      val conv = uuidCols.foldLeft(sorted(aligned))((d, n) =>
+        d.withColumn(n, unhex(regexp_replace(col(n), "-", ""))))
+      writeFixed16(ws, onWs(conv), stageDir, schema, uuidCols, maxRecords)
+      return harvest(spark, stageDir, schema, spec, metricsModes(schema, props))
+        .map(f => orderId.map(id => f.copy(sortOrderId = Some(id))).getOrElse(f))
+    }
     locally {
       if (spec.isUnpartitioned) {
         onWs(sorted(aligned)).write.mode("overwrite").parquet(stageDir)
@@ -250,6 +268,59 @@ object WriteFiles {
     }
     harvest(spark, stageDir, schema, spec, metricsModes(schema, props))
       .map(f => orderId.map(id => f.copy(sortOrderId = Some(id))).getOrElse(f))
+  }
+
+  /** Per-partition ParquetWriter with the FLBA(16)-patched message type
+    * ([[graft.spark.GraftUuidFixed16WriteSupport]]); files roll at
+    * `maxRecords`. The uuid columns arrive as 16-byte BINARY values (the
+    * staged projection converts), declared BinaryType in the writer's
+    * catalyst schema WITH the original field-id metadata intact. */
+  private def writeFixed16(ws: SparkSession, df: DataFrame, stageDir: String,
+      schema: Schema, uuidCols: Set[String], maxRecords: Long): Unit = {
+    import org.apache.spark.sql.types.{BinaryType, DataType, StructType}
+    val base = schema.toSpark
+    val writerSchemaJson = StructType(base.fields.map(f =>
+      if (uuidCols(f.name)) f.copy(dataType = BinaryType) else f)).json
+    val confEntries = graft.meta.Io.confEntries(ws)
+    val dir = stageDir
+    val cols = uuidCols
+    val maxR = math.max(1L, maxRecords)
+    org.apache.spark.sql.GraftBridge.internalRowRDD(df).foreachPartition { it =>
+      if (it.hasNext) {
+        val conf = graft.meta.Io.confFrom(confEntries)
+        val sch = DataType.fromJson(writerSchemaJson).asInstanceOf[StructType]
+        org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+          .setSchema(sch, conf)
+        conf.set("spark.sql.parquet.writeLegacyFormat", "false")
+        conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+        conf.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+        conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
+        conf.set("spark.sql.session.timeZone", "UTC")
+        val part = Option(org.apache.spark.TaskContext.get()).map(_.partitionId()).getOrElse(0)
+        def open() = new org.apache.parquet.hadoop.ParquetWriter[
+            org.apache.spark.sql.catalyst.InternalRow](
+          new Path(s"$dir/f16-$part-${java.util.UUID.randomUUID()}.parquet"),
+          new graft.spark.GraftUuidFixed16WriteSupport(cols),
+          org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY,
+          org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE,
+          org.apache.parquet.hadoop.ParquetWriter.DEFAULT_PAGE_SIZE,
+          org.apache.parquet.hadoop.ParquetWriter.DEFAULT_PAGE_SIZE,
+          org.apache.parquet.hadoop.ParquetWriter.DEFAULT_IS_DICTIONARY_ENABLED,
+          false,
+          org.apache.parquet.hadoop.ParquetWriter.DEFAULT_WRITER_VERSION,
+          conf)
+        var writer = open()
+        var n = 0L
+        it.foreach { row =>
+          if (n >= maxR) { writer.close(); writer = open(); n = 0L }
+          writer.write(row)
+          n += 1
+        }
+        writer.close()
+      }
+    }
   }
 
   /** Recursively list `.parquet` files under `dir`.

@@ -25,6 +25,13 @@ object GraftBridge {
   def internalRows(df: DataFrame): Array[org.apache.spark.sql.catalyst.InternalRow] =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.executedPlan.executeCollect()
 
+  /** The frame's InternalRow RDD (post-optimization physical rows) —
+    * `queryExecution.toRdd` is private[sql], hence this bridge. Used by
+    * write paths that drive their own ParquetWriter per partition. */
+  def internalRowRDD(df: DataFrame)
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd
+
   /** V2 connector Predicate → V1 source Filter (drops untranslatable
     * ones) — `PredicateUtils` is private[sql], hence this bridge. */
   def predicatesToV1(

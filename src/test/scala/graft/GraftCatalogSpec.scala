@@ -172,6 +172,33 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       orders.filter(col("o_orderkey") % 5 =!= 0).count())
   }
 
+  test("changes table + change-range options match incremental scan semantics") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("""CREATE TABLE g.db.o_chg (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING)""")
+    orders.limit(100).createOrReplaceTempView("o_chg_1")
+    spark.sql("INSERT INTO g.db.o_chg SELECT * FROM o_chg_1")
+    val t = new HadoopCatalog(warehouse, spark).loadTable("db.o_chg")
+    val s1 = t.metadata.currentSnapshotId.get
+    orders.filter(col("o_orderkey") > 100).limit(50).createOrReplaceTempView("o_chg_2")
+    spark.sql("INSERT INTO g.db.o_chg SELECT * FROM o_chg_2")
+    // SQL face: full feed from table start
+    assert(spark.sql("SELECT count(*) FROM g.db.o_chg.changes").head().getLong(0) === 150L)
+    // options face: bounded range = rows appended after s1
+    val ranged = spark.read.format("graft")
+      .option("warehouse", warehouse).option("table", "db.o_chg")
+      .option("change-range-from", s1.toString).load()
+    assert(ranged.count() === 50L)
+    assert(ranged.filter(col("o_orderkey") <= 100).count() === 0L)
+    // from == to → empty batch (matches the streaming source's offsets)
+    val empty = spark.read.format("graft")
+      .option("warehouse", warehouse).option("table", "db.o_chg")
+      .option("change-range-from", s1.toString)
+      .option("change-range-to", s1.toString).load()
+    assert(empty.count() === 0L)
+  }
+
   test("VERSION AS OF and TIMESTAMP AS OF read older snapshots") {
     val t = new HadoopCatalog(warehouse, spark).loadTable("db.orders")
     val snaps = t.metadata.snapshots.sortBy(_.timestampMs)

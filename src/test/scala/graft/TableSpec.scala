@@ -600,6 +600,34 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
       src.select(col("info.status")).distinct().count())
   }
 
+  test("add_files resolves renamed list<struct> and map-value leaves via name mapping") {
+    val dir = Files.createTempDirectory("graft-list-ext").toString
+    val src = orders.limit(60).select(col("o_orderkey"),
+      array(struct(col("o_orderstatus").as("status"), col("o_totalprice").as("price")))
+        .as("items"),
+      map(lit("k"), struct(col("o_orderpriority").as("prio"))).as("attrs"))
+    src.coalesce(1).write.parquet(s"$dir/n")
+    val one = new java.io.File(s"$dir/n").listFiles()
+      .find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    val t = catalog.createTable("t_addf_list", Schema.fromSpark(src.schema))
+    t.addFiles(Seq(one))
+    // rename leaves INSIDE the list element and the map value (Iceberg
+    // canonical path segments; ref name_mapping.py:73 nests through them)
+    t.updateSchema.renameColumn("items.element.status", "state").commit()
+    t.updateSchema.renameColumn("attrs.value.prio", "priority").commit()
+    val df = t.scan.toDF
+    val first = df.select(element_at(col("items"), 1).getField("state").as("state"),
+      element_at(col("items"), 1).getField("price").as("price"),
+      element_at(map_values(col("attrs")), 1).getField("priority").as("priority"))
+    assert(first.filter(col("state").isNull || col("priority").isNull).count() === 0,
+      "renamed collection-element leaves must resolve by mapped name, not null-fill")
+    assert(first.agg(sum(col("price"))).head.getDouble(0) ===
+      src.agg(sum(element_at(col("items"), 1).getField("price"))).head.getDouble(0))
+    assert(first.select(col("priority")).distinct().count() ===
+      src.select(col("o_orderkey") * 0, element_at(map_values(col("attrs")), 1)
+        .getField("prio")).distinct().count())
+  }
+
   test("manifest merge bin-packs small manifests") {
     val t = catalog.createTable("t_merge", Schema.fromSpark(orders.schema))
     t.setProperties("commit.manifest-merge.enabled" -> "true",

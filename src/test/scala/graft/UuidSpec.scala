@@ -99,6 +99,45 @@ class UuidSpec extends AnyFunSuite with BeforeAndAfterAll {
       uuids.map(_.toString))
   }
 
+  test("write.uuid.fixed16 stores the spec's FLBA(16) physical layout") {
+    val t = catalog.createTable("uuid_f16", tableSchema,
+      properties = Map("write.uuid.fixed16" -> "true"))
+    val df = spark.createDataFrame(
+      uuids.zipWithIndex.map { case (u, i) => (i + 1, u.toString) })
+      .toDF("id", "u")
+    t.append(df)
+    // physical layout: FIXED_LEN_BYTE_ARRAY(16) + UUID annotation + field id
+    val files = new graft.table.IceScan(t).planFiles().map(_.file.filePath)
+    val file = files.head
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new Path(file), new Configuration()))
+    val uField = try {
+      val sch = footer.getFooter.getFileMetaData.getSchema
+      sch.getFields.get(sch.getFieldIndex("u")).asPrimitiveType()
+    } finally footer.close()
+    assert(uField.getPrimitiveTypeName === PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY)
+    assert(uField.getTypeLength === 16)
+    assert(uField.getLogicalTypeAnnotation === LogicalTypeAnnotation.uuidType())
+    assert(uField.getId != null && uField.getId.intValue() === 2)
+    // a FOREIGN-layout style read (no name mapping, raw binary request)
+    // sees exactly the reference's bytes
+    val raw = spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("u", org.apache.spark.sql.types.BinaryType))))
+      .parquet(files: _*).collect().map(_.getAs[Array[Byte]](0))
+    assert(raw.map(_.toSeq).toSet === uuids.map(uuidBytes(_).toSeq).toSet)
+    // our own scan round-trips to canonical strings, filters included
+    val rows = t.scan.toDF.orderBy(col("id")).collect()
+    assert(rows.map(_.getString(1)).toSeq === uuids.map(_.toString))
+    assert(t.scan(s"u = '${uuids(3)}'").toDF.count() === 1)
+    // manifest bounds stay spec-exact (16-byte vectors): equality on the
+    // extreme values prunes/matches like the string-stored layout
+    val dsv2 = spark.read.format("graft")
+      .option("warehouse", warehouse).option("table", "uuid_f16").load()
+    assert(dsv2.orderBy(col("id")).collect().map(_.getString(1)).toSeq ===
+      uuids.map(_.toString))
+  }
+
   test("uppercase uuid input canonicalizes on write so filters match") {
     val t = catalog.createTable("uuid_case", tableSchema)
     val df = spark.createDataFrame(
