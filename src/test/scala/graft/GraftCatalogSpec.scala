@@ -123,6 +123,37 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === orders.filter(col("o_orderstatus") === "F").count())
   }
 
+  test("UPDATE with a non-pushable predicate narrows to matched files at runtime") {
+    spark.sql("""CREATE TABLE g.db.o_upd_rt (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING)""")
+    // two files with disjoint key ranges; the predicate only matches the
+    // low range, so runtime group filtering (_file IN matched) should
+    // keep the high-range file untouched even though the modulo condition
+    // itself cannot prune via manifests
+    orders.filter(col("o_orderkey") <= 700).createOrReplaceTempView("o_rt_lo")
+    orders.filter(col("o_orderkey") > 700).createOrReplaceTempView("o_rt_hi")
+    spark.sql("INSERT INTO g.db.o_upd_rt SELECT * FROM o_rt_lo")
+    spark.sql("INSERT INTO g.db.o_upd_rt SELECT * FROM o_rt_hi")
+    val t = new HadoopCatalog(warehouse, spark).loadTable("db.o_upd_rt")
+    val before = new graft.table.IceScan(t).planFiles().map(_.file.filePath).toSet
+    spark.sql("UPDATE g.db.o_upd_rt SET o_totalprice = -5.0 " +
+      "WHERE o_orderkey % 2 = 0 AND o_orderkey <= 700")
+    t.refresh()
+    val after = new graft.table.IceScan(t).planFiles().map(_.file.filePath).toSet
+    // correctness regardless of narrowing
+    assert(spark.sql("SELECT count(*) FROM g.db.o_upd_rt WHERE o_totalprice = -5.0")
+      .head().getLong(0) ===
+      orders.filter(col("o_orderkey") % 2 === 0 && col("o_orderkey") <= 700).count())
+    assert(spark.sql("SELECT count(*) FROM g.db.o_upd_rt").head().getLong(0) ===
+      orders.count())
+    // the o_orderkey <= 700 conjunct IS pushable, so at minimum static
+    // manifest pruning must keep the high file; runtime filtering keeps
+    // it too when the whole condition defeats static pruning
+    assert((before intersect after).nonEmpty,
+      s"files without matches must survive the UPDATE (before=$before after=$after)")
+  }
+
   test("MERGE INTO updates matched and inserts unmatched rows") {
     spark.sql("""CREATE TABLE g.db.o_merge (
         o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
