@@ -485,6 +485,36 @@ object Iceberg {
       |  o_orderdate, o_orderpriority
       |FROM merged ORDER BY o_orderkey""".stripMargin
 
+  /** DSv2 SQL face, MERGE-ON-READ mode (SupportsDelta): with
+    * `write.update.mode`/`write.delete.mode` = merge-on-read, UPDATE and
+    * DELETE write POSITION DELETES + replacement rows instead of
+    * rewriting data files — matched rows are identified by the
+    * (_file, _pos) rowId and masked at read time. The scan below reads
+    * back through the MoR machinery, so the gate checks the whole
+    * delete-write → delete-apply loop. */
+  def sqlMorDml(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val cat = s"gsqlmor${sqlCatSeq.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      Files.createTempDirectory("graft_sqlmor").toString)
+    orders.createOrReplaceTempView("graft_mor_src")
+    s.sql(s"""CREATE TABLE $cat.db.orders
+      |TBLPROPERTIES ('write.update.mode'='merge-on-read',
+      |               'write.delete.mode'='merge-on-read')
+      |AS SELECT * FROM graft_mor_src""".stripMargin)
+    s.sql(s"UPDATE $cat.db.orders SET o_orderstatus = 'U' WHERE o_orderkey % 11 = 0")
+    s.sql(s"DELETE FROM $cat.db.orders WHERE o_orderkey % 13 = 0")
+    nonEmpty(s.sql(s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderdate, o_orderpriority
+      |FROM $cat.db.orders ORDER BY o_orderkey""".stripMargin))
+  }
+  val sqlMorDmlSql =
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 11 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+      |  o_totalprice, o_orderdate, o_orderpriority
+      |FROM orders WHERE o_orderkey % 13 <> 0 ORDER BY o_orderkey""".stripMargin
+
   /** A. metadata-only count (residual-free files never read). */
   def metadataCount(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -744,6 +774,7 @@ object Iceberg {
     "ice_expire_gc" -> (expireGc _),
     "ice_sql_catalog_dml" -> (sqlCatalogDml _),
     "ice_sql_merge" -> (sqlMerge _),
+    "ice_sql_mor" -> (sqlMorDml _),
     "ice_view" -> (icebergView _),
     "ice_transform_predicate" -> (transformPredicate _),
     "ice_metadata_count" -> (metadataCount _),
@@ -781,6 +812,7 @@ object Iceberg {
     "ice_expire_gc" -> expireGcSql,
     "ice_sql_catalog_dml" -> sqlCatalogDmlSql,
     "ice_sql_merge" -> sqlMergeSql,
+    "ice_sql_mor" -> sqlMorDmlSql,
     "ice_view" -> icebergViewSql,
     "ice_transform_predicate" -> transformPredicateSql,
     "ice_metadata_count" -> metadataCountSql,

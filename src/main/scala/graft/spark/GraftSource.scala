@@ -141,9 +141,12 @@ object GraftSparkTable {
         .map(s => table.metadata.schemaById(s.schemaId)))
       .getOrElse(table.schema)
 
-  /** Metadata column: canon path of the file each row came from — the
-    * row-lineage handle the SQL row-level operations group by. */
+  /** Metadata columns: canon path of the file each row came from, and
+    * the row's position in that file — the row-lineage handles the SQL
+    * row-level operations group by (_file) and the merge-on-read delta
+    * operations identify rows by (_file, _pos). */
   val FileColumn = "_file"
+  val PosColumn = "_pos"
 }
 
 class GraftSparkTable(table: IceTable, snapshotId: Option[Long] = None)
@@ -183,23 +186,51 @@ class GraftSparkTable(table: IceTable, snapshotId: Option[Long] = None)
 
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = GraftSparkTable.FileColumn
-      override def dataType(): org.apache.spark.sql.types.DataType =
-        org.apache.spark.sql.types.StringType
-      override def isNullable: Boolean = false
-      override def comment(): String = "Path of the file the row belongs to"
-    })
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftSparkTable.FileColumn
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "Path of the file the row belongs to"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftSparkTable.PosColumn
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
+        override def comment(): String = "Row position in the file"
+      })
 
   /** SQL `UPDATE` / `MERGE INTO` / rewritten `DELETE` (ref upsert,
-    * table/__init__.py:800): group-based COPY-ON-WRITE — Spark rewrites
-    * the command into a ReplaceData over this operation's scan, and the
-    * write atomically swaps the scanned files for the rewritten ones. */
+    * table/__init__.py:800). The mode follows the Iceberg table
+    * properties `write.update.mode` / `write.delete.mode` /
+    * `write.merge.mode`:
+    *  - `copy-on-write` (default): Spark rewrites the command into a
+    *    ReplaceData over the operation's scan; the write swaps scanned
+    *    files for rewritten ones.
+    *  - `merge-on-read` (v2 tables): a DELTA operation — matched rows
+    *    become POSITION DELETES written per task, inserts become data
+    *    files, ONE snapshot commits both. An UPDATE of 0.1% of rows
+    *    writes kilobytes of deletes instead of rewriting gigabytes of
+    *    data files. (v3 tables fall back to copy-on-write: new position
+    *    deletes are forbidden there and SQL-facing DV merge is not
+    *    wired; the library face has deleteAsDeletionVector.) */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(snapshotId.isEmpty, "Cannot modify a time-travel (pinned-snapshot) table")
-    () => new GraftRowLevelOperation(table, info.command)
+    import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+    val prop = info.command match {
+      case Command.DELETE => "write.delete.mode"
+      case Command.UPDATE => "write.update.mode"
+      case _ => "write.merge.mode"
+    }
+    val mor = table.metadata.properties.get(prop).contains("merge-on-read") &&
+      table.metadata.formatVersion == 2
+    () =>
+      if (mor) new GraftDeltaOperation(table, info.command)
+      else new GraftRowLevelOperation(table, info.command)
   }
 }
 
@@ -223,7 +254,7 @@ class GraftRowLevelOperation(table: IceTable,
   override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(table, None, options, rowLevelOp = Some(this))
+    new GraftScanBuilder(table, None, options, onScanBuilt = configuredScan = _)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -290,6 +321,206 @@ class GraftReplaceDataWrite(table: IceTable, op: GraftRowLevelOperation,
 
   private def cleanup(): Unit =
     try graft.meta.Io.delete(stagingDir, recursive = true) catch { case _: Exception => () }
+}
+
+/** MERGE-ON-READ row-level operation (SupportsDelta, selected by the
+  * `write.<command>.mode = merge-on-read` table properties on v2
+  * tables): Spark identifies each affected row by (_file, _pos) — the
+  * rowId this operation declares — and streams per-row delete / insert
+  * calls to the delta writers. Matched rows become POSITION-DELETE files
+  * (spec §Position Delete Files, same layout deletePositional writes),
+  * inserts become staged data rows routed through the fan-out write, and
+  * ONE snapshot commits both — an UPDATE of 0.1% of rows writes
+  * kilobytes of deletes instead of rewriting gigabytes of data files.
+  * Updates arrive as delete + reinsert (representUpdateAsDeleteAndInsert),
+  * so the data files written are ordinary appends. */
+class GraftDeltaOperation(table: IceTable,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation
+    with org.apache.spark.sql.connector.write.SupportsDelta {
+  import org.apache.spark.sql.connector.write.{DeltaWriteBuilder, LogicalWriteInfo}
+
+  @volatile private[spark] var configuredScan: GraftScan = _
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(table, None, options, onScanBuilt = configuredScan = _)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new GraftDeltaWrite(table, GraftDeltaOperation.this, info.schema())
+    }
+
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(
+      org.apache.spark.sql.connector.expressions.Expressions.column(GraftSparkTable.FileColumn),
+      org.apache.spark.sql.connector.expressions.Expressions.column(GraftSparkTable.PosColumn))
+
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = Array.empty
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def description(): String = s"GraftRowLevelOperation[$cmd, merge-on-read]"
+}
+
+final case class DeltaStagedMessage(dataPath: Option[String], deletePath: Option[String])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+/** The WriteDelta of a merge-on-read operation: each task stages at most
+  * one data-row parquet (inserts/reinserts) and one sorted position-delete
+  * parquet (deleted row ids); commit routes staged inserts through the
+  * library fan-out write and registers the delete files in place — ONE
+  * "overwrite" (or pure "delete") snapshot carrying both, with the
+  * command's condition as the conflict filter. */
+class GraftDeltaWrite(table: IceTable, op: GraftDeltaOperation, rowSchema: StructType)
+    extends org.apache.spark.sql.connector.write.DeltaWrite
+    with org.apache.spark.sql.connector.write.DeltaBatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  private val stagingDataDir =
+    s"${table.location}/staging/delta-${java.util.UUID.randomUUID()}"
+  // delete files are written IN PLACE under data/ (the commit registers
+  // these exact paths, like deletePositional's stage), so a failed commit
+  // leaves only orphans for GC, never dangling references
+  private val deleteDir = s"${table.location}/data/del-${java.util.UUID.randomUUID()}"
+
+  override def toBatch: DeltaBatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    new GraftDeltaWriterFactory(stagingDataDir, deleteDir, rowSchema.json,
+      graft.meta.Io.confEntries(table.spark))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.collect { case m: DeltaStagedMessage => m }
+    try {
+      val base = table.metadata.currentSnapshotId
+      table.refresh()
+      val dataStaged = msgs.flatMap(_.dataPath)
+      val added =
+        if (dataStaged.isEmpty) Nil
+        else {
+          val staged = table.spark.read.schema(rowSchema).parquet(dataStaged.toIndexedSeq: _*)
+          val named = staged.toDF(table.schema.fields.map(_.name): _*)
+          graft.table.WriteFiles.write(table.spark, table.location, table.schema,
+            table.spec, named, java.util.UUID.randomUUID().toString,
+            sortOrder = None, props = table.metadata.properties)
+        }
+      val deleteAdded = graft.table.WriteFiles
+        .harvest(table.spark, deleteDir, GraftDeltaWrite.PosDeleteSchema,
+          graft.meta.PartitionSpec.Unpartitioned)
+        .filter(_.recordCount > 0)
+        .map(_.copy(content = graft.meta.FileContent.PositionDeletes))
+      if (added.nonEmpty || deleteAdded.nonEmpty) {
+        val conflict = Option(op.configuredScan)
+          .map(s => GraftFilters.normalizeLiterals(s.planExpr))
+        table.commitSnapshot(
+          if (added.nonEmpty) "overwrite" else "delete",
+          added = added ++ deleteAdded, removedPaths = Set.empty,
+          conflictFilter = conflict, baseSnapshotId = base)
+      }
+    } finally cleanup(dropDeletes = false)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    cleanup(dropDeletes = true)
+
+  private def cleanup(dropDeletes: Boolean): Unit = {
+    try graft.meta.Io.delete(stagingDataDir, recursive = true) catch { case _: Exception => () }
+    if (dropDeletes)
+      try graft.meta.Io.delete(deleteDir, recursive = true) catch { case _: Exception => () }
+  }
+}
+
+object GraftDeltaWrite {
+  /** Position-delete file columns with the spec's reserved field ids
+    * (same schema deletePositional registers). */
+  val PosDeleteSchema: graft.core.Schema = graft.core.Schema(Seq(
+    graft.core.NestedField(2147483546, "file_path", graft.core.IString, required = true),
+    graft.core.NestedField(2147483545, "pos", graft.core.ILong, required = true)))
+}
+
+class GraftDeltaWriterFactory(dataDir: String, deleteDir: String, rowSchemaJson: String,
+    confEntries: Array[(String, String)])
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new GraftDeltaWriter(dataDir, deleteDir, rowSchemaJson, partitionId, taskId, confEntries)
+}
+
+/** Per-task delta writer: buffers deleted (file, pos) ids — sorted and
+  * written as ONE position-delete parquet at commit so row-group stats
+  * prune on file_path — and streams inserted rows into a staged data
+  * parquet (the same staging writer the other DSv2 writes use). */
+class GraftDeltaWriter(dataDir: String, deleteDir: String, rowSchemaJson: String,
+    partitionId: Int, taskId: Long, confEntries: Array[(String, String)])
+    extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+
+  private var dataWriter: GraftStagingWriter = _
+  private val deleted = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+
+  override def insert(row: InternalRow): Unit = {
+    if (dataWriter == null)
+      dataWriter = new GraftStagingWriter(dataDir, rowSchemaJson, partitionId, taskId,
+        confEntries)
+    dataWriter.write(row)
+  }
+
+  /** `id` is projected in rowId() order: (_file string, _pos long). */
+  override def delete(meta: InternalRow, id: InternalRow): Unit =
+    deleted += ((id.getUTF8String(0).toString, id.getLong(1)))
+
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    delete(meta, id)
+    insert(row)
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    val dataPath = Option(dataWriter).map(_.commit() match {
+      case StagedFileMessage(p) => p
+    })
+    val deletePath =
+      if (deleted.isEmpty) None
+      else {
+        val conf = graft.meta.Io.confFrom(confEntries)
+        val sparkSchema = GraftDeltaWrite.PosDeleteSchema.toSpark
+        org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+          .setSchema(sparkSchema, conf)
+        conf.set("spark.sql.parquet.writeLegacyFormat", "false")
+        conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+        conf.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+        conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
+        conf.set("spark.sql.session.timeZone", "UTC")
+        val path = s"$deleteDir/del-$partitionId-$taskId-${java.util.UUID.randomUUID()}.parquet"
+        val w = new org.apache.parquet.hadoop.ParquetWriter[InternalRow](
+          new Path(path),
+          new org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport,
+          org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY,
+          org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE,
+          org.apache.parquet.hadoop.ParquetWriter.DEFAULT_PAGE_SIZE,
+          org.apache.parquet.hadoop.ParquetWriter.DEFAULT_PAGE_SIZE,
+          org.apache.parquet.hadoop.ParquetWriter.DEFAULT_IS_DICTIONARY_ENABLED,
+          false,
+          org.apache.parquet.hadoop.ParquetWriter.DEFAULT_WRITER_VERSION,
+          conf)
+        try deleted.sortInPlace().foreach { case (f, p) =>
+          w.write(new GenericInternalRow(
+            Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(f), p)))
+        } finally w.close()
+        Some(path)
+      }
+    DeltaStagedMessage(dataPath, deletePath)
+  }
+
+  override def abort(): Unit = {
+    if (dataWriter != null) dataWriter.abort()
+  }
+
+  override def close(): Unit = ()
 }
 
 /** DSv2 write face: Spark plans the write (INSERT INTO / INSERT OVERWRITE /
@@ -539,7 +770,7 @@ class GraftStagingWriter(dir: String, schemaJson: String, partitionId: Int,
 
 class GraftScanBuilder(table: IceTable, snapshotId: Option[Long] = None,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
-    rowLevelOp: Option[GraftRowLevelOperation] = None)
+    onScanBuilt: GraftScan => Unit = _ => ())
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownAggregates {
 
@@ -547,6 +778,7 @@ class GraftScanBuilder(table: IceTable, snapshotId: Option[Long] = None,
   private var expr: Expr = AlwaysTrue
   private var required: StructType = GraftSparkTable.schemaOf(table, snapshotId).toSpark
   private var emitFile: Boolean = false
+  private var emitPos: Boolean = false
   private var limit: Long = -1L
   private var aggResult: Option[(StructType, Seq[Array[Any]])] = None
 
@@ -565,12 +797,14 @@ class GraftScanBuilder(table: IceTable, snapshotId: Option[Long] = None,
   override def pushedFilters(): Array[sources.Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    // `_file` is a metadata column (SupportsMetadataColumns), not a data
-    // column: strip it here, re-append it LAST in the scan's readSchema
-    // so readers emit [data columns..., _file]
-    emitFile = requiredSchema.fieldNames.contains(GraftSparkTable.FileColumn)
-    required = StructType(
-      requiredSchema.fields.filterNot(_.name == GraftSparkTable.FileColumn))
+    // `_file` / `_pos` are metadata columns (SupportsMetadataColumns), not
+    // data columns: strip them here, re-append LAST in the scan's
+    // readSchema so readers emit [data columns..., _file, _pos]
+    emitFile = requiredSchema.fieldNames.contains(GraftSparkTable.FileColumn) ||
+      requiredSchema.fieldNames.contains(GraftSparkTable.PosColumn)
+    emitPos = requiredSchema.fieldNames.contains(GraftSparkTable.PosColumn)
+    required = StructType(requiredSchema.fields.filterNot(f =>
+      f.name == GraftSparkTable.FileColumn || f.name == GraftSparkTable.PosColumn))
   }
 
   private def toExpr(f: sources.Filter): Option[Expr] = GraftFilters.toExpr(f)
@@ -609,10 +843,10 @@ class GraftScanBuilder(table: IceTable, snapshotId: Option[Long] = None,
     case Some((schema, rows)) => new GraftAggScan(schema, rows)
     case None =>
       val scan = new GraftScan(table, expr, required, limit, snapshotId,
-        Option(options.get("max-snapshots-per-trigger")).map(_.toInt), emitFile)
-      // the row-level operation's write needs THIS scan's final planned
-      // file set at commit (the copy-on-write replacement group)
-      rowLevelOp.foreach(_.configuredScan = scan)
+        Option(options.get("max-snapshots-per-trigger")).map(_.toInt), emitFile, emitPos)
+      // the row-level operation's write needs THIS scan at commit (the
+      // CoW replacement group / the delta conflict filter)
+      onScanBuilt(scan)
       scan
   }
 }
@@ -993,7 +1227,10 @@ final case class GraftInputPartition(
     splitLength: Long = Long.MaxValue,
     /** append the `_file` metadata column (canon source path) after the
       * data columns — requested by the row-level operations' scans. */
-    emitFile: Boolean = false) extends InputPartition
+    emitFile: Boolean = false,
+    /** append the `_pos` metadata column (row position in the file) after
+      * `_file` — the rowId half of the merge-on-read delta operations. */
+    emitPos: Boolean = false) extends InputPartition
 
 object GraftScan {
   /** Test seam: partition count of the last planInputPartitions in this
@@ -1023,16 +1260,18 @@ final case class GraftMultiFilePartition(parts: Array[GraftInputPartition])
 class GraftScan(table: IceTable, expr: Expr, required: StructType,
     pushedLimit: Long = -1L, snapshotId: Option[Long] = None,
     maxSnapshotsPerTrigger: Option[Int] = None,
-    emitFile: Boolean = false)
+    emitFile: Boolean = false, emitPos: Boolean = false)
     extends Scan with Batch with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with SupportsReportStatistics with SupportsReportPartitioning {
 
   override def readSchema(): StructType =
     if (!emitFile) required
-    else StructType(required.fields :+
-      org.apache.spark.sql.types.StructField(GraftSparkTable.FileColumn,
-        org.apache.spark.sql.types.StringType, nullable = false))
+    else StructType(required.fields ++
+      Seq(org.apache.spark.sql.types.StructField(GraftSparkTable.FileColumn,
+        org.apache.spark.sql.types.StringType, nullable = false)) ++
+      (if (emitPos) Seq(org.apache.spark.sql.types.StructField(GraftSparkTable.PosColumn,
+        org.apache.spark.sql.types.LongType, nullable = false)) else Nil))
 
   override def toBatch: Batch = this
 
@@ -1272,7 +1511,7 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
         eqs, eqJson,
         idBearing = parquetOwn(t.file.filePath, t.file.fileFormat),
         fileFormat = t.file.fileFormat.toUpperCase,
-        emitFile = emitFile)
+        emitFile = emitFile, emitPos = emitPos)
       (t, base)
     } match { case pairs =>
       // key-grouped partitions are packed by Spark itself (same-key splits
@@ -1500,7 +1739,7 @@ class GraftReaderFactory(confEntries: Array[(String, String)] = Array.empty)
   private def singleRowReader(p: GraftInputPartition): PartitionReader[InternalRow] = {
     val inner = singleRowReaderInner(p)
     if (!p.emitFile) inner
-    else new GraftFileAppendReader(inner, p.readSchemaJson, p.filePath)
+    else new GraftFileAppendReader(inner, p.readSchemaJson, p.filePath, p.emitPos)
   }
 
   private def singleRowReaderInner(p: GraftInputPartition): PartitionReader[InternalRow] = {
@@ -1840,11 +2079,17 @@ object GraftPartitionReader {
     }
 }
 
-/** Appends the constant `_file` column (canon path) after the data
-  * columns of an inner row reader — the metadata-column shape the
-  * row-level operations' scans request. */
+/** Row readers that can report the absolute file position of the row the
+  * NEXT get() will return — valid between a true next() and that get(). */
+trait HasRowPosition { def currentPosition: Long }
+
+/** Appends the `_file` column (canon path) — and optionally `_pos` (the
+  * row's file position, from the inner reader's position tracking) —
+  * after the data columns of an inner row reader: the metadata-column
+  * shape the row-level operations' scans request. */
 class GraftFileAppendReader(inner: PartitionReader[InternalRow],
-    schemaJson: String, path: String) extends PartitionReader[InternalRow] {
+    schemaJson: String, path: String, emitPos: Boolean = false)
+    extends PartitionReader[InternalRow] {
   private val types: Array[org.apache.spark.sql.types.DataType] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     graft.meta.MetadataJson.schemaFromJson(mapper.readTree(schemaJson))
@@ -1852,15 +2097,21 @@ class GraftFileAppendReader(inner: PartitionReader[InternalRow],
   }
   private val pathU = org.apache.spark.unsafe.types.UTF8String
     .fromString(graft.core.PathUtil.canon(path))
+  private var pos: Long = -1L
 
-  override def next(): Boolean = inner.next()
+  override def next(): Boolean = {
+    val h = inner.next()
+    if (h && emitPos) pos = inner.asInstanceOf[HasRowPosition].currentPosition
+    h
+  }
 
   override def get(): InternalRow = {
     val r = inner.get()
-    val out = new GenericInternalRow(types.length + 1)
+    val out = new GenericInternalRow(types.length + 1 + (if (emitPos) 1 else 0))
     var i = 0
     while (i < types.length) { out.update(i, r.get(i, types(i))); i += 1 }
     out.update(types.length, pathU)
+    if (emitPos) out.update(types.length + 1, pos)
     out
   }
 
@@ -1871,7 +2122,7 @@ class GraftPartitionReader(path: String, schemaJson: String,
     deletes: Array[DeleteFileRef] = Array.empty, limit: Long = -1L,
     conf: Configuration = new Configuration(),
     eqDeletes: Array[EqDeleteRef] = Array.empty, eqSchemaJson: String = "")
-    extends PartitionReader[InternalRow] {
+    extends PartitionReader[InternalRow] with HasRowPosition {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private val schema: Schema = MetadataJson.schemaFromJson(mapper.readTree(schemaJson))
@@ -1940,6 +2191,8 @@ class GraftPartitionReader(path: String, schemaJson: String,
   private var rowIdx: Long = -1L
   private var emitted: Long = 0L
   private var delPtr: Int = 0
+
+  override def currentPosition: Long = rowIdx
 
   override def next(): Boolean = {
     if (limit >= 0 && emitted >= limit) return false
@@ -2014,7 +2267,7 @@ class GraftVectorizedRowReader(path: String, schemaJson: String,
     conf: Configuration = new Configuration(),
     eqDeletes: Array[EqDeleteRef] = Array.empty, eqSchemaJson: String = "",
     splitStart: Long = 0L, splitLength: Long = Long.MaxValue)
-    extends PartitionReader[InternalRow] {
+    extends PartitionReader[InternalRow] with HasRowPosition {
 
   // a bounded split is only planned for DELETE-FREE files: the
   // position-delete skip below indexes the sequential whole-file row
@@ -2095,6 +2348,8 @@ class GraftVectorizedRowReader(path: String, schemaJson: String,
   private var rowIdx: Long = -1L
   private var emitted: Long = 0L
   private var delPtr: Int = 0
+
+  override def currentPosition: Long = rowIdx
 
   override def next(): Boolean = {
     if (limit >= 0 && emitted >= limit) return false

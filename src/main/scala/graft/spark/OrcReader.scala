@@ -37,7 +37,7 @@ class GraftOrcPartitionReader(path: String, schemaJson: String, limit: Long = -1
     deletes: Array[DeleteFileRef] = Array.empty,
     eqDeletes: Array[EqDeleteRef] = Array.empty, eqSchemaJson: String = "",
     emitPos: Boolean = false)
-    extends PartitionReader[InternalRow] {
+    extends PartitionReader[InternalRow] with HasRowPosition {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private val schema: Schema = MetadataJson.schemaFromJson(mapper.readTree(schemaJson))
@@ -112,6 +112,8 @@ class GraftOrcPartitionReader(path: String, schemaJson: String, limit: Long = -1
   private var rowBase = 0L // absolute file position of the batch's row 0
   private var emitted = 0L
   private var delPtr = 0
+
+  override def currentPosition: Long = rowBase + batchPos
 
   private def isEqDeleted(r: Int): Boolean = eqKeySets.nonEmpty && {
     eqKeySets.exists { case (ids, set) =>

@@ -564,14 +564,15 @@ class IceTable(
   /** Write position-delete files for rows matching `filter` (merge-on-read
     * extension beyond the reference, which only reads them — ref rejects
     * MoR writes at table/__init__.py:726). */
-  def deletePositional(filter: String): Unit = {
+  def deletePositional(filter: String): Unit = deletePositional(ExprParser.parse(filter))
+
+  def deletePositional(filter: Expr): Unit = {
     require(metadata.formatVersion >= 2,
       s"Delete files require format version >= 2 (table is v${metadata.formatVersion})")
     require(metadata.formatVersion < 3,
       "Format v3 forbids new position-delete files; use deleteAsDeletionVector")
-    val expr = ExprParser.parse(filter)
-    val bound = Exprs.rewriteNot(Binder.bind(schema, expr))
-    val tasks = new IceScan(this).filter(expr).planFiles()
+    val bound = Exprs.rewriteNot(Binder.bind(schema, filter))
+    val tasks = new IceScan(this).filter(filter).planFiles()
     if (tasks.isEmpty) return
     // ORC-registered files can't ride the parquet `_metadata.row_index`
     // read; their (file, pos) tuples come from the DSv2 ORC reader

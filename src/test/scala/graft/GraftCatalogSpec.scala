@@ -190,6 +190,70 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       orders.filter(col("o_orderkey") % 3 =!= 0).count())
   }
 
+  test("merge-on-read UPDATE writes position deletes instead of rewriting files") {
+    spark.sql("""CREATE TABLE g.db.o_mor (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING)
+      TBLPROPERTIES ('write.update.mode'='merge-on-read',
+                     'write.delete.mode'='merge-on-read')""")
+    orders.createOrReplaceTempView("o_mor_src")
+    spark.sql("INSERT INTO g.db.o_mor SELECT * FROM o_mor_src")
+    val t = new HadoopCatalog(warehouse, spark).loadTable("db.o_mor")
+    val before = new graft.table.IceScan(t).planFiles().map(_.file.filePath).toSet
+    spark.sql("UPDATE g.db.o_mor SET o_totalprice = -9.0 WHERE o_orderkey % 50 = 0")
+    t.refresh()
+    val tasks = new graft.table.IceScan(t).planFiles()
+    val after = tasks.map(_.file.filePath).toSet
+    // the original data files survive — matched rows are masked by
+    // POSITION DELETES, only the updated rows' replacement file is new
+    assert(before.subsetOf(after), "merge-on-read UPDATE must not rewrite data files")
+    assert(tasks.exists(_.deletes.nonEmpty), "position deletes must apply to old files")
+    // values read back correctly through the MoR machinery (library + SQL)
+    val wantUpd = orders.filter(col("o_orderkey") % 50 === 0).count()
+    assert(spark.sql("SELECT count(*) FROM g.db.o_mor WHERE o_totalprice = -9.0")
+      .head().getLong(0) === wantUpd)
+    assert(spark.sql("SELECT count(*) FROM g.db.o_mor").head().getLong(0) === orders.count())
+    assert(t.scan("o_totalprice = -9.0").toDF.count() === wantUpd)
+
+    // merge-on-read DELETE: pure position-delete snapshot
+    spark.sql("DELETE FROM g.db.o_mor WHERE o_orderkey % 70 = 0 AND o_totalprice <> -9.0")
+    t.refresh()
+    val wantDel = orders.filter(col("o_orderkey") % 70 === 0 &&
+      !(col("o_orderkey") % 50 === 0)).count()
+    assert(spark.sql("SELECT count(*) FROM g.db.o_mor").head().getLong(0) ===
+      orders.count() - wantDel)
+    assert(t.metadata.currentSnapshot.map(_.operation) === Some("delete"))
+  }
+
+  test("merge-on-read MERGE INTO deletes matched and appends inserts in one snapshot") {
+    spark.sql("""CREATE TABLE g.db.o_mor_m (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING)
+      TBLPROPERTIES ('write.merge.mode'='merge-on-read')""")
+    orders.filter(col("o_orderkey") <= 1000).createOrReplaceTempView("o_mor_m_base")
+    spark.sql("INSERT INTO g.db.o_mor_m SELECT * FROM o_mor_m_base")
+    val t = new HadoopCatalog(warehouse, spark).loadTable("db.o_mor_m")
+    val before = new graft.table.IceScan(t).planFiles().map(_.file.filePath).toSet
+    val snapsBefore = t.metadata.snapshots.size
+    orders.filter(col("o_orderkey") > 500)
+      .withColumn("o_orderstatus", lit("M")).createOrReplaceTempView("o_mor_m_src")
+    spark.sql("""MERGE INTO g.db.o_mor_m t USING o_mor_m_src s
+      ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    t.refresh()
+    assert(t.metadata.snapshots.size === snapsBefore + 1, "one snapshot for the whole MERGE")
+    assert(before.subsetOf(
+      new graft.table.IceScan(t).planFiles().map(_.file.filePath).toSet))
+    val got = spark.sql("SELECT * FROM g.db.o_mor_m ORDER BY o_orderkey")
+      .collect().map(_.toString).toSeq
+    val want = orders.filter(col("o_orderkey") <= 500)
+      .unionByName(orders.filter(col("o_orderkey") > 500)
+        .withColumn("o_orderstatus", lit("M")))
+      .orderBy(col("o_orderkey")).collect().map(_.toString).toSeq
+    assert(got === want)
+  }
+
   test("DELETE with a non-pushable predicate rewrites via row-level op") {
     spark.sql("""CREATE TABLE g.db.o_rldel (
         o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
