@@ -181,7 +181,14 @@ class GraftSparkTable(table: IceTable, snapshotId: Option[Long] = None)
     val expr = filters.flatMap(GraftFilters.toExprExact)
       .foldLeft(AlwaysTrue: Expr)(And(_, _))
     table.refresh()
-    table.delete(GraftFilters.normalizeLiterals(expr))
+    // honor the table's delete mode even for fully-pushable predicates:
+    // merge-on-read writes position deletes for partially-matched files
+    // (whole-file matches drop metadata-only in both modes); CoW — the
+    // default — rewrites partially-matched files instead.
+    val mor = table.metadata.properties.get("write.delete.mode").contains("merge-on-read") &&
+      table.metadata.formatVersion == 2
+    val norm = GraftFilters.normalizeLiterals(expr)
+    if (mor) table.deletePositional(norm) else table.delete(norm)
   }
 
   override def metadataColumns()

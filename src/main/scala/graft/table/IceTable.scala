@@ -572,8 +572,21 @@ class IceTable(
     require(metadata.formatVersion < 3,
       "Format v3 forbids new position-delete files; use deleteAsDeletionVector")
     val bound = Exprs.rewriteNot(Binder.bind(schema, filter))
-    val tasks = new IceScan(this).filter(filter).planFiles()
-    if (tasks.isEmpty) return
+    val allTasks = new IceScan(this).filter(filter).planFiles()
+    if (allTasks.isEmpty) return
+    // a file whose stats prove EVERY row matches drops METADATA-ONLY —
+    // a partition-wide MoR delete removes whole files instead of writing
+    // millions of (file, pos) rows (live rows ⊆ "all rows match", so
+    // this holds under outstanding deletes too, like CoW delete)
+    val (wholeFiles, tasks) = allTasks.partition(t =>
+      Evaluators.rowsMustMatch(bound, t.file))
+    val removed = wholeFiles.map(_.file.filePath).toSet
+    if (tasks.isEmpty) {
+      if (removed.nonEmpty)
+        commitSnapshot("delete", added = Nil,
+          removedPaths = removed ++ deadDeleteFiles(removed))
+      return
+    }
     // ORC-registered files can't ride the parquet `_metadata.row_index`
     // read; their (file, pos) tuples come from the DSv2 ORC reader
     // (OrcScanBridge), which tracks absolute positions itself
@@ -609,7 +622,8 @@ class IceTable(
       NestedField(2147483545, "pos", ILong, required = true))), PartitionSpec.Unpartitioned)
       .filter(_.recordCount > 0)
       .map(_.copy(content = FileContent.PositionDeletes))
-    commitSnapshot("delete", added = written, removedPaths = Set.empty)
+    commitSnapshot("delete", added = written,
+      removedPaths = removed ++ deadDeleteFiles(removed))
   }
 
   /** Write v3 DELETION VECTORS for rows matching `filter`: one

@@ -254,6 +254,55 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
   }
 
+  test("merge-on-read DELETE WHERE: position deletes for partial files, metadata drop for whole partitions") {
+    spark.sql("""CREATE TABLE g.db.o_mor_d (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING)
+      PARTITIONED BY (o_orderstatus)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    orders.createOrReplaceTempView("o_mor_d_src")
+    spark.sql("INSERT INTO g.db.o_mor_d SELECT * FROM o_mor_d_src")
+    val t = new HadoopCatalog(warehouse, spark).loadTable("db.o_mor_d")
+    val before = new graft.table.IceScan(t).planFiles().map(_.file.filePath).toSet
+
+    // partial-file delete (pushable range predicate) → position deletes,
+    // original files survive
+    spark.sql("DELETE FROM g.db.o_mor_d WHERE o_orderkey <= 100")
+    t.refresh()
+    val afterPartial = new graft.table.IceScan(t).planFiles()
+    assert(before.subsetOf(afterPartial.map(_.file.filePath).toSet),
+      "merge-on-read DELETE must not rewrite partially-matched files")
+    assert(afterPartial.exists(_.deletes.nonEmpty))
+    assert(spark.sql("SELECT count(*) FROM g.db.o_mor_d").head().getLong(0) ===
+      orders.filter(col("o_orderkey") > 100).count())
+
+    // whole-partition delete → METADATA-ONLY file drops, no delete rows
+    val delFilesBefore = t.metadata.currentSnapshot.get
+    spark.sql("DELETE FROM g.db.o_mor_d WHERE o_orderstatus = 'F'")
+    t.refresh()
+    val afterWhole = new graft.table.IceScan(t).planFiles()
+    assert(afterWhole.forall(t2 => !t2.file.filePath.contains("o_orderstatus=F")))
+    assert(spark.sql("SELECT count(*) FROM g.db.o_mor_d").head().getLong(0) ===
+      orders.filter(col("o_orderkey") > 100 && col("o_orderstatus") =!= "F").count())
+  }
+
+  test("_file and _pos metadata columns are selectable") {
+    spark.sql("""CREATE TABLE g.db.o_meta (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING)""")
+    orders.limit(100).createOrReplaceTempView("o_meta_src")
+    spark.sql("INSERT INTO g.db.o_meta SELECT * FROM o_meta_src")
+    val rows = spark.sql(
+      "SELECT o_orderkey, _file, _pos FROM g.db.o_meta ORDER BY _file, _pos").collect()
+    assert(rows.length === 100)
+    assert(rows.forall(_.getString(1).endsWith(".parquet")))
+    // positions are the 0-based file row index, unique per file
+    val byFile = rows.groupBy(_.getString(1))
+    byFile.values.foreach { rs =>
+      assert(rs.map(_.getLong(2)).toSeq === (0L until rs.length).toSeq)
+    }
+  }
+
   test("DELETE with a non-pushable predicate rewrites via row-level op") {
     spark.sql("""CREATE TABLE g.db.o_rldel (
         o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
