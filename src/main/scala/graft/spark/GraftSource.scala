@@ -1562,7 +1562,12 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
       target: Long): Seq[(GraftInputPartition, Long)] = {
     val size = t.file.fileSizeInBytes
     val offs = t.file.splitOffsets
+    // emitPos forbids splitting: the reader's row index counts rows READ
+    // in its range, so a split starting mid-file would report positions
+    // relative to the split — and the delta operations would then delete
+    // the WRONG rows by (file, pos)
     if (!(base.deletes.isEmpty && base.eqDeletes.isEmpty && base.idBearing &&
+        !base.emitPos &&
         base.fileFormat == "PARQUET" && size > 2 * target && offs.sizeIs > 1))
       return Seq((base, size))
     val bounds = offs :+ size
