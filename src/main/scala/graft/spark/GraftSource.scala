@@ -466,6 +466,10 @@ class GraftDeltaWriter(dataDir: String, deleteDir: String, rowSchemaJson: String
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
 
   private var dataWriter: GraftStagingWriter = _
+  // buffered so the file can be written SORTED by (file_path, pos) — the
+  // spec's required delete-file order. Per-task volume is bounded by
+  // Spark's shuffle sizing of the delta plan, and each entry is one
+  // (pooled path reference, long), so the buffer stays executor-small.
   private val deleted = scala.collection.mutable.ArrayBuffer[(String, Long)]()
 
   override def insert(row: InternalRow): Unit = {

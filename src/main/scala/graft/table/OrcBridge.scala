@@ -54,8 +54,11 @@ private[graft] object OrcScanBridge {
     val confEntries = Io.confEntries(session)
     val wantFile = keepFile
     val wantPos = keepPos
-    val rdd = session.sparkContext
-      .parallelize(descs, math.max(1, descs.size))
+    // slice count capped at 4/core: each slice walks its files
+    // sequentially, so a million ORC files is not a million tasks
+    val sc = session.sparkContext
+    val slices = math.max(1, math.min(descs.size, 4 * sc.defaultParallelism))
+    val rdd = sc.parallelize(descs, slices)
       .flatMap { case (path, dels, eqs) =>
         val rdr = new GraftOrcPartitionReader(path, readJson, -1L,
           Io.confFrom(confEntries), dels, eqs, eqJson, emitPos = wantPos)
