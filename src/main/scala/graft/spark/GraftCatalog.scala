@@ -34,7 +34,8 @@ import graft.meta.{PartitionSpec}
   * drop_table :490, rename_table :538, list_tables :589, namespaces :470+);
   * this plugin is the Spark-native equivalent surface.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var catalog: graft.catalog.Catalog = _
@@ -255,6 +256,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     catalog.dropNamespace(ns)
     true
   }
+
+  // ---- maintenance procedures (CALL g.system.<name>(...)) ---------------
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"Procedures live in the 'system' namespace: $ident")
+    GraftProcedures.byName(catalog).getOrElse(ident.name().toLowerCase,
+      throw new IllegalArgumentException(
+        s"Unknown procedure ${ident.name()}; known: ${GraftProcedures.names.mkString(", ")}"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (!namespace.sameElements(Array("system"))) Array.empty
+    else GraftProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
 }
 
 object GraftCatalog {

@@ -1,0 +1,116 @@
+package graft.spark
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.catalog.{Catalog => GCatalog}
+
+/** The SQL `CALL` face of the maintenance API (Spark 4's native
+  * ProcedureCatalog): `CALL cat.system.expire_snapshots(table => 'db.t')`,
+  * `rewrite_data_files`, `remove_orphan_files`, `rollback_to_snapshot` —
+  * the reference exposes these as Table methods (table/maintenance.py);
+  * the procedure names match the iceberg-java Spark procedures so a user
+  * switching engines keeps their maintenance jobs. Each procedure returns
+  * a small summary relation (GraftAggScan rows). */
+object GraftProcedures {
+
+  private def utf8(s: String) = UTF8String.fromString(s)
+
+  /** One self-binding procedure: parameter coercion is declared through
+    * `parameters()`; Spark fills defaults and passes one input row. */
+  private final class Proc(
+      name0: String,
+      params: Seq[ProcedureParameter],
+      outSchema: StructType,
+      body: InternalRow => Seq[Array[Any]])
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = name0
+    override def description(): String = s"graft maintenance procedure $name0"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      java.util.Collections.singletonList[Scan](
+        new ResultScan(outSchema, body(input))).iterator()
+  }
+
+  /** Spark requires LOCAL scans as procedure output (the result is
+    * driver-materialized summary rows — paths, counts, ids). */
+  private final class ResultScan(schema: StructType, rs: Seq[Array[Any]])
+      extends org.apache.spark.sql.connector.read.LocalScan {
+    override def readSchema(): StructType = schema
+    override def rows(): Array[InternalRow] =
+      rs.map(a => new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        a.clone()): InternalRow).toArray
+  }
+
+  private def in(name: String, t: DataType) = ProcedureParameter.in(name, t).build()
+  private def inDefault(name: String, t: DataType, sql: String) =
+    ProcedureParameter.in(name, t).defaultValue(sql).build()
+
+  def names: Seq[String] =
+    Seq("expire_snapshots", "remove_orphan_files", "rewrite_data_files",
+      "rollback_to_snapshot")
+
+  def byName(catalog: GCatalog): Map[String, UnboundProcedure] = Map(
+    "expire_snapshots" -> new Proc("expire_snapshots",
+      Seq(in("table", StringType),
+        inDefault("older_than_ms", LongType, "NULL"),
+        inDefault("retain_last", IntegerType, "1"),
+        inDefault("clean_files", BooleanType, "true")),
+      StructType(Seq(StructField("expired_snapshot_id", LongType))),
+      { input =>
+        val t = catalog.loadTable(input.getUTF8String(0).toString)
+        val horizon = if (input.isNullAt(1)) System.currentTimeMillis() + 1L
+          else input.getLong(1)
+        val retain = if (input.isNullAt(2)) 1 else input.getInt(2)
+        val clean = !input.isNullAt(3) && input.getBoolean(3)
+        val expired = t.expireSnapshots().olderThan(horizon).retainLast(retain)
+          .cleanExpiredFiles(clean).commit()
+        expired.map(id => Array[Any](id))
+      }),
+
+    "remove_orphan_files" -> new Proc("remove_orphan_files",
+      Seq(in("table", StringType),
+        inDefault("older_than_ms", LongType, "NULL")),
+      StructType(Seq(StructField("orphan_file_location", StringType))),
+      { input =>
+        val t = catalog.loadTable(input.getUTF8String(0).toString)
+        // default horizon: 3 days, like the iceberg-java procedure — young
+        // files may belong to a write racing this call
+        val horizon = if (input.isNullAt(1))
+          System.currentTimeMillis() - 3L * 24 * 60 * 60 * 1000
+        else input.getLong(1)
+        t.removeOrphanFiles(horizon).map(p => Array[Any](utf8(p)))
+      }),
+
+    "rewrite_data_files" -> new Proc("rewrite_data_files",
+      Seq(in("table", StringType),
+        inDefault("small_file_bytes", LongType, "NULL")),
+      StructType(Seq(
+        StructField("rewritten_data_files_count", IntegerType),
+        StructField("added_data_files_count", IntegerType))),
+      { input =>
+        val t = catalog.loadTable(input.getUTF8String(0).toString)
+        val (rewritten, added) =
+          if (input.isNullAt(1)) t.rewriteDataFiles()
+          else t.rewriteDataFiles(input.getLong(1))
+        Seq(Array[Any](rewritten, added))
+      }),
+
+    "rollback_to_snapshot" -> new Proc("rollback_to_snapshot",
+      Seq(in("table", StringType), in("snapshot_id", LongType)),
+      StructType(Seq(
+        StructField("previous_snapshot_id", LongType),
+        StructField("current_snapshot_id", LongType))),
+      { input =>
+        val t = catalog.loadTable(input.getUTF8String(0).toString)
+        val prev = t.metadata.currentSnapshotId
+        val target = input.getLong(1)
+        t.manageSnapshots.rollbackToSnapshot(target)
+        Seq(Array[Any](prev.map(Long.box).orNull, target))
+      }))
+}

@@ -770,13 +770,14 @@ class IceTable(
     * position deletes (folding them in and dropping the delete files) or
     * (b) are smaller than `smallFileBytes` (bin-packed together). One
     * overwrite snapshot; contents unchanged. */
-  def rewriteDataFiles(smallFileBytes: Long = 32L * 1024 * 1024): Unit = {
+  /** Returns (rewritten data-file count, added data-file count). */
+  def rewriteDataFiles(smallFileBytes: Long = 32L * 1024 * 1024): (Int, Int) = {
     val scanObj = new IceScan(this)
     val tasks = scanObj.planFiles()
     val withDeletes = tasks.filter(_.deletes.nonEmpty)
     val small = tasks.filter(t => t.deletes.isEmpty && t.file.fileSizeInBytes < smallFileBytes)
     val toRewrite = withDeletes ++ (if (small.size >= 2) small else Nil)
-    if (toRewrite.isEmpty) return
+    if (toRewrite.isEmpty) return (0, 0)
     // bin-pack: coalesce the rewrite into ceil(totalBytes / 4×threshold)
     // outputs so many small files become few larger ones
     val totalBytes = toRewrite.map(_.file.fileSizeInBytes).sum
@@ -789,6 +790,7 @@ class IceTable(
     val removed = toRewrite.map(_.file.filePath).toSet ++
       withDeletes.flatMap(_.deletes.map(_.filePath))
     commitSnapshot("replace", added = added, removedPaths = removed)
+    (toRewrite.size, added.size)
   }
 
   /** Write an EQUALITY delete file: rows whose values in `keys`' columns

@@ -175,6 +175,33 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
   }
 
+  test("MERGE INTO WHEN NOT MATCHED BY SOURCE deletes unreferenced rows (both modes)") {
+    for ((suffix, props) <- Seq(
+        ("cow", ""),
+        ("mor", "TBLPROPERTIES ('write.merge.mode'='merge-on-read')"))) {
+      spark.sql(s"""CREATE TABLE g.db.o_nmbs_$suffix (
+          o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+          o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING)
+        $props""")
+      orders.limit(1000).createOrReplaceTempView(s"o_nmbs_base_$suffix")
+      spark.sql(s"INSERT INTO g.db.o_nmbs_$suffix SELECT * FROM o_nmbs_base_$suffix")
+      orders.filter(col("o_orderkey") % 2 === 0).select("o_orderkey")
+        .createOrReplaceTempView(s"o_nmbs_keys_$suffix")
+      // keep rows the source references; drop the rest; flag matched
+      spark.sql(s"""MERGE INTO g.db.o_nmbs_$suffix t USING o_nmbs_keys_$suffix s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET o_orderstatus = 'K'
+        WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      val kept = spark.sql(s"SELECT count(*) FROM g.db.o_nmbs_$suffix").head().getLong(0)
+      val flagged = spark.sql(
+        s"SELECT count(*) FROM g.db.o_nmbs_$suffix WHERE o_orderstatus = 'K'")
+        .head().getLong(0)
+      val want = orders.limit(1000).filter(col("o_orderkey") % 2 === 0).count()
+      assert(kept === want, s"mode=$suffix")
+      assert(flagged === want, s"mode=$suffix")
+    }
+  }
+
   test("MERGE INTO WHEN MATCHED DELETE removes matched rows") {
     spark.sql("""CREATE TABLE g.db.o_mdel (
         o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
@@ -537,6 +564,52 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       UTF8String.fromString("abc"))
     // nulls propagate
     assert(bLong.produceResult(InternalRow(16, null)) === null)
+  }
+
+  test("CALL procedures: rewrite_data_files, expire_snapshots, rollback, orphan GC") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("""CREATE TABLE g.db.o_proc (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING)""")
+    orders.limit(200).createOrReplaceTempView("o_proc_src")
+    // several small appends → compactable small files + expirable history
+    (1 to 3).foreach(_ =>
+      spark.sql("INSERT INTO g.db.o_proc SELECT * FROM o_proc_src"))
+    val t = new HadoopCatalog(warehouse, spark).loadTable("db.o_proc")
+    val s1 = t.metadata.currentSnapshotId.get
+
+    val rw = spark.sql("CALL g.system.rewrite_data_files(table => 'db.o_proc')").collect()
+    assert(rw.length === 1 && rw.head.getInt(0) >= 2,
+      "small files must compact")
+    t.refresh()
+    assert(t.scan.toDF.count() === 600)
+
+    // rollback to the pre-compaction snapshot and forward again via its id
+    val rb = spark.sql(
+      s"CALL g.system.rollback_to_snapshot(table => 'db.o_proc', snapshot_id => $s1)")
+      .collect()
+    assert(rb.head.getLong(1) === s1)
+    t.refresh()
+    assert(t.metadata.currentSnapshotId === Some(s1))
+    assert(spark.sql("SELECT count(*) FROM g.db.o_proc").head().getLong(0) === 600)
+
+    // expire everything but the newest; clean_files reclaims storage
+    val exp = spark.sql(
+      "CALL g.system.expire_snapshots(table => 'db.o_proc')").collect()
+    assert(exp.nonEmpty, "older snapshots must expire")
+    t.refresh()
+    assert(t.scan.toDF.count() === 600)
+
+    // orphan GC: plant a stray file, horizon in the future catches it
+    val stray = new java.io.File(s"${t.location}/data/stray-proc.parquet")
+    java.nio.file.Files.write(stray.toPath, Array[Byte](1, 2, 3))
+    val removed = spark.sql(
+      s"""CALL g.system.remove_orphan_files(table => 'db.o_proc',
+         |older_than_ms => ${System.currentTimeMillis() + 60000})""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(removed.exists(_.endsWith("stray-proc.parquet")))
+    assert(!stray.exists())
+    assert(spark.sql("SELECT count(*) FROM g.db.o_proc").head().getLong(0) === 600)
   }
 
   test("SqlCatalog routing via uri option") {
