@@ -252,6 +252,37 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.metadata.currentSnapshot.map(_.operation) === Some("delete"))
   }
 
+  test("merge-on-read UPDATE composes with outstanding deletes and stacks") {
+    spark.sql("""CREATE TABLE g.db.o_mor_s (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING)
+      TBLPROPERTIES ('write.update.mode'='merge-on-read',
+                     'write.delete.mode'='merge-on-read')""")
+    orders.limit(1000).createOrReplaceTempView("o_mor_s_src")
+    spark.sql("INSERT INTO g.db.o_mor_s SELECT * FROM o_mor_s_src")
+    val t = new HadoopCatalog(warehouse, spark).loadTable("db.o_mor_s")
+    // pre-existing library-written position deletes…
+    t.deletePositional("o_orderkey <= 50")
+    // …then TWO stacked SQL MoR updates: the second must not resurrect
+    // rows the first already masked, and neither may touch deleted rows
+    spark.sql("UPDATE g.db.o_mor_s SET o_totalprice = -1.0 WHERE o_orderkey % 3 = 0")
+    spark.sql("UPDATE g.db.o_mor_s SET o_totalprice = -2.0 " +
+      "WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 = 0")
+    val base = orders.limit(1000).filter(col("o_orderkey") > 50)
+    val want = base
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 6 === 0, lit(-2.0))
+          .when(col("o_orderkey") % 3 === 0, lit(-1.0))
+          .otherwise(col("o_totalprice")))
+    assert(spark.sql("SELECT count(*) FROM g.db.o_mor_s").head().getLong(0) ===
+      base.count())
+    val got = spark.sql("SELECT o_orderkey, o_totalprice FROM g.db.o_mor_s " +
+      "ORDER BY o_orderkey").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exp = want.select("o_orderkey", "o_totalprice").orderBy(col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === exp)
+  }
+
   test("merge-on-read MERGE INTO deletes matched and appends inserts in one snapshot") {
     spark.sql("""CREATE TABLE g.db.o_mor_m (
         o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
