@@ -52,13 +52,13 @@ object Advanced {
       |) ORDER BY c_custkey""".stripMargin
 
   /** Event sessionization: a session break is a ≥30-minute silence per
-    * user; emit per-user session counts. Timestamps are int64 epoch-nanos
-    * read raw (`nanosAsLong`) and floor-divided to micros with integer
-    * `div` (double division would lose precision above 2^53). */
+    * user; emit per-user session counts. `events.ts` is parquet
+    * timestamp[us] (TIMESTAMP_NTZ to Spark); with the session timezone
+    * pinned to UTC the NTZ→instant cast is identity, so `unix_micros`
+    * yields exact epoch-micros for the gap arithmetic. */
   def sessionize(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = t(s, dir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     ev.withColumn("prev", lag(col("ts_us"), 1).over(w))
       .withColumn("new_session",
@@ -69,7 +69,7 @@ object Advanced {
   }
   val sessionizeSql =
     """WITH ev AS (
-      |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events),
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
       |flagged AS (
       |  SELECT user_id,
       |    CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
@@ -105,8 +105,8 @@ object Advanced {
     * compose built-ins before writing a SparkPlan). One shuffle on
     * user_id; no range cross join. Oracle: DuckDB's native ASOF JOIN. */
   def asofJoin(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+    val ev = t(s, dir, "events")
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
     val left = ev.select(col("user_id"), col("ts_us"), col("event_id"),
       lit(null).cast("long").as("cp_id"), lit(0).as("is_right"))
     val right = ev.filter(col("event_id") % 10 === 0)
@@ -123,7 +123,7 @@ object Advanced {
       .orderBy(col("event_id"))
   }
   val asofJoinSql =
-    """WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events),
+    """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
       |cp AS (SELECT user_id, event_id AS cp_id, ts_us FROM ev WHERE event_id % 10 = 0)
       |SELECT ev.event_id, ev.user_id, cp.cp_id AS asof_cp
       |FROM ev ASOF LEFT JOIN cp

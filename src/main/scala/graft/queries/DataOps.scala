@@ -600,41 +600,15 @@ object DataOps {
     * parquet as a file-stream source (SURVEY.md §2.J — beyond the
     * reference's incremental scan). */
   def streamWindowAgg(s: SparkSession, dir: String): DataFrame = {
-    // the source parquet stores nanosecond timestamps, which Spark's
-    // parquet reader rejects — read them as raw longs (legacy conf) and
-    // stage a micros-typed copy for the streaming file source. The copy
-    // is cached on disk keyed by a source fingerprint so repeated runs
-    // (bench/verify) skip the rewrite; confs are scoped to the staging
-    // write, not leaked into the session
-    val src = new java.io.File(s"$dir/events.parquet")
-    val fp = s"${src.getCanonicalPath}:${src.length}:${src.lastModified}"
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(fp.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-    val cacheRoot = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_stream_cache")
-    val staged = new java.io.File(cacheRoot, digest)
-    if (!staged.isDirectory) {
-      cacheRoot.mkdirs()
-      val tmp = new java.io.File(cacheRoot, s"$digest.tmp-${java.util.UUID.randomUUID()}")
-      graft.table.WriteFiles.withScopedConfs(s,
-        "spark.sql.legacy.parquet.nanosAsLong" -> "true",
-        "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS") {
-        // integer `div`, not `/`: double division loses precision above
-        // 2^53 and epoch-nanos values are ~1.7e18
-        s.read.parquet(src.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          .write.mode("overwrite").parquet(tmp.toString)
-      }
-      // atomic publish; if a concurrent run won the race, keep theirs
-      if (!tmp.renameTo(staged)) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(tmp)
-      }
-    }
-    val sch = s.read.parquet(staged.toString).schema
-    val stream = s.readStream.schema(sch).parquet(staged.toString)
+    // events.ts is parquet timestamp[us] (TIMESTAMP_NTZ to Spark), which
+    // watermarks and tumbling windows accept natively — stream straight
+    // off the source parquet (file-stream sources need an explicit schema)
+    val src = s"$dir/events.parquet"
+    val sch = s.read.parquet(src).schema
+    // watermarks require a true TIMESTAMP (instant) event-time column;
+    // with the session tz pinned to UTC the NTZ→instant cast is identity
+    val stream = s.readStream.schema(sch).parquet(src)
+      .withColumn("ts", col("ts").cast("timestamp"))
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -648,10 +622,11 @@ object DataOps {
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    // wstart as epoch SECONDS (bigint): parquet nanos (DuckDB) vs micros
-    // (Spark) timestamp types can't schema-match in the gate; integers do
+    // wstart as epoch SECONDS (bigint): NTZ (Spark) vs TIMESTAMP (DuckDB)
+    // types can't schema-match in the gate; integers do. Session tz is
+    // UTC, so the NTZ→timestamp cast preserves the naive instant.
     s.table(qname)
-      .select(col("window.start").cast("long").as("wstart"),
+      .select(unix_seconds(col("window.start").cast("timestamp")).as("wstart"),
         col("event_type"), col("count").as("n"))
       .orderBy(col("wstart"), col("event_type"))
   }
