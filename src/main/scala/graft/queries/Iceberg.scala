@@ -383,6 +383,49 @@ object Iceberg {
   val expireGcSql =
     "SELECT * FROM orders WHERE o_orderkey % 2 = 1 ORDER BY o_orderkey"
 
+  /** G (maintenance). Explicit manifest compaction: six tiny appends
+    * accumulate six data manifests; rewriteManifests() re-bins them into
+    * ONE without touching data — the scan afterwards must read the
+    * identical row set (manifest counts require()'d in the query body,
+    * row content oracle-checked). */
+  def manifestRewrite(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val tab = wh(s).createTable("orders", Schema.fromSpark(orders.schema))
+    (0 until 6).foreach(i => tab.append(orders.filter(col("o_orderkey") % 6 === i)))
+    def dataManifests = graft.meta.ManifestIO
+      .readManifestList(tab.metadata.currentSnapshot.get.manifestList)
+      .count(_.content == 0)
+    require(dataManifests == 6, s"expected 6 manifests before rewrite, got $dataManifests")
+    val (rewritten, created) = tab.rewriteManifests()
+    require(rewritten == 6 && created == 1,
+      s"expected (6 rewritten, 1 created), got ($rewritten, $created)")
+    require(dataManifests == 1, "rewrite must leave one binned manifest")
+    nonEmpty(tab.scan.toDF.orderBy(col("o_orderkey")))
+  }
+  val manifestRewriteSql = "SELECT * FROM orders ORDER BY o_orderkey"
+
+  /** F (metadata). position_deletes CONTENT table: MoR position deletes
+    * listed row-by-row (decoded delete parquet), aggregated to the
+    * oracle-checkable deleted-row count per referenced-file bucket count
+    * (positions themselves are file-internal and not SQL-derivable). */
+  def positionDeletesMeta(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val tab = wh(s).createTable("orders", Schema.fromSpark(orders.schema))
+    tab.append(orders)
+    tab.deletePositional("o_totalprice > 400000")
+    val pd = tab.inspect.positionDeletes()
+    // every listed position must reference a live data file of the table
+    val dataPaths = tab.scan.planFiles()
+      .map(ft => graft.core.PathUtil.canon(ft.file.filePath)).toSet
+    val referenced = pd.select("file_path").distinct().collect().map(_.getString(0))
+    require(referenced.nonEmpty &&
+      referenced.forall(p => dataPaths.contains(graft.core.PathUtil.canon(p))),
+      "position_deletes must reference live data files")
+    nonEmpty(pd.agg(count(lit(1)).as("n_deleted")))
+  }
+  val positionDeletesMetaSql =
+    "SELECT count(*) AS n_deleted FROM orders WHERE o_totalprice > 400000"
+
   private val sqlCatSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** G. Iceberg VIEWS (ref: pyiceberg/view — metadata.py ViewMetadata,
@@ -785,6 +828,8 @@ object Iceberg {
     "ice_orc_read" -> (orcRead _),
     "ice_orc_mor" -> (orcMor _),
     "ice_stream_sink" -> (streamSink _),
+    "ice_manifest_rewrite" -> (manifestRewrite _),
+    "ice_position_deletes_meta" -> (positionDeletesMeta _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -823,5 +868,7 @@ object Iceberg {
     "ice_orc_read" -> orcReadSql,
     "ice_orc_mor" -> orcMorSql,
     "ice_stream_sink" -> streamSinkSql,
+    "ice_manifest_rewrite" -> manifestRewriteSql,
+    "ice_position_deletes_meta" -> positionDeletesMetaSql,
   )
 }

@@ -100,6 +100,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         case "all_files" => Some(_.inspect.allFiles())
         case "all_data_files" => Some(_.inspect.allDataFiles())
         case "all_delete_files" => Some(_.inspect.allDeleteFiles())
+        case "position_deletes" => Some(_.inspect.positionDeletes())
         case "partitions" => Some(_.inspect.partitions())
         // full change feed (table start → current), the SQL face of the
         // incremental append scan; bounded ranges ride the

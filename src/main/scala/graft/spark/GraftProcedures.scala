@@ -53,7 +53,7 @@ object GraftProcedures {
 
   def names: Seq[String] =
     Seq("expire_snapshots", "remove_orphan_files", "rewrite_data_files",
-      "rollback_to_snapshot")
+      "rewrite_manifests", "rollback_to_snapshot")
 
   def byName(catalog: GCatalog): Map[String, UnboundProcedure] = Map(
     "expire_snapshots" -> new Proc("expire_snapshots",
@@ -98,6 +98,19 @@ object GraftProcedures {
         val (rewritten, added) =
           if (input.isNullAt(1)) t.rewriteDataFiles()
           else t.rewriteDataFiles(input.getLong(1))
+        Seq(Array[Any](rewritten, added))
+      }),
+
+    "rewrite_manifests" -> new Proc("rewrite_manifests",
+      Seq(in("table", StringType),
+        inDefault("target_size_bytes", LongType, "NULL")),
+      StructType(Seq(
+        StructField("rewritten_manifests_count", IntegerType),
+        StructField("added_manifests_count", IntegerType))),
+      { input =>
+        val t = catalog.loadTable(input.getUTF8String(0).toString)
+        val target = if (input.isNullAt(1)) None else Some(input.getLong(1))
+        val (rewritten, added) = t.rewriteManifests(target)
         Seq(Array[Any](rewritten, added))
       }),
 

@@ -706,9 +706,12 @@ class IceTable(
     // (small deletes still produce exactly one file)
     val blobsPerPuffin = math.max(1, metadata.properties
       .getOrElse("write.dv.blobs-per-puffin", "64").toInt)
-    val numParts = math.max(1, math.min(
-      (affected.size + blobsPerPuffin - 1) / blobsPerPuffin,
-      spark.sparkContext.defaultParallelism))
+    // NOT capped by parallelism: blobsPerPuffin bounds the per-task blob
+    // buffer (each reduce task materializes its partition's compressed
+    // vectors before the puffin write) — capping at core count would let a
+    // 10⁶-file delete pile ~n/cores blobs into one task's heap. Hash skew
+    // across partitions is acceptable; the per-puffin count stays O(64).
+    val numParts = math.max(1, (affected.size + blobsPerPuffin - 1) / blobsPerPuffin)
     val ioEntries = Io.confEntries(spark)
     val loc = location
     val seq = metadata.lastSequenceNumber + 1
@@ -791,6 +794,115 @@ class IceTable(
       withDeletes.flatMap(_.deletes.map(_.filePath))
     commitSnapshot("replace", added = added, removedPaths = removed)
     (toRewrite.size, added.size)
+  }
+
+  /** Explicit manifest compaction (maintenance; the reference merges
+    * manifests only opportunistically at commit time — update/snapshot.py
+    * :733 _ManifestMergeManager behind the `commit.manifest-merge.enabled`
+    * gate): re-bin the current snapshot's DATA manifests to
+    * `commit.manifest.target-size-bytes` (or the explicit override),
+    * combining undersized neighbours per spec-id and splitting oversized
+    * ones, regardless of the auto-merge property/threshold. Data files are
+    * untouched; one "replace" snapshot swaps the manifest list. Keeping
+    * manifests near target size keeps 100-TB planning parallel (many
+    * similar-size units to fan out over) AND partition-prunable (merging
+    * all-into-one would serialize planning behind a single huge manifest).
+    * Returns (rewritten, created) manifest counts. */
+  def rewriteManifests(targetSizeBytes: Option[Long] = None): (Int, Int) = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      try return rewriteManifestsOnce(targetSizeBytes)
+      catch { case _: CommitConflictException if attempts < 5 => refresh() }
+    }
+    (0, 0) // unreachable; satisfies the type checker
+  }
+
+  private def rewriteManifestsOnce(targetOverride: Option[Long]): (Int, Int) = {
+    val base = metadata
+    val currentOpt = base.currentSnapshot
+    if (currentOpt.isEmpty) return (0, 0)
+    val current = currentOpt.get
+    val version = this.version
+    val metaDir = s"${base.location}/metadata"
+    val targetSize = targetOverride.getOrElse(base.properties
+      .getOrElse("commit.manifest.target-size-bytes", (8L * 1024 * 1024).toString).toLong)
+    val all = ManifestIO.readManifestList(current.manifestList)
+    val (dataMs, deleteMs) = all.partition(_.content == 0)
+    val snapId = base.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    val seq = base.lastSequenceNumber + 1
+    var rewritten = 0
+    var created = 0
+    val rebinned: Seq[ManifestFile] = dataMs.groupBy(_.partitionSpecId).toSeq.sortBy(_._1)
+      .flatMap { case (specId, ms) =>
+        val sp = base.specById(specId)
+        // greedy size-binning, same shape as the commit-time merge: an
+        // oversized manifest lands alone in its bin and is split below
+        val bins = scala.collection.mutable.ArrayBuffer[Vector[ManifestFile]]()
+        var cur = Vector.empty[ManifestFile]
+        var curBytes = 0L
+        ms.foreach { m =>
+          if (cur.nonEmpty && curBytes + m.manifestLength > targetSize) {
+            bins += cur; cur = Vector.empty; curBytes = 0L
+          }
+          cur :+= m; curBytes += m.manifestLength
+        }
+        if (cur.nonEmpty) bins += cur
+        bins.flatMap {
+          case Vector(single) if single.manifestLength <= targetSize => Seq(single)
+          case bin =>
+            // all entries are from older snapshots (snapId is fresh), so
+            // surviving Added entries become Existing; their own
+            // snapshot-id and sequence numbers are preserved by copy
+            val entries = bin.toSeq.flatMap { mf =>
+              ManifestIO.readManifest(mf.manifestPath, sp, base.schema)
+                .filter(_.status != EntryStatus.Deleted)
+                .map(e => if (e.status == EntryStatus.Added)
+                  e.copy(status = EntryStatus.Existing) else e)
+            }
+            rewritten += bin.size
+            // oversized single manifests re-chunk by per-entry byte estimate
+            val estPerEntry = math.max(1L,
+              bin.map(_.manifestLength).sum / math.max(1, entries.size))
+            val perManifest = math.max(1, (targetSize / estPerEntry).toInt)
+            entries.grouped(perManifest).toSeq.map { chunk =>
+              val path = s"$metaDir/m-${UUID.randomUUID()}.avro"
+              val len = ManifestIO.writeManifest(path, chunk, sp, base.schema)
+              created += 1
+              manifestFileFor(path, len, sp, base.schema, chunk, snapId, seq, 0)
+            }
+        }
+      }
+    if (rewritten == 0) return (0, 0)
+    val merged = rebinned ++ deleteMs
+    val listPath = s"$metaDir/snap-$snapId-${UUID.randomUUID()}.avro"
+    ManifestIO.writeManifestList(listPath, merged)
+    val now = System.currentTimeMillis()
+    val dataOnly = merged.filter(_.content == 0)
+    val summary = Map(
+      "operation" -> "replace",
+      "manifests-replaced" -> rewritten.toString,
+      "manifests-kept" -> (rebinned.size - created).toString,
+      "manifests-created" -> created.toString,
+      "total-records" -> dataOnly.map(m => m.addedRowsCount + m.existingRowsCount).sum.toString,
+      "total-data-files" ->
+        dataOnly.map(m => m.addedFilesCount + m.existingFilesCount).sum.toString)
+    val firstRowId = if (base.formatVersion >= 3) Some(base.nextRowId.getOrElse(0L)) else None
+    val snap = Snapshot(snapId, base.currentSnapshotId, seq, now, listPath, summary,
+      base.currentSchemaId, firstRowId)
+    val newMeta = base.copy(
+      lastSequenceNumber = seq,
+      lastUpdatedMs = now,
+      currentSnapshotId = Some(snapId),
+      snapshots = base.snapshots :+ snap,
+      snapshotLog = base.snapshotLog :+ SnapshotLogEntry(now, snapId),
+      metadataLog = base.metadataLog :+
+        MetadataLogEntry(now, s"$metaDir/v$version.metadata.json"),
+      refs = base.refs + ("main" -> SnapshotRef(snapId, "branch")))
+    catalog.commit(name, version, newMeta)
+    metadata = newMeta
+    this.version = version + 1
+    (rewritten, created)
   }
 
   /** Write an EQUALITY delete file: rows whose values in `keys`' columns

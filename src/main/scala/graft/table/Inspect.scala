@@ -165,8 +165,9 @@ final class Inspect(table: IceTable) {
     seen.toSeq
   }
 
-  /** ref: inspect.py:682 files / :550 row builder. */
-  def files(content: Option[Int] = None): DataFrame = {
+  /** ref: inspect.py:682 files / :550 row builder; `snapshotId` selects a
+    * historical snapshot like the reference's files(snapshot_id). */
+  def files(content: Option[Int] = None, snapshotId: Option[Long] = None): DataFrame = {
     val partType = StructType(specsStructFields.map { case (n, t) =>
       StructField(n, t.toSpark) })
     val schema = StructType(Seq(
@@ -195,7 +196,7 @@ final class Inspect(table: IceTable) {
     val specNames: Map[Int, Seq[String]] =
       m.partitionSpecs.map(sp => sp.specId -> sp.fields.map(_.name)).toMap
     val cont = content
-    entryRowsDF(manifestsOf(None), schema, (_, mf, e) => {
+    entryRowsDF(manifestsOf(snapshotId), schema, (_, mf, e) => {
       val f = e.dataFile
       if (!cont.forall(_ == f.content)) None
       else Some(Row(f.content, f.filePath, f.fileFormat, mf.partitionSpecId,
@@ -212,11 +213,96 @@ final class Inspect(table: IceTable) {
     })
   }
 
-  def dataFiles(): DataFrame = files(Some(FileContent.Data))
-  def deleteFiles(): DataFrame = files(Some(FileContent.PositionDeletes))
+  def dataFiles(snapshotId: Option[Long] = None): DataFrame =
+    files(Some(FileContent.Data), snapshotId)
+  def deleteFiles(snapshotId: Option[Long] = None): DataFrame =
+    files(Some(FileContent.PositionDeletes), snapshotId)
+
+  /** The CONTENT of position deletes at the current (or given) snapshot —
+    * one row per deleted (data-file path, position), decoded from BOTH
+    * position-delete parquet files and v3 deletion vectors. Beyond the
+    * reference (inspect.py has no position_deletes table); the shape
+    * follows the Iceberg spec's metadata table of the same name, minus
+    * the optional `row` payload our writer never produces.
+    *
+    * Scale: parquet delete files are read as ONE distributed Spark scan
+    * (delete_file_path recovered from the scan's `_metadata` column and
+    * mapped to spec ids through a broadcast descriptor join); DV puffin
+    * blobs decode executor-side from ranged reads. Only file-level
+    * descriptors (path, spec, offset) touch the driver — same
+    * metadata-sized collect as Scan.planFiles. */
+  def positionDeletes(snapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val outSchema = StructType(Seq(
+      StructField("file_path", StringType),
+      StructField("pos", LongType, nullable = false),
+      StructField("spec_id", IntegerType, nullable = false),
+      StructField("delete_file_path", StringType)))
+    // MINIMAL descriptors only — (path, format, offset, size, referenced,
+    // spec) tuples, stats maps stripped during the manifest walk, so
+    // driver memory is ∝ delete files × ~100 B (the same metadata-sized
+    // collect as Scan.planFiles). Past the distributed-planning threshold
+    // the walk itself runs as a Spark job over the manifest list.
+    type Desc = (String, String, Long, Long, String, Int)
+    def toDesc(e: ManifestEntry, sid: Int): Desc = {
+      val f = e.dataFile
+      (f.filePath, f.fileFormat, f.contentOffset.getOrElse(-1L),
+        f.contentSizeInBytes.getOrElse(f.fileSizeInBytes),
+        f.referencedDataFile.orNull, sid)
+    }
+    val mfs = manifestsOf(snapshotId).filter(_._2.content == 1)
+    val specsById = mfs.map(_._2.partitionSpecId).distinct
+      .map(id => id -> m.specById(id)).toMap
+    val mSchema = m.schema
+    val descs: Seq[Desc] =
+      if (mfs.size < IceScan.distributedPlanningThreshold)
+        mfs.flatMap { case (_, mf) =>
+          ManifestIO.readManifest(mf.manifestPath, specsById(mf.partitionSpecId), mSchema)
+            .filter(e => e.status != EntryStatus.Deleted &&
+              e.dataFile.content == FileContent.PositionDeletes)
+            .map(toDesc(_, mf.partitionSpecId))
+        }
+      else {
+        val ioEntries = Io.confEntries(spark)
+        val sc = spark.sparkContext
+        sc.parallelize(mfs, math.min(mfs.size, sc.defaultParallelism))
+          .flatMap { case (_, mf) =>
+            ManifestIO.readManifest(mf.manifestPath, specsById(mf.partitionSpecId),
+                mSchema, Io.confFrom(ioEntries))
+              .filter(e => e.status != EntryStatus.Deleted &&
+                e.dataFile.content == FileContent.PositionDeletes)
+              .map(toDesc(_, mf.partitionSpecId))
+          }.collect().toSeq
+      }
+    val (dvs, parquets) = descs.partition(_._2.equalsIgnoreCase("puffin"))
+    def empty = df(Nil, outSchema)
+    val fromParquet = if (parquets.isEmpty) empty else {
+      val specDf = df(parquets.map { case (p, _, _, _, _, sid) =>
+        Row(PathUtil.canon(p), sid) },
+        StructType(Seq(StructField("delete_file_path", StringType),
+          StructField("spec_id", IntegerType, nullable = false))))
+      spark.read.parquet(parquets.map(_._1): _*)
+        .select(col("file_path"), col("pos"),
+          PathUtil.canonCol(col("_metadata.file_path")).as("delete_file_path"))
+        .join(broadcast(specDf), Seq("delete_file_path"))
+        .select(col("file_path"), col("pos"), col("spec_id"), col("delete_file_path"))
+    }
+    val fromDvs = if (dvs.isEmpty) empty else {
+      val ioEntries = Io.confEntries(spark)
+      val sc = spark.sparkContext
+      val rdd = sc.parallelize(dvs, math.min(dvs.size, sc.defaultParallelism))
+        .flatMap { case (pp, _, off, len, referenced, sid) =>
+          DeletionVector.readPositions(pp, off, len, Io.confFrom(ioEntries))
+            .map(pos => Row(referenced, pos, sid, pp))
+        }
+      spark.createDataFrame(rdd, outSchema)
+    }
+    fromParquet.unionByName(fromDvs)
+      .orderBy(col("delete_file_path"), col("file_path"), col("pos"))
+  }
 
   /** ref: inspect.py:106 entries (status + snapshot + file + metrics). */
-  def entries(): DataFrame = {
+  def entries(snapshotId: Option[Long] = None): DataFrame = {
     val schema = StructType(Seq(
       StructField("status", IntegerType, nullable = false),
       StructField("snapshot_id", LongType, nullable = false),
@@ -226,7 +312,7 @@ final class Inspect(table: IceTable) {
       StructField("record_count", LongType, nullable = false),
       StructField("readable_metrics", readableMetricsType)))
     val leaves = leafInfo
-    entryRowsDF(manifestsOf(None), schema, (_, _, e) =>
+    entryRowsDF(manifestsOf(snapshotId), schema, (_, _, e) =>
       Some(Row(e.status, e.snapshotId, e.dataSequenceNumber, e.fileSequenceNumber,
         e.dataFile.filePath, e.dataFile.recordCount,
         Inspect.metricsRow(leaves, e.dataFile))))

@@ -100,6 +100,20 @@ class DeletionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(total > afterSecond)
   }
 
+  test("position_deletes inspect table decodes deletion vectors") {
+    val t = catalog.createTable("t_dv_meta", Schema.fromSpark(lineitem.schema))
+    t.upgradeFormatVersion(3)
+    t.append(lineitem)
+    t.deleteAsDeletionVector("l_quantity > 45")
+    val deleted = lineitem.filter(col("l_quantity") > 45).count()
+    val pd = t.inspect.positionDeletes()
+    assert(pd.count() === deleted)
+    val delPaths = pd.select("delete_file_path").distinct().collect().map(_.getString(0))
+    assert(delPaths.nonEmpty && delPaths.forall(_.endsWith("-deletes.puffin")))
+    // each (file_path, pos) is unique and references a live data file
+    assert(pd.select("file_path", "pos").distinct().count() === deleted)
+  }
+
   test("many DV-bearing files scan through ONE anti-join branch") {
     // every data file carries its own DV (unique delete signature); the
     // scan must still plan a single path-keyed anti-join — per-signature
@@ -124,7 +138,10 @@ class DeletionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val t = catalog.createTable("t_dv_fanout_write", Schema.fromSpark(lineitem.schema))
     t.upgradeFormatVersion(3)
     t.setProperties("write.dv.blobs-per-puffin" -> "1")
-    (0 until 4).foreach(i => t.append(lineitem.filter(col("l_orderkey") % 4 === i)))
+    // 8 files: paths are hash-partitioned into 8 reduce partitions, so the
+    // chance of every path landing in ONE partition (which would write a
+    // single puffin and flake the ≥2 assert) is 8·(1/8)^8 ≈ 5e-7
+    (0 until 8).foreach(i => t.append(lineitem.filter(col("l_orderkey") % 8 === i)))
     t.deleteAsDeletionVector("l_quantity > 45")
     val dvs = t.scan.planFiles().flatMap(_.deletes).filter(_.isDeletionVector)
       .distinctBy(f => (f.filePath, f.contentOffset))

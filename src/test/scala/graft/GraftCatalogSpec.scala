@@ -536,6 +536,11 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val allN = spark.sql("SELECT * FROM g.db.orders.all_files").count()
     assert(allN === spark.sql("SELECT * FROM g.db.orders.all_data_files").count() +
       spark.sql("SELECT * FROM g.db.orders.all_delete_files").count())
+    // position_deletes decodes delete CONTENT; db.orders carries deletes
+    // from the DELETE WHERE test, unless that ran copy-on-write — in
+    // either case the query must answer (possibly empty)
+    val pdN = spark.sql("SELECT * FROM g.db.orders.position_deletes").count()
+    assert(pdN >= 0)
     intercept[Exception](spark.sql("SELECT * FROM g.db.orders.nope").collect())
   }
 
@@ -641,6 +646,24 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(removed.exists(_.endsWith("stray-proc.parquet")))
     assert(!stray.exists())
     assert(spark.sql("SELECT count(*) FROM g.db.o_proc").head().getLong(0) === 600)
+
+    // manifest compaction: the three INSERT manifests (pre-expiry history
+    // notwithstanding, the current snapshot's list carries one manifest per
+    // surviving commit) re-bin into target-size units
+    (1 to 3).foreach(_ =>
+      spark.sql("INSERT INTO g.db.o_proc SELECT * FROM o_proc_src"))
+    t.refresh()
+    val listBefore = graft.meta.ManifestIO
+      .readManifestList(t.metadata.currentSnapshot.get.manifestList)
+      .count(_.content == 0)
+    assert(listBefore >= 3)
+    val rm = spark.sql("CALL g.system.rewrite_manifests(table => 'db.o_proc')").collect()
+    assert(rm.length === 1 && rm.head.getInt(0) >= 3 && rm.head.getInt(1) === 1)
+    t.refresh()
+    assert(graft.meta.ManifestIO
+      .readManifestList(t.metadata.currentSnapshot.get.manifestList)
+      .count(_.content == 0) === 1)
+    assert(spark.sql("SELECT count(*) FROM g.db.o_proc").head().getLong(0) === 1200)
   }
 
   test("SqlCatalog routing via uri option") {

@@ -788,6 +788,66 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.scan.toDF.filter(col("o_orderstatus") === "Z").count() === src.count())
   }
 
+  test("position_deletes inspect table lists parquet delete content") {
+    val t = catalog.createTable("t_posdel_meta", Schema.fromSpark(orders.schema))
+    t.append(orders)
+    t.deletePositional("o_orderkey < 1000")
+    val want = orders.filter(col("o_orderkey") < 1000).count()
+    val pd = t.inspect.positionDeletes()
+    assert(pd.columns.toSeq === Seq("file_path", "pos", "spec_id", "delete_file_path"))
+    assert(pd.count() === want)
+    // every referenced data file is a live data file of the table
+    val dataPaths = t.scan.planFiles()
+      .map(ft => graft.core.PathUtil.canon(ft.file.filePath)).toSet
+    assert(pd.select("file_path").distinct().collect().map(_.getString(0))
+      .forall(p => dataPaths.contains(graft.core.PathUtil.canon(p))))
+    // positions + MoR scan agree: deleted rows = table minus scan
+    assert(t.scan.toDF.count() === orders.count() - want)
+  }
+
+  test("rewriteManifests re-bins manifests without touching data") {
+    import graft.meta.ManifestIO
+    val t = catalog.createTable("t_rwm", Schema.fromSpark(orders.schema))
+    (0 until 6).foreach(i => t.append(orders.filter(col("o_orderkey") % 6 === i)))
+    t.deletePositional("o_orderkey <= 120") // delete manifests pass through untouched
+    val want = orders.filter(col("o_orderkey") > 120).count()
+    def manifests() =
+      ManifestIO.readManifestList(t.metadata.currentSnapshot.get.manifestList)
+    assert(manifests().count(_.content == 0) === 6)
+    val preSeq = t.metadata.lastSequenceNumber
+
+    val (rewritten, created) = t.rewriteManifests()
+    assert(rewritten === 6 && created === 1)
+    val after = manifests()
+    assert(after.count(_.content == 0) === 1)
+    assert(after.count(_.content != 0) === 1, "delete manifest must survive")
+    assert(t.scan.toDF.count() === want, "MoR scan changed by manifest rewrite")
+    val snap = t.metadata.currentSnapshot.get
+    assert(snap.summary("operation") === "replace")
+
+    // merged entries are Existing and keep their ORIGINAL snapshot ids and
+    // sequence numbers (sequence-scoped delete semantics depend on it)
+    val dataMf = after.find(_.content == 0).get
+    val entries = ManifestIO.readManifest(dataMf.manifestPath,
+      t.metadata.specById(dataMf.partitionSpecId), t.schema)
+    assert(entries.forall(_.status == graft.meta.EntryStatus.Existing))
+    assert(entries.forall(_.snapshotId != snap.snapshotId))
+    assert(entries.forall(_.dataSequenceNumber <= preSeq))
+
+    // idempotent: a single under-target manifest is left alone
+    assert(t.rewriteManifests() === (0, 0))
+
+    // explicit tiny target SPLITS the merged manifest back into many
+    val (rw2, cr2) = t.rewriteManifests(Some(1024L))
+    assert(rw2 === 1 && cr2 > 1)
+    assert(t.scan.toDF.count() === want)
+
+    // time travel to a pre-rewrite snapshot still resolves its own list
+    val firstAppend = t.metadata.snapshots.head.snapshotId
+    assert(t.scan.useSnapshot(firstAppend).toDF.count() ===
+      orders.filter(col("o_orderkey") % 6 === 0).count())
+  }
+
   test("equality deletes apply to older data only") {
     val t = catalog.createTable("t_eqdel", Schema.fromSpark(orders.schema))
     val batch1 = orders.filter(col("o_orderkey") <= 9000)
@@ -1183,6 +1243,20 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ent = t.inspect.entries()
     assert(ent.schema.fieldNames.contains("readable_metrics"))
     assert(ent.count() > 0)
+  }
+
+  test("files/entries accept a snapshot id like the reference") {
+    val t = catalog.createTable("t_files_asof", Schema.fromSpark(orders.schema))
+    t.append(orders.filter(col("o_orderkey") <= 600))
+    val s1 = t.metadata.currentSnapshotId.get
+    val filesAt1 = t.inspect.files(snapshotId = Some(s1)).count()
+    t.append(orders.filter(col("o_orderkey") > 600))
+    // historical snapshot resolves its own (smaller) file list
+    assert(t.inspect.files(snapshotId = Some(s1)).count() === filesAt1)
+    assert(t.inspect.files().count() > filesAt1)
+    assert(t.inspect.entries(Some(s1)).count() === filesAt1)
+    assert(t.inspect.dataFiles(Some(s1)).count() === filesAt1)
+    intercept[IllegalArgumentException](t.inspect.files(snapshotId = Some(-5L)).count())
   }
 
   test("metrics modes: none/counts/full per column") {
