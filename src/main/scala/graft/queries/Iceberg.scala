@@ -404,6 +404,33 @@ object Iceberg {
   }
   val manifestRewriteSql = "SELECT * FROM orders ORDER BY o_orderkey"
 
+  /** J (incremental/CDC). Row-level CHANGELOG: append → MoR position
+    * delete → append; the changelog lists every insert AND the deleted
+    * rows' full content with commit ordinals (extension — the reference
+    * stops at the incremental append scan, table/__init__.py:2372).
+    * Snapshot ids are engine-specific, so the gate projects the
+    * deterministic columns. */
+  def changelogQ(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val tab = wh(s).createTable("orders", Schema.fromSpark(orders.schema))
+    tab.append(orders.filter(col("o_orderkey") <= 3000))
+    tab.deletePositional("o_orderkey < 400")
+    tab.append(orders.filter(col("o_orderkey") > 3000))
+    nonEmpty(graft.streaming.TableChanges.changelog(tab)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("_change_type").as("change_type"),
+        col("_change_ordinal").as("change_ordinal"))
+      .orderBy(col("change_ordinal"), col("change_type"), col("o_orderkey")))
+  }
+  val changelogSql =
+    """SELECT o_orderkey, o_totalprice, 'insert' AS change_type, 0 AS change_ordinal
+      |FROM orders WHERE o_orderkey <= 3000
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice, 'delete', 1 FROM orders WHERE o_orderkey < 400
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice, 'insert', 2 FROM orders WHERE o_orderkey > 3000
+      |ORDER BY change_ordinal, change_type, o_orderkey""".stripMargin
+
   /** F (metadata). position_deletes CONTENT table: MoR position deletes
     * listed row-by-row (decoded delete parquet), aggregated to the
     * oracle-checkable deleted-row count per referenced-file bucket count
@@ -830,6 +857,7 @@ object Iceberg {
     "ice_stream_sink" -> (streamSink _),
     "ice_manifest_rewrite" -> (manifestRewrite _),
     "ice_position_deletes_meta" -> (positionDeletesMeta _),
+    "ice_changelog" -> (changelogQ _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -870,5 +898,6 @@ object Iceberg {
     "ice_stream_sink" -> streamSinkSql,
     "ice_manifest_rewrite" -> manifestRewriteSql,
     "ice_position_deletes_meta" -> positionDeletesMetaSql,
+    "ice_changelog" -> changelogSql,
   )
 }

@@ -106,6 +106,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         // incremental append scan; bounded ranges ride the
         // spark.read.format("graft") change-range-from/-to options
         case "changes" => Some(t => graft.streaming.TableChanges.poll(t, None)._1)
+        // row-level CDC: inserts AND deletes with _change_type/_change_ordinal
+        case "changelog" => Some(t => graft.streaming.TableChanges.changelog(t))
         case _ => None
       }
     build.map { fn =>

@@ -40,6 +40,168 @@ object TableChanges {
       table.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       table.schema.toSpark)
 
+  /** Row-level CHANGELOG between snapshots (CDC; an extension over the
+    * reference's incremental append scan — column shape follows the
+    * Iceberg spec's changelog metadata columns). Each row of the result
+    * is a table row plus `_change_type` ('insert' | 'delete'),
+    * `_change_ordinal` (0-based position of the commit in the range) and
+    * `_commit_snapshot_id`. Per ancestor snapshot in (from, to]:
+    *
+    *  - data files ADDED by the commit → their rows as inserts;
+    *  - data files REMOVED by the commit (copy-on-write delete/
+    *    overwrite/upsert) → their rows as deletes;
+    *  - carry-overs cancelled: a CoW rewrite re-writes surviving rows
+    *    into new files, so per-commit `delete ∩ insert` multiset overlap
+    *    is removed (exceptAll both ways) leaving only true changes;
+    *  - position-delete files / DVs ADDED by the commit → the referenced
+    *    data rows (joined back by (file, row-position) through the
+    *    `_metadata` columns) as deletes;
+    *  - equality-delete files ADDED → parent-visible rows matching the
+    *    key set as deletes;
+    *  - 'replace' commits (compaction, manifest rewrite) → no logical
+    *    change, skipped.
+    *
+    * All reads use the range-end snapshot's schema (same policy as
+    * incrementalAppendScan). Scale: per-commit frames are Spark scans
+    * unioned lazily; only file DESCRIPTORS touch the driver, and the
+    * per-commit live-set diff is path-string-sized. Positions written
+    * over already-masked rows (impossible through this library's
+    * writers, which plan deletes against visible rows) would be
+    * re-reported; foreign writers stacking deletes on dead positions are
+    * out of scope. */
+  def changelog(table: IceTable, fromIdExclusive: Option[Long] = None,
+      toIdInclusive: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.core.PathUtil
+    import graft.meta.{EntryStatus, FileContent, ManifestIO, Io, DeletionVector}
+    table.refresh()
+    val m = table.metadata
+    val spark = table.spark
+    val toId = toIdInclusive.orElse(m.currentSnapshotId)
+    val schemaAt = toId.map(id => m.schemaById(
+      m.snapshotById(id).map(_.schemaId).getOrElse(m.currentSchemaId)))
+      .getOrElse(table.schema)
+    def withMeta(df: DataFrame, tpe: String, ordinal: Int, snapId: Long): DataFrame =
+      df.withColumn("_change_type", lit(tpe))
+        .withColumn("_change_ordinal", lit(ordinal))
+        .withColumn("_commit_snapshot_id", lit(snapId))
+    val emptyOut = withMeta(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schemaAt.toSpark), "insert", 0, 0L).limit(0)
+    if (toId.isEmpty) return emptyOut
+    val chain = m.ancestorsOf(toId.get).reverse // oldest first
+    val range = fromIdExclusive match {
+      case Some(f) =>
+        require(chain.exists(_.snapshotId == f),
+          s"Snapshot $f is not an ancestor of ${toId.get}")
+        chain.dropWhile(_.snapshotId != f).drop(1)
+      case None => chain
+    }
+    if (range.isEmpty) return emptyOut
+
+    // cloned session: field-id projection confs stay scoped to these scans
+    val rs = org.apache.spark.sql.GraftBridge.cloneSession(spark)
+    rs.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    rs.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+    def readData(paths: Seq[String]): DataFrame =
+      rs.read.schema(schemaAt.toSpark).parquet(paths: _*)
+
+    /** canon path → record count of LIVE data files at snapshot s. */
+    def liveData(s: graft.meta.Snapshot): Set[String] =
+      ManifestIO.readManifestList(s.manifestList).filter(_.content == 0)
+        .flatMap { mf =>
+          ManifestIO.readManifest(mf.manifestPath, m.specById(mf.partitionSpecId), m.schema)
+            .filter(_.status != EntryStatus.Deleted)
+            .map(e => PathUtil.canon(e.dataFile.filePath))
+        }.toSet
+
+    /** delete files first ADDED by snapshot s (descriptors only). */
+    def addedDeleteFiles(s: graft.meta.Snapshot): Seq[graft.meta.DataFile] =
+      ManifestIO.readManifestList(s.manifestList)
+        .filter(mf => mf.content == 1 && mf.addedSnapshotId == s.snapshotId)
+        .flatMap { mf =>
+          ManifestIO.readManifest(mf.manifestPath, m.specById(mf.partitionSpecId), m.schema)
+            .filter(e => e.status == EntryStatus.Added && e.snapshotId == s.snapshotId)
+            .map(_.dataFile)
+        }
+
+    val frames = Seq.newBuilder[DataFrame]
+    var parentLive: Option[Set[String]] = None
+    range.zipWithIndex.foreach { case (s, ordinal) =>
+      lazy val live = liveData(s)
+      val op = s.operation
+      if (op == "replace") { parentLive = Some(live) }
+      else {
+        val pLive = parentLive.getOrElse(
+          s.parentSnapshotId.flatMap(m.snapshotById).map(liveData).getOrElse(Set.empty))
+        val addedPaths = (live -- pLive).toSeq.sorted
+        val removedPaths = (pLive -- live).toSeq.sorted
+        val inserts = if (addedPaths.isEmpty) None else Some(readData(addedPaths))
+        val cowDeletes = if (removedPaths.isEmpty) None else Some(readData(removedPaths))
+        // cancel carry-overs only when a commit both removed and added
+        // (CoW rewrite); append-only and pure-MoR commits skip the shuffle
+        val (netInserts, netCowDeletes) = (inserts, cowDeletes) match {
+          case (Some(i), Some(d)) => (Some(i.exceptAll(d)), Some(d.exceptAll(i)))
+          case other => other
+        }
+        netInserts.foreach(f => frames += withMeta(f, "insert", ordinal, s.snapshotId))
+        netCowDeletes.foreach(f => frames += withMeta(f, "delete", ordinal, s.snapshotId))
+
+        // merge-on-read deletes added by this commit
+        val dels = addedDeleteFiles(s)
+        val (posDels, eqDels) = dels.partition(_.content == FileContent.PositionDeletes)
+        val (dvs, posParquet) = posDels.partition(_.isDeletionVector)
+        val positions: Option[DataFrame] = {
+          val parts = Seq.newBuilder[DataFrame]
+          if (posParquet.nonEmpty)
+            parts += rs.read.parquet(posParquet.map(_.filePath): _*)
+              .select(PathUtil.canonCol(col("file_path")).as("__path"),
+                col("pos").as("__pos"))
+          if (dvs.nonEmpty) {
+            val ioEntries = Io.confEntries(spark)
+            val descs = dvs.map(f => (f.filePath, f.contentOffset.getOrElse(0L),
+              f.contentSizeInBytes.getOrElse(f.fileSizeInBytes),
+              PathUtil.canon(f.referencedDataFile.getOrElse(""))))
+            val sc = spark.sparkContext
+            val rdd = sc.parallelize(descs, math.min(descs.size, sc.defaultParallelism))
+              .flatMap { case (pp, off, len, ref) =>
+                DeletionVector.readPositions(pp, off, len, Io.confFrom(ioEntries))
+                  .map(pos => (ref, pos))
+              }
+            parts += rs.createDataFrame(rdd).toDF("__path", "__pos")
+          }
+          parts.result().reduceOption(_ unionByName _)
+        }
+        positions.foreach { posDf =>
+          // deleted-row content: join positions back to the referenced
+          // data files through the scan's (file, row-position) metadata
+          val refPaths = posDf.select("__path").distinct()
+            .collect().map(_.getString(0)).toSeq.sorted
+          if (refPaths.nonEmpty) {
+            val rows = readData(refPaths)
+              .withColumn("__path", PathUtil.canonCol(col("_metadata.file_path")))
+              .withColumn("__pos", col("_metadata.row_index"))
+              .join(posDf, Seq("__path", "__pos"))
+              .drop("__path", "__pos")
+            frames += withMeta(rows, "delete", ordinal, s.snapshotId)
+          }
+        }
+        eqDels.foreach { ef =>
+          val keyCols = ef.equalityIds.flatMap(id => m.schema.byId.get(id)).map(_.name)
+          if (keyCols.nonEmpty) {
+            val keys = rs.read.parquet(ef.filePath).select(keyCols.map(col): _*).distinct()
+            val parentRows = s.parentSnapshotId.map(pid =>
+              table.scan.useSnapshot(pid).toDF).getOrElse(emptyDf(table))
+            frames += withMeta(parentRows.join(keys, keyCols, "left_semi"),
+              "delete", ordinal, s.snapshotId)
+          }
+        }
+        parentLive = Some(live)
+      }
+    }
+    frames.result().reduceOption(_ unionByName _).getOrElse(emptyOut)
+  }
+
   final class Handle(flag: AtomicBoolean, thread: Thread) {
     def stop(): Unit = { flag.set(false); thread.join(10000) }
   }

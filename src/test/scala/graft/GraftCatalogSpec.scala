@@ -541,6 +541,11 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     // either case the query must answer (possibly empty)
     val pdN = spark.sql("SELECT * FROM g.db.orders.position_deletes").count()
     assert(pdN >= 0)
+    // changelog: every row ever inserted appears with a change type
+    val cl = spark.sql(
+      "SELECT _change_type, count(*) AS n FROM g.db.orders.changelog GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cl.getOrElse("insert", 0L) > 0)
     intercept[Exception](spark.sql("SELECT * FROM g.db.orders.nope").collect())
   }
 

@@ -865,6 +865,62 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.scan.toDF.count() === want)
   }
 
+  test("changelog emits inserts and MoR deletes with ordinals") {
+    import graft.streaming.TableChanges
+    val t = catalog.createTable("t_changelog", Schema.fromSpark(orders.schema))
+    // data-driven split points: keys are sparse and scale with sf
+    val ks = orders.select("o_orderkey").orderBy("o_orderkey")
+      .collect().map(_.getLong(0))
+    val (delK, splitK) = (ks(ks.length / 10), ks(ks.length / 2))
+    val a = orders.filter(col("o_orderkey") <= splitK)
+    val b = orders.filter(col("o_orderkey") > splitK)
+    t.append(a)
+    t.deletePositional(s"o_orderkey < $delK")
+    t.append(b)
+    val cl = TableChanges.changelog(t)
+    val byType = cl.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType("insert") === orders.count())
+    val wantDel = a.filter(col("o_orderkey") < delK).count()
+    assert(byType("delete") === wantDel)
+    // the MoR delete sits at ordinal 1 and carries real row content
+    val delRows = cl.filter(col("_change_ordinal") === 1)
+    assert(delRows.count() === wantDel)
+    assert(delRows.agg(max(col("o_orderkey"))).head().getLong(0) < delK)
+    // bounded range: only the second append
+    val s2 = t.metadata.snapshots(1).snapshotId
+    val clTail = TableChanges.changelog(t, fromIdExclusive = Some(s2))
+    assert(clTail.count() === b.count())
+    assert(clTail.select("_change_type").distinct().head().getString(0) === "insert")
+  }
+
+  test("changelog cancels copy-on-write carry-overs") {
+    import graft.streaming.TableChanges
+    val t = catalog.createTable("t_changelog_cow", Schema.fromSpark(orders.schema))
+    t.append(orders)
+    val s1 = t.metadata.currentSnapshotId.get
+    // CoW upsert of ONE changed row: the rewritten file's surviving rows
+    // are carry-overs and must cancel, leaving exactly one insert+delete
+    val key = orders.filter(col("o_orderkey") >= 1000)
+      .agg(min("o_orderkey")).head().getLong(0)
+    val src = orders.filter(col("o_orderkey") === key)
+      .withColumn("o_orderstatus", lit("Z"))
+    t.upsert(src, Seq("o_orderkey"))
+    val cl = TableChanges.changelog(t, fromIdExclusive = Some(s1))
+    val byType = cl.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.getOrElse("insert", 0L) === 1L, s"carry-overs not cancelled: $byType")
+    assert(byType.getOrElse("delete", 0L) === 1L, s"carry-overs not cancelled: $byType")
+    assert(cl.filter(col("_change_type") === "insert")
+      .head().getAs[String]("o_orderstatus") === "Z")
+    // maintenance 'replace' commits are logically silent
+    val (rw, _) = t.rewriteManifests(Some(1L)) // tiny target forces a commit
+    assert(rw >= 1)
+    val cur = t.metadata.currentSnapshot.get
+    val cl2 = TableChanges.changelog(t, fromIdExclusive = cur.parentSnapshotId)
+    assert(cl2.count() === 0, "replace commits must not appear in the changelog")
+  }
+
   test("change feed: poll returns exactly the appended batches") {
     import graft.streaming.TableChanges
     val t = catalog.createTable("t_feed", Schema.fromSpark(orders.schema))
