@@ -81,33 +81,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * (table/inspect.py) on the SQL face: a trailing metadata-table name
     * after an existing table resolves to a read-only relation of that
     * inspect frame (snapshots/refs/history/manifests/files/partitions/…). */
-  private def metadataTableOf(ident: Identifier): Option[Table] = {
+  private def metadataTableOf(ident: Identifier,
+      snapshotId: Option[Long] = None): Option[Table] = {
     if (ident.namespace().isEmpty) return None
     val baseIdent = Identifier.of(ident.namespace().dropRight(1), ident.namespace().last)
     if (!tableExists(baseIdent)) return None
+    def noTravel[A](v: A): A = {
+      require(snapshotId.isEmpty,
+        s"VERSION/TIMESTAMP AS OF is not supported for metadata table '${ident.name()}'")
+      v
+    }
+    val snap = snapshotId
     val build: Option[graft.table.IceTable => org.apache.spark.sql.DataFrame] =
       ident.name().toLowerCase match {
-        case "snapshots" => Some(_.inspect.snapshots())
-        case "refs" => Some(_.inspect.refs())
-        case "history" => Some(_.inspect.history())
-        case "metadata_log_entries" => Some(_.inspect.metadataLogEntries())
-        case "manifests" => Some(_.inspect.manifests())
-        case "all_manifests" => Some(_.inspect.allManifests())
-        case "entries" => Some(_.inspect.entries())
-        case "files" => Some(_.inspect.files())
-        case "data_files" => Some(_.inspect.dataFiles())
-        case "delete_files" => Some(_.inspect.deleteFiles())
-        case "all_files" => Some(_.inspect.allFiles())
-        case "all_data_files" => Some(_.inspect.allDataFiles())
-        case "all_delete_files" => Some(_.inspect.allDeleteFiles())
-        case "position_deletes" => Some(_.inspect.positionDeletes())
-        case "partitions" => Some(_.inspect.partitions())
+        case "snapshots" => noTravel(Some(_.inspect.snapshots()))
+        case "refs" => noTravel(Some(_.inspect.refs()))
+        case "history" => noTravel(Some(_.inspect.history()))
+        case "metadata_log_entries" => noTravel(Some(_.inspect.metadataLogEntries()))
+        case "manifests" => noTravel(Some(_.inspect.manifests()))
+        case "all_manifests" => noTravel(Some(_.inspect.allManifests()))
+        // snapshot-aware tables honor VERSION/TIMESTAMP AS OF, like the
+        // reference's inspect(snapshot_id) parameters
+        case "entries" => Some(_.inspect.entries(snap))
+        case "files" => Some(_.inspect.files(snapshotId = snap))
+        case "data_files" => Some(_.inspect.dataFiles(snap))
+        case "delete_files" => Some(_.inspect.deleteFiles(snap))
+        case "all_files" => noTravel(Some(_.inspect.allFiles()))
+        case "all_data_files" => noTravel(Some(_.inspect.allDataFiles()))
+        case "all_delete_files" => noTravel(Some(_.inspect.allDeleteFiles()))
+        case "position_deletes" => Some(_.inspect.positionDeletes(snap))
+        case "partitions" => Some(_.inspect.partitions(snap))
         // full change feed (table start → current), the SQL face of the
         // incremental append scan; bounded ranges ride the
         // spark.read.format("graft") change-range-from/-to options
-        case "changes" => Some(t => graft.streaming.TableChanges.poll(t, None)._1)
-        // row-level CDC: inserts AND deletes with _change_type/_change_ordinal
-        case "changelog" => Some(t => graft.streaming.TableChanges.changelog(t))
+        case "changes" => noTravel(Some(t => graft.streaming.TableChanges.poll(t, None)._1))
+        // row-level CDC: inserts AND deletes with _change_type/_change_ordinal;
+        // VERSION AS OF bounds the range end
+        case "changelog" =>
+          Some(t => graft.streaming.TableChanges.changelog(t, None, snap))
         case _ => None
       }
     build.map { fn =>
@@ -116,26 +127,48 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     }
   }
 
-  /** `VERSION AS OF x` — a snapshot id, or a branch/tag name. */
-  override def loadTable(ident: Identifier, version: String): Table = {
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    val table = catalog.loadTable(fullName(ident))
-    val id = version.toLongOption
-      .filter(v => table.metadata.snapshotById(v).isDefined)
-      .orElse(table.metadata.snapshotByName(version).map(_.snapshotId))
+  private def resolveVersion(t: graft.table.IceTable, version: String,
+      name: String): Long =
+    version.toLongOption
+      .filter(v => t.metadata.snapshotById(v).isDefined)
+      .orElse(t.metadata.snapshotByName(version).map(_.snapshotId))
       .getOrElse(throw new IllegalArgumentException(
-        s"Cannot find snapshot or ref '$version' in table ${fullName(ident)}"))
-    new GraftSparkTable(table, Some(id))
+        s"Cannot find snapshot or ref '$version' in table $name"))
+
+  /** Base table of a metadata-table ident, when it is one. */
+  private def metadataBaseOf(ident: Identifier): Option[graft.table.IceTable] =
+    if (ident.namespace().isEmpty) None
+    else {
+      val baseIdent = Identifier.of(ident.namespace().dropRight(1), ident.namespace().last)
+      if (tableExists(baseIdent)) Some(catalog.loadTable(fullName(baseIdent))) else None
+    }
+
+  /** `VERSION AS OF x` — a snapshot id, or a branch/tag name; also valid
+    * on snapshot-aware metadata tables (`t.files VERSION AS OF s`,
+    * matching the reference's inspect(snapshot_id) parameters). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) {
+      val mt = metadataBaseOf(ident).flatMap(base => metadataTableOf(ident,
+        Some(resolveVersion(base, version, fullName(ident)))))
+      return mt.getOrElse(throw new NoSuchTableException(ident))
+    }
+    val table = catalog.loadTable(fullName(ident))
+    new GraftSparkTable(table, Some(resolveVersion(table, version, fullName(ident))))
   }
 
   /** `TIMESTAMP AS OF t` — Spark passes MICROseconds since epoch. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    def asOf(t: graft.table.IceTable): Long =
+      t.metadata.snapshotAsOf(timestampMicros / 1000L).map(_.snapshotId).getOrElse(
+        throw new IllegalArgumentException(
+          s"No snapshot in ${fullName(ident)} as of $timestampMicros"))
+    if (!tableExists(ident)) {
+      val mt = metadataBaseOf(ident).flatMap(base =>
+        metadataTableOf(ident, Some(asOf(base))))
+      return mt.getOrElse(throw new NoSuchTableException(ident))
+    }
     val table = catalog.loadTable(fullName(ident))
-    val snap = table.metadata.snapshotAsOf(timestampMicros / 1000L).getOrElse(
-      throw new IllegalArgumentException(
-        s"No snapshot in ${fullName(ident)} as of $timestampMicros"))
-    new GraftSparkTable(table, Some(snap.snapshotId))
+    new GraftSparkTable(table, Some(asOf(table)))
   }
 
   override def createTable(ident: Identifier, schema: StructType,

@@ -415,11 +415,17 @@ class GraftDeltaWrite(table: IceTable, op: GraftDeltaOperation, rowSchema: Struc
             table.spec, named, java.util.UUID.randomUUID().toString,
             sortOrder = None, props = table.metadata.properties)
         }
-      val deleteAdded = graft.table.WriteFiles
-        .harvest(table.spark, deleteDir, GraftDeltaWrite.PosDeleteSchema,
-          graft.meta.PartitionSpec.Unpartitioned)
-        .filter(_.recordCount > 0)
-        .map(_.copy(content = graft.meta.FileContent.PositionDeletes))
+      // only files NAMED in task commit messages: a failed attempt's
+      // partial parquet in the shared deleteDir must not be opened
+      // (footer missing) or double-registered after a task retry
+      val namedDeletes = msgs.flatMap(_.deletePath)
+        .map(graft.core.PathUtil.canon).toSet
+      val deleteAdded = if (namedDeletes.isEmpty) Nil
+        else graft.table.WriteFiles
+          .harvest(table.spark, deleteDir, GraftDeltaWrite.PosDeleteSchema,
+            graft.meta.PartitionSpec.Unpartitioned, only = Some(namedDeletes))
+          .filter(_.recordCount > 0)
+          .map(_.copy(content = graft.meta.FileContent.PositionDeletes))
       if (added.nonEmpty || deleteAdded.nonEmpty) {
         val conflict = Option(op.configuredScan)
           .map(s => GraftFilters.normalizeLiterals(s.planExpr))

@@ -358,10 +358,19 @@ object WriteFiles {
     }
   }
 
-  /** List written files and collect footer stats as a distributed job. */
+  /** List written files and collect footer stats as a distributed job.
+    * `only` restricts to files a committer EXPLICITLY named (canon
+    * paths): task-commit protocols that stage into a shared directory
+    * pass their commit-message paths so a failed attempt's partial file
+    * (no footer yet) is never opened or registered. */
   def harvest(spark: SparkSession, stageDir: String, schema: Schema,
-      spec: PartitionSpec, modes: Map[Int, String] = Map.empty): Seq[DataFile] = {
-    val files = listParquet(stageDir)
+      spec: PartitionSpec, modes: Map[Int, String] = Map.empty,
+      only: Option[Set[String]] = None): Seq[DataFile] = {
+    val listed = listParquet(stageDir)
+    val files = only match {
+      case Some(keep) => listed.filter(p => keep.contains(PathUtil.canon(p)))
+      case None => listed
+    }
     if (files.isEmpty) return Nil
 
     // (dotted path, id, type-repr) for every primitive leaf — struct

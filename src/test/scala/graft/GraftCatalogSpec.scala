@@ -546,6 +546,17 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT _change_type, count(*) AS n FROM g.db.orders.changelog GROUP BY 1")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(cl.getOrElse("insert", 0L) > 0)
+    // snapshot-aware metadata tables accept VERSION AS OF
+    val t0 = new HadoopCatalog(warehouse, spark).loadTable("db.orders")
+    val firstSnap = t0.metadata.snapshots.head.snapshotId
+    val filesThen = spark.sql(
+      s"SELECT * FROM g.db.orders.files VERSION AS OF $firstSnap").count()
+    assert(filesThen >= 1)
+    assert(spark.sql(
+      s"SELECT * FROM g.db.orders.entries VERSION AS OF $firstSnap").count() === filesThen)
+    // version-invariant tables reject it loudly
+    intercept[Exception](spark.sql(
+      s"SELECT * FROM g.db.orders.snapshots VERSION AS OF $firstSnap").collect())
     intercept[Exception](spark.sql("SELECT * FROM g.db.orders.nope").collect())
   }
 
