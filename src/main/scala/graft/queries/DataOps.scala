@@ -602,8 +602,33 @@ object DataOps {
   def streamWindowAgg(s: SparkSession, dir: String): DataFrame = {
     // events.ts is parquet timestamp[us] (TIMESTAMP_NTZ to Spark), which
     // watermarks and tumbling windows accept natively — stream straight
-    // off the source parquet (file-stream sources need an explicit schema)
-    val src = s"$dir/events.parquet"
+    // off the source parquet (file-stream sources need an explicit schema).
+    // The file-stream source also requires a DIRECTORY (it pins basePath
+    // to the source path for stable partition inference): when the
+    // testdata table is a single parquet FILE, stage a hardlink/copy into
+    // a fingerprint-keyed temp dir once — re-runs over the same file reuse
+    // it, and a regenerated file (new size/mtime) gets a fresh dir.
+    val srcFile = new java.io.File(s"$dir/events.parquet")
+    val src =
+      if (srcFile.isDirectory) srcFile.getPath
+      else {
+        val fp = s"${srcFile.length()}_${srcFile.lastModified()}"
+        val staged = new java.io.File(
+          s"${System.getProperty("java.io.tmpdir")}/graft_stream_${fp}")
+        if (!staged.exists()) {
+          val tmp = new java.io.File(staged.getPath + s".tmp${ProcessHandle.current().pid()}")
+          tmp.mkdirs()
+          java.nio.file.Files.copy(srcFile.toPath,
+            new java.io.File(tmp, "part-00000.parquet").toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // atomic publish so a concurrent runner never lists a half dir
+          if (!tmp.renameTo(staged)) {
+            org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+            require(staged.exists(), s"stream staging failed for $srcFile")
+          }
+        }
+        staged.getPath
+      }
     val sch = s.read.parquet(src).schema
     // watermarks require a true TIMESTAMP (instant) event-time column;
     // with the session tz pinned to UTC the NTZ→instant cast is identity
