@@ -819,7 +819,34 @@ object Iceberg {
       |  min(l_returnflag) AS flag_min, max(l_returnflag) AS flag_max
       |FROM lineitem""".stripMargin
 
+  /** D+G. write-audit-publish on a staging branch (ref: append/delete
+    * `branch` table/__init__.py:464/708; fast_forward publish): fork an
+    * audit branch at main's head, delete + append ON THE BRANCH (main
+    * provably untouched in between), then publish via fast-forward. The
+    * returned frame is the post-publish main scan. */
+  def branchWap(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val tab = wh(s).createTable("orders", Schema.fromSpark(orders.schema))
+    tab.append(orders.filter(col("o_orderkey") % 2 === 0))
+    val mainHead = tab.metadata.currentSnapshotId.get
+    val mainCount = tab.scan.count()
+    tab.manageSnapshots.createBranch("audit", mainHead)
+    // audit the fork state: drop cheap orders, then land the odd half
+    tab.delete(graft.core.ExprParser.parse("o_totalprice < 150000.0"), Some("audit"))
+    tab.append(orders.filter(col("o_orderkey") % 2 =!= 0), Map.empty, Some("audit"))
+    // isolation: the branch work must not have moved main
+    require(tab.metadata.currentSnapshotId.get == mainHead &&
+      tab.scan.count() == mainCount, "branch write leaked into main before publish")
+    tab.manageSnapshots.fastForward("main", "audit")
+    nonEmpty(tab.scan.toDF.orderBy(col("o_orderkey")))
+  }
+  val branchWapSql =
+    """SELECT * FROM orders
+      |WHERE (o_orderkey % 2 = 0 AND o_totalprice >= 150000.0) OR o_orderkey % 2 = 1
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ice_branch_wap" -> (branchWap _),
     "ice_readable_metrics" -> (readableMetrics _),
     "ice_nested_struct" -> (nestedStruct _),
     "ice_catalog_ops" -> (catalogOps _),
@@ -861,6 +888,7 @@ object Iceberg {
   )
 
   val oracles: Map[String, String] = Map(
+    "ice_branch_wap" -> branchWapSql,
     "ice_readable_metrics" -> readableMetricsSql,
     "ice_nested_struct" -> nestedStructSql,
     "ice_catalog_ops" -> catalogOpsSql,

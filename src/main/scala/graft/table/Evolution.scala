@@ -295,6 +295,34 @@ final class ManageSnapshots(table: IceTable) {
 
   def rollbackToSnapshot(snapshotId: Long): ManageSnapshots = setCurrentSnapshot(snapshotId)
 
+  /** Fast-forward `branch` to the head of `to` — the PUBLISH step of
+    * write-audit-publish: audit commits land on a staging branch
+    * (append(df, props, Some("audit"))), and once validated,
+    * fastForward("main", "audit") makes them current atomically. Requires
+    * `branch`'s head (if any) to be an ancestor of the target, so a
+    * publish can never silently drop commits that landed on `branch`
+    * meanwhile. Moving main also moves current-snapshot-id + the snapshot
+    * log (the fast_forward of the public java API; pyiceberg exposes the
+    * same move via set_ref updates). */
+  def fastForward(branch: String, to: String): ManageSnapshots = {
+    table.commitMetadata { m =>
+      val target = m.refs.getOrElse(to,
+        throw new IllegalArgumentException(s"No ref $to")).snapshotId
+      m.refs.get(branch).foreach { cur =>
+        require(cur.refType == "branch", s"$branch is a tag — tags cannot move")
+        require(m.ancestorsOf(target).exists(_.snapshotId == cur.snapshotId),
+          s"Cannot fast-forward $branch: its head ${cur.snapshotId} is not an " +
+            s"ancestor of $to ($target) — a merge/rebase, not a fast-forward")
+      }
+      val moved = m.copy(refs = m.refs + (branch -> SnapshotRef(target, "branch")))
+      if (branch == "main")
+        moved.copy(currentSnapshotId = Some(target),
+          snapshotLog = m.snapshotLog :+ SnapshotLogEntry(System.currentTimeMillis(), target))
+      else moved
+    }
+    this
+  }
+
   def rollbackToTimestamp(tsMs: Long): ManageSnapshots = {
     val snap = table.metadata.snapshotAsOf(tsMs).getOrElse(
       throw new IllegalArgumentException(s"No snapshot at $tsMs"))

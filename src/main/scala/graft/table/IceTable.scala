@@ -209,11 +209,22 @@ class IceTable(
 
   /** `snapshotProperties` land in the snapshot summary (ref: append
     * table/__init__.py:1535 snapshot_properties). */
-  def append(df: DataFrame, snapshotProperties: Map[String, String]): Unit = {
+  def append(df: DataFrame, snapshotProperties: Map[String, String]): Unit =
+    append(df, snapshotProperties, Some("main"))
+
+  /** Branch-targeted append — the write half of write-audit-publish (ref:
+    * append table/__init__.py:464 `branch`): the new snapshot parents off
+    * `branch`'s head (created from main's head if absent) and moves only
+    * that ref; main is untouched until a publish (fastForward). `branch =
+    * None` stages the snapshot without moving ANY ref (ref:
+    * _validate_target_branch update/snapshot.py:139 comment) — reachable
+    * via scan.useSnapshot(id). */
+  def append(df: DataFrame, snapshotProperties: Map[String, String],
+      branch: Option[String]): Unit = {
     val files = WriteFiles.write(spark, location, schema, spec, df,
       UUID.randomUUID().toString, sortOrderOpt, metadata.properties)
     commitSnapshot("append", added = files, removedPaths = Set.empty,
-      extraSummary = snapshotProperties)
+      extraSummary = snapshotProperties, toBranch = branch)
   }
 
   /** Copy-on-write delete (ref: Transaction.delete table/__init__.py:703):
@@ -222,11 +233,17 @@ class IceTable(
     * the null-preserving complementary filter. */
   def delete(filter: String): Unit = delete(ExprParser.parse(filter))
 
-  def delete(filter: Expr): Unit = {
+  def delete(filter: Expr): Unit = delete(filter, Some("main"))
+
+  /** Branch-targeted delete (ref: delete table/__init__.py:708 `branch`):
+    * plans against the BRANCH's head state and commits to its ref only. A
+    * delete on a not-yet-existing branch sees main's head (the state the
+    * branch would fork from). */
+  def delete(filter: Expr, branch: Option[String]): Unit = {
     val bound = Exprs.rewriteNot(Binder.bind(schema, filter))
     if (bound == BFalse) return
-    val baseSnap = metadata.currentSnapshotId
-    val tasks = new IceScan(this).filter(filter).planFiles()
+    val baseSnap = branchHeadId(branch)
+    val tasks = branchScan(branch).map(_.filter(filter).planFiles()).getOrElse(Nil)
     if (tasks.isEmpty) return
     // a file whose stats prove EVERY row matches can be dropped whole even
     // when MoR deletes apply: the live rows are a subset of "all rows match"
@@ -238,7 +255,7 @@ class IceTable(
       // position/equality deletes applied) so previously deleted rows are
       // not resurrected into the rewrite; survivors = non-matching (NULL
       // rows survive via the null-preserving complement)
-      val survivors = new IceScan(this)
+      val survivors = branchScan(branch).get
         .toDFForTasks(rewrites, applyResidualOnlyWhereNeeded = true)
         .filter(ToColumn.complementary(bound))
       added = WriteFiles.write(spark, location, schema, spec, survivors,
@@ -246,9 +263,29 @@ class IceTable(
     }
     val removed = (wholeFiles ++ rewrites).map(_.file.filePath).toSet
     commitSnapshot(if (rewrites.isEmpty) "delete" else "overwrite",
-      added = added, removedPaths = removed ++ deadDeleteFiles(removed),
-      conflictFilter = Some(filter), baseSnapshotId = baseSnap)
+      added = added, removedPaths = removed ++ deadDeleteFiles(removed, branch),
+      conflictFilter = Some(filter), baseSnapshotId = baseSnap, toBranch = branch)
   }
+
+  /** The target branch's head at planning time. Mirrors the commit's
+    * parent resolution (targetHeadId): a stage-only (None) target parents
+    * off main; a NAMED branch that doesn't exist yet has NO head — its
+    * first commit starts an empty lineage, not a fork of main (ref:
+    * snapshot_by_name metadata.py:304 returns None for an absent ref;
+    * _parent_snapshot_id update/snapshot.py:131). */
+  private def branchHeadId(branch: Option[String]): Option[Long] =
+    metadata.refs.get(branch.getOrElse("main")).map(_.snapshotId)
+
+  /** Scan over the state a `branch`-targeted DML plans against: pinned at
+    * the branch's head (with the CURRENT schema — branch DML binds to the
+    * table schema, unlike time travel), the live state for main/stage-only,
+    * and None for a not-yet-created branch (its state is empty). */
+  private def branchScan(branch: Option[String]): Option[IceScan] =
+    branch.filter(_ != "main") match {
+      case Some(b) => metadata.refs.get(b).map(r =>
+        new IceScan(this).useSnapshot(r.snapshotId).withCurrentSchema)
+      case None => Some(new IceScan(this))
+    }
 
   /** Delete files whose every applicable data file is in `removedData`:
     * dead after this commit (their targets are gone or rewritten with the
@@ -270,9 +307,10 @@ class IceTable(
       conflictFilter = conflictFilter, baseSnapshotId = baseSnapshotId)
   }
 
-  private def deadDeleteFiles(removedData: Set[String]): Set[String] = {
+  private def deadDeleteFiles(removedData: Set[String],
+      branch: Option[String] = Some("main")): Set[String] = {
     if (removedData.isEmpty) return Set.empty
-    val allTasks = new IceScan(this).planFiles()
+    val allTasks = branchScan(branch).map(_.planFiles()).getOrElse(Nil)
     val stillReferenced = allTasks
       .filterNot(t => removedData.contains(t.file.filePath))
       .flatMap(_.deletes.map(_.filePath)).toSet
@@ -286,33 +324,46 @@ class IceTable(
     overwrite(df, filter, Map.empty[String, String])
 
   def overwrite(df: DataFrame, filter: Expr,
-      snapshotProperties: Map[String, String]): Unit = {
+      snapshotProperties: Map[String, String]): Unit =
+    overwrite(df, filter, snapshotProperties, Some("main"))
+
+  /** Branch-targeted overwrite (ref: overwrite table/__init__.py:612
+    * `branch`): plans/replaces against the branch's head, commits to its
+    * ref only. */
+  def overwrite(df: DataFrame, filter: Expr,
+      snapshotProperties: Map[String, String], branch: Option[String]): Unit = {
     val bound = Exprs.rewriteNot(Binder.bind(schema, filter))
-    val baseSnap = metadata.currentSnapshotId
-    val tasks = new IceScan(this).filter(filter).planFiles()
+    val baseSnap = branchHeadId(branch)
+    val tasks = branchScan(branch).map(_.filter(filter).planFiles()).getOrElse(Nil)
     val (wholeFiles, rewrites) = tasks.partition(t =>
       Evaluators.rowsMustMatch(bound, t.file))
     var added = WriteFiles.write(spark, location, schema, spec, df,
       UUID.randomUUID().toString, sortOrderOpt, metadata.properties)
     if (rewrites.nonEmpty) {
       // MoR-aware read, as in delete(): never resurrect deleted rows
-      val survivors = new IceScan(this)
+      val survivors = branchScan(branch).get
         .toDFForTasks(rewrites, applyResidualOnlyWhereNeeded = true)
         .filter(ToColumn.complementary(bound))
       added = added ++ WriteFiles.write(spark, location, schema, spec, survivors,
       UUID.randomUUID().toString, sortOrderOpt, metadata.properties)
     }
     val removed = (wholeFiles ++ rewrites).map(_.file.filePath).toSet
-    commitSnapshot("overwrite", added = added, removedPaths = removed ++ deadDeleteFiles(removed),
+    commitSnapshot("overwrite", added = added,
+      removedPaths = removed ++ deadDeleteFiles(removed, branch),
       conflictFilter = Some(filter), baseSnapshotId = baseSnap,
-      extraSummary = snapshotProperties)
+      extraSummary = snapshotProperties, toBranch = branch)
   }
 
   /** Overwrite only the partitions present in `df`
     * (ref: dynamic_partition_overwrite table/__init__.py:541). */
-  def dynamicPartitionOverwrite(df: DataFrame): Unit = {
+  def dynamicPartitionOverwrite(df: DataFrame): Unit =
+    dynamicPartitionOverwrite(df, Some("main"))
+
+  /** Branch-targeted variant (ref: dynamic_partition_overwrite
+    * table/__init__.py:542 `branch`). */
+  def dynamicPartitionOverwrite(df: DataFrame, branch: Option[String]): Unit = {
     require(!spec.isUnpartitioned, "dynamic overwrite requires a partitioned table")
-    val baseSnap = metadata.currentSnapshotId
+    val baseSnap = branchHeadId(branch)
     val aligned = WriteFiles.align(df, schema)
     val partCols = spec.fields.map { pf =>
       val src = schema.byId(pf.sourceId)
@@ -322,7 +373,7 @@ class IceTable(
     // (#partitions << #rows); the data itself never leaves executors
     val touched: Set[Seq[Any]] = aligned.select(partCols: _*).distinct().collect()
       .map(r => normalizeTuple(r.toSeq)).toSet
-    val removed = new IceScan(this).planFiles()
+    val removed = branchScan(branch).map(_.planFiles()).getOrElse(Nil)
       .filter(t => touched.contains(normalizeTuple(t.file.partition)))
       .map(_.file.filePath).toSet
     val added = WriteFiles.write(spark, location, schema, spec, df,
@@ -343,7 +394,7 @@ class IceTable(
       if (vals.contains(null)) Or(inPred, IsNull(src.name, tr)) else inPred
     }.reduce(And(_, _))
     commitSnapshot("overwrite", added = added, removedPaths = removed,
-      conflictFilter = Some(conflict), baseSnapshotId = baseSnap)
+      conflictFilter = Some(conflict), baseSnapshotId = baseSnap, toBranch = branch)
   }
 
   private def normalizeTuple(vs: Seq[Any]): Seq[Any] = vs.map {
@@ -369,14 +420,24 @@ class IceTable(
     * the two MERGE branches, case_sensitive governs key resolution). */
   def upsert(source: DataFrame, joinCols: Seq[String],
       whenMatchedUpdateAll: Boolean, whenNotMatchedInsertAll: Boolean,
-      caseSensitive: Boolean): (Long, Long) = {
+      caseSensitive: Boolean): (Long, Long) =
+    upsert(source, joinCols, whenMatchedUpdateAll, whenNotMatchedInsertAll,
+      caseSensitive, Some("main"))
+
+  /** Branch-targeted upsert (ref: upsert table/__init__.py:807 `branch`):
+    * the MERGE reads the BRANCH's head as the target and commits to its
+    * ref; against a not-yet-created branch every source row inserts. */
+  def upsert(source: DataFrame, joinCols: Seq[String],
+      whenMatchedUpdateAll: Boolean, whenNotMatchedInsertAll: Boolean,
+      caseSensitive: Boolean, branch: Option[String]): (Long, Long) = {
     val keys = (if (joinCols.nonEmpty) joinCols
       else schema.identifierFieldIds.map(id => schema.byId(id).name))
       .map(k => schema.findField(k, caseSensitive).getOrElse(
         throw new IllegalArgumentException(s"Join column not found: $k")).name)
     require(keys.nonEmpty, "upsert needs join columns or identifier fields")
-    // upsert reads the whole table, so ANY concurrent commit conflicts
-    val baseSnap = metadata.currentSnapshotId
+    // upsert reads the whole (branch) table, so ANY concurrent commit
+    // on that lineage conflicts
+    val baseSnap = branchHeadId(branch)
     val src = WriteFiles.align(source, schema).cache()
     try {
       // duplicate keys in source are an error (ref upsert_util.py:51)
@@ -384,7 +445,9 @@ class IceTable(
       require(dup == 0, s"Duplicate rows in source on key ${keys.mkString(",")}")
 
       val nonKeys = schema.fields.map(_.name).filterNot(keys.contains)
-      val target = scan.toDF
+      val target = branchScan(branch).map(_.toDF).getOrElse(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          schema.toSpark))
 
       // rows to UPDATE: key matches and any non-key column differs
       // (null-safe <=>; ref get_rows_to_update upsert_util.py:56)
@@ -409,7 +472,7 @@ class IceTable(
         // files THROUGH the MoR machinery (outstanding position/equality
         // deletes applied) so deleted rows are not resurrected into the
         // rewrite. The path set is metadata-sized (#files, not #rows).
-        val scanObj = new IceScan(this)
+        val scanObj = branchScan(branch).get
         val tasks = scanObj.planFiles()
         val targetWithFile = scanObj.toDFForTasks(tasks,
           applyResidualOnlyWhereNeeded = true, keepFile = true)
@@ -423,7 +486,7 @@ class IceTable(
         // delete files left dangling by the rewrite are dropped in the same
         // snapshot instead of accumulating dead MoR state
         val removedData = affectedTasks.map(_.file.filePath).toSet
-        removedPaths = removedData ++ deadDeleteFiles(removedData)
+        removedPaths = removedData ++ deadDeleteFiles(removedData, branch)
         val affectedRows = scanObj.toDFForTasks(affectedTasks,
           applyResidualOnlyWhereNeeded = true)
         val survivors = affectedRows.join(updKeys, keys, "left_anti")
@@ -436,7 +499,7 @@ class IceTable(
       UUID.randomUUID().toString, sortOrderOpt, metadata.properties)
       }
       commitSnapshot("overwrite", added = added, removedPaths = removedPaths,
-        conflictFilter = Some(AlwaysTrue), baseSnapshotId = baseSnap)
+        conflictFilter = Some(AlwaysTrue), baseSnapshotId = baseSnap, toBranch = branch)
       (nUpdates, nInserts)
     } finally src.unpersist()
   }
@@ -951,13 +1014,14 @@ class IceTable(
       extraMeta: TableMetadata => TableMetadata = identity,
       conflictFilter: Option[Expr] = None,
       baseSnapshotId: Option[Long] = None,
-      extraSummary: Map[String, String] = Map.empty): Unit = {
+      extraSummary: Map[String, String] = Map.empty,
+      toBranch: Option[String] = Some("main")): Unit = {
     var attempts = 0
     while (true) {
       attempts += 1
       try {
         commitOnce(operation, added, removedPaths, extraMeta, conflictFilter,
-          baseSnapshotId, extraSummary)
+          baseSnapshotId, extraSummary, toBranch)
         return
       } catch {
         case _: CommitConflictException if attempts < 5 => refresh()
@@ -965,12 +1029,21 @@ class IceTable(
     }
   }
 
-  /** Snapshots committed after `fromId` on the current-ancestor chain,
-    * nearest first. When `fromId` is not an ancestor (history rewritten),
-    * every reachable snapshot is returned — conservative. */
-  private def snapshotsSince(base: TableMetadata, fromId: Option[Long]): Seq[Snapshot] =
-    base.currentSnapshot.toSeq.flatMap(s =>
-      base.ancestorsOf(s.snapshotId).takeWhile(sn => !fromId.contains(sn.snapshotId)))
+  /** Head snapshot id the commit parents off: the target branch's ref, or
+    * main's for a stage-only (toBranch = None) commit (ref:
+    * snapshot_by_name metadata.py:304 — None resolves to MAIN_BRANCH;
+    * update/snapshot.py:131 _parent_snapshot_id). */
+  private def targetHeadId(base: TableMetadata, toBranch: Option[String]): Option[Long] =
+    base.refs.get(toBranch.getOrElse("main")).map(_.snapshotId)
+
+  /** Snapshots committed after `fromId` on the ancestor chain of `headId`
+    * (the target branch's head), nearest first. When `fromId` is not an
+    * ancestor (history rewritten), every reachable snapshot is returned —
+    * conservative. */
+  private def snapshotsSince(base: TableMetadata, fromId: Option[Long],
+      headId: Option[Long]): Seq[Snapshot] =
+    headId.toSeq.flatMap(h =>
+      base.ancestorsOf(h).takeWhile(sn => !fromId.contains(sn.snapshotId)))
 
   /** Data/delete files first ADDED by snapshot `s`. */
   private def addedFilesOf(base: TableMetadata, s: Snapshot): Seq[DataFile] =
@@ -986,8 +1059,8 @@ class IceTable(
   /** ref: validate.py:171 _validate_added_data_files (+ :282/:303/:330
     * conflicting-delete checks, conservatively folded into one rule). */
   private def validateNoConflictingCommits(base: TableMetadata,
-      filter: Expr, fromId: Option[Long]): Unit = {
-    val since = snapshotsSince(base, fromId)
+      filter: Expr, fromId: Option[Long], headId: Option[Long]): Unit = {
+    val since = snapshotsSince(base, fromId, headId)
     if (since.isEmpty) return
     val bound = Exprs.rewriteNot(Binder.bind(base.schema, filter))
     since.foreach { s =>
@@ -1013,16 +1086,28 @@ class IceTable(
   private def commitOnce(operation: String, added: Seq[DataFile],
       removedPaths: Set[String], extraMeta: TableMetadata => TableMetadata,
       conflictFilter: Option[Expr] = None, baseSnapshotId: Option[Long] = None,
-      extraSummary: Map[String, String] = Map.empty): Unit = {
+      extraSummary: Map[String, String] = Map.empty,
+      toBranch: Option[String] = Some("main")): Unit = {
     val base = metadata
-    conflictFilter.foreach(f => validateNoConflictingCommits(base, f, baseSnapshotId))
+    // a tag is an immutable ref — never a target for producing snapshots
+    // (ref: _validate_target_branch update/snapshot.py:138)
+    toBranch.foreach { b =>
+      base.refs.get(b).foreach(r => require(r.refType == "branch",
+        s"$b is a tag, not a branch. Tags cannot be targets for producing snapshots"))
+    }
+    // parent = the TARGET BRANCH's head (main's for stage-only commits), so
+    // branch lineages stay independent: a write-audit-publish branch chains
+    // off its own last commit, not whatever main moved to meanwhile
+    val parentId = targetHeadId(base, toBranch)
+    conflictFilter.foreach(f =>
+      validateNoConflictingCommits(base, f, baseSnapshotId, parentId))
     val version = this.version
     val snapId = base.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
     val seq = base.lastSequenceNumber + 1
     val now = System.currentTimeMillis()
     val metaDir = s"${base.location}/metadata"
 
-    val existing: Seq[ManifestFile] = base.currentSnapshot
+    val existing: Seq[ManifestFile] = parentId.flatMap(base.snapshotById)
       .map(s => ManifestIO.readManifestList(s.manifestList)).getOrElse(Nil)
 
     // conflict validation (ref: table/update/validate.py): every file this
@@ -1159,21 +1244,30 @@ class IceTable(
     // next-row-id (spec §Row Lineage)
     val firstRowId = if (base.formatVersion >= 3)
       Some(base.nextRowId.getOrElse(0L)) else None
-    val snap = Snapshot(snapId, base.currentSnapshotId, seq, now, listPath, summary,
+    val snap = Snapshot(snapId, parentId, seq, now, listPath, summary,
       base.currentSchemaId, firstRowId)
     val withExtra0 = extraMeta(base)
     val withExtra = if (registerUnpartSpec)
       withExtra0.copy(partitionSpecs = withExtra0.partitionSpecs :+ unpartSpec)
     else withExtra0
+    // only a commit to main moves current-snapshot-id and the snapshot log
+    // (the log records CURRENT-snapshot changes per the spec); a branch
+    // commit moves just its ref; a stage-only commit moves nothing (ref:
+    // SetSnapshotRefUpdate emission, update/snapshot.py:306–330)
+    val isMain = toBranch.contains("main")
     val newMeta = withExtra.copy(
       lastSequenceNumber = seq,
       lastUpdatedMs = now,
-      currentSnapshotId = Some(snapId),
+      currentSnapshotId = if (isMain) Some(snapId) else withExtra.currentSnapshotId,
       snapshots = withExtra.snapshots :+ snap,
-      snapshotLog = withExtra.snapshotLog :+ SnapshotLogEntry(now, snapId),
+      snapshotLog = if (isMain) withExtra.snapshotLog :+ SnapshotLogEntry(now, snapId)
+        else withExtra.snapshotLog,
       metadataLog = withExtra.metadataLog :+
         MetadataLogEntry(now, s"$metaDir/v$version.metadata.json"),
-      refs = withExtra.refs + ("main" -> SnapshotRef(snapId, "branch")),
+      refs = toBranch match {
+        case Some(b) => withExtra.refs + (b -> SnapshotRef(snapId, "branch"))
+        case None => withExtra.refs
+      },
       nextRowId = firstRowId.map(_ + addedRecords).orElse(withExtra.nextRowId))
     catalog.commit(name, version, newMeta)
     metadata = newMeta

@@ -28,7 +28,8 @@ final class IceScan(
     selected: Seq[String] = Seq("*"),
     snapshotIdOpt: Option[Long] = None,
     limitOpt: Option[Long] = None,
-    caseSensitive: Boolean = true) {
+    caseSensitive: Boolean = true,
+    currentSchemaPinned: Boolean = false) {
 
   private def spark: SparkSession = table.spark
   private def metadata = table.metadata
@@ -36,11 +37,20 @@ final class IceScan(
   def filter(expr: String): IceScan = filter(ExprParser.parse(expr))
   def filter(expr: Expr): IceScan =
     new IceScan(table, if (rowFilter == AlwaysTrue) expr else And(rowFilter, expr),
-      selected, snapshotIdOpt, limitOpt, caseSensitive)
+      selected, snapshotIdOpt, limitOpt, caseSensitive, currentSchemaPinned)
   def select(cols: String*): IceScan =
-    new IceScan(table, rowFilter, cols, snapshotIdOpt, limitOpt, caseSensitive)
+    new IceScan(table, rowFilter, cols, snapshotIdOpt, limitOpt, caseSensitive,
+      currentSchemaPinned)
   def useSnapshot(id: Long): IceScan =
-    new IceScan(table, rowFilter, selected, Some(id), limitOpt, caseSensitive)
+    new IceScan(table, rowFilter, selected, Some(id), limitOpt, caseSensitive,
+      currentSchemaPinned)
+  /** Pin a snapshot but keep the table's CURRENT schema — branch-targeted
+    * DML semantics (the reference binds branch writes to the transaction's
+    * current schema while planning at the branch head), as opposed to
+    * time-travel reads which use the snapshot's own schema. */
+  private[table] def withCurrentSchema: IceScan =
+    new IceScan(table, rowFilter, selected, snapshotIdOpt, limitOpt, caseSensitive,
+      currentSchemaPinned = true)
   def useRef(name: String): IceScan = {
     val snap = metadata.snapshotByName(name).getOrElse(
       throw new IllegalArgumentException(s"No ref $name"))
@@ -52,11 +62,13 @@ final class IceScan(
     useSnapshot(snap.snapshotId)
   }
   def limit(n: Long): IceScan =
-    new IceScan(table, rowFilter, selected, snapshotIdOpt, Some(n), caseSensitive)
+    new IceScan(table, rowFilter, selected, snapshotIdOpt, Some(n), caseSensitive,
+      currentSchemaPinned)
   /** ref: TableScan.with_case_sensitive — name resolution mode for
     * filter binding and column selection. */
   def withCaseSensitive(cs: Boolean): IceScan =
-    new IceScan(table, rowFilter, selected, snapshotIdOpt, limitOpt, cs)
+    new IceScan(table, rowFilter, selected, snapshotIdOpt, limitOpt, cs,
+      currentSchemaPinned)
 
   def snapshot: Option[Snapshot] =
     snapshotIdOpt.map(id => metadata.snapshotById(id).getOrElse(
@@ -68,7 +80,7 @@ final class IceScan(
     * table's current schema (so schema evolution is visible without a new
     * data commit). */
   private def scanSchema: Schema =
-    if (snapshotIdOpt.isDefined)
+    if (snapshotIdOpt.isDefined && !currentSchemaPinned)
       snapshot.map(s => metadata.schemaById(s.schemaId)).getOrElse(metadata.schema)
     else metadata.schema
 

@@ -1351,4 +1351,97 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     // leave the shared table usable for later tests
     t.setProperties("write.metadata.metrics.default" -> "counts")
   }
+
+  test("branch append: main untouched, branch chains off its fork point") {
+    val t = catalog.createTable("t_wap", Schema.fromSpark(orders.schema))
+    t.append(orders.filter(col("o_orderkey") % 2 === 0))
+    val mainHead = t.metadata.currentSnapshotId.get
+    t.manageSnapshots.createBranch("audit", mainHead)
+
+    t.append(orders.filter(col("o_orderkey") % 2 =!= 0), Map.empty, Some("audit"))
+    // main unmoved; audit moved and parents off the fork point
+    assert(t.metadata.currentSnapshotId.get === mainHead)
+    val auditHead = t.metadata.refs("audit").snapshotId
+    assert(auditHead !== mainHead)
+    assert(t.metadata.snapshotById(auditHead).get.parentSnapshotId === Some(mainHead))
+    // branch scan sees both halves, main scan only the first
+    assert(t.scan.useRef("audit").toDF.count() === orders.count())
+    assert(t.scan.toDF.count() === orders.filter(col("o_orderkey") % 2 === 0).count())
+    // a second branch append chains off the BRANCH head, not main
+    t.append(orders.limit(1), Map.empty, Some("audit"))
+    val head2 = t.metadata.refs("audit").snapshotId
+    assert(t.metadata.snapshotById(head2).get.parentSnapshotId === Some(auditHead))
+    assert(t.metadata.currentSnapshotId.get === mainHead)
+  }
+
+  test("branch delete/overwrite/upsert stay on the branch lineage") {
+    val t = catalog.createTable("t_wap_dml", Schema.fromSpark(orders.schema))
+    t.append(orders)
+    val mainHead = t.metadata.currentSnapshotId.get
+    t.manageSnapshots.createBranch("fix", mainHead)
+
+    t.delete(core.ExprParser.parse("o_orderstatus = 'F'"), Some("fix"))
+    val afterDelete = t.scan.useRef("fix").toDF
+    assert(afterDelete.filter(col("o_orderstatus") === "F").count() === 0)
+    assert(t.scan.toDF.filter(col("o_orderstatus") === "F").count() > 0)
+
+    // branch upsert: update one row, insert one new
+    val src = orders.filter(col("o_orderstatus") =!= "F").limit(1)
+      .withColumn("o_totalprice", lit(1.23))
+      .unionByName(orders.limit(1).withColumn("o_orderkey", lit(-99L)))
+    val (nU, nI) = t.upsert(src, Seq("o_orderkey"), whenMatchedUpdateAll = true,
+      whenNotMatchedInsertAll = true, caseSensitive = true, branch = Some("fix"))
+    assert(nU === 1L && nI === 1L)
+    assert(t.scan.useRef("fix").toDF.filter(col("o_orderkey") === -99L).count() === 1)
+    assert(t.scan.toDF.filter(col("o_orderkey") === -99L).count() === 0)
+    assert(t.metadata.currentSnapshotId.get === mainHead)
+  }
+
+  test("append to a tag is rejected; new branch starts an empty lineage") {
+    val t = catalog.createTable("t_wap_refs", Schema.fromSpark(orders.schema))
+    t.append(orders.limit(10))
+    t.manageSnapshots.createTag("rel", t.metadata.currentSnapshotId.get)
+    intercept[IllegalArgumentException](t.append(orders.limit(1), Map.empty, Some("rel")))
+    // a write to a not-yet-created branch starts from empty (ref:
+    // snapshot_by_name returns None for an absent ref)
+    t.append(orders.limit(5), Map.empty, Some("fresh"))
+    assert(t.scan.useRef("fresh").toDF.count() === 5)
+    val freshHead = t.metadata.refs("fresh").snapshotId
+    assert(t.metadata.snapshotById(freshHead).get.parentSnapshotId.isEmpty)
+    // branch delete on an absent branch is a no-op, creates nothing
+    t.delete(core.ExprParser.parse("o_orderkey > 0"), Some("ghost"))
+    assert(!t.metadata.refs.contains("ghost"))
+  }
+
+  test("stage-only commit moves no ref; fastForward publishes a branch") {
+    val t = catalog.createTable("t_wap_pub", Schema.fromSpark(orders.schema))
+    t.append(orders.filter(col("o_orderkey") % 2 === 0))
+    val mainHead = t.metadata.currentSnapshotId.get
+    val refsBefore = t.metadata.refs
+
+    // stage-only: snapshot exists (parented off main), no ref moved
+    t.append(orders.limit(7), Map.empty, None)
+    assert(t.metadata.refs === refsBefore)
+    assert(t.metadata.currentSnapshotId.get === mainHead)
+    val staged = t.metadata.snapshots.map(_.snapshotId).max
+    assert(t.metadata.snapshotById(staged).get.parentSnapshotId === Some(mainHead))
+    assert(t.scan.useSnapshot(staged).toDF.count() ===
+      orders.filter(col("o_orderkey") % 2 === 0).count() + 7)
+
+    // WAP: audit branch forked at main, appended, then published
+    t.manageSnapshots.createBranch("audit", mainHead)
+    t.append(orders.filter(col("o_orderkey") % 2 =!= 0), Map.empty, Some("audit"))
+    t.manageSnapshots.fastForward("main", "audit")
+    assert(t.scan.toDF.count() === orders.count())
+    assert(t.metadata.currentSnapshotId.get === t.metadata.refs("audit").snapshotId)
+
+    // catching up a branch that fell behind main IS a fast-forward
+    t.append(orders.limit(1))
+    t.manageSnapshots.fastForward("audit", "main")
+    assert(t.metadata.refs("audit").snapshotId === t.metadata.currentSnapshotId.get)
+    // but a DIVERGED branch (own commits off an old fork point) is not
+    t.manageSnapshots.createBranch("diverged", mainHead)
+    t.append(orders.limit(2), Map.empty, Some("diverged"))
+    intercept[IllegalArgumentException](t.manageSnapshots.fastForward("diverged", "main"))
+  }
 }
