@@ -74,7 +74,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   override def loadTable(ident: Identifier): Table = {
     if (tableExists(ident)) return new GraftSparkTable(catalog.loadTable(fullName(ident)))
-    metadataTableOf(ident).getOrElse(throw new NoSuchTableException(ident))
+    refTableOf(ident).orElse(metadataTableOf(ident))
+      .getOrElse(throw new NoSuchTableException(ident))
+  }
+
+  /** `cat.db.t.branch_x` / `cat.db.t.tag_x` — the ref-suffix table names
+    * of the Iceberg Spark runtime. A branch table reads at the branch
+    * head AND accepts INSERT/INSERT OVERWRITE/DELETE targeting that
+    * branch (SQL write-audit-publish); a tag table is read-only. The
+    * reported schema is the branch head's (projection is id-based, so a
+    * post-fork rename shows the fork-time names until the branch takes a
+    * new commit). */
+  private def refTableOf(ident: Identifier): Option[Table] = {
+    if (ident.namespace().isEmpty) return None
+    val baseIdent = Identifier.of(ident.namespace().dropRight(1), ident.namespace().last)
+    if (!tableExists(baseIdent)) return None
+    val n = ident.name()
+    val (refName, wantType) =
+      if (n.startsWith("branch_")) (n.stripPrefix("branch_"), "branch")
+      else if (n.startsWith("tag_")) (n.stripPrefix("tag_"), "tag")
+      else return None
+    val t = catalog.loadTable(fullName(baseIdent))
+    t.metadata.refs.get(refName).filter(_.refType == wantType).map { r =>
+      new GraftSparkTable(t, Some(r.snapshotId),
+        branch = if (wantType == "branch") Some(refName) else None)
+    }
   }
 
   /** `SELECT * FROM g.db.t.snapshots` — the reference's inspect API

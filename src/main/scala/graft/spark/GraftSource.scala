@@ -149,7 +149,12 @@ object GraftSparkTable {
   val PosColumn = "_pos"
 }
 
-class GraftSparkTable(table: IceTable, snapshotId: Option[Long] = None)
+/** `branch` routes every write (INSERT/overwrite/DELETE) to that branch's
+  * ref — the SQL face of write-audit-publish (`cat.db.t.branch_audit`,
+  * the branch_/tag_ table-name suffixes of the Iceberg Spark runtime);
+  * reads are pinned at the branch head via `snapshotId`. */
+class GraftSparkTable(table: IceTable, snapshotId: Option[Long] = None,
+    branch: Option[String] = None)
     extends SparkTable with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -167,15 +172,17 @@ class GraftSparkTable(table: IceTable, snapshotId: Option[Long] = None)
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
-    require(snapshotId.isEmpty, "Cannot write to a time-travel (pinned-snapshot) table")
-    new GraftWriteBuilder(table, info)
+    require(snapshotId.isEmpty || branch.isDefined,
+      "Cannot write to a time-travel (pinned-snapshot) table")
+    new GraftWriteBuilder(table, info, branch.orElse(Some("main")))
   }
 
   /** `DELETE FROM … WHERE` — only when the whole predicate translates
     * EXACTLY (a weakened predicate would delete extra rows); Spark falls
     * back to an error otherwise (no row-level-operation rewrite here). */
   override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
-    snapshotId.isEmpty && filters.forall(f => GraftFilters.toExprExact(f).isDefined)
+    (snapshotId.isEmpty || branch.isDefined) &&
+      filters.forall(f => GraftFilters.toExprExact(f).isDefined)
 
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
     val expr = filters.flatMap(GraftFilters.toExprExact)
@@ -184,11 +191,15 @@ class GraftSparkTable(table: IceTable, snapshotId: Option[Long] = None)
     // honor the table's delete mode even for fully-pushable predicates:
     // merge-on-read writes position deletes for partially-matched files
     // (whole-file matches drop metadata-only in both modes); CoW — the
-    // default — rewrites partially-matched files instead.
-    val mor = table.metadata.properties.get("write.delete.mode").contains("merge-on-read") &&
+    // default — rewrites partially-matched files instead. Branch targets
+    // always take the CoW path: MoR delete files would apply by sequence
+    // number to the whole table, not one branch lineage.
+    val mor = branch.isEmpty &&
+      table.metadata.properties.get("write.delete.mode").contains("merge-on-read") &&
       table.metadata.formatVersion == 2
     val norm = GraftFilters.normalizeLiterals(expr)
-    if (mor) table.deletePositional(norm) else table.delete(norm)
+    if (mor) table.deletePositional(norm)
+    else table.delete(norm, branch.orElse(Some("main")))
   }
 
   override def metadataColumns()
@@ -226,18 +237,22 @@ class GraftSparkTable(table: IceTable, snapshotId: Option[Long] = None)
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
-    require(snapshotId.isEmpty, "Cannot modify a time-travel (pinned-snapshot) table")
+    require(snapshotId.isEmpty || branch.isDefined,
+      "Cannot modify a time-travel (pinned-snapshot) table")
     import org.apache.spark.sql.connector.write.RowLevelOperation.Command
     val prop = info.command match {
       case Command.DELETE => "write.delete.mode"
       case Command.UPDATE => "write.update.mode"
       case _ => "write.merge.mode"
     }
-    val mor = table.metadata.properties.get(prop).contains("merge-on-read") &&
+    // branch targets take CoW regardless of mode: MoR delete files apply
+    // by sequence number table-wide, not per branch lineage
+    val mor = branch.isEmpty &&
+      table.metadata.properties.get(prop).contains("merge-on-read") &&
       table.metadata.formatVersion == 2
     () =>
       if (mor) new GraftDeltaOperation(table, info.command)
-      else new GraftRowLevelOperation(table, info.command)
+      else new GraftRowLevelOperation(table, info.command, branch.orElse(Some("main")))
   }
 }
 
@@ -250,7 +265,8 @@ class GraftSparkTable(table: IceTable, snapshotId: Option[Long] = None)
   * (delta/merge-on-read SQL writes are a possible future extension —
   * SupportsDelta — the library face already writes MoR deletes). */
 class GraftRowLevelOperation(table: IceTable,
-    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    branch: Option[String] = Some("main"))
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
   import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 
@@ -260,13 +276,17 @@ class GraftRowLevelOperation(table: IceTable,
 
   override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(table, None, options, onScanBuilt = configuredScan = _)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // the operation's groups come from the TARGET BRANCH's head state
+    val pin = branch.filter(_ != "main")
+      .flatMap(b => table.metadata.refs.get(b).map(_.snapshotId))
+    new GraftScanBuilder(table, pin, options, onScanBuilt = configuredScan = _)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
-        new GraftReplaceDataWrite(table, GraftRowLevelOperation.this, info.schema())
+        new GraftReplaceDataWrite(table, GraftRowLevelOperation.this, info.schema(), branch)
     }
 
   override def requiredMetadataAttributes()
@@ -285,7 +305,7 @@ class GraftRowLevelOperation(table: IceTable,
   * the commit's conflict filter, so a concurrent writer into the same
   * key range forces a retry-time re-validation. */
 class GraftReplaceDataWrite(table: IceTable, op: GraftRowLevelOperation,
-    rowSchema: StructType)
+    rowSchema: StructType, branch: Option[String] = Some("main"))
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
@@ -308,7 +328,7 @@ class GraftReplaceDataWrite(table: IceTable, op: GraftRowLevelOperation,
       if (removed.nonEmpty || files.nonEmpty) {
         // the scan planned against the pre-command snapshot this handle
         // still holds; conflict validation replays from there
-        val base = table.metadata.currentSnapshotId
+        val base = table.metadata.refs.get(branch.getOrElse("main")).map(_.snapshotId)
         val replacement =
           if (files.isEmpty)
             table.spark.createDataFrame(
@@ -319,7 +339,7 @@ class GraftReplaceDataWrite(table: IceTable, op: GraftRowLevelOperation,
         table.refresh()
         table.replaceFiles(removed, named,
           conflictFilter = Some(GraftFilters.normalizeLiterals(scan.planExpr)),
-          baseSnapshotId = base)
+          baseSnapshotId = base, toBranch = branch)
       }
     } finally cleanup()
   }
@@ -550,7 +570,8 @@ class GraftDeltaWriter(dataDir: String, deleteDir: String, rowSchemaJson: String
   * bridge reuses it verbatim (write modes mirror _FastAppendFiles /
   * _OverwriteFiles, ref update/snapshot.py:503/:585). */
 class GraftWriteBuilder(table: IceTable,
-    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo,
+    branch: Option[String] = Some("main"))
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate
     with org.apache.spark.sql.connector.write.SupportsOverwrite
@@ -581,7 +602,7 @@ class GraftWriteBuilder(table: IceTable,
   override def build(): Write = mode match {
     // Spark has no V1 fallback for OverwritePartitionsDynamicExec, so
     // dynamic overwrite is a real BatchWrite (staged executor-side files)
-    case DynamicMode => new GraftDynamicOverwriteWrite(table)
+    case DynamicMode => new GraftDynamicOverwriteWrite(table, branch)
     case _ => new V1Write {
       override def toInsertableRelation: sources.InsertableRelation =
         (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
@@ -590,8 +611,9 @@ class GraftWriteBuilder(table: IceTable,
           table.refresh()
           val named = data.toDF(table.schema.fields.map(_.name): _*)
           mode match {
-            case AppendMode => table.append(named)
-            case OverwriteMode(f) => table.overwrite(named, f)
+            case AppendMode => table.append(named, Map.empty[String, String], branch)
+            case OverwriteMode(f) =>
+              table.overwrite(named, f, Map.empty[String, String], branch)
             case DynamicMode => throw new IllegalStateException("unreachable")
           }
         }
@@ -599,6 +621,9 @@ class GraftWriteBuilder(table: IceTable,
       // Complete arrives as truncate() → whole-table overwrite per epoch
       override def toStreaming
           : org.apache.spark.sql.connector.write.streaming.StreamingWrite = mode match {
+        case _ if !branch.contains("main") =>
+          throw new UnsupportedOperationException(
+            "streaming writes target main only — branch epochs would race the publish")
         case AppendMode =>
           new GraftStreamingWrite(table, info.queryId(), info.schema(), truncateEachEpoch = false)
         case OverwriteMode(AlwaysTrue) =>
@@ -694,7 +719,8 @@ class GraftStreamingStagingFactory(root: String, schemaJson: String,
   * tasks' files are read (speculative duplicates are ignored); staging is
   * removed on commit AND abort. The staging hop costs one extra
   * materialization — the price of Spark not offering a V1 bridge here. */
-class GraftDynamicOverwriteWrite(table: IceTable)
+class GraftDynamicOverwriteWrite(table: IceTable,
+    branch: Option[String] = Some("main"))
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
@@ -715,7 +741,7 @@ class GraftDynamicOverwriteWrite(table: IceTable)
       if (files.nonEmpty) {
         val df = table.spark.read.schema(tableStruct).parquet(files.toIndexedSeq: _*)
         table.refresh()
-        table.dynamicPartitionOverwrite(df)
+        table.dynamicPartitionOverwrite(df, branch)
       } // empty source → dynamic overwrite touches no partitions: no-op
     } finally cleanup()
   }

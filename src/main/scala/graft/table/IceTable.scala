@@ -299,12 +299,14 @@ class IceTable(
     * in the same snapshot. */
   private[graft] def replaceFiles(removed: Set[String], df: DataFrame,
       conflictFilter: Option[Expr] = None,
-      baseSnapshotId: Option[Long] = None): Unit = {
+      baseSnapshotId: Option[Long] = None,
+      toBranch: Option[String] = Some("main")): Unit = {
     val added = WriteFiles.write(spark, location, schema, spec, df,
       UUID.randomUUID().toString, sortOrderOpt, metadata.properties)
     commitSnapshot("overwrite", added = added,
-      removedPaths = removed ++ deadDeleteFiles(removed),
-      conflictFilter = conflictFilter, baseSnapshotId = baseSnapshotId)
+      removedPaths = removed ++ deadDeleteFiles(removed, toBranch),
+      conflictFilter = conflictFilter, baseSnapshotId = baseSnapshotId,
+      toBranch = toBranch)
   }
 
   private def deadDeleteFiles(removedData: Set[String],

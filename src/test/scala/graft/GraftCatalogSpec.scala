@@ -695,4 +695,55 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sql = new graft.catalog.SqlCatalog(s"jdbc:derby:$dbDir/meta", wh2, spark)
     assert(sql.tableExists("t1"))
   }
+
+  test("branch_/tag_ table names: SQL write-audit-publish") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.wap (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.db.wap VALUES (1, 'a'), (2, 'b')")
+    val eng = new HadoopCatalog(warehouse, spark).loadTable("db.wap")
+    val mainHead = eng.metadata.currentSnapshotId.get
+    eng.manageSnapshots.createBranch("audit", mainHead)
+    eng.manageSnapshots.createTag("rel", mainHead)
+
+    // write lands on the branch, main stays put
+    spark.sql("INSERT INTO g.db.wap.branch_audit VALUES (3, 'c')")
+    assert(spark.sql("SELECT * FROM g.db.wap.branch_audit").count() === 3)
+    assert(spark.sql("SELECT * FROM g.db.wap").count() === 2)
+    // DELETE on the branch (CoW path)
+    spark.sql("DELETE FROM g.db.wap.branch_audit WHERE k = 1")
+    assert(spark.sql("SELECT k FROM g.db.wap.branch_audit ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L, 3L))
+    assert(spark.sql("SELECT * FROM g.db.wap").count() === 2)
+
+    // tag table reads the pinned state and rejects writes
+    assert(spark.sql("SELECT * FROM g.db.wap.tag_rel").count() === 2)
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO g.db.wap.tag_rel VALUES (9, 'x')"))
+    assert(e.getMessage.contains("time-travel") || e.getMessage.contains("not found")
+      || e.getMessage.toLowerCase.contains("tag"))
+
+    // UPDATE and MERGE rewrite copy-on-write ON THE BRANCH
+    spark.sql("UPDATE g.db.wap.branch_audit SET v = 'updated' WHERE k = 2")
+    assert(spark.sql("SELECT v FROM g.db.wap.branch_audit WHERE k = 2")
+      .collect().map(_.getString(0)).toSeq === Seq("updated"))
+    spark.sql("""MERGE INTO g.db.wap.branch_audit t
+      USING (SELECT 3L AS k, 'merged' AS v UNION ALL SELECT 4L, 'new') s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql("SELECT k, v FROM g.db.wap.branch_audit ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((2L, "updated"), (3L, "merged"), (4L, "new")))
+    // main STILL untouched by any of it
+    assert(spark.sql("SELECT * FROM g.db.wap").count() === 2)
+
+    // publish: fast-forward main to the audited branch
+    eng.refresh()
+    eng.manageSnapshots.fastForward("main", "audit")
+    assert(spark.sql("SELECT k FROM g.db.wap ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L, 3L, 4L))
+    // an unknown ref name still resolves to "no such table"
+    val miss = intercept[Exception](spark.sql("SELECT * FROM g.db.wap.branch_nope"))
+    assert(miss.getMessage.toUpperCase.contains("TABLE"))
+  }
 }
