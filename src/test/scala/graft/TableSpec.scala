@@ -1352,6 +1352,25 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.setProperties("write.metadata.metrics.default" -> "counts")
   }
 
+  test("expire with cleanExpiredFiles never breaks a live branch head") {
+    val t = catalog.createTable("t_wap_expire", Schema.fromSpark(orders.schema))
+    t.append(orders.filter(col("o_orderkey") % 2 === 0))
+    val fork = t.metadata.currentSnapshotId.get
+    t.manageSnapshots.createBranch("keepme", fork)
+    t.append(orders.filter(col("o_orderkey") % 2 =!= 0), Map.empty, Some("keepme"))
+    // main moves on twice; the branch's FORK ANCESTOR becomes expirable,
+    // but files its head references live must survive the physical clean
+    t.overwrite(orders.limit(50), graft.core.AlwaysTrue)
+    t.append(orders.limit(5))
+    val expired = t.expireSnapshots().olderThan(System.currentTimeMillis() + 60000)
+      .cleanExpiredFiles(true).commit()
+    assert(expired.nonEmpty)
+    // branch head protected, still scannable, with full content
+    assert(t.metadata.refs.contains("keepme"))
+    assert(t.scan.useRef("keepme").toDF.count() === orders.count())
+    assert(t.scan.toDF.count() === 55)
+  }
+
   test("branch append: main untouched, branch chains off its fork point") {
     val t = catalog.createTable("t_wap", Schema.fromSpark(orders.schema))
     t.append(orders.filter(col("o_orderkey") % 2 === 0))
