@@ -1352,6 +1352,26 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.setProperties("write.metadata.metrics.default" -> "counts")
   }
 
+  test("stale-handle commits to two branches both land via retry") {
+    val t0 = catalog.createTable("t_wap_race", Schema.fromSpark(orders.schema))
+    t0.append(orders.limit(100))
+    val fork = t0.metadata.currentSnapshotId.get
+    t0.manageSnapshots.createBranch("b1", fork)
+    t0.manageSnapshots.createBranch("b2", fork)
+    // two handles race: the loser's CAS fails, the retry replans against
+    // the refreshed metadata and lands on ITS branch without touching the
+    // other's ref
+    val a = catalog.loadTable("t_wap_race")
+    val b = catalog.loadTable("t_wap_race")
+    b.append(orders.limit(10), Map.empty, Some("b2"))
+    a.append(orders.limit(20), Map.empty, Some("b1"))
+    val after = catalog.loadTable("t_wap_race")
+    assert(after.scan.useRef("b1").toDF.count() === 120)
+    assert(after.scan.useRef("b2").toDF.count() === 110)
+    assert(after.scan.toDF.count() === 100)
+    assert(after.metadata.currentSnapshotId.get === fork)
+  }
+
   test("expire with cleanExpiredFiles never breaks a live branch head") {
     val t = catalog.createTable("t_wap_expire", Schema.fromSpark(orders.schema))
     t.append(orders.filter(col("o_orderkey") % 2 === 0))
