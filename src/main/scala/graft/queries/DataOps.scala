@@ -660,7 +660,103 @@ object DataOps {
       |  event_type, count(*) AS n
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------- training-mix operators
+
+  /** Benchmark DECONTAMINATION: flag training documents that share any
+    * 4-word shingle with the held-out eval set (doc_id % 7 == 0 plays
+    * the benchmark corpus) — the standard n-gram-overlap hygiene pass
+    * run before pretraining. One gram-keyed equi-join (single shuffle);
+    * at 100 TB the grams become int64 xxhash64 keys and the eval side —
+    * benchmarks are ~10⁵ docs, not 10¹⁰ — broadcasts, making this a
+    * shuffle-free map-side probe over the training corpus. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tok = docs.select(col("doc_id"),
+        filter(split(lower(trim(col("text"))), "\\s+"), w => w =!= "").as("w"))
+      .filter(size(col("w")) >= 4)
+    val grams = tok.select(col("doc_id"),
+      explode(array_distinct(transform(sequence(lit(1), size(col("w")) - 3),
+        i => concat_ws(" ", slice(col("w"), i, lit(4)))))).as("g"))
+    val evalGrams = grams.filter(col("doc_id") % 7 === 0).select("g").distinct()
+    grams.filter(col("doc_id") % 7 =!= 0)
+      .join(evalGrams, "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+  val decontaminateSql =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(w) - 3),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS g
+      |  FROM tok WHERE len(w) >= 4),
+      |ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0)
+      |SELECT t.doc_id, count(DISTINCT t.g) AS n_shared
+      |FROM grams t JOIN ev ON t.g = ev.g
+      |WHERE t.doc_id % 7 <> 0
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+  /** DETERMINISTIC stratified sampling — the training-mix step that takes
+    * each language at its own rate. The keep decision is a pure function
+    * of (doc_id, lang) (modulus, not rand()), so the sample is
+    * reproducible across engines, retries and scales — a property random
+    * sampling loses the moment a task retries. Map-side only: zero
+    * shuffle, composes with any downstream op. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // per-stratum keep-rates in tenths: downsample dominant en, keep the
+    // tail languages whole
+    val rate = typedLit(Map("en" -> 3, "de" -> 10, "es" -> 10, "fr" -> 10, "zh" -> 10))
+    docs.filter(pmod(col("doc_id"), lit(10)) < coalesce(rate(col("lang")), lit(10)))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      .orderBy(col("lang"))
+  }
+  val sampleStratifiedSql =
+    """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM documents
+      |WHERE doc_id % 10 < (CASE lang WHEN 'en' THEN 3 ELSE 10 END)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** SEQUENCE PACKING: assign documents to fixed-token-budget training
+    * sequences by cumulative token count in deterministic (lang, doc_id)
+    * order — the greedy packing pretraining loaders run. The running sum
+    * is a window per LANGUAGE partition (never a global single-partition
+    * window): strata pack independently and in parallel; at 100 TB the
+    * partition key becomes (lang, shard) with per-shard budgets. */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tokens = size(filter(split(trim(col("text")), "\\s+"), w => w =!= ""))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs.select(col("lang"), col("doc_id"), tokens.as("tok"))
+      .withColumn("seq_id", floor((sum(col("tok")).over(win) - col("tok")) / 512))
+      .groupBy(col("lang"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("seq_tokens"))
+      .orderBy(col("lang"), col("seq_id"))
+  }
+  val packSequencesSql =
+    """WITH tok AS (
+      |  SELECT lang, doc_id,
+      |    len(list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '')) AS tok
+      |  FROM documents),
+      |packed AS (
+      |  SELECT lang, doc_id, tok,
+      |    CAST(floor((sum(tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok) / 512) AS BIGINT) AS seq_id
+      |  FROM tok)
+      |SELECT lang, seq_id, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS seq_tokens
+      |FROM packed GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_decontaminate" -> (decontaminate _),
+    "ds_sample_stratified" -> (sampleStratified _),
+    "ds_pack_sequences" -> (packSequences _),
     "ds_dedup_exact" -> (dedupExact _),
     "ds_dedup_jaccard" -> (dedupJaccard _),
     "ds_dedup_cluster" -> (dedupCluster _),
@@ -678,6 +774,9 @@ object DataOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "ds_decontaminate" -> decontaminateSql,
+    "ds_sample_stratified" -> sampleStratifiedSql,
+    "ds_pack_sequences" -> packSequencesSql,
     "ds_dedup_exact" -> dedupExactSql,
     "ds_dedup_jaccard" -> dedupJaccardSql,
     "ds_dedup_cluster" -> dedupClusterSql,
