@@ -1651,8 +1651,13 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
     * snapshot ids (SURVEY §2.J — each micro-batch = one snapshot range,
     * the DSv2 MicroBatchStream the survey reserves a seam for). */
   override def toMicroBatchStream(checkpointLocation: String):
-      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // a pinned scan (time travel / branch_x / tag_x) must not silently
+    // stream MAIN's appends; streaming follows the live main lineage only
+    require(snapshotId.isEmpty,
+      "streaming reads follow main — not a time-travel pin or a branch/tag table")
     new GraftMicroBatchStream(table, required, maxSnapshotsPerTrigger)
+  }
 }
 
 final case class SnapshotOffset(snapshotId: Long)
