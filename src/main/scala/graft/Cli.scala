@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 import graft.catalog.{Catalog, HadoopCatalog, SqlCatalog}
+import graft.core.JsonText.{quote => q}
 
 /** Console face of the library — the reference ships one as the
   * `pyiceberg` entry point (ref: cli/console.py): list / describe /
@@ -127,14 +128,16 @@ object Cli {
       case "properties-get" :: t :: k :: Nil =>
         cat.loadTable(t).metadata.properties.get(k) match {
           case Some(v) => println(v)
-          case None => System.err.println(s"no property $k"); sys.exit(1)
+          // throw, don't sys.exit: run() is also called in-process (tests,
+          // embedding JVMs); main() maps exceptions to exit codes
+          case None => throw new IllegalArgumentException(s"no property $k")
         }
       case "properties-set" :: t :: k :: v :: Nil =>
         cat.loadTable(t).setProperties(k -> v)
       case "properties-remove" :: t :: k :: Nil =>
         cat.loadTable(t).removeProperties(k)
       case other =>
-        System.err.println(s"unknown command: ${other.mkString(" ")}\n$usage"); sys.exit(2)
+        throw new IllegalArgumentException(s"unknown command: ${other.mkString(" ")}\n$usage")
     }
   }
 
@@ -144,13 +147,6 @@ object Cli {
       val src = tab.schema.byId(pf.sourceId).name
       s"${pf.name}=${pf.transform}($src)"
     }.mkString(", ")
-
-  private def q(s: String): String = "\"" + s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
 
   private val usage =
     """usage: graft.Cli --warehouse DIR [--uri JDBC_URL] [--json] <command> [args…]

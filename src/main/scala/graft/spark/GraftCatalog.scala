@@ -81,19 +81,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   /** `cat.db.t.branch_x` / `cat.db.t.tag_x` — the ref-suffix table names
     * of the Iceberg Spark runtime. A branch table reads at the branch
     * head AND accepts INSERT/INSERT OVERWRITE/DELETE targeting that
-    * branch (SQL write-audit-publish); a tag table is read-only. The
-    * reported schema is the branch head's (projection is id-based, so a
-    * post-fork rename shows the fork-time names until the branch takes a
-    * new commit). */
+    * branch (SQL write-audit-publish); a tag table is read-only. Branch
+    * tables report the table's CURRENT schema (one schema across refs —
+    * Iceberg semantics; the id-based projection maps it onto the branch
+    * head's files); tags report their snapshot's schema like time
+    * travel. */
   private def refTableOf(ident: Identifier): Option[Table] = {
     if (ident.namespace().isEmpty) return None
-    val baseIdent = Identifier.of(ident.namespace().dropRight(1), ident.namespace().last)
-    if (!tableExists(baseIdent)) return None
+    // cheap name test FIRST: every metadata-table load routes through
+    // here, and tableExists is a filesystem/JDBC round-trip
     val n = ident.name()
     val (refName, wantType) =
       if (n.startsWith("branch_")) (n.stripPrefix("branch_"), "branch")
       else if (n.startsWith("tag_")) (n.stripPrefix("tag_"), "tag")
       else return None
+    val baseIdent = Identifier.of(ident.namespace().dropRight(1), ident.namespace().last)
+    if (!tableExists(baseIdent)) return None
     val t = catalog.loadTable(fullName(baseIdent))
     t.metadata.refs.get(refName).filter(_.refType == wantType).map { r =>
       new GraftSparkTable(t, Some(r.snapshotId),

@@ -161,14 +161,19 @@ class GraftSparkTable(table: IceTable, snapshotId: Option[Long] = None,
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = table.name
-  override def schema(): StructType = GraftSparkTable.schemaOf(table, snapshotId).toSpark
+  /** Branch tables report the table's CURRENT schema (Iceberg semantics:
+    * one schema across refs; id-based projection maps it onto the branch
+    * head's files) — only a pure time-travel pin reports the snapshot's
+    * own schema. */
+  private val schemaPin: Option[Long] = if (branch.isDefined) None else snapshotId
+  override def schema(): StructType = GraftSparkTable.schemaOf(table, schemaPin).toSpark
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(table, snapshotId, options)
+    new GraftScanBuilder(table, snapshotId, options, schemaAtOrNull = schemaPin)
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -280,7 +285,8 @@ class GraftRowLevelOperation(table: IceTable,
     // the operation's groups come from the TARGET BRANCH's head state
     val pin = branch.filter(_ != "main")
       .flatMap(b => table.metadata.refs.get(b).map(_.snapshotId))
-    new GraftScanBuilder(table, pin, options, onScanBuilt = configuredScan = _)
+    new GraftScanBuilder(table, pin, options, onScanBuilt = configuredScan = _,
+      schemaAtOrNull = None)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -327,8 +333,10 @@ class GraftReplaceDataWrite(table: IceTable, op: GraftRowLevelOperation,
       val removed = scan.plannedTasks().map(_.file.filePath).toSet
       if (removed.nonEmpty || files.nonEmpty) {
         // the scan planned against the pre-command snapshot this handle
-        // still holds; conflict validation replays from there
+        // still holds; conflict validation replays from there (main falls
+        // back to current-snapshot-id for refs-less metadata)
         val base = table.metadata.refs.get(branch.getOrElse("main")).map(_.snapshotId)
+          .orElse(if (branch.forall(_ == "main")) table.metadata.currentSnapshotId else None)
         val replacement =
           if (files.isEmpty)
             table.spark.createDataFrame(
@@ -811,15 +819,23 @@ class GraftStagingWriter(dir: String, schemaJson: String, partitionId: Int,
   override def close(): Unit = ()
 }
 
+/** `snapshotId` pins FILE PLANNING; `schemaAtOrNull` pins SCHEMA
+  * resolution separately (null = same as snapshotId). They differ for
+  * branch tables: files plan at the branch head while names bind to the
+  * table's CURRENT schema — the id-based projection then maps current
+  * columns onto the older files, exactly like schema evolution. */
 class GraftScanBuilder(table: IceTable, snapshotId: Option[Long] = None,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
-    onScanBuilt: GraftScan => Unit = _ => ())
+    onScanBuilt: GraftScan => Unit = _ => (),
+    schemaAtOrNull: Option[Long] = null)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownAggregates {
 
+  private val schemaAt: Option[Long] =
+    if (schemaAtOrNull == null) snapshotId else schemaAtOrNull
   private var pushed: Array[sources.Filter] = Array.empty
   private var expr: Expr = AlwaysTrue
-  private var required: StructType = GraftSparkTable.schemaOf(table, snapshotId).toSpark
+  private var required: StructType = GraftSparkTable.schemaOf(table, schemaAt).toSpark
   private var emitFile: Boolean = false
   private var emitPos: Boolean = false
   private var limit: Long = -1L
@@ -868,7 +884,7 @@ class GraftScanBuilder(table: IceTable, snapshotId: Option[Long] = None,
       : Option[(StructType, Seq[Array[Any]])] = {
     val key = s"$agg|$expr"
     if (aggMemo == null || aggMemo._1 != key)
-      aggMemo = (key, GraftAggPushdown.compute(table, snapshotId, expr, agg))
+      aggMemo = (key, GraftAggPushdown.compute(table, snapshotId, expr, agg, schemaAt))
     aggMemo._2
   }
 
@@ -886,7 +902,8 @@ class GraftScanBuilder(table: IceTable, snapshotId: Option[Long] = None,
     case Some((schema, rows)) => new GraftAggScan(schema, rows)
     case None =>
       val scan = new GraftScan(table, expr, required, limit, snapshotId,
-        Option(options.get("max-snapshots-per-trigger")).map(_.toInt), emitFile, emitPos)
+        Option(options.get("max-snapshots-per-trigger")).map(_.toInt), emitFile, emitPos,
+        schemaAtOrNull = schemaAt)
       // the row-level operation's write needs THIS scan at commit (the
       // CoW replacement group / the delta conflict filter)
       onScanBuilt(scan)
@@ -936,9 +953,11 @@ object GraftAggPushdown {
     * remains; this source reports every filter as post-scan, so `expr`
     * is AlwaysTrue here — asserted defensively. */
   def compute(table: IceTable, snapshotId: Option[Long], expr: Expr,
-      agg: Aggregation): Option[(StructType, Seq[Array[Any]])] = {
+      agg: Aggregation,
+      schemaAtOrNull: Option[Long] = null): Option[(StructType, Seq[Array[Any]])] = {
     if (expr != AlwaysTrue) return None
-    val schema = GraftSparkTable.schemaOf(table, snapshotId)
+    val schemaAt = if (schemaAtOrNull == null) snapshotId else schemaAtOrNull
+    val schema = GraftSparkTable.schemaOf(table, schemaAt)
 
     def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[graft.core.NestedField] = e match {
@@ -1303,10 +1322,14 @@ final case class GraftMultiFilePartition(parts: Array[GraftInputPartition])
 class GraftScan(table: IceTable, expr: Expr, required: StructType,
     pushedLimit: Long = -1L, snapshotId: Option[Long] = None,
     maxSnapshotsPerTrigger: Option[Int] = None,
-    emitFile: Boolean = false, emitPos: Boolean = false)
+    emitFile: Boolean = false, emitPos: Boolean = false,
+    schemaAtOrNull: Option[Long] = null)
     extends Scan with Batch with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with SupportsReportStatistics with SupportsReportPartitioning {
+
+  private val schemaAt: Option[Long] =
+    if (schemaAtOrNull == null) snapshotId else schemaAtOrNull
 
   override def readSchema(): StructType =
     if (!emitFile) required
@@ -1332,7 +1355,11 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
     if (cached != null && cached._1 == key) cached._2
     else {
       val base = table.scan.filter(GraftFilters.normalizeLiterals(key._1))
-      val pinned = snapshotId.fold(base)(base.useSnapshot)
+      val pinned0 = snapshotId.fold(base)(base.useSnapshot)
+      // branch tables (schemaAt=None, snapshotId=head): bind names to the
+      // CURRENT schema while planning the pinned files
+      val pinned = if (snapshotId.isDefined && schemaAt.isEmpty)
+        pinned0.withCurrentSchema else pinned0
       val all = pinned.planFiles()
       // runtime GROUP filter (row-level ops): keep only the named files
       val tasks = runtimeFiles match {
@@ -1369,7 +1396,7 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
     // scale bytes to the pruned column set via on-disk column sizes, so a
     // 2-column projection of a wide table reports 2 columns' bytes
     val names = required.fieldNames.toSet
-    val wantedIds = GraftSparkTable.schemaOf(table, snapshotId).fields
+    val wantedIds = GraftSparkTable.schemaOf(table, schemaAt).fields
       .filter(f => names.contains(f.name)).map(_.id).toSet
     val (wantedBytes, allBytes) = tasks.foldLeft((0L, 0L)) { case ((w, a), t) =>
       val cs = t.file.columnSizes
@@ -1455,7 +1482,7 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
     if (specIds.sizeIs != 1) return None
     val spec = table.metadata.specById(specIds.head)
     if (spec.fields.isEmpty) return None
-    val schema = GraftSparkTable.schemaOf(table, snapshotId)
+    val schema = GraftSparkTable.schemaOf(table, schemaAt)
     import org.apache.spark.sql.connector.expressions.{Expressions => Xs}
     val exprs = spec.fields.map { pf =>
       val src = schema.byId.get(pf.sourceId).getOrElse(return None)
@@ -1500,7 +1527,7 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
     GraftScan.lastRuntimeFiltered = runtimeExpr != AlwaysTrue
     // requested engine schema = snapshot-schema fields matching the pruned
     // columns (time travel projects with the schema as of that snapshot)
-    val engineSchema = GraftSparkTable.schemaOf(table, snapshotId)
+    val engineSchema = GraftSparkTable.schemaOf(table, schemaAt)
     val names = required.fieldNames.toSet
     val readSchema = Schema(engineSchema.fields.filter(f => names.contains(f.name)))
     val json = MetadataJson.schemaToJson(readSchema).toString
@@ -1525,7 +1552,7 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
     // vectorized readers request uuid as STRING, which Spark's updater
     // rejects over FLBA(16) — the documented write.uuid.fixed16 tradeoff
     val uuidFixed16 = table.metadata.properties.get("write.uuid.fixed16").contains("true") &&
-      GraftSparkTable.schemaOf(table, snapshotId).fields.exists(_.fieldType == graft.core.IUUID)
+      GraftSparkTable.schemaOf(table, schemaAt).fields.exists(_.fieldType == graft.core.IUUID)
     def parquetOwn(path: String, fmt: String): Boolean =
       fmt.toUpperCase == "PARQUET" && !uuidFixed16 &&
         graft.core.PathUtil.underDataRoot(table.location, path)

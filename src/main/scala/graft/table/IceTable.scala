@@ -274,7 +274,7 @@ class IceTable(
     * snapshot_by_name metadata.py:304 returns None for an absent ref;
     * _parent_snapshot_id update/snapshot.py:131). */
   private def branchHeadId(branch: Option[String]): Option[Long] =
-    metadata.refs.get(branch.getOrElse("main")).map(_.snapshotId)
+    targetHeadId(metadata, branch)
 
   /** Scan over the state a `branch`-targeted DML plans against: pinned at
     * the branch's head (with the CURRENT schema — branch DML binds to the
@@ -1034,9 +1034,16 @@ class IceTable(
   /** Head snapshot id the commit parents off: the target branch's ref, or
     * main's for a stage-only (toBranch = None) commit (ref:
     * snapshot_by_name metadata.py:304 — None resolves to MAIN_BRANCH;
-    * update/snapshot.py:131 _parent_snapshot_id). */
-  private def targetHeadId(base: TableMetadata, toBranch: Option[String]): Option[Long] =
-    base.refs.get(toBranch.getOrElse("main")).map(_.snapshotId)
+    * update/snapshot.py:131 _parent_snapshot_id). For "main", falls back
+    * to current-snapshot-id when the refs map has no main entry — valid
+    * Iceberg metadata (v1, or externally written) tracks the current
+    * snapshot without a refs map, and resolving it to "no head" would
+    * make the next commit silently orphan every existing row. */
+  private def targetHeadId(base: TableMetadata, toBranch: Option[String]): Option[Long] = {
+    val name = toBranch.getOrElse("main")
+    base.refs.get(name).map(_.snapshotId)
+      .orElse(if (name == "main") base.currentSnapshotId else None)
+  }
 
   /** Snapshots committed after `fromId` on the ancestor chain of `headId`
     * (the target branch's head), nearest first. When `fromId` is not an

@@ -48,7 +48,7 @@ final class IceScan(
     * DML semantics (the reference binds branch writes to the transaction's
     * current schema while planning at the branch head), as opposed to
     * time-travel reads which use the snapshot's own schema. */
-  private[table] def withCurrentSchema: IceScan =
+  private[graft] def withCurrentSchema: IceScan =
     new IceScan(table, rowFilter, selected, snapshotIdOpt, limitOpt, caseSensitive,
       currentSchemaPinned = true)
   def useRef(name: String): IceScan = {

@@ -696,6 +696,25 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sql.tableExists("t1"))
   }
 
+  test("branch tables bind the CURRENT schema after post-fork evolution") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.wap_ev (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.db.wap_ev VALUES (1, 'a')")
+    val eng = new HadoopCatalog(warehouse, spark).loadTable("db.wap_ev")
+    eng.manageSnapshots.createBranch("audit", eng.metadata.currentSnapshotId.get)
+    // main's schema evolves AFTER the fork; branches share the table
+    // schema (Iceberg semantics), so the branch face must follow
+    spark.sql("ALTER TABLE g.db.wap_ev ADD COLUMN z DOUBLE")
+    spark.sql("INSERT INTO g.db.wap_ev.branch_audit VALUES (2, 'b', 2.5)")
+    val rows = spark.sql(
+      "SELECT k, v, z FROM g.db.wap_ev.branch_audit ORDER BY k").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(rows(0).isNullAt(2) && rows(1).getDouble(2) === 2.5)
+    // main still has only its own row, with the evolved schema
+    assert(spark.sql("SELECT * FROM g.db.wap_ev").columns.length === 3)
+    assert(spark.sql("SELECT * FROM g.db.wap_ev").count() === 1)
+  }
+
   test("branch_/tag_ table names: SQL write-audit-publish") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
     spark.sql("CREATE TABLE g.db.wap (k BIGINT, v STRING)")

@@ -1352,6 +1352,19 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.setProperties("write.metadata.metrics.default" -> "counts")
   }
 
+  test("commit against refs-less metadata keeps existing data (v1 adoption)") {
+    val t = catalog.createTable("t_no_refs", Schema.fromSpark(orders.schema))
+    t.append(orders.limit(100))
+    // valid Iceberg metadata can track current-snapshot-id WITHOUT a refs
+    // map (v1 files, or externally-written metadata adopted via
+    // registerTable); parent/existing resolution must fall back to it
+    t.commitMetadata(m => m.copy(refs = Map.empty))
+    t.append(orders.limit(50))
+    assert(t.scan.toDF.count() === 150)
+    val head = t.metadata.currentSnapshotId.get
+    assert(t.metadata.snapshotById(head).get.parentSnapshotId.isDefined)
+  }
+
   test("stale-handle commits to two branches both land via retry") {
     val t0 = catalog.createTable("t_wap_race", Schema.fromSpark(orders.schema))
     t0.append(orders.limit(100))
