@@ -31,20 +31,23 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
     var failed = List.empty[String]
     val results = selected.map { case (name, fn) =>
+      // a crashing query must fail the bench run, not record a fast time —
+      // and a fast-CRASHING rep must not win the min either
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        // a crashing query must fail the bench run, not record a fast time
-        try { fn(spark, sfDir).count() } catch {
+        val ok = try { fn(spark, sfDir).count(); true } catch {
           case e: Throwable =>
             if (!failed.contains(name)) {
               failed ::= name
               System.err.println(s"BENCH FAILURE in $name: $e")
               e.printStackTrace()
             }
+            false
         }
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> times.min
+      val good = times.filter(_._2).map(_._1)
+      name -> (if (good.nonEmpty) good.min else times.map(_._1).max)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

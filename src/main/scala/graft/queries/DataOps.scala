@@ -612,7 +612,8 @@ object DataOps {
     val src =
       if (srcFile.isDirectory) srcFile.getPath
       else {
-        val fp = s"${srcFile.length()}_${srcFile.lastModified()}"
+        val fp = Integer.toHexString(srcFile.getCanonicalPath.hashCode) +
+          s"_${srcFile.length()}_${srcFile.lastModified()}"
         val staged = new java.io.File(
           s"${System.getProperty("java.io.tmpdir")}/graft_stream_${fp}")
         if (!staged.exists()) {

@@ -125,7 +125,11 @@ class GraftSource extends TableProvider with org.apache.spark.sql.sources.DataSo
     if (from.isEmpty && to.isEmpty) return None
     val cur = to.orElse(table.metadata.currentSnapshotId).getOrElse(
       throw new IllegalArgumentException("change-range on an empty table"))
-    val start = from.getOrElse(table.metadata.ancestorsOf(cur).last.snapshotId)
+    // default start = 0 = TABLE START (from is EXCLUSIVE): the first
+    // ancestor's id would silently drop the first snapshot's rows —
+    // matching the streaming source's initial-offset semantics and the
+    // `t.changes` face
+    val start = from.getOrElse(0L)
     Some((start, cur))
   }
 
@@ -1118,26 +1122,24 @@ class GraftMetadataTable(name0: String, df: org.apache.spark.sql.DataFrame)
     }
 }
 
-/** One-partition scan over driver-materialized internal rows. */
-final case class GraftRowsPartition(rows: Array[InternalRow]) extends InputPartition
-
-class GraftRowsScan(df: org.apache.spark.sql.DataFrame) extends Scan with Batch {
+/** DataFrame-backed scan served as a V1 relation: `buildScan()` returns
+  * the frame's own DISTRIBUTED RDD, so the result — which for
+  * `t.changes` / `t.changelog` / `t.position_deletes` / change-range
+  * reads is row-sized, not descriptor-sized — never materializes on the
+  * driver and keeps the source frame's partitioning. (The previous shape
+  * executeCollect()ed into one partition: fine for the descriptor-sized
+  * inspect tables it was built for, a driver-heap scale-killer once the
+  * change feed became SQL-reachable.) */
+class GraftRowsScan(df: org.apache.spark.sql.DataFrame)
+    extends Scan with org.apache.spark.sql.connector.read.V1Scan {
   override def readSchema(): StructType = df.schema
-  override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
-    Array(GraftRowsPartition(org.apache.spark.sql.GraftBridge.internalRows(df)))
-  override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-        new PartitionReader[InternalRow] {
-          private val it = partition.asInstanceOf[GraftRowsPartition].rows.iterator
-          private var current: InternalRow = _
-          override def next(): Boolean =
-            if (it.hasNext) { current = it.next(); true } else false
-          override def get(): InternalRow = current
-          override def close(): Unit = ()
-        }
-    }
+  override def toV1TableScan[T <: sources.BaseRelation with sources.TableScan](
+      context: org.apache.spark.sql.SQLContext): T =
+    (new sources.BaseRelation with sources.TableScan {
+      override def sqlContext: org.apache.spark.sql.SQLContext = context
+      override def schema: StructType = df.schema
+      override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = df.rdd
+    }).asInstanceOf[T]
 }
 
 /** The tiny scan a completely-pushed aggregation builds: the answer rows

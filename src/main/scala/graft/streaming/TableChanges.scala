@@ -103,17 +103,39 @@ object TableChanges {
     val rs = org.apache.spark.sql.GraftBridge.cloneSession(spark)
     rs.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     rs.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
-    def readData(paths: Seq[String]): DataFrame =
-      rs.read.schema(schemaAt.toSpark).parquet(paths: _*)
+    // data files can be ORC (add_files-registered) as well as parquet:
+    // route each format through its reader and union — the reference
+    // applies change reads irrespective of data format (io/pyarrow.py:1629)
+    val mapping = table.nameMappingNested
+    // formats accumulate across the walked range so readData can route
+    // any path this changelog touches
+    var fmtOf: Map[String, String] = Map.empty
+    def orcFrame(paths: Seq[String], keepFilePos: Boolean): DataFrame =
+      graft.table.OrcScanBridge.frame(rs, mapping, schemaAt, graft.core.Schema(Nil),
+        paths.map(p => (p,
+          Array.empty[graft.spark.DeleteFileRef], Array.empty[graft.spark.EqDeleteRef])),
+        keepFile = keepFilePos, keepPos = keepFilePos)
+    def readData(paths: Seq[String]): DataFrame = {
+      val (orc, parq) = paths.partition(p => fmtOf.get(p).exists(_.equalsIgnoreCase("ORC")))
+      val parts = Seq.newBuilder[DataFrame]
+      if (parq.nonEmpty) parts += rs.read.schema(schemaAt.toSpark).parquet(parq: _*)
+      if (orc.nonEmpty) parts += orcFrame(orc, keepFilePos = false)
+      parts.result().reduce(_ unionByName _)
+    }
 
-    /** canon path → record count of LIVE data files at snapshot s. */
-    def liveData(s: graft.meta.Snapshot): Set[String] =
+    /** canon path → file format of LIVE data files at snapshot s. */
+    def liveDataFmt(s: graft.meta.Snapshot): Map[String, String] =
       ManifestIO.readManifestList(s.manifestList).filter(_.content == 0)
         .flatMap { mf =>
           ManifestIO.readManifest(mf.manifestPath, m.specById(mf.partitionSpecId), m.schema)
             .filter(_.status != EntryStatus.Deleted)
-            .map(e => PathUtil.canon(e.dataFile.filePath))
-        }.toSet
+            .map(e => PathUtil.canon(e.dataFile.filePath) -> e.dataFile.fileFormat)
+        }.toMap
+    def liveData(s: graft.meta.Snapshot): Set[String] = {
+      val fm = liveDataFmt(s)
+      fmtOf ++= fm
+      fm.keySet
+    }
 
     /** delete files first ADDED by snapshot s (descriptors only). */
     def addedDeleteFiles(s: graft.meta.Snapshot): Seq[graft.meta.DataFile] =
@@ -178,9 +200,19 @@ object TableChanges {
           val refPaths = posDf.select("__path").distinct()
             .collect().map(_.getString(0)).toSeq.sorted
           if (refPaths.nonEmpty) {
-            val rows = readData(refPaths)
-              .withColumn("__path", PathUtil.canonCol(col("_metadata.file_path")))
-              .withColumn("__pos", col("_metadata.row_index"))
+            // (file, position) metadata: parquet via _metadata columns;
+            // ORC via the bridge reader's own __file/__pos tracking
+            val (orcRefs, parqRefs) = refPaths.partition(p =>
+              fmtOf.get(p).exists(_.equalsIgnoreCase("ORC")))
+            val withPosParts = Seq.newBuilder[DataFrame]
+            if (parqRefs.nonEmpty)
+              withPosParts += rs.read.schema(schemaAt.toSpark).parquet(parqRefs: _*)
+                .withColumn("__path", PathUtil.canonCol(col("_metadata.file_path")))
+                .withColumn("__pos", col("_metadata.row_index"))
+            if (orcRefs.nonEmpty)
+              withPosParts += orcFrame(orcRefs, keepFilePos = true)
+                .withColumnRenamed("__file", "__path")
+            val rows = withPosParts.result().reduce(_ unionByName _)
               .join(posDf, Seq("__path", "__pos"))
               .drop("__path", "__pos")
             frames += withMeta(rows, "delete", ordinal, s.snapshotId)

@@ -396,6 +396,19 @@ final class ExpireSnapshots private[table] (table: IceTable) {
     * never dangling references. */
   def commit(): Seq[Long] = {
     val wanted = toExpire.toSet
+    // no-op pre-check against CURRENT metadata: scheduled maintenance that
+    // expires nothing must not write a new metadata version (churn +
+    // spurious CAS conflicts for concurrent writers). The authoritative
+    // filtering still re-runs inside the retry closure.
+    locally {
+      val meta = table.metadata
+      val prot = meta.refs.values.map(_.snapshotId).toSet ++ meta.currentSnapshotId.toSet
+      val keepNewest = if (keepLast == 0) Set.empty[Long]
+        else meta.snapshots.sortBy(_.timestampMs).takeRight(keepLast).map(_.snapshotId).toSet
+      if (!meta.snapshots.exists(s =>
+        wanted(s.snapshotId) && !prot(s.snapshotId) && !keepNewest(s.snapshotId)))
+        return Nil
+    }
     // captured from the closure's FINAL (winning) application
     var expSnaps: Seq[graft.meta.Snapshot] = Nil
     var keptSnaps: Seq[graft.meta.Snapshot] = Nil

@@ -70,8 +70,20 @@ private[graft] object OrcScanBridge {
         new Iterator[InternalRow] {
           private var fetched = false
           private var has = false
+          private var closed = false
           def hasNext: Boolean = {
-            if (!fetched) { has = rdr.next(); fetched = true }
+            if (!fetched) {
+              has = rdr.next(); fetched = true
+              // close EAGERLY on exhaustion: a slice walks many files
+              // sequentially, and holding every reader (file handle +
+              // decompression buffers) to task completion would
+              // accumulate thousands of open readers per task. The
+              // completion listener stays as the error-path backstop.
+              if (!has && !closed) {
+                closed = true
+                try rdr.close() catch { case _: Exception => () }
+              }
+            }
             has
           }
           def next(): InternalRow = {

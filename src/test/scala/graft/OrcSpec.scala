@@ -138,4 +138,26 @@ class OrcSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[IllegalArgumentException](t.addFiles(files))
     assert(e.getMessage.contains("already referenced"))
   }
+
+  test("changelog covers ORC-registered files (CoW and MoR deletes)") {
+    val t = catalog.createTable("orc_cdc", Schema.fromSpark(part.schema))
+    t.addFiles(writeOrc(part, n = 2))
+    // MoR: position deletes over the ORC files — deleted CONTENT must
+    // come back through the ORC reader's (file, pos) tracking
+    t.deletePositional("p_partkey <= 50")
+    // CoW delete rewrites ORC files into parquet survivors
+    t.delete(core.ExprParser.parse("p_partkey > 1900"))
+    val log = graft.streaming.TableChanges.changelog(t)
+    val inserts = log.filter(col("_change_type") === "insert")
+    val deletes = log.filter(col("_change_type") === "delete")
+    assert(inserts.filter(col("p_partkey") <= lit(50)).count() ===
+      part.filter(col("p_partkey") <= 50).count())
+    assert(deletes.filter(col("p_partkey") <= lit(50)).count() ===
+      part.filter(col("p_partkey") <= 50).count())
+    assert(deletes.filter(col("p_partkey") > lit(1900)).count() ===
+      part.filter(col("p_partkey") > 1900).count())
+    // net rows = current scan
+    assert(t.scan.toDF.count() ===
+      part.filter(col("p_partkey") > 50 && col("p_partkey") <= 1900).count())
+  }
 }
