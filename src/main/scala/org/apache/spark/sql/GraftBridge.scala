@@ -20,11 +20,6 @@ object GraftBridge {
   def cloneSession(s: SparkSession): SparkSession =
     s.asInstanceOf[classic.SparkSession].cloneSession()
 
-  /** Driver-materialized internal rows of a (small, metadata-sized) frame
-    * — `executeCollect` is private[sql]-adjacent via queryExecution. */
-  def internalRows(df: DataFrame): Array[org.apache.spark.sql.catalyst.InternalRow] =
-    df.asInstanceOf[classic.Dataset[Row]].queryExecution.executedPlan.executeCollect()
-
   /** The frame's InternalRow RDD (post-optimization physical rows) —
     * `queryExecution.toRdd` is private[sql], hence this bridge. Used by
     * write paths that drive their own ParquetWriter per partition. */
