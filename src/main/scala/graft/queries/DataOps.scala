@@ -663,6 +663,112 @@ object DataOps {
 
   // ---------------------------------------------- training-mix operators
 
+  /** INCREMENTAL corpus dedup — the production shape of exact dedup
+    * (daily-crawl ingestion): the corpus lives in an engine table, each
+    * ingest batch appends a snapshot, and only the NEW rows — read via
+    * the incremental append scan between the two snapshot ids, so only
+    * the files the new snapshot added are opened — are hashed and
+    * checked, first within the batch, then against the corpus pinned at
+    * the pre-ingest snapshot. At 100 TB both join sides are narrow
+    * (hash, doc_id) projections: the shuffle moves 16-byte keys, never
+    * text, and the corpus side amortizes to a maintained fingerprint
+    * table instead of a rescan (ref incremental scan:
+    * table/__init__.py:1272; upsert's dup detection: upsert_util.py). */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val wh = new graft.catalog.HadoopCatalog(
+      java.nio.file.Files.createTempDirectory("graft_incdedup").toString, s)
+    val tab = wh.createTable("corpus", graft.core.Schema.fromSpark(docs.schema))
+    tab.append(docs.filter(col("doc_id") % 3 =!= 0))
+    val snap1 = tab.metadata.currentSnapshotId.get
+    // the new batch: genuinely-new docs plus re-crawled copies of corpus
+    // docs under fresh ids — exactly what a crawler ingest looks like
+    val batch = docs.filter(col("doc_id") % 3 === 0).unionByName(
+      docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 3 =!= 0)
+        .withColumn("doc_id", col("doc_id") + 1000000))
+    tab.append(batch)
+    val snap2 = tab.metadata.currentSnapshotId.get
+    val newHashed = tab.incrementalAppendScan(snap1, snap2)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val corpusHashes = tab.scan.useSnapshot(snap1).toDF
+      .select(md5(col("text").cast("binary")).as("h")).distinct()
+    newHashed.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .join(corpusHashes, Seq("h"), "left_anti")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+  val dedupIncrementalSql =
+    """WITH corpus AS (
+      |  SELECT md5(text) AS h FROM documents WHERE doc_id % 3 <> 0),
+      |batch AS (
+      |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, md5(text) FROM documents
+      |  WHERE doc_id % 10 = 0 AND doc_id % 3 <> 0),
+      |survivors AS (SELECT h, min(doc_id) AS doc_id FROM batch GROUP BY h)
+      |SELECT s.doc_id FROM survivors s
+      |WHERE s.h NOT IN (SELECT h FROM corpus)
+      |ORDER BY s.doc_id""".stripMargin
+
+  /** REPETITION quality filter — the Gopher-rules repetition signals:
+    * fraction of the document taken by its single most frequent word,
+    * and the duplicate fraction among word 2-grams. The 2-gram signal
+    * is computed entirely map-side (array transform + distinct count on
+    * the row, no explode); the top-word mode needs a (doc_id, word)
+    * count, which partial-aggregates map-side before its one shuffle.
+    * Documents failing either threshold are flagged for drop — at
+    * 100 TB this runs as a pure scan → filter pipeline ahead of the
+    * dedup stages. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tok = docs.select(col("doc_id"),
+        filter(split(lower(trim(col("text"))), "\\s+"), w => w =!= "").as("w"))
+      .filter(size(col("w")) >= 2)
+    val grams = transform(sequence(lit(1), size(col("w")) - 1),
+      i => concat_ws(" ", col("w")(i - 1), col("w")(i)))
+    val mapSide = tok.select(col("doc_id"), size(col("w")).cast("long").as("n_words"),
+      (lit(1.0) - size(array_distinct(grams)).cast("double") /
+        size(grams).cast("double")).as("dup_2gram_frac"))
+    val topWord = tok.select(col("doc_id"), size(col("w")).as("n"),
+        explode(col("w")).as("word"))
+      .groupBy(col("doc_id"), col("n"), col("word")).count()
+      .groupBy(col("doc_id"), col("n")).agg(max(col("count")).as("top_cnt"))
+      .select(col("doc_id"),
+        (col("top_cnt").cast("double") / col("n").cast("double")).as("top_word_frac"))
+    mapSide.join(topWord, "doc_id")
+      .select(col("doc_id"), col("n_words"), col("top_word_frac"),
+        col("dup_2gram_frac"),
+        (col("top_word_frac") <= 0.1 && col("dup_2gram_frac") <= 0.2).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+  val textRepetitionSql =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |sized AS (SELECT doc_id, w, len(w) AS n FROM tok WHERE len(w) >= 2),
+      |gr AS (
+      |  SELECT doc_id, n,
+      |    list_transform(generate_series(1, n - 1), i -> w[i] || ' ' || w[i+1]) AS g
+      |  FROM sized),
+      |map_side AS (
+      |  SELECT doc_id, n AS n_words,
+      |    1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / CAST(len(g) AS DOUBLE)
+      |      AS dup_2gram_frac
+      |  FROM gr),
+      |wc AS (
+      |  SELECT doc_id, n, word, count(*) AS c
+      |  FROM (SELECT doc_id, n, unnest(w) AS word FROM sized)
+      |  GROUP BY doc_id, n, word),
+      |top AS (
+      |  SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(any_value(n) AS DOUBLE)
+      |    AS top_word_frac
+      |  FROM wc GROUP BY doc_id)
+      |SELECT m.doc_id, m.n_words, t.top_word_frac, m.dup_2gram_frac,
+      |  (t.top_word_frac <= 0.1 AND m.dup_2gram_frac <= 0.2) AS keep
+      |FROM map_side m JOIN top t USING (doc_id)
+      |ORDER BY m.doc_id""".stripMargin
+
   /** Benchmark DECONTAMINATION: flag training documents that share any
     * 4-word shingle with the held-out eval set (doc_id % 7 == 0 plays
     * the benchmark corpus) — the standard n-gram-overlap hygiene pass
@@ -758,6 +864,8 @@ object DataOps {
     "ds_decontaminate" -> (decontaminate _),
     "ds_sample_stratified" -> (sampleStratified _),
     "ds_pack_sequences" -> (packSequences _),
+    "ds_dedup_incremental" -> (dedupIncremental _),
+    "ds_text_repetition" -> (textRepetition _),
     "ds_dedup_exact" -> (dedupExact _),
     "ds_dedup_jaccard" -> (dedupJaccard _),
     "ds_dedup_cluster" -> (dedupCluster _),
@@ -778,6 +886,8 @@ object DataOps {
     "ds_decontaminate" -> decontaminateSql,
     "ds_sample_stratified" -> sampleStratifiedSql,
     "ds_pack_sequences" -> packSequencesSql,
+    "ds_dedup_incremental" -> dedupIncrementalSql,
+    "ds_text_repetition" -> textRepetitionSql,
     "ds_dedup_exact" -> dedupExactSql,
     "ds_dedup_jaccard" -> dedupJaccardSql,
     "ds_dedup_cluster" -> dedupClusterSql,

@@ -136,4 +136,49 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(df.collect().map(_.toString).toSeq === again.toSeq)
     } finally df.unpersist()
   }
+
+  test("incremental dedup: survivors are new-batch hashes absent from the corpus") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val corpusHashes = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(md5(col("text").cast("binary")).as("h"))
+      .collect().map(_.getString(0)).toSet
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1))) ++
+      docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 3 =!= 0)
+        .select(col("doc_id") + 1000000, md5(col("text").cast("binary")))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = batch.groupBy(_._2).map { case (_, xs) => xs.map(_._1).min }
+      .filterNot(id => corpusHashes.contains(batch.find(_._1 == id).get._2))
+      .toSeq.sorted
+    val got = DataOps.dedupIncremental(spark, dir).collect().map(_.getLong(0)).toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+    // re-crawled corpus copies must all be dropped: no survivor carries a
+    // +1000000 injected id whose base doc sits in the corpus
+    assert(got.filter(_ > 1000000).forall { id =>
+      !corpusHashes.contains(batch.find(_._1 == id).get._2)
+    })
+  }
+
+  test("repetition filter: hand-built doc signals match the operator's math") {
+    import org.apache.spark.sql.functions._
+    val df = DataOps.textRepetition(spark, dir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // recompute one doc by hand
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val r0 = rows(rows.length / 2)
+    val w = docs(r0.getLong(0)).toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+    val grams = w.sliding(2).map(_.mkString(" ")).toSeq
+    assert(r0.getLong(1) === w.length.toLong)
+    assert(math.abs(r0.getDouble(3) - (1.0 - grams.distinct.size.toDouble / grams.size)) < 1e-12)
+    val topFrac = w.groupBy(identity).values.map(_.length).max.toDouble / w.length
+    assert(math.abs(r0.getDouble(2) - topFrac) < 1e-12)
+    // both flag states occur on this corpus — the threshold isn't vacuous
+    assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)))
+  }
 }
