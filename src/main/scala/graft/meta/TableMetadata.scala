@@ -39,6 +39,14 @@ final case class StatisticsFile(
     fileFooterSizeInBytes: Long,
     blobMetadata: Seq[BlobMetadata] = Nil)
 
+/** Partition statistics file entry (ref: table/statistics.py:46
+  * PartitionStatisticsFile; metadata field `partition-statistics` —
+  * the common fields only, no footer size / blobs). */
+final case class PartitionStatisticsFile(
+    snapshotId: Long,
+    statisticsPath: String,
+    fileSizeInBytes: Long)
+
 final case class SnapshotRef(snapshotId: Long, refType: String) // "branch" | "tag"
 
 final case class SortField(sourceId: Int, transform: Transform, direction: String, nullOrder: String)
@@ -68,6 +76,7 @@ final case class TableMetadata(
     metadataLog: Seq[MetadataLogEntry] = Nil,
     refs: Map[String, SnapshotRef] = Map.empty,
     statistics: Seq[StatisticsFile] = Nil,
+    partitionStatistics: Seq[PartitionStatisticsFile] = Nil,
     /** v3 row lineage: next row id to assign (spec `next-row-id`). */
     nextRowId: Option[Long] = None) {
 
@@ -311,6 +320,16 @@ object MetadataJson {
         stArr.add(sn)
       }
     }
+    if (m.partitionStatistics.nonEmpty) {
+      val pArr = n.putArray("partition-statistics")
+      m.partitionStatistics.foreach { ps =>
+        val pn = mapper.createObjectNode()
+        pn.put("snapshot-id", ps.snapshotId)
+        pn.put("statistics-path", ps.statisticsPath)
+        pn.put("file-size-in-bytes", ps.fileSizeInBytes)
+        pArr.add(pn)
+      }
+    }
     val slog = n.putArray("snapshot-log")
     m.snapshotLog.foreach { e =>
       val en = mapper.createObjectNode()
@@ -429,6 +448,13 @@ object MetadataJson {
               }.getOrElse(Map.empty))
           }).getOrElse(Nil))
       }).getOrElse(Nil),
+      partitionStatistics = Option(n.get("partition-statistics")).map(a =>
+        iter(a).map { ps =>
+          PartitionStatisticsFile(
+            ps.get("snapshot-id").asLong(),
+            ps.get("statistics-path").asText(),
+            ps.get("file-size-in-bytes").asLong())
+        }).getOrElse(Nil),
       nextRowId = optLong("next-row-id"))
   }
 }

@@ -53,20 +53,27 @@ object GraftProcedures {
 
   def names: Seq[String] =
     Seq("expire_snapshots", "remove_orphan_files", "rewrite_data_files",
-      "rewrite_manifests", "rollback_to_snapshot")
+      "rewrite_manifests", "rewrite_position_deletes", "rollback_to_snapshot",
+      "compute_partition_stats")
 
   def byName(catalog: GCatalog): Map[String, UnboundProcedure] = Map(
     "expire_snapshots" -> new Proc("expire_snapshots",
       Seq(in("table", StringType),
         inDefault("older_than_ms", LongType, "NULL"),
-        inDefault("retain_last", IntegerType, "1"),
+        inDefault("retain_last", IntegerType, "NULL"),
         inDefault("clean_files", BooleanType, "true")),
       StructType(Seq(StructField("expired_snapshot_id", LongType))),
       { input =>
         val t = catalog.loadTable(input.getUTF8String(0).toString)
-        val horizon = if (input.isNullAt(1)) System.currentTimeMillis() + 1L
-          else input.getLong(1)
-        val retain = if (input.isNullAt(2)) 1 else input.getInt(2)
+        val props = t.metadata.properties
+        // arg > table property (history.expire.*, the reference's
+        // TableProperties, table/__init__.py:209-213) > expire-all
+        val horizon = if (!input.isNullAt(1)) input.getLong(1)
+          else props.get("history.expire.max-snapshot-age-ms").map(_.toLong)
+            .map(System.currentTimeMillis() - _)
+            .getOrElse(System.currentTimeMillis() + 1L)
+        val retain = if (!input.isNullAt(2)) input.getInt(2)
+          else props.get("history.expire.min-snapshots-to-keep").map(_.toInt).getOrElse(1)
         val clean = !input.isNullAt(3) && input.getBoolean(3)
         val expired = t.expireSnapshots().olderThan(horizon).retainLast(retain)
           .cleanExpiredFiles(clean).commit()
@@ -112,6 +119,28 @@ object GraftProcedures {
         val target = if (input.isNullAt(1)) None else Some(input.getLong(1))
         val (rewritten, added) = t.rewriteManifests(target)
         Seq(Array[Any](rewritten, added))
+      }),
+
+    "rewrite_position_deletes" -> new Proc("rewrite_position_deletes",
+      Seq(in("table", StringType)),
+      StructType(Seq(
+        StructField("rewritten_delete_files_count", IntegerType),
+        StructField("added_delete_files_count", IntegerType))),
+      { input =>
+        val t = catalog.loadTable(input.getUTF8String(0).toString)
+        val (rewritten, added) = t.rewritePositionDeletes()
+        Seq(Array[Any](rewritten, added))
+      }),
+
+    "compute_partition_stats" -> new Proc("compute_partition_stats",
+      Seq(in("table", StringType)),
+      StructType(Seq(
+        StructField("statistics_path", StringType),
+        StructField("file_size_in_bytes", LongType))),
+      { input =>
+        val t = catalog.loadTable(input.getUTF8String(0).toString)
+        val ps = t.computePartitionStatistics()
+        Seq(Array[Any](utf8(ps.statisticsPath), ps.fileSizeInBytes))
       }),
 
     "rollback_to_snapshot" -> new Proc("rollback_to_snapshot",

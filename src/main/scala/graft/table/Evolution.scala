@@ -412,6 +412,7 @@ final class ExpireSnapshots private[table] (table: IceTable) {
     // captured from the closure's FINAL (winning) application
     var expSnaps: Seq[graft.meta.Snapshot] = Nil
     var keptSnaps: Seq[graft.meta.Snapshot] = Nil
+    var expStatsPaths: Seq[String] = Nil
     table.commitMetadata { meta =>
       val prot = meta.refs.values.map(_.snapshotId).toSet ++ meta.currentSnapshotId.toSet
       val keepNewest = if (keepLast == 0) Set.empty[Long]
@@ -419,13 +420,23 @@ final class ExpireSnapshots private[table] (table: IceTable) {
       val gone = meta.snapshots.sortBy(_.timestampMs).map(_.snapshotId)
         .filter(id => wanted(id) && !prot(id) && !keepNewest(id)).toSet
       expSnaps = meta.snapshots.filter(s => gone(s.snapshotId))
-      keptSnaps = meta.snapshots.filterNot(s => gone(s.snapshotId))
+      // children of removed snapshots lose their dangling parent pointer
+      // (reference parity: update/__init__.py:520-527)
+      keptSnaps = meta.snapshots.filterNot(s => gone(s.snapshotId)).map(s =>
+        if (s.parentSnapshotId.exists(gone)) s.copy(parentSnapshotId = None) else s)
+      // statistics / partition-statistics of removed snapshots go with
+      // them (reference parity: update/__init__.py:540-544); their files
+      // are physically reclaimed below iff cleanFiles
+      expStatsPaths = meta.statistics.filter(st => gone(st.snapshotId)).map(_.statisticsPath) ++
+        meta.partitionStatistics.filter(ps => gone(ps.snapshotId)).map(_.statisticsPath)
       meta.copy(
         snapshots = keptSnaps,
-        snapshotLog = meta.snapshotLog.filterNot(e => gone(e.snapshotId)))
+        snapshotLog = meta.snapshotLog.filterNot(e => gone(e.snapshotId)),
+        statistics = meta.statistics.filterNot(st => gone(st.snapshotId)),
+        partitionStatistics = meta.partitionStatistics.filterNot(ps => gone(ps.snapshotId)))
     }
     if (cleanFiles && expSnaps.nonEmpty) {
-      val orphans = orphanFiles(expSnaps, keptSnaps)
+      val orphans = orphanFiles(expSnaps, keptSnaps) ++ expStatsPaths
       if (orphans.nonEmpty) deleteOrphans(orphans)
     }
     expSnaps.map(_.snapshotId)

@@ -111,6 +111,48 @@ class IceTable(
   def removeStatistics(snapshotId: Long): Unit = commitMetadata(m =>
     m.copy(statistics = m.statistics.filterNot(_.snapshotId == snapshotId)))
 
+  /** Attach a PARTITION statistics file to a snapshot (ref:
+    * set_partition_statistics, table/update/__init__.py:660 — replaces
+    * any entry for the same snapshot, like table statistics). */
+  def setPartitionStatistics(stats: PartitionStatisticsFile): Unit = commitMetadata(m =>
+    m.copy(partitionStatistics =
+      m.partitionStatistics.filterNot(_.snapshotId == stats.snapshotId) :+ stats))
+
+  def removePartitionStatistics(snapshotId: Long): Unit = commitMetadata(m =>
+    m.copy(partitionStatistics =
+      m.partitionStatistics.filterNot(_.snapshotId == snapshotId)))
+
+  /** Compute, WRITE and register a partition statistics file for the
+    * current snapshot (the engine-side compute the reference leaves to
+    * engines; iceberg-java's compute_partition_stats). The stats rows
+    * come from a distributed manifest walk + Spark aggregation
+    * (Inspect.partitionStatsFrame), land as ONE parquet under metadata/
+    * sorted by partition, and are registered in `partition-statistics`.
+    * One file is the spec's own layout — the row count is the PARTITION
+    * count, metadata-sized even for 100 TB tables. */
+  def computePartitionStatistics(): PartitionStatisticsFile = {
+    val snap = metadata.currentSnapshot.getOrElse(
+      throw new IllegalStateException("No snapshot to compute partition statistics for"))
+    require(metadata.partitionSpecs.exists(_.fields.nonEmpty),
+      "partition statistics need a partitioned table (the unified partition tuple " +
+        "of an unpartitioned table is empty)")
+    val frame = inspect.partitionStatsFrame(Some(snap.snapshotId))
+      .orderBy(col("partition"))
+    val tmp = s"$location/metadata/partition-stats-tmp-${UUID.randomUUID()}"
+    frame.coalesce(1).write.parquet(tmp)
+    val part = graft.meta.Io.list(tmp).collect {
+      case (name, false) if name.endsWith(".parquet") => name
+    }.headOption.getOrElse(throw new IllegalStateException("stats write produced no file"))
+    val path = s"$location/metadata/partition-stats-${snap.snapshotId}-${UUID.randomUUID()}.parquet"
+    // single metadata-sized file: a read-write copy to its final name is
+    // cheaper than threading a cross-scheme rename seam through Io
+    graft.meta.Io.writeBytes(path, graft.meta.Io.readBytes(s"$tmp/$part"))
+    graft.meta.Io.delete(tmp, recursive = true)
+    val stats = PartitionStatisticsFile(snap.snapshotId, path, graft.meta.Io.size(path))
+    setPartitionStatistics(stats)
+    stats
+  }
+
   /** Compute per-column NDV estimates for the current snapshot as ONE
     * distributed aggregation, write them into a puffin statistics file,
     * and register it (ref: the theta-sketch ndv blobs pyiceberg reads from
@@ -859,6 +901,61 @@ class IceTable(
       withDeletes.flatMap(_.deletes.map(_.filePath))
     commitSnapshot("replace", added = added, removedPaths = removed)
     (toRewrite.size, added.size)
+  }
+
+  /** Compact POSITION-DELETE files (maintenance; the public
+    * rewrite_position_deletes action): merge many small parquet delete
+    * files into few range-sorted ones, DEDUPLICATING stacked (path, pos)
+    * entries and DROPPING DANGLING rows that name data files no longer
+    * live (left behind by compaction / overwrite until their delete file
+    * has other live targets). v3 deletion vectors are excluded — one
+    * blob per data file is already the compact form — as are equality
+    * deletes. Safe under the spec's sequence rules: position deletes name
+    * explicit (path, pos) tuples and data-file paths are never reused, so
+    * re-registering surviving entries at the commit's new (higher)
+    * sequence number cannot widen applicability. The merge is one
+    * distributed read + dedup + range-sort; the driver handles only file
+    * descriptors. Returns (rewritten, created) delete-file counts. */
+  def rewritePositionDeletes(): (Int, Int) = {
+    val tasks = new IceScan(this).planFiles()
+    val posFiles = tasks.flatMap(_.deletes)
+      .filter(d => d.content == FileContent.PositionDeletes && d.contentOffset.isEmpty)
+      .distinctBy(_.filePath)
+    if (posFiles.isEmpty) return (0, 0)
+    val stage = s"$location/data/${UUID.randomUUID()}"
+    val posSchema = Schema(Seq(
+      NestedField(2147483546, "file_path", IString, required = true),
+      NestedField(2147483545, "pos", ILong, required = true)))
+    // name-matched read: staged delete parquets don't carry field ids
+    val readSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("file_path",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    locally {
+      val live = spark.createDataset(tasks.map(_.file.filePath))(
+        org.apache.spark.sql.Encoders.STRING).toDF("live_path")
+      spark.read.schema(readSchema).parquet(posFiles.map(_.filePath): _*)
+        .join(live, col("file_path") === col("live_path"), "left_semi")
+        .dropDuplicates("file_path", "pos")
+        .orderBy(col("file_path"), col("pos"))
+        .write.parquet(stage)
+    }
+    val written = WriteFiles.harvest(spark, stage, posSchema, PartitionSpec.Unpartitioned)
+      .filter(_.recordCount > 0)
+      .map(_.copy(content = FileContent.PositionDeletes))
+    // no-op guard: identical content in the same number of files → keep
+    // the table as is (still counts the dedup/dangling win if any row or
+    // file count changed)
+    val beforeRows = posFiles.map(_.recordCount).sum
+    val afterRows = written.map(_.recordCount).sum
+    if (written.size == posFiles.size && afterRows == beforeRows) {
+      Io.delete(stage, recursive = true)
+      return (0, 0)
+    }
+    commitSnapshot("replace", added = written,
+      removedPaths = posFiles.map(_.filePath).toSet)
+    (posFiles.size, written.size)
   }
 
   /** Explicit manifest compaction (maintenance; the reference merges

@@ -411,6 +411,71 @@ final class Inspect(table: IceTable) {
         timestamp_millis(max(col("committed_ms"))).as("last_updated_at"),
         max_by(col("snapshot_id"), col("committed_ms")).as("last_updated_snapshot_id"))
   }
+
+  /** Spec-shaped PARTITION STATISTICS rows (Iceberg spec §Partition
+    * Statistics file; ref models the registration side only,
+    * table/statistics.py:46 PartitionStatisticsFile): one row per
+    * partition tuple of the snapshot, with the spec's field names and a
+    * TYPED unified partition struct (all specs' fields ordered by
+    * partition field id, null where a file's spec lacks the field).
+    * `total_record_count` is left null — an accurate post-delete count
+    * needs a data read, and the spec marks it optional. The entry walk
+    * distributes past the planning threshold like every inspect table;
+    * the aggregation is a Spark groupBy, so 10⁶ partitions never
+    * build on the driver. */
+  def partitionStatsFrame(snapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val unified: Seq[(Int, String, IceType)] = m.partitionSpecs
+      .flatMap(sp => sp.fields.flatMap(pf =>
+        m.schema.byId.get(pf.sourceId).map(src =>
+          (pf.fieldId, pf.name, pf.transform.resultType(src.fieldType)))))
+      .distinctBy(_._1).sortBy(_._1)
+    val partType = StructType(unified.map { case (_, n, t) =>
+      StructField(n, t.toSpark, nullable = true) })
+    val entrySchema = StructType(Seq(
+      StructField("partition", partType),
+      StructField("spec_id", IntegerType, nullable = false),
+      StructField("content", IntegerType, nullable = false),
+      StructField("record_count", LongType, nullable = false),
+      StructField("file_size", LongType, nullable = false),
+      StructField("committed_ms", LongType),
+      StructField("snapshot_id", LongType)))
+    val specsLocal: Map[Int, PartitionSpec] =
+      m.partitionSpecs.map(sp => sp.specId -> sp).toMap
+    val unifiedIds = unified.map(_._1)
+    val unifiedTypes = unified.map(t => t._1 -> t._3).toMap
+    val snapInfo: Map[Long, Long] = m.snapshots.map(s => s.snapshotId -> s.timestampMs).toMap
+    val rowsDF = entryRowsDF(manifestsOf(snapshotId), entrySchema, (_, mf, e) => {
+      val sp = specsLocal(mf.partitionSpecId)
+      val byFieldId = sp.fields.map(_.fieldId).zip(e.dataFile.partition).toMap
+      val tuple = Row(unifiedIds.map(id =>
+        byFieldId.get(id).map(v =>
+          Inspect.externalValue(unifiedTypes(id), v)).orNull): _*)
+      Some(Row(tuple, sp.specId, e.dataFile.content, e.dataFile.recordCount,
+        e.dataFile.fileSizeInBytes,
+        snapInfo.get(e.snapshotId).map(Long.box).orNull,
+        if (snapInfo.contains(e.snapshotId)) Long.box(e.snapshotId) else null))
+    })
+    def ifContent(c: Int, v: org.apache.spark.sql.Column) =
+      sum(when(col("content") === c, v).otherwise(0L))
+    rowsDF
+      .groupBy(col("partition"), col("spec_id"))
+      .agg(
+        ifContent(FileContent.Data, col("record_count")).as("data_record_count"),
+        ifContent(FileContent.Data, lit(1L)).cast("int").as("data_file_count"),
+        ifContent(FileContent.Data, col("file_size")).as("total_data_file_size_in_bytes"),
+        ifContent(FileContent.PositionDeletes, col("record_count"))
+          .as("position_delete_record_count"),
+        ifContent(FileContent.PositionDeletes, lit(1L)).cast("int")
+          .as("position_delete_file_count"),
+        ifContent(FileContent.EqualityDeletes, col("record_count"))
+          .as("equality_delete_record_count"),
+        ifContent(FileContent.EqualityDeletes, lit(1L)).cast("int")
+          .as("equality_delete_file_count"),
+        lit(null).cast(LongType).as("total_record_count"),
+        max(col("committed_ms")).as("last_updated_at"),
+        max_by(col("snapshot_id"), col("committed_ms")).as("last_updated_snapshot_id"))
+  }
 }
 
 /** Static row builders for the metadata tables — free of any reference to

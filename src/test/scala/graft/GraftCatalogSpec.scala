@@ -680,6 +680,37 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .readManifestList(t.metadata.currentSnapshot.get.manifestList)
       .count(_.content == 0) === 1)
     assert(spark.sql("SELECT count(*) FROM g.db.o_proc").head().getLong(0) === 1200)
+
+    // rewrite_position_deletes binds and no-ops on a delete-free table
+    // (the merge/dangling semantics are covered by TableSpec)
+    val rpd = spark.sql(
+      "CALL g.system.rewrite_position_deletes(table => 'db.o_proc')").collect()
+    assert(rpd.length === 1 && rpd.head.getInt(0) === 0 && rpd.head.getInt(1) === 0)
+
+    // compute_partition_stats writes + registers a partition-stats file
+    // (needs a partitioned table — the unpartitioned o_proc is rejected)
+    intercept[Exception](spark.sql(
+      "CALL g.system.compute_partition_stats(table => 'db.o_proc')").collect())
+    spark.sql("""CREATE TABLE g.db.o_proc_part PARTITIONED BY (o_orderstatus)
+        AS SELECT * FROM o_proc_src""")
+    val cps = spark.sql(
+      "CALL g.system.compute_partition_stats(table => 'db.o_proc_part')").collect()
+    assert(cps.length === 1 && cps.head.getLong(1) > 0)
+    val tp = new HadoopCatalog(warehouse, spark).loadTable("db.o_proc_part")
+    assert(tp.metadata.partitionStatistics.map(_.statisticsPath) ===
+      Seq(cps.head.getString(0)))
+    assert(spark.read.parquet(cps.head.getString(0))
+      .agg(org.apache.spark.sql.functions.sum("data_record_count"))
+      .head().getLong(0) === 200)
+
+    // history.expire.* table properties drive the no-arg expire defaults:
+    // retention window covers everything → nothing expires
+    spark.sql("""ALTER TABLE g.db.o_proc SET TBLPROPERTIES (
+        'history.expire.max-snapshot-age-ms' = '86400000',
+        'history.expire.min-snapshots-to-keep' = '2')""")
+    val exp2 = spark.sql(
+      "CALL g.system.expire_snapshots(table => 'db.o_proc')").collect()
+    assert(exp2.isEmpty, "fresh snapshots inside the retention window must survive")
   }
 
   test("SqlCatalog routing via uri option") {

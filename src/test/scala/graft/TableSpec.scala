@@ -1496,4 +1496,93 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.append(orders.limit(2), Map.empty, Some("diverged"))
     intercept[IllegalArgumentException](t.manageSnapshots.fastForward("diverged", "main"))
   }
+
+  test("rewritePositionDeletes merges delete files and drops dangling entries") {
+    val schema = Schema.fromSpark(orders.schema)
+    val t = catalog.createTable("t_posrw", schema)
+    t.append(orders.filter(col("o_orderkey") <= 750))
+    t.append(orders.filter(col("o_orderkey") > 750))
+    // two delete files, the first spanning BOTH data files (sf0.001
+    // o_orderkey spans 0..1499)
+    t.deletePositional("o_orderkey >= 300 and o_orderkey < 900")
+    t.deletePositional("o_orderkey >= 1200")
+    val expectLive = orders.filter(col("o_orderkey") < 300 ||
+      (col("o_orderkey") >= 900 && col("o_orderkey") < 1200))
+    assert(t.scan.toDF.count() === expectLive.count())
+    val delBefore = t.scan.planFiles().flatMap(_.deletes).distinctBy(_.filePath)
+    assert(delBefore.size >= 2)
+
+    // drop the low-key data file via CoW: its rows vanish from the delete
+    // files' live targets, leaving dangling (path, pos) entries behind
+    t.delete("o_orderkey <= 750")
+    val (rw, added) = t.rewritePositionDeletes()
+    assert(rw >= 2 && added >= 1 && added <= rw)
+    t.refresh()
+    assert(t.scan.toDF.count() ===
+      expectLive.filter(col("o_orderkey") > 750).count())
+    val delAfter = t.scan.planFiles().flatMap(_.deletes).distinctBy(_.filePath)
+    assert(delAfter.size === added)
+    val rows = spark.read.parquet(delAfter.map(_.filePath): _*)
+    // every surviving entry targets a LIVE data file (dangling dropped)
+    // and duplicates are gone
+    val liveSet = t.scan.planFiles().map(_.file.filePath).toSet
+    assert(rows.select("file_path").distinct().collect()
+      .map(_.getString(0)).forall(liveSet))
+    assert(rows.count() === rows.dropDuplicates("file_path", "pos").count())
+    assert(rows.count() === orders.filter(
+      (col("o_orderkey") > 750 && col("o_orderkey") < 900) ||
+        col("o_orderkey") >= 1200).count())
+    // steady state: a second rewrite is a no-op commit-wise
+    assert(t.rewritePositionDeletes() === (0, 0))
+  }
+
+  test("partition statistics: compute writes a spec-shaped file and registers it") {
+    val schema = Schema.fromSpark(orders.schema)
+    val spec = PartitionSpec.build(schema, 0, ("o_orderstatus", IdentityTransform, "o_orderstatus"))
+    val t = catalog.createTable("t_pstats", schema, spec)
+    t.append(orders)
+    t.deletePositional("o_orderkey < 100")
+    val ps = t.computePartitionStatistics()
+    // registered in metadata, survives a JSON round-trip
+    t.refresh()
+    assert(t.metadata.partitionStatistics.map(_.statisticsPath) === Seq(ps.statisticsPath))
+    assert(t.metadata.partitionStatistics.head.snapshotId === t.metadata.currentSnapshotId.get)
+    assert(ps.fileSizeInBytes > 0 && graft.meta.Io.exists(ps.statisticsPath))
+    // spec-shaped content: typed partition struct + per-partition counts
+    val stats = spark.read.parquet(ps.statisticsPath)
+    assert(stats.columns.toSeq === Seq("partition", "spec_id", "data_record_count",
+      "data_file_count", "total_data_file_size_in_bytes", "position_delete_record_count",
+      "position_delete_file_count", "equality_delete_record_count",
+      "equality_delete_file_count", "total_record_count", "last_updated_at",
+      "last_updated_snapshot_id"))
+    val want = orders.groupBy(col("o_orderstatus")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // path-targeted position deletes ride the unpartitioned spec, so they
+    // aggregate under the all-null partition tuple; data rows carry the
+    // real per-partition counts
+    val got = stats.filter(col("data_file_count") > 0)
+      .select(col("partition.o_orderstatus"), col("data_record_count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    val delTotal = stats.agg(sum(col("position_delete_record_count"))).head().getLong(0)
+    assert(delTotal === orders.filter(col("o_orderkey") < 100).count())
+    // replacing for the same snapshot keeps one entry
+    t.computePartitionStatistics()
+    t.refresh()
+    assert(t.metadata.partitionStatistics.size === 1)
+
+    // expiry drops statistics entries of removed snapshots and nulls
+    // dangling parent ids (reference parity, update/__init__.py:520-544)
+    val oldSnap = t.metadata.snapshots.head.snapshotId
+    t.setStatistics(StatisticsFile(oldSnap, s"${t.location}/metadata/fake.puffin", 1, 1, Nil))
+    t.append(orders.limit(1))
+    val gone = t.expireSnapshots()
+      .olderThan(System.currentTimeMillis() + 1000).commit()
+    t.refresh()
+    assert(gone.contains(oldSnap))
+    assert(t.metadata.statistics.isEmpty, "stats of expired snapshots must drop")
+    assert(!t.metadata.snapshots.exists(s =>
+      s.parentSnapshotId.exists(p => !t.metadata.snapshots.exists(_.snapshotId == p))),
+      "no surviving snapshot may point at an expired parent")
+  }
 }
