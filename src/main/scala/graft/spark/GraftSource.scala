@@ -405,7 +405,7 @@ class GraftDeltaOperation(table: IceTable,
   override def description(): String = s"GraftRowLevelOperation[$cmd, merge-on-read]"
 }
 
-final case class DeltaStagedMessage(dataPath: Option[String], deletePath: Option[String])
+final case class DeltaStagedMessage(dataPath: Option[String], deletePaths: Seq[String])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 /** The WriteDelta of a merge-on-read operation: each task stages at most
@@ -450,7 +450,7 @@ class GraftDeltaWrite(table: IceTable, op: GraftDeltaOperation, rowSchema: Struc
       // only files NAMED in task commit messages: a failed attempt's
       // partial parquet in the shared deleteDir must not be opened
       // (footer missing) or double-registered after a task retry
-      val namedDeletes = msgs.flatMap(_.deletePath)
+      val namedDeletes = msgs.flatMap(_.deletePaths)
         .map(graft.core.PathUtil.canon).toSet
       val deleteAdded = if (namedDeletes.isEmpty) Nil
         else graft.table.WriteFiles
@@ -487,6 +487,13 @@ object GraftDeltaWrite {
     graft.core.NestedField(2147483545, "pos", graft.core.ILong, required = true)))
 }
 
+object GraftDeltaWriter {
+  /** Sorted-run size for per-task position-delete flushing: ~4M (path
+    * ref, long) entries ≈ low hundreds of MB of heap and a 30-60 MB
+    * delete parquet per run. */
+  val FlushRun: Int = 4 * 1024 * 1024
+}
+
 class GraftDeltaWriterFactory(dataDir: String, deleteDir: String, rowSchemaJson: String,
     confEntries: Array[(String, String)])
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
@@ -504,11 +511,15 @@ class GraftDeltaWriter(dataDir: String, deleteDir: String, rowSchemaJson: String
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
 
   private var dataWriter: GraftStagingWriter = _
-  // buffered so the file can be written SORTED by (file_path, pos) — the
-  // spec's required delete-file order. Per-task volume is bounded by
-  // Spark's shuffle sizing of the delta plan, and each entry is one
-  // (pooled path reference, long), so the buffer stays executor-small.
+  // buffered so each file is written SORTED by (file_path, pos) — the
+  // spec's required delete-file order. Paths are INTERNED (a task sees
+  // few distinct data files) and the buffer FLUSHES as an independent
+  // sorted run every `FlushRun` entries: the spec allows many delete
+  // files, so a task deleting 10⁹ rows writes bounded-memory runs
+  // instead of accumulating gigabytes of ids before one giant sort.
   private val deleted = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+  private val pathPool = new java.util.HashMap[String, String]()
+  private val flushed = scala.collection.mutable.ArrayBuffer[String]()
 
   override def insert(row: InternalRow): Unit = {
     if (dataWriter == null)
@@ -518,51 +529,60 @@ class GraftDeltaWriter(dataDir: String, deleteDir: String, rowSchemaJson: String
   }
 
   /** `id` is projected in rowId() order: (_file string, _pos long). */
-  override def delete(meta: InternalRow, id: InternalRow): Unit =
-    deleted += ((id.getUTF8String(0).toString, id.getLong(1)))
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    val raw = id.getUTF8String(0).toString
+    val path = {
+      val pooled = pathPool.get(raw)
+      if (pooled != null) pooled else { pathPool.put(raw, raw); raw }
+    }
+    deleted += ((path, id.getLong(1)))
+    if (deleted.size >= GraftDeltaWriter.FlushRun) flushDeletes()
+  }
 
   override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
     delete(meta, id)
     insert(row)
   }
 
+  private def flushDeletes(): Unit = {
+    if (deleted.isEmpty) return
+    val conf = graft.meta.Io.confFrom(confEntries)
+    val sparkSchema = GraftDeltaWrite.PosDeleteSchema.toSpark
+    org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+      .setSchema(sparkSchema, conf)
+    conf.set("spark.sql.parquet.writeLegacyFormat", "false")
+    conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+    conf.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+    conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
+    conf.set("spark.sql.session.timeZone", "UTC")
+    val path = s"$deleteDir/del-$partitionId-$taskId-${java.util.UUID.randomUUID()}.parquet"
+    val w = new org.apache.parquet.hadoop.ParquetWriter[InternalRow](
+      new Path(path),
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport,
+      org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY,
+      org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE,
+      org.apache.parquet.hadoop.ParquetWriter.DEFAULT_PAGE_SIZE,
+      org.apache.parquet.hadoop.ParquetWriter.DEFAULT_PAGE_SIZE,
+      org.apache.parquet.hadoop.ParquetWriter.DEFAULT_IS_DICTIONARY_ENABLED,
+      false,
+      org.apache.parquet.hadoop.ParquetWriter.DEFAULT_WRITER_VERSION,
+      conf)
+    try deleted.sortInPlace().foreach { case (f, p) =>
+      w.write(new GenericInternalRow(
+        Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(f), p)))
+    } finally w.close()
+    flushed += path
+    deleted.clear()
+  }
+
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
     val dataPath = Option(dataWriter).map(_.commit() match {
       case StagedFileMessage(p) => p
     })
-    val deletePath =
-      if (deleted.isEmpty) None
-      else {
-        val conf = graft.meta.Io.confFrom(confEntries)
-        val sparkSchema = GraftDeltaWrite.PosDeleteSchema.toSpark
-        org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
-          .setSchema(sparkSchema, conf)
-        conf.set("spark.sql.parquet.writeLegacyFormat", "false")
-        conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-        conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-        conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
-        conf.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
-        conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
-        conf.set("spark.sql.session.timeZone", "UTC")
-        val path = s"$deleteDir/del-$partitionId-$taskId-${java.util.UUID.randomUUID()}.parquet"
-        val w = new org.apache.parquet.hadoop.ParquetWriter[InternalRow](
-          new Path(path),
-          new org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport,
-          org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY,
-          org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE,
-          org.apache.parquet.hadoop.ParquetWriter.DEFAULT_PAGE_SIZE,
-          org.apache.parquet.hadoop.ParquetWriter.DEFAULT_PAGE_SIZE,
-          org.apache.parquet.hadoop.ParquetWriter.DEFAULT_IS_DICTIONARY_ENABLED,
-          false,
-          org.apache.parquet.hadoop.ParquetWriter.DEFAULT_WRITER_VERSION,
-          conf)
-        try deleted.sortInPlace().foreach { case (f, p) =>
-          w.write(new GenericInternalRow(
-            Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(f), p)))
-        } finally w.close()
-        Some(path)
-      }
-    DeltaStagedMessage(dataPath, deletePath)
+    flushDeletes()
+    DeltaStagedMessage(dataPath, flushed.toSeq)
   }
 
   override def abort(): Unit = {
