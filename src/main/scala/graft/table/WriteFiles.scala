@@ -216,14 +216,31 @@ object WriteFiles {
     val fixed16 = props.get("write.uuid.fixed16").contains("true") &&
       schema.fields.exists(_.fieldType == IUUID)
     if (fixed16) {
-      require(spec.isUnpartitioned,
-        "write.uuid.fixed16 currently supports unpartitioned tables only")
       val uuidCols = schema.fields.filter(_.fieldType == IUUID).map(_.name).toSet
       // canonical string → 16 raw bytes (unhex of the dashless hex form);
       // codegen'd builtins, no UDF
       val conv = uuidCols.foldLeft(sorted(aligned))((d, n) =>
         d.withColumn(n, unhex(regexp_replace(col(n), "-", ""))))
-      writeFixed16(ws, onWs(conv), stageDir, schema, uuidCols, maxRecords)
+      if (spec.isUnpartitioned)
+        writeFixed16(ws, onWs(conv), stageDir, schema, uuidCols, maxRecords, Nil, Nil)
+      else {
+        // same fan-out shape as the Spark-writer path: synthetic transform
+        // columns, explicit task count, rows SORTED by partition within
+        // each task so one writer is open at a time
+        val partCols = spec.fields.map { pf =>
+          val src = schema.byId(pf.sourceId)
+          pf.transform.column(col(src.name), src.fieldType).as(SyntheticPrefix + pf.name)
+        }
+        val withParts = conv.select((conv.columns.map(col) ++ partCols): _*)
+        val writeTasks = 4 * math.max(spark.sparkContext.defaultParallelism,
+          spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+        val repartKeys = spec.fields.map(pf => col(SyntheticPrefix + pf.name))
+        val shuffled = withParts.repartition(writeTasks, repartKeys: _*)
+          .sortWithinPartitions(repartKeys: _*)
+        writeFixed16(ws, onWs(shuffled), stageDir, schema, uuidCols, maxRecords,
+          spec.fields.map(pf => SyntheticPrefix + pf.name),
+          spec.partitionType(schema).map(_.fieldType.repr))
+      }
       return harvest(spark, stageDir, schema, spec, metricsModes(schema, props))
         .map(f => orderId.map(id => f.copy(sortOrderId = Some(id))).getOrElse(f))
     }
@@ -274,9 +291,17 @@ object WriteFiles {
     * ([[graft.spark.GraftUuidFixed16WriteSupport]]); files roll at
     * `maxRecords`. The uuid columns arrive as 16-byte BINARY values (the
     * staged projection converts), declared BinaryType in the writer's
-    * catalyst schema WITH the original field-id metadata intact. */
+    * catalyst schema WITH the original field-id metadata intact.
+    *
+    * Partitioned tables: `partNames`/`partTypeReprs` describe synthetic
+    * transform columns APPENDED to each row (the writer schema doesn't
+    * cover them, so ParquetWriteSupport never reads those indices); rows
+    * arrive sorted by partition, so each task streams through
+    * `_p_name=value/` directories with ONE open writer, exactly the
+    * layout `harvest`'s parsePartition reads back. */
   private def writeFixed16(ws: SparkSession, df: DataFrame, stageDir: String,
-      schema: Schema, uuidCols: Set[String], maxRecords: Long): Unit = {
+      schema: Schema, uuidCols: Set[String], maxRecords: Long,
+      partNames: Seq[String], partTypeReprs: Seq[String]): Unit = {
     import org.apache.spark.sql.types.{BinaryType, DataType, StructType}
     val base = schema.toSpark
     val writerSchemaJson = StructType(base.fields.map(f =>
@@ -285,6 +310,9 @@ object WriteFiles {
     val dir = stageDir
     val cols = uuidCols
     val maxR = math.max(1L, maxRecords)
+    val nData = base.fields.length
+    val pNames = partNames
+    val pTypes = partTypeReprs
     org.apache.spark.sql.GraftBridge.internalRowRDD(df).foreachPartition { it =>
       if (it.hasNext) {
         val conf = graft.meta.Io.confFrom(confEntries)
@@ -299,9 +327,48 @@ object WriteFiles {
         conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
         conf.set("spark.sql.session.timeZone", "UTC")
         val part = Option(org.apache.spark.TaskContext.get()).map(_.partitionId()).getOrElse(0)
-        def open() = new org.apache.parquet.hadoop.ParquetWriter[
+        val iceTypes = pTypes.map(StatsHarvester.parseType)
+        def partString(i: Int, row: org.apache.spark.sql.catalyst.InternalRow): String = {
+          val idx = nData + i
+          if (row.isNullAt(idx)) return "__HIVE_DEFAULT_PARTITION__"
+          iceTypes(i) match {
+            case IDate => java.time.LocalDate.ofEpochDay(row.getInt(idx).toLong).toString
+            case ITimestamp | ITimestamptz =>
+              val us = row.getLong(idx)
+              java.time.LocalDateTime.ofEpochSecond(
+                Math.floorDiv(us, 1000000L),
+                (Math.floorMod(us, 1000000L) * 1000L).toInt,
+                java.time.ZoneOffset.UTC).toString
+            case IString => row.getUTF8String(idx).toString
+            case IInt => row.getInt(idx).toString
+            case ILong => row.getLong(idx).toString
+            case IBoolean => row.getBoolean(idx).toString
+            case IFloat => row.getFloat(idx).toString
+            case IDouble => row.getDouble(idx).toString
+            case IDecimal(p, s) => row.getDecimal(idx, p, s).toJavaBigDecimal.toPlainString
+            case other => throw new IllegalArgumentException(
+              s"Unsupported fixed16 partition value type $other")
+          }
+        }
+        // %XX-escape anything outside [A-Za-z0-9._-]; parsePartition's
+        // decoder reverses exactly this
+        def escape(s: String): String = {
+          val b = new StringBuilder
+          s.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { by =>
+            val c = by.toChar
+            val safe = by >= 0 &&
+              (c.isLetterOrDigit || c == '.' || c == '_' || c == '-')
+            if (safe) b += c else b ++= f"%%${by & 0xff}%02X"
+          }
+          b.toString
+        }
+        def dirOf(row: org.apache.spark.sql.catalyst.InternalRow): String =
+          if (pNames.isEmpty) dir
+          else dir + "/" + pNames.indices.map(i =>
+            s"${pNames(i)}=${escape(partString(i, row))}").mkString("/")
+        def open(d: String) = new org.apache.parquet.hadoop.ParquetWriter[
             org.apache.spark.sql.catalyst.InternalRow](
-          new Path(s"$dir/f16-$part-${java.util.UUID.randomUUID()}.parquet"),
+          new Path(s"$d/f16-$part-${java.util.UUID.randomUUID()}.parquet"),
           new graft.spark.GraftUuidFixed16WriteSupport(cols),
           org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY,
           org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE,
@@ -311,14 +378,34 @@ object WriteFiles {
           false,
           org.apache.parquet.hadoop.ParquetWriter.DEFAULT_WRITER_VERSION,
           conf)
-        var writer = open()
+        // ParquetWriteSupport.writeFields walks row.numFields, so rows
+        // carrying synthetic partition columns must be projected down to
+        // the data prefix before writing
+        val dataProj: org.apache.spark.sql.catalyst.InternalRow =>
+            org.apache.spark.sql.catalyst.InternalRow =
+          if (pNames.isEmpty) identity
+          else {
+            val p = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+              sch.fields.zipWithIndex.map { case (f, i) =>
+                org.apache.spark.sql.catalyst.expressions.BoundReference(
+                  i, f.dataType, f.nullable)
+              }.toIndexedSeq)
+            row => p(row)
+          }
+        var curDir: String = null
+        var writer: org.apache.parquet.hadoop.ParquetWriter[
+          org.apache.spark.sql.catalyst.InternalRow] = null
         var n = 0L
         it.foreach { row =>
-          if (n >= maxR) { writer.close(); writer = open(); n = 0L }
-          writer.write(row)
+          val d = dirOf(row)
+          if (writer == null || d != curDir || n >= maxR) {
+            if (writer != null) writer.close()
+            curDir = d; writer = open(d); n = 0L
+          }
+          writer.write(dataProj(row))
           n += 1
         }
-        writer.close()
+        if (writer != null) writer.close()
       }
     }
   }
@@ -622,11 +709,34 @@ object StatsHarvester extends Serializable {
       partTypes: Seq[String]): Seq[Any] = {
     if (partFieldNames.isEmpty) return Nil
     val rel = path.stripPrefix("file:").stripPrefix(stageDir.stripPrefix("file:")).stripPrefix("/")
+    // %XX-only decode — java.net.URLDecoder would ALSO turn a literal '+'
+    // into a space (it implements form encoding, not path escaping), and
+    // neither Spark's escapePathName nor our fixed16 writer encodes '+'
+    def isHex(c: Char) = (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+      (c >= 'A' && c <= 'F')
+    def unescape(s: String): String = {
+      if (!s.contains('%')) return s
+      val out = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '%' && i + 2 < s.length &&
+            isHex(s.charAt(i + 1)) && isHex(s.charAt(i + 2))) {
+          // consecutive %XX runs decode as ONE UTF-8 byte sequence so
+          // multi-byte characters reassemble correctly
+          val buf = new java.io.ByteArrayOutputStream
+          while (i + 2 < s.length && s.charAt(i) == '%' &&
+              isHex(s.charAt(i + 1)) && isHex(s.charAt(i + 2))) {
+            buf.write(Integer.parseInt(s.substring(i + 1, i + 3), 16)); i += 3
+          }
+          out ++= new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+        } else { out += s.charAt(i); i += 1 }
+      }
+      out.toString
+    }
     val kvs: Map[String, String] = rel.split("/").iterator
       .filter(_.contains("=")).map { seg =>
         val i = seg.indexOf('=')
-        URLDecoder.decode(seg.substring(0, i), "UTF-8") ->
-          URLDecoder.decode(seg.substring(i + 1), "UTF-8")
+        unescape(seg.substring(0, i)) -> unescape(seg.substring(i + 1))
       }.toMap
     partFieldNames.zip(partTypes).map { case (n, trepr) =>
       kvs.get(n) match {

@@ -138,6 +138,43 @@ class UuidSpec extends AnyFunSuite with BeforeAndAfterAll {
       uuids.map(_.toString))
   }
 
+  test("write.uuid.fixed16 on a PARTITIONED table: layout, pruning, round-trip") {
+    val schema = Schema(Seq(
+      NestedField(1, "id", IInt, required = true),
+      NestedField(2, "u", IUUID),
+      NestedField(3, "grp", IString)))
+    val spec = graft.meta.PartitionSpec.build(schema, 0,
+      ("grp", IdentityTransform, "grp"))
+    val t = catalog.createTable("uuid_f16_part", schema, spec,
+      properties = Map("write.uuid.fixed16" -> "true"))
+    val df = spark.createDataFrame(
+      uuids.zipWithIndex.map { case (u, i) => (i + 1, u.toString, s"g${i % 3}") })
+      .toDF("id", "u", "grp")
+    t.append(df)
+    // every data file is FLBA(16) and carries its partition value
+    val tasks = new graft.table.IceScan(t).planFiles()
+    assert(tasks.nonEmpty)
+    assert(tasks.map(_.file.partition.head).toSet === Set("g0", "g1", "g2"))
+    tasks.map(_.file.filePath).foreach { file =>
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(file), new Configuration()))
+      val uField = try {
+        val sch = footer.getFooter.getFileMetaData.getSchema
+        sch.getFields.get(sch.getFieldIndex("u")).asPrimitiveType()
+      } finally footer.close()
+      assert(uField.getPrimitiveTypeName === PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY)
+      assert(uField.getTypeLength === 16)
+    }
+    // partition pruning works over the fixed16 layout
+    val pruned = t.scan("grp = 'g1'").planFiles()
+    assert(pruned.nonEmpty && pruned.size < tasks.size)
+    assert(t.scan("grp = 'g1'").toDF.count() === uuids.indices.count(_ % 3 === 1))
+    // full round-trip surfaces canonical strings
+    val rows = t.scan.toDF.orderBy(col("id")).collect()
+    assert(rows.map(_.getString(1)).toSeq === uuids.map(_.toString))
+  }
+
   test("uppercase uuid input canonicalizes on write so filters match") {
     val t = catalog.createTable("uuid_case", tableSchema)
     val df = spark.createDataFrame(
