@@ -473,6 +473,72 @@ object DataOps {
       |ORDER BY list_cosine_similarity(a.embedding, q.q_v) DESC, a.vec_id
       |LIMIT 10""".stripMargin
 
+  /** SEMANTIC CLUSTERING of the embedding space — the SemDeDup-style
+    * stage that groups a corpus into k clusters before per-cluster
+    * near-dup pruning: Lloyd's k-means with DETERMINISTIC init (the k
+    * smallest vec_ids) and cosine assignment. Each iteration is one
+    * map-side assignment (centroids broadcast as literals through the
+    * same codegen cosine the ANN ops use) plus one partial-aggregated
+    * per-dimension mean whose shuffle volume is tasks × k × dim — the
+    * data never moves, only k×dim doubles reach the driver per round.
+    * The final centroids are exported so the oracle re-derives the
+    * assignment + histogram from them with the identical argmax-cosine
+    * formulation. */
+  def embedKmeans(s: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val iters = 3
+    val e = trackCache(t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // deterministic seed: the k smallest vec_ids
+    var cents: Seq[(Int, Seq[Double])] = e.filter(col("vec_id") < k)
+      .orderBy(col("vec_id")).collect()
+      .zipWithIndex.map { case (r, i) =>
+        i -> r.getSeq[Float](1).map(_.toDouble)
+      }.toSeq
+    def assigned(): DataFrame = {
+      // argmax cosine over k literal centroids, ties to the lower cid —
+      // a codegen'd expression chain, no join and no shuffle
+      val scored = cents.map { case (cid, v) =>
+        struct(Vectors.cosine(col("embedding"),
+          typedLit(v.map(_.toFloat))).as("cs"),
+          lit(-cid).as("ncid"))
+      }
+      e.withColumn("cid", -greatest(scored: _*).getField("ncid"))
+    }
+    for (_ <- 1 to iters) {
+      val means = assigned()
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      cents = means.groupBy(_._1).map { case (cid, xs) =>
+        cid -> xs.sortBy(_._2).map(_._3).toSeq
+      }.toSeq.sortBy(_._1)
+    }
+    exportForOracle(
+      s.createDataFrame(cents.flatMap { case (cid, v) =>
+        v.zipWithIndex.map { case (x, p) => (cid, p, x) }
+      }).toDF("cid", "pos", "v"),
+      "kmeans_cents")
+    assigned()
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("rep_id"))
+      .orderBy(col("cid"))
+  }
+  val embedKmeansSql =
+    s"""WITH cents AS (
+      |  SELECT cid, list(CAST(v AS FLOAT) ORDER BY pos) AS cent_v
+      |  FROM read_parquet('$ExportDir/kmeans_cents/*.parquet') GROUP BY cid),
+      |scored AS (
+      |  SELECT e.vec_id, c.cid,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_cosine_similarity(e.embedding, c.cent_v) DESC, c.cid) AS rn
+      |  FROM embeddings e CROSS JOIN cents c)
+      |SELECT cid, count(*) AS n_vecs, min(vec_id) AS rep_id
+      |FROM scored WHERE rn = 1
+      |GROUP BY cid ORDER BY cid""".stripMargin
+
   // ------------------------------------------------------------- text ops
 
   def textTokens(s: SparkSession, dir: String): DataFrame = {
@@ -872,6 +938,7 @@ object DataOps {
     "ds_dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "ds_dedup_simhash" -> (dedupSimhash _),
     "ds_embed_neardup" -> (embedNearDup _),
+    "ds_embed_kmeans" -> (embedKmeans _),
     "ds_ann_cosine_topk" -> (annCosineTopK _),
     "ds_ann_ivf_topk" -> (annIvfTopK _),
     "ds_text_tokens" -> (textTokens _),
@@ -894,6 +961,7 @@ object DataOps {
     "ds_dedup_minhash_lsh" -> dedupMinhashLshSql,
     "ds_dedup_simhash" -> dedupSimhashSql,
     "ds_embed_neardup" -> embedNearDupSql,
+    "ds_embed_kmeans" -> embedKmeansSql,
     "ds_ann_cosine_topk" -> annCosineTopKSql,
     "ds_ann_ivf_topk" -> annIvfTopKSql,
     "ds_text_tokens" -> textTokensSql,

@@ -137,6 +137,18 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally df.unpersist()
   }
 
+  test("kmeans clusters partition the embedding set deterministically") {
+    val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val a = DataOps.embedKmeans(spark, dir).collect()
+    assert(a.map(_.getLong(1)).sum === total, "clusters must partition the set")
+    assert(a.length <= 16 && a.length > 1)
+    DataOps.releaseCaches()
+    val b = DataOps.embedKmeans(spark, dir).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq,
+      "deterministic init + fixed iteration count ⇒ identical clustering")
+    DataOps.releaseCaches()
+  }
+
   test("incremental dedup: survivors are new-batch hashes absent from the corpus") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
