@@ -45,6 +45,18 @@ object DataOps {
     * release contract as DataFrame persists. */
   private[graft] def trackRdd(r: org.apache.spark.rdd.RDD[_]): Unit =
     liveCaches.synchronized { liveRdds += r }
+  /** Temp warehouses created inside query functions (dedupIncremental):
+    * the returned DataFrame reads them lazily, so they are deleted when
+    * the NEXT query starts (same contract as the caches) — repeated
+    * bench/verify runs can't accumulate corpus-sized /tmp copies. */
+  private val liveTempDirs = new scala.collection.mutable.ArrayBuffer[String]
+  private lazy val tempDirShutdownHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => liveTempDirs.foreach { p =>
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
+      catch { case _: Exception => }
+    }))
+  private[graft] def trackTempDir(p: String): String =
+    liveCaches.synchronized { tempDirShutdownHook; liveTempDirs += p; p }
   private[graft] def releaseCaches(): Unit = liveCaches.synchronized {
     // a tracked cache may belong to an already-stopped SparkSession (test
     // suites cycle sessions in one JVM) — never let stale state fail a
@@ -59,6 +71,11 @@ object DataOps {
       catch { case _: Exception => }
     }
     liveRdds.clear()
+    liveTempDirs.foreach { p =>
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
+      catch { case _: Exception => }
+    }
+    liveTempDirs.clear()
   }
 
   private def exportForOracle(df: DataFrame, name: String): Unit =
@@ -742,8 +759,8 @@ object DataOps {
     * table/__init__.py:1272; upsert's dup detection: upsert_util.py). */
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val wh = new graft.catalog.HadoopCatalog(
-      java.nio.file.Files.createTempDirectory("graft_incdedup").toString, s)
+    val wh = new graft.catalog.HadoopCatalog(trackTempDir(
+      java.nio.file.Files.createTempDirectory("graft_incdedup").toString), s)
     val tab = wh.createTable("corpus", graft.core.Schema.fromSpark(docs.schema))
     tab.append(docs.filter(col("doc_id") % 3 =!= 0))
     val snap1 = tab.metadata.currentSnapshotId.get

@@ -918,8 +918,22 @@ class IceTable(
     * descriptors. Returns (rewritten, created) delete-file counts. */
   def rewritePositionDeletes(): (Int, Int) = {
     val tasks = new IceScan(this).planFiles()
-    val posFiles = tasks.flatMap(_.deletes)
-      .filter(d => d.content == FileContent.PositionDeletes && d.contentOffset.isEmpty)
+    // enumerate candidates from the DELETE MANIFESTS, not from the live
+    // scan tasks' attached deletes: a delete file whose targets were all
+    // compacted away attaches to NO live task (and DV-superseded files
+    // are dropped by the applicability index), yet stays registered in
+    // manifests — exactly the dangling files this procedure must drop
+    val posFiles = metadata.currentSnapshot.toSeq.flatMap { snap =>
+      ManifestIO.readManifestList(snap.manifestList)
+        .filter(_.content == 1)
+        .flatMap { mf =>
+          val mspec = metadata.specById(mf.partitionSpecId)
+          ManifestIO.readManifest(mf.manifestPath, mspec, schema)
+            .filter(_.status != EntryStatus.Deleted)
+            .map(_.dataFile)
+        }
+    }.filter(d => d.content == FileContent.PositionDeletes &&
+        d.contentOffset.isEmpty && !d.isDeletionVector)
       .distinctBy(_.filePath)
     if (posFiles.isEmpty) return (0, 0)
     val stage = s"$location/data/${UUID.randomUUID()}"

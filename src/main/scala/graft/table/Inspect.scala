@@ -387,29 +387,13 @@ final class Inspect(table: IceTable) {
     val rowsDF = entryRowsDF(manifestsOf(snapshotId), schema, (_, mf, e) => {
       val sp = specsLocal(mf.partitionSpecId)
       if (!Evaluators.partitionMatches(sp, projBySpec(sp.specId), e.dataFile.partition)) None
-      else Some(Row(sp.partitionToPath(e.dataFile.partition, mSchema), sp.specId,
-        e.dataFile.content, e.dataFile.recordCount, e.dataFile.fileSizeInBytes,
-        snapInfo.get(e.snapshotId).map(Long.box).orNull,
-        if (snapInfo.contains(e.snapshotId)) Long.box(e.snapshotId) else null))
+      else Some(Row(Seq(sp.partitionToPath(e.dataFile.partition, mSchema), sp.specId) ++
+        Inspect.statsTail(snapInfo, e): _*))
     })
-    def ifContent(c: Int, v: org.apache.spark.sql.Column) =
-      sum(when(col("content") === c, v).otherwise(0L))
-    rowsDF
-      .groupBy(col("partition"), col("spec_id"))
-      .agg(
-        ifContent(FileContent.Data, col("record_count")).as("record_count"),
-        ifContent(FileContent.Data, lit(1L)).cast("int").as("file_count"),
-        ifContent(FileContent.Data, col("file_size")).as("total_data_file_size_in_bytes"),
-        ifContent(FileContent.PositionDeletes, col("record_count"))
-          .as("position_delete_record_count"),
-        ifContent(FileContent.PositionDeletes, lit(1L)).cast("int")
-          .as("position_delete_file_count"),
-        ifContent(FileContent.EqualityDeletes, col("record_count"))
-          .as("equality_delete_record_count"),
-        ifContent(FileContent.EqualityDeletes, lit(1L)).cast("int")
-          .as("equality_delete_file_count"),
-        timestamp_millis(max(col("committed_ms"))).as("last_updated_at"),
-        max_by(col("snapshot_id"), col("committed_ms")).as("last_updated_snapshot_id"))
+    Inspect.partitionRollup(rowsDF, Seq(col("partition"), col("spec_id")),
+      dataRecordName = "record_count", dataFileName = "file_count",
+      extra = Nil,
+      lastUpdated = timestamp_millis(max(col("committed_ms"))).as("last_updated_at"))
   }
 
   /** Spec-shaped PARTITION STATISTICS rows (Iceberg spec §Partition
@@ -451,30 +435,18 @@ final class Inspect(table: IceTable) {
       val tuple = Row(unifiedIds.map(id =>
         byFieldId.get(id).map(v =>
           Inspect.externalValue(unifiedTypes(id), v)).orNull): _*)
-      Some(Row(tuple, sp.specId, e.dataFile.content, e.dataFile.recordCount,
-        e.dataFile.fileSizeInBytes,
-        snapInfo.get(e.snapshotId).map(Long.box).orNull,
-        if (snapInfo.contains(e.snapshotId)) Long.box(e.snapshotId) else null))
+      Some(Row(Seq(tuple, sp.specId) ++ Inspect.statsTail(snapInfo, e): _*))
     })
-    def ifContent(c: Int, v: org.apache.spark.sql.Column) =
-      sum(when(col("content") === c, v).otherwise(0L))
-    rowsDF
-      .groupBy(col("partition"), col("spec_id"))
-      .agg(
-        ifContent(FileContent.Data, col("record_count")).as("data_record_count"),
-        ifContent(FileContent.Data, lit(1L)).cast("int").as("data_file_count"),
-        ifContent(FileContent.Data, col("file_size")).as("total_data_file_size_in_bytes"),
-        ifContent(FileContent.PositionDeletes, col("record_count"))
-          .as("position_delete_record_count"),
-        ifContent(FileContent.PositionDeletes, lit(1L)).cast("int")
-          .as("position_delete_file_count"),
-        ifContent(FileContent.EqualityDeletes, col("record_count"))
-          .as("equality_delete_record_count"),
-        ifContent(FileContent.EqualityDeletes, lit(1L)).cast("int")
-          .as("equality_delete_file_count"),
-        lit(null).cast(LongType).as("total_record_count"),
-        max(col("committed_ms")).as("last_updated_at"),
-        max_by(col("snapshot_id"), col("committed_ms")).as("last_updated_snapshot_id"))
+    // one row per UNIFIED partition tuple: after spec evolution, files of
+    // different specs can unify to the SAME tuple (dropped field → null);
+    // grouping by (partition, spec_id) would emit duplicate tuples in the
+    // stats file, so the tuple alone is the key and spec_id reports the
+    // newest spec that contributed files
+    Inspect.partitionRollup(rowsDF, Seq(col("partition")),
+      dataRecordName = "data_record_count", dataFileName = "data_file_count",
+      extra = Seq(lit(null).cast(LongType).as("total_record_count")),
+      lastUpdated = max(col("committed_ms")).as("last_updated_at"),
+      leadCols = Seq(max(col("spec_id")).as("spec_id")))
   }
 }
 
@@ -482,6 +454,44 @@ final class Inspect(table: IceTable) {
   * the table handle so `entryRowsDF`'s build closures can run on
   * executors (the distributed path past the planning threshold). */
 private[table] object Inspect {
+
+  /** Shared (content, record_count, file_size, committed_ms, snapshot_id)
+    * row tail for the per-partition rollups. */
+  def statsTail(snapInfo: Map[Long, Long], e: graft.meta.ManifestEntry): Seq[Any] = Seq(
+    e.dataFile.content, e.dataFile.recordCount, e.dataFile.fileSizeInBytes,
+    snapInfo.get(e.snapshotId).map(Long.box).orNull,
+    if (snapInfo.contains(e.snapshotId)) Long.box(e.snapshotId) else null)
+
+  /** Shared data/delete rollup for `partitions()` and
+    * `partitionStatsFrame` — ONE copy of the eight content-conditional
+    * aggregates so a fix to delete counting can't silently miss one of
+    * the two faces. `leadCols` land right after the group keys (the
+    * stats file's spec-ordered `spec_id` column); `extra` between the
+    * delete counts and the last-updated pair. */
+  def partitionRollup(rows: org.apache.spark.sql.DataFrame,
+      keys: Seq[org.apache.spark.sql.Column], dataRecordName: String,
+      dataFileName: String, extra: Seq[org.apache.spark.sql.Column],
+      lastUpdated: org.apache.spark.sql.Column,
+      leadCols: Seq[org.apache.spark.sql.Column] = Nil): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    def ifContent(c: Int, v: org.apache.spark.sql.Column) =
+      sum(when(col("content") === c, v).otherwise(0L))
+    val aggs = leadCols ++ Seq(
+      ifContent(FileContent.Data, col("record_count")).as(dataRecordName),
+      ifContent(FileContent.Data, lit(1L)).cast("int").as(dataFileName),
+      ifContent(FileContent.Data, col("file_size")).as("total_data_file_size_in_bytes"),
+      ifContent(FileContent.PositionDeletes, col("record_count"))
+        .as("position_delete_record_count"),
+      ifContent(FileContent.PositionDeletes, lit(1L)).cast("int")
+        .as("position_delete_file_count"),
+      ifContent(FileContent.EqualityDeletes, col("record_count"))
+        .as("equality_delete_record_count"),
+      ifContent(FileContent.EqualityDeletes, lit(1L)).cast("int")
+        .as("equality_delete_file_count")) ++ extra ++ Seq(
+      lastUpdated,
+      max_by(col("snapshot_id"), col("committed_ms")).as("last_updated_snapshot_id"))
+    rows.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** internal repr → external JVM value createDataFrame accepts. */
   def externalValue(t: IceType, v: Any): Any = v match {

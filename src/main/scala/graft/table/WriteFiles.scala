@@ -8,7 +8,7 @@ import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.api.Binary
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core._
@@ -163,9 +163,9 @@ object WriteFiles {
     // the table's sort order applies within each written file — tighter
     // min/max stats and better row-group pruning (the reference leaves
     // files unsorted, io/pyarrow.py:2769; this is our improvement)
-    def sorted(d: DataFrame): DataFrame = sortOrder.filter(_.fields.nonEmpty) match {
+    def sortCols: Seq[Column] = sortOrder.filter(_.fields.nonEmpty) match {
       case Some(so) =>
-        val cols = so.fields.map { f =>
+        so.fields.map { f =>
           val field = schema.byId(f.sourceId)
           // sort keys may be transforms (bucket/truncate/day/…) of the
           // source column — evaluate the transform as a Spark Column so
@@ -178,9 +178,10 @@ object WriteFiles {
             case _ => key.asc_nulls_first
           }
         }
-        d.sortWithinPartitions(cols: _*)
-      case None => d
+      case None => Nil
     }
+    def sorted(d: DataFrame): DataFrame =
+      if (sortCols.isEmpty) d else d.sortWithinPartitions(sortCols: _*)
 
     val orderId = sortOrder.filter(_.fields.nonEmpty).map(_.orderId)
 
@@ -219,24 +220,41 @@ object WriteFiles {
       val uuidCols = schema.fields.filter(_.fieldType == IUUID).map(_.name).toSet
       // canonical string → 16 raw bytes (unhex of the dashless hex form);
       // codegen'd builtins, no UDF
-      val conv = uuidCols.foldLeft(sorted(aligned))((d, n) =>
+      def conv(d: DataFrame): DataFrame = uuidCols.foldLeft(d)((d, n) =>
         d.withColumn(n, unhex(regexp_replace(col(n), "-", ""))))
       if (spec.isUnpartitioned)
-        writeFixed16(ws, onWs(conv), stageDir, schema, uuidCols, maxRecords, Nil, Nil)
+        writeFixed16(ws, onWs(conv(sorted(aligned))), stageDir, schema, uuidCols,
+          maxRecords, Nil, Nil)
       else {
         // same fan-out shape as the Spark-writer path: synthetic transform
-        // columns, explicit task count, rows SORTED by partition within
-        // each task so one writer is open at a time
+        // columns, explicit task count, salt escape hatch, rows sorted by
+        // (partition, table sort order) within each task so one writer is
+        // open at a time AND files honor the sortOrderId they're stamped
+        // with. Partition values are computed from the ORIGINAL canonical-
+        // string uuid representation (BEFORE the FLBA conversion) so
+        // uuid-sourced partition fields land as canonical strings.
         val partCols = spec.fields.map { pf =>
           val src = schema.byId(pf.sourceId)
           pf.transform.column(col(src.name), src.fieldType).as(SyntheticPrefix + pf.name)
         }
-        val withParts = conv.select((conv.columns.map(col) ++ partCols): _*)
+        val withParts = conv(
+          aligned.select((aligned.columns.map(col) ++ partCols): _*))
         val writeTasks = 4 * math.max(spark.sparkContext.defaultParallelism,
           spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-        val repartKeys = spec.fields.map(pf => col(SyntheticPrefix + pf.name))
-        val shuffled = withParts.repartition(writeTasks, repartKeys: _*)
-          .sortWithinPartitions(repartKeys: _*)
+        val saltBuckets = props.get("write.fanout.salt-buckets").map(_.toInt).getOrElse(1)
+        val saltCol = SyntheticPrefix + "salt"
+        val salted = if (saltBuckets > 1)
+          withParts.withColumn(saltCol,
+            pmod(hash(aligned.columns.map(col): _*), lit(saltBuckets)))
+        else withParts
+        val partKeys = spec.fields.map(pf => col(SyntheticPrefix + pf.name))
+        val repartKeys = partKeys ++
+          (if (saltBuckets > 1) Seq(col(saltCol)) else Nil)
+        // sort keys referencing uuid columns see the 16-byte binary form —
+        // byte order equals canonical-string order, so the file ordering
+        // still satisfies the declared sort order
+        val shuffled = salted.repartition(writeTasks, repartKeys: _*).drop(saltCol)
+          .sortWithinPartitions((partKeys ++ sortCols): _*)
         writeFixed16(ws, onWs(shuffled), stageDir, schema, uuidCols, maxRecords,
           spec.fields.map(pf => SyntheticPrefix + pf.name),
           spec.partitionType(schema).map(_.fieldType.repr))
@@ -339,7 +357,9 @@ object WriteFiles {
                 Math.floorDiv(us, 1000000L),
                 (Math.floorMod(us, 1000000L) * 1000L).toInt,
                 java.time.ZoneOffset.UTC).toString
-            case IString => row.getUTF8String(idx).toString
+            // identity(uuid) partition values are computed pre-conversion,
+            // so they arrive as canonical lowercase strings
+            case IString | IUUID => row.getUTF8String(idx).toString
             case IInt => row.getInt(idx).toString
             case ILong => row.getLong(idx).toString
             case IBoolean => row.getBoolean(idx).toString

@@ -1536,6 +1536,36 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.rewritePositionDeletes() === (0, 0))
   }
 
+  test("rewritePositionDeletes removes a delete file with ZERO live targets") {
+    // a delete file whose targets were ALL replaced attaches to no scan
+    // task (new data files carry a HIGHER sequence than the delete), so
+    // task-based enumeration would never see it — it must still be
+    // rewritten away (to nothing) via the manifest walk. CoW delete GCs
+    // dead delete files itself; dynamic overwrite does not, which is the
+    // real-world path that leaves danglers.
+    val schema = Schema.fromSpark(orders.schema)
+    val spec = PartitionSpec.build(schema, 0,
+      ("o_orderstatus", IdentityTransform, "o_orderstatus"))
+    val t = catalog.createTable("t_posrw_dangling", schema, spec)
+    t.append(orders)
+    t.deletePositional("o_orderkey >= 300 and o_orderkey < 900")
+    assert(t.inspect.deleteFiles().count() >= 1)
+    // replace EVERY partition the delete could apply to
+    t.dynamicPartitionOverwrite(orders)
+    t.refresh()
+    assert(t.scan.toDF.count() === orders.count())
+    // the delete file is dangling: registered, but applies to no live file
+    assert(t.inspect.deleteFiles().count() >= 1)
+    assert(t.scan.planFiles().forall(_.deletes.isEmpty))
+    val (rw, added) = t.rewritePositionDeletes()
+    assert(rw >= 1 && added === 0)
+    t.refresh()
+    assert(t.inspect.deleteFiles().count() === 0)
+    assert(t.scan.toDF.count() === orders.count())
+    // idempotent afterwards
+    assert(t.rewritePositionDeletes() === (0, 0))
+  }
+
   test("partition statistics: compute writes a spec-shaped file and registers it") {
     val schema = Schema.fromSpark(orders.schema)
     val spec = PartitionSpec.build(schema, 0, ("o_orderstatus", IdentityTransform, "o_orderstatus"))

@@ -175,6 +175,58 @@ class UuidSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getString(1)).toSeq === uuids.map(_.toString))
   }
 
+  test("fixed16 write partitioned BY the uuid column itself") {
+    // partition values must come from the PRE-conversion canonical string
+    // (identity(uuid) partition dirs are strings, not raw FLBA bytes)
+    val schema = Schema(Seq(
+      NestedField(1, "id", IInt, required = true),
+      NestedField(2, "u", IUUID)))
+    val spec = graft.meta.PartitionSpec.build(schema, 0,
+      ("u", IdentityTransform, "u"))
+    val t = catalog.createTable("uuid_f16_bypart", schema, spec,
+      properties = Map("write.uuid.fixed16" -> "true"))
+    val df = spark.createDataFrame(
+      uuids.take(6).zipWithIndex.map { case (u, i) => (i + 1, u.toString) })
+      .toDF("id", "u")
+    t.append(df)
+    val tasks = new graft.table.IceScan(t).planFiles()
+    assert(tasks.size === 6)
+    // manifest partition values are the canonical strings
+    assert(tasks.map(_.file.partition.head).toSet ===
+      uuids.take(6).map(_.toString).toSet)
+    // identity-partition pruning over the uuid value
+    assert(t.scan(s"u = '${uuids(2)}'").planFiles().size === 1)
+    val rows = t.scan.toDF.orderBy(col("id")).collect()
+    assert(rows.map(_.getString(1)).toSeq === uuids.take(6).map(_.toString))
+  }
+
+  test("fixed16 partitioned write honors the table sort order within files") {
+    val schema = Schema(Seq(
+      NestedField(1, "id", IInt, required = true),
+      NestedField(2, "u", IUUID),
+      NestedField(3, "grp", IString)))
+    val spec = graft.meta.PartitionSpec.build(schema, 0,
+      ("grp", IdentityTransform, "grp"))
+    val t = catalog.createTable("uuid_f16_sorted", schema, spec,
+      properties = Map("write.uuid.fixed16" -> "true"))
+    t.replaceSortOrder("id" -> "asc")
+    // feed rows in REVERSE id order; files must come out id-ascending
+    val df = spark.createDataFrame(
+      uuids.zipWithIndex.reverse.map { case (u, i) => (i + 1, u.toString, s"g${i % 2}") })
+      .toDF("id", "u", "grp")
+    t.refresh()
+    t.append(df)
+    val tasks = new graft.table.IceScan(t).planFiles()
+    assert(tasks.nonEmpty)
+    // every file stamped with the sort order id really is sorted
+    tasks.foreach { task =>
+      assert(task.file.sortOrderId.exists(_ > 0))
+      val ids = spark.read.parquet(task.file.filePath)
+        .select("id").collect().map(_.getInt(0)).toSeq
+      assert(ids === ids.sorted, s"file ${task.file.filePath} not id-sorted")
+    }
+  }
+
   test("uppercase uuid input canonicalizes on write so filters match") {
     val t = catalog.createTable("uuid_case", tableSchema)
     val df = spark.createDataFrame(
