@@ -943,7 +943,102 @@ object DataOps {
       |SELECT lang, seq_id, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS seq_tokens
       |FROM packed GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin
 
+  /** TOKEN-BUDGET SOURCE MIXING — the data-mixing step that caps each
+    * source's contribution to the training mix at a token budget (the
+    * published-recipe shape: per-domain token counts, not row counts).
+    * Docs are taken in deterministic doc_id order per source until the
+    * budget fills; the running sum is a window per SOURCE partition so
+    * the 20 (at 100 TB: thousands of) sources select their prefixes
+    * independently and in parallel — no global sort, no driver loop.
+    * A doc is kept while the budget is not yet EXCEEDED before it, so
+    * each source overshoots by at most one document. */
+  def mixBudget(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tokens = size(filter(split(trim(col("text")), "\\s+"), w => w =!= ""))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs.select(col("source"), col("doc_id"), tokens.as("tok"))
+      .withColumn("cum_before", sum(col("tok")).over(win) - col("tok"))
+      .filter(col("cum_before") < 150)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_kept"), sum(col("tok")).as("tokens_kept"))
+      .orderBy(col("source"))
+  }
+  val mixBudgetSql =
+    """WITH tok AS (
+      |  SELECT source, doc_id,
+      |    len(list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '')) AS tok
+      |  FROM documents),
+      |cum AS (
+      |  SELECT source, doc_id, tok,
+      |    sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS cum_before
+      |  FROM tok)
+      |SELECT source, count(*) AS docs_kept, CAST(sum(tok) AS BIGINT) AS tokens_kept
+      |FROM cum WHERE cum_before < 150
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  /** PII REDACTION — scrub emails and phone-shaped numbers before
+    * training, reporting per-document redaction counts (the audit trail
+    * a compliance pipeline keeps). The testdata is synthetic with no
+    * real PII, so deterministic PII is INJECTED first (id-derived email
+    * / phone suffixes) and the scrubber is verified against it — both
+    * engines compute injection and redaction identically. Pure map-side
+    * string work: codegen regexp, zero shuffle, composes ahead of any
+    * dedup stage. */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val seeded = docs.withColumn("t",
+      concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 6 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-0199")))
+          .otherwise(lit(""))))
+    nonEmptyDf(seeded.select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(phoneRe), lit(0))).as("n_phones"),
+        length(regexp_replace(regexp_replace(col("t"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>")).as("redacted_len"))
+      .filter(col("n_emails") + col("n_phones") > 0)
+      .orderBy(col("doc_id")))
+  }
+  val piiRedactSql =
+    """WITH seeded AS (
+      |  SELECT doc_id, text ||
+      |    (CASE WHEN doc_id % 4 = 0
+      |       THEN ' contact user' || doc_id || '@example.com' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 6 = 0
+      |       THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'
+      |       ELSE '' END) AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+      |  len(regexp_extract_all(t, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+      |  length(regexp_replace(regexp_replace(t,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_len
+      |FROM seeded
+      |WHERE len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+      |      len(regexp_extract_all(t, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) > 0
+      |ORDER BY doc_id""".stripMargin
+
+  /** Mirror of Iceberg.nonEmpty for the data-ops gates whose filters are
+    * meant to select rows. */
+  private def nonEmptyDf(df: DataFrame): DataFrame = {
+    require(!df.isEmpty,
+      "gate query selected 0 rows — vacuous gate, check the construction against the testdata")
+    df
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_mix_budget" -> (mixBudget _),
+    "ds_pii_redact" -> (piiRedact _),
     "ds_decontaminate" -> (decontaminate _),
     "ds_sample_stratified" -> (sampleStratified _),
     "ds_pack_sequences" -> (packSequences _),
@@ -967,6 +1062,8 @@ object DataOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "ds_mix_budget" -> mixBudgetSql,
+    "ds_pii_redact" -> piiRedactSql,
     "ds_decontaminate" -> decontaminateSql,
     "ds_sample_stratified" -> sampleStratifiedSql,
     "ds_pack_sequences" -> packSequencesSql,

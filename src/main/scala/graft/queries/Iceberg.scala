@@ -637,6 +637,36 @@ object Iceberg {
       |       count(*) AS record_count
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** F2. partition STATISTICS file (Iceberg spec §Partition Statistics;
+    * engine-side compute like iceberg-java's PartitionStatsUtil — the
+    * reference models only the registration, table/statistics.py:46):
+    * compute + register the one metadata-sized stats parquet, then read
+    * it back. Path-targeted position deletes ride the unpartitioned
+    * spec, so they aggregate under the all-null unified tuple while data
+    * rows carry real per-partition counts. */
+  def partitionStats(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val schema = Schema.fromSpark(orders.schema)
+    val tab = wh(s).createTable("orders",
+      schema, Spec.build(schema, 0, ("o_orderstatus", IdentityTransform, "o_orderstatus")))
+    tab.append(orders)
+    tab.deletePositional("o_orderkey < 300")
+    val ps = tab.computePartitionStatistics()
+    nonEmpty(s.read.parquet(ps.statisticsPath)
+      .select(col("partition.o_orderstatus").as("status"),
+        col("data_record_count").as("data_records"),
+        col("position_delete_record_count").as("pos_delete_records"))
+      .orderBy(col("status").asc_nulls_last))
+  }
+  val partitionStatsSql =
+    """SELECT o_orderstatus AS status, count(*) AS data_records,
+      |       CAST(0 AS BIGINT) AS pos_delete_records
+      |FROM orders GROUP BY 1
+      |UNION ALL
+      |SELECT NULL AS status, CAST(0 AS BIGINT) AS data_records,
+      |       (SELECT count(*) FROM orders WHERE o_orderkey < 300) AS pos_delete_records
+      |ORDER BY status NULLS LAST""".stripMargin
+
   /** F. snapshots metadata table (operations + added record counts). */
   def snapshotsMeta(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
@@ -877,6 +907,7 @@ object Iceberg {
     "ice_metadata_count" -> (metadataCount _),
     "ice_transform_count" -> (transformCount _),
     "ice_partitions_meta" -> (partitionsMeta _),
+    "ice_partition_stats" -> (partitionStats _),
     "ice_snapshots_meta" -> (snapshotsMeta _),
     "ice_add_files" -> (addFiles _),
     "ice_orc_read" -> (orcRead _),
@@ -919,6 +950,7 @@ object Iceberg {
     "ice_metadata_count" -> metadataCountSql,
     "ice_transform_count" -> transformCountSql,
     "ice_partitions_meta" -> partitionsMetaSql,
+    "ice_partition_stats" -> partitionStatsSql,
     "ice_snapshots_meta" -> snapshotsMetaSql,
     "ice_add_files" -> addFilesSql,
     "ice_orc_read" -> orcReadSql,
