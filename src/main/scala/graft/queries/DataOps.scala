@@ -682,37 +682,40 @@ object DataOps {
     * with a watermark, executed with Trigger.AvailableNow against the
     * parquet as a file-stream source (SURVEY.md §2.J — beyond the
     * reference's incremental scan). */
+  /** File-stream sources need a DIRECTORY (basePath is pinned to the
+    * source path for stable partition inference): when the testdata table
+    * is a single parquet FILE, stage a copy into a fingerprint-keyed temp
+    * dir once — re-runs over the same file reuse it, and a regenerated
+    * file (new size/mtime) gets a fresh dir. */
+  private def stagedStreamSrc(dir: String, table: String): String = {
+    val srcFile = new java.io.File(s"$dir/$table.parquet")
+    if (srcFile.isDirectory) srcFile.getPath
+    else {
+      val fp = Integer.toHexString(srcFile.getCanonicalPath.hashCode) +
+        s"_${srcFile.length()}_${srcFile.lastModified()}"
+      val staged = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft_stream_${fp}")
+      if (!staged.exists()) {
+        val tmp = new java.io.File(staged.getPath + s".tmp${ProcessHandle.current().pid()}")
+        tmp.mkdirs()
+        java.nio.file.Files.copy(srcFile.toPath,
+          new java.io.File(tmp, "part-00000.parquet").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // atomic publish so a concurrent runner never lists a half dir
+        if (!tmp.renameTo(staged)) {
+          org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+          require(staged.exists(), s"stream staging failed for $srcFile")
+        }
+      }
+      staged.getPath
+    }
+  }
+
   def streamWindowAgg(s: SparkSession, dir: String): DataFrame = {
     // events.ts is parquet timestamp[us] (TIMESTAMP_NTZ to Spark), which
     // watermarks and tumbling windows accept natively — stream straight
     // off the source parquet (file-stream sources need an explicit schema).
-    // The file-stream source also requires a DIRECTORY (it pins basePath
-    // to the source path for stable partition inference): when the
-    // testdata table is a single parquet FILE, stage a hardlink/copy into
-    // a fingerprint-keyed temp dir once — re-runs over the same file reuse
-    // it, and a regenerated file (new size/mtime) gets a fresh dir.
-    val srcFile = new java.io.File(s"$dir/events.parquet")
-    val src =
-      if (srcFile.isDirectory) srcFile.getPath
-      else {
-        val fp = Integer.toHexString(srcFile.getCanonicalPath.hashCode) +
-          s"_${srcFile.length()}_${srcFile.lastModified()}"
-        val staged = new java.io.File(
-          s"${System.getProperty("java.io.tmpdir")}/graft_stream_${fp}")
-        if (!staged.exists()) {
-          val tmp = new java.io.File(staged.getPath + s".tmp${ProcessHandle.current().pid()}")
-          tmp.mkdirs()
-          java.nio.file.Files.copy(srcFile.toPath,
-            new java.io.File(tmp, "part-00000.parquet").toPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          // atomic publish so a concurrent runner never lists a half dir
-          if (!tmp.renameTo(staged)) {
-            org.apache.commons.io.FileUtils.deleteDirectory(tmp)
-            require(staged.exists(), s"stream staging failed for $srcFile")
-          }
-        }
-        staged.getPath
-      }
+    val src = stagedStreamSrc(dir, "events")
     val sch = s.read.parquet(src).schema
     // watermarks require a true TIMESTAMP (instant) event-time column;
     // with the session tz pinned to UTC the NTZ→instant cast is identity
@@ -743,6 +746,88 @@ object DataOps {
     """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS wstart,
       |  event_type, count(*) AS n
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** STREAMING SESSIONIZATION with custom state — the
+    * `flatMapGroupsWithState` surface: per-user session state (last event
+    * time, open-session start/count) carried ACROSS micro-batches in the
+    * state store. A ≥30-minute silence closes the open session and emits
+    * it; the final still-open session per user stays in state (exactly
+    * the streaming semantics — it could still grow), so the gate compares
+    * CLOSED sessions only. Within a batch the group's events are sorted
+    * by (ts, event_id) before folding — the per-user event volume bounds
+    * the buffer, the state store bounds everything else; at 100 TB the
+    * state shuffle partitions by user_id like any keyed stream.
+    * ACROSS batches the fold assumes time-ordered arrival (append-only
+    * log ingestion); an event older than the state's last timestamp
+    * joins the open session rather than rewriting history — the standard
+    * trade-off of unbuffered streaming sessionization. */
+  def streamSessionize(s: SparkSession, dir: String): DataFrame =
+    streamSessionizeFrom(s, stagedStreamSrc(dir, "events"), maxFilesPerTrigger = None)
+
+  /** Seam for the cross-batch state test: `maxFilesPerTrigger = Some(1)`
+    * over a multi-file dir forces one micro-batch per file, so sessions
+    * spanning files exercise state-store carry-over. */
+  private[graft] def streamSessionizeFrom(s: SparkSession, src: String,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val sch = s.read.parquet(src).schema
+    import s.implicits._
+    val reader = s.readStream.schema(sch)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.parquet(src)
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("event_id"))
+      .as[(Long, Long, Long)]
+    val gapUs = 1800000000L
+    val closedSessions = stream.groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, SessClosed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (user, it, state) =>
+        val evs = it.toArray.sortBy(e => (e._2, e._3))
+        var st = state.getOption.getOrElse(SessState(0L, 0L, 0L))
+        val closed = scala.collection.mutable.ArrayBuffer[SessClosed]()
+        evs.foreach { e =>
+          if (st.openCount == 0L) st = SessState(e._2, e._2, 1L)
+          else if (e._2 - st.lastTs > gapUs) {
+            closed += SessClosed(user, st.openStart, st.openCount)
+            st = SessState(e._2, e._2, 1L)
+          } else st = SessState(e._2, st.openStart, st.openCount + 1L)
+        }
+        state.update(st)
+        closed.iterator
+      }
+    val qname = "sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    graft.table.WriteFiles.withScopedConfs(s, "spark.sql.shuffle.partitions" -> "8") {
+      val q = closedSessions.toDF.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    s.table(qname)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_closed_sessions"),
+        sum(col("nEvents")).as("closed_events"))
+      .orderBy(col("user_id"))
+  }
+  val streamSessionizeSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts_us,
+      |    CASE WHEN lag(ts_us) OVER w IS NULL
+      |           OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |numbered AS (
+      |  SELECT user_id, ts_us,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged),
+      |sess AS (
+      |  SELECT user_id, session_id, count(*) AS n_events
+      |  FROM numbered GROUP BY user_id, session_id),
+      |last AS (SELECT user_id, max(session_id) AS last_id FROM sess GROUP BY user_id)
+      |SELECT s.user_id, count(*) AS n_closed_sessions,
+      |       CAST(sum(s.n_events) AS BIGINT) AS closed_events
+      |FROM sess s JOIN last l ON s.user_id = l.user_id AND s.session_id < l.last_id
+      |GROUP BY s.user_id ORDER BY s.user_id""".stripMargin
 
   // ---------------------------------------------- training-mix operators
 
@@ -1059,6 +1144,7 @@ object DataOps {
     "ds_text_fingerprint" -> (textFingerprint _),
     "ds_multimodal_features" -> (multimodalFeatures _),
     "stream_window_agg" -> (streamWindowAgg _),
+    "stream_sessionize" -> (streamSessionize _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1084,5 +1170,14 @@ object DataOps {
     "ds_text_fingerprint" -> textFingerprintSql,
     "ds_multimodal_features" -> multimodalFeaturesSql,
     "stream_window_agg" -> streamWindowAggSql,
+    "stream_sessionize" -> streamSessionizeSql,
   )
 }
+
+/** flatMapGroupsWithState per-user session state: last event time plus
+  * the open session's start and event count (micros). Top-level case
+  * classes so Spark's product encoders derive for the state store. */
+final case class SessState(lastTs: Long, openStart: Long, openCount: Long)
+
+/** A CLOSED session emitted downstream once a ≥gap silence follows it. */
+final case class SessClosed(user_id: Long, sessionStartUs: Long, nEvents: Long)

@@ -193,4 +193,61 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // both flag states occur on this corpus — the threshold isn't vacuous
     assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)))
   }
+
+  test("stream sessionize carries session state ACROSS micro-batches") {
+    import org.apache.spark.sql.functions._
+    // split events into two time-ordered files; maxFilesPerTrigger=1 makes
+    // each file its own micro-batch, so any session spanning the split
+    // lives only if flatMapGroupsWithState's state store carries it over
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val cutUs = ev.selectExpr(
+        "percentile_cont(0.5) WITHIN GROUP (ORDER BY unix_micros(CAST(ts AS TIMESTAMP)))")
+      .head().getDouble(0).toLong
+    val staged = java.nio.file.Files.createTempDirectory("graft_sess2").toString
+    ev.filter(unix_micros(col("ts").cast("timestamp")) <= cutUs).coalesce(1)
+      .write.parquet(s"$staged/a=1")
+    ev.filter(unix_micros(col("ts").cast("timestamp")) > cutUs).coalesce(1)
+      .write.parquet(s"$staged/a=2")
+    // flatten: the file source wants plain files under one dir. The
+    // source admits files in MODIFICATION-TIME order, so stamp explicit
+    // mtimes to fix the batch order (time-ordered ingestion, the
+    // append-only-log arrival the operator documents)
+    val dst = java.nio.file.Files.createTempDirectory("graft_sess2_flat")
+    var i = 0
+    Seq("a=1", "a=2").foreach { sub =>
+      new java.io.File(s"$staged/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          val out = dst.resolve(f"part-$i%05d.parquet")
+          java.nio.file.Files.copy(f.toPath, out)
+          out.toFile.setLastModified(System.currentTimeMillis() - 120000L + i * 60000L)
+          i += 1
+        }
+    }
+    val streamed = DataOps.streamSessionizeFrom(spark, dst.toString,
+        maxFilesPerTrigger = Some(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // batch expectation: per-user closed sessions (all but the last)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val sess = ev.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      .withColumn("prev", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev").isNull || col("ts_us") - col("prev") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id")).agg(count(lit(1)).as("n"))
+    val lastIds = sess.groupBy(col("user_id"))
+      .agg(max(col("session_id")).as("last_id"))
+    val expected = sess.join(lastIds, "user_id")
+      .filter(col("session_id") < col("last_id"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_closed"), sum(col("n")).as("closed_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(streamed.nonEmpty)
+    assert(streamed.toSet === expected.toSet)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staged))
+    org.apache.commons.io.FileUtils.deleteDirectory(dst.toFile)
+  }
 }
