@@ -78,6 +78,14 @@ object DataOps {
     liveTempDirs.clear()
   }
 
+  /** Whitespace token count — ONE definition for every operator that
+    * tokenizes (textTokens, textQuality, packSequences, mixBudget); the
+    * matching DuckDB form is `len(list_filter(string_split_regex(
+    * trim(text), '\s+'), w -> w <> ''))`. A tokenization-rule change
+    * must touch this and each oracle SQL together. */
+  private def wsTokenCount: Column =
+    size(filter(split(trim(col("text")), "\\s+"), w => w =!= ""))
+
   private def exportForOracle(df: DataFrame, name: String): Unit =
     if (oracleExportEnabled)
       df.write.mode("overwrite").parquet(s"$ExportDir/$name")
@@ -561,7 +569,7 @@ object DataOps {
   def textTokens(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "documents")
       .select(col("doc_id"),
-        size(filter(split(trim(col("text")), "\\s+"), w => w =!= "")).as("ws_tokens"),
+        wsTokenCount.as("ws_tokens"),
         size(regexp_extract_all(col("text"),
           lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("bpe_ish_tokens"))
       .orderBy(col("doc_id"))
@@ -576,7 +584,7 @@ object DataOps {
     * (all integer-derived doubles — bit-identical across engines). */
   def textQuality(s: SparkSession, dir: String): DataFrame = {
     val nChars = length(col("text")).cast("double")
-    val nWords = size(filter(split(trim(col("text")), "\\s+"), w => w =!= "")).cast("double")
+    val nWords = wsTokenCount.cast("double")
     val nPunct = length(regexp_replace(col("text"), "[^.!?,;:]", "")).cast("double")
     t(s, dir, "documents")
       .select(col("doc_id"),
@@ -750,8 +758,8 @@ object DataOps {
   /** STREAMING SESSIONIZATION with custom state — the
     * `flatMapGroupsWithState` surface: per-user session state (last event
     * time, open-session start/count) carried ACROSS micro-batches in the
-    * state store. A ≥30-minute silence closes the open session and emits
-    * it; the final still-open session per user stays in state (exactly
+    * state store. A silence of MORE than 30 minutes (strict >) closes
+    * the open session and emits it; the final still-open session per user stays in state (exactly
     * the streaming semantics — it could still grow), so the gate compares
     * CLOSED sessions only. Within a batch the group's events are sorted
     * by (ts, event_id) before folding — the per-user event volume bounds
@@ -801,23 +809,23 @@ object DataOps {
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    s.table(qname)
+    nonEmpty(s.table(qname)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_closed_sessions"),
         sum(col("nEvents")).as("closed_events"))
-      .orderBy(col("user_id"))
+      .orderBy(col("user_id")))
   }
   val streamSessionizeSql =
     """WITH ev AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
       |flagged AS (
-      |  SELECT user_id, ts_us,
+      |  SELECT user_id, ts_us, event_id,
       |    CASE WHEN lag(ts_us) OVER w IS NULL
       |           OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
       |numbered AS (
       |  SELECT user_id, ts_us,
-      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       |  FROM flagged),
       |sess AS (
@@ -1005,7 +1013,7 @@ object DataOps {
     * partition key becomes (lang, shard) with per-shard budgets. */
   def packSequences(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val tokens = size(filter(split(trim(col("text")), "\\s+"), w => w =!= ""))
+    val tokens = wsTokenCount
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -1039,7 +1047,7 @@ object DataOps {
     * each source overshoots by at most one document. */
   def mixBudget(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val tokens = size(filter(split(trim(col("text")), "\\s+"), w => w =!= ""))
+    val tokens = wsTokenCount
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -1085,7 +1093,7 @@ object DataOps {
           concat(lit(" call 555-"),
             lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-0199")))
           .otherwise(lit(""))))
-    nonEmptyDf(seeded.select(col("doc_id"),
+    nonEmpty(seeded.select(col("doc_id"),
         size(regexp_extract_all(col("t"), lit(emailRe), lit(0))).as("n_emails"),
         size(regexp_extract_all(col("t"), lit(phoneRe), lit(0))).as("n_phones"),
         length(regexp_replace(regexp_replace(col("t"), emailRe, "<EMAIL>"),
@@ -1113,13 +1121,6 @@ object DataOps {
       |      len(regexp_extract_all(t, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) > 0
       |ORDER BY doc_id""".stripMargin
 
-  /** Mirror of Iceberg.nonEmpty for the data-ops gates whose filters are
-    * meant to select rows. */
-  private def nonEmptyDf(df: DataFrame): DataFrame = {
-    require(!df.isEmpty,
-      "gate query selected 0 rows — vacuous gate, check the construction against the testdata")
-    df
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_mix_budget" -> (mixBudget _),
@@ -1179,5 +1180,5 @@ object DataOps {
   * classes so Spark's product encoders derive for the state store. */
 final case class SessState(lastTs: Long, openStart: Long, openCount: Long)
 
-/** A CLOSED session emitted downstream once a ≥gap silence follows it. */
+/** A CLOSED session emitted downstream once a >gap silence follows it. */
 final case class SessClosed(user_id: Long, sessionStartUs: Long, nEvents: Long)

@@ -22,14 +22,7 @@ object Iceberg {
   private def wh(spark: SparkSession): HadoopCatalog =
     new HadoopCatalog(Files.createTempDirectory("graft_ice").toString, spark)
 
-  /** Guard for gate queries whose filter is MEANT to select data: a filter
-    * that can never match (e.g. a threshold above the column's max) would
-    * otherwise "pass" vacuously with 0 rows on both engines. The limit(1)
-    * probe terminates at the first row, so the cost is one tiny job. */
-  private def nonEmpty(df: DataFrame): DataFrame = {
-    require(!df.isEmpty, "gate query selected 0 rows — vacuous gate, check the filter against the testdata")
-    df
-  }
+  // vacuous-gate guard: Tables.nonEmpty (shared with DataOps)
 
   /** A. append + full scan (ref: Transaction.append + DataScan). */
   def appendScan(s: SparkSession, dir: String): DataFrame = {

@@ -17,4 +17,14 @@ object Tables {
 
   /** Exact money type: all testdata numerics are 2-decimal doubles. */
   val Money: DecimalType = DecimalType(18, 2)
+
+  /** Guard for gate queries whose filter/construction is MEANT to select
+    * data: a predicate that can never match would otherwise "pass"
+    * vacuously with 0 rows on both engines (VERDICT r6 W1). The isEmpty
+    * probe terminates at the first row, so the cost is one tiny job. */
+  def nonEmpty(df: DataFrame): DataFrame = {
+    require(!df.isEmpty,
+      "gate query selected 0 rows — vacuous gate, check the construction against the testdata")
+    df
+  }
 }

@@ -200,10 +200,25 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // each file its own micro-batch, so any session spanning the split
     // lives only if flatMapGroupsWithState's state store carries it over
     val ev = spark.read.parquet(s"$dir/events.parquet")
-    val cutUs = ev.selectExpr(
+    val medianUs = ev.selectExpr(
         "percentile_cont(0.5) WITHIN GROUP (ORDER BY unix_micros(CAST(ts AS TIMESTAMP)))")
       .head().getDouble(0).toLong
+    // cut INSIDE a session: pick the mid-corpus event whose user's next
+    // event follows within the 30-min gap, so that session provably spans
+    // the two files (a plain median cut landed between sessions for every
+    // user on this testdata — a vacuous carry-over check)
+    val wNext = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val cutUs = ev.select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("event_id"))
+      .withColumn("next", lead(col("ts_us"), 1).over(wNext))
+      .filter(col("next") > col("ts_us") &&
+        col("next") - col("ts_us") <= 1800000000L)
+      .orderBy(abs(col("ts_us") - medianUs)).select(col("ts_us"))
+      .head().getLong(0)
     val staged = java.nio.file.Files.createTempDirectory("graft_sess2").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_sess2_flat")
+    try {
     ev.filter(unix_micros(col("ts").cast("timestamp")) <= cutUs).coalesce(1)
       .write.parquet(s"$staged/a=1")
     ev.filter(unix_micros(col("ts").cast("timestamp")) > cutUs).coalesce(1)
@@ -212,7 +227,6 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // source admits files in MODIFICATION-TIME order, so stamp explicit
     // mtimes to fix the batch order (time-ordered ingestion, the
     // append-only-log arrival the operator documents)
-    val dst = java.nio.file.Files.createTempDirectory("graft_sess2_flat")
     var i = 0
     Seq("a=1", "a=2").foreach { sub =>
       new java.io.File(s"$staged/$sub").listFiles()
@@ -223,6 +237,17 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
           i += 1
         }
     }
+    // guard against a vacuous split: some user must have a session that
+    // SPANS the cut (events within the 30-min gap on both sides), or the
+    // test would pass with broken state carry-over
+    val spanning = ev.select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("ts_us") <= cutUs, col("ts_us"))).as("last_before"),
+        min(when(col("ts_us") > cutUs, col("ts_us"))).as("first_after"))
+      .filter(col("first_after") - col("last_before") <= 1800000000L)
+      .count()
+    assert(spanning > 0, "no session spans the file split — vacuous carry-over test")
     val streamed = DataOps.streamSessionizeFrom(spark, dst.toString,
         maxFilesPerTrigger = Some(1))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
@@ -247,7 +272,9 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(streamed.nonEmpty)
     assert(streamed.toSet === expected.toSet)
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staged))
-    org.apache.commons.io.FileUtils.deleteDirectory(dst.toFile)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staged))
+      org.apache.commons.io.FileUtils.deleteDirectory(dst.toFile)
+    }
   }
 }
