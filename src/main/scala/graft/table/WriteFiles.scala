@@ -133,6 +133,50 @@ object WriteFiles {
     * match_metrics_mode; `write.metadata.metrics.default` +
     * `write.metadata.metrics.column.<dotted.path>`): none | counts |
     * truncate(N) | full. */
+  /** Iceberg `write.parquet.*` table properties → per-write parquet
+    * writer options (Spark forwards DataFrameWriter options into the
+    * write job's hadoop conf, where parquet-mr reads them). The
+    * reference DECLARES these properties but warns "not implemented"
+    * (io/pyarrow.py:2922 _get_parquet_writer_kwargs warns on row-group
+    * size and bloom filter keys) — here they do work. Bloom filters are
+    * the 100-TB point-lookup lever: an equality predicate on a
+    * high-cardinality key (`id = X`) prunes row groups whose bloom says
+    * "definitely absent" without decoding a page. */
+  private[table] def parquetWriterOptions(props: Map[String, String]): Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    props.get("write.parquet.compression-codec")
+      .foreach(c => b += "compression" -> c)
+    props.get("write.parquet.compression-level")
+      .foreach { l =>
+        // parquet-mr keys are per-codec; set the ones Spark ships
+        b += "parquet.compression.codec.zstd.level" -> l
+        b += "parquet.compression.codec.gzip.level" -> l
+      }
+    props.get("write.parquet.row-group-size-bytes")
+      .foreach(v => b += "parquet.block.size" -> v)
+    props.get("write.parquet.page-size-bytes")
+      .foreach(v => b += "parquet.page.size" -> v)
+    props.get("write.parquet.dict-size-bytes")
+      .foreach(v => b += "parquet.dictionary.page.size" -> v)
+    props.get("write.parquet.bloom-filter-max-bytes")
+      .foreach(v => b += "parquet.bloom.filter.max.bytes" -> v)
+    val BloomCol = "write.parquet.bloom-filter-enabled.column.(.+)".r
+    val FppCol = "write.parquet.bloom-filter-fpp.column.(.+)".r
+    // generic escape hatch for any parquet-mr writer key (e.g.
+    // parquet.enable.dictionary#col — parquet-mr DROPS a bloom filter
+    // when the chunk ends fully dictionary-encoded, since the dictionary
+    // already answers exact membership; disable the dictionary on a
+    // bloom column to force the filter for foreign readers)
+    val Passthrough = "write.parquet.option.(.+)".r
+    props.foreach {
+      case (BloomCol(c), v) => b += s"parquet.bloom.filter.enabled#$c" -> v
+      case (FppCol(c), v) => b += s"parquet.bloom.filter.fpp#$c" -> v
+      case (Passthrough(k), v) => b += k -> v
+      case _ =>
+    }
+    b.result()
+  }
+
   def metricsModes(schema: Schema, props: Map[String, String]): Map[Int, String] = {
     val default = props.getOrElse("write.metadata.metrics.default",
       s"truncate(${StatsHarvester.BoundTruncateLength})")
@@ -262,9 +306,10 @@ object WriteFiles {
       return harvest(spark, stageDir, schema, spec, metricsModes(schema, props))
         .map(f => orderId.map(id => f.copy(sortOrderId = Some(id))).getOrElse(f))
     }
+    val pqOpts = parquetWriterOptions(props)
     locally {
       if (spec.isUnpartitioned) {
-        onWs(sorted(aligned)).write.mode("overwrite").parquet(stageDir)
+        onWs(sorted(aligned)).write.mode("overwrite").options(pqOpts).parquet(stageDir)
       } else {
         val partCols = spec.fields.map { pf =>
           val src = schema.byId(pf.sourceId)
@@ -296,7 +341,7 @@ object WriteFiles {
         val repartKeys = spec.fields.map(pf => col(SyntheticPrefix + pf.name)) ++
           (if (saltBuckets > 1) Seq(col(saltCol)) else Nil)
         onWs(sorted(salted.repartition(writeTasks, repartKeys: _*).drop(saltCol)))
-          .write.mode("overwrite")
+          .write.mode("overwrite").options(pqOpts)
           .partitionBy(spec.fields.map(pf => SyntheticPrefix + pf.name): _*)
           .parquet(stageDir)
       }

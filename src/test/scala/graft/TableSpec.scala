@@ -1566,6 +1566,38 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.rewritePositionDeletes() === (0, 0))
   }
 
+  test("write.parquet.* properties reach the writer: bloom filters + zstd") {
+    val schema = Schema.fromSpark(orders.schema)
+    val t = catalog.createTable("t_pqprops", schema, properties = Map(
+      "write.parquet.bloom-filter-enabled.column.o_custkey" -> "true",
+      // parquet-mr drops the bloom when the chunk is fully
+      // dictionary-encoded (tiny test data always is) — force it
+      "write.parquet.option.parquet.enable.dictionary#o_custkey" -> "false",
+      "write.parquet.compression-codec" -> "zstd"))
+    t.append(orders)
+    val files = t.scan.planFiles().map(_.file.filePath)
+    assert(files.nonEmpty)
+    files.foreach { path =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(path),
+          new org.apache.hadoop.conf.Configuration()))
+      try {
+        val cols = reader.getFooter.getBlocks.get(0).getColumns
+        import scala.jdk.CollectionConverters._
+        val custkey = cols.asScala.find(_.getPath.toDotString == "o_custkey").get
+        val other = cols.asScala.find(_.getPath.toDotString == "o_orderstatus").get
+        assert(custkey.getBloomFilterOffset >= 0, "bloom filter missing on o_custkey")
+        assert(other.getBloomFilterOffset < 0, "bloom filter leaked onto other columns")
+        assert(custkey.getCodec.toString == "ZSTD")
+      } finally reader.close()
+    }
+    // reads stay correct through the tuned layout
+    val probe = orders.select(col("o_custkey")).head().getLong(0)
+    assert(t.scan(s"o_custkey = $probe").toDF.count() ===
+      orders.filter(col("o_custkey") === probe).count())
+  }
+
   test("partition statistics: compute writes a spec-shaped file and registers it") {
     val schema = Schema.fromSpark(orders.schema)
     val spec = PartitionSpec.build(schema, 0, ("o_orderstatus", IdentityTransform, "o_orderstatus"))
