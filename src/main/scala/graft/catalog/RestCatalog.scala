@@ -1,0 +1,436 @@
+package graft.catalog
+
+import java.net.{URI, URLEncoder}
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+import graft.core.Schema
+import graft.meta.PartitionSpec
+import graft.meta.{Io, MetadataJson, SortOrder, TableMetadata}
+import graft.table.IceTable
+import graft.view.{SqlViewRepresentation, View, ViewMetadata, ViewMetadataJson, ViewVersion}
+import org.apache.spark.sql.SparkSession
+
+/** Iceberg REST catalog CLIENT (ref: pyiceberg/catalog/rest/__init__.py:412
+  * RestCatalog — the reference's primary catalog backend).
+  *
+  * Speaks the public REST catalog OpenAPI protocol over JDK HttpClient:
+  * `GET /v1/config` at startup (defaults ++ client props ++ overrides,
+  * ref :707 `_fetch_config`), namespace/table/view CRUD, and
+  * requirement-guarded commits. Our engine produces full
+  * [[TableMetadata]] trees rather than accumulated update lists, so
+  * [[Catalog.commit]] is bridged onto the wire protocol by DIFFING the
+  * base metadata against the target ([[RestUpdates.diff]]) and sending
+  * the spec's `CommitTableRequest {identifier, requirements, updates}` —
+  * byte-compatible with what the reference's Transaction emits for the
+  * same logical change. A 409 maps to [[CommitConflictException]], which
+  * the engine's commit-retry loop handles exactly like the other
+  * catalogs' CAS losses.
+  *
+  * Auth: static bearer (`token` property) or OAuth2 client-credentials
+  * (`credential` = "id:secret" — POSTs the spec's `/v1/oauth/tokens`
+  * form, ref :603). Versioning: REST has no integer table version, so
+  * the client keeps a monotonic per-name counter aligned with the
+  * server's metadata-location (the engine only compares versions for
+  * optimistic CAS staleness).
+  */
+class RestCatalog(
+    val uri: String,
+    val spark: SparkSession,
+    props: Map[String, String] = Map.empty) extends Catalog {
+
+  private val mapper = new ObjectMapper()
+  private val http = HttpClient.newHttpClient()
+
+  private val token: Option[String] = props.get("credential") match {
+    case Some(cred) =>
+      val Array(id, secret) = cred.split(":", 2)
+      val form = s"grant_type=client_credentials&client_id=${enc(id)}" +
+        s"&client_secret=${enc(secret)}&scope=catalog"
+      val resp = rawRequest("POST", s"$uri/v1/oauth/tokens", Some(form),
+        contentType = "application/x-www-form-urlencoded", auth = None)
+      if (resp.statusCode() != 200)
+        throw new IllegalStateException(s"OAuth token fetch failed: ${resp.body()}")
+      Some(mapper.readTree(resp.body()).get("access_token").asText())
+    case None => props.get("token")
+  }
+
+  // config handshake: defaults ++ client props ++ overrides (ref :707)
+  private val config: Map[String, String] = {
+    val q = props.get("warehouse").map(w => s"?warehouse=${enc(w)}").getOrElse("")
+    val resp = rawRequest("GET", s"$uri/v1/config$q", None, auth = token)
+    if (resp.statusCode() != 200)
+      throw new IllegalStateException(s"REST config fetch failed: ${resp.body()}")
+    val n = mapper.readTree(resp.body())
+    strMap(n.get("defaults")) ++ props ++ strMap(n.get("overrides"))
+  }
+
+  private val prefix: String = config.getOrElse("prefix", "")
+  val warehouse: String = config.getOrElse("warehouse",
+    throw new IllegalStateException("REST catalog returned no warehouse location"))
+
+  // metadata IO for table locations under this warehouse
+  Io.register(warehouse, () => spark.sessionState.newHadoopConf())
+
+  /** Client-side table state: (version counter, server metadata-location,
+    * server-applied metadata) — the diff base for the next commit. */
+  private final case class Cached(version: Int, metadataLocation: String,
+      metadata: TableMetadata)
+  private val cache = new ConcurrentHashMap[String, Cached]()
+
+  // ---- HTTP --------------------------------------------------------------
+
+  private def enc(s: String): String = URLEncoder.encode(s, "UTF-8")
+
+  /** Namespace wire form: parts joined by 0x1F, URL-encoded as ONE path
+    * segment (ref :697 `_encode_namespace_path`). */
+  private def nsSeg(ns: String): String = {
+    require(ns.nonEmpty, "REST catalog identifiers need a namespace (use ns.table)")
+    enc(ns.split('.').mkString("\u001f"))
+  }
+
+  private def url(path: String): String = {
+    val p = if (prefix.nonEmpty) s"${enc(prefix)}/" else ""
+    s"$uri/v1/$p$path"
+  }
+
+  private def rawRequest(method: String, fullUrl: String, body: Option[String],
+      contentType: String = "application/json",
+      auth: Option[String]): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(fullUrl))
+    auth.foreach(t => b.header("Authorization", s"Bearer $t"))
+    val withBody = method match {
+      case "GET" => b.GET()
+      case "HEAD" => b.method("HEAD", HttpRequest.BodyPublishers.noBody())
+      case "DELETE" => b.DELETE()
+      case "POST" => b.header("Content-Type", contentType)
+        .POST(HttpRequest.BodyPublishers.ofString(body.getOrElse("")))
+      case other => throw new IllegalArgumentException(s"Unsupported method $other")
+    }
+    http.send(withBody.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  /** Issue a request; non-2xx raises with the server's error payload
+    * (ref: response.py `_handle_non_200_response`). */
+  private def request(method: String, path: String, body: Option[JsonNode] = None,
+      query: String = ""): JsonNode = {
+    val resp = rawRequest(method, url(path) + query,
+      body.map(mapper.writeValueAsString), auth = token)
+    val code = resp.statusCode()
+    if (code >= 200 && code < 300) {
+      if (resp.body() == null || resp.body().isEmpty) mapper.createObjectNode()
+      else mapper.readTree(resp.body())
+    } else {
+      val (msg, tpe) =
+        try {
+          val err = mapper.readTree(resp.body()).get("error")
+          (err.get("message").asText(), err.get("type").asText())
+        } catch { case _: Exception => (s"HTTP $code", "RESTError") }
+      code match {
+        case 404 => throw new NoSuchElementException(s"$tpe: $msg")
+        case 409 => throw new IllegalStateException(s"$tpe: $msg")
+        case _ => throw new RuntimeException(s"$tpe (HTTP $code): $msg")
+      }
+    }
+  }
+
+  private def exists(path: String): Boolean =
+    rawRequest("HEAD", url(path), None, auth = token).statusCode() < 300
+
+  private def split(name: String): (String, String) = {
+    val i = name.lastIndexOf('.')
+    if (i < 0) ("", name) else (name.take(i), name.drop(i + 1))
+  }
+
+  private def tablePath(name: String): String = {
+    val (ns, t) = split(name)
+    s"namespaces/${nsSeg(ns)}/tables/${enc(t)}"
+  }
+
+  private def identifierNode(name: String): ObjectNode = {
+    val (ns, t) = split(name)
+    val n = mapper.createObjectNode()
+    val a = n.putArray("namespace"); ns.split('.').filter(_.nonEmpty).foreach(a.add)
+    n.put("name", t)
+    n
+  }
+
+  private def strMap(p: JsonNode): Map[String, String] =
+    if (p == null) Map.empty
+    else p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+
+  // ---- tables ------------------------------------------------------------
+
+  /** Record a LoadTableResult in the client cache, bumping the version
+    * counter only when the server's metadata-location moved. */
+  private def absorb(name: String, resp: JsonNode): Cached = {
+    val loc = resp.get("metadata-location").asText()
+    val meta = MetadataJson.fromJson(mapper.writeValueAsString(resp.get("metadata")))
+    cache.compute(name, (_, old) => {
+      if (old != null && old.metadataLocation == loc) old
+      else Cached(if (old == null) 1 else old.version + 1, loc, meta)
+    })
+  }
+
+  def createTable(name: String, schema: Schema,
+      spec: PartitionSpec = PartitionSpec.Unpartitioned,
+      properties: Map[String, String] = Map.empty): IceTable = {
+    val (ns, t) = split(name)
+    val body = mapper.createObjectNode()
+    body.put("name", t)
+    body.set[JsonNode]("schema", MetadataJson.schemaToJson(schema))
+    body.set[JsonNode]("partition-spec", MetadataJson.specToJson(spec))
+    body.set[JsonNode]("write-order", MetadataJson.sortOrderToJson(SortOrder(0, Nil)))
+    body.put("stage-create", false)
+    val p = body.putObject("properties")
+    properties.foreach { case (k, v) => p.put(k, v) }
+    val resp = request("POST", s"namespaces/${nsSeg(ns)}/tables", Some(body))
+    val c = absorb(name, resp)
+    new IceTable(this, name, c.metadata, c.version)
+  }
+
+  def loadTable(name: String): IceTable = {
+    val resp =
+      try request("GET", tablePath(name))
+      catch { case e: NoSuchElementException =>
+        throw new IllegalArgumentException(s"Table $name not found", e) }
+    val c = absorb(name, resp)
+    new IceTable(this, name, c.metadata, c.version)
+  }
+
+  def dropTable(name: String): Unit = {
+    request("DELETE", tablePath(name))
+    cache.remove(name)
+  }
+
+  /** REST purge delegates physical deletion to the SERVER
+    * (`purgeRequested=true`, ref :1096 — the service owns the data it
+    * purges, so the client-side external-file partitioning of the base
+    * trait doesn't apply here). */
+  override def purgeTable(name: String, deleteExternalFiles: Boolean = false): Unit = {
+    request("DELETE", tablePath(name), query = "?purgeRequested=true")
+    cache.remove(name)
+  }
+
+  def tableExists(name: String): Boolean = exists(tablePath(name))
+
+  def currentVersion(name: String): Option[Int] =
+    if (!tableExists(name)) None
+    else {
+      val resp = request("GET", tablePath(name))
+      Some(absorb(name, resp).version)
+    }
+
+  def commit(name: String, expectedVersion: Int, meta: TableMetadata): Int = {
+    val base: Option[Cached] =
+      if (expectedVersion == 0) None
+      else {
+        val c = Option(cache.get(name)).getOrElse {
+          val resp = request("GET", tablePath(name))
+          absorb(name, resp)
+        }
+        // stale local version: the engine must refresh and re-derive
+        if (c.version != expectedVersion) throw new CommitConflictException(name, expectedVersion + 1)
+        Some(c)
+      }
+    val baseMeta = base.map(_.metadata)
+    val body = mapper.createObjectNode()
+    body.set[JsonNode]("identifier", identifierNode(name))
+    val reqArr = body.putArray("requirements")
+    RestUpdates.requirements(baseMeta, meta)
+      .foreach(r => reqArr.add(RestUpdates.requirementToJson(r)))
+    val upArr = body.putArray("updates")
+    RestUpdates.diff(baseMeta, meta).foreach(u => upArr.add(RestUpdates.updateToJson(u)))
+    val resp =
+      try request("POST", tablePath(name), Some(body))
+      catch {
+        case _: IllegalStateException => // 409
+          cache.remove(name) // force a fresh GET on the retry's refresh
+          throw new CommitConflictException(name, expectedVersion + 1)
+      }
+    absorb(name, resp).version
+  }
+
+  override def registerTable(name: String, metadataPath: String): IceTable = {
+    val (ns, t) = split(name)
+    val body = mapper.createObjectNode()
+    body.put("name", t)
+    body.put("metadata-location", metadataPath)
+    val resp = request("POST", s"namespaces/${nsSeg(ns)}/register", Some(body))
+    val c = absorb(name, resp)
+    new IceTable(this, name, c.metadata, c.version)
+  }
+
+  override def renameTable(from: String, to: String): Unit = {
+    val body = mapper.createObjectNode()
+    body.set[JsonNode]("source", identifierNode(from))
+    body.set[JsonNode]("destination", identifierNode(to))
+    request("POST", "tables/rename", Some(body))
+    cache.remove(from)
+  }
+
+  protected def forgetTable(name: String): Unit = cache.remove(name)
+
+  // ---- namespaces --------------------------------------------------------
+
+  def createNamespace(ns: String): Unit = {
+    val body = mapper.createObjectNode()
+    val a = body.putArray("namespace"); ns.split('.').foreach(a.add)
+    body.putObject("properties")
+    request("POST", "namespaces", Some(body))
+  }
+
+  def dropNamespace(ns: String): Unit = request("DELETE", s"namespaces/${nsSeg(ns)}")
+
+  def listNamespaces(): Seq[String] = {
+    val resp = request("GET", "namespaces")
+    resp.get("namespaces").elements().asScala.toSeq
+      .map(_.elements().asScala.map(_.asText()).mkString("."))
+  }
+
+  def listTables(ns: String = ""): Seq[String] = {
+    val resp = request("GET", s"namespaces/${nsSeg(ns)}/tables")
+    resp.get("identifiers").elements().asScala.toSeq.map { id =>
+      val parts = id.get("namespace").elements().asScala.map(_.asText()).toSeq
+      (parts :+ id.get("name").asText()).mkString(".")
+    }
+  }
+
+  /** Namespace properties (REST-only surface; ref load_namespace_metadata
+    * + update_namespace_properties). */
+  def namespaceProperties(ns: String): Map[String, String] =
+    strMap(request("GET", s"namespaces/${nsSeg(ns)}").get("properties"))
+
+  def updateNamespaceProperties(ns: String, updates: Map[String, String],
+      removals: Seq[String] = Nil): Unit = {
+    val body = mapper.createObjectNode()
+    val rm = body.putArray("removals"); removals.foreach(rm.add)
+    val up = body.putObject("updates"); updates.foreach { case (k, v) => up.put(k, v) }
+    request("POST", s"namespaces/${nsSeg(ns)}/properties", Some(body))
+  }
+
+  // ---- views -------------------------------------------------------------
+
+  private def viewPath(name: String): String = {
+    val (ns, v) = split(name)
+    s"namespaces/${nsSeg(ns)}/views/${enc(v)}"
+  }
+
+  protected def viewLocation(name: String): Option[String] =
+    if (!exists(viewPath(name))) None
+    else Some(request("GET", viewPath(name)).get("metadata-location").asText())
+
+  /** Unused: create/replace go through the REST view endpoints below. */
+  protected def storeView(name: String, version: Int, expected: Option[String],
+      json: String, location: String): String =
+    throw new UnsupportedOperationException(
+      "RestCatalog views commit through the REST protocol")
+
+  protected def linkView(name: String, metadataLocation: String): Unit = {
+    val (ns, v) = split(name)
+    val body = mapper.createObjectNode()
+    body.put("name", v)
+    body.put("metadata-location", metadataLocation)
+    request("POST", s"namespaces/${nsSeg(ns)}/register-view", Some(body))
+  }
+
+  protected def forgetView(name: String): Unit = request("DELETE", viewPath(name))
+
+  def listViews(ns: String = ""): Seq[String] = {
+    val resp = request("GET", s"namespaces/${nsSeg(ns)}/views")
+    resp.get("identifiers").elements().asScala.toSeq.map { id =>
+      val parts = id.get("namespace").elements().asScala.map(_.asText()).toSeq
+      (parts :+ id.get("name").asText()).mkString(".")
+    }
+  }
+
+  override def loadView(name: String): View = {
+    val resp =
+      try request("GET", viewPath(name))
+      catch { case e: NoSuchElementException =>
+        throw new IllegalArgumentException(s"View $name not found", e) }
+    new View(name,
+      ViewMetadataJson.fromJson(mapper.writeValueAsString(resp.get("metadata"))),
+      resp.get("metadata-location").asText())
+  }
+
+  private def viewVersionNode(v: ViewVersion): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("version-id", v.versionId)
+    n.put("schema-id", v.schemaId)
+    n.put("timestamp-ms", v.timestampMs)
+    val sum = n.putObject("summary"); v.summary.foreach { case (k, s) => sum.put(k, s) }
+    val reps = n.putArray("representations")
+    v.representations.foreach { r =>
+      val rn = reps.addObject()
+      rn.put("type", "sql"); rn.put("sql", r.sql); rn.put("dialect", r.dialect)
+    }
+    v.defaultCatalog.foreach(n.put("default-catalog", _))
+    val ns = n.putArray("default-namespace"); v.defaultNamespace.foreach(ns.add)
+    n
+  }
+
+  /** ref create_view rest/__init__.py:972 — the SERVER builds the view
+    * metadata from a CreateViewRequest. */
+  override def createView(name: String, schema: Schema, sql: String,
+      dialect: String = "spark",
+      properties: Map[String, String] = Map.empty): View = {
+    val (ns, v) = split(name)
+    val version = ViewVersion(
+      versionId = 1, schemaId = schema.schemaId,
+      timestampMs = System.currentTimeMillis(),
+      summary = Map("engine-name" -> "graft", "operation" -> "create"),
+      representations = Seq(SqlViewRepresentation(sql, dialect)),
+      defaultNamespace = ns.split('.').filter(_.nonEmpty).toSeq)
+    val body = mapper.createObjectNode()
+    body.put("name", v)
+    body.set[JsonNode]("schema", MetadataJson.schemaToJson(schema))
+    body.set[JsonNode]("view-version", viewVersionNode(version))
+    val p = body.putObject("properties")
+    properties.foreach { case (k, value) => p.put(k, value) }
+    val resp = request("POST", s"namespaces/${nsSeg(ns)}/views", Some(body))
+    new View(name,
+      ViewMetadataJson.fromJson(mapper.writeValueAsString(resp.get("metadata"))),
+      resp.get("metadata-location").asText())
+  }
+
+  /** CREATE OR REPLACE over the spec's UpdateViewRequest: add-schema +
+    * add-view-version + set-current-view-version. */
+  override def replaceView(name: String, schema: Schema, sql: String,
+      dialect: String = "spark"): View = {
+    val old = loadView(name)
+    val newSchemaId = old.metadata.schemas.map(_.schemaId).max + 1
+    val newVersionId = old.metadata.versions.map(_.versionId).max + 1
+    val (ns, _) = split(name)
+    val version = ViewVersion(
+      versionId = newVersionId, schemaId = newSchemaId,
+      timestampMs = System.currentTimeMillis(),
+      summary = Map("engine-name" -> "graft", "operation" -> "replace"),
+      representations = Seq(SqlViewRepresentation(sql, dialect)),
+      defaultNamespace = ns.split('.').filter(_.nonEmpty).toSeq)
+    val body = mapper.createObjectNode()
+    body.set[JsonNode]("identifier", identifierNode(name))
+    body.putArray("requirements")
+    val ups = body.putArray("updates")
+    val addSchema = ups.addObject()
+    addSchema.put("action", "add-schema")
+    addSchema.set[JsonNode]("schema",
+      MetadataJson.schemaToJson(Schema(schema.fields, newSchemaId, schema.identifierFieldIds)))
+    val addVersion = ups.addObject()
+    addVersion.put("action", "add-view-version")
+    addVersion.set[JsonNode]("view-version", viewVersionNode(version))
+    val setCurrent = ups.addObject()
+    setCurrent.put("action", "set-current-view-version")
+    setCurrent.put("view-version-id", -1)
+    val resp = request("POST", viewPath(name), Some(body))
+    new View(name,
+      ViewMetadataJson.fromJson(mapper.writeValueAsString(resp.get("metadata"))),
+      resp.get("metadata-location").asText())
+  }
+}

@@ -240,6 +240,107 @@ object MetadataJson {
     b.result()
   }
 
+  // ---- fragment codecs (shared with the REST update protocol) ----------
+  def sortOrderToJson(so: SortOrder): ObjectNode = {
+    val son = mapper.createObjectNode()
+    son.put("order-id", so.orderId)
+    val sf = son.putArray("fields")
+    so.fields.foreach { f =>
+      val fn = mapper.createObjectNode()
+      fn.put("source-id", f.sourceId); fn.put("transform", f.transform.name)
+      fn.put("direction", f.direction); fn.put("null-order", f.nullOrder)
+      sf.add(fn)
+    }
+    son
+  }
+
+  def sortOrderFromJson(so: JsonNode): SortOrder =
+    SortOrder(so.get("order-id").asInt(), iter(so.get("fields")).map { f =>
+      SortField(f.get("source-id").asInt(), Transform.parse(f.get("transform").asText()),
+        f.get("direction").asText(), f.get("null-order").asText())
+    })
+
+  def snapshotToJson(s: Snapshot): ObjectNode = {
+    val sn = mapper.createObjectNode()
+    sn.put("snapshot-id", s.snapshotId)
+    s.parentSnapshotId.foreach(sn.put("parent-snapshot-id", _))
+    sn.put("sequence-number", s.sequenceNumber)
+    sn.put("timestamp-ms", s.timestampMs)
+    sn.put("manifest-list", s.manifestList)
+    sn.put("schema-id", s.schemaId)
+    s.firstRowId.foreach(sn.put("first-row-id", _))
+    val sum = sn.putObject("summary")
+    s.summary.foreach { case (k, v) => sum.put(k, v) }
+    sn
+  }
+
+  def snapshotFromJson(s: JsonNode): Snapshot =
+    Snapshot(
+      s.get("snapshot-id").asLong(),
+      Option(s.get("parent-snapshot-id")).map(_.asLong()),
+      Option(s.get("sequence-number")).map(_.asLong()).getOrElse(0L),
+      s.get("timestamp-ms").asLong(),
+      s.get("manifest-list").asText(),
+      Option(s.get("summary")).map(strMap).getOrElse(Map.empty),
+      Option(s.get("schema-id")).map(_.asInt()).getOrElse(0),
+      Option(s.get("first-row-id")).map(_.asLong()))
+
+  def statisticsToJson(st: StatisticsFile): ObjectNode = {
+    val sn = mapper.createObjectNode()
+    sn.put("snapshot-id", st.snapshotId)
+    sn.put("statistics-path", st.statisticsPath)
+    sn.put("file-size-in-bytes", st.fileSizeInBytes)
+    sn.put("file-footer-size-in-bytes", st.fileFooterSizeInBytes)
+    val bArr = sn.putArray("blob-metadata")
+    st.blobMetadata.foreach { b =>
+      val bn = mapper.createObjectNode()
+      bn.put("type", b.blobType)
+      bn.put("snapshot-id", b.snapshotId)
+      bn.put("sequence-number", b.sequenceNumber)
+      val fArr = bn.putArray("fields"); b.fields.foreach(fArr.add)
+      val pObj = bn.putObject("properties")
+      b.properties.foreach { case (k, v) => pObj.put(k, v) }
+      bArr.add(bn)
+    }
+    sn
+  }
+
+  def statisticsFromJson(st: JsonNode): StatisticsFile =
+    StatisticsFile(
+      st.get("snapshot-id").asLong(),
+      st.get("statistics-path").asText(),
+      st.get("file-size-in-bytes").asLong(),
+      st.get("file-footer-size-in-bytes").asLong(),
+      Option(st.get("blob-metadata")).map(ba => iter(ba).map { b =>
+        BlobMetadata(
+          b.get("type").asText(),
+          b.get("snapshot-id").asLong(),
+          b.get("sequence-number").asLong(),
+          Option(b.get("fields")).map(fa => iter(fa).map(_.asInt())).getOrElse(Nil),
+          Option(b.get("properties")).map(strMap).getOrElse(Map.empty))
+      }).getOrElse(Nil))
+
+  def partitionStatisticsToJson(ps: PartitionStatisticsFile): ObjectNode = {
+    val pn = mapper.createObjectNode()
+    pn.put("snapshot-id", ps.snapshotId)
+    pn.put("statistics-path", ps.statisticsPath)
+    pn.put("file-size-in-bytes", ps.fileSizeInBytes)
+    pn
+  }
+
+  def partitionStatisticsFromJson(ps: JsonNode): PartitionStatisticsFile =
+    PartitionStatisticsFile(
+      ps.get("snapshot-id").asLong(),
+      ps.get("statistics-path").asText(),
+      ps.get("file-size-in-bytes").asLong())
+
+  private def strMap(p: JsonNode): Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    val it = p.properties().iterator()
+    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+    b.result()
+  }
+
   // ---- full metadata ----
   def toJson(m: TableMetadata): String = {
     val n = mapper.createObjectNode()
@@ -269,66 +370,19 @@ object MetadataJson {
     if (m.formatVersion >= 3) m.nextRowId.foreach(n.put("next-row-id", _))
     n.put("default-sort-order-id", m.defaultSortOrderId)
     val soArr = n.putArray("sort-orders")
-    m.sortOrders.foreach { so =>
-      val son = mapper.createObjectNode()
-      son.put("order-id", so.orderId)
-      val sf = son.putArray("fields")
-      so.fields.foreach { f =>
-        val fn = mapper.createObjectNode()
-        fn.put("source-id", f.sourceId); fn.put("transform", f.transform.name)
-        fn.put("direction", f.direction); fn.put("null-order", f.nullOrder)
-        sf.add(fn)
-      }
-      soArr.add(son)
-    }
+    m.sortOrders.foreach(so => soArr.add(sortOrderToJson(so)))
     val props = n.putObject("properties")
     m.properties.foreach { case (k, v) => props.put(k, v) }
     m.currentSnapshotId.foreach(n.put("current-snapshot-id", _))
     val snaps = n.putArray("snapshots")
-    m.snapshots.foreach { s =>
-      val sn = mapper.createObjectNode()
-      sn.put("snapshot-id", s.snapshotId)
-      s.parentSnapshotId.foreach(sn.put("parent-snapshot-id", _))
-      sn.put("sequence-number", s.sequenceNumber)
-      sn.put("timestamp-ms", s.timestampMs)
-      sn.put("manifest-list", s.manifestList)
-      sn.put("schema-id", s.schemaId)
-      s.firstRowId.foreach(sn.put("first-row-id", _))
-      val sum = sn.putObject("summary")
-      s.summary.foreach { case (k, v) => sum.put(k, v) }
-      snaps.add(sn)
-    }
+    m.snapshots.foreach(s => snaps.add(snapshotToJson(s)))
     if (m.statistics.nonEmpty) {
       val stArr = n.putArray("statistics")
-      m.statistics.foreach { st =>
-        val sn = mapper.createObjectNode()
-        sn.put("snapshot-id", st.snapshotId)
-        sn.put("statistics-path", st.statisticsPath)
-        sn.put("file-size-in-bytes", st.fileSizeInBytes)
-        sn.put("file-footer-size-in-bytes", st.fileFooterSizeInBytes)
-        val bArr = sn.putArray("blob-metadata")
-        st.blobMetadata.foreach { b =>
-          val bn = mapper.createObjectNode()
-          bn.put("type", b.blobType)
-          bn.put("snapshot-id", b.snapshotId)
-          bn.put("sequence-number", b.sequenceNumber)
-          val fArr = bn.putArray("fields"); b.fields.foreach(fArr.add)
-          val pObj = bn.putObject("properties")
-          b.properties.foreach { case (k, v) => pObj.put(k, v) }
-          bArr.add(bn)
-        }
-        stArr.add(sn)
-      }
+      m.statistics.foreach(st => stArr.add(statisticsToJson(st)))
     }
     if (m.partitionStatistics.nonEmpty) {
       val pArr = n.putArray("partition-statistics")
-      m.partitionStatistics.foreach { ps =>
-        val pn = mapper.createObjectNode()
-        pn.put("snapshot-id", ps.snapshotId)
-        pn.put("statistics-path", ps.statisticsPath)
-        pn.put("file-size-in-bytes", ps.fileSizeInBytes)
-        pArr.add(pn)
-      }
+      m.partitionStatistics.foreach(ps => pArr.add(partitionStatisticsToJson(ps)))
     }
     val slog = n.putArray("snapshot-log")
     m.snapshotLog.foreach { e =>
@@ -382,12 +436,8 @@ object MetadataJson {
       defaultSpecId = Option(n.get("default-spec-id")).map(_.asInt()).getOrElse(0),
       lastPartitionId = Option(n.get("last-partition-id")).map(_.asInt())
         .getOrElse(PartitionSpec.StartFieldId - 1),
-      sortOrders = Option(n.get("sort-orders")).map(a => iter(a).map { so =>
-        SortOrder(so.get("order-id").asInt(), iter(so.get("fields")).map { f =>
-          SortField(f.get("source-id").asInt(), Transform.parse(f.get("transform").asText()),
-            f.get("direction").asText(), f.get("null-order").asText())
-        })
-      }).getOrElse(Seq(SortOrder(0, Nil))),
+      sortOrders = Option(n.get("sort-orders")).map(a => iter(a).map(sortOrderFromJson))
+        .getOrElse(Seq(SortOrder(0, Nil))),
       defaultSortOrderId = Option(n.get("default-sort-order-id")).map(_.asInt()).getOrElse(0),
       properties = Option(n.get("properties")).map { p =>
         val b = Map.newBuilder[String, String]
@@ -396,22 +446,8 @@ object MetadataJson {
         b.result()
       }.getOrElse(Map.empty),
       currentSnapshotId = optLong("current-snapshot-id").filter(_ != -1),
-      snapshots = Option(n.get("snapshots")).map(a => iter(a).map { s =>
-        Snapshot(
-          s.get("snapshot-id").asLong(),
-          Option(s.get("parent-snapshot-id")).map(_.asLong()),
-          Option(s.get("sequence-number")).map(_.asLong()).getOrElse(0L),
-          s.get("timestamp-ms").asLong(),
-          s.get("manifest-list").asText(),
-          Option(s.get("summary")).map { p =>
-            val b = Map.newBuilder[String, String]
-            val it = p.properties().iterator()
-            while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
-            b.result()
-          }.getOrElse(Map.empty),
-          Option(s.get("schema-id")).map(_.asInt()).getOrElse(0),
-          Option(s.get("first-row-id")).map(_.asLong()))
-      }).getOrElse(Nil),
+      snapshots = Option(n.get("snapshots")).map(a => iter(a).map(snapshotFromJson))
+        .getOrElse(Nil),
       snapshotLog = Option(n.get("snapshot-log")).map(a => iter(a).map { e =>
         SnapshotLogEntry(e.get("timestamp-ms").asLong(), e.get("snapshot-id").asLong())
       }).getOrElse(Nil),
@@ -428,33 +464,10 @@ object MetadataJson {
         }
         b.result()
       }.getOrElse(Map.empty),
-      statistics = Option(n.get("statistics")).map(a => iter(a).map { st =>
-        StatisticsFile(
-          st.get("snapshot-id").asLong(),
-          st.get("statistics-path").asText(),
-          st.get("file-size-in-bytes").asLong(),
-          st.get("file-footer-size-in-bytes").asLong(),
-          Option(st.get("blob-metadata")).map(ba => iter(ba).map { b =>
-            BlobMetadata(
-              b.get("type").asText(),
-              b.get("snapshot-id").asLong(),
-              b.get("sequence-number").asLong(),
-              Option(b.get("fields")).map(fa => iter(fa).map(_.asInt())).getOrElse(Nil),
-              Option(b.get("properties")).map { p =>
-                val pb = Map.newBuilder[String, String]
-                val it = p.properties().iterator()
-                while (it.hasNext) { val e = it.next(); pb += e.getKey -> e.getValue.asText() }
-                pb.result()
-              }.getOrElse(Map.empty))
-          }).getOrElse(Nil))
-      }).getOrElse(Nil),
+      statistics = Option(n.get("statistics")).map(a => iter(a).map(statisticsFromJson))
+        .getOrElse(Nil),
       partitionStatistics = Option(n.get("partition-statistics")).map(a =>
-        iter(a).map { ps =>
-          PartitionStatisticsFile(
-            ps.get("snapshot-id").asLong(),
-            ps.get("statistics-path").asText(),
-            ps.get("file-size-in-bytes").asLong())
-        }).getOrElse(Nil),
+        iter(a).map(partitionStatisticsFromJson)).getOrElse(Nil),
       nextRowId = optLong("next-row-id"))
   }
 }

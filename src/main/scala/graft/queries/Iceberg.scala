@@ -511,6 +511,54 @@ object Iceberg {
       |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
       |FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** REST catalog e2e: a loopback REST catalog service (127.0.0.1, the
+    * reference's primary backend — pyiceberg/catalog/rest/) serves table
+    * metadata to the Spark catalog plugin over the public REST protocol
+    * (bearer auth, config handshake, diff-based requirement-guarded
+    * commits); data reads/writes go straight to storage. CREATE + DELETE
+    * + INSERT + aggregate, all via SQL. Scale shape: only CONTROL-PLANE
+    * calls (metadata-file-sized) cross HTTP — the 1000-executor data path
+    * never touches the catalog service. */
+  def restCatalog(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val server = new graft.catalog.RestCatalogServer(
+      Files.createTempDirectory("graft_restwh").toString,
+      token = Some("bench-token")).start()
+    try {
+      val cat = s"grest${sqlCatSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.uri", server.uri)
+      s.conf.set(s"spark.sql.catalog.$cat.token", "bench-token")
+      li.createOrReplaceTempView("graft_rest_src")
+      s.sql(s"CREATE NAMESPACE $cat.db")
+      s.sql(s"CREATE TABLE $cat.db.li AS SELECT * FROM graft_rest_src")
+      s.sql(s"DELETE FROM $cat.db.li WHERE l_returnflag = 'R'")
+      s.sql(s"INSERT INTO $cat.db.li SELECT * FROM graft_rest_src " +
+        "WHERE l_returnflag = 'R' AND l_quantity >= 25")
+      val out = s.sql(s"""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  sum(l_quantity) AS qty
+        |FROM $cat.db.li GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+      // materialize the (group-count-sized) aggregate BEFORE stopping the
+      // server so the frame returned to the harness no longer needs the
+      // catalog service; the HttpServer dispatcher is a non-daemon thread,
+      // so leaving it up would pin the harness JVM at exit
+      val rows = out.collect().toSeq
+      require(rows.nonEmpty, "REST-catalog gate must select data")
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1), out.schema)
+    } finally server.stop()
+  }
+  val restCatalogSql =
+    """WITH t AS (
+      |  SELECT * FROM lineitem WHERE l_returnflag <> 'R'
+      |  UNION ALL
+      |  SELECT * FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 25)
+      |SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+      |  sum(l_quantity) AS qty
+      |FROM t GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   /** DSv2 SQL face: UPDATE + MERGE INTO through SupportsRowLevelOperations
     * (group-based copy-on-write — Spark rewrites both into ReplaceData
     * over the operation's scan; the commit swaps scanned files for the
@@ -893,6 +941,7 @@ object Iceberg {
     "ice_spj_join" -> (spjJoin _),
     "ice_expire_gc" -> (expireGc _),
     "ice_sql_catalog_dml" -> (sqlCatalogDml _),
+    "ice_rest_catalog" -> (restCatalog _),
     "ice_sql_merge" -> (sqlMerge _),
     "ice_sql_mor" -> (sqlMorDml _),
     "ice_view" -> (icebergView _),
@@ -936,6 +985,7 @@ object Iceberg {
     "ice_spj_join" -> spjJoinSql,
     "ice_expire_gc" -> expireGcSql,
     "ice_sql_catalog_dml" -> sqlCatalogDmlSql,
+    "ice_rest_catalog" -> restCatalogSql,
     "ice_sql_merge" -> sqlMergeSql,
     "ice_sql_mor" -> sqlMorDmlSql,
     "ice_view" -> icebergViewSql,

@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions => SparkX, FieldR
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.catalog.{HadoopCatalog, SqlCatalog}
+import graft.catalog.{HadoopCatalog, RestCatalog, SqlCatalog}
 import graft.core._
 import graft.meta.{PartitionSpec}
 
@@ -43,11 +43,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     val wh = options.get("warehouse")
-    require(wh != null, s"spark.sql.catalog.$name.warehouse is required")
     val spark = org.apache.spark.sql.SparkSession.active
     catalog = Option(options.get("uri")) match {
-      case Some(jdbc) => new SqlCatalog(jdbc, wh, spark)
-      case None => new HadoopCatalog(wh, spark)
+      case Some(http) if http.startsWith("http://") || http.startsWith("https://") =>
+        // REST catalog: warehouse comes from the server's config handshake
+        // (a client-side `warehouse` option is passed through as a hint)
+        new RestCatalog(http, spark,
+          options.asScala.toMap.filter { case (k, _) =>
+            Set("warehouse", "token", "credential").contains(k) })
+      case Some(jdbc) =>
+        require(wh != null, s"spark.sql.catalog.$name.warehouse is required")
+        new SqlCatalog(jdbc, wh, spark)
+      case None =>
+        require(wh != null, s"spark.sql.catalog.$name.warehouse is required")
+        new HadoopCatalog(wh, spark)
     }
   }
 

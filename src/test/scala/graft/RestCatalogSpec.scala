@@ -1,0 +1,222 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog._
+import graft.core._
+import graft.meta._
+
+/** REST catalog e2e: [[RestCatalog]] client against the loopback
+  * [[RestCatalogServer]] (127.0.0.1 only — no egress), plus unit coverage
+  * of the diff→updates→apply commit protocol. */
+class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val warehouse: String = Files.createTempDirectory("graft-rest-wh").toString
+  lazy val server: RestCatalogServer =
+    new RestCatalogServer(warehouse, token = Some("s3cret"), prefix = "main").start()
+  lazy val catalog: RestCatalog =
+    new RestCatalog(server.uri, spark, Map("token" -> "s3cret"))
+
+  override def afterAll(): Unit = { server.stop(); spark.stop() }
+
+  def lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+  def orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+
+  // ---- protocol unit tests ----------------------------------------------
+
+  /** Round-trip equality modulo the server-maintained bits. */
+  private def normalize(m: TableMetadata): TableMetadata = m.copy(
+    lastUpdatedMs = 0,
+    metadataLog = Nil,
+    snapshotLog = m.snapshotLog.map(_.copy(timestampMs = 0)))
+
+  test("diff/apply reproduces a full table lifecycle") {
+    val wh = Files.createTempDirectory("graft-rt").toString
+    val hc = new HadoopCatalog(wh, spark)
+    val states = Seq.newBuilder[TableMetadata]
+    val t = hc.createTable("rt", Schema.fromSpark(lineitem.schema),
+      properties = Map("owner" -> "spec"))
+    states += t.metadata
+    t.append(lineitem.limit(100)); states += t.metadata
+    t.append(lineitem.limit(50)); states += t.metadata
+    t.manageSnapshots.createTag("v1", t.metadata.currentSnapshotId.get)
+    t.refresh(); states += t.metadata
+    t.updateSchema.addColumn("extra", IString).commit()
+    t.refresh(); states += t.metadata
+    t.setProperties("a" -> "1"); states += t.metadata
+    t.removeProperties("owner"); states += t.metadata
+    val all = states.result()
+    // create transition
+    val created = RestUpdates.applyUpdates(None, RestUpdates.diff(None, all.head), 1L)
+    assert(normalize(created) === normalize(all.head))
+    // each subsequent transition
+    all.sliding(2).foreach { case Seq(base, target) =>
+      val updates = RestUpdates.diff(Some(base), target)
+      val applied = RestUpdates.applyUpdates(Some(base), updates, target.lastUpdatedMs)
+      assert(normalize(applied) === normalize(target),
+        s"transition failed with updates: $updates")
+    }
+  }
+
+  test("requirements catch concurrent interference") {
+    import TableRequirement._
+    val m = TableMetadata(tableUuid = "u-1", location = "/x",
+      schemas = Seq(Schema(Seq(NestedField(1, "a", ILong, required = false)), 0, Nil)),
+      refs = Map("main" -> SnapshotRef(7L, "branch")))
+    assert(AssertCreate.check(Some(m)).isDefined)
+    assert(AssertCreate.check(None).isEmpty)
+    assert(AssertTableUuid("u-1").check(Some(m)).isEmpty)
+    assert(AssertTableUuid("u-2").check(Some(m)).isDefined)
+    assert(AssertRefSnapshotId("main", Some(7L)).check(Some(m)).isEmpty)
+    assert(AssertRefSnapshotId("main", Some(8L)).check(Some(m)).isDefined)
+    assert(AssertRefSnapshotId("other", None).check(Some(m)).isEmpty)
+    assert(AssertRefSnapshotId("other", Some(1L)).check(Some(m)).isDefined)
+  }
+
+  // ---- e2e over loopback HTTP -------------------------------------------
+
+  test("namespace CRUD and properties") {
+    catalog.createNamespace("db")
+    assert(catalog.listNamespaces().contains("db"))
+    catalog.updateNamespaceProperties("db", Map("loc" -> "here"))
+    assert(catalog.namespaceProperties("db") === Map("loc" -> "here"))
+    catalog.createNamespace("tmp")
+    catalog.dropNamespace("tmp")
+    assert(!catalog.listNamespaces().contains("tmp"))
+  }
+
+  test("create + append + scan through REST") {
+    val t = catalog.createTable("db.li", Schema.fromSpark(lineitem.schema))
+    t.append(lineitem)
+    assert(t.scan.toDF.count() === lineitem.count())
+    assert(t.scan.count() === lineitem.count()) // metadata count short-circuit
+    val got = t.scan("l_quantity > 45").toDF.count()
+    assert(got === lineitem.filter(col("l_quantity") > 45).count())
+    assert(catalog.listTables("db") === Seq("db.li"))
+    assert(catalog.tableExists("db.li"))
+    assert(!catalog.tableExists("db.nope"))
+  }
+
+  test("multi-snapshot lifecycle: evolution, tag, time travel, expiry") {
+    val t = catalog.createTable("db.life", Schema.fromSpark(orders.schema))
+    t.append(orders.limit(100))
+    val snap1 = t.metadata.currentSnapshotId.get
+    t.manageSnapshots.createTag("first", snap1)
+    t.append(orders.limit(200))
+    t.updateSchema.addColumn("note", IString).commit()
+    val fresh = catalog.loadTable("db.life")
+    assert(fresh.metadata.snapshots.size === 2)
+    assert(fresh.metadata.refs.contains("first"))
+    assert(fresh.schema.fields.map(_.name).contains("note"))
+    assert(fresh.scan.useSnapshot(snap1).toDF.count() === 100)
+    assert(fresh.scan.toDF.count() === 300)
+    // expiry flows through remove-snapshots (+ tag protection)
+    fresh.expireSnapshots().olderThan(System.currentTimeMillis() + 1000).commit()
+    val after = catalog.loadTable("db.life")
+    assert(after.metadata.snapshots.map(_.snapshotId).contains(snap1),
+      "tag-protected snapshot must survive expiry")
+  }
+
+  test("concurrent commit: stale handle retries and lands") {
+    val t1 = catalog.createTable("db.conc", Schema.fromSpark(lineitem.schema))
+    val t2 = catalog.loadTable("db.conc")
+    t1.append(lineitem.limit(10))
+    // t2 is stale now; its commit loop must conflict, refresh, retry
+    t2.append(lineitem.limit(20))
+    assert(catalog.loadTable("db.conc").scan.toDF.count() === 30)
+  }
+
+  test("stale snapshot commit is rejected by assert-ref-snapshot-id (409)") {
+    val t = catalog.createTable("db.guard", Schema.fromSpark(lineitem.schema))
+    t.append(lineitem.limit(10))
+    // a second client instance with its own cache goes stale
+    val other = new RestCatalog(server.uri, spark, Map("token" -> "s3cret"))
+    val stale = other.loadTable("db.guard")
+    t.append(lineitem.limit(5)) // main advances; `stale` doesn't see it
+    val cur = stale.metadata.currentSnapshot.get
+    val fake = cur.copy(snapshotId = 999L,
+      parentSnapshotId = Some(cur.snapshotId),
+      sequenceNumber = cur.sequenceNumber + 1)
+    val target = stale.metadata.copy(
+      snapshots = stale.metadata.snapshots :+ fake,
+      currentSnapshotId = Some(999L),
+      refs = stale.metadata.refs + ("main" -> SnapshotRef(999L, "branch")))
+    intercept[CommitConflictException] {
+      other.commit("db.guard", stale.version, target)
+    }
+    // and the winning lineage is intact
+    assert(catalog.loadTable("db.guard").scan.toDF.count() === 15)
+  }
+
+  test("rename and register") {
+    val t = catalog.createTable("db.old", Schema.fromSpark(lineitem.schema))
+    t.append(lineitem.limit(5))
+    catalog.renameTable("db.old", "db.newer")
+    assert(!catalog.tableExists("db.old"))
+    assert(catalog.loadTable("db.newer").scan.toDF.count() === 5)
+
+    // register: adopt a Hadoop-catalog table's metadata file by pointer
+    val wh2 = Files.createTempDirectory("graft-reg").toString
+    val hc = new HadoopCatalog(wh2, spark)
+    val src = hc.createTable("src", Schema.fromSpark(orders.schema))
+    src.append(orders.limit(7))
+    val metaLoc = s"$wh2/src/metadata/v${src.version}.metadata.json"
+    val reg = catalog.registerTable("db.adopted", metaLoc)
+    assert(reg.scan.toDF.count() === 7)
+  }
+
+  test("views over REST: create, read, replace, drop") {
+    val schema = Schema(Seq(NestedField(1, "n", ILong, required = false)), 0, Nil)
+    catalog.createView("db.v1", schema, "SELECT 1 AS n")
+    val v = catalog.loadView("db.v1")
+    assert(v.sqlFor("spark").map(_.sql) === Some("SELECT 1 AS n"))
+    assert(v.toDataFrame(spark).collect().map(_.getInt(0)).toSeq === Seq(1))
+    catalog.replaceView("db.v1", schema, "SELECT 2 AS n")
+    val v2 = catalog.loadView("db.v1")
+    assert(v2.sqlFor("spark").map(_.sql) === Some("SELECT 2 AS n"))
+    assert(v2.metadata.versions.size === 2, "replace appends an immutable version")
+    assert(catalog.listViews("db") === Seq("db.v1"))
+    catalog.dropView("db.v1")
+    assert(!catalog.viewExists("db.v1"))
+  }
+
+  test("auth: bad token is rejected; oauth client-credentials works") {
+    intercept[Exception] {
+      new RestCatalog(server.uri, spark, Map("token" -> "wrong"))
+    }
+    val viaOauth = new RestCatalog(server.uri, spark,
+      Map("credential" -> "client-id:client-secret"))
+    assert(viaOauth.listNamespaces().contains("db"))
+  }
+
+  test("purge deletes the table location through the server") {
+    val t = catalog.createTable("db.purged", Schema.fromSpark(lineitem.schema))
+    t.append(lineitem.limit(3))
+    val loc = t.metadata.location
+    assert(Io.exists(loc))
+    catalog.purgeTable("db.purged")
+    assert(!catalog.tableExists("db.purged"))
+    assert(!Io.exists(loc), "purgeRequested=true must remove the location")
+  }
+
+  test("MERGE/upsert and row-level delete run through a REST-backed table") {
+    val t = catalog.createTable("db.dml", Schema.fromSpark(orders.schema),
+      properties = Map("format-version" -> "2"))
+    t.append(orders.limit(100))
+    t.delete("o_orderkey <= 100")
+    val left = catalog.loadTable("db.dml").scan.toDF
+    assert(left.filter(col("o_orderkey") <= 100).count() === 0)
+  }
+}
