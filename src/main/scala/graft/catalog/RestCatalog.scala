@@ -277,6 +277,48 @@ class RestCatalog(
 
   protected def forgetTable(name: String): Unit = cache.remove(name)
 
+  // ---- server-side scan planning ----------------------------------------
+
+  /** `scan-planning-mode=server` delegates manifest pruning to the catalog
+    * service (ref rest/__init__.py:265 SCAN_PLANNING_MODE; default client —
+    * matching the reference's ScanPlanningMode.CLIENT default). */
+  def serverSidePlanning: Boolean =
+    config.get("scan-planning-mode").exists(_.equalsIgnoreCase("server"))
+
+  /** Plan a scan on the server (ref rest/__init__.py:502 `_plan_table_scan`
+    * + :528 `_fetch_scan_tasks`, paging through plan-task tokens). Returns
+    * the engine's FileScanTasks — delete files resolved by reference index,
+    * residuals re-bound against the scan schema. */
+  def planScan(name: String, filter: graft.core.Expr = graft.core.AlwaysTrue,
+      snapshotId: Option[Long] = None,
+      caseSensitive: Boolean = true): Seq[graft.table.FileScanTask] = {
+    val meta = Option(cache.get(name)).map(_.metadata)
+      .getOrElse(loadTable(name).metadata)
+    val schema = snapshotId.flatMap(meta.snapshotById)
+      .map(s => meta.schemaById(s.schemaId)).getOrElse(meta.schema)
+    val body = mapper.createObjectNode()
+    snapshotId.foreach(body.put("snapshot-id", _))
+    if (filter != graft.core.AlwaysTrue)
+      body.set[JsonNode]("filter", RestScanJson.exprToJson(filter))
+    body.put("case-sensitive", caseSensitive)
+    val resp = request("POST", s"${tablePath(name)}/plan", Some(body))
+    resp.get("status").asText() match {
+      case "completed" =>
+        val inline = RestScanJson.tasksFromJson(resp, schema, meta.specById, caseSensitive)
+        val pages = Option(resp.get("plan-tasks"))
+          .map(_.elements().asScala.toSeq.map(_.asText())).getOrElse(Nil)
+        inline ++ pages.flatMap { tok =>
+          val b = mapper.createObjectNode(); b.put("plan-task", tok)
+          RestScanJson.tasksFromJson(
+            request("POST", s"${tablePath(name)}/tasks", Some(b)),
+            schema, meta.specById, caseSensitive)
+        }
+      case "cancelled" => throw new IllegalStateException("Scan planning was cancelled")
+      case other => throw new IllegalStateException(s"Scan planning $other: " +
+        Option(resp.get("error")).map(_.toString).getOrElse(""))
+    }
+  }
+
   // ---- namespaces --------------------------------------------------------
 
   def createNamespace(ns: String): Unit = {

@@ -34,7 +34,12 @@ import graft.view.{SqlViewRepresentation, ViewHistoryEntry, ViewMetadata, ViewMe
 final class RestCatalogServer(
     val warehouse: String,
     token: Option[String] = None,
-    prefix: String = "graft") {
+    prefix: String = "graft",
+    /** Max file-scan-tasks inlined in one plan response; larger plans
+      * paginate through `plan-tasks` tokens + the fetch-tasks endpoint
+      * (ref scan_planning.py ScanTasks.plan_tasks) so a 10⁶-file plan
+      * never materializes as one HTTP body. */
+    planPageSize: Int = 1000) {
 
   private val mapper = new ObjectMapper()
   private final case class TableState(version: Int, metadataLocation: String,
@@ -44,6 +49,8 @@ final class RestCatalogServer(
   private val tables = new ConcurrentHashMap[String, TableState]()
   private val views = new ConcurrentHashMap[String, ViewState]()
   private val namespaces = new ConcurrentHashMap[String, Map[String, String]]()
+  /** Outstanding plan-task pages, keyed by opaque token. */
+  private val planPages = new ConcurrentHashMap[String, ObjectNode]()
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   server.createContext("/", (ex: HttpExchange) => handle(ex))
@@ -143,6 +150,10 @@ final class RestCatalogServer(
     case Seq("namespaces", ns, "tables") if method == "GET" => listTablesR(nsOf(ns))
     case Seq("namespaces", ns, "tables") if method == "POST" => createTableR(nsOf(ns), body)
     case Seq("namespaces", ns, "register") if method == "POST" => registerTableR(nsOf(ns), body)
+    case Seq("namespaces", ns, "tables", t, "plan") if method == "POST" =>
+      planTableR(fullName(nsOf(ns), t), body)
+    case Seq("namespaces", ns, "tables", t, "tasks") if method == "POST" =>
+      fetchTasksR(body)
     case Seq("namespaces", ns, "tables", t) if method == "GET" || method == "HEAD" =>
       loadTableR(fullName(nsOf(ns), t))
     case Seq("namespaces", ns, "tables", t) if method == "POST" =>
@@ -354,6 +365,74 @@ final class RestCatalogServer(
       n.set[JsonNode]("metadata", mapper.readTree(MetadataJson.toJson(result.metadata)))
       n
     })
+  }
+
+  // ---- server-side scan planning ----------------------------------------
+
+  /** `POST …/tables/{t}/plan` — run manifest pruning ON THE SERVICE and
+    * return pruned content files + residuals (ref scan_planning.py
+    * PlanTableScanRequest / PlanCompleted; client side rest/__init__.py:502
+    * `_plan_table_scan`). Pages beyond [[planPageSize]] return `plan-tasks`
+    * tokens served by the fetch endpoint. */
+  private def planTableR(name: String, body: String): (Int, Option[JsonNode]) = {
+    val st = Option(tables.get(name)).getOrElse(
+      fail(404, "NoSuchTableException", s"Table $name not found"))
+    val req = mapper.readTree(body)
+    val spark = org.apache.spark.sql.SparkSession.active
+    val ro = new HadoopCatalog(st.metadata.location, spark) {
+      override def commit(n: String, v: Int, m: TableMetadata): Int =
+        throw new UnsupportedOperationException("Planning tables are read-only")
+    }
+    val table = new graft.table.IceTable(ro, name, st.metadata)
+    var scan = table.scan
+    Option(req.get("snapshot-id")).foreach(id => scan = scan.useSnapshot(id.asLong()))
+    Option(req.get("filter")).foreach(f =>
+      scan = scan.filter(RestScanJson.exprFromJson(f)))
+    val cs = Option(req.get("case-sensitive")).forall(_.asBoolean())
+    scan = scan.withCaseSensitive(cs)
+    val tasks =
+      try scan.planFiles()
+      catch { case e: IllegalArgumentException =>
+        fail(400, "BadRequestException", String.valueOf(e.getMessage)) }
+    val m = st.metadata
+    val planId = UUID.randomUUID().toString
+    if (tasks.size <= planPageSize) {
+      val n = RestScanJson.tasksToJson(tasks, scanSchemaOf(m, req), m.specById)
+      n.put("status", "completed")
+      n.put("plan-id", planId)
+      (200, Some(n))
+    } else {
+      val n = mapper.createObjectNode()
+      n.put("status", "completed")
+      n.put("plan-id", planId)
+      val toks = n.putArray("plan-tasks")
+      tasks.grouped(planPageSize).zipWithIndex.foreach { case (page, i) =>
+        val tok = s"$planId-$i"
+        planPages.put(tok,
+          RestScanJson.tasksToJson(page, scanSchemaOf(m, req), m.specById))
+        toks.add(tok)
+      }
+      (200, Some(n))
+    }
+  }
+
+  /** Must mirror IceScan.scanSchema: an explicit snapshot scan plans
+    * (and therefore serializes residuals) against the snapshot's own
+    * schema; a current scan against the table's. */
+  private def scanSchemaOf(m: TableMetadata, req: JsonNode): Schema =
+    Option(req.get("snapshot-id"))
+      .flatMap(id => m.snapshotById(id.asLong()))
+      .map(s => m.schemaById(s.schemaId))
+      .getOrElse(m.schema)
+
+  /** `POST …/tables/{t}/tasks` body `{"plan-task": tok}` (ref
+    * rest/__init__.py:528 `_fetch_scan_tasks`). Tokens are single-use:
+    * the page is dropped once served, bounding service memory. */
+  private def fetchTasksR(body: String): (Int, Option[JsonNode]) = {
+    val tok = mapper.readTree(body).get("plan-task").asText()
+    val page = Option(planPages.remove(tok)).getOrElse(
+      fail(404, "NoSuchPlanTaskException", s"Unknown plan task: $tok"))
+    (200, Some(page))
   }
 
   private def dropTableR(name: String, purge: Boolean): (Int, Option[JsonNode]) = {

@@ -211,6 +211,52 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!Io.exists(loc), "purgeRequested=true must remove the location")
   }
 
+  test("server-side scan planning matches local planning exactly") {
+    val t = catalog.createTable("db.plan", Schema.fromSpark(orders.schema))
+    t.append(orders)
+    t.delete("o_orderkey <= 500") // leave some position/rewrite artifacts
+    val fresh = catalog.loadTable("db.plan")
+    val filter = ExprParser.parse("o_totalprice > 100000.0 and o_orderstatus = 'O'")
+    val local = fresh.scan.filter(filter).planFiles()
+    val remote = catalog.planScan("db.plan", filter)
+    assert(remote.map(_.file.filePath).sorted === local.map(_.file.filePath).sorted)
+    val byPath = local.map(ft => ft.file.filePath -> ft).toMap
+    remote.foreach { rt =>
+      val lt = byPath(rt.file.filePath)
+      assert(rt.residual === lt.residual, s"residual for ${rt.file.filePath}")
+      assert(rt.deletes.map(_.filePath).sorted === lt.deletes.map(_.filePath).sorted)
+      assert(rt.file.recordCount === lt.file.recordCount)
+      assert(rt.file.lowerBounds === lt.file.lowerBounds)
+      assert(rt.file.partition === lt.file.partition)
+    }
+  }
+
+  test("scan-planning-mode=server routes scans through the service and paginates") {
+    // tiny page size forces the plan-tasks token path
+    val smallPages = new RestCatalogServer(
+      Files.createTempDirectory("graft-rest-pg").toString,
+      token = None, prefix = "pg", planPageSize = 2).start()
+    try {
+      val cat = new RestCatalog(smallPages.uri, spark,
+        Map("scan-planning-mode" -> "server"))
+      cat.createNamespace("db")
+      val schema = Schema.fromSpark(orders.schema)
+      val spec = PartitionSpec.build(schema, 0,
+        ("o_orderstatus", IdentityTransform, "o_orderstatus"))
+      val t = cat.createTable("db.po", schema, spec)
+      t.append(orders)
+      // 3 partitions → 3+ files > page size 2 → token pagination
+      val all = t.scan.planFiles()
+      assert(all.size > 2)
+      // scans execute through server-planned tasks: counts must agree
+      assert(t.scan.toDF.count() === orders.count())
+      val want = orders.filter(col("o_orderstatus") === "F").count()
+      assert(t.scan("o_orderstatus = 'F'").toDF.count() === want)
+      // partition pruning happened on the SERVER
+      assert(t.scan("o_orderstatus = 'F'").planFiles().size < all.size)
+    } finally smallPages.stop()
+  }
+
   test("MERGE/upsert and row-level delete run through a REST-backed table") {
     val t = catalog.createTable("db.dml", Schema.fromSpark(orders.schema),
       properties = Map("format-version" -> "2"))
