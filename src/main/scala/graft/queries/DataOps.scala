@@ -1072,6 +1072,143 @@ object DataOps {
       |FROM cum WHERE cum_before < 150
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** URL-NORMALIZED DEDUP — the first stage of a web-corpus curation
+    * pipeline: canonicalize each document's URL (case-fold, strip
+    * scheme + www, drop query/fragment, trim trailing slashes) and keep
+    * ONE document per canonical URL — the longest, ties broken to the
+    * lowest doc_id. The synthetic corpus has no URL column, so a
+    * deterministic messy URL is derived per document; the gate's subject
+    * is the normalizer and the keep policy, both exact across engines.
+    * Scale: normalization is map-side codegen; the keep decision is a
+    * single groupBy on the canonical key with an order-preserving
+    * integer max — no join, no global window. */
+  def urlDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // deterministic MESSY url per doc (corpus has no url column): scheme
+    // case, www prefix, trailing slash and tracking params all vary by
+    // doc_id so the normalizer has real work on every branch
+    val raw = concat(
+      when(col("doc_id") % 3 === 0, lit("HTTPS://WWW.")).otherwise(lit("http://")),
+      col("source"), lit(".example.com/page/"),
+      (col("doc_id") % 200).cast("string"),
+      when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("?utm_source=feed&ref=abc")).otherwise(lit("")))
+    // canonicalize: case-fold, strip scheme + www, drop query/fragment,
+    // trim the trailing slash — all anchored regexes (identical
+    // replace-first vs replace-all semantics across engines)
+    val canon = regexp_replace(regexp_replace(regexp_replace(
+      lower(raw), "^https?://(www\\.)?", ""), "[?#].*$", ""), "/+$", "")
+    // keep policy in ONE aggregate: longest doc wins, ties to lowest
+    // doc_id, via an order-preserving integer key (doc_id < 10^7 here;
+    // exact integer arithmetic so both engines agree bit-for-bit)
+    val keepKey = col("n_chars") * 10000000L + (lit(9999999L) - col("doc_id"))
+    nonEmpty(docs
+      .select(canon.as("url"), col("doc_id"), col("n_chars"), keepKey.as("k"))
+      .groupBy("url")
+      .agg(count(lit(1)).as("dups"), max(col("k")).as("mk"))
+      .select(col("url"), col("dups"),
+        (col("mk") / 10000000L).cast("long").as("best_len"),
+        (lit(9999999L) - pmod(col("mk"), lit(10000000L))).as("keep_id"))
+      .orderBy(col("url")))
+  }
+  val urlDedupSql =
+    """WITH u AS (
+      |  SELECT
+      |    regexp_replace(regexp_replace(regexp_replace(lower(
+      |      (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.' ELSE 'http://' END) ||
+      |      source || '.example.com/page/' || CAST(doc_id % 200 AS VARCHAR) ||
+      |      (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+      |      (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&ref=abc' ELSE '' END)),
+      |      '^https?://(www\.)?', ''), '[?#].*$', ''), '/+$', '') AS url,
+      |    doc_id, n_chars,
+      |    n_chars * 10000000 + (9999999 - doc_id) AS k
+      |  FROM documents)
+      |SELECT url, count(*) AS dups,
+      |  CAST(max(k) // 10000000 AS BIGINT) AS best_len,
+      |  9999999 - (max(k) % 10000000) AS keep_id
+      |FROM u GROUP BY url ORDER BY url""".stripMargin
+
+  /** END-TO-END CURATION PIPELINE — the composition flagship: language
+    * gate → length/word quality gate → URL-normalized dedup → per-source
+    * token budget, all in ONE declarative plan. This is the shape of a
+    * production pretraining-curation run; the point of the gate is that
+    * stage boundaries stay INSIDE Catalyst — no driver materialization
+    * between stages, so the optimizer fuses the map-side gates into the
+    * scan and the whole pipeline costs one groupBy (dedup winners), one
+    * id equi-join (apply the winners) and one per-source window (budget
+    * cumsum) regardless of how many gates precede them. At 100 TB every
+    * stage scales independently: gates are embarrassingly parallel, the
+    * dedup shuffle is keyed by canonical url, the budget window is
+    * per-source (never a global sort). */
+  def pipelineCurate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    // stage 1+2: language + quality gates (map-side, fused into the scan)
+    val gated = docs
+      .filter(col("lang").isin("en", "de", "fr"))
+      .withColumn("words", size(split(col("text"), "\\s+")))
+      .filter(col("words") >= 10 && col("n_chars") >= 100)
+    // stage 3: url-normalized dedup (same canonicalizer + keep policy as
+    // ds_url_dedup: longest doc wins, ties to lowest doc_id)
+    val raw = concat(
+      when(col("doc_id") % 3 === 0, lit("HTTPS://WWW.")).otherwise(lit("http://")),
+      col("source"), lit(".example.com/page/"),
+      (col("doc_id") % 200).cast("string"),
+      when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("?utm_source=feed&ref=abc")).otherwise(lit("")))
+    val canon = regexp_replace(regexp_replace(regexp_replace(
+      lower(raw), "^https?://(www\\.)?", ""), "[?#].*$", ""), "/+$", "")
+    val withUrl = gated.withColumn("url", canon)
+      .withColumn("k", col("n_chars") * 10000000L + (lit(9999999L) - col("doc_id")))
+    val winners = withUrl.groupBy("url").agg(max(col("k")).as("mk"))
+      .select((lit(9999999L) - pmod(col("mk"), lit(10000000L))).as("doc_id"))
+    val deduped = withUrl.join(winners, Seq("doc_id"))
+    // stage 4: per-source token budget — deterministic prefix by doc_id,
+    // window cumsum scoped to the source key (no global sort)
+    val cumBefore = sum(col("words")).over(
+      Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("words")
+    val kept = deduped.withColumn("cum_before", cumBefore)
+      .filter(col("cum_before") < 300)
+    nonEmpty(kept.groupBy("source", "lang")
+      .agg(count(lit(1)).as("docs_kept"),
+        sum(col("words")).cast("long").as("tokens_kept"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("source"), col("lang")))
+  }
+  val pipelineCurateSql =
+    """WITH gated AS (
+      |  SELECT doc_id, source, lang, n_chars,
+      |    len(regexp_split_to_array(text, '\s+')) AS words
+      |  FROM documents
+      |  WHERE lang IN ('en','de','fr')
+      |    AND len(regexp_split_to_array(text, '\s+')) >= 10
+      |    AND n_chars >= 100),
+      |u AS (
+      |  SELECT *,
+      |    regexp_replace(regexp_replace(regexp_replace(lower(
+      |      (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.' ELSE 'http://' END) ||
+      |      source || '.example.com/page/' || CAST(doc_id % 200 AS VARCHAR) ||
+      |      (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+      |      (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&ref=abc' ELSE '' END)),
+      |      '^https?://(www\.)?', ''), '[?#].*$', ''), '/+$', '') AS url,
+      |    n_chars * 10000000 + (9999999 - doc_id) AS k
+      |  FROM gated),
+      |winners AS (
+      |  SELECT 9999999 - (max(k) % 10000000) AS doc_id FROM u GROUP BY url),
+      |deduped AS (
+      |  SELECT u.* FROM u JOIN winners USING (doc_id)),
+      |budgeted AS (
+      |  SELECT *,
+      |    sum(words) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - words AS cum_before
+      |  FROM deduped)
+      |SELECT source, lang, count(*) AS docs_kept,
+      |  CAST(sum(words) AS BIGINT) AS tokens_kept,
+      |  min(doc_id) AS first_doc
+      |FROM budgeted WHERE cum_before < 300
+      |GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
   /** PII REDACTION — scrub emails and phone-shaped numbers before
     * training, reporting per-document redaction counts (the audit trail
     * a compliance pipeline keeps). The testdata is synthetic with no
@@ -1125,6 +1262,8 @@ object DataOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_mix_budget" -> (mixBudget _),
     "ds_pii_redact" -> (piiRedact _),
+    "ds_url_dedup" -> (urlDedup _),
+    "ds_pipeline_curate" -> (pipelineCurate _),
     "ds_decontaminate" -> (decontaminate _),
     "ds_sample_stratified" -> (sampleStratified _),
     "ds_pack_sequences" -> (packSequences _),
@@ -1151,6 +1290,8 @@ object DataOps {
   val oracles: Map[String, String] = Map(
     "ds_mix_budget" -> mixBudgetSql,
     "ds_pii_redact" -> piiRedactSql,
+    "ds_url_dedup" -> urlDedupSql,
+    "ds_pipeline_curate" -> pipelineCurateSql,
     "ds_decontaminate" -> decontaminateSql,
     "ds_sample_stratified" -> sampleStratifiedSql,
     "ds_pack_sequences" -> packSequencesSql,
