@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.catalog.{Catalog, HadoopCatalog, SqlCatalog}
+import graft.catalog.{Catalog, HadoopCatalog, RestCatalog, SqlCatalog}
 import graft.core.JsonText.{quote => q}
 
 /** Console face of the library — the reference ships one as the
@@ -45,7 +45,12 @@ object Cli {
 
   def main(argv: Array[String]): Unit = {
     val a = parse(argv.toList, Args())
-    if (a.warehouse.isEmpty || a.cmd.isEmpty) { System.err.println(usage); sys.exit(2) }
+    // --warehouse is optional for a REST uri (the service's config
+    // handshake supplies it)
+    val isRest = a.uri.exists(u => u.startsWith("http://") || u.startsWith("https://"))
+    if ((a.warehouse.isEmpty && !isRest) || a.cmd.isEmpty) {
+      System.err.println(usage); sys.exit(2)
+    }
     val spark = SparkSession.builder()
       .master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
@@ -54,6 +59,10 @@ object Cli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val cat: Catalog = a.uri match {
+      case Some(u) if u.startsWith("http://") || u.startsWith("https://") =>
+        // REST: warehouse comes from the service's config handshake
+        new RestCatalog(u, spark,
+          if (a.warehouse.nonEmpty) Map("warehouse" -> a.warehouse) else Map.empty)
       case Some(u) => new SqlCatalog(u, a.warehouse, spark)
       case None => new HadoopCatalog(a.warehouse, spark)
     }
@@ -149,7 +158,7 @@ object Cli {
     }.mkString(", ")
 
   private val usage =
-    """usage: graft.Cli --warehouse DIR [--uri JDBC_URL] [--json] <command> [args…]
+    """usage: graft.Cli --warehouse DIR [--uri JDBC_OR_HTTP_URL] [--json] <command> [args…]
       |commands: list [ns] | describe T | schema T | spec T | uuid T | location T
       |          files T | list-refs T | snapshots T | create-namespace NS
       |          drop-namespace NS | drop-table T | rename-table FROM TO

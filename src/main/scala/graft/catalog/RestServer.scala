@@ -39,7 +39,13 @@ final class RestCatalogServer(
       * paginate through `plan-tasks` tokens + the fetch-tasks endpoint
       * (ref scan_planning.py ScanTasks.plan_tasks) so a 10⁶-file plan
       * never materializes as one HTTP body. */
-    planPageSize: Int = 1000) {
+    planPageSize: Int = 1000,
+    /** Durable mode: every catalog mutation also writes a pointer file
+      * under `<warehouse>/_rest_catalog/`, and construction replays them
+      * — a restarted service resumes serving the same tables (the
+      * metadata/manifest/data files were always on shared storage; only
+      * the POINTERS need recovering). Off by default for tests. */
+    persist: Boolean = false) {
 
   private val mapper = new ObjectMapper()
   private final case class TableState(version: Int, metadataLocation: String,
@@ -51,6 +57,65 @@ final class RestCatalogServer(
   private val namespaces = new ConcurrentHashMap[String, Map[String, String]]()
   /** Outstanding plan-task pages, keyed by opaque token. */
   private val planPages = new ConcurrentHashMap[String, ObjectNode]()
+
+  // ---- durable pointers --------------------------------------------------
+
+  private def pointerDir = s"$warehouse/_rest_catalog"
+
+  private def persistTable(name: String, st: TableState): Unit = if (persist) {
+    val n = mapper.createObjectNode()
+    n.put("metadata-location", st.metadataLocation)
+    n.put("version", st.version)
+    Io.writeBytes(s"$pointerDir/$name.table.json",
+      mapper.writeValueAsString(n).getBytes(UTF_8))
+  }
+  private def persistView(name: String, st: ViewState): Unit = if (persist) {
+    val n = mapper.createObjectNode()
+    n.put("metadata-location", st.metadataLocation)
+    Io.writeBytes(s"$pointerDir/$name.view.json",
+      mapper.writeValueAsString(n).getBytes(UTF_8))
+  }
+  private def persistNamespaces(): Unit = if (persist) {
+    val n = mapper.createObjectNode()
+    namespaces.asScala.foreach { case (ns, props) =>
+      val p = n.putObject(ns); props.foreach { case (k, v) => p.put(k, v) }
+    }
+    Io.writeBytes(s"$pointerDir/_namespaces.json",
+      mapper.writeValueAsString(n).getBytes(UTF_8))
+  }
+  private def dropPointer(name: String, kind: String): Unit = if (persist) {
+    try Io.delete(s"$pointerDir/$name.$kind.json") catch { case _: Exception => }
+  }
+
+  if (persist && Io.exists(pointerDir)) {
+    Io.list(pointerDir).foreach {
+      case (f, false) if f == "_namespaces.json" =>
+        val n = mapper.readTree(new String(Io.readBytes(s"$pointerDir/$f"), UTF_8))
+        val it = n.properties().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          namespaces.put(e.getKey, {
+            val b = Map.newBuilder[String, String]
+            val pit = e.getValue.properties().iterator()
+            while (pit.hasNext) { val p = pit.next(); b += p.getKey -> p.getValue.asText() }
+            b.result()
+          })
+        }
+      case (f, false) if f.endsWith(".table.json") =>
+        val name = f.stripSuffix(".table.json")
+        val n = mapper.readTree(new String(Io.readBytes(s"$pointerDir/$f"), UTF_8))
+        val loc = n.get("metadata-location").asText()
+        tables.put(name, TableState(n.get("version").asInt(), loc,
+          MetadataJson.fromJson(new String(Io.readBytes(loc), UTF_8))))
+      case (f, false) if f.endsWith(".view.json") =>
+        val name = f.stripSuffix(".view.json")
+        val n = mapper.readTree(new String(Io.readBytes(s"$pointerDir/$f"), UTF_8))
+        val loc = n.get("metadata-location").asText()
+        views.put(name, ViewState(loc,
+          ViewMetadataJson.fromJson(new String(Io.readBytes(loc), UTF_8))))
+      case _ =>
+    }
+  }
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   server.createContext("/", (ex: HttpExchange) => handle(ex))
@@ -202,6 +267,7 @@ final class RestCatalogServer(
     val props = Option(req.get("properties")).map(strMap).getOrElse(Map.empty)
     if (namespaces.putIfAbsent(ns, props) != null)
       fail(409, "AlreadyExistsException", s"Namespace $ns already exists")
+    persistNamespaces()
     val n = mapper.createObjectNode()
     val a = n.putArray("namespace"); ns.split('.').foreach(a.add)
     val p = n.putObject("properties"); props.foreach { case (k, v) => p.put(k, v) }
@@ -224,6 +290,7 @@ final class RestCatalogServer(
       views.keySet().asScala.exists(_.startsWith(ns + "."))
     if (hasChildren) fail(409, "NamespaceNotEmptyException", s"Namespace $ns is not empty")
     namespaces.remove(ns)
+    persistNamespaces()
     (204, None)
   }
 
@@ -236,6 +303,7 @@ final class RestCatalogServer(
     val updates = Option(req.get("updates")).map(strMap).getOrElse(Map.empty)
     val missing = removals.filterNot(cur.contains)
     namespaces.put(ns, cur -- removals ++ updates)
+    persistNamespaces()
     val n = mapper.createObjectNode()
     val rm = n.putArray("removed"); removals.filter(cur.contains).foreach(rm.add)
     val up = n.putArray("updated"); updates.keys.foreach(up.add)
@@ -309,6 +377,7 @@ final class RestCatalogServer(
     val st = TableState(1, loc, meta)
     if (tables.putIfAbsent(name, st) != null)
       fail(409, "AlreadyExistsException", s"Table $name already exists")
+    persistTable(name, st)
     (200, Some(loadTableResult(st)))
   }
 
@@ -326,6 +395,7 @@ final class RestCatalogServer(
     val st = TableState(1, loc, meta)
     if (tables.putIfAbsent(name, st) != null)
       fail(409, "AlreadyExistsException", s"Table $name already exists")
+    persistTable(name, st)
     (200, Some(loadTableResult(st)))
   }
 
@@ -359,6 +429,7 @@ final class RestCatalogServer(
       result = TableState(version, loc, withLog)
       result
     })
+    persistTable(name, result)
     (200, Some {
       val n = mapper.createObjectNode()
       n.put("metadata-location", result.metadataLocation)
@@ -438,6 +509,7 @@ final class RestCatalogServer(
   private def dropTableR(name: String, purge: Boolean): (Int, Option[JsonNode]) = {
     val st = Option(tables.remove(name)).getOrElse(
       fail(404, "NoSuchTableException", s"Table $name not found"))
+    dropPointer(name, "table")
     if (purge) {
       try Io.delete(st.metadata.location, recursive = true)
       catch { case e: Exception =>
@@ -458,6 +530,7 @@ final class RestCatalogServer(
     if (tables.putIfAbsent(to, st) != null)
       fail(409, "AlreadyExistsException", s"Table $to already exists")
     tables.remove(from)
+    persistTable(to, st); dropPointer(from, "table")
     (204, None)
   }
 
@@ -517,6 +590,7 @@ final class RestCatalogServer(
       Seq(ViewHistoryEntry(version.timestampMs, version.versionId)), props)
     val loc = writeViewFile(meta, 1)
     views.put(name, ViewState(loc, meta))
+    persistView(name, views.get(name))
     (200, Some(viewResult(views.get(name))))
   }
 
@@ -533,6 +607,7 @@ final class RestCatalogServer(
     val meta = ViewMetadataJson.fromJson(new String(Io.readBytes(loc), UTF_8))
     if (views.putIfAbsent(name, ViewState(loc, meta)) != null)
       fail(409, "AlreadyExistsException", s"View $name already exists")
+    persistView(name, views.get(name))
     (200, Some(viewResult(views.get(name))))
   }
 
@@ -574,12 +649,14 @@ final class RestCatalogServer(
       result = ViewState(loc, m)
       result
     })
+    persistView(name, result)
     (200, Some(viewResult(result)))
   }
 
   private def dropViewR(name: String): (Int, Option[JsonNode]) = {
     if (views.remove(name) == null)
       fail(404, "NoSuchViewException", s"View $name not found")
+    dropPointer(name, "view")
     (204, None)
   }
 

@@ -257,6 +257,30 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally smallPages.stop()
   }
 
+  test("durable server: a restarted service resumes from pointer files") {
+    val wh = Files.createTempDirectory("graft-rest-dur").toString
+    val s1 = new RestCatalogServer(wh, token = None, prefix = "d", persist = true).start()
+    try {
+      val c1 = new RestCatalog(s1.uri, spark)
+      c1.createNamespace("db")
+      val t = c1.createTable("db.t", Schema.fromSpark(lineitem.schema))
+      t.append(lineitem.limit(40))
+      c1.createView("db.v", Schema(Seq(NestedField(1, "n", ILong, false)), 0, Nil),
+        "SELECT 1 AS n")
+    } finally s1.stop()
+    // a brand-new server process on the same warehouse serves the state
+    val s2 = new RestCatalogServer(wh, token = None, prefix = "d", persist = true).start()
+    try {
+      val c2 = new RestCatalog(s2.uri, spark)
+      assert(c2.listNamespaces().contains("db"))
+      val t2 = c2.loadTable("db.t")
+      assert(t2.scan.toDF.count() === 40)
+      t2.append(lineitem.limit(10)) // commits keep working after recovery
+      assert(c2.loadTable("db.t").scan.toDF.count() === 50)
+      assert(c2.loadView("db.v").sqlFor("spark").map(_.sql) === Some("SELECT 1 AS n"))
+    } finally s2.stop()
+  }
+
   test("MERGE/upsert and row-level delete run through a REST-backed table") {
     val t = catalog.createTable("db.dml", Schema.fromSpark(orders.schema),
       properties = Map("format-version" -> "2"))
