@@ -257,6 +257,38 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally smallPages.stop()
   }
 
+  test("independent changes on one base MERGE server-side without a retry") {
+    // the update-protocol advantage over CAS catalogs: a property change
+    // and an append diffed from the SAME base both land — the property
+    // commit carries no ref requirement, so the server merges it onto
+    // the advanced state instead of failing it
+    val t = catalog.createTable("db.merge2", Schema.fromSpark(lineitem.schema))
+    t.append(lineitem.limit(10))
+    val a = new RestCatalog(server.uri, spark, Map("token" -> "s3cret"))
+    val b = new RestCatalog(server.uri, spark, Map("token" -> "s3cret"))
+    val ta = a.loadTable("db.merge2")
+    val tb = b.loadTable("db.merge2")
+    ta.append(lineitem.limit(5)) // advances main
+    tb.setProperties("owner" -> "curation") // stale base, no ref change
+    val merged = catalog.loadTable("db.merge2")
+    assert(merged.scan.toDF.count() === 15, "append must survive the merge")
+    assert(merged.metadata.properties.get("owner") === Some("curation"))
+  }
+
+  test("many concurrent committers through separate clients all land") {
+    val t = catalog.createTable("db.race", Schema.fromSpark(lineitem.schema))
+    val threads = (1 to 6).map { i =>
+      new Thread(() => {
+        val c = new RestCatalog(server.uri, spark, Map("token" -> "s3cret"))
+        c.loadTable("db.race").append(lineitem.limit(i * 10))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val after = catalog.loadTable("db.race")
+    assert(after.scan.toDF.count() === (1 to 6).map(_ * 10).sum)
+    assert(after.metadata.snapshots.size === 6)
+  }
+
   test("durable server: a restarted service resumes from pointer files") {
     val wh = Files.createTempDirectory("graft-rest-dur").toString
     val s1 = new RestCatalogServer(wh, token = None, prefix = "d", persist = true).start()
