@@ -1,0 +1,108 @@
+package graft.catalog
+
+import java.io.FileInputStream
+import java.util.Properties
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+
+/** Config-driven catalog loading — the reference's PRIMARY entry point
+  * (ref: pyiceberg/catalog/__init__.py:233 `load_catalog`, :195
+  * `infer_catalog_type`; config sources pyiceberg/utils/config.py —
+  * `.pyiceberg.yaml` + `PYICEBERG_CATALOG__<NAME>__<PROP>` env vars).
+  *
+  * A user writes `loadCatalog("prod", spark)` and the catalog's type and
+  * connection details come from configuration, not code. Sources merge
+  * lowest→highest precedence:
+  *
+  *   1. `$GRAFT_HOME/.graft.properties` (or `~/.graft.properties`) with
+  *      keys `catalog.<name>.<prop>` — java-properties instead of the
+  *      reference's YAML (no extra dependency; same shape).
+  *   2. environment: `GRAFT_CATALOG__<NAME>__<PROP>` (name/prop matched
+  *      case-insensitively, `_` in the prop maps to `-`; double
+  *      underscore separates the levels — the reference's env scheme).
+  *   3. explicit `props` passed by the caller.
+  *
+  * Type resolution: explicit `type` ∈ rest | sql | hadoop | in-memory,
+  * else inferred from `uri` (http(s) → rest, jdbc → sql — ref :210
+  * raises on unknown uri schemes), else `warehouse` alone → hadoop.
+  */
+object CatalogFactory {
+
+  /** Default catalog name: `GRAFT_DEFAULT_CATALOG` env or the config
+    * file's `default-catalog` key (ref: Config.get_default_catalog_name). */
+  def defaultCatalogName(env: Map[String, String] = sys.env): String =
+    env.getOrElse("GRAFT_DEFAULT_CATALOG",
+      fileConfig().getOrElse("default-catalog", "default"))
+
+  def loadCatalog(name: String, spark: SparkSession,
+      props: Map[String, String] = Map.empty,
+      env: Map[String, String] = sys.env): Catalog = {
+    val conf = fileCatalogConfig(name) ++ envCatalogConfig(name, env) ++ props
+    val tpe = conf.get("type").map(_.toLowerCase).orElse(inferType(name, conf))
+      .getOrElse(throw new IllegalArgumentException(
+        s"Could not determine the type of catalog '$name' from: $conf"))
+    def warehouse: String = conf.getOrElse("warehouse",
+      throw new IllegalArgumentException(
+        s"Catalog '$name' of type $tpe needs a 'warehouse' property"))
+    tpe match {
+      case "rest" => new RestCatalog(conf.getOrElse("uri",
+        throw new IllegalArgumentException(s"Catalog '$name': rest needs 'uri'")),
+        spark, conf)
+      case "sql" => new SqlCatalog(conf.getOrElse("uri",
+        throw new IllegalArgumentException(s"Catalog '$name': sql needs 'uri'")),
+        warehouse, spark, name)
+      case "hadoop" => new HadoopCatalog(warehouse, spark)
+      case "in-memory" | "memory" => new MemoryCatalog(warehouse, spark)
+      case other => throw new IllegalArgumentException(
+        s"Unknown catalog type for '$name': $other (rest | sql | hadoop | in-memory)")
+    }
+  }
+
+  /** ref :195 infer_catalog_type — uri scheme decides; unknown scheme is
+    * an error, not a silent fallback. A warehouse WITHOUT a uri means a
+    * filesystem catalog (the hadoop layout needs nothing else). */
+  private def inferType(name: String, conf: Map[String, String]): Option[String] =
+    conf.get("uri") match {
+      case Some(u) if u.startsWith("http://") || u.startsWith("https://") => Some("rest")
+      case Some(u) if u.startsWith("jdbc:") => Some("sql")
+      case Some(u) => throw new IllegalArgumentException(
+        s"Could not infer the catalog type from the uri: $u")
+      case None if conf.contains("warehouse") => Some("hadoop")
+      case None => None
+    }
+
+  /** `GRAFT_CATALOG__<NAME>__<PROP>` (ref config.py env parsing: double
+    * underscore separates levels, keys are case-folded, `_` → `-`). */
+  private[graft] def envCatalogConfig(name: String,
+      env: Map[String, String]): Map[String, String] = {
+    val prefix = s"GRAFT_CATALOG__${name.toUpperCase}__"
+    env.collect { case (k, v) if k.toUpperCase.startsWith(prefix) =>
+      k.drop(prefix.length).toLowerCase.replace('_', '-') -> v
+    }
+  }
+
+  /** `$GRAFT_HOME/.graft.properties` falling back to `~/.graft.properties`
+    * (ref config.py: PYICEBERG_HOME then the home directory). */
+  private def configFile(): Option[java.io.File] =
+    (sys.env.get("GRAFT_HOME").toSeq :+ System.getProperty("user.home"))
+      .map(d => new java.io.File(d, ".graft.properties"))
+      .find(_.isFile)
+
+  private def fileConfig(): Map[String, String] = configFile() match {
+    case None => Map.empty
+    case Some(f) =>
+      val p = new Properties()
+      val in = new FileInputStream(f)
+      try p.load(in) finally in.close()
+      p.stringPropertyNames().asScala.map(k => k -> p.getProperty(k)).toMap
+  }
+
+  private def fileCatalogConfig(name: String): Map[String, String] = {
+    val prefix = s"catalog.$name."
+    fileConfig().collect { case (k, v) if k.startsWith(prefix) =>
+      k.drop(prefix.length) -> v
+    }
+  }
+}

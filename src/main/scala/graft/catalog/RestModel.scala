@@ -467,10 +467,17 @@ object RestUpdates {
         m = m.copy(refs = m.refs + (name -> SnapshotRef(id, tpe)))
         if (name == "main") {
           val alreadyLogged = m.snapshotLog.lastOption.exists(_.snapshotId == id)
+          // stamp with the snapshot's own ts for a fresh append (so the
+          // entry matches what the committer wrote), but NEVER let the
+          // log go non-monotonic: a ROLLBACK to an older snapshot logs at
+          // commit time (ref update/__init__.py:493–506 — last_updated_ms
+          // falls back to now when the ref doesn't pair with add-snapshot)
+          val lastTs = m.snapshotLog.lastOption.map(_.timestampMs).getOrElse(Long.MinValue)
+          val snapTs = m.snapshotById(id).map(_.timestampMs).getOrElse(nowMs)
           m = m.copy(currentSnapshotId = Some(id),
             snapshotLog = if (alreadyLogged) m.snapshotLog
               else m.snapshotLog :+ SnapshotLogEntry(
-                m.snapshotById(id).map(_.timestampMs).getOrElse(nowMs), id))
+                if (snapTs >= lastTs) snapTs else nowMs, id))
         }
       case RemoveSnapshots(ids) =>
         val gone = ids.toSet

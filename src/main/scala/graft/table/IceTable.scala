@@ -989,7 +989,7 @@ class IceTable(
     while (true) {
       attempts += 1
       try return rewriteManifestsOnce(targetSizeBytes)
-      catch { case _: CommitConflictException if attempts < 5 => refresh() }
+      catch { case _: CommitConflictException if attempts <= commitNumRetries => refresh() }
     }
     (0, 0) // unreachable; satisfies the type checker
   }
@@ -1137,7 +1137,7 @@ class IceTable(
           baseSnapshotId, extraSummary, toBranch)
         return
       } catch {
-        case _: CommitConflictException if attempts < 5 => refresh()
+        case _: CommitConflictException if attempts <= commitNumRetries => refresh()
       }
     }
   }
@@ -1418,6 +1418,12 @@ class IceTable(
       deletedRowsCount = 0, partitions = summaries)
   }
 
+  /** Commit-conflict retry budget (ref: TableProperties
+    * COMMIT_NUM_RETRIES, `commit.retry.num-retries`, default 4 — each
+    * loser refreshes and re-derives its change before retrying). */
+  private[graft] def commitNumRetries: Int =
+    metadata.properties.get("commit.retry.num-retries").map(_.toInt).getOrElse(4)
+
   // ---- metadata-only commits ----------------------------------------------
 
   /** Commit a pure-metadata change (schema/spec/properties/refs). */
@@ -1433,7 +1439,7 @@ class IceTable(
         this.version = v + 1
         return
       } catch {
-        case _: CommitConflictException if attempts < 5 => refresh()
+        case _: CommitConflictException if attempts <= commitNumRetries => refresh()
       }
     }
   }

@@ -57,6 +57,10 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.refresh(); states += t.metadata
     t.setProperties("a" -> "1"); states += t.metadata
     t.removeProperties("owner"); states += t.metadata
+    // rollback: set-snapshot-ref to an EXISTING snapshot (no add-snapshot
+    // pairing — the applier must keep the snapshot-log monotonic)
+    t.manageSnapshots.setCurrentSnapshot(t.metadata.snapshots.head.snapshotId)
+    t.refresh(); states += t.metadata
     val all = states.result()
     // create transition
     val created = RestUpdates.applyUpdates(None, RestUpdates.diff(None, all.head), 1L)
@@ -276,14 +280,21 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("many concurrent committers through separate clients all land") {
-    val t = catalog.createTable("db.race", Schema.fromSpark(lineitem.schema))
+    // 6 racers can cost a loser 5+ conflicts — raise the retry budget the
+    // way a real deployment would (commit.retry.num-retries, default 4)
+    val t = catalog.createTable("db.race", Schema.fromSpark(lineitem.schema),
+      properties = Map("commit.retry.num-retries" -> "20"))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val threads = (1 to 6).map { i =>
       new Thread(() => {
-        val c = new RestCatalog(server.uri, spark, Map("token" -> "s3cret"))
-        c.loadTable("db.race").append(lineitem.limit(i * 10))
+        try {
+          val c = new RestCatalog(server.uri, spark, Map("token" -> "s3cret"))
+          c.loadTable("db.race").append(lineitem.limit(i * 10))
+        } catch { case e: Throwable => failures.add(e) }
       })
     }
     threads.foreach(_.start()); threads.foreach(_.join())
+    assert(failures.isEmpty, s"committer failed: ${failures.peek()}")
     val after = catalog.loadTable("db.race")
     assert(after.scan.toDF.count() === (1 to 6).map(_ * 10).sum)
     assert(after.metadata.snapshots.size === 6)
