@@ -50,6 +50,8 @@ class RestCatalog(
 
   private val token: Option[String] = props.get("credential") match {
     case Some(cred) =>
+      require(cred.contains(":"),
+        s"'credential' must be 'client-id:client-secret' (got a bare value)")
       val Array(id, secret) = cred.split(":", 2)
       val form = s"grant_type=client_credentials&client_id=${enc(id)}" +
         s"&client_secret=${enc(secret)}&scope=catalog"
@@ -211,9 +213,13 @@ class RestCatalog(
 
   /** REST purge delegates physical deletion to the SERVER
     * (`purgeRequested=true`, ref :1096 — the service owns the data it
-    * purges, so the client-side external-file partitioning of the base
-    * trait doesn't apply here). */
+    * purges and only removes paths under the table location, so the
+    * client cannot honor a request to also delete externally-registered
+    * add_files paths — that must fail loudly, not silently keep them). */
   override def purgeTable(name: String, deleteExternalFiles: Boolean = false): Unit = {
+    if (deleteExternalFiles) throw new UnsupportedOperationException(
+      "REST purge is server-side and scoped to the table location; " +
+        "externally-registered files are never deleted through this catalog")
     request("DELETE", tablePath(name), query = "?purgeRequested=true")
     cache.remove(name)
   }
@@ -221,11 +227,9 @@ class RestCatalog(
   def tableExists(name: String): Boolean = exists(tablePath(name))
 
   def currentVersion(name: String): Option[Int] =
-    if (!tableExists(name)) None
-    else {
-      val resp = request("GET", tablePath(name))
-      Some(absorb(name, resp).version)
-    }
+    // one GET, 404 → None (a HEAD-then-GET pair would race a concurrent drop)
+    try Some(absorb(name, request("GET", tablePath(name))).version)
+    catch { case _: NoSuchElementException => None }
 
   def commit(name: String, expectedVersion: Int, meta: TableMetadata): Int = {
     val base: Option[Cached] =
@@ -292,10 +296,21 @@ class RestCatalog(
   def planScan(name: String, filter: graft.core.Expr = graft.core.AlwaysTrue,
       snapshotId: Option[Long] = None,
       caseSensitive: Boolean = true): Seq[graft.table.FileScanTask] = {
-    val meta = Option(cache.get(name)).map(_.metadata)
+    val cached = Option(cache.get(name)).map(_.metadata)
       .getOrElse(loadTable(name).metadata)
-    val schema = snapshotId.flatMap(meta.snapshotById)
-      .map(s => meta.schemaById(s.schemaId)).getOrElse(meta.schema)
+    // a pinned snapshot MUST resolve (refresh once in case the cache is
+    // stale; then fail like the local path's "No snapshot $id" — binding
+    // residuals against the wrong schema would mis-filter silently)
+    val meta = snapshotId match {
+      case Some(id) if cached.snapshotById(id).isEmpty => loadTable(name).metadata
+      case _ => cached
+    }
+    val schema = snapshotId match {
+      case Some(id) => meta.snapshotById(id)
+        .map(s => meta.schemaById(s.schemaId))
+        .getOrElse(throw new IllegalArgumentException(s"No snapshot $id"))
+      case None => meta.schema
+    }
     val body = mapper.createObjectNode()
     snapshotId.foreach(body.put("snapshot-id", _))
     if (filter != graft.core.AlwaysTrue)

@@ -34,6 +34,12 @@ import graft.view.{SqlViewRepresentation, ViewHistoryEntry, ViewMetadata, ViewMe
 final class RestCatalogServer(
     val warehouse: String,
     token: Option[String] = None,
+    /** OAuth2 client credentials ("id:secret") allowed to EXCHANGE for
+      * the bearer via /v1/oauth/tokens. Without this, the token endpoint
+      * refuses when a bearer is configured — otherwise any caller could
+      * fetch the real token with made-up credentials and the bearer
+      * check would be decorative. */
+    credential: Option[String] = None,
     prefix: String = "graft",
     /** Max file-scan-tasks inlined in one plan response; larger plans
       * paginate through `plan-tasks` tokens + the fetch-tasks endpoint
@@ -55,8 +61,23 @@ final class RestCatalogServer(
   private val tables = new ConcurrentHashMap[String, TableState]()
   private val views = new ConcurrentHashMap[String, ViewState]()
   private val namespaces = new ConcurrentHashMap[String, Map[String, String]]()
-  /** Outstanding plan-task pages, keyed by opaque token. */
+  /** Outstanding plan-task pages, keyed by opaque token. Bounded: tokens
+    * are single-use (dropped when fetched), and abandoned plans — a
+    * client that crashed mid-pagination — are evicted oldest-first past
+    * [[maxPlanPages]] so a long-lived service can't leak page buffers. */
   private val planPages = new ConcurrentHashMap[String, ObjectNode]()
+  private val planPageOrder = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val maxPlanPages = 256
+
+  private def storePlanPage(tok: String, page: ObjectNode): Unit = {
+    planPages.put(tok, page)
+    planPageOrder.add(tok)
+    while (planPages.size > maxPlanPages) {
+      val oldest = planPageOrder.poll()
+      if (oldest == null) return
+      planPages.remove(oldest)
+    }
+  }
 
   // ---- durable pointers --------------------------------------------------
 
@@ -151,7 +172,7 @@ final class RestCatalogServer(
       val method = ex.getRequestMethod
       val out: (Int, Option[JsonNode]) = route match {
         case Seq("config") => (200, Some(configResponse()))
-        case Seq("oauth", "tokens") => (200, Some(tokenResponse()))
+        case Seq("oauth", "tokens") => (200, Some(tokenResponse(body)))
         case p if p.headOption == Some(prefix) => dispatch(method, p.tail, body, ex)
         case _ => fail(404, "NotFoundException", s"Unknown prefix in: $path")
       }
@@ -190,7 +211,23 @@ final class RestCatalogServer(
     n
   }
 
-  private def tokenResponse(): ObjectNode = {
+  /** Client-credentials exchange: the posted id:secret must match the
+    * configured [[credential]] before the bearer is issued. */
+  private def tokenResponse(formBody: String): ObjectNode = {
+    val form = formBody.split("&").flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+        case _ => None
+      }
+    }.toMap
+    if (token.isDefined) {
+      val allowed = credential.getOrElse(
+        fail(401, "NotAuthorizedException",
+          "Token exchange is not enabled on this catalog"))
+      val posted = s"${form.getOrElse("client_id", "")}:${form.getOrElse("client_secret", "")}"
+      if (posted != allowed)
+        fail(401, "NotAuthorizedException", "Invalid client credentials")
+    }
     val n = mapper.createObjectNode()
     n.put("access_token", token.getOrElse("anonymous"))
     n.put("token_type", "bearer")
@@ -427,9 +464,13 @@ final class RestCatalogServer(
       val version = Option(cur).map(_.version + 1).getOrElse(1)
       val loc = writeMetadataFile(name, version, withLog)
       result = TableState(version, loc, withLog)
+      // pointer write INSIDE the per-table lock: two racing committers
+      // otherwise interleave pointer writes and a restart could resume
+      // an older version (the in-memory map would be right, the durable
+      // state wrong)
+      persistTable(name, result)
       result
     })
-    persistTable(name, result)
     (200, Some {
       val n = mapper.createObjectNode()
       n.put("metadata-location", result.metadataLocation)
@@ -479,7 +520,7 @@ final class RestCatalogServer(
       val toks = n.putArray("plan-tasks")
       tasks.grouped(planPageSize).zipWithIndex.foreach { case (page, i) =>
         val tok = s"$planId-$i"
-        planPages.put(tok,
+        storePlanPage(tok,
           RestScanJson.tasksToJson(page, scanSchemaOf(m, req), m.specById))
         toks.add(tok)
       }
@@ -621,6 +662,13 @@ final class RestCatalogServer(
       if (cur == null) fail(404, "NoSuchViewException", s"View $name not found")
       var m = cur.metadata
       var lastAddedVersion = -1
+      // concurrent replaces both diff from the same base, so ids in the
+      // request may collide with ids another commit just added — the
+      // SERVER owns id assignment (iceberg-java AddViewVersion semantics):
+      // colliding schema/version ids are reassigned fresh and the
+      // version's schema-id follows the remap. This runs under the
+      // per-view compute() lock, so both racers land as distinct versions.
+      var schemaRemap = Map.empty[Int, Int]
       Option(req.get("updates")).map(_.elements().asScala.toSeq).getOrElse(Nil).foreach { u =>
         u.get("action").asText() match {
           case "assign-uuid" => m = m.copy(viewUuid = u.get("uuid").asText())
@@ -630,10 +678,19 @@ final class RestCatalogServer(
             u.get("removals").elements().asScala.map(_.asText()).toSeq)
           case "add-schema" =>
             val s = MetadataJson.schemaFromJson(u.get("schema"))
-            if (!m.schemas.exists(_.schemaId == s.schemaId))
-              m = m.copy(schemas = m.schemas :+ s)
+            if (m.schemas.exists(_.schemaId == s.schemaId)) {
+              val fresh = m.schemas.map(_.schemaId).max + 1
+              schemaRemap += s.schemaId -> fresh
+              m = m.copy(schemas = m.schemas :+ Schema(s.fields, fresh, s.identifierFieldIds))
+            } else m = m.copy(schemas = m.schemas :+ s)
           case "add-view-version" =>
-            val v = viewVersionFromJson(u.get("view-version"))
+            val raw = viewVersionFromJson(u.get("view-version"))
+            val v0 = schemaRemap.get(raw.schemaId)
+              .map(id => raw.copy(schemaId = id)).getOrElse(raw)
+            val v =
+              if (m.versions.exists(_.versionId == v0.versionId))
+                v0.copy(versionId = m.versions.map(_.versionId).max + 1)
+              else v0
             lastAddedVersion = v.versionId
             m = m.copy(versions = m.versions :+ v)
           case "set-current-view-version" =>
@@ -647,9 +704,9 @@ final class RestCatalogServer(
       }
       val loc = writeViewFile(m, m.versions.size)
       result = ViewState(loc, m)
+      persistView(name, result) // inside the lock, same as table commits
       result
     })
-    persistView(name, result)
     (200, Some(viewResult(result)))
   }
 

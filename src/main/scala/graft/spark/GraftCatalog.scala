@@ -46,11 +46,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val spark = org.apache.spark.sql.SparkSession.active
     catalog = Option(options.get("uri")) match {
       case Some(http) if http.startsWith("http://") || http.startsWith("https://") =>
-        // REST catalog: warehouse comes from the server's config handshake
-        // (a client-side `warehouse` option is passed through as a hint)
-        new RestCatalog(http, spark,
-          options.asScala.toMap.filter { case (k, _) =>
-            Set("warehouse", "token", "credential").contains(k) })
+        // REST catalog: warehouse comes from the server's config handshake.
+        // ALL spark.sql.catalog.<name>.* options flow through (token,
+        // credential, scan-planning-mode, …) — filtering to a known set
+        // would silently disable documented client properties
+        new RestCatalog(http, spark, options.asScala.toMap - "uri")
       case Some(jdbc) =>
         require(wh != null, s"spark.sql.catalog.$name.warehouse is required")
         new SqlCatalog(jdbc, wh, spark)

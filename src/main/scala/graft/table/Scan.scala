@@ -104,10 +104,14 @@ final class IceScan(
     // `_should_use_server_side_planning` → catalog.plan_scan): manifest
     // pruning runs on the catalog service; this client receives pruned
     // content files + residuals. Opt-in via `scan-planning-mode=server`.
+    // Only the EXPLICIT snapshot pin is sent (a current-snapshot scan
+    // must bind against the current schema — sending the resolved id
+    // would freeze schema evolution); branch-DML scans pin the current
+    // schema in a way the protocol can't express, so they plan locally.
     table.catalog match {
-      case rc: graft.catalog.RestCatalog if rc.serverSidePlanning =>
-        return rc.planScan(table.name, rowFilter,
-          snapshot.map(_.snapshotId), caseSensitive)
+      case rc: graft.catalog.RestCatalog
+          if rc.serverSidePlanning && !currentSchemaPinned =>
+        return rc.planScan(table.name, rowFilter, snapshotIdOpt, caseSensitive)
       case _ =>
     }
     val snap = snapshot.getOrElse(return Nil)

@@ -25,7 +25,8 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   lazy val warehouse: String = Files.createTempDirectory("graft-rest-wh").toString
   lazy val server: RestCatalogServer =
-    new RestCatalogServer(warehouse, token = Some("s3cret"), prefix = "main").start()
+    new RestCatalogServer(warehouse, token = Some("s3cret"),
+      credential = Some("client-id:client-secret"), prefix = "main").start()
   lazy val catalog: RestCatalog =
     new RestCatalog(server.uri, spark, Map("token" -> "s3cret"))
 
@@ -196,9 +197,13 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!catalog.viewExists("db.v1"))
   }
 
-  test("auth: bad token is rejected; oauth client-credentials works") {
+  test("auth: bad token is rejected; oauth validates client credentials") {
     intercept[Exception] {
       new RestCatalog(server.uri, spark, Map("token" -> "wrong"))
+    }
+    // the token endpoint must NOT hand the bearer to made-up credentials
+    intercept[Exception] {
+      new RestCatalog(server.uri, spark, Map("credential" -> "intruder:guess"))
     }
     val viaOauth = new RestCatalog(server.uri, spark,
       Map("credential" -> "client-id:client-secret"))
@@ -258,6 +263,15 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(t.scan("o_orderstatus = 'F'").toDF.count() === want)
       // partition pruning happened on the SERVER
       assert(t.scan("o_orderstatus = 'F'").planFiles().size < all.size)
+      // schema evolution: a CURRENT scan must bind against the CURRENT
+      // schema, not the latest snapshot's (regression: sending the
+      // resolved snapshot id froze the schema at write time)
+      t.updateSchema.addColumn("note", graft.core.IString).commit()
+      assert(t.scan("note = 'x'").planFiles().isEmpty
+        || t.scan("note = 'x'").toDF.count() === 0)
+      // an explicit time-travel pin still uses the snapshot's own schema
+      val snap = t.metadata.currentSnapshotId.get
+      assert(t.scan.useSnapshot(snap).planFiles().size === all.size)
     } finally smallPages.stop()
   }
 
