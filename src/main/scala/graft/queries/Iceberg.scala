@@ -529,6 +529,10 @@ object Iceberg {
       s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.uri", server.uri)
       s.conf.set(s"spark.sql.catalog.$cat.token", "bench-token")
+      // manifest pruning runs ON THE SERVICE for every read below — the
+      // gate covers the whole server-planning path (plan endpoint, wire
+      // serde, residual re-binding), not just catalog CRUD
+      s.conf.set(s"spark.sql.catalog.$cat.scan-planning-mode", "server")
       li.createOrReplaceTempView("graft_rest_src")
       s.sql(s"CREATE NAMESPACE $cat.db")
       s.sql(s"CREATE TABLE $cat.db.li AS SELECT * FROM graft_rest_src")

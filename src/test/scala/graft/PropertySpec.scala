@@ -111,6 +111,51 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("REST expression wire codec preserves binding semantics") {
+    // litToJson erases some literal types (Double → BigDecimal through a
+    // floating JSON node), so the invariant is SEMANTIC: the round-tripped
+    // expression binds to the identical bound form — exactly what the
+    // scan-planning protocol needs (residuals are re-bound on arrival)
+    import graft.catalog.RestScanJson
+    forAllSampled(genExpr(2), 80) { e =>
+      val rt = RestScanJson.exprFromJson(RestScanJson.exprToJson(e))
+      assert(Binder.bind(schema, rt) === Binder.bind(schema, e),
+        s"wire round-trip changed binding for $e -> $rt")
+    }
+  }
+
+  test("REST typed-value codec round-trips every scalar type") {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import graft.catalog.RestScanJson
+    val mapper = new ObjectMapper()
+    def rt(t: IceType, v: Any): Any = {
+      val n = mapper.createObjectNode()
+      RestScanJson.valueToJson(t, v, n, "v")
+      RestScanJson.valueFromJson(t, n.get("v"))
+    }
+    forAllSampled(Gen.chooseNum(Long.MinValue, Long.MaxValue)) { v =>
+      assert(rt(ILong, v) === v)
+      assert(rt(ITimestamp, v) === v)
+    }
+    forAllSampled(Gen.chooseNum(Int.MinValue, Int.MaxValue)) { v =>
+      assert(rt(IInt, v) === v); assert(rt(IDate, v) === v)
+    }
+    forAllSampled(Gen.asciiPrintableStr) { s => assert(rt(IString, s) === s) }
+    forAllSampled(Gen.chooseNum(-1e12, 1e12)) { v =>
+      assert(rt(IDouble, v) === v)
+    }
+    forAllSampled(Gen.chooseNum(-999999L, 999999L)) { unscaled =>
+      val v = java.math.BigDecimal.valueOf(unscaled, 2)
+      assert(rt(IDecimal(10, 2), v) === v)
+    }
+    forAllSampled(Gen.listOfN(8, Gen.chooseNum(-128, 127).map(_.toByte))) { bs =>
+      assert(java.util.Arrays.equals(
+        rt(IBinary, bs.toArray).asInstanceOf[Array[Byte]], bs.toArray))
+    }
+    assert(rt(IBoolean, true) === true)
+    assert(rt(IString, null) === null)
+  }
+
   test("single-value codec round-trips arbitrary values") {
     forAllSampled(Gen.chooseNum(Long.MinValue, Long.MaxValue)) { v =>
       assert(Conversions.fromBytes(ILong, Conversions.toBytes(ILong, v)) === v)
