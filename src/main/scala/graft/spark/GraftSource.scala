@@ -20,7 +20,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.catalog.{HadoopCatalog, SqlCatalog}
+import graft.catalog.{HadoopCatalog, RestCatalog, SqlCatalog}
 import graft.core._
 import graft.meta.MetadataJson
 import graft.table.IceTable
@@ -32,6 +32,7 @@ import graft.table.IceTable
   *   .option("warehouse", "/wh").option("table", "events")
   *   .option("snapshot-id", "123")          // or as-of-timestamp / branch / tag
   *   .option("catalog", "jdbc:derby:...")   // route through SqlCatalog
+  *   .option("catalog", "http://host:port")  // route through RestCatalog
   *   .load()
   * ```
   *
@@ -63,12 +64,23 @@ class GraftSource extends TableProvider with org.apache.spark.sql.sources.DataSo
   private def load(options: CaseInsensitiveStringMap): (IceTable, Option[Long]) = {
     val wh = options.get("warehouse")
     val name = options.get("table")
-    require(wh != null && name != null, "options 'warehouse' and 'table' are required")
+    require(name != null, "option 'table' is required")
     // the session is only used driver-side for planning
     val spark = org.apache.spark.sql.SparkSession.active
     val table = Option(options.get("catalog")) match {
-      case Some(jdbc) => new SqlCatalog(jdbc, wh, spark).loadTable(name)
-      case None => new HadoopCatalog(wh, spark).loadTable(name)
+      case Some(http) if http.startsWith("http://") || http.startsWith("https://") =>
+        // REST service: warehouse comes from its config handshake; the
+        // token/credential options flow through like the plugin's
+        new RestCatalog(http, spark,
+          Seq("warehouse", "token", "credential", "scan-planning-mode")
+            .flatMap(k => Option(options.get(k)).map(k -> _)).toMap)
+          .loadTable(name)
+      case Some(jdbc) =>
+        require(wh != null, "option 'warehouse' is required")
+        new SqlCatalog(jdbc, wh, spark).loadTable(name)
+      case None =>
+        require(wh != null, "option 'warehouse' is required")
+        new HadoopCatalog(wh, spark).loadTable(name)
     }
     (table, resolveSnapshot(table, options))
   }

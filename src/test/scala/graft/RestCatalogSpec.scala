@@ -314,6 +314,27 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.metadata.snapshots.size === 6)
   }
 
+  test("DSv2 options face and streaming source resolve through REST") {
+    import org.apache.spark.sql.streaming.Trigger
+    val t = catalog.createTable("db.dsv2", Schema.fromSpark(lineitem.schema))
+    t.append(lineitem.limit(30))
+    val df = spark.read.format("graft")
+      .option("catalog", server.uri).option("token", "s3cret")
+      .option("table", "db.dsv2").load()
+    assert(df.count() === 30)
+    // incremental source: one AvailableNow drain through the REST catalog
+    val out = Files.createTempDirectory("graft-rest-sink").toString
+    val q = spark.readStream.format("graft")
+      .option("catalog", server.uri).option("token", "s3cret")
+      .option("table", "db.dsv2").load()
+      .writeStream.format("parquet").option("path", out)
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-rest-ck").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).count() === 30)
+  }
+
   test("durable server: a restarted service resumes from pointer files") {
     val wh = Files.createTempDirectory("graft-rest-dur").toString
     val s1 = new RestCatalogServer(wh, token = None, prefix = "d", persist = true).start()
