@@ -1128,6 +1128,42 @@ object DataOps {
       |  9999999 - (max(k) % 10000000) AS keep_id
       |FROM u GROUP BY url ORDER BY url""".stripMargin
 
+  /** DOCUMENT CHUNKING — split each document into overlapping word
+    * windows (window 40, stride 30 → 25% overlap), the preprocessing an
+    * embedding/RAG pipeline runs before vectorizing. Pure map-side
+    * codegen: the window starts are a `sequence()` column and each chunk
+    * is an `array_join(slice(words, …))` under one `posexplode` — no
+    * shuffle at all until the output sort, and chunk count per document
+    * adapts to its length (never a driver loop, never a UDF). At 100 TB
+    * the op is embarrassingly parallel and output-proportional. */
+  def chunkDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val words = split(col("text"), "\\s+")
+    val starts = sequence(lit(0), greatest(size(words) - 1, lit(0)), lit(30))
+    val chunks = transform(starts, st => array_join(slice(words, st + 1, lit(40)), " "))
+    nonEmpty(docs
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(split(col("chunk"), "\\s+")).as("chunk_words"),
+        md5(col("chunk").cast("binary")).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx")))
+  }
+  val chunkDocsSql =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS words
+      |  FROM documents),
+      |st AS (
+      |  SELECT doc_id, words, unnest(range(0, greatest(len(words), 1), 30)) AS s
+      |  FROM w),
+      |c AS (
+      |  SELECT doc_id, s // 30 AS chunk_idx,
+      |    array_to_string(words[s + 1 : s + 40], ' ') AS chunk
+      |  FROM st)
+      |SELECT doc_id, chunk_idx,
+      |  len(regexp_split_to_array(chunk, '\s+')) AS chunk_words,
+      |  md5(chunk) AS chunk_hash
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** END-TO-END CURATION PIPELINE — the composition flagship: language
     * gate → length/word quality gate → URL-normalized dedup → per-source
     * token budget, all in ONE declarative plan. This is the shape of a
@@ -1264,6 +1300,7 @@ object DataOps {
     "ds_pii_redact" -> (piiRedact _),
     "ds_url_dedup" -> (urlDedup _),
     "ds_pipeline_curate" -> (pipelineCurate _),
+    "ds_chunk_docs" -> (chunkDocs _),
     "ds_decontaminate" -> (decontaminate _),
     "ds_sample_stratified" -> (sampleStratified _),
     "ds_pack_sequences" -> (packSequences _),
@@ -1292,6 +1329,7 @@ object DataOps {
     "ds_pii_redact" -> piiRedactSql,
     "ds_url_dedup" -> urlDedupSql,
     "ds_pipeline_curate" -> pipelineCurateSql,
+    "ds_chunk_docs" -> chunkDocsSql,
     "ds_decontaminate" -> decontaminateSql,
     "ds_sample_stratified" -> sampleStratifiedSql,
     "ds_pack_sequences" -> packSequencesSql,
