@@ -73,13 +73,15 @@ object CatalogFactory {
       case None => None
     }
 
-  /** `GRAFT_CATALOG__<NAME>__<PROP>` (ref config.py env parsing: double
-    * underscore separates levels, keys are case-folded, `_` → `-`). */
+  /** `GRAFT_CATALOG__<NAME>__<PROP>` (ref config.py:130 env parsing:
+    * after the prefix+name, remaining `__` become `.` (nesting) and single
+    * `_` become `-`, so `…__S3__ACCESS_KEY_ID` → `s3.access-key-id`). */
   private[graft] def envCatalogConfig(name: String,
       env: Map[String, String]): Map[String, String] = {
     val prefix = s"GRAFT_CATALOG__${name.toUpperCase}__"
     env.collect { case (k, v) if k.toUpperCase.startsWith(prefix) =>
-      k.drop(prefix.length).toLowerCase.replace('_', '-') -> v
+      k.drop(prefix.length).toLowerCase
+        .replace("__", ".").replace('_', '-') -> v
     }
   }
 

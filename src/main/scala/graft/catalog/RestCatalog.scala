@@ -48,20 +48,52 @@ class RestCatalog(
   private val mapper = new ObjectMapper()
   private val http = HttpClient.newHttpClient()
 
-  private val token: Option[String] = props.get("credential") match {
-    case Some(cred) =>
+  /** OAuth2 token lifecycle: client-credentials tokens carry `expires_in`
+    * — a long-lived catalog plugin must re-run the exchange near expiry
+    * (proactively) and on a 401 (reactively), like the reference's auth
+    * managers (rest/auth.py OAuth2AuthManager) — a constructor-cached
+    * token would fail permanently once it expires. Static `token` props
+    * never refresh. */
+  private object auth {
+    private val credential: Option[(String, String)] = props.get("credential").map { cred =>
       require(cred.contains(":"),
         s"'credential' must be 'client-id:client-secret' (got a bare value)")
       val Array(id, secret) = cred.split(":", 2)
+      (id, secret)
+    }
+    @volatile private var current: Option[String] = None
+    @volatile private var expiresAtMs: Long = 0L
+
+    private def fetch(): Unit = credential.foreach { case (id, secret) =>
       val form = s"grant_type=client_credentials&client_id=${enc(id)}" +
         s"&client_secret=${enc(secret)}&scope=catalog"
       val resp = rawRequest("POST", s"$uri/v1/oauth/tokens", Some(form),
         contentType = "application/x-www-form-urlencoded", auth = None)
       if (resp.statusCode() != 200)
         throw new IllegalStateException(s"OAuth token fetch failed: ${resp.body()}")
-      Some(mapper.readTree(resp.body()).get("access_token").asText())
-    case None => props.get("token")
+      val n = mapper.readTree(resp.body())
+      current = Some(n.get("access_token").asText())
+      // refresh 30s before the server-side expiry; no expires_in => static
+      expiresAtMs = Option(n.get("expires_in")).filterNot(_.isNull)
+        .map(e => System.currentTimeMillis() + (e.asLong() - 30L).max(5L) * 1000L)
+        .getOrElse(Long.MaxValue)
+    }
+
+    def token: Option[String] = {
+      if (credential.isDefined &&
+          (current.isEmpty || System.currentTimeMillis() >= expiresAtMs))
+        synchronized {
+          if (current.isEmpty || System.currentTimeMillis() >= expiresAtMs) fetch()
+        }
+      current.orElse(props.get("token"))
+    }
+
+    /** Force a re-exchange on the next request (called after a 401). */
+    def invalidate(): Unit = { current = None; expiresAtMs = 0L }
+    def canRefresh: Boolean = credential.isDefined
   }
+
+  private def token: Option[String] = auth.token
 
   // config handshake: defaults ++ client props ++ overrides (ref :707)
   private val config: Map[String, String] = {
@@ -122,8 +154,14 @@ class RestCatalog(
     * (ref: response.py `_handle_non_200_response`). */
   private def request(method: String, path: String, body: Option[JsonNode] = None,
       query: String = ""): JsonNode = {
-    val resp = rawRequest(method, url(path) + query,
+    var resp = rawRequest(method, url(path) + query,
       body.map(mapper.writeValueAsString), auth = token)
+    // expired/revoked token: re-run the credential exchange once and retry
+    if (resp.statusCode() == 401 && auth.canRefresh) {
+      auth.invalidate()
+      resp = rawRequest(method, url(path) + query,
+        body.map(mapper.writeValueAsString), auth = token)
+    }
     val code = resp.statusCode()
     if (code >= 200 && code < 300) {
       if (resp.body() == null || resp.body().isEmpty) mapper.createObjectNode()
@@ -296,14 +334,20 @@ class RestCatalog(
   def planScan(name: String, filter: graft.core.Expr = graft.core.AlwaysTrue,
       snapshotId: Option[Long] = None,
       caseSensitive: Boolean = true): Seq[graft.table.FileScanTask] = {
-    val cached = Option(cache.get(name)).map(_.metadata)
-      .getOrElse(loadTable(name).metadata)
     // a pinned snapshot MUST resolve (refresh once in case the cache is
     // stale; then fail like the local path's "No snapshot $id" — binding
-    // residuals against the wrong schema would mis-filter silently)
+    // residuals against the wrong schema would mis-filter silently).
+    // An UNPINNED scan refreshes unconditionally: the server plans ITS
+    // current snapshot, so planning from a stale cached handle would bind
+    // residuals/specById against older metadata than the data served. A
+    // commit in the remaining load→plan window is caught below via the
+    // unknown-spec-id rebind.
     val meta = snapshotId match {
-      case Some(id) if cached.snapshotById(id).isEmpty => loadTable(name).metadata
-      case _ => cached
+      case Some(id) =>
+        val cached = Option(cache.get(name)).map(_.metadata)
+          .getOrElse(loadTable(name).metadata)
+        if (cached.snapshotById(id).isEmpty) loadTable(name).metadata else cached
+      case None => loadTable(name).metadata
     }
     val schema = snapshotId match {
       case Some(id) => meta.snapshotById(id)
@@ -316,17 +360,24 @@ class RestCatalog(
     if (filter != graft.core.AlwaysTrue)
       body.set[JsonNode]("filter", RestScanJson.exprToJson(filter))
     body.put("case-sensitive", caseSensitive)
+    // spec resolver that survives the load→plan race: a partition-evolution
+    // commit in the window makes the response reference a spec id the
+    // cached metadata doesn't know — refresh once and re-resolve instead
+    // of failing the scan
+    lazy val refreshed = loadTable(name).metadata
+    val specById: Int => graft.meta.PartitionSpec = id =>
+      try meta.specById(id) catch { case _: IllegalStateException => refreshed.specById(id) }
     val resp = request("POST", s"${tablePath(name)}/plan", Some(body))
     resp.get("status").asText() match {
       case "completed" =>
-        val inline = RestScanJson.tasksFromJson(resp, schema, meta.specById, caseSensitive)
+        val inline = RestScanJson.tasksFromJson(resp, schema, specById, caseSensitive)
         val pages = Option(resp.get("plan-tasks"))
           .map(_.elements().asScala.toSeq.map(_.asText())).getOrElse(Nil)
         inline ++ pages.flatMap { tok =>
           val b = mapper.createObjectNode(); b.put("plan-task", tok)
           RestScanJson.tasksFromJson(
             request("POST", s"${tablePath(name)}/tasks", Some(b)),
-            schema, meta.specById, caseSensitive)
+            schema, specById, caseSensitive)
         }
       case "cancelled" => throw new IllegalStateException("Scan planning was cancelled")
       case other => throw new IllegalStateException(s"Scan planning $other: " +

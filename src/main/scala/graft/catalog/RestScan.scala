@@ -265,18 +265,22 @@ object RestScanJson {
     countMap(n, "value-counts", df.valueCounts)
     countMap(n, "null-value-counts", df.nullValueCounts)
     countMap(n, "nan-value-counts", df.nanValueCounts)
-    def boundsMap(field: String, m: Map[Int, Any]): Unit =
-      if (m.nonEmpty) {
+    def boundsMap(field: String, m: Map[Int, Any]): Unit = {
+      // only ids the schema can type: stats for dropped columns would
+      // round-trip mistyped (the reader has no type for them either)
+      val typed = m.toSeq.sortBy(_._1)
+        .flatMap { case (k, v) => schema.findType(k).map(t => (k, t, v)) }
+      if (typed.nonEmpty) {
         val o = n.putObject(field)
-        val sorted = m.toSeq.sortBy(_._1)
-        val ks = o.putArray("keys"); sorted.foreach { case (k, _) => ks.add(k) }
+        val ks = o.putArray("keys"); typed.foreach { case (k, _, _) => ks.add(k) }
         val vs = o.putArray("values")
-        sorted.foreach { case (k, v) =>
+        typed.foreach { case (_, t, v) =>
           val cell = mapper.createObjectNode()
-          valueToJson(schema.findType(k).getOrElse(IString), v, cell, "v")
+          valueToJson(t, v, cell, "v")
           vs.add(cell.get("v"))
         }
       }
+    }
     boundsMap("lower-bounds", df.lowerBounds)
     boundsMap("upper-bounds", df.upperBounds)
     if (df.equalityIds.nonEmpty) {
@@ -302,8 +306,11 @@ object RestScanJson {
       else {
         val ks = o.get("keys").elements().asScala.toSeq.map(_.asInt())
         val vs = o.get("values").elements().asScala.toSeq
-        ks.zip(vs).map { case (k, cell) =>
-          k -> valueFromJson(schema.findType(k).getOrElse(IString), cell)
+        // bounds for field-ids outside the scan schema (e.g. stats kept
+        // for a dropped column) have no type to decode with — skip them
+        // rather than coerce to a wrongly-typed String value
+        ks.zip(vs).flatMap { case (k, cell) =>
+          schema.findType(k).map(t => k -> valueFromJson(t, cell))
         }.toMap
       }
     }

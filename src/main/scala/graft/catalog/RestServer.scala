@@ -60,6 +60,19 @@ final class RestCatalogServer(
 
   private val tables = new ConcurrentHashMap[String, TableState]()
   private val views = new ConcurrentHashMap[String, ViewState]()
+
+  /** Per-table-name monitors. Every structural or committing op on a table
+    * name runs under its monitor; rename takes BOTH names in sorted order
+    * (deadlock-free) so a commit to the source can neither be discarded by
+    * the move nor land while the table is visible under two names. Commits
+    * to different tables still run in parallel. */
+  private val nameLocks = new ConcurrentHashMap[String, Object]()
+  private def withTableLock[A](name: String)(f: => A): A =
+    nameLocks.computeIfAbsent(name, _ => new Object).synchronized(f)
+  private def withTableLocks[A](a: String, b: String)(f: => A): A = {
+    val (l1, l2) = if (a <= b) (a, b) else (b, a)
+    withTableLock(l1)(withTableLock(l2)(f))
+  }
   private val namespaces = new ConcurrentHashMap[String, Map[String, String]]()
   /** Outstanding plan-task pages, keyed by opaque token. Bounded: tokens
     * are single-use (dropped when fetched), and abandoned plans — a
@@ -412,15 +425,17 @@ final class RestCatalogServer(
     }
     val loc = writeMetadataFile(name, 1, meta)
     val st = TableState(1, loc, meta)
-    if (tables.putIfAbsent(name, st) != null)
-      fail(409, "AlreadyExistsException", s"Table $name already exists")
-    persistTable(name, st)
+    withTableLock(name) {
+      if (tables.putIfAbsent(name, st) != null)
+        fail(409, "AlreadyExistsException", s"Table $name already exists")
+      persistTable(name, st)
+    }
     (200, Some(loadTableResult(st)))
   }
 
   private def loadTableR(name: String): (Int, Option[JsonNode]) = {
-    val st = Option(tables.get(name)).getOrElse(
-      fail(404, "NoSuchTableException", s"Table $name not found"))
+    val st = withTableLock(name)(Option(tables.get(name)).getOrElse(
+      fail(404, "NoSuchTableException", s"Table $name not found")))
     (200, Some(loadTableResult(st)))
   }
 
@@ -430,9 +445,11 @@ final class RestCatalogServer(
     val loc = req.get("metadata-location").asText()
     val meta = MetadataJson.fromJson(new String(Io.readBytes(loc), UTF_8))
     val st = TableState(1, loc, meta)
-    if (tables.putIfAbsent(name, st) != null)
-      fail(409, "AlreadyExistsException", s"Table $name already exists")
-    persistTable(name, st)
+    withTableLock(name) {
+      if (tables.putIfAbsent(name, st) != null)
+        fail(409, "AlreadyExistsException", s"Table $name already exists")
+      persistTable(name, st)
+    }
     (200, Some(loadTableResult(st)))
   }
 
@@ -443,8 +460,10 @@ final class RestCatalogServer(
     val updates = Option(req.get("updates"))
       .map(_.elements().asScala.toSeq.map(RestUpdates.updateFromJson)).getOrElse(Nil)
     var result: TableState = null
-    // per-table atomicity: compute() holds the map's bin lock for this key
-    tables.compute(name, (_, cur) => {
+    // per-table atomicity: the name monitor serializes this commit against
+    // renames (which hold both names' monitors) and other commits; the
+    // compute() additionally holds the map's bin lock for this key
+    withTableLock(name)(tables.compute(name, (_, cur) => {
       val base = Option(cur).map(_.metadata)
       reqs.foreach { r =>
         r.check(base).foreach(msg => fail(409, "CommitFailedException", msg))
@@ -470,7 +489,7 @@ final class RestCatalogServer(
       // state wrong)
       persistTable(name, result)
       result
-    })
+    }))
     (200, Some {
       val n = mapper.createObjectNode()
       n.put("metadata-location", result.metadataLocation)
@@ -548,9 +567,12 @@ final class RestCatalogServer(
   }
 
   private def dropTableR(name: String, purge: Boolean): (Int, Option[JsonNode]) = {
-    val st = Option(tables.remove(name)).getOrElse(
-      fail(404, "NoSuchTableException", s"Table $name not found"))
-    dropPointer(name, "table")
+    val st = withTableLock(name) {
+      val removed = Option(tables.remove(name)).getOrElse(
+        fail(404, "NoSuchTableException", s"Table $name not found"))
+      dropPointer(name, "table")
+      removed
+    }
     if (purge) {
       try Io.delete(st.metadata.location, recursive = true)
       catch { case e: Exception =>
@@ -566,12 +588,19 @@ final class RestCatalogServer(
       n.get("name").asText())
     val from = nameOf(req.get("source"))
     val to = nameOf(req.get("destination"))
-    val st = Option(tables.get(from)).getOrElse(
-      fail(404, "NoSuchTableException", s"Table $from not found"))
-    if (tables.putIfAbsent(to, st) != null)
-      fail(409, "AlreadyExistsException", s"Table $to already exists")
-    tables.remove(from)
-    persistTable(to, st); dropPointer(from, "table")
+    // Atomic move: both name monitors held, so a concurrent commit to
+    // `from` either completes before the move (its state is what moves) or
+    // observes the table gone (404) — never silently discarded — and no
+    // request ever sees the table under both names.
+    withTableLocks(from, to) {
+      val st = Option(tables.get(from)).getOrElse(
+        fail(404, "NoSuchTableException", s"Table $from not found"))
+      if (tables.containsKey(to) || from == to)
+        fail(409, "AlreadyExistsException", s"Table $to already exists")
+      tables.put(to, st)
+      tables.remove(from)
+      persistTable(to, st); dropPointer(from, "table")
+    }
     (204, None)
   }
 

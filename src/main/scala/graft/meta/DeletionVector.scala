@@ -153,6 +153,10 @@ object DeletionVector {
     var lastKey = -1
     while (i < n) {
       val key = buf.getInt
+      // Java-impl compatibility: bitmap keys above Int.MaxValue are invalid
+      // (ref: deletion_vector.py:53 — same bound, same failure mode)
+      require(key >= 0, s"Key ${key.toLong & 0xFFFFFFFFL} is too large, " +
+        s"max ${Int.MaxValue} to maintain compatibility with Java impl")
       require(key > lastKey, s"Bitmap keys must ascend: $key after $lastKey")
       lastKey = key
       deserialize32(buf).foreach(v => out += (key.toLong << 32) | (v.toLong & 0xFFFFFFFFL))

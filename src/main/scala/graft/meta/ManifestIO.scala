@@ -37,20 +37,40 @@ object ManifestIO {
   private def nullable(s: AvroSchema): AvroSchema =
     AvroSchema.createUnion(AvroSchema.create(AvroSchema.Type.NULL), s)
 
-  private def kvArray(name: String, valueType: AvroSchema.Type): AvroSchema = {
-    val kv = SchemaBuilder.record(name + "_kv").fields()
-      .requiredInt("key")
-      .name("value").`type`(AvroSchema.create(valueType)).noDefault()
-      .endRecord()
-    AvroSchema.createArray(kv)
+  /** Tag a field with the Iceberg `field-id` prop — the channel foreign
+    * readers (Java Iceberg, pyiceberg schema_conversion.py:94) resolve by,
+    * independent of version-specific field names. */
+  private def withId(f: AvroSchema.Field, id: Int): AvroSchema.Field = {
+    f.addProp("field-id", Integer.valueOf(id)); f
+  }
+
+  private def kvArray(name: String, valueType: AvroSchema.Type,
+      keyId: Int, valueId: Int): AvroSchema = {
+    val kv = AvroSchema.createRecord(name + "_kv", null, null, false, Seq(
+      withId(new AvroSchema.Field("key", AvroSchema.create(AvroSchema.Type.INT), null, null), keyId),
+      withId(new AvroSchema.Field("value", AvroSchema.create(valueType), null, null), valueId)).asJava)
+    val arr = AvroSchema.createArray(kv)
+    // map-encoded-as-array marker (ref: schema_conversion.py:428)
+    arr.addProp("logicalType", "map")
+    arr
+  }
+
+  private def longArray(elementId: Int): AvroSchema = {
+    val arr = AvroSchema.createArray(AvroSchema.create(AvroSchema.Type.LONG))
+    arr.addProp("element-id", Integer.valueOf(elementId)); arr
+  }
+
+  private def intArray(elementId: Int): AvroSchema = {
+    val arr = AvroSchema.createArray(AvroSchema.create(AvroSchema.Type.INT))
+    arr.addProp("element-id", Integer.valueOf(elementId)); arr
   }
 
   private def partitionSchema(spec: PartitionSpec, schema: Schema): AvroSchema = {
     if (spec.fields.isEmpty)
       return SchemaBuilder.record("r102").fields().endRecord()
     val fields = spec.partitionType(schema).map { nf =>
-      new AvroSchema.Field(sanitize(nf.name), nullable(avroPrim(nf.fieldType)),
-        null, AvroSchema.Field.NULL_DEFAULT_VALUE)
+      withId(new AvroSchema.Field(sanitize(nf.name), nullable(avroPrim(nf.fieldType)),
+        null, AvroSchema.Field.NULL_DEFAULT_VALUE), nf.id)
     }
     AvroSchema.createRecord("r102", null, null, false, fields.asJava)
   }
@@ -62,65 +82,72 @@ object ManifestIO {
   private def sanitize(n: String): String = graft.core.Schema.makeCompatibleName(n)
 
   private def dataFileSchema(spec: PartitionSpec, schema: Schema): AvroSchema = {
+    // field ids per the spec's DATA_FILE_TYPE (ref: manifest.py:134-:316)
     val fields = Seq(
-      new AvroSchema.Field("content", AvroSchema.create(AvroSchema.Type.INT), null, null),
-      new AvroSchema.Field("file_path", AvroSchema.create(AvroSchema.Type.STRING), null, null),
-      new AvroSchema.Field("file_format", AvroSchema.create(AvroSchema.Type.STRING), null, null),
-      new AvroSchema.Field("partition", partitionSchema(spec, schema), null, null),
-      new AvroSchema.Field("record_count", AvroSchema.create(AvroSchema.Type.LONG), null, null),
-      new AvroSchema.Field("file_size_in_bytes", AvroSchema.create(AvroSchema.Type.LONG), null, null),
-      new AvroSchema.Field("column_sizes", nullable(kvArray("k117_v118", AvroSchema.Type.LONG)), null, AvroSchema.Field.NULL_DEFAULT_VALUE),
-      new AvroSchema.Field("value_counts", nullable(kvArray("k119_v120", AvroSchema.Type.LONG)), null, AvroSchema.Field.NULL_DEFAULT_VALUE),
-      new AvroSchema.Field("null_value_counts", nullable(kvArray("k121_v122", AvroSchema.Type.LONG)), null, AvroSchema.Field.NULL_DEFAULT_VALUE),
-      new AvroSchema.Field("nan_value_counts", nullable(kvArray("k138_v139", AvroSchema.Type.LONG)), null, AvroSchema.Field.NULL_DEFAULT_VALUE),
-      new AvroSchema.Field("lower_bounds", nullable(kvArray("k126_v127", AvroSchema.Type.BYTES)), null, AvroSchema.Field.NULL_DEFAULT_VALUE),
-      new AvroSchema.Field("upper_bounds", nullable(kvArray("k129_v130", AvroSchema.Type.BYTES)), null, AvroSchema.Field.NULL_DEFAULT_VALUE),
-      new AvroSchema.Field("split_offsets", nullable(AvroSchema.createArray(AvroSchema.create(AvroSchema.Type.LONG))), null, AvroSchema.Field.NULL_DEFAULT_VALUE),
-      new AvroSchema.Field("equality_ids", nullable(AvroSchema.createArray(AvroSchema.create(AvroSchema.Type.INT))), null, AvroSchema.Field.NULL_DEFAULT_VALUE),
-      new AvroSchema.Field("sort_order_id", nullable(AvroSchema.create(AvroSchema.Type.INT)), null, AvroSchema.Field.NULL_DEFAULT_VALUE),
+      withId(new AvroSchema.Field("content", AvroSchema.create(AvroSchema.Type.INT), null, null), 134),
+      withId(new AvroSchema.Field("file_path", AvroSchema.create(AvroSchema.Type.STRING), null, null), 100),
+      withId(new AvroSchema.Field("file_format", AvroSchema.create(AvroSchema.Type.STRING), null, null), 101),
+      withId(new AvroSchema.Field("partition", partitionSchema(spec, schema), null, null), 102),
+      withId(new AvroSchema.Field("record_count", AvroSchema.create(AvroSchema.Type.LONG), null, null), 103),
+      withId(new AvroSchema.Field("file_size_in_bytes", AvroSchema.create(AvroSchema.Type.LONG), null, null), 104),
+      withId(new AvroSchema.Field("column_sizes", nullable(kvArray("k117_v118", AvroSchema.Type.LONG, 117, 118)), null, AvroSchema.Field.NULL_DEFAULT_VALUE), 108),
+      withId(new AvroSchema.Field("value_counts", nullable(kvArray("k119_v120", AvroSchema.Type.LONG, 119, 120)), null, AvroSchema.Field.NULL_DEFAULT_VALUE), 109),
+      withId(new AvroSchema.Field("null_value_counts", nullable(kvArray("k121_v122", AvroSchema.Type.LONG, 121, 122)), null, AvroSchema.Field.NULL_DEFAULT_VALUE), 110),
+      withId(new AvroSchema.Field("nan_value_counts", nullable(kvArray("k138_v139", AvroSchema.Type.LONG, 138, 139)), null, AvroSchema.Field.NULL_DEFAULT_VALUE), 137),
+      withId(new AvroSchema.Field("lower_bounds", nullable(kvArray("k126_v127", AvroSchema.Type.BYTES, 126, 127)), null, AvroSchema.Field.NULL_DEFAULT_VALUE), 125),
+      withId(new AvroSchema.Field("upper_bounds", nullable(kvArray("k129_v130", AvroSchema.Type.BYTES, 129, 130)), null, AvroSchema.Field.NULL_DEFAULT_VALUE), 128),
+      withId(new AvroSchema.Field("split_offsets", nullable(longArray(133)), null, AvroSchema.Field.NULL_DEFAULT_VALUE), 132),
+      withId(new AvroSchema.Field("equality_ids", nullable(intArray(136)), null, AvroSchema.Field.NULL_DEFAULT_VALUE), 135),
+      withId(new AvroSchema.Field("sort_order_id", nullable(AvroSchema.create(AvroSchema.Type.INT)), null, AvroSchema.Field.NULL_DEFAULT_VALUE), 140),
       // deletion-vector fields (v3; ref manifest.py:413-430)
-      new AvroSchema.Field("referenced_data_file", nullable(AvroSchema.create(AvroSchema.Type.STRING)), null, AvroSchema.Field.NULL_DEFAULT_VALUE),
-      new AvroSchema.Field("content_offset", nullable(AvroSchema.create(AvroSchema.Type.LONG)), null, AvroSchema.Field.NULL_DEFAULT_VALUE),
-      new AvroSchema.Field("content_size_in_bytes", nullable(AvroSchema.create(AvroSchema.Type.LONG)), null, AvroSchema.Field.NULL_DEFAULT_VALUE))
+      withId(new AvroSchema.Field("referenced_data_file", nullable(AvroSchema.create(AvroSchema.Type.STRING)), null, AvroSchema.Field.NULL_DEFAULT_VALUE), 143),
+      withId(new AvroSchema.Field("content_offset", nullable(AvroSchema.create(AvroSchema.Type.LONG)), null, AvroSchema.Field.NULL_DEFAULT_VALUE), 144),
+      withId(new AvroSchema.Field("content_size_in_bytes", nullable(AvroSchema.create(AvroSchema.Type.LONG)), null, AvroSchema.Field.NULL_DEFAULT_VALUE), 145))
     AvroSchema.createRecord("r2", null, null, false, fields.asJava)
   }
 
   private def entrySchema(spec: PartitionSpec, schema: Schema): AvroSchema = {
+    // entry ids per MANIFEST_ENTRY_SCHEMAS[2] (ref: manifest.py:571)
     val fields = Seq(
-      new AvroSchema.Field("status", AvroSchema.create(AvroSchema.Type.INT), null, null),
-      new AvroSchema.Field("snapshot_id", nullable(AvroSchema.create(AvroSchema.Type.LONG)), null, AvroSchema.Field.NULL_DEFAULT_VALUE),
-      new AvroSchema.Field("sequence_number", nullable(AvroSchema.create(AvroSchema.Type.LONG)), null, AvroSchema.Field.NULL_DEFAULT_VALUE),
-      new AvroSchema.Field("file_sequence_number", nullable(AvroSchema.create(AvroSchema.Type.LONG)), null, AvroSchema.Field.NULL_DEFAULT_VALUE),
-      new AvroSchema.Field("data_file", dataFileSchema(spec, schema), null, null))
+      withId(new AvroSchema.Field("status", AvroSchema.create(AvroSchema.Type.INT), null, null), 0),
+      withId(new AvroSchema.Field("snapshot_id", nullable(AvroSchema.create(AvroSchema.Type.LONG)), null, AvroSchema.Field.NULL_DEFAULT_VALUE), 1),
+      withId(new AvroSchema.Field("sequence_number", nullable(AvroSchema.create(AvroSchema.Type.LONG)), null, AvroSchema.Field.NULL_DEFAULT_VALUE), 3),
+      withId(new AvroSchema.Field("file_sequence_number", nullable(AvroSchema.create(AvroSchema.Type.LONG)), null, AvroSchema.Field.NULL_DEFAULT_VALUE), 4),
+      withId(new AvroSchema.Field("data_file", dataFileSchema(spec, schema), null, null), 2))
     AvroSchema.createRecord("manifest_entry", null, null, false, fields.asJava)
   }
 
   private val fieldSummarySchema: AvroSchema = {
+    // ids per PARTITION_FIELD_SUMMARY_TYPE (ref: manifest.py:645)
     val fields = Seq(
-      new AvroSchema.Field("contains_null", AvroSchema.create(AvroSchema.Type.BOOLEAN), null, null),
-      new AvroSchema.Field("contains_nan", nullable(AvroSchema.create(AvroSchema.Type.BOOLEAN)), null, AvroSchema.Field.NULL_DEFAULT_VALUE),
-      new AvroSchema.Field("lower_bound", nullable(AvroSchema.create(AvroSchema.Type.BYTES)), null, AvroSchema.Field.NULL_DEFAULT_VALUE),
-      new AvroSchema.Field("upper_bound", nullable(AvroSchema.create(AvroSchema.Type.BYTES)), null, AvroSchema.Field.NULL_DEFAULT_VALUE))
+      withId(new AvroSchema.Field("contains_null", AvroSchema.create(AvroSchema.Type.BOOLEAN), null, null), 509),
+      withId(new AvroSchema.Field("contains_nan", nullable(AvroSchema.create(AvroSchema.Type.BOOLEAN)), null, AvroSchema.Field.NULL_DEFAULT_VALUE), 518),
+      withId(new AvroSchema.Field("lower_bound", nullable(AvroSchema.create(AvroSchema.Type.BYTES)), null, AvroSchema.Field.NULL_DEFAULT_VALUE), 510),
+      withId(new AvroSchema.Field("upper_bound", nullable(AvroSchema.create(AvroSchema.Type.BYTES)), null, AvroSchema.Field.NULL_DEFAULT_VALUE), 511))
     AvroSchema.createRecord("r508", null, null, false, fields.asJava)
   }
 
   private val manifestFileSchema: AvroSchema = {
-    def f(n: String, t: AvroSchema.Type) = new AvroSchema.Field(n, AvroSchema.create(t), null, null)
+    // ids per MANIFEST_LIST_FILE_SCHEMAS[2] (ref: manifest.py:739)
+    def f(n: String, t: AvroSchema.Type, id: Int) =
+      withId(new AvroSchema.Field(n, AvroSchema.create(t), null, null), id)
+    val partitionsArr = AvroSchema.createArray(fieldSummarySchema)
+    partitionsArr.addProp("element-id", Integer.valueOf(508))
     val fields = Seq(
-      f("manifest_path", AvroSchema.Type.STRING),
-      f("manifest_length", AvroSchema.Type.LONG),
-      f("partition_spec_id", AvroSchema.Type.INT),
-      f("content", AvroSchema.Type.INT),
-      f("sequence_number", AvroSchema.Type.LONG),
-      f("min_sequence_number", AvroSchema.Type.LONG),
-      f("added_snapshot_id", AvroSchema.Type.LONG),
-      f("added_files_count", AvroSchema.Type.INT),
-      f("existing_files_count", AvroSchema.Type.INT),
-      f("deleted_files_count", AvroSchema.Type.INT),
-      f("added_rows_count", AvroSchema.Type.LONG),
-      f("existing_rows_count", AvroSchema.Type.LONG),
-      f("deleted_rows_count", AvroSchema.Type.LONG),
-      new AvroSchema.Field("partitions", nullable(AvroSchema.createArray(fieldSummarySchema)), null, AvroSchema.Field.NULL_DEFAULT_VALUE))
+      f("manifest_path", AvroSchema.Type.STRING, 500),
+      f("manifest_length", AvroSchema.Type.LONG, 501),
+      f("partition_spec_id", AvroSchema.Type.INT, 502),
+      f("content", AvroSchema.Type.INT, 517),
+      f("sequence_number", AvroSchema.Type.LONG, 515),
+      f("min_sequence_number", AvroSchema.Type.LONG, 516),
+      f("added_snapshot_id", AvroSchema.Type.LONG, 503),
+      f("added_files_count", AvroSchema.Type.INT, 504),
+      f("existing_files_count", AvroSchema.Type.INT, 505),
+      f("deleted_files_count", AvroSchema.Type.INT, 506),
+      f("added_rows_count", AvroSchema.Type.LONG, 512),
+      f("existing_rows_count", AvroSchema.Type.LONG, 513),
+      f("deleted_rows_count", AvroSchema.Type.LONG, 514),
+      withId(new AvroSchema.Field("partitions", nullable(partitionsArr), null, AvroSchema.Field.NULL_DEFAULT_VALUE), 507))
     AvroSchema.createRecord("manifest_file", null, null, false, fields.asJava)
   }
 
@@ -226,6 +253,22 @@ object ManifestIO {
       confOverride: org.apache.hadoop.conf.Configuration = null): Seq[ManifestEntry] = {
     val reader = openAvro(path, confOverride)
     val partTypes = spec.partitionType(schema)
+    // Foreign writers may sanitize partition-struct names differently —
+    // resolve by the avro field-id prop when present, our sanitized name
+    // otherwise (ref: avro/resolver.py resolves by id, names are advisory).
+    val partNameById: Map[Int, String] = {
+      val ps = reader.getSchema.getField("data_file").schema()
+        .getField("partition").schema()
+      val rec = if (ps.getType == AvroSchema.Type.UNION)
+        ps.getTypes.asScala.find(_.getType == AvroSchema.Type.RECORD).getOrElse(ps)
+      else ps
+      if (rec.getType != AvroSchema.Type.RECORD) Map.empty
+      else rec.getFields.asScala.flatMap { f =>
+        Option(f.getObjectProp("field-id")).collect {
+          case n: java.lang.Number => n.intValue -> f.name
+        }
+      }.toMap
+    }
     try {
       val b = Seq.newBuilder[ManifestEntry]
       while (reader.hasNext) {
@@ -233,7 +276,8 @@ object ManifestIO {
         val df = rec.get("data_file").asInstanceOf[GenericRecord]
         val part = df.get("partition").asInstanceOf[GenericRecord]
         val partValues = partTypes.map { nf =>
-          fromAvro(nf.fieldType, part.get(sanitize(nf.name)))
+          fromAvro(nf.fieldType,
+            part.get(partNameById.getOrElse(nf.id, sanitize(nf.name))))
         }
         b += ManifestEntry(
           status = rec.get("status").asInstanceOf[Int],
@@ -340,26 +384,92 @@ object ManifestIO {
     } finally writer.close()
   }
 
+  /** Count statuses/rows straight out of a manifest's entries — the repair
+    * path for foreign v1 manifest lists whose optional count fields were
+    * omitted (they're optional in the v1 list schema, manifest.py:730).
+    * Status enum: 0=EXISTING, 1=ADDED, 2=DELETED. */
+  private def deriveCounts(manifestPath: String): (Int, Int, Int, Long, Long, Long) = {
+    val r = openAvro(manifestPath, null)
+    try {
+      var af = 0; var ef = 0; var df = 0; var ar = 0L; var er = 0L; var dr = 0L
+      while (r.hasNext) {
+        val e = r.next()
+        val rc = e.get("data_file").asInstanceOf[GenericRecord]
+          .get("record_count").asInstanceOf[Long]
+        e.get("status").asInstanceOf[Int] match {
+          case 1 => af += 1; ar += rc
+          case 0 => ef += 1; er += rc
+          case _ => df += 1; dr += rc
+        }
+      }
+      (af, ef, df, ar, er, dr)
+    } finally r.close()
+  }
+
   def readManifestList(path: String): Seq[ManifestFile] = {
     val reader = openAvro(path, null)
     try {
+      // Foreign v1 lists (Java/pyiceberg ManifestListWriterV1) name the
+      // counts `added_data_files_count` etc. and omit content / sequence
+      // numbers entirely (ref: manifest.py:723 v1 vs :739 v2 schemas).
+      // Resolve fields by the spec's avro `field-id` property first (the
+      // version-independent channel — ids 500..520 are fixed), then by
+      // either known name, and NEVER let a missing field unbox to 0: the
+      // optional v1 counts are re-derived from the manifest itself.
+      val ws = reader.getSchema
+      val byId: Map[Int, String] = ws.getFields.asScala.flatMap { f =>
+        Option(f.getObjectProp("field-id")).collect {
+          case n: java.lang.Number => n.intValue -> f.name
+        }
+      }.toMap
+      def fld(r: GenericRecord, id: Int, names: String*): AnyRef =
+        byId.get(id).orElse(names.find(n => ws.getField(n) != null))
+          .map(r.get).orNull
+      def reqFld(r: GenericRecord, id: Int, names: String*): AnyRef = {
+        val v = fld(r, id, names: _*)
+        require(v != null, s"Manifest list $path is missing required field " +
+          s"id=$id (${names.mkString("/")}) — refusing to default it")
+        v
+      }
       val b = Seq.newBuilder[ManifestFile]
       while (reader.hasNext) {
         val r = reader.next()
+        val mPath = reqFld(r, 500, "manifest_path").toString
+        // validate the remaining required fields BEFORE the (potentially
+        // file-reading) count derivation, so malformed lists fail typed
+        val mLength = reqFld(r, 501, "manifest_length").asInstanceOf[Long]
+        val mSpecId = reqFld(r, 502, "partition_spec_id").asInstanceOf[Int]
+        val mSnapId = reqFld(r, 503, "added_snapshot_id").asInstanceOf[Long]
+        // v1: counts are optional — absent means unknown, not zero
+        val counts = (
+          fld(r, 504, "added_files_count", "added_data_files_count"),
+          fld(r, 505, "existing_files_count", "existing_data_files_count"),
+          fld(r, 506, "deleted_files_count", "deleted_data_files_count"),
+          fld(r, 512, "added_rows_count"),
+          fld(r, 513, "existing_rows_count"),
+          fld(r, 514, "deleted_rows_count"))
+        val (af, ef, df, ar, er, dr) = counts match {
+          case (a: Integer, e: Integer, d: Integer, a2: java.lang.Long,
+              e2: java.lang.Long, d2: java.lang.Long) =>
+            (a.intValue, e.intValue, d.intValue, a2.longValue, e2.longValue, d2.longValue)
+          case _ => deriveCounts(mPath)
+        }
         b += ManifestFile(
-          manifestPath = r.get("manifest_path").toString,
-          manifestLength = r.get("manifest_length").asInstanceOf[Long],
-          partitionSpecId = r.get("partition_spec_id").asInstanceOf[Int],
-          content = r.get("content").asInstanceOf[Int],
-          sequenceNumber = r.get("sequence_number").asInstanceOf[Long],
-          minSequenceNumber = r.get("min_sequence_number").asInstanceOf[Long],
-          addedSnapshotId = r.get("added_snapshot_id").asInstanceOf[Long],
-          addedFilesCount = r.get("added_files_count").asInstanceOf[Int],
-          existingFilesCount = r.get("existing_files_count").asInstanceOf[Int],
-          deletedFilesCount = r.get("deleted_files_count").asInstanceOf[Int],
-          addedRowsCount = r.get("added_rows_count").asInstanceOf[Long],
-          existingRowsCount = r.get("existing_rows_count").asInstanceOf[Long],
-          deletedRowsCount = r.get("deleted_rows_count").asInstanceOf[Long],
+          manifestPath = mPath,
+          manifestLength = mLength,
+          partitionSpecId = mSpecId,
+          // v1 lists predate delete manifests: absent content means data
+          content = Option(fld(r, 517, "content")).fold(0)(_.asInstanceOf[Int]),
+          // v1 has no sequence numbers; 0 matches v1 inheritance semantics
+          sequenceNumber = Option(fld(r, 515, "sequence_number")).fold(0L)(_.asInstanceOf[Long]),
+          minSequenceNumber = Option(fld(r, 516, "min_sequence_number")).fold(0L)(_.asInstanceOf[Long]),
+          addedSnapshotId = mSnapId,
+          addedFilesCount = af,
+          existingFilesCount = ef,
+          deletedFilesCount = df,
+          addedRowsCount = ar,
+          existingRowsCount = er,
+          deletedRowsCount = dr,
           partitions = Option(r.get("partitions"))
             .map(_.asInstanceOf[java.util.List[GenericRecord]].asScala.toSeq.map { s =>
               FieldSummary(

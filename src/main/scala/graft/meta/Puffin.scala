@@ -11,10 +11,11 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * payload-size(i32 LE) • flags(4B) • Magic`).
   *
   * Blobs are opaque byte ranges described by the JSON footer. We write
-  * uncompressed payloads (flags = 0) and reject compressed footers on
-  * read (zstd isn't in the dependency budget); offsets are absolute, so
-  * blob reads are a single ranged read — at 100 TB a stats consumer never
-  * streams the whole file.
+  * uncompressed payloads (flags = 0); reads accept both uncompressed and
+  * zstd-compressed blobs (zstd-jni ships with Spark) and, like the
+  * reference (puffin.py:62), reject compressed footers. Offsets are
+  * absolute, so blob reads are a single ranged read — at 100 TB a stats
+  * consumer never streams the whole file.
   */
 object Puffin {
 
@@ -35,7 +36,12 @@ object Puffin {
       sequenceNumber: Long,
       offset: Long,
       length: Long,
-      properties: Map[String, String])
+      properties: Map[String, String],
+      compressionCodec: Option[String] = None)
+
+  /** Full footer: blob directory + file-level properties
+    * (ref: puffin.py:44 Footer). */
+  final case class Footer(blobs: Seq[BlobInfo], properties: Map[String, String])
 
   final case class PuffinFile(
       path: String,
@@ -98,8 +104,14 @@ object Puffin {
   }
 
   /** Read the footer's blob directory. */
-  def readFooter(path: String): Seq[BlobInfo] = {
-    val bytes = Io.readBytes(path)
+  def readFooter(path: String): Seq[BlobInfo] = readFile(path).blobs
+
+  /** Read the full footer (blobs + file properties) from a path. */
+  def readFile(path: String): Footer = parseFooter(Io.readBytes(path), path)
+
+  /** Parse a complete in-memory puffin file's footer
+    * (ref: puffin.py:55 PuffinFile.__init__). */
+  def parseFooter(bytes: Array[Byte], path: String = "<bytes>"): Footer = {
     require(bytes.length >= 20 && bytes.startsWith(Magic), s"Not a puffin file: $path")
     require(bytes.slice(bytes.length - 4, bytes.length).sameElements(Magic),
       s"Corrupt puffin trailer: $path")
@@ -129,12 +141,33 @@ object Puffin {
       }.getOrElse(Map.empty[String, String])
       b += BlobInfo(n.get("type").asText(), fields,
         n.get("snapshot-id").asLong(), n.get("sequence-number").asLong(),
-        n.get("offset").asLong(), n.get("length").asLong(), props)
+        n.get("offset").asLong(), n.get("length").asLong(), props,
+        Option(n.get("compression-codec")).filterNot(_.isNull).map(_.asText()))
     }
-    b.result()
+    val fileProps = Option(node.get("properties")).map { p =>
+      val pb = Map.newBuilder[String, String]
+      val pit = p.properties().iterator()
+      while (pit.hasNext) { val e = pit.next(); pb += e.getKey -> e.getValue.asText() }
+      pb.result()
+    }.getOrElse(Map.empty[String, String])
+    Footer(b.result(), fileProps)
   }
 
-  /** Ranged read of one blob's bytes. */
+  /** Decompress a blob payload per its declared codec
+    * (ref: puffin.py:72 get_blob_payload — None and zstd only). */
+  def decodePayload(raw: Array[Byte], info: BlobInfo): Array[Byte] =
+    info.compressionCodec match {
+      case None => raw
+      case Some("zstd") =>
+        // zstd-jni ships with Spark; frame header carries the content size
+        val size = com.github.luben.zstd.Zstd.getFrameContentSize(raw)
+        require(size >= 0 && size <= Int.MaxValue, s"Bad zstd frame size: $size")
+        com.github.luben.zstd.Zstd.decompress(raw, size.toInt)
+      case Some(other) =>
+        throw new IllegalArgumentException(s"Unsupported puffin compression codec: $other")
+    }
+
+  /** Ranged read of one blob's bytes (decompressed). */
   def readBlob(path: String, info: BlobInfo): Array[Byte] =
-    Io.readRange(path, info.offset, info.length)
+    decodePayload(Io.readRange(path, info.offset, info.length), info)
 }

@@ -70,6 +70,11 @@ class CatalogFactorySpec extends AnyFunSuite with BeforeAndAfterAll {
     val parsed = CatalogFactory.envCatalogConfig("p",
       Map("GRAFT_CATALOG__P__SCAN_PLANNING_MODE" -> "server"))
     assert(parsed === Map("scan-planning-mode" -> "server"))
+    // nested double underscores map to '.' (ref config.py:130): an env-set
+    // s3 credential must land under its component prefix, not be mangled
+    val nested = CatalogFactory.envCatalogConfig("p",
+      Map("GRAFT_CATALOG__P__S3__ACCESS_KEY_ID" -> "k"))
+    assert(nested === Map("s3.access-key-id" -> "k"))
   }
 
   test("a rest catalog loads end-to-end through the factory") {

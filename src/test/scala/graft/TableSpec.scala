@@ -644,13 +644,18 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("manifest merge respects target-size bins, not all-into-one") {
     val t = catalog.createTable("t_merge_bins", Schema.fromSpark(orders.schema))
-    // tiny target: each append writes a ~2.6 KB manifest, so a 6 KB bin
-    // holds about two — many small manifests must merge to SEVERAL
-    // binned manifests, never one unbounded file (planning bottleneck)
+    // Self-calibrating target: append multi-file commits so manifest size
+    // is entry-dominated (the avro header alone is ~3.5 KB), measure one
+    // manifest, and bin at ~2.2x that — many small manifests must merge
+    // to SEVERAL binned manifests, never one unbounded file (planning
+    // bottleneck at scale).
+    def slice(i: Int) = orders.filter(col("o_orderkey") % 8 === i).repartition(12)
+    t.append(slice(0))
+    val one = t.inspect.manifests().agg(max(col("length"))).head.getLong(0)
     t.setProperties("commit.manifest-merge.enabled" -> "true",
       "commit.manifest.min-count-to-merge" -> "2",
-      "commit.manifest.target-size-bytes" -> "6000")
-    (0 until 8).foreach(i => t.append(orders.filter(col("o_orderkey") % 8 === i)))
+      "commit.manifest.target-size-bytes" -> (one * 22 / 10).toString)
+    (1 until 8).foreach(i => t.append(slice(i)))
     val count = t.inspect.manifests().count()
     assert(count > 1, s"expected multiple binned manifests, got $count")
     assert(count < 8, s"expected merging to reduce manifest count, got $count")
