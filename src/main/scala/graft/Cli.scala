@@ -45,6 +45,8 @@ object Cli {
 
   def main(argv: Array[String]): Unit = {
     val a = parse(argv.toList, Args())
+    // `version` needs no catalog at all (ref cli/console.py:238)
+    if (a.cmd == Seq("version")) { println(BuildVersion); return }
     // --warehouse is optional for a REST uri (the service's config
     // handshake supplies it)
     val isRest = a.uri.exists(u => u.startsWith("http://") || u.startsWith("https://"))
@@ -145,6 +147,21 @@ object Cli {
         cat.loadTable(t).setProperties(k -> v)
       case "properties-remove" :: t :: k :: Nil =>
         cat.loadTable(t).removeProperties(k)
+      // namespace properties (ref cli/console.py:323 properties get
+      // namespace / :378 set / :413 remove)
+      case "properties-get-ns" :: ns :: Nil =>
+        out(cat.loadNamespaceProperties(ns).toSeq.sortBy(_._1))
+      case "properties-get-ns" :: ns :: k :: Nil =>
+        cat.loadNamespaceProperties(ns).get(k) match {
+          case Some(v) => println(v)
+          case None => throw new IllegalArgumentException(s"no property $k")
+        }
+      case "properties-set-ns" :: ns :: k :: v :: Nil =>
+        cat.updateNamespaceProperties(ns, Map(k -> v))
+      case "properties-remove-ns" :: ns :: k :: Nil =>
+        cat.updateNamespaceProperties(ns, Map.empty, Set(k))
+      // ref cli/console.py:238 version
+      case "version" :: Nil => println(BuildVersion)
       case other =>
         throw new IllegalArgumentException(s"unknown command: ${other.mkString(" ")}\n$usage")
     }
@@ -162,5 +179,10 @@ object Cli {
       |commands: list [ns] | describe T | schema T | spec T | uuid T | location T
       |          files T | list-refs T | snapshots T | create-namespace NS
       |          drop-namespace NS | drop-table T | rename-table FROM TO
-      |          properties-get T [K] | properties-set T K V | properties-remove T K""".stripMargin
+      |          properties-get T [K] | properties-set T K V | properties-remove T K
+      |          properties-get-ns NS [K] | properties-set-ns NS K V
+      |          properties-remove-ns NS K | version""".stripMargin
+
+  /** Engine version, printed by `version` (ref cli/console.py:238). */
+  private[graft] val BuildVersion = "0.1.0"
 }

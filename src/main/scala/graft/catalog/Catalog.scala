@@ -74,6 +74,34 @@ trait Catalog {
   def listNamespaces(): Seq[String]
   def listTables(ns: String = ""): Seq[String]
 
+  /** Namespace properties (ref: catalog/__init__.py:614
+    * load_namespace_properties / update_namespace_properties). Default:
+    * a properties file in the namespace directory under the warehouse —
+    * works for every filesystem-rooted catalog; REST overrides with the
+    * protocol's endpoints. */
+  def loadNamespaceProperties(ns: String): Map[String, String] = {
+    val path = s"$warehouse/${ns.replace('.', '/')}/.namespace.properties"
+    if (!Io.exists(path)) Map.empty
+    else {
+      val p = new java.util.Properties()
+      p.load(new java.io.ByteArrayInputStream(Io.readBytes(path)))
+      import scala.jdk.CollectionConverters._
+      p.stringPropertyNames().asScala.map(k => k -> p.getProperty(k)).toMap
+    }
+  }
+
+  def updateNamespaceProperties(ns: String, updates: Map[String, String],
+      removals: Set[String] = Set.empty): Unit = {
+    require(listNamespaces().contains(ns), s"Namespace $ns does not exist")
+    val merged = (loadNamespaceProperties(ns) -- removals) ++ updates
+    val p = new java.util.Properties()
+    merged.foreach { case (k, v) => p.setProperty(k, v) }
+    val out = new java.io.ByteArrayOutputStream()
+    p.store(out, null)
+    Io.writeBytes(s"$warehouse/${ns.replace('.', '/')}/.namespace.properties",
+      out.toByteArray)
+  }
+
   /** Adopt an existing table by its metadata file WITHOUT rewriting data
     * (ref: register_table :498). The table keeps its original location. */
   def registerTable(name: String, metadataPath: String): IceTable = {

@@ -410,13 +410,16 @@ class RestCatalog(
     }
   }
 
-  /** Namespace properties (REST-only surface; ref load_namespace_metadata
-    * + update_namespace_properties). */
+  /** Namespace properties over the protocol's endpoints (ref
+    * load_namespace_metadata + update_namespace_properties). */
   def namespaceProperties(ns: String): Map[String, String] =
     strMap(request("GET", s"namespaces/${nsSeg(ns)}").get("properties"))
 
-  def updateNamespaceProperties(ns: String, updates: Map[String, String],
-      removals: Seq[String] = Nil): Unit = {
+  override def loadNamespaceProperties(ns: String): Map[String, String] =
+    namespaceProperties(ns)
+
+  override def updateNamespaceProperties(ns: String, updates: Map[String, String],
+      removals: Set[String] = Set.empty): Unit = {
     val body = mapper.createObjectNode()
     val rm = body.putArray("removals"); removals.foreach(rm.add)
     val up = body.putObject("updates"); updates.foreach { case (k, v) => up.put(k, v) }

@@ -158,6 +158,15 @@ object MetadataJson {
         case "binary" => IBinary
         case dec(p, sc) => IDecimal(p.toInt, sc.toInt)
         case fix(l) => IFixed(l.toInt)
+        // v3 tail types (types.py:860-:1031): recognized, deliberately out
+        // of the supported slice — fail typed so a v3 table with these
+        // columns reports WHAT is unsupported instead of "unknown type"
+        case "timestamp_ns" | "timestamptz_ns" | "unknown" | "variant" =>
+          throw new UnsupportedOperationException(
+            s"Iceberg v3 type '$s' is not supported by this engine")
+        case g if g.startsWith("geometry") || g.startsWith("geography") =>
+          throw new UnsupportedOperationException(
+            s"Iceberg v3 type '$s' is not supported by this engine")
         case other => throw new IllegalArgumentException(s"Unknown type: $other")
       }
     } else n.get("type").asText() match {

@@ -414,9 +414,19 @@ class IceTable(
       pf.transform.column(col(src.name), src.fieldType).as(pf.name)
     }
     // distinct touched partition tuples — a small driver-side set by design
-    // (#partitions << #rows); the data itself never leaves executors
-    val touched: Set[Seq[Any]] = aligned.select(partCols: _*).distinct().collect()
-      .map(r => normalizeTuple(r.toSeq)).toSet
+    // (#partitions << #rows); the data itself never leaves executors. The
+    // collect is BOUNDED: limit(max+1) caps driver transfer in the same
+    // job, and crossing the bound fails typed instead of exhausting the
+    // driver heap on a pathological 10^7-partition overwrite.
+    val maxTouched = metadata.properties
+      .get("write.dynamic-overwrite.max-touched-partitions")
+      .flatMap(_.toIntOption).getOrElse(100000)
+    val touchedRows = aligned.select(partCols: _*).distinct()
+      .limit(maxTouched + 1).collect()
+    require(touchedRows.length <= maxTouched,
+      s"Dynamic overwrite touches more than $maxTouched partitions; " +
+        "narrow the write or raise write.dynamic-overwrite.max-touched-partitions")
+    val touched: Set[Seq[Any]] = touchedRows.map(r => normalizeTuple(r.toSeq)).toSet
     val removed = branchScan(branch).map(_.planFiles()).getOrElse(Nil)
       .filter(t => touched.contains(normalizeTuple(t.file.partition)))
       .map(_.file.filePath).toSet
@@ -1055,7 +1065,12 @@ class IceTable(
     ManifestIO.writeManifestList(listPath, merged)
     val now = System.currentTimeMillis()
     val dataOnly = merged.filter(_.content == 0)
-    val summary = Map(
+    // a manifest rewrite changes no data/delete files: byte and delete
+    // totals carry over from the replaced head verbatim
+    val carried = base.currentSnapshot.map(_.summary).getOrElse(Map.empty)
+      .view.filterKeys(Set("total-files-size", "total-delete-files",
+        "total-position-deletes", "total-equality-deletes")).toMap
+    val summary = carried ++ Map(
       "operation" -> "replace",
       "manifests-replaced" -> rewritten.toString,
       "manifests-kept" -> (rebinned.size - created).toString,
@@ -1247,6 +1262,12 @@ class IceTable(
     }
 
     var removedCount = 0L
+    // byte/row drops feeding the incremental summary totals
+    // (ref: snapshots.py:89 UpdateMetrics.remove_file)
+    var removedSize = 0L
+    var removedDeleteFiles = 0L
+    var removedPosDeletes = 0L
+    var removedEqDeletes = 0L
     val kept: Seq[ManifestFile] = existing.flatMap { mf =>
       val sp = base.specById(mf.partitionSpecId)
       val sch = base.schema
@@ -1257,6 +1278,16 @@ class IceTable(
         val (dead, alive) = entries.partition(e => removedPaths.contains(e.dataFile.filePath))
         if (dead.isEmpty) Some(mf)
         else {
+          removedSize += dead.map(_.dataFile.fileSizeInBytes).sum
+          dead.foreach { e =>
+            e.dataFile.content match {
+              case FileContent.PositionDeletes =>
+                removedDeleteFiles += 1; removedPosDeletes += e.dataFile.recordCount
+              case FileContent.EqualityDeletes =>
+                removedDeleteFiles += 1; removedEqDeletes += e.dataFile.recordCount
+              case _ => ()
+            }
+          }
           // count only data rows — dead DELETE files' record counts are
           // delete entries, not table rows
           if (mf.content == 0) removedCount += dead.map(_.dataFile.recordCount).sum
@@ -1345,6 +1376,19 @@ class IceTable(
     val addedRecords = added.filter(_.content == FileContent.Data).map(_.recordCount).sum
     val totalRecords = merged
       .filter(_.content == 0).map(m => m.addedRowsCount + m.existingRowsCount).sum
+    // Incremental totals, reference-style (snapshots.py:113
+    // update_snapshot_summaries): previous head's totals + added - removed.
+    // Byte sizes aren't recoverable from manifest-list arithmetic, so they
+    // MUST accumulate — recomputing would mean reading every manifest.
+    val prevSummary: Map[String, String] =
+      parentId.flatMap(base.snapshotById).map(_.summary).getOrElse(Map.empty)
+    def prevTotal(k: String): Long =
+      prevSummary.get(k).flatMap(_.toLongOption).getOrElse(0L)
+    val addedSize = added.map(_.fileSizeInBytes).sum
+    val addedPosDeletes = added.filter(_.content == FileContent.PositionDeletes)
+      .map(_.recordCount).sum
+    val addedEqDeletes = added.filter(_.content == FileContent.EqualityDeletes)
+      .map(_.recordCount).sum
     // extraSummary last: caller-supplied keys (user snapshot properties,
     // ref append(..., snapshot_properties) table/__init__.py:1535; the
     // streaming sink's epoch markers) win over the derived metrics
@@ -1353,9 +1397,20 @@ class IceTable(
       "added-data-files" -> added.count(_.content == FileContent.Data).toString,
       "added-delete-files" -> added.count(_.content != FileContent.Data).toString,
       "added-records" -> addedRecords.toString,
+      "added-files-size" -> addedSize.toString,
       "removed-files" -> removedPaths.size.toString,
+      "removed-files-size" -> removedSize.toString,
+      "removed-delete-files" -> removedDeleteFiles.toString,
       "deleted-records" -> removedCount.toString,
       "total-records" -> totalRecords.toString,
+      "total-files-size" -> (prevTotal("total-files-size") + addedSize - removedSize).toString,
+      "total-delete-files" ->
+        (prevTotal("total-delete-files") +
+          added.count(_.content != FileContent.Data) - removedDeleteFiles).toString,
+      "total-position-deletes" ->
+        (prevTotal("total-position-deletes") + addedPosDeletes - removedPosDeletes).toString,
+      "total-equality-deletes" ->
+        (prevTotal("total-equality-deletes") + addedEqDeletes - removedEqDeletes).toString,
       "total-data-files" ->
         merged.filter(_.content == 0)
           .map(m => m.addedFilesCount + m.existingFilesCount).sum.toString) ++ extraSummary

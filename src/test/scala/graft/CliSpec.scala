@@ -66,4 +66,19 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     cli(json = false, "drop-table", "db.p2")
     assert(!catalog.tableExists("db.p2"))
   }
+
+  test("namespace properties set/get/remove and version") {
+    catalog.createNamespace("nsp")
+    cli(json = false, "properties-set-ns", "nsp", "owner", "data-eng")
+    cli(json = false, "properties-set-ns", "nsp", "retention", "30d")
+    assert(cli(json = false, "properties-get-ns", "nsp", "owner").trim === "data-eng")
+    val all = cli(json = false, "properties-get-ns", "nsp")
+    assert(all.contains("owner") && all.contains("retention"))
+    cli(json = false, "properties-remove-ns", "nsp", "owner")
+    assert(!cli(json = false, "properties-get-ns", "nsp").contains("owner"))
+    assert(cli(json = false, "properties-get-ns", "nsp", "retention").trim === "30d")
+    intercept[IllegalArgumentException](
+      cli(json = false, "properties-get-ns", "nsp", "owner"))
+    assert(cli(json = false, "version").trim.nonEmpty)
+  }
 }

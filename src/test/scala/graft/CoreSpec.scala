@@ -315,4 +315,21 @@ class MetricsSpec extends AnyFunSuite {
     // conjunction folds per-source
     assert(res("ts >= '2024-01-02' and id = 34", Seq(19725, null, (bkt34 + 1) % 8)) === BFalse)
   }
+
+  test("v3 tail types are rejected with a typed unsupported-type error") {
+    // types.py:860 TimestampNanoType / :879 TimestamptzNanoType /
+    // :946 UnknownType / geometry / geography — declared out of the
+    // supported slice; metadata naming them must fail saying WHICH type
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    Seq("timestamp_ns", "timestamptz_ns", "unknown", "variant",
+        "geometry(srid:4326)", "geography").foreach { t =>
+      val e = intercept[UnsupportedOperationException](
+        graft.meta.MetadataJson.typeFromJson(mapper.getNodeFactory.textNode(t)))
+      assert(e.getMessage.contains(t.takeWhile(_ != '(')), s"error names the type: $t")
+      assert(e.getMessage.contains("not supported"))
+    }
+    // genuinely unknown strings stay IllegalArgumentException
+    intercept[IllegalArgumentException](
+      graft.meta.MetadataJson.typeFromJson(mapper.getNodeFactory.textNode("gibberish")))
+  }
 }

@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.HadoopCatalog
+import graft.core._
+import graft.meta._
+
+/** Planning latency at metadata scale (ref: the reference's own planning
+  * benchmark, tests/benchmark/test_partition_evaluator_benchmark.py:38).
+  *
+  * Synthesizes a table with 100,000 data files across 10,000 daily
+  * partitions in 200 manifests — metadata only, no parquet — and gates
+  * `planFiles()` wall time. This is the size the distributed planning
+  * threshold (>64 manifests → Spark-job pruning with stats stripped
+  * before the driver collect) exists for; a regression that serializes
+  * manifest reads on the driver or ships column stats back fails the
+  * wall-time bound long before it fails correctness.
+  */
+class PlanScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val warehouse: String = Files.createTempDirectory("graft-planscale").toString
+  lazy val catalog = new HadoopCatalog(warehouse, spark)
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val Manifests = 200
+  private val DaysPerManifest = 50 // 10k partitions total
+  private val FilesPerDay = 10 // 100k files total
+  private val Day0 = 10000 // epoch-day origin of the synthetic range
+
+  test("planFiles at 100k files / 10k partitions: pruned plan is manifest-bounded") {
+    val schema = Schema(Seq(
+      NestedField(1, "id", ILong, required = true),
+      NestedField(2, "d", IDate, required = true)), 0)
+    val spec = PartitionSpec.build(schema, 0, ("d", IdentityTransform, "d"))
+    val t = catalog.createTable("planscale", schema, spec)
+    val metaDir = s"${t.metadata.location}/metadata"
+
+    // 200 manifests x 50 days x 10 files — written directly (the point is
+    // planning cost, not write cost)
+    val manifests: Seq[ManifestFile] = (0 until Manifests).map { m =>
+      val d0 = Day0 + m * DaysPerManifest
+      val entries = for {
+        day <- d0 until d0 + DaysPerManifest
+        f <- 0 until FilesPerDay
+      } yield ManifestEntry(status = 1, snapshotId = 1L,
+        dataSequenceNumber = 1L, fileSequenceNumber = 1L,
+        dataFile = DataFile(content = 0,
+          filePath = s"$warehouse/planscale/data/d=$day/f-$f.parquet",
+          fileFormat = "PARQUET", partition = Seq(day),
+          recordCount = 1000L, fileSizeInBytes = 1000000L))
+      val path = s"$metaDir/m-scale-$m.avro"
+      val len = ManifestIO.writeManifest(path, entries, spec, schema)
+      ManifestFile(path, len, spec.specId, content = 0,
+        sequenceNumber = 1L, minSequenceNumber = 1L, addedSnapshotId = 1L,
+        addedFilesCount = entries.size, existingFilesCount = 0, deletedFilesCount = 0,
+        addedRowsCount = entries.size * 1000L, existingRowsCount = 0L, deletedRowsCount = 0L,
+        partitions = Seq(FieldSummary(containsNull = false, Some(false),
+          Some(Conversions.toBytes(IDate, d0)),
+          Some(Conversions.toBytes(IDate, d0 + DaysPerManifest - 1)))))
+    }
+    val listPath = s"$metaDir/snap-1-scale.avro"
+    ManifestIO.writeManifestList(listPath, manifests)
+    val now = System.currentTimeMillis()
+    val snap = Snapshot(1L, None, 1L, now, listPath,
+      Map("operation" -> "append"), t.metadata.currentSchemaId)
+    catalog.commit("planscale", 1, t.metadata.copy(
+      lastSequenceNumber = 1L, lastUpdatedMs = now,
+      currentSnapshotId = Some(1L), snapshots = Seq(snap),
+      refs = Map("main" -> SnapshotRef(1L, "branch"))))
+
+    val table = catalog.loadTable("planscale")
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // one-partition filter: manifest-list summaries prune 199/200
+    // manifests BEFORE any manifest is opened; wall time must reflect
+    // that (one manifest read, 10 surviving tasks)
+    val day = Day0 + 137 * DaysPerManifest + 7
+    val date = java.time.LocalDate.ofEpochDay(day).toString
+    val (pruned, prunedSec) = timed(table.scan(s"d = '$date'").planFiles())
+    assert(pruned.size === FilesPerDay)
+    assert(prunedSec < 10.0,
+      f"pruned plan took $prunedSec%.1fs — manifest-list pruning regressed")
+
+    // full plan: all 200 manifests, 100k tasks — must stay distributed
+    // and stats-stripped (driver result ∝ file count)
+    val (all, fullSec) = timed(table.scan.planFiles())
+    assert(all.size === Manifests * DaysPerManifest * FilesPerDay)
+    assert(fullSec < 60.0,
+      f"full plan took $fullSec%.1fs at 100k files — planning path regressed")
+
+    // range filter across 10 manifests: intermediate selectivity
+    val d1 = java.time.LocalDate.ofEpochDay(Day0 + 10 * DaysPerManifest).toString
+    val d2 = java.time.LocalDate.ofEpochDay(Day0 + 20 * DaysPerManifest - 1).toString
+    val (range, rangeSec) = timed(
+      table.scan(s"d >= '$d1' and d <= '$d2'").planFiles())
+    assert(range.size === 10 * DaysPerManifest * FilesPerDay)
+    assert(rangeSec < 30.0, f"range plan took $rangeSec%.1fs")
+
+    info(f"planFiles: pruned=$prunedSec%.2fs full=$fullSec%.2fs range=$rangeSec%.2fs")
+  }
+}

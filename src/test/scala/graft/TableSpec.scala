@@ -179,6 +179,23 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(result.filter(col("o_orderpriority") =!= "1-URGENT" && col("o_totalprice") === 0.0).count() === 0)
   }
 
+  test("dynamic overwrite fails typed past the touched-partition bound") {
+    val schema = Schema.fromSpark(orders.schema)
+    val spec = PartitionSpec.build(schema, 0, ("o_custkey", IdentityTransform, "ck"))
+    val t = catalog.createTable("t_dpo_bound", schema, spec)
+    t.setProperties("write.dynamic-overwrite.max-touched-partitions" -> "10")
+    val reloaded = catalog.loadTable("t_dpo_bound")
+    // orders touches hundreds of distinct custkeys >> 10: must refuse
+    // instead of collecting every tuple to the driver
+    val e = intercept[IllegalArgumentException](
+      reloaded.dynamicPartitionOverwrite(orders))
+    assert(e.getMessage.contains("more than 10 partitions"))
+    // within the bound it proceeds
+    reloaded.dynamicPartitionOverwrite(orders.filter(col("o_custkey") <= 5))
+    assert(reloaded.scan.toDF.count() ===
+      orders.filter(col("o_custkey") <= 5).count())
+  }
+
   test("position deletes apply on read (merge-on-read)") {
     val t = catalog.createTable("t_mor", Schema.fromSpark(orders.schema))
     t.append(orders)
