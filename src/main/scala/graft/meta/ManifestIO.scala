@@ -153,14 +153,31 @@ object ManifestIO {
 
   // ---- write manifest ----
 
+  /** `write.avro.compression-codec` values → avro codec factories (ref:
+    * TableProperties.WRITE_AVRO_COMPRESSION, table/__init__.py:160 —
+    * default gzip). Reads auto-detect from the file header, so any
+    * foreign codec on the classpath just works. */
+  private[meta] def codecFor(name: String): org.apache.avro.file.CodecFactory =
+    name match {
+      case "gzip" | "deflate" => org.apache.avro.file.CodecFactory.deflateCodec(6)
+      case "zstd" | "zstandard" => org.apache.avro.file.CodecFactory.zstandardCodec(3)
+      case "snappy" => org.apache.avro.file.CodecFactory.snappyCodec()
+      case "uncompressed" | "null" | "none" => org.apache.avro.file.CodecFactory.nullCodec()
+      case other => throw new IllegalArgumentException(
+        s"Unsupported avro compression codec: $other")
+    }
+
+  val DefaultAvroCodec = "gzip"
+
   def writeManifest(path: String, entries: Seq[ManifestEntry], spec: PartitionSpec,
-      schema: Schema): Long = {
+      schema: Schema, codec: String = DefaultAvroCodec): Long = {
     val avro = entrySchema(spec, schema)
     val dfSchema = avro.getField("data_file").schema()
     val partSchema = dfSchema.getField("partition").schema()
     val partTypes = spec.partitionType(schema)
 
     val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avro))
+    writer.setCodec(codecFor(codec))
     writer.create(avro, Io.create(path))
     try {
       entries.foreach { e =>
@@ -249,8 +266,20 @@ object ManifestIO {
         if (confOverride != null) confOverride else Io.confFor(path)),
       new GenericDatumReader[GenericRecord]())
 
+  /** Convenience overload applying sequence/snapshot inheritance from the
+    * owning manifest-list row (ref: manifest.py:1006
+    * _inherit_from_manifest — a foreign v2 writer leaves ADDED entries'
+    * sequence numbers null, to be inherited at read time). */
+  def readManifest(mf: ManifestFile, spec: PartitionSpec, schema: Schema,
+      confOverride: org.apache.hadoop.conf.Configuration): Seq[ManifestEntry] =
+    readManifest(mf.manifestPath, spec, schema, confOverride,
+      inheritSnapshotId = Some(mf.addedSnapshotId),
+      inheritSequenceNumber = Some(mf.sequenceNumber))
+
   def readManifest(path: String, spec: PartitionSpec, schema: Schema,
-      confOverride: org.apache.hadoop.conf.Configuration = null): Seq[ManifestEntry] = {
+      confOverride: org.apache.hadoop.conf.Configuration = null,
+      inheritSnapshotId: Option[Long] = None,
+      inheritSequenceNumber: Option[Long] = None): Seq[ManifestEntry] = {
     val reader = openAvro(path, confOverride)
     val partTypes = spec.partitionType(schema)
     // Foreign writers may sanitize partition-struct names differently —
@@ -279,29 +308,45 @@ object ManifestIO {
           fromAvro(nf.fieldType,
             part.get(partNameById.getOrElse(nf.id, sanitize(nf.name))))
         }
+        // v1 manifests (MANIFEST_ENTRY_SCHEMAS[1]/DATA_FILE_TYPE[1],
+        // manifest.py:566/:224) have NO sequence-number, content, or
+        // equality-ids slots at all — GenericData.Record.get(name) THROWS
+        // for unknown fields, so every version-dependent field goes
+        // through the absent-tolerant fieldOpt
+        val status = rec.get("status").asInstanceOf[Int]
+        // inheritance (ref _inherit_from_manifest): a null sequence number
+        // takes the manifest's own when the entry is ADDED (or the whole
+        // manifest predates sequence numbers, seq 0)
+        def inheritSeq(raw: Option[Long]): Long = raw.getOrElse {
+          inheritSequenceNumber.filter(s => s == 0L || status == 1).getOrElse(0L)
+        }
         b += ManifestEntry(
-          status = rec.get("status").asInstanceOf[Int],
-          snapshotId = longOr(rec.get("snapshot_id"), 0L),
-          dataSequenceNumber = longOr(rec.get("sequence_number"), 0L),
-          fileSequenceNumber = longOr(rec.get("file_sequence_number"), 0L),
+          status = status,
+          snapshotId = fieldOpt(rec, "snapshot_id").map(_.asInstanceOf[Long])
+            .orElse(inheritSnapshotId).getOrElse(0L),
+          dataSequenceNumber = inheritSeq(
+            fieldOpt(rec, "sequence_number").map(_.asInstanceOf[Long])),
+          fileSequenceNumber = inheritSeq(
+            fieldOpt(rec, "file_sequence_number").map(_.asInstanceOf[Long])),
           dataFile = DataFile(
-            content = df.get("content").asInstanceOf[Int],
+            // v1 predates delete files: no content slot means data
+            content = fieldOpt(df, "content").map(_.asInstanceOf[Int]).getOrElse(0),
             filePath = df.get("file_path").toString,
             fileFormat = df.get("file_format").toString,
             partition = partValues,
             recordCount = df.get("record_count").asInstanceOf[Long],
             fileSizeInBytes = df.get("file_size_in_bytes").asInstanceOf[Long],
-            valueCounts = kvMap(df.get("value_counts")),
-            nullValueCounts = kvMap(df.get("null_value_counts")),
-            nanValueCounts = kvMap(df.get("nan_value_counts")),
-            lowerBounds = boundMap(df.get("lower_bounds"), schema),
-            upperBounds = boundMap(df.get("upper_bounds"), schema),
-            columnSizes = kvMap(df.get("column_sizes")),
-            splitOffsets = Option(df.get("split_offsets"))
+            valueCounts = kvMap(fieldOpt(df, "value_counts").orNull),
+            nullValueCounts = kvMap(fieldOpt(df, "null_value_counts").orNull),
+            nanValueCounts = kvMap(fieldOpt(df, "nan_value_counts").orNull),
+            lowerBounds = boundMap(fieldOpt(df, "lower_bounds").orNull, schema),
+            upperBounds = boundMap(fieldOpt(df, "upper_bounds").orNull, schema),
+            columnSizes = kvMap(fieldOpt(df, "column_sizes").orNull),
+            splitOffsets = fieldOpt(df, "split_offsets")
               .map(_.asInstanceOf[java.util.List[Long]].asScala.toSeq).getOrElse(Nil),
-            sortOrderId = Option(df.get("sort_order_id")).map(_.asInstanceOf[Int]),
+            sortOrderId = fieldOpt(df, "sort_order_id").map(_.asInstanceOf[Int]),
             specId = spec.specId,
-            equalityIds = Option(df.get("equality_ids"))
+            equalityIds = fieldOpt(df, "equality_ids")
               .map(_.asInstanceOf[java.util.List[Int]].asScala.toSeq).getOrElse(Nil),
             referencedDataFile = fieldOpt(df, "referenced_data_file").map(_.toString),
             contentOffset = fieldOpt(df, "content_offset").map(_.asInstanceOf[Long]),
@@ -349,9 +394,11 @@ object ManifestIO {
 
   // ---- manifest list ----
 
-  def writeManifestList(path: String, manifests: Seq[ManifestFile]): Unit = {
+  def writeManifestList(path: String, manifests: Seq[ManifestFile],
+      codec: String = DefaultAvroCodec): Unit = {
     val writer = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](manifestFileSchema))
+    writer.setCodec(codecFor(codec))
     writer.create(manifestFileSchema, Io.create(path))
     try {
       manifests.foreach { m =>

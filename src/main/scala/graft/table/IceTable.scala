@@ -1053,7 +1053,7 @@ class IceTable(
             val perManifest = math.max(1, (targetSize / estPerEntry).toInt)
             entries.grouped(perManifest).toSeq.map { chunk =>
               val path = s"$metaDir/m-${UUID.randomUUID()}.avro"
-              val len = ManifestIO.writeManifest(path, chunk, sp, base.schema)
+              val len = ManifestIO.writeManifest(path, chunk, sp, base.schema, avroCodec)
               created += 1
               manifestFileFor(path, len, sp, base.schema, chunk, snapId, seq, 0)
             }
@@ -1062,7 +1062,7 @@ class IceTable(
     if (rewritten == 0) return (0, 0)
     val merged = rebinned ++ deleteMs
     val listPath = s"$metaDir/snap-$snapId-${UUID.randomUUID()}.avro"
-    ManifestIO.writeManifestList(listPath, merged)
+    ManifestIO.writeManifestList(listPath, merged, avroCodec)
     val now = System.currentTimeMillis()
     val dataOnly = merged.filter(_.content == 0)
     // a manifest rewrite changes no data/delete files: byte and delete
@@ -1295,7 +1295,7 @@ class IceTable(
           else {
             val path = s"$metaDir/m-${UUID.randomUUID()}.avro"
             val rewritten = alive.map(_.copy(status = EntryStatus.Existing))
-            val len = ManifestIO.writeManifest(path, rewritten, sp, sch)
+            val len = ManifestIO.writeManifest(path, rewritten, sp, sch, avroCodec)
             Some(manifestFileFor(path, len, sp, sch, rewritten, snapId, seq, mf.content))
           }
         }
@@ -1317,7 +1317,7 @@ class IceTable(
         val sp = if (content == FileContent.Data) base.spec else unpartSpec
         val entries = files.map(f => ManifestEntry(EntryStatus.Added, snapId, seq, seq, f))
         val path = s"$metaDir/m-${UUID.randomUUID()}.avro"
-        val len = ManifestIO.writeManifest(path, entries, sp, base.schema)
+        val len = ManifestIO.writeManifest(path, entries, sp, base.schema, avroCodec)
         manifestFileFor(path, len, sp, base.schema, entries, snapId, seq,
           if (content == FileContent.Data) 0 else 1)
     }
@@ -1363,7 +1363,7 @@ class IceTable(
                       e.copy(status = EntryStatus.Existing) else e)
                 }
                 val path = s"$metaDir/m-${UUID.randomUUID()}.avro"
-                val len = ManifestIO.writeManifest(path, entries, sp, base.schema)
+                val len = ManifestIO.writeManifest(path, entries, sp, base.schema, avroCodec)
                 Seq(manifestFileFor(path, len, sp, base.schema, entries, snapId, seq, 0))
             }
           }
@@ -1371,7 +1371,7 @@ class IceTable(
       } else allManifests
 
     val listPath = s"$metaDir/snap-$snapId-${UUID.randomUUID()}.avro"
-    ManifestIO.writeManifestList(listPath, merged)
+    ManifestIO.writeManifestList(listPath, merged, avroCodec)
 
     val addedRecords = added.filter(_.content == FileContent.Data).map(_.recordCount).sum
     val totalRecords = merged
@@ -1478,6 +1478,12 @@ class IceTable(
     * loser refreshes and re-derives its change before retrying). */
   private[graft] def commitNumRetries: Int =
     metadata.properties.get("commit.retry.num-retries").map(_.toInt).getOrElse(4)
+
+  /** Manifest/list avro codec (ref: TableProperties.WRITE_AVRO_COMPRESSION
+    * table/__init__.py:160, default gzip). */
+  private[graft] def avroCodec: String =
+    metadata.properties.getOrElse("write.avro.compression-codec",
+      ManifestIO.DefaultAvroCodec)
 
   // ---- metadata-only commits ----------------------------------------------
 

@@ -150,7 +150,7 @@ final class IceScan(
     final case class DeleteRef(specId: Int, partition: Seq[Any], seq: Long, file: DataFile)
     val deleteRefs: Seq[DeleteRef] = deleteManifests.flatMap { mf =>
       val spec = metadata.specById(mf.partitionSpecId)
-      ManifestIO.readManifest(mf.manifestPath, spec, schema)
+      ManifestIO.readManifest(mf, spec, schema, null)
         .filter(_.status != EntryStatus.Deleted)
         .map(e => DeleteRef(mf.partitionSpecId, e.dataFile.partition, e.dataSequenceNumber, e.dataFile))
     }
@@ -201,7 +201,7 @@ final class IceScan(
       mf => {
         val spec = specsById(mf.partitionSpecId)
         val proj = projBySpecId(mf.partitionSpecId)
-        ManifestIO.readManifest(mf.manifestPath, spec, schemaLocal,
+        ManifestIO.readManifest(mf, spec, schemaLocal,
             Io.confFrom(ioEntries))
           .filter(_.status != EntryStatus.Deleted)
           .filter { e =>

@@ -238,6 +238,195 @@ class InteropSpec extends AnyFunSuite {
     assert(m.addedRowsCount === 12L)
   }
 
+  // ---- foreign v1 manifest ENTRIES (conftest.py manifest_entry_records) ----
+
+  /** v1 manifest-entry schema, mirroring MANIFEST_ENTRY_SCHEMAS[1] +
+    * DATA_FILE_TYPE[1] (manifest.py:566/:224): required snapshot_id,
+    * block_size_in_bytes present, NO content / equality_ids fields. */
+  private val v1EntrySchemaJson =
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int","field-id":0},
+      |{"name":"snapshot_id","type":"long","field-id":1},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |  {"name":"file_path","type":"string","field-id":100},
+      |  {"name":"file_format","type":"string","field-id":101},
+      |  {"name":"partition","type":{"type":"record","name":"r102","fields":[
+      |    {"name":"VendorID","type":["null","int"],"default":null,"field-id":1000},
+      |    {"name":"tpep_pickup_day","type":["null","int"],"default":null,"field-id":1001}]},
+      |    "field-id":102},
+      |  {"name":"record_count","type":"long","field-id":103},
+      |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+      |  {"name":"block_size_in_bytes","type":"long","field-id":105},
+      |  {"name":"value_counts","type":["null",{"type":"array","items":{"type":"record","name":"k119_v120","fields":[
+      |    {"name":"key","type":"int","field-id":119},{"name":"value","type":"long","field-id":120}]},
+      |    "logicalType":"map"}],"default":null,"field-id":109},
+      |  {"name":"lower_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k126_v127","fields":[
+      |    {"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]},
+      |    "logicalType":"map"}],"default":null,"field-id":125},
+      |  {"name":"split_offsets","type":["null",{"type":"array","items":"long","element-id":133}],"default":null,"field-id":132},
+      |  {"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140}]},
+      |"field-id":2}]}""".stripMargin
+
+  test("foreign v1 manifest entries read: data content, v1 data_file shape") {
+    val dir = Files.createTempDirectory("graft-interop").toString
+    val path = s"$dir/v1-manifest.avro"
+    val avro = new AvroSchema.Parser().parse(v1EntrySchemaJson)
+    val dfSchema = avro.getField("data_file").schema()
+    val partSchema = dfSchema.getField("partition").schema()
+
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avro))
+    w.create(avro, new File(path))
+    try {
+      Seq((1, 19513L), (0, 5L)).foreach { case (status, rows) =>
+        val e = new GenericData.Record(avro)
+        e.put("status", status)
+        e.put("snapshot_id", 8744736658442914487L)
+        val df = new GenericData.Record(dfSchema)
+        df.put("file_path", s"/wh/data/VendorID=1/f-$status.parquet")
+        df.put("file_format", "PARQUET")
+        val part = new GenericData.Record(partSchema)
+        part.put("VendorID", 1)
+        part.put("tpep_pickup_day", 1925)
+        df.put("partition", part)
+        df.put("record_count", rows)
+        df.put("file_size_in_bytes", 388872L)
+        df.put("block_size_in_bytes", 67108864L)
+        val vc = new GenericData.Record(dfSchema.getField("value_counts")
+          .schema().getTypes.get(1).getElementType)
+        vc.put("key", 2); vc.put("value", rows)
+        df.put("value_counts", java.util.List.of(vc))
+        val lb = new GenericData.Record(dfSchema.getField("lower_bounds")
+          .schema().getTypes.get(1).getElementType)
+        lb.put("key", 2)
+        lb.put("value", java.nio.ByteBuffer.wrap(Array[Byte](1, 0, 0, 0)))
+        df.put("lower_bounds", java.util.List.of(lb))
+        df.put("split_offsets", java.util.List.of(java.lang.Long.valueOf(4L)))
+        df.put("sort_order_id", 0)
+        e.put("data_file", df)
+        w.append(e)
+      }
+    } finally w.close()
+
+    // engine-side table shape: partition fields resolve by FIELD-ID even
+    // though the foreign writer used its own (unsanitized) names
+    val schema = Schema(Seq(
+      NestedField(1, "id", ILong, required = true),
+      NestedField(2, "VendorID", IInt),
+      NestedField(3, "tpep_pickup", ITimestamptz)), 0)
+    val spec = PartitionSpec(0, Seq(
+      PartitionField(2, 1000, "VendorID", IdentityTransform),
+      PartitionField(3, 1001, "tpep_pickup_day", DayTransform)))
+
+    val entries = ManifestIO.readManifest(path, spec, schema)
+    assert(entries.size === 2)
+    val e1 = entries.head
+    assert(e1.status === 1)
+    assert(e1.snapshotId === 8744736658442914487L)
+    val f = e1.dataFile
+    // v1 has no content field: must default to data, not crash or garbage
+    assert(f.content === 0)
+    assert(f.fileFormat === "PARQUET")
+    assert(f.partition === Seq(1, 1925))
+    assert(f.recordCount === 19513L)
+    assert(f.fileSizeInBytes === 388872L)
+    assert(f.valueCounts === Map(2 -> 19513L))
+    // int bound bytes decode via the schema's type for field 2
+    assert(f.lowerBounds(2) === 1)
+    assert(f.splitOffsets === Seq(4L))
+    assert(f.sortOrderId === Some(0))
+    assert(entries(1).status === 0)
+  }
+
+  test("foreign v2 entries with null sequence numbers inherit the manifest's") {
+    // ref manifest.py:1006 _inherit_from_manifest: ADDED entries written
+    // by a foreign v2 client leave sequence numbers null for inheritance;
+    // EXISTING entries keep nulls only for seq-0 manifests
+    val dir = Files.createTempDirectory("graft-interop").toString
+    val path = s"$dir/v2-nullseq.avro"
+    val schemaJson =
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int","field-id":0},
+        |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+        |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+        |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"content","type":"int","field-id":134},
+        |  {"name":"file_path","type":"string","field-id":100},
+        |  {"name":"file_format","type":"string","field-id":101},
+        |  {"name":"partition","type":{"type":"record","name":"r102","fields":[]},"field-id":102},
+        |  {"name":"record_count","type":"long","field-id":103},
+        |  {"name":"file_size_in_bytes","type":"long","field-id":104}]},
+        |"field-id":2}]}""".stripMargin
+    val avro = new AvroSchema.Parser().parse(schemaJson)
+    val dfSchema = avro.getField("data_file").schema()
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avro))
+    w.create(avro, new File(path))
+    try {
+      Seq(1, 0).foreach { status => // ADDED then EXISTING, all seqs null
+        val e = new GenericData.Record(avro)
+        e.put("status", status)
+        val df = new GenericData.Record(dfSchema)
+        df.put("content", 0)
+        df.put("file_path", s"f-$status.parquet")
+        df.put("file_format", "PARQUET")
+        df.put("partition", new GenericData.Record(dfSchema.getField("partition").schema()))
+        df.put("record_count", 10L)
+        df.put("file_size_in_bytes", 100L)
+        e.put("data_file", df)
+        w.append(e)
+      }
+    } finally w.close()
+
+    val schema = Schema(Seq(NestedField(1, "id", ILong, required = true)), 0)
+    val spec = PartitionSpec(0, Nil)
+    val mf = ManifestFile(path, 1L, 0, 0, sequenceNumber = 7L, minSequenceNumber = 7L,
+      addedSnapshotId = 42L, addedFilesCount = 1, existingFilesCount = 1,
+      deletedFilesCount = 0, addedRowsCount = 10L, existingRowsCount = 10L,
+      deletedRowsCount = 0L)
+    val entries = ManifestIO.readManifest(mf, spec, schema, null)
+    // ADDED inherits seq 7 + snapshot 42; EXISTING must NOT inherit a
+    // non-zero manifest seq (its real seq is older, unknown => 0)
+    assert(entries.head.status === 1)
+    assert(entries.head.dataSequenceNumber === 7L)
+    assert(entries.head.fileSequenceNumber === 7L)
+    assert(entries.head.snapshotId === 42L)
+    assert(entries(1).status === 0)
+    assert(entries(1).dataSequenceNumber === 0L)
+  }
+
+  test("manifest avro compression: gzip default, property-selected codecs") {
+    // ref TableProperties.WRITE_AVRO_COMPRESSION (table/__init__.py:160):
+    // gzip is the default manifest codec; foreign readers auto-detect
+    val dir = Files.createTempDirectory("graft-interop").toString
+    val schema = Schema(Seq(NestedField(1, "id", ILong, required = true)), 0)
+    val spec = PartitionSpec(0, Nil)
+    val entries = (0 until 200).map(i => ManifestEntry(1, 1L, 1L, 1L,
+      DataFile(0, s"f-$i.parquet", "PARQUET", Nil, 100L, 1000L)))
+
+    def codecOf(path: String): String = {
+      val r = new org.apache.avro.file.DataFileReader[GenericRecord](
+        new File(path), new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+      try Option(r.getMetaString("avro.codec")).getOrElse("null") finally r.close()
+    }
+
+    ManifestIO.writeManifest(s"$dir/m-default.avro", entries, spec, schema)
+    assert(codecOf(s"$dir/m-default.avro") === "deflate")
+    ManifestIO.writeManifest(s"$dir/m-zstd.avro", entries, spec, schema, "zstd")
+    assert(codecOf(s"$dir/m-zstd.avro") === "zstandard")
+    ManifestIO.writeManifest(s"$dir/m-raw.avro", entries, spec, schema, "uncompressed")
+    assert(codecOf(s"$dir/m-raw.avro") === "null")
+    // every codec round-trips identically
+    Seq("m-default", "m-zstd", "m-raw").foreach { n =>
+      assert(ManifestIO.readManifest(s"$dir/$n.avro", spec, schema) === entries)
+    }
+    // compression actually shrinks the repetitive entry payload
+    val gz = new File(s"$dir/m-default.avro").length()
+    val raw = new File(s"$dir/m-raw.avro").length()
+    assert(gz < raw, s"deflate ($gz) must be smaller than raw ($raw)")
+    intercept[IllegalArgumentException](
+      ManifestIO.writeManifest(s"$dir/m-bad.avro", entries, spec, schema, "lzma"))
+  }
+
   test("manifest list missing a required field fails loudly, not with zeros") {
     val dir = Files.createTempDirectory("graft-interop").toString
     val listPath = s"$dir/bad-list.avro"
