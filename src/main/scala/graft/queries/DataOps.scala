@@ -1295,7 +1295,69 @@ object DataOps {
       |ORDER BY doc_id""".stripMargin
 
 
+  /** TOP-K CORPUS VOCABULARY — term frequency + document frequency for
+    * the K most frequent tokens, the corpus statistic behind stopword
+    * lists, tokenizer vocab sizing, and quality heuristics. Scale: the
+    * explode is map-side; term counting is ONE shuffle on the word with
+    * map-side partial aggregation (the per-partition distinct for df
+    * rides the same exchange); the top-K is TakeOrdered — no global
+    * sort materializes the full vocabulary. */
+  def vocabTopK(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    nonEmpty(docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(25))
+  }
+  val vocabTopKSql =
+    """SELECT w AS word, count(*) AS cnt, count(DISTINCT doc_id) AS df
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |GROUP BY w ORDER BY cnt DESC, word LIMIT 25""".stripMargin
+
+  /** DOCUMENT-FREQUENCY BOILERPLATE REMOVAL — the corpus-level analog of
+    * repeated-line stripping (CCNet/RefinedWeb style): tokens appearing
+    * in more than 79% of all documents are corpus boilerplate and are
+    * removed from every document, preserving the original token order
+    * of what survives. Scale: document frequency is one shuffle on the
+    * token; the boilerplate vocabulary is tiny by construction (tokens
+    * in >79% of docs) so the removal join is a BROADCAST anti-join —
+    * the corpus itself is never reshuffled for it; reassembly is one
+    * shuffle on doc_id with an in-group sort, never a global sort. */
+  def boilerplateRemove(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val thresh = docs.count() * 79L / 100L
+    val words = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val boiler = words.groupBy("w")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > thresh)
+      .select("w")
+    val kept = words.join(broadcast(boiler), Seq("w"), "left_anti")
+    nonEmpty(kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("words_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+            x => x.getField("w")), " ").as("clean_text"))
+      .orderBy("doc_id"))
+  }
+  val boilerplateRemoveSql =
+    """WITH words AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+      |         unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |boiler AS (
+      |  SELECT w FROM (SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY w)
+      |  WHERE df > (SELECT (count(*) * 79) // 100 FROM documents)),
+      |kept AS (SELECT * FROM words WHERE w NOT IN (SELECT w FROM boiler))
+      |SELECT doc_id, count(*) AS words_kept,
+      |       string_agg(w, ' ' ORDER BY pos) AS clean_text
+      |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_vocab_topk" -> (vocabTopK _),
+    "ds_boilerplate_rm" -> (boilerplateRemove _),
     "ds_mix_budget" -> (mixBudget _),
     "ds_pii_redact" -> (piiRedact _),
     "ds_url_dedup" -> (urlDedup _),
@@ -1331,6 +1393,8 @@ object DataOps {
     "ds_pipeline_curate" -> pipelineCurateSql,
     "ds_chunk_docs" -> chunkDocsSql,
     "ds_decontaminate" -> decontaminateSql,
+    "ds_vocab_topk" -> vocabTopKSql,
+    "ds_boilerplate_rm" -> boilerplateRemoveSql,
     "ds_sample_stratified" -> sampleStratifiedSql,
     "ds_pack_sequences" -> packSequencesSql,
     "ds_dedup_incremental" -> dedupIncrementalSql,

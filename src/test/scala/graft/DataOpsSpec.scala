@@ -277,4 +277,44 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       org.apache.commons.io.FileUtils.deleteDirectory(dst.toFile)
     }
   }
+
+  test("boilerplate removal: broadcast anti-join, order-preserving reassembly") {
+    val out = graft.queries.DataOps.boilerplateRemove(spark, dir)
+    // the removal join must be a broadcast (the boilerplate vocab is tiny
+    // by construction) — a shuffled anti-join would reshuffle the corpus
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"expected broadcast anti-join in:\n$plan")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // surviving text preserves original order: every clean_text must be a
+    // subsequence of the original document's tokens
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    rows.take(20).foreach { r =>
+      val orig = docs(r.getLong(0))
+      val clean = r.getString(2).split(" ").toSeq
+      assert(r.getLong(1) === clean.size)
+      var i = 0
+      clean.foreach { w =>
+        val j = orig.indexOf(w, i)
+        assert(j >= 0, s"'$w' out of order in doc ${r.getLong(0)}")
+        i = j + 1
+      }
+    }
+  }
+
+  test("vocab top-k is deterministically ordered and df <= doc count") {
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    val rows = graft.queries.DataOps.vocabTopK(spark, dir).collect()
+    assert(rows.size === 25)
+    // cnt non-increasing; ties broken by word ascending
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(1) > b.getLong(1) ||
+        (a.getLong(1) == b.getLong(1) && a.getString(0) < b.getString(0)))
+      case _ => ()
+    }
+    rows.foreach(r => assert(r.getLong(2) <= n))
+  }
 }
