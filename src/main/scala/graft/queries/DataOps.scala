@@ -509,30 +509,29 @@ object DataOps {
     * The final centroids are exported so the oracle re-derives the
     * assignment + histogram from them with the identical argmax-cosine
     * formulation. */
-  def embedKmeans(s: SparkSession, dir: String): DataFrame = {
-    val k = 16
-    val iters = 3
-    val e = trackCache(t(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // deterministic seed: the k smallest vec_ids
+  /** Map-side argmax-cosine assignment over k literal centroids, ties to
+    * the lower cid — a codegen'd expression chain, no join, no shuffle. */
+  private def assignToCents(e: DataFrame,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val scored = cents.map { case (cid, v) =>
+      struct(Vectors.cosine(col("embedding"),
+        typedLit(v.map(_.toFloat))).as("cs"),
+        lit(-cid).as("ncid"))
+    }
+    e.withColumn("cid", -greatest(scored: _*).getField("ncid"))
+  }
+
+  /** Lloyd's k-means with DETERMINISTIC init (the k smallest vec_ids) and
+    * cosine assignment; per round only k×dim doubles reach the driver. */
+  private def kmeansCents(e: DataFrame, k: Int,
+      iters: Int): Seq[(Int, Seq[Double])] = {
     var cents: Seq[(Int, Seq[Double])] = e.filter(col("vec_id") < k)
       .orderBy(col("vec_id")).collect()
       .zipWithIndex.map { case (r, i) =>
         i -> r.getSeq[Float](1).map(_.toDouble)
       }.toSeq
-    def assigned(): DataFrame = {
-      // argmax cosine over k literal centroids, ties to the lower cid —
-      // a codegen'd expression chain, no join and no shuffle
-      val scored = cents.map { case (cid, v) =>
-        struct(Vectors.cosine(col("embedding"),
-          typedLit(v.map(_.toFloat))).as("cs"),
-          lit(-cid).as("ncid"))
-      }
-      e.withColumn("cid", -greatest(scored: _*).getField("ncid"))
-    }
     for (_ <- 1 to iters) {
-      val means = assigned()
+      val means = assignToCents(e, cents)
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cid"), col("pos"))
         .agg(avg(col("v")).as("m"))
@@ -541,16 +540,80 @@ object DataOps {
         cid -> xs.sortBy(_._2).map(_._3).toSeq
       }.toSeq.sortBy(_._1)
     }
+    cents
+  }
+
+  private def exportCents(s: SparkSession, cents: Seq[(Int, Seq[Double])],
+      name: String): Unit =
     exportForOracle(
       s.createDataFrame(cents.flatMap { case (cid, v) =>
         v.zipWithIndex.map { case (x, p) => (cid, p, x) }
       }).toDF("cid", "pos", "v"),
-      "kmeans_cents")
-    assigned()
+      name)
+
+  def embedKmeans(s: SparkSession, dir: String): DataFrame = {
+    val e = trackCache(t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cents = kmeansCents(e, 16, 3)
+    exportCents(s, cents, "kmeans_cents")
+    assignToCents(e, cents)
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("rep_id"))
       .orderBy(col("cid"))
   }
+
+  /** SEMDEDUP — semantic dedup end-to-end: k-means clusters the embedding
+    * space (deterministic init, broadcast-literal assignment), then
+    * near-dup pruning runs WITHIN each cluster only — a vector is dropped
+    * when a smaller-id vector in ITS cluster has cosine >= the
+    * threshold. The per-cluster self-join is one shuffle on the cluster
+    * id with pair count Σc² — choose k ∝ n (as the IVF ops do) and the
+    * candidate volume stays linear in the corpus while never comparing
+    * across clusters; the quadratic all-pairs join never exists. The
+    * final centroids export so the oracle re-derives assignment +
+    * pruning with the identical argmax/threshold formulation. */
+  def semDeDup(s: SparkSession, dir: String): DataFrame = {
+    val e = trackCache(t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cents = kmeansCents(e, 16, 3)
+    exportCents(s, cents, "semdedup_cents")
+    val assigned = assignToCents(e, cents)
+      .withColumn("nrm", Vectors.norm(col("embedding")))
+    val a = assigned.select(col("cid"), col("vec_id").as("a_id"),
+      col("embedding").as("a_v"), col("nrm").as("a_n"))
+    val b = assigned.select(col("cid"), col("vec_id").as("b_id"),
+      col("embedding").as("b_v"), col("nrm").as("b_n"))
+    val dropped = a.join(b, Seq("cid")).filter(col("a_id") < col("b_id"))
+      .withColumn("cos", Vectors.dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")))
+      .filter(col("cos") >= 0.4)
+      .select(col("cid"), col("b_id").as("vec_id"))
+      .distinct()
+    nonEmpty(assigned.select(col("cid"), col("vec_id"))
+      .join(dropped.withColumn("dropped", lit(1)), Seq("cid", "vec_id"), "left")
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(coalesce(col("dropped"), lit(0))).cast("long").as("n_dropped"))
+      .orderBy(col("cid")))
+  }
+  val semDeDupSql =
+    s"""WITH cents AS (
+      |  SELECT cid, list(CAST(v AS FLOAT) ORDER BY pos) AS cent_v
+      |  FROM read_parquet('$ExportDir/semdedup_cents/*.parquet') GROUP BY cid),
+      |scored AS (
+      |  SELECT e.vec_id, e.embedding, c.cid,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_cosine_similarity(e.embedding, c.cent_v) DESC, c.cid) AS rn
+      |  FROM embeddings e CROSS JOIN cents c),
+      |assign AS (SELECT vec_id, embedding, cid FROM scored WHERE rn = 1),
+      |dropped AS (
+      |  SELECT DISTINCT b.cid, b.vec_id
+      |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4)
+      |SELECT a.cid, count(*) AS n_vecs, CAST(count(d.vec_id) AS BIGINT) AS n_dropped
+      |FROM assign a LEFT JOIN dropped d ON a.cid = d.cid AND a.vec_id = d.vec_id
+      |GROUP BY a.cid ORDER BY a.cid""".stripMargin
   val embedKmeansSql =
     s"""WITH cents AS (
       |  SELECT cid, list(CAST(v AS FLOAT) ORDER BY pos) AS cent_v
@@ -1357,6 +1420,7 @@ object DataOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_vocab_topk" -> (vocabTopK _),
+    "ds_semdedup" -> (semDeDup _),
     "ds_boilerplate_rm" -> (boilerplateRemove _),
     "ds_mix_budget" -> (mixBudget _),
     "ds_pii_redact" -> (piiRedact _),
@@ -1394,6 +1458,7 @@ object DataOps {
     "ds_chunk_docs" -> chunkDocsSql,
     "ds_decontaminate" -> decontaminateSql,
     "ds_vocab_topk" -> vocabTopKSql,
+    "ds_semdedup" -> semDeDupSql,
     "ds_boilerplate_rm" -> boilerplateRemoveSql,
     "ds_sample_stratified" -> sampleStratifiedSql,
     "ds_pack_sequences" -> packSequencesSql,

@@ -317,4 +317,28 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     rows.foreach(r => assert(r.getLong(2) <= n))
   }
+
+  test("semdedup: per-cluster drops are justified by true near-dup pairs") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.{vector_dot => vdot}
+    val out = graft.queries.DataOps.semDeDup(spark, dir).collect()
+    assert(out.map(_.getLong(1)).sum === spark.read
+      .parquet(s"$dir/embeddings.parquet").count())
+    // clustering can only LOWER recall vs the quadratic join, never
+    // invent drops: total dropped must not exceed the count of vectors
+    // having ANY smaller-id neighbor at the same threshold corpus-wide
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+    val bruteDropped = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("cos", vdot(col("a_v"), col("b_v")) /
+        (sqrt(vdot(col("a_v"), col("a_v"))) * sqrt(vdot(col("b_v"), col("b_v")))))
+      .filter(col("cos") >= 0.4)
+      .select(col("b_id")).distinct().count()
+    val dropped = out.map(_.getLong(2)).sum
+    assert(dropped > 0, "gate would be vacuous: no drops on this corpus")
+    assert(dropped <= bruteDropped,
+      s"clustered semdedup dropped $dropped > brute-force bound $bruteDropped")
+  }
 }
