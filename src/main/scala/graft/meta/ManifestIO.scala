@@ -170,7 +170,7 @@ object ManifestIO {
   val DefaultAvroCodec = "gzip"
 
   def writeManifest(path: String, entries: Seq[ManifestEntry], spec: PartitionSpec,
-      schema: Schema, codec: String = DefaultAvroCodec): Long = {
+      schema: Schema, codec: String = DefaultAvroCodec, content: Int = 0): Long = {
     val avro = entrySchema(spec, schema)
     val dfSchema = avro.getField("data_file").schema()
     val partSchema = dfSchema.getField("partition").schema()
@@ -178,6 +178,16 @@ object ManifestIO {
 
     val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avro))
     writer.setCodec(codecFor(codec))
+    // spec-mandated avro header metadata (ref: ManifestWriter._meta,
+    // manifest.py:1117 + content discriminator :1274/:1287) — foreign
+    // readers take the ICEBERG schema, spec, and manifest content from
+    // here, not from the avro record schema
+    writer.setMeta("schema", MetadataJson.schemaToJson(schema).toString)
+    writer.setMeta("partition-spec",
+      MetadataJson.specToJson(spec).get("fields").toString)
+    writer.setMeta("partition-spec-id", spec.specId.toString)
+    writer.setMeta("format-version", "2")
+    writer.setMeta("content", if (content == 0) "data" else "deletes")
     writer.create(avro, Io.create(path))
     try {
       entries.foreach { e =>
@@ -395,10 +405,19 @@ object ManifestIO {
   // ---- manifest list ----
 
   def writeManifestList(path: String, manifests: Seq[ManifestFile],
-      codec: String = DefaultAvroCodec): Unit = {
+      codec: String = DefaultAvroCodec,
+      snapshotId: Option[Long] = None,
+      parentSnapshotId: Option[Long] = None,
+      sequenceNumber: Option[Long] = None): Unit = {
     val writer = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](manifestFileSchema))
     writer.setCodec(codecFor(codec))
+    // list header metadata (ref: ManifestListWriterV2, manifest.py:1374)
+    writer.setMeta("format-version", "2")
+    snapshotId.foreach(id => writer.setMeta("snapshot-id", id.toString))
+    writer.setMeta("parent-snapshot-id",
+      parentSnapshotId.map(_.toString).getOrElse("null"))
+    sequenceNumber.foreach(sq => writer.setMeta("sequence-number", sq.toString))
     writer.create(manifestFileSchema, Io.create(path))
     try {
       manifests.foreach { m =>

@@ -1062,7 +1062,9 @@ class IceTable(
     if (rewritten == 0) return (0, 0)
     val merged = rebinned ++ deleteMs
     val listPath = s"$metaDir/snap-$snapId-${UUID.randomUUID()}.avro"
-    ManifestIO.writeManifestList(listPath, merged, avroCodec)
+    ManifestIO.writeManifestList(listPath, merged, avroCodec,
+      snapshotId = Some(snapId), parentSnapshotId = base.currentSnapshotId,
+      sequenceNumber = Some(seq))
     val now = System.currentTimeMillis()
     val dataOnly = merged.filter(_.content == 0)
     // a manifest rewrite changes no data/delete files: byte and delete
@@ -1295,7 +1297,7 @@ class IceTable(
           else {
             val path = s"$metaDir/m-${UUID.randomUUID()}.avro"
             val rewritten = alive.map(_.copy(status = EntryStatus.Existing))
-            val len = ManifestIO.writeManifest(path, rewritten, sp, sch, avroCodec)
+            val len = ManifestIO.writeManifest(path, rewritten, sp, sch, avroCodec, mf.content)
             Some(manifestFileFor(path, len, sp, sch, rewritten, snapId, seq, mf.content))
           }
         }
@@ -1317,7 +1319,8 @@ class IceTable(
         val sp = if (content == FileContent.Data) base.spec else unpartSpec
         val entries = files.map(f => ManifestEntry(EntryStatus.Added, snapId, seq, seq, f))
         val path = s"$metaDir/m-${UUID.randomUUID()}.avro"
-        val len = ManifestIO.writeManifest(path, entries, sp, base.schema, avroCodec)
+        val len = ManifestIO.writeManifest(path, entries, sp, base.schema, avroCodec,
+          if (content == FileContent.Data) 0 else 1)
         manifestFileFor(path, len, sp, base.schema, entries, snapId, seq,
           if (content == FileContent.Data) 0 else 1)
     }
@@ -1371,7 +1374,9 @@ class IceTable(
       } else allManifests
 
     val listPath = s"$metaDir/snap-$snapId-${UUID.randomUUID()}.avro"
-    ManifestIO.writeManifestList(listPath, merged, avroCodec)
+    ManifestIO.writeManifestList(listPath, merged, avroCodec,
+      snapshotId = Some(snapId), parentSnapshotId = parentId,
+      sequenceNumber = Some(seq))
 
     val addedRecords = added.filter(_.content == FileContent.Data).map(_.recordCount).sum
     val totalRecords = merged

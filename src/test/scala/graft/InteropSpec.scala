@@ -427,6 +427,50 @@ class InteropSpec extends AnyFunSuite {
       ManifestIO.writeManifest(s"$dir/m-bad.avro", entries, spec, schema, "lzma"))
   }
 
+  test("manifest avro headers carry the spec's metadata keys") {
+    // ref ManifestWriter._meta (manifest.py:1117) + ManifestListWriterV2
+    // (:1374): foreign readers resolve the iceberg schema / spec / content
+    // from these header keys, not from the avro record schema
+    val dir = Files.createTempDirectory("graft-interop").toString
+    val schema = Schema(Seq(NestedField(1, "id", ILong, required = true)), 5)
+    val spec = PartitionSpec(3, Seq(PartitionField(1, 1000, "id", IdentityTransform)))
+    val entries = Seq(ManifestEntry(1, 1L, 1L, 1L,
+      DataFile(0, "f.parquet", "PARQUET", Seq(7L), 10L, 100L)))
+    val mPath = s"$dir/m-hdr.avro"
+    ManifestIO.writeManifest(mPath, entries, spec, schema, content = 1)
+
+    def meta(path: String): Map[String, String] = {
+      val r = new org.apache.avro.file.DataFileReader[GenericRecord](
+        new File(path), new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+      try Seq("schema", "partition-spec", "partition-spec-id", "format-version",
+        "content", "snapshot-id", "parent-snapshot-id", "sequence-number")
+        .flatMap(k => Option(r.getMetaString(k)).map(k -> _)).toMap
+      finally r.close()
+    }
+
+    val m = meta(mPath)
+    assert(m("format-version") === "2")
+    assert(m("content") === "deletes")
+    assert(m("partition-spec-id") === "3")
+    // schema header round-trips through the metadata-JSON codec
+    val rt = graft.meta.MetadataJson.schemaFromJson(
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(m("schema")))
+    assert(rt.schemaId === 5 && rt.fields.map(_.name) === Seq("id"))
+    // partition-spec header is the FIELDS array (ref to_json(spec.fields))
+    assert(m("partition-spec").startsWith("[") &&
+      m("partition-spec").contains("\"field-id\":1000"))
+
+    val lPath = s"$dir/l-hdr.avro"
+    val mf = ManifestFile(mPath, 1L, 3, 1, 9L, 9L, 42L, 1, 0, 0, 10L, 0L, 0L)
+    ManifestIO.writeManifestList(lPath, Seq(mf),
+      snapshotId = Some(42L), parentSnapshotId = Some(41L), sequenceNumber = Some(9L))
+    val lm = meta(lPath)
+    assert(lm("snapshot-id") === "42")
+    assert(lm("parent-snapshot-id") === "41")
+    assert(lm("sequence-number") === "9")
+    assert(lm("format-version") === "2")
+  }
+
   test("manifest list missing a required field fails loudly, not with zeros") {
     val dir = Files.createTempDirectory("graft-interop").toString
     val listPath = s"$dir/bad-list.avro"
