@@ -1083,18 +1083,20 @@ class IceTable(
     val firstRowId = if (base.formatVersion >= 3) Some(base.nextRowId.getOrElse(0L)) else None
     val snap = Snapshot(snapId, base.currentSnapshotId, seq, now, listPath, summary,
       base.currentSchemaId, firstRowId)
+    val (mlog, droppedMeta) = trimMetadataLog(base.metadataLog :+
+      MetadataLogEntry(now, s"$metaDir/v$version.metadata.json"))
     val newMeta = base.copy(
       lastSequenceNumber = seq,
       lastUpdatedMs = now,
       currentSnapshotId = Some(snapId),
       snapshots = base.snapshots :+ snap,
       snapshotLog = base.snapshotLog :+ SnapshotLogEntry(now, snapId),
-      metadataLog = base.metadataLog :+
-        MetadataLogEntry(now, s"$metaDir/v$version.metadata.json"),
+      metadataLog = mlog,
       refs = base.refs + ("main" -> SnapshotRef(snapId, "branch")))
     catalog.commit(name, version, newMeta)
     metadata = newMeta
     this.version = version + 1
+    purgeDroppedMetadata(droppedMeta)
     (rewritten, created)
   }
 
@@ -1435,6 +1437,8 @@ class IceTable(
     // commit moves just its ref; a stage-only commit moves nothing (ref:
     // SetSnapshotRefUpdate emission, update/snapshot.py:306–330)
     val isMain = toBranch.contains("main")
+    val (commitMlog, commitDroppedMeta) = trimMetadataLog(withExtra.metadataLog :+
+      MetadataLogEntry(now, s"$metaDir/v$version.metadata.json"))
     val newMeta = withExtra.copy(
       lastSequenceNumber = seq,
       lastUpdatedMs = now,
@@ -1442,8 +1446,7 @@ class IceTable(
       snapshots = withExtra.snapshots :+ snap,
       snapshotLog = if (isMain) withExtra.snapshotLog :+ SnapshotLogEntry(now, snapId)
         else withExtra.snapshotLog,
-      metadataLog = withExtra.metadataLog :+
-        MetadataLogEntry(now, s"$metaDir/v$version.metadata.json"),
+      metadataLog = commitMlog,
       refs = toBranch match {
         case Some(b) => withExtra.refs + (b -> SnapshotRef(snapId, "branch"))
         case None => withExtra.refs
@@ -1452,6 +1455,7 @@ class IceTable(
     catalog.commit(name, version, newMeta)
     metadata = newMeta
     this.version = version + 1
+    purgeDroppedMetadata(commitDroppedMeta)
   }
 
   private def manifestFileFor(path: String, len: Long, sp: PartitionSpec, sch: Schema,
@@ -1489,6 +1493,34 @@ class IceTable(
   private[graft] def avroCodec: String =
     metadata.properties.getOrElse("write.avro.compression-codec",
       ManifestIO.DefaultAvroCodec)
+
+  /** Metadata-log retention (ref: TableProperties
+    * METADATA_PREVIOUS_VERSIONS_MAX :203 default 100 +
+    * METADATA_DELETE_AFTER_COMMIT_ENABLED :206): without the cap the
+    * metadata-log array grows one entry per commit FOREVER — at 10⁶
+    * commits every metadata JSON carries megabytes of dead history.
+    * Returns the trimmed log; the dropped files are deleted AFTER the
+    * commit succeeds when delete-after-commit is enabled. */
+  private def trimMetadataLog(
+      log: Seq[MetadataLogEntry]): (Seq[MetadataLogEntry], Seq[String]) = {
+    val max = metadata.properties.get("write.metadata.previous-versions-max")
+      .flatMap(_.toIntOption).getOrElse(100).max(1)
+    if (log.size <= max) (log, Nil)
+    else (log.takeRight(max), log.dropRight(max).map(_.metadataFile))
+  }
+
+  private def deleteAfterCommit: Boolean =
+    metadata.properties.get("write.metadata.delete-after-commit.enabled")
+      .exists(_.equalsIgnoreCase("true"))
+
+  /** Best-effort removal of metadata files that fell off the log — only
+    * ever called after the commit that dropped them succeeded. */
+  private def purgeDroppedMetadata(dropped: Seq[String]): Unit =
+    if (deleteAfterCommit) dropped.foreach { p =>
+      try Io.delete(p)
+      catch { case e: Exception =>
+        System.err.println(s"[metadata-gc] $p: ${e.getMessage}") }
+    }
 
   // ---- metadata-only commits ----------------------------------------------
 

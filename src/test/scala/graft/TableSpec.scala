@@ -1669,4 +1669,31 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
       s.parentSnapshotId.exists(p => !t.metadata.snapshots.exists(_.snapshotId == p))),
       "no surviving snapshot may point at an expired parent")
   }
+
+  test("metadata log honors previous-versions-max and delete-after-commit") {
+    val t = catalog.createTable("t_mlog", Schema.fromSpark(orders.schema))
+    t.setProperties(
+      "write.metadata.previous-versions-max" -> "3",
+      "write.metadata.delete-after-commit.enabled" -> "true")
+    val rel = catalog.loadTable("t_mlog")
+    (1 to 8).foreach(_ => rel.append(orders.limit(1)))
+    val log = rel.metadata.metadataLog
+    assert(log.size === 3, s"metadata log must cap at 3, got ${log.size}")
+    // the log keeps the NEWEST previous versions, in order
+    val versions = log.map(_.metadataFile
+      .split("/v").last.stripSuffix(".metadata.json").toInt)
+    assert(versions === versions.sorted)
+    assert(versions.last === rel.version - 1)
+    // delete-after-commit removed the files that fell off the log
+    val dir = new java.io.File(s"$warehouse/t_mlog/metadata")
+    val present = dir.listFiles().map(_.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".metadata.json"))
+      .map(_.stripPrefix("v").stripSuffix(".metadata.json").toInt).sorted
+    // current + the 3 logged previous versions survive; older are gone
+    assert(!present.contains(2),
+      s"v2.metadata.json should have been deleted, present: ${present.mkString(",")}")
+    assert(present.contains(rel.version))
+    // the table still loads and scans fine
+    assert(catalog.loadTable("t_mlog").scan.toDF.count() === 8)
+  }
 }
