@@ -572,7 +572,8 @@ object Maintenance {
     // first-level split on the driver (one LIST per root), recursive
     // listing per prefix on executors; age-filter applied executor-side
     // so only old-enough candidates travel back
-    val roots = Seq(s"${table.location}/data", s"${table.location}/staging")
+    val roots = (Seq(s"${table.location}/data", s"${table.location}/staging") ++
+      m.properties.get("write.data.path")).distinct
       .filter(Io.exists)
     val firstLevel: Seq[(String, Boolean, Long)] = roots.flatMap { r =>
       val hp = new org.apache.hadoop.fs.Path(r)

@@ -138,12 +138,12 @@ class IceTable(
         "of an unpartitioned table is empty)")
     val frame = inspect.partitionStatsFrame(Some(snap.snapshotId))
       .orderBy(col("partition"))
-    val tmp = s"$location/metadata/partition-stats-tmp-${UUID.randomUUID()}"
+    val tmp = s"${metadataRoot(metadata.properties, location)}/partition-stats-tmp-${UUID.randomUUID()}"
     frame.coalesce(1).write.parquet(tmp)
     val part = graft.meta.Io.list(tmp).collect {
       case (name, false) if name.endsWith(".parquet") => name
     }.headOption.getOrElse(throw new IllegalStateException("stats write produced no file"))
-    val path = s"$location/metadata/partition-stats-${snap.snapshotId}-${UUID.randomUUID()}.parquet"
+    val path = s"${metadataRoot(metadata.properties, location)}/partition-stats-${snap.snapshotId}-${UUID.randomUUID()}.parquet"
     // single metadata-sized file: a read-write copy to its final name is
     // cheaper than threading a cross-scheme rename seam through Io
     graft.meta.Io.writeBytes(path, graft.meta.Io.readBytes(s"$tmp/$part"))
@@ -186,7 +186,7 @@ class IceTable(
         java.nio.ByteBuffer.allocate(8).putLong(ndv).array(),
         Map("ndv" -> ndv.toString))
     }
-    val path = s"$location/metadata/stats-${snap.snapshotId}-${UUID.randomUUID()}.puffin"
+    val path = s"${metadataRoot(metadata.properties, location)}/stats-${snap.snapshotId}-${UUID.randomUUID()}.puffin"
     val written = Puffin.write(path, blobs)
     val stats = StatisticsFile(snap.snapshotId, path,
       written.fileSizeInBytes, written.footerSizeInBytes,
@@ -712,7 +712,7 @@ class IceTable(
     // land contiguously and AQE sizes the output task count to the delete
     // volume — at 100 TB this writes many delete files in parallel instead
     // of funneling everything through one task
-    val stage = s"$location/data/${UUID.randomUUID()}"
+    val stage = s"${metadata.properties.getOrElse("write.data.path", s"$location/data")}/${UUID.randomUUID()}"
     // the read executes inside the write action, so the parquet conf can be
     // scoped (unlike a returned lazy scan DataFrame)
     WriteFiles.withScopedConfs(spark,
@@ -831,6 +831,7 @@ class IceTable(
     val numParts = math.max(1, (affected.size + blobsPerPuffin - 1) / blobsPerPuffin)
     val ioEntries = Io.confEntries(spark)
     val loc = location
+    val dataRoot = metadata.properties.getOrElse("write.data.path", s"$loc/data")
     val seq = metadata.lastSequenceNumber + 1
     val snapId = baseSnap.getOrElse(-1L)
     branches.result()
@@ -844,7 +845,7 @@ class IceTable(
         }.toArray.sortBy(_._1)
         if (blobs.isEmpty) Iterator.empty
         else {
-          val path = s"$loc/data/${UUID.randomUUID()}-deletes.puffin"
+          val path = s"$dataRoot/${UUID.randomUUID()}-deletes.puffin"
           val written = Puffin.write(path, blobs.toSeq.map { case (fp, bytes, card) =>
             Puffin.Blob("deletion-vector-v1", Nil, snapId, seq, bytes,
               Map("referenced-data-file" -> fp, "cardinality" -> card.toString))
@@ -946,7 +947,7 @@ class IceTable(
         d.contentOffset.isEmpty && !d.isDeletionVector)
       .distinctBy(_.filePath)
     if (posFiles.isEmpty) return (0, 0)
-    val stage = s"$location/data/${UUID.randomUUID()}"
+    val stage = s"${metadata.properties.getOrElse("write.data.path", s"$location/data")}/${UUID.randomUUID()}"
     val posSchema = Schema(Seq(
       NestedField(2147483546, "file_path", IString, required = true),
       NestedField(2147483545, "pos", ILong, required = true)))
@@ -1010,7 +1011,7 @@ class IceTable(
     if (currentOpt.isEmpty) return (0, 0)
     val current = currentOpt.get
     val version = this.version
-    val metaDir = s"${base.location}/metadata"
+    val metaDir = metadataRoot(base.properties, base.location)
     val targetSize = targetOverride.getOrElse(base.properties
       .getOrElse("commit.manifest.target-size-bytes", (8L * 1024 * 1024).toString).toLong)
     val all = ManifestIO.readManifestList(current.manifestList)
@@ -1112,7 +1113,7 @@ class IceTable(
       throw new IllegalArgumentException(s"No such column: $n")))
     val keySchema = Schema(schema.fields.filter(f => keyFields.exists(_.id == f.id)))
     val aligned = WriteFiles.align(keys, keySchema)
-    val stage = s"$location/data/${UUID.randomUUID()}"
+    val stage = s"${metadata.properties.getOrElse("write.data.path", s"$location/data")}/${UUID.randomUUID()}"
     // distinct() is already a shuffle on the key columns; AQE coalesces the
     // output to the key volume (no coalesce(1) funnel — a large key set
     // writes from many tasks)
@@ -1244,7 +1245,7 @@ class IceTable(
     val snapId = base.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
     val seq = base.lastSequenceNumber + 1
     val now = System.currentTimeMillis()
-    val metaDir = s"${base.location}/metadata"
+    val metaDir = metadataRoot(base.properties, base.location)
 
     val existing: Seq[ManifestFile] = parentId.flatMap(base.snapshotById)
       .map(s => ManifestIO.readManifestList(s.manifestList)).getOrElse(Nil)
@@ -1272,6 +1273,16 @@ class IceTable(
     var removedDeleteFiles = 0L
     var removedPosDeletes = 0L
     var removedEqDeletes = 0L
+    // per-partition change metrics (ref: snapshots.py:300
+    // SnapshotSummaryCollector.partition_metrics) — keyed by the spec's
+    // partition path; only files with non-empty partition tuples count.
+    // Array slots: 0 aFiles, 1 aRecs, 2 aBytes, 3 rFiles, 4 rRecs,
+    // 5 rBytes, 6 aDelFiles, 7 rDelFiles.
+    val partMetrics = scala.collection.mutable.LinkedHashMap[String, Array[Long]]()
+    def partSlot(sp: PartitionSpec, f: DataFile): Option[Array[Long]] =
+      if (f.partition.isEmpty) None
+      else Some(partMetrics.getOrElseUpdate(
+        sp.partitionToPath(f.partition, base.schema), new Array[Long](8)))
     val kept: Seq[ManifestFile] = existing.flatMap { mf =>
       val sp = base.specById(mf.partitionSpecId)
       val sch = base.schema
@@ -1290,6 +1301,12 @@ class IceTable(
               case FileContent.EqualityDeletes =>
                 removedDeleteFiles += 1; removedEqDeletes += e.dataFile.recordCount
               case _ => ()
+            }
+            partSlot(sp, e.dataFile).foreach { m =>
+              if (e.dataFile.content == FileContent.Data) {
+                m(3) += 1; m(4) += e.dataFile.recordCount
+              } else m(7) += 1
+              m(5) += e.dataFile.fileSizeInBytes
             }
           }
           // count only data rows — dead DELETE files' record counts are
@@ -1396,6 +1413,39 @@ class IceTable(
       .map(_.recordCount).sum
     val addedEqDeletes = added.filter(_.content == FileContent.EqualityDeletes)
       .map(_.recordCount).sum
+    added.foreach { f =>
+      val sp = try base.specById(f.specId) catch { case _: IllegalStateException => base.spec }
+      partSlot(sp, f).foreach { m =>
+        if (f.content == FileContent.Data) { m(0) += 1; m(1) += f.recordCount }
+        else m(6) += 1
+        m(2) += f.fileSizeInBytes
+      }
+    }
+    // per-partition summaries (ref: snapshots.py:330 build):
+    // changed-partition-count always; the partitions.<path> detail only
+    // when the changed count stays within write.summary.partition-limit
+    // (default 0 = detail off) — an unbounded fan-out commit must not
+    // write a megabyte summary map
+    val partLimit = base.properties.get("write.summary.partition-limit")
+      .flatMap(_.toIntOption).getOrElse(0)
+    val partitionSummaries: Map[String, String] =
+      if (partMetrics.isEmpty) Map.empty
+      else {
+        val head = Map("changed-partition-count" -> partMetrics.size.toString)
+        if (partMetrics.size > partLimit) head
+        else head ++ Map("partition-summaries-included" -> "true") ++
+          partMetrics.flatMap { case (path, m) =>
+            val kv = Seq(
+              "added-files-size" -> m(2), "removed-files-size" -> m(5),
+              "added-data-files" -> m(0), "deleted-data-files" -> m(3),
+              "added-delete-files" -> m(6), "removed-delete-files" -> m(7),
+              "added-records" -> m(1), "deleted-records" -> m(4))
+              .filter(_._2 > 0)
+            if (kv.isEmpty) None
+            else Some(s"partitions.$path" ->
+              kv.map { case (k, v) => s"$k=$v" }.mkString(","))
+          }
+      }
     // extraSummary last: caller-supplied keys (user snapshot properties,
     // ref append(..., snapshot_properties) table/__init__.py:1535; the
     // streaming sink's epoch markers) win over the derived metrics
@@ -1420,7 +1470,8 @@ class IceTable(
         (prevTotal("total-equality-deletes") + addedEqDeletes - removedEqDeletes).toString,
       "total-data-files" ->
         merged.filter(_.content == 0)
-          .map(m => m.addedFilesCount + m.existingFilesCount).sum.toString) ++ extraSummary
+          .map(m => m.addedFilesCount + m.existingFilesCount).sum.toString) ++
+      partitionSummaries ++ extraSummary
 
     // v3 row lineage: this snapshot's new rows get ids starting at
     // next-row-id (spec §Row Lineage)
@@ -1493,6 +1544,15 @@ class IceTable(
   private[graft] def avroCodec: String =
     metadata.properties.getOrElse("write.avro.compression-codec",
       ManifestIO.DefaultAvroCodec)
+
+  /** Overridable file roots (ref: locations.py + TableProperties
+    * WRITE_DATA_PATH :179 / WRITE_METADATA_PATH :183): object-store
+    * layouts point data and metadata at different buckets/prefixes than
+    * the table location. Data-side resolution lives in
+    * [[Locations.stageDir]]; this is the metadata-side root used for
+    * manifests, manifest lists, and statistics files. */
+  private[graft] def metadataRoot(props: Map[String, String], loc: String): String =
+    props.getOrElse("write.metadata.path", s"$loc/metadata")
 
   /** Metadata-log retention (ref: TableProperties
     * METADATA_PREVIOUS_VERSIONS_MAX :203 default 100 +

@@ -51,11 +51,16 @@ object Locations {
     (dirs :+ bits.substring(total)).mkString("/")
   }
 
-  /** Stage directory for one commit's data files. */
-  def stageDir(location: String, commitUuid: String, props: Map[String, String]): String =
+  /** Stage directory for one commit's data files. The data root honors
+    * `write.data.path` (ref: locations.py WRITE_DATA_PATH — object-store
+    * layouts point data at a different bucket/prefix than the table
+    * location). */
+  def stageDir(location: String, commitUuid: String, props: Map[String, String]): String = {
+    val dataRoot = props.getOrElse("write.data.path", s"$location/data")
     if (props.get("write.object-storage.enabled").contains("true"))
-      s"$location/data/${entropyDirs(commitUuid)}/$commitUuid"
-    else s"$location/data/$commitUuid"
+      s"$dataRoot/${entropyDirs(commitUuid)}/$commitUuid"
+    else s"$dataRoot/$commitUuid"
+  }
 }
 
 object WriteFiles {

@@ -1696,4 +1696,62 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the table still loads and scans fine
     assert(catalog.loadTable("t_mlog").scan.toDF.count() === 8)
   }
+
+  test("write.data.path and write.metadata.path roots are honored") {
+    val dataRoot = java.nio.file.Files.createTempDirectory("graft-dr").toString
+    val metaRoot = java.nio.file.Files.createTempDirectory("graft-mr").toString
+    val t = catalog.createTable("t_roots", Schema.fromSpark(orders.schema))
+    t.setProperties(
+      "write.data.path" -> dataRoot,
+      "write.metadata.path" -> metaRoot)
+    val rel = catalog.loadTable("t_roots")
+    rel.append(orders.limit(100))
+    rel.delete("o_orderkey < 50")
+    // data files landed under the overridden data root...
+    val files = rel.scan.planFiles().map(_.file.filePath)
+    assert(files.nonEmpty && files.forall(_.startsWith(dataRoot)),
+      s"expected data under $dataRoot, got ${files.take(2).mkString(",")}")
+    // ...and manifests + the manifest list under the overridden metadata root
+    val snap = rel.metadata.currentSnapshot.get
+    assert(snap.manifestList.startsWith(metaRoot))
+    val mfs = graft.meta.ManifestIO.readManifestList(snap.manifestList)
+    assert(mfs.nonEmpty && mfs.forall(_.manifestPath.startsWith(metaRoot)))
+    // scans stay correct across the split layout
+    assert(rel.scan.toDF.count() ===
+      orders.limit(100).filter(col("o_orderkey") >= 50).count())
+  }
+
+  test("snapshot summary carries partition change summaries within the limit") {
+    val schema = Schema.fromSpark(orders.schema)
+    val spec = PartitionSpec.build(schema, 0, ("o_orderstatus", IdentityTransform, "st"))
+    val t = catalog.createTable("t_psummary", schema, spec)
+    t.setProperties("write.summary.partition-limit" -> "10")
+    val rel = catalog.loadTable("t_psummary")
+    rel.append(orders.limit(300))
+    val s1 = rel.metadata.currentSnapshot.get.summary
+    // orders has 3 statuses -> 3 changed partitions, within the limit
+    assert(s1("changed-partition-count").toInt === 3)
+    assert(s1("partition-summaries-included") === "true")
+    val pKeys = s1.keys.filter(_.startsWith("partitions.")).toSeq
+    assert(pKeys.size === 3, s"got $pKeys")
+    // each detail entry carries added metrics in k=v form
+    pKeys.foreach { k =>
+      assert(s1(k).contains("added-data-files=") && s1(k).contains("added-records="))
+    }
+    // delete from one partition: its detail shows removals
+    rel.delete("o_orderstatus = 'F'")
+    val s2 = rel.metadata.currentSnapshot.get.summary
+    assert(s2("changed-partition-count").toInt === 1)
+    assert(s2.keys.exists(_.startsWith("partitions.st=F")))
+    assert(s2(s2.keys.find(_.startsWith("partitions.st=F")).get)
+      .contains("deleted-data-files="))
+    // over the limit: only the count appears, no per-partition blowup
+    rel.setProperties("write.summary.partition-limit" -> "0")
+    val rel2 = catalog.loadTable("t_psummary")
+    rel2.append(orders.limit(50))
+    val s3 = rel2.metadata.currentSnapshot.get.summary
+    assert(s3.contains("changed-partition-count"))
+    assert(!s3.keys.exists(_.startsWith("partitions.")))
+    assert(!s3.contains("partition-summaries-included"))
+  }
 }
