@@ -770,6 +770,27 @@ object Iceberg {
     """SELECT p_partkey, p_name, p_retailprice AS price FROM part
       |WHERE p_size <= 25 AND p_retailprice > 910.0 ORDER BY p_partkey""".stripMargin
 
+  /** A. native ORC WRITE path (`write.format.default = orc`): the append,
+    * the CoW delete rewrite, and the footer-stats harvest all run through
+    * Spark's ORC writer + OrcStats — then scan back through the ORC read
+    * branch. Our extension over the reference (it writes parquet only;
+    * its ORC support is read-side, io/pyarrow.py:1119). */
+  def orcWrite(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part")
+    val cat = wh(s)
+    val tab = cat.createTable("part_orc_w", Schema.fromSpark(part.schema))
+    tab.setProperties("write.format.default" -> "orc")
+    val rel = cat.loadTable("part_orc_w")
+    rel.append(part)
+    rel.delete("p_size > 40")
+    nonEmpty(rel.scan("p_retailprice > 905.0")
+      .select("p_partkey", "p_name", "p_size")
+      .toDF.orderBy(col("p_partkey")))
+  }
+  val orcWriteSql =
+    """SELECT p_partkey, p_name, p_size FROM part
+      |WHERE p_size <= 40 AND p_retailprice > 905.0 ORDER BY p_partkey""".stripMargin
+
   /** A+D. row-level deletes over ORC-registered files: half the table
     * parquet, half ORC via add_files, a rename, then ONE positional
     * delete spanning BOTH formats — the parquet half resolves positions
@@ -957,6 +978,7 @@ object Iceberg {
     "ice_snapshots_meta" -> (snapshotsMeta _),
     "ice_add_files" -> (addFiles _),
     "ice_orc_read" -> (orcRead _),
+    "ice_orc_write" -> (orcWrite _),
     "ice_orc_mor" -> (orcMor _),
     "ice_stream_sink" -> (streamSink _),
     "ice_manifest_rewrite" -> (manifestRewrite _),
@@ -1001,6 +1023,7 @@ object Iceberg {
     "ice_snapshots_meta" -> snapshotsMetaSql,
     "ice_add_files" -> addFilesSql,
     "ice_orc_read" -> orcReadSql,
+    "ice_orc_write" -> orcWriteSql,
     "ice_orc_mor" -> orcMorSql,
     "ice_stream_sink" -> streamSinkSql,
     "ice_manifest_rewrite" -> manifestRewriteSql,

@@ -259,6 +259,19 @@ object WriteFiles {
     ws.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     ws.conf.set("spark.sql.files.maxRecordsPerFile", maxRecords.toString)
     def onWs(d: DataFrame): DataFrame = org.apache.spark.sql.GraftBridge.onSession(ws, d)
+
+    // `write.format.default` (ref: TableProperties WRITE_FILE_FORMAT
+    // :181): data files write as parquet (default) or ORC — both via
+    // Spark's native writers, stats harvested from the matching footers.
+    // The reference only WRITES parquet; ORC write is our extension atop
+    // its ORC read path (io/pyarrow.py:1119).
+    val format = props.getOrElse("write.format.default", "parquet").toLowerCase
+    require(format == "parquet" || format == "orc",
+      s"Unsupported write.format.default: $format (parquet | orc)")
+    if (format == "orc")
+      require(!schema.fields.exists(_.fieldType == IUUID),
+        "ORC write does not support uuid columns; use parquet")
+
     // write.uuid.fixed16=true: store uuid columns in the spec's physical
     // layout (FLBA(16) + UUID annotation, like the reference's writer —
     // io/pyarrow.py:2145+) via a per-partition ParquetWriter with a
@@ -312,9 +325,17 @@ object WriteFiles {
         .map(f => orderId.map(id => f.copy(sortOrderId = Some(id))).getOrElse(f))
     }
     val pqOpts = parquetWriterOptions(props)
+    def writeOut(d: DataFrame, partBy: Seq[String]): Unit = {
+      val w0 = d.write.mode("overwrite")
+      val w1 = if (partBy.isEmpty) w0 else w0.partitionBy(partBy: _*)
+      if (format == "orc")
+        w1.option("compression",
+          props.getOrElse("write.orc.compression-codec", "zstd")).orc(stageDir)
+      else w1.options(pqOpts).parquet(stageDir)
+    }
     locally {
       if (spec.isUnpartitioned) {
-        onWs(sorted(aligned)).write.mode("overwrite").options(pqOpts).parquet(stageDir)
+        writeOut(onWs(sorted(aligned)), Nil)
       } else {
         val partCols = spec.fields.map { pf =>
           val src = schema.byId(pf.sourceId)
@@ -345,14 +366,38 @@ object WriteFiles {
         else withParts
         val repartKeys = spec.fields.map(pf => col(SyntheticPrefix + pf.name)) ++
           (if (saltBuckets > 1) Seq(col(saltCol)) else Nil)
-        onWs(sorted(salted.repartition(writeTasks, repartKeys: _*).drop(saltCol)))
-          .write.mode("overwrite").options(pqOpts)
-          .partitionBy(spec.fields.map(pf => SyntheticPrefix + pf.name): _*)
-          .parquet(stageDir)
+        writeOut(onWs(sorted(salted.repartition(writeTasks, repartKeys: _*).drop(saltCol))),
+          spec.fields.map(pf => SyntheticPrefix + pf.name))
       }
     }
-    harvest(spark, stageDir, schema, spec, metricsModes(schema, props))
-      .map(f => orderId.map(id => f.copy(sortOrderId = Some(id))).getOrElse(f))
+    val harvested =
+      if (format == "orc") harvestOrc(spark, stageDir, schema, spec, metricsModes(schema, props))
+      else harvest(spark, stageDir, schema, spec, metricsModes(schema, props))
+    harvested.map(f => orderId.map(id => f.copy(sortOrderId = Some(id))).getOrElse(f))
+  }
+
+  /** ORC counterpart of [[harvest]]: same distributed shape, footer stats
+    * via [[OrcStats]] (name-resolved — Spark's ORC writer emits no
+    * iceberg.id attributes), partition tuples parsed from the fan-out
+    * directory layout. */
+  def harvestOrc(spark: SparkSession, stageDir: String, schema: Schema,
+      spec: PartitionSpec, modes: Map[Int, String] = Map.empty): Seq[DataFile] = {
+    val files = listBySuffix(stageDir, ".orc")
+    if (files.isEmpty) return Nil
+    val colInfo: Seq[(String, Int, String)] = schema.leafColInfo
+    val stage = stageDir
+    val partFieldNames = spec.fields.map(pf => SyntheticPrefix + pf.name)
+    val partTypes = spec.partitionType(schema).map(_.fieldType.repr)
+    val confEntries = graft.meta.Io.confEntries(spark)
+    val slices = math.max(1,
+      math.min(files.size, 4 * spark.sparkContext.defaultParallelism))
+    spark.sparkContext.parallelize(files, slices).mapPartitions { paths =>
+      lazy val conf = graft.meta.Io.confFrom(confEntries)
+      paths.map { p =>
+        OrcStats.fileToDataFile(p, colInfo, conf, modes).copy(
+          partition = StatsHarvester.parsePartition(p, stage, partFieldNames, partTypes))
+      }
+    }.collect().toSeq
   }
 
   /** Per-partition ParquetWriter with the FLBA(16)-patched message type
@@ -487,7 +532,9 @@ object WriteFiles {
     * a recursive listing over thousands of partition directories takes
     * minutes. Remote schemes (s3/hdfs) keep the Hadoop listing, whose
     * native LIST calls are fine at scale. */
-  def listParquet(dir: String): Seq[String] = {
+  def listParquet(dir: String): Seq[String] = listBySuffix(dir, ".parquet")
+
+  def listBySuffix(dir: String, suffix: String): Seq[String] = {
     // locality from the RESOLVED filesystem, not string sniffing: a
     // scheme-less path resolves against fs.defaultFS, which on a cluster
     // is hdfs/s3 — walking the driver's local disk there would silently
@@ -501,7 +548,7 @@ object WriteFiles {
       val s = java.nio.file.Files.walk(root)
       try {
         val b = Seq.newBuilder[String]
-        s.forEach(p => if (p.toString.endsWith(".parquet")) b += p.toString)
+        s.forEach(p => if (p.toString.endsWith(suffix)) b += p.toString)
         b.result()
       } finally s.close()
     } else {
@@ -509,7 +556,7 @@ object WriteFiles {
       val b = Seq.newBuilder[String]
       while (it.hasNext) {
         val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet")) b += PathUtil.canon(f.getPath.toString)
+        if (f.getPath.getName.endsWith(suffix)) b += PathUtil.canon(f.getPath.toString)
       }
       b.result()
     }
