@@ -390,4 +390,41 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got === u.toString)
     }
   }
+
+  test("summary totals invariant: accumulated totals equal the live file set") {
+    // the byte/delete totals are INCREMENTAL (parent totals + added -
+    // removed, IceTable commitOnce) — drift would be invisible to any
+    // single-commit test, so drive a random append/delete sequence and
+    // re-derive the ground truth from planFiles() after every commit
+    import org.apache.spark.sql.functions._
+    val warehouse = java.nio.file.Files.createTempDirectory("prop-totals").toString
+    val cat = new graft.catalog.HadoopCatalog(warehouse, spark)
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val t = cat.createTable("totals_t", Schema.fromSpark(orders.schema))
+    val rnd = new scala.util.Random(7)
+    (1 to 8).foreach { i =>
+      if (i <= 2 || rnd.nextBoolean())
+        t.append(orders.filter(col("o_orderkey") % 8 === rnd.nextInt(8)).limit(200))
+      else {
+        val cut = 1 + rnd.nextInt(1400)
+        t.delete(s"o_orderkey < $cut and o_orderstatus = 'O'")
+      }
+      val files = t.scan.planFiles().map(_.file)
+      val sm = t.metadata.currentSnapshot.get.summary
+      assert(sm("total-files-size").toLong === files.map(_.fileSizeInBytes).sum,
+        s"total-files-size drifted at step $i")
+      assert(sm("total-data-files").toLong === files.size.toLong,
+        s"total-data-files drifted at step $i")
+      assert(sm("total-records").toLong === files.map(_.recordCount).sum,
+        s"total-records drifted at step $i")
+      assert(sm("total-delete-files").toLong === 0L)
+    }
+    // MoR: position deletes move the delete totals, data totals untouched
+    t.deletePositional("o_orderkey < 100")
+    val sm2 = t.metadata.currentSnapshot.get.summary
+    assert(sm2("total-delete-files").toLong >= 1L)
+    assert(sm2("total-position-deletes").toLong > 0L)
+    val dataFiles = t.scan.planFiles().map(_.file)
+    assert(sm2("total-data-files").toLong === dataFiles.size.toLong)
+  }
 }
