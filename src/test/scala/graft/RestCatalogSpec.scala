@@ -367,4 +367,45 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val left = catalog.loadTable("db.dml").scan.toDF
     assert(left.filter(col("o_orderkey") <= 100).count() === 0)
   }
+
+  test("rename cannot silently discard a concurrent commit") {
+    // the r8 atomicity fix: rename holds BOTH name monitors, so a commit
+    // to the source either completes before the move (its rows travel)
+    // or fails 404 — an acknowledged commit is NEVER lost. Hammer both
+    // operations and reconcile acknowledged-commit count vs rows.
+    catalog.createNamespace("race")
+    val t0 = catalog.createTable("race.a", Schema.fromSpark(orders.schema))
+    t0.append(orders.limit(1))
+    val acknowledged = new java.util.concurrent.atomic.AtomicLong(1L)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val writer = new Thread(() => {
+      var i = 0
+      while (i < 30) {
+        val name = if (catalog.tableExists("race.a")) "race.a" else "race.b"
+        try {
+          catalog.loadTable(name).append(orders.limit(1))
+          acknowledged.incrementAndGet()
+        } catch { case _: Exception => () } // 404/409 mid-rename: not acked
+        i += 1
+      }
+      stop.set(true)
+    })
+    val renamer = new Thread(() => {
+      var flip = false
+      while (!stop.get()) {
+        try {
+          if (!flip) catalog.renameTable("race.a", "race.b")
+          else catalog.renameTable("race.b", "race.a")
+          flip = !flip
+        } catch { case _: Exception => () } // 404 when racing the writer's view
+        Thread.sleep(3)
+      }
+    })
+    writer.start(); renamer.start()
+    writer.join(120000); renamer.join(120000)
+    val finalName = if (catalog.tableExists("race.a")) "race.a" else "race.b"
+    val rows = catalog.loadTable(finalName).scan.toDF.count()
+    assert(rows === acknowledged.get(),
+      s"acknowledged ${acknowledged.get()} appends but table holds $rows rows — a commit was lost")
+  }
 }
