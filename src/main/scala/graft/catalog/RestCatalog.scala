@@ -75,7 +75,7 @@ class RestCatalog(
       current = Some(n.get("access_token").asText())
       // refresh 30s before the server-side expiry; no expires_in => static
       expiresAtMs = Option(n.get("expires_in")).filterNot(_.isNull)
-        .map(e => System.currentTimeMillis() + (e.asLong() - 30L).max(5L) * 1000L)
+        .map(e => System.currentTimeMillis() + (e.asLong() - 30L).max(1L) * 1000L)
         .getOrElse(Long.MaxValue)
     }
 

@@ -41,6 +41,9 @@ final class RestCatalogServer(
       * check would be decorative. */
     credential: Option[String] = None,
     prefix: String = "graft",
+    /** Token lifetime advertised in exchange responses; short values let
+      * tests exercise the client's proactive refresh. */
+    tokenExpiresInSec: Int = 3600,
     /** Max file-scan-tasks inlined in one plan response; larger plans
       * paginate through `plan-tasks` tokens + the fetch-tasks endpoint
       * (ref scan_planning.py ScanTasks.plan_tasks) so a 10⁶-file plan
@@ -242,11 +245,15 @@ final class RestCatalogServer(
         fail(401, "NotAuthorizedException", "Invalid client credentials")
     }
     val n = mapper.createObjectNode()
+    tokenExchanges.incrementAndGet()
     n.put("access_token", token.getOrElse("anonymous"))
     n.put("token_type", "bearer")
-    n.put("expires_in", 3600)
+    n.put("expires_in", tokenExpiresInSec)
     n
   }
+
+  /** Exchange counter (visible to tests asserting client refresh). */
+  val tokenExchanges = new java.util.concurrent.atomic.AtomicLong(0L)
 
   // ---- routing -----------------------------------------------------------
 

@@ -408,4 +408,22 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows === acknowledged.get(),
       s"acknowledged ${acknowledged.get()} appends but table holds $rows rows — a commit was lost")
   }
+
+  test("oauth token refreshes proactively near expiry") {
+    // a 31s-lifetime token refreshes 30s early => every-1s re-exchange;
+    // a constructor-cached token would freeze the exchange count at 1
+    val wh = Files.createTempDirectory("graft-oauth").toString
+    val sv = new RestCatalogServer(wh, token = Some("tk"),
+      credential = Some("cid:csec"), tokenExpiresInSec = 31).start()
+    try {
+      val cat = new RestCatalog(sv.uri, spark, Map("credential" -> "cid:csec"))
+      cat.createNamespace("db")
+      val after1 = sv.tokenExchanges.get()
+      assert(after1 >= 1L)
+      Thread.sleep(1200)
+      cat.listNamespaces()
+      assert(sv.tokenExchanges.get() > after1,
+        "client never re-exchanged after the token lifetime elapsed")
+    } finally sv.stop()
+  }
 }
