@@ -155,6 +155,60 @@ class PyInteropSpec extends AnyFunSuite with BeforeAndAfterAll {
       "bucket pruning disagreement between the engines")
   }
 
+  test("graft reads a table the reference WROTE (create + append + delete)") {
+    assume(pythonUsable, "pyiceberg not importable in this environment")
+    // the reverse direction: pyiceberg (tools/pyiceberg_write.py — its own
+    // new_table_metadata / update_table_metadata / pyarrow writer through
+    // a minimal file catalog) creates, appends 500 rows, and CoW-deletes
+    // o_orderkey <= 100; graft must read the foreign metadata JSON,
+    // manifest list, manifests, and parquet bit-for-bit
+    val wh = Files.createTempDirectory("graft-pyw").toString
+    val out = new StringBuilder
+    val err = new StringBuilder
+    val rc = Process(Seq("python3", "/root/repo/tools/pyiceberg_write.py",
+      wh, "/root/testdata/sf0.001/orders.parquet", "500"), None,
+      "PYTHONPATH" -> "/root/repo/tools/pyshim:/root/reference")
+      .!(ProcessLogger(o => out.append(o).append('\n'), e => err.append(e).append('\n')))
+    assert(rc == 0, s"pyiceberg write failed (rc=$rc):\n$err")
+    val metadataPath = out.toString.trim.linesIterator.toSeq.last
+
+    val t = graft.catalog.StaticTable.fromMetadata(metadataPath, spark)
+    val expected = orders.limit(500).filter(col("o_orderkey") > 100)
+    assert(t.scan.toDF.count() === expected.count())
+    assert(t.scan.count() === expected.count()) // metadata count off foreign stats
+    // filtered scan prunes + filters over THEIR manifests and stats
+    val sub = expected.filter(col("o_custkey") < 500)
+    assert(t.scan("o_custkey < 500").toDF.count() === sub.count())
+    // values round-trip, not just counts
+    val gotSum = t.scan.toDF.agg(sum(col("o_orderkey"))).head.getLong(0)
+    val wantSum = expected.agg(sum(col("o_orderkey"))).head.getLong(0)
+    assert(gotSum === wantSum)
+  }
+
+  test("graft prunes a PARTITIONED table the reference wrote") {
+    assume(pythonUsable, "pyiceberg not importable in this environment")
+    val wh = Files.createTempDirectory("graft-pywp").toString
+    val out = new StringBuilder
+    val err = new StringBuilder
+    val rc = Process(Seq("python3", "/root/repo/tools/pyiceberg_write.py",
+      wh, "/root/testdata/sf0.001/orders.parquet", "0", "partitioned"), None,
+      "PYTHONPATH" -> "/root/repo/tools/pyshim:/root/reference")
+      .!(ProcessLogger(o => out.append(o).append('\n'), e => err.append(e).append('\n')))
+    assert(rc == 0, s"pyiceberg write failed (rc=$rc):\n$err")
+    val metadataPath = out.toString.trim.linesIterator.toSeq.last
+
+    val t = graft.catalog.StaticTable.fromMetadata(metadataPath, spark)
+    val expected = orders.filter(col("o_orderkey") > 100)
+    assert(t.scan.toDF.count() === expected.count())
+    // partition pruning over the REFERENCE'S manifest summaries and
+    // partition tuples: fewer files planned, same rows
+    val all = t.scan.planFiles().size
+    val prunedScan = t.scan("o_orderstatus = 'F'")
+    assert(prunedScan.planFiles().size < all)
+    assert(prunedScan.toDF.count() ===
+      expected.filter(col("o_orderstatus") === "F").count())
+  }
+
   test("pyiceberg applies graft-written MoR position deletes") {
     assume(pythonUsable, "pyiceberg not importable in this environment")
     val t = catalog.createTable("py_mor", Schema.fromSpark(orders.schema))
