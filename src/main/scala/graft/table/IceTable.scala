@@ -263,11 +263,24 @@ class IceTable(
     * via scan.useSnapshot(id). */
   def append(df: DataFrame, snapshotProperties: Map[String, String],
       branch: Option[String]): Unit = {
+    ensureNameMappingForIdlessFormat()
     val files = WriteFiles.write(spark, location, schema, spec, df,
       UUID.randomUUID().toString, sortOrderOpt, metadata.properties)
     commitSnapshot("append", added = files, removedPaths = Set.empty,
       extraSummary = snapshotProperties, toBranch = branch)
   }
+
+  /** ORC data files carry no field ids (Spark's ORC writer can't emit
+    * the iceberg.id attributes), so foreign readers need the spec's
+    * fallback channel: install `schema.name-mapping.default` before the
+    * first ORC write, exactly like add_files does for registered id-less
+    * files (ref: name_mapping requirement in io/pyarrow id resolution). */
+  private def ensureNameMappingForIdlessFormat(): Unit =
+    if (metadata.properties.getOrElse("write.format.default", "parquet")
+        .equalsIgnoreCase("orc") &&
+        !metadata.properties.contains("schema.name-mapping.default"))
+      setProperties("schema.name-mapping.default" ->
+        NameMapping.toJson(NameMapping.fromSchema(schema)))
 
   /** Copy-on-write delete (ref: Transaction.delete table/__init__.py:703):
     * phase 1 drops whole files where the STRICT evaluator proves all rows

@@ -333,8 +333,21 @@ final class IceScan(
           case IMap(kid, k, vid, v, _) =>
             MapType(extType(k, NameMapping.childScope(scope, kid)),
               extType(v, NameMapping.childScope(scope, vid)), valueContainsNull = true)
+          // iceberg `timestamp` (ntz) is the plain ORC `timestamp` type,
+          // which Spark's ORC reader surfaces as LTZ — request LTZ here
+          // and cast back to ntz in the projection (UTC sessions make the
+          // round-trip lossless)
+          case ITimestamp if format == "ORC" =>
+            org.apache.spark.sql.types.TimestampType
           case other => UuidCompat.readType(other)
         }
+      def containsNtz(t: IceType): Boolean = t match {
+        case ITimestamp => true
+        case IStruct(fs) => fs.exists(f => containsNtz(f.fieldType))
+        case IList(_, el, _) => containsNtz(el)
+        case IMap(_, k, _, v, _) => containsNtz(k) || containsNtz(v)
+        case _ => false
+      }
       // a subtree needs a restore projection only if some name changed
       // since registration — primitives and unrenamed trees pass through
       def renamed(t: IceType, scope: Seq[MappedField]): Boolean = t match {
@@ -370,9 +383,14 @@ final class IceScan(
       val ext = StructType(readSchema.fields.map(f =>
         StructField(mappedName(mapping, f),
           extType(f.fieldType, NameMapping.childScope(mapping, f.id)), nullable = true)))
-      val cols = readSchema.fields.map(f =>
-        restore(col(mappedName(mapping, f)), f.fieldType,
-          NameMapping.childScope(mapping, f.id)).as(f.name)) ++
+      val cols = readSchema.fields.map { f =>
+        val restored = restore(col(mappedName(mapping, f)), f.fieldType,
+          NameMapping.childScope(mapping, f.id))
+        val typed = if (format == "ORC" && containsNtz(f.fieldType))
+          restored.cast(UuidCompat.readType(f.fieldType))
+        else restored
+        typed.as(f.name)
+      } ++
         (if (keepFile) Seq(PathUtil.canonCol(col("_metadata.file_path")).as("__file")) else Nil)
       // same projection machinery over either columnar format — Spark's
       // ORC reader is vectorized and prunes/pushes down just like parquet

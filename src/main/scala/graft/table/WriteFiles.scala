@@ -268,9 +268,38 @@ object WriteFiles {
     val format = props.getOrElse("write.format.default", "parquet").toLowerCase
     require(format == "parquet" || format == "orc",
       s"Unsupported write.format.default: $format (parquet | orc)")
-    if (format == "orc")
+    if (format == "orc") {
       require(!schema.fields.exists(_.fieldType == IUUID),
         "ORC write does not support uuid columns; use parquet")
+      // Spark's ORC writer has no TIMESTAMP_INSTANT output, so iceberg
+      // `timestamptz` can't be encoded spec-conformantly — refuse typed.
+      // Plain `timestamp` (ntz) IS writable: ORC's plain timestamp type,
+      // produced by casting to LTZ under the UTC write session (the
+      // int64 fallback Spark uses for NTZ is unreadable by foreign
+      // clients).
+      def hasTz(t: IceType): Boolean = t match {
+        case ITimestamptz => true
+        case IStruct(fs) => fs.exists(f => hasTz(f.fieldType))
+        case IList(_, el, _) => hasTz(el)
+        case IMap(_, k, _, v, _) => hasTz(k) || hasTz(v)
+        case _ => false
+      }
+      require(!schema.fields.exists(f => hasTz(f.fieldType)),
+        "ORC write does not support timestamptz columns " +
+          "(Spark's ORC writer cannot emit TIMESTAMP_INSTANT); use parquet")
+      // only TOP-LEVEL ntz columns get the LTZ cast below; a nested ntz
+      // would silently take Spark's int64 fallback — refuse it typed
+      def nestedNtz(t: IceType): Boolean = t match {
+        case IStruct(fs) => fs.exists(f => nestedNtz(f.fieldType) || f.fieldType == ITimestamp)
+        case IList(_, el, _) => nestedNtz(el) || el == ITimestamp
+        case IMap(_, k, _, v, _) =>
+          nestedNtz(k) || nestedNtz(v) || k == ITimestamp || v == ITimestamp
+        case _ => false
+      }
+      require(!schema.fields.exists(f => nestedNtz(f.fieldType)),
+        "ORC write does not support NESTED timestamp columns; use parquet")
+      ws.conf.set("spark.sql.session.timeZone", "UTC")
+    }
 
     // write.uuid.fixed16=true: store uuid columns in the spec's physical
     // layout (FLBA(16) + UUID annotation, like the reference's writer —
@@ -325,7 +354,15 @@ object WriteFiles {
         .map(f => orderId.map(id => f.copy(sortOrderId = Some(id))).getOrElse(f))
     }
     val pqOpts = parquetWriterOptions(props)
-    def writeOut(d: DataFrame, partBy: Seq[String]): Unit = {
+    def writeOut(d0: DataFrame, partBy: Seq[String]): Unit = {
+      // ntz columns cast to LTZ for ORC: under the UTC session this emits
+      // ORC's plain `timestamp` — the spec's encoding for iceberg ntz —
+      // instead of Spark's foreign-unreadable int64 fallback
+      val d = if (format == "orc")
+        schema.fields.filter(_.fieldType == ITimestamp).foldLeft(d0)((dd, f) =>
+          dd.withColumn(f.name,
+            col(f.name).cast(org.apache.spark.sql.types.TimestampType)))
+      else d0
       val w0 = d.write.mode("overwrite")
       val w1 = if (partBy.isEmpty) w0 else w0.partitionBy(partBy: _*)
       if (format == "orc")

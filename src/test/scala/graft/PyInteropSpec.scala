@@ -155,6 +155,49 @@ class PyInteropSpec extends AnyFunSuite with BeforeAndAfterAll {
       "bucket pruning disagreement between the engines")
   }
 
+  test("equality deletes: the reference refuses them (documented gap THEIRS, not ours)") {
+    assume(pythonUsable, "pyiceberg not importable in this environment")
+    // pyiceberg's scan raises on tables with equality deletes
+    // (table/__init__.py plan_files, iceberg#6568) — our engine reads AND
+    // writes them; pin that the foreign-side failure is their documented
+    // refusal, not a malformed table of ours
+    val t = catalog.createTable("py_eq", Schema.fromSpark(orders.schema))
+    t.append(orders.limit(1000))
+    t.deleteEqualityKeys(orders.limit(1000)
+      .filter(col("o_custkey") < 50).select("o_custkey").distinct())
+    assert(t.scan.toDF.count() < 1000L)
+
+    val err = new StringBuilder
+    val rc = Process(Seq("python3", "/root/repo/tools/pyiceberg_read.py",
+      latestMetadata(s"$warehouse/py_eq"), "o_orderkey"), None,
+      "PYTHONPATH" -> "/root/repo/tools/pyshim:/root/reference")
+      .!(ProcessLogger(_ => (), e => err.append(e).append('\n')))
+    assert(rc != 0)
+    assert(err.toString.contains("does not yet support equality deletes"),
+      s"expected the documented refusal, got:\n$err")
+  }
+
+  test("pyiceberg reads graft-written native ORC data files") {
+    assume(pythonUsable, "pyiceberg not importable in this environment")
+    val t = catalog.createTable("py_orc", Schema.fromSpark(orders.schema))
+    t.setProperties("write.format.default" -> "orc")
+    val rel = catalog.loadTable("py_orc")
+    rel.append(orders.limit(600))
+
+    val meta = latestMetadata(s"$warehouse/py_orc")
+    val (rows, keySum) = pyRead(meta, "o_orderkey")
+    assert(rows === 600L)
+    val want = orders.limit(600).agg(sum(col("o_orderkey"))).head.getLong(0)
+    assert(keySum === want, "ORC values mis-read by the reference")
+    // timestamp semantics survive the ntz → ORC plain-timestamp encoding:
+    // the same wall-clock cut must select the same rows in both engines
+    val cut = "1997-06-01T00:00:00"
+    val wantTs = orders.limit(600)
+      .filter(col("o_orderdate") >= lit(cut).cast("timestamp_ntz")).count()
+    val (tsRows, _) = pyRead(meta, "o_orderkey", Some(s"o_orderdate >= '$cut'"))
+    assert(tsRows === wantTs, "timestamp wall-time disagreement through ORC")
+  }
+
   test("graft reads a table the reference WROTE (create + append + delete)") {
     assume(pythonUsable, "pyiceberg not importable in this environment")
     // the reverse direction: pyiceberg (tools/pyiceberg_write.py — its own
