@@ -1418,7 +1418,49 @@ object DataOps {
       |       string_agg(w, ' ' ORDER BY pos) AS clean_text
       |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** BIGRAM CORPUS-FAMILIARITY SCORING — the integer-exact core of
+    * LM-perplexity quality filtering (CCNet-style): per document, how
+    * common its word bigrams are across the corpus (familiarity_sum) and
+    * how many are near-hapax (rare_bigrams, corpus count <= 2) — the
+    * rare-bigram ratio is the standard "gibberish vs fluent" signal.
+    * All-integer outputs keep the cross-engine gate exact where log-prob
+    * averages would drift on float summation order. Scale: bigram
+    * extraction is map-side (transform over sequence, one explode);
+    * corpus counts are ONE shuffle on the bigram with map-side partials;
+    * the score join is bigram-keyed — no all-pairs, no global sort. */
+  def lmFamiliarity(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bg = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws)-2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val counts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    nonEmpty(bg.join(counts, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("c")).cast("long").as("familiarity_sum"),
+        sum(when(col("c") <= 2, 1L).otherwise(0L)).cast("long").as("rare_bigrams"))
+      .orderBy("doc_id"))
+  }
+  val lmFamiliaritySql =
+    """WITH w AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+      |         unnest(string_split(text, ' ')) AS t
+      |  FROM documents),
+      |bg AS (
+      |  SELECT a.doc_id, a.t AS w1, b.t AS w2
+      |  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+      |c2 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2)
+      |SELECT bg.doc_id, count(*) AS n_bigrams,
+      |       CAST(sum(c2.c) AS BIGINT) AS familiarity_sum,
+      |       CAST(count(*) FILTER (WHERE c2.c <= 2) AS BIGINT) AS rare_bigrams
+      |FROM bg JOIN c2 USING (w1, w2)
+      |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_lm_familiarity" -> (lmFamiliarity _),
     "ds_vocab_topk" -> (vocabTopK _),
     "ds_semdedup" -> (semDeDup _),
     "ds_boilerplate_rm" -> (boilerplateRemove _),
@@ -1458,6 +1500,7 @@ object DataOps {
     "ds_chunk_docs" -> chunkDocsSql,
     "ds_decontaminate" -> decontaminateSql,
     "ds_vocab_topk" -> vocabTopKSql,
+    "ds_lm_familiarity" -> lmFamiliaritySql,
     "ds_semdedup" -> semDeDupSql,
     "ds_boilerplate_rm" -> boilerplateRemoveSql,
     "ds_sample_stratified" -> sampleStratifiedSql,
