@@ -782,6 +782,46 @@ object DataOps {
     }
   }
 
+  /** STREAMING DEDUP — `dropDuplicatesWithinWatermark` over the event
+    * stream on a coarse key (user, type, hour), then a per-type distinct
+    * count off the sink: the standard streaming-ingest dedup stage for a
+    * training-data pipeline (duplicate events from at-least-once
+    * transports collapse before they reach the corpus). The watermark TTL
+    * here exceeds the dataset span, so state holds exactly the distinct
+    * keys and the semantics equal batch DISTINCT — which is what the
+    * DuckDB oracle checks. At scale the TTL is the real knob: state is
+    * bounded by keys-per-TTL-window, not by stream length. */
+  def streamDedup(s: SparkSession, dir: String): DataFrame =
+    streamDedupFrom(s, stagedStreamSrc(dir, "events"), maxFilesPerTrigger = None)
+
+  private[graft] def streamDedupFrom(s: SparkSession, src: String,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
+    val sch = s.read.parquet(src).schema
+    val reader = s.readStream.schema(sch)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.parquet(src)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("hr", date_trunc("hour", col("ts")))
+      .withWatermark("ts", "3650 days")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "hr")
+      .select("user_id", "event_type", "hr")
+    val qname = "dd_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    graft.table.WriteFiles.withScopedConfs(s, "spark.sql.shuffle.partitions" -> "8") {
+      val q = stream.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    nonEmpty(s.table(qname)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("distinct_keys"))
+      .orderBy("event_type"))
+  }
+  val streamDedupSql =
+    """SELECT event_type, count(*) AS distinct_keys
+      |FROM (SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
+      |      FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def streamWindowAgg(s: SparkSession, dir: String): DataFrame = {
     // events.ts is parquet timestamp[us] (TIMESTAMP_NTZ to Spark), which
     // watermarks and tumbling windows accept natively — stream straight
@@ -1489,6 +1529,7 @@ object DataOps {
     "ds_text_fingerprint" -> (textFingerprint _),
     "ds_multimodal_features" -> (multimodalFeatures _),
     "stream_window_agg" -> (streamWindowAgg _),
+    "stream_dedup" -> (streamDedup _),
     "stream_sessionize" -> (streamSessionize _),
   )
 
@@ -1522,6 +1563,7 @@ object DataOps {
     "ds_text_fingerprint" -> textFingerprintSql,
     "ds_multimodal_features" -> multimodalFeaturesSql,
     "stream_window_agg" -> streamWindowAggSql,
+    "stream_dedup" -> streamDedupSql,
     "stream_sessionize" -> streamSessionizeSql,
   )
 }

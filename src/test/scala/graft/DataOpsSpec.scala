@@ -278,6 +278,48 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("stream dedup drops duplicates ACROSS micro-batches") {
+    import org.apache.spark.sql.functions._
+    // split events by event_id parity into two files → two micro-batches;
+    // a (user, type, hour) key present in BOTH halves is only deduped if
+    // dropDuplicatesWithinWatermark's state store carries across batches
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val keyed = ev.select(col("user_id"), col("event_type"),
+      date_trunc("hour", col("ts").cast("timestamp")).as("hr"),
+      (col("event_id") % 2).as("half"))
+    val spanning = keyed.groupBy("user_id", "event_type", "hr")
+      .agg(countDistinct(col("half")).as("halves"))
+      .filter(col("halves") === 2).count()
+    assert(spanning > 0, "no dedup key spans the file split — vacuous carry-over test")
+    val staged = java.nio.file.Files.createTempDirectory("graft_dd").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_dd_flat")
+    try {
+      ev.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(s"$staged/a=1")
+      ev.filter(col("event_id") % 2 === 1).coalesce(1).write.parquet(s"$staged/a=2")
+      var i = 0
+      Seq("a=1", "a=2").foreach { sub =>
+        new java.io.File(s"$staged/$sub").listFiles()
+          .filter(_.getName.endsWith(".parquet")).foreach { f =>
+            val out = dst.resolve(f"part-$i%05d.parquet")
+            java.nio.file.Files.copy(f.toPath, out)
+            out.toFile.setLastModified(System.currentTimeMillis() - 120000L + i * 60000L)
+            i += 1
+          }
+      }
+      val streamed = graft.queries.DataOps.streamDedupFrom(spark, dst.toString,
+          maxFilesPerTrigger = Some(1))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val expected = keyed.select("user_id", "event_type", "hr").distinct()
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(streamed.nonEmpty)
+      assert(streamed === expected)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staged))
+      org.apache.commons.io.FileUtils.deleteDirectory(dst.toFile)
+    }
+  }
+
   test("boilerplate removal: broadcast anti-join, order-preserving reassembly") {
     val out = graft.queries.DataOps.boilerplateRemove(spark, dir)
     // the removal join must be a broadcast (the boilerplate vocab is tiny
