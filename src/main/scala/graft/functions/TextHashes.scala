@@ -73,6 +73,40 @@ object TextHashes {
     if (n == out.length) out else java.util.Arrays.copyOf(out, n)
   }
 
+  /** SORTED DISTINCT 64-bit hashes of ALL n-word windows (n-gram
+    * generalization of shingleHashes3, same word64 base + fold mix).
+    * Docs shorter than n words yield one window over the whole doc —
+    * matching concat_ws's null-skipping in the DuckDB oracle. */
+  def windowHashes(text: String, n: Int): Array[Long] = {
+    val ws = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val wh = new Array[Long](ws.length)
+    var i = 0
+    while (i < ws.length) { wh(i) = word64(ws(i)); i += 1 }
+    val m = math.max(ws.length - n + 1, 1)
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var h = 0x9E3779B97F4A7C15L
+      var j = i
+      val end = math.min(i + n, ws.length)
+      while (j < end) {
+        h = (h ^ java.lang.Long.rotateLeft(wh(j), ((j - i) * 13 + 7) & 63)) *
+          0xC2B2AE3D27D4EB4FL
+        j += 1
+      }
+      out(i) = h ^ (h >>> 29)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var k = 0
+    i = 0
+    while (i < out.length) {
+      if (i == 0 || out(i) != out(i - 1)) { out(k) = out(i); k += 1 }
+      i += 1
+    }
+    if (k == out.length) out else java.util.Arrays.copyOf(out, k)
+  }
+
   /** splitmix64 — deterministic per-permutation multipliers/addends. */
   private def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9E3779B97F4A7C15L
@@ -217,6 +251,22 @@ case class ShingleHashes3(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): ShingleHashes3 = copy(child = c)
 }
 
+/** SORTED DISTINCT 64-bit hashes of the n-word windows — the exact
+  * substring-dedup operators (Lee et al. 2021 style) key on these; the
+  * DuckDB oracle uses the literal window strings (identity-by-hash,
+  * collision P ≈ n²/2⁶⁵, same argument as ShingleHashes3). */
+case class WindowHashesN(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  def compute(v: UTF8String): ArrayData =
+    UnsafeArrayDataBridge.fromLongArray(TextHashes.windowHashes(v.toString, n))
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("windowHashes", this, classOf[WindowHashesN].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(c: Expression): WindowHashesN = copy(child = c)
+}
+
 /** |a ∩ b| for two SORTED long arrays as one linear merge — replaces the
   * array_intersect + array_distinct(concat(...)) chain in the Jaccard
   * rescore (those build hash sets per row; this is two pointers over
@@ -266,6 +316,8 @@ object TextFunctions {
     GraftBridge.column(Shingles3(GraftBridge.expression(c)))
   def shingle_hashes3(c: Column): Column =
     GraftBridge.column(ShingleHashes3(GraftBridge.expression(c)))
+  def window_hashes(c: Column, n: Int): Column =
+    GraftBridge.column(WindowHashesN(GraftBridge.expression(c), n))
   def sorted_intersect_size(a: Column, b: Column): Column =
     GraftBridge.column(SortedIntersectSize(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

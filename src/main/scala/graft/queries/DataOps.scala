@@ -294,6 +294,51 @@ object DataOps {
       |      CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** EXACT SUBSTRING DEDUP (Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better"): flag every 8-word window that occurs
+    * verbatim in MORE THAN ONE document and report, per affected doc, how
+    * many of its distinct windows are cross-doc duplicated. The suffix
+    * array of the paper is a single-machine structure; the distributed
+    * equivalent is window fingerprints: one explode over 64-bit window
+    * hashes (8-byte shuffle keys via WindowHashesN, not ~50-byte strings),
+    * one groupBy to find windows with ≥2 distinct docs, one equi-join
+    * back. Work is O(total tokens) rows through two shuffles — no pairwise
+    * comparisons, so it survives 100 TB where the suffix array can't. The
+    * DuckDB oracle derives the identical counts from literal window
+    * strings. */
+  def substringDedup(s: SparkSession, dir: String): DataFrame = {
+    val ex = t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.window_hashes(col("text"), 8).as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("tot_windows"),
+        explode(col("ws")).as("h"))
+    // windows seen in ≥2 distinct docs; ws is per-doc DISTINCT, so a
+    // plain count(*) equals the distinct-doc count — no countDistinct
+    val shared = ex.groupBy(col("h"))
+      .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2).select(col("h"))
+    nonEmpty(ex.join(shared, Seq("h"))
+      .groupBy(col("doc_id"), col("tot_windows"))
+      .agg(count(lit(1)).as("dup_windows"))
+      .select(col("doc_id"), col("dup_windows"), col("tot_windows"))
+      .orderBy(col("doc_id")))
+  }
+  val substringDedupSql = {
+    val win = "concat_ws(' ', w[i],w[i+1],w[i+2],w[i+3],w[i+4],w[i+5],w[i+6],w[i+7])"
+    s"""WITH tok AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(w) - 7, 1)), i -> $win)) AS wins
+      |  FROM tok),
+      |ex AS (SELECT doc_id, len(wins) AS tot_windows, unnest(wins) AS h FROM d),
+      |shared AS (SELECT h FROM ex GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+      |SELECT doc_id, count(*) AS dup_windows, any_value(tot_windows) AS tot_windows
+      |FROM ex JOIN shared USING (h)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** MinHash+LSH near-dedup: 64 permutations over 3-word shingles, 1-row
     * bands (recall 1-(1-j)^64 ≈ 1-5e-20 at j≥0.5), candidates
     * exact-rescored by shingle Jaccard. Same answer as dedupJaccard, found
@@ -1517,6 +1562,7 @@ object DataOps {
     "ds_dedup_exact" -> (dedupExact _),
     "ds_dedup_jaccard" -> (dedupJaccard _),
     "ds_dedup_cluster" -> (dedupCluster _),
+    "ds_substring_dedup" -> (substringDedup _),
     "ds_dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "ds_dedup_simhash" -> (dedupSimhash _),
     "ds_embed_neardup" -> (embedNearDup _),
@@ -1551,6 +1597,7 @@ object DataOps {
     "ds_dedup_exact" -> dedupExactSql,
     "ds_dedup_jaccard" -> dedupJaccardSql,
     "ds_dedup_cluster" -> dedupClusterSql,
+    "ds_substring_dedup" -> substringDedupSql,
     "ds_dedup_minhash_lsh" -> dedupMinhashLshSql,
     "ds_dedup_simhash" -> dedupSimhashSql,
     "ds_embed_neardup" -> embedNearDupSql,

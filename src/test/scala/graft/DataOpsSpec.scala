@@ -278,6 +278,30 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("substring dedup: hash-keyed counts equal literal string-window counts") {
+    import org.apache.spark.sql.functions._
+    val out = DataOps.substringDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.nonEmpty)
+    // recompute from LITERAL window strings (sliding over words) — the
+    // operator's 64-bit hashes must induce the same window partition
+    val ev = spark.read.parquet(s"$dir/documents.parquet")
+    val wins = ev.select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(0), greatest(
+            size(split(lower(trim(col("text"))), "\\s+")) - 8, lit(0))),
+          i => concat_ws(" ", slice(
+            filter(split(lower(trim(col("text"))), "\\s+"), w => w =!= ""),
+            i + 1, lit(8))))).as("ws"))
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+    val shared = wins.groupBy("w").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2).select("w")
+    val expected = wins.join(shared, Seq("w")).groupBy("doc_id")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === expected)
+  }
+
   test("stream dedup drops duplicates ACROSS micro-batches") {
     import org.apache.spark.sql.functions._
     // split events by event_id parity into two files → two micro-batches;
