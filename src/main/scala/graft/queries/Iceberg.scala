@@ -841,6 +841,69 @@ object Iceberg {
   }
   val streamSinkSql = "SELECT * FROM supplier ORDER BY s_suppkey"
 
+  /** J. streaming UPSERT: the canonical foreachBatch + MERGE pattern for
+    * keeping an Iceberg table as the materialized state of a stream —
+    * each micro-batch aggregates its slice, reads the table's current
+    * state for the touched keys, and upserts the combined rows (the
+    * read-merge-write idiom Structured Streaming documents for idempotent
+    * sinks without native MERGE support). Two staged files force TWO
+    * batches, so batch 2 exercises real matched-row updates against batch
+    * 1's commits. At scale each round is a key-equi-join against only the
+    * batch's keys (file-targeted MoR-aware rewrite underneath), never a
+    * full-table rewrite. */
+  def streamUpsert(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val flat = Files.createTempDirectory("graft_su_flat")
+    val ckpt = Files.createTempDirectory("graft_su_ckpt").toString
+    var i = 0
+    Seq(0, 1).foreach { half =>
+      val sub = Files.createTempDirectory("graft_su_half").toString
+      ev.filter(col("event_id") % 2 === half).coalesce(1).write
+        .mode("overwrite").parquet(sub)
+      new java.io.File(sub).listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          val out = flat.resolve(f"part-$i%05d.parquet")
+          Files.copy(f.toPath, out)
+          out.toFile.setLastModified(System.currentTimeMillis() - 120000L + i * 60000L)
+          i += 1
+        }
+    }
+    def aggBatch(b: DataFrame): DataFrame =
+      b.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"), max(col("ts")).as("last_ts"))
+    val tab = wh(s).createTable("ev_state", Schema.fromSpark(aggBatch(ev.limit(0)).schema))
+    val q = s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+      .parquet(flat.toString)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = aggBatch(batch)
+        tab.refresh()
+        val cur = tab.scan.toDF.select(col("user_id"), col("event_type"),
+          col("n").as("cur_n"), col("last_ts").as("cur_last"))
+        val merged = b.join(cur, Seq("user_id", "event_type"), "left")
+          .select(col("user_id"), col("event_type"),
+            (col("n") + coalesce(col("cur_n"), lit(0L))).as("n"),
+            greatest(col("last_ts"), col("cur_last")).as("last_ts"))
+        tab.upsert(merged, Seq("user_id", "event_type"))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    tab.refresh()
+    // non-vacuity: TWO micro-batches must have committed (batch 2 is the
+    // matched-update round) — a single mega-batch would pass the oracle
+    // without exercising the merge path
+    require(tab.metadata.snapshots.length >= 2,
+      s"expected >=2 upsert commits, got ${tab.metadata.snapshots.length}")
+    nonEmpty(tab.scan.toDF.orderBy(col("user_id"), col("event_type")))
+  }
+  val streamUpsertSql =
+    """SELECT user_id, event_type, count(*) AS n, max(ts) AS last_ts
+      |FROM events GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
   /** B/G. nested structs end-to-end: struct column write (nested field
     * ids), DSL filter on a nested field, NESTED RENAME read back through
     * id-based projection over files written before the rename (ref:
@@ -981,6 +1044,7 @@ object Iceberg {
     "ice_orc_write" -> (orcWrite _),
     "ice_orc_mor" -> (orcMor _),
     "ice_stream_sink" -> (streamSink _),
+    "ice_stream_upsert" -> (streamUpsert _),
     "ice_manifest_rewrite" -> (manifestRewrite _),
     "ice_position_deletes_meta" -> (positionDeletesMeta _),
     "ice_changelog" -> (changelogQ _),
@@ -1026,6 +1090,7 @@ object Iceberg {
     "ice_orc_write" -> orcWriteSql,
     "ice_orc_mor" -> orcMorSql,
     "ice_stream_sink" -> streamSinkSql,
+    "ice_stream_upsert" -> streamUpsertSql,
     "ice_manifest_rewrite" -> manifestRewriteSql,
     "ice_position_deletes_meta" -> positionDeletesMetaSql,
     "ice_changelog" -> changelogSql,
