@@ -1464,6 +1464,51 @@ object DataOps {
       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
       |GROUP BY w ORDER BY cnt DESC, word LIMIT 25""".stripMargin
 
+  /** PER-DOCUMENT TF-IDF KEYWORDS — top-3 terms per document by
+    * tf·idf with the raw-frequency idf variant idf = N/df, i.e.
+    * score = tf·N/df. That keeps the score ONE IEEE-754 division of two
+    * exactly-representable integers — correctly rounded and therefore
+    * bit-identical between Spark and DuckDB (log-based idf is NOT: libm
+    * `ln` differs in the last ulp across implementations and flips
+    * row_number ties). Scale: tf is one shuffle on (doc, term) with
+    * map-side combine; df aggregates the already-grouped tf frame (no
+    * second pass over tokens); the df join broadcasts (vocabulary-sized);
+    * the top-3 window partitions by doc_id — no global sort. */
+  def tfidfTopK(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val n = docs.count()
+    val tf = docs
+      .select(col("doc_id"),
+        explode(filter(split(lower(trim(col("text"))), "\\s+"), w => w =!= "")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfq), Seq("term"))
+      .withColumn("score", (col("tf") * n).cast("double") / col("df").cast("double"))
+    nonEmpty(scored
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("score"), col("rk"))
+      .orderBy(col("doc_id"), col("rk")))
+  }
+  val tfidfTopKSql =
+    """WITH words AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, CAST(tf * n AS DOUBLE) / CAST(df AS DOUBLE) AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |r AS (SELECT doc_id, term, score,
+      |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+      |      FROM scored)
+      |SELECT doc_id, term, score, rk FROM r WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin
+
   /** DOCUMENT-FREQUENCY BOILERPLATE REMOVAL — the corpus-level analog of
     * repeated-line stripping (CCNet/RefinedWeb style): tokens appearing
     * in more than 79% of all documents are corpus boilerplate and are
@@ -1547,6 +1592,7 @@ object DataOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_lm_familiarity" -> (lmFamiliarity _),
     "ds_vocab_topk" -> (vocabTopK _),
+    "ds_tfidf_topk" -> (tfidfTopK _),
     "ds_semdedup" -> (semDeDup _),
     "ds_boilerplate_rm" -> (boilerplateRemove _),
     "ds_mix_budget" -> (mixBudget _),
@@ -1587,6 +1633,7 @@ object DataOps {
     "ds_chunk_docs" -> chunkDocsSql,
     "ds_decontaminate" -> decontaminateSql,
     "ds_vocab_topk" -> vocabTopKSql,
+    "ds_tfidf_topk" -> tfidfTopKSql,
     "ds_lm_familiarity" -> lmFamiliaritySql,
     "ds_semdedup" -> semDeDupSql,
     "ds_boilerplate_rm" -> boilerplateRemoveSql,
