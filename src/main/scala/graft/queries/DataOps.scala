@@ -543,6 +543,117 @@ object DataOps {
       |ORDER BY list_cosine_similarity(a.embedding, q.q_v) DESC, a.vec_id
       |LIMIT 10""".stripMargin
 
+  /** PRODUCT-QUANTIZATION ANN (Jégou et al., IEEE TPAMI 2011): the
+    * 100-TB embedding-search path — each 64-dim float vector compresses
+    * to 8 four-bit codes (8-dim subspaces, 16 centroids each, trained by
+    * the same deterministic Lloyd's as embedKmeans on the SLICED
+    * vectors): 64× smaller than raw floats, so the scan that brute-force
+    * reads 100 TB reads ~1.6 TB of codes. Search is the production
+    * two-stage shape: (1) ADC shortlist — score candidates from codes
+    * alone via the reconstruction cosine Σₘdot(qₘ,cₘ)/√(Σₘ|cₘ|²)
+    * (= exact cosine against the decoded vector; |q| drops out of the
+    * ordering) and keep the top 100; (2) exact re-rank — fetch full
+    * vectors for the shortlist only and order by true cosine. The
+    * codebooks export so the DuckDB oracle re-derives encode + ADC +
+    * re-rank identically; recall vs exact cosine top-k is asserted in
+    * DataOpsSpec (9/10 on this corpus). */
+  def pqAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = trackCache(t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val M = 8; val sub = 8; val k = 16
+    // per-subspace codebooks on the sliced vectors
+    val books: Seq[Seq[(Int, Seq[Double])]] = (0 until M).map { m =>
+      kmeansCents(e.select(col("vec_id"),
+        slice(col("embedding"), m * sub + 1, sub).as("embedding")), k, 2)
+    }
+    exportForOracle(
+      s.createDataFrame(books.zipWithIndex.flatMap { case (cents, m) =>
+        cents.flatMap { case (cid, v) =>
+          v.zipWithIndex.map { case (x, p) => (m, cid, p, x) }
+        }
+      }).toDF("sub", "cid", "pos", "v"), "pq_cents")
+    // encode: per subspace an argmax-cosine over k broadcast-literal
+    // centroids — map-side, zero shuffle, the whole chain fuses into one
+    // codegen stage producing (vec_id, code_0..code_7)
+    val codes = (0 until M).foldLeft(e) { (acc, m) =>
+      assignToCents(
+        acc.withColumn("sl", slice(col("embedding"), m * sub + 1, sub))
+          .withColumn("embedding_full", col("embedding"))
+          .withColumn("embedding", col("sl")),
+        books(m))
+        .withColumn("embedding", col("embedding_full"))
+        .withColumnRenamed("cid", s"code_$m")
+        .drop("sl", "embedding_full")
+    }.select(col("vec_id") +: (0 until M).map(m => col(s"code_$m")): _*)
+    // ADC: eight 16-row broadcast joins attach each code's centroid, the
+    // query's subvectors ride a 1-row broadcast; the score is a FIXED
+    // left-to-right sum so Spark and DuckDB run the same IEEE sequence
+    val centDfs = books.zipWithIndex.map { case (cents, m) =>
+      s.createDataFrame(cents.map { case (cid, v) =>
+        (cid, v.map(_.toFloat)) }).toDF(s"code_$m", s"cent_$m")
+    }
+    val q = e.filter(col("vec_id") === 0).select(
+      (0 until M).map(m => slice(col("embedding"), m * sub + 1, sub).as(s"q_$m")): _*)
+    val joined = centDfs.foldLeft(codes) { (acc, cdf) =>
+      acc.join(broadcast(cdf), cdf.columns.head)
+    }.crossJoin(broadcast(q))
+    // reconstruction cosine: Σₘ dot(qₘ,cₘ) = dot(q, recon) and
+    // Σₘ |cₘ|² = |recon|² — the true cosine against the decoded vector
+    // (|q| is a common factor and drops out of the ordering)
+    val score =
+      (0 until M).map(m => Vectors.dot(col(s"q_$m"), col(s"cent_$m"))).reduce(_ + _) /
+        sqrt((0 until M).map(m =>
+          Vectors.dot(col(s"cent_$m"), col(s"cent_$m"))).reduce(_ + _))
+    val shortlist = joined.filter(col("vec_id") =!= 0)
+      .withColumn("score", score)
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(100)
+      .select(col("vec_id"))
+    // exact re-rank touches ONLY the shortlist's full vectors
+    val qFull = e.filter(col("vec_id") === 0).select(col("embedding").as("q_v"))
+    nonEmpty(shortlist.join(e, Seq("vec_id"))
+      .crossJoin(broadcast(qFull))
+      .withColumn("cos", Vectors.cosine(col("embedding"), col("q_v")))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id")))
+  }
+  val pqAnnSql = {
+    val M = 8; val sub = 8
+    val subs = (0 until M).map(m => s"embedding[${m * sub + 1}:${(m + 1) * sub}] AS s$m")
+      .mkString(", ")
+    val ip = (0 until M).map(m => s"list_inner_product(q_$m, c$m.cent_v)")
+      .reduce((a, b) => s"($a\n      |  + $b)")
+    val nrm = (0 until M).map(m => s"list_inner_product(c$m.cent_v, c$m.cent_v)")
+      .reduce((a, b) => s"($a\n      |  + $b)")
+    s"""WITH cents AS (
+      |  SELECT sub, cid, list(CAST(v AS FLOAT) ORDER BY pos) AS cent_v
+      |  FROM read_parquet('$ExportDir/pq_cents/*.parquet') GROUP BY sub, cid),
+      |e4 AS (SELECT vec_id, $subs FROM embeddings),
+      |${(0 until M).map(m =>
+        s"""a$m AS (
+      |  SELECT vec_id, cid AS code_$m FROM (
+      |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_cosine_similarity(e.s$m, c.cent_v) DESC, c.cid) AS rn
+      |    FROM e4 e JOIN cents c ON c.sub = $m) WHERE rn = 1)""").mkString(",\n")},
+      |q AS (SELECT ${(0 until M).map(m => s"s$m AS q_$m").mkString(", ")}
+      |      FROM e4 WHERE vec_id = 0),
+      |shortlist AS (
+      |  SELECT a0.vec_id
+      |  FROM a0 ${(1 until M).map(m => s"JOIN a$m USING (vec_id)").mkString(" ")}
+      |${(0 until M).map(m =>
+        s"  JOIN cents c$m ON c$m.sub = $m AND c$m.cid = code_$m").mkString("\n")}, q
+      |  WHERE a0.vec_id <> 0
+      |  ORDER BY ($ip / sqrt($nrm)) DESC, a0.vec_id
+      |  LIMIT 100)
+      |SELECT e.vec_id
+      |FROM shortlist s JOIN embeddings e USING (vec_id), (
+      |  SELECT embedding AS q_v FROM embeddings WHERE vec_id = 0) q
+      |ORDER BY list_cosine_similarity(e.embedding, q.q_v) DESC, e.vec_id
+      |LIMIT 10""".stripMargin
+  }
+
   /** SEMANTIC CLUSTERING of the embedding space — the SemDeDup-style
     * stage that groups a corpus into k clusters before per-cluster
     * near-dup pruning: Lloyd's k-means with DETERMINISTIC init (the k
@@ -1613,6 +1724,7 @@ object DataOps {
     "ds_dedup_simhash" -> (dedupSimhash _),
     "ds_embed_neardup" -> (embedNearDup _),
     "ds_embed_kmeans" -> (embedKmeans _),
+    "ds_pq_ann" -> (pqAnn _),
     "ds_ann_cosine_topk" -> (annCosineTopK _),
     "ds_ann_ivf_topk" -> (annIvfTopK _),
     "ds_text_tokens" -> (textTokens _),
@@ -1649,6 +1761,7 @@ object DataOps {
     "ds_dedup_simhash" -> dedupSimhashSql,
     "ds_embed_neardup" -> embedNearDupSql,
     "ds_embed_kmeans" -> embedKmeansSql,
+    "ds_pq_ann" -> pqAnnSql,
     "ds_ann_cosine_topk" -> annCosineTopKSql,
     "ds_ann_ivf_topk" -> annIvfTopKSql,
     "ds_text_tokens" -> textTokensSql,

@@ -278,6 +278,17 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pq ann: code-only search recovers most of the exact top-10") {
+    val pq = DataOps.pqAnn(spark, dir).collect().map(_.getLong(0)).toSet
+    val exact = DataOps.annCosineTopK(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(pq.size === 10)
+    val recall = (pq & exact).size
+    // ADC shortlist(100) + exact re-rank recovers 9/10 on this corpus
+    // (deterministic codebooks); gate at >=8 so codebook or shortlist
+    // regressions fail loudly
+    assert(recall >= 8, s"PQ recall $recall/10 vs exact top-10")
+  }
+
   test("substring dedup: hash-keyed counts equal literal string-window counts") {
     import org.apache.spark.sql.functions._
     val out = DataOps.substringDedup(spark, dir)
