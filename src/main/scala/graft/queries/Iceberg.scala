@@ -841,6 +841,37 @@ object Iceberg {
   }
   val streamSinkSql = "SELECT * FROM supplier ORDER BY s_suppkey"
 
+  /** D+. Z-ORDER compaction end-to-end: lineitem scattered across 8
+    * files (round-robin repartition — every file spans the full key
+    * range, so nothing prunes), then `rewriteDataFilesZOrder` on
+    * (l_orderkey, l_partkey). After the rewrite a 2-dimensional box
+    * predicate must SKIP more than half the files on min/max bounds
+    * alone — asserted here, non-vacuously, before returning the scanned
+    * rows the DuckDB oracle checks. */
+  def zorderRewrite(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val tab = wh(s).createTable("li_z", Schema.fromSpark(li.schema))
+    tab.append(li.repartition(8))
+    val pred = "l_orderkey <= 6000 and l_partkey <= 200"
+    // scattered baseline: the box predicate prunes nothing
+    val before = tab.scan(pred).planFiles().size
+    require(before == 8, s"expected an unprunable 8-file layout, read $before")
+    val (rewritten, added) = tab.rewriteDataFilesZOrder(
+      Seq("l_orderkey", "l_partkey"), targetFileBytes = 256L * 1024)
+    require(rewritten == 8 && added >= 4,
+      s"zorder rewrite shape: rewritten=$rewritten added=$added")
+    val after = tab.scan(pred).planFiles().size
+    require(after * 2 < added,
+      s"zorder pruning: $after of $added files read for the box predicate")
+    nonEmpty(tab.scan(pred)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .toDF.orderBy(col("l_orderkey"), col("l_linenumber")))
+  }
+  val zorderRewriteSql =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+      |FROM lineitem WHERE l_orderkey <= 6000 AND l_partkey <= 200
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   /** J. streaming UPSERT: the canonical foreachBatch + MERGE pattern for
     * keeping an Iceberg table as the materialized state of a stream —
     * each micro-batch aggregates its slice, reads the table's current
@@ -1045,6 +1076,7 @@ object Iceberg {
     "ice_orc_mor" -> (orcMor _),
     "ice_stream_sink" -> (streamSink _),
     "ice_stream_upsert" -> (streamUpsert _),
+    "ice_zorder_rewrite" -> (zorderRewrite _),
     "ice_manifest_rewrite" -> (manifestRewrite _),
     "ice_position_deletes_meta" -> (positionDeletesMeta _),
     "ice_changelog" -> (changelogQ _),
@@ -1091,6 +1123,7 @@ object Iceberg {
     "ice_orc_mor" -> orcMorSql,
     "ice_stream_sink" -> streamSinkSql,
     "ice_stream_upsert" -> streamUpsertSql,
+    "ice_zorder_rewrite" -> zorderRewriteSql,
     "ice_manifest_rewrite" -> manifestRewriteSql,
     "ice_position_deletes_meta" -> positionDeletesMetaSql,
     "ice_changelog" -> changelogSql,

@@ -96,14 +96,18 @@ object GraftProcedures {
 
     "rewrite_data_files" -> new Proc("rewrite_data_files",
       Seq(in("table", StringType),
-        inDefault("small_file_bytes", LongType, "NULL")),
+        inDefault("small_file_bytes", LongType, "NULL"),
+        inDefault("zorder_by", StringType, "NULL")),
       StructType(Seq(
         StructField("rewritten_data_files_count", IntegerType),
         StructField("added_data_files_count", IntegerType))),
       { input =>
         val t = catalog.loadTable(input.getUTF8String(0).toString)
         val (rewritten, added) =
-          if (input.isNullAt(1)) t.rewriteDataFiles()
+          if (!input.isNullAt(2))
+            t.rewriteDataFilesZOrder(
+              input.getUTF8String(2).toString.split(',').map(_.trim).toSeq)
+          else if (input.isNullAt(1)) t.rewriteDataFiles()
           else t.rewriteDataFiles(input.getLong(1))
         Seq(Array[Any](rewritten, added))
       }),

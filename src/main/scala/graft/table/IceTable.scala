@@ -927,6 +927,80 @@ class IceTable(
     (toRewrite.size, added.size)
   }
 
+  /** Z-ORDER compaction (maintenance, beyond the reference — the Iceberg
+    * Spark action's `rewriteDataFiles(zorder(...))` equivalent): rewrite
+    * ALL live data into `ceil(bytes/targetFileBytes)` files
+    * range-partitioned and sorted by the 64-bit Morton interleave of the
+    * given columns (functions/ZOrder.scala). Per-file min/max bounds
+    * become tight on EVERY z-dimension, so metadata pruning skips files
+    * for predicates on any of them — the multi-dimensional analog of a
+    * sort order. Contents unchanged (outstanding deletes fold in); one
+    * replace snapshot. Unpartitioned specs only: a fan-out write re-keys
+    * the shuffle by partition value and would destroy the clustering.
+    * Returns (rewritten, added) data-file counts. */
+  def rewriteDataFilesZOrder(cols: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(spec.isUnpartitioned,
+      "zorder rewrite supports unpartitioned tables; drop the spec or compact per partition")
+    val zFields = cols.map(c => schema.findField(c, caseSensitive = true)
+      .getOrElse(throw new IllegalArgumentException(s"zorder column not found: $c")))
+    val scanObj = new IceScan(this)
+    val tasks = scanObj.planFiles()
+    if (tasks.isEmpty) return (0, 0)
+    val totalBytes = tasks.map(_.file.fileSizeInBytes).sum
+    val targetFiles =
+      math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+
+    // per-dimension key in [0, 2³²): MIN-MAX SCALED over the column's
+    // GLOBAL range so the interleave spends its bits on the range that
+    // actually varies (a raw sign-flip key concentrates 0..60000 into 15
+    // low bits and the z-curve degenerates to the other dimension). The
+    // range comes from the MANIFEST bounds — zero data reads; a column
+    // with no usable numeric bounds falls back to the type-level key.
+    def toD(v: Any): Option[Double] = v match {
+      case i: Int => Some(i.toDouble)
+      case l: Long => Some(l.toDouble)
+      case f: Float => Some(f.toDouble)
+      case d: Double => Some(d)
+      case b: java.math.BigDecimal => Some(b.doubleValue())
+      case d: java.time.LocalDate => Some(d.toEpochDay.toDouble)
+      case _ => None
+    }
+    def zKey(f: NestedField): org.apache.spark.sql.Column = {
+      val numeric: Option[org.apache.spark.sql.Column] = f.fieldType match {
+        case IInt | ILong | IFloat | IDouble | IDecimal(_, _) =>
+          Some(col(f.name).cast("double"))
+        case IDate => Some(unix_date(col(f.name)).cast("double"))
+        case ITimestamp | ITimestamptz => Some(unix_micros(col(f.name)).cast("double"))
+        case _ => None
+      }
+      val lo = tasks.flatMap(t => t.file.lowerBounds.get(f.id)).flatMap(toD)
+        .minOption
+      val hi = tasks.flatMap(t => t.file.upperBounds.get(f.id)).flatMap(toD)
+        .maxOption
+      (numeric, lo, hi) match {
+        case (Some(c), Some(l), Some(h)) if h > l =>
+          (least(greatest((c - l) / (h - l), lit(0.0)), lit(1.0)) *
+            4294967295.0).cast("long")
+        case _ =>
+          graft.functions.ZOrderFunctions.znorm32(col(f.name))
+      }
+    }
+    val zname = "_graft_zvalue"
+    val arranged = scanObj.toDFForTasks(tasks, applyResidualOnlyWhereNeeded = true)
+      .withColumn(zname,
+        graft.functions.ZOrderFunctions.zvalueOfKeys(zFields.map(zKey)))
+      .repartitionByRange(targetFiles, col(zname))
+      .sortWithinPartitions(col(zname))
+      .drop(zname)
+    val added = WriteFiles.write(spark, location, schema, spec, arranged,
+      UUID.randomUUID().toString, None, metadata.properties)
+    val removed = tasks.map(_.file.filePath).toSet ++
+      tasks.flatMap(_.deletes.map(_.filePath))
+    commitSnapshot("replace", added = added, removedPaths = removed)
+    (tasks.size, added.size)
+  }
+
   /** Compact POSITION-DELETE files (maintenance; the public
     * rewrite_position_deletes action): merge many small parquet delete
     * files into few range-sorted ones, DEDUPLICATING stacked (path, pos)

@@ -681,6 +681,15 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count(_.content == 0) === 1)
     assert(spark.sql("SELECT count(*) FROM g.db.o_proc").head().getLong(0) === 1200)
 
+    // z-order via CALL: the zorder_by argument routes to
+    // rewriteDataFilesZOrder (clustering quality is covered by ZOrderSpec)
+    val zw = spark.sql(
+      """CALL g.system.rewrite_data_files(table => 'db.o_proc',
+        |zorder_by => 'o_orderkey,o_custkey')""".stripMargin).collect()
+    assert(zw.length === 1 && zw.head.getInt(0) >= 1 && zw.head.getInt(1) >= 1)
+    t.refresh()
+    assert(spark.sql("SELECT count(*) FROM g.db.o_proc").head().getLong(0) === 1200)
+
     // rewrite_position_deletes binds and no-ops on a delete-free table
     // (the merge/dangling semantics are covered by TableSpec)
     val rpd = spark.sql(
