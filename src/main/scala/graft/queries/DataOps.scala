@@ -1264,6 +1264,42 @@ object DataOps {
       |WHERE doc_id % 10 < (CASE lang WHEN 'en' THEN 3 ELSE 10 END)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** DETERMINISTIC CORPUS SHUFFLE + SHARDING — the last step before a
+    * training run: give every document a pseudorandom but REPRODUCIBLE
+    * (engine/retry/scale-invariant) shard and position, so the training
+    * loader streams shard files in order and sees a well-mixed corpus.
+    * Both keys derive from md5(doc_id) — no rand(), no global sort: the
+    * shard is one hash shuffle, the position a per-shard window. The
+    * order-sensitive checksum Σ pos·doc_id proves both engines computed
+    * the IDENTICAL permutation, not just the same membership. */
+  def shardShuffle(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val h = md5(col("doc_id").cast("string"))
+    val keyed = docs.select(col("doc_id"),
+      (conv(substring(h, 1, 7), 16, 10).cast("long") % 8).as("shard_id"),
+      conv(substring(h, 8, 8), 16, 10).cast("long").as("ord_key"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard_id")).orderBy(col("ord_key"), col("doc_id"))
+    nonEmpty(keyed.withColumn("pos", row_number().over(win))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("pos") * col("doc_id")).as("ord_checksum"))
+      .orderBy(col("shard_id")))
+  }
+  val shardShuffleSql =
+    """WITH k AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 8 AS shard_id,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 8, 8))::BIGINT AS ord_key
+      |  FROM documents),
+      |p AS (
+      |  SELECT shard_id, doc_id,
+      |    row_number() OVER (PARTITION BY shard_id ORDER BY ord_key, doc_id) AS pos
+      |  FROM k)
+      |SELECT shard_id, count(*) AS n_docs,
+      |  CAST(sum(pos * doc_id) AS BIGINT) AS ord_checksum
+      |FROM p GROUP BY shard_id ORDER BY shard_id""".stripMargin
+
   /** SEQUENCE PACKING: assign documents to fixed-token-budget training
     * sequences by cumulative token count in deterministic (lang, doc_id)
     * order — the greedy packing pretraining loaders run. The running sum
@@ -1713,6 +1749,7 @@ object DataOps {
     "ds_chunk_docs" -> (chunkDocs _),
     "ds_decontaminate" -> (decontaminate _),
     "ds_sample_stratified" -> (sampleStratified _),
+    "ds_shard_shuffle" -> (shardShuffle _),
     "ds_pack_sequences" -> (packSequences _),
     "ds_dedup_incremental" -> (dedupIncremental _),
     "ds_text_repetition" -> (textRepetition _),
@@ -1750,6 +1787,7 @@ object DataOps {
     "ds_semdedup" -> semDeDupSql,
     "ds_boilerplate_rm" -> boilerplateRemoveSql,
     "ds_sample_stratified" -> sampleStratifiedSql,
+    "ds_shard_shuffle" -> shardShuffleSql,
     "ds_pack_sequences" -> packSequencesSql,
     "ds_dedup_incremental" -> dedupIncrementalSql,
     "ds_text_repetition" -> textRepetitionSql,
