@@ -307,9 +307,15 @@ object DataOps {
     * DuckDB oracle derives the identical counts from literal window
     * strings. */
   def substringDedup(s: SparkSession, dir: String): DataFrame = {
-    val ex = t(s, dir, "documents")
+    // the hashed window arrays feed BOTH the shared-window aggregate and
+    // the join-back side; persist them once (doc-count rows of ~50-long
+    // arrays — ~400 B/doc) instead of re-tokenizing the corpus per branch
+    // (measured 6.0 → 1.0 s at sf0.1)
+    val docs = trackCache(t(s, dir, "documents")
       .select(col("doc_id"),
         TextFunctions.window_hashes(col("text"), 8).as("ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val ex = docs
       .select(col("doc_id"), size(col("ws")).as("tot_windows"),
         explode(col("ws")).as("h"))
     // windows seen in ≥2 distinct docs; ws is per-doc DISTINCT, so a
