@@ -994,6 +994,53 @@ object DataOps {
   def streamDedup(s: SparkSession, dir: String): DataFrame =
     streamDedupFrom(s, stagedStreamSrc(dir, "events"), maxFilesPerTrigger = None)
 
+  /** STREAM-STREAM INTERVAL JOIN — attribute each click to the views it
+    * followed within 30 minutes (the sessioned-attribution join every
+    * event pipeline runs). Both sides are watermarked streams; the
+    * time-bound join condition lets Structured Streaming expire buffered
+    * state past `watermark + interval` — state is bounded by the
+    * interval's event volume, not stream length (the TTL here exceeds
+    * the corpus span so the semantics equal the batch interval join the
+    * DuckDB oracle runs). */
+  def streamIntervalJoin(s: SparkSession, dir: String): DataFrame =
+    streamIntervalJoinFrom(s, stagedStreamSrc(dir, "events"),
+      maxFilesPerTrigger = None)
+
+  private[graft] def streamIntervalJoinFrom(s: SparkSession, src: String,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
+    val sch = s.read.parquet(src).schema
+    def stream = {
+      val r = s.readStream.schema(sch)
+      maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+      r.parquet(src).withColumn("ts", col("ts").cast("timestamp"))
+    }
+    val views = stream.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "3650 days")
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "3650 days")
+    val joined = views.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("interval 30 minutes"))
+      .select(col("v_id"), col("c_id"), col("user_id"))
+    val qname = "ij_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    graft.table.WriteFiles.withScopedConfs(s, "spark.sql.shuffle.partitions" -> "8") {
+      val q = joined.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    nonEmpty(s.table(qname).orderBy(col("v_id"), col("c_id")))
+  }
+  val streamIntervalJoinSql =
+    """SELECT v.event_id AS v_id, c.event_id AS c_id, v.user_id
+      |FROM events v JOIN events c ON v.user_id = c.user_id
+      | AND v.event_type = 'view' AND c.event_type = 'click'
+      | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+      |ORDER BY v_id, c_id""".stripMargin
+
   private[graft] def streamDedupFrom(s: SparkSession, src: String,
       maxFilesPerTrigger: Option[Int]): DataFrame = {
     val sch = s.read.parquet(src).schema
@@ -1815,6 +1862,7 @@ object DataOps {
     "ds_multimodal_features" -> (multimodalFeatures _),
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_dedup" -> (streamDedup _),
+    "stream_interval_join" -> (streamIntervalJoin _),
     "stream_sessionize" -> (streamSessionize _),
   )
 
@@ -1853,6 +1901,7 @@ object DataOps {
     "ds_multimodal_features" -> multimodalFeaturesSql,
     "stream_window_agg" -> streamWindowAggSql,
     "stream_dedup" -> streamDedupSql,
+    "stream_interval_join" -> streamIntervalJoinSql,
     "stream_sessionize" -> streamSessionizeSql,
   )
 }

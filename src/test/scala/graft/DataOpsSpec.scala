@@ -289,6 +289,47 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 8, s"PQ recall $recall/10 vs exact top-10")
   }
 
+  test("stream interval join matches pairs ACROSS micro-batches") {
+    import org.apache.spark.sql.functions._
+    // view and click of at least one attributed pair land in DIFFERENT
+    // files (event_id parity split) — the match only surfaces if the
+    // stream-stream join buffers state across batches
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val pairs = ev.as("v").join(ev.as("c"),
+      col("v.user_id") === col("c.user_id") &&
+        col("v.event_type") === "view" && col("c.event_type") === "click" &&
+        col("c.ts") >= col("v.ts") &&
+        col("c.ts") <= col("v.ts") + expr("interval 30 minutes"))
+      .select(col("v.event_id").as("v_id"), col("c.event_id").as("c_id"),
+        col("v.user_id").as("user_id"))
+    val expected = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val spanning = expected.count { case (v, c) => v % 2 != c % 2 }
+    assert(spanning > 0, "no pair spans the file split — vacuous state test")
+    val staged = java.nio.file.Files.createTempDirectory("graft_ij").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_ij_flat")
+    try {
+      ev.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(s"$staged/a=1")
+      ev.filter(col("event_id") % 2 === 1).coalesce(1).write.parquet(s"$staged/a=2")
+      var i = 0
+      Seq("a=1", "a=2").foreach { sub =>
+        new java.io.File(s"$staged/$sub").listFiles()
+          .filter(_.getName.endsWith(".parquet")).foreach { f =>
+            val out = dst.resolve(f"part-$i%05d.parquet")
+            java.nio.file.Files.copy(f.toPath, out)
+            out.toFile.setLastModified(System.currentTimeMillis() - 120000L + i * 60000L)
+            i += 1
+          }
+      }
+      val streamed = graft.queries.DataOps.streamIntervalJoinFrom(spark,
+          dst.toString, maxFilesPerTrigger = Some(1))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed === expected)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staged))
+      org.apache.commons.io.FileUtils.deleteDirectory(dst.toFile)
+    }
+  }
+
   test("substring dedup: hash-keyed counts equal literal string-window counts") {
     import org.apache.spark.sql.functions._
     val out = DataOps.substringDedup(spark, dir)
