@@ -621,21 +621,31 @@ object DataOps {
   }
   val pqAnnSql = {
     val M = 8; val sub = 8
-    val subs = (0 until M).map(m => s"embedding[${m * sub + 1}:${(m + 1) * sub}] AS s$m")
-      .mkString(", ")
+    // every list is element-cast to DOUBLE before any fold so DuckDB
+    // accumulates in double exactly like Spark's VectorDot (inner products
+    // over FLOAT[] would accumulate in FLOAT — ~1e-8 divergence that can
+    // flip an argmax or a shortlist boundary); centroids round through
+    // FLOAT first to match the float typedLit literals on the Spark side,
+    // and cosine is spelled as ip/(sqrt·sqrt) — Vectors.cosine's exact
+    // op sequence — instead of list_cosine_similarity
+    def dbl(l: String) = s"list_transform($l, x -> CAST(x AS DOUBLE))"
+    def cos(a: String, b: String) =
+      s"(list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))))"
+    val subs = (0 until M).map(m =>
+      dbl(s"embedding[${m * sub + 1}:${(m + 1) * sub}]") + s" AS s$m").mkString(", ")
     val ip = (0 until M).map(m => s"list_inner_product(q_$m, c$m.cent_v)")
       .reduce((a, b) => s"($a\n      |  + $b)")
     val nrm = (0 until M).map(m => s"list_inner_product(c$m.cent_v, c$m.cent_v)")
       .reduce((a, b) => s"($a\n      |  + $b)")
     s"""WITH cents AS (
-      |  SELECT sub, cid, list(CAST(v AS FLOAT) ORDER BY pos) AS cent_v
+      |  SELECT sub, cid, list(CAST(CAST(v AS FLOAT) AS DOUBLE) ORDER BY pos) AS cent_v
       |  FROM read_parquet('$ExportDir/pq_cents/*.parquet') GROUP BY sub, cid),
       |e4 AS (SELECT vec_id, $subs FROM embeddings),
       |${(0 until M).map(m =>
         s"""a$m AS (
       |  SELECT vec_id, cid AS code_$m FROM (
       |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
-      |      ORDER BY list_cosine_similarity(e.s$m, c.cent_v) DESC, c.cid) AS rn
+      |      ORDER BY ${cos(s"e.s$m", "c.cent_v")} DESC, c.cid) AS rn
       |    FROM e4 e JOIN cents c ON c.sub = $m) WHERE rn = 1)""").mkString(",\n")},
       |q AS (SELECT ${(0 until M).map(m => s"s$m AS q_$m").mkString(", ")}
       |      FROM e4 WHERE vec_id = 0),
@@ -648,9 +658,10 @@ object DataOps {
       |  ORDER BY ($ip / sqrt($nrm)) DESC, a0.vec_id
       |  LIMIT 100)
       |SELECT e.vec_id
-      |FROM shortlist s JOIN embeddings e USING (vec_id), (
-      |  SELECT embedding AS q_v FROM embeddings WHERE vec_id = 0) q
-      |ORDER BY list_cosine_similarity(e.embedding, q.q_v) DESC, e.vec_id
+      |FROM shortlist s JOIN (
+      |  SELECT vec_id, ${dbl("embedding")} AS emb FROM embeddings) e USING (vec_id), (
+      |  SELECT ${dbl("embedding")} AS q_v FROM embeddings WHERE vec_id = 0) q
+      |ORDER BY ${cos("e.emb", "q.q_v")} DESC, e.vec_id
       |LIMIT 10""".stripMargin
   }
 

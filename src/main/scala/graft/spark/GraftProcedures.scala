@@ -104,9 +104,13 @@ object GraftProcedures {
       { input =>
         val t = catalog.loadTable(input.getUTF8String(0).toString)
         val (rewritten, added) =
-          if (!input.isNullAt(2))
-            t.rewriteDataFilesZOrder(
-              input.getUTF8String(2).toString.split(',').map(_.trim).toSeq)
+          if (!input.isNullAt(2)) {
+            val cols = input.getUTF8String(2).toString.split(',').map(_.trim).toSeq
+            // small_file_bytes doubles as the z-order target file size so
+            // the caller's sizing is never silently discarded
+            if (input.isNullAt(1)) t.rewriteDataFilesZOrder(cols)
+            else t.rewriteDataFilesZOrder(cols, targetFileBytes = input.getLong(1))
+          }
           else if (input.isNullAt(1)) t.rewriteDataFiles()
           else t.rewriteDataFiles(input.getLong(1))
         Seq(Array[Any](rewritten, added))

@@ -19,6 +19,30 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  /** Stage each frame as one parquet file in a flat dir with staggered
+    * mtimes: the file-stream source admits files in MODIFICATION-TIME
+    * order, so each frame becomes its own micro-batch (with
+    * maxFilesPerTrigger = 1) in the given order — the cross-batch
+    * state-carry-over harness all the streaming tests share. Returns
+    * (stagingDir, flatDir); caller deletes both. */
+  private def stageOrderedFiles(halves: Seq[org.apache.spark.sql.DataFrame])
+      : (java.io.File, java.io.File) = {
+    val staged = java.nio.file.Files.createTempDirectory("graft_stage").toFile
+    val dst = java.nio.file.Files.createTempDirectory("graft_stage_flat").toFile
+    var i = 0
+    halves.zipWithIndex.foreach { case (h, j) =>
+      h.coalesce(1).write.parquet(s"$staged/a=$j")
+      new java.io.File(s"$staged/a=$j").listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          val out = new java.io.File(dst, f"part-$i%05d.parquet")
+          java.nio.file.Files.copy(f.toPath, out.toPath)
+          out.setLastModified(System.currentTimeMillis() - 120000L + i * 60000L)
+          i += 1
+        }
+    }
+    (staged, dst)
+  }
+
   test("vector_dot: mismatched dimensions yield null, not a partial product") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions.vector_dot
@@ -216,27 +240,13 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         col("next") - col("ts_us") <= 1800000000L)
       .orderBy(abs(col("ts_us") - medianUs)).select(col("ts_us"))
       .head().getLong(0)
-    val staged = java.nio.file.Files.createTempDirectory("graft_sess2").toString
-    val dst = java.nio.file.Files.createTempDirectory("graft_sess2_flat")
+    // time-ordered ingestion: the cut splits the stream into two files
+    // arriving in timestamp order (the append-only-log arrival the
+    // operator documents)
+    val (staged, dst) = stageOrderedFiles(Seq(
+      ev.filter(unix_micros(col("ts").cast("timestamp")) <= cutUs),
+      ev.filter(unix_micros(col("ts").cast("timestamp")) > cutUs)))
     try {
-    ev.filter(unix_micros(col("ts").cast("timestamp")) <= cutUs).coalesce(1)
-      .write.parquet(s"$staged/a=1")
-    ev.filter(unix_micros(col("ts").cast("timestamp")) > cutUs).coalesce(1)
-      .write.parquet(s"$staged/a=2")
-    // flatten: the file source wants plain files under one dir. The
-    // source admits files in MODIFICATION-TIME order, so stamp explicit
-    // mtimes to fix the batch order (time-ordered ingestion, the
-    // append-only-log arrival the operator documents)
-    var i = 0
-    Seq("a=1", "a=2").foreach { sub =>
-      new java.io.File(s"$staged/$sub").listFiles()
-        .filter(_.getName.endsWith(".parquet")).foreach { f =>
-          val out = dst.resolve(f"part-$i%05d.parquet")
-          java.nio.file.Files.copy(f.toPath, out)
-          out.toFile.setLastModified(System.currentTimeMillis() - 120000L + i * 60000L)
-          i += 1
-        }
-    }
     // guard against a vacuous split: some user must have a session that
     // SPANS the cut (events within the 30-min gap on both sides), or the
     // test would pass with broken state carry-over
@@ -273,8 +283,8 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.nonEmpty)
     assert(streamed.toSet === expected.toSet)
     } finally {
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staged))
-      org.apache.commons.io.FileUtils.deleteDirectory(dst.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(staged)
+      org.apache.commons.io.FileUtils.deleteDirectory(dst)
     }
   }
 
@@ -305,28 +315,16 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expected = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val spanning = expected.count { case (v, c) => v % 2 != c % 2 }
     assert(spanning > 0, "no pair spans the file split — vacuous state test")
-    val staged = java.nio.file.Files.createTempDirectory("graft_ij").toString
-    val dst = java.nio.file.Files.createTempDirectory("graft_ij_flat")
+    val (staged, dst) = stageOrderedFiles(Seq(
+      ev.filter(col("event_id") % 2 === 0), ev.filter(col("event_id") % 2 === 1)))
     try {
-      ev.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(s"$staged/a=1")
-      ev.filter(col("event_id") % 2 === 1).coalesce(1).write.parquet(s"$staged/a=2")
-      var i = 0
-      Seq("a=1", "a=2").foreach { sub =>
-        new java.io.File(s"$staged/$sub").listFiles()
-          .filter(_.getName.endsWith(".parquet")).foreach { f =>
-            val out = dst.resolve(f"part-$i%05d.parquet")
-            java.nio.file.Files.copy(f.toPath, out)
-            out.toFile.setLastModified(System.currentTimeMillis() - 120000L + i * 60000L)
-            i += 1
-          }
-      }
       val streamed = graft.queries.DataOps.streamIntervalJoinFrom(spark,
           dst.toString, maxFilesPerTrigger = Some(1))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(streamed === expected)
     } finally {
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staged))
-      org.apache.commons.io.FileUtils.deleteDirectory(dst.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(staged)
+      org.apache.commons.io.FileUtils.deleteDirectory(dst)
     }
   }
 
@@ -338,13 +336,15 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // recompute from LITERAL window strings (sliding over words) — the
     // operator's 64-bit hashes must induce the same window partition
     val ev = spark.read.parquet(s"$dir/documents.parquet")
-    val wins = ev.select(col("doc_id"),
+    // the index range must come from the FILTERED word count (matching the
+    // oracle's greatest(len(w)-7, 1)), or leading/trailing whitespace
+    // yields spurious short tail windows
+    val wins = ev
+      .withColumn("w", filter(split(lower(trim(col("text"))), "\\s+"), w => w =!= ""))
+      .select(col("doc_id"),
         array_distinct(transform(
-          sequence(lit(0), greatest(
-            size(split(lower(trim(col("text"))), "\\s+")) - 8, lit(0))),
-          i => concat_ws(" ", slice(
-            filter(split(lower(trim(col("text"))), "\\s+"), w => w =!= ""),
-            i + 1, lit(8))))).as("ws"))
+          sequence(lit(0), greatest(size(col("w")) - 8, lit(0))),
+          i => concat_ws(" ", slice(col("w"), i + 1, lit(8))))).as("ws"))
       .select(col("doc_id"), explode(col("ws")).as("w"))
     val shared = wins.groupBy("w").agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= 2).select("w")
@@ -367,21 +367,9 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .agg(countDistinct(col("half")).as("halves"))
       .filter(col("halves") === 2).count()
     assert(spanning > 0, "no dedup key spans the file split — vacuous carry-over test")
-    val staged = java.nio.file.Files.createTempDirectory("graft_dd").toString
-    val dst = java.nio.file.Files.createTempDirectory("graft_dd_flat")
+    val (staged, dst) = stageOrderedFiles(Seq(
+      ev.filter(col("event_id") % 2 === 0), ev.filter(col("event_id") % 2 === 1)))
     try {
-      ev.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(s"$staged/a=1")
-      ev.filter(col("event_id") % 2 === 1).coalesce(1).write.parquet(s"$staged/a=2")
-      var i = 0
-      Seq("a=1", "a=2").foreach { sub =>
-        new java.io.File(s"$staged/$sub").listFiles()
-          .filter(_.getName.endsWith(".parquet")).foreach { f =>
-            val out = dst.resolve(f"part-$i%05d.parquet")
-            java.nio.file.Files.copy(f.toPath, out)
-            out.toFile.setLastModified(System.currentTimeMillis() - 120000L + i * 60000L)
-            i += 1
-          }
-      }
       val streamed = graft.queries.DataOps.streamDedupFrom(spark, dst.toString,
           maxFilesPerTrigger = Some(1))
         .collect().map(r => (r.getString(0), r.getLong(1))).toMap
@@ -391,8 +379,8 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(streamed.nonEmpty)
       assert(streamed === expected)
     } finally {
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staged))
-      org.apache.commons.io.FileUtils.deleteDirectory(dst.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(staged)
+      org.apache.commons.io.FileUtils.deleteDirectory(dst)
     }
   }
 
