@@ -33,7 +33,7 @@ object TableUpdate {
   final case class AddSortOrder(order: SortOrder) extends TableUpdate
   final case class SetDefaultSortOrder(orderId: Int) extends TableUpdate
   final case class AddSnapshot(snapshot: Snapshot) extends TableUpdate
-  final case class SetSnapshotRef(refName: String, refType: String, snapshotId: Long)
+  final case class SetSnapshotRef(refName: String, ref: SnapshotRef)
       extends TableUpdate
   final case class RemoveSnapshots(snapshotIds: Seq[Long]) extends TableUpdate
   final case class RemoveSnapshotRef(refName: String) extends TableUpdate
@@ -152,9 +152,13 @@ object RestUpdates {
       case AddSnapshot(s) =>
         n.put("action", "add-snapshot")
         n.set[JsonNode]("snapshot", MetadataJson.snapshotToJson(s))
-      case SetSnapshotRef(name, tpe, id) =>
+      case SetSnapshotRef(name, r) =>
         n.put("action", "set-snapshot-ref")
-        n.put("ref-name", name); n.put("type", tpe); n.put("snapshot-id", id)
+        n.put("ref-name", name); n.put("type", r.refType)
+        n.put("snapshot-id", r.snapshotId)
+        r.minSnapshotsToKeep.foreach(v => n.put("min-snapshots-to-keep", v))
+        r.maxSnapshotAgeMs.foreach(v => n.put("max-snapshot-age-ms", v))
+        r.maxRefAgeMs.foreach(v => n.put("max-ref-age-ms", v))
       case RemoveSnapshots(ids) =>
         n.put("action", "remove-snapshots")
         val a = n.putArray("snapshot-ids"); ids.foreach(a.add)
@@ -198,8 +202,13 @@ object RestUpdates {
     case "add-sort-order" => AddSortOrder(MetadataJson.sortOrderFromJson(n.get("sort-order")))
     case "set-default-sort-order" => SetDefaultSortOrder(n.get("sort-order-id").asInt())
     case "add-snapshot" => AddSnapshot(MetadataJson.snapshotFromJson(n.get("snapshot")))
-    case "set-snapshot-ref" => SetSnapshotRef(n.get("ref-name").asText(),
-      n.get("type").asText(), n.get("snapshot-id").asLong())
+    case "set-snapshot-ref" =>
+      def optL(k: String) = Option(n.get(k)).filterNot(_.isNull).map(_.asLong())
+      SetSnapshotRef(n.get("ref-name").asText(), SnapshotRef(
+        n.get("snapshot-id").asLong(), n.get("type").asText(),
+        minSnapshotsToKeep = optL("min-snapshots-to-keep").map(_.toInt),
+        maxSnapshotAgeMs = optL("max-snapshot-age-ms"),
+        maxRefAgeMs = optL("max-ref-age-ms")))
     case "remove-snapshots" => RemoveSnapshots(arr(n.get("snapshot-ids")).map(_.asLong()))
     case "remove-snapshot-ref" => RemoveSnapshotRef(n.get("ref-name").asText())
     case "set-location" => SetLocation(n.get("location").asText())
@@ -299,7 +308,7 @@ object RestUpdates {
         target.snapshots.sortBy(s => (s.sequenceNumber, s.timestampMs))
           .foreach(s => b += AddSnapshot(s))
         target.refs.foreach { case (name, r) =>
-          b += SetSnapshotRef(name, r.refType, r.snapshotId)
+          b += SetSnapshotRef(name, r)
         }
         target.statistics.foreach(st => b += SetStatistics(st))
         target.partitionStatistics.foreach(ps => b += SetPartitionStatistics(ps))
@@ -342,7 +351,7 @@ object RestUpdates {
         if (droppedSnaps.nonEmpty) b += RemoveSnapshots(droppedSnaps)
 
         target.refs.foreach { case (name, r) =>
-          if (m.refs.get(name) != Some(r)) b += SetSnapshotRef(name, r.refType, r.snapshotId)
+          if (m.refs.get(name) != Some(r)) b += SetSnapshotRef(name, r)
         }
         m.refs.keys.filterNot(target.refs.contains).foreach(name => b += RemoveSnapshotRef(name))
 
@@ -461,10 +470,11 @@ object RestUpdates {
           lastUpdatedMs = s.timestampMs,
           nextRowId = s.firstRowId.map(f => math.max(
             m.nextRowId.getOrElse(0L), f + addedRecords)).orElse(m.nextRowId))
-      case SetSnapshotRef(name, tpe, id) =>
+      case SetSnapshotRef(name, r) =>
+        val id = r.snapshotId
         require(m.snapshots.exists(_.snapshotId == id),
           s"Cannot set $name to unknown snapshot $id")
-        m = m.copy(refs = m.refs + (name -> SnapshotRef(id, tpe)))
+        m = m.copy(refs = m.refs + (name -> r))
         if (name == "main") {
           val alreadyLogged = m.snapshotLog.lastOption.exists(_.snapshotId == id)
           // stamp with the snapshot's own ts for a fresh append (so the

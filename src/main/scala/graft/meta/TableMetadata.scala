@@ -47,7 +47,21 @@ final case class PartitionStatisticsFile(
     statisticsPath: String,
     fileSizeInBytes: Long)
 
-final case class SnapshotRef(snapshotId: Long, refType: String) // "branch" | "tag"
+/** "branch" | "tag", with the spec's optional per-ref retention fields
+  * (ref: table/refs.py:40 — tags cannot carry snapshot-retention fields,
+  * all values must be positive). */
+final case class SnapshotRef(snapshotId: Long, refType: String,
+    minSnapshotsToKeep: Option[Int] = None,
+    maxSnapshotAgeMs: Option[Long] = None,
+    maxRefAgeMs: Option[Long] = None) {
+  require(refType != "tag" || minSnapshotsToKeep.isEmpty,
+    "Tags do not support setting minSnapshotsToKeep")
+  require(refType != "tag" || maxSnapshotAgeMs.isEmpty,
+    "Tags do not support setting maxSnapshotAgeMs")
+  require(minSnapshotsToKeep.forall(_ > 0), "minSnapshotsToKeep must be > 0")
+  require(maxSnapshotAgeMs.forall(_ > 0), "maxSnapshotAgeMs must be > 0")
+  require(maxRefAgeMs.forall(_ > 0), "maxRefAgeMs must be > 0")
+}
 
 final case class SortField(sourceId: Int, transform: Transform, direction: String, nullOrder: String)
 final case class SortOrder(orderId: Int, fields: Seq[SortField])
@@ -409,6 +423,9 @@ object MetadataJson {
     m.refs.foreach { case (name, r) =>
       val rn = refsN.putObject(name)
       rn.put("snapshot-id", r.snapshotId); rn.put("type", r.refType)
+      r.minSnapshotsToKeep.foreach(v => rn.put("min-snapshots-to-keep", v))
+      r.maxSnapshotAgeMs.foreach(v => rn.put("max-snapshot-age-ms", v))
+      r.maxRefAgeMs.foreach(v => rn.put("max-ref-age-ms", v))
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)
   }
@@ -468,8 +485,13 @@ object MetadataJson {
         val it = r.properties().iterator()
         while (it.hasNext) {
           val e = it.next()
-          b += e.getKey -> SnapshotRef(e.getValue.get("snapshot-id").asLong(),
-            e.getValue.get("type").asText())
+          val v = e.getValue
+          def optL(k: String) = Option(v.get(k)).filterNot(_.isNull).map(_.asLong())
+          b += e.getKey -> SnapshotRef(v.get("snapshot-id").asLong(),
+            v.get("type").asText(),
+            minSnapshotsToKeep = optL("min-snapshots-to-keep").map(_.toInt),
+            maxSnapshotAgeMs = optL("max-snapshot-age-ms"),
+            maxRefAgeMs = optL("max-ref-age-ms"))
         }
         b.result()
       }.getOrElse(Map.empty),

@@ -269,12 +269,23 @@ final class SpecUpdate(table: IceTable) {
 /** Branch/tag + rollback management (ref: table/update/snapshot.py:864-999
   * ManageSnapshots). */
 final class ManageSnapshots(table: IceTable) {
-  def createTag(name: String, snapshotId: Long): ManageSnapshots = {
-    table.commitMetadata(m => m.copy(refs = m.refs + (name -> SnapshotRef(snapshotId, "tag"))))
+  /** (ref: create_tag update/snapshot.py:864 — optional max_ref_age_ms;
+    * tags cannot carry snapshot-retention fields, refs.py:49). */
+  def createTag(name: String, snapshotId: Long,
+      maxRefAgeMs: Option[Long] = None): ManageSnapshots = {
+    table.commitMetadata(m => m.copy(refs = m.refs +
+      (name -> SnapshotRef(snapshotId, "tag", maxRefAgeMs = maxRefAgeMs))))
     this
   }
-  def createBranch(name: String, snapshotId: Long): ManageSnapshots = {
-    table.commitMetadata(m => m.copy(refs = m.refs + (name -> SnapshotRef(snapshotId, "branch"))))
+  /** (ref: create_branch update/snapshot.py:893 — optional
+    * max_snapshot_age_ms / min_snapshots_to_keep / max_ref_age_ms). */
+  def createBranch(name: String, snapshotId: Long,
+      minSnapshotsToKeep: Option[Int] = None,
+      maxSnapshotAgeMs: Option[Long] = None,
+      maxRefAgeMs: Option[Long] = None): ManageSnapshots = {
+    table.commitMetadata(m => m.copy(refs = m.refs +
+      (name -> SnapshotRef(snapshotId, "branch", minSnapshotsToKeep,
+        maxSnapshotAgeMs, maxRefAgeMs))))
     this
   }
   def removeTag(name: String): ManageSnapshots = {
@@ -360,7 +371,40 @@ final class ExpireSnapshots private[table] (table: IceTable) {
     * Ancestors are expirable: snapshots are self-contained (each owns its
     * manifest list), so removing history only retires time travel to it. */
   private def protectedIds: Set[Long] =
-    m.refs.values.map(_.snapshotId).toSet ++ m.currentSnapshotId.toSet
+    retentionView(m, System.currentTimeMillis())._2
+
+  /** PER-REF retention (extension following iceberg-java RemoveSnapshots;
+    * the reference persists the fields — table/refs.py:40 — but its
+    * expiry only protects heads): (1) refs other than main whose HEAD
+    * snapshot is older than their max-ref-age-ms are dropped by this
+    * expiry commit; (2) each surviving branch carrying retention fields
+    * additionally protects its newest min-snapshots-to-keep ancestors and
+    * every ancestor younger than max-snapshot-age-ms. Returns the
+    * surviving refs and the protection set. */
+  private def retentionView(meta: graft.meta.TableMetadata,
+      nowMs: Long): (Map[String, graft.meta.SnapshotRef], Set[Long]) = {
+    val refsAfter = meta.refs.filter { case (name, r) =>
+      name == "main" || r.maxRefAgeMs.forall { maxAge =>
+        val headTs = meta.snapshotById(r.snapshotId).map(_.timestampMs)
+          .getOrElse(Long.MaxValue)
+        nowMs - headTs <= maxAge
+      }
+    }
+    val prot = scala.collection.mutable.Set[Long]()
+    prot ++= refsAfter.values.map(_.snapshotId)
+    prot ++= meta.currentSnapshotId
+    refsAfter.values.filter(r => r.refType == "branch" &&
+        (r.minSnapshotsToKeep.isDefined || r.maxSnapshotAgeMs.isDefined))
+      .foreach { r =>
+        val keepN = r.minSnapshotsToKeep.getOrElse(1)
+        meta.ancestorsOf(r.snapshotId).zipWithIndex.foreach { case (s, i) =>
+          if (i < keepN ||
+              r.maxSnapshotAgeMs.exists(a => nowMs - s.timestampMs <= a))
+            prot += s.snapshotId
+        }
+      }
+    (refsAfter, prot.toSet)
+  }
 
   def byId(id: Long): this.type = {
     require(m.snapshotById(id).isDefined, s"Snapshot with ID $id does not exist")
@@ -396,16 +440,18 @@ final class ExpireSnapshots private[table] (table: IceTable) {
     * never dangling references. */
   def commit(): Seq[Long] = {
     val wanted = toExpire.toSet
+    val nowMs = System.currentTimeMillis()
     // no-op pre-check against CURRENT metadata: scheduled maintenance that
     // expires nothing must not write a new metadata version (churn +
     // spurious CAS conflicts for concurrent writers). The authoritative
     // filtering still re-runs inside the retry closure.
     locally {
       val meta = table.metadata
-      val prot = meta.refs.values.map(_.snapshotId).toSet ++ meta.currentSnapshotId.toSet
+      val (refsAfter, prot) = retentionView(meta, nowMs)
       val keepNewest = if (keepLast == 0) Set.empty[Long]
         else meta.snapshots.sortBy(_.timestampMs).takeRight(keepLast).map(_.snapshotId).toSet
-      if (!meta.snapshots.exists(s =>
+      val refsChange = refsAfter != meta.refs
+      if (!refsChange && !meta.snapshots.exists(s =>
         wanted(s.snapshotId) && !prot(s.snapshotId) && !keepNewest(s.snapshotId)))
         return Nil
     }
@@ -414,7 +460,7 @@ final class ExpireSnapshots private[table] (table: IceTable) {
     var keptSnaps: Seq[graft.meta.Snapshot] = Nil
     var expStatsPaths: Seq[String] = Nil
     table.commitMetadata { meta =>
-      val prot = meta.refs.values.map(_.snapshotId).toSet ++ meta.currentSnapshotId.toSet
+      val (refsAfter, prot) = retentionView(meta, nowMs)
       val keepNewest = if (keepLast == 0) Set.empty[Long]
         else meta.snapshots.sortBy(_.timestampMs).takeRight(keepLast).map(_.snapshotId).toSet
       val gone = meta.snapshots.sortBy(_.timestampMs).map(_.snapshotId)
@@ -431,6 +477,7 @@ final class ExpireSnapshots private[table] (table: IceTable) {
         meta.partitionStatistics.filter(ps => gone(ps.snapshotId)).map(_.statisticsPath)
       meta.copy(
         snapshots = keptSnaps,
+        refs = refsAfter,
         snapshotLog = meta.snapshotLog.filterNot(e => gone(e.snapshotId)),
         statistics = meta.statistics.filterNot(st => gone(st.snapshotId)),
         partitionStatistics = meta.partitionStatistics.filterNot(ps => gone(ps.snapshotId)))

@@ -346,6 +346,36 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.scan.toDF.count() > 0)
   }
 
+  test("per-ref retention: max-ref-age expires refs, branch fields protect ancestors") {
+    val t = catalog.createTable("t_expire_ret", Schema.fromSpark(orders.schema))
+    t.append(orders.limit(10))
+    val s1 = t.metadata.currentSnapshotId.get
+    t.append(orders.limit(20))
+    val s2 = t.metadata.currentSnapshotId.get
+    t.append(orders.limit(30))
+    val s3 = t.metadata.currentSnapshotId.get
+    // a tag already past its max-ref-age (head snapshot ts is in the past)
+    t.manageSnapshots.createTag("old-tag", s1, maxRefAgeMs = Some(1L))
+    // a branch holding its newest TWO ancestors (head s3 + s2)
+    t.manageSnapshots.createBranch("hold", s3, minSnapshotsToKeep = Some(2))
+    Thread.sleep(5)
+    val expired = t.expireSnapshots()
+      .olderThan(System.currentTimeMillis() + 1000).commit()
+    // the aged-out tag is dropped by this commit, releasing s1; s2 stays
+    // protected by the hold branch's min-snapshots-to-keep
+    assert(!t.metadata.refs.contains("old-tag"))
+    assert(expired === Seq(s1))
+    assert(t.metadata.snapshotById(s2).isDefined)
+    // retention fields round-trip through the metadata JSON
+    val reloaded = catalog.loadTable("t_expire_ret")
+    assert(reloaded.metadata.refs("hold").minSnapshotsToKeep === Some(2))
+    // spec validation (ref refs.py:49): tags cannot carry snapshot retention
+    intercept[IllegalArgumentException](
+      graft.meta.SnapshotRef(1L, "tag", minSnapshotsToKeep = Some(1)))
+    intercept[IllegalArgumentException](
+      graft.meta.SnapshotRef(1L, "branch", maxSnapshotAgeMs = Some(0L)))
+  }
+
   test("expire-snapshots builder: by_id rejects protected, expires orphans") {
     val t = catalog.createTable("t_expire_b", Schema.fromSpark(orders.schema))
     t.append(orders.limit(10))
