@@ -17,7 +17,10 @@ final case class Snapshot(
     summary: Map[String, String],
     schemaId: Int,
     /** v3 row lineage: first row id assigned to this snapshot's new rows. */
-    firstRowId: Option[Long] = None) {
+    firstRowId: Option[Long] = None,
+    /** v3 row lineage: upper bound of rows assigned ids by this snapshot
+      * (spec `added-rows`; ref snapshots.py:252). */
+    addedRows: Option[Long] = None) {
   def operation: String = summary.getOrElse("operation", "append")
 }
 
@@ -292,6 +295,7 @@ object MetadataJson {
     sn.put("manifest-list", s.manifestList)
     sn.put("schema-id", s.schemaId)
     s.firstRowId.foreach(sn.put("first-row-id", _))
+    s.addedRows.foreach(sn.put("added-rows", _))
     val sum = sn.putObject("summary")
     s.summary.foreach { case (k, v) => sum.put(k, v) }
     sn
@@ -306,7 +310,8 @@ object MetadataJson {
       s.get("manifest-list").asText(),
       Option(s.get("summary")).map(strMap).getOrElse(Map.empty),
       Option(s.get("schema-id")).map(_.asInt()).getOrElse(0),
-      Option(s.get("first-row-id")).map(_.asLong()))
+      Option(s.get("first-row-id")).map(_.asLong()),
+      Option(s.get("added-rows")).map(_.asLong()))
 
   def statisticsToJson(st: StatisticsFile): ObjectNode = {
     val sn = mapper.createObjectNode()

@@ -1170,7 +1170,7 @@ class IceTable(
         dataOnly.map(m => m.addedFilesCount + m.existingFilesCount).sum.toString)
     val firstRowId = if (base.formatVersion >= 3) Some(base.nextRowId.getOrElse(0L)) else None
     val snap = Snapshot(snapId, base.currentSnapshotId, seq, now, listPath, summary,
-      base.currentSchemaId, firstRowId)
+      base.currentSchemaId, firstRowId, addedRows = firstRowId.map(_ => 0L))
     val (mlog, droppedMeta) = trimMetadataLog(base.metadataLog :+
       MetadataLogEntry(now, s"$metaDir/v$version.metadata.json"))
     val newMeta = base.copy(
@@ -1565,7 +1565,7 @@ class IceTable(
     val firstRowId = if (base.formatVersion >= 3)
       Some(base.nextRowId.getOrElse(0L)) else None
     val snap = Snapshot(snapId, parentId, seq, now, listPath, summary,
-      base.currentSchemaId, firstRowId)
+      base.currentSchemaId, firstRowId, addedRows = firstRowId.map(_ => addedRecords))
     val withExtra0 = extraMeta(base)
     val withExtra = if (registerUnpartSpec)
       withExtra0.copy(partitionSpecs = withExtra0.partitionSpecs :+ unpartSpec)

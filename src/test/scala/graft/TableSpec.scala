@@ -1273,11 +1273,13 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.metadata.nextRowId === Some(100L))
     t.append(orders.limit(50))
     assert(t.metadata.currentSnapshot.get.firstRowId === Some(100L))
+    assert(t.metadata.currentSnapshot.get.addedRows === Some(50L))
     assert(t.metadata.nextRowId === Some(150L))
     // v3 json round-trips the lineage fields
     val back = MetadataJson.fromJson(MetadataJson.toJson(t.metadata))
     assert(back.nextRowId === Some(150L))
     assert(back.currentSnapshot.get.firstRowId === Some(100L))
+    assert(back.currentSnapshot.get.addedRows === Some(50L))
   }
 
   test("puffin ndv statistics: write, register, read back") {
