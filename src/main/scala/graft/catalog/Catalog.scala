@@ -102,6 +102,73 @@ trait Catalog {
       out.toByteArray)
   }
 
+  /** STAGED table creation (ref: create_table_transaction
+    * catalog/__init__.py:914 → CreateTableTransaction): the catalog sees
+    * NOTHING until `commitTransaction()` — all intermediate commits
+    * (appends, schema changes, properties) land on an in-memory staging
+    * catalog, and the final metadata registers atomically through the
+    * same CREATE_NEW swap as registerTable. Staged data files are written
+    * under the table's future location before registration, so an
+    * abandoned transaction leaves only unreferenced files (orphans),
+    * never a half-created catalog entry; a concurrent create of the same
+    * name makes commitTransaction throw CommitConflictException. */
+  def createTableTransaction(name: String, schema: Schema,
+      spec: PartitionSpec = PartitionSpec.Unpartitioned,
+      properties: Map[String, String] = Map.empty): CreateTableTransaction = {
+    require(!tableExists(name), s"Table $name already exists")
+    val outer = this
+    val meta = TableMetadata(
+      tableUuid = UUID.randomUUID().toString,
+      location = s"$warehouse/${name.replace('.', '/')}",
+      lastUpdatedMs = System.currentTimeMillis(),
+      lastColumnId = schema.highestFieldId,
+      schemas = Seq(schema),
+      currentSchemaId = schema.schemaId,
+      partitionSpecs = Seq(spec),
+      defaultSpecId = spec.specId,
+      lastPartitionId = if (spec.fields.isEmpty) PartitionSpec.StartFieldId - 1
+        else spec.fields.map(_.fieldId).max,
+      properties = properties)
+    val stagingCat: Catalog = new Catalog {
+      private var state: (Int, TableMetadata) = (0, meta)
+      def spark: SparkSession = outer.spark
+      def warehouse: String = outer.warehouse
+      def commit(n: String, expectedVersion: Int, m: TableMetadata): Int =
+        synchronized {
+          if (expectedVersion != state._1)
+            throw new CommitConflictException(n, expectedVersion)
+          state = (state._1 + 1, m)
+          state._1
+        }
+      def loadTable(n: String): IceTable = synchronized {
+        new IceTable(this, name, state._2, state._1)
+      }
+      def tableExists(n: String): Boolean = n == name
+      def currentVersion(n: String): Option[Int] = synchronized(Some(state._1))
+      def createTable(n: String, s: Schema, sp: PartitionSpec,
+          p: Map[String, String]): IceTable =
+        throw new UnsupportedOperationException("staged create-table transaction")
+      def dropTable(n: String): Unit =
+        throw new UnsupportedOperationException("staged create-table transaction")
+      override def renameTable(from: String, to: String): Unit =
+        throw new UnsupportedOperationException("staged create-table transaction")
+      def createNamespace(ns: String): Unit = ()
+      def dropNamespace(ns: String): Unit = ()
+      def listNamespaces(): Seq[String] = Nil
+      def listTables(ns: String): Seq[String] = Seq(name)
+      protected def forgetTable(n: String): Unit = ()
+      protected def forgetView(n: String): Unit = ()
+      protected def linkView(n: String, metadataLocation: String): Unit =
+        throw new UnsupportedOperationException("staged create-table transaction")
+      def listViews(ns: String): Seq[String] = Nil
+      protected def storeView(n: String, version: Int, expected: Option[String],
+          json: String, location: String): String =
+        throw new UnsupportedOperationException("staged create-table transaction")
+      protected def viewLocation(n: String): Option[String] = None
+    }
+    new CreateTableTransaction(outer, new IceTable(stagingCat, name, meta, 0))
+  }
+
   /** Adopt an existing table by its metadata file WITHOUT rewriting data
     * (ref: register_table :498). The table keeps its original location. */
   def registerTable(name: String, metadataPath: String): IceTable = {
@@ -452,6 +519,24 @@ class MemoryCatalog(val warehouse: String, val spark: SparkSession) extends Cata
   def listViews(ns: String = ""): Seq[String] = views.synchronized {
     if (ns.isEmpty) views.keys.filterNot(_.contains('.')).toSeq.sorted
     else views.keys.filter(_.startsWith(ns + ".")).toSeq.sorted
+  }
+}
+
+/** Handle returned by [[Catalog.createTableTransaction]]: `table` is the
+  * STAGED table (every DML/DDL on it commits to memory only);
+  * `commitTransaction()` atomically registers the accumulated metadata in
+  * the real catalog and returns the durable table. */
+final class CreateTableTransaction private[catalog] (
+    real: Catalog, val table: IceTable) {
+  private var committed = false
+  def append(df: org.apache.spark.sql.DataFrame): this.type = {
+    table.append(df); this
+  }
+  def commitTransaction(): IceTable = synchronized {
+    require(!committed, "Transaction already committed")
+    real.commit(table.name, 0, table.refresh().metadata)
+    committed = true
+    real.loadTable(table.name)
   }
 }
 

@@ -841,6 +841,23 @@ object Iceberg {
   }
   val streamSinkSql = "SELECT * FROM supplier ORDER BY s_suppkey"
 
+  /** G. staged CREATE TABLE transaction (ref: create_table_transaction
+    * catalog/__init__.py:914): appends stage against an in-memory
+    * catalog; the table is INVISIBLE until commitTransaction registers
+    * the accumulated metadata atomically. */
+  def createTxn(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val cat = wh(s)
+    val txn = cat.createTableTransaction("cust_txn", Schema.fromSpark(cust.schema))
+    txn.append(cust.filter(col("c_custkey") % 2 === 0))
+      .append(cust.filter(col("c_custkey") % 2 === 1))
+    require(!cat.tableExists("cust_txn"), "staged table leaked into the catalog")
+    val tab = txn.commitTransaction()
+    require(tab.metadata.snapshots.size == 2, "both staged appends must commit")
+    nonEmpty(tab.scan.toDF.orderBy(col("c_custkey")))
+  }
+  val createTxnSql = "SELECT * FROM customer ORDER BY c_custkey"
+
   /** D+. Z-ORDER compaction end-to-end: lineitem scattered across 8
     * files (round-robin repartition — every file spans the full key
     * range, so nothing prunes), then `rewriteDataFilesZOrder` on
@@ -1077,6 +1094,7 @@ object Iceberg {
     "ice_stream_sink" -> (streamSink _),
     "ice_stream_upsert" -> (streamUpsert _),
     "ice_zorder_rewrite" -> (zorderRewrite _),
+    "ice_create_txn" -> (createTxn _),
     "ice_manifest_rewrite" -> (manifestRewrite _),
     "ice_position_deletes_meta" -> (positionDeletesMeta _),
     "ice_changelog" -> (changelogQ _),
@@ -1124,6 +1142,7 @@ object Iceberg {
     "ice_stream_sink" -> streamSinkSql,
     "ice_stream_upsert" -> streamUpsertSql,
     "ice_zorder_rewrite" -> zorderRewriteSql,
+    "ice_create_txn" -> createTxnSql,
     "ice_manifest_rewrite" -> manifestRewriteSql,
     "ice_position_deletes_meta" -> positionDeletesMetaSql,
     "ice_changelog" -> changelogSql,

@@ -346,6 +346,27 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.scan.toDF.count() > 0)
   }
 
+  test("create-table transaction: invisible until commit, atomic vs concurrent create") {
+    val txn = catalog.createTableTransaction("t_ctt", Schema.fromSpark(orders.schema))
+    txn.append(orders.limit(10)).append(orders.limit(20))
+    txn.table.refresh().setProperties("staged.by" -> "txn")
+    // staged: data files exist on disk, the catalog entry does not
+    assert(!catalog.tableExists("t_ctt"))
+    val t = txn.commitTransaction()
+    assert(catalog.tableExists("t_ctt"))
+    assert(t.scan.toDF.count() === 30)
+    assert(t.metadata.snapshots.size === 2)
+    assert(t.metadata.properties("staged.by") === "txn")
+    intercept[IllegalArgumentException](txn.commitTransaction())
+    // a concurrent direct create of the same name wins; the staged
+    // transaction's commit must conflict, never overwrite
+    val txn2 = catalog.createTableTransaction("t_ctt2", Schema.fromSpark(orders.schema))
+    txn2.append(orders.limit(5))
+    catalog.createTable("t_ctt2", Schema.fromSpark(orders.schema))
+    intercept[graft.catalog.CommitConflictException](txn2.commitTransaction())
+    assert(catalog.loadTable("t_ctt2").metadata.snapshots.isEmpty)
+  }
+
   test("per-ref retention: max-ref-age expires refs, branch fields protect ancestors") {
     val t = catalog.createTable("t_expire_ret", Schema.fromSpark(orders.schema))
     t.append(orders.limit(10))
