@@ -1838,7 +1838,143 @@ object DataOps {
       |FROM bg JOIN c2 USING (w1, w2)
       |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
 
+  /** BM25 TOP-K RETRIEVAL — rank documents for a fixed query ("spark
+    * merge vector stream") with the BM25 weighting family (k1=1.2,
+    * b=0.75) using the raw idf variant idf=(N-df+0.5)/(df+0.5) — every
+    * factor is a correctly-rounded IEEE op over exactly-representable
+    * integers, applied in ONE fixed expression order, so Spark and
+    * DuckDB produce bit-identical doubles (the log-idf variant would
+    * drift in the last ulp and flip ranking ties; same engineering rule
+    * as tfidfTopK). Per-term scores are summed left-to-right as named
+    * columns, never a float SUM over an unordered group. Scale: per-doc
+    * tf/dl come from array ops on the token list — NO explode and NO
+    * shuffle for scoring; corpus stats (N, total length, per-term df)
+    * are one two-stage aggregate producing a single broadcastable row;
+    * the top-k is TakeOrderedAndProject. Scoring 100 TB is one map pass. */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val terms = Seq("spark", "merge", "vector", "stream")
+    val toks = docs.select(col("doc_id"),
+      filter(split(lower(trim(col("text"))), "\\s+"), w => w =!= "").as("ws"))
+    val per = toks.select(
+      (col("doc_id") +: size(col("ws")).as("dl") +:
+        terms.zipWithIndex.map { case (tm, i) =>
+          size(filter(col("ws"), w => w === tm)).as(s"tf${i + 1}")
+        }): _*)
+    val st = per.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).as("total") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf${i + 1}") > 0, 1L).otherwise(0L)).as(s"df${i + 1}"))): _*)
+      .first()
+    val n = st.getAs[Long]("n")
+    val total = st.getAs[Long]("total")
+    // norm = k1 * (1 - b + b * dl/avgdl) with dl/avgdl == dl*N/total —
+    // one division of exact integers, identical op order in the oracle
+    val norm = lit(1.2) * (lit(0.25) + lit(0.75) *
+      ((col("dl") * lit(n)).cast("double") / lit(total.toDouble)))
+    val score = terms.indices.map { i =>
+      val df = st.getAs[Long](s"df${i + 1}")
+      val idf = ((n - df).toDouble + 0.5) / (df.toDouble + 0.5)
+      lit(idf) * (col(s"tf${i + 1}").cast("double") * lit(2.2)) /
+        (col(s"tf${i + 1}").cast("double") + norm)
+    }.reduceLeft(_ + _)
+    nonEmpty(per.withColumn("score", score)
+      .filter(col("score") > 0d)
+      .select(col("doc_id"), col("dl"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(15))
+  }
+  val bm25TopKSql = {
+    val terms = Seq("spark", "merge", "vector", "stream")
+    val tfCols = terms.zipWithIndex.map { case (tm, i) =>
+      s"len(list_filter(ws, w -> w = '$tm')) AS tf${i + 1}"
+    }.mkString(", ")
+    val dfCols = terms.indices.map(i =>
+      s"CAST(count(*) FILTER (WHERE tf${i + 1} > 0) AS BIGINT) AS df${i + 1}"
+    ).mkString(", ")
+    val score = terms.indices.map { i =>
+      val t1 = i + 1
+      s"(((CAST(n - df$t1 AS DOUBLE) + 0.5) / (CAST(df$t1 AS DOUBLE) + 0.5)) * " +
+        s"(CAST(tf$t1 AS DOUBLE) * 2.2) / (CAST(tf$t1 AS DOUBLE) + " +
+        "(1.2 * (0.25 + 0.75 * (CAST(dl * n AS DOUBLE) / CAST(total AS DOUBLE))))))"
+    }.mkString(" + ")
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> w <> '') AS ws
+      |  FROM documents),
+      |per AS (SELECT doc_id, len(ws) AS dl, $tfCols FROM toks),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS total,
+      |              $dfCols FROM per)
+      |SELECT doc_id, dl, $score AS score
+      |FROM per CROSS JOIN st
+      |WHERE $score > 0
+      |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+  }
+
+  /** HYPERLOGLOG DISTINCT SKETCH — distributed cardinality registers over
+    * md5-hashed document texts (with injected duplicates), grouped by
+    * language: 256 buckets from the first 2 md5 hex chars, rho from the
+    * leading-zero count of the next 13 (52 bits, via bin() string length
+    * — exact integer logic, no float log). The oracle re-derives the
+    * REGISTER TABLE itself (md5 is engine-portable) plus the exact
+    * distinct count; the float estimate (harmonic mean) is asserted
+    * against the exact answer in DataOpsSpec at <5% error rather than
+    * hash-compared, per the house rule for probabilistic stages. Scale:
+    * registers are ONE groupBy((lang,bucket)).max(rho) with map-side
+    * combine — the 100-TB sketch shuffles at most groups x 256 rows of
+    * bytes, then folds to one row per group; this is exactly how a
+    * distributed HLL union works (max of registers is associative). */
+  def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val dups = docs.filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + 2000000)
+    val in = docs.unionByName(dups)
+    val h = md5(col("text").cast("binary"))
+    val hashed = in.select(col("lang"), col("text"),
+      conv(substring(h, 1, 2), 16, 10).cast("long").as("bucket"),
+      conv(substring(h, 3, 13), 16, 10).cast("long").as("v"))
+    val regs = hashed
+      .withColumn("rho",
+        when(col("v") === 0L, lit(53L))
+          .otherwise(lit(53L) - length(bin(col("v")))))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+    val sketch = regs.groupBy("lang").agg(
+      count(lit(1)).as("buckets_used"),
+      sum((col("bucket") + 1L) * col("r")).as("register_checksum"))
+    val exact = hashed.groupBy("lang")
+      .agg(countDistinct(col("text")).as("exact_distinct"))
+    nonEmpty(sketch.join(exact, Seq("lang"))
+      .select(col("lang"), col("buckets_used"), col("register_checksum"),
+        col("exact_distinct"))
+      .orderBy(col("lang")))
+  }
+  val hllDistinctSql =
+    """WITH input AS (
+      |  SELECT lang, text FROM documents
+      |  UNION ALL
+      |  SELECT lang, text FROM documents WHERE doc_id % 7 = 0),
+      |hashed AS (
+      |  SELECT lang, text,
+      |    ('0x' || substr(md5(text), 1, 2))::BIGINT AS bucket,
+      |    ('0x' || substr(md5(text), 3, 13))::BIGINT AS v
+      |  FROM input),
+      |regs AS (
+      |  SELECT lang, bucket,
+      |    max(CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END) AS r
+      |  FROM hashed GROUP BY lang, bucket),
+      |sk AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS buckets_used,
+      |         CAST(sum((bucket + 1) * r) AS BIGINT) AS register_checksum
+      |  FROM regs GROUP BY lang),
+      |ex AS (SELECT lang, count(DISTINCT text) AS exact_distinct
+      |       FROM hashed GROUP BY lang)
+      |SELECT lang, buckets_used, register_checksum, exact_distinct
+      |FROM sk JOIN ex USING (lang) ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_bm25_topk" -> (bm25TopK _),
+    "ds_hll_distinct" -> (hllDistinct _),
     "ds_lm_familiarity" -> (lmFamiliarity _),
     "ds_vocab_topk" -> (vocabTopK _),
     "ds_tfidf_topk" -> (tfidfTopK _),
@@ -1878,6 +2014,8 @@ object DataOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "ds_bm25_topk" -> bm25TopKSql,
+    "ds_hll_distinct" -> hllDistinctSql,
     "ds_mix_budget" -> mixBudgetSql,
     "ds_pii_redact" -> piiRedactSql,
     "ds_url_dedup" -> urlDedupSql,

@@ -447,4 +447,53 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dropped <= bruteDropped,
       s"clustered semdedup dropped $dropped > brute-force bound $bruteDropped")
   }
+
+  test("bm25: scores rank query-term docs, descending, and beat term-free docs") {
+    import org.apache.spark.sql.functions._
+    val out = DataOps.bm25TopK(spark, dir).collect()
+    assert(out.nonEmpty)
+    val scores = out.map(_.getDouble(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "top-k not ordered by score")
+    // every returned doc must actually contain a query term
+    val terms = Set("spark", "merge", "vector", "stream")
+    val ids = out.map(_.getLong(0)).toSet
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id").isin(ids.toSeq: _*))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    ids.foreach { id =>
+      assert(texts(id).toLowerCase.split("\\s+").exists(terms),
+        s"doc $id scored > 0 without any query term")
+    }
+  }
+
+  test("hll sketch: harmonic-mean estimate within 5% of the exact distinct") {
+    import org.apache.spark.sql.functions._
+    // re-derive the register table exactly as the operator builds it,
+    // then compute the HLL++ raw estimate driver-side (m=256) and gate
+    // the relative error — the float stage the oracle can't hash-check
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val dups = docs.filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + 2000000)
+    val in = docs.unionByName(dups)
+    val h = md5(col("text").cast("binary"))
+    val hashed = in.select(col("text"),
+      conv(substring(h, 1, 2), 16, 10).cast("long").as("bucket"),
+      conv(substring(h, 3, 13), 16, 10).cast("long").as("v"))
+    val regs = hashed
+      .withColumn("rho", when(col("v") === 0L, lit(53L))
+        .otherwise(lit(53L) - length(bin(col("v")))))
+      .groupBy("bucket").agg(max(col("rho")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = 256
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val z = (0 until m).map(b => math.pow(2.0, -regs.getOrElse(b.toLong, 0L).toDouble)).sum
+    val raw = alpha * m * m / z
+    val zeros = (0 until m).count(b => !regs.contains(b.toLong))
+    val est = if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
+    val exact = hashed.select("text").distinct().count().toDouble
+    val err = math.abs(est - exact) / exact
+    assert(err < 0.05, s"HLL estimate $est vs exact $exact: error $err >= 5%")
+  }
 }
