@@ -1972,7 +1972,163 @@ object DataOps {
       |SELECT lang, buckets_used, register_checksum, exact_distinct
       |FROM sk JOIN ex USING (lang) ORDER BY lang""".stripMargin
 
+  /** COUNT-MIN-SKETCH HEAVY HITTERS — estimate term frequencies with a
+    * 4-row × 512-column CMS (cells from md5("r<j>:"+term), engine-
+    * portable) and report the exact top-15 terms with their sketch
+    * estimates side by side. All columns are integers, so the oracle
+    * hash-checks the whole sketch-query path; the CMS over-count
+    * guarantee (estimate ≥ exact, always) is asserted in DataOpsSpec.
+    * Scale: the token explode collapses to per-term counts with ONE
+    * map-side-combining groupBy; the sketch is built from DISTINCT
+    * terms (vocabulary-sized, not corpus-sized) and is itself only
+    * 4×512 cells — at 100 TB this is the textbook mergeable-summary
+    * shape: register sums are associative, so executors build partial
+    * sketches and one tiny reduce merges them. */
+  def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val terms = docs.select(explode(
+      filter(split(lower(trim(col("text"))), "\\s+"), w => w =!= "")).as("term"))
+    val counts = trackCache(
+      terms.groupBy("term").agg(count(lit(1)).as("c")).persist())
+    val cellExpr =
+      """transform(sequence(0, 3), j -> named_struct('j', j, 'cell',
+        |  CAST(conv(substring(md5(CAST(concat('r', j, ':', term) AS BINARY)),
+        |    1, 8), 16, 10) AS BIGINT) % 512))""".stripMargin
+    val cells = counts.select(col("term"), col("c"),
+      explode(expr(cellExpr)).as("jc"))
+      .select(col("term"), col("c"), col("jc.j").as("j"), col("jc.cell").as("cell"))
+    val sketch = cells.groupBy("j", "cell").agg(sum(col("c")).as("cnt"))
+    val top = counts.orderBy(col("c").desc, col("term")).limit(15)
+    val topCells = top.select(col("term"), col("c"), explode(expr(cellExpr)).as("jc"))
+      .select(col("term"), col("c"), col("jc.j").as("j"), col("jc.cell").as("cell"))
+    nonEmpty(topCells.join(sketch, Seq("j", "cell"))
+      .groupBy(col("term"), col("c").as("exact_count"))
+      .agg(min(col("cnt")).cast("long").as("cms_estimate"))
+      .select(col("term"), col("exact_count"), col("cms_estimate"))
+      .orderBy(col("exact_count").desc, col("term")))
+  }
+  val cmsHeavyHittersSql =
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                            w -> w <> '')) AS term
+      |  FROM documents),
+      |counts AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY term),
+      |cells AS (
+      |  SELECT term, c, j,
+      |    ('0x' || substr(md5('r' || j || ':' || term), 1, 8))::BIGINT % 512 AS cell
+      |  FROM counts CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)),
+      |sketch AS (SELECT j, cell, CAST(sum(c) AS BIGINT) AS cnt
+      |           FROM cells GROUP BY j, cell),
+      |top AS (SELECT term, c FROM counts ORDER BY c DESC, term LIMIT 15)
+      |SELECT t.term, t.c AS exact_count, CAST(min(sk.cnt) AS BIGINT) AS cms_estimate
+      |FROM top t
+      |JOIN cells ce ON t.term = ce.term
+      |JOIN sketch sk ON ce.j = sk.j AND ce.cell = sk.cell
+      |GROUP BY t.term, t.c
+      |ORDER BY exact_count DESC, t.term""".stripMargin
+
+  /** PMI COLLOCATIONS — corpus-level collocation mining: score every
+    * bigram seen ≥5 times by the PMI ratio (c_xy·N_b)/(c_x·c_y). The
+    * score is ONE division of two exactly-representable integer
+    * products (all counts < 2^26 at oracle scale, products < 2^53), so
+    * the double is correctly rounded and identical in both engines —
+    * the log() of textbook PMI is monotone and dropped deliberately,
+    * same bit-exactness rule as bm25TopK. Scale: bigram and unigram
+    * counts are map-side-combining groupBys over the token stream; the
+    * two count joins key on vocabulary-sized frames (the ≥5 support
+    * filter shrinks the left side first); top-k is
+    * TakeOrderedAndProject. No all-pairs stage anywhere. */
+  def pmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = docs
+      .select(filter(split(lower(trim(col("text"))), "\\s+"), w => w =!= "").as("ws"))
+    val bg = trackCache(toks.filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws)-2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .persist())
+    val nb = bg.count()
+    val uni = toks.select(explode(col("ws")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cu"))
+    val bgc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= 5)
+    val scored = bgc
+      .join(uni.select(col("term").as("w1"), col("cu").as("cu1")), Seq("w1"))
+      .join(uni.select(col("term").as("w2"), col("cu").as("cu2")), Seq("w2"))
+      .withColumn("pmi_ratio",
+        (col("cxy") * lit(nb)).cast("double") / (col("cu1") * col("cu2")).cast("double"))
+    nonEmpty(scored
+      .select(col("w1"), col("w2"), col("cxy"), col("cu1"), col("cu2"), col("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
+      .limit(20))
+  }
+  val pmiCollocationsSql =
+    """WITH w AS (
+      |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                     w -> w <> '') AS ws
+      |  FROM documents),
+      |bg AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(ws) - 1), i -> ws[i])) AS w1,
+      |         unnest(list_transform(generate_series(1, len(ws) - 1), i -> ws[i+1])) AS w2
+      |  FROM w WHERE len(ws) >= 2),
+      |nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bg),
+      |uni AS (SELECT unnest(ws) AS term FROM w),
+      |cu AS (SELECT term, CAST(count(*) AS BIGINT) AS cu FROM uni GROUP BY term),
+      |bgc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cxy
+      |        FROM bg GROUP BY w1, w2 HAVING count(*) >= 5)
+      |SELECT w1, w2, cxy, u1.cu AS cu1, u2.cu AS cu2,
+      |  CAST(cxy * nb.n AS DOUBLE) / CAST(u1.cu * u2.cu AS DOUBLE) AS pmi_ratio
+      |FROM bgc
+      |JOIN cu u1 ON bgc.w1 = u1.term
+      |JOIN cu u2 ON bgc.w2 = u2.term
+      |CROSS JOIN nb
+      |ORDER BY pmi_ratio DESC, w1, w2 LIMIT 20""".stripMargin
+
+  /** EXACT DISCRETE QUANTILES — per-language p50/p90/p99 of document
+    * token length by rank selection: row_number within (lang, ordered by
+    * dl, doc_id), pick rank ceil(q·n) via pure integer arithmetic
+    * ((n·q%+99) div 100) — no float interpolation, so the result is an
+    * integer row hash-checked end to end. Scale: ONE hash shuffle on
+    * lang then a per-group sort — the exact-quantile cost model; group
+    * skew is bounded by language cardinality, and the documented 100-TB
+    * relaxation is percentile_approx (a mergeable t-digest) when a
+    * per-group sort no longer pays, traded consciously for exactness
+    * here. */
+  def quantileLengths(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val dl = docs.select(col("lang"), col("doc_id"), wsTokenCount.as("dl"))
+    val w = Window.partitionBy("lang").orderBy(col("dl"), col("doc_id"))
+    val ranked = dl
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+    nonEmpty(ranked.groupBy("lang")
+      .agg(max(col("n")).cast("long").as("n_docs"),
+        max(when(col("rn") === expr("(n*50+99) div 100"), col("dl"))).cast("long").as("p50"),
+        max(when(col("rn") === expr("(n*90+99) div 100"), col("dl"))).cast("long").as("p90"),
+        max(when(col("rn") === expr("(n*99+99) div 100"), col("dl"))).cast("long").as("p99"))
+      .orderBy("lang"))
+  }
+  val quantileLengthsSql =
+    """WITH dl AS (
+      |  SELECT lang, doc_id,
+      |    len(list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '')) AS dl
+      |  FROM documents),
+      |r AS (
+      |  SELECT lang, dl,
+      |    row_number() OVER (PARTITION BY lang ORDER BY dl, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM dl)
+      |SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+      |  CAST(max(CASE WHEN rn = (n*50+99)//100 THEN dl END) AS BIGINT) AS p50,
+      |  CAST(max(CASE WHEN rn = (n*90+99)//100 THEN dl END) AS BIGINT) AS p90,
+      |  CAST(max(CASE WHEN rn = (n*99+99)//100 THEN dl END) AS BIGINT) AS p99
+      |FROM r GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_cms_heavy_hitters" -> (cmsHeavyHitters _),
+    "ds_pmi_collocations" -> (pmiCollocations _),
+    "ds_quantile_lengths" -> (quantileLengths _),
     "ds_bm25_topk" -> (bm25TopK _),
     "ds_hll_distinct" -> (hllDistinct _),
     "ds_lm_familiarity" -> (lmFamiliarity _),
@@ -2014,6 +2170,9 @@ object DataOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "ds_cms_heavy_hitters" -> cmsHeavyHittersSql,
+    "ds_pmi_collocations" -> pmiCollocationsSql,
+    "ds_quantile_lengths" -> quantileLengthsSql,
     "ds_bm25_topk" -> bm25TopKSql,
     "ds_hll_distinct" -> hllDistinctSql,
     "ds_mix_budget" -> mixBudgetSql,

@@ -468,6 +468,51 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("cms: sketch estimate >= exact count for every heavy hitter (CMS guarantee)") {
+    val out = DataOps.cmsHeavyHitters(spark, dir).collect()
+    assert(out.length == 15)
+    out.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"term ${r.getString(0)}: CMS $est < exact $exact")
+      // 4x512 cells over this vocabulary: collisions exist but the min-row
+      // estimate should stay within 2x for the heaviest terms
+      assert(est <= exact * 2, s"term ${r.getString(0)}: CMS $est > 2x exact $exact")
+    }
+  }
+
+  test("pmi: collocation ratios exceed independence and counts satisfy support") {
+    val out = DataOps.pmiCollocations(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) >= 5, "support filter violated")
+      // top-20 collocations should co-occur far above independence
+      assert(r.getDouble(5) > 1.0, s"(${r.getString(0)},${r.getString(1)}) ratio <= 1")
+    }
+    val scores = out.map(_.getDouble(5))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("quantiles: rank-selected p50/p90/p99 are ordered and are real lengths") {
+    import org.apache.spark.sql.functions._
+    val out = DataOps.quantileLengths(spark, dir).collect()
+    assert(out.nonEmpty)
+    val lens = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"),
+        size(filter(split(trim(col("text")), "\\s+"), w => w =!= "")).cast("long").as("dl"))
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    out.foreach { r =>
+      val (lang, n, p50, p90, p99) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(p50 <= p90 && p90 <= p99)
+      val sorted = lens(lang)
+      assert(n == sorted.length)
+      // exact discrete quantile: the element at rank ceil(q*n)
+      def rank(q: Int) = ((n * q + 99) / 100).toInt - 1
+      assert(p50 == sorted(rank(50)) && p90 == sorted(rank(90)) && p99 == sorted(rank(99)),
+        s"$lang: ($p50,$p90,$p99) vs independent rank selection")
+    }
+  }
+
   test("hll sketch: harmonic-mean estimate within 5% of the exact distinct") {
     import org.apache.spark.sql.functions._
     // re-derive the register table exactly as the operator builds it,
