@@ -1972,6 +1972,98 @@ object DataOps {
       |SELECT lang, buckets_used, register_checksum, exact_distinct
       |FROM sk JOIN ex USING (lang) ORDER BY lang""".stripMargin
 
+  /** STREAM-STATIC ENRICHMENT JOIN — enrich a streaming fact (orders as
+    * a file stream) with a broadcast static dimension (customer): the
+    * stateless streaming join every event pipeline runs before its
+    * stateful stages. Because the static side is broadcast, each
+    * micro-batch is a map-side hash join — NO shuffle, NO join state
+    * store, and state size is zero regardless of stream length (the
+    * spec asserts BroadcastHashJoin in the streaming plan). At 100 TB
+    * of stream this costs exactly one pass; a too-big-to-broadcast
+    * dimension degrades to a per-batch shuffle join, never to stream-
+    * stream state. */
+  def streamStaticEnrich(s: SparkSession, dir: String): DataFrame =
+    streamStaticEnrichRun(s, dir)._1
+
+  /** Test seam: also returns the final StreamingQueryProgress so the
+    * spec can assert the join ran STATELESS (no state-store operators). */
+  private[graft] def streamStaticEnrichRun(s: SparkSession, dir: String)
+      : (DataFrame, org.apache.spark.sql.streaming.StreamingQueryProgress) = {
+    val src = stagedStreamSrc(dir, "orders")
+    val sch = s.read.parquet(src).schema
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+    val stream = s.readStream.schema(sch).parquet(src)
+      .filter(col("o_totalprice") > 400000d)
+    val joined = stream.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment"),
+        col("c_nationkey"), col("o_totalprice"))
+    val qname = "se_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val progress = graft.table.WriteFiles.withScopedConfs(
+        s, "spark.sql.shuffle.partitions" -> "8") {
+      val q = joined.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.lastOption.orNull
+    }
+    (nonEmpty(s.table(qname).orderBy(col("o_orderkey"))), progress)
+  }
+  val streamStaticEnrichSql =
+    """SELECT o_orderkey, o_custkey, c_mktsegment, c_nationkey, o_totalprice
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_totalprice > 400000
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** INVERTED INDEX BUILD — the search-engine index shape: per-term
+    * document frequency, total term frequency, and the first-8 posting
+    * list serialized as "doc:tf" (string output keeps the gate
+    * hash-exact). Two term-keyed shuffles, both honest at scale: the
+    * (term, doc_id) tf groupBy map-side-combines, and posting capping
+    * uses a windowed row_number so a term's FULL posting list is never
+    * collected — only the ≤8 surviving rows reach collect_list. The
+    * residual skew (a stopword's postings sort inside one partition's
+    * window) is the known cost of per-term ordering; the documented
+    * web-scale variant range-buckets (term, doc_id bucket) first so no
+    * single task owns a whole stopword. */
+  def invertedIndex(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val tf = trackCache(docs.select(col("doc_id"), explode(
+        filter(split(lower(trim(col("text"))), "\\s+"), w => w =!= "")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .persist())
+    val stats = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).cast("long").as("total_tf"))
+    val w = Window.partitionBy("term").orderBy("doc_id")
+    val post = tf.withColumn("rn", row_number().over(w)).filter(col("rn") <= 8)
+      .groupBy("term").agg(expr(
+        """array_join(transform(sort_array(collect_list(struct(doc_id, tf))),
+          |  p -> concat(CAST(p.doc_id AS STRING), ':', CAST(p.tf AS STRING))), ',')"""
+          .stripMargin).as("postings"))
+    nonEmpty(stats.join(post, Seq("term"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(20))
+  }
+  val invertedIndexSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                       w -> w <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+      |       FROM toks GROUP BY term, doc_id),
+      |stats AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+      |                 CAST(sum(tf) AS BIGINT) AS total_tf
+      |          FROM tf GROUP BY term),
+      |capped AS (SELECT term, doc_id, tf,
+      |                  row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      |           FROM tf),
+      |post AS (SELECT term, string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+      |         FROM capped WHERE rn <= 8 GROUP BY term)
+      |SELECT s.term, s.df, s.total_tf, p.postings
+      |FROM stats s JOIN post p USING (term)
+      |ORDER BY s.df DESC, s.term LIMIT 20""".stripMargin
+
   /** COUNT-MIN-SKETCH HEAVY HITTERS — estimate term frequencies with a
     * 4-row × 512-column CMS (cells from md5("r<j>:"+term), engine-
     * portable) and report the exact top-15 terms with their sketch
@@ -2127,6 +2219,8 @@ object DataOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_cms_heavy_hitters" -> (cmsHeavyHitters _),
+    "ds_inverted_index" -> (invertedIndex _),
+    "stream_static_join" -> (streamStaticEnrich _),
     "ds_pmi_collocations" -> (pmiCollocations _),
     "ds_quantile_lengths" -> (quantileLengths _),
     "ds_bm25_topk" -> (bm25TopK _),
@@ -2171,6 +2265,8 @@ object DataOps {
 
   val oracles: Map[String, String] = Map(
     "ds_cms_heavy_hitters" -> cmsHeavyHittersSql,
+    "ds_inverted_index" -> invertedIndexSql,
+    "stream_static_join" -> streamStaticEnrichSql,
     "ds_pmi_collocations" -> pmiCollocationsSql,
     "ds_quantile_lengths" -> quantileLengthsSql,
     "ds_bm25_topk" -> bm25TopKSql,

@@ -513,6 +513,45 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("stream-static join: stateless broadcast enrichment, rows match batch") {
+    import org.apache.spark.sql.functions._
+    val (out, progress) = DataOps.streamStaticEnrichRun(spark, dir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // stateless: a broadcast stream-static join must create NO state store
+    assert(progress != null && progress.stateOperators.isEmpty,
+      s"expected no state operators, got ${progress.stateOperators.length}")
+    val batch = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_totalprice") > 400000d)
+      .join(spark.read.parquet(s"$dir/customer.parquet"),
+        col("o_custkey") === col("c_custkey"))
+      .count()
+    assert(rows.length == batch, s"stream ${rows.length} vs batch $batch")
+  }
+
+  test("inverted index: postings are capped, sorted, and match direct counts") {
+    import org.apache.spark.sql.functions._
+    val out = DataOps.invertedIndex(spark, dir).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val (term, df, totalTf) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val posts = r.getString(3).split(",").map { p =>
+        val Array(d, tf) = p.split(":"); (d.toLong, tf.toLong)
+      }
+      assert(posts.length == math.min(df, 8L), s"$term: ${posts.length} postings, df=$df")
+      assert(posts.map(_._1).sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+        s"$term postings not sorted by doc_id")
+      assert(totalTf >= df, s"$term: total_tf $totalTf < df $df")
+    }
+    // cross-check the heaviest term against a direct computation
+    val top = out.head
+    val direct = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(filter(split(lower(trim(col("text"))), "\\s+"),
+        w => w =!= "")).as("term"))
+      .filter(col("term") === top.getString(0)).count()
+    assert(top.getLong(2) == direct, s"${top.getString(0)}: total_tf vs direct $direct")
+  }
+
   test("hll sketch: harmonic-mean estimate within 5% of the exact distinct") {
     import org.apache.spark.sql.functions._
     // re-derive the register table exactly as the operator builds it,
