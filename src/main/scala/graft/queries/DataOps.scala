@@ -1972,6 +1972,53 @@ object DataOps {
       |SELECT lang, buckets_used, register_checksum, exact_distinct
       |FROM sk JOIN ex USING (lang) ORDER BY lang""".stripMargin
 
+  /** CHARACTER-TRIGRAM DIVERSITY — gibberish/boilerplate detection by the
+    * Simpson repeat-index of character trigrams: Σ c·(c−1) / (n·(n−1)),
+    * the probability two random trigram draws collide. Machine-generated
+    * or template text repeats trigrams (high index), natural prose
+    * doesn't (the top-50 ranking surfaces the most template-like docs for
+    * review); entropy would say the same thing but costs a log() per
+    * count — the Simpson form is ONE division of exact integer products,
+    * so the gate hash-checks the doubles bit-for-bit. Scale: trigrams
+    * come from a per-doc array expression (no corpus-wide explode
+    * materialization survives the agg), the per-doc counts are a
+    * map-side-combining groupBy, and flagging is a stateless filter —
+    * one shuffle total, keyed by (doc_id, trigram). */
+  def charDiversity(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tri = docs.select(col("doc_id"), explode(expr(
+      """transform(sequence(1, greatest(length(text) - 2, 1)),
+        |  i -> substring(text, i, 3))""".stripMargin)).as("g"))
+      .filter(length(col("g")) === 3)
+    val per = tri.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).cast("long").as("n"),
+        sum(col("c") * (col("c") - 1L)).cast("long").as("rep"))
+      .filter(col("n") >= 2)
+    nonEmpty(per
+      .withColumn("simpson",
+        col("rep").cast("double") / (col("n") * (col("n") - 1L)).cast("double"))
+      .select(col("doc_id"), col("n"), col("rep"), col("simpson"))
+      .orderBy(col("simpson").desc, col("doc_id"))
+      .limit(50))
+  }
+  val charDiversitySql =
+    """WITH tri AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, greatest(len(text) - 2, 1)),
+      |                          i -> substr(text, i, 3))) AS g
+      |  FROM documents),
+      |per AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+      |         CAST(sum(c * (c - 1)) AS BIGINT) AS rep
+      |  FROM (SELECT doc_id, g, count(*) AS c
+      |        FROM tri WHERE len(g) = 3 GROUP BY doc_id, g)
+      |  GROUP BY doc_id HAVING sum(c) >= 2)
+      |SELECT doc_id, n, rep,
+      |  CAST(rep AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS simpson
+      |FROM per
+      |ORDER BY simpson DESC, doc_id LIMIT 50""".stripMargin
+
   /** STREAM-STATIC ENRICHMENT JOIN — enrich a streaming fact (orders as
     * a file stream) with a broadcast static dimension (customer): the
     * stateless streaming join every event pipeline runs before its
@@ -2220,6 +2267,7 @@ object DataOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_cms_heavy_hitters" -> (cmsHeavyHitters _),
     "ds_inverted_index" -> (invertedIndex _),
+    "ds_char_diversity" -> (charDiversity _),
     "stream_static_join" -> (streamStaticEnrich _),
     "ds_pmi_collocations" -> (pmiCollocations _),
     "ds_quantile_lengths" -> (quantileLengths _),
@@ -2266,6 +2314,7 @@ object DataOps {
   val oracles: Map[String, String] = Map(
     "ds_cms_heavy_hitters" -> cmsHeavyHittersSql,
     "ds_inverted_index" -> invertedIndexSql,
+    "ds_char_diversity" -> charDiversitySql,
     "stream_static_join" -> streamStaticEnrichSql,
     "ds_pmi_collocations" -> pmiCollocationsSql,
     "ds_quantile_lengths" -> quantileLengthsSql,

@@ -552,6 +552,24 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.getLong(2) == direct, s"${top.getString(0)}: total_tf vs direct $direct")
   }
 
+  test("char diversity: simpson index in [0,1], ranked, matches direct compute") {
+    val out = DataOps.charDiversity(spark, dir).collect()
+    assert(out.length == 50)
+    val scores = out.map(_.getDouble(3))
+    assert(scores.forall(x => x >= 0.0 && x <= 1.0))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    val top = out.head
+    val text = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") === top.getLong(0))
+      .select("text").head().getString(0)
+    val grams = (0 to text.length - 3).map(i => text.substring(i, i + 3))
+    val counts = grams.groupBy(identity).view.mapValues(_.size.toLong)
+    val n = grams.size.toLong
+    val rep = counts.values.map(c => c * (c - 1)).sum
+    assert(top.getLong(1) == n && top.getLong(2) == rep,
+      s"doc ${top.getLong(0)}: (n=$n, rep=$rep) vs (${top.getLong(1)}, ${top.getLong(2)})")
+  }
+
   test("hll sketch: harmonic-mean estimate within 5% of the exact distinct") {
     import org.apache.spark.sql.functions._
     // re-derive the register table exactly as the operator builds it,
