@@ -1344,6 +1344,44 @@ object DataOps {
       |WHERE t.doc_id % 7 <> 0
       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  /** BLOOM-PREFILTERED DECONTAMINATION — the runtime-filter variant of
+    * `decontaminate`: build a Bloom filter over the eval set's 4-grams
+    * (distributed treeAggregate of mergeable bitsets), ship it inside a
+    * codegen'd expression (functions/BloomFilters.scala), and drop
+    * corpus grams MAP-SIDE before the exact equi-join. Bloom filters
+    * have no false negatives, so `prefilter → exact join` returns
+    * byte-identical results to the plain join (the oracle gate proves
+    * it) while the shuffle carries only the surviving fraction — at a
+    * 100 TB corpus vs a fixed eval set this turns a corpus-sized gram
+    * shuffle into a kilobytes broadcast plus a shuffle of near-matches
+    * only, the same semi-join reduction Spark's runtime row-level
+    * filtering applies to joins it can prove. DataOpsSpec separately
+    * asserts the prefilter both fires (drops most grams) and stays
+    * lossless. */
+  def bloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BloomFunctions
+    val docs = t(s, dir, "documents")
+    val tok = docs.select(col("doc_id"),
+        filter(split(lower(trim(col("text"))), "\\s+"), w => w =!= "").as("w"))
+      .filter(size(col("w")) >= 4)
+    val grams = trackCache(tok.select(col("doc_id"),
+      explode(array_distinct(transform(sequence(lit(1), size(col("w")) - 3),
+        i => concat_ws(" ", slice(col("w"), i, lit(4)))))).as("g")).persist())
+    val evalGrams = grams.filter(col("doc_id") % 7 === 0).select("g").distinct()
+    import s.implicits._
+    val nEval = evalGrams.count()
+    val bloom = BloomFunctions.buildBloom(evalGrams.as[String], nEval, 0.01)
+    nonEmpty(grams.filter(col("doc_id") % 7 =!= 0)
+      .filter(BloomFunctions.bloom_might_contain(col("g"), bloom))
+      .join(evalGrams, "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_shared"))
+      .orderBy(col("doc_id")))
+  }
+  // byte-identical to the un-prefiltered join: the oracle is the exact
+  // semantics, which is precisely the losslessness claim
+  val bloomDecontaminateSql = decontaminateSql
+
   /** DETERMINISTIC stratified sampling — the training-mix step that takes
     * each language at its own rate. The keep decision is a pure function
     * of (doc_id, lang) (modulus, not rand()), so the sample is
@@ -2268,6 +2306,7 @@ object DataOps {
     "ds_cms_heavy_hitters" -> (cmsHeavyHitters _),
     "ds_inverted_index" -> (invertedIndex _),
     "ds_char_diversity" -> (charDiversity _),
+    "ds_bloom_decontaminate" -> (bloomDecontaminate _),
     "stream_static_join" -> (streamStaticEnrich _),
     "ds_pmi_collocations" -> (pmiCollocations _),
     "ds_quantile_lengths" -> (quantileLengths _),
@@ -2315,6 +2354,7 @@ object DataOps {
     "ds_cms_heavy_hitters" -> cmsHeavyHittersSql,
     "ds_inverted_index" -> invertedIndexSql,
     "ds_char_diversity" -> charDiversitySql,
+    "ds_bloom_decontaminate" -> bloomDecontaminateSql,
     "stream_static_join" -> streamStaticEnrichSql,
     "ds_pmi_collocations" -> pmiCollocationsSql,
     "ds_quantile_lengths" -> quantileLengthsSql,

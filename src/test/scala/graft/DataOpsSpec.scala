@@ -570,6 +570,38 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"doc ${top.getLong(0)}: (n=$n, rep=$rep) vs (${top.getLong(1)}, ${top.getLong(2)})")
   }
 
+  test("bloom decontaminate: lossless vs exact join, and the prefilter fires") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.BloomFunctions
+    val exact = DataOps.decontaminate(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pre = DataOps.bloomDecontaminate(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pre.toSeq == exact.toSeq, "bloom prefilter changed the exact result")
+
+    // the prefilter must actually reduce the shuffled volume: rebuild the
+    // gram frames and measure selectivity directly
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val tok = docs.select(col("doc_id"),
+        filter(split(lower(trim(col("text"))), "\\s+"), w => w =!= "").as("w"))
+      .filter(size(col("w")) >= 4)
+    val grams = tok.select(col("doc_id"),
+      explode(array_distinct(transform(sequence(lit(1), size(col("w")) - 3),
+        i => concat_ws(" ", slice(col("w"), i, lit(4)))))).as("g"))
+    val evalGrams = grams.filter(col("doc_id") % 7 === 0).select("g").distinct()
+    import spark.implicits._
+    val bloom = BloomFunctions.buildBloom(evalGrams.as[String], evalGrams.count(), 0.01)
+    val corpus = grams.filter(col("doc_id") % 7 =!= 0)
+    val total = corpus.count()
+    val passed = corpus
+      .filter(BloomFunctions.bloom_might_contain(col("g"), bloom)).count()
+    assert(passed < total / 2,
+      s"bloom passed $passed of $total corpus grams — prefilter not selective")
+
+    // expression-level: no false negatives on inserted values
+    val probe = evalGrams.limit(200)
+      .filter(!BloomFunctions.bloom_might_contain(col("g"), bloom)).count()
+    assert(probe == 0, s"$probe false negatives — impossible for a Bloom filter")
+  }
+
   test("hll sketch: harmonic-mean estimate within 5% of the exact distinct") {
     import org.apache.spark.sql.functions._
     // re-derive the register table exactly as the operator builds it,
