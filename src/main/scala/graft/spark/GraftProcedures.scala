@@ -54,7 +54,9 @@ object GraftProcedures {
   def names: Seq[String] =
     Seq("expire_snapshots", "remove_orphan_files", "rewrite_data_files",
       "rewrite_manifests", "rewrite_position_deletes", "rollback_to_snapshot",
-      "compute_partition_stats")
+      "compute_partition_stats", "rollback_to_timestamp", "set_current_snapshot",
+      "fast_forward", "register_table", "add_files", "create_tag",
+      "create_branch", "remove_ref")
 
   def byName(catalog: GCatalog): Map[String, UnboundProcedure] = Map(
     "expire_snapshots" -> new Proc("expire_snapshots",
@@ -162,5 +164,121 @@ object GraftProcedures {
         val target = input.getLong(1)
         t.manageSnapshots.rollbackToSnapshot(target)
         Seq(Array[Any](prev.map(Long.box).orNull, target))
+      }),
+
+    // ---- snapshot management / registration (same names as the
+    // iceberg-java Spark procedures where one exists, so migrated
+    // maintenance jobs keep running) --------------------------------
+
+    "rollback_to_timestamp" -> new Proc("rollback_to_timestamp",
+      Seq(in("table", StringType), in("timestamp_ms", LongType)),
+      StructType(Seq(
+        StructField("previous_snapshot_id", LongType),
+        StructField("current_snapshot_id", LongType))),
+      { input =>
+        val t = catalog.loadTable(input.getUTF8String(0).toString)
+        val prev = t.metadata.currentSnapshotId
+        t.manageSnapshots.rollbackToTimestamp(input.getLong(1))
+        Seq(Array[Any](prev.map(Long.box).orNull,
+          t.metadata.currentSnapshotId.map(Long.box).orNull))
+      }),
+
+    "set_current_snapshot" -> new Proc("set_current_snapshot",
+      Seq(in("table", StringType), in("snapshot_id", LongType)),
+      StructType(Seq(
+        StructField("previous_snapshot_id", LongType),
+        StructField("current_snapshot_id", LongType))),
+      { input =>
+        val t = catalog.loadTable(input.getUTF8String(0).toString)
+        val prev = t.metadata.currentSnapshotId
+        val target = input.getLong(1)
+        t.manageSnapshots.setCurrentSnapshot(target)
+        Seq(Array[Any](prev.map(Long.box).orNull, target))
+      }),
+
+    "fast_forward" -> new Proc("fast_forward",
+      Seq(in("table", StringType), in("branch", StringType), in("to", StringType)),
+      StructType(Seq(
+        StructField("branch_updated", StringType),
+        StructField("previous_ref", LongType),
+        StructField("updated_ref", LongType))),
+      { input =>
+        val t = catalog.loadTable(input.getUTF8String(0).toString)
+        val branch = input.getUTF8String(1).toString
+        val prev = t.metadata.refs.get(branch).map(_.snapshotId)
+        t.manageSnapshots.fastForward(branch, input.getUTF8String(2).toString)
+        Seq(Array[Any](utf8(branch), prev.map(Long.box).orNull,
+          t.metadata.refs(branch).snapshotId))
+      }),
+
+    "register_table" -> new Proc("register_table",
+      Seq(in("table", StringType), in("metadata_file", StringType)),
+      StructType(Seq(
+        StructField("current_snapshot_id", LongType),
+        StructField("total_records_count", LongType),
+        StructField("total_data_files_count", LongType))),
+      { input =>
+        val t = catalog.registerTable(input.getUTF8String(0).toString,
+          input.getUTF8String(1).toString)
+        val snap = t.metadata.currentSnapshot
+        def tot(k: String): Any = snap.flatMap(_.summary.get(k))
+          .map(v => Long.box(v.toLong)).orNull
+        Seq(Array[Any](snap.map(s => Long.box(s.snapshotId)).orNull,
+          tot("total-records"), tot("total-data-files")))
+      }),
+
+    "add_files" -> new Proc("add_files",
+      Seq(in("table", StringType), in("files", StringType),
+        inDefault("check_duplicate_files", BooleanType, "true")),
+      StructType(Seq(StructField("added_files_count", LongType))),
+      { input =>
+        val t = catalog.loadTable(input.getUTF8String(0).toString)
+        val paths = input.getUTF8String(1).toString.split(',').map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        val check = input.isNullAt(2) || input.getBoolean(2)
+        t.addFiles(paths, checkDuplicates = check)
+        Seq(Array[Any](paths.length.toLong))
+      }),
+
+    // tags/branches have no native Spark SQL syntax (iceberg-java adds
+    // parser extensions); the procedure face keeps refs SQL-reachable
+    "create_tag" -> new Proc("create_tag",
+      Seq(in("table", StringType), in("tag", StringType),
+        inDefault("snapshot_id", LongType, "NULL")),
+      StructType(Seq(StructField("tag", StringType), StructField("snapshot_id", LongType))),
+      { input =>
+        val t = catalog.loadTable(input.getUTF8String(0).toString)
+        val name = input.getUTF8String(1).toString
+        val snap = if (!input.isNullAt(2)) input.getLong(2)
+          else t.metadata.currentSnapshotId.getOrElse(
+            throw new IllegalArgumentException("table has no current snapshot"))
+        t.manageSnapshots.createTag(name, snap)
+        Seq(Array[Any](utf8(name), snap))
+      }),
+
+    "create_branch" -> new Proc("create_branch",
+      Seq(in("table", StringType), in("branch", StringType),
+        inDefault("snapshot_id", LongType, "NULL")),
+      StructType(Seq(StructField("branch", StringType), StructField("snapshot_id", LongType))),
+      { input =>
+        val t = catalog.loadTable(input.getUTF8String(0).toString)
+        val name = input.getUTF8String(1).toString
+        val snap = if (!input.isNullAt(2)) input.getLong(2)
+          else t.metadata.currentSnapshotId.getOrElse(
+            throw new IllegalArgumentException("table has no current snapshot"))
+        t.manageSnapshots.createBranch(name, snap)
+        Seq(Array[Any](utf8(name), snap))
+      }),
+
+    "remove_ref" -> new Proc("remove_ref",
+      Seq(in("table", StringType), in("ref", StringType)),
+      StructType(Seq(StructField("removed_ref", StringType))),
+      { input =>
+        val t = catalog.loadTable(input.getUTF8String(0).toString)
+        val name = input.getUTF8String(1).toString
+        require(name != "main", "cannot remove the main branch")
+        require(t.metadata.refs.contains(name), s"No ref $name")
+        t.manageSnapshots.removeTag(name)
+        Seq(Array[Any](utf8(name)))
       }))
 }

@@ -805,4 +805,75 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val miss = intercept[Exception](spark.sql("SELECT * FROM g.db.wap.branch_nope"))
     assert(miss.getMessage.toUpperCase.contains("TABLE"))
   }
+
+  test("CALL procedures: snapshot management, refs, register_table, add_files") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.sm_proc (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.db.sm_proc VALUES (1, 'a'), (2, 'b')")
+    Thread.sleep(5) // distinct snapshot timestamps for rollback_to_timestamp
+    spark.sql("INSERT INTO g.db.sm_proc VALUES (3, 'c')")
+    val t = new HadoopCatalog(warehouse, spark).loadTable("db.sm_proc")
+    val snaps = t.metadata.snapshots
+    val (s1, s2) = (snaps.head.snapshotId, snaps.last.snapshotId)
+
+    // tags + branches become SQL-reachable through the procedure face
+    val tag = spark.sql(
+      s"CALL g.system.create_tag(table => 'db.sm_proc', tag => 'v1', snapshot_id => $s1)")
+      .collect()
+    assert(tag.head.getString(0) === "v1" && tag.head.getLong(1) === s1)
+    spark.sql("CALL g.system.create_branch(table => 'db.sm_proc', branch => 'audit')")
+    t.refresh()
+    assert(t.metadata.refs("v1").refType === "tag")
+    assert(t.metadata.refs("audit").snapshotId === s2)
+    assert(spark.sql("SELECT count(*) FROM g.db.sm_proc VERSION AS OF 'v1'")
+      .head.getLong(0) === 2)
+
+    // set_current_snapshot back, then publish forward via fast_forward
+    val sc = spark.sql(
+      s"CALL g.system.set_current_snapshot(table => 'db.sm_proc', snapshot_id => $s1)")
+      .collect()
+    assert(sc.head.getLong(0) === s2 && sc.head.getLong(1) === s1)
+    assert(spark.sql("SELECT count(*) FROM g.db.sm_proc").head.getLong(0) === 2)
+    val ff = spark.sql(
+      "CALL g.system.fast_forward(table => 'db.sm_proc', branch => 'main', to => 'audit')")
+      .collect()
+    assert(ff.head.getString(0) === "main" && ff.head.getLong(2) === s2)
+    assert(spark.sql("SELECT count(*) FROM g.db.sm_proc").head.getLong(0) === 3)
+
+    // rollback_to_timestamp: as-of the first snapshot's commit time
+    spark.sql(s"CALL g.system.rollback_to_timestamp(table => 'db.sm_proc', " +
+      s"timestamp_ms => ${snaps.head.timestampMs})")
+    assert(spark.sql("SELECT count(*) FROM g.db.sm_proc").head.getLong(0) === 2)
+
+    // remove_ref works for tags and refuses main
+    spark.sql("CALL g.system.remove_ref(table => 'db.sm_proc', ref => 'v1')")
+    t.refresh()
+    assert(!t.metadata.refs.contains("v1"))
+    intercept[Exception](spark.sql(
+      "CALL g.system.remove_ref(table => 'db.sm_proc', ref => 'main')").collect())
+
+    // add_files: register a foreign parquet file (twice must fail the dup check)
+    val ext = Files.createTempDirectory("sm-ext").toString
+    spark.range(3).selectExpr("id + 100 AS k", "CAST(id AS STRING) AS v")
+      .coalesce(1).write.mode("overwrite").parquet(ext)
+    val part = new java.io.File(ext).listFiles()
+      .find(f => f.getName.endsWith(".parquet")).get.getAbsolutePath
+    val before = spark.sql("SELECT count(*) FROM g.db.sm_proc").head.getLong(0)
+    val af = spark.sql(
+      s"CALL g.system.add_files(table => 'db.sm_proc', files => '$part')").collect()
+    assert(af.head.getLong(0) === 1)
+    assert(spark.sql("SELECT count(*) FROM g.db.sm_proc").head.getLong(0) === before + 3)
+    intercept[Exception](spark.sql(
+      s"CALL g.system.add_files(table => 'db.sm_proc', files => '$part')").collect())
+
+    // register_table: same metadata file under a new identifier
+    val metaDir = new java.io.File(s"$warehouse/db/sm_proc/metadata")
+    // numeric max, not lexicographic — v10 sorts before v9 as a string
+    val metaFile = metaDir.listFiles().filter(_.getName.endsWith(".metadata.json"))
+      .maxBy(_.getName.stripPrefix("v").takeWhile(_.isDigit).toInt).getAbsolutePath
+    val reg = spark.sql("CALL g.system.register_table(table => 'db.sm_copy', " +
+      s"metadata_file => '$metaFile')").collect()
+    assert(!reg.head.isNullAt(0), "registered table has a current snapshot")
+    assert(spark.sql("SELECT count(*) FROM g.db.sm_copy").head.getLong(0) === before + 3)
+  }
 }
