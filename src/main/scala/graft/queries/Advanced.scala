@@ -130,7 +130,57 @@ object Advanced {
       |  ON ev.user_id = cp.user_id AND ev.ts_us >= cp.ts_us
       |ORDER BY ev.event_id""".stripMargin
 
+  /** CUBE aggregation — all 2² grouping combinations in one pass (Spark
+    * expands grouping sets before the shuffle; one Exchange total). */
+  def cube2(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sum(col("o_totalprice").cast(Money)).cast("double").as("sum_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+  val cube2Sql =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  count(*) AS n
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** PIVOT — orders count + exact price sum per status, one column group
+    * per priority class. Spark's pivot is conditional aggregation after
+    * a single shuffle on the row key; the oracle spells the same thing
+    * as FILTER'd aggregates. The pivot values are enumerated literals,
+    * so the plan never needs a distinct-values pre-pass (the
+    * two-argument pivot avoids an extra job at scale). */
+  def pivotAgg(s: SparkSession, dir: String): DataFrame = {
+    val pr = Seq("1-URGENT", "2-HIGH", "3-MEDIUM")
+    t(s, dir, "orders")
+      .filter(col("o_orderpriority").isin(pr: _*))
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", pr)
+      .agg(sum(col("o_totalprice").cast(Money)).cast("double"))
+      .select(col("o_orderstatus").as("status"),
+        col("1-URGENT").as("urgent_price"),
+        col("2-HIGH").as("high_price"),
+        col("3-MEDIUM").as("medium_price"))
+      .orderBy(col("status"))
+  }
+  val pivotAggSql =
+    """SELECT o_orderstatus AS status,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_price,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    FILTER (WHERE o_orderpriority = '2-HIGH') AS DOUBLE) AS high_price,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    FILTER (WHERE o_orderpriority = '3-MEDIUM') AS DOUBLE) AS medium_price
+      |FROM orders
+      |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+      |GROUP BY o_orderstatus ORDER BY status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cube_agg" -> (cube2 _),
+    "pivot_agg" -> (pivotAgg _),
     "asof_join" -> (asofJoin _),
     "rollup_agg" -> (rollup _),
     "set_ops" -> (setOps _),
@@ -141,6 +191,8 @@ object Advanced {
   val oracles: Map[String, String] = Map(
     "asof_join" -> asofJoinSql,
     "rollup_agg" -> rollupSql,
+    "cube_agg" -> cube2Sql,
+    "pivot_agg" -> pivotAggSql,
     "set_ops" -> setOpsSql,
     "ev_sessionize" -> sessionizeSql,
     "skew_salted_agg" -> skewSaltedAggSql,
