@@ -178,7 +178,46 @@ object Advanced {
       |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
       |GROUP BY o_orderstatus ORDER BY status""".stripMargin
 
+  /** RANGE JOIN through the bin rule (plans/RangeJoin.scala, tier (c) of
+    * the custom-operator ladder): every event point joined to the
+    * 10-minute checkpoint windows containing it, written as the RAW
+    * BETWEEN condition — no manual binning in the query. Without the
+    * rule Spark nested-loops |events|×|windows| (1.8e10 pair evals at
+    * sf0.1); with `spark.graft.range-join.bin-size` set near the window
+    * span the optimizer rewrites to an explode + equi-join shuffle and
+    * the ORIGINAL predicate stays as the residual, so results are
+    * provably identical (this oracle gate + RangeJoinSpec's
+    * equal-rows assert). */
+  def rangeJoinBinned(s: SparkSession, dir: String): DataFrame = {
+    // cloned session: the rule reads the bin-size conf at OPTIMIZATION
+    // time (the caller materializes this frame lazily), so a scoped-conf
+    // window around construction would have reset by then — the clone
+    // carries the conf for the frame's whole life without mutating the
+    // caller's session (same pattern as the per-operation parquet confs)
+    val s2 = org.apache.spark.sql.GraftBridge.cloneSession(s)
+    s2.conf.set(graft.plans.RangeJoinBin.BinSizeConf, "600000000")
+    graft.plans.RangeJoinBin.install(s2)
+    val ev = t(s2, dir, "events")
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+    val points = ev.select(col("event_id"), col("ts_us").as("p"))
+    val windows = ev.filter(col("event_id") % 20 === 0)
+      .select(col("event_id").as("iid"), col("ts_us").as("lo"),
+        (col("ts_us") + 600000000L).as("hi"))
+    points.join(windows, col("p") >= col("lo") && col("p") <= col("hi"))
+      .groupBy(col("iid"))
+      .agg(count(lit(1)).as("n_points"))
+      .orderBy(col("iid"))
+  }
+  val rangeJoinBinnedSql =
+    """WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events),
+      |win AS (SELECT event_id AS iid, ts_us AS lo, ts_us + 600000000 AS hi
+      |        FROM ev WHERE event_id % 20 = 0)
+      |SELECT iid, count(*) AS n_points
+      |FROM ev JOIN win ON ev.ts_us >= win.lo AND ev.ts_us <= win.hi
+      |GROUP BY iid ORDER BY iid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "range_join_binned" -> (rangeJoinBinned _),
     "cube_agg" -> (cube2 _),
     "pivot_agg" -> (pivotAgg _),
     "asof_join" -> (asofJoin _),
@@ -191,6 +230,7 @@ object Advanced {
   val oracles: Map[String, String] = Map(
     "asof_join" -> asofJoinSql,
     "rollup_agg" -> rollupSql,
+    "range_join_binned" -> rangeJoinBinnedSql,
     "cube_agg" -> cube2Sql,
     "pivot_agg" -> pivotAggSql,
     "set_ops" -> setOpsSql,

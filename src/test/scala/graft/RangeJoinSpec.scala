@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.RangeJoinBin
+
+/** The bin-amplified range-join rule: semantics preserved exactly, the
+  * nested-loop plan replaced by an equi-join shuffle. */
+class RangeJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("range-join-spec").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def frames = {
+    import spark.implicits._
+    // points 0..9999; intervals of span ~50 at varied offsets, some negative
+    val points = spark.range(0, 10000).select((col("id") * 7 % 10000 - 2000).as("p"),
+      col("id").as("pid"))
+    val intervals = spark.range(0, 500)
+      .select(col("id").as("iid"),
+        (col("id") * 31 % 9000 - 2200).as("lo"))
+      .withColumn("hi", col("lo") + (col("iid") % 97))
+    (points, intervals)
+  }
+
+  private def joined = {
+    val (points, intervals) = frames
+    points.join(intervals, col("p") >= col("lo") && col("p") <= col("hi"))
+      .groupBy("iid").agg(count(lit(1)).as("n"))
+      .orderBy("iid")
+  }
+
+  test("rule inert without bin-size conf: plan is the nested loop") {
+    RangeJoinBin.install(spark)
+    spark.conf.unset(RangeJoinBin.BinSizeConf)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected the default nested loop, got:\n$plan")
+  }
+
+  test("binned rewrite: identical rows, no nested loop, negative domains bin right") {
+    RangeJoinBin.install(spark)
+    spark.conf.unset(RangeJoinBin.BinSizeConf)
+    val expected = joined.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    spark.conf.set(RangeJoinBin.BinSizeConf, "64")
+    try {
+      val q = joined
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"rewrite did not fire:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+        plan.contains("BroadcastHashJoin"), s"no equi join in:\n$plan")
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == expected, "binned range join changed the result")
+    } finally spark.conf.unset(RangeJoinBin.BinSizeConf)
+  }
+
+  test("the range_join_binned gate runs the rewrite, not the nested loop") {
+    val df = graft.queries.Advanced.rangeJoinBinned(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"gate did not rewrite:\n$plan")
+    assert(df.count() > 0)
+    // the caller's session stays untouched (clone carries the conf)
+    assert(spark.conf.getOption(RangeJoinBin.BinSizeConf).isEmpty)
+  }
+
+  test("rewrite declines joins that already have an equi key") {
+    RangeJoinBin.install(spark)
+    spark.conf.set(RangeJoinBin.BinSizeConf, "64")
+    try {
+      val (points, intervals) = frames
+      val withKey = points.withColumn("k", col("pid") % 5)
+        .join(intervals.withColumn("k", col("iid") % 5), Seq("k"))
+        .filter(col("p") >= col("lo") && col("p") <= col("hi"))
+      // equi-join on k already: plan must not contain the bin columns
+      val plan = withKey.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("_graft_bin"), s"rule fired on an equi join:\n$plan")
+      assert(withKey.count() > 0)
+    } finally spark.conf.unset(RangeJoinBin.BinSizeConf)
+  }
+}
