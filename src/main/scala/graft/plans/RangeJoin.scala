@@ -12,18 +12,28 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * custom-operator ladder: whole-operator semantics the built-in
   * planner genuinely mis-executes).
   *
-  * Spark plans `points JOIN intervals ON p BETWEEN lo AND hi` with NO
-  * equi key as BroadcastNestedLoopJoin — O(|points|·|intervals|) pair
-  * evaluations, the classic 100-TB cliff. This rule rewrites the
-  * logical join into an equi-join on overlap BINS: each interval
-  * explodes to the bins [⌊lo/W⌋..⌊hi/W⌋] it touches, each point maps to
-  * its one bin ⌊p/W⌋, the join keys on bin equality (hash/sort-merge —
-  * shuffle instead of cross product) and the ORIGINAL predicates stay
-  * as the residual, so the rewrite is semantics-preserving by
-  * construction: every qualifying pair shares the point's bin
-  * (⌊lo/W⌋ ≤ ⌊p/W⌋ ≤ ⌊hi/W⌋), and the residual removes same-bin
-  * non-matches. Work amplification is interval_span/W per interval —
-  * W is chosen by the user near the typical span via
+  * Spark plans an inequality-only join — point-in-interval
+  * (`p BETWEEN lo AND hi`) or interval overlap
+  * (`l.start <= r.end AND r.start <= l.end`) — as
+  * BroadcastNestedLoopJoin: O(|L|·|R|) pair evaluations, the classic
+  * 100-TB cliff. This rule rewrites the logical join into an equi-join
+  * on overlap BINS. Both patterns normalize to one shape: a `≤`/`<`
+  * conjunct from left to right (lA ≤ rB) plus one from right to left
+  * (rC ≤ lD). Each side explodes to the bins its [min, max] ENVELOPE
+  * (least/greatest of its two bound expressions) touches, the join
+  * keys on bin equality, a canonical-bin term keeps exactly ONE copy
+  * of each candidate pair (the first shared bin,
+  * max(⌊lmin/W⌋, ⌊rmin/W⌋)), and the ORIGINAL predicate stays as the
+  * residual.
+  *
+  * Exactness holds for ALL inputs, including degenerate inverted
+  * intervals: if a pair satisfies lA ≤ rB and rC ≤ lD, its envelopes
+  * must overlap (disjointness on either side contradicts one of the
+  * two inequalities), so every matching pair meets in its canonical
+  * bin; the residual removes same-bin non-matches; the canonical-bin
+  * equality removes duplicates. A point is the one-bin envelope
+  * special case. Work amplification is envelope_span/W per row — W is
+  * chosen by the user near the typical span via
   * `spark.graft.range-join.bin-size` (0 = rule inert).
   *
   * Registration uses public seams only: `GraftExtensions` for
@@ -32,8 +42,8 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * `range_join_binned` gate attaches it).
   *
   * Floor division is spelled `(a - pmod(a, W)) / W` so negative
-  * domains bin correctly (IntegralDivide truncates toward zero). Both
-  * bounds and the point must be integral; everything is widened to
+  * domains bin correctly (IntegralDivide truncates toward zero). All
+  * bound expressions must be integral; everything is widened to
   * LongType.
   */
 case class RangeJoinBinRule(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -53,9 +63,10 @@ case class RangeJoinBinRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** A conjunct pair (p >= lo, p <= hi) where p is computed from one side
-    * and lo/hi from the other, with no existing equi conjunct (an
-    * equi-join already avoids the nested loop). */
+  /** One `≤`/`<` conjunct in each direction (lA ≤ rB, rC ≤ lD) over
+    * integral expressions, with no existing equi conjunct (an equi-join
+    * already avoids the nested loop). Covers BETWEEN (lA = lD = the
+    * point) and interval overlap alike. */
   private def rewriteOf(j: Join, cond: Expression, bin: Long): Option[LogicalPlan] = {
     val conjuncts = splitConjuncts(cond)
     val hasEqui = conjuncts.exists {
@@ -65,52 +76,60 @@ case class RangeJoinBinRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     if (hasEqui) return None
 
-    // collect candidate lower/upper bounds keyed by the point expression
     def integral(e: Expression): Boolean =
       e.dataType == LongType || e.dataType == IntegerType
     def fromLeft(e: Expression) = e.references.subsetOf(j.left.outputSet) &&
-      e.references.nonEmpty
+      e.references.nonEmpty && integral(e)
     def fromRight(e: Expression) = e.references.subsetOf(j.right.outputSet) &&
-      e.references.nonEmpty
+      e.references.nonEmpty && integral(e)
 
-    // normalize to (point-from-left, bound-from-right, isLower)
-    val bounds = conjuncts.flatMap {
-      case GreaterThanOrEqual(p, b) if fromLeft(p) && fromRight(b) => Some((p, b, true))
-      case LessThanOrEqual(b, p) if fromLeft(p) && fromRight(b) => Some((p, b, true))
-      case LessThanOrEqual(p, b) if fromLeft(p) && fromRight(b) => Some((p, b, false))
-      case GreaterThanOrEqual(b, p) if fromLeft(p) && fromRight(b) => Some((p, b, false))
+    // normalize every comparison to `small ≤/< big`, oriented by side
+    val le = conjuncts.flatMap {
+      case LessThanOrEqual(a, b) => Some((a, b))
+      case LessThan(a, b) => Some((a, b))
+      case GreaterThanOrEqual(a, b) => Some((b, a))
+      case GreaterThan(a, b) => Some((b, a))
       case _ => None
-    }.filter { case (p, b, _) => integral(p) && integral(b) }
-
-    val pair = bounds.collectFirst {
-      case (p, lo, true) if bounds.exists { case (p2, _, isLo) =>
-        !isLo && p2.semanticEquals(p) } =>
-        val hi = bounds.collectFirst {
-          case (p2, h, false) if p2.semanticEquals(p) => h }.get
-        (p, lo, hi)
     }
-    pair.map { case (point, lo, hi) =>
-      val w = Literal(bin, LongType)
-      def floorDiv(e: Expression): Expression = {
-        val el = Cast(e, LongType)
-        IntegralDivide(Subtract(el, Pmod(el, w)), w)
-      }
-      // left: one bin per point row
-      val leftBin = Alias(floorDiv(point), "_graft_bin_p")()
-      val leftProj = Project(j.left.output :+ leftBin, j.left)
-      // right: explode the touched-bin range
-      // Sequence is TimeZoneAware: resolved only with a zone set, and the
-      // analyzer's ResolveTimeZone has already run by optimization time
-      val binsSeq = new Sequence(floorDiv(lo), floorDiv(hi), Some(Literal(1L, LongType)))
-        .withTimeZone(SQLConf.get.sessionLocalTimeZone)
-      val binsAlias = Alias(binsSeq, "_graft_bins")()
-      val rightProj = Project(j.right.output :+ binsAlias, j.right)
-      val binAttr = AttributeReference("_graft_bin_i", LongType, nullable = true)()
-      val rightGen = Generate(Explode(binsAlias.toAttribute), unrequiredChildIndex = Nil,
-        outer = false, qualifier = None, generatorOutput = Seq(binAttr), child = rightProj)
-      val newCond = And(EqualTo(leftBin.toAttribute, binAttr), cond)
-      val joined = Join(leftProj, rightGen, Inner, Some(newCond), j.hint)
-      Project(j.output, joined)
+    val lr = le.collectFirst { case (a, b) if fromLeft(a) && fromRight(b) => (a, b) }
+    val rl = le.collectFirst { case (a, b) if fromRight(a) && fromLeft(b) => (a, b) }
+
+    (lr, rl) match {
+      case (Some((lA, rB)), Some((rC, lD))) =>
+        val w = Literal(bin, LongType)
+        def floorDiv(e: Expression): Expression = {
+          val el = Cast(e, LongType)
+          IntegralDivide(Subtract(el, Pmod(el, w)), w)
+        }
+        def envelope(x: Expression, y: Expression): (Expression, Expression) =
+          if (x.semanticEquals(y)) (x, y) // point: skip the Least/Greatest
+          else (Least(Seq(x, y)), Greatest(Seq(x, y)))
+        val (lMin, lMax) = envelope(lA, lD)
+        val (rMin, rMax) = envelope(rC, rB)
+        // Sequence is TimeZoneAware: resolved only with a zone set, and the
+        // analyzer's ResolveTimeZone has already run by optimization time
+        def binsOf(mn: Expression, mx: Expression): Expression =
+          new Sequence(floorDiv(mn), floorDiv(mx), Some(Literal(1L, LongType)))
+            .withTimeZone(SQLConf.get.sessionLocalTimeZone)
+        def explodeBins(side: LogicalPlan, mn: Expression, mx: Expression,
+            tag: String): (LogicalPlan, AttributeReference) = {
+          val binsAlias = Alias(binsOf(mn, mx), s"_graft_bins_$tag")()
+          val proj = Project(side.output :+ binsAlias, side)
+          val binAttr = AttributeReference(s"_graft_bin_$tag", LongType,
+            nullable = true)()
+          (Generate(Explode(binsAlias.toAttribute), unrequiredChildIndex = Nil,
+            outer = false, qualifier = None, generatorOutput = Seq(binAttr),
+            child = proj), binAttr)
+        }
+        val (leftGen, lBin) = explodeBins(j.left, lMin, lMax, "l")
+        val (rightGen, rBin) = explodeBins(j.right, rMin, rMax, "r")
+        // canonical first shared bin keeps each candidate pair exactly once
+        val canonical = EqualTo(lBin,
+          Greatest(Seq(floorDiv(lMin), floorDiv(rMin))))
+        val newCond = And(And(EqualTo(lBin, rBin), canonical), cond)
+        val joined = Join(leftGen, rightGen, Inner, Some(newCond), j.hint)
+        Some(Project(j.output, joined))
+      case _ => None
     }
   }
 

@@ -74,6 +74,34 @@ class RangeJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.conf.getOption(RangeJoinBin.BinSizeConf).isEmpty)
   }
 
+  test("interval-overlap joins rewrite too, exactly — including inverted intervals") {
+    import spark.implicits._
+    RangeJoinBin.install(spark)
+    spark.conf.unset(RangeJoinBin.BinSizeConf)
+    // deliberately include EMPTY/INVERTED intervals (start > end) on both
+    // sides: the raw inequalities can still match through them, and the
+    // min/max-envelope binning must not lose those pairs
+    val a = spark.range(0, 3000).select(col("id").as("aid"),
+      (col("id") * 13 % 5000 - 500).as("a_lo"))
+      .withColumn("a_hi", col("a_lo") + (col("aid") % 211) - 40) // ~20% inverted
+    val b = spark.range(0, 2000).select(col("id").as("bid"),
+      (col("id") * 29 % 5000 - 700).as("b_lo"))
+      .withColumn("b_hi", col("b_lo") + (col("bid") % 157) - 30)
+    def q = a.join(b, col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .groupBy("aid").agg(count(lit(1)).as("n"), sum(col("bid")).as("sb"))
+      .orderBy("aid")
+    val expected = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    spark.conf.set(RangeJoinBin.BinSizeConf, "128")
+    try {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"overlap rewrite did not fire:\n$plan")
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == expected,
+        s"overlap rewrite changed the result: ${got.size} vs ${expected.size} groups")
+    } finally spark.conf.unset(RangeJoinBin.BinSizeConf)
+  }
+
   test("rewrite declines joins that already have an equi key") {
     RangeJoinBin.install(spark)
     spark.conf.set(RangeJoinBin.BinSizeConf, "64")
