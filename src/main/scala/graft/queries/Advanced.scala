@@ -216,7 +216,42 @@ object Advanced {
       |FROM ev JOIN win ON ev.ts_us >= win.lo AND ev.ts_us <= win.hi
       |GROUP BY iid ORDER BY iid""".stripMargin
 
+  /** INTERVAL-OVERLAP JOIN through the same bin rule: per-user activity
+    * bursts ([ts, ts+5min] around each click) overlapped against
+    * maintenance windows ([ts, ts+15min] around each % 50 event), raw
+    * `a.lo <= b.hi AND b.lo <= a.hi` — the rule's envelope/canonical-bin
+    * generalization fires (RangeJoinSpec proves exactness incl.
+    * inverted intervals; this gate hash-checks against DuckDB's
+    * IEJoin). */
+  def intervalOverlapJoin(s: SparkSession, dir: String): DataFrame = {
+    val s2 = org.apache.spark.sql.GraftBridge.cloneSession(s)
+    s2.conf.set(graft.plans.RangeJoinBin.BinSizeConf, "900000000")
+    graft.plans.RangeJoinBin.install(s2)
+    val ev = t(s2, dir, "events")
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+    val bursts = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("burst_id"), col("ts_us").as("a_lo"),
+        (col("ts_us") + 300000000L).as("a_hi"))
+    val windows = ev.filter(col("event_id") % 50 === 0)
+      .select(col("event_id").as("win_id"), col("ts_us").as("b_lo"),
+        (col("ts_us") + 900000000L).as("b_hi"))
+    bursts.join(windows, col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .groupBy(col("win_id"))
+      .agg(count(lit(1)).as("n_bursts"), min(col("burst_id")).as("first_burst"))
+      .orderBy(col("win_id"))
+  }
+  val intervalOverlapJoinSql =
+    """WITH ev AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |bursts AS (SELECT event_id AS burst_id, ts_us AS a_lo, ts_us + 300000000 AS a_hi
+      |           FROM ev WHERE event_type = 'click'),
+      |win AS (SELECT event_id AS win_id, ts_us AS b_lo, ts_us + 900000000 AS b_hi
+      |        FROM ev WHERE event_id % 50 = 0)
+      |SELECT win_id, count(*) AS n_bursts, min(burst_id) AS first_burst
+      |FROM bursts JOIN win ON a_lo <= b_hi AND b_lo <= a_hi
+      |GROUP BY win_id ORDER BY win_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "interval_overlap_join" -> (intervalOverlapJoin _),
     "range_join_binned" -> (rangeJoinBinned _),
     "cube_agg" -> (cube2 _),
     "pivot_agg" -> (pivotAgg _),
@@ -231,6 +266,7 @@ object Advanced {
     "asof_join" -> asofJoinSql,
     "rollup_agg" -> rollupSql,
     "range_join_binned" -> rangeJoinBinnedSql,
+    "interval_overlap_join" -> intervalOverlapJoinSql,
     "cube_agg" -> cube2Sql,
     "pivot_agg" -> pivotAggSql,
     "set_ops" -> setOpsSql,
