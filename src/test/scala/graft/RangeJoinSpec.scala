@@ -102,6 +102,29 @@ class RangeJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset(RangeJoinBin.BinSizeConf)
   }
 
+  test("property sweep: rewrite == nested loop across bin widths and shapes") {
+    import spark.implicits._
+    RangeJoinBin.install(spark)
+    // W = 1 (max amplification), W near span, W >> span (few giant bins):
+    // all must be exact; only the cost differs
+    for (seed <- Seq(7, 23); w <- Seq(1L, 50L, 1000000L)) {
+      val a = spark.range(0, 400).select(col("id").as("aid"),
+        ((col("id") * (13 + seed)) % 900 - 111).as("lo"))
+        .withColumn("hi", col("lo") + (col("aid") * seed % 77) - 8)
+      val b = spark.range(0, 300).select(col("id").as("bid"),
+        ((col("id") * (29 + seed)) % 900 - 222).as("p"))
+      def q = b.join(a, col("p") >= col("lo") && col("p") <= col("hi"))
+        .groupBy("bid").agg(count(lit(1)).as("n")).orderBy("bid")
+      spark.conf.unset(RangeJoinBin.BinSizeConf)
+      val expected = q.collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+      spark.conf.set(RangeJoinBin.BinSizeConf, w.toString)
+      try {
+        val got = q.collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+        assert(got == expected, s"seed=$seed W=$w diverged")
+      } finally spark.conf.unset(RangeJoinBin.BinSizeConf)
+    }
+  }
+
   test("rewrite declines joins that already have an equi key") {
     RangeJoinBin.install(spark)
     spark.conf.set(RangeJoinBin.BinSizeConf, "64")
