@@ -2070,6 +2070,48 @@ object DataOps {
       |FROM per
       |ORDER BY simpson DESC, doc_id LIMIT 50""".stripMargin
 
+  /** OOV RATE — tokenizer-coverage analysis: the fraction of corpus
+    * tokens outside the top-1000 vocabulary, per language. This is the
+    * statistic that sizes a tokenizer's vocab and flags languages it
+    * under-serves. All counts are exact integers; the rate is ONE
+    * division per output row, so the gate hash-checks the doubles.
+    * Scale: vocab is a map-side-combining token count + TakeOrdered
+    * 1000 (never a global sort); membership is a BROADCAST join of the
+    * token stream against the 1000-row vocab — the corpus is never
+    * reshuffled for the lookup; per-language totals map-side-combine.
+    * Ties at the vocab boundary break (count desc, term) in both
+    * engines. */
+  def oovRate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("lang"), explode(
+      filter(split(lower(trim(col("text"))), "\\s+"), w => w =!= "")).as("term"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term")).limit(1000)
+      .select(col("term"), lit(1).as("in_vocab"))
+    nonEmpty(toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).cast("long").as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+      .orderBy("lang"))
+  }
+  val oovRateSql =
+    """WITH toks AS (
+      |  SELECT lang,
+      |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                       w -> w <> '')) AS term
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT term FROM (SELECT term, count(*) AS c FROM toks GROUP BY term)
+      |  ORDER BY c DESC, term LIMIT 1000)
+      |SELECT lang, count(*) AS n_tokens,
+      |  CAST(count(*) FILTER (WHERE toks.term NOT IN (SELECT term FROM vocab))
+      |    AS BIGINT) AS n_oov,
+      |  CAST(CAST(count(*) FILTER (WHERE toks.term NOT IN (SELECT term FROM vocab))
+      |    AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
+      |FROM toks GROUP BY lang ORDER BY lang""".stripMargin
+
   /** STREAM-STATIC ENRICHMENT JOIN — enrich a streaming fact (orders as
     * a file stream) with a broadcast static dimension (customer): the
     * stateless streaming join every event pipeline runs before its
@@ -2320,6 +2362,7 @@ object DataOps {
     "ds_inverted_index" -> (invertedIndex _),
     "ds_char_diversity" -> (charDiversity _),
     "ds_bloom_decontaminate" -> (bloomDecontaminate _),
+    "ds_oov_rate" -> (oovRate _),
     "stream_static_join" -> (streamStaticEnrich _),
     "ds_pmi_collocations" -> (pmiCollocations _),
     "ds_quantile_lengths" -> (quantileLengths _),
@@ -2368,6 +2411,7 @@ object DataOps {
     "ds_inverted_index" -> invertedIndexSql,
     "ds_char_diversity" -> charDiversitySql,
     "ds_bloom_decontaminate" -> bloomDecontaminateSql,
+    "ds_oov_rate" -> oovRateSql,
     "stream_static_join" -> streamStaticEnrichSql,
     "ds_pmi_collocations" -> pmiCollocationsSql,
     "ds_quantile_lengths" -> quantileLengthsSql,
