@@ -4,9 +4,9 @@ import java.io.ByteArrayInputStream
 
 import org.apache.spark.sql.{Column, Dataset}
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -24,9 +24,13 @@ import org.apache.spark.util.sketch.BloomFilter
   * whole-stage codegen calls straight into `mightContain` — no UDF
   * boxing, no codegen barrier. */
 case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = child.nullable
+  // probes hash UTF-8 bytes — a non-string child must fail at analysis,
+  // not as a ClassCastException inside codegen (AbstractDataType is
+  // private[sql]; the inferred Seq[StringType.type] conforms)
+  override def inputTypes = Seq(StringType)
 
   @transient private lazy val bloom: BloomFilter =
     BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes))

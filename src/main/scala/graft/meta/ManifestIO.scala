@@ -286,10 +286,16 @@ object ManifestIO {
       inheritSnapshotId = Some(mf.addedSnapshotId),
       inheritSequenceNumber = Some(mf.sequenceNumber))
 
+  /** Manifest-open counter — test instrumentation for pruning asserts
+    * (accurate in local mode where executors share the JVM; zero cost
+    * otherwise). */
+  val manifestOpens = new java.util.concurrent.atomic.AtomicLong(0)
+
   def readManifest(path: String, spec: PartitionSpec, schema: Schema,
       confOverride: org.apache.hadoop.conf.Configuration = null,
       inheritSnapshotId: Option[Long] = None,
       inheritSequenceNumber: Option[Long] = None): Seq[ManifestEntry] = {
+    manifestOpens.incrementAndGet()
     val reader = openAvro(path, confOverride)
     val partTypes = spec.partitionType(schema)
     // Foreign writers may sanitize partition-struct names differently —

@@ -56,10 +56,14 @@ case class RangeJoinBinRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // so a captured session would read a stale conf
     val bin = Option(SQLConf.get.getConfString(BinSizeConf, "0")).map(_.toLong).getOrElse(0L)
     if (bin <= 0) return plan
+    val maxBins = Option(SQLConf.get.getConfString(MaxBinsConf, "1000000"))
+      .map(_.toLong).getOrElse(1000000L)
     plan.transformUp {
-      case j @ Join(left, right, Inner, Some(cond), hint)
-          if j.resolved && rewriteOf(j, cond, bin).isDefined =>
-        rewriteOf(j, cond, bin).get
+      // match unconditionally and rewrite once — evaluating rewriteOf in
+      // both guard and body built the full rewritten subplan twice per
+      // optimizer fixed-point pass
+      case j @ Join(_, _, Inner, Some(cond), _) if j.resolved =>
+        rewriteOf(j, cond, bin, maxBins).getOrElse(j)
     }
   }
 
@@ -67,7 +71,8 @@ case class RangeJoinBinRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * integral expressions, with no existing equi conjunct (an equi-join
     * already avoids the nested loop). Covers BETWEEN (lA = lD = the
     * point) and interval overlap alike. */
-  private def rewriteOf(j: Join, cond: Expression, bin: Long): Option[LogicalPlan] = {
+  private def rewriteOf(j: Join, cond: Expression, bin: Long,
+      maxBins: Long): Option[LogicalPlan] = {
     val conjuncts = splitConjuncts(cond)
     val hasEqui = conjuncts.exists {
       case EqualTo(a, b) => straddles(j, a, b)
@@ -107,10 +112,24 @@ case class RangeJoinBinRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val (lMin, lMax) = envelope(lA, lD)
         val (rMin, rMax) = envelope(rC, rB)
         // Sequence is TimeZoneAware: resolved only with a zone set, and the
-        // analyzer's ResolveTimeZone has already run by optimization time
-        def binsOf(mn: Expression, mx: Expression): Expression =
-          new Sequence(floorDiv(mn), floorDiv(mx), Some(Literal(1L, LongType)))
+        // analyzer's ResolveTimeZone has already run by optimization time.
+        // An outlier row whose envelope spans ≫ W bins would otherwise
+        // dominate the query or blow Sequence's array-length ceiling with
+        // an opaque error — guard per row with a typed failure telling the
+        // user which knob to turn (clamping would silently DROP matches:
+        // a pair meets only in its canonical bin, which can lie anywhere
+        // in either envelope).
+        def binsOf(mn: Expression, mx: Expression): Expression = {
+          val seq = new Sequence(floorDiv(mn), floorDiv(mx), Some(Literal(1L, LongType)))
             .withTimeZone(SQLConf.get.sessionLocalTimeZone)
+          val span = Subtract(floorDiv(mx), floorDiv(mn))
+          val err = new RaiseError(Literal.create(
+            s"range-join bin explosion: one row spans more than $maxBins bins of " +
+              s"width $bin; raise $BinSizeConf or $MaxBinsConf",
+            org.apache.spark.sql.types.StringType))
+          If(GreaterThan(span, Literal(maxBins, LongType)),
+            Cast(err, seq.dataType), seq)
+        }
         def explodeBins(side: LogicalPlan, mn: Expression, mx: Expression,
             tag: String): (LogicalPlan, AttributeReference) = {
           val binsAlias = Alias(binsOf(mn, mx), s"_graft_bins_$tag")()
@@ -146,6 +165,11 @@ case class RangeJoinBinRule(spark: SparkSession) extends Rule[LogicalPlan] {
 object RangeJoinBin {
   /** Bin width (in the point column's units). 0/unset = rule inert. */
   val BinSizeConf = "spark.graft.range-join.bin-size"
+
+  /** Per-row bin-count ceiling: a row whose envelope would explode to more
+    * bins than this fails the query with a typed message instead of
+    * dominating it or hitting Sequence's opaque array-length error. */
+  val MaxBinsConf = "spark.graft.range-join.max-bins-per-row"
 
   /** Attach the rule to a LIVE session (idempotent). The builder-time
     * alternative is `spark.sql.extensions=graft.spark.GraftExtensions`. */

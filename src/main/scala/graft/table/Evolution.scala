@@ -273,8 +273,14 @@ final class ManageSnapshots(table: IceTable) {
     * tags cannot carry snapshot-retention fields, refs.py:49). */
   def createTag(name: String, snapshotId: Long,
       maxRefAgeMs: Option[Long] = None): ManageSnapshots = {
-    table.commitMetadata(m => m.copy(refs = m.refs +
-      (name -> SnapshotRef(snapshotId, "tag", maxRefAgeMs = maxRefAgeMs))))
+    // a ref to a nonexistent snapshot would dangle and break VERSION AS OF
+    // (ref: update/__init__.py:491 'Cannot set ... to unknown snapshot')
+    table.commitMetadata { m =>
+      require(m.snapshotById(snapshotId).isDefined,
+        s"Cannot set tag $name to unknown snapshot: $snapshotId")
+      m.copy(refs = m.refs +
+        (name -> SnapshotRef(snapshotId, "tag", maxRefAgeMs = maxRefAgeMs)))
+    }
     this
   }
   /** (ref: create_branch update/snapshot.py:893 — optional
@@ -283,9 +289,13 @@ final class ManageSnapshots(table: IceTable) {
       minSnapshotsToKeep: Option[Int] = None,
       maxSnapshotAgeMs: Option[Long] = None,
       maxRefAgeMs: Option[Long] = None): ManageSnapshots = {
-    table.commitMetadata(m => m.copy(refs = m.refs +
-      (name -> SnapshotRef(snapshotId, "branch", minSnapshotsToKeep,
-        maxSnapshotAgeMs, maxRefAgeMs))))
+    table.commitMetadata { m =>
+      require(m.snapshotById(snapshotId).isDefined,
+        s"Cannot set branch $name to unknown snapshot: $snapshotId")
+      m.copy(refs = m.refs +
+        (name -> SnapshotRef(snapshotId, "branch", minSnapshotsToKeep,
+          maxSnapshotAgeMs, maxRefAgeMs)))
+    }
     this
   }
   def removeTag(name: String): ManageSnapshots = {

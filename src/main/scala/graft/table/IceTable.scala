@@ -642,6 +642,16 @@ class IceTable(
             "is named by a live position-delete file")
       }
     }
+    // typed rejection for formats the read path can't serve (ref
+    // manifest.py:114 FileFormat enum; add_files there is parquet-only —
+    // ORC registration is this engine's extension)
+    paths.find(p => !p.toLowerCase.endsWith(".parquet") && !p.toLowerCase.endsWith(".orc"))
+      .foreach { p =>
+        val fmt = p.reverse.takeWhile(_ != '.').reverse.toUpperCase
+        throw new UnsupportedOperationException(
+          s"Cannot add_files: unsupported data file format $fmt ($p); " +
+            "only PARQUET and ORC are supported")
+      }
     val colInfo = schema.leafColInfo
     // full (untruncated) bounds: identity partitions on long strings would
     // otherwise see truncated min != incremented max and reject the file

@@ -138,34 +138,104 @@ final class IceScan(
 
     val (dataManifests, deleteManifests) = manifests.partition(_.content == 0)
 
-    // manifest pruning on partition summaries (ref visitors.py:555)
-    val keptData = dataManifests.filter { mf =>
+    // manifest pruning on partition summaries, applied to BOTH data and
+    // delete manifests — the reference filters ALL manifests through the
+    // manifest evaluators before opening any (table/__init__.py:2596–2598;
+    // visitors.py:555). A partitioned delete can only apply to a data file
+    // with the SAME spec + partition tuple, so a delete manifest whose
+    // summaries miss the projection cannot contribute to any kept data
+    // file; unpartitioned (global) delete manifests have no summaries and
+    // always pass.
+    def keepManifest(mf: ManifestFile): Boolean = {
       val spec = metadata.specById(mf.partitionSpecId)
       Evaluators.manifestMightMatch(spec, projected(mf.partitionSpecId), summariesTyped(mf))
     }
+    val keptData = dataManifests.filter(keepManifest)
+    val keptDeletes = deleteManifests.filter(keepManifest)
+
+    // per-manifest open+prune is a pure function of (manifest, spec,
+    // schema, filter); past a threshold it runs as a Spark job so planning
+    // scales with the cluster, not the driver (ref: the thread-pool
+    // boundary at ManifestGroupPlanner :2608 / utils/concurrent.py).
+    // Delete manifests ride the SAME job (the reference opens data and
+    // delete manifests through one shared executor pool).
+    val openOne: ManifestFile => Seq[(ManifestEntry, Int)] = {
+      val allKept = keptData ++ keptDeletes
+      val specsById = allKept.map(_.partitionSpecId).distinct
+        .map(id => id -> metadata.specById(id)).toMap
+      val projBySpecId = specsById.keys.map(id => id -> projected(id)).toMap
+      val schemaLocal = schema
+      val boundLocal = bound
+      val keep = keepStats
+      // executors lack the driver-installed Io.confFactory — ship the
+      // session conf entries (custom schemes, s3a creds) into the closure,
+      // mirroring WriteFiles.harvest and the DSv2 reader factories
+      val ioEntries = Io.confEntries(spark)
+      mf => {
+        val spec = specsById(mf.partitionSpecId)
+        val proj = projBySpecId(mf.partitionSpecId)
+        val live = ManifestIO.readManifest(mf, spec, schemaLocal,
+            Io.confFrom(ioEntries))
+          .filter(_.status != EntryStatus.Deleted)
+        if (mf.content != 0)
+          // delete entries: partition pruning only — their metrics describe
+          // DELETED rows, not data rows, so the row-stats evaluator does
+          // not apply; stats stay attached (equality-delete field ids and
+          // DV offsets live outside the stripped maps, but counts are used
+          // by the metadata count path)
+          live.filter(e => Evaluators.partitionMatches(spec, proj, e.dataFile.partition))
+            .map(e => (e, mf.partitionSpecId))
+        else live
+          .filter { e =>
+            Evaluators.partitionMatches(spec, proj, e.dataFile.partition) &&
+              Evaluators.rowsMightMatch(boundLocal, e.dataFile)
+          }
+          .map { e =>
+            val slim = if (keep) e else e.copy(dataFile = e.dataFile.copy(
+              valueCounts = Map.empty, nullValueCounts = Map.empty,
+              nanValueCounts = Map.empty, lowerBounds = Map.empty,
+              upperBounds = Map.empty, columnSizes = Map.empty))
+            (slim, mf.partitionSpecId)
+          }
+      }
+    }
+
+    val allKept = keptData ++ keptDeletes
+    val opened: Seq[(ManifestEntry, Int)] =
+      if (allKept.size < IceScan.distributedPlanningThreshold) allKept.flatMap(openOne)
+      else spark.sparkContext
+        .parallelize(allKept, math.min(allKept.size, spark.sparkContext.defaultParallelism))
+        .flatMap(openOne).collect().toSeq
+    val (deleteOpened, pruned) = opened.partition(_._1.dataFile.content != FileContent.Data)
 
     // delete index keyed by (spec, partition) — applicability lookup is
     // O(1) per data file instead of a scan over every delete ref
-    // (ref table/delete_file_index.py:105 PartitionMap)
+    // (ref table/delete_file_index.py:105 PartitionMap). Global deletes
+    // (unpartitioned spec) are further split: refs scoped to one data file
+    // (v3 DVs, file-targeted position deletes) index by canonical path, so
+    // an unpartitioned table with N data files and M file-scoped deletes
+    // plans in O(N + M), not O(N × M).
     final case class DeleteRef(specId: Int, partition: Seq[Any], seq: Long, file: DataFile)
-    val deleteRefs: Seq[DeleteRef] = deleteManifests.flatMap { mf =>
-      val spec = metadata.specById(mf.partitionSpecId)
-      ManifestIO.readManifest(mf, spec, schema, null)
-        .filter(_.status != EntryStatus.Deleted)
-        .map(e => DeleteRef(mf.partitionSpecId, e.dataFile.partition, e.dataSequenceNumber, e.dataFile))
+    val deleteRefs: Seq[DeleteRef] = deleteOpened.map { case (e, specId) =>
+      DeleteRef(specId, e.dataFile.partition, e.dataSequenceNumber, e.dataFile)
     }
     // byte[] partition values hash by identity — normalize to Seq for keys
     def partKey(specId: Int, p: Seq[Any]): (Int, Seq[Any]) =
       (specId, p.map { case a: Array[Byte] => (a.toSeq: Any); case x => x })
     val (globalDeletes, partitionedDeletes) =
       deleteRefs.partition(d => metadata.specById(d.specId).isUnpartitioned)
+    val (pathScopedGlobal, broadGlobal) =
+      globalDeletes.partition(_.file.referencedDataFile.isDefined)
+    val globalByPath: Map[String, Seq[DeleteRef]] =
+      pathScopedGlobal.groupBy(d => PathUtil.canon(d.file.referencedDataFile.get))
     val deletesByPartition: Map[(Int, Seq[Any]), Seq[DeleteRef]] =
       partitionedDeletes.groupBy(d => partKey(d.specId, d.partition))
 
     def applicableDeletes(specId: Int, partition: Seq[Any], dataSeq: Long,
         dataPath: String): Seq[DataFile] = {
       val canonPath = PathUtil.canon(dataPath)
-      val candidates = globalDeletes ++
+      val candidates = broadGlobal ++
+        globalByPath.getOrElse(canonPath, Nil) ++
         deletesByPartition.getOrElse(partKey(specId, partition), Nil)
       val files = candidates.filter { d =>
         // position deletes apply at the same or later sequence; equality
@@ -183,52 +253,29 @@ final class IceScan(
       else files
     }
 
-    // per-manifest open+prune is a pure function of (manifest, spec,
-    // schema, filter); past a threshold it runs as a Spark job so planning
-    // scales with the cluster, not the driver (ref: the thread-pool
-    // boundary at ManifestGroupPlanner :2608 / utils/concurrent.py)
-    val openOne: ManifestFile => Seq[(ManifestEntry, Int)] = {
-      val specsById = keptData.map(_.partitionSpecId).distinct
-        .map(id => id -> metadata.specById(id)).toMap
-      val projBySpecId = specsById.keys.map(id => id -> projected(id)).toMap
-      val schemaLocal = schema
-      val boundLocal = bound
-      val keep = keepStats
-      // executors lack the driver-installed Io.confFactory — ship the
-      // session conf entries (custom schemes, s3a creds) into the closure,
-      // mirroring WriteFiles.harvest and the DSv2 reader factories
-      val ioEntries = Io.confEntries(spark)
-      mf => {
-        val spec = specsById(mf.partitionSpecId)
-        val proj = projBySpecId(mf.partitionSpecId)
-        ManifestIO.readManifest(mf, spec, schemaLocal,
-            Io.confFrom(ioEntries))
-          .filter(_.status != EntryStatus.Deleted)
-          .filter { e =>
-            Evaluators.partitionMatches(spec, proj, e.dataFile.partition) &&
-              Evaluators.rowsMightMatch(boundLocal, e.dataFile)
-          }
-          .map { e =>
-            val slim = if (keep) e else e.copy(dataFile = e.dataFile.copy(
-              valueCounts = Map.empty, nullValueCounts = Map.empty,
-              nanValueCounts = Map.empty, lowerBounds = Map.empty,
-              upperBounds = Map.empty, columnSizes = Map.empty))
-            (slim, mf.partitionSpecId)
-          }
-      }
-    }
-
-    val pruned: Seq[(ManifestEntry, Int)] =
-      if (keptData.size < IceScan.distributedPlanningThreshold) keptData.flatMap(openOne)
-      else spark.sparkContext
-        .parallelize(keptData, math.min(keptData.size, spark.sparkContext.defaultParallelism))
-        .flatMap(openOne).collect().toSeq
-
-    pruned.map { case (e, specId) =>
+    val tasks = pruned.map { case (e, specId) =>
       val spec = metadata.specById(specId)
       val res = Evaluators.residual(schema, spec, bound, e.dataFile.partition)
       FileScanTask(e.dataFile, applicableDeletes(spec.specId, e.dataFile.partition,
         e.dataSequenceNumber, e.dataFile.filePath), res)
+    }
+    limitOpt match {
+      case Some(n) =>
+        // limit-aware task truncation (the reference stops consuming tasks
+        // once `limit` rows accumulate, table/__init__.py to_arrow): keep
+        // tasks until the kept set GUARANTEES n rows — only files whose
+        // residual is TRUE and that carry no deletes contribute exact
+        // counts. A `limit 10` on a 100-TB table plans one file; row-exact
+        // truncation still happens in toDF.
+        val out = Seq.newBuilder[FileScanTask]
+        var guaranteed = 0L
+        val it = tasks.iterator
+        while (it.hasNext && guaranteed < n) {
+          val t = it.next(); out += t
+          if (t.residual == BTrue && t.deletes.isEmpty) guaranteed += t.file.recordCount
+        }
+        out.result()
+      case None => tasks
     }
   }
 
@@ -319,6 +366,14 @@ final class IceScan(
       * leaves inside collections resolve too (ref name_mapping.py:73
       * MappedField nests through elements and key/value). */
     def readExternal(taskSeq: Seq[FileScanTask], format: String): DataFrame = {
+      // typed rejection, not a parquet decode crash: the manifest FileFormat
+      // enum admits AVRO (ref manifest.py:114) but neither this engine nor
+      // the reference reads avro-format DATA files (io/pyarrow.py raises
+      // ValueError for unsupported formats)
+      if (format != "PARQUET" && format != "ORC")
+        throw new UnsupportedOperationException(
+          s"Unsupported data file format $format " +
+            s"(${taskSeq.head.file.filePath}); only PARQUET and ORC are readable")
       import org.apache.spark.sql.types.{ArrayType, MapType, StructField, StructType}
       def mappedName(scope: Seq[MappedField], f: NestedField): String =
         NameMapping.nameOf(scope, f.id).getOrElse(f.name)
@@ -559,7 +614,10 @@ final class IceScan(
       }
     } ++ (if (keepFile) Seq(col("__file")) else Nil)
     df = df.select(outCols: _*)
-    limitOpt.foreach(n => df = df.limit(n.toInt))
+    // Spark's LocalLimit is Int-bounded — `n.toInt` on a >2³¹ limit would
+    // silently wrap. Past Int.MaxValue the plan-level file truncation above
+    // already bounds the result set; skip the row-exact clamp.
+    limitOpt.withFilter(_ <= Int.MaxValue).foreach(n => df = df.limit(n.toInt))
     df
   }
 
@@ -579,6 +637,8 @@ final class IceScan(
       dvOnly.map(t => t.file.recordCount - t.deletes.head.recordCount).sum
     val readCount = if (mustRead.isEmpty) 0L
       else toDFForTasks(mustRead, applyResidualOnlyWhereNeeded = false).count()
-    metaCount + readCount
+    // a limited scan counts at most `limit` rows (plan-level truncation may
+    // overshoot on the last file)
+    math.min(metaCount + readCount, limitOpt.getOrElse(Long.MaxValue))
   }
 }

@@ -600,6 +600,10 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val probe = evalGrams.limit(200)
       .filter(!BloomFunctions.bloom_might_contain(col("g"), bloom)).count()
     assert(probe == 0, s"$probe false negatives — impossible for a Bloom filter")
+    // misuse fails at ANALYSIS (ExpectsInputTypes), not as a codegen CCE
+    intercept[org.apache.spark.sql.AnalysisException] {
+      grams.filter(BloomFunctions.bloom_might_contain(col("doc_id"), bloom)).count()
+    }
   }
 
   test("hll sketch: harmonic-mean estimate within 5% of the exact distinct") {

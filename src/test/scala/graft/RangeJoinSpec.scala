@@ -125,6 +125,33 @@ class RangeJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a row exploding past max-bins-per-row fails typed, not with an " +
+      "opaque array error") {
+    RangeJoinBin.install(spark)
+    spark.conf.set(RangeJoinBin.BinSizeConf, "1")
+    spark.conf.set(RangeJoinBin.MaxBinsConf, "100")
+    try {
+      import spark.implicits._
+      // one outlier interval spans 10,000 bins of width 1 — ceiling is 100
+      val pts = Seq(5L).toDF("p")
+      val iv = Seq((0L, 10000L)).toDF("lo", "hi")
+      val q = pts.join(iv, col("p") >= col("lo") && col("p") <= col("hi"))
+      val e = intercept[Exception](q.collect())
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("bin explosion")),
+        s"expected the typed bin-explosion error, got: ${messages(e).mkString(" | ")}")
+      // within the ceiling the same query runs (fresh Dataset — the plan,
+      // and with it the baked-in ceiling, is cached per Dataset)
+      spark.conf.set(RangeJoinBin.MaxBinsConf, "100000")
+      val q2 = pts.join(iv, col("p") >= col("lo") && col("p") <= col("hi"))
+      assert(q2.collect().length === 1)
+    } finally {
+      spark.conf.unset(RangeJoinBin.BinSizeConf)
+      spark.conf.unset(RangeJoinBin.MaxBinsConf)
+    }
+  }
+
   test("rewrite declines joins that already have an equi key") {
     RangeJoinBin.install(spark)
     spark.conf.set(RangeJoinBin.BinSizeConf, "64")

@@ -105,6 +105,40 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.scan.useRef("v1").toDF.count() === batch1.count())
   }
 
+  test("createTag/createBranch reject unknown snapshot ids (no dangling refs)") {
+    val t = catalog.createTable("t_danglingref", Schema.fromSpark(orders.schema))
+    t.append(orders.limit(5))
+    val bogus = 987654321L
+    val e1 = intercept[IllegalArgumentException](t.manageSnapshots.createTag("ghost", bogus))
+    assert(e1.getMessage.contains("unknown snapshot"))
+    val e2 = intercept[IllegalArgumentException](t.manageSnapshots.createBranch("ghost", bogus))
+    assert(e2.getMessage.contains("unknown snapshot"))
+    assert(!t.metadata.refs.contains("ghost"))
+  }
+
+  test("limit plans only the files needed to guarantee it; >2^31 limits are long-safe") {
+    val t = catalog.createTable("t_limitplan", Schema.fromSpark(orders.schema))
+    t.append(orders.limit(100))
+    t.append(orders.limit(100))
+    t.append(orders.limit(100))
+    assert(t.scan.planFiles().size === 3)
+    // 50 rows are guaranteed by the first file alone — one task planned
+    assert(t.scan.limit(50).planFiles().size === 1)
+    assert(t.scan.limit(50).toDF.count() === 50)
+    assert(t.scan.limit(150).planFiles().size === 2)
+    // a limit beyond Int.MaxValue must not wrap n.toInt (r8 VERDICT nit)
+    assert(t.scan.limit(Long.MaxValue).toDF.count() === 300)
+    assert(t.scan.limit(Long.MaxValue).count() === 300)
+    assert(t.scan.limit(7L).count() === 7)
+  }
+
+  test("add_files rejects avro-format data files with a typed error") {
+    val t = catalog.createTable("t_avroadd", Schema.fromSpark(orders.schema))
+    val e = intercept[UnsupportedOperationException](
+      t.addFiles(Seq("/tmp/nonexistent/payload.avro")))
+    assert(e.getMessage.contains("AVRO"))
+  }
+
   test("upsert updates changed rows and inserts new ones") {
     val t = catalog.createTable("t_upsert", Schema.fromSpark(orders.schema))
     t.append(orders.filter(col("o_orderkey") <= 1200))
