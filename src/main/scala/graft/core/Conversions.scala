@@ -21,6 +21,11 @@ object Conversions {
     case ILong | ITime | ITimestamp | ITimestamptz =>
       ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
         .putLong(v.asInstanceOf[Number].longValue()).array()
+    // ns types serialize the spec-exact nanosecond long; engine-internal
+    // values are micros (the read-side downcast domain), so scale up
+    case ITimestampNs | ITimestamptzNs =>
+      ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        .putLong(Math.multiplyExact(v.asInstanceOf[Number].longValue(), 1000L)).array()
     case IFloat =>
       ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
         .putFloat(v.asInstanceOf[Number].floatValue()).array()
@@ -42,6 +47,12 @@ object Conversions {
     case IInt | IDate => ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getInt
     case ILong | ITime | ITimestamp | ITimestamptz =>
       ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getLong
+    // decode boundary of the ns→us downcast: manifest stats and partition
+    // values written in nanos enter the engine as micros. floorDiv keeps
+    // bounds sound for the AS-SERVED (downcast) data: floor is monotone,
+    // so min/max of served values = floorDiv of the stored ns min/max.
+    case ITimestampNs | ITimestamptzNs =>
+      Math.floorDiv(ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getLong, 1000L)
     case IFloat => ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getFloat
     case IDouble => ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getDouble
     case IString => new String(b, StandardCharsets.UTF_8)
@@ -66,7 +77,8 @@ object Conversions {
       case IDouble => s.toDouble
       case IString => s
       case IDate => java.time.LocalDate.parse(s).toEpochDay.toInt
-      case ITimestamp | ITimestamptz => Literals.parseTsMicros(s)
+      case ITimestamp | ITimestamptz | ITimestampNs | ITimestamptzNs =>
+        Literals.parseTsMicros(s)
       case IDecimal(_, scale) => new java.math.BigDecimal(s).setScale(scale)
       case IUUID => // canonical lowercase; malformed values kept raw
         try java.util.UUID.fromString(s).toString

@@ -249,7 +249,7 @@ object Literals {
   /** Convert an Iceberg-internal value to the matching Spark literal. */
   def toSparkLit(v: Any, t: IceType): Column = t match {
     case IDate => lit(LocalDate.ofEpochDay(v.asInstanceOf[Number].longValue()))
-    case ITimestamp | ITimestamptz =>
+    case ITimestamp | ITimestamptz | ITimestampNs | ITimestamptzNs =>
       val micros = v.asInstanceOf[Number].longValue()
       lit(Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L),
         Math.floorMod(micros, 1000000L) * 1000L))
@@ -391,7 +391,7 @@ object ToColumn {
 
   private def litValue(v: Any, t: IceType): Any = t match {
     case IDate => LocalDate.ofEpochDay(v.asInstanceOf[Number].longValue())
-    case ITimestamp | ITimestamptz =>
+    case ITimestamp | ITimestamptz | ITimestampNs | ITimestamptzNs =>
       val micros = v.asInstanceOf[Number].longValue()
       Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
     case _ => v

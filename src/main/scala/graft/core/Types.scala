@@ -33,6 +33,15 @@ case object ITime extends IceType { val repr = "time"; val toSpark = LongType }
 case object ITimestamp extends IceType { val repr = "timestamp"; val toSpark = TimestampNTZType }
 /** Micros, UTC-adjusted (ref types.py:844). */
 case object ITimestamptz extends IceType { val repr = "timestamptz"; val toSpark = TimestampType }
+/** v3 nanos, no zone (ref types.py:860 TimestampNanoType). READ-ONLY in
+  * this engine: Spark has no nanosecond timestamp, so scans downcast
+  * ns→us exactly as the reference's arrow reader does for v1/v2 files
+  * (io/pyarrow.py:1654 downcast_ns_timestamp_to_us); everything
+  * engine-internal (literals, stats, partition values) is normalized to
+  * the MICROsecond domain at the decode boundary. Writes reject typed. */
+case object ITimestampNs extends IceType { val repr = "timestamp_ns"; val toSpark = TimestampNTZType }
+/** v3 nanos, UTC-adjusted (ref types.py:879) — same read-only downcast. */
+case object ITimestamptzNs extends IceType { val repr = "timestamptz_ns"; val toSpark = TimestampType }
 case object IString extends IceType { val repr = "string"; val toSpark = StringType }
 /** Deliberate deviation from the reference (io/pyarrow.py stores UUID as
   * parquet fixed[16]): Spark's parquet writer cannot emit

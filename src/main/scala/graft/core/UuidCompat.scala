@@ -29,10 +29,27 @@ object UuidCompat {
 
   def hasUuid(s: Schema): Boolean = s.fields.exists(f => hasUuid(f.fieldType))
 
-  /** Physical read type: uuid → BinaryType, recursing through structs and
-    * lists; everything else keeps its public Spark mapping. */
+  /** v3 nanosecond timestamps take the same physical-read detour: parquet
+    * TIMESTAMP(NANOS) columns are requested as LONG
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and floor-divided to the
+    * microsecond domain right after the read — the reference's
+    * ns→us downcast (io/pyarrow.py:1654) expressed in whole-stage
+    * codegen arithmetic instead of an arrow cast. */
+  def hasNs(t: IceType): Boolean = t match {
+    case ITimestampNs | ITimestamptzNs => true
+    case IStruct(fs) => fs.exists(f => hasNs(f.fieldType))
+    case IList(_, el, _) => hasNs(el)
+    case _ => false
+  }
+
+  def hasNs(s: Schema): Boolean = s.fields.exists(f => hasNs(f.fieldType))
+
+  /** Physical read type: uuid → BinaryType, ns timestamp → LongType,
+    * recursing through structs and lists; everything else keeps its
+    * public Spark mapping. */
   def readType(t: IceType): DataType = t match {
     case IUUID => BinaryType
+    case ITimestampNs | ITimestamptzNs => LongType
     case IStruct(fs) => StructType(fs.map(readField))
     case IList(_, el, req) => ArrayType(readType(el), containsNull = !req)
     case other => other.toSpark
@@ -56,14 +73,33 @@ object UuidCompat {
         .otherwise(c.cast(StringType)))
   }
 
-  /** Rewrite a physically-read column back to the public (string-uuid)
-    * shape. Identity for uuid-free types. */
+  /** ns-long column → microsecond-domain timestamp. Integral floor
+    * division (not `/`, which goes through double and loses precision
+    * past 2^53 ns); the NTZ branch pins the intermediate cast to UTC so
+    * the wall-clock value is the raw micros regardless of session zone. */
+  private def nsTimestamp(c: Column, t: IceType): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, IntegralDivide, Literal => CLit, Pmod, Subtract}
+    import org.apache.spark.sql.GraftBridge
+    val ns = GraftBridge.expression(c)
+    val w = CLit(1000L, LongType)
+    val us = GraftBridge.column(IntegralDivide(Subtract(ns, Pmod(ns, w)), w))
+    val tz = timestamp_micros(us)
+    t match {
+      case ITimestamptzNs => tz
+      case _ => GraftBridge.column(
+        Cast(GraftBridge.expression(tz), TimestampNTZType, Some("UTC")))
+    }
+  }
+
+  /** Rewrite a physically-read column back to the public shape
+    * (string uuid, us-downcast timestamp). Identity elsewhere. */
   def convert(c: Column, t: IceType): Column = t match {
     case IUUID => uuidString(c)
-    case IStruct(fs) if hasUuid(IStruct(fs)) =>
+    case ITimestampNs | ITimestamptzNs => nsTimestamp(c, t)
+    case IStruct(fs) if hasUuid(t) || hasNs(t) =>
       when(c.isNull, lit(null).cast(t.toSpark)).otherwise(
         struct(fs.map(f => convert(c.getField(f.name), f.fieldType).as(f.name)): _*))
-    case IList(_, el, _) if hasUuid(el) =>
+    case IList(_, el, _) if hasUuid(el) || hasNs(el) =>
       transform(c, x => convert(x, el))
     case _ => c
   }

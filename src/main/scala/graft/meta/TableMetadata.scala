@@ -175,10 +175,14 @@ object MetadataJson {
         case "binary" => IBinary
         case dec(p, sc) => IDecimal(p.toInt, sc.toInt)
         case fix(l) => IFixed(l.toInt)
-        // v3 tail types (types.py:860-:1031): recognized, deliberately out
-        // of the supported slice — fail typed so a v3 table with these
-        // columns reports WHAT is unsupported instead of "unknown type"
-        case "timestamp_ns" | "timestamptz_ns" | "unknown" | "variant" =>
+        // v3 nanosecond timestamps: readable with the reference's ns→us
+        // downcast (io/pyarrow.py:1654); writes reject in WriteFiles
+        case "timestamp_ns" => ITimestampNs
+        case "timestamptz_ns" => ITimestamptzNs
+        // remaining v3 tail types (types.py:946-:1031): recognized,
+        // deliberately out of the supported slice — fail typed so a v3
+        // table with these columns reports WHAT is unsupported
+        case "unknown" | "variant" =>
           throw new UnsupportedOperationException(
             s"Iceberg v3 type '$s' is not supported by this engine")
         case g if g.startsWith("geometry") || g.startsWith("geography") =>

@@ -499,11 +499,11 @@ private[table] object Inspect {
     case _ => t match {
       case IDate => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
         v.asInstanceOf[Int].toLong))
-      case ITimestamp => java.time.LocalDateTime.ofEpochSecond(
+      case ITimestamp | ITimestampNs => java.time.LocalDateTime.ofEpochSecond(
         Math.floorDiv(v.asInstanceOf[Long], 1000000L),
         (Math.floorMod(v.asInstanceOf[Long], 1000000L) * 1000L).toInt,
         java.time.ZoneOffset.UTC)
-      case ITimestamptz =>
+      case ITimestamptz | ITimestamptzNs =>
         val us = v.asInstanceOf[Long]
         java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
           Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))

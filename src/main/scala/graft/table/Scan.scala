@@ -344,8 +344,13 @@ final class IceScan(
     // canonical strings straight after the read — filters and projection
     // downstream always see the public string shape (UuidCompat)
     val uuidPresent = UuidCompat.hasUuid(readSchema)
+    // v3 ns timestamps: read the parquet nanos column as LONG and downcast
+    // to micros right after (ref io/pyarrow.py:1654); same physical-read
+    // detour as uuid, one select, stays in whole-stage codegen
+    val nsPresent = UuidCompat.hasNs(readSchema)
+    if (nsPresent) rs.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def uuidNormalized(df: DataFrame, metaCols: Seq[String]): DataFrame =
-      if (!uuidPresent) df
+      if (!uuidPresent && !nsPresent) df
       else df.select(readSchema.fields.map(f =>
         UuidCompat.convert(col(f.name), f.fieldType).as(f.name)) ++
         metaCols.map(col): _*)

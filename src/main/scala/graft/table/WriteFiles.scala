@@ -199,6 +199,13 @@ object WriteFiles {
       df: DataFrame, commitUuid: String,
       sortOrder: Option[SortOrder] = None,
       props: Map[String, String] = Map.empty): Seq[DataFile] = {
+    // ns timestamps are READ-ONLY (the reference itself requires an
+    // explicit 'downcast-ns-timestamp-to-us-on-write' opt-in and Spark has
+    // no ns type to round-trip losslessly) — fail typed before staging
+    if (UuidCompat.hasNs(schema))
+      throw new UnsupportedOperationException(
+        "Cannot write to a table with timestamp_ns/timestamptz_ns columns: " +
+          "nanosecond timestamps are read-only in this engine (scans downcast ns to us)")
     val stageDir = Locations.stageDir(location, commitUuid, props)
     val aligned = align(df, schema)
     // committer stays v1: v2's task-side commit can leave partial files of

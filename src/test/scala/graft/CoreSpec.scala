@@ -317,12 +317,11 @@ class MetricsSpec extends AnyFunSuite {
   }
 
   test("v3 tail types are rejected with a typed unsupported-type error") {
-    // types.py:860 TimestampNanoType / :879 TimestamptzNanoType /
-    // :946 UnknownType / geometry / geography — declared out of the
-    // supported slice; metadata naming them must fail saying WHICH type
+    // types.py:946 UnknownType / variant / geometry / geography — declared
+    // out of the supported slice; metadata naming them must fail saying
+    // WHICH type (ns timestamps graduated to read support in r9)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    Seq("timestamp_ns", "timestamptz_ns", "unknown", "variant",
-        "geometry(srid:4326)", "geography").foreach { t =>
+    Seq("unknown", "variant", "geometry(srid:4326)", "geography").foreach { t =>
       val e = intercept[UnsupportedOperationException](
         graft.meta.MetadataJson.typeFromJson(mapper.getNodeFactory.textNode(t)))
       assert(e.getMessage.contains(t.takeWhile(_ != '(')), s"error names the type: $t")
@@ -331,5 +330,30 @@ class MetricsSpec extends AnyFunSuite {
     // genuinely unknown strings stay IllegalArgumentException
     intercept[IllegalArgumentException](
       graft.meta.MetadataJson.typeFromJson(mapper.getNodeFactory.textNode("gibberish")))
+  }
+
+  test("v3 ns timestamps: parse, repr round-trip, micros-domain codecs") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def parse(s: String) =
+      graft.meta.MetadataJson.typeFromJson(mapper.getNodeFactory.textNode(s))
+    assert(parse("timestamp_ns") === ITimestampNs)
+    assert(parse("timestamptz_ns") === ITimestamptzNs)
+    assert(ITimestampNs.repr === "timestamp_ns")
+    assert(ITimestamptzNs.repr === "timestamptz_ns")
+    // public Spark surface is the us-downcast timestamp
+    assert(ITimestampNs.toSpark === org.apache.spark.sql.types.TimestampNTZType)
+    assert(ITimestamptzNs.toSpark === org.apache.spark.sql.types.TimestampType)
+    // stats/partition bytes hold NANOS; the engine domain is MICROS —
+    // decode floor-divides (incl. pre-epoch values), encode scales up
+    val ns = 1700000000123456789L
+    val bytes = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(ns).array()
+    assert(Conversions.fromBytes(ITimestampNs, bytes) === 1700000000123456L)
+    val neg = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(-1500L).array()
+    assert(Conversions.fromBytes(ITimestamptzNs, neg) === -2L)
+    val enc = Conversions.toBytes(ITimestampNs, 1700000000123456L)
+    assert(java.nio.ByteBuffer.wrap(enc)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong === 1700000000123456000L)
   }
 }

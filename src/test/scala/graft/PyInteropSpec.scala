@@ -252,6 +252,85 @@ class PyInteropSpec extends AnyFunSuite with BeforeAndAfterAll {
       expected.filter(col("o_orderstatus") === "F").count())
   }
 
+  test("v3 nanosecond timestamps read with the ns->us downcast") {
+    assume(pythonUsable, "pyiceberg not importable in this environment")
+    // The reference cannot WRITE v3 yet (metadata.py:578), so the foreign
+    // fixture is a pyarrow-written TIMESTAMP(NANOS) parquet — the same
+    // physical shape a v3 writer produces — wrapped in graft-built v3
+    // metadata. Read semantics under test: the reference's ns->us downcast
+    // (io/pyarrow.py:1654), including floor behavior on pre-epoch values.
+    import graft.meta._
+    val dir = Files.createTempDirectory("graft-ns").toString
+    val py =
+      s"""
+         |import pyarrow as pa, pyarrow.parquet as pq
+         |vals = [1700000000123456789, 1700000001999999999, -1500]
+         |t = pa.table({'id': pa.array([1, 2, 3], pa.int64()),
+         |              'ts': pa.array(vals, pa.timestamp('ns')),
+         |              'tsz': pa.array(vals, pa.timestamp('ns', tz='UTC'))})
+         |pq.write_table(t, '$dir/ns.parquet', version='2.6')
+         |""".stripMargin
+    val err = new StringBuilder
+    val rc = Process(Seq("python3", "-c", py), None,
+      "PYTHONPATH" -> "/root/repo/tools/pyshim:/root/reference")
+      .!(ProcessLogger(_ => (), e => err.append(e).append('\n')))
+    assert(rc == 0, s"pyarrow ns fixture write failed:\n$err")
+
+    val schema = Schema(Seq(
+      NestedField(1, "id", ILong, required = true),
+      NestedField(2, "ts", ITimestampNs),
+      NestedField(3, "tsz", ITimestamptzNs)), 0)
+    val t0 = catalog.createTable("py_ns", schema)
+    t0.upgradeFormatVersion(3)
+    val t = catalog.loadTable("py_ns")
+    val spec = t.metadata.specById(t.metadata.defaultSpecId)
+    val metaDir = s"${t.metadata.location}/metadata"
+    val entries = Seq(ManifestEntry(status = 1, snapshotId = 9L,
+      dataSequenceNumber = 1L, fileSequenceNumber = 1L,
+      dataFile = DataFile(content = 0, filePath = s"$dir/ns.parquet",
+        fileFormat = "PARQUET", partition = Seq.empty,
+        recordCount = 3L, fileSizeInBytes = 2048L)))
+    val mPath = s"$metaDir/m-ns.avro"
+    val len = ManifestIO.writeManifest(mPath, entries, spec, schema)
+    val mf = ManifestFile(mPath, len, spec.specId, content = 0,
+      sequenceNumber = 1L, minSequenceNumber = 1L, addedSnapshotId = 9L,
+      addedFilesCount = 1, existingFilesCount = 0, deletedFilesCount = 0,
+      addedRowsCount = 3L, existingRowsCount = 0L, deletedRowsCount = 0L,
+      partitions = Nil)
+    val listPath = s"$metaDir/snap-9-ns.avro"
+    ManifestIO.writeManifestList(listPath, Seq(mf))
+    val now = System.currentTimeMillis()
+    val snap = Snapshot(9L, None, 1L, now, listPath,
+      Map("operation" -> "append"), t.metadata.currentSchemaId)
+    catalog.commit("py_ns", catalog.currentVersion("py_ns").get, t.metadata.copy(
+      lastSequenceNumber = 1L, lastUpdatedMs = now,
+      currentSnapshotId = Some(9L), snapshots = Seq(snap),
+      refs = Map("main" -> SnapshotRef(9L, "branch"))))
+
+    val df = catalog.loadTable("py_ns").scan.toDF
+    // public surface is the us-downcast timestamp
+    assert(df.schema("ts").dataType === org.apache.spark.sql.types.TimestampNTZType)
+    assert(df.schema("tsz").dataType === org.apache.spark.sql.types.TimestampType)
+    val got = df.orderBy("id").select(col("id"),
+      unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+      unix_micros(col("tsz")).as("tsz_us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // floorDiv(ns, 1000): truncation on positives, floor on the pre-epoch
+    val want = Seq(
+      (1L, 1700000000123456L, 1700000000123456L),
+      (2L, 1700000001999999L, 1700000001999999L),
+      (3L, -2L, -2L))
+    assert(got === want, "ns->us downcast mismatch")
+
+    // writes stay rejected, typed
+    val wdf = spark.range(1).select(col("id"),
+      lit(java.time.LocalDateTime.of(2024, 1, 1, 0, 0)).as("ts"),
+      lit(java.time.Instant.ofEpochSecond(1700000000L)).as("tsz"))
+    val e = intercept[UnsupportedOperationException](
+      catalog.loadTable("py_ns").append(wdf))
+    assert(e.getMessage.contains("read-only"))
+  }
+
   test("pyiceberg applies graft-written MoR position deletes") {
     assume(pythonUsable, "pyiceberg not importable in this environment")
     val t = catalog.createTable("py_mor", Schema.fromSpark(orders.schema))
