@@ -2357,7 +2357,146 @@ object DataOps {
       |  CAST(max(CASE WHEN rn = (n*99+99)//100 THEN dl END) AS BIGINT) AS p99
       |FROM r GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** HASHED-FEATURE LINEAR CLASSIFIER — the fasttext-shaped quality
+    * filter production pipelines run over every document: word features
+    * hash into a fixed bucket space (no vocabulary to broadcast, the
+    * 100-TB property), each bucket carries a weight, and the document
+    * score is the weight sum. Weights here are derived arithmetically
+    * from the bucket id (a stand-in for trained weights — the dataflow,
+    * hashing, and aggregation are the operator) and INTEGER-valued, so
+    * the score is exact and order-independent: no libm, no float
+    * summation drift. One narrow shuffle on doc_id; the hash stage is
+    * exported so the oracle re-derives scoring from the same buckets. */
+  def hashClassifier(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val K = 4096
+    val feats = docs
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "\\s+"), w => w =!= "")).as("tok"))
+      .select(col("doc_id"), pmod(xxhash64(col("tok")), lit(K.toLong)).as("bucket"))
+    exportForOracle(feats, "hash_features")
+    // deterministic integer weight in [-999, 999] (Knuth multiplicative)
+    val w = pmod(col("bucket") * lit(2654435761L), lit(1999L)) - lit(999L)
+    nonEmpty(feats.withColumn("w", w)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("raw_score"))
+      .withColumn("label", col("raw_score") > 0)
+      .orderBy(col("doc_id")))
+  }
+  val hashClassifierSql =
+    s"""WITH f AS (SELECT doc_id, bucket
+      |  FROM read_parquet('$ExportDir/hash_features/*.parquet')),
+      |w AS (SELECT doc_id, ((bucket * 2654435761) % 1999) - 999 AS w FROM f)
+      |SELECT doc_id, count(*) AS n_feats, CAST(sum(w) AS BIGINT) AS raw_score,
+      |       sum(w) > 0 AS label
+      |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** TEMPERATURE-SCALED SOURCE MIXING — the published-recipe sampling
+    * step that flattens the domain distribution before training: source
+    * weights ∝ n^(1/2) (temperature sampling at τ=2; sqrt because IEEE
+    * sqrt is correctly rounded, so both engines derive IDENTICAL integer
+    * weights — pow(x, 0.7) would drift in the last ulp between libms),
+    * quotas split an overall doc budget proportionally in pure integer
+    * arithmetic, and each source keeps its first quota docs in
+    * deterministic hash order. Per-source windows — strata select their
+    * prefixes independently, no global sort; at 100 TB the rank windows
+    * run per (source, shard). */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val perSrc = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", floor(sqrt(col("n_docs") * lit(1000000L))).cast("long"))
+    val tot = perSrc.agg(sum(col("w")).as("tot_w"), sum(col("n_docs")).as("tot_n"))
+    val quotas = perSrc.crossJoin(broadcast(tot))
+      .withColumn("quota",
+        expr("CAST((w * (tot_n DIV 2)) DIV tot_w AS BIGINT)"))
+      .select(col("source"), col("quota"))
+    val h = md5(col("doc_id").cast("string"))
+    val ranked = docs.select(col("source"), col("doc_id"),
+        conv(substring(h, 1, 8), 16, 10).cast("long").as("ord"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("ord"), col("doc_id"))))
+    nonEmpty(ranked.join(broadcast(quotas), Seq("source"))
+      .filter(col("rk") <= col("quota"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_kept"), sum(col("doc_id")).as("id_checksum"))
+      .orderBy(col("source")))
+  }
+  val temperatureMixSql =
+    """WITH n AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(floor(sqrt(n_docs * 1000000)) AS BIGINT) AS w
+      |  FROM documents GROUP BY source),
+      |q AS (
+      |  SELECT source,
+      |    (w * ((SELECT CAST(sum(n_docs) AS BIGINT) FROM n) // 2))
+      |      // (SELECT CAST(sum(w) AS BIGINT) FROM n) AS quota
+      |  FROM n),
+      |r AS (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source ORDER BY
+      |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT, doc_id) AS rk
+      |  FROM documents)
+      |SELECT r.source, count(*) AS docs_kept, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+      |FROM r JOIN q ON r.source = q.source
+      |WHERE rk <= quota
+      |GROUP BY r.source ORDER BY r.source""".stripMargin
+
+  /** TRAIN→EVAL CONTAINMENT — decontamination's scoring form: for every
+    * (train doc, eval doc) pair sharing 5-gram shingles, the fraction of
+    * the EVAL doc's distinct grams found in the train doc (Brown et al.'s
+    * n-gram containment). Eval fixture: prefix-halves of every 17th doc
+    * under shifted ids, so true containments exist by construction. The
+    * join is a gram equi-join on 64-bit gram hashes (one shuffle, no
+    * pairs expansion beyond true gram matches); the ratio test is
+    * cross-multiplied in integers — no division, no float compare. */
+  def containment(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    def gramsOf(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), filter(split(lower(col("text")), "\\s+"), w => w =!= "").as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(sequence(lit(1), size(col("w")) - 4),
+          i => xxhash64(concat_ws(" ", slice(col("w"), i, lit(5))))))).as("h"))
+    val evalDocs = docs.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        concat_ws(" ", slice(filter(split(lower(col("text")), "\\s+"), w => w =!= ""),
+          lit(1), greatest(lit(5), floor(size(filter(split(lower(col("text")), "\\s+"),
+            w => w =!= "")) / 2).cast("int")))).as("text"))
+    val trainG = gramsOf(docs)
+    val evalG = gramsOf(evalDocs)
+    exportForOracle(trainG, "contain_train")
+    exportForOracle(evalG, "contain_eval")
+    val evalN = evalG.groupBy(col("doc_id")).agg(count(lit(1)).as("eval_n"))
+      .withColumnRenamed("doc_id", "eval_id")
+    nonEmpty(trainG.select(col("doc_id").as("train_id"), col("h"))
+      .join(evalG.select(col("doc_id").as("eval_id"), col("h")), Seq("h"))
+      .groupBy(col("train_id"), col("eval_id")).agg(count(lit(1)).as("overlap"))
+      .join(evalN, Seq("eval_id"))
+      .filter(col("overlap") * 10 >= col("eval_n") * 8) // containment >= 0.8
+      .select(col("train_id"), col("eval_id"), col("overlap"), col("eval_n"))
+      .orderBy(col("train_id"), col("eval_id")))
+  }
+  val containmentSql =
+    s"""WITH tg AS (SELECT doc_id, h
+      |  FROM read_parquet('$ExportDir/contain_train/*.parquet')),
+      |eg AS (SELECT doc_id, h
+      |  FROM read_parquet('$ExportDir/contain_eval/*.parquet')),
+      |en AS (SELECT doc_id AS eval_id, count(*) AS eval_n FROM eg GROUP BY doc_id),
+      |ov AS (
+      |  SELECT tg.doc_id AS train_id, eg.doc_id AS eval_id, count(*) AS overlap
+      |  FROM tg JOIN eg ON tg.h = eg.h
+      |  GROUP BY tg.doc_id, eg.doc_id)
+      |SELECT train_id, eval_id, CAST(overlap AS BIGINT) AS overlap,
+      |       CAST(eval_n AS BIGINT) AS eval_n
+      |FROM ov JOIN en USING (eval_id)
+      |WHERE overlap * 10 >= eval_n * 8
+      |ORDER BY train_id, eval_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_hash_classifier" -> (hashClassifier _),
+    "ds_temperature_mix" -> (temperatureMix _),
+    "ds_containment" -> (containment _),
     "ds_cms_heavy_hitters" -> (cmsHeavyHitters _),
     "ds_inverted_index" -> (invertedIndex _),
     "ds_char_diversity" -> (charDiversity _),
@@ -2407,6 +2546,9 @@ object DataOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "ds_hash_classifier" -> hashClassifierSql,
+    "ds_temperature_mix" -> temperatureMixSql,
+    "ds_containment" -> containmentSql,
     "ds_cms_heavy_hitters" -> cmsHeavyHittersSql,
     "ds_inverted_index" -> invertedIndexSql,
     "ds_char_diversity" -> charDiversitySql,
