@@ -171,6 +171,20 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     forAllSampled(Gen.asciiPrintableStr) { s =>
       assert(Conversions.fromBytes(IString, Conversions.toBytes(IString, s)) === s)
     }
+    // ns codec: stored bytes hold NANOS, the engine domain is MICROS —
+    // decode must equal BigInt floor division (incl. pre-epoch values),
+    // and encode∘decode must be the identity on the us domain
+    forAllSampled(Gen.chooseNum(Long.MinValue, Long.MaxValue)) { ns =>
+      val bytes = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(ns).array()
+      val want = (BigInt(ns) - (((BigInt(ns) % 1000) + 1000) % 1000)) / 1000
+      assert(Conversions.fromBytes(ITimestampNs, bytes) === want.toLong)
+      assert(Conversions.fromBytes(ITimestamptzNs, bytes) === want.toLong)
+    }
+    forAllSampled(Gen.chooseNum(-9000000000000000L, 9000000000000000L)) { us =>
+      assert(Conversions.fromBytes(ITimestampNs,
+        Conversions.toBytes(ITimestampNs, us)) === us)
+    }
   }
 
   test("truncate invariants: result <= value, within width, idempotent") {
