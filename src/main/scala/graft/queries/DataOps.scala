@@ -2493,7 +2493,96 @@ object DataOps {
       |WHERE overlap * 10 >= eval_n * 8
       |ORDER BY train_id, eval_id""".stripMargin
 
+  /** HISTOGRAM-SKETCH QUANTILES — the MERGEABLE companion to the exact
+    * per-key window quantiles (`ds_quantile_lengths`): token counts bin
+    * into fixed-width buckets (a histogram is an associative,
+    * commutative sketch — partial-aggregates map-side, merges in any
+    * order), and p50/p90/p99 read off the cumulative counts. At 100 TB
+    * the shuffle carries only (lang, bin) partial counts — thousands of
+    * rows — where an exact quantile would sort the corpus; resolution
+    * is the bin width, the honest sketch tradeoff. Pure integer
+    * cross-multiplied rank tests, no float percentile math. */
+  def histogramQuantile(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val hist = docs.select(col("lang"), wsTokenCount.as("tok"))
+      .select(col("lang"), expr("CAST(tok DIV 16 AS BIGINT)").as("bin"))
+      .groupBy(col("lang"), col("bin")).agg(count(lit(1)).as("cnt"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(win))
+    val tot = hist.groupBy(col("lang")).agg(sum(col("cnt")).as("n"))
+    nonEmpty(cum.join(broadcast(tot), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(min(when(col("cum") * 2 >= col("n"), col("bin"))).as("p50_bin"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("bin"))).as("p90_bin"),
+        min(when(col("cum") * 100 >= col("n") * 99, col("bin"))).as("p99_bin"),
+        max(col("n")).as("n_docs"))
+      .orderBy(col("lang")))
+  }
+  val histogramQuantileSql =
+    """WITH tok AS (
+      |  SELECT lang,
+      |    len(list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '')) AS tok
+      |  FROM documents),
+      |h AS (SELECT lang, tok // 16 AS bin, count(*) AS cnt FROM tok GROUP BY lang, bin),
+      |c AS (
+      |  SELECT lang, bin, cnt,
+      |    sum(cnt) OVER (PARTITION BY lang ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(cnt) OVER (PARTITION BY lang) AS n
+      |  FROM h)
+      |SELECT lang,
+      |  CAST(min(CASE WHEN cum * 2 >= n THEN bin END) AS BIGINT) AS p50_bin,
+      |  CAST(min(CASE WHEN cum * 10 >= n * 9 THEN bin END) AS BIGINT) AS p90_bin,
+      |  CAST(min(CASE WHEN cum * 100 >= n * 99 THEN bin END) AS BIGINT) AS p99_bin,
+      |  CAST(max(n) AS BIGINT) AS n_docs
+      |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** EDIT-DISTANCE NEAR-DUP — the title/short-field dedup technique:
+    * blocking (first token + length band) bounds the candidate set, then
+    * exact Levenshtein verifies within a 20% relative bound. The
+    * quadratic DP runs ONLY inside blocks — the all-pairs cross join
+    * never exists; at 100 TB the block key is the shuffle key and skewed
+    * blocks salt like any groupBy. Prefix comparisons are on the first
+    * 80 chars so one degenerate giant doc can't make a DP cell
+    * quadratic in document size. Integer cross-multiplied threshold. */
+  def editNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val keyed = docs.select(col("doc_id"),
+        substring(lower(trim(col("text"))), 1, 80).as("p"))
+      .filter(length(col("p")) >= 8) // degenerate empties would block together
+      .withColumn("tok0", substring_index(col("p"), " ", 1))
+      .withColumn("lband", expr("CAST(length(p) DIV 8 AS BIGINT)"))
+    val pairs = keyed.as("a").join(keyed.as("b"),
+        col("a.tok0") === col("b.tok0") && col("a.lband") === col("b.lband") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.p").as("ap"), col("b.p").as("bp"))
+    nonEmpty(pairs
+      .withColumn("dist", levenshtein(col("ap"), col("bp")))
+      .withColumn("maxlen", greatest(length(col("ap")), length(col("bp"))))
+      .filter(col("dist") * 5 <= col("maxlen")) // relative distance <= 20%
+      .select(col("a_id"), col("b_id"), col("dist"))
+      .orderBy(col("a_id"), col("b_id")))
+  }
+  val editNearDupSql =
+    """WITH k AS (
+      |  SELECT doc_id, substr(lower(trim(text)), 1, 80) AS p
+      |  FROM documents),
+      |k2 AS (
+      |  SELECT doc_id, p, split_part(p, ' ', 1) AS tok0, length(p) // 8 AS lband
+      |  FROM k WHERE length(p) >= 8)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  CAST(levenshtein(a.p, b.p) AS INT) AS dist
+      |FROM k2 a JOIN k2 b
+      |  ON a.tok0 = b.tok0 AND a.lband = b.lband AND a.doc_id < b.doc_id
+      |WHERE levenshtein(a.p, b.p) * 5 <= greatest(length(a.p), length(b.p))
+      |ORDER BY a_id, b_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_histogram_quantile" -> (histogramQuantile _),
+    "ds_edit_neardup" -> (editNearDup _),
     "ds_hash_classifier" -> (hashClassifier _),
     "ds_temperature_mix" -> (temperatureMix _),
     "ds_containment" -> (containment _),
@@ -2546,6 +2635,8 @@ object DataOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "ds_histogram_quantile" -> histogramQuantileSql,
+    "ds_edit_neardup" -> editNearDupSql,
     "ds_hash_classifier" -> hashClassifierSql,
     "ds_temperature_mix" -> temperatureMixSql,
     "ds_containment" -> containmentSql,
