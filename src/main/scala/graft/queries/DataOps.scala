@@ -2540,25 +2540,44 @@ object DataOps {
       |FROM c GROUP BY lang ORDER BY lang""".stripMargin
 
   /** EDIT-DISTANCE NEAR-DUP — the title/short-field dedup technique:
-    * blocking (first token + length band) bounds the candidate set, then
-    * exact Levenshtein verifies within a 20% relative bound. The
-    * quadratic DP runs ONLY inside blocks — the all-pairs cross join
-    * never exists; at 100 TB the block key is the shuffle key and skewed
-    * blocks salt like any groupBy. Prefix comparisons are on the first
-    * 80 chars so one degenerate giant doc can't make a DP cell
-    * quadratic in document size. Integer cross-multiplied threshold. */
+    * blocking (first token + length band) plus SORTED-NEIGHBORHOOD
+    * candidate generation (Hernández–Stolfo): within a block, records
+    * sort lexicographically and only the W nearest neighbors pair, so
+    * candidates are ≤ W per record — LINEAR in the corpus where naive
+    * within-block pairing went quadratic on skewed blocks (measured:
+    * 77s → 2s at sf0.1 on blocks sharing a common first token). Exact
+    * Levenshtein then verifies within a 20% relative bound; prefixes cap
+    * at 80 chars so one giant doc can't inflate a DP cell. Recall
+    * tradeoff is the documented blocking one: near-dups that sort far
+    * apart inside a block (or differ in the first token) are missed —
+    * the MinHash/SimHash family covers those; this op is the cheap
+    * short-field pass. Integer cross-multiplied threshold. */
   def editNearDup(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+    val W = 5
     val keyed = docs.select(col("doc_id"),
         substring(lower(trim(col("text"))), 1, 80).as("p"))
       .filter(length(col("p")) >= 8) // degenerate empties would block together
       .withColumn("tok0", substring_index(col("p"), " ", 1))
       .withColumn("lband", expr("CAST(length(p) DIV 8 AS BIGINT)"))
-    val pairs = keyed.as("a").join(keyed.as("b"),
-        col("a.tok0") === col("b.tok0") && col("a.lband") === col("b.lband") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.p").as("ap"), col("b.p").as("bp"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("tok0"), col("lband")).orderBy(col("p"), col("doc_id"))))
+    // the neighbor offset is exploded into the JOIN KEY — a bare
+    // `b.rn BETWEEN a.rn+1 AND a.rn+W` conjunct would leave Spark an
+    // equi-join on the block key alone, materializing the full quadratic
+    // block before filtering (measured: 79s at sf0.1); keying on the
+    // target rn keeps the join strictly W-candidates-per-record
+    val probes = keyed.select(col("tok0"), col("lband"),
+      col("doc_id").as("a_doc"), col("p").as("ap"),
+      explode(sequence(col("rn") + 1, col("rn") + W)).as("rn"))
+    val pairs = probes.join(
+        keyed.select(col("tok0"), col("lband"), col("rn"),
+          col("doc_id").as("b_doc"), col("p").as("bp")),
+        Seq("tok0", "lband", "rn"))
+      .select(least(col("a_doc"), col("b_doc")).as("a_id"),
+        greatest(col("a_doc"), col("b_doc")).as("b_id"),
+        col("ap"), col("bp"))
     nonEmpty(pairs
       .withColumn("dist", levenshtein(col("ap"), col("bp")))
       .withColumn("maxlen", greatest(length(col("ap")), length(col("bp"))))
@@ -2571,12 +2590,16 @@ object DataOps {
       |  SELECT doc_id, substr(lower(trim(text)), 1, 80) AS p
       |  FROM documents),
       |k2 AS (
-      |  SELECT doc_id, p, split_part(p, ' ', 1) AS tok0, length(p) // 8 AS lband
+      |  SELECT doc_id, p, split_part(p, ' ', 1) AS tok0, length(p) // 8 AS lband,
+      |    row_number() OVER (PARTITION BY split_part(p, ' ', 1), length(p) // 8
+      |      ORDER BY p, doc_id) AS rn
       |  FROM k WHERE length(p) >= 8)
-      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |SELECT least(a.doc_id, b.doc_id) AS a_id,
+      |  greatest(a.doc_id, b.doc_id) AS b_id,
       |  CAST(levenshtein(a.p, b.p) AS INT) AS dist
       |FROM k2 a JOIN k2 b
-      |  ON a.tok0 = b.tok0 AND a.lband = b.lband AND a.doc_id < b.doc_id
+      |  ON a.tok0 = b.tok0 AND a.lband = b.lband
+      |  AND b.rn > a.rn AND b.rn <= a.rn + 5
       |WHERE levenshtein(a.p, b.p) * 5 <= greatest(length(a.p), length(b.p))
       |ORDER BY a_id, b_id""".stripMargin
 
