@@ -45,7 +45,11 @@ final case class DataFile(
       * (ref: manifest.py:413–430). */
     referencedDataFile: Option[String] = None,
     contentOffset: Option[Long] = None,
-    contentSizeInBytes: Option[Long] = None) {
+    contentSizeInBytes: Option[Long] = None,
+    /** v3 row lineage (spec field 142): the _row_id of this file's first
+      * row. None = inherit from the manifest (manifest.firstRowId +
+      * record counts of preceding ADDED files). */
+    firstRowId: Option[Long] = None) {
   /** True for a v3 deletion-vector entry (puffin-format position deletes). */
   def isDeletionVector: Boolean =
     content == FileContent.PositionDeletes && fileFormat.equalsIgnoreCase("puffin")
@@ -80,7 +84,10 @@ final case class ManifestFile(
     addedRowsCount: Long,
     existingRowsCount: Long,
     deletedRowsCount: Long,
-    partitions: Seq[FieldSummary] = Nil)
+    partitions: Seq[FieldSummary] = Nil,
+    /** v3 row lineage (spec field 520): starting _row_id assigned to this
+      * data manifest; entries with null first_row_id inherit from it. */
+    firstRowId: Option[Long] = None)
 
 final case class PartitionField(sourceId: Int, fieldId: Int, name: String, transform: Transform)
 

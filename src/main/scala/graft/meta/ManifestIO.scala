@@ -100,6 +100,7 @@ object ManifestIO {
       withId(new AvroSchema.Field("equality_ids", nullable(intArray(136)), null, AvroSchema.Field.NULL_DEFAULT_VALUE), 135),
       withId(new AvroSchema.Field("sort_order_id", nullable(AvroSchema.create(AvroSchema.Type.INT)), null, AvroSchema.Field.NULL_DEFAULT_VALUE), 140),
       // deletion-vector fields (v3; ref manifest.py:413-430)
+      withId(new AvroSchema.Field("first_row_id", nullable(AvroSchema.create(AvroSchema.Type.LONG)), null, AvroSchema.Field.NULL_DEFAULT_VALUE), 142),
       withId(new AvroSchema.Field("referenced_data_file", nullable(AvroSchema.create(AvroSchema.Type.STRING)), null, AvroSchema.Field.NULL_DEFAULT_VALUE), 143),
       withId(new AvroSchema.Field("content_offset", nullable(AvroSchema.create(AvroSchema.Type.LONG)), null, AvroSchema.Field.NULL_DEFAULT_VALUE), 144),
       withId(new AvroSchema.Field("content_size_in_bytes", nullable(AvroSchema.create(AvroSchema.Type.LONG)), null, AvroSchema.Field.NULL_DEFAULT_VALUE), 145))
@@ -147,7 +148,8 @@ object ManifestIO {
       f("added_rows_count", AvroSchema.Type.LONG, 512),
       f("existing_rows_count", AvroSchema.Type.LONG, 513),
       f("deleted_rows_count", AvroSchema.Type.LONG, 514),
-      withId(new AvroSchema.Field("partitions", nullable(partitionsArr), null, AvroSchema.Field.NULL_DEFAULT_VALUE), 507))
+      withId(new AvroSchema.Field("partitions", nullable(partitionsArr), null, AvroSchema.Field.NULL_DEFAULT_VALUE), 507),
+      withId(new AvroSchema.Field("first_row_id", nullable(AvroSchema.create(AvroSchema.Type.LONG)), null, AvroSchema.Field.NULL_DEFAULT_VALUE), 520))
     AvroSchema.createRecord("manifest_file", null, null, false, fields.asJava)
   }
 
@@ -218,6 +220,7 @@ object ManifestIO {
         df.put("equality_ids", if (e.dataFile.equalityIds.isEmpty) null
           else e.dataFile.equalityIds.map(Integer.valueOf).asJava)
         df.put("sort_order_id", e.dataFile.sortOrderId.map(Integer.valueOf).orNull)
+        df.put("first_row_id", e.dataFile.firstRowId.map(java.lang.Long.valueOf).orNull)
         df.put("referenced_data_file", e.dataFile.referencedDataFile.orNull)
         df.put("content_offset", e.dataFile.contentOffset.map(java.lang.Long.valueOf).orNull)
         df.put("content_size_in_bytes", e.dataFile.contentSizeInBytes.map(java.lang.Long.valueOf).orNull)
@@ -284,7 +287,8 @@ object ManifestIO {
       confOverride: org.apache.hadoop.conf.Configuration): Seq[ManifestEntry] =
     readManifest(mf.manifestPath, spec, schema, confOverride,
       inheritSnapshotId = Some(mf.addedSnapshotId),
-      inheritSequenceNumber = Some(mf.sequenceNumber))
+      inheritSequenceNumber = Some(mf.sequenceNumber),
+      inheritFirstRowId = mf.firstRowId)
 
   /** Manifest-open counter — test instrumentation for pruning asserts
     * (accurate in local mode where executors share the JVM; zero cost
@@ -294,7 +298,8 @@ object ManifestIO {
   def readManifest(path: String, spec: PartitionSpec, schema: Schema,
       confOverride: org.apache.hadoop.conf.Configuration = null,
       inheritSnapshotId: Option[Long] = None,
-      inheritSequenceNumber: Option[Long] = None): Seq[ManifestEntry] = {
+      inheritSequenceNumber: Option[Long] = None,
+      inheritFirstRowId: Option[Long] = None): Seq[ManifestEntry] = {
     manifestOpens.incrementAndGet()
     val reader = openAvro(path, confOverride)
     val partTypes = spec.partitionType(schema)
@@ -364,11 +369,30 @@ object ManifestIO {
             specId = spec.specId,
             equalityIds = fieldOpt(df, "equality_ids")
               .map(_.asInstanceOf[java.util.List[Int]].asScala.toSeq).getOrElse(Nil),
+            firstRowId = fieldOpt(df, "first_row_id").map(_.asInstanceOf[Long]),
             referencedDataFile = fieldOpt(df, "referenced_data_file").map(_.toString),
             contentOffset = fieldOpt(df, "content_offset").map(_.asInstanceOf[Long]),
             contentSizeInBytes = fieldOpt(df, "content_size_in_bytes").map(_.asInstanceOf[Long])))
       }
-      b.result()
+      val entries = b.result()
+      // v3 row-lineage inheritance (spec §Row Lineage / field 142): an
+      // ADDED data file with null first_row_id takes the manifest's
+      // first_row_id advanced by the record counts of preceding
+      // null-first_row_id ADDED data files; explicit values (materialized
+      // at manifest rewrite) pass through untouched and consume no range
+      inheritFirstRowId match {
+        case Some(start) =>
+          var next = start
+          entries.map { e =>
+            if (e.dataFile.content == FileContent.Data &&
+                e.dataFile.firstRowId.isEmpty && e.status == EntryStatus.Added) {
+              val withId = e.copy(dataFile = e.dataFile.copy(firstRowId = Some(next)))
+              next += e.dataFile.recordCount
+              withId
+            } else e
+          }
+        case None => entries
+      }
     } finally reader.close()
   }
 
@@ -441,6 +465,7 @@ object ManifestIO {
         rec.put("added_rows_count", m.addedRowsCount)
         rec.put("existing_rows_count", m.existingRowsCount)
         rec.put("deleted_rows_count", m.deletedRowsCount)
+        rec.put("first_row_id", m.firstRowId.map(java.lang.Long.valueOf).orNull)
         rec.put("partitions", if (m.partitions.isEmpty) null else m.partitions.map { s =>
           val r = new GenericData.Record(fieldSummarySchema)
           r.put("contains_null", s.containsNull)
@@ -555,7 +580,8 @@ object ManifestIO {
                   val bb = bb0.asInstanceOf[ByteBuffer]
                   val bytes = new Array[Byte](bb.remaining()); bb.duplicate().get(bytes); bytes
                 })
-            }).getOrElse(Nil))
+            }).getOrElse(Nil),
+          firstRowId = Option(fld(r, 520, "first_row_id")).map(_.asInstanceOf[Long]))
       }
       b.result()
     } finally reader.close()

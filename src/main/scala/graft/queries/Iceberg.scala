@@ -226,6 +226,39 @@ object Iceberg {
       |  AND NOT (o_totalprice > 400000)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** A/D. v3 row lineage (spec §Row Lineage — beyond the reference, which
+    * only declares the manifest fields): `_row_id` = manifest-inherited
+    * first_row_id + row position, `_last_updated_sequence_number` = the
+    * file's data sequence number. Two single-file sorted appends make the
+    * id assignment deterministic; the DV delete proves surviving rows KEEP
+    * their ids under merge-on-read. */
+  def rowLineage(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val tab = wh(s).createTable("orders", Schema.fromSpark(orders.schema))
+    tab.upgradeFormatVersion(3)
+    val sorted = orders.repartition(1).sortWithinPartitions("o_orderkey")
+    tab.append(sorted.filter(col("o_orderkey") % 2 === 1))
+    tab.append(sorted.filter(col("o_orderkey") % 2 === 0))
+    tab.deleteAsDeletionVector("o_totalprice > 300000")
+    nonEmpty(tab.scan.select("o_orderkey").toDFWithLineage.orderBy(col("o_orderkey")))
+  }
+  val rowLineageSql =
+    """WITH odd AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |         row_number() OVER (ORDER BY o_orderkey) - 1 AS rid,
+      |         CAST(1 AS BIGINT) AS seq
+      |  FROM orders WHERE o_orderkey % 2 = 1),
+      |cnt AS (SELECT count(*) AS n FROM odd),
+      |evn AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |         (SELECT n FROM cnt) + row_number() OVER (ORDER BY o_orderkey) - 1 AS rid,
+      |         CAST(2 AS BIGINT) AS seq
+      |  FROM orders WHERE o_orderkey % 2 = 0)
+      |SELECT o_orderkey, rid AS "_row_id", seq AS "_last_updated_sequence_number"
+      |FROM (SELECT * FROM odd UNION ALL SELECT * FROM evn)
+      |WHERE NOT (o_totalprice > 300000)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** A (deletes). equality deletes (extension — the reference rejects
     * them): keys deleted from older data only; a later append of the same
     * keys survives (sequence-number scoping). */
@@ -1071,6 +1104,7 @@ object Iceberg {
     "ice_schema_evolution" -> (schemaEvolution _),
     "ice_position_deletes" -> (positionDeletes _),
     "ice_deletion_vectors" -> (deletionVectors _),
+    "ice_row_lineage" -> (rowLineage _),
     "ice_equality_deletes" -> (equalityDeletes _),
     "ice_dsv2_scan" -> (dsv2Scan _),
     "ice_dsv2_agg" -> (dsv2AggPushdown _),
@@ -1119,6 +1153,7 @@ object Iceberg {
     "ice_schema_evolution" -> schemaEvolutionSql,
     "ice_position_deletes" -> positionDeletesSql,
     "ice_deletion_vectors" -> deletionVectorsSql,
+    "ice_row_lineage" -> rowLineageSql,
     "ice_equality_deletes" -> equalityDeletesSql,
     "ice_dsv2_scan" -> dsv2ScanSql,
     "ice_dsv2_agg" -> dsv2AggPushdownSql,

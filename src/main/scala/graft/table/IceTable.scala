@@ -1139,7 +1139,8 @@ class IceTable(
             // surviving Added entries become Existing; their own
             // snapshot-id and sequence numbers are preserved by copy
             val entries = bin.toSeq.flatMap { mf =>
-              ManifestIO.readManifest(mf.manifestPath, sp, base.schema)
+              // mf-overload read materializes v3 row-lineage ids
+              ManifestIO.readManifest(mf, sp, base.schema, null)
                 .filter(_.status != EntryStatus.Deleted)
                 .map(e => if (e.status == EntryStatus.Added)
                   e.copy(status = EntryStatus.Existing) else e)
@@ -1385,7 +1386,10 @@ class IceTable(
       val sch = base.schema
       if (removedPaths.isEmpty) Some(mf)
       else {
-        val entries = ManifestIO.readManifest(mf.manifestPath, sp, sch)
+        // mf-overload read: v3 row-lineage ids materialize from the
+        // manifest's first_row_id, so the rewritten manifest carries them
+        // explicitly and surviving rows keep their _row_id
+        val entries = ManifestIO.readManifest(mf, sp, sch, null)
           .filter(_.status != EntryStatus.Deleted)
         val (dead, alive) = entries.partition(e => removedPaths.contains(e.dataFile.filePath))
         if (dead.isEmpty) Some(mf)
@@ -1441,6 +1445,24 @@ class IceTable(
           if (content == FileContent.Data) 0 else 1)
     }
 
+    // v3 row lineage (spec §Row Lineage): each NEW data manifest gets a
+    // first_row_id range starting at next-row-id, advancing by its added
+    // rows — entries inherit per-file ids at read; carried/rewritten
+    // manifests keep their previously-assigned ranges or explicit ids
+    val newWithRowIds: Seq[ManifestFile] =
+      if (base.formatVersion < 3) newManifests
+      else {
+        var nextId = base.nextRowId.getOrElse(0L)
+        newManifests.map { m =>
+          if (m.content != 0) m
+          else {
+            val assigned = m.copy(firstRowId = Some(nextId))
+            nextId += m.addedRowsCount
+            assigned
+          }
+        }
+      }
+
     // manifest merge: when enabled and the data-manifest count passes the
     // threshold, bin-pack them into TARGET-SIZE bins per spec (ref:
     // merge_append update/snapshot.py:532, _ManifestMergeManager :733 —
@@ -1449,7 +1471,7 @@ class IceTable(
     // `commit.manifest.target-size-bytes`). All-into-one would make the
     // single merged manifest a sequential planning bottleneck at 100 TB;
     // binned manifests keep planning parallel AND partition-prunable.
-    val allManifests = newManifests ++ kept
+    val allManifests = newWithRowIds ++ kept
     val merged: Seq[ManifestFile] =
       if (base.properties.get("commit.manifest-merge.enabled").contains("true") &&
           allManifests.count(_.content == 0) >=
@@ -1476,7 +1498,8 @@ class IceTable(
               case Vector(single) => Seq(single) // full bin of one: keep as-is
               case bin =>
                 val entries = bin.flatMap { mf =>
-                  ManifestIO.readManifest(mf.manifestPath, sp, base.schema)
+                  // mf-overload read materializes v3 row-lineage ids
+                  ManifestIO.readManifest(mf, sp, base.schema, null)
                     .filter(_.status != EntryStatus.Deleted)
                     .map(e => if (e.status == EntryStatus.Added && e.snapshotId != snapId)
                       e.copy(status = EntryStatus.Existing) else e)

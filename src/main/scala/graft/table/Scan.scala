@@ -9,7 +9,8 @@ import graft.meta._
 /** One unit of scan work: a data file, its applicable position deletes,
   * and the per-file residual filter (ref: table/__init__.py:2057
   * FileScanTask). */
-final case class FileScanTask(file: DataFile, deletes: Seq[DataFile], residual: BoundExpr)
+final case class FileScanTask(file: DataFile, deletes: Seq[DataFile], residual: BoundExpr,
+    dataSequenceNumber: Long = 0L)
 
 object IceScan {
   /** Manifest count past which planning fans out as a Spark job instead of
@@ -257,7 +258,7 @@ final class IceScan(
       val spec = metadata.specById(specId)
       val res = Evaluators.residual(schema, spec, bound, e.dataFile.partition)
       FileScanTask(e.dataFile, applicableDeletes(spec.specId, e.dataFile.partition,
-        e.dataSequenceNumber, e.dataFile.filePath), res)
+        e.dataSequenceNumber, e.dataFile.filePath), res, e.dataSequenceNumber)
     }
     limitOpt match {
       case Some(n) =>
@@ -286,16 +287,60 @@ final class IceScan(
     toDFForTasks(tasks, applyResidualOnlyWhereNeeded = true)
   }
 
+  /** v3 ROW LINEAGE scan (spec §Row Lineage — beyond the reference, which
+    * only declares the manifest fields): the projection plus
+    * `_row_id` (file's first_row_id + physical row position) and
+    * `_last_updated_sequence_number` (the entry's data sequence number).
+    * Per-file constants join in via a broadcast of the metadata-sized
+    * task list; positions ride parquet's `_metadata.row_index`, so rows
+    * surviving a MoR delete keep their ids. ORC data files don't expose
+    * row positions through this path — typed error. */
+  def toDFWithLineage: DataFrame = {
+    require(metadata.formatVersion >= 3,
+      s"Row lineage requires format version >= 3 (table is v${metadata.formatVersion})")
+    val tasks = planFiles(keepStats = false)
+    require(tasks.forall(_.file.fileFormat.toUpperCase == "PARQUET"),
+      "Row lineage reads are parquet-only (ORC exposes no row positions here)")
+    val proj = projection
+    if (tasks.isEmpty) {
+      val fields = proj.toSpark.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_row_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_last_updated_sequence_number",
+          org.apache.spark.sql.types.LongType))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType(fields))
+    }
+    val base = toDFForTasks(tasks, applyResidualOnlyWhereNeeded = true,
+      keepFile = true, keepPos = true)
+    val info = tasks.map { t =>
+      val first = t.file.firstRowId.getOrElse(throw new IllegalStateException(
+        s"${t.file.filePath} has no first_row_id — written before the table became v3? " +
+          "Row lineage covers rows committed under format version 3"))
+      (PathUtil.canon(t.file.filePath), first, t.dataSequenceNumber)
+    }
+    val infoDf = broadcast(
+      spark.createDataFrame(info).toDF("__file", "__first_row_id", "__last_seq"))
+    base.join(infoDf, Seq("__file"))
+      .select(proj.fields.map(f => col(f.name)) ++ Seq(
+        (col("__first_row_id") + col("__pos")).as("_row_id"),
+        col("__last_seq").as("_last_updated_sequence_number")): _*)
+  }
+
   /** `keepFile` appends a `__file` column (canonical source-file path) to
     * the output — the MoR-correct replacement for a raw parquet read with
     * `_metadata.file_path` (upsert file targeting, compaction). */
   private[table] def toDFForTasks(tasks: Seq[FileScanTask],
-      applyResidualOnlyWhereNeeded: Boolean, keepFile: Boolean = false): DataFrame = {
+      applyResidualOnlyWhereNeeded: Boolean, keepFile: Boolean = false,
+      keepPos: Boolean = false): DataFrame = {
     val proj = projection
     val projSpark0 = proj.toSpark
-    val projSpark = if (keepFile)
-      org.apache.spark.sql.types.StructType(projSpark0.fields :+
-        org.apache.spark.sql.types.StructField("__file", org.apache.spark.sql.types.StringType))
+    val metaFields =
+      (if (keepFile) Seq(org.apache.spark.sql.types.StructField("__file",
+        org.apache.spark.sql.types.StringType)) else Nil) ++
+      (if (keepPos) Seq(org.apache.spark.sql.types.StructField("__pos",
+        org.apache.spark.sql.types.LongType)) else Nil)
+    val projSpark = if (metaFields.nonEmpty)
+      org.apache.spark.sql.types.StructType(projSpark0.fields ++ metaFields)
     else projSpark0
     if (tasks.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], projSpark)
@@ -451,7 +496,12 @@ final class IceScan(
         else restored
         typed.as(f.name)
       } ++
-        (if (keepFile) Seq(PathUtil.canonCol(col("_metadata.file_path")).as("__file")) else Nil)
+        (if (keepFile) Seq(PathUtil.canonCol(col("_metadata.file_path")).as("__file")) else Nil) ++
+        (if (keepPos) {
+          require(format == "PARQUET",
+            "row positions (_metadata.row_index) are parquet-only for name-mapped reads")
+          Seq(col("_metadata.row_index").as("__pos"))
+        } else Nil)
       // same projection machinery over either columnar format — Spark's
       // ORC reader is vectorized and prunes/pushes down just like parquet
       // (the reference reads ORC data files too, io/pyarrow.py:1119–1125)
@@ -466,7 +516,15 @@ final class IceScan(
       require(externalTasks.forall(_.deletes.isEmpty),
         "position deletes on externally-registered non-ORC files are not supported")
       externalTasks.groupBy(_.file.fileFormat.toUpperCase).foreach {
-        case (fmt, ts) => branches += readExternal(ts, fmt)
+        case (fmt, ts) =>
+          // typed rejection, not a parquet decode crash: the reference's
+          // FileFormat enum lists AVRO (manifest.py:114) but its reader
+          // raises ValueError for any non-parquet/ORC data file
+          if (fmt != "PARQUET" && fmt != "ORC")
+            throw new UnsupportedOperationException(
+              s"Cannot read data files in format $fmt (file: " +
+                s"${ts.head.file.filePath}); supported: PARQUET, ORC")
+          branches += readExternal(ts, fmt)
       }
     }
     if (orcDeleteTasks.nonEmpty) {
@@ -484,8 +542,10 @@ final class IceScan(
         keepFile = keepFile, keepPos = false)
     }
     if (plainTasks.nonEmpty) {
-      val base = readFiles(plainTasks.map(_.file.filePath), withMeta = keepFile)
-      branches += (if (keepFile) base.drop("__pos") else base)
+      val base = readFiles(plainTasks.map(_.file.filePath), withMeta = keepFile || keepPos)
+      branches += base.drop(
+        (if (keepPos) Nil else Seq("__pos")) ++
+          (if (keepFile) Nil else Seq("__file")): _*)
     }
     if (deleteTasks.nonEmpty) {
       // broadcast the delete side only while it provably fits in executor
@@ -558,7 +618,9 @@ final class IceScan(
         dfG = dfG.join(maybeBroadcast(deletes, posBytes),
           dfG("__file") === deletes("__dfile") && dfG("__pos") === deletes("__dpos"),
           "left_anti")
-        branches += dfG.drop((if (keepFile) Seq("__pos") else Seq("__file", "__pos")): _*)
+        branches += dfG.drop(
+          (if (keepPos) Nil else Seq("__pos")) ++
+            (if (keepFile) Nil else Seq("__file")): _*)
       }
 
       // equality deletes (extension — the reference rejects reading them)
@@ -575,15 +637,18 @@ final class IceScan(
         val eqFiles = allDeletes.filter(_.content == FileContent.EqualityDeletes)
         val (dvFiles, posParquet) = allDeletes
           .filter(_.content == FileContent.PositionDeletes).partition(_.isDeletionVector)
-        var dfG = readFiles(group.map(_.file.filePath), withMeta = posKeys.nonEmpty || keepFile)
+        var dfG = readFiles(group.map(_.file.filePath),
+          withMeta = posKeys.nonEmpty || keepFile || keepPos)
         if (posKeys.nonEmpty) {
           val (deletes, posBytes) = positionsFrame(posParquet, dvFiles)
           dfG = dfG.join(maybeBroadcast(deletes, posBytes),
             dfG("__file") === deletes("__dfile") && dfG("__pos") === deletes("__dpos"),
             "left_anti")
         }
-        if (posKeys.nonEmpty || keepFile)
-          dfG = dfG.drop((if (keepFile) Seq("__pos") else Seq("__file", "__pos")): _*)
+        if (posKeys.nonEmpty || keepFile || keepPos)
+          dfG = dfG.drop(
+            (if (keepPos) Nil else Seq("__pos")) ++
+              (if (keepFile) Nil else Seq("__file")): _*)
         // anti-join on the delete file's equality columns, null-safe so a
         // null key deletes null rows (Iceberg equality semantics)
         eqFiles.groupBy(_.equalityIds).foreach { case (ids, files) =>
@@ -617,7 +682,8 @@ final class IceScan(
           f.fieldType)).as(f.name)
         case None => c.as(f.name)
       }
-    } ++ (if (keepFile) Seq(col("__file")) else Nil)
+    } ++ (if (keepFile) Seq(col("__file")) else Nil) ++
+      (if (keepPos) Seq(col("__pos")) else Nil)
     df = df.select(outCols: _*)
     // Spark's LocalLimit is Int-bounded — `n.toInt` on a >2³¹ limit would
     // silently wrap. Past Int.MaxValue the plan-level file truncation above

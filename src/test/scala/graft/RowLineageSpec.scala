@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.HadoopCatalog
+import graft.core._
+import graft.meta._
+
+/** v3 row lineage (spec §Row Lineage; manifest fields 142/520) — an
+  * EXTENSION beyond the reference, which declares the fields
+  * (manifest.py:406, :771) but neither assigns nor surfaces them.
+  * Commits assign each new data manifest a first_row_id range off
+  * next-row-id; reads inherit per-file ids; manifest rewrites/merges
+  * materialize explicit ids so they survive metadata maintenance; the
+  * scan face serves _row_id = first_row_id + position and
+  * _last_updated_sequence_number. Documented limitation: copy-on-write
+  * rewrites produce NEW files and reassign (full preservation requires
+  * materializing a _row_id column into rewritten parquet). */
+class RowLineageSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val warehouse: String = Files.createTempDirectory("graft-lineage").toString
+  lazy val catalog = new HadoopCatalog(warehouse, spark)
+
+  override def afterAll(): Unit = spark.stop()
+
+  def orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+
+  private def lineageMap(t: graft.table.IceTable): Map[Long, Long] =
+    t.scan.toDFWithLineage.select(col("o_orderkey"), col("_row_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("appends assign dense unique ids and advance next-row-id") {
+    val t0 = catalog.createTable("lin_append", Schema.fromSpark(orders.schema))
+    t0.upgradeFormatVersion(3)
+    val t = catalog.loadTable("lin_append")
+    t.append(orders.limit(100))
+    t.append(orders.filter(col("o_orderkey") >= 1000).limit(50))
+
+    val df = catalog.loadTable("lin_append").scan.toDFWithLineage
+    val ids = df.select("_row_id").collect().map(_.getLong(0)).sorted
+    assert(ids.length === 150)
+    assert(ids.toSeq === (0L until 150L), "ids must be dense [0, total)")
+    assert(catalog.loadTable("lin_append").metadata.nextRowId === Some(150L))
+    // sequence numbers: first append seq=1, second seq=2
+    val seqs = df.select("_last_updated_sequence_number").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(seqs.toSeq === Seq(1L, 2L))
+  }
+
+  test("MoR deletion vectors preserve surviving rows' ids") {
+    val t0 = catalog.createTable("lin_mor", Schema.fromSpark(orders.schema))
+    t0.upgradeFormatVersion(3)
+    val t = catalog.loadTable("lin_mor")
+    t.append(orders.limit(200))
+    val before = lineageMap(catalog.loadTable("lin_mor"))
+    t.deleteAsDeletionVector("o_orderkey <= 60")
+    val after = lineageMap(catalog.loadTable("lin_mor"))
+    assert(after.nonEmpty && after.size < before.size)
+    after.foreach { case (k, id) =>
+      assert(before(k) === id, s"row $k changed _row_id across a MoR delete")
+    }
+  }
+
+  test("ids survive manifest rewrite (explicit materialization)") {
+    val t0 = catalog.createTable("lin_rewrite", Schema.fromSpark(orders.schema))
+    t0.upgradeFormatVersion(3)
+    val t = catalog.loadTable("lin_rewrite")
+    (1 to 4).foreach(i => t.append(orders.limit(50 * i)))
+    val before = t.scan.toDFWithLineage
+      .groupBy().agg(sum("_row_id"), count(lit(1))).head
+    val (rewritten, _) = t.rewriteManifests(Some(1L << 20))
+    assert(rewritten > 0, "rewrite must actually merge manifests")
+    val t2 = catalog.loadTable("lin_rewrite")
+    val after = t2.scan.toDFWithLineage
+      .groupBy().agg(sum("_row_id"), count(lit(1))).head
+    assert(after.getLong(0) === before.getLong(0))
+    assert(after.getLong(1) === before.getLong(1))
+    // the rewritten manifests carry EXPLICIT per-file ids
+    val mfs = ManifestIO.readManifestList(t2.metadata.currentSnapshot.get.manifestList)
+    val entries = mfs.filter(_.content == 0).flatMap(mf =>
+      ManifestIO.readManifest(mf.manifestPath, t2.metadata.specById(mf.partitionSpecId),
+        t2.metadata.schema))
+    assert(entries.forall(_.dataFile.firstRowId.isDefined))
+  }
+
+  test("v2 tables reject lineage scans typed") {
+    val t = catalog.createTable("lin_v2", Schema.fromSpark(orders.schema))
+    t.append(orders.limit(10))
+    val e = intercept[IllegalArgumentException](t.scan.toDFWithLineage)
+    assert(e.getMessage.contains("format version"))
+  }
+
+  test("filtered lineage scan keeps absolute positions") {
+    val t0 = catalog.createTable("lin_filter", Schema.fromSpark(orders.schema))
+    t0.upgradeFormatVersion(3)
+    val t = catalog.loadTable("lin_filter")
+    t.append(orders.limit(300))
+    val all = lineageMap(catalog.loadTable("lin_filter"))
+    val some = catalog.loadTable("lin_filter").scan("o_custkey < 500")
+      .toDFWithLineage.select(col("o_orderkey"), col("_row_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(some.nonEmpty)
+    some.foreach { case (k, id) => assert(all(k) === id) }
+  }
+}
