@@ -37,7 +37,9 @@ object Conversions {
       val u = java.util.UUID.fromString(v.toString)
       ByteBuffer.allocate(16).putLong(u.getMostSignificantBits)
         .putLong(u.getLeastSignificantBits).array()
-    case IBinary | IFixed(_) => v.asInstanceOf[Array[Byte]]
+    // v3 geometry/geography single values are WKB — raw bytes, same as
+    // binary (foreign manifests may carry bounding-box point bounds)
+    case IBinary | IFixed(_) | IGeometry(_) | IGeography(_, _) => v.asInstanceOf[Array[Byte]]
     case IDecimal(_, _) => v.asInstanceOf[java.math.BigDecimal].unscaledValue().toByteArray
     case other => throw new IllegalArgumentException(s"Cannot serialize $other")
   }
@@ -59,7 +61,7 @@ object Conversions {
     case IUUID =>
       val bb = ByteBuffer.wrap(b)
       new java.util.UUID(bb.getLong, bb.getLong).toString
-    case IBinary | IFixed(_) => b
+    case IBinary | IFixed(_) | IGeometry(_) | IGeography(_, _) => b
     case IDecimal(_, scale) =>
       new java.math.BigDecimal(new java.math.BigInteger(b), scale)
     case other => throw new IllegalArgumentException(s"Cannot deserialize $other")

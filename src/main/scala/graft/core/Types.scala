@@ -43,6 +43,29 @@ case object ITimestampNs extends IceType { val repr = "timestamp_ns"; val toSpar
 /** v3 nanos, UTC-adjusted (ref types.py:879) — same read-only downcast. */
 case object ITimestamptzNs extends IceType { val repr = "timestamptz_ns"; val toSpark = TimestampType }
 case object IString extends IceType { val repr = "string"; val toSpark = StringType }
+/** v3 `unknown` (ref types.py:946 UnknownType): a column whose values are
+  * all null — used when a type is not known at write time; promotable to
+  * any primitive. Data files never store it; scans project NULL and
+  * writes drop the column from the physical file. */
+case object IUnknown extends IceType { val repr = "unknown"; val toSpark = NullType }
+/** v3 geometry (ref types.py:965 GeometryType): WKB bytes at runtime —
+  * the reference's arrow mapping without geoarrow is plain large_binary
+  * (io/pyarrow.py:825), which is exactly Spark BinaryType here. The CRS
+  * rides in the type string only. */
+case class IGeometry(crs: String = "OGC:CRS84") extends IceType {
+  val repr: String = if (crs == "OGC:CRS84") "geometry" else s"geometry('$crs')"
+  val toSpark = BinaryType
+}
+/** v3 geography (ref types.py:1031 GeographyType): WKB bytes; CRS +
+  * edge-interpolation algorithm ride in the type string. */
+case class IGeography(crs: String = "OGC:CRS84", algorithm: String = "spherical")
+    extends IceType {
+  val repr: String =
+    if (crs == "OGC:CRS84" && algorithm == "spherical") "geography"
+    else if (algorithm == "spherical") s"geography('$crs')"
+    else s"geography('$crs', '$algorithm')"
+  val toSpark = BinaryType
+}
 /** Deliberate deviation from the reference (io/pyarrow.py stores UUID as
   * parquet fixed[16]): Spark's parquet writer cannot emit
   * FIXED_LEN_BYTE_ARRAY for non-decimal columns, so UUID DATA columns are
@@ -132,6 +155,8 @@ object SchemaConv {
     * float→double, decimal precision widening (same scale), fixed→binary. */
   def promotable(from: IceType, to: IceType): Boolean = (from, to) match {
     case (a, b) if a == b => true
+    // v3 spec: unknown promotes to any primitive (ref io/pyarrow.py:819)
+    case (IUnknown, t) if t.isPrimitive && t != IUnknown => true
     case (IInt, ILong) => true
     case (IFloat, IDouble) => true
     case (IDecimal(p1, s1), IDecimal(p2, s2)) => s1 == s2 && p2 >= p1

@@ -160,6 +160,8 @@ object MetadataJson {
       val s = n.asText()
       val dec = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
       val fix = """fixed\[(\d+)\]""".r
+      val geom = """geometry(?:\(\s*['"]([^'"]+)['"]\s*\))?""".r
+      val geog = """geography(?:\(\s*['"]([^'"]+)['"](?:\s*,\s*['"]([^'"]+)['"])?\s*\))?""".r
       s match {
         case "boolean" => IBoolean
         case "int" => IInt
@@ -179,13 +181,17 @@ object MetadataJson {
         // downcast (io/pyarrow.py:1654); writes reject in WriteFiles
         case "timestamp_ns" => ITimestampNs
         case "timestamptz_ns" => ITimestamptzNs
-        // remaining v3 tail types (types.py:946-:1031): recognized,
-        // deliberately out of the supported slice — fail typed so a v3
-        // table with these columns reports WHAT is unsupported
-        case "unknown" | "variant" =>
-          throw new UnsupportedOperationException(
-            s"Iceberg v3 type '$s' is not supported by this engine")
-        case g if g.startsWith("geometry") || g.startsWith("geography") =>
+        // v3 tail types (types.py:946-:1031): unknown is all-null;
+        // geometry/geography are WKB binary (the reference's non-geoarrow
+        // arrow mapping, io/pyarrow.py:825). Parse patterns mirror
+        // types.py:71/:73 GEOMETRY_REGEX/GEOGRAPHY_REGEX.
+        case "unknown" => IUnknown
+        case geom(crs) => IGeometry(Option(crs).getOrElse("OGC:CRS84"))
+        case geog(crs, algo) => IGeography(
+          Option(crs).getOrElse("OGC:CRS84"), Option(algo).getOrElse("spherical"))
+        // variant: in the v3 spec but absent from the reference's type
+        // system — fail typed, same as the reference's pydantic parse
+        case "variant" =>
           throw new UnsupportedOperationException(
             s"Iceberg v3 type '$s' is not supported by this engine")
         case other => throw new IllegalArgumentException(s"Unknown type: $other")

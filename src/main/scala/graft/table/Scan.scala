@@ -363,8 +363,13 @@ final class IceScan(
     // A filter on a NESTED field needs its top-level ancestor in the read
     // schema (the leaf id itself is not a top-level column)
     val neededTop = Exprs.fieldIds(bound).map(id => schema.topAncestorById.getOrElse(id, id))
+    // v3 `unknown` columns are all-null and never stored in data files
+    // (ref io/pyarrow.py:818 maps them to arrow null) — keep them out of
+    // the parquet read schema (NullType is not readable) and fill NULL
+    // after the read instead
     val readSchema = Schema(
-      schema.fields.filter(f => proj.byId.contains(f.id) || neededTop.contains(f.id)),
+      schema.fields.filter(f => (proj.byId.contains(f.id) || neededTop.contains(f.id)) &&
+        f.fieldType != IUnknown),
       schema.schemaId)
 
     // files written by this table carry parquet field-ids; externally
@@ -665,6 +670,13 @@ final class IceScan(
       }
     }
     var df = branches.result().reduce(_ unionByName _)
+
+    // v3 `unknown` columns surface as NULL (excluded from the read schema
+    // above; the filter and projection below see them like any column)
+    schema.fields
+      .filter(f => f.fieldType == IUnknown &&
+        (proj.byId.contains(f.id) || neededTop.contains(f.id)))
+      .foreach(f => df = df.withColumn(f.name, lit(null)))
 
     // row-level filter: the full bound filter is correct for every file;
     // skip it only when every task's residual is already TRUE

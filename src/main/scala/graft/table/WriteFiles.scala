@@ -93,7 +93,17 @@ object WriteFiles {
     * _check_schema_compatible io/pyarrow.py:2846 — here we cast instead of
     * reject when safely promotable). */
   def align(df: DataFrame, schema: Schema): DataFrame = {
-    val cols = schema.fields.map { f =>
+    // v3 `unknown` columns are all-null by definition and never stored in
+    // data files (scans fill NULL) — drop them from the physical write,
+    // but refuse to silently discard a REAL typed column under that name
+    schema.fields.filter(_.fieldType == IUnknown).foreach { f =>
+      df.schema.fields.find(_.name == f.name).foreach { src =>
+        require(src.dataType == org.apache.spark.sql.types.NullType,
+          s"Column '${f.name}' has Iceberg type unknown (all-null) but the input " +
+            s"carries ${src.dataType.simpleString} values; cast to null or drop it")
+      }
+    }
+    val cols = schema.fields.filterNot(_.fieldType == IUnknown).map { f =>
       val src = df.schema.fields.find(_.name == f.name).getOrElse(
         throw new IllegalArgumentException(
           s"Input is missing table column '${f.name}'; input has ${df.schema.fieldNames.mkString(", ")}"))
@@ -127,6 +137,9 @@ object WriteFiles {
       case IUUID => 36
       case IBinary => 32
       case IFixed(l) => l.toLong
+      case IUnknown => 0 // never stored
+      case IGeometry(_) | IGeography(_, _) => 64 // WKB blobs
+      case ITimestampNs | ITimestamptzNs => 8
       case IStruct(fs) => fs.map(f => width(f.fieldType)).sum
       case IList(_, el, _) => 4 * width(el) // guess: few elements
       case IMap(_, k, _, v, _) => 4 * (width(k) + width(v))
@@ -703,6 +716,14 @@ object StatsHarvester extends Serializable {
       other match {
         case dec(p, s) => IDecimal(p.toInt, s.toInt)
         case fix(l) => IFixed(l.toInt)
+        // v3 tail types: CRS/algorithm are irrelevant to stat decoding —
+        // decodeStat has no geometry case, so bounds are (correctly)
+        // skipped: spec geometry bounds are bounding boxes, not byte
+        // min/max, and a wrong IString fallback would store STRING bounds
+        // the manifest writer then cannot serialize for the real type
+        case "unknown" => IUnknown
+        case g if g.startsWith("geometry") => IGeometry()
+        case g if g.startsWith("geography") => IGeography()
         case _ => IString
       }
   }

@@ -316,20 +316,40 @@ class MetricsSpec extends AnyFunSuite {
     assert(res("ts >= '2024-01-02' and id = 34", Seq(19725, null, (bkt34 + 1) % 8)) === BFalse)
   }
 
-  test("v3 tail types are rejected with a typed unsupported-type error") {
-    // types.py:946 UnknownType / variant / geometry / geography — declared
-    // out of the supported slice; metadata naming them must fail saying
-    // WHICH type (ns timestamps graduated to read support in r9)
+  test("v3 tail types: unknown/geometry/geography parse and round-trip") {
+    // types.py:946-:1031 — parse patterns mirror the reference's
+    // GEOMETRY_REGEX/GEOGRAPHY_REGEX (types.py:71/:73) and reprs its
+    // model serializers (default CRS/algorithm elide the parameters)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    Seq("unknown", "variant", "geometry(srid:4326)", "geography").foreach { t =>
-      val e = intercept[UnsupportedOperationException](
-        graft.meta.MetadataJson.typeFromJson(mapper.getNodeFactory.textNode(t)))
-      assert(e.getMessage.contains(t.takeWhile(_ != '(')), s"error names the type: $t")
-      assert(e.getMessage.contains("not supported"))
+    def parse(s: String) =
+      graft.meta.MetadataJson.typeFromJson(mapper.getNodeFactory.textNode(s))
+    assert(parse("unknown") === IUnknown)
+    assert(IUnknown.toSpark === org.apache.spark.sql.types.NullType)
+    assert(parse("geometry") === IGeometry("OGC:CRS84"))
+    assert(parse("geometry('EPSG:4326')") === IGeometry("EPSG:4326"))
+    assert(parse("""geometry("EPSG:4326")""") === IGeometry("EPSG:4326"))
+    assert(parse("geography") === IGeography("OGC:CRS84", "spherical"))
+    assert(parse("geography('EPSG:4326')") === IGeography("EPSG:4326", "spherical"))
+    assert(parse("geography('EPSG:4326', 'planar')") === IGeography("EPSG:4326", "planar"))
+    // repr round-trip, defaults elided exactly like the reference
+    Seq(IUnknown, IGeometry(), IGeometry("EPSG:4326"), IGeography(),
+        IGeography("EPSG:4326"), IGeography("EPSG:4326", "planar")).foreach { t =>
+      assert(parse(t.repr) === t, s"round-trip ${t.repr}")
     }
+    assert(IGeometry().repr === "geometry")
+    assert(IGeography("EPSG:4326", "planar").repr === "geography('EPSG:4326', 'planar')")
+    // WKB-binary runtime surface (ref io/pyarrow.py:825 large_binary fallback)
+    assert(IGeometry().toSpark === org.apache.spark.sql.types.BinaryType)
+    assert(IGeography().toSpark === org.apache.spark.sql.types.BinaryType)
+    // unknown promotes to any primitive (v3 spec), nothing promotes to it
+    assert(SchemaConv.promotable(IUnknown, ILong))
+    assert(SchemaConv.promotable(IUnknown, IString))
+    assert(!SchemaConv.promotable(ILong, IUnknown))
+    // variant: in the v3 spec but absent from the reference — typed reject
+    val e = intercept[UnsupportedOperationException](parse("variant"))
+    assert(e.getMessage.contains("variant"))
     // genuinely unknown strings stay IllegalArgumentException
-    intercept[IllegalArgumentException](
-      graft.meta.MetadataJson.typeFromJson(mapper.getNodeFactory.textNode("gibberish")))
+    intercept[IllegalArgumentException](parse("gibberish"))
   }
 
   test("v3 ns timestamps: parse, repr round-trip, micros-domain codecs") {

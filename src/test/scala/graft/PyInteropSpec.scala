@@ -343,4 +343,36 @@ class PyInteropSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows === expected,
       "the reference did not apply our position-delete files")
   }
+
+  test("pyiceberg parses graft-written v3 unknown/geometry/geography types") {
+    assume(pythonUsable, "pyiceberg not importable in this environment")
+    val schema = Schema(Seq(
+      NestedField(1, "id", ILong, required = true),
+      NestedField(2, "mystery", IUnknown),
+      NestedField(3, "shape", IGeometry("EPSG:4326")),
+      NestedField(4, "region", IGeography("EPSG:4326", "planar"))))
+    val t0 = catalog.createTable("py_v3tail", schema)
+    t0.upgradeFormatVersion(3)
+
+    // the reference's pydantic models must parse OUR serialized type
+    // strings back to the same typed objects (types.py:71/:73 regexes)
+    val script =
+      """import sys
+        |from pyiceberg.table import StaticTable
+        |t = StaticTable.from_metadata(sys.argv[1])
+        |s = t.schema()
+        |print("\t".join(str(s.find_field(i).field_type) for i in (2, 3, 4)))
+        |""".stripMargin
+    val out = new StringBuilder
+    val err = new StringBuilder
+    val rc = Process(Seq("python3", "-c", script,
+        latestMetadata(s"$warehouse/py_v3tail")), None,
+      "PYTHONPATH" -> "/root/repo/tools/pyshim:/root/reference")
+      .!(ProcessLogger(o => out.append(o).append('\n'), e => err.append(e).append('\n')))
+    assert(rc == 0, s"pyiceberg schema parse failed (rc=$rc):\n$err")
+    val types = out.toString.trim.split('\t')
+    assert(types(0) === "unknown")
+    assert(types(1) === "geometry('EPSG:4326')")
+    assert(types(2) === "geography('EPSG:4326', 'planar')")
+  }
 }

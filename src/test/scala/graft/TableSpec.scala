@@ -1841,4 +1841,43 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!s3.keys.exists(_.startsWith("partitions.")))
     assert(!s3.contains("partition-summaries-included"))
   }
+
+  test("v3 unknown + geometry columns write, scan, and round-trip metadata") {
+    // unknown: all-null, dropped from the physical file, filled NULL on
+    // scan (ref io/pyarrow.py:818 maps it to arrow null); geometry: WKB
+    // bytes, stored as plain binary (io/pyarrow.py:825 large_binary)
+    val schema = Schema(Seq(
+      NestedField(1, "id", ILong, required = true),
+      NestedField(2, "mystery", IUnknown),
+      NestedField(3, "shape", IGeometry("EPSG:4326"))))
+    val t0 = catalog.createTable("t_v3tail", schema)
+    t0.upgradeFormatVersion(3)
+    val t = catalog.loadTable("t_v3tail")
+    val wkb = Array[Byte](1, 1, 0, 0, 0) // WKB point header, payload opaque
+    val df = spark.range(5).toDF("id")
+      .withColumn("mystery", lit(null))
+      .withColumn("shape", when(col("id") % 2 === 0, lit(wkb)))
+    t.append(df)
+    val out = t.scan.toDF.orderBy("id").collect()
+    assert(out.length === 5)
+    assert(out.forall(_.isNullAt(out.head.fieldIndex("mystery"))))
+    assert(out(0).getAs[Array[Byte]]("shape").toSeq === wkb.toSeq)
+    assert(out(1).isNullAt(out.head.fieldIndex("shape")))
+    // the physical parquet must NOT contain the unknown column
+    val file = t.scan.planFiles().head.file.filePath
+    val physical = spark.read.parquet(file)
+    assert(!physical.columns.contains("mystery"))
+    // metadata JSON round-trip (fresh load re-parses the type strings)
+    val re = catalog.loadTable("t_v3tail")
+    assert(re.schema.byId(2).fieldType === IUnknown)
+    assert(re.schema.byId(3).fieldType === IGeometry("EPSG:4326"))
+    // filters work: unknown is trivially null; geometry null-ness is real
+    assert(t.scan("mystery is null").toDF.count() === 5)
+    assert(t.scan("shape is not null").toDF.count() === 3)
+    // a REAL typed column under an unknown name must not be silently dropped
+    val bad = spark.range(2).toDF("id")
+      .withColumn("mystery", lit("oops")).withColumn("shape", lit(wkb))
+    val err = intercept[Exception](t.append(bad))
+    assert(err.getMessage.contains("mystery"))
+  }
 }
