@@ -55,8 +55,18 @@ object CatalogFactory {
         warehouse, spark, name)
       case "hadoop" => new HadoopCatalog(warehouse, spark)
       case "in-memory" | "memory" => new MemoryCatalog(warehouse, spark)
+      // network-metastore catalogs over the injectable client seams; the
+      // zero-egress default backends are the in-memory service fakes —
+      // production constructs the catalog directly with a wired client
+      case "hive" => new HiveCatalog(warehouse, spark,
+        hive2Compatible = conf.get("hive.hive2-compatible").contains("true"))
+      case "glue" => new GlueCatalog(warehouse, spark)
+      case "dynamodb" => new DynamoCatalog(warehouse, spark)
+      case "bigquery" => new BigQueryCatalog(warehouse, spark,
+        projectId = conf.getOrElse("gcp.bigquery.project-id", "graft-project"))
       case other => throw new IllegalArgumentException(
-        s"Unknown catalog type for '$name': $other (rest | sql | hadoop | in-memory)")
+        s"Unknown catalog type for '$name': $other " +
+          "(rest | sql | hadoop | in-memory | hive | glue | dynamodb | bigquery)")
     }
   }
 
@@ -67,6 +77,7 @@ object CatalogFactory {
     conf.get("uri") match {
       case Some(u) if u.startsWith("http://") || u.startsWith("https://") => Some("rest")
       case Some(u) if u.startsWith("jdbc:") => Some("sql")
+      case Some(u) if u.startsWith("thrift://") => Some("hive")
       case Some(u) => throw new IllegalArgumentException(
         s"Could not infer the catalog type from the uri: $u")
       case None if conf.contains("warehouse") => Some("hadoop")

@@ -535,6 +535,26 @@ object Iceberg {
       |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
       |FROM $cat.db.orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
+  /** Hive-metastore catalog e2e over the injectable thrift seam (ref
+    * catalog/hive.py): create under a namespace, two independent handles
+    * committing through the exclusive-lock protocol, CoW delete, native
+    * alter_table rename — then scan the renamed table back. */
+  def hiveCatalog(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val cat = new graft.catalog.HiveCatalog(
+      Files.createTempDirectory("graft_hive").toString, s)
+    cat.createNamespace("db")
+    val tab = cat.createTable("db.orders", Schema.fromSpark(orders.schema))
+    tab.append(orders.filter(col("o_orderkey") % 2 === 1))
+    val h2 = cat.loadTable("db.orders") // separate handle: lock-serialized commit
+    h2.append(orders.filter(col("o_orderkey") % 2 === 0))
+    cat.loadTable("db.orders").delete("o_orderstatus = 'P'")
+    cat.renameTable("db.orders", "db.orders_renamed")
+    nonEmpty(cat.loadTable("db.orders_renamed").scan.toDF.orderBy(col("o_orderkey")))
+  }
+  val hiveCatalogSql =
+    "SELECT * FROM orders WHERE o_orderstatus <> 'P' ORDER BY o_orderkey"
+
   val sqlCatalogDmlSql =
     """WITH t AS (
       |  SELECT * FROM orders WHERE o_orderstatus <> 'F'
@@ -1111,6 +1131,7 @@ object Iceberg {
     "ice_spj_join" -> (spjJoin _),
     "ice_expire_gc" -> (expireGc _),
     "ice_sql_catalog_dml" -> (sqlCatalogDml _),
+    "ice_hive_catalog" -> (hiveCatalog _),
     "ice_rest_catalog" -> (restCatalog _),
     "ice_sql_merge" -> (sqlMerge _),
     "ice_sql_mor" -> (sqlMorDml _),
@@ -1160,6 +1181,7 @@ object Iceberg {
     "ice_spj_join" -> spjJoinSql,
     "ice_expire_gc" -> expireGcSql,
     "ice_sql_catalog_dml" -> sqlCatalogDmlSql,
+    "ice_hive_catalog" -> hiveCatalogSql,
     "ice_rest_catalog" -> restCatalogSql,
     "ice_sql_merge" -> sqlMergeSql,
     "ice_sql_mor" -> sqlMorDmlSql,
