@@ -2603,7 +2603,155 @@ object DataOps {
       |WHERE levenshtein(a.p, b.p) * 5 <= greatest(length(a.p), length(b.p))
       |ORDER BY a_id, b_id""".stripMargin
 
+  // ------------------------------------------------------ winnowing dedup
+
+  /** Winnowing fingerprint near-dup (Schleimer, Wilkerson, Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    * 2003 — the MOSS algorithm): hash every k-char gram, slide a window
+    * of w consecutive hashes, keep each window's MINIMUM; the distinct
+    * minima are the doc's fingerprints (density ~2/(w+1), guaranteed to
+    * catch any shared run of k+w-1 chars). Candidate pairs share >= 5
+    * fingerprints. 100-TB story: O(chars) hashing map-side, one window
+    * shuffle per doc (tiny partitions — a doc's grams), fingerprints are
+    * ~25% of gram count, and the document-frequency cap (<= 50 docs per
+    * fingerprint) kills the quadratic posting-list blowup a template
+    * shared by thousands of docs would otherwise cause — the same cap the
+    * inverted-index op applies. xxhash64 is not SQL-portable, so the gram
+    * hashes are exported and the oracle re-derives windows/minima/pairs. */
+  def winnowDedup(s: SparkSession, dir: String): DataFrame = {
+    val k = 8; val w = 8
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    // injected near-dups: same text with a suffix — every original window
+    // survives, so the pair must surface
+    val dups = base.filter(col("doc_id") % 17 === 0)
+      .withColumn("doc_id", col("doc_id") + 2000000)
+      .withColumn("text", concat(col("text"), lit(" winnow-copy")))
+    val docs = base.unionByName(dups)
+    import org.apache.spark.sql.expressions.Window
+    val n = length(col("text"))
+    val hashArr = transform(
+      sequence(lit(1), greatest(n - (k - 1), lit(1))),
+      i => xxhash64(col("text").substr(i, lit(k))))
+    // one exploded gram frame, ONE window pass: the full-window bound
+    // comes from the analytically-known gram count, not a second
+    // (differently-framed, hence separately-executed) max window.
+    // (A window-free array form — array_min over slices of hashArr —
+    // looks cheaper but Catalyst inlines the hash-array expression into
+    // the per-window lambda, re-hashing the whole doc per window: O(n²).)
+    val grams = docs.select(col("doc_id"),
+      greatest(n - (k - 1), lit(1)).as("ngrams"), posexplode(hashArr))
+      .toDF("doc_id", "ngrams", "pos", "h")
+    exportForOracle(grams.select("doc_id", "pos", "h"), "winnow_grams")
+    val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    val fps = grams
+      .withColumn("m", min(col("h")).over(win))
+      .filter(col("pos") <= col("ngrams") - w) // 0-based pos: full windows only
+      .select(col("doc_id"), col("m").as("fp")).distinct()
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50).select("fp")
+    val sel = fps.join(rare, "fp")
+    sel.as("a").join(sel.as("b"), "fp")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+  val winnowDedupSql =
+    s"""WITH g AS (
+      |  SELECT doc_id, pos, h FROM read_parquet('$ExportDir/winnow_grams/*.parquet')),
+      |mm AS (
+      |  SELECT doc_id, pos,
+      |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m,
+      |    max(pos) OVER (PARTITION BY doc_id) AS maxpos
+      |  FROM g),
+      |fps AS (SELECT DISTINCT doc_id, m AS fp FROM mm WHERE pos <= maxpos - 7),
+      |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+      |sel AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp))
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |FROM sel a JOIN sel b USING (fp)
+      |WHERE a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING count(*) >= 5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------- k-anonymity guard
+
+  /** k-anonymity suppression over quasi-identifiers: a released corpus
+    * must not contain a (lang, source, length-bucket) combination held by
+    * fewer than k documents — such rows re-identify their authors.
+    * Groups below k are suppressed. One shuffle on the QI tuple; the
+    * surviving-group set is QI-cardinality-sized (tiny), so the
+    * filter-back join broadcasts no matter the corpus size. */
+  def kanonSuppress(s: SparkSession, dir: String): DataFrame = {
+    val kAnon = 3
+    val docs = t(s, dir, "documents")
+      .withColumn("len_bucket", expr("n_chars DIV 100"))
+    val keep = docs.groupBy("lang", "source", "len_bucket")
+      .agg(count(lit(1)).as("group_n"))
+      .filter(col("group_n") >= kAnon)
+    docs.join(broadcast(keep), Seq("lang", "source", "len_bucket"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("len_bucket"), col("group_n"))
+      .orderBy(col("doc_id"))
+  }
+  val kanonSuppressSql =
+    """WITH d AS (
+      |  SELECT doc_id, lang, source, n_chars // 100 AS len_bucket FROM documents),
+      |g AS (
+      |  SELECT lang, source, len_bucket, count(*) AS group_n
+      |  FROM d GROUP BY 1, 2, 3 HAVING count(*) >= 3)
+      |SELECT d.doc_id, d.lang, d.source, d.len_bucket, g.group_n
+      |FROM d JOIN g USING (lang, source, len_bucket)
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ------------------------------------------------------- n-gram novelty
+
+  /** N-gram novelty scoring: how much of each document is FIRST SEEN
+    * there? A word-5-gram is novel to the lowest doc_id containing it;
+    * per doc we report novel vs total distinct grams — the dedup-aware
+    * sampling signal (prefer high-novelty docs when packing a training
+    * mix). One shuffle on the gram hash; min-per-gram is map-side
+    * combinable, so the reduce side sees one record per distinct gram,
+    * not per occurrence. Gram hashes exported for the oracle. */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val words = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
+    val grams = transform(
+      sequence(lit(1), greatest(size(words) - 4, lit(0))),
+      i => xxhash64(concat_ws(" ", slice(words, i, lit(5)))))
+    val g = docs
+      .select(col("doc_id"), explode(array_distinct(grams)).as("g"))
+    exportForOracle(g, "novelty_grams")
+    val firstDoc = g.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+    val novelty = g.join(firstDoc, "g")
+      .groupBy("doc_id")
+      .agg(count(when(col("first_doc") === col("doc_id"), 1)).as("novel"),
+        count(lit(1)).as("total"))
+    docs.select("doc_id").join(novelty, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("novel"), lit(0L)).as("novel"),
+        coalesce(col("total"), lit(0L)).as("total"))
+      .orderBy(col("doc_id"))
+  }
+  val ngramNoveltySql =
+    s"""WITH g AS (
+      |  SELECT DISTINCT doc_id, g
+      |  FROM read_parquet('$ExportDir/novelty_grams/*.parquet')),
+      |f AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g),
+      |n AS (
+      |  SELECT g.doc_id,
+      |    count(*) FILTER (WHERE f.first_doc = g.doc_id) AS novel,
+      |    count(*) AS total
+      |  FROM g JOIN f USING (g) GROUP BY 1)
+      |SELECT d.doc_id, coalesce(n.novel, 0) AS novel, coalesce(n.total, 0) AS total
+      |FROM documents d LEFT JOIN n USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_winnow_dedup" -> (winnowDedup _),
+    "ds_kanon_suppress" -> (kanonSuppress _),
+    "ds_ngram_novelty" -> (ngramNovelty _),
     "ds_histogram_quantile" -> (histogramQuantile _),
     "ds_edit_neardup" -> (editNearDup _),
     "ds_hash_classifier" -> (hashClassifier _),
@@ -2658,6 +2806,9 @@ object DataOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "ds_winnow_dedup" -> winnowDedupSql,
+    "ds_kanon_suppress" -> kanonSuppressSql,
+    "ds_ngram_novelty" -> ngramNoveltySql,
     "ds_histogram_quantile" -> histogramQuantileSql,
     "ds_edit_neardup" -> editNearDupSql,
     "ds_hash_classifier" -> hashClassifierSql,
