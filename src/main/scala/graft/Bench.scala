@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -53,33 +54,82 @@ object Bench {
       val good = times.filter(_._2).map(_._1)
       name -> (if (good.nonEmpty) good.min else times.map(_._1).max)
     }
-    // isolated re-run: the slowest K queries each get a FRESH SparkContext
-    // (and an untimed warmup), so the artifact separates plan+compute cost
-    // from in-suite memory pressure / cache churn — the r7→r8 comparisons
-    // conflated the two (e.g. ds_dedup_cluster: 5.0s in-suite vs 2.5s
-    // isolated). `queries`/`total` keep the comparable in-suite meaning;
-    // the isolated numbers ride alongside. SPARK_GRAFT_ISOLATE=0 disables.
-    val isolateK = sys.env.getOrElse("SPARK_GRAFT_ISOLATE", "5").toInt
-    val isolated: Seq[(String, Double)] =
-      if (isolateK <= 0 || failed.nonEmpty) Nil
-      else results.toSeq.sortBy(-_._2).take(isolateK).map { case (name, _) =>
-        spark.stop()
-        spark = mkSession()
-        try SparkEntry.queries("count_star")(spark, sfDir).count() catch { case _: Throwable => }
-        val fn = SparkEntry.queries(name)
-        val times = (1 to reps).map { _ =>
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-          (System.nanoTime() - t0) / 1e9
+
+    // prior settled numbers (last run's BENCH_FULL.json, committed at round
+    // end): a query's settled value is its isolated time when one was
+    // recorded, else its in-suite time. Drives RATIO-based isolation below.
+    val fullPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_FULL_OUT", "BENCH_FULL.json"))
+    val prior: Map[String, Double] =
+      if (!java.nio.file.Files.exists(fullPath)) Map.empty
+      else try {
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        val j = JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(fullPath)))
+        def nums(field: String): Map[String, Double] = j \ field match {
+          case JObject(fs) => fs.collect {
+            case (k, JDouble(v)) => k -> v
+            case (k, JInt(v)) => k -> v.toDouble
+          }.toMap
+          case _ => Map.empty
         }
-        name -> times.min
+        nums("queries") ++ nums("isolated") // isolated wins on shared keys
+      } catch { case _: Throwable => Map.empty }
+
+    // isolated re-run: suspect queries each get a FRESH SparkContext (and
+    // an untimed warmup), so the artifact separates plan+compute cost from
+    // in-suite memory pressure / cache churn. Selection is by RATIO vs the
+    // prior settled number (>2× = suite-noise suspect) plus the top-K by
+    // absolute time; r9's top-5-absolute-only selection shipped two
+    // phantom 5× "regressions" that re-measured flat in a fresh session.
+    // SPARK_GRAFT_ISOLATE=0 disables.
+    val isolateK = sys.env.getOrElse("SPARK_GRAFT_ISOLATE", "5").toInt
+    val suspects: Seq[String] =
+      if (isolateK <= 0 || failed.nonEmpty) Nil
+      else {
+        val byRatio = results.toSeq.collect {
+          case (n, t) if prior.get(n).exists(p => p > 0.05 && t > 2 * p) => n
+        }
+        val byAbs = results.toSeq.sortBy(-_._2).take(isolateK).map(_._1)
+        (byAbs ++ byRatio).distinct.take(isolateK.max(byRatio.size + 3)).take(15)
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val isolated: Seq[(String, Double)] = suspects.flatMap { name =>
+      spark.stop()
+      spark = mkSession()
+      try SparkEntry.queries("count_star")(spark, sfDir).count() catch { case _: Throwable => }
+      val fn = SparkEntry.queries(name)
+      // per-rep success tracking, like the main loop: a query that fails
+      // only under a fresh context must not record a bogus near-zero time
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"BENCH ISOLATED FAILURE in $name: $e")
+            if (!failed.contains(name)) failed ::= name
+            false
+        }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val good = times.filter(_._2).map(_._1)
+      if (good.isEmpty) None else Some(name -> good.min)
+    }
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val iso = isolated.map { case (k, v) => s"\"" + k + "\":" + v }
+    val iso = isolated.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$iso,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"isolated":$iso,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(fullPath, full.getBytes("UTF-8"))
+    println(full)
+    // the driver records only the final ~2000 chars of output; the full
+    // per-query line above exceeds that, so the LAST line is a compact
+    // summary (slowest 25 + all isolated re-runs) guaranteed to fit, with
+    // a pointer to the full artifact on disk
+    val top = results.toSeq.sortBy(-_._2).take(25)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"full":"${fullPath.toString}","queries":$top,"isolated":$iso}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"BENCH FAILED queries: ${failed.reverse.mkString(", ")}")

@@ -215,7 +215,7 @@ class BigQueryCatalog(
       spec: PartitionSpec = PartitionSpec.Unpartitioned,
       properties: Map[String, String] = Map.empty): IceTable = {
     require(!tableExists(name), s"Table $name already exists")
-    val meta = TableMetadata(
+    val meta = applyFormatVersion(TableMetadata(
       tableUuid = UUID.randomUUID().toString,
       location = tableDir(name),
       lastUpdatedMs = System.currentTimeMillis(),
@@ -226,7 +226,7 @@ class BigQueryCatalog(
       defaultSpecId = spec.specId,
       lastPartitionId = if (spec.fields.isEmpty) PartitionSpec.StartFieldId - 1
         else spec.fields.map(_.fieldId).max,
-      properties = properties)
+      properties = properties))
     val v = commit(name, 0, meta)
     new IceTable(this, name, meta, v)
   }

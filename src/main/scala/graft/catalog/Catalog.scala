@@ -61,6 +61,21 @@ trait Catalog {
       }
     }
   }
+  /** Creation-time `format-version` table property (ref: metadata.py:595
+    * new_table_metadata pops TableProperties.FORMAT_VERSION): applied to
+    * the metadata's format version, never persisted as a property. A v3
+    * table starts row lineage with next-row-id = 0. */
+  protected def applyFormatVersion(meta: TableMetadata): TableMetadata =
+    meta.properties.get("format-version") match {
+      case None => meta
+      case Some(v) =>
+        val fv = v.toInt
+        require(fv >= 1 && fv <= 3, s"Unsupported format version $v")
+        meta.copy(formatVersion = fv,
+          properties = meta.properties - "format-version",
+          nextRowId = if (fv >= 3) Some(0L) else None)
+    }
+
   def tableExists(name: String): Boolean
   def currentVersion(name: String): Option[Int]
   /** Atomic optimistic swap to `expectedVersion + 1`; throws
@@ -117,7 +132,7 @@ trait Catalog {
       properties: Map[String, String] = Map.empty): CreateTableTransaction = {
     require(!tableExists(name), s"Table $name already exists")
     val outer = this
-    val meta = TableMetadata(
+    val meta = applyFormatVersion(TableMetadata(
       tableUuid = UUID.randomUUID().toString,
       location = s"$warehouse/${name.replace('.', '/')}",
       lastUpdatedMs = System.currentTimeMillis(),
@@ -128,7 +143,7 @@ trait Catalog {
       defaultSpecId = spec.specId,
       lastPartitionId = if (spec.fields.isEmpty) PartitionSpec.StartFieldId - 1
         else spec.fields.map(_.fieldId).max,
-      properties = properties)
+      properties = properties))
     val stagingCat: Catalog = new Catalog {
       private var state: (Int, TableMetadata) = (0, meta)
       def spark: SparkSession = outer.spark
@@ -310,7 +325,7 @@ class HadoopCatalog(val warehouse: String, val spark: SparkSession) extends Cata
       spec: PartitionSpec = PartitionSpec.Unpartitioned,
       properties: Map[String, String] = Map.empty): IceTable = {
     require(!tableExists(name), s"Table $name already exists")
-    val meta = TableMetadata(
+    val meta = applyFormatVersion(TableMetadata(
       tableUuid = UUID.randomUUID().toString,
       location = tableDir(name),
       lastUpdatedMs = System.currentTimeMillis(),
@@ -321,7 +336,7 @@ class HadoopCatalog(val warehouse: String, val spark: SparkSession) extends Cata
       defaultSpecId = spec.specId,
       lastPartitionId = if (spec.fields.isEmpty) PartitionSpec.StartFieldId - 1
         else spec.fields.map(_.fieldId).max,
-      properties = properties)
+      properties = properties))
     val v = commit(name, 0, meta)
     new IceTable(this, name, meta, v)
   }
@@ -446,7 +461,7 @@ class MemoryCatalog(val warehouse: String, val spark: SparkSession) extends Cata
   def createTable(name: String, schema: Schema, spec: PartitionSpec,
       properties: Map[String, String]): IceTable = {
     require(!tableExists(name), s"Table $name already exists")
-    val meta = TableMetadata(
+    val meta = applyFormatVersion(TableMetadata(
       tableUuid = UUID.randomUUID().toString,
       location = s"$warehouse/${name.replace('.', '/')}",
       lastUpdatedMs = System.currentTimeMillis(),
@@ -457,7 +472,7 @@ class MemoryCatalog(val warehouse: String, val spark: SparkSession) extends Cata
       defaultSpecId = spec.specId,
       lastPartitionId = if (spec.fields.isEmpty) PartitionSpec.StartFieldId - 1
         else spec.fields.map(_.fieldId).max,
-      properties = properties)
+      properties = properties))
     val v = commit(name, 0, meta)
     new IceTable(this, name, meta, v)
   }
@@ -555,4 +570,36 @@ object StaticTable {
     }
     new IceTable(readOnly, "static", meta)
   }
+}
+
+/** Every operation raises — parity with the reference's NoopCatalog test
+  * double (ref: catalog/noop.py — NotImplementedError across the ABC
+  * surface). Useful where a Catalog is structurally required but must
+  * never be exercised (wiring tests, default slots). */
+class NoopCatalog(val spark: SparkSession) extends Catalog {
+  private def nope: Nothing =
+    throw new UnsupportedOperationException("NoopCatalog implements no operation")
+  override def warehouse: String = nope
+  override def createTable(name: String, schema: Schema, spec: PartitionSpec,
+      properties: Map[String, String]): IceTable = nope
+  override def loadTable(name: String): IceTable = nope
+  override def dropTable(name: String): Unit = nope
+  override def purgeTable(name: String, deleteExternalFiles: Boolean): Unit = nope
+  override def tableExists(name: String): Boolean = nope
+  override def currentVersion(name: String): Option[Int] = nope
+  override def commit(name: String, expectedVersion: Int, meta: TableMetadata): Int = nope
+  override def createNamespace(ns: String): Unit = nope
+  override def dropNamespace(ns: String): Unit = nope
+  override def listNamespaces(): Seq[String] = nope
+  override def listTables(ns: String): Seq[String] = nope
+  override def loadNamespaceProperties(ns: String): Map[String, String] = nope
+  override def updateNamespaceProperties(ns: String, updates: Map[String, String],
+      removals: Set[String]): Unit = nope
+  override def listViews(ns: String): Seq[String] = nope
+  override protected def forgetTable(name: String): Unit = nope
+  override protected def forgetView(name: String): Unit = nope
+  override protected def linkView(name: String, metadataLocation: String): Unit = nope
+  override protected def storeView(name: String, version: Int, expected: Option[String],
+      json: String, location: String): String = nope
+  override protected def viewLocation(name: String): Option[String] = nope
 }

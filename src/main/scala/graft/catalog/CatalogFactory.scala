@@ -64,9 +64,11 @@ object CatalogFactory {
       case "dynamodb" => new DynamoCatalog(warehouse, spark)
       case "bigquery" => new BigQueryCatalog(warehouse, spark,
         projectId = conf.getOrElse("gcp.bigquery.project-id", "graft-project"))
+      // ref catalog/noop.py: a structural test double — every op raises
+      case "noop" => new NoopCatalog(spark)
       case other => throw new IllegalArgumentException(
         s"Unknown catalog type for '$name': $other " +
-          "(rest | sql | hadoop | in-memory | hive | glue | dynamodb | bigquery)")
+          "(rest | sql | hadoop | in-memory | hive | glue | dynamodb | bigquery | noop)")
     }
   }
 

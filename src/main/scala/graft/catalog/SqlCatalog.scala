@@ -142,7 +142,7 @@ class SqlCatalog(
       spec: PartitionSpec = PartitionSpec.Unpartitioned,
       properties: Map[String, String] = Map.empty): IceTable = {
     require(!tableExists(name), s"Table $name already exists")
-    val meta = TableMetadata(
+    val meta = applyFormatVersion(TableMetadata(
       tableUuid = UUID.randomUUID().toString,
       location = tableDir(name),
       lastUpdatedMs = System.currentTimeMillis(),
@@ -153,7 +153,7 @@ class SqlCatalog(
       defaultSpecId = spec.specId,
       lastPartitionId = if (spec.fields.isEmpty) PartitionSpec.StartFieldId - 1
         else spec.fields.map(_.fieldId).max,
-      properties = properties)
+      properties = properties))
     val v = commit(name, 0, meta)
     new IceTable(this, name, meta, v)
   }

@@ -1,0 +1,27 @@
+package graft.core
+
+/** v3 row lineage reserved fields (Iceberg spec §Row Lineage / §Reserved
+  * Field IDs — an extension beyond the reference, which declares only the
+  * manifest fields, ref manifest.py:406,:771).
+  *
+  * `_row_id` / `_last_updated_sequence_number` are normally INHERITED
+  * (first_row_id + position; the file's data sequence number), but when a
+  * writer moves an existing row to a different data file (compaction,
+  * copy-on-write rewrites) the spec REQUIRES it to materialize the row's
+  * current values as physical columns under these reserved ids. Readers
+  * must prefer a non-null materialized value over inheritance. */
+object RowLineage {
+  val RowIdId = 2147483540
+  val LastUpdatedId = 2147483539
+  val RowIdName = "_row_id"
+  val LastUpdatedName = "_last_updated_sequence_number"
+  val RowId: NestedField = NestedField(RowIdId, RowIdName, ILong, required = false)
+  val LastUpdated: NestedField =
+    NestedField(LastUpdatedId, LastUpdatedName, ILong, required = false)
+  val fields: Seq[NestedField] = Seq(RowId, LastUpdated)
+
+  /** Table schema + the two reserved lineage columns — the write schema of
+    * a v3 rewrite that materializes lineage. */
+  def augment(schema: Schema): Schema =
+    Schema(schema.fields ++ fields, schema.schemaId)
+}

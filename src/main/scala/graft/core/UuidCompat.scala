@@ -15,8 +15,8 @@ import org.apache.spark.sql.types._
   * canonical lowercase strings by byte length (16 = fixed vector,
   * otherwise UTF-8 text). The public Spark type for uuid stays StringType.
   *
-  * Coverage: top-level fields, struct members, list elements. UUIDs as map
-  * keys/values keep the string-only read (no known writer produces them).
+  * Coverage: top-level fields, struct members, list elements, map
+  * keys/values (rebuilt via map_entries so converted keys stay keys).
   */
 object UuidCompat {
 
@@ -24,6 +24,7 @@ object UuidCompat {
     case IUUID => true
     case IStruct(fs) => fs.exists(f => hasUuid(f.fieldType))
     case IList(_, el, _) => hasUuid(el)
+    case IMap(_, k, _, v, _) => hasUuid(k) || hasUuid(v)
     case _ => false
   }
 
@@ -39,6 +40,7 @@ object UuidCompat {
     case ITimestampNs | ITimestamptzNs => true
     case IStruct(fs) => fs.exists(f => hasNs(f.fieldType))
     case IList(_, el, _) => hasNs(el)
+    case IMap(_, k, _, v, _) => hasNs(k) || hasNs(v)
     case _ => false
   }
 
@@ -52,6 +54,8 @@ object UuidCompat {
     case ITimestampNs | ITimestamptzNs => LongType
     case IStruct(fs) => StructType(fs.map(readField))
     case IList(_, el, req) => ArrayType(readType(el), containsNull = !req)
+    case IMap(_, k, _, v, req) =>
+      MapType(readType(k), readType(v), valueContainsNull = !req)
     case other => other.toSpark
   }
 
@@ -101,6 +105,11 @@ object UuidCompat {
         struct(fs.map(f => convert(c.getField(f.name), f.fieldType).as(f.name)): _*))
     case IList(_, el, _) if hasUuid(el) || hasNs(el) =>
       transform(c, x => convert(x, el))
+    case IMap(_, k, _, v, _) if hasUuid(t) || hasNs(t) =>
+      // rebuild from entries so uuid/ns leaves in KEYS convert too
+      map_from_entries(transform(map_entries(c), e =>
+        struct(convert(e.getField("key"), k).as("key"),
+          convert(e.getField("value"), v).as("value"))))
     case _ => c
   }
 }

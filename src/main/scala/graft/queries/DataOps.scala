@@ -2718,9 +2718,13 @@ object DataOps {
     val docs = t(s, dir, "documents")
     val words = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
     val grams = transform(
-      sequence(lit(1), greatest(size(words) - 4, lit(0))),
+      sequence(lit(1), size(words) - 4),
       i => xxhash64(concat_ws(" ", slice(words, i, lit(5)))))
+    // Docs with <5 tokens contribute no grams (sequence(1, n<1) would count
+    // DOWN and slice would throw); they surface as novel=0/total=0 via the
+    // left join below.
     val g = docs
+      .filter(size(words) >= 5)
       .select(col("doc_id"), explode(array_distinct(grams)).as("g"))
     exportForOracle(g, "novelty_grams")
     val firstDoc = g.groupBy("g").agg(min(col("doc_id")).as("first_doc"))

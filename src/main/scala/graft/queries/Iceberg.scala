@@ -259,6 +259,55 @@ object Iceberg {
       |WHERE NOT (o_totalprice > 300000)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** A/D. v3 row lineage THROUGH copy-on-write compaction (spec §Row
+    * Lineage rewrite rule): same construction as ice_row_lineage, then
+    * rewriteDataFiles folds the DV in and moves every surviving row to a
+    * NEW file with `_row_id` / `_last_updated_sequence_number`
+    * MATERIALIZED as reserved columns. The oracle re-derives ids from the
+    * pre-compaction append order — hash equality proves compaction
+    * renumbered nothing. */
+  def rowLineageCompaction(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val tab = wh(s).createTable("orders", Schema.fromSpark(orders.schema))
+    tab.upgradeFormatVersion(3)
+    val sorted = orders.repartition(1).sortWithinPartitions("o_orderkey")
+    tab.append(sorted.filter(col("o_orderkey") % 2 === 1))
+    tab.append(sorted.filter(col("o_orderkey") % 2 === 0))
+    tab.deleteAsDeletionVector("o_totalprice > 300000")
+    val (rewritten, _) = tab.rewriteDataFiles(1L << 30)
+    require(rewritten > 0, "compaction must actually rewrite files")
+    nonEmpty(tab.scan.select("o_orderkey").toDFWithLineage.orderBy(col("o_orderkey")))
+  }
+  // ids and sequence numbers are IDENTICAL to the pre-compaction state —
+  // the oracle is byte-for-byte rowLineageSql
+  val rowLineageCompactionSql: String = rowLineageSql
+
+  /** A/D. v3 row lineage on the SQL face: `_row_id` /
+    * `_last_updated_sequence_number` as DSv2 METADATA COLUMNS
+    * (SupportsMetadataColumns — advertised on v3 tables only), selectable
+    * in plain SQL through the catalog plugin. Same deterministic
+    * construction as ice_row_lineage (sorted single-file appends + a DV
+    * delete), read back with `SELECT o_orderkey, _row_id, …` — the oracle
+    * re-derives the ids independently. */
+  def rowLineageSqlFace(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val cat = s"glin${sqlCatSeq.incrementAndGet()}"
+    val whDir = Files.createTempDirectory("graft_linsql").toString
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", whDir)
+    val tab = new graft.catalog.HadoopCatalog(whDir, s)
+      .createTable("db.orders", Schema.fromSpark(orders.schema),
+        properties = Map("format-version" -> "3"))
+    val sorted = orders.repartition(1).sortWithinPartitions("o_orderkey")
+    tab.append(sorted.filter(col("o_orderkey") % 2 === 1))
+    tab.append(sorted.filter(col("o_orderkey") % 2 === 0))
+    tab.deleteAsDeletionVector("o_totalprice > 300000")
+    nonEmpty(s.sql(
+      s"""SELECT o_orderkey, _row_id, _last_updated_sequence_number
+         |FROM $cat.db.orders ORDER BY o_orderkey""".stripMargin))
+  }
+  val rowLineageSqlFaceSql: String = rowLineageSql
+
   /** A (deletes). equality deletes (extension — the reference rejects
     * them): keys deleted from older data only; a later append of the same
     * keys survives (sequence-number scoping). */
@@ -922,12 +971,24 @@ object Iceberg {
     val li = t(s, dir, "lineitem")
     val tab = wh(s).createTable("li_z", Schema.fromSpark(li.schema))
     tab.append(li.repartition(8))
-    val pred = "l_orderkey <= 6000 and l_partkey <= 200"
+    // SCALE-RELATIVE box predicate: 30% of each key's max (integer-exact,
+    // mirrored in the oracle) — ~9% of the 2-d key space at every SF. A
+    // fixed literal box matched the whole key range at small SFs, making
+    // the pruning assert below unsatisfiable.
+    val mx = li.agg(max(col("l_orderkey")), max(col("l_partkey"))).head
+    val pred = s"l_orderkey <= ${mx.getLong(0) * 3 / 10} and " +
+      s"l_partkey <= ${mx.getLong(1) * 3 / 10}"
     // scattered baseline: the box predicate prunes nothing
     val before = tab.scan(pred).planFiles().size
     require(before == 8, s"expected an unprunable 8-file layout, read $before")
+    // target derived from the actual table size so the rewrite produces
+    // ~6 z-ordered files at EVERY scale factor (a fixed byte target made
+    // the shape assert below data-size-dependent: at sf0.001 the whole
+    // table fit one 256 KB bin)
+    val totalBytes = tab.scan.planFiles().map(_.file.fileSizeInBytes).sum
     val (rewritten, added) = tab.rewriteDataFilesZOrder(
-      Seq("l_orderkey", "l_partkey"), targetFileBytes = 256L * 1024)
+      Seq("l_orderkey", "l_partkey"),
+      targetFileBytes = math.max(16L * 1024, totalBytes / 6))
     require(rewritten == 8 && added >= 4,
       s"zorder rewrite shape: rewritten=$rewritten added=$added")
     val after = tab.scan(pred).planFiles().size
@@ -939,7 +1000,9 @@ object Iceberg {
   }
   val zorderRewriteSql =
     """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
-      |FROM lineitem WHERE l_orderkey <= 6000 AND l_partkey <= 200
+      |FROM lineitem
+      |WHERE l_orderkey <= (SELECT max(l_orderkey) * 3 // 10 FROM lineitem)
+      |  AND l_partkey <= (SELECT max(l_partkey) * 3 // 10 FROM lineitem)
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   /** J. streaming UPSERT: the canonical foreachBatch + MERGE pattern for
@@ -1125,6 +1188,8 @@ object Iceberg {
     "ice_position_deletes" -> (positionDeletes _),
     "ice_deletion_vectors" -> (deletionVectors _),
     "ice_row_lineage" -> (rowLineage _),
+    "ice_lineage_compaction" -> (rowLineageCompaction _),
+    "ice_lineage_sql" -> (rowLineageSqlFace _),
     "ice_equality_deletes" -> (equalityDeletes _),
     "ice_dsv2_scan" -> (dsv2Scan _),
     "ice_dsv2_agg" -> (dsv2AggPushdown _),
@@ -1175,6 +1240,8 @@ object Iceberg {
     "ice_position_deletes" -> positionDeletesSql,
     "ice_deletion_vectors" -> deletionVectorsSql,
     "ice_row_lineage" -> rowLineageSql,
+    "ice_lineage_compaction" -> rowLineageCompactionSql,
+    "ice_lineage_sql" -> rowLineageSqlFaceSql,
     "ice_equality_deletes" -> equalityDeletesSql,
     "ice_dsv2_scan" -> dsv2ScanSql,
     "ice_dsv2_agg" -> dsv2AggPushdownSql,

@@ -163,6 +163,13 @@ object GraftSparkTable {
     * operations identify rows by (_file, _pos). */
   val FileColumn = "_file"
   val PosColumn = "_pos"
+  /** v3 row lineage metadata columns (spec §Row Lineage): advertised only
+    * on format-version ≥ 3 tables; served inherited (first_row_id +
+    * position) or from the MATERIALIZED reserved columns of rewritten
+    * files, whichever is non-null — the SQL face of
+    * `IceScan.toDFWithLineage`. */
+  val RowIdColumn: String = graft.core.RowLineage.RowIdName
+  val LastUpdatedColumn: String = graft.core.RowLineage.LastUpdatedName
 }
 
 /** `branch` routes every write (INSERT/overwrite/DELETE) to that branch's
@@ -239,7 +246,23 @@ class GraftSparkTable(table: IceTable, snapshotId: Option[Long] = None,
           org.apache.spark.sql.types.LongType
         override def isNullable: Boolean = false
         override def comment(): String = "Row position in the file"
-      })
+      }) ++ (if (table.metadata.formatVersion < 3) Nil else Seq(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftSparkTable.RowIdColumn
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "v3 row lineage: unique id assigned when the row was first added"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftSparkTable.LastUpdatedColumn
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "v3 row lineage: sequence number of the commit that last updated the row"
+      }))
 
   /** SQL `UPDATE` / `MERGE INTO` / rewritten `DELETE` (ref upsert,
     * table/__init__.py:800). The mode follows the Iceberg table
@@ -874,6 +897,7 @@ class GraftScanBuilder(table: IceTable, snapshotId: Option[Long] = None,
   private var required: StructType = GraftSparkTable.schemaOf(table, schemaAt).toSpark
   private var emitFile: Boolean = false
   private var emitPos: Boolean = false
+  private var emitLineage: Boolean = false
   private var limit: Long = -1L
   private var aggResult: Option[(StructType, Seq[Array[Any]])] = None
 
@@ -898,8 +922,12 @@ class GraftScanBuilder(table: IceTable, snapshotId: Option[Long] = None,
     emitFile = requiredSchema.fieldNames.contains(GraftSparkTable.FileColumn) ||
       requiredSchema.fieldNames.contains(GraftSparkTable.PosColumn)
     emitPos = requiredSchema.fieldNames.contains(GraftSparkTable.PosColumn)
+    emitLineage = requiredSchema.fieldNames.contains(GraftSparkTable.RowIdColumn) ||
+      requiredSchema.fieldNames.contains(GraftSparkTable.LastUpdatedColumn)
     required = StructType(requiredSchema.fields.filterNot(f =>
-      f.name == GraftSparkTable.FileColumn || f.name == GraftSparkTable.PosColumn))
+      f.name == GraftSparkTable.FileColumn || f.name == GraftSparkTable.PosColumn ||
+        f.name == GraftSparkTable.RowIdColumn ||
+        f.name == GraftSparkTable.LastUpdatedColumn))
   }
 
   private def toExpr(f: sources.Filter): Option[Expr] = GraftFilters.toExpr(f)
@@ -939,7 +967,7 @@ class GraftScanBuilder(table: IceTable, snapshotId: Option[Long] = None,
     case None =>
       val scan = new GraftScan(table, expr, required, limit, snapshotId,
         Option(options.get("max-snapshots-per-trigger")).map(_.toInt), emitFile, emitPos,
-        schemaAtOrNull = schemaAt)
+        schemaAtOrNull = schemaAt, emitLineage = emitLineage)
       // the row-level operation's write needs THIS scan at commit (the
       // CoW replacement group / the delta conflict filter)
       onScanBuilt(scan)
@@ -1326,7 +1354,15 @@ final case class GraftInputPartition(
     emitFile: Boolean = false,
     /** append the `_pos` metadata column (row position in the file) after
       * `_file` — the rowId half of the merge-on-read delta operations. */
-    emitPos: Boolean = false) extends InputPartition
+    emitPos: Boolean = false,
+    /** append the v3 lineage columns `_row_id` / `_last_updated_sequence_number`
+      * last: materialized values from rewritten files win, otherwise
+      * firstRowId + position / the file's data sequence number. */
+    emitLineage: Boolean = false,
+    /** the file's inherited first_row_id (v3 lineage), -1 when absent. */
+    firstRowId: Long = -1L,
+    /** the file entry's data sequence number (v3 lineage). */
+    dataSeq: Long = -1L) extends InputPartition
 
 object GraftScan {
   /** Test seam: partition count of the last planInputPartitions in this
@@ -1357,7 +1393,7 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
     pushedLimit: Long = -1L, snapshotId: Option[Long] = None,
     maxSnapshotsPerTrigger: Option[Int] = None,
     emitFile: Boolean = false, emitPos: Boolean = false,
-    schemaAtOrNull: Option[Long] = null)
+    schemaAtOrNull: Option[Long] = null, emitLineage: Boolean = false)
     extends Scan with Batch with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with SupportsReportStatistics with SupportsReportPartitioning {
@@ -1366,12 +1402,17 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
     if (schemaAtOrNull == null) snapshotId else schemaAtOrNull
 
   override def readSchema(): StructType =
-    if (!emitFile) required
+    if (!emitFile && !emitLineage) required
     else StructType(required.fields ++
-      Seq(org.apache.spark.sql.types.StructField(GraftSparkTable.FileColumn,
-        org.apache.spark.sql.types.StringType, nullable = false)) ++
+      (if (emitFile) Seq(org.apache.spark.sql.types.StructField(GraftSparkTable.FileColumn,
+        org.apache.spark.sql.types.StringType, nullable = false)) else Nil) ++
       (if (emitPos) Seq(org.apache.spark.sql.types.StructField(GraftSparkTable.PosColumn,
-        org.apache.spark.sql.types.LongType, nullable = false)) else Nil))
+        org.apache.spark.sql.types.LongType, nullable = false)) else Nil) ++
+      (if (emitLineage) Seq(
+        org.apache.spark.sql.types.StructField(GraftSparkTable.RowIdColumn,
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField(GraftSparkTable.LastUpdatedColumn,
+          org.apache.spark.sql.types.LongType, nullable = false)) else Nil))
 
   override def toBatch: Batch = this
 
@@ -1563,8 +1604,18 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
     // columns (time travel projects with the schema as of that snapshot)
     val engineSchema = GraftSparkTable.schemaOf(table, schemaAt)
     val names = required.fieldNames.toSet
-    val readSchema = Schema(engineSchema.fields.filter(f => names.contains(f.name)))
+    // lineage scans additionally request the reserved materialized-lineage
+    // columns by field id (rewritten files carry them; everything else
+    // null-fills) — the append-reader coalesces them with inheritance
+    val readSchema = Schema(engineSchema.fields.filter(f => names.contains(f.name)) ++
+      (if (emitLineage) graft.core.RowLineage.fields else Nil))
     val json = MetadataJson.schemaToJson(readSchema).toString
+    if (emitLineage) {
+      require(table.metadata.formatVersion >= 3,
+        s"Row lineage requires format version >= 3 (table is v${table.metadata.formatVersion})")
+      require(tasks.forall(_.file.fileFormat.toUpperCase == "PARQUET"),
+        "Row lineage reads are parquet-only (ORC exposes no row positions here)")
+    }
 
     // equality-delete key fields may fall outside the pruned columns; ship
     // their (id, name, type) so readers can still pull them from data files
@@ -1592,7 +1643,7 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
         graft.core.PathUtil.underDataRoot(table.location, path)
     // _file emission rides the row readers (a constant-per-file column
     // appended post-decode); row-level-op scans are not the hot read path
-    val allColumnar = !emitFile && tasks.forall(t => t.deletes.isEmpty &&
+    val allColumnar = !emitFile && !emitLineage && tasks.forall(t => t.deletes.isEmpty &&
       parquetOwn(t.file.filePath, t.file.fileFormat))
     // when the scan reported a KeyGroupedPartitioning, every partition
     // MUST carry its key (Spark groups them; a keyless partition would
@@ -1615,7 +1666,13 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
         eqs, eqJson,
         idBearing = parquetOwn(t.file.filePath, t.file.fileFormat),
         fileFormat = t.file.fileFormat.toUpperCase,
-        emitFile = emitFile, emitPos = emitPos)
+        emitFile = emitFile, emitPos = emitPos,
+        emitLineage = emitLineage,
+        firstRowId = if (!emitLineage) -1L else t.file.firstRowId.getOrElse(
+          throw new IllegalStateException(
+            s"${t.file.filePath} has no first_row_id — written before the table became v3? " +
+              "Row lineage covers rows committed under format version 3")),
+        dataSeq = t.dataSequenceNumber)
       (t, base)
     } match { case pairs =>
       // key-grouped partitions are packed by Spark itself (same-key splits
@@ -1664,7 +1721,7 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
     // relative to the split — and the delta operations would then delete
     // the WRONG rows by (file, pos)
     if (!(base.deletes.isEmpty && base.eqDeletes.isEmpty && base.idBearing &&
-        !base.emitPos &&
+        !base.emitPos && !base.emitLineage &&
         base.fileFormat == "PARQUET" && size > 2 * target && offs.sizeIs > 1))
       return Seq((base, size))
     val bounds = offs :+ size
@@ -1852,8 +1909,10 @@ class GraftReaderFactory(confEntries: Array[(String, String)] = Array.empty)
 
   private def singleRowReader(p: GraftInputPartition): PartitionReader[InternalRow] = {
     val inner = singleRowReaderInner(p)
-    if (!p.emitFile) inner
-    else new GraftFileAppendReader(inner, p.readSchemaJson, p.filePath, p.emitPos)
+    if (!p.emitFile && !p.emitLineage) inner
+    else new GraftFileAppendReader(inner, p.readSchemaJson, p.filePath,
+      emitPos = p.emitPos, emitFile = p.emitFile, emitLineage = p.emitLineage,
+      firstRowId = p.firstRowId, dataSeq = p.dataSeq)
   }
 
   private def singleRowReaderInner(p: GraftInputPartition): PartitionReader[InternalRow] = {
@@ -2197,35 +2256,56 @@ object GraftPartitionReader {
   * NEXT get() will return — valid between a true next() and that get(). */
 trait HasRowPosition { def currentPosition: Long }
 
-/** Appends the `_file` column (canon path) — and optionally `_pos` (the
-  * row's file position, from the inner reader's position tracking) —
-  * after the data columns of an inner row reader: the metadata-column
-  * shape the row-level operations' scans request. */
+/** Appends metadata columns after the data columns of an inner row
+  * reader: `_file` (canon path), `_pos` (the row's file position, from
+  * the inner reader's position tracking), and the v3 lineage pair
+  * `_row_id` / `_last_updated_sequence_number`. When lineage is emitted,
+  * the inner reader's schema carries the two RESERVED materialized
+  * columns LAST (null in un-rewritten files); a non-null materialized
+  * value wins over inheritance (firstRowId + position / dataSeq) — the
+  * spec's read rule for rewritten files. */
 class GraftFileAppendReader(inner: PartitionReader[InternalRow],
-    schemaJson: String, path: String, emitPos: Boolean = false)
+    schemaJson: String, path: String, emitPos: Boolean = false,
+    emitFile: Boolean = true, emitLineage: Boolean = false,
+    firstRowId: Long = -1L, dataSeq: Long = -1L)
     extends PartitionReader[InternalRow] {
   private val types: Array[org.apache.spark.sql.types.DataType] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     graft.meta.MetadataJson.schemaFromJson(mapper.readTree(schemaJson))
       .toSpark.fields.map(_.dataType)
   }
+  // with lineage the inner schema's LAST TWO columns are the reserved
+  // materialized pair — consumed here, not forwarded as data columns
+  private val dataLen = if (emitLineage) types.length - 2 else types.length
   private val pathU = org.apache.spark.unsafe.types.UTF8String
     .fromString(graft.core.PathUtil.canon(path))
   private var pos: Long = -1L
+  private val trackPos = emitPos || emitLineage
 
   override def next(): Boolean = {
     val h = inner.next()
-    if (h && emitPos) pos = inner.asInstanceOf[HasRowPosition].currentPosition
+    if (h && trackPos) pos = inner.asInstanceOf[HasRowPosition].currentPosition
     h
   }
 
   override def get(): InternalRow = {
     val r = inner.get()
-    val out = new GenericInternalRow(types.length + 1 + (if (emitPos) 1 else 0))
+    val width = dataLen + (if (emitFile) 1 else 0) + (if (emitPos) 1 else 0) +
+      (if (emitLineage) 2 else 0)
+    val out = new GenericInternalRow(width)
     var i = 0
-    while (i < types.length) { out.update(i, r.get(i, types(i))); i += 1 }
-    out.update(types.length, pathU)
-    if (emitPos) out.update(types.length + 1, pos)
+    while (i < dataLen) { out.update(i, r.get(i, types(i))); i += 1 }
+    var j = dataLen
+    if (emitFile) { out.update(j, pathU); j += 1 }
+    if (emitPos) { out.update(j, pos); j += 1 }
+    if (emitLineage) {
+      // isNullAt explicitly: not every InternalRow's get(ordinal, type)
+      // null-checks (ColumnarBatchRow returns the raw 0 slot)
+      out.update(j, java.lang.Long.valueOf(
+        if (r.isNullAt(dataLen)) firstRowId + pos else r.getLong(dataLen)))
+      out.update(j + 1, java.lang.Long.valueOf(
+        if (r.isNullAt(dataLen + 1)) dataSeq else r.getLong(dataLen + 1)))
+    }
     out
   }
 

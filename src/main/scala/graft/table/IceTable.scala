@@ -309,11 +309,15 @@ class IceTable(
       // read the affected files THROUGH the MoR machinery (outstanding
       // position/equality deletes applied) so previously deleted rows are
       // not resurrected into the rewrite; survivors = non-matching (NULL
-      // rows survive via the null-preserving complement)
-      val survivors = branchScan(branch).get
-        .toDFForTasks(rewrites, applyResidualOnlyWhereNeeded = true)
+      // rows survive via the null-preserving complement). On v3, survivors
+      // are existing rows moving to new files — their lineage columns ride
+      // along materialized (spec §Row Lineage rewrite rule).
+      val lineage = metadata.formatVersion >= 3
+      val survivors = (if (lineage) branchScan(branch).get.toDFWithLineageForTasks(rewrites)
+        else branchScan(branch).get.toDFForTasks(rewrites, applyResidualOnlyWhereNeeded = true))
         .filter(ToColumn.complementary(bound))
-      added = WriteFiles.write(spark, location, schema, spec, survivors,
+      added = WriteFiles.write(spark, location,
+        if (lineage) RowLineage.augment(schema) else schema, spec, survivors,
       UUID.randomUUID().toString, sortOrderOpt, metadata.properties)
     }
     val removed = (wholeFiles ++ rewrites).map(_.file.filePath).toSet
@@ -397,11 +401,14 @@ class IceTable(
     var added = WriteFiles.write(spark, location, schema, spec, df,
       UUID.randomUUID().toString, sortOrderOpt, metadata.properties)
     if (rewrites.nonEmpty) {
-      // MoR-aware read, as in delete(): never resurrect deleted rows
-      val survivors = branchScan(branch).get
-        .toDFForTasks(rewrites, applyResidualOnlyWhereNeeded = true)
+      // MoR-aware read, as in delete(): never resurrect deleted rows.
+      // v3 survivors carry materialized lineage (spec §Row Lineage).
+      val lineage = metadata.formatVersion >= 3
+      val survivors = (if (lineage) branchScan(branch).get.toDFWithLineageForTasks(rewrites)
+        else branchScan(branch).get.toDFForTasks(rewrites, applyResidualOnlyWhereNeeded = true))
         .filter(ToColumn.complementary(bound))
-      added = added ++ WriteFiles.write(spark, location, schema, spec, survivors,
+      added = added ++ WriteFiles.write(spark, location,
+        if (lineage) RowLineage.augment(schema) else schema, spec, survivors,
       UUID.randomUUID().toString, sortOrderOpt, metadata.properties)
     }
     val removed = (wholeFiles ++ rewrites).map(_.file.filePath).toSet
@@ -927,9 +934,16 @@ class IceTable(
     val totalBytes = toRewrite.map(_.file.fileSizeInBytes).sum
     val targetFiles =
       math.max(1L, (totalBytes + 4 * smallFileBytes - 1) / (4 * smallFileBytes)).toInt
-    val df = scanObj.toDFForTasks(toRewrite, applyResidualOnlyWhereNeeded = true)
+    // v3: surviving rows move to new files, so their CURRENT _row_id /
+    // _last_updated_sequence_number must be materialized into the rewrite
+    // (spec §Row Lineage rewrite rule) — otherwise compaction would
+    // silently renumber rows. v1/v2 tables have no lineage to carry.
+    val lineage = metadata.formatVersion >= 3
+    val df = (if (lineage) scanObj.toDFWithLineageForTasks(toRewrite)
+      else scanObj.toDFForTasks(toRewrite, applyResidualOnlyWhereNeeded = true))
       .coalesce(targetFiles)
-    val added = WriteFiles.write(spark, location, schema, spec, df,
+    val writeSchema = if (lineage) RowLineage.augment(schema) else schema
+    val added = WriteFiles.write(spark, location, writeSchema, spec, df,
       UUID.randomUUID().toString, sortOrderOpt, metadata.properties)
     val removed = toRewrite.map(_.file.filePath).toSet ++
       withDeletes.flatMap(_.deletes.map(_.filePath))
@@ -997,13 +1011,19 @@ class IceTable(
       }
     }
     val zname = "_graft_zvalue"
-    val arranged = scanObj.toDFForTasks(tasks, applyResidualOnlyWhereNeeded = true)
+    // v3: the z-order shuffle moves every row to a new file — lineage rides
+    // along materialized (spec §Row Lineage rewrite rule)
+    val lineage = metadata.formatVersion >= 3
+    val source = if (lineage) scanObj.toDFWithLineageForTasks(tasks)
+      else scanObj.toDFForTasks(tasks, applyResidualOnlyWhereNeeded = true)
+    val arranged = source
       .withColumn(zname,
         graft.functions.ZOrderFunctions.zvalueOfKeys(zFields.map(zKey)))
       .repartitionByRange(targetFiles, col(zname))
       .sortWithinPartitions(col(zname))
       .drop(zname)
-    val added = WriteFiles.write(spark, location, schema, spec, arranged,
+    val added = WriteFiles.write(spark, location,
+      if (lineage) RowLineage.augment(schema) else schema, spec, arranged,
       UUID.randomUUID().toString, None, metadata.properties)
     val removed = tasks.map(_.file.filePath).toSet ++
       tasks.flatMap(_.deletes.map(_.filePath))

@@ -295,23 +295,34 @@ final class IceScan(
     * task list; positions ride parquet's `_metadata.row_index`, so rows
     * surviving a MoR delete keep their ids. ORC data files don't expose
     * row positions through this path — typed error. */
-  def toDFWithLineage: DataFrame = {
+  def toDFWithLineage: DataFrame =
+    toDFWithLineageForTasks(planFiles(keepStats = false))
+
+  /** Lineage scan over an explicit task set — the rewrite paths
+    * (compaction, CoW delete/overwrite survivors, z-order) read their
+    * sources through this so surviving rows carry their CURRENT
+    * `_row_id` / `_last_updated_sequence_number` into the new files (the
+    * v3 spec's rewrite rule: writers must materialize lineage when moving
+    * an existing row to a different data file). Materialized values in
+    * the source files take precedence over inheritance, so repeated
+    * compactions stay id-stable. */
+  private[table] def toDFWithLineageForTasks(tasks: Seq[FileScanTask]): DataFrame = {
     require(metadata.formatVersion >= 3,
       s"Row lineage requires format version >= 3 (table is v${metadata.formatVersion})")
-    val tasks = planFiles(keepStats = false)
     require(tasks.forall(_.file.fileFormat.toUpperCase == "PARQUET"),
       "Row lineage reads are parquet-only (ORC exposes no row positions here)")
     val proj = projection
     if (tasks.isEmpty) {
       val fields = proj.toSpark.fields ++ Seq(
-        org.apache.spark.sql.types.StructField("_row_id", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("_last_updated_sequence_number",
+        org.apache.spark.sql.types.StructField(RowLineage.RowIdName,
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(RowLineage.LastUpdatedName,
           org.apache.spark.sql.types.LongType))
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         org.apache.spark.sql.types.StructType(fields))
     }
     val base = toDFForTasks(tasks, applyResidualOnlyWhereNeeded = true,
-      keepFile = true, keepPos = true)
+      keepFile = true, keepPos = true, lineageCols = true)
     val info = tasks.map { t =>
       val first = t.file.firstRowId.getOrElse(throw new IllegalStateException(
         s"${t.file.filePath} has no first_row_id — written before the table became v3? " +
@@ -320,10 +331,14 @@ final class IceScan(
     }
     val infoDf = broadcast(
       spark.createDataFrame(info).toDF("__file", "__first_row_id", "__last_seq"))
+    // a non-null MATERIALIZED value wins over inheritance (spec: readers
+    // must prefer explicit lineage columns — rewritten files carry them)
     base.join(infoDf, Seq("__file"))
       .select(proj.fields.map(f => col(f.name)) ++ Seq(
-        (col("__first_row_id") + col("__pos")).as("_row_id"),
-        col("__last_seq").as("_last_updated_sequence_number")): _*)
+        coalesce(col(RowLineage.RowIdName), col("__first_row_id") + col("__pos"))
+          .as(RowLineage.RowIdName),
+        coalesce(col(RowLineage.LastUpdatedName), col("__last_seq"))
+          .as(RowLineage.LastUpdatedName)): _*)
   }
 
   /** `keepFile` appends a `__file` column (canonical source-file path) to
@@ -331,14 +346,17 @@ final class IceScan(
     * `_metadata.file_path` (upsert file targeting, compaction). */
   private[table] def toDFForTasks(tasks: Seq[FileScanTask],
       applyResidualOnlyWhereNeeded: Boolean, keepFile: Boolean = false,
-      keepPos: Boolean = false): DataFrame = {
+      keepPos: Boolean = false, lineageCols: Boolean = false): DataFrame = {
     val proj = projection
     val projSpark0 = proj.toSpark
     val metaFields =
       (if (keepFile) Seq(org.apache.spark.sql.types.StructField("__file",
         org.apache.spark.sql.types.StringType)) else Nil) ++
       (if (keepPos) Seq(org.apache.spark.sql.types.StructField("__pos",
-        org.apache.spark.sql.types.LongType)) else Nil)
+        org.apache.spark.sql.types.LongType)) else Nil) ++
+      (if (lineageCols) RowLineage.fields.map(f =>
+        org.apache.spark.sql.types.StructField(f.name,
+          org.apache.spark.sql.types.LongType)) else Nil)
     val projSpark = if (metaFields.nonEmpty)
       org.apache.spark.sql.types.StructType(projSpark0.fields ++ metaFields)
     else projSpark0
@@ -367,9 +385,12 @@ final class IceScan(
     // (ref io/pyarrow.py:818 maps them to arrow null) — keep them out of
     // the parquet read schema (NullType is not readable) and fill NULL
     // after the read instead
+    // lineage scans additionally request the reserved materialized-lineage
+    // columns by field id: rewritten files carry them (spec §Row Lineage),
+    // all other files null-fill via fieldId.read.ignoreMissing
     val readSchema = Schema(
       schema.fields.filter(f => (proj.byId.contains(f.id) || neededTop.contains(f.id)) &&
-        f.fieldType != IUnknown),
+        f.fieldType != IUnknown) ++ (if (lineageCols) RowLineage.fields else Nil),
       schema.schemaId)
 
     // files written by this table carry parquet field-ids; externally
@@ -398,7 +419,25 @@ final class IceScan(
     // to micros right after (ref io/pyarrow.py:1654); same physical-read
     // detour as uuid, one select, stays in whole-stage codegen
     val nsPresent = UuidCompat.hasNs(readSchema)
-    if (nsPresent) rs.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // ns reads need spark.sql.legacy.parquet.nanosAsLong at PHYSICAL
+    // planning time. Setting it on the shared session conf would linger
+    // past this scan (poisoning unrelated raw nanos reads), so instead the
+    // physical scan is baked into an RDD inside a scoped set/restore: toRdd
+    // forces buildReader (which snapshots the conf into the broadcast
+    // hadoop conf) without running a job, then the frame is re-wrapped as a
+    // leaf. Costs downstream scan pushdown — acceptable: ns tables are
+    // read-only interop fixtures and residuals still filter post-read.
+    def bakeNsRead(df: DataFrame): DataFrame = {
+      import org.apache.spark.sql.GraftBridge
+      val k = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = rs.conf.getOption(k)
+      rs.conf.set(k, "true")
+      try GraftBridge.frameOfInternalRows(rs, GraftBridge.internalRowRDD(df), df.schema)
+      finally prev match {
+        case Some(v) => rs.conf.set(k, v)
+        case None => rs.conf.unset(k)
+      }
+    }
     def uuidNormalized(df: DataFrame, metaCols: Seq[String]): DataFrame =
       if (!uuidPresent && !nsPresent) df
       else df.select(readSchema.fields.map(f =>
@@ -407,12 +446,13 @@ final class IceScan(
 
     def readFiles(paths: Seq[String], withMeta: Boolean): DataFrame = {
       val base = rs.read.schema(UuidCompat.readSchema(readSchema)).parquet(paths: _*)
-      if (withMeta)
-        uuidNormalized(
+      val withCols =
+        if (withMeta)
           base.select(col("*"), PathUtil.canonCol(col("_metadata.file_path")).as("__file"),
-            col("_metadata.row_index").as("__pos")),
-          Seq("__file", "__pos"))
-      else uuidNormalized(base, Nil)
+            col("_metadata.row_index").as("__pos"))
+        else base
+      val baked = if (nsPresent) bakeNsRead(withCols) else withCols
+      uuidNormalized(baked, if (withMeta) Seq("__file", "__pos") else Nil)
     }
 
     /** name-mapped read: request columns under their mapped (registration
@@ -695,11 +735,17 @@ final class IceScan(
         case None => c.as(f.name)
       }
     } ++ (if (keepFile) Seq(col("__file")) else Nil) ++
-      (if (keepPos) Seq(col("__pos")) else Nil)
+      (if (keepPos) Seq(col("__pos")) else Nil) ++
+      (if (lineageCols) RowLineage.fields.map(f => col(f.name)) else Nil)
     df = df.select(outCols: _*)
     // Spark's LocalLimit is Int-bounded — `n.toInt` on a >2³¹ limit would
-    // silently wrap. Past Int.MaxValue the plan-level file truncation above
-    // already bounds the result set; skip the row-exact clamp.
+    // silently wrap. DOCUMENTED DEVIATION for limit > Int.MaxValue: only
+    // the plan-level file truncation bounds the result (it keeps the last
+    // crossing file whole and any residual/delete-bearing task, so the scan
+    // may return MORE than `limit` rows — never fewer than available).
+    // `count()` clamps exactly; a row-exact >2³¹ clamp would need a global
+    // row numbering (an extra full pass) for a case no real file layout
+    // produces (a single scan returning >2.1 billion rows per LIMIT).
     limitOpt.withFilter(_ <= Int.MaxValue).foreach(n => df = df.limit(n.toInt))
     df
   }

@@ -33,6 +33,11 @@ class CatalogFactorySpec extends AnyFunSuite with BeforeAndAfterAll {
     val jdbc = s"jdbc:derby:${Files.createTempDirectory("cf-db")}/cat;create=true"
     assert(CatalogFactory.loadCatalog("c", spark,
       Map("type" -> "sql", "uri" -> jdbc, "warehouse" -> wh)).isInstanceOf[SqlCatalog])
+    // ref catalog/noop.py: a structural double — loads, but every op raises
+    val noop = CatalogFactory.loadCatalog("n", spark, Map("type" -> "noop"))
+    assert(noop.isInstanceOf[NoopCatalog])
+    intercept[UnsupportedOperationException](noop.loadTable("db.t"))
+    intercept[UnsupportedOperationException](noop.listNamespaces())
   }
 
   test("uri scheme infers the type; unknown scheme is an error") {

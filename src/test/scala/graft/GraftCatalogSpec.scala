@@ -361,6 +361,51 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("_row_id/_last_updated_sequence_number metadata columns on v3 tables") {
+    spark.sql("""CREATE TABLE g.db.o_lin (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING)
+      TBLPROPERTIES ('format-version'='3')""")
+    val t0 = new HadoopCatalog(warehouse, spark).loadTable("db.o_lin")
+    assert(t0.metadata.formatVersion === 3)
+    assert(!t0.metadata.properties.contains("format-version"))
+    orders.limit(120).repartition(1).createOrReplaceTempView("o_lin_src")
+    spark.sql("INSERT INTO g.db.o_lin SELECT * FROM o_lin_src")
+    val rows = spark.sql(
+      """SELECT o_orderkey, _row_id, _last_updated_sequence_number
+        |FROM g.db.o_lin ORDER BY _row_id""".stripMargin).collect()
+    assert(rows.length === 120)
+    assert(rows.map(_.getLong(1)).toSeq === (0L until 120L))
+    assert(rows.forall(_.getLong(2) === 1L))
+    // SQL face agrees with the library lineage scan row for row
+    val lib = t0.refresh().scan.toDFWithLineage
+      .select(col("o_orderkey"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(lib(r.getLong(0)) === r.getLong(1)))
+    // ids survive a copy-on-write compaction THROUGH SQL (materialized
+    // lineage columns read back via the metadata-column path)
+    spark.sql("INSERT INTO g.db.o_lin SELECT * FROM o_lin_src LIMIT 7")
+    val before = spark.sql("SELECT o_orderkey, _pos, _row_id FROM g.db.o_lin")
+      .collect().map(r => r.getLong(2)).sorted.toSeq
+    val (rew, _) = new HadoopCatalog(warehouse, spark).loadTable("db.o_lin")
+      .rewriteDataFiles(1L << 30)
+    assert(rew > 0)
+    val after = spark.sql("SELECT _row_id FROM g.db.o_lin")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(after === before, "compaction must not renumber _row_id on the SQL face")
+    spark.sql("DROP TABLE g.db.o_lin")
+  }
+
+  test("lineage metadata columns are absent on v2 tables") {
+    spark.sql("CREATE TABLE g.db.o_lin2 (k BIGINT)")
+    spark.sql("INSERT INTO g.db.o_lin2 VALUES (1), (2)")
+    val e = intercept[Exception](
+      spark.sql("SELECT _row_id FROM g.db.o_lin2").collect())
+    assert(e.getMessage.toLowerCase.contains("_row_id") ||
+      e.getMessage.toLowerCase.contains("cannot resolve"))
+    spark.sql("DROP TABLE g.db.o_lin2")
+  }
+
   test("DELETE with a non-pushable predicate rewrites via row-level op") {
     spark.sql("""CREATE TABLE g.db.o_rldel (
         o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,

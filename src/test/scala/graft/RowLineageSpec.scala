@@ -18,9 +18,11 @@ import graft.meta._
   * next-row-id; reads inherit per-file ids; manifest rewrites/merges
   * materialize explicit ids so they survive metadata maintenance; the
   * scan face serves _row_id = first_row_id + position and
-  * _last_updated_sequence_number. Documented limitation: copy-on-write
-  * rewrites produce NEW files and reassign (full preservation requires
-  * materializing a _row_id column into rewritten parquet). */
+  * _last_updated_sequence_number. Copy-on-write rewrites (compaction,
+  * CoW delete, z-order) MATERIALIZE the reserved lineage columns into the
+  * rewritten parquet (spec's rewrite rule); the scan prefers a non-null
+  * materialized value over inheritance, so ids are stable across file
+  * rewrites. */
 class RowLineageSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -93,6 +95,68 @@ class RowLineageSpec extends AnyFunSuite with BeforeAndAfterAll {
       ManifestIO.readManifest(mf.manifestPath, t2.metadata.specById(mf.partitionSpecId),
         t2.metadata.schema))
     assert(entries.forall(_.dataFile.firstRowId.isDefined))
+  }
+
+  test("ids survive copy-on-write compaction (materialized lineage columns)") {
+    val t0 = catalog.createTable("lin_compact", Schema.fromSpark(orders.schema))
+    t0.upgradeFormatVersion(3)
+    val t = catalog.loadTable("lin_compact")
+    (1 to 3).foreach(i => t.append(
+      orders.filter(col("o_orderkey") < 600 && col("o_orderkey") % 3 === i - 1).limit(60)))
+    val before = lineageMap(catalog.loadTable("lin_compact"))
+    val beforeSeqs = catalog.loadTable("lin_compact").scan.toDFWithLineage
+      .select(col("o_orderkey"), col("_last_updated_sequence_number"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (rewritten, addedN) = t.rewriteDataFiles()
+    assert(rewritten === 3 && addedN > 0, "compaction must actually rewrite")
+    val t2 = catalog.loadTable("lin_compact")
+    val after = lineageMap(t2)
+    assert(after.keySet === before.keySet)
+    after.foreach { case (k, id) =>
+      assert(before(k) === id, s"row $k changed _row_id across compaction") }
+    // _last_updated_sequence_number also survives: compaction does not
+    // UPDATE rows, it moves them
+    val afterSeqs = t2.scan.toDFWithLineage
+      .select(col("o_orderkey"), col("_last_updated_sequence_number"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    afterSeqs.foreach { case (k, s) => assert(beforeSeqs(k) === s) }
+    // a SECOND compaction over already-materialized files stays id-stable
+    // (materialized values take precedence over re-inheritance)
+    t2.append(orders.filter(col("o_orderkey") >= 1400).limit(5))
+    val (r2, _) = catalog.loadTable("lin_compact").rewriteDataFiles(1L << 30)
+    assert(r2 > 0)
+    val third = lineageMap(catalog.loadTable("lin_compact"))
+    after.foreach { case (k, id) =>
+      assert(third(k) === id, s"row $k changed _row_id across a second compaction") }
+  }
+
+  test("ids survive copy-on-write delete") {
+    val t0 = catalog.createTable("lin_cowdel", Schema.fromSpark(orders.schema))
+    t0.upgradeFormatVersion(3)
+    val t = catalog.loadTable("lin_cowdel")
+    t.append(orders.limit(200))
+    val before = lineageMap(catalog.loadTable("lin_cowdel"))
+    t.delete("o_orderkey <= 60")
+    val after = lineageMap(catalog.loadTable("lin_cowdel"))
+    assert(after.nonEmpty && after.size < before.size)
+    after.foreach { case (k, id) =>
+      assert(before(k) === id, s"row $k changed _row_id across a CoW delete") }
+  }
+
+  test("ids survive z-order rewrite") {
+    val t0 = catalog.createTable("lin_zorder", Schema.fromSpark(orders.schema))
+    t0.upgradeFormatVersion(3)
+    val t = catalog.loadTable("lin_zorder")
+    // disjoint slices so o_orderkey stays a unique key across both appends
+    t.append(orders.filter(col("o_orderkey") < 20000).limit(150))
+    t.append(orders.filter(col("o_orderkey") >= 20000).limit(150))
+    val before = lineageMap(catalog.loadTable("lin_zorder"))
+    val (rew, _) = t.rewriteDataFilesZOrder(Seq("o_orderkey", "o_custkey"))
+    assert(rew > 0)
+    val after = lineageMap(catalog.loadTable("lin_zorder"))
+    assert(after.keySet === before.keySet)
+    after.foreach { case (k, id) =>
+      assert(before(k) === id, s"row $k changed _row_id across z-order rewrite") }
   }
 
   test("v2 tables reject lineage scans typed") {
