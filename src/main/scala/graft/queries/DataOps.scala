@@ -2627,26 +2627,25 @@ object DataOps {
       .withColumn("doc_id", col("doc_id") + 2000000)
       .withColumn("text", concat(col("text"), lit(" winnow-copy")))
     val docs = base.unionByName(dups)
-    import org.apache.spark.sql.expressions.Window
     val n = length(col("text"))
     val hashArr = transform(
       sequence(lit(1), greatest(n - (k - 1), lit(1))),
       i => xxhash64(col("text").substr(i, lit(k))))
-    // one exploded gram frame, ONE window pass: the full-window bound
-    // comes from the analytically-known gram count, not a second
-    // (differently-framed, hence separately-executed) max window.
-    // (A window-free array form — array_min over slices of hashArr —
-    // looks cheaper but Catalyst inlines the hash-array expression into
-    // the per-window lambda, re-hashing the whole doc per window: O(n²).)
-    val grams = docs.select(col("doc_id"),
-      greatest(n - (k - 1), lit(1)).as("ngrams"), posexplode(hashArr))
-      .toDF("doc_id", "ngrams", "pos", "h")
-    exportForOracle(grams.select("doc_id", "pos", "h"), "winnow_grams")
-    val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
-    val fps = grams
-      .withColumn("m", min(col("h")).over(win))
-      .filter(col("pos") <= col("ngrams") - w) // 0-based pos: full windows only
-      .select(col("doc_id"), col("m").as("fp")).distinct()
+    // the gram frame exists only for the oracle's independent re-derivation
+    // (export is a no-op in bench runs); the ENGINE path below never
+    // explodes grams
+    exportForOracle(docs.select(col("doc_id"), posexplode(hashArr))
+      .toDF("doc_id", "pos", "h"), "winnow_grams")
+    // winnowing minima via the codegen monotonic-deque kernel
+    // (functions/SlidingMin.scala): O(n) map-side, no doc_id shuffle of
+    // raw gram hashes — the previous explode + rowsBetween-window form
+    // shuffled EVERY gram hash before its per-window min; only the
+    // distinct fingerprints (~n/w per doc) reach the shuffle now
+    // array_distinct already makes (doc_id, fp) unique — no distinct()
+    // shuffle needed on top
+    val fps = docs
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.SlidingMinFunctions.sliding_min(hashArr, w))).as("fp"))
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= 50).select("fp")
     val sel = fps.join(rare, "fp")

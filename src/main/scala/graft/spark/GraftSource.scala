@@ -1611,10 +1611,10 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
       (if (emitLineage) graft.core.RowLineage.fields else Nil))
     val json = MetadataJson.schemaToJson(readSchema).toString
     if (emitLineage) {
+      // ORC lineage works too: GraftOrcPartitionReader tracks absolute
+      // row positions (HasRowPosition) just like the parquet row readers
       require(table.metadata.formatVersion >= 3,
         s"Row lineage requires format version >= 3 (table is v${table.metadata.formatVersion})")
-      require(tasks.forall(_.file.fileFormat.toUpperCase == "PARQUET"),
-        "Row lineage reads are parquet-only (ORC exposes no row positions here)")
     }
 
     // equality-delete key fields may fall outside the pruned columns; ship

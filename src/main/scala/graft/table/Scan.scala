@@ -309,8 +309,8 @@ final class IceScan(
   private[table] def toDFWithLineageForTasks(tasks: Seq[FileScanTask]): DataFrame = {
     require(metadata.formatVersion >= 3,
       s"Row lineage requires format version >= 3 (table is v${metadata.formatVersion})")
-    require(tasks.forall(_.file.fileFormat.toUpperCase == "PARQUET"),
-      "Row lineage reads are parquet-only (ORC exposes no row positions here)")
+    // parquet positions ride _metadata.row_index; ORC positions come from
+    // the DSv2 ORC reader's sequential row index (OrcScanBridge keepPos)
     val proj = projection
     if (tasks.isEmpty) {
       val fields = proj.toSpark.fields ++ Seq(
@@ -404,10 +404,12 @@ final class IceScan(
     // below is a parquet read and would crash on an ORC payload)
     val (externalAll, ownTasks) = tasks.partition(t =>
       isExternal(t.file.filePath) || t.file.fileFormat.toUpperCase != "PARQUET")
-    // ORC under row-level deletes reads through the DSv2 ORC reader (own
-    // branch below): Spark's ORC source has no _metadata.row_index
+    // ORC under row-level deletes — or when ROW POSITIONS are requested
+    // (keepPos: MoR anti-joins, row lineage) — reads through the DSv2 ORC
+    // reader (own branch below): Spark's ORC source has no
+    // _metadata.row_index
     val (orcDeleteTasks, externalTasks) = externalAll.partition(t =>
-      t.deletes.nonEmpty && t.file.fileFormat.toUpperCase == "ORC")
+      (t.deletes.nonEmpty || keepPos) && t.file.fileFormat.toUpperCase == "ORC")
     val (plainTasks, deleteTasks) = ownTasks.partition(_.deletes.isEmpty)
 
     // uuid leaves are requested as BINARY (serves fixed[16] files from other
@@ -584,7 +586,7 @@ final class IceScan(
       val eqSchema = Schema(schema.fields.filter(f => eqIds.contains(f.id)))
       branches += OrcScanBridge.frame(rs, mapping, readSchema, eqSchema,
         orcDeleteTasks.map(t => OrcScanBridge.descOf(table.location, t)),
-        keepFile = keepFile, keepPos = false)
+        keepFile = keepFile, keepPos = keepPos)
     }
     if (plainTasks.nonEmpty) {
       val base = readFiles(plainTasks.map(_.file.filePath), withMeta = keepFile || keepPos)

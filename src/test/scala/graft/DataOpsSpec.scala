@@ -328,6 +328,49 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sliding_min kernel equals brute force and the window-function form") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.SlidingMinFunctions.sliding_min
+    // (a) brute force over deterministic pseudo-random arrays, incl. the
+    // shorter-than-window edge (empty result)
+    val rnd = new scala.util.Random(42)
+    val cases = Seq.tabulate(50)(i => Array.fill(rnd.nextInt(40))(rnd.nextLong())) ++
+      Seq(Array.empty[Long], Array(7L), Array.fill(7)(3L))
+    val w = 8
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(cases.zipWithIndex.map { case (a, i) => (i, a) }))
+      .toDF("id", "arr")
+    val got = df.select(col("id"), sliding_min(col("arr"), w).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    cases.zipWithIndex.foreach { case (a, i) =>
+      val want = if (a.length < w) Seq.empty[Long]
+        else a.sliding(w).map(_.min).toSeq
+      assert(got(i) === want, s"case $i (${a.length} elems)")
+    }
+    // (b) on real documents: kernel minima == the explode + rowsBetween
+    // window formulation it replaced (the winnowing fingerprint set)
+    val k = 8
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(200)
+    val n = length(col("text"))
+    val hashArr = transform(
+      sequence(lit(1), greatest(n - (k - 1), lit(1))),
+      i => xxhash64(col("text").substr(i, lit(k))))
+    val kernel = docs
+      .select(col("doc_id"), explode(array_distinct(sliding_min(hashArr, w))).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.select(col("doc_id"),
+      greatest(n - (k - 1), lit(1)).as("ngrams"), posexplode(hashArr))
+      .toDF("doc_id", "ngrams", "pos", "h")
+    val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    val windowed = grams.withColumn("m", min(col("h")).over(win))
+      .filter(col("pos") <= col("ngrams") - w)
+      .select(col("doc_id"), col("m")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kernel === windowed)
+  }
+
   test("substring dedup: hash-keyed counts equal literal string-window counts") {
     import org.apache.spark.sql.functions._
     val out = DataOps.substringDedup(spark, dir)

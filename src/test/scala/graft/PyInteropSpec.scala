@@ -252,6 +252,82 @@ class PyInteropSpec extends AnyFunSuite with BeforeAndAfterAll {
       expected.filter(col("o_orderstatus") === "F").count())
   }
 
+  test("graft reads and PRUNES a DAY-partitioned table pyiceberg wrote") {
+    assume(pythonUsable, "pyiceberg not importable in this environment")
+    // write direction, day transform: pyiceberg's partitioned write path
+    // (_determine_partitions io/pyarrow.py:3053) fans 200 rows out by
+    // day(o_orderdate); graft must plan over THEIR per-partition files
+    // with manifest/file pruning and read values bit-for-bit
+    val wh = Files.createTempDirectory("graft-pywday").toString
+    val out = new StringBuilder
+    val err = new StringBuilder
+    val rc = Process(Seq("python3", "/root/repo/tools/pyiceberg_write.py",
+      wh, "/root/testdata/sf0.001/orders.parquet", "200", "day"), None,
+      "PYTHONPATH" -> "/root/repo/tools/pyshim:/root/reference")
+      .!(ProcessLogger(o => out.append(o).append('\n'), e => err.append(e).append('\n')))
+    assert(rc == 0, s"pyiceberg day-partitioned write failed (rc=$rc):\n$err")
+    val metadataPath = out.toString.trim.linesIterator.toSeq.last
+
+    val t = graft.catalog.StaticTable.fromMetadata(metadataPath, spark)
+    val base = orders.limit(200)
+    assert(t.scan.toDF.count() === 200L)
+    // a one-sided date filter prunes against the reference's partition
+    // tuples + manifest summaries: strictly fewer files planned
+    val cut = base.agg(max(col("o_orderdate"))).head.getAs[Any](0).toString.take(10)
+    val all = t.scan.planFiles().size
+    val pruned = t.scan(s"o_orderdate >= '$cut'")
+    assert(pruned.planFiles().size < all,
+      s"expected day pruning to plan fewer than $all files")
+    assert(pruned.toDF.count() ===
+      base.filter(col("o_orderdate") >= lit(cut).cast("timestamp_ntz")).count())
+  }
+
+  test("pyiceberg's own partitioned OVERWRITE reads back with value parity") {
+    assume(pythonUsable, "pyiceberg not importable in this environment")
+    // the day-mode writer runs pyiceberg's Table.overwrite on a day
+    // boundary: whole-partition files drop metadata-only and the
+    // replacement rows (o_totalprice = 0 copies) re-append through its
+    // partitioned write path (_determine_partitions); graft must see
+    // exactly the post-overwrite state. The filter is deliberately
+    // partition-ALIGNED — the reference's PARTIAL-file rewrite phase has
+    // a genuine bug on non-identity transforms (its manifest-pruning
+    // predicate compares a day ordinal against the timestamp source
+    // column, never matches, and leaves rewritten originals live,
+    // duplicating rows — its own reader returns 204/200 then too). That
+    // gap is THEIRS; the aligned flow is the correct-output path.
+    val wh = Files.createTempDirectory("graft-pywow").toString
+    val out = new StringBuilder
+    val err = new StringBuilder
+    val rc = Process(Seq("python3", "/root/repo/tools/pyiceberg_write.py",
+      wh, "/root/testdata/sf0.001/orders.parquet", "200", "day"), None,
+      "PYTHONPATH" -> "/root/repo/tools/pyshim:/root/reference")
+      .!(ProcessLogger(o => out.append(o).append('\n'), e => err.append(e).append('\n')))
+    assert(rc == 0, s"pyiceberg day-partitioned write failed (rc=$rc):\n$err")
+    val lines = out.toString.trim.linesIterator.toSeq
+    val metadataPath = lines.last
+    val cut = lines.find(_.startsWith("CUT=")).map(_.drop(4))
+      .getOrElse(fail("writer did not print its overwrite cutoff"))
+
+    val t = graft.catalog.StaticTable.fromMetadata(metadataPath, spark)
+    val got = t.scan.toDF
+    val base = orders.limit(200)
+    val cutCol = lit(cut).cast("timestamp_ntz")
+    val hiCount = base.filter(col("o_orderdate") >= cutCol).count()
+    assert(hiCount > 0, "cutoff must split the slice")
+    assert(got.count() === 200L)
+    assert(got.filter(col("o_orderdate") >= cutCol && col("o_totalprice") === 0.0)
+      .count() === hiCount, "overwritten partitions must read back with price 0")
+    // untouched partitions keep their exact values — aggregate parity
+    val wantSum = base.filter(col("o_orderdate") < cutCol)
+      .agg(sum(col("o_totalprice"))).head.getDouble(0)
+    val gotSum = got.filter(col("o_orderdate") < cutCol)
+      .agg(sum(col("o_totalprice"))).head.getDouble(0)
+    assert(math.abs(gotSum - wantSum) < 1e-6)
+    // key multiset parity across the whole table (overwrite preserved keys)
+    assert(got.agg(sum(col("o_orderkey"))).head.getLong(0) ===
+      base.agg(sum(col("o_orderkey"))).head.getLong(0))
+  }
+
   test("v3 nanosecond timestamps read with the ns->us downcast") {
     assume(pythonUsable, "pyiceberg not importable in this environment")
     // The reference cannot WRITE v3 yet (metadata.py:578), so the foreign

@@ -159,6 +159,30 @@ class RowLineageSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(before(k) === id, s"row $k changed _row_id across z-order rewrite") }
   }
 
+  test("ORC tables serve row lineage (positions from the DSv2 ORC reader)") {
+    val t0 = catalog.createTable("lin_orc", Schema.fromSpark(orders.schema),
+      properties = Map("write.format.default" -> "orc"))
+    t0.upgradeFormatVersion(3)
+    val t = catalog.loadTable("lin_orc")
+    t.append(orders.filter(col("o_orderkey") < 700).limit(80))
+    t.append(orders.filter(col("o_orderkey") >= 700).limit(40))
+    val df = catalog.loadTable("lin_orc").scan.toDFWithLineage
+    val ids = df.select("_row_id").collect().map(_.getLong(0)).sorted
+    assert(ids.length === 120)
+    assert(ids.toSeq === (0L until 120L), "ORC lineage ids must be dense [0, total)")
+    val seqs = df.select("_last_updated_sequence_number").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(seqs.toSeq === Seq(1L, 2L))
+    // ids survive a CoW delete over ORC files (survivors rewritten to
+    // new ORC files with MATERIALIZED lineage columns, name-resolved)
+    val before = lineageMap(catalog.loadTable("lin_orc"))
+    t.delete("o_orderkey <= 60")
+    val after = lineageMap(catalog.loadTable("lin_orc"))
+    assert(after.nonEmpty && after.size < before.size)
+    after.foreach { case (k, id) =>
+      assert(before(k) === id, s"ORC row $k changed _row_id across a CoW delete") }
+  }
+
   test("v2 tables reject lineage scans typed") {
     val t = catalog.createTable("lin_v2", Schema.fromSpark(orders.schema))
     t.append(orders.limit(10))

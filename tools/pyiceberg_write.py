@@ -110,12 +110,12 @@ def main():
             return self.identifier_to_tuple(identifier) in self._tables
         def supports_server_side_planning(self): return False
 
-    partitioned = len(sys.argv) > 4 and sys.argv[4] == "partitioned"
+    mode = sys.argv[4] if len(sys.argv) > 4 else "plain"
     cat = FileCatalog("fc", wh)
     arrow = pq.read_table(src)
     if limit > 0:
         arrow = arrow.slice(0, limit)
-    if partitioned:
+    if mode == "partitioned":
         from pyiceberg.partitioning import PartitionField, PartitionSpec
         from pyiceberg.transforms import IdentityTransform
         from pyiceberg.schema import assign_fresh_schema_ids
@@ -127,11 +127,54 @@ def main():
             source_id=src_id, field_id=1000,
             transform=IdentityTransform(), name="st"))
         t = cat.create_table(("db", "t"), schema=schema, partition_spec=spec)
+        t.append(arrow)
+        t = cat.load_table(("db", "t"))
+        t.delete("o_orderkey <= 100")
+    elif mode == "day":
+        # DAY-transform partitioned table + pyiceberg's own PARTITIONED
+        # OVERWRITE (io/pyarrow.py _determine_partitions fans the arrow
+        # table out per partition tuple): rows o_orderkey <= 50 are
+        # replaced by copies with o_totalprice = 0.0 in one overwrite
+        # commit — delete files + per-partition data files, all written by
+        # the reference's machinery.
+        import pyarrow.compute as pc
+        from pyiceberg.partitioning import PartitionField, PartitionSpec
+        from pyiceberg.transforms import DayTransform
+        from pyiceberg.schema import assign_fresh_schema_ids
+        schema = assign_fresh_schema_ids(Catalog._convert_schema_if_needed(arrow.schema))
+        src_id = schema.find_field("o_orderdate").field_id
+        spec = PartitionSpec(PartitionField(
+            source_id=src_id, field_id=1000,
+            transform=DayTransform(), name="od_day"))
+        t = cat.create_table(("db", "t"), schema=schema, partition_spec=spec)
+        t.append(arrow)
+        t = cat.load_table(("db", "t"))
+        # partition-ALIGNED overwrite (day boundary): phase 1 drops whole
+        # files metadata-only, phase 2 re-appends through
+        # _determine_partitions. Deliberately no PARTIAL-file rewrite:
+        # pyiceberg's rewrite phase builds its manifest-pruning predicate
+        # as EqualTo(source_column, partition_value) — a day ORDINAL
+        # compared against a TIMESTAMP column — so for non-identity
+        # transforms the evaluator never matches and the rewritten
+        # originals stay live (rows duplicate; its own reader returns
+        # them too). Pinned as the reference's gap in PyInteropSpec.
+        import datetime as _dt
+        dates = sorted(x.as_py() for x in arrow.column("o_orderdate"))
+        cut_day = dates[len(dates) * 3 // 4].date()
+        cut = cut_day.isoformat() + "T00:00:00"
+        mask = pc.greater_equal(
+            arrow.column("o_orderdate"),
+            _dt.datetime.combine(cut_day, _dt.time.min))
+        replaced = arrow.filter(mask).set_column(
+            arrow.schema.get_field_index("o_totalprice"), "o_totalprice",
+            pc.multiply(arrow.filter(mask).column("o_totalprice"), 0.0))
+        t.overwrite(replaced, overwrite_filter=f"o_orderdate >= '{cut}'")
+        print("CUT=" + cut)
     else:
         t = cat.create_table(("db", "t"), schema=arrow.schema)
-    t.append(arrow)
-    t = cat.load_table(("db", "t"))
-    t.delete("o_orderkey <= 100")
+        t.append(arrow)
+        t = cat.load_table(("db", "t"))
+        t.delete("o_orderkey <= 100")
     print(cat._tables[("db", "t")])
 
 
