@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// the bench/verify drivers parse the LAST stdout line as JSON; sbt's
+// "[success] Total time: ..." epilogue lands after our summary line and
+// broke that parse two rounds running — suppress it
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -34,8 +34,21 @@ object Bench {
     // outliers that re-measured 2× faster in isolation. min(), not mean:
     // external load only ever ADDS time.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    // recycle the SparkSession every N queries: 123 queries through one
+    // session accumulate heap/cache/codegen pressure that made late-suite
+    // numbers drift up to 17× vs isolated (r10: ice_readable_metrics 16.1s
+    // in-suite vs 0.93s fresh). Each new session gets an untimed warmup.
+    val recycleEvery = sys.env.getOrElse("SPARK_GRAFT_RECYCLE", "20").toInt.max(1)
     var failed = List.empty[String]
+    var sinceRecycle = 0
     val results = selected.map { case (name, fn) =>
+      if (sinceRecycle >= recycleEvery) {
+        spark.stop()
+        spark = mkSession()
+        try SparkEntry.queries("count_star")(spark, sfDir).count() catch { case _: Throwable => }
+        sinceRecycle = 0
+      }
+      sinceRecycle += 1
       // a crashing query must fail the bench run, not record a fast time —
       // and a fast-CRASHING rep must not win the min either
       val times = (1 to reps).map { _ =>
@@ -91,7 +104,10 @@ object Bench {
           case (n, t) if prior.get(n).exists(p => p > 0.05 && t > 2 * p) => n
         }
         val byAbs = results.toSeq.sortBy(-_._2).take(isolateK).map(_._1)
-        (byAbs ++ byRatio).distinct.take(isolateK.max(byRatio.size + 3)).take(15)
+        // ratio suspects FIRST so the cap can never drop them (the whole
+        // point of ratio selection is catching suite-noise regressions
+        // outside the top-K absolute); cap grows with the suspect count
+        (byRatio ++ byAbs).distinct.take((isolateK + byRatio.size).min(15))
       }
     val isolated: Seq[(String, Double)] = suspects.flatMap { name =>
       spark.stop()
@@ -113,7 +129,10 @@ object Bench {
       val good = times.filter(_._2).map(_._1)
       if (good.isEmpty) None else Some(name -> good.min)
     }
-    def fmt(v: Double): String = f"$v%.3f"
+    // locale-fixed: under a comma-decimal default locale f"%.3f" would
+    // emit invalid JSON into both artifacts
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val iso = isolated.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
@@ -123,14 +142,22 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"isolated":$iso,"sf":"$sfDir"}"""
     java.nio.file.Files.write(fullPath, full.getBytes("UTF-8"))
     println(full)
-    // the driver records only the final ~2000 chars of output; the full
-    // per-query line above exceeds that, so the LAST line is a compact
-    // summary (slowest 25 + all isolated re-runs) guaranteed to fit, with
-    // a pointer to the full artifact on disk
+    // the driver records only the final ~2000 chars of output and parses
+    // the LAST stdout line as JSON; the full per-query line above exceeds
+    // that window, so the last line is a compact summary (slowest 25 + all
+    // isolated re-runs) guaranteed to fit, with a pointer to the full
+    // artifact on disk. Also persisted to its own file so the record
+    // survives any stdout mangling (build.sbt suppresses sbt's trailing
+    // "[success]" line, which broke the r9/r10 parses).
     val top = results.toSeq.sortBy(-_._2).take(25)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"full":"${fullPath.toString}","queries":$top,"isolated":$iso}""")
-    spark.stop()
+    val summary =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"full":"${fullPath.toString}","queries":$top,"isolated":$iso}"""
+    val summaryPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_SUMMARY_OUT", "BENCH_SUMMARY.json"))
+    java.nio.file.Files.write(summaryPath, summary.getBytes("UTF-8"))
+    spark.stop() // before the final println: stop() must not out-print it
+    println(summary)
     if (failed.nonEmpty) {
       System.err.println(s"BENCH FAILED queries: ${failed.reverse.mkString(", ")}")
       sys.exit(1)

@@ -407,8 +407,13 @@ final class RestCatalogServer(
     val stageCreate = Option(req.get("stage-create")).exists(_.asBoolean())
     val location = Option(req.get("location")).filterNot(_.isNull).map(_.asText())
       .getOrElse(s"$warehouse/${name.replace('.', '/')}")
+    val fv = props.get("format-version").map(_.toInt).getOrElse(2)
     val meta = TableMetadata(
-      formatVersion = props.get("format-version").map(_.toInt).getOrElse(2),
+      formatVersion = fv,
+      // v3 spec requires next-row-id from creation (row lineage starts at
+      // 0), mirroring Catalog.applyFormatVersion — without it the
+      // serialized metadata omits the field until the first append
+      nextRowId = if (fv >= 3) Some(0L) else None,
       tableUuid = UUID.randomUUID().toString,
       location = location,
       lastUpdatedMs = System.currentTimeMillis(),

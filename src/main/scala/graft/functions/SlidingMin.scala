@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -65,8 +66,63 @@ case class SlidingWindowMin(child: Expression, windowSize: Int)
     copy(child = newChild)
 }
 
+/** xxhash64 of every k-BYTE gram of a string, as one pass over the
+  * UTF8String's backing bytes — `out(i) = xxhash64(bytes[i..i+k-1])`,
+  * seed 42, bit-identical to Spark's `xxhash64(substr(text, i+1, k))`
+  * for ASCII text (char == byte there; for multi-byte text this is the
+  * byte-gram definition, and the winnow oracle export uses THIS same
+  * expression so engine and oracle can never diverge).
+  *
+  * Replaces `transform(sequence(...), i => xxhash64(substr(text,i,k)))`,
+  * which allocated a copied UTF8String per gram position — the r10
+  * profile put that construction at ~2s of ds_winnow_dedup's 5.2s, ~1.3µs
+  * per gram for what is an 8-byte hash. Here: zero per-gram allocation,
+  * one long[] result per row.
+  *
+  * A string shorter than k bytes yields ONE gram over the whole string
+  * (the substr form's behavior: substr(1, k) of a short string is the
+  * string). Null input yields null. */
+case class GramHash64(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"gram size must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  def compute(s: UTF8String): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nb = s.numBytes
+    if (nb <= k) {
+      return new GenericArrayData(
+        Array(XXH64.hashUnsafeBytes(base, off, nb, 42L)))
+    }
+    val m = nb - k + 1
+    val res = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      res(i) = XXH64.hashUnsafeBytes(base, off + i, k, 42L)
+      i += 1
+    }
+    new GenericArrayData(res)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gramHash", this, classOf[GramHash64].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GramHash64 =
+    copy(child = newChild)
+}
+
 object SlidingMinFunctions {
   /** Winnowing minima of a long-array column with window `w`. */
   def sliding_min(a: Column, w: Int): Column =
     GraftBridge.column(SlidingWindowMin(GraftBridge.expression(a), w))
+  /** xxhash64 (seed 42) of every k-byte gram of a string column. */
+  def gram_hashes(text: Column, k: Int): Column =
+    GraftBridge.column(GramHash64(GraftBridge.expression(text), k))
 }

@@ -2627,13 +2627,16 @@ object DataOps {
       .withColumn("doc_id", col("doc_id") + 2000000)
       .withColumn("text", concat(col("text"), lit(" winnow-copy")))
     val docs = base.unionByName(dups)
-    val n = length(col("text"))
-    val hashArr = transform(
-      sequence(lit(1), greatest(n - (k - 1), lit(1))),
-      i => xxhash64(col("text").substr(i, lit(k))))
+    // one-pass byte-walk gram hashing (functions/SlidingMin.scala:GramHash64)
+    // — the r10 transform(sequence, i => xxhash64(substr)) form allocated a
+    // copied UTF8String per gram position and alone cost ~2s of the query's
+    // 5.2s (profiled r11); this is the same xxhash64 (seed 42) with zero
+    // per-gram allocation
+    val hashArr = graft.functions.SlidingMinFunctions.gram_hashes(col("text"), k)
     // the gram frame exists only for the oracle's independent re-derivation
     // (export is a no-op in bench runs); the ENGINE path below never
-    // explodes grams
+    // explodes grams. Export uses the SAME GramHash64 expression as the
+    // engine path, so the two can't diverge on gram definition.
     exportForOracle(docs.select(col("doc_id"), posexplode(hashArr))
       .toDF("doc_id", "pos", "h"), "winnow_grams")
     // winnowing minima via the codegen monotonic-deque kernel

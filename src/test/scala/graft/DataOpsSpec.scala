@@ -371,6 +371,32 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kernel === windowed)
   }
 
+  test("gram_hashes byte-walk kernel equals xxhash64(substr) on ASCII text") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.SlidingMinFunctions.gram_hashes
+    val k = 8
+    // real documents (all-ASCII corpus) + handmade edges: shorter than k
+    // (one whole-string gram), exactly k, k+1, empty string
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(100)
+      .unionByName(spark.createDataFrame(Seq(
+        (900001L, "hi"), (900002L, "exactly8"), (900003L, "exactly8!"),
+        (900004L, ""))).toDF("doc_id", "text"))
+    val n = length(col("text"))
+    val substrForm = transform(
+      sequence(lit(1), greatest(n - (k - 1), lit(1))),
+      i => xxhash64(col("text").substr(i, lit(k))))
+    val diff = docs
+      .select(col("doc_id"), gram_hashes(col("text"), k).as("a"),
+        substrForm.as("b"))
+      .filter(not(col("a") === col("b")))
+      .count()
+    assert(diff === 0L)
+    // null text → null array (not a crash, not an empty array)
+    val row = docs.select(gram_hashes(lit(null).cast("string"), k)).first()
+    assert(row.isNullAt(0))
+  }
+
   test("substring dedup: hash-keyed counts equal literal string-window counts") {
     import org.apache.spark.sql.functions._
     val out = DataOps.substringDedup(spark, dir)
