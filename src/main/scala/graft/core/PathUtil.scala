@@ -24,10 +24,23 @@ object PathUtil {
   def canon(p: String): String =
     EmptyAuthority.replaceFirstIn(LocalScheme.replaceFirstIn(p, "/"), "$1:")
 
-  /** Column form, for `_metadata.file_path`. */
+  /** Column form of [[canon]], for RAW path columns (manifest/delete-file
+    * `file_path` content — stored unencoded). */
   def canonCol(c: Column): Column =
     regexp_replace(regexp_replace(c, "^file:/+", "/"),
       "^([A-Za-z][A-Za-z0-9+.\\-]*)://(?=/|$)", "$1:")
+
+  /** Canonical form of Spark's `_metadata.file_path`, which is the
+    * URI-ENCODED path (space → %20, % → %25 — Spark's SparkPath), unlike
+    * every raw-path producer. A file under a partition directory with a
+    * space in its value (`_p_prio=4-NOT SPECIFIED/…`) otherwise never
+    * matches its manifest path and silently drops out of every
+    * (__file)-keyed join — lineage, position-delete apply, upsert file
+    * targeting. URI encoding leaves '+' literal, so protecting it as %2B
+    * first makes url_decode an exact inverse. */
+  def metaPathCol(c: Column): Column =
+    canonCol(org.apache.spark.sql.functions.url_decode(
+      regexp_replace(c, "\\+", "%2B")))
 
   /** `path` lives under the table's own data directory ⇒ the LIBRARY wrote
     * it: parquet field-ids are present, stored file_path values are canon

@@ -207,7 +207,7 @@ object TableChanges {
             val withPosParts = Seq.newBuilder[DataFrame]
             if (parqRefs.nonEmpty)
               withPosParts += rs.read.schema(schemaAt.toSpark).parquet(parqRefs: _*)
-                .withColumn("__path", PathUtil.canonCol(col("_metadata.file_path")))
+                .withColumn("__path", PathUtil.metaPathCol(col("_metadata.file_path")))
                 .withColumn("__pos", col("_metadata.row_index"))
             if (orcRefs.nonEmpty)
               withPosParts += orcFrame(orcRefs, keepFilePos = true)

@@ -750,7 +750,7 @@ class IceTable(
       val branches = Seq.newBuilder[DataFrame]
       if (pqTasks.nonEmpty)
         branches += spark.read.schema(schema.toSpark).parquet(pqTasks.map(_.file.filePath): _*)
-          .select(PathUtil.canonCol(col("_metadata.file_path")).as("file_path"),
+          .select(PathUtil.metaPathCol(col("_metadata.file_path")).as("file_path"),
             col("_metadata.row_index").as("pos"))
           .where(ToColumn.compile(bound))
       if (orcTasks.nonEmpty)
@@ -819,7 +819,7 @@ class IceTable(
     if (pqTasks.nonEmpty)
       branches += spark.read.schema(schema.toSpark)
         .parquet(pqTasks.map(_.file.filePath): _*)
-        .select(PathUtil.canonCol(col("_metadata.file_path")).as("__dfile"),
+        .select(PathUtil.metaPathCol(col("_metadata.file_path")).as("__dfile"),
           col("_metadata.row_index").as("__dpos"))
         .where(ToColumn.compile(bound))
     // ORC-registered files: absolute positions from the DSv2 ORC reader

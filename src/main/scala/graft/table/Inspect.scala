@@ -283,7 +283,7 @@ final class Inspect(table: IceTable) {
           StructField("spec_id", IntegerType, nullable = false))))
       spark.read.parquet(parquets.map(_._1): _*)
         .select(col("file_path"), col("pos"),
-          PathUtil.canonCol(col("_metadata.file_path")).as("delete_file_path"))
+          PathUtil.metaPathCol(col("_metadata.file_path")).as("delete_file_path"))
         .join(broadcast(specDf), Seq("delete_file_path"))
         .select(col("file_path"), col("pos"), col("spec_id"), col("delete_file_path"))
     }

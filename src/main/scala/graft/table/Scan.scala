@@ -450,7 +450,7 @@ final class IceScan(
       val base = rs.read.schema(UuidCompat.readSchema(readSchema)).parquet(paths: _*)
       val withCols =
         if (withMeta)
-          base.select(col("*"), PathUtil.canonCol(col("_metadata.file_path")).as("__file"),
+          base.select(col("*"), PathUtil.metaPathCol(col("_metadata.file_path")).as("__file"),
             col("_metadata.row_index").as("__pos"))
         else base
       val baked = if (nsPresent) bakeNsRead(withCols) else withCols
@@ -543,7 +543,7 @@ final class IceScan(
         else restored
         typed.as(f.name)
       } ++
-        (if (keepFile) Seq(PathUtil.canonCol(col("_metadata.file_path")).as("__file")) else Nil) ++
+        (if (keepFile) Seq(PathUtil.metaPathCol(col("_metadata.file_path")).as("__file")) else Nil) ++
         (if (keepPos) {
           require(format == "PARQUET",
             "row positions (_metadata.row_index) are parquet-only for name-mapped reads")

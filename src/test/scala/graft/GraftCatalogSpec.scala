@@ -396,6 +396,42 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE g.db.o_lin")
   }
 
+  test("lineage SQL scans keep partition pruning and filter pushdown") {
+    // emitLineage forces the row-reader path (disables the all-columnar
+    // fast path) — this pins that PLANNING is unaffected: a lineage SELECT
+    // with a partition predicate still plans only the matching partition's
+    // files and only opens its manifests' entries
+    spark.sql("""CREATE TABLE g.db.o_linp (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING)
+      PARTITIONED BY (o_orderpriority)
+      TBLPROPERTIES ('format-version'='3')""")
+    orders.limit(400).createOrReplaceTempView("o_linp_src")
+    spark.sql("INSERT INTO g.db.o_linp SELECT * FROM o_linp_src")
+    val t = new HadoopCatalog(warehouse, spark).loadTable("db.o_linp")
+    val totalFiles = t.scan.planFiles().size
+    assert(totalFiles >= 5, s"need one file per priority, got $totalFiles")
+    val urgentFiles = t.scan("o_orderpriority = '1-URGENT'").planFiles().size
+
+    graft.spark.GraftScan.lastPlannedPartitions = -1
+    val rows = spark.sql(
+      """SELECT o_orderkey, _row_id, _last_updated_sequence_number
+        |FROM g.db.o_linp WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY _row_id""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    assert(graft.spark.GraftScan.lastPlannedPartitions === urgentFiles,
+      s"lineage scan planned ${graft.spark.GraftScan.lastPlannedPartitions} " +
+        s"partitions; partition pruning should leave $urgentFiles of $totalFiles")
+    // values agree with the engine lineage scan (absolute positions kept
+    // under the filter)
+    val lib = t.scan("o_orderpriority = '1-URGENT'").toDFWithLineage
+      .select(col("o_orderkey"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length === lib.size)
+    rows.foreach(r => assert(lib(r.getLong(0)) === r.getLong(1)))
+    spark.sql("DROP TABLE g.db.o_linp")
+  }
+
   test("lineage metadata columns are absent on v2 tables") {
     spark.sql("CREATE TABLE g.db.o_lin2 (k BIGINT)")
     spark.sql("INSERT INTO g.db.o_lin2 VALUES (1), (2)")

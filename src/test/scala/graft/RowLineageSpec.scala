@@ -148,8 +148,10 @@ class RowLineageSpec extends AnyFunSuite with BeforeAndAfterAll {
     t0.upgradeFormatVersion(3)
     val t = catalog.loadTable("lin_zorder")
     // disjoint slices so o_orderkey stays a unique key across both appends
-    t.append(orders.filter(col("o_orderkey") < 20000).limit(150))
-    t.append(orders.filter(col("o_orderkey") >= 20000).limit(150))
+    // (sf0.001 orderkeys top out at 1499 — a 20000 split point would make
+    // the second append silently empty)
+    t.append(orders.filter(col("o_orderkey") < 750).limit(150))
+    t.append(orders.filter(col("o_orderkey") >= 750).limit(150))
     val before = lineageMap(catalog.loadTable("lin_zorder"))
     val (rew, _) = t.rewriteDataFilesZOrder(Seq("o_orderkey", "o_custkey"))
     assert(rew > 0)
@@ -181,6 +183,99 @@ class RowLineageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.nonEmpty && after.size < before.size)
     after.foreach { case (k, id) =>
       assert(before(k) === id, s"ORC row $k changed _row_id across a CoW delete") }
+  }
+
+  test("partitioned tables: ids dense across fan-out appends, stable across " +
+      "dynamic overwrite and spec evolution") {
+    val schema = Schema.fromSpark(orders.schema)
+    val t0 = catalog.createTable("lin_part", schema,
+      PartitionSpec.build(schema, 0, ("o_orderpriority", IdentityTransform, "prio")))
+    t0.upgradeFormatVersion(3)
+    val t = catalog.loadTable("lin_part")
+    // fan-out append: 5 priorities → >= 5 files in ONE commit; ids must
+    // still come out dense and unique across the files
+    val slice = orders.filter(col("o_orderkey") < 1000).limit(400)
+    t.append(slice)
+    val n = slice.count()
+    val t1 = catalog.loadTable("lin_part")
+    assert(t1.scan.planFiles().size >= 5, "fan-out append must write per-partition files")
+    val ids0 = t1.scan.toDFWithLineage.select("_row_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids0.toSeq === (0L until n), "fan-out ids must be dense [0, total)")
+    val before = lineageMap(t1)
+    val nextBefore = t1.metadata.nextRowId.get
+
+    // dynamic partition overwrite of ONE partition: untouched partitions
+    // keep their exact ids; replacement rows are NEW rows with fresh ids
+    // past the previous next-row-id; global uniqueness holds
+    val repl = slice.filter(col("o_orderpriority") === "1-URGENT")
+      .withColumn("o_totalprice", lit(0.0))
+    t.dynamicPartitionOverwrite(repl)
+    val t2 = catalog.loadTable("lin_part")
+    val afterRows = t2.scan.toDFWithLineage
+      .select(col("o_orderkey"), col("o_orderpriority"), col("_row_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    afterRows.filter(_._2 != "1-URGENT").foreach { case (k, _, id) =>
+      assert(before(k) === id, s"untouched row $k changed _row_id across dynamic overwrite") }
+    val replaced = afterRows.filter(_._2 == "1-URGENT")
+    assert(replaced.nonEmpty)
+    replaced.foreach { case (k, _, id) =>
+      assert(id >= nextBefore, s"replacement row $k got id $id < next-row-id $nextBefore") }
+    assert(afterRows.map(_._3).distinct.length === afterRows.length,
+      "_row_id must stay globally unique after dynamic overwrite")
+    val before2 = lineageMap(t2)
+    val nextBefore2 = t2.metadata.nextRowId.get
+
+    // spec evolution mid-history: add a bucket dimension, then append —
+    // pre-evolution rows keep ids, post-evolution rows extend uniquely
+    t2.updateSpec.addField("o_custkey", BucketTransform(4)).commit()
+    val t3 = catalog.loadTable("lin_part")
+    val extra = orders.filter(col("o_orderkey") >= 1000).limit(60)
+    t3.append(extra)
+    val t4 = catalog.loadTable("lin_part")
+    val finalMap = lineageMap(t4)
+    before2.foreach { case (k, id) =>
+      assert(finalMap(k) === id, s"row $k changed _row_id across spec evolution + append") }
+    val newIds = finalMap.filterNot { case (k, _) => before2.contains(k) }.values
+    assert(newIds.nonEmpty && newIds.forall(_ >= nextBefore2))
+    assert(finalMap.values.toSeq.distinct.length === finalMap.size,
+      "_row_id must stay globally unique across the evolved spec")
+  }
+
+  test("position deletes and CoW deletes apply on partition paths containing spaces") {
+    // regression: Spark's _metadata.file_path is URI-ENCODED (space → %20)
+    // while manifest/delete-file paths are raw; before PathUtil.metaPathCol
+    // every (__file)-keyed join silently dropped files under directories
+    // like `_p_prio=4-NOT SPECIFIED/` — rows vanished from lineage scans,
+    // MoR deletes missed their targets, CoW deletes kept deleted rows
+    val schema = Schema.fromSpark(orders.schema)
+    val t0 = catalog.createTable("lin_space", schema,
+      PartitionSpec.build(schema, 0, ("o_orderpriority", IdentityTransform, "prio")))
+    t0.upgradeFormatVersion(3)
+    val t = catalog.loadTable("lin_space")
+    t.append(orders.filter(col("o_orderkey") < 1000).limit(400))
+    val spacey = t.scan.toDF.filter(col("o_orderpriority") === "4-NOT SPECIFIED")
+    val nSpacey = spacey.count()
+    assert(nSpacey > 10, "fixture must include the spacey partition")
+    val victim = spacey.select(min(col("o_orderkey"))).head.getLong(0)
+    // MoR delete (v3 → deletion vector) of one row INSIDE the spacey partition
+    t.deleteAsDeletionVector(s"o_orderkey = $victim")
+    val t1 = catalog.loadTable("lin_space")
+    assert(t1.scan.toDF.filter(col("o_orderpriority") === "4-NOT SPECIFIED").count()
+      === nSpacey - 1, "positional delete must land inside the spacey partition")
+    // lineage scan still serves every surviving row of the spacey file
+    assert(t1.scan.toDFWithLineage.count() === t1.scan.toDF.count())
+    // CoW delete of a second row (rewrites the spacey file's survivors)
+    val victim2 = t1.scan.toDF.filter(col("o_orderpriority") === "4-NOT SPECIFIED")
+      .select(min(col("o_orderkey"))).head.getLong(0)
+    val beforeIds = lineageMap(t1)
+    t1.delete(s"o_orderkey = $victim2")
+    val t2 = catalog.loadTable("lin_space")
+    val after = lineageMap(t2)
+    assert(after.size === beforeIds.size - 1)
+    assert(!after.contains(victim2))
+    after.foreach { case (k, id) => assert(beforeIds(k) === id,
+      s"row $k changed _row_id across a CoW delete in a spacey partition") }
   }
 
   test("v2 tables reject lineage scans typed") {
