@@ -13,8 +13,10 @@ Test / fork := true
 run / fork := true
 // the bench/verify drivers parse the LAST stdout line as JSON; sbt's
 // "[success] Total time: ..." epilogue lands after our summary line and
-// broke that parse two rounds running — suppress it
+// broke that parse two rounds running — suppress it, and send forked
+// program output RAW to stdout so no log-prefix ever wraps the JSON
 Global / showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

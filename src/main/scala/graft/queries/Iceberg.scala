@@ -308,6 +308,56 @@ object Iceberg {
   }
   val rowLineageSqlFaceSql: String = rowLineageSql
 
+  /** A/D. v3 row lineage THROUGH SQL DML (spec §Row Lineage update rule):
+    * UPDATE keeps each matched row's `_row_id` and moves its
+    * `_last_updated_sequence_number` to the updating commit; carried
+    * rows in the rewritten groups keep BOTH (detected by content diff —
+    * Spark's group-based rewrite doesn't mark updated rows); DELETE
+    * carries survivors untouched. The oracle re-derives ids from append
+    * order and seqs from the update predicate — hash equality proves the
+    * CoW rewrites neither renumbered ids nor smeared sequence numbers. */
+  def rowLineageDml(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val cat = s"glin${sqlCatSeq.incrementAndGet()}"
+    val whDir = Files.createTempDirectory("graft_lindml").toString
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", whDir)
+    val tab = new graft.catalog.HadoopCatalog(whDir, s)
+      .createTable("db.orders", Schema.fromSpark(orders.schema),
+        properties = Map("format-version" -> "3"))
+    val sorted = orders.repartition(1).sortWithinPartitions("o_orderkey")
+    tab.append(sorted.filter(col("o_orderkey") % 2 === 1)) // seq 1
+    tab.append(sorted.filter(col("o_orderkey") % 2 === 0)) // seq 2
+    s.sql(s"""UPDATE $cat.db.orders
+             |SET o_orderstatus = concat(o_orderstatus, 'X')
+             |WHERE o_totalprice > 200000""".stripMargin) // seq 3
+    s.sql(s"DELETE FROM $cat.db.orders WHERE o_orderkey % 7 = 3") // seq 4
+    nonEmpty(s.sql(
+      s"""SELECT o_orderkey, o_orderstatus, _row_id, _last_updated_sequence_number
+         |FROM $cat.db.orders ORDER BY o_orderkey""".stripMargin))
+  }
+  val rowLineageDmlSql =
+    """WITH odd AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |         row_number() OVER (ORDER BY o_orderkey) - 1 AS rid,
+      |         CAST(1 AS BIGINT) AS seq
+      |  FROM orders WHERE o_orderkey % 2 = 1),
+      |cnt AS (SELECT count(*) AS n FROM odd),
+      |evn AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |         (SELECT n FROM cnt) + row_number() OVER (ORDER BY o_orderkey) - 1 AS rid,
+      |         CAST(2 AS BIGINT) AS seq
+      |  FROM orders WHERE o_orderkey % 2 = 0)
+      |SELECT o_orderkey,
+      |  CASE WHEN o_totalprice > 200000 THEN o_orderstatus || 'X'
+      |       ELSE o_orderstatus END AS o_orderstatus,
+      |  rid AS "_row_id",
+      |  CASE WHEN o_totalprice > 200000 THEN CAST(3 AS BIGINT)
+      |       ELSE seq END AS "_last_updated_sequence_number"
+      |FROM (SELECT * FROM odd UNION ALL SELECT * FROM evn)
+      |WHERE NOT (o_orderkey % 7 = 3)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** A (deletes). equality deletes (extension — the reference rejects
     * them): keys deleted from older data only; a later append of the same
     * keys survives (sequence-number scoping). */
@@ -1190,6 +1240,7 @@ object Iceberg {
     "ice_row_lineage" -> (rowLineage _),
     "ice_lineage_compaction" -> (rowLineageCompaction _),
     "ice_lineage_sql" -> (rowLineageSqlFace _),
+    "ice_lineage_dml" -> (rowLineageDml _),
     "ice_equality_deletes" -> (equalityDeletes _),
     "ice_dsv2_scan" -> (dsv2Scan _),
     "ice_dsv2_agg" -> (dsv2AggPushdown _),
@@ -1242,6 +1293,7 @@ object Iceberg {
     "ice_row_lineage" -> rowLineageSql,
     "ice_lineage_compaction" -> rowLineageCompactionSql,
     "ice_lineage_sql" -> rowLineageSqlFaceSql,
+    "ice_lineage_dml" -> rowLineageDmlSql,
     "ice_equality_deletes" -> equalityDeletesSql,
     "ice_dsv2_scan" -> dsv2ScanSql,
     "ice_dsv2_agg" -> dsv2AggPushdownSql,

@@ -309,7 +309,7 @@ class GraftSparkTable(table: IceTable, snapshotId: Option[Long] = None,
   * (delta/merge-on-read SQL writes are a possible future extension —
   * SupportsDelta — the library face already writes MoR deletes). */
 class GraftRowLevelOperation(table: IceTable,
-    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    private[spark] val cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
     branch: Option[String] = Some("main"))
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
   import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
@@ -334,10 +334,18 @@ class GraftRowLevelOperation(table: IceTable,
         new GraftReplaceDataWrite(table, GraftRowLevelOperation.this, info.schema(), branch)
     }
 
+  /** `_file` feeds the runtime group filter; on v3 tables the row-lineage
+    * columns ride along too, so the ReplaceData write can MATERIALIZE
+    * them into the rewritten files (spec §Row Lineage: a row moved to a
+    * different data file keeps its row_id) — without this, every SQL
+    * UPDATE/DELETE/MERGE renumbered all rows of the touched groups. */
   override def requiredMetadataAttributes()
-      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions
-      .column(GraftSparkTable.FileColumn))
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val base = Seq(GraftSparkTable.FileColumn)
+    val cols = if (table.metadata.formatVersion >= 3)
+      base ++ graft.core.RowLineage.fields.map(_.name) else base
+    cols.map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+  }
 
   override def description(): String = s"GraftRowLevelOperation[$cmd, copy-on-write]"
 }
@@ -358,18 +366,36 @@ class GraftReplaceDataWrite(table: IceTable, op: GraftRowLevelOperation,
   private val stagingDir =
     s"${table.location}/staging/cow-${java.util.UUID.randomUUID()}"
 
+  /** On v3, the operation requires `_row_id`/`_last_updated_sequence_number`
+    * as metadata attributes; Spark delivers them per-row through the
+    * two-arg DataWriter.write, and the staged files carry them as extra
+    * trailing columns so the rewritten data files MATERIALIZE lineage
+    * (spec §Row Lineage rewrite rule). Rows without metadata (MERGE
+    * inserts) stage nulls and inherit fresh ids from the new file's
+    * first_row_id + position. */
+  private val lineage = table.metadata.formatVersion >= 3
+  private val stagingSchema: StructType =
+    if (!lineage) rowSchema
+    else StructType(rowSchema.fields ++ graft.core.RowLineage.fields.map(f =>
+      org.apache.spark.sql.types.StructField(f.name,
+        org.apache.spark.sql.types.LongType)))
+
   override def toBatch: BatchWrite = this
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftStagingWriterFactory(stagingDir, rowSchema.json,
-      graft.meta.Io.confEntries(table.spark))
+    new GraftStagingWriterFactory(stagingDir, stagingSchema.json,
+      graft.meta.Io.confEntries(table.spark),
+      // metadata row layout follows requiredMetadataAttributes order:
+      // (_file, _row_id, _last_updated_sequence_number)
+      lineageMetaIdx = if (lineage) Array(1, 2) else Array.empty)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.collect { case StagedFileMessage(p) => p }
     try {
       val scan = op.configuredScan
       require(scan != null, "row-level operation committed without a configured scan")
-      val removed = scan.plannedTasks().map(_.file.filePath).toSet
+      val tasks = scan.plannedTasks()
+      val removed = tasks.map(_.file.filePath).toSet
       if (removed.nonEmpty || files.nonEmpty) {
         // the scan planned against the pre-command snapshot this handle
         // still holds; conflict validation replays from there (main falls
@@ -379,14 +405,42 @@ class GraftReplaceDataWrite(table: IceTable, op: GraftRowLevelOperation,
         val replacement =
           if (files.isEmpty)
             table.spark.createDataFrame(
-              table.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rowSchema)
-          else table.spark.read.schema(rowSchema).parquet(files.toIndexedSeq: _*)
+              table.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stagingSchema)
+          else table.spark.read.schema(stagingSchema).parquet(files.toIndexedSeq: _*)
         // align by POSITION (the rewrite emits table-schema rows)
-        val named = replacement.toDF(table.schema.fields.map(_.name): _*)
+        val named0 = replacement.toDF(table.schema.fields.map(_.name) ++
+          (if (lineage) graft.core.RowLineage.fields.map(_.name) else Nil): _*)
+        // spec §Row Lineage: an UPDATED row keeps its _row_id but its
+        // _last_updated_sequence_number becomes the new commit's. Spark's
+        // group-based rewrite passes the ORIGINAL metadata through for
+        // updated rows without marking them, so updated rows are detected
+        // by CONTENT diff against the pre-command files (one extra read of
+        // the rewritten groups only): changed content → seq = null
+        // (inherits the commit's sequence number). DELETE only carries
+        // rows, so it skips the diff.
+        import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+        val named = if (!lineage || op.cmd == Command.DELETE || files.isEmpty) named0
+          else {
+            import org.apache.spark.sql.functions.{col, lit, when}
+            val dataCols = table.schema.fields.map(_.name)
+            val idName = graft.core.RowLineage.RowIdName
+            val seqName = graft.core.RowLineage.LastUpdatedName
+            val orig = table.lineageScanForTasks(tasks).select(
+              (col(idName).as("__oid") +:
+                dataCols.map(c => col(c).as(s"__o_$c"))): _*)
+            val unchanged = dataCols.map(c => col(c) <=> col(s"__o_$c"))
+              .reduceOption(_ && _).getOrElse(lit(true))
+            named0.join(orig, named0(idName) === orig("__oid"), "left")
+              .withColumn(seqName,
+                when(col("__oid").isNull || unchanged, col(seqName))
+                  .otherwise(lit(null).cast("long")))
+              .drop("__oid").drop(dataCols.map(c => s"__o_$c"): _*)
+          }
         table.refresh()
         table.replaceFiles(removed, named,
           conflictFilter = Some(GraftFilters.normalizeLiterals(scan.planExpr)),
-          baseSnapshotId = base, toBranch = branch)
+          baseSnapshotId = base, toBranch = branch,
+          lineageMaterialized = lineage)
       }
     } finally cleanup()
   }
@@ -823,18 +877,21 @@ final case class StagedFileMessage(path: String)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 class GraftStagingWriterFactory(dir: String, schemaJson: String,
-    confEntries: Array[(String, String)])
+    confEntries: Array[(String, String)],
+    lineageMetaIdx: Array[Int] = Array.empty)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new GraftStagingWriter(dir, schemaJson, partitionId, taskId, confEntries)
+    new GraftStagingWriter(dir, schemaJson, partitionId, taskId, confEntries,
+      lineageMetaIdx)
 }
 
 /** One staged parquet file per task, written with Spark's own
   * ParquetWriteSupport (same encoder the DataFrame writer uses: micros
   * timestamps, field ids, non-legacy layout). */
 class GraftStagingWriter(dir: String, schemaJson: String, partitionId: Int,
-    taskId: Long, confEntries: Array[(String, String)])
+    taskId: Long, confEntries: Array[(String, String)],
+    lineageMetaIdx: Array[Int] = Array.empty)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
 
@@ -863,7 +920,37 @@ class GraftStagingWriter(dir: String, schemaJson: String, partitionId: Int,
       conf)
   }
 
-  override def write(row: InternalRow): Unit = writer.write(row)
+  // lineage staging (v3 row-level ops): the staged schema carries two
+  // trailing nullable longs (_row_id, _last_updated_sequence_number)
+  private val lineageTail =
+    if (lineageMetaIdx.isEmpty) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+  private val joined =
+    if (lineageMetaIdx.isEmpty) null
+    else new org.apache.spark.sql.catalyst.expressions.JoinedRow
+
+  override def write(row: InternalRow): Unit =
+    if (lineageMetaIdx.isEmpty) writer.write(row)
+    else { // no metadata for this row (e.g. MERGE insert): null lineage
+      lineageTail.setNullAt(0); lineageTail.setNullAt(1)
+      writer.write(joined(row, lineageTail))
+    }
+
+  /** Two-arg form: Spark projects the operation's metadata attributes
+    * into `meta` — layout (_file, _row_id, _last_updated_sequence_number)
+    * per requiredMetadataAttributes order. */
+  override def write(meta: InternalRow, row: InternalRow): Unit =
+    if (lineageMetaIdx.isEmpty) writer.write(row)
+    else {
+      var i = 0
+      while (i < 2) {
+        val src = lineageMetaIdx(i)
+        if (meta == null || meta.isNullAt(src)) lineageTail.setNullAt(i)
+        else lineageTail.setLong(i, meta.getLong(src))
+        i += 1
+      }
+      writer.write(joined(row, lineageTail))
+    }
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
     writer.close()

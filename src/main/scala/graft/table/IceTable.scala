@@ -356,11 +356,21 @@ class IceTable(
     * files, write `df` as their complete replacement through the normal
     * fan-out write, and retire delete files left dangling by the rewrite
     * in the same snapshot. */
+  /** Lineage-bearing read of an explicit task set, for callers outside
+    * the table package (the DSv2 row-level write's updated-row diff). */
+  private[graft] def lineageScanForTasks(tasks: Seq[FileScanTask]): DataFrame =
+    new IceScan(this).toDFWithLineageForTasks(tasks)
+
   private[graft] def replaceFiles(removed: Set[String], df: DataFrame,
       conflictFilter: Option[Expr] = None,
       baseSnapshotId: Option[Long] = None,
-      toBranch: Option[String] = Some("main")): Unit = {
-    val added = WriteFiles.write(spark, location, schema, spec, df,
+      toBranch: Option[String] = Some("main"),
+      lineageMaterialized: Boolean = false): Unit = {
+    // v3 SQL row-level ops stage the reserved lineage columns alongside the
+    // data; write them under their reserved field ids (spec rewrite rule)
+    val added = WriteFiles.write(spark, location,
+      if (lineageMaterialized) RowLineage.augment(schema) else schema,
+      spec, df,
       UUID.randomUUID().toString, sortOrderOpt, metadata.properties)
     commitSnapshot("overwrite", added = added,
       removedPaths = removed ++ deadDeleteFiles(removed, toBranch),
@@ -540,6 +550,14 @@ class IceTable(
 
       var removedPaths = Set.empty[String]
       var added: Seq[DataFile] = Nil
+      // v3 row lineage through MERGE (spec §Row Lineage): survivors carry
+      // their current (_row_id, _last_updated_sequence_number) materialized;
+      // UPDATED rows keep the matched target row's _row_id with a NULL
+      // sequence number (inherits the new commit's); inserts stage null
+      // lineage and inherit fresh ids. The upsert knows exactly which rows
+      // are updates, so the semantics are exact — no content re-diff.
+      val lineage = metadata.formatVersion >= 3
+      val writeSchema = if (lineage) RowLineage.augment(schema) else schema
       if (nUpdates > 0) {
         // locate affected files via the scan's __file column (semi-join —
         // the key set never leaves executors), then RE-READ only those
@@ -561,15 +579,33 @@ class IceTable(
         // snapshot instead of accumulating dead MoR state
         val removedData = affectedTasks.map(_.file.filePath).toSet
         removedPaths = removedData ++ deadDeleteFiles(removedData, branch)
-        val affectedRows = scanObj.toDFForTasks(affectedTasks,
-          applyResidualOnlyWhereNeeded = true)
+        val affectedRows = if (lineage) scanObj.toDFWithLineageForTasks(affectedTasks)
+          else scanObj.toDFForTasks(affectedTasks, applyResidualOnlyWhereNeeded = true)
         val survivors = affectedRows.join(updKeys, keys, "left_anti")
-        val replacement = survivors.unionByName(updates)
-        added = WriteFiles.write(spark, location, schema, spec, replacement,
+        val replacement =
+          if (!lineage) survivors.unionByName(updates)
+          else {
+            // updated rows take the matched target row's id — min per key,
+            // so a (legal) duplicate key in the TARGET can't fan the update
+            // out into two rows: the smallest id survives, the rest retire
+            // with their rows
+            val targetIds = affectedRows
+              .groupBy(keys.map(col): _*)
+              .agg(min(col(RowLineage.RowIdName)).as(RowLineage.RowIdName))
+            survivors.unionByName(updates
+              .join(targetIds, keys, "inner")
+              .withColumn(RowLineage.LastUpdatedName,
+                lit(null).cast("long")))
+          }
+        added = WriteFiles.write(spark, location, writeSchema, spec, replacement,
       UUID.randomUUID().toString, sortOrderOpt, metadata.properties)
       }
       if (nInserts > 0) {
-        added = added ++ WriteFiles.write(spark, location, schema, spec, inserts,
+        val ins = if (!lineage) inserts
+          else inserts
+            .withColumn(RowLineage.RowIdName, lit(null).cast("long"))
+            .withColumn(RowLineage.LastUpdatedName, lit(null).cast("long"))
+        added = added ++ WriteFiles.write(spark, location, writeSchema, spec, ins,
       UUID.randomUUID().toString, sortOrderOpt, metadata.properties)
       }
       commitSnapshot("overwrite", added = added, removedPaths = removedPaths,

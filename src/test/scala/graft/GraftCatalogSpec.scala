@@ -432,6 +432,43 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE g.db.o_linp")
   }
 
+  test("SQL UPDATE/MERGE preserve row ids and bump only updated rows' seq (v3)") {
+    spark.sql("""CREATE TABLE g.db.lin_dml (k BIGINT, v STRING)
+      TBLPROPERTIES ('format-version'='3')""")
+    spark.sql("INSERT INTO g.db.lin_dml SELECT id, concat('v', id) FROM range(20)")
+    def state(): Map[Long, (Long, Long, String)] =
+      spark.sql("SELECT k, _row_id, _last_updated_sequence_number, v FROM g.db.lin_dml")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val s0 = state()
+    assert(s0.values.map(_._1).toSeq.sorted === (0L until 20L), "dense initial ids")
+
+    spark.sql("UPDATE g.db.lin_dml SET v = 'U' WHERE k >= 15") // seq 2
+    val s1 = state()
+    (0L until 20L).foreach { k =>
+      assert(s1(k)._1 === s0(k)._1, s"UPDATE must not renumber row k=$k")
+      if (k >= 15) assert(s1(k)._2 === 2L, s"updated row k=$k must carry the new seq")
+      else assert(s1(k)._2 === s0(k)._2, s"carried row k=$k must keep its seq")
+    }
+
+    spark.sql("""MERGE INTO g.db.lin_dml t USING (SELECT id AS k FROM range(18, 25)) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = 'M'
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, 'I')""") // seq 3
+    val s2 = state()
+    (0L until 20L).foreach { k =>
+      assert(s2(k)._1 === s1(k)._1, s"MERGE must not renumber row k=$k")
+      if (k >= 18) assert(s2(k)._2 === 3L, s"merged row k=$k must carry the new seq")
+      else assert(s2(k)._2 === s1(k)._2, s"carried row k=$k must keep its seq")
+    }
+    (20L until 25L).foreach { k =>
+      assert(s2(k)._3 === "I")
+      assert(s2(k)._2 === 3L, "inserted rows inherit the commit seq")
+      assert(s2(k)._1 >= 20L, "inserted rows get fresh ids")
+    }
+    assert(s2.values.map(_._1).toSeq.distinct.size === s2.size, "ids stay unique")
+    spark.sql("DROP TABLE g.db.lin_dml")
+  }
+
   test("lineage metadata columns are absent on v2 tables") {
     spark.sql("CREATE TABLE g.db.o_lin2 (k BIGINT)")
     spark.sql("INSERT INTO g.db.o_lin2 VALUES (1), (2)")

@@ -278,6 +278,37 @@ class RowLineageSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"row $k changed _row_id across a CoW delete in a spacey partition") }
   }
 
+  test("upsert preserves survivor ids, keeps updated rows' ids with a new seq") {
+    val t0 = catalog.createTable("lin_upsert", Schema.fromSpark(orders.schema))
+    t0.upgradeFormatVersion(3)
+    val t = catalog.loadTable("lin_upsert")
+    t.append(orders.filter(col("o_orderkey") < 1000).limit(300)) // seq 1
+    val before = t.scan.toDFWithLineage
+      .select(col("o_orderkey"), col("_row_id"), col("_last_updated_sequence_number"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val nextBefore = catalog.loadTable("lin_upsert").metadata.nextRowId.get
+    // source: update half the present keys (changed status), insert new keys
+    val src = orders.filter(col("o_orderkey") < 1000 && col("o_orderkey") % 2 === 0)
+      .limit(80).withColumn("o_orderstatus", lit("Z"))
+      .unionByName(orders.filter(col("o_orderkey") >= 1000).limit(40))
+    val (nUpd, nIns) = t.upsert(src, Seq("o_orderkey")) // seq 2
+    assert(nUpd > 0 && nIns > 0)
+    val after = catalog.loadTable("lin_upsert").scan.toDFWithLineage
+      .select(col("o_orderkey"), col("_row_id"), col("_last_updated_sequence_number"),
+        col("o_orderstatus"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(after.size === before.size + nIns)
+    before.foreach { case (k, (id, seq)) =>
+      val (aid, aseq, ast) = after(k)
+      assert(aid === id, s"upsert renumbered row $k")
+      if (ast == "Z") assert(aseq === 2L, s"updated row $k must carry the upsert's seq")
+      else assert(aseq === seq, s"carried row $k must keep its seq")
+    }
+    val fresh = after.filterNot { case (k, _) => before.contains(k) }
+    assert(fresh.values.forall { case (id, seq, _) => id >= nextBefore && seq === 2L })
+    assert(after.values.map(_._1).toSeq.distinct.size === after.size, "ids stay unique")
+  }
+
   test("v2 tables reject lineage scans typed") {
     val t = catalog.createTable("lin_v2", Schema.fromSpark(orders.schema))
     t.append(orders.limit(10))
