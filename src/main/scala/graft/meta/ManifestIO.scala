@@ -376,16 +376,20 @@ object ManifestIO {
       }
       val entries = b.result()
       // v3 row-lineage inheritance (spec §Row Lineage / field 142): an
-      // ADDED data file with null first_row_id takes the manifest's
-      // first_row_id advanced by the record counts of preceding
-      // null-first_row_id ADDED data files; explicit values (materialized
-      // at manifest rewrite) pass through untouched and consume no range
+      // ADDED or EXISTING data file with null first_row_id takes the
+      // manifest's first_row_id advanced by the record counts of
+      // preceding null-first_row_id data files; explicit values
+      // (materialized at manifest rewrite) pass through untouched and
+      // consume no range. EXISTING matters for manifests whose entries
+      // were carried from pre-v3 state by a dead-file rewrite and only
+      // later got a manifest-level range backfilled.
       inheritFirstRowId match {
         case Some(start) =>
           var next = start
           entries.map { e =>
             if (e.dataFile.content == FileContent.Data &&
-                e.dataFile.firstRowId.isEmpty && e.status == EntryStatus.Added) {
+                e.dataFile.firstRowId.isEmpty &&
+                (e.status == EntryStatus.Added || e.status == EntryStatus.Existing)) {
               val withId = e.copy(dataFile = e.dataFile.copy(firstRowId = Some(next)))
               next += e.dataFile.recordCount
               withId

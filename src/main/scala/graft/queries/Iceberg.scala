@@ -336,6 +336,44 @@ object Iceberg {
       s"""SELECT o_orderkey, o_orderstatus, _row_id, _last_updated_sequence_number
          |FROM $cat.db.orders ORDER BY o_orderkey""".stripMargin))
   }
+  /** A/D. v3 MERGE-ON-READ SQL DML: with `write.*.mode = merge-on-read`
+    * on a v3 table, DELETE writes DELETION VECTORS (the spec forbids new
+    * position-delete files) and UPDATE masks the old row with a DV while
+    * the reinserted row KEEPS its `_row_id` (delta metadata hook) with
+    * the updating commit's sequence number. Same oracle as the CoW DML
+    * gate — hash equality proves the MoR path yields bit-identical
+    * lineage to copy-on-write. */
+  def rowLineageMor(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val cat = s"glin${sqlCatSeq.incrementAndGet()}"
+    val whDir = Files.createTempDirectory("graft_linmor").toString
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", whDir)
+    val tab = new graft.catalog.HadoopCatalog(whDir, s)
+      .createTable("db.orders", Schema.fromSpark(orders.schema),
+        properties = Map("format-version" -> "3",
+          "write.update.mode" -> "merge-on-read",
+          "write.delete.mode" -> "merge-on-read",
+          "write.merge.mode" -> "merge-on-read"))
+    val sorted = orders.repartition(1).sortWithinPartitions("o_orderkey")
+    tab.append(sorted.filter(col("o_orderkey") % 2 === 1)) // seq 1
+    tab.append(sorted.filter(col("o_orderkey") % 2 === 0)) // seq 2
+    s.sql(s"""UPDATE $cat.db.orders
+             |SET o_orderstatus = concat(o_orderstatus, 'X')
+             |WHERE o_totalprice > 200000""".stripMargin) // seq 3 (DV + reinsert)
+    s.sql(s"DELETE FROM $cat.db.orders WHERE o_orderkey % 7 = 3") // seq 4 (DV)
+    // the MoR path must actually be MoR: deletes present as DVs
+    val tasks = new graft.table.IceScan(tab.refresh()).planFiles()
+    val dels = tasks.flatMap(_.deletes)
+    require(dels.nonEmpty && dels.forall(_.isDeletionVector),
+      "v3 MoR DML must produce deletion vectors")
+    nonEmpty(s.sql(
+      s"""SELECT o_orderkey, o_orderstatus, _row_id, _last_updated_sequence_number
+         |FROM $cat.db.orders ORDER BY o_orderkey""".stripMargin))
+  }
+  // bit-identical lineage to the CoW DML path — same oracle
+  lazy val rowLineageMorSql: String = rowLineageDmlSql
+
   val rowLineageDmlSql =
     """WITH odd AS (
       |  SELECT o_orderkey, o_orderstatus, o_totalprice,
@@ -1241,6 +1279,7 @@ object Iceberg {
     "ice_lineage_compaction" -> (rowLineageCompaction _),
     "ice_lineage_sql" -> (rowLineageSqlFace _),
     "ice_lineage_dml" -> (rowLineageDml _),
+    "ice_lineage_mor" -> (rowLineageMor _),
     "ice_equality_deletes" -> (equalityDeletes _),
     "ice_dsv2_scan" -> (dsv2Scan _),
     "ice_dsv2_agg" -> (dsv2AggPushdown _),
@@ -1294,6 +1333,7 @@ object Iceberg {
     "ice_lineage_compaction" -> rowLineageCompactionSql,
     "ice_lineage_sql" -> rowLineageSqlFaceSql,
     "ice_lineage_dml" -> rowLineageDmlSql,
+    "ice_lineage_mor" -> rowLineageMorSql,
     "ice_equality_deletes" -> equalityDeletesSql,
     "ice_dsv2_scan" -> dsv2ScanSql,
     "ice_dsv2_agg" -> dsv2AggPushdownSql,

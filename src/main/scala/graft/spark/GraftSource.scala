@@ -224,9 +224,12 @@ class GraftSparkTable(table: IceTable, snapshotId: Option[Long] = None,
     // number to the whole table, not one branch lineage.
     val mor = branch.isEmpty &&
       table.metadata.properties.get("write.delete.mode").contains("merge-on-read") &&
-      table.metadata.formatVersion == 2
+      table.metadata.formatVersion >= 2
     val norm = GraftFilters.normalizeLiterals(expr)
-    if (mor) table.deletePositional(norm)
+    if (mor && table.metadata.formatVersion >= 3)
+      // v3 forbids new position-delete files: MoR deletes are DVs
+      table.deleteAsDeletionVector(norm)
+    else if (mor) table.deletePositional(norm)
     else table.delete(norm, branch.orElse(Some("main")))
   }
 
@@ -290,10 +293,13 @@ class GraftSparkTable(table: IceTable, snapshotId: Option[Long] = None,
       case _ => "write.merge.mode"
     }
     // branch targets take CoW regardless of mode: MoR delete files apply
-    // by sequence number table-wide, not per branch lineage
+    // by sequence number table-wide, not per branch lineage. On v3 the
+    // delta path writes DELETION VECTORS (the spec forbids new
+    // position-delete files there); on v2 it writes position-delete
+    // parquet.
     val mor = branch.isEmpty &&
       table.metadata.properties.get(prop).contains("merge-on-read") &&
-      table.metadata.formatVersion == 2
+      table.metadata.formatVersion >= 2
     () =>
       if (mor) new GraftDeltaOperation(table, info.command)
       else new GraftRowLevelOperation(table, info.command, branch.orElse(Some("main")))
@@ -486,10 +492,21 @@ class GraftDeltaOperation(table: IceTable,
       org.apache.spark.sql.connector.expressions.Expressions.column(GraftSparkTable.FileColumn),
       org.apache.spark.sql.connector.expressions.Expressions.column(GraftSparkTable.PosColumn))
 
+  /** v3: UPDATE-as-delete-and-insert must keep the row's `_row_id` on the
+    * reinserted row (spec §Row Lineage update rule) — the lineage columns
+    * ride as metadata so the delta writer can materialize the id with a
+    * null seq (inherits the updating commit's sequence number). */
   override def requiredMetadataAttributes()
-      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = Array.empty
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (table.metadata.formatVersion < 3) Array.empty
+    else graft.core.RowLineage.fields.map(f =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(f.name)).toArray
 
-  override def representUpdateAsDeleteAndInsert(): Boolean = true
+  // false so Spark calls update(meta, id, row) — the writer itself turns
+  // it into delete + reinsert, and on v3 the metadata hook is what lets
+  // the reinserted row KEEP its _row_id (a split delete/insert pair would
+  // hand insert() no metadata and renumber the row)
+  override def representUpdateAsDeleteAndInsert(): Boolean = false
 
   override def description(): String = s"GraftRowLevelOperation[$cmd, merge-on-read]"
 }
@@ -512,13 +529,23 @@ class GraftDeltaWrite(table: IceTable, op: GraftDeltaOperation, rowSchema: Struc
     s"${table.location}/staging/delta-${java.util.UUID.randomUUID()}"
   // delete files are written IN PLACE under data/ (the commit registers
   // these exact paths, like deletePositional's stage), so a failed commit
-  // leaves only orphans for GC, never dangling references
+  // leaves only orphans for GC, never dangling references. On v3 they are
+  // TEMPORARY (converted into deletion vectors at commit, then removed).
   private val deleteDir = s"${table.location}/data/del-${java.util.UUID.randomUUID()}"
+
+  /** v3: staged data carries the reserved lineage columns (update
+    * reinserts keep their `_row_id`, inserts stage nulls). */
+  private val lineage = table.metadata.formatVersion >= 3
+  private val stagingSchema: StructType =
+    if (!lineage) rowSchema
+    else StructType(rowSchema.fields ++ graft.core.RowLineage.fields.map(f =>
+      org.apache.spark.sql.types.StructField(f.name,
+        org.apache.spark.sql.types.LongType)))
 
   override def toBatch: DeltaBatchWrite = this
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
-    new GraftDeltaWriterFactory(stagingDataDir, deleteDir, rowSchema.json,
+    new GraftDeltaWriterFactory(stagingDataDir, deleteDir, stagingSchema.json, lineage,
       graft.meta.Io.confEntries(table.spark))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -530,9 +557,12 @@ class GraftDeltaWrite(table: IceTable, op: GraftDeltaOperation, rowSchema: Struc
       val added =
         if (dataStaged.isEmpty) Nil
         else {
-          val staged = table.spark.read.schema(rowSchema).parquet(dataStaged.toIndexedSeq: _*)
-          val named = staged.toDF(table.schema.fields.map(_.name): _*)
-          graft.table.WriteFiles.write(table.spark, table.location, table.schema,
+          val staged = table.spark.read.schema(stagingSchema)
+            .parquet(dataStaged.toIndexedSeq: _*)
+          val named = staged.toDF(table.schema.fields.map(_.name) ++
+            (if (lineage) graft.core.RowLineage.fields.map(_.name) else Nil): _*)
+          graft.table.WriteFiles.write(table.spark, table.location,
+            if (lineage) graft.core.RowLineage.augment(table.schema) else table.schema,
             table.spec, named, java.util.UUID.randomUUID().toString,
             sortOrder = None, props = table.metadata.properties)
         }
@@ -541,21 +571,53 @@ class GraftDeltaWrite(table: IceTable, op: GraftDeltaOperation, rowSchema: Struc
       // (footer missing) or double-registered after a task retry
       val namedDeletes = msgs.flatMap(_.deletePaths)
         .map(graft.core.PathUtil.canon).toSet
-      val deleteAdded = if (namedDeletes.isEmpty) Nil
-        else graft.table.WriteFiles
-          .harvest(table.spark, deleteDir, GraftDeltaWrite.PosDeleteSchema,
-            graft.meta.PartitionSpec.Unpartitioned, only = Some(namedDeletes))
-          .filter(_.recordCount > 0)
-          .map(_.copy(content = graft.meta.FileContent.PositionDeletes))
-      if (added.nonEmpty || deleteAdded.nonEmpty) {
-        val conflict = Option(op.configuredScan)
-          .map(s => GraftFilters.normalizeLiterals(s.planExpr))
-        table.commitSnapshot(
-          if (added.nonEmpty) "overwrite" else "delete",
-          added = added ++ deleteAdded, removedPaths = Set.empty,
-          conflictFilter = conflict, baseSnapshotId = base)
+      val conflict = Option(op.configuredScan)
+        .map(s => GraftFilters.normalizeLiterals(s.planExpr))
+      val operation = if (added.nonEmpty) "overwrite" else "delete"
+      if (lineage) {
+        // v3: the spec forbids new position-delete FILES — convert the
+        // staged (file, pos) runs into DELETION VECTORS (merged with each
+        // affected file's prior deletes, superseded blobs dropped) and
+        // commit them with the insert files in ONE snapshot
+        if (added.nonEmpty || namedDeletes.nonEmpty) {
+          import org.apache.spark.sql.functions.col
+          val newPos =
+            if (namedDeletes.isEmpty)
+              table.spark.createDataFrame(
+                table.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                StructType(Seq(
+                  org.apache.spark.sql.types.StructField("__dfile",
+                    org.apache.spark.sql.types.StringType),
+                  org.apache.spark.sql.types.StructField("__dpos",
+                    org.apache.spark.sql.types.LongType))))
+            else table.spark.read.schema(GraftDeltaWrite.PosDeleteSchema.toSpark)
+              .parquet(msgs.flatMap(_.deletePaths).toIndexedSeq: _*)
+              .select(graft.core.PathUtil.canonCol(col("file_path")).as("__dfile"),
+                col("pos").as("__dpos"))
+          // affected file set is metadata-sized (#files, not #rows)
+          val affectedPaths =
+            if (namedDeletes.isEmpty) Set.empty[String]
+            else newPos.select("__dfile").distinct().collect().map(_.getString(0)).toSet
+          val affected = new graft.table.IceScan(table).planFiles()
+            .filter(t => affectedPaths.contains(graft.core.PathUtil.canon(t.file.filePath)))
+            .map(t => graft.core.PathUtil.canon(t.file.filePath) -> t).toMap
+          table.commitDeletionVectors(affected, newPos, operation,
+            conflictFilter = conflict, baseSnap = base, extraAdded = added)
+        }
+      } else {
+        val deleteAdded = if (namedDeletes.isEmpty) Nil
+          else graft.table.WriteFiles
+            .harvest(table.spark, deleteDir, GraftDeltaWrite.PosDeleteSchema,
+              graft.meta.PartitionSpec.Unpartitioned, only = Some(namedDeletes))
+            .filter(_.recordCount > 0)
+            .map(_.copy(content = graft.meta.FileContent.PositionDeletes))
+        if (added.nonEmpty || deleteAdded.nonEmpty) {
+          table.commitSnapshot(operation,
+            added = added ++ deleteAdded, removedPaths = Set.empty,
+            conflictFilter = conflict, baseSnapshotId = base)
+        }
       }
-    } finally cleanup(dropDeletes = false)
+    } finally cleanup(dropDeletes = lineage)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -584,11 +646,13 @@ object GraftDeltaWriter {
 }
 
 class GraftDeltaWriterFactory(dataDir: String, deleteDir: String, rowSchemaJson: String,
+    lineage: Boolean,
     confEntries: Array[(String, String)])
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
-    new GraftDeltaWriter(dataDir, deleteDir, rowSchemaJson, partitionId, taskId, confEntries)
+    new GraftDeltaWriter(dataDir, deleteDir, rowSchemaJson, lineage, partitionId,
+      taskId, confEntries)
 }
 
 /** Per-task delta writer: buffers deleted (file, pos) ids — sorted and
@@ -596,7 +660,8 @@ class GraftDeltaWriterFactory(dataDir: String, deleteDir: String, rowSchemaJson:
   * prune on file_path — and streams inserted rows into a staged data
   * parquet (the same staging writer the other DSv2 writes use). */
 class GraftDeltaWriter(dataDir: String, deleteDir: String, rowSchemaJson: String,
-    partitionId: Int, taskId: Long, confEntries: Array[(String, String)])
+    lineage: Boolean, partitionId: Int, taskId: Long,
+    confEntries: Array[(String, String)])
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
 
   private var dataWriter: GraftStagingWriter = _
@@ -610,12 +675,18 @@ class GraftDeltaWriter(dataDir: String, deleteDir: String, rowSchemaJson: String
   private val pathPool = new java.util.HashMap[String, String]()
   private val flushed = scala.collection.mutable.ArrayBuffer[String]()
 
-  override def insert(row: InternalRow): Unit = {
+  private def ensureDataWriter(): GraftStagingWriter = {
     if (dataWriter == null)
       dataWriter = new GraftStagingWriter(dataDir, rowSchemaJson, partitionId, taskId,
-        confEntries)
-    dataWriter.write(row)
+        confEntries, lineageMetaIdx = if (lineage) Array(0, 1) else Array.empty)
+    dataWriter
   }
+
+  override def insert(row: InternalRow): Unit =
+    // a pure insert (MERGE NOT MATCHED) is a NEW row: null lineage —
+    // it inherits a fresh id from its data file's first_row_id + position
+    if (lineage) ensureDataWriter().writeWithLineage(row, null, null)
+    else ensureDataWriter().write(row)
 
   /** `id` is projected in rowId() order: (_file string, _pos long). */
   override def delete(meta: InternalRow, id: InternalRow): Unit = {
@@ -630,7 +701,15 @@ class GraftDeltaWriter(dataDir: String, deleteDir: String, rowSchemaJson: String
 
   override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
     delete(meta, id)
-    insert(row)
+    if (!lineage) insert(row)
+    else {
+      // spec §Row Lineage update rule: the reinserted row KEEPS the
+      // deleted row's _row_id; its seq is null and inherits the commit's.
+      // meta layout per requiredMetadataAttributes: (_row_id, _seq)
+      val rid: java.lang.Long =
+        if (meta == null || meta.isNullAt(0)) null else java.lang.Long.valueOf(meta.getLong(0))
+      ensureDataWriter().writeWithLineage(row, rid, null)
+    }
   }
 
   private def flushDeletes(): Unit = {
@@ -935,6 +1014,16 @@ class GraftStagingWriter(dir: String, schemaJson: String, partitionId: Int,
       lineageTail.setNullAt(0); lineageTail.setNullAt(1)
       writer.write(joined(row, lineageTail))
     }
+
+  /** Explicit lineage values (delta writers: update keeps the id with a
+    * null seq, insert stages null/null). Requires a lineage-enabled
+    * writer (non-empty lineageMetaIdx). */
+  private[spark] def writeWithLineage(row: InternalRow,
+      rowId: java.lang.Long, seq: java.lang.Long): Unit = {
+    if (rowId == null) lineageTail.setNullAt(0) else lineageTail.setLong(0, rowId.longValue())
+    if (seq == null) lineageTail.setNullAt(1) else lineageTail.setLong(1, seq.longValue())
+    writer.write(joined(row, lineageTail))
+  }
 
   /** Two-arg form: Spark projects the operation's metadata attributes
     * into `meta` — layout (_file, _row_id, _last_updated_sequence_number)

@@ -92,13 +92,42 @@ class IceTable(
     require(v >= m.formatVersion,
       s"Cannot downgrade format version ${m.formatVersion} -> $v")
     if (v == m.formatVersion) m
+    else if (v < 3 || m.formatVersion >= 3) m.copy(formatVersion = v)
     else {
-      val withRowId = if (v >= 3 && m.nextRowId.isEmpty) {
-        val total = m.currentSnapshot
-          .flatMap(_.summary.get("total-records")).map(_.toLong).getOrElse(0L)
-        m.copy(nextRowId = Some(total))
-      } else m
-      withRowId.copy(formatVersion = v)
+      // v3 upgrade: assign first-row-id to every data manifest of the
+      // CURRENT snapshot that lacks one (spec §Row Lineage — a v3
+      // manifest list carries first-row-id for every data manifest), so
+      // rows committed under v1/v2 serve lineage IMMEDIATELY — without
+      // this, the first post-upgrade SQL row-level op (which reads
+      // lineage to preserve it) would fail before it could commit the
+      // assignment itself. Historical snapshots keep their v2 lists:
+      // time-traveling lineage to a pre-upgrade state stays a typed
+      // error. next-row-id advances past every assigned range.
+      var cursor = m.nextRowId.getOrElse(0L)
+      val snapshots = m.currentSnapshot match {
+        case None => m.snapshots
+        case Some(cur) =>
+          val mfs = ManifestIO.readManifestList(cur.manifestList)
+          val assigned = mfs.map { mf =>
+            if (mf.content != 0 || mf.firstRowId.isDefined) mf
+            else {
+              val a = mf.copy(firstRowId = Some(cursor))
+              cursor += mf.addedRowsCount + mf.existingRowsCount
+              a
+            }
+          }
+          if (assigned == mfs) m.snapshots
+          else {
+            val path = s"$location/metadata/snap-${cur.snapshotId}-v3-${UUID.randomUUID()}.avro"
+            ManifestIO.writeManifestList(path, assigned,
+              snapshotId = Some(cur.snapshotId),
+              parentSnapshotId = cur.parentSnapshotId,
+              sequenceNumber = Some(cur.sequenceNumber))
+            m.snapshots.map(s =>
+              if (s.snapshotId == cur.snapshotId) s.copy(manifestList = path) else s)
+          }
+      }
+      m.copy(formatVersion = 3, snapshots = snapshots, nextRowId = Some(cursor))
     }
   }
 
@@ -826,30 +855,20 @@ class IceTable(
     * driver collects only (path, offset, length, cardinality) descriptors,
     * so its memory is independent of blob bytes — a wide delete over 10⁶
     * files ships no vector data through the driver. */
-  def deleteAsDeletionVector(filter: String): Unit = {
+  def deleteAsDeletionVector(filter: String): Unit =
+    deleteAsDeletionVector(ExprParser.parse(filter))
+
+  def deleteAsDeletionVector(expr: Expr): Unit = {
     require(metadata.formatVersion >= 3,
       s"Deletion vectors require format version >= 3 (table is v${metadata.formatVersion})")
-    val expr = ExprParser.parse(filter)
     val bound = Exprs.rewriteNot(Binder.bind(schema, expr))
     val baseSnap = metadata.currentSnapshotId
     val tasks = new IceScan(this).filter(expr).planFiles()
     if (tasks.isEmpty) return
     val affected: Map[String, FileScanTask] =
       tasks.map(t => PathUtil.canon(t.file.filePath) -> t).toMap
-
-    // prior deletes for the affected files (metadata only — outside the
-    // scoped block because `priorDVs` also names superseded blobs below)
-    val priorDeletes = tasks.flatMap(_.deletes)
-      .filter(_.content == FileContent.PositionDeletes)
-      .distinctBy(f => (f.filePath, f.contentOffset))
-    val (priorDVs, priorParquet) = priorDeletes.partition(_.isDeletionVector)
-
-    // descriptor per written blob: (puffinPath, puffinSize, referenced
-    // data file, blob offset, blob length, cardinality) — metadata-sized
-    // scoped: every consumer of `matches` collects within this block
-    val descriptors: Seq[(String, Long, String, Long, Long, Long)] =
-      WriteFiles.withScopedConfs(spark,
-      "spark.sql.parquet.fieldId.read.enabled" -> "true") {
+    // matched (file, position) pairs — lazy frames, executed inside the
+    // helper's scoped-conf block
     val (orcTasks, pqTasks) = tasks.partition(_.file.fileFormat.toUpperCase == "ORC")
     val branches = Seq.newBuilder[DataFrame]
     if (pqTasks.nonEmpty)
@@ -867,6 +886,37 @@ class IceTable(
           keepFile = true, keepPos = true)
         .where(ToColumn.compile(bound))
         .select(col("__file").as("__dfile"), col("__pos").as("__dpos"))
+    commitDeletionVectors(affected, branches.result().reduce(_ unionByName _),
+      "delete", Some(expr), baseSnap, Nil)
+  }
+
+  /** Shared tail of every DV-producing commit: merge `newPos`
+    * (canon `__dfile`, `__dpos`) with the affected files' PRIOR deletes
+    * (parquet position-deletes AND prior DVs — the spec allows at most
+    * one DV per data file), roaring-compress and assemble puffins ON
+    * EXECUTORS, and commit the new DV entries plus `extraAdded` (e.g. a
+    * MoR MERGE's insert files) in ONE snapshot, dropping superseded
+    * blobs. Callers: the predicate face above and the DSv2 delta
+    * (merge-on-read SQL) write on v3 tables. */
+  private[graft] def commitDeletionVectors(affected: Map[String, FileScanTask],
+      newPos: DataFrame, operation: String, conflictFilter: Option[Expr],
+      baseSnap: Option[Long], extraAdded: Seq[DataFile]): Unit = {
+    val tasks = affected.values.toSeq
+    // prior deletes for the affected files (metadata only — outside the
+    // scoped block because `priorDVs` also names superseded blobs below)
+    val priorDeletes = tasks.flatMap(_.deletes)
+      .filter(_.content == FileContent.PositionDeletes)
+      .distinctBy(f => (f.filePath, f.contentOffset))
+    val (priorDVs, priorParquet) = priorDeletes.partition(_.isDeletionVector)
+
+    // descriptor per written blob: (puffinPath, puffinSize, referenced
+    // data file, blob offset, blob length, cardinality) — metadata-sized
+    // scoped: every consumer of `matches` collects within this block
+    val descriptors: Seq[(String, Long, String, Long, Long, Long)] =
+      WriteFiles.withScopedConfs(spark,
+      "spark.sql.parquet.fieldId.read.enabled" -> "true") {
+    val branches = Seq.newBuilder[DataFrame]
+    branches += newPos
     if (priorParquet.nonEmpty)
       branches += spark.read.parquet(priorParquet.map(_.filePath).distinct: _*)
         .select(PathUtil.canonCol(col("file_path")).as("__dfile"), col("pos").as("__dpos"))
@@ -922,7 +972,7 @@ class IceTable(
         }
       }.collect().toSeq
     }
-    if (descriptors.isEmpty) return
+    if (descriptors.isEmpty && extraAdded.isEmpty) return
 
     val dvFiles = descriptors.map { case (puffinPath, puffinSize, fp, off, len, card) =>
       val t = affected(fp)
@@ -948,8 +998,9 @@ class IceTable(
         .filter(d => d.isDeletionVector && removedPuffins.contains(d.filePath) &&
           d.referencedDataFile.forall(r => !affected.contains(PathUtil.canon(r))))
         .distinctBy(f => (f.filePath, f.contentOffset))
-    commitSnapshot("delete", added = dvFiles ++ siblings, removedPaths = removedPuffins,
-      conflictFilter = Some(expr), baseSnapshotId = baseSnap)
+    commitSnapshot(operation, added = dvFiles ++ siblings ++ extraAdded,
+      removedPaths = removedPuffins,
+      conflictFilter = conflictFilter, baseSnapshotId = baseSnap)
   }
 
   /** Compaction (maintenance, beyond the reference — its file GC is
@@ -1503,21 +1554,26 @@ class IceTable(
 
     // v3 row lineage (spec §Row Lineage): each NEW data manifest gets a
     // first_row_id range starting at next-row-id, advancing by its added
-    // rows — entries inherit per-file ids at read; carried/rewritten
-    // manifests keep their previously-assigned ranges or explicit ids
-    val newWithRowIds: Seq[ManifestFile] =
-      if (base.formatVersion < 3) newManifests
-      else {
-        var nextId = base.nextRowId.getOrElse(0L)
-        newManifests.map { m =>
-          if (m.content != 0) m
-          else {
-            val assigned = m.copy(firstRowId = Some(nextId))
-            nextId += m.addedRowsCount
-            assigned
-          }
+    // rows — entries inherit per-file ids at read. CARRIED data manifests
+    // that still lack a first-row-id (pre-upgrade manifests from a branch
+    // head the upgrade didn't rewrite, or commit-time dead-file rewrites
+    // of such) get a range here too — a v3 manifest list must carry
+    // first-row-id for every data manifest. A carried manifest whose
+    // entries are all explicit consumes a range it never uses; the spec
+    // allows over-advancing next-row-id, and ids stay unique.
+    var rowIdCursor = if (base.formatVersion < 3) 0L else base.nextRowId.getOrElse(0L)
+    def assignRowIds(ms: Seq[ManifestFile], rows: ManifestFile => Long): Seq[ManifestFile] =
+      if (base.formatVersion < 3) ms
+      else ms.map { m =>
+        if (m.content != 0 || m.firstRowId.isDefined) m
+        else {
+          val assigned = m.copy(firstRowId = Some(rowIdCursor))
+          rowIdCursor += rows(m)
+          assigned
         }
       }
+    val newWithRowIds = assignRowIds(newManifests, _.addedRowsCount)
+    val keptWithRowIds = assignRowIds(kept, m => m.addedRowsCount + m.existingRowsCount)
 
     // manifest merge: when enabled and the data-manifest count passes the
     // threshold, bin-pack them into TARGET-SIZE bins per spec (ref:
@@ -1527,7 +1583,7 @@ class IceTable(
     // `commit.manifest.target-size-bytes`). All-into-one would make the
     // single merged manifest a sequential planning bottleneck at 100 TB;
     // binned manifests keep planning parallel AND partition-prunable.
-    val allManifests = newWithRowIds ++ kept
+    val allManifests = newWithRowIds ++ keptWithRowIds
     val merged: Seq[ManifestFile] =
       if (base.properties.get("commit.manifest-merge.enabled").contains("true") &&
           allManifests.count(_.content == 0) >=
@@ -1678,7 +1734,10 @@ class IceTable(
         case Some(b) => withExtra.refs + (b -> SnapshotRef(snapId, "branch"))
         case None => withExtra.refs
       },
-      nextRowId = firstRowId.map(_ + addedRecords).orElse(withExtra.nextRowId))
+      // past every range assigned this commit (new manifests AND carried
+      // manifests that were backfilled above)
+      nextRowId = if (base.formatVersion >= 3) Some(rowIdCursor)
+        else withExtra.nextRowId)
     catalog.commit(name, version, newMeta)
     metadata = newMeta
     this.version = version + 1

@@ -252,6 +252,69 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.metadata.currentSnapshot.map(_.operation) === Some("delete"))
   }
 
+  test("v3 merge-on-read SQL DML writes deletion vectors and keeps row lineage") {
+    spark.sql("""CREATE TABLE g.db.o_mor3 (k BIGINT, v STRING)
+      TBLPROPERTIES ('format-version'='3',
+                     'write.update.mode'='merge-on-read',
+                     'write.delete.mode'='merge-on-read',
+                     'write.merge.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO g.db.o_mor3 SELECT id, concat('v', id) FROM range(500)")
+    val t = new HadoopCatalog(warehouse, spark).loadTable("db.o_mor3")
+    val before = new graft.table.IceScan(t).planFiles().map(_.file.filePath).toSet
+    def state(): Map[Long, (Long, Long, String)] =
+      spark.sql("SELECT k, _row_id, _last_updated_sequence_number, v FROM g.db.o_mor3")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val s0 = state()
+    assert(s0.values.map(_._1).toSeq.sorted === (0L until 500L))
+
+    // MoR DELETE on v3 → a deletion vector, NOT a position-delete file,
+    // and NOT a rewrite
+    spark.sql("DELETE FROM g.db.o_mor3 WHERE k < 50") // seq 2
+    t.refresh()
+    val tasks = new graft.table.IceScan(t).planFiles()
+    assert(before.subsetOf(tasks.map(_.file.filePath).toSet),
+      "v3 MoR DELETE must not rewrite data files")
+    val dels = tasks.flatMap(_.deletes)
+    assert(dels.nonEmpty && dels.forall(_.isDeletionVector),
+      s"v3 MoR deletes must be deletion vectors, got ${dels.map(_.fileFormat)}")
+    val s1 = state()
+    assert(s1.size === 450)
+    s1.foreach { case (k, (id, seq, _)) =>
+      assert(s0(k)._1 === id && s0(k)._2 === seq, s"survivor $k changed lineage") }
+
+    // MoR UPDATE on v3 → DV masks the old row, the reinserted row KEEPS
+    // its _row_id with the updating commit's seq; untouched rows untouched
+    spark.sql("UPDATE g.db.o_mor3 SET v = 'U' WHERE k >= 480") // seq 3
+    t.refresh()
+    assert(before.subsetOf(new graft.table.IceScan(t).planFiles()
+      .map(_.file.filePath).toSet), "v3 MoR UPDATE must not rewrite data files")
+    val s2 = state()
+    assert(s2.size === 450)
+    s2.foreach { case (k, (id, seq, v)) =>
+      assert(id === s1(k)._1, s"MoR UPDATE renumbered row $k")
+      if (k >= 480) { assert(v === "U"); assert(seq === 3L, s"updated row $k seq") }
+      else assert(seq === s1(k)._2, s"carried row $k seq changed")
+    }
+
+    // MoR MERGE: matched update keeps ids, inserts get fresh ids
+    spark.sql("""MERGE INTO g.db.o_mor3 t USING (SELECT id AS k FROM range(495, 510)) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = 'M'
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, 'I')""") // seq 4
+    val s3 = state()
+    assert(s3.size === 460)
+    (495L until 500L).foreach { k =>
+      assert(s3(k)._1 === s2(k)._1, s"MERGE renumbered row $k")
+      assert(s3(k)._2 === 4L && s3(k)._3 === "M")
+    }
+    (500L until 510L).foreach { k =>
+      assert(s3(k)._3 === "I" && s3(k)._2 === 4L)
+      assert(s3(k)._1 >= 500L, "inserted rows get fresh ids")
+    }
+    assert(s3.values.map(_._1).toSeq.distinct.size === s3.size, "ids stay unique")
+    spark.sql("DROP TABLE g.db.o_mor3")
+  }
+
   test("merge-on-read UPDATE composes with outstanding deletes and stacks") {
     spark.sql("""CREATE TABLE g.db.o_mor_s (
         o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,

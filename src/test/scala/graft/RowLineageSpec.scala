@@ -309,6 +309,37 @@ class RowLineageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.values.map(_._1).toSeq.distinct.size === after.size, "ids stay unique")
   }
 
+  test("upgrading a populated v2 table assigns lineage to existing rows") {
+    val t0 = catalog.createTable("lin_upgrade", Schema.fromSpark(orders.schema))
+    val t = catalog.loadTable("lin_upgrade")
+    t.append(orders.filter(col("o_orderkey") < 700).limit(120))  // v2, seq 1
+    t.append(orders.filter(col("o_orderkey") >= 700).limit(80))  // v2, seq 2
+    // pre-upgrade: lineage is a typed error
+    intercept[IllegalArgumentException](t.scan.toDFWithLineage)
+    t.upgradeFormatVersion(3)
+    val t1 = catalog.loadTable("lin_upgrade")
+    assert(t1.metadata.nextRowId === Some(200L),
+      "upgrade must advance next-row-id past the assigned ranges")
+    // pre-upgrade rows serve lineage IMMEDIATELY (spec: the v3 manifest
+    // list carries first-row-id for every data manifest)
+    val rows = t1.scan.toDFWithLineage
+      .select(col("o_orderkey"), col("_row_id"), col("_last_updated_sequence_number"))
+      .collect()
+    assert(rows.length === 200)
+    assert(rows.map(_.getLong(1)).sorted.toSeq === (0L until 200L),
+      "upgraded rows must get dense unique ids")
+    val bySeq = rows.groupBy(_.getLong(2)).view.mapValues(_.length).toMap
+    assert(bySeq === Map(1L -> 120, 2L -> 80),
+      "pre-upgrade rows keep their original data sequence numbers")
+    val before = lineageMap(t1)
+    // the first post-upgrade row-level op preserves the assigned ids
+    t1.delete("o_orderkey < 100")
+    val after = lineageMap(catalog.loadTable("lin_upgrade"))
+    assert(after.nonEmpty && after.size < before.size)
+    after.foreach { case (k, id) =>
+      assert(before(k) === id, s"row $k changed _row_id across post-upgrade delete") }
+  }
+
   test("v2 tables reject lineage scans typed") {
     val t = catalog.createTable("lin_v2", Schema.fromSpark(orders.schema))
     t.append(orders.limit(10))
