@@ -118,6 +118,47 @@ case class GramHash64(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Repetition mass of a long array: `Σ c·(c−1)` over the multiplicity
+  * `c` of each distinct value — the unnormalized Simpson repetition
+  * numerator. One sort + one run-length pass per row, map-side; replaces
+  * an explode + two-level groupBy that shuffled every gram hash (the
+  * array is per-document, a few hundred longs — sorting it in-task is
+  * noise next to a cluster-wide shuffle of the exploded grams). Null
+  * input yields null; empty array yields 0. */
+case class RunRepetition(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  def compute(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    if (n == 0) return 0L
+    val a = new Array[Long](n)
+    var i = 0
+    while (i < n) { a(i) = arr.getLong(i); i += 1 }
+    java.util.Arrays.sort(a)
+    var rep = 0L
+    var run = 1L
+    i = 1
+    while (i < n) {
+      if (a(i) == a(i - 1)) run += 1
+      else { rep += run * (run - 1); run = 1L }
+      i += 1
+    }
+    rep + run * (run - 1)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("runRep", this, classOf[RunRepetition].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RunRepetition =
+    copy(child = newChild)
+}
+
 object SlidingMinFunctions {
   /** Winnowing minima of a long-array column with window `w`. */
   def sliding_min(a: Column, w: Int): Column =
@@ -125,4 +166,7 @@ object SlidingMinFunctions {
   /** xxhash64 (seed 42) of every k-byte gram of a string column. */
   def gram_hashes(text: Column, k: Int): Column =
     GraftBridge.column(GramHash64(GraftBridge.expression(text), k))
+  /** Σ c·(c−1) over value multiplicities of a long-array column. */
+  def run_repetition(a: Column): Column =
+    GraftBridge.column(RunRepetition(GraftBridge.expression(a)))
 }

@@ -922,9 +922,10 @@ object DataOps {
     * itself is not SQL-portable, so the window hashes are exported and the
     * oracle re-derives the winnowing minima from them in DuckDB. */
   def textFingerprint(s: SparkSession, dir: String): DataFrame = {
-    val n = length(col("text"))
-    val windows = transform(sequence(lit(1), greatest(n - 7, lit(1))),
-      i => xxhash64(col("text").substr(i, lit(8))))
+    // one-pass byte-walk gram hashing (same values as the former
+    // transform(sequence, i => xxhash64(substr(text, i, 8))) form on the
+    // ASCII corpus, without its per-position UTF8String allocation)
+    val windows = graft.functions.SlidingMinFunctions.gram_hashes(col("text"), 8)
     val docs = t(s, dir, "documents")
     exportForOracle(docs.select(col("doc_id"), explode(windows).as("h")),
       "fingerprint_windows")
@@ -2024,27 +2025,22 @@ object DataOps {
     * one shuffle total, keyed by (doc_id, trigram). */
   def charDiversity(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    // gram extraction indexes a pre-split char ARRAY, not the string:
-    // UTF8String.substring(i, i+3) re-scans the string per call
-    // (variable-width encoding), making per-position substring O(len²)
-    // per document — measured 5.7 → 3.2 s at sf0.1 with the linear
-    // array form plus xxhash64'ing grams to longs before the shuffle
-    // (narrower keys; 64-bit collisions WITHIN one doc are ~1e-11 and
-    // the bit-exact oracle gate would catch one). The remaining local
-    // cost is a scan-parallelism artifact: sf0.1 documents is a single
-    // 1-row-group parquet file, so the gram pass runs on one task —
-    // at real scale the scan has file-granular parallelism and this
-    // operator is one map pass + one narrow shuffle
-    val tri = docs
-      .select(col("doc_id"), split(col("text"), "").as("cs"))
-      .select(col("doc_id"), explode(expr(
-        """IF(size(cs) < 3, array(),
-          |  transform(sequence(0, size(cs) - 3),
-          |    i -> xxhash64(concat(cs[i], cs[i+1], cs[i+2]))))""".stripMargin)).as("g"))
-    val per = tri.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(sum(col("c")).cast("long").as("n"),
-        sum(col("c") * (col("c") - 1L)).cast("long").as("rep"))
+    // whole operator is MAP-SIDE (r11): one byte-walk pass hashes every
+    // 3-byte gram (GramHash64 — xxhash64 of the same bytes the previous
+    // concat(cs[i],cs[i+1],cs[i+2]) form hashed, so values are
+    // bit-identical on the ASCII corpus), and RunRepetition computes
+    // Σ c·(c−1) per document in-task (sort + run-length over a few
+    // hundred longs). The previous form exploded EVERY gram into a
+    // two-level groupBy — a cluster-wide shuffle of ~Σ len(text) rows;
+    // now only (doc_id, n, rep) reaches the top-50 ordering. A
+    // shorter-than-3-byte text yields one whole-text gram (n = 1),
+    // excluded by the same n >= 2 filter that excluded its empty array
+    // before.
+    import graft.functions.SlidingMinFunctions.{gram_hashes, run_repetition}
+    val per = docs
+      .select(col("doc_id"), gram_hashes(col("text"), 3).as("h"))
+      .select(col("doc_id"), size(col("h")).cast("long").as("n"),
+        run_repetition(col("h")).as("rep"))
       .filter(col("n") >= 2)
     nonEmpty(per
       .withColumn("simpson",

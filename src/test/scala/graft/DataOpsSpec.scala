@@ -397,6 +397,25 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.isNullAt(0))
   }
 
+  test("run_repetition equals brute-force multiplicity sum") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.SlidingMinFunctions.run_repetition
+    val rnd = new scala.util.Random(7)
+    // small value domain forces plenty of repeats; include empty and
+    // single-element edges
+    val cases = Seq.tabulate(60)(_ => Array.fill(rnd.nextInt(50))(rnd.nextInt(8).toLong)) ++
+      Seq(Array.empty[Long], Array(5L), Array.fill(9)(2L))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(cases.zipWithIndex.map { case (a, i) => (i, a) }))
+      .toDF("id", "arr")
+    val got = df.select(col("id"), run_repetition(col("arr")).as("r"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    cases.zipWithIndex.foreach { case (a, i) =>
+      val want = a.groupBy(identity).values.map(g => g.length.toLong * (g.length - 1)).sum
+      assert(got(i) === want, s"case $i")
+    }
+  }
+
   test("substring dedup: hash-keyed counts equal literal string-window counts") {
     import org.apache.spark.sql.functions._
     val out = DataOps.substringDedup(spark, dir)
