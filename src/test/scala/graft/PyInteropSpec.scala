@@ -119,6 +119,31 @@ class PyInteropSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the reference did not apply our deletion vectors")
   }
 
+  test("pyiceberg reads a graft table after v3 merge-on-read SQL UPDATE + DELETE") {
+    assume(pythonUsable, "pyiceberg not importable in this environment")
+    // the delta SQL path: UPDATE masks matched rows with a DV and
+    // reinserts them (lineage materialized) in ONE snapshot; a later
+    // DELETE merges into the same files' vectors, superseding blobs.
+    // The reference must decode the merged puffins AND sum the
+    // reinserted values correctly.
+    spark.conf.set("spark.sql.catalog.gpy", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gpy.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gpy.db")
+    spark.sql("""CREATE TABLE gpy.db.py_mor3 (k BIGINT, v BIGINT)
+      TBLPROPERTIES ('format-version'='3',
+                     'write.update.mode'='merge-on-read',
+                     'write.delete.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO gpy.db.py_mor3 SELECT id, id * 10 FROM range(1000)")
+    spark.sql("UPDATE gpy.db.py_mor3 SET v = 1 WHERE k >= 900")
+    spark.sql("DELETE FROM gpy.db.py_mor3 WHERE k < 100 OR k = 950")
+    val expectRows = spark.sql("SELECT count(*) FROM gpy.db.py_mor3").head.getLong(0)
+    val expectSum = spark.sql("SELECT sum(v) FROM gpy.db.py_mor3").head.getLong(0)
+    assert(expectRows === 899)
+    val (rows, sum) = pyRead(latestMetadata(s"$warehouse/db/py_mor3"), "v")
+    assert(rows === expectRows, "the reference did not apply the merged MoR vectors")
+    assert(sum === expectSum, "reinserted-row values disagree with the reference's read")
+  }
+
   test("pyiceberg resolves renamed columns by field-id in graft parquet") {
     assume(pythonUsable, "pyiceberg not importable in this environment")
     val t = catalog.createTable("py_evo", Schema.fromSpark(orders.schema))
