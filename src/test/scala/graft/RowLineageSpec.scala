@@ -340,6 +340,55 @@ class RowLineageSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(before(k) === id, s"row $k changed _row_id across post-upgrade delete") }
   }
 
+  test("branch appends share the id space: no collisions across lineages") {
+    val t0 = catalog.createTable("lin_branch", Schema.fromSpark(orders.schema))
+    t0.upgradeFormatVersion(3)
+    val t = catalog.loadTable("lin_branch")
+    t.append(orders.filter(col("o_orderkey") < 500).limit(100)) // main, seq 1
+    val mainIds = lineageMap(catalog.loadTable("lin_branch")).values.toSet
+    // branch append draws from the SAME table-level next-row-id counter
+    t.append(orders.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 1000).limit(50),
+      Map.empty[String, String], Some("audit"))
+    val t1 = catalog.loadTable("lin_branch")
+    // a previously-absent branch starts an EMPTY lineage (documented):
+    // the branch holds only its own rows, but they still draw ids from
+    // the shared table-level counter, past main's range
+    val branchIds = t1.scan.useRef("audit").toDFWithLineage
+      .select("_row_id").collect().map(_.getLong(0)).toSet
+    assert(branchIds.size === 50)
+    assert(branchIds.forall(_ >= 100L),
+      "branch rows must draw fresh ids past main's range")
+    // a main append AFTER the branch append must not reuse the branch's ids
+    t1.append(orders.filter(col("o_orderkey") >= 1000).limit(30))
+    val mainAfter = lineageMap(catalog.loadTable("lin_branch")).values.toSet
+    assert((mainAfter intersect branchIds).isEmpty,
+      "main rows must not collide with branch-assigned ids")
+    assert(mainAfter.size === 130)
+    assert(mainIds.subsetOf(mainAfter))
+  }
+
+  test("an UPDATE that rewrites identical content keeps the old seq (content diff)") {
+    // the SQL-face updated-row detection is a CONTENT diff: setting a
+    // column to its existing value is indistinguishable from a carried
+    // row and keeps the original _last_updated_sequence_number — the
+    // documented CDC-style semantics of the group-based rewrite
+    val s = spark
+    s.conf.set("spark.sql.catalog.glin_t", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.glin_t.warehouse", warehouse)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS glin_t.db")
+    s.sql("""CREATE TABLE glin_t.db.noop_upd (k BIGINT, v STRING)
+      TBLPROPERTIES ('format-version'='3')""")
+    s.sql("INSERT INTO glin_t.db.noop_upd SELECT id, 'same' FROM range(10)")
+    s.sql("UPDATE glin_t.db.noop_upd SET v = 'same' WHERE k >= 5") // no-op content
+    val rows = s.sql(
+      "SELECT k, _row_id, _last_updated_sequence_number FROM glin_t.db.noop_upd")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 10)
+    assert(rows.forall(_._3 === 1L),
+      "content-identical rewrites must not bump _last_updated_sequence_number")
+    assert(rows.map(_._2).sorted.toSeq === (0L until 10L))
+  }
+
   test("v2 tables reject lineage scans typed") {
     val t = catalog.createTable("lin_v2", Schema.fromSpark(orders.schema))
     t.append(orders.limit(10))
