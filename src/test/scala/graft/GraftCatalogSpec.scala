@@ -532,6 +532,35 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE g.db.lin_dml")
   }
 
+  test("partitioned v3 SQL UPDATE: only matched partitions rewrite, lineage survives") {
+    spark.sql("""CREATE TABLE g.db.lin_pdml (k BIGINT, p STRING, v STRING)
+      PARTITIONED BY (p) TBLPROPERTIES ('format-version'='3')""")
+    spark.sql("""INSERT INTO g.db.lin_pdml
+      SELECT id, concat('p', id % 4), concat('v', id) FROM range(400)""")
+    val t = new HadoopCatalog(warehouse, spark).loadTable("db.lin_pdml")
+    val before = new graft.table.IceScan(t).planFiles().map(_.file.filePath).toSet
+    def state(): Map[Long, (Long, Long, String)] =
+      spark.sql("SELECT k, _row_id, _last_updated_sequence_number, v FROM g.db.lin_pdml")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val s0 = state()
+    assert(s0.values.map(_._1).toSeq.sorted === (0L until 400L))
+    // partition-aligned predicate: the CoW groups must be ONLY p1's files
+    spark.sql("UPDATE g.db.lin_pdml SET v = 'U' WHERE p = 'p1' AND k < 100") // seq 2
+    t.refresh()
+    val after = new graft.table.IceScan(t).planFiles().map(_.file.filePath).toSet
+    val untouched = before.filterNot(_.contains("_p_p=p1"))
+    assert(untouched.subsetOf(after),
+      "partitions other than p1 must not be rewritten by a p1-scoped UPDATE")
+    val s1 = state()
+    assert(s1.size === 400)
+    (0L until 400L).foreach { k =>
+      assert(s1(k)._1 === s0(k)._1, s"UPDATE renumbered row $k")
+      if (k % 4 == 1 && k < 100) assert(s1(k)._2 === 2L && s1(k)._3 === "U")
+      else assert(s1(k)._2 === s0(k)._2, s"carried row $k seq changed")
+    }
+    spark.sql("DROP TABLE g.db.lin_pdml")
+  }
+
   test("lineage metadata columns are absent on v2 tables") {
     spark.sql("CREATE TABLE g.db.o_lin2 (k BIGINT)")
     spark.sql("INSERT INTO g.db.o_lin2 VALUES (1), (2)")
