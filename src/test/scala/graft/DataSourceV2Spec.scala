@@ -346,6 +346,40 @@ class DataSourceV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tab.scan.count() === 31)
   }
 
+  test("streaming sink on a v3 table assigns dense row lineage per epoch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val df = mem.toDF().withColumnRenamed("value", "id")
+    val tab0 = catalog.createTable("stream_sink3", Schema.fromSpark(df.schema))
+    tab0.upgradeFormatVersion(3)
+    val tab = catalog.loadTable("stream_sink3")
+    val ckpt = Files.createTempDirectory("sink3-ckpt").toString
+    val q = df.writeStream.format("graft")
+      .option("warehouse", warehouse).option("table", "stream_sink3")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    mem.addData(1L to 10L: _*)
+    q.processAllAvailable()
+    mem.addData(11L to 25L: _*)
+    q.processAllAvailable()
+    q.stop()
+    tab.refresh()
+    // two micro-batch commits = two id ranges, dense and unique overall
+    val rows = tab.scan.toDFWithLineage
+      .select(col("id"), col("_row_id"), col("_last_updated_sequence_number"))
+      .collect()
+    assert(rows.length === 25)
+    assert(rows.map(_.getLong(1)).sorted.toSeq === (0L until 25L),
+      "streaming appends must assign dense unique row ids")
+    assert(tab.metadata.nextRowId === Some(25L))
+    val firstBatch = rows.filter(_.getLong(0) <= 10L).map(_.getLong(2)).toSet
+    val secondBatch = rows.filter(_.getLong(0) > 10L).map(_.getLong(2)).toSet
+    assert(firstBatch.size === 1 && secondBatch.size === 1 &&
+      firstBatch.head < secondBatch.head,
+      "each micro-batch carries its own commit sequence number")
+  }
+
   test("global count/min/max answered from manifest stats (aggregate pushdown)") {
     import graft.spark.GraftAggPushdown
     val t = catalog.createTable("o_v2_agg", Schema.fromSpark(orders.schema))
