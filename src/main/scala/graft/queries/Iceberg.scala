@@ -374,6 +374,73 @@ object Iceberg {
   // bit-identical lineage to the CoW DML path — same oracle
   lazy val rowLineageMorSql: String = rowLineageDmlSql
 
+  /** A/J. CDC keyed by ROW IDENTITY (v3 lineage × time travel — an
+    * extension no snapshot-diff changelog can express): diff two
+    * snapshots by `_row_id`, classifying each row as insert (id only in
+    * the new state), delete (only in the old), update (both, content
+    * differs) — the "what changed between dataset versions" question a
+    * training-data pipeline asks, robust to rows MOVING between files
+    * (compaction between the snapshots must produce zero changes, which
+    * position-based diffs get wrong). The oracle re-derives ids from
+    * append order and replays the DML in SQL. */
+  def lineageCdc(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val cat = s"glin${sqlCatSeq.incrementAndGet()}"
+    val whDir = Files.createTempDirectory("graft_lincdc").toString
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", whDir)
+    val tab = new graft.catalog.HadoopCatalog(whDir, s)
+      .createTable("db.orders", Schema.fromSpark(orders.schema),
+        properties = Map("format-version" -> "3"))
+    val sorted = orders.repartition(1).sortWithinPartitions("o_orderkey")
+    tab.append(sorted.filter(col("o_orderkey") % 2 === 1)) // seq 1
+    tab.append(sorted.filter(col("o_orderkey") % 2 === 0)) // seq 2
+    val baseSnap = tab.refresh().metadata.currentSnapshotId.get
+    // a compaction BETWEEN the snapshots: rows move files, ids must not —
+    // the diff below must see exactly the DML, not the rewrite
+    s.sql(s"""UPDATE $cat.db.orders
+             |SET o_orderstatus = concat(o_orderstatus, 'X')
+             |WHERE o_totalprice > 200000""".stripMargin)
+    val (rew, _) = tab.refresh().rewriteDataFiles(1L << 30)
+    require(rew > 0, "compaction must actually rewrite")
+    s.sql(s"DELETE FROM $cat.db.orders WHERE o_orderkey % 7 = 3")
+
+    val rel = tab.refresh()
+    val idc = col(graft.core.RowLineage.RowIdName)
+    def lin(sc: graft.table.IceScan): DataFrame = sc.toDFWithLineage
+      .select(idc.as("rid"), col("o_orderkey"), col("o_orderstatus"))
+    val before = lin(rel.scan.useSnapshot(baseSnap))
+    val after = lin(rel.scan)
+    nonEmpty(before.as("b").join(after.as("a"),
+        col("b.rid") === col("a.rid"), "full_outer")
+      .select(
+        coalesce(col("a.rid"), col("b.rid")).as("rid"),
+        coalesce(col("a.o_orderkey"), col("b.o_orderkey")).as("o_orderkey"),
+        when(col("b.rid").isNull, "insert")
+          .when(col("a.rid").isNull, "delete")
+          .when(not(col("a.o_orderstatus") <=> col("b.o_orderstatus")), "update")
+          .otherwise("unchanged").as("change_type"))
+      .filter(col("change_type") =!= "unchanged")
+      .orderBy(col("rid")))
+  }
+  val lineageCdcSql =
+    """WITH odd AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |         row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+      |  FROM orders WHERE o_orderkey % 2 = 1),
+      |cnt AS (SELECT count(*) AS n FROM odd),
+      |evn AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |         (SELECT n FROM cnt) + row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+      |  FROM orders WHERE o_orderkey % 2 = 0),
+      |base AS (SELECT * FROM odd UNION ALL SELECT * FROM evn)
+      |SELECT rid, o_orderkey,
+      |  CASE WHEN o_orderkey % 7 = 3 THEN 'delete'
+      |       WHEN o_totalprice > 200000 THEN 'update' END AS change_type
+      |FROM base
+      |WHERE o_orderkey % 7 = 3 OR o_totalprice > 200000
+      |ORDER BY rid""".stripMargin
+
   val rowLineageDmlSql =
     """WITH odd AS (
       |  SELECT o_orderkey, o_orderstatus, o_totalprice,
@@ -1280,6 +1347,7 @@ object Iceberg {
     "ice_lineage_sql" -> (rowLineageSqlFace _),
     "ice_lineage_dml" -> (rowLineageDml _),
     "ice_lineage_mor" -> (rowLineageMor _),
+    "ice_lineage_cdc" -> (lineageCdc _),
     "ice_equality_deletes" -> (equalityDeletes _),
     "ice_dsv2_scan" -> (dsv2Scan _),
     "ice_dsv2_agg" -> (dsv2AggPushdown _),
@@ -1334,6 +1402,7 @@ object Iceberg {
     "ice_lineage_sql" -> rowLineageSqlFaceSql,
     "ice_lineage_dml" -> rowLineageDmlSql,
     "ice_lineage_mor" -> rowLineageMorSql,
+    "ice_lineage_cdc" -> lineageCdcSql,
     "ice_equality_deletes" -> equalityDeletesSql,
     "ice_dsv2_scan" -> dsv2ScanSql,
     "ice_dsv2_agg" -> dsv2AggPushdownSql,
