@@ -391,19 +391,23 @@ object Iceberg {
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", whDir)
     val tab = new graft.catalog.HadoopCatalog(whDir, s)
       .createTable("db.orders", Schema.fromSpark(orders.schema),
-        properties = Map("format-version" -> "3"))
+        properties = Map("format-version" -> "3",
+          "write.delete.mode" -> "merge-on-read"))
     val sorted = orders.repartition(1).sortWithinPartitions("o_orderkey")
     tab.append(sorted.filter(col("o_orderkey") % 2 === 1)) // seq 1
     tab.append(sorted.filter(col("o_orderkey") % 2 === 0)) // seq 2
     val baseSnap = tab.refresh().metadata.currentSnapshotId.get
     // a compaction BETWEEN the snapshots: rows move files, ids must not —
-    // the diff below must see exactly the DML, not the rewrite
+    // the diff below must see exactly the DML, not the rewrite. The
+    // delete is MoR (v3 + merge-on-read = a deletion vector, NO rewrite)
+    // and the update is CoW, so BOTH row-masking strategies face the
+    // same diff.
+    val (rew, _) = tab.rewriteDataFiles(1L << 30)
+    require(rew > 0, "compaction must actually rewrite")
+    s.sql(s"DELETE FROM $cat.db.orders WHERE o_orderkey % 7 = 3")
     s.sql(s"""UPDATE $cat.db.orders
              |SET o_orderstatus = concat(o_orderstatus, 'X')
              |WHERE o_totalprice > 200000""".stripMargin)
-    val (rew, _) = tab.refresh().rewriteDataFiles(1L << 30)
-    require(rew > 0, "compaction must actually rewrite")
-    s.sql(s"DELETE FROM $cat.db.orders WHERE o_orderkey % 7 = 3")
 
     val rel = tab.refresh()
     val idc = col(graft.core.RowLineage.RowIdName)
