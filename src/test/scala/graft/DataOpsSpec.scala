@@ -397,6 +397,26 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.isNullAt(0))
   }
 
+  test("gram_hashes is BYTE-defined: non-ASCII grams hash their UTF-8 byte windows") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.SlidingMinFunctions.gram_hashes
+    // 'é' is 2 UTF-8 bytes: "été" = 5 bytes → 5-3+1 = 3 byte-grams of
+    // k=3, whereas the char-substr form would produce 1 gram of 3 CHARS.
+    // The kernel's byte semantics are intentional (one definition shared
+    // by engine and oracle export); this pins gram COUNT and value
+    // against a hand-computed xxhash64 over the byte windows.
+    val df = spark.createDataFrame(Seq((1L, "été"))).toDF("id", "s")
+    val got = df.select(gram_hashes(col("s"), 3).as("h"))
+      .head().getSeq[Long](0)
+    assert(got.length === 3, "5 UTF-8 bytes with k=3 must yield 3 byte-grams")
+    val bytes = "été".getBytes("UTF-8")
+    val want = (0 to 2).map { i =>
+      org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + i, 3, 42L)
+    }
+    assert(got === want)
+  }
+
   test("run_repetition equals brute-force multiplicity sum") {
     import org.apache.spark.sql.functions._
     import graft.functions.SlidingMinFunctions.run_repetition

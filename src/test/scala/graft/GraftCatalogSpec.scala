@@ -315,6 +315,31 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE g.db.o_mor3")
   }
 
+  test("v3 merge-on-read SQL DELETE writes deletion vectors over ORC data files") {
+    spark.sql("""CREATE TABLE g.db.o_morc (k BIGINT, v STRING)
+      TBLPROPERTIES ('format-version'='3',
+                     'write.format.default'='orc',
+                     'write.delete.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO g.db.o_morc SELECT id, concat('v', id) FROM range(300)")
+    val t = new HadoopCatalog(warehouse, spark).loadTable("db.o_morc")
+    val before = new graft.table.IceScan(t).planFiles()
+    assert(before.forall(_.file.fileFormat.equalsIgnoreCase("ORC")),
+      "fixture must actually write ORC data files")
+    spark.sql("DELETE FROM g.db.o_morc WHERE k % 5 = 2")
+    t.refresh()
+    val tasks = new graft.table.IceScan(t).planFiles()
+    assert(before.map(_.file.filePath).toSet.subsetOf(tasks.map(_.file.filePath).toSet),
+      "MoR DELETE must not rewrite the ORC files")
+    val dels = tasks.flatMap(_.deletes)
+    assert(dels.nonEmpty && dels.forall(_.isDeletionVector))
+    assert(spark.sql("SELECT count(*) FROM g.db.o_morc").head.getLong(0) === 240)
+    // lineage still serves the ORC survivors through the DV mask
+    val ids = spark.sql("SELECT _row_id FROM g.db.o_morc")
+      .collect().map(_.getLong(0))
+    assert(ids.length === 240 && ids.distinct.length === 240)
+    spark.sql("DROP TABLE g.db.o_morc")
+  }
+
   test("merge-on-read UPDATE composes with outstanding deletes and stacks") {
     spark.sql("""CREATE TABLE g.db.o_mor_s (
         o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
