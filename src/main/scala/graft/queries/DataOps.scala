@@ -2037,11 +2037,15 @@ object DataOps {
     // excluded by the same n >= 2 filter that excluded its empty array
     // before.
     import graft.functions.SlidingMinFunctions.{gram_hashes, run_repetition}
+    // the n >= 2 gate is expressed on BYTE LENGTH before hashing (n =
+    // octet_length - 2 for texts past k bytes, so n >= 2 ⇔ bytes >= 4):
+    // a filter on size(h) gets pushed beneath the projection and
+    // re-inlines the gram-hash expression — every document hashed twice
     val per = docs
+      .filter(octet_length(col("text")) >= 4)
       .select(col("doc_id"), gram_hashes(col("text"), 3).as("h"))
       .select(col("doc_id"), size(col("h")).cast("long").as("n"),
         run_repetition(col("h")).as("rep"))
-      .filter(col("n") >= 2)
     nonEmpty(per
       .withColumn("simpson",
         col("rep").cast("double") / (col("n") * (col("n") - 1L)).cast("double"))
