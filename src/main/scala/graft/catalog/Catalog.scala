@@ -2,7 +2,7 @@ package graft.catalog
 
 import java.util.UUID
 
-import graft.core.Schema
+import graft.core.{RowLineage, Schema}
 import graft.meta._
 import graft.table.IceTable
 import graft.view.{SqlViewRepresentation, View, ViewHistoryEntry, ViewMetadata, ViewMetadataJson, ViewVersion}
@@ -71,6 +71,7 @@ trait Catalog {
       case Some(v) =>
         val fv = v.toInt
         require(fv >= 1 && fv <= 3, s"Unsupported format version $v")
+        if (fv >= 3) RowLineage.requireNoReservedNames(meta.schema)
         meta.copy(formatVersion = fv,
           properties = meta.properties - "format-version",
           nextRowId = if (fv >= 3) Some(0L) else None)

@@ -24,4 +24,17 @@ object RowLineage {
     * a v3 rewrite that materializes lineage. */
   def augment(schema: Schema): Schema =
     Schema(schema.fields ++ fields, schema.schemaId)
+
+  val ReservedNames: Set[String] = Set(RowIdName, LastUpdatedName)
+
+  /** v3 reserves the lineage column names at the TOP level of the table
+    * schema (they are served as metadata columns and written as reserved
+    * physical columns by rewrites — a user column with the same name
+    * would be ambiguous on both faces). Enforced at v3 creation, at
+    * upgrade-to-v3, and on every v3 schema evolution. */
+  def requireNoReservedNames(schema: Schema): Unit = {
+    val bad = schema.fields.map(_.name).filter(ReservedNames)
+    require(bad.isEmpty,
+      s"Column name(s) reserved for v3 row lineage: ${bad.mkString(", ")}")
+  }
 }

@@ -216,6 +216,8 @@ final class SchemaUpdate(table: IceTable) {
     val newSchema = Schema(fields,
       schemaId = table.metadata.schemas.map(_.schemaId).max + 1,
       identifierFieldIds = identifierIds)
+    if (table.metadata.formatVersion >= 3)
+      RowLineage.requireNoReservedNames(newSchema)
     table.commitMetadata { m =>
       m.copy(
         schemas = m.schemas :+ newSchema,

@@ -94,6 +94,7 @@ class IceTable(
     if (v == m.formatVersion) m
     else if (v < 3 || m.formatVersion >= 3) m.copy(formatVersion = v)
     else {
+      RowLineage.requireNoReservedNames(m.schema)
       // v3 upgrade: assign first-row-id to every data manifest of the
       // CURRENT snapshot that lacks one (spec §Row Lineage — a v3
       // manifest list carries first-row-id for every data manifest), so

@@ -389,6 +389,28 @@ class RowLineageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_._2).sorted.toSeq === (0L until 10L))
   }
 
+  test("v3 reserves the lineage column names (create / upgrade / evolution)") {
+    val clash = Schema(Seq(
+      NestedField(1, "k", ILong, required = false),
+      NestedField(2, "_row_id", ILong, required = false)))
+    // creating a v3 table with the reserved name fails typed
+    val e1 = intercept[IllegalArgumentException](
+      catalog.createTable("lin_resv1", clash,
+        properties = Map("format-version" -> "3")))
+    assert(e1.getMessage.contains("_row_id"))
+    // upgrading a v2 table that holds the name fails typed
+    val t2 = catalog.createTable("lin_resv2", clash)
+    val e2 = intercept[IllegalArgumentException](t2.upgradeFormatVersion(3))
+    assert(e2.getMessage.contains("_row_id"))
+    // evolving the name INTO a v3 table fails typed; v2 allows it
+    val t3 = catalog.createTable("lin_resv3",
+      Schema(Seq(NestedField(1, "k", ILong, required = false))),
+      properties = Map("format-version" -> "3"))
+    val e3 = intercept[IllegalArgumentException](
+      t3.updateSchema.addColumn("_last_updated_sequence_number", ILong).commit())
+    assert(e3.getMessage.contains("_last_updated_sequence_number"))
+  }
+
   test("v2 tables reject lineage scans typed") {
     val t = catalog.createTable("lin_v2", Schema.fromSpark(orders.schema))
     t.append(orders.limit(10))
