@@ -107,28 +107,77 @@ object Bench {
         // ratio suspects FIRST so the cap can never drop them (the whole
         // point of ratio selection is catching suite-noise regressions
         // outside the top-K absolute); cap grows with the suspect count
-        (byRatio ++ byAbs).distinct.take((isolateK + byRatio.size).min(15))
+        (byRatio ++ byAbs).distinct
+          .take(math.max(byRatio.size, (isolateK + byRatio.size).min(15)))
       }
-    val isolated: Seq[(String, Double)] = suspects.flatMap { name =>
-      spark.stop()
-      spark = mkSession()
-      try SparkEntry.queries("count_star")(spark, sfDir).count() catch { case _: Throwable => }
-      val fn = SparkEntry.queries(name)
-      // per-rep success tracking, like the main loop: a query that fails
-      // only under a fresh context must not record a bogus near-zero time
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch {
-          case e: Throwable =>
-            System.err.println(s"BENCH ISOLATED FAILURE in $name: $e")
+    // fresh-JVM isolation (r12): the r11 in-JVM isolated re-runs were
+    // themselves load-poisoned — a fresh SparkContext in the SAME JVM
+    // right after the 126-query suite recorded 4.20s for a query a
+    // genuinely fresh session measures at 1.94s (heap fragmentation,
+    // codegen-cache pressure, and box heat all survive a context
+    // restart). Each suspect now gets its OWN child JVM, forked with this
+    // JVM's exact arguments (add-opens, -Xmx, spark props) after the
+    // suite session has fully stopped, so "isolated" matches what a
+    // single-query `sbt runMain` would measure. The child is Bench
+    // itself with SPARK_GRAFT_ONLY=<name> and isolation disabled; its
+    // best-of-reps number is read back from its full-artifact file.
+    val isolated: Seq[(String, Double)] =
+      if (suspects.isEmpty) Nil
+      else {
+        spark.stop()
+        val cooldownMs =
+          sys.env.getOrElse("SPARK_GRAFT_ISOLATE_COOLDOWN_MS", "5000").toLong
+        Thread.sleep(cooldownMs) // let suite shutdown + box load settle
+        import scala.jdk.CollectionConverters._
+        val javaBin = java.nio.file.Paths
+          .get(sys.props("java.home"), "bin", "java").toString
+        val jvmArgs = java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getInputArguments.asScala.toSeq
+        val cp = sys.props("java.class.path")
+        suspects.flatMap { name =>
+          val out = java.nio.file.Files.createTempFile("bench-iso-", ".json")
+          java.nio.file.Files.delete(out) // child must see it absent (prior-parse)
+          val pb = new ProcessBuilder(
+            (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava)
+          val env = pb.environment()
+          env.put("SPARK_GRAFT_ONLY", name)
+          env.put("SPARK_GRAFT_ISOLATE", "0")
+          env.put("SPARK_GRAFT_REPS", reps.toString)
+          env.put("SPARK_GRAFT_SF_DIR", sfDir)
+          env.put("SPARK_GRAFT_CPUS", cpus)
+          env.put("SPARK_GRAFT_FULL_OUT", out.toString)
+          env.put("SPARK_GRAFT_SUMMARY_OUT", out.toString + ".summary")
+          // child stdout would violate the parent's last-line-JSON
+          // contract; its numbers come back through the artifact file
+          pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+          pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+          val p = pb.start()
+          val done = p.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
+          if (!done) { p.destroyForcibly(); p.waitFor() }
+          val t: Option[Double] =
+            if (!done || p.exitValue() != 0) None
+            else try {
+              import org.json4s._
+              import org.json4s.jackson.JsonMethods
+              JsonMethods.parse(new String(
+                  java.nio.file.Files.readAllBytes(out))) \ "queries" \ name match {
+                case JDouble(v) => Some(v)
+                case JInt(v) => Some(v.toDouble)
+                case _ => None
+              }
+            } catch { case _: Throwable => None }
+          if (t.isEmpty) {
+            System.err.println(s"BENCH ISOLATED FAILURE in $name (fresh-JVM child)")
             if (!failed.contains(name)) failed ::= name
-            false
+          }
+          try {
+            java.nio.file.Files.deleteIfExists(out)
+            java.nio.file.Files.deleteIfExists(
+              java.nio.file.Paths.get(out.toString + ".summary"))
+          } catch { case _: Throwable => }
+          t.map(name -> _)
         }
-        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      val good = times.filter(_._2).map(_._1)
-      if (good.isEmpty) None else Some(name -> good.min)
-    }
     // locale-fixed: under a comma-decimal default locale f"%.3f" would
     // emit invalid JSON into both artifacts
     def fmt(v: Double): String =
@@ -139,7 +188,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"isolated":$iso,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"isolated":$iso,"isolation_mode":"fresh-jvm","sf":"$sfDir"}"""
     java.nio.file.Files.write(fullPath, full.getBytes("UTF-8"))
     println(full)
     // the driver records only the final ~2000 chars of output and parses
@@ -152,7 +201,7 @@ object Bench {
     val top = results.toSeq.sortBy(-_._2).take(25)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val summary =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"full":"${fullPath.toString}","queries":$top,"isolated":$iso}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"full":"${fullPath.toString}","queries":$top,"isolated":$iso,"isolation_mode":"fresh-jvm"}"""
     val summaryPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_SUMMARY_OUT", "BENCH_SUMMARY.json"))
     java.nio.file.Files.write(summaryPath, summary.getBytes("UTF-8"))

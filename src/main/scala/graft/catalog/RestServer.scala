@@ -408,6 +408,13 @@ final class RestCatalogServer(
     val location = Option(req.get("location")).filterNot(_.isNull).map(_.asText())
       .getOrElse(s"$warehouse/${name.replace('.', '/')}")
     val fv = props.get("format-version").map(_.toInt).getOrElse(2)
+    // mirror Catalog.applyFormatVersion: bound the version and reject user
+    // columns shadowing the v3 lineage metadata names — a REST create must
+    // not be a back door around the create/upgrade/evolution guard
+    if (fv < 1 || fv > 3) fail(400, "ValidationException", s"Unsupported format version $fv")
+    if (fv >= 3) try graft.core.RowLineage.requireNoReservedNames(schema) catch {
+      case e: IllegalArgumentException => fail(400, "ValidationException", e.getMessage)
+    }
     val meta = TableMetadata(
       formatVersion = fv,
       // v3 spec requires next-row-id from creation (row lineage starts at

@@ -44,6 +44,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     catalogName = name
     val wh = options.get("warehouse")
     val spark = org.apache.spark.sql.SparkSession.active
+    // SQL DML against this catalog benefits from the UPDATE-assignment
+    // capture (prunes the CoW lineage diff to assigned columns)
+    AssignedColumnsRule.install(spark)
     catalog = Option(options.get("uri")) match {
       case Some(http) if http.startsWith("http://") || http.startsWith("https://") =>
         // REST catalog: warehouse comes from the server's config handshake.

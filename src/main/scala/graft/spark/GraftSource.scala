@@ -324,6 +324,11 @@ class GraftRowLevelOperation(table: IceTable,
     * commit to learn the copy-on-write replacement group. */
   @volatile private[spark] var configuredScan: GraftScan = _
 
+  /** Data columns the command's SET clause assigns, stamped by
+    * [[AssignedColumnsRule]] during optimization of the ReplaceData plan
+    * (UPDATE only); `None` → the lineage diff compares every column. */
+  @volatile private[spark] var assignedDataColumns: Option[Seq[String]] = None
+
   override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -429,18 +434,42 @@ class GraftReplaceDataWrite(table: IceTable, op: GraftRowLevelOperation,
           else {
             import org.apache.spark.sql.functions.{col, lit, when}
             val dataCols = table.schema.fields.map(_.name)
+            // UPDATE can only change SET-assigned columns, so the diff
+            // re-reads and compares JUST those (AssignedColumnsRule stamps
+            // them during optimization); MERGE and any unrecognized plan
+            // shape fall back to the full width. On a wide table this is
+            // the difference between re-reading two columns and re-reading
+            // a hundred for every CoW UPDATE.
+            val dataColSet = dataCols.toSet
+            val diffCols = op.assignedDataColumns
+              .map(a => dataCols.filter(a.filter(dataColSet).toSet))
+              .filter(_.nonEmpty)
+              .getOrElse(dataCols.toSeq)
             val idName = graft.core.RowLineage.RowIdName
             val seqName = graft.core.RowLineage.LastUpdatedName
-            val orig = table.lineageScanForTasks(tasks).select(
-              (col(idName).as("__oid") +:
-                dataCols.map(c => col(c).as(s"__o_$c"))): _*)
-            val unchanged = dataCols.map(c => col(c) <=> col(s"__o_$c"))
+            // shrink the diff's BUILD side to rows that can have changed:
+            // only rows matching the command's condition are rewritten
+            // with new content, and the scan's pushed filter is always a
+            // weaker-or-equal conjunct subset of that condition — so
+            // filtering the original read by it keeps a SUPERSET of the
+            // changed rows (extra rows compare equal → keep their seq).
+            // A selective UPDATE then BROADCASTS a small original side
+            // instead of shuffling both full scans into the join.
+            val matchedOnly = try ToColumn(
+              graft.core.Binder.bind(table.schema, scan.planExpr)) catch {
+              case _: Exception => lit(true) // unpushable shape: full diff
+            }
+            val orig = table.lineageScanForTasks(tasks)
+              .filter(matchedOnly)
+              .select((col(idName).as("__oid") +:
+                diffCols.map(c => col(c).as(s"__o_$c"))): _*)
+            val unchanged = diffCols.map(c => col(c) <=> col(s"__o_$c"))
               .reduceOption(_ && _).getOrElse(lit(true))
             named0.join(orig, named0(idName) === orig("__oid"), "left")
               .withColumn(seqName,
                 when(col("__oid").isNull || unchanged, col(seqName))
                   .otherwise(lit(null).cast("long")))
-              .drop("__oid").drop(dataCols.map(c => s"__o_$c"): _*)
+              .drop("__oid").drop(diffCols.map(c => s"__o_$c"): _*)
           }
         table.refresh()
         table.replaceFiles(removed, named,

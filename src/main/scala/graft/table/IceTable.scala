@@ -120,7 +120,7 @@ class IceTable(
           if (assigned == mfs) m.snapshots
           else {
             val path = s"$location/metadata/snap-${cur.snapshotId}-v3-${UUID.randomUUID()}.avro"
-            ManifestIO.writeManifestList(path, assigned,
+            ManifestIO.writeManifestList(path, assigned, avroCodec,
               snapshotId = Some(cur.snapshotId),
               parentSnapshotId = cur.parentSnapshotId,
               sequenceNumber = Some(cur.sequenceNumber))

@@ -389,6 +389,31 @@ class RowLineageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_._2).sorted.toSeq === (0L until 10L))
   }
 
+  test("UPDATE's lineage diff prunes to SET-assigned columns (rule capture)") {
+    // AssignedColumnsRule stamps the SET targets onto the operation so
+    // the CoW content diff re-reads only (_row_id + assigned columns);
+    // the capture must name exactly the assigned data column, and the
+    // pruned diff must still bump seq for changed rows only
+    val s = spark
+    s.conf.set("spark.sql.catalog.glin_p", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.glin_p.warehouse", warehouse)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS glin_p.db")
+    s.sql("""CREATE TABLE glin_p.db.prune_upd (k BIGINT, a STRING, b STRING)
+      TBLPROPERTIES ('format-version'='3')""")
+    s.sql("INSERT INTO glin_p.db.prune_upd SELECT id, 'x', 'y' FROM range(10)")
+    graft.spark.AssignedColumnsRule.lastCaptured = None
+    s.sql("UPDATE glin_p.db.prune_upd SET b = 'z' WHERE k >= 5")
+    val captured = graft.spark.AssignedColumnsRule.lastCaptured
+    assert(captured.isDefined, "rule must capture UPDATE assignments")
+    assert(captured.get.filter(Set("k", "a", "b")) === Seq("b"),
+      s"capture must name exactly the assigned data column, got $captured")
+    val rows = s.sql(
+      "SELECT k, b, _last_updated_sequence_number FROM glin_p.db.prune_upd")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.filter(_._1 >= 5).forall(r => r._2 == "z" && r._3 == 2L))
+    assert(rows.filter(_._1 < 5).forall(r => r._2 == "y" && r._3 == 1L))
+  }
+
   test("v3 reserves the lineage column names (create / upgrade / evolution)") {
     val clash = Schema(Seq(
       NestedField(1, "k", ILong, required = false),
