@@ -445,6 +445,66 @@ object Iceberg {
       |WHERE o_orderkey % 7 = 3 OR o_totalprice > 200000
       |ORDER BY rid""".stripMargin
 
+  /** J. STREAMING row-identity CDC (v3 lineage driven as micro-batches
+    * — the incremental face of `ice_lineage_cdc`): two polls of
+    * [[graft.streaming.TableChanges.pollLineageCdc]], one after a MoR
+    * DELETE, one after a CoW UPDATE, with a compaction interposed before
+    * the first poll — rewritten rows keep `_row_id` AND
+    * `_last_updated_sequence_number`, so the compaction contributes ZERO
+    * rows to either batch. The oracle replays the DML per batch from
+    * append order. This is what lets an incremental dedup /
+    * decontamination pipeline re-process only changed rows. */
+  def streamLineageCdc(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val cat = s"glinstr${sqlCatSeq.incrementAndGet()}"
+    val whDir = Files.createTempDirectory("graft_lincdc_stream").toString
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", whDir)
+    val tab = new graft.catalog.HadoopCatalog(whDir, s)
+      .createTable("db.orders", Schema.fromSpark(orders.schema),
+        properties = Map("format-version" -> "3",
+          "write.delete.mode" -> "merge-on-read"))
+    val sorted = orders.repartition(1).sortWithinPartitions("o_orderkey")
+    tab.append(sorted.filter(col("o_orderkey") % 2 === 1)) // seq 1
+    tab.append(sorted.filter(col("o_orderkey") % 2 === 0)) // seq 2
+    val baseSnap = tab.refresh().metadata.currentSnapshotId.get
+    // compaction between the cursor and the first poll: rows move files,
+    // identities must not — zero phantom changes in batch 1
+    val (rew, _) = tab.rewriteDataFiles(1L << 30)
+    require(rew > 0, "compaction must actually rewrite")
+    s.sql(s"DELETE FROM $cat.db.orders WHERE o_orderkey % 7 = 3") // MoR: DV
+    val (b1, cur1) = graft.streaming.TableChanges.pollLineageCdc(
+      tab.refresh(), Some(baseSnap))
+    s.sql(s"""UPDATE $cat.db.orders
+             |SET o_orderstatus = concat(o_orderstatus, 'X')
+             |WHERE o_totalprice > 200000""".stripMargin) // CoW rewrite
+    val (b2, _) = graft.streaming.TableChanges.pollLineageCdc(
+      tab.refresh(), cur1)
+    def shape(df: DataFrame, batch: Int): DataFrame =
+      df.select(lit(batch).as("batch"),
+        col(graft.core.RowLineage.RowIdName).as("rid"),
+        col("o_orderkey"), col("_change_type").as("change_type"))
+    nonEmpty(shape(b1, 1).unionByName(shape(b2, 2))
+      .orderBy(col("batch"), col("rid")))
+  }
+  val streamLineageCdcSql =
+    """WITH odd AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |         row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+      |  FROM orders WHERE o_orderkey % 2 = 1),
+      |cnt AS (SELECT count(*) AS n FROM odd),
+      |evn AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |         (SELECT n FROM cnt) + row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+      |  FROM orders WHERE o_orderkey % 2 = 0),
+      |base AS (SELECT * FROM odd UNION ALL SELECT * FROM evn)
+      |SELECT 1 AS batch, rid, o_orderkey, 'delete' AS change_type
+      |FROM base WHERE o_orderkey % 7 = 3
+      |UNION ALL
+      |SELECT 2 AS batch, rid, o_orderkey, 'update' AS change_type
+      |FROM base WHERE o_totalprice > 200000 AND NOT (o_orderkey % 7 = 3)
+      |ORDER BY batch, rid""".stripMargin
+
   val rowLineageDmlSql =
     """WITH odd AS (
       |  SELECT o_orderkey, o_orderstatus, o_totalprice,
@@ -1352,6 +1412,7 @@ object Iceberg {
     "ice_lineage_dml" -> (rowLineageDml _),
     "ice_lineage_mor" -> (rowLineageMor _),
     "ice_lineage_cdc" -> (lineageCdc _),
+    "stream_lineage_cdc" -> (streamLineageCdc _),
     "ice_equality_deletes" -> (equalityDeletes _),
     "ice_dsv2_scan" -> (dsv2Scan _),
     "ice_dsv2_agg" -> (dsv2AggPushdown _),
@@ -1407,6 +1468,7 @@ object Iceberg {
     "ice_lineage_dml" -> rowLineageDmlSql,
     "ice_lineage_mor" -> rowLineageMorSql,
     "ice_lineage_cdc" -> lineageCdcSql,
+    "stream_lineage_cdc" -> streamLineageCdcSql,
     "ice_equality_deletes" -> equalityDeletesSql,
     "ice_dsv2_scan" -> dsv2ScanSql,
     "ice_dsv2_agg" -> dsv2AggPushdownSql,

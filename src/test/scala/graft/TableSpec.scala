@@ -1045,6 +1045,53 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TableChanges.poll(t, None)._1.count() === orders.count())
   }
 
+  test("lineage CDC poll: row-identity micro-batches; compaction mid-stream " +
+      "contributes zero phantom changes") {
+    import graft.streaming.TableChanges
+    val t = catalog.createTable("t_lincdc", Schema.fromSpark(orders.schema),
+      properties = Map("format-version" -> "3"))
+    t.append(orders.filter(col("o_orderkey") % 2 === 1))
+    t.append(orders.filter(col("o_orderkey") % 2 === 0))
+    // initial poll (no cursor): the whole table as inserts
+    val (all, c1) = TableChanges.pollLineageCdc(t, None)
+    assert(all.filter(col("_change_type") === "insert").count() === orders.count())
+    // compaction between polls: rows move files, identities must not
+    val (rew, _) = t.rewriteDataFiles(1L << 30)
+    assert(rew > 0)
+    val (b2, c2) = TableChanges.pollLineageCdc(t, c1)
+    assert(b2.count() === 0,
+      "a compaction-only range must produce zero row-identity changes")
+    assert(c2 === t.metadata.currentSnapshotId, "cursor advances past the rewrite")
+    // one micro-batch carrying all three change types: a DV delete, a
+    // CoW upsert of one changed row, and a brand-new key
+    val keys = orders.select("o_orderkey").orderBy("o_orderkey")
+      .collect().map(_.getLong(0))
+    val delK = keys(keys.length / 10)
+    val updK = keys(keys.length / 2)
+    t.deleteAsDeletionVector(s"o_orderkey < $delK")
+    val newK = keys.last + 1000
+    val src = orders.filter(col("o_orderkey") === updK)
+      .withColumn("o_orderstatus", lit("Z"))
+      .unionByName(orders.filter(col("o_orderkey") === keys.last)
+        .withColumn("o_orderkey", lit(newK)))
+    t.upsert(src, Seq("o_orderkey"))
+    val (b3, _) = TableChanges.pollLineageCdc(t, c2)
+    val byType = b3.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wantDel = orders.filter(col("o_orderkey") < delK).count()
+    assert(byType.getOrElse("delete", 0L) === wantDel, s"got $byType")
+    assert(byType.getOrElse("update", 0L) === 1L, s"got $byType")
+    assert(byType.getOrElse("insert", 0L) === 1L, s"got $byType")
+    val upd = b3.filter(col("_change_type") === "update").head()
+    assert(upd.getAs[Long]("o_orderkey") === updK)
+    assert(upd.getAs[String]("o_orderstatus") === "Z")
+    assert(b3.filter(col("_change_type") === "insert")
+      .head().getAs[Long]("o_orderkey") === newK)
+    // deleted rows carry their content as of the cursor state
+    assert(b3.filter(col("_change_type") === "delete")
+      .agg(max(col("o_orderkey"))).head().getLong(0) < delK)
+  }
+
   test("sorted writes record the sort order and sort within files") {
     val t = catalog.createTable("t_sorted", Schema.fromSpark(orders.schema))
     t.replaceSortOrder("o_orderkey" -> "asc")
