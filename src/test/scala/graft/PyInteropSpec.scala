@@ -119,6 +119,38 @@ class PyInteropSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the reference did not apply our deletion vectors")
   }
 
+  test("pyiceberg reads a graft v3 table created THROUGH the REST catalog") {
+    assume(pythonUsable, "pyiceberg not importable in this environment")
+    // closes the loop on the REST create path: the server must stamp v3
+    // metadata (next-row-id, bounded format-version) that the REFERENCE
+    // parses, and DV commits driven through REST round-trips must apply
+    val rwh = Files.createTempDirectory("graft-pyint-rest").toString
+    val server = new graft.catalog.RestCatalogServer(rwh).start()
+    try {
+      val rcat = new graft.catalog.RestCatalog(server.uri, spark)
+      rcat.createNamespace("db")
+      val t = rcat.createTable("db.py_rest_v3", Schema.fromSpark(orders.schema),
+        properties = Map("format-version" -> "3"))
+      t.append(orders.limit(500))
+      t.deleteAsDeletionVector("o_orderkey <= 100")
+      val rel = rcat.loadTable("db.py_rest_v3")
+      assert(rel.metadata.formatVersion === 3)
+      assert(rel.metadata.nextRowId.exists(_ >= 500L),
+        "REST-created v3 table must track next-row-id through commits")
+      val expected = rel.scan.toDF.count()
+      assert(expected < 500L)
+      // REST metadata files are rest-v<N>-<uuid>.metadata.json
+      val metaDir = Paths.get(s"$rwh/db/py_rest_v3/metadata")
+      import scala.jdk.CollectionConverters._
+      val latest = Files.list(metaDir).iterator().asScala
+        .map(_.toString).filter(_.endsWith(".metadata.json"))
+        .maxBy(p => Files.getLastModifiedTime(Paths.get(p)).toMillis)
+      val (rows, _) = pyRead(latest, "o_orderkey")
+      assert(rows === expected,
+        "the reference could not read the REST-created v3 table")
+    } finally server.stop()
+  }
+
   test("pyiceberg reads a graft table after v3 merge-on-read SQL UPDATE + DELETE") {
     assume(pythonUsable, "pyiceberg not importable in this environment")
     // the delta SQL path: UPDATE masks matched rows with a DV and
