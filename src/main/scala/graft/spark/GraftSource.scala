@@ -430,21 +430,22 @@ class GraftReplaceDataWrite(table: IceTable, op: GraftRowLevelOperation,
         // (inherits the commit's sequence number). DELETE only carries
         // rows, so it skips the diff.
         import org.apache.spark.sql.connector.write.RowLevelOperation.Command
-        val named = if (!lineage || op.cmd == Command.DELETE || files.isEmpty) named0
+        // UPDATE/MERGE can only change assigned columns, so the diff
+        // re-reads and compares JUST those (AssignedColumnsRule stamps
+        // them during optimization; unrecognized plan shapes fall back
+        // to the full width). On a wide table this is the difference
+        // between re-reading two columns and re-reading a hundred for
+        // every CoW UPDATE. A provably assignment-free command
+        // (delete/insert-only MERGE, no-op SET c = c) skips the diff
+        // read entirely — carried rows keep their metadata as delivered.
+        val dataCols = table.schema.fields.map(_.name)
+        val diffColsOpt: Option[Seq[String]] =
+          op.assignedDataColumns.map(a => dataCols.filter(a.toSet).toSeq)
+        val named = if (!lineage || op.cmd == Command.DELETE || files.isEmpty ||
+            diffColsOpt.contains(Nil)) named0
           else {
             import org.apache.spark.sql.functions.{col, lit, when}
-            val dataCols = table.schema.fields.map(_.name)
-            // UPDATE can only change SET-assigned columns, so the diff
-            // re-reads and compares JUST those (AssignedColumnsRule stamps
-            // them during optimization); MERGE and any unrecognized plan
-            // shape fall back to the full width. On a wide table this is
-            // the difference between re-reading two columns and re-reading
-            // a hundred for every CoW UPDATE.
-            val dataColSet = dataCols.toSet
-            val diffCols = op.assignedDataColumns
-              .map(a => dataCols.filter(a.filter(dataColSet).toSet))
-              .filter(_.nonEmpty)
-              .getOrElse(dataCols.toSeq)
+            val diffCols = diffColsOpt.getOrElse(dataCols.toSeq)
             val idName = graft.core.RowLineage.RowIdName
             val seqName = graft.core.RowLineage.LastUpdatedName
             // shrink the diff's BUILD side to rows that can have changed:

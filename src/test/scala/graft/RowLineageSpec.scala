@@ -414,6 +414,42 @@ class RowLineageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.filter(_._1 < 5).forall(r => r._2 == "y" && r._3 == 1L))
   }
 
+  test("MERGE's lineage diff prunes via Keep-instruction contexts") {
+    // MergeRows' Keep instructions are context-tagged: the rule derives
+    // assigned columns from UPDATE-context outputs vs the Copy
+    // pass-through, so a MERGE assigning one column diffs one column —
+    // and the content-identical-update rule still holds through it
+    val s = spark
+    s.conf.set("spark.sql.catalog.glin_m", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.glin_m.warehouse", warehouse)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS glin_m.db")
+    s.sql("""CREATE TABLE glin_m.db.merge_pr (k BIGINT, a STRING, b STRING)
+      TBLPROPERTIES ('format-version'='3')""")
+    s.sql("INSERT INTO glin_m.db.merge_pr SELECT id, 'x', 'y' FROM range(10)")
+    graft.spark.AssignedColumnsRule.lastCaptured = None
+    s.sql("""MERGE INTO glin_m.db.merge_pr t
+      USING (SELECT id AS k, CASE WHEN id >= 8 THEN 'z' ELSE 'y' END AS nb
+             FROM range(6, 12)) src
+      ON t.k = src.k
+      WHEN MATCHED THEN UPDATE SET b = src.nb
+      WHEN NOT MATCHED THEN INSERT (k, a, b) VALUES (src.k, 'n', src.nb)""")
+    val captured = graft.spark.AssignedColumnsRule.lastCaptured
+    assert(captured.isDefined, "rule must capture MERGE assignments")
+    assert(captured.get.filter(Set("k", "a", "b")) === Seq("b"),
+      s"MERGE capture must name exactly the assigned data column, got $captured")
+    val rows = s.sql(
+      "SELECT k, b, _row_id, _last_updated_sequence_number FROM glin_m.db.merge_pr")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 12)
+    // matched k=6,7: b set to its existing value 'y' → content identical,
+    // seq stays 1; matched k=8,9: b changes to 'z' → seq 2; ids 0..9 keep
+    assert(rows.filter(r => r._1 == 6 || r._1 == 7).forall(r => r._2 == "y" && r._4 == 1L))
+    assert(rows.filter(r => r._1 == 8 || r._1 == 9).forall(r => r._2 == "z" && r._4 == 2L))
+    assert(rows.filter(_._1 < 6).forall(r => r._4 == 1L))
+    assert(rows.filter(_._1 >= 10).forall(r => r._4 == 2L), "inserts take the new seq")
+    assert(rows.filter(_._1 < 10).map(_._3).sorted.toSeq === (0L until 10L))
+  }
+
   test("v3 reserves the lineage column names (create / upgrade / evolution)") {
     val clash = Schema(Seq(
       NestedField(1, "k", ILong, required = false),
