@@ -374,9 +374,6 @@ class GraftReplaceDataWrite(table: IceTable, op: GraftRowLevelOperation,
     with org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
-  private val stagingDir =
-    s"${table.location}/staging/cow-${java.util.UUID.randomUUID()}"
-
   /** On v3, the operation requires `_row_id`/`_last_updated_sequence_number`
     * as metadata attributes; Spark delivers them per-row through the
     * two-arg DataWriter.write, and the staged files carry them as extra
@@ -385,11 +382,48 @@ class GraftReplaceDataWrite(table: IceTable, op: GraftRowLevelOperation,
     * inserts) stage nulls and inherit fresh ids from the new file's
     * first_row_id + position. */
   private val lineage = table.metadata.formatVersion >= 3
-  private val stagingSchema: StructType =
-    if (!lineage) rowSchema
-    else StructType(rowSchema.fields ++ graft.core.RowLineage.fields.map(f =>
-      org.apache.spark.sql.types.StructField(f.name,
-        org.apache.spark.sql.types.LongType)))
+
+  /** Staged schema, with each column's field id attached from the TABLE
+    * schema when types structurally agree (rowSchema is the table schema
+    * positionally — see named0 below — but ids are matched by NAME) so
+    * staged parquet carries ids like every library-written file; lineage
+    * columns take their reserved ids via RowLineage.augment. */
+  private val stagingSchema: StructType = {
+    val idSchema =
+      (if (lineage) graft.core.RowLineage.augment(table.schema) else table.schema).toSpark
+    val byName = idSchema.fields.map(f => f.name -> f).toMap
+    val data = rowSchema.fields.map { sf =>
+      byName.get(sf.name)
+        .filter(t => org.apache.spark.sql.types.DataType
+          .equalsStructurally(t.dataType, sf.dataType, ignoreNullability = true))
+        .getOrElse(sf)
+    }
+    if (!lineage) StructType(data)
+    else StructType(data ++ graft.core.RowLineage.fields.map(f => byName(f.name)))
+  }
+
+  /** Direct commit: when the staged files would be byte-equivalent to
+    * what the second write produces, they ARE the data files — the
+    * rewrite path's full read-back + re-write (2× the write I/O of every
+    * CoW row-level op, the dominant cost at scale) is skipped and the
+    * commit harvests footer stats from the staged files. Capability here
+    * (unpartitioned — a one-file-per-task stage has no partition tuple;
+    * unsorted; parquet; every column id-stamped); whether the COMMAND
+    * allows it (no lineage-diff rewrite pending) is decided in commit().
+    * Capable staged files land under the DATA root so the id-bearing
+    * vectorized read path serves them; an abort deletes the directory,
+    * making the files logically nonexistent either way. */
+  private val directCapable: Boolean =
+    table.spec.fields.isEmpty && table.sortOrderOpt.isEmpty &&
+      table.metadata.properties
+        .getOrElse("write.format.default", "parquet").equalsIgnoreCase("parquet") &&
+      stagingSchema.fields.forall(_.metadata.contains(graft.core.SchemaConv.ParquetFieldIdKey))
+
+  private val stagingDir =
+    if (directCapable)
+      graft.table.Locations.stageDir(table.location,
+        s"cow-${java.util.UUID.randomUUID()}", table.metadata.properties)
+    else s"${table.location}/staging/cow-${java.util.UUID.randomUUID()}"
 
   override def toBatch: BatchWrite = this
 
@@ -400,7 +434,12 @@ class GraftReplaceDataWrite(table: IceTable, op: GraftRowLevelOperation,
       // (_file, _row_id, _last_updated_sequence_number)
       lineageMetaIdx = if (lineage) Array(1, 2) else Array.empty)
 
+  /** Set when the staged files were committed AS data files — cleanup
+    * must then leave the staging directory alone (it is live data). */
+  @volatile private var committedDirect = false
+
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    import org.apache.spark.sql.connector.write.RowLevelOperation.Command
     val files = messages.collect { case StagedFileMessage(p) => p }
     try {
       val scan = op.configuredScan
@@ -413,6 +452,35 @@ class GraftReplaceDataWrite(table: IceTable, op: GraftRowLevelOperation,
         // back to current-snapshot-id for refs-less metadata)
         val base = table.metadata.refs.get(branch.getOrElse("main")).map(_.snapshotId)
           .orElse(if (branch.forall(_ == "main")) table.metadata.currentSnapshotId else None)
+        // UPDATE/MERGE can only change assigned columns
+        // (AssignedColumnsRule stamps them during optimization;
+        // unrecognized plan shapes leave None = full width)
+        val dataCols = table.schema.fields.map(_.name)
+        val diffColsOpt: Option[Seq[String]] =
+          op.assignedDataColumns.map(a => dataCols.filter(a.toSet).toSeq)
+        // diff-free: no lineage rewrite pending (v2; DELETE passes
+        // metadata through untouched; provably assignment-free MERGE)
+        val diffFree = !lineage || op.cmd == Command.DELETE ||
+          diffColsOpt.contains(Nil) || files.isEmpty
+        // diff-free commands on a direct-capable stage: the staged files
+        // ARE the data files — harvest footer stats and commit their
+        // descriptors; no second write, no read-back
+        if (directCapable && diffFree) {
+          val hSchema =
+            if (lineage) graft.core.RowLineage.augment(table.schema) else table.schema
+          val added =
+            if (files.isEmpty) Nil
+            else graft.table.WriteFiles.harvest(table.spark, stagingDir, hSchema,
+              table.spec,
+              graft.table.WriteFiles.metricsModes(hSchema, table.metadata.properties),
+              only = Some(files.map(graft.core.PathUtil.canon).toSet))
+          table.refresh()
+          table.replaceFilesPreStaged(removed, added,
+            conflictFilter = Some(GraftFilters.normalizeLiterals(scan.planExpr)),
+            baseSnapshotId = base, toBranch = branch)
+          committedDirect = files.nonEmpty
+          return
+        }
         val replacement =
           if (files.isEmpty)
             table.spark.createDataFrame(
@@ -428,21 +496,10 @@ class GraftReplaceDataWrite(table: IceTable, op: GraftRowLevelOperation,
         // by CONTENT diff against the pre-command files (one extra read of
         // the rewritten groups only): changed content → seq = null
         // (inherits the commit's sequence number). DELETE only carries
-        // rows, so it skips the diff.
-        import org.apache.spark.sql.connector.write.RowLevelOperation.Command
-        // UPDATE/MERGE can only change assigned columns, so the diff
-        // re-reads and compares JUST those (AssignedColumnsRule stamps
-        // them during optimization; unrecognized plan shapes fall back
-        // to the full width). On a wide table this is the difference
-        // between re-reading two columns and re-reading a hundred for
-        // every CoW UPDATE. A provably assignment-free command
-        // (delete/insert-only MERGE, no-op SET c = c) skips the diff
-        // read entirely — carried rows keep their metadata as delivered.
-        val dataCols = table.schema.fields.map(_.name)
-        val diffColsOpt: Option[Seq[String]] =
-          op.assignedDataColumns.map(a => dataCols.filter(a.toSet).toSeq)
-        val named = if (!lineage || op.cmd == Command.DELETE || files.isEmpty ||
-            diffColsOpt.contains(Nil)) named0
+        // rows, so it skips the diff. The diff is pruned to the
+        // SET-assigned columns — on a wide table this is the difference
+        // between re-reading two columns and re-reading a hundred.
+        val named = if (diffFree) named0
           else {
             import org.apache.spark.sql.functions.{col, lit, when}
             val diffCols = diffColsOpt.getOrElse(dataCols.toSeq)
@@ -478,7 +535,7 @@ class GraftReplaceDataWrite(table: IceTable, op: GraftRowLevelOperation,
           baseSnapshotId = base, toBranch = branch,
           lineageMaterialized = lineage)
       }
-    } finally cleanup()
+    } finally if (!committedDirect) cleanup()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = cleanup()

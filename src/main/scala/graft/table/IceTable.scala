@@ -57,7 +57,7 @@ class IceTable(
   /** The table's default sort order; writes sort within each file so
     * min/max stats tighten and row groups prune (the reference leaves
     * files unsorted with sort_order_id=None, ref io/pyarrow.py:2769). */
-  private[table] def sortOrderOpt: Option[SortOrder] =
+  private[graft] def sortOrderOpt: Option[SortOrder] =
     metadata.sortOrders.find(o => o.orderId == metadata.defaultSortOrderId && o.fields.nonEmpty)
 
   def replaceSortOrder(fields: (String, String)*): Unit =
@@ -390,6 +390,20 @@ class IceTable(
     * the table package (the DSv2 row-level write's updated-row diff). */
   private[graft] def lineageScanForTasks(tasks: Seq[FileScanTask]): DataFrame =
     new IceScan(this).toDFWithLineageForTasks(tasks)
+
+  /** Copy-on-write group replacement where the replacement data files
+    * already exist on disk (the DSv2 write's direct-commit path: staged
+    * per-task files under the data root, footer stats pre-harvested) —
+    * same snapshot semantics as [[replaceFiles]] without the second
+    * write. */
+  private[graft] def replaceFilesPreStaged(removed: Set[String], files: Seq[DataFile],
+      conflictFilter: Option[Expr] = None,
+      baseSnapshotId: Option[Long] = None,
+      toBranch: Option[String] = Some("main")): Unit =
+    commitSnapshot("overwrite", added = files,
+      removedPaths = removed ++ deadDeleteFiles(removed, toBranch),
+      conflictFilter = conflictFilter, baseSnapshotId = baseSnapshotId,
+      toBranch = toBranch)
 
   private[graft] def replaceFiles(removed: Set[String], df: DataFrame,
       conflictFilter: Option[Expr] = None,

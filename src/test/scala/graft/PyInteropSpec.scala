@@ -119,6 +119,28 @@ class PyInteropSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the reference did not apply our deletion vectors")
   }
 
+  test("pyiceberg reads direct-committed CoW DELETE files (staged = final)") {
+    assume(pythonUsable, "pyiceberg not importable in this environment")
+    // the SQL DELETE's per-task staged files are committed AS data files
+    // (no second write); they must carry field ids and stats the
+    // reference accepts like any library-written parquet
+    val s = spark
+    s.conf.set("spark.sql.catalog.gpyd", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gpyd.warehouse", warehouse)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gpyd.db")
+    s.sql("""CREATE TABLE gpyd.db.py_direct (k BIGINT, v STRING)
+      TBLPROPERTIES ('format-version'='3')""")
+    s.sql("INSERT INTO gpyd.db.py_direct SELECT id, concat('v', id) FROM range(400)")
+    s.sql("DELETE FROM gpyd.db.py_direct WHERE k % 3 = 0")
+    val t = new HadoopCatalog(warehouse, s).loadTable("db.py_direct")
+    assert(t.scan.planFiles().forall(_.file.filePath.contains("/data/cow-")),
+      "precondition: the DELETE must have taken the direct-commit path")
+    val expected = t.scan.toDF.count()
+    val (rows, sum) = pyRead(latestMetadata(s"$warehouse/db/py_direct"), "k")
+    assert(rows === expected)
+    assert(sum === (0L until 400L).filter(_ % 3 != 0).sum)
+  }
+
   test("pyiceberg reads a graft v3 table created THROUGH the REST catalog") {
     assume(pythonUsable, "pyiceberg not importable in this environment")
     // closes the loop on the REST create path: the server must stamp v3

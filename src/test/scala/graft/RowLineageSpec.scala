@@ -450,6 +450,42 @@ class RowLineageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.filter(_._1 < 10).map(_._3).sorted.toSeq === (0L until 10L))
   }
 
+  test("CoW SQL DELETE direct-commits the staged files (no second write)") {
+    // unpartitioned + unsorted + parquet + diff-free (DELETE) → the
+    // per-task staged files ARE the committed data files, under the data
+    // root with field ids and footer stats; survivors keep their lineage
+    val s = spark
+    s.conf.set("spark.sql.catalog.glin_d", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.glin_d.warehouse", warehouse)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS glin_d.db")
+    s.sql("""CREATE TABLE glin_d.db.direct_del (k BIGINT, v STRING)
+      TBLPROPERTIES ('format-version'='3')""")
+    s.sql("INSERT INTO glin_d.db.direct_del SELECT id, concat('v', id) FROM range(100)")
+    val idsBefore = s.sql("SELECT k, _row_id FROM glin_d.db.direct_del")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    s.sql("DELETE FROM glin_d.db.direct_del WHERE k % 4 = 1")
+    val t = new graft.catalog.HadoopCatalog(warehouse, s).loadTable("db.direct_del")
+    val files = t.scan.planFiles().map(_.file)
+    assert(files.nonEmpty)
+    assert(files.forall(f => f.filePath.contains("/data/cow-")),
+      s"DELETE replacement must commit staged files directly, got " +
+        files.map(_.filePath).mkString(","))
+    assert(files.forall(_.recordCount > 0), "footer stats must be harvested")
+    assert(files.forall(f => f.lowerBounds.nonEmpty && f.upperBounds.nonEmpty),
+      "direct-committed files must carry column bounds")
+    val rows = s.sql(
+      "SELECT k, _row_id, _last_updated_sequence_number FROM glin_d.db.direct_del")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 75)
+    assert(rows.forall(r => r._1 % 4 != 1))
+    assert(rows.forall(r => idsBefore(r._1) === r._2),
+      "survivors keep their materialized ids")
+    assert(rows.forall(_._3 === 1L), "survivors keep their original seq")
+    // metadata count short-circuit and predicate pruning still work on
+    // the direct-committed files (stats present, ids readable)
+    assert(s.sql("SELECT count(*) FROM glin_d.db.direct_del").head().getLong(0) === 75L)
+  }
+
   test("v3 reserves the lineage column names (create / upgrade / evolution)") {
     val clash = Schema(Seq(
       NestedField(1, "k", ILong, required = false),
