@@ -368,6 +368,63 @@ class GraftRowLevelOperation(table: IceTable,
   * through the library's fan-out write — with the command's condition as
   * the commit's conflict filter, so a concurrent writer into the same
   * key range forces a retry-time re-validation. */
+/** Shared machinery for committing staged per-task parquet AS final data
+  * files (skipping the read-back + second write the rewrite paths pay). */
+private[spark] object StagedDirect {
+
+  /** The staged write schema with each column's field id attached from
+    * the TABLE schema when types structurally agree (write schemas from
+    * Spark carry no ids; positions match the table schema, ids are
+    * matched by NAME), so staged parquet carries ids like every
+    * library-written file; lineage columns take their reserved ids via
+    * RowLineage.augment. */
+  def idStampedSchema(table: IceTable, rowSchema: StructType,
+      lineage: Boolean): StructType = {
+    val idSchema =
+      (if (lineage) graft.core.RowLineage.augment(table.schema) else table.schema).toSpark
+    val byName = idSchema.fields.map(f => f.name -> f).toMap
+    val data = rowSchema.fields.map { sf =>
+      byName.get(sf.name)
+        .filter(t => org.apache.spark.sql.types.DataType
+          .equalsStructurally(t.dataType, sf.dataType, ignoreNullability = true))
+        .getOrElse(sf)
+    }
+    if (!lineage) StructType(data)
+    else StructType(data ++ graft.core.RowLineage.fields.map(f => byName(f.name)))
+  }
+
+  /** Staged files can be final data files only when they'd be
+    * byte-equivalent to the second write's output: unpartitioned (a
+    * one-file-per-task stage has no partition tuple), unsorted, parquet
+    * format, every column id-stamped. */
+  def capable(table: IceTable, stagingSchema: StructType): Boolean =
+    table.spec.fields.isEmpty && table.sortOrderOpt.isEmpty &&
+      table.metadata.properties
+        .getOrElse("write.format.default", "parquet").equalsIgnoreCase("parquet") &&
+      stagingSchema.fields.forall(_.metadata.contains(graft.core.SchemaConv.ParquetFieldIdKey))
+
+  /** Direct-capable stages land under the DATA root (id-bearing read
+    * path; uncommitted files are invisible and abort deletes them);
+    * rewrite-bound stages keep the staging/ prefix. */
+  def stageDir(table: IceTable, kind: String, direct: Boolean): String =
+    if (direct)
+      graft.table.Locations.stageDir(table.location,
+        s"$kind-${java.util.UUID.randomUUID()}", table.metadata.properties)
+    else s"${table.location}/staging/$kind-${java.util.UUID.randomUUID()}"
+
+  /** Footer-stats harvest of the staged files, restricted to the task
+    * messages' paths. */
+  def harvest(table: IceTable, dir: String, files: Seq[String],
+      lineage: Boolean): Seq[graft.meta.DataFile] = {
+    if (files.isEmpty) return Nil
+    val hSchema =
+      if (lineage) graft.core.RowLineage.augment(table.schema) else table.schema
+    graft.table.WriteFiles.harvest(table.spark, dir, hSchema, table.spec,
+      graft.table.WriteFiles.metricsModes(hSchema, table.metadata.properties),
+      only = Some(files.map(graft.core.PathUtil.canon).toSet))
+  }
+}
+
 class GraftReplaceDataWrite(table: IceTable, op: GraftRowLevelOperation,
     rowSchema: StructType, branch: Option[String] = Some("main"))
     extends org.apache.spark.sql.connector.write.Write
@@ -383,24 +440,10 @@ class GraftReplaceDataWrite(table: IceTable, op: GraftRowLevelOperation,
     * first_row_id + position. */
   private val lineage = table.metadata.formatVersion >= 3
 
-  /** Staged schema, with each column's field id attached from the TABLE
-    * schema when types structurally agree (rowSchema is the table schema
-    * positionally — see named0 below — but ids are matched by NAME) so
-    * staged parquet carries ids like every library-written file; lineage
-    * columns take their reserved ids via RowLineage.augment. */
-  private val stagingSchema: StructType = {
-    val idSchema =
-      (if (lineage) graft.core.RowLineage.augment(table.schema) else table.schema).toSpark
-    val byName = idSchema.fields.map(f => f.name -> f).toMap
-    val data = rowSchema.fields.map { sf =>
-      byName.get(sf.name)
-        .filter(t => org.apache.spark.sql.types.DataType
-          .equalsStructurally(t.dataType, sf.dataType, ignoreNullability = true))
-        .getOrElse(sf)
-    }
-    if (!lineage) StructType(data)
-    else StructType(data ++ graft.core.RowLineage.fields.map(f => byName(f.name)))
-  }
+  /** Staged schema, id-stamped from the table schema (see
+    * [[StagedDirect.idStampedSchema]]). */
+  private val stagingSchema: StructType =
+    StagedDirect.idStampedSchema(table, rowSchema, lineage)
 
   /** Direct commit: when the staged files would be byte-equivalent to
     * what the second write produces, they ARE the data files — the
@@ -413,17 +456,9 @@ class GraftReplaceDataWrite(table: IceTable, op: GraftRowLevelOperation,
     * Capable staged files land under the DATA root so the id-bearing
     * vectorized read path serves them; an abort deletes the directory,
     * making the files logically nonexistent either way. */
-  private val directCapable: Boolean =
-    table.spec.fields.isEmpty && table.sortOrderOpt.isEmpty &&
-      table.metadata.properties
-        .getOrElse("write.format.default", "parquet").equalsIgnoreCase("parquet") &&
-      stagingSchema.fields.forall(_.metadata.contains(graft.core.SchemaConv.ParquetFieldIdKey))
+  private val directCapable: Boolean = StagedDirect.capable(table, stagingSchema)
 
-  private val stagingDir =
-    if (directCapable)
-      graft.table.Locations.stageDir(table.location,
-        s"cow-${java.util.UUID.randomUUID()}", table.metadata.properties)
-    else s"${table.location}/staging/cow-${java.util.UUID.randomUUID()}"
+  private val stagingDir = StagedDirect.stageDir(table, "cow", directCapable)
 
   override def toBatch: BatchWrite = this
 
@@ -466,14 +501,7 @@ class GraftReplaceDataWrite(table: IceTable, op: GraftRowLevelOperation,
         // ARE the data files — harvest footer stats and commit their
         // descriptors; no second write, no read-back
         if (directCapable && diffFree) {
-          val hSchema =
-            if (lineage) graft.core.RowLineage.augment(table.schema) else table.schema
-          val added =
-            if (files.isEmpty) Nil
-            else graft.table.WriteFiles.harvest(table.spark, stagingDir, hSchema,
-              table.spec,
-              graft.table.WriteFiles.metricsModes(hSchema, table.metadata.properties),
-              only = Some(files.map(graft.core.PathUtil.canon).toSet))
+          val added = StagedDirect.harvest(table, stagingDir, files.toSeq, lineage)
           table.refresh()
           table.replaceFilesPreStaged(removed, added,
             conflictFilter = Some(GraftFilters.normalizeLiterals(scan.planExpr)),
@@ -612,8 +640,6 @@ class GraftDeltaWrite(table: IceTable, op: GraftDeltaOperation, rowSchema: Struc
     with org.apache.spark.sql.connector.write.DeltaBatchWrite {
   import org.apache.spark.sql.connector.write._
 
-  private val stagingDataDir =
-    s"${table.location}/staging/delta-${java.util.UUID.randomUUID()}"
   // delete files are written IN PLACE under data/ (the commit registers
   // these exact paths, like deletePositional's stage), so a failed commit
   // leaves only orphans for GC, never dangling references. On v3 they are
@@ -624,10 +650,15 @@ class GraftDeltaWrite(table: IceTable, op: GraftDeltaOperation, rowSchema: Struc
     * reinserts keep their `_row_id`, inserts stage nulls). */
   private val lineage = table.metadata.formatVersion >= 3
   private val stagingSchema: StructType =
-    if (!lineage) rowSchema
-    else StructType(rowSchema.fields ++ graft.core.RowLineage.fields.map(f =>
-      org.apache.spark.sql.types.StructField(f.name,
-        org.apache.spark.sql.types.LongType)))
+    StagedDirect.idStampedSchema(table, rowSchema, lineage)
+
+  /** Delta insert files are plain appends — when the stage is
+    * direct-capable they commit as-is (footer-stats harvest, no second
+    * write). Unlike the CoW path there is no diff condition: delta
+    * lineage values are written correctly by the writer itself. */
+  private val directCapable: Boolean = StagedDirect.capable(table, stagingSchema)
+  private val stagingDataDir = StagedDirect.stageDir(table, "delta", directCapable)
+  @volatile private var committedDirect = false
 
   override def toBatch: DeltaBatchWrite = this
 
@@ -643,6 +674,8 @@ class GraftDeltaWrite(table: IceTable, op: GraftDeltaOperation, rowSchema: Struc
       val dataStaged = msgs.flatMap(_.dataPath)
       val added =
         if (dataStaged.isEmpty) Nil
+        else if (directCapable)
+          StagedDirect.harvest(table, stagingDataDir, dataStaged.toSeq, lineage)
         else {
           val staged = table.spark.read.schema(stagingSchema)
             .parquet(dataStaged.toIndexedSeq: _*)
@@ -704,6 +737,9 @@ class GraftDeltaWrite(table: IceTable, op: GraftDeltaOperation, rowSchema: Struc
             conflictFilter = conflict, baseSnapshotId = base)
         }
       }
+      // flag AFTER the snapshot committed: a failed commit keeps the
+      // staged files deletable (abort's cleanup removes them)
+      committedDirect = directCapable && dataStaged.nonEmpty
     } finally cleanup(dropDeletes = lineage)
   }
 
@@ -711,7 +747,9 @@ class GraftDeltaWrite(table: IceTable, op: GraftDeltaOperation, rowSchema: Struc
     cleanup(dropDeletes = true)
 
   private def cleanup(dropDeletes: Boolean): Unit = {
-    try graft.meta.Io.delete(stagingDataDir, recursive = true) catch { case _: Exception => () }
+    // a successful direct commit made the staged data files live
+    if (!committedDirect)
+      try graft.meta.Io.delete(stagingDataDir, recursive = true) catch { case _: Exception => () }
     if (dropDeletes)
       try graft.meta.Io.delete(deleteDir, recursive = true) catch { case _: Exception => () }
   }
@@ -939,11 +977,21 @@ class GraftStreamingWrite(table: IceTable, queryId: String,
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write._
 
-  private val stagingRoot = s"${table.location}/staging/stream-$queryId"
+  /** Append-mode epochs on a direct-capable table commit their staged
+    * files AS data files (id-stamped schema, footer-stats harvest) —
+    * each micro-batch writes its rows exactly once. Complete mode keeps
+    * the rewrite (overwrite needs the alignment read anyway). */
+  private val stagingSchema: StructType =
+    StagedDirect.idStampedSchema(table, inputSchema, lineage = false)
+  private val directCapable: Boolean =
+    !truncateEachEpoch && StagedDirect.capable(table, stagingSchema)
+  private val stagingRoot =
+    if (directCapable) StagedDirect.stageDir(table, s"stream-$queryId", direct = true)
+    else s"${table.location}/staging/stream-$queryId"
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : streaming.StreamingDataWriterFactory =
-    new GraftStreamingStagingFactory(stagingRoot, inputSchema.json,
+    new GraftStreamingStagingFactory(stagingRoot, stagingSchema.json,
       graft.meta.Io.confEntries(table.spark))
 
   /** Epoch ids are monotone per query: any committed epoch ≥ this one
@@ -963,19 +1011,27 @@ class GraftStreamingWrite(table: IceTable, queryId: String,
       // contents are "whatever this epoch produced", so a result that
       // became empty truncates to empty rather than keeping stale rows
       if (!alreadyCommitted(epochId) && (files.nonEmpty || truncateEachEpoch)) {
-        val staged =
-          if (files.nonEmpty)
-            table.spark.read.schema(inputSchema).parquet(files.toIndexedSeq: _*)
-          else table.spark.createDataFrame(
-            table.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], inputSchema)
-        // align by NAME: streaming frames carry the table's column names
-        // (there is no analyzer-alignment step for DSv2 streaming sinks)
-        val aligned = staged.select(table.schema.fields.map(f =>
-          org.apache.spark.sql.functions.col(f.name)): _*)
         val marks = Map("streaming-query-id" -> queryId,
           "streaming-epoch-id" -> epochId.toString)
-        if (truncateEachEpoch) table.overwrite(aligned, AlwaysTrue, marks)
-        else table.append(aligned, marks)
+        if (directCapable && files.nonEmpty) {
+          // staged epoch files ARE the data files: harvest + append
+          table.appendPreStaged(
+            StagedDirect.harvest(table, s"$stagingRoot/epoch-$epochId",
+              files.toSeq, lineage = false), marks)
+          committedEpochDirs.add(epochId)
+        } else {
+          val staged =
+            if (files.nonEmpty)
+              table.spark.read.schema(stagingSchema).parquet(files.toIndexedSeq: _*)
+            else table.spark.createDataFrame(
+              table.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stagingSchema)
+          // align by NAME: streaming frames carry the table's column names
+          // (there is no analyzer-alignment step for DSv2 streaming sinks)
+          val aligned = staged.select(table.schema.fields.map(f =>
+            org.apache.spark.sql.functions.col(f.name)): _*)
+          if (truncateEachEpoch) table.overwrite(aligned, AlwaysTrue, marks)
+          else table.append(aligned, marks)
+        }
       }
     } finally cleanupEpoch(epochId)
   }
@@ -983,9 +1039,14 @@ class GraftStreamingWrite(table: IceTable, queryId: String,
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     cleanupEpoch(epochId)
 
+  /** Epochs whose staged files became live data — cleanup skips them. */
+  private val committedEpochDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+
   private def cleanupEpoch(epochId: Long): Unit =
-    try graft.meta.Io.delete(s"$stagingRoot/epoch-$epochId", recursive = true)
-    catch { case _: Exception => () }
+    if (!committedEpochDirs.contains(epochId))
+      try graft.meta.Io.delete(s"$stagingRoot/epoch-$epochId", recursive = true)
+      catch { case _: Exception => () }
 }
 
 class GraftStreamingStagingFactory(root: String, schemaJson: String,

@@ -300,6 +300,13 @@ class IceTable(
       extraSummary = snapshotProperties, toBranch = branch)
   }
 
+  /** Append of data files that already exist on disk with harvested
+    * stats (the DSv2 streaming sink's direct-commit path). */
+  private[graft] def appendPreStaged(files: Seq[DataFile],
+      snapshotProperties: Map[String, String] = Map.empty): Unit =
+    commitSnapshot("append", added = files, removedPaths = Set.empty,
+      extraSummary = snapshotProperties)
+
   /** ORC data files carry no field ids (Spark's ORC writer can't emit
     * the iceberg.id attributes), so foreign readers need the spec's
     * fallback channel: install `schema.name-mapping.default` before the
