@@ -505,6 +505,80 @@ object Iceberg {
       |FROM base WHERE o_totalprice > 200000 AND NOT (o_orderkey % 7 = 3)
       |ORDER BY batch, rid""".stripMargin
 
+  /** J×dedup synthesis: INCREMENTAL DEDUP-INDEX MAINTENANCE driven by
+    * the row-identity CDC feed — the end-to-end answer to "the corpus
+    * changed; re-dedup only what changed". The corpus table takes a
+    * DELETE (those docs' hashes must leave the index, so a re-crawl of
+    * their text is new again), an UPDATE (the doc's OLD hash retires,
+    * its new hash joins — a re-crawl of the old text is new again), and
+    * an ingest batch; ONE pollLineageCdc batch then maintains the
+    * (doc_id → hash) index without rescanning the corpus: deletes and
+    * updates touch index rows by doc_id, inserts dedup against the
+    * maintained hash set. Output = kept ingest doc_ids. At 100 TB the
+    * work is ∝ |changes|, not |corpus| — the reason the CDC feed exists. */
+  def dedupCdc(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val cat = s"gdcdc${sqlCatSeq.incrementAndGet()}"
+    val whDir = Files.createTempDirectory("graft_dedupcdc").toString
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", whDir)
+    val tab = new graft.catalog.HadoopCatalog(whDir, s)
+      .createTable("db.corpus", Schema.fromSpark(docs.schema),
+        properties = Map("format-version" -> "3"))
+    tab.append(docs.filter(col("doc_id") % 3 =!= 0))
+    val c0 = tab.refresh().metadata.currentSnapshotId
+    // corpus churn: a CoW DELETE (direct-commit path) + a content UPDATE
+    s.sql(s"DELETE FROM $cat.db.corpus WHERE doc_id % 9 = 1")
+    s.sql(s"UPDATE $cat.db.corpus SET text = concat(text, ' v2') WHERE doc_id % 9 = 2")
+    // the ingest batch: new docs, re-crawls of live docs (dups), and
+    // re-crawls of the deleted/pre-update texts (new again)
+    tab.refresh().append(
+      docs.filter(col("doc_id") % 3 === 0).unionByName(
+        docs.filter(col("doc_id") % 9 === 4)
+          .withColumn("doc_id", col("doc_id") + 1000000)).unionByName(
+        docs.filter(col("doc_id") % 9 === 1)
+          .withColumn("doc_id", col("doc_id") + 2000000)).unionByName(
+        docs.filter(col("doc_id") % 9 === 2)
+          .withColumn("doc_id", col("doc_id") + 3000000)))
+    val rel = tab.refresh()
+    val (changes, _) = graft.streaming.TableChanges.pollLineageCdc(rel, c0)
+    val h = md5(col("text").cast("binary"))
+    val idx0 = rel.scan.useSnapshot(c0.get).toDF
+      .select(col("doc_id"), h.as("h"))
+    val dels = changes.filter(col("_change_type") === "delete").select(col("doc_id"))
+    val upds = changes.filter(col("_change_type") === "update")
+      .select(col("doc_id"), h.as("h"))
+    val ins = changes.filter(col("_change_type") === "insert")
+      .select(col("doc_id"), h.as("h"))
+    // maintain by doc_id: drop deleted and pre-update rows, add updated
+    val idx1 = idx0
+      .join(dels.unionByName(upds.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      .unionByName(upds)
+    nonEmpty(ins.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .join(idx1.select(col("h")), Seq("h"), "left_anti")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id")))
+  }
+  val dedupCdcSql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+      |idx1 AS (
+      |  SELECT md5(text) AS h FROM corpus WHERE doc_id % 9 NOT IN (1, 2)
+      |  UNION ALL
+      |  SELECT md5(text || ' v2') FROM corpus WHERE doc_id % 9 = 2),
+      |ins AS (
+      |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id % 9 = 4
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, md5(text) FROM documents WHERE doc_id % 9 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, md5(text) FROM documents WHERE doc_id % 9 = 2)
+      |SELECT doc_id FROM (
+      |  SELECT h, min(doc_id) AS doc_id FROM ins GROUP BY h)
+      |WHERE h NOT IN (SELECT h FROM idx1)
+      |ORDER BY doc_id""".stripMargin
+
   val rowLineageDmlSql =
     """WITH odd AS (
       |  SELECT o_orderkey, o_orderstatus, o_totalprice,
@@ -1413,6 +1487,7 @@ object Iceberg {
     "ice_lineage_mor" -> (rowLineageMor _),
     "ice_lineage_cdc" -> (lineageCdc _),
     "stream_lineage_cdc" -> (streamLineageCdc _),
+    "ds_dedup_cdc" -> (dedupCdc _),
     "ice_equality_deletes" -> (equalityDeletes _),
     "ice_dsv2_scan" -> (dsv2Scan _),
     "ice_dsv2_agg" -> (dsv2AggPushdown _),
@@ -1469,6 +1544,7 @@ object Iceberg {
     "ice_lineage_mor" -> rowLineageMorSql,
     "ice_lineage_cdc" -> lineageCdcSql,
     "stream_lineage_cdc" -> streamLineageCdcSql,
+    "ds_dedup_cdc" -> dedupCdcSql,
     "ice_equality_deletes" -> equalityDeletesSql,
     "ice_dsv2_scan" -> dsv2ScanSql,
     "ice_dsv2_agg" -> dsv2AggPushdownSql,

@@ -282,25 +282,40 @@ object TableChanges {
       case (Some(c), Some(cur)) if c == cur => (emptyOut, cursor)
       case (None, Some(cur)) => (out(lin(cur), lit("insert")), current)
       case (Some(c), Some(cur)) =>
-        val cursorSeq = table.metadata.snapshotById(c).getOrElse(
-          throw new IllegalArgumentException(s"Unknown cursor snapshot $c"))
-          .sequenceNumber
+        val chain = table.metadata.ancestorsOf(cur) // newest first
+        require(chain.exists(_.snapshotId == c),
+          s"Cursor snapshot $c is not an ancestor of the current snapshot $cur")
+        val cursorSeq = table.metadata.snapshotById(c).get.sequenceNumber
+        // next-row-id as of the cursor commit: row ids are assigned in
+        // commit order along one lineage and never reused, so a row
+        // present NOW with id below this boundary was necessarily
+        // present at the cursor (deleted ids cannot reappear; the
+        // ancestor requirement above excludes cross-lineage merges) —
+        // insert-vs-update classification becomes a pure FILTER, no join
+        val boundary: Option[Long] = chain.dropWhile(_.snapshotId != c).iterator
+          .flatMap(s => for { f <- s.firstRowId; a <- s.addedRows } yield f + a)
+          .nextOption()
         val after = lin(cur)
         val before = lin(c)
-        val beforeIds = before.select(col(idName))
         // one pruned scan: changed = rows the commits after the cursor
         // touched (inserted or updated); unchanged rows keep their seq
         val changed = after.filter(col(seqName) > cursorSeq)
-        val upserts = out(
-          changed.join(beforeIds, Seq(idName), "left_anti")
-            .withColumn("__ct", lit("insert"))
-            .unionByName(changed.join(beforeIds, Seq(idName), "left_semi")
-              .withColumn("__ct", lit("update"))),
-          col("__ct"))
-        val deletedIds = beforeIds
-          .join(after.select(col(idName)), Seq(idName), "left_anti")
+        val upserts = boundary match {
+          case Some(b) => out(changed,
+            when(col(idName) >= b, "insert").otherwise("update"))
+          case None => // cursor predates the v3 upgrade: id-set join
+            val beforeIds = before.select(col(idName))
+            out(changed.join(beforeIds, Seq(idName), "left_anti")
+                .withColumn("__ct", lit("insert"))
+                .unionByName(changed.join(beforeIds, Seq(idName), "left_semi")
+                  .withColumn("__ct", lit("update"))),
+              col("__ct"))
+        }
+        // deleted rows with cursor-time content: the full-width cursor
+        // scan anti-joins the 8-byte current id column directly
         val deletes = out(
-          before.join(deletedIds, Seq(idName), "left_semi"), lit("delete"))
+          before.join(after.select(col(idName)), Seq(idName), "left_anti"),
+          lit("delete"))
         (upserts.unionByName(deletes), current)
     }
   }
