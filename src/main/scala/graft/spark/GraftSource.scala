@@ -368,9 +368,143 @@ class GraftRowLevelOperation(table: IceTable,
   * through the library's fan-out write — with the command's condition as
   * the commit's conflict filter, so a concurrent writer into the same
   * key range forces a retry-time re-validation. */
+/** Serializable recipe for routing a written row to its partition
+  * directory executor-side: for each partition field, the SOURCE column's
+  * position in the staged row, its iceberg type, the transform, and the
+  * transform's result type — enough to compute `_p_name=value/` exactly
+  * as [[graft.table.WriteFiles]]'s fan-out layout does, so
+  * `WriteFiles.harvest` parses the partition tuple back from the path. */
+private[spark] final case class PartitionRouterSpec(
+    fields: Seq[(String, Int, String, String, String)]) extends Serializable {
+
+  /** (pos, srcType, transform, resType) per field — parsed once per
+    * (de)serialized instance, not per row. */
+  @transient private lazy val compiled: Array[(String, Int, IceType, graft.core.Transform, IceType)] =
+    fields.map { case (name, pos, srcRepr, transformStr, resRepr) =>
+      (name, pos, graft.table.StatsHarvester.parseType(srcRepr),
+        graft.core.Transform.parse(transformStr),
+        graft.table.StatsHarvester.parseType(resRepr))
+    }.toArray
+
+  /** Directory suffix (no leading slash) for the row, e.g.
+    * `_p_day=2021-03-01/_p_bucket=7`. */
+  def dirOf(row: InternalRow): String = {
+    val parts = new Array[String](compiled.length)
+    var i = 0
+    while (i < compiled.length) {
+      val (name, pos, srcType, transform, resType) = compiled(i)
+      val src: Any =
+        if (row.isNullAt(pos)) null
+        else srcType match {
+          case IInt | IDate => row.getInt(pos)
+          case ILong | ITimestamp | ITimestamptz | ITime => row.getLong(pos)
+          case IString => row.getUTF8String(pos).toString
+          case IBoolean => row.getBoolean(pos)
+          case IFloat => row.getFloat(pos)
+          case IDouble => row.getDouble(pos)
+          case IDecimal(p, s) => row.getDecimal(pos, p, s).toJavaBigDecimal
+          case other => throw new IllegalArgumentException(
+            s"Unroutable partition source type $other")
+        }
+      val v = transform.apply(src, srcType)
+      parts(i) = s"$name=" +
+        PartitionRouterSpec.escape(PartitionRouterSpec.render(v, resType))
+      i += 1
+    }
+    parts.mkString("/")
+  }
+}
+
+private[spark] object PartitionRouterSpec {
+
+  /** String form of a TRANSFORMED partition value, by the transform's
+    * result type — the same forms WriteFiles' fan-out directories use
+    * (and StatsHarvester.parsePartition decodes). */
+  def render(v: Any, t: IceType): String = v match {
+    case null => "__HIVE_DEFAULT_PARTITION__"
+    case _ => t match {
+      case IDate => java.time.LocalDate.ofEpochDay(
+        v.asInstanceOf[Number].longValue()).toString
+      case ITimestamp | ITimestamptz =>
+        graft.core.Transforms.microsToLocalDateTime(
+          v.asInstanceOf[Number].longValue()).toString
+      case IDecimal(_, _) => v match {
+        case d: java.math.BigDecimal => d.toPlainString
+        case o => o.toString
+      }
+      case _ => v.toString
+    }
+  }
+
+  /** %XX-escape anything outside [A-Za-z0-9._-] — identical to the
+    * fixed16 fan-out writer's escaping; parsePartition reverses it. */
+  def escape(s: String): String = {
+    val b = new StringBuilder
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { by =>
+      val c = by.toChar
+      val safe = by >= 0 && (c.isLetterOrDigit || c == '.' || c == '_' || c == '-')
+      if (safe) b += c else b ++= f"%%${by & 0xff}%02X"
+    }
+    b.toString
+  }
+}
+
 /** Shared machinery for committing staged per-task parquet AS final data
   * files (skipping the read-back + second write the rewrite paths pay). */
 private[spark] object StagedDirect {
+
+  /** Router recipe for the table's partition spec over a staged row
+    * whose DATA columns follow `rowSchema` order; None when any field is
+    * nested, non-routable, or name-mismatched (caller falls back to the
+    * rewrite path). */
+  def routerSpec(table: IceTable, rowSchema: StructType): Option[PartitionRouterSpec] = {
+    val spec = table.spec
+    if (spec.fields.isEmpty) return None
+    val posByName = rowSchema.fieldNames.zipWithIndex.toMap
+    val fields = spec.fields.map { pf =>
+      val src = table.schema.byId.getOrElse(pf.sourceId, return None)
+      val pos = posByName.getOrElse(src.name, return None)
+      val routable = src.fieldType match {
+        case IInt | ILong | IDate | ITime | ITimestamp | ITimestamptz |
+             IString | IBoolean | IFloat | IDouble | IDecimal(_, _) => true
+        case _ => false
+      }
+      if (!routable) return None
+      pf.transform match {
+        case UnknownTransform(_) => return None
+        case _ => ()
+      }
+      // dir component names carry the synthetic prefix, matching the
+      // fan-out write layout that harvest's parsePartition expects
+      (graft.table.WriteFiles.SyntheticPrefix + pf.name, pos,
+        src.fieldType.repr, pf.transform.name,
+        pf.transform.resultType(src.fieldType).repr)
+    }
+    Some(PartitionRouterSpec(fields))
+  }
+
+  /** The spec's transforms as V2 expressions (same mapping the SPJ read
+    * side uses), for the write's required clustering; None when any
+    * transform has no V2 form. */
+  def v2Clustering(table: IceTable)
+      : Option[Array[org.apache.spark.sql.connector.expressions.Expression]] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions => Xs}
+    val schema = table.schema
+    val exprs = table.spec.fields.map { pf =>
+      val src = schema.byId.getOrElse(pf.sourceId, return None)
+      (pf.transform match {
+        case IdentityTransform => Xs.identity(src.name)
+        case BucketTransform(n) => Xs.bucket(n, src.name)
+        case TruncateTransform(w) => Xs.apply("truncate", Xs.literal(w), Xs.column(src.name))
+        case YearTransform => Xs.years(src.name)
+        case MonthTransform => Xs.months(src.name)
+        case DayTransform => Xs.days(src.name)
+        case HourTransform => Xs.hours(src.name)
+        case _ => return None
+      }): org.apache.spark.sql.connector.expressions.Expression
+    }
+    Some(exprs.toArray)
+  }
 
   /** The staged write schema with each column's field id attached from
     * the TABLE schema when types structurally agree (write schemas from
@@ -394,11 +528,12 @@ private[spark] object StagedDirect {
   }
 
   /** Staged files can be final data files only when they'd be
-    * byte-equivalent to the second write's output: unpartitioned (a
-    * one-file-per-task stage has no partition tuple), unsorted, parquet
+    * byte-equivalent to the second write's output: unpartitioned (or, if
+    * `partitionedOk`, partition-routed staging), unsorted, parquet
     * format, every column id-stamped. */
-  def capable(table: IceTable, stagingSchema: StructType): Boolean =
-    table.spec.fields.isEmpty && table.sortOrderOpt.isEmpty &&
+  def capable(table: IceTable, stagingSchema: StructType,
+      partitionedOk: Boolean = false): Boolean =
+    (table.spec.fields.isEmpty || partitionedOk) && table.sortOrderOpt.isEmpty &&
       table.metadata.properties
         .getOrElse("write.format.default", "parquet").equalsIgnoreCase("parquet") &&
       stagingSchema.fields.forall(_.metadata.contains(graft.core.SchemaConv.ParquetFieldIdKey))
@@ -428,7 +563,8 @@ private[spark] object StagedDirect {
 class GraftReplaceDataWrite(table: IceTable, op: GraftRowLevelOperation,
     rowSchema: StructType, branch: Option[String] = Some("main"))
     extends org.apache.spark.sql.connector.write.Write
-    with org.apache.spark.sql.connector.write.BatchWrite {
+    with org.apache.spark.sql.connector.write.BatchWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.write._
 
   /** On v3, the operation requires `_row_id`/`_last_updated_sequence_number`
@@ -450,24 +586,53 @@ class GraftReplaceDataWrite(table: IceTable, op: GraftRowLevelOperation,
     * rewrite path's full read-back + re-write (2× the write I/O of every
     * CoW row-level op, the dominant cost at scale) is skipped and the
     * commit harvests footer stats from the staged files. Capability here
-    * (unpartitioned — a one-file-per-task stage has no partition tuple;
-    * unsorted; parquet; every column id-stamped); whether the COMMAND
-    * allows it (no lineage-diff rewrite pending) is decided in commit().
-    * Capable staged files land under the DATA root so the id-bearing
-    * vectorized read path serves them; an abort deletes the directory,
-    * making the files logically nonexistent either way. */
-  private val directCapable: Boolean = StagedDirect.capable(table, stagingSchema)
+    * (unsorted; parquet; every column id-stamped; PARTITIONED tables
+    * qualify when every transform routes executor-side AND has a V2
+    * clustering form — the write then REQUIRES clustering+ordering by
+    * the partition expressions so each task streams through partition
+    * directories with one open writer); whether the COMMAND allows it
+    * (no lineage-diff rewrite pending) is decided in commit(). Capable
+    * staged files land under the DATA root so the id-bearing vectorized
+    * read path serves them; an abort deletes them, making the files
+    * logically nonexistent either way. */
+  private val partRouter: Option[PartitionRouterSpec] =
+    StagedDirect.routerSpec(table, rowSchema)
+  private val clustering
+      : Option[Array[org.apache.spark.sql.connector.expressions.Expression]] =
+    StagedDirect.v2Clustering(table)
+  private val directCapable: Boolean = StagedDirect.capable(table, stagingSchema,
+    partitionedOk = partRouter.isDefined && clustering.isDefined)
 
   private val stagingDir = StagedDirect.stageDir(table, "cow", directCapable)
 
   override def toBatch: BatchWrite = this
+
+  /** Partitioned direct commits request clustering + ordering by the
+    * partition transforms (resolved through the table's FunctionCatalog,
+    * same machinery as the SPJ read side): each task then receives its
+    * rows grouped by partition and the routed staging writer keeps one
+    * file open at a time. Everything else leaves the distribution
+    * unspecified — the rewrite path re-shuffles in WriteFiles anyway. */
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    if (directCapable && table.spec.fields.nonEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(clustering.get)
+    else org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (directCapable && table.spec.fields.nonEmpty)
+      clustering.get.map(e => org.apache.spark.sql.connector.expressions.Expressions
+        .sort(e, org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+    else Array.empty
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftStagingWriterFactory(stagingDir, stagingSchema.json,
       graft.meta.Io.confEntries(table.spark),
       // metadata row layout follows requiredMetadataAttributes order:
       // (_file, _row_id, _last_updated_sequence_number)
-      lineageMetaIdx = if (lineage) Array(1, 2) else Array.empty)
+      lineageMetaIdx = if (lineage) Array(1, 2) else Array.empty,
+      router = if (directCapable) partRouter.orNull else null)
 
   /** Set when the staged files were committed AS data files — cleanup
     * must then leave the staging directory alone (it is live data). */
@@ -475,7 +640,11 @@ class GraftReplaceDataWrite(table: IceTable, op: GraftRowLevelOperation,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     import org.apache.spark.sql.connector.write.RowLevelOperation.Command
-    val files = messages.collect { case StagedFileMessage(p) => p }
+    val files = messages.toSeq.flatMap {
+      case StagedFileMessage(p) => Seq(p)
+      case StagedFilesMessage(ps) => ps
+      case _ => Nil
+    }
     try {
       val scan = op.configuredScan
       require(scan != null, "row-level operation committed without a configured scan")
@@ -1103,14 +1272,20 @@ class GraftDynamicOverwriteWrite(table: IceTable,
 final case class StagedFileMessage(path: String)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
+/** Routed (partition-directory) staging: one task may close several
+  * files as it rolls across partition boundaries. */
+final case class StagedFilesMessage(paths: Seq[String])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
 class GraftStagingWriterFactory(dir: String, schemaJson: String,
     confEntries: Array[(String, String)],
-    lineageMetaIdx: Array[Int] = Array.empty)
+    lineageMetaIdx: Array[Int] = Array.empty,
+    router: PartitionRouterSpec = null)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new GraftStagingWriter(dir, schemaJson, partitionId, taskId, confEntries,
-      lineageMetaIdx)
+      lineageMetaIdx, router)
 }
 
 /** One staged parquet file per task, written with Spark's own
@@ -1118,25 +1293,28 @@ class GraftStagingWriterFactory(dir: String, schemaJson: String,
   * timestamps, field ids, non-legacy layout). */
 class GraftStagingWriter(dir: String, schemaJson: String, partitionId: Int,
     taskId: Long, confEntries: Array[(String, String)],
-    lineageMetaIdx: Array[Int] = Array.empty)
+    lineageMetaIdx: Array[Int] = Array.empty,
+    router: PartitionRouterSpec = null)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
 
-  private val path = s"$dir/stage-$partitionId-$taskId-${java.util.UUID.randomUUID()}.parquet"
-
-  private val writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = {
+  private val conf = {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    val conf = graft.meta.Io.confFrom(confEntries)
-    ParquetWriteSupport.setSchema(schema, conf)
-    conf.set("spark.sql.parquet.writeLegacyFormat", "false")
-    conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
-    conf.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
-    conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
-    conf.set("spark.sql.session.timeZone", "UTC")
+    val c = graft.meta.Io.confFrom(confEntries)
+    ParquetWriteSupport.setSchema(schema, c)
+    c.set("spark.sql.parquet.writeLegacyFormat", "false")
+    c.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    c.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    c.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+    c.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+    c.set("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
+    c.set("spark.sql.session.timeZone", "UTC")
+    c
+  }
+
+  private def open(p: String): org.apache.parquet.hadoop.ParquetWriter[InternalRow] =
     new org.apache.parquet.hadoop.ParquetWriter[InternalRow](
-      new Path(path), new ParquetWriteSupport,
+      new Path(p), new ParquetWriteSupport,
       org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY,
       org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE,
       org.apache.parquet.hadoop.ParquetWriter.DEFAULT_PAGE_SIZE,
@@ -1145,7 +1323,36 @@ class GraftStagingWriter(dir: String, schemaJson: String, partitionId: Int,
       false,
       org.apache.parquet.hadoop.ParquetWriter.DEFAULT_WRITER_VERSION,
       conf)
-  }
+
+  private val path = s"$dir/stage-$partitionId-$taskId-${java.util.UUID.randomUUID()}.parquet"
+
+  /** Unrouted (single-file) writer — opened eagerly so a zero-row task
+    * still stages a schema-bearing file, preserving every existing
+    * consumer's expectations. */
+  private val writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] =
+    if (router == null) open(path) else null
+
+  // routed (partition-directory) mode: ONE open writer with rollover —
+  // the write's required clustering+ordering delivers rows grouped by
+  // partition, so a dir change closes the current file and opens the
+  // next; an out-of-order row merely starts an extra file (never wrong)
+  private var routedCur: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = null
+  private var routedDir: String = null
+  private val routedPaths = Seq.newBuilder[String]
+
+  private def target(row: InternalRow): org.apache.parquet.hadoop.ParquetWriter[InternalRow] =
+    if (router == null) writer
+    else {
+      val d = s"$dir/${router.dirOf(row)}"
+      if (routedCur == null || d != routedDir) {
+        if (routedCur != null) routedCur.close()
+        val p = s"$d/stage-$partitionId-$taskId-${java.util.UUID.randomUUID()}.parquet"
+        routedCur = open(p)
+        routedDir = d
+        routedPaths += p
+      }
+      routedCur
+    }
 
   // lineage staging (v3 row-level ops): the staged schema carries two
   // trailing nullable longs (_row_id, _last_updated_sequence_number)
@@ -1156,12 +1363,14 @@ class GraftStagingWriter(dir: String, schemaJson: String, partitionId: Int,
     if (lineageMetaIdx.isEmpty) null
     else new org.apache.spark.sql.catalyst.expressions.JoinedRow
 
-  override def write(row: InternalRow): Unit =
-    if (lineageMetaIdx.isEmpty) writer.write(row)
+  override def write(row: InternalRow): Unit = {
+    val w = target(row)
+    if (lineageMetaIdx.isEmpty) w.write(row)
     else { // no metadata for this row (e.g. MERGE insert): null lineage
       lineageTail.setNullAt(0); lineageTail.setNullAt(1)
-      writer.write(joined(row, lineageTail))
+      w.write(joined(row, lineageTail))
     }
+  }
 
   /** Explicit lineage values (delta writers: update keeps the id with a
     * null seq, insert stages null/null). Requires a lineage-enabled
@@ -1176,8 +1385,9 @@ class GraftStagingWriter(dir: String, schemaJson: String, partitionId: Int,
   /** Two-arg form: Spark projects the operation's metadata attributes
     * into `meta` — layout (_file, _row_id, _last_updated_sequence_number)
     * per requiredMetadataAttributes order. */
-  override def write(meta: InternalRow, row: InternalRow): Unit =
-    if (lineageMetaIdx.isEmpty) writer.write(row)
+  override def write(meta: InternalRow, row: InternalRow): Unit = {
+    val w = target(row)
+    if (lineageMetaIdx.isEmpty) w.write(row)
     else {
       var i = 0
       while (i < 2) {
@@ -1186,18 +1396,26 @@ class GraftStagingWriter(dir: String, schemaJson: String, partitionId: Int,
         else lineageTail.setLong(i, meta.getLong(src))
         i += 1
       }
-      writer.write(joined(row, lineageTail))
+      w.write(joined(row, lineageTail))
+    }
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage =
+    if (router == null) { writer.close(); StagedFileMessage(path) }
+    else {
+      if (routedCur != null) routedCur.close()
+      StagedFilesMessage(routedPaths.result())
     }
 
-  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
-    writer.close()
-    StagedFileMessage(path)
-  }
-
-  override def abort(): Unit = {
-    try writer.close() catch { case _: Exception => () }
-    try graft.meta.Io.delete(path) catch { case _: Exception => () }
-  }
+  override def abort(): Unit =
+    if (router == null) {
+      try writer.close() catch { case _: Exception => () }
+      try graft.meta.Io.delete(path) catch { case _: Exception => () }
+    } else {
+      try { if (routedCur != null) routedCur.close() } catch { case _: Exception => () }
+      routedPaths.result().foreach(p =>
+        try graft.meta.Io.delete(p) catch { case _: Exception => () })
+    }
 
   override def close(): Unit = ()
 }

@@ -697,7 +697,7 @@ object StatsHarvester extends Serializable {
     None
   }
 
-  private[table] def parseType(repr: String): IceType = repr match {
+  private[graft] def parseType(repr: String): IceType = repr match {
     case "boolean" => IBoolean
     case "int" => IInt
     case "long" => ILong

@@ -141,6 +141,35 @@ class PyInteropSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sum === (0L until 400L).filter(_ % 3 != 0).sum)
   }
 
+  test("pyiceberg reads and prunes a PARTITIONED direct-committed DELETE") {
+    assume(pythonUsable, "pyiceberg not importable in this environment")
+    // the routed staging writer's partition directories + harvested
+    // partition tuples must read back through the reference's manifest
+    // pruning exactly like fan-out-written files
+    val s = spark
+    s.conf.set("spark.sql.catalog.gpypd", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gpypd.warehouse", warehouse)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gpypd.db")
+    s.sql("""CREATE TABLE gpypd.db.py_part (k BIGINT, d DATE, v STRING)
+      PARTITIONED BY (days(d))
+      TBLPROPERTIES ('format-version'='3')""")
+    s.sql("""INSERT INTO gpypd.db.py_part
+      SELECT id, date_add(DATE'2021-03-01', CAST(id % 3 AS INT)), concat('v', id)
+      FROM range(300)""")
+    s.sql("DELETE FROM gpypd.db.py_part WHERE k % 5 = 2")
+    val t = new HadoopCatalog(warehouse, s).loadTable("db.py_part")
+    assert(t.scan.planFiles().forall(_.file.filePath.contains("/data/cow-")),
+      "precondition: the DELETE must have taken the partitioned direct path")
+    val expected = t.scan.toDF.count()
+    val (rows, sum) = pyRead(latestMetadata(s"$warehouse/db/py_part"), "k")
+    assert(rows === expected)
+    assert(sum === (0L until 300L).filter(_ % 5 != 2).sum)
+    // row filter on the partition source column → the reference prunes
+    val (prunedRows, _) = pyRead(latestMetadata(s"$warehouse/db/py_part"), "k",
+      rowFilter = Some("d == '2021-03-01'"))
+    assert(prunedRows === (0L until 300L).count(i => i % 3 == 0 && i % 5 != 2))
+  }
+
   test("pyiceberg reads a graft v3 table created THROUGH the REST catalog") {
     assume(pythonUsable, "pyiceberg not importable in this environment")
     // closes the loop on the REST create path: the server must stamp v3

@@ -486,6 +486,49 @@ class RowLineageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.sql("SELECT count(*) FROM glin_d.db.direct_del").head().getLong(0) === 75L)
   }
 
+  test("PARTITIONED CoW SQL DELETE direct-commits routed staged files") {
+    // partitioned direct commit: the write requires clustering+ordering
+    // by the partition transforms, the staging writer routes rows into
+    // _p_name=value/ dirs, and harvest parses the partition tuples back —
+    // pruning and per-partition file layout must match the rewrite path's
+    val s = spark
+    s.conf.set("spark.sql.catalog.glin_pd", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.glin_pd.warehouse", warehouse)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS glin_pd.db")
+    s.sql("""CREATE TABLE glin_pd.db.part_del (k BIGINT, d DATE, v STRING)
+      PARTITIONED BY (days(d), bucket(4, k))
+      TBLPROPERTIES ('format-version'='3')""")
+    s.sql("""INSERT INTO glin_pd.db.part_del
+      SELECT id, date_add(DATE'2021-03-01', CAST(id % 3 AS INT)), concat('v', id)
+      FROM range(300)""")
+    s.sql("DELETE FROM glin_pd.db.part_del WHERE k % 5 = 2")
+    val t = new graft.catalog.HadoopCatalog(warehouse, s).loadTable("db.part_del")
+    val files = t.scan.planFiles().map(_.file)
+    assert(files.nonEmpty)
+    assert(files.forall(f => f.filePath.contains("/data/cow-")),
+      s"partitioned DELETE must direct-commit, got ${files.map(_.filePath).take(3)}")
+    assert(files.forall(f => f.filePath.contains("_p_d=") && f.filePath.contains("_p_k_bucket")
+      || f.filePath.matches(".*_p_.*=.*")),
+      s"staged files must sit in partition dirs: ${files.head.filePath}")
+    assert(files.forall(_.partition.size == 2),
+      "harvest must parse both partition values from the path")
+    // partition pruning still works on the direct-committed layout
+    val opens0 = graft.meta.ManifestIO.manifestOpens.get()
+    val oneDay = s.sql(
+      "SELECT count(*) FROM glin_pd.db.part_del WHERE d = DATE'2021-03-01'")
+      .head().getLong(0)
+    assert(oneDay === (0L until 300L).count(i => i % 3 == 0 && i % 5 != 2))
+    assert(s.sql("SELECT count(*) FROM glin_pd.db.part_del").head().getLong(0) ===
+      (0L until 300L).count(_ % 5 != 2))
+    // survivors keep lineage through the routed stage
+    val rows = s.sql(
+      "SELECT k, _row_id, _last_updated_sequence_number FROM glin_pd.db.part_del")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall(_._3 === 1L), "survivors keep their original seq")
+    assert(rows.map(_._2).distinct.length === rows.length)
+    assert(opens0 >= 0L)
+  }
+
   test("v3 reserves the lineage column names (create / upgrade / evolution)") {
     val clash = Schema(Seq(
       NestedField(1, "k", ILong, required = false),
