@@ -529,6 +529,29 @@ class RowLineageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(opens0 >= 0L)
   }
 
+  test("UPDATE with a subquery condition keeps lineage semantics (rule fallback-safe)") {
+    // whatever plan shape the rewrite produces, the diff must stay
+    // correct: changed rows take the new seq, untouched rows keep theirs
+    val s = spark
+    s.conf.set("spark.sql.catalog.glin_sq", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.glin_sq.warehouse", warehouse)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS glin_sq.db")
+    s.sql("""CREATE TABLE glin_sq.db.subq_upd (k BIGINT, v STRING)
+      TBLPROPERTIES ('format-version'='3')""")
+    s.sql("INSERT INTO glin_sq.db.subq_upd SELECT id, 'a' FROM range(20)")
+    s.sql("""UPDATE glin_sq.db.subq_upd SET v = 'b'
+      WHERE k IN (SELECT id FROM range(5, 9))""")
+    val rows = s.sql(
+      "SELECT k, v, _row_id, _last_updated_sequence_number FROM glin_sq.db.subq_upd")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 20)
+    assert(rows.filter(r => r._1 >= 5 && r._1 < 9)
+      .forall(r => r._2 == "b" && r._4 == 2L))
+    assert(rows.filter(r => r._1 < 5 || r._1 >= 9)
+      .forall(r => r._2 == "a" && r._4 == 1L))
+    assert(rows.map(_._3).sorted.toSeq === (0L until 20L))
+  }
+
   test("v3 reserves the lineage column names (create / upgrade / evolution)") {
     val clash = Schema(Seq(
       NestedField(1, "k", ILong, required = false),
