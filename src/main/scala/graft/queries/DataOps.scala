@@ -689,12 +689,20 @@ object DataOps {
     * the lower cid — a codegen'd expression chain, no join, no shuffle. */
   private def assignToCents(e: DataFrame,
       cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    // same bit-identical norm hoist as pqAssignCodes: |v| computed once
+    // per row (not once per centroid) and |c| a driver literal using
+    // VectorDot's exact float-cast left-to-right fold, so each centroid
+    // costs one VectorDot instead of three — values unchanged to the
+    // last ulp, oracle hashes stable
     val scored = cents.map { case (cid, v) =>
-      struct(Vectors.cosine(col("embedding"),
-        typedLit(v.map(_.toFloat))).as("cs"),
-        lit(-cid).as("ncid"))
+      val cn = math.sqrt(v.foldLeft(0.0) { (a, x) =>
+        val f = x.toFloat.toDouble; a + f * f })
+      struct((Vectors.dot(col("embedding"), typedLit(v.map(_.toFloat))) /
+        (col("__vn") * lit(cn))).as("cs"), lit(-cid).as("ncid"))
     }
-    e.withColumn("cid", -greatest(scored: _*).getField("ncid"))
+    e.withColumn("__vn", sqrt(Vectors.dot(col("embedding"), col("embedding"))))
+      .withColumn("cid", -greatest(scored: _*).getField("ncid"))
+      .drop("__vn")
   }
 
   /** Lloyd's k-means with DETERMINISTIC init (the k smallest vec_ids) and
@@ -2587,7 +2595,10 @@ object DataOps {
   def editNearDup(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val W = 5
-    val keyed = docs.select(col("doc_id"),
+    // cached: this frame (a parquet scan of the text column + a window
+    // shuffle) feeds BOTH sides of the neighbor join — uncached, Spark
+    // recomputes the scan and the rank sort twice
+    val keyed = trackCache(docs.select(col("doc_id"),
         substring(lower(trim(col("text"))), 1, 80).as("p"))
       .filter(length(col("p")) >= 8) // degenerate empties would block together
       .withColumn("tok0", substring_index(col("p"), " ", 1))
@@ -2595,6 +2606,7 @@ object DataOps {
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("tok0"), col("lband")).orderBy(col("p"), col("doc_id"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // the neighbor offset is exploded into the JOIN KEY — a bare
     // `b.rn BETWEEN a.rn+1 AND a.rn+W` conjunct would leave Spark an
     // equi-join on the block key alone, materializing the full quadratic
