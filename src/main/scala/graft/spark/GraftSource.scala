@@ -538,6 +538,21 @@ private[spark] object StagedDirect {
         .getOrElse("write.format.default", "parquet").equalsIgnoreCase("parquet") &&
       stagingSchema.fields.forall(_.metadata.contains(graft.core.SchemaConv.ParquetFieldIdKey))
 
+  /** Record cap per staged file on the DIRECT path, honoring
+    * `write.target-file-size-bytes` / `write.spark.max-records-per-file`
+    * like WriteFiles does — direct-committed files are final data files
+    * and must not grow to whatever one task happened to scan. 0 =
+    * unlimited (rewrite-bound staging keeps one file per task). */
+  def maxRecordsFor(table: IceTable): Long = {
+    val props = table.metadata.properties
+    props.get("write.spark.max-records-per-file").map(_.toLong).getOrElse {
+      val target = props.get("write.target-file-size-bytes").map(_.toLong)
+        .getOrElse(512L * 1024 * 1024)
+      math.max(1000L,
+        target / math.max(8L, graft.table.WriteFiles.estimatedRowBytes(table.schema)))
+    }
+  }
+
   /** Direct-capable stages land under the DATA root (id-bearing read
     * path; uncommitted files are invisible and abort deletes them);
     * rewrite-bound stages keep the staging/ prefix. */
@@ -632,7 +647,8 @@ class GraftReplaceDataWrite(table: IceTable, op: GraftRowLevelOperation,
       // metadata row layout follows requiredMetadataAttributes order:
       // (_file, _row_id, _last_updated_sequence_number)
       lineageMetaIdx = if (lineage) Array(1, 2) else Array.empty,
-      router = if (directCapable) partRouter.orNull else null)
+      router = if (directCapable) partRouter.orNull else null,
+      maxRecords = if (directCapable) StagedDirect.maxRecordsFor(table) else 0L)
 
   /** Set when the staged files were committed AS data files — cleanup
     * must then leave the staging directory alone (it is live data). */
@@ -795,7 +811,7 @@ class GraftDeltaOperation(table: IceTable,
   override def description(): String = s"GraftRowLevelOperation[$cmd, merge-on-read]"
 }
 
-final case class DeltaStagedMessage(dataPath: Option[String], deletePaths: Seq[String])
+final case class DeltaStagedMessage(dataPaths: Seq[String], deletePaths: Seq[String])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 /** The WriteDelta of a merge-on-read operation: each task stages at most
@@ -833,14 +849,15 @@ class GraftDeltaWrite(table: IceTable, op: GraftDeltaOperation, rowSchema: Struc
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     new GraftDeltaWriterFactory(stagingDataDir, deleteDir, stagingSchema.json, lineage,
-      graft.meta.Io.confEntries(table.spark))
+      graft.meta.Io.confEntries(table.spark),
+      maxRecords = if (directCapable) StagedDirect.maxRecordsFor(table) else 0L)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.collect { case m: DeltaStagedMessage => m }
     try {
       val base = table.metadata.currentSnapshotId
       table.refresh()
-      val dataStaged = msgs.flatMap(_.dataPath)
+      val dataStaged = msgs.flatMap(_.dataPaths)
       val added =
         if (dataStaged.isEmpty) Nil
         else if (directCapable)
@@ -941,12 +958,13 @@ object GraftDeltaWriter {
 
 class GraftDeltaWriterFactory(dataDir: String, deleteDir: String, rowSchemaJson: String,
     lineage: Boolean,
-    confEntries: Array[(String, String)])
+    confEntries: Array[(String, String)],
+    maxRecords: Long = 0L)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new GraftDeltaWriter(dataDir, deleteDir, rowSchemaJson, lineage, partitionId,
-      taskId, confEntries)
+      taskId, confEntries, maxRecords)
 }
 
 /** Per-task delta writer: buffers deleted (file, pos) ids — sorted and
@@ -955,7 +973,8 @@ class GraftDeltaWriterFactory(dataDir: String, deleteDir: String, rowSchemaJson:
   * parquet (the same staging writer the other DSv2 writes use). */
 class GraftDeltaWriter(dataDir: String, deleteDir: String, rowSchemaJson: String,
     lineage: Boolean, partitionId: Int, taskId: Long,
-    confEntries: Array[(String, String)])
+    confEntries: Array[(String, String)],
+    maxRecords: Long = 0L)
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
 
   private var dataWriter: GraftStagingWriter = _
@@ -972,7 +991,8 @@ class GraftDeltaWriter(dataDir: String, deleteDir: String, rowSchemaJson: String
   private def ensureDataWriter(): GraftStagingWriter = {
     if (dataWriter == null)
       dataWriter = new GraftStagingWriter(dataDir, rowSchemaJson, partitionId, taskId,
-        confEntries, lineageMetaIdx = if (lineage) Array(0, 1) else Array.empty)
+        confEntries, lineageMetaIdx = if (lineage) Array(0, 1) else Array.empty,
+        maxRecords = maxRecords)
     dataWriter
   }
 
@@ -1040,11 +1060,13 @@ class GraftDeltaWriter(dataDir: String, deleteDir: String, rowSchemaJson: String
   }
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
-    val dataPath = Option(dataWriter).map(_.commit() match {
-      case StagedFileMessage(p) => p
+    val dataPaths = Option(dataWriter).toSeq.flatMap(_.commit() match {
+      case StagedFileMessage(p) => Seq(p)
+      case StagedFilesMessage(ps) => ps
+      case _ => Nil
     })
     flushDeletes()
-    DeltaStagedMessage(dataPath, flushed.toSeq)
+    DeltaStagedMessage(dataPaths, flushed.toSeq)
   }
 
   override def abort(): Unit = {
@@ -1161,7 +1183,8 @@ class GraftStreamingWrite(table: IceTable, queryId: String,
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : streaming.StreamingDataWriterFactory =
     new GraftStreamingStagingFactory(stagingRoot, stagingSchema.json,
-      graft.meta.Io.confEntries(table.spark))
+      graft.meta.Io.confEntries(table.spark),
+      maxRecords = if (directCapable) StagedDirect.maxRecordsFor(table) else 0L)
 
   /** Epoch ids are monotone per query: any committed epoch ≥ this one
     * means this batch's rows are already in the table. (Snapshot summary
@@ -1173,7 +1196,11 @@ class GraftStreamingWrite(table: IceTable, queryId: String,
         s.summary.get("streaming-epoch-id").exists(_.toLong >= epochId))
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val files = messages.collect { case StagedFileMessage(p) => p }
+    val files = messages.toSeq.flatMap {
+      case StagedFileMessage(p) => Seq(p)
+      case StagedFilesMessage(ps) => ps
+      case _ => Nil
+    }
     try {
       table.refresh()
       // Complete mode must commit even an EMPTY epoch: the table's
@@ -1219,12 +1246,13 @@ class GraftStreamingWrite(table: IceTable, queryId: String,
 }
 
 class GraftStreamingStagingFactory(root: String, schemaJson: String,
-    confEntries: Array[(String, String)])
+    confEntries: Array[(String, String)],
+    maxRecords: Long = 0L)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new GraftStagingWriter(s"$root/epoch-$epochId", schemaJson, partitionId, taskId,
-      confEntries)
+      confEntries, maxRecords = maxRecords)
 }
 
 /** Dynamic INSERT OVERWRITE as a native DSv2 BatchWrite: each task stages
@@ -1280,12 +1308,13 @@ final case class StagedFilesMessage(paths: Seq[String])
 class GraftStagingWriterFactory(dir: String, schemaJson: String,
     confEntries: Array[(String, String)],
     lineageMetaIdx: Array[Int] = Array.empty,
-    router: PartitionRouterSpec = null)
+    router: PartitionRouterSpec = null,
+    maxRecords: Long = 0L)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new GraftStagingWriter(dir, schemaJson, partitionId, taskId, confEntries,
-      lineageMetaIdx, router)
+      lineageMetaIdx, router, maxRecords)
 }
 
 /** One staged parquet file per task, written with Spark's own
@@ -1294,7 +1323,8 @@ class GraftStagingWriterFactory(dir: String, schemaJson: String,
 class GraftStagingWriter(dir: String, schemaJson: String, partitionId: Int,
     taskId: Long, confEntries: Array[(String, String)],
     lineageMetaIdx: Array[Int] = Array.empty,
-    router: PartitionRouterSpec = null)
+    router: PartitionRouterSpec = null,
+    maxRecords: Long = 0L)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
 
@@ -1324,35 +1354,37 @@ class GraftStagingWriter(dir: String, schemaJson: String, partitionId: Int,
       org.apache.parquet.hadoop.ParquetWriter.DEFAULT_WRITER_VERSION,
       conf)
 
-  private val path = s"$dir/stage-$partitionId-$taskId-${java.util.UUID.randomUUID()}.parquet"
+  // ONE open writer rolling across partition-directory boundaries
+  // (routed mode: the write's required clustering+ordering delivers
+  // rows grouped by partition; an out-of-order row merely starts an
+  // extra file, never a wrong tuple) and across the `maxRecords` cap
+  // (direct-committed files are FINAL data files, so they honor
+  // write.target-file-size instead of growing to a task's whole input).
+  // A zero-row unrouted task still stages one schema-bearing file —
+  // every pre-existing consumer expects that.
+  private var cur: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = null
+  private var curDir: String = null
+  private var curCount: Long = 0L
+  private val staged = Seq.newBuilder[String]
 
-  /** Unrouted (single-file) writer — opened eagerly so a zero-row task
-    * still stages a schema-bearing file, preserving every existing
-    * consumer's expectations. */
-  private val writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] =
-    if (router == null) open(path) else null
+  private def roll(d: String): Unit = {
+    if (cur != null) cur.close()
+    val p = s"$d/stage-$partitionId-$taskId-${java.util.UUID.randomUUID()}.parquet"
+    cur = open(p)
+    curDir = d
+    curCount = 0L
+    staged += p
+  }
 
-  // routed (partition-directory) mode: ONE open writer with rollover —
-  // the write's required clustering+ordering delivers rows grouped by
-  // partition, so a dir change closes the current file and opens the
-  // next; an out-of-order row merely starts an extra file (never wrong)
-  private var routedCur: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = null
-  private var routedDir: String = null
-  private val routedPaths = Seq.newBuilder[String]
+  if (router == null) roll(dir)
 
-  private def target(row: InternalRow): org.apache.parquet.hadoop.ParquetWriter[InternalRow] =
-    if (router == null) writer
-    else {
-      val d = s"$dir/${router.dirOf(row)}"
-      if (routedCur == null || d != routedDir) {
-        if (routedCur != null) routedCur.close()
-        val p = s"$d/stage-$partitionId-$taskId-${java.util.UUID.randomUUID()}.parquet"
-        routedCur = open(p)
-        routedDir = d
-        routedPaths += p
-      }
-      routedCur
-    }
+  private def target(row: InternalRow): org.apache.parquet.hadoop.ParquetWriter[InternalRow] = {
+    val d = if (router == null) dir else s"$dir/${router.dirOf(row)}"
+    if (cur == null || d != curDir || (maxRecords > 0 && curCount >= maxRecords))
+      roll(d)
+    curCount += 1
+    cur
+  }
 
   // lineage staging (v3 row-level ops): the staged schema carries two
   // trailing nullable longs (_row_id, _last_updated_sequence_number)
@@ -1377,9 +1409,10 @@ class GraftStagingWriter(dir: String, schemaJson: String, partitionId: Int,
     * writer (non-empty lineageMetaIdx). */
   private[spark] def writeWithLineage(row: InternalRow,
       rowId: java.lang.Long, seq: java.lang.Long): Unit = {
+    val w = target(row)
     if (rowId == null) lineageTail.setNullAt(0) else lineageTail.setLong(0, rowId.longValue())
     if (seq == null) lineageTail.setNullAt(1) else lineageTail.setLong(1, seq.longValue())
-    writer.write(joined(row, lineageTail))
+    w.write(joined(row, lineageTail))
   }
 
   /** Two-arg form: Spark projects the operation's metadata attributes
@@ -1400,22 +1433,19 @@ class GraftStagingWriter(dir: String, schemaJson: String, partitionId: Int,
     }
   }
 
-  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage =
-    if (router == null) { writer.close(); StagedFileMessage(path) }
-    else {
-      if (routedCur != null) routedCur.close()
-      StagedFilesMessage(routedPaths.result())
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    if (cur != null) cur.close()
+    staged.result() match {
+      case Seq(p) if router == null => StagedFileMessage(p)
+      case ps => StagedFilesMessage(ps)
     }
+  }
 
-  override def abort(): Unit =
-    if (router == null) {
-      try writer.close() catch { case _: Exception => () }
-      try graft.meta.Io.delete(path) catch { case _: Exception => () }
-    } else {
-      try { if (routedCur != null) routedCur.close() } catch { case _: Exception => () }
-      routedPaths.result().foreach(p =>
-        try graft.meta.Io.delete(p) catch { case _: Exception => () })
-    }
+  override def abort(): Unit = {
+    try { if (cur != null) cur.close() } catch { case _: Exception => () }
+    staged.result().foreach(p =>
+      try graft.meta.Io.delete(p) catch { case _: Exception => () })
+  }
 
   override def close(): Unit = ()
 }

@@ -127,7 +127,7 @@ object WriteFiles {
     * target-file-size → max-records conversion. Variable-width fields are
     * guesses (string 24 B, binary 32 B); a factor-of-few error moves file
     * sizes by the same factor, which is fine for a splitting BOUND. */
-  private[table] def estimatedRowBytes(schema: Schema): Long = {
+  private[graft] def estimatedRowBytes(schema: Schema): Long = {
     def width(t: IceType): Long = t match {
       case IBoolean => 1
       case IInt | IFloat | IDate => 4

@@ -529,6 +529,28 @@ class RowLineageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(opens0 >= 0L)
   }
 
+  test("direct-committed staged files honor max-records-per-file (rollover)") {
+    val s = spark
+    s.conf.set("spark.sql.catalog.glin_r", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.glin_r.warehouse", warehouse)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS glin_r.db")
+    s.sql("""CREATE TABLE glin_r.db.roll_del (k BIGINT, v STRING)
+      TBLPROPERTIES ('format-version'='3', 'write.spark.max-records-per-file'='25')""")
+    s.sql("INSERT INTO glin_r.db.roll_del SELECT id, concat('v', id) FROM range(0, 200, 1, 1)")
+    s.sql("DELETE FROM glin_r.db.roll_del WHERE k % 4 = 1")
+    val t = new graft.catalog.HadoopCatalog(warehouse, s).loadTable("db.roll_del")
+    val files = t.scan.planFiles().map(_.file)
+    assert(files.forall(_.filePath.contains("/data/cow-")), "must be direct-committed")
+    // 150 survivors / 25-record cap → at least 6 files, each within cap
+    assert(files.length >= 6, s"expected rolled files, got ${files.length}")
+    assert(files.forall(_.recordCount <= 25L),
+      s"files exceed the record cap: ${files.map(_.recordCount).mkString(",")}")
+    assert(s.sql("SELECT count(*) FROM glin_r.db.roll_del").head().getLong(0) === 150L)
+    val rows = s.sql("SELECT k, _row_id FROM glin_r.db.roll_del")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_._2).distinct.length === 150, "ids stay unique across rolled files")
+  }
+
   test("UPDATE with a subquery condition keeps lineage semantics (rule fallback-safe)") {
     // whatever plan shape the rewrite produces, the diff must stay
     // correct: changed rows take the new seq, untouched rows keep theirs
