@@ -483,27 +483,59 @@ private[spark] object StagedDirect {
     Some(PartitionRouterSpec(fields))
   }
 
-  /** The spec's transforms as V2 expressions (same mapping the SPJ read
-    * side uses), for the write's required clustering; None when any
-    * transform has no V2 form. */
+  /** A single iceberg transform over a named column as a V2 expression
+    * (same mapping the SPJ read side uses); None for void/unknown. */
+  private def v2ExprFor(t: graft.core.Transform, name: String)
+      : Option[org.apache.spark.sql.connector.expressions.Expression] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions => Xs}
+    t match {
+      case IdentityTransform => Some(Xs.identity(name))
+      case BucketTransform(n) => Some(Xs.bucket(n, name))
+      case TruncateTransform(w) =>
+        Some(Xs.apply("truncate", Xs.literal(w), Xs.column(name)))
+      case YearTransform => Some(Xs.years(name))
+      case MonthTransform => Some(Xs.months(name))
+      case DayTransform => Some(Xs.days(name))
+      case HourTransform => Some(Xs.hours(name))
+      case _ => None
+    }
+  }
+
+  /** The spec's transforms as V2 expressions, for the write's required
+    * clustering; None when any transform has no V2 form. */
   def v2Clustering(table: IceTable)
       : Option[Array[org.apache.spark.sql.connector.expressions.Expression]] = {
-    import org.apache.spark.sql.connector.expressions.{Expressions => Xs}
     val schema = table.schema
     val exprs = table.spec.fields.map { pf =>
       val src = schema.byId.getOrElse(pf.sourceId, return None)
-      (pf.transform match {
-        case IdentityTransform => Xs.identity(src.name)
-        case BucketTransform(n) => Xs.bucket(n, src.name)
-        case TruncateTransform(w) => Xs.apply("truncate", Xs.literal(w), Xs.column(src.name))
-        case YearTransform => Xs.years(src.name)
-        case MonthTransform => Xs.months(src.name)
-        case DayTransform => Xs.days(src.name)
-        case HourTransform => Xs.hours(src.name)
-        case _ => return None
-      }): org.apache.spark.sql.connector.expressions.Expression
+      v2ExprFor(pf.transform, src.name).getOrElse(return None)
     }
     Some(exprs.toArray)
+  }
+
+  /** The table's default sort order as V2 sort expressions — a write
+    * that requires this ordering produces within-task-sorted rows,
+    * exactly what WriteFiles' sortWithinPartitions yields, so staged
+    * files qualify for the declared sortOrderId. None when a field has
+    * no V2 form; Some(empty) when the table is unsorted. */
+  def v2SortOrdering(table: IceTable)
+      : Option[Array[org.apache.spark.sql.connector.expressions.SortOrder]] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions => Xs, NullOrdering, SortDirection}
+    val schema = table.schema
+    table.sortOrderOpt match {
+      case None => Some(Array.empty)
+      case Some(order) =>
+        val fields = order.fields.map { sf =>
+          val src = schema.byId.getOrElse(sf.sourceId, return None)
+          val expr = v2ExprFor(sf.transform, src.name).getOrElse(return None)
+          val dir = if (sf.direction.equalsIgnoreCase("desc")) SortDirection.DESCENDING
+            else SortDirection.ASCENDING
+          val nulls = if (sf.nullOrder.equalsIgnoreCase("nulls-last")) NullOrdering.NULLS_LAST
+            else NullOrdering.NULLS_FIRST
+          Xs.sort(expr, dir, nulls)
+        }
+        Some(fields.toArray)
+    }
   }
 
   /** The staged write schema with each column's field id attached from
@@ -529,11 +561,16 @@ private[spark] object StagedDirect {
 
   /** Staged files can be final data files only when they'd be
     * byte-equivalent to the second write's output: unpartitioned (or, if
-    * `partitionedOk`, partition-routed staging), unsorted, parquet
-    * format, every column id-stamped. */
+    * `partitionedOk`, partition-routed staging), unsorted (or, if
+    * `sortedOk`, ordering-required staging), parquet format, every
+    * column id-stamped. */
   def capable(table: IceTable, stagingSchema: StructType,
-      partitionedOk: Boolean = false): Boolean =
-    (table.spec.fields.isEmpty || partitionedOk) && table.sortOrderOpt.isEmpty &&
+      partitionedOk: Boolean = false, sortedOk: Boolean = false): Boolean =
+    // escape hatch: `write.graft.direct-commit = false` forces the
+    // stage+rewrite path (debugging, foreign-reader quirks, A/B)
+    !table.metadata.properties.get("write.graft.direct-commit").contains("false") &&
+      (table.spec.fields.isEmpty || partitionedOk) &&
+      (table.sortOrderOpt.isEmpty || sortedOk) &&
       table.metadata.properties
         .getOrElse("write.format.default", "parquet").equalsIgnoreCase("parquet") &&
       stagingSchema.fields.forall(_.metadata.contains(graft.core.SchemaConv.ParquetFieldIdKey))
@@ -569,9 +606,15 @@ private[spark] object StagedDirect {
     if (files.isEmpty) return Nil
     val hSchema =
       if (lineage) graft.core.RowLineage.augment(table.schema) else table.schema
-    graft.table.WriteFiles.harvest(table.spark, dir, hSchema, table.spec,
+    val harvested = graft.table.WriteFiles.harvest(table.spark, dir, hSchema, table.spec,
       graft.table.WriteFiles.metricsModes(hSchema, table.metadata.properties),
       only = Some(files.map(graft.core.PathUtil.canon).toSet))
+    // sorted tables reached this path through a required ordering, so
+    // the files honor the declared order and carry its id
+    table.sortOrderOpt.map(_.orderId) match {
+      case Some(id) => harvested.map(_.copy(sortOrderId = Some(id)))
+      case None => harvested
+    }
   }
 }
 
@@ -615,8 +658,12 @@ class GraftReplaceDataWrite(table: IceTable, op: GraftRowLevelOperation,
   private val clustering
       : Option[Array[org.apache.spark.sql.connector.expressions.Expression]] =
     StagedDirect.v2Clustering(table)
+  private val sortOrdering
+      : Option[Array[org.apache.spark.sql.connector.expressions.SortOrder]] =
+    StagedDirect.v2SortOrdering(table)
   private val directCapable: Boolean = StagedDirect.capable(table, stagingSchema,
-    partitionedOk = partRouter.isDefined && clustering.isDefined)
+    partitionedOk = partRouter.isDefined && clustering.isDefined,
+    sortedOk = sortOrdering.isDefined)
 
   private val stagingDir = StagedDirect.stageDir(table, "cow", directCapable)
 
@@ -636,10 +683,18 @@ class GraftReplaceDataWrite(table: IceTable, op: GraftRowLevelOperation,
 
   override def requiredOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    if (directCapable && table.spec.fields.nonEmpty)
-      clustering.get.map(e => org.apache.spark.sql.connector.expressions.Expressions
-        .sort(e, org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
-    else Array.empty
+    if (!directCapable) Array.empty
+    else {
+      // partition columns first (rollover boundaries), then the table's
+      // sort order — the same within-task shape WriteFiles produces
+      val part =
+        if (table.spec.fields.isEmpty) Array
+          .empty[org.apache.spark.sql.connector.expressions.SortOrder]
+        else clustering.get.map(e =>
+          org.apache.spark.sql.connector.expressions.Expressions.sort(e,
+            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      part ++ sortOrdering.getOrElse(Array.empty)
+    }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftStagingWriterFactory(stagingDir, stagingSchema.json,

@@ -36,12 +36,12 @@ object DirectCommitProfile {
       s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", whDir)
       s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      val hatch = if (sorted) "'write.graft.direct-commit'='false'," else ""
       s.sql(s"""CREATE TABLE $cat.db.orders (
         o_orderkey BIGINT, o_orderdate DATE, o_totalprice DOUBLE)
         PARTITIONED BY (months(o_orderdate))
-        TBLPROPERTIES ('format-version'='3')""")
+        TBLPROPERTIES ($hatch 'format-version'='3')""")
       val tab = new graft.catalog.HadoopCatalog(whDir, s).loadTable("db.orders")
-      if (sorted) tab.replaceSortOrder("o_orderkey" -> "asc") // forces rewrite path
       orders.select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
         .createOrReplaceTempView(s"src_$cat")
       s.sql(s"INSERT INTO $cat.db.orders SELECT * FROM src_$cat")

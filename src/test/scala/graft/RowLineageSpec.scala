@@ -551,6 +551,36 @@ class RowLineageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_._2).distinct.length === 150, "ids stay unique across rolled files")
   }
 
+  test("SORTED table CoW DELETE direct-commits with sorted files + sortOrderId") {
+    val s = spark
+    s.conf.set("spark.sql.catalog.glin_so", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.glin_so.warehouse", warehouse)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS glin_so.db")
+    s.sql("""CREATE TABLE glin_so.db.sort_del (k BIGINT, v STRING)
+      TBLPROPERTIES ('format-version'='3')""")
+    val t0 = new graft.catalog.HadoopCatalog(warehouse, s).loadTable("db.sort_del")
+    t0.replaceSortOrder("k" -> "desc")
+    s.sql("""INSERT INTO glin_so.db.sort_del
+      SELECT CAST(id * 37 % 500 AS BIGINT), concat('v', id) FROM range(0, 500, 1, 2)""")
+    s.sql("DELETE FROM glin_so.db.sort_del WHERE k % 5 = 2")
+    val t = new graft.catalog.HadoopCatalog(warehouse, s).loadTable("db.sort_del")
+    val files = t.scan.planFiles().map(_.file)
+    assert(files.nonEmpty)
+    assert(files.forall(_.filePath.contains("/data/cow-")),
+      "sorted table DELETE must direct-commit via the required ordering")
+    val orderId = t.metadata.defaultSortOrderId
+    assert(files.forall(_.sortOrderId.contains(orderId)),
+      s"files must carry the sort order id, got ${files.map(_.sortOrderId)}")
+    // each file's rows really are sorted per the declared DESC order
+    files.foreach { f =>
+      val ks = s.read.parquet(f.filePath).select("k")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ks === ks.sorted.reverse, s"file ${f.filePath} not desc-sorted")
+    }
+    assert(s.sql("SELECT count(*) FROM glin_so.db.sort_del").head().getLong(0) ===
+      (0L until 500L).map(i => i * 37 % 500).count(_ % 5 != 2))
+  }
+
   test("UPDATE with a subquery condition keeps lineage semantics (rule fallback-safe)") {
     // whatever plan shape the rewrite produces, the diff must stay
     // correct: changed rows take the new seq, untouched rows keep theirs
