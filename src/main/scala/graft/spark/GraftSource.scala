@@ -1322,28 +1322,70 @@ class GraftStreamingStagingFactory(root: String, schemaJson: String,
 class GraftDynamicOverwriteWrite(table: IceTable,
     branch: Option[String] = Some("main"))
     extends org.apache.spark.sql.connector.write.Write
-    with org.apache.spark.sql.connector.write.BatchWrite {
+    with org.apache.spark.sql.connector.write.BatchWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.write._
 
-  private val stagingDir =
-    s"${table.location}/staging/dyn-${java.util.UUID.randomUUID()}"
   private val tableStruct: StructType = table.schema.toSpark
+
+  /** Direct commit (r12): routed staged files become the data files and
+    * the touched-partition set falls out of their harvested tuples — no
+    * read-back, no distinct-partitions job. */
+  private val partRouter: Option[PartitionRouterSpec] =
+    StagedDirect.routerSpec(table, tableStruct)
+  private val clustering
+      : Option[Array[org.apache.spark.sql.connector.expressions.Expression]] =
+    StagedDirect.v2Clustering(table)
+  private val sortOrdering
+      : Option[Array[org.apache.spark.sql.connector.expressions.SortOrder]] =
+    StagedDirect.v2SortOrdering(table)
+  private val directCapable: Boolean = StagedDirect.capable(table, tableStruct,
+    partitionedOk = partRouter.isDefined && clustering.isDefined,
+    sortedOk = sortOrdering.isDefined) && table.spec.fields.nonEmpty
+  private val stagingDir = StagedDirect.stageDir(table, "dyn", directCapable)
+  @volatile private var committedDirect = false
 
   override def toBatch: BatchWrite = this
 
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    if (directCapable)
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(clustering.get)
+    else org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (!directCapable) Array.empty
+    else clustering.get.map(e =>
+      org.apache.spark.sql.connector.expressions.Expressions.sort(e,
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)) ++
+      sortOrdering.getOrElse(Array.empty)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftStagingWriterFactory(stagingDir, tableStruct.json,
-      graft.meta.Io.confEntries(table.spark))
+      graft.meta.Io.confEntries(table.spark),
+      router = if (directCapable) partRouter.orNull else null,
+      maxRecords = if (directCapable) StagedDirect.maxRecordsFor(table) else 0L)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val files = messages.collect { case StagedFileMessage(p) => p }
+    val files = messages.toSeq.flatMap {
+      case StagedFileMessage(p) => Seq(p)
+      case StagedFilesMessage(ps) => ps
+      case _ => Nil
+    }
     try {
       if (files.nonEmpty) {
-        val df = table.spark.read.schema(tableStruct).parquet(files.toIndexedSeq: _*)
         table.refresh()
-        table.dynamicPartitionOverwrite(df, branch)
+        if (directCapable) {
+          table.dynamicPartitionOverwritePreStaged(
+            StagedDirect.harvest(table, stagingDir, files, lineage = false), branch)
+          committedDirect = true
+        } else {
+          val df = table.spark.read.schema(tableStruct).parquet(files.toIndexedSeq: _*)
+          table.dynamicPartitionOverwrite(df, branch)
+        }
       } // empty source → dynamic overwrite touches no partitions: no-op
-    } finally cleanup()
+    } finally if (!committedDirect) cleanup()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = cleanup()

@@ -532,6 +532,40 @@ class IceTable(
       conflictFilter = Some(conflict), baseSnapshotId = baseSnap, toBranch = branch)
   }
 
+  /** Dynamic overwrite where the replacement data files already exist
+    * with harvested stats (the DSv2 write's direct-commit path) — the
+    * touched-partition set comes FREE from the descriptors' partition
+    * tuples, so the re-read AND the distinct-partitions job both
+    * disappear. Same conflict predicate and commit as the DataFrame
+    * variant. */
+  private[graft] def dynamicPartitionOverwritePreStaged(files: Seq[DataFile],
+      branch: Option[String] = Some("main")): Unit = {
+    require(!spec.isUnpartitioned, "dynamic overwrite requires a partitioned table")
+    if (files.isEmpty) return
+    val baseSnap = branchHeadId(branch)
+    val maxTouched = metadata.properties
+      .get("write.dynamic-overwrite.max-touched-partitions")
+      .flatMap(_.toIntOption).getOrElse(100000)
+    val touched: Set[Seq[Any]] = files.map(f => normalizeTuple(f.partition)).toSet
+    require(touched.size <= maxTouched,
+      s"Dynamic overwrite touches more than $maxTouched partitions; " +
+        "narrow the write or raise write.dynamic-overwrite.max-touched-partitions")
+    val removed = branchScan(branch).map(_.planFiles()).getOrElse(Nil)
+      .filter(t => touched.contains(normalizeTuple(t.file.partition)))
+      .map(_.file.filePath).toSet
+    val conflict: Expr = spec.fields.zipWithIndex.map { case (pf, i) =>
+      val src = schema.byId(pf.sourceId)
+      val tr = if (pf.transform == IdentityTransform) None else Some(pf.transform)
+      val vals = touched.map(_(i)).toSeq
+      val nonNull = vals.filter(_ != null)
+      val inPred: Expr =
+        if (nonNull.isEmpty) AlwaysFalse else In(src.name, nonNull, tr)
+      if (vals.contains(null)) Or(inPred, IsNull(src.name, tr)) else inPred
+    }.reduce(And(_, _))
+    commitSnapshot("overwrite", added = files, removedPaths = removed,
+      conflictFilter = Some(conflict), baseSnapshotId = baseSnap, toBranch = branch)
+  }
+
   private def normalizeTuple(vs: Seq[Any]): Seq[Any] = vs.map {
     case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
     case d: java.time.LocalDate => d.toEpochDay.toInt

@@ -670,6 +670,13 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       val rows = spark.sql("SELECT k, p FROM g.db.dyn").collect()
         .map(r => (r.getLong(0), r.getString(1))).toSet
       assert(rows === Set((9L, "x"), (2L, "y"))) // 'y' untouched
+      // r12: the DSv2 dynamic overwrite direct-commits its routed staged
+      // files (partition tuples from the harvest, no read-back)
+      val t = new HadoopCatalog(warehouse, spark).loadTable("db.dyn")
+      val xFiles = t.scan.planFiles().map(_.file)
+        .filter(_.partition.headOption.contains("x"))
+      assert(xFiles.nonEmpty && xFiles.forall(_.filePath.contains("/data/dyn-")),
+        s"overwrite replacement must be direct-committed: ${xFiles.map(_.filePath)}")
     } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
   }
 
