@@ -49,6 +49,13 @@ object Bench {
         sinceRecycle = 0
       }
       sinceRecycle += 1
+      // SPARK_GRAFT_WARMUP=1 (set by the parent for fresh-JVM isolation
+      // children): one UNTIMED rep first, so "isolated" measures
+      // steady-state plan+compute rather than cold-JIT — r12's cold
+      // children read 2× the in-suite number and looked like phantom
+      // regressions (stream_lineage_cdc 19.3s cold vs 9.94 in-suite)
+      if (sys.env.get("SPARK_GRAFT_WARMUP").contains("1"))
+        try fn(spark, sfDir).count() catch { case _: Throwable => }
       // a crashing query must fail the bench run, not record a fast time —
       // and a fast-CRASHING rep must not win the min either
       val times = (1 to reps).map { _ =>
@@ -100,8 +107,13 @@ object Bench {
     val suspects: Seq[String] =
       if (isolateK <= 0 || failed.nonEmpty) Nil
       else {
+        // >2× always suspect; queries already slower than 1s settled get a
+        // tighter 1.5× trigger — sub-2× creep on an expensive query (r12:
+        // ice_scan_filter_dsl 1.78→2.63s) otherwise never earns a
+        // fresh-JVM verdict
         val byRatio = results.toSeq.collect {
-          case (n, t) if prior.get(n).exists(p => p > 0.05 && t > 2 * p) => n
+          case (n, t) if prior.get(n).exists(p =>
+            p > 0.05 && (t > 2 * p || (p > 1.0 && t > 1.5 * p))) => n
         }
         val byAbs = results.toSeq.sortBy(-_._2).take(isolateK).map(_._1)
         // ratio suspects FIRST so the cap can never drop them (the whole
@@ -142,6 +154,7 @@ object Bench {
           val env = pb.environment()
           env.put("SPARK_GRAFT_ONLY", name)
           env.put("SPARK_GRAFT_ISOLATE", "0")
+          env.put("SPARK_GRAFT_WARMUP", "1") // untimed first rep (cold JIT)
           env.put("SPARK_GRAFT_REPS", reps.toString)
           env.put("SPARK_GRAFT_SF_DIR", sfDir)
           env.put("SPARK_GRAFT_CPUS", cpus)
@@ -188,7 +201,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"isolated":$iso,"isolation_mode":"fresh-jvm","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"isolated":$iso,"isolation_mode":"fresh-jvm-warm","sf":"$sfDir"}"""
     java.nio.file.Files.write(fullPath, full.getBytes("UTF-8"))
     println(full)
     // the driver records only the final ~2000 chars of output and parses
@@ -201,7 +214,7 @@ object Bench {
     val top = results.toSeq.sortBy(-_._2).take(25)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val summary =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"full":"${fullPath.toString}","queries":$top,"isolated":$iso,"isolation_mode":"fresh-jvm"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"full":"${fullPath.toString}","queries":$top,"isolated":$iso,"isolation_mode":"fresh-jvm-warm"}"""
     val summaryPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_SUMMARY_OUT", "BENCH_SUMMARY.json"))
     java.nio.file.Files.write(summaryPath, summary.getBytes("UTF-8"))

@@ -329,6 +329,12 @@ class GraftRowLevelOperation(table: IceTable,
     * (UPDATE only); `None` → the lineage diff compares every column. */
   @volatile private[spark] var assignedDataColumns: Option[Seq[String]] = None
 
+  /** True when [[AssignedColumnsRule]] rewrote the plan to stamp
+    * `_last_updated_sequence_number = null` for content-changed rows at
+    * WRITE time — the commit then skips the read-back diff entirely and
+    * the staged files qualify for direct commit. */
+  @volatile private[spark] var lineageStampedInPlan: Boolean = false
+
   override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -563,7 +569,10 @@ private[spark] object StagedDirect {
     * byte-equivalent to the second write's output: unpartitioned (or, if
     * `partitionedOk`, partition-routed staging), unsorted (or, if
     * `sortedOk`, ordering-required staging), parquet format, every
-    * column id-stamped. */
+    * column id-stamped, and EVERY table column present in the staging
+    * schema — a narrower frame (a streaming sink missing one column)
+    * id-stamps fine but would commit files that read back as nulls where
+    * the rewrite path's alignment select fails loudly. */
   def capable(table: IceTable, stagingSchema: StructType,
       partitionedOk: Boolean = false, sortedOk: Boolean = false): Boolean =
     // escape hatch: `write.graft.direct-commit = false` forces the
@@ -573,7 +582,10 @@ private[spark] object StagedDirect {
       (table.sortOrderOpt.isEmpty || sortedOk) &&
       table.metadata.properties
         .getOrElse("write.format.default", "parquet").equalsIgnoreCase("parquet") &&
-      stagingSchema.fields.forall(_.metadata.contains(graft.core.SchemaConv.ParquetFieldIdKey))
+      stagingSchema.fields.forall(_.metadata.contains(graft.core.SchemaConv.ParquetFieldIdKey)) && {
+        val staged = stagingSchema.fieldNames.toSet
+        table.schema.fields.forall(f => staged.contains(f.name))
+      }
 
   /** Record cap per staged file on the DIRECT path, honoring
     * `write.target-file-size-bytes` / `write.spark.max-records-per-file`
@@ -734,9 +746,11 @@ class GraftReplaceDataWrite(table: IceTable, op: GraftRowLevelOperation,
         val diffColsOpt: Option[Seq[String]] =
           op.assignedDataColumns.map(a => dataCols.filter(a.toSet).toSeq)
         // diff-free: no lineage rewrite pending (v2; DELETE passes
-        // metadata through untouched; provably assignment-free MERGE)
+        // metadata through untouched; provably assignment-free MERGE;
+        // or the optimizer STAMPED the seq update into the plan — the
+        // staged files already carry null seq for content-changed rows)
         val diffFree = !lineage || op.cmd == Command.DELETE ||
-          diffColsOpt.contains(Nil) || files.isEmpty
+          diffColsOpt.contains(Nil) || op.lineageStampedInPlan || files.isEmpty
         // diff-free commands on a direct-capable stage: the staged files
         // ARE the data files — harvest footer stats and commit their
         // descriptors; no second write, no read-back
@@ -1457,8 +1471,12 @@ class GraftStagingWriter(dir: String, schemaJson: String, partitionId: Int,
   // extra file, never a wrong tuple) and across the `maxRecords` cap
   // (direct-committed files are FINAL data files, so they honor
   // write.target-file-size instead of growing to a task's whole input).
-  // A zero-row unrouted task still stages one schema-bearing file —
-  // every pre-existing consumer expects that.
+  // The file opens LAZILY on the first row: a zero-row task (empty
+  // shuffle partition per streaming epoch, a CoW DELETE task whose whole
+  // input is deleted) stages NOTHING — on direct-commit paths an eager
+  // open would harvest a permanent 0-record data file into the manifest
+  // every time, and every consumer reads staged files with an explicit
+  // schema, so the schema-bearing empty file served no one.
   private var cur: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = null
   private var curDir: String = null
   private var curCount: Long = 0L
@@ -1472,8 +1490,6 @@ class GraftStagingWriter(dir: String, schemaJson: String, partitionId: Int,
     curCount = 0L
     staged += p
   }
-
-  if (router == null) roll(dir)
 
   private def target(row: InternalRow): org.apache.parquet.hadoop.ParquetWriter[InternalRow] = {
     val d = if (router == null) dir else s"$dir/${router.dirOf(row)}"

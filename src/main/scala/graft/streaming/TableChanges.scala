@@ -244,15 +244,30 @@ object TableChanges {
     * what lets incremental dedup / decontamination re-runs touch only
     * changed rows instead of re-reading the corpus.
     *
-    * Scale shape (deliberately NOT a wide full-outer join of both
-    * snapshots): inserts+updates come from ONE scan of the current
-    * snapshot filtered by `_last_updated_sequence_number > seq(cursor)`
-    * — the rewrite rules guarantee unchanged rows keep their old
-    * sequence, so this filter IS the change set; the cursor side joins
-    * only its `_row_id` column (8 bytes/row, column-pruned scan) to
-    * split insert from update and to find deletes. A row inserted AND
-    * deleted between the two polls appears in neither snapshot and is
-    * (by net-changes semantics) not reported.
+    * Scale shape — work is proportional to the CHURN, never the corpus.
+    * Both snapshots are planned metadata-only (manifest reads), then
+    * pruned at the FILE level before any data file opens:
+    *
+    *  - change set (inserts+updates): a task's `dataSequenceNumber` is a
+    *    provable upper bound on every row's
+    *    `_last_updated_sequence_number` in that file (inherited seq IS
+    *    the file's data seq; materialized values predate the rewrite
+    *    that carried them) — so only tasks with `dataSequenceNumber >
+    *    seq(cursor)` are scanned, and the row-level seq filter inside
+    *    them drops compaction survivors;
+    *  - deletes: a row live at the cursor can only have disappeared if
+    *    its file was REMOVED since the cursor (CoW) or its file's
+    *    applicable-delete set CHANGED (a new DV / position / equality
+    *    delete now masks it) — the cursor-side scan reads only that
+    *    candidate set, and the anti-join's right side reads only the id
+    *    columns of files ADDED or newly-delete-targeted since the
+    *    cursor (a rewritten survivor can only live in an added file; a
+    *    masked file's survivors only in itself).
+    *
+    * A poll over a table whose commits only appended opens exactly the
+    * appended files; the delete branch never materializes. A row
+    * inserted AND deleted between the two polls appears in neither
+    * snapshot and is (by net-changes semantics) not reported.
     *
     * Output: the table's data columns + `_row_id` + `_change_type`;
     * deleted rows carry their content as of the cursor snapshot. */
@@ -267,8 +282,6 @@ object TableChanges {
     val dataCols = table.schema.fields.map(f => col(f.name))
     def out(df: DataFrame, tpe: org.apache.spark.sql.Column): DataFrame =
       df.select(dataCols :+ col(idName) :+ tpe.as("_change_type"): _*)
-    def lin(snapId: Long): DataFrame =
-      new graft.table.IceScan(table).useSnapshot(snapId).toDFWithLineage
     val emptyOut = out(
       table.spark.createDataFrame(
         table.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -280,7 +293,9 @@ object TableChanges {
     (cursor, current) match {
       case (_, None) => (emptyOut, cursor)
       case (Some(c), Some(cur)) if c == cur => (emptyOut, cursor)
-      case (None, Some(cur)) => (out(lin(cur), lit("insert")), current)
+      case (None, Some(cur)) =>
+        (out(new graft.table.IceScan(table).useSnapshot(cur).toDFWithLineage,
+          lit("insert")), current)
       case (Some(c), Some(cur)) =>
         val chain = table.metadata.ancestorsOf(cur) // newest first
         require(chain.exists(_.snapshotId == c),
@@ -295,29 +310,90 @@ object TableChanges {
         val boundary: Option[Long] = chain.dropWhile(_.snapshotId != c).iterator
           .flatMap(s => for { f <- s.firstRowId; a <- s.addedRows } yield f + a)
           .nextOption()
-        val after = lin(cur)
-        val before = lin(c)
-        // one pruned scan: changed = rows the commits after the cursor
-        // touched (inserted or updated); unchanged rows keep their seq
-        val changed = after.filter(col(seqName) > cursorSeq)
-        val upserts = boundary match {
-          case Some(b) => out(changed,
-            when(col(idName) >= b, "insert").otherwise("update"))
-          case None => // cursor predates the v3 upgrade: id-set join
-            val beforeIds = before.select(col(idName))
-            out(changed.join(beforeIds, Seq(idName), "left_anti")
-                .withColumn("__ct", lit("insert"))
-                .unionByName(changed.join(beforeIds, Seq(idName), "left_semi")
-                  .withColumn("__ct", lit("update"))),
-              col("__ct"))
+        val (changedTasks, beforeCand, curCand, beforeTasks) =
+          prunedDiffTasks(table, c, cur, cursorSeq)
+        val upserts: Option[DataFrame] =
+          if (changedTasks.isEmpty) None
+          else {
+            // row-level seq filter inside the pruned files drops
+            // compaction survivors (materialized seq ≤ cursorSeq rides
+            // in a post-cursor file)
+            val changed = table.lineageScanForTasksAt(cur, changedTasks)
+              .filter(col(seqName) > cursorSeq)
+            Some(boundary match {
+              case Some(b) => out(changed,
+                when(col(idName) >= b, "insert").otherwise("update"))
+              case None => // cursor predates the v3 upgrade: id-set join
+                // (full cursor ID scan — 8 bytes/row, column-pruned; only
+                // reachable when the cursor commit lacks first-row-id)
+                val beforeIds = table.lineageScanForTasksAt(c, beforeTasks)
+                  .select(col(idName))
+                out(changed.join(beforeIds, Seq(idName), "left_anti")
+                    .withColumn("__ct", lit("insert"))
+                    .unionByName(changed.join(beforeIds, Seq(idName), "left_semi")
+                      .withColumn("__ct", lit("update"))),
+                  col("__ct"))
+            })
+          }
+        // deleted rows with cursor-time content: candidate cursor files
+        // anti-join the id columns of the candidate current files
+        val deletes: Option[DataFrame] =
+          if (beforeCand.isEmpty) None
+          else Some(out(
+            table.lineageScanForTasksAt(c, beforeCand).join(
+              table.lineageScanForTasksAt(cur, curCand).select(col(idName)),
+              Seq(idName), "left_anti"),
+            lit("delete")))
+        val batch = (upserts, deletes) match {
+          case (Some(u), Some(d)) => u.unionByName(d)
+          case (Some(u), None) => u
+          case (None, Some(d)) => d
+          case (None, None) => emptyOut
         }
-        // deleted rows with cursor-time content: the full-width cursor
-        // scan anti-joins the 8-byte current id column directly
-        val deletes = out(
-          before.join(after.select(col(idName)), Seq(idName), "left_anti"),
-          lit("delete"))
-        (upserts.unionByName(deletes), current)
+        (batch, current)
     }
+  }
+
+  /** File-level pruning for the lineage CDC diff between two snapshots
+    * (both plans are metadata-only). Returns:
+    *  - changedTasks: current-snapshot tasks that can hold changed rows
+    *    (`dataSequenceNumber > cursorSeq`);
+    *  - beforeCand: cursor-snapshot tasks whose rows can have been
+    *    deleted (file removed since the cursor, or applicable-delete set
+    *    changed — a rewritten/compacted DV changes the signature too,
+    *    which over-includes but never misses);
+    *  - curCand: current-snapshot tasks that can hold a cursor row's
+    *    survivor (file added since the cursor, or delete set changed);
+    *  - beforeTasks: the full cursor plan (legacy pre-v3-cursor path). */
+  private[graft] def prunedDiffTasks(table: IceTable, cursorId: Long,
+      currentId: Long, cursorSeq: Long)
+      : (Seq[graft.table.FileScanTask], Seq[graft.table.FileScanTask],
+         Seq[graft.table.FileScanTask], Seq[graft.table.FileScanTask]) = {
+    import graft.core.PathUtil
+    val curTasks = table.planTasksAt(currentId)
+    val beforeTasks = table.planTasksAt(cursorId)
+    val changedTasks = curTasks.filter(_.dataSequenceNumber > cursorSeq)
+    def key(t: graft.table.FileScanTask): String = PathUtil.canon(t.file.filePath)
+    // delete applicability signature: identity of the delete refs the
+    // planner attached (path + DV blob offset)
+    def delSig(t: graft.table.FileScanTask): Set[(String, Long)] =
+      t.deletes.map(f =>
+        (PathUtil.canon(f.filePath), f.contentOffset.getOrElse(-1L))).toSet
+    val curByPath = curTasks.map(t => key(t) -> t).toMap
+    val beforeByPath = beforeTasks.map(t => key(t) -> t).toMap
+    val beforeCand = beforeTasks.filter { t =>
+      curByPath.get(key(t)) match {
+        case None => true // removed: CoW delete/overwrite or compaction
+        case Some(ct) => delSig(ct) != delSig(t) // newly delete-targeted
+      }
+    }
+    val curCand = curTasks.filter { t =>
+      beforeByPath.get(key(t)) match {
+        case None => true // added since the cursor
+        case Some(bt) => delSig(t) != delSig(bt)
+      }
+    }
+    (changedTasks, beforeCand, curCand, beforeTasks)
   }
 
   final class Handle(flag: AtomicBoolean, thread: Thread) {

@@ -398,6 +398,19 @@ class IceTable(
   private[graft] def lineageScanForTasks(tasks: Seq[FileScanTask]): DataFrame =
     new IceScan(this).toDFWithLineageForTasks(tasks)
 
+  /** Metadata-only plan (file descriptors + applicable deletes, stats
+    * stripped) of a pinned snapshot — the churn-proportional CDC poll
+    * prunes at the FILE level from these before opening anything. */
+  private[graft] def planTasksAt(snapshotId: Long): Seq[FileScanTask] =
+    new IceScan(this).useSnapshot(snapshotId).planFiles(keepStats = false)
+
+  /** Lineage scan of a pinned snapshot restricted to an explicit task
+    * subset (tasks must come from [[planTasksAt]] of the same snapshot —
+    * the applicable-delete refs are snapshot-scoped). */
+  private[graft] def lineageScanForTasksAt(snapshotId: Long,
+      tasks: Seq[FileScanTask]): DataFrame =
+    new IceScan(this).useSnapshot(snapshotId).toDFWithLineageForTasks(tasks)
+
   /** Copy-on-write group replacement where the replacement data files
     * already exist on disk (the DSv2 write's direct-commit path: staged
     * per-task files under the data root, footer stats pre-harvested) —

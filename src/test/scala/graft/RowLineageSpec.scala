@@ -529,6 +529,72 @@ class RowLineageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(opens0 >= 0L)
   }
 
+  test("v3 UPDATE and MERGE direct-commit via in-plan seq stamping") {
+    // the optimizer stamps `seq := if(content changed, null, seq)` into
+    // the ReplaceData plan, so the staged files are FINAL: no read-back
+    // diff, no second write — the committed files live under the staged
+    // cow- directory, and lineage semantics hold through the direct path
+    val s = spark
+    s.conf.set("spark.sql.catalog.glin_du", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.glin_du.warehouse", warehouse)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS glin_du.db")
+    s.sql("""CREATE TABLE glin_du.db.direct_upd (k BIGINT, a STRING, b STRING)
+      TBLPROPERTIES ('format-version'='3')""")
+    s.sql("INSERT INTO glin_du.db.direct_upd SELECT id, 'x', 'y' FROM range(100)")
+    val t = new graft.catalog.HadoopCatalog(warehouse, s).loadTable("db.direct_upd")
+    val before = t.scan.planFiles().map(_.file.filePath).toSet
+    s.sql("UPDATE glin_du.db.direct_upd SET b = 'z' WHERE k >= 50")
+    t.refresh()
+    val files = t.scan.planFiles().map(_.file)
+    val added = files.filterNot(f => before.contains(f.filePath))
+    assert(added.nonEmpty)
+    assert(added.forall(f => f.filePath.contains("/data/cow-")),
+      s"v3 UPDATE must direct-commit staged files, got " +
+        added.map(_.filePath).take(3).mkString(","))
+    assert(added.forall(f => f.lowerBounds.nonEmpty && f.upperBounds.nonEmpty),
+      "direct-committed files must carry footer stats")
+    val afterUpd = s.sql(
+      "SELECT k, b, _row_id, _last_updated_sequence_number FROM glin_du.db.direct_upd")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(afterUpd.length === 100)
+    assert(afterUpd.filter(_._1 < 50).forall(r => r._2 == "y" && r._4 == 1L),
+      "carried rows keep their original seq through the direct path")
+    assert(afterUpd.filter(_._1 >= 50).forall(r => r._2 == "z" && r._4 == 2L),
+      "updated rows take the committing seq (stamped null inherits)")
+    assert(afterUpd.map(_._3).sorted.toSeq === (0L until 100L),
+      "row ids stable through the direct UPDATE")
+    // MERGE through the same stamped direct path: one assigned column,
+    // a content-identical match, a real change, and a fresh insert
+    s.sql("""MERGE INTO glin_du.db.direct_upd t
+      USING (SELECT id AS k, CASE WHEN id >= 98 THEN 'w' ELSE 'z' END AS nb
+             FROM range(96, 102)) src
+      ON t.k = src.k
+      WHEN MATCHED THEN UPDATE SET b = src.nb
+      WHEN NOT MATCHED THEN INSERT (k, a, b) VALUES (src.k, 'n', src.nb)""")
+    t.refresh()
+    val before2 = files.map(_.filePath).toSet
+    val added2 = t.scan.planFiles().map(_.file)
+      .filterNot(f => before2.contains(f.filePath))
+    assert(added2.nonEmpty)
+    assert(added2.forall(f => f.filePath.contains("/data/cow-")),
+      s"v3 MERGE must direct-commit staged files, got " +
+        added2.map(_.filePath).take(3).mkString(","))
+    val afterMrg = s.sql(
+      "SELECT k, b, _row_id, _last_updated_sequence_number FROM glin_du.db.direct_upd")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(afterMrg.length === 102)
+    // k=96,97: matched, SET to existing 'z' → content identical, seq stays
+    assert(afterMrg.filter(r => r._1 == 96 || r._1 == 97)
+      .forall(r => r._2 == "z" && r._4 == 2L))
+    // k=98,99: matched, changed to 'w' → bumped to the MERGE's seq
+    assert(afterMrg.filter(r => r._1 == 98 || r._1 == 99)
+      .forall(r => r._2 == "w" && r._4 == 3L))
+    // inserts draw fresh ids past the existing range, seq = MERGE's
+    assert(afterMrg.filter(_._1 >= 100).forall(r => r._3 >= 100L && r._4 == 3L))
+    // ids of pre-existing rows survive both DMLs
+    assert(afterMrg.filter(_._1 < 100).map(_._3).sorted.toSeq === (0L until 100L))
+  }
+
   test("direct-committed staged files honor max-records-per-file (rollover)") {
     val s = spark
     s.conf.set("spark.sql.catalog.glin_r", "graft.spark.GraftCatalog")

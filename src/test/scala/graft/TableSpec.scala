@@ -1092,6 +1092,46 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
       .agg(max(col("o_orderkey"))).head().getLong(0) < delK)
   }
 
+  test("lineage CDC poll prunes at the file level: work ∝ churn, not corpus") {
+    import graft.streaming.TableChanges
+    import graft.core.PathUtil
+    val t = catalog.createTable("t_lincdc_prune", Schema.fromSpark(orders.schema),
+      properties = Map("format-version" -> "3"))
+    (0 until 4).foreach(i => t.append(orders.filter(col("o_orderkey") % 4 === i)))
+    val (_, c1) = TableChanges.pollLineageCdc(t, None)
+    val corpusFiles = t.scan.planFiles().map(tk => PathUtil.canon(tk.file.filePath)).toSet
+    assert(corpusFiles.size >= 4)
+
+    // append-only churn: the poll must open ONLY the appended files —
+    // no cursor-side scan at all (nothing was removed or delete-targeted)
+    t.append(orders.limit(10).withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+    val (b2, c2) = TableChanges.pollLineageCdc(t, c1)
+    val addedFiles = t.scan.planFiles().map(tk => PathUtil.canon(tk.file.filePath))
+      .toSet -- corpusFiles
+    val read2 = b2.inputFiles.map(PathUtil.canon).toSet
+    assert(b2.count() === 10)
+    assert(read2.nonEmpty && read2.subsetOf(addedFiles),
+      s"append-only poll read beyond the appended files: ${read2 -- addedFiles}")
+
+    // MoR delete churn: a DV masking rows of ONE data file — the poll
+    // opens that file (at both snapshots) and nothing else
+    val oneKey = orders.agg(min("o_orderkey")).head().getLong(0)
+    t.deleteAsDeletionVector(s"o_orderkey = $oneKey")
+    val masked = t.scan.planFiles().filter(_.deletes.nonEmpty)
+      .map(tk => PathUtil.canon(tk.file.filePath)).toSet
+    assert(masked.size === 1)
+    val (b3, c3) = TableChanges.pollLineageCdc(t, c2)
+    val read3 = b3.inputFiles.map(PathUtil.canon).toSet
+    assert(b3.count() === 1)
+    assert(read3 === masked,
+      s"DV-churn poll must read exactly the masked file, got ${read3 -- masked}")
+
+    // no churn: zero data files planned, zero opened
+    val (b4, c4) = TableChanges.pollLineageCdc(t, c3)
+    assert(b4.count() === 0 && c4 === c3)
+    assert(b4.inputFiles.isEmpty)
+  }
+
   test("sorted writes record the sort order and sort within files") {
     val t = catalog.createTable("t_sorted", Schema.fromSpark(orders.schema))
     t.replaceSortOrder("o_orderkey" -> "asc")
