@@ -505,6 +505,68 @@ object Iceberg {
       |FROM base WHERE o_totalprice > 200000 AND NOT (o_orderkey % 7 = 3)
       |ORDER BY batch, rid""".stripMargin
 
+  /** J. The registered STREAMING face of the row-identity CDC feed:
+    * `spark.readStream.format("graft-cdc")` drives the file-pruned
+    * lineage diff through Structured Streaming proper — checkpointed
+    * snapshot-id offsets, one insert/update/delete batch per committed
+    * range, memory-sink accumulation. Same churn sequence as
+    * `stream_lineage_cdc` (backfill, compaction contributing ZERO
+    * phantom rows, a MoR DV DELETE, a CoW UPDATE), but batched by the
+    * streaming engine instead of manual polls; the output multiset is
+    * invariant to where the engine draws batch boundaries. */
+  def streamCdcSource(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val cat = s"gcdcsrc${sqlCatSeq.incrementAndGet()}"
+    val whDir = Files.createTempDirectory("graft_cdc_source").toString
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", whDir)
+    val tab = new graft.catalog.HadoopCatalog(whDir, s)
+      .createTable("db.orders", Schema.fromSpark(orders.schema),
+        properties = Map("format-version" -> "3",
+          "write.delete.mode" -> "merge-on-read"))
+    val sorted = orders.repartition(1).sortWithinPartitions("o_orderkey")
+    tab.append(sorted.filter(col("o_orderkey") % 2 === 1)) // seq 1
+    tab.append(sorted.filter(col("o_orderkey") % 2 === 0)) // seq 2
+    val sink = s"cdc_src_sink_${sqlCatSeq.incrementAndGet()}"
+    val q = s.readStream.format("graft-cdc")
+      .option("warehouse", whDir).option("table", "db.orders").load()
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      q.processAllAvailable() // backfill batch: the whole table as inserts
+      val (rew, _) = tab.rewriteDataFiles(1L << 30)
+      require(rew > 0, "compaction must actually rewrite")
+      q.processAllAvailable() // compaction-only range: zero phantom rows
+      s.sql(s"DELETE FROM $cat.db.orders WHERE o_orderkey % 7 = 3") // MoR DV
+      q.processAllAvailable()
+      s.sql(s"""UPDATE $cat.db.orders
+               |SET o_orderstatus = concat(o_orderstatus, 'X')
+               |WHERE o_totalprice > 200000""".stripMargin) // CoW rewrite
+      q.processAllAvailable()
+    } finally q.stop()
+    nonEmpty(s.table(sink).select(
+        col(graft.core.RowLineage.RowIdName).as("rid"),
+        col("o_orderkey"), col("_change_type").as("change_type"))
+      .orderBy(col("change_type"), col("rid")))
+  }
+  val streamCdcSourceSql =
+    """WITH odd AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |         row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+      |  FROM orders WHERE o_orderkey % 2 = 1),
+      |cnt AS (SELECT count(*) AS n FROM odd),
+      |evn AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |         (SELECT n FROM cnt) + row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+      |  FROM orders WHERE o_orderkey % 2 = 0),
+      |base AS (SELECT * FROM odd UNION ALL SELECT * FROM evn)
+      |SELECT rid, o_orderkey, 'insert' AS change_type FROM base
+      |UNION ALL
+      |SELECT rid, o_orderkey, 'delete' FROM base WHERE o_orderkey % 7 = 3
+      |UNION ALL
+      |SELECT rid, o_orderkey, 'update' FROM base
+      |WHERE o_totalprice > 200000 AND NOT (o_orderkey % 7 = 3)
+      |ORDER BY change_type, rid""".stripMargin
+
   /** J×dedup synthesis: INCREMENTAL DEDUP-INDEX MAINTENANCE driven by
     * the row-identity CDC feed — the end-to-end answer to "the corpus
     * changed; re-dedup only what changed". The corpus table takes a
@@ -1487,6 +1549,7 @@ object Iceberg {
     "ice_lineage_mor" -> (rowLineageMor _),
     "ice_lineage_cdc" -> (lineageCdc _),
     "stream_lineage_cdc" -> (streamLineageCdc _),
+    "stream_cdc_source" -> (streamCdcSource _),
     "ds_dedup_cdc" -> (dedupCdc _),
     "ice_equality_deletes" -> (equalityDeletes _),
     "ice_dsv2_scan" -> (dsv2Scan _),
@@ -1544,6 +1607,7 @@ object Iceberg {
     "ice_lineage_mor" -> rowLineageMorSql,
     "ice_lineage_cdc" -> lineageCdcSql,
     "stream_lineage_cdc" -> streamLineageCdcSql,
+    "stream_cdc_source" -> streamCdcSourceSql,
     "ds_dedup_cdc" -> dedupCdcSql,
     "ice_equality_deletes" -> equalityDeletesSql,
     "ice_dsv2_scan" -> dsv2ScanSql,

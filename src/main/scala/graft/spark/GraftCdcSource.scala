@@ -1,0 +1,97 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.table.IceTable
+
+/** Row-identity CDC as a Structured Streaming SOURCE over a v3 table:
+  *
+  * {{{
+  * spark.readStream.format("graft-cdc")
+  *   .option("warehouse", wh).option("table", "db.t").load()
+  * }}}
+  *
+  * Each micro-batch carries the table's data columns + `_row_id` +
+  * `_change_type` ('insert' | 'update' | 'delete') for the snapshot
+  * range (previousOffset, currentOffset] — the streaming face of
+  * [[graft.streaming.TableChanges.lineageDiff]], so every batch is the
+  * FILE-PRUNED diff: work per batch is proportional to the churn the
+  * range committed, never the corpus, and compaction between offsets
+  * contributes zero phantom changes (rows keep `_row_id` and
+  * `_last_updated_sequence_number` through rewrites).
+  *
+  * Offsets are snapshot ids (same scheme as the append
+  * [[GraftMicroBatchStream]]), so checkpoints survive restarts: a
+  * recovered offset replays exactly the uncommitted snapshot range.
+  * The first batch (no prior offset) is the whole table as inserts.
+  *
+  * The batch plan involves per-range joins (delete anti-join,
+  * insert/update split), so this source serves each batch through the
+  * V1 `Source.getBatch` seam — the DataFrame-per-batch contract that
+  * file sources use — rather than the partition-level DSv2 one; the
+  * diff itself is planned lazily and executes distributed like any
+  * batch read of the same range. */
+class GraftCdcSource extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-cdc"
+
+  private def load(parameters: Map[String, String]): IceTable = {
+    import scala.jdk.CollectionConverters._
+    val (table, pinned) = new GraftSource().load(
+      new CaseInsensitiveStringMap(parameters.asJava))
+    require(pinned.isEmpty,
+      "the CDC stream follows main — time-travel/branch/tag pins are not streamable")
+    require(table.metadata.formatVersion >= 3,
+      "row-identity CDC requires a v3 table (row lineage)")
+    table
+  }
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    (shortName(), GraftCdcSource.cdcSchema(load(parameters)))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new GraftCdcStreamingSource(load(parameters))
+}
+
+object GraftCdcSource {
+  def cdcSchema(table: IceTable): StructType =
+    StructType(table.schema.toSpark.fields ++ Seq(
+      StructField(graft.core.RowLineage.RowIdName, LongType),
+      StructField("_change_type", StringType)))
+}
+
+/** Snapshot-id offset of the CDC stream (0 = table start). */
+final case class CdcSnapshotOffset(snapshotId: Long) extends V1Offset {
+  override def json(): String = snapshotId.toString
+}
+
+class GraftCdcStreamingSource(table: IceTable) extends Source {
+
+  override val schema: StructType = GraftCdcSource.cdcSchema(table)
+
+  override def getOffset: Option[V1Offset] = {
+    table.refresh()
+    table.metadata.currentSnapshotId.map(CdcSnapshotOffset.apply)
+  }
+
+  /** A recovered offset arrives as SerializedOffset — parse through the
+    * json face rather than the case class. */
+  private def idOf(o: V1Offset): Long = o.json().toLong
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    table.refresh()
+    val diff = graft.streaming.TableChanges.lineageDiff(
+      table, start.map(idOf), idOf(end))
+    // V1 contract: the returned frame must carry isStreaming=true
+    org.apache.spark.sql.GraftBridge.streamingBatchFrame(table.spark, diff)
+  }
+
+  override def stop(): Unit = ()
+}

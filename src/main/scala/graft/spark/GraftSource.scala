@@ -61,7 +61,7 @@ class GraftSource extends TableProvider with org.apache.spark.sql.sources.DataSo
 
   override def shortName(): String = "graft"
 
-  private def load(options: CaseInsensitiveStringMap): (IceTable, Option[Long]) = {
+  private[spark] def load(options: CaseInsensitiveStringMap): (IceTable, Option[Long]) = {
     val wh = options.get("warehouse")
     val name = options.get("table")
     require(name != null, "option 'table' is required")

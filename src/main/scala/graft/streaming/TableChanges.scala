@@ -273,8 +273,34 @@ object TableChanges {
     * deleted rows carry their content as of the cursor snapshot. */
   def pollLineageCdc(table: IceTable, cursor: Option[Long])
       : (DataFrame, Option[Long]) = {
-    import org.apache.spark.sql.functions._
     table.refresh()
+    val current = table.metadata.currentSnapshotId
+    (cursor, current) match {
+      case (_, None) => (emptyLineageDiff(table), cursor)
+      case (Some(c), Some(cur)) if c == cur => (emptyLineageDiff(table), cursor)
+      case (_, Some(cur)) => (lineageDiff(table, cursor, cur), current)
+    }
+  }
+
+  private def emptyLineageDiff(table: IceTable): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val idName = graft.core.RowLineage.RowIdName
+    val dataCols = table.schema.fields.map(f => col(f.name))
+    table.spark.createDataFrame(
+      table.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(table.schema.toSpark.fields ++
+        graft.core.RowLineage.fields.map(f => org.apache.spark.sql.types
+          .StructField(f.name, org.apache.spark.sql.types.LongType))))
+      .select(dataCols :+ col(idName) :+ lit("insert").as("_change_type"): _*)
+  }
+
+  /** The pruned row-identity diff between two committed snapshots of one
+    * lineage, as a lazy DataFrame (data columns + `_row_id` +
+    * `_change_type`) — the shared engine under [[pollLineageCdc]] and the
+    * `graft-cdc` streaming source. `from = None` (or a 0 sentinel) means
+    * table start: the whole `to` snapshot as inserts. */
+  def lineageDiff(table: IceTable, from: Option[Long], to: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
     require(table.metadata.formatVersion >= 3,
       "row-identity CDC requires a v3 table (row lineage)")
     val idName = graft.core.RowLineage.RowIdName
@@ -282,21 +308,14 @@ object TableChanges {
     val dataCols = table.schema.fields.map(f => col(f.name))
     def out(df: DataFrame, tpe: org.apache.spark.sql.Column): DataFrame =
       df.select(dataCols :+ col(idName) :+ tpe.as("_change_type"): _*)
-    val emptyOut = out(
-      table.spark.createDataFrame(
-        table.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(table.schema.toSpark.fields ++
-          graft.core.RowLineage.fields.map(f => org.apache.spark.sql.types
-            .StructField(f.name, org.apache.spark.sql.types.LongType)))),
-      lit("insert"))
-    val current = table.metadata.currentSnapshotId
-    (cursor, current) match {
-      case (_, None) => (emptyOut, cursor)
-      case (Some(c), Some(cur)) if c == cur => (emptyOut, cursor)
-      case (None, Some(cur)) =>
-        (out(new graft.table.IceScan(table).useSnapshot(cur).toDFWithLineage,
-          lit("insert")), current)
-      case (Some(c), Some(cur)) =>
+    val emptyOut = emptyLineageDiff(table)
+    from.filter(_ != 0L) match {
+      case None =>
+        out(new graft.table.IceScan(table).useSnapshot(to).toDFWithLineage,
+          lit("insert"))
+      case Some(c) if c == to => emptyOut
+      case Some(c) =>
+        val cur = to
         val chain = table.metadata.ancestorsOf(cur) // newest first
         require(chain.exists(_.snapshotId == c),
           s"Cursor snapshot $c is not an ancestor of the current snapshot $cur")
@@ -344,13 +363,12 @@ object TableChanges {
               table.lineageScanForTasksAt(cur, curCand).select(col(idName)),
               Seq(idName), "left_anti"),
             lit("delete")))
-        val batch = (upserts, deletes) match {
+        (upserts, deletes) match {
           case (Some(u), Some(d)) => u.unionByName(d)
           case (Some(u), None) => u
           case (None, Some(d)) => d
           case (None, None) => emptyOut
         }
-        (batch, current)
     }
   }
 

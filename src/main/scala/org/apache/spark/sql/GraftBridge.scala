@@ -44,6 +44,18 @@ object GraftBridge {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     s.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
 
+  /** Batch plan served as ONE streaming micro-batch: a V1
+    * `Source.getBatch` result must carry isStreaming=true
+    * (MicroBatchExecution asserts it). The per-batch plan re-plans every
+    * micro-batch anyway, so baking it to a lazy RDD leaf loses no
+    * incrementality — `internalCreateDataFrame` is private[sql], hence
+    * this bridge. */
+  def streamingBatchFrame(s: SparkSession, df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    s.asInstanceOf[classic.SparkSession].internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = true)
+  }
+
   /** Lineage-truncating materialization for iterative frames: persist the
     * frame's InternalRow RDD and wrap it as a leaf LogicalRDD frame — the
     * SQL plan collapses to a scan of the cached blocks, like

@@ -1132,6 +1132,58 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(b4.inputFiles.isEmpty)
   }
 
+  test("graft-cdc streaming source: insert/update/delete micro-batches, " +
+      "compaction mid-stream contributes zero phantom changes") {
+    val t = catalog.createTable("t_cdc_src", Schema.fromSpark(orders.schema),
+      properties = Map("format-version" -> "3"))
+    t.append(orders.filter(col("o_orderkey") % 4 === 1))
+    t.append(orders.filter(col("o_orderkey") % 4 === 3))
+    val stream = spark.readStream.format("graft-cdc")
+      .option("warehouse", warehouse).option("table", "t_cdc_src").load()
+    assert(stream.schema.fieldNames.takeRight(2).toSeq ===
+      Seq("_row_id", "_change_type"))
+    val q = stream.writeStream.format("memory").queryName("cdc_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // batch 1: backfill (whole table as inserts)
+      val oddCount = orders.filter(col("o_orderkey") % 2 === 1).count()
+      assert(spark.sql("SELECT count(*) FROM cdc_sink WHERE _change_type = 'insert'")
+        .head().getLong(0) === oddCount)
+      // compaction between offsets: identities survive, zero phantom rows
+      val (rew, _) = t.rewriteDataFiles(1L << 30)
+      assert(rew > 0)
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM cdc_sink").head().getLong(0) === oddCount,
+        "a compaction-only snapshot range must stream zero changes")
+      // one range carrying all three change types: DV delete, CoW upsert
+      // of one changed row, and a brand-new key
+      val keys = orders.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey").orderBy("o_orderkey").collect().map(_.getLong(0))
+      val delK = keys(keys.length / 10)
+      t.deleteAsDeletionVector(s"o_orderkey < $delK")
+      val updK = keys(keys.length / 2)
+      val newK = keys.last + 1001 // even-safe fresh key
+      val src = orders.filter(col("o_orderkey") === updK)
+        .withColumn("o_orderstatus", lit("Z"))
+        .unionByName(orders.filter(col("o_orderkey") === keys.last)
+          .withColumn("o_orderkey", lit(newK)))
+      t.upsert(src, Seq("o_orderkey"))
+      q.processAllAvailable()
+      val byType = spark.sql(
+        """SELECT _change_type, count(*) AS n FROM cdc_sink
+           WHERE _change_type != 'insert' OR o_orderkey = """ + newK +
+          " GROUP BY 1").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val wantDel = keys.count(_ < delK)
+      assert(byType.getOrElse("delete", 0L) === wantDel, s"got $byType")
+      assert(byType.getOrElse("update", 0L) === 1L, s"got $byType")
+      assert(byType.getOrElse("insert", 0L) === 1L, s"got $byType")
+      assert(spark.sql(
+        s"SELECT o_orderstatus FROM cdc_sink WHERE _change_type = 'update'")
+        .head().getString(0) === "Z")
+    } finally q.stop()
+    spark.sql("DROP VIEW IF EXISTS cdc_sink")
+  }
+
   test("sorted writes record the sort order and sort within files") {
     val t = catalog.createTable("t_sorted", Schema.fromSpark(orders.schema))
     t.replaceSortOrder("o_orderkey" -> "asc")
