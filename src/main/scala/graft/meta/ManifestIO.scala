@@ -248,16 +248,27 @@ object ManifestIO {
     }.asJava
   }
 
+  /** Bound types for the spec's RESERVED position-delete columns — these
+    * ids never appear in a table schema, but delete-file entries carry
+    * file_path bounds under them (the Iceberg readers' path index for
+    * position deletes and DVs keys off exactly these). */
+  private val ReservedBoundTypes: Map[Int, graft.core.IceType] = Map(
+    2147483546 -> graft.core.IString, // file_path
+    2147483545 -> graft.core.ILong)   // pos
+
+  private def boundType(schema: Schema, id: Int): Option[graft.core.IceType] =
+    schema.byId.get(id).map(_.fieldType).orElse(ReservedBoundTypes.get(id))
+
   private def boundRecords(df: AvroSchema, field: String, m: Map[Int, Any],
       schema: Schema): AnyRef = {
     if (m.isEmpty) return null
     val arr = df.getField(field).schema().getTypes.get(1)
     val kv = arr.getElementType
     m.toSeq.sortBy(_._1).flatMap { case (k, v) =>
-      schema.byId.get(k).map { nf =>
+      boundType(schema, k).map { tpe =>
         val r = new GenericData.Record(kv)
         r.put("key", k)
-        r.put("value", ByteBuffer.wrap(Conversions.toBytes(nf.fieldType, v)))
+        r.put("value", ByteBuffer.wrap(Conversions.toBytes(tpe, v)))
         r
       }
     }.asJava
@@ -429,10 +440,10 @@ object ManifestIO {
   private def boundMap(v: Any, schema: Schema): Map[Int, Any] =
     Option(v).map(_.asInstanceOf[java.util.List[GenericRecord]].asScala.flatMap { r =>
       val k = r.get("key").asInstanceOf[Int]
-      schema.byId.get(k).map { nf =>
+      boundType(schema, k).map { tpe =>
         val bb = r.get("value").asInstanceOf[ByteBuffer]
         val bytes = new Array[Byte](bb.remaining()); bb.duplicate().get(bytes)
-        k -> Conversions.fromBytes(nf.fieldType, bytes)
+        k -> Conversions.fromBytes(tpe, bytes)
       }
     }.toMap).getOrElse(Map.empty)
 

@@ -891,7 +891,8 @@ final case class DeltaStagedMessage(dataPaths: Seq[String], deletePaths: Seq[Str
   * command's condition as the conflict filter. */
 class GraftDeltaWrite(table: IceTable, op: GraftDeltaOperation, rowSchema: StructType)
     extends org.apache.spark.sql.connector.write.DeltaWrite
-    with org.apache.spark.sql.connector.write.DeltaBatchWrite {
+    with org.apache.spark.sql.connector.write.DeltaBatchWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.write._
 
   // delete files are written IN PLACE under data/ (the commit registers
@@ -909,17 +910,51 @@ class GraftDeltaWrite(table: IceTable, op: GraftDeltaOperation, rowSchema: Struc
   /** Delta insert files are plain appends — when the stage is
     * direct-capable they commit as-is (footer-stats harvest, no second
     * write). Unlike the CoW path there is no diff condition: delta
-    * lineage values are written correctly by the writer itself. */
-  private val directCapable: Boolean = StagedDirect.capable(table, stagingSchema)
+    * lineage values are written correctly by the writer itself.
+    * PARTITIONED tables qualify like the CoW write does: the write
+    * requires clustering+ordering by the partition transforms (the
+    * shuffle moves only the operation's matched/insert rows — churn,
+    * not corpus) and the staging writer routes rows into `_p_` dirs. */
+  private val partRouter: Option[PartitionRouterSpec] =
+    StagedDirect.routerSpec(table, rowSchema)
+  private val clustering
+      : Option[Array[org.apache.spark.sql.connector.expressions.Expression]] =
+    StagedDirect.v2Clustering(table)
+  private val sortOrdering
+      : Option[Array[org.apache.spark.sql.connector.expressions.SortOrder]] =
+    StagedDirect.v2SortOrdering(table)
+  private val directCapable: Boolean = StagedDirect.capable(table, stagingSchema,
+    partitionedOk = partRouter.isDefined && clustering.isDefined,
+    sortedOk = sortOrdering.isDefined)
   private val stagingDataDir = StagedDirect.stageDir(table, "delta", directCapable)
   @volatile private var committedDirect = false
 
   override def toBatch: DeltaBatchWrite = this
 
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    if (directCapable && table.spec.fields.nonEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(clustering.get)
+    else org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (!directCapable) Array.empty
+    else {
+      val part =
+        if (table.spec.fields.isEmpty) Array
+          .empty[org.apache.spark.sql.connector.expressions.SortOrder]
+        else clustering.get.map(e =>
+          org.apache.spark.sql.connector.expressions.Expressions.sort(e,
+            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      part ++ sortOrdering.getOrElse(Array.empty)
+    }
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     new GraftDeltaWriterFactory(stagingDataDir, deleteDir, stagingSchema.json, lineage,
       graft.meta.Io.confEntries(table.spark),
-      maxRecords = if (directCapable) StagedDirect.maxRecordsFor(table) else 0L)
+      maxRecords = if (directCapable) StagedDirect.maxRecordsFor(table) else 0L,
+      router = if (directCapable) partRouter.orNull else null)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.collect { case m: DeltaStagedMessage => m }
@@ -1028,12 +1063,13 @@ object GraftDeltaWriter {
 class GraftDeltaWriterFactory(dataDir: String, deleteDir: String, rowSchemaJson: String,
     lineage: Boolean,
     confEntries: Array[(String, String)],
-    maxRecords: Long = 0L)
+    maxRecords: Long = 0L,
+    router: PartitionRouterSpec = null)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new GraftDeltaWriter(dataDir, deleteDir, rowSchemaJson, lineage, partitionId,
-      taskId, confEntries, maxRecords)
+      taskId, confEntries, maxRecords, router)
 }
 
 /** Per-task delta writer: buffers deleted (file, pos) ids — sorted and
@@ -1043,7 +1079,8 @@ class GraftDeltaWriterFactory(dataDir: String, deleteDir: String, rowSchemaJson:
 class GraftDeltaWriter(dataDir: String, deleteDir: String, rowSchemaJson: String,
     lineage: Boolean, partitionId: Int, taskId: Long,
     confEntries: Array[(String, String)],
-    maxRecords: Long = 0L)
+    maxRecords: Long = 0L,
+    router: PartitionRouterSpec = null)
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
 
   private var dataWriter: GraftStagingWriter = _
@@ -1061,7 +1098,7 @@ class GraftDeltaWriter(dataDir: String, deleteDir: String, rowSchemaJson: String
     if (dataWriter == null)
       dataWriter = new GraftStagingWriter(dataDir, rowSchemaJson, partitionId, taskId,
         confEntries, lineageMetaIdx = if (lineage) Array(0, 1) else Array.empty,
-        maxRecords = maxRecords)
+        router = router, maxRecords = maxRecords)
     dataWriter
   }
 

@@ -1045,6 +1045,14 @@ class IceTable(
 
     val dvFiles = descriptors.map { case (puffinPath, puffinSize, fp, off, len, card) =>
       val t = affected(fp)
+      // file_path BOUNDS (reserved id 2147483546) carry the referenced
+      // file's RAW manifest path: readers that path-index position
+      // deletes by equal lower/upper path bounds (the reference's
+      // DeleteFileIndex, Java's writers do the same) resolve the DV's
+      // target without relying on referenced_data_file — without these
+      // a PARTITIONED table's DVs fall into the partition bucket and
+      // foreign partition-record equality decides applicability
+      val rawPath: Any = t.file.filePath
       DataFile(
         content = FileContent.PositionDeletes,
         filePath = puffinPath,
@@ -1052,6 +1060,8 @@ class IceTable(
         partition = t.file.partition,
         recordCount = card,
         fileSizeInBytes = puffinSize,
+        lowerBounds = Map(2147483546 -> rawPath),
+        upperBounds = Map(2147483546 -> rawPath),
         specId = t.file.specId,
         referencedDataFile = Some(fp),
         contentOffset = Some(off),

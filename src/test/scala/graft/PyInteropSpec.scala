@@ -227,6 +227,49 @@ class PyInteropSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sum === expectSum, "reinserted-row values disagree with the reference's read")
   }
 
+  test("pyiceberg reads a PARTITIONED v3 table after direct-commit MoR UPDATE (DV merge)") {
+    assume(pythonUsable, "pyiceberg not importable in this environment")
+    // the freshly-plumbed combination: a partitioned delta write whose
+    // reinserted rows direct-commit through the ROUTED staging path
+    // (required clustering + _p_ dirs) while the masked rows become
+    // deletion vectors — the reference must prune the routed partition
+    // layout AND decode the DVs in one scan
+    val s = spark
+    s.conf.set("spark.sql.catalog.gpypm", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gpypm.warehouse", warehouse)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gpypm.db")
+    s.sql("""CREATE TABLE gpypm.db.py_pmor (k BIGINT, d DATE, v BIGINT)
+      PARTITIONED BY (days(d))
+      TBLPROPERTIES ('format-version'='3',
+                     'write.update.mode'='merge-on-read',
+                     'write.delete.mode'='merge-on-read')""")
+    s.sql("""INSERT INTO gpypm.db.py_pmor
+      SELECT id, date_add(DATE'2021-03-01', CAST(id % 3 AS INT)), id * 10
+      FROM range(600)""")
+    s.sql("UPDATE gpypm.db.py_pmor SET v = 1 WHERE k >= 500")
+    s.sql("DELETE FROM gpypm.db.py_pmor WHERE k < 60")
+    val t = new HadoopCatalog(warehouse, s).loadTable("db.py_pmor")
+    val tasks = t.scan.planFiles()
+    assert(tasks.exists(_.file.filePath.contains("/data/delta-")),
+      "precondition: the MoR UPDATE's reinserts must take the routed direct path, got " +
+        tasks.map(_.file.filePath).take(3).mkString(","))
+    assert(tasks.filter(_.file.filePath.contains("/data/delta-"))
+      .forall(_.file.filePath.contains("_p_d_day=")),
+      "direct delta files must sit in partition dirs")
+    assert(tasks.exists(_.deletes.exists(_.isDeletionVector)),
+      "precondition: masked rows must be deletion vectors")
+    val expectRows = s.sql("SELECT count(*) FROM gpypm.db.py_pmor").head.getLong(0)
+    val expectSum = s.sql("SELECT sum(v) FROM gpypm.db.py_pmor").head.getLong(0)
+    assert(expectRows === 540)
+    val (rows, sum) = pyRead(latestMetadata(s"$warehouse/db/py_pmor"), "v")
+    assert(rows === expectRows, "the reference did not apply the partitioned-direct DVs")
+    assert(sum === expectSum)
+    // partition pruning over the routed layout
+    val (pruned, _) = pyRead(latestMetadata(s"$warehouse/db/py_pmor"), "v",
+      rowFilter = Some("d == '2021-03-01'"))
+    assert(pruned === (0L until 600L).count(i => i % 3 == 0 && i >= 60))
+  }
+
   test("pyiceberg resolves renamed columns by field-id in graft parquet") {
     assume(pythonUsable, "pyiceberg not importable in this environment")
     val t = catalog.createTable("py_evo", Schema.fromSpark(orders.schema))
