@@ -213,49 +213,74 @@ object DataOps {
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .persist(lvl)
     try {
-      // the label frame is LINEAGE-TRUNCATED every round (persisted
-      // leaf-RDD frame): an iterative frame otherwise nests the whole
-      // prior round's plan — including two copies of the jaccard chain
-      // via `edges` — so round N re-analyzes and re-codegens an
-      // exponentially-growing tree (measured 11 s → 41 s per round at
-      // sf0.1; ~0.3 s with truncation). cachedLeafFrame over
-      // localCheckpoint so each superseded round's blocks release
-      // immediately and the final round's ride the releaseCaches
-      // contract; on a cluster a reliable checkpoint(dir) gives the same
-      // shape with executor-loss durability.
-      val bridge = org.apache.spark.sql.GraftBridge
-      // label sums detect the fixpoint WITHOUT a per-round join: labels
-      // only ever decrease (min over self ∪ neighbors), so the decimal
-      // sum strictly decreases until converged
-      // cast BEFORE aggregating: decimal partial sums are exact, while
-      // Long partials could wrap on large id spaces (ANSI off) and make
-      // two distinct label states compare equal — a premature fixpoint
-      def labelSum(d: DataFrame): java.math.BigDecimal =
-        d.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-          .head().getDecimal(0)
-      var (labels, labelsRdd) = bridge.cachedLeafFrame(
-        edges.select(col("u").as("node")).distinct().withColumn("label", col("node")))
-      var prevSum = labelSum(labels)
-      var converged = false
-      while (!converged) {
-        val prop = edges.join(labels, edges("u") === labels("node"))
-          .select(edges("v").as("node"), labels("label"))
-        val (next, nextRdd) = bridge.cachedLeafFrame(
-          labels.union(prop).groupBy(col("node")).agg(min(col("label")).as("label")))
-        // the sum both decides convergence and materializes `next`
-        val s = labelSum(next)
-        converged = s.compareTo(prevSum) == 0
-        prevSum = s
-        labelsRdd.unpersist(false)
-        labels = next
-        labelsRdd = nextRdd
-      }
+      val (labels, labelsRdd, _) = connectedComponents(edges)
       trackRdd(labelsRdd) // consumed by the returned frame; freed next query
       labels.groupBy(col("label"))
         .agg(count(lit(1)).as("cluster_size"))
         .select(col("label").as("cluster_rep"), col("cluster_size"))
         .orderBy(col("cluster_rep"))
     } finally edges.unpersist(false)
+  }
+
+  /** Min-label CONNECTED COMPONENTS over a both-directions edge frame
+    * (`u`, `v` long columns; every undirected edge present both ways).
+    * Each round is one neighbor-min propagation followed by a POINTER
+    * DOUBLING shortcut (`label ← labels(label)`) — the label-frame form
+    * of the large-star contraction: the shortcut at least halves every
+    * remaining label-chain depth, so rounds are O(log diameter) instead
+    * of O(diameter) (a 10k-node path converges in ~14 rounds, not 10k).
+    * Near-dup clusters are near-cliques (2–4 rounds either way); the
+    * doubling is what makes adversarial chain graphs safe at scale.
+    *
+    * Every round's label frame is LINEAGE-TRUNCATED (persisted leaf-RDD
+    * frame): an iterative frame otherwise nests the whole prior round's
+    * plan so round N re-analyzes and re-codegens an exponentially-growing
+    * tree (measured 11 s → 41 s per round at sf0.1; ~0.3 s with
+    * truncation). Superseded rounds unpersist immediately; the caller
+    * owns the returned RDD's blocks (track or unpersist after use). On a
+    * cluster a reliable checkpoint(dir) gives the same shape with
+    * executor-loss durability. The decimal label sum detects the
+    * fixpoint WITHOUT a per-round join: labels only ever decrease, so
+    * the exact sum strictly decreases until converged (Long partials
+    * could wrap on large id spaces and fake a premature fixpoint).
+    * Returns (node→label frame, its backing RDD, rounds run). */
+  private[graft] def connectedComponents(edges: DataFrame)
+      : (DataFrame, org.apache.spark.rdd.RDD[_], Int) = {
+    val bridge = org.apache.spark.sql.GraftBridge
+    def labelSum(d: DataFrame): java.math.BigDecimal =
+      d.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head().getDecimal(0)
+    var (labels, labelsRdd) = bridge.cachedLeafFrame(
+      edges.select(col("u").as("node")).distinct().withColumn("label", col("node")))
+    var prevSum = labelSum(labels)
+    var converged = false
+    var rounds = 0
+    while (!converged) {
+      val prop = edges.join(labels, edges("u") === labels("node"))
+        .select(edges("v").as("node"), labels("label"))
+      // neighbor-min merge, materialized once (both doubling sides read
+      // the same persisted RDD — no recompute of the groupBy)
+      val (merged, mergedRdd) = bridge.cachedLeafFrame(
+        labels.union(prop).groupBy(col("node")).agg(min(col("label")).as("label")))
+      // pointer doubling: every label VALUE is itself a node (it is a min
+      // over node ids), and labels(x) ≤ x by induction — so the shortcut
+      // only ever decreases labels and stays inside the component
+      val l2 = merged.select(col("node").as("__n2"), col("label").as("__l2"))
+      val doubled = merged.join(l2, merged("label") === l2("__n2"), "left")
+        .select(merged("node"),
+          coalesce(col("__l2"), merged("label")).as("label"))
+      val (next, nextRdd) = bridge.cachedLeafFrame(doubled)
+      // the sum both decides convergence and materializes `next`
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      mergedRdd.unpersist(false)
+      labelsRdd.unpersist(false)
+      labels = next
+      labelsRdd = nextRdd
+      rounds += 1
+    }
+    (labels, labelsRdd, rounds)
   }
   val dedupClusterSql =
     s"""WITH RECURSIVE tok AS (

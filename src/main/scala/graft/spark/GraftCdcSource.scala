@@ -56,8 +56,15 @@ class GraftCdcSource extends StreamSourceProvider with DataSourceRegister {
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
-    new GraftCdcStreamingSource(load(parameters))
+      parameters: Map[String, String]): Source = {
+    // start-snapshot-id (exclusive): begin the stream AT a known cursor
+    // instead of backfilling the whole table as inserts — the readStream
+    // face of pollLineageCdc's cursor argument
+    val start = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("start-snapshot-id") => v.toLong
+    }
+    new GraftCdcStreamingSource(load(parameters), start)
+  }
 }
 
 object GraftCdcSource {
@@ -72,7 +79,8 @@ final case class CdcSnapshotOffset(snapshotId: Long) extends V1Offset {
   override def json(): String = snapshotId.toString
 }
 
-class GraftCdcStreamingSource(table: IceTable) extends Source {
+class GraftCdcStreamingSource(table: IceTable,
+    startSnapshotId: Option[Long] = None) extends Source {
 
   override val schema: StructType = GraftCdcSource.cdcSchema(table)
 
@@ -87,8 +95,11 @@ class GraftCdcStreamingSource(table: IceTable) extends Source {
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     table.refresh()
+    // a fresh query's first batch starts from the configured cursor (no
+    // backfill) when one was given; a checkpointed restart always carries
+    // its own committed start offset
     val diff = graft.streaming.TableChanges.lineageDiff(
-      table, start.map(idOf), idOf(end))
+      table, start.map(idOf).orElse(startSnapshotId), idOf(end))
     // V1 contract: the returned frame must carry isStreaming=true
     org.apache.spark.sql.GraftBridge.streamingBatchFrame(table.spark, diff)
   }

@@ -81,6 +81,27 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.forall(_ >= 2), "clusters contain only matched docs")
   }
 
+  test("connected components converge in O(log n) rounds on a long chain") {
+    // adversarial shape for plain min-label propagation: a 10k-node path
+    // graph has diameter 10k, so propagation alone needs ~10k rounds;
+    // the pointer-doubling shortcut must converge in ~log2(10k) ≈ 14
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode, array, struct}
+    val n = 10000
+    val path = (0L until (n - 1).toLong).toDF("a")
+      .select(col("a"), (col("a") + 1L).as("b"))
+      .select(explode(array(
+        struct(col("a").as("u"), col("b").as("v")),
+        struct(col("b").as("u"), col("a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val (labels, rdd, rounds) = DataOps.connectedComponents(path)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    rdd.unpersist(false)
+    assert(got.length === n)
+    assert(got.forall(_._2 === 0L), "one component labeled by its min")
+    assert(rounds <= 16, s"doubling must bound rounds at O(log n), took $rounds")
+  }
+
   test("query-entry wrapper releases persisted caches between queries") {
     // dedup queries persist their shingle/minhash features; the next
     // query invocation through SparkEntry must release them so sequential

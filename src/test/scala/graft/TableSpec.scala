@@ -1184,6 +1184,28 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP VIEW IF EXISTS cdc_sink")
   }
 
+  test("graft-cdc start-snapshot-id skips the backfill") {
+    val t = catalog.createTable("t_cdc_cursor", Schema.fromSpark(orders.schema),
+      properties = Map("format-version" -> "3"))
+    t.append(orders.filter(col("o_orderkey") % 2 === 1))
+    val cursor = t.metadata.currentSnapshotId.get
+    t.append(orders.filter(col("o_orderkey") % 2 === 0))
+    val q = spark.readStream.format("graft-cdc")
+      .option("warehouse", warehouse).option("table", "t_cdc_cursor")
+      .option("start-snapshot-id", cursor.toString).load()
+      .writeStream.format("memory").queryName("cdc_cursor_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT o_orderkey, _change_type FROM cdc_cursor_sink")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.length === orders.filter(col("o_orderkey") % 2 === 0).count())
+      assert(rows.forall(r => r._1 % 2 == 0 && r._2 == "insert"),
+        "only the post-cursor commit streams; no backfill of the first append")
+    } finally q.stop()
+    spark.sql("DROP VIEW IF EXISTS cdc_cursor_sink")
+  }
+
   test("sorted writes record the sort order and sort within files") {
     val t = catalog.createTable("t_sorted", Schema.fromSpark(orders.schema))
     t.replaceSortOrder("o_orderkey" -> "asc")
