@@ -60,10 +60,12 @@ class GraftCdcSource extends StreamSourceProvider with DataSourceRegister {
     // start-snapshot-id (exclusive): begin the stream AT a known cursor
     // instead of backfilling the whole table as inserts — the readStream
     // face of pollLineageCdc's cursor argument
-    val start = parameters.collectFirst {
-      case (k, v) if k.equalsIgnoreCase("start-snapshot-id") => v.toLong
+    def opt(name: String): Option[String] = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(name) => v
     }
-    new GraftCdcStreamingSource(load(parameters), start)
+    new GraftCdcStreamingSource(load(parameters),
+      opt("start-snapshot-id").map(_.toLong),
+      opt("max-snapshots-per-trigger").map(_.toInt))
   }
 }
 
@@ -80,13 +82,35 @@ final case class CdcSnapshotOffset(snapshotId: Long) extends V1Offset {
 }
 
 class GraftCdcStreamingSource(table: IceTable,
-    startSnapshotId: Option[Long] = None) extends Source {
+    startSnapshotId: Option[Long] = None,
+    maxSnapshotsPerTrigger: Option[Int] = None) extends Source {
 
   override val schema: StructType = GraftCdcSource.cdcSchema(table)
 
+  /** The floor for admission control: the end offset of the last batch
+    * this source planned (getBatch updates it — on a checkpointed
+    * restart the engine's recovery getBatch seeds it), else the
+    * configured start, else table start. */
+  @volatile private var planned: Option[Long] = None
+
+  /** Admission control: a backfill over 10k committed snapshots becomes
+    * bounded micro-batches instead of one giant diff — the offset
+    * advances at most `max-snapshots-per-trigger` snapshots along the
+    * current ancestry per trigger (mirrors the append stream's
+    * admission; always at least one so the stream advances). */
   override def getOffset: Option[V1Offset] = {
     table.refresh()
-    table.metadata.currentSnapshotId.map(CdcSnapshotOffset.apply)
+    val cur = table.metadata.currentSnapshotId.getOrElse(return None)
+    val floor = planned.orElse(startSnapshotId).getOrElse(0L)
+    if (cur == floor) return Some(CdcSnapshotOffset(cur))
+    val capped = maxSnapshotsPerTrigger match {
+      case None => cur
+      case Some(n) =>
+        val pending = table.metadata.ancestorsOf(cur) // newest first
+          .takeWhile(_.snapshotId != floor).reverse // oldest first
+        pending.take(math.max(1, n)).lastOption.map(_.snapshotId).getOrElse(cur)
+    }
+    Some(CdcSnapshotOffset(capped))
   }
 
   /** A recovered offset arrives as SerializedOffset — parse through the
@@ -95,6 +119,7 @@ class GraftCdcStreamingSource(table: IceTable,
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     table.refresh()
+    planned = Some(idOf(end))
     // a fresh query's first batch starts from the configured cursor (no
     // backfill) when one was given; a checkpointed restart always carries
     // its own committed start offset

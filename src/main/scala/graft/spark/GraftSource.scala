@@ -112,6 +112,20 @@ class GraftSource extends TableProvider with org.apache.spark.sql.sources.DataSo
       properties: JMap[String, String]): SparkTable = {
     val options = new CaseInsensitiveStringMap(properties)
     val (table, snapshotId) = load(options)
+    // row-identity CDC as a batch read: `cdc-range-from` (exclusive
+    // snapshot id; 0/absent = table start → everything as inserts) /
+    // `cdc-range-to` (inclusive; defaults to current) — the batch
+    // options face of TableChanges.lineageDiff (file-pruned, v3 only)
+    val cdcFrom = Option(options.get("cdc-range-from")).map(_.toLong)
+    val cdcTo = Option(options.get("cdc-range-to")).map(_.toLong)
+    if (cdcFrom.nonEmpty || cdcTo.nonEmpty) {
+      require(snapshotId.isEmpty,
+        "cdc-range options and time-travel options are mutually exclusive")
+      val to = cdcTo.orElse(table.metadata.currentSnapshotId).getOrElse(
+        throw new IllegalArgumentException("cdc-range on an empty table"))
+      return new GraftMetadataTable(s"${table.name}.cdc",
+        graft.streaming.TableChanges.lineageDiff(table, cdcFrom, to))
+    }
     changesRange(table, options) match {
       case Some((from, to)) =>
         require(snapshotId.isEmpty,

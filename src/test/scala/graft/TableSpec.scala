@@ -1206,6 +1206,82 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP VIEW IF EXISTS cdc_cursor_sink")
   }
 
+  test("graft-cdc survives a checkpointed restart without replay or loss") {
+    val t = catalog.createTable("t_cdc_ckpt", Schema.fromSpark(orders.schema),
+      properties = Map("format-version" -> "3"))
+    t.append(orders.filter(col("o_orderkey") % 2 === 1))
+    val ckpt = java.nio.file.Files.createTempDirectory("cdc_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("cdc_out").toString
+    // a fault-tolerant sink (parquet) — memory sinks reject recovery
+    def start() = spark.readStream.format("graft-cdc")
+      .option("warehouse", warehouse).option("table", "t_cdc_ckpt").load()
+      .select(col("o_orderkey"), col("_change_type"))
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val oddCount = orders.filter(col("o_orderkey") % 2 === 1).count()
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(spark.read.parquet(outDir).count() === oddCount)
+    // commits between the two query incarnations: the restart must
+    // resume from the checkpointed snapshot offset (SerializedOffset
+    // path) and deliver EXACTLY the missed range — no replay, no loss
+    t.append(orders.filter(col("o_orderkey") % 2 === 0))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.read.parquet(outDir).select("o_orderkey")
+        .collect().map(_.getLong(0))
+      assert(got.length === orders.count(),
+        "restart must deliver exactly the missed range")
+      assert(got.sorted.toSeq === orders.select("o_orderkey").orderBy("o_orderkey")
+        .collect().map(_.getLong(0)).toSeq, "each row exactly once")
+    } finally q2.stop()
+  }
+
+  test("graft-cdc max-snapshots-per-trigger bounds each micro-batch") {
+    val t = catalog.createTable("t_cdc_adm", Schema.fromSpark(orders.schema),
+      properties = Map("format-version" -> "3"))
+    (0 until 3).foreach(i => t.append(orders.filter(col("o_orderkey") % 3 === i)))
+    val q = spark.readStream.format("graft-cdc")
+      .option("warehouse", warehouse).option("table", "t_cdc_adm")
+      .option("max-snapshots-per-trigger", "1").load()
+      .writeStream.format("memory").queryName("cdc_adm_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cdc_adm_sink").count() === orders.count())
+      // three committed snapshots drained as (at least) three bounded
+      // batches, not one giant backfill
+      val nonEmptyBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(nonEmptyBatches >= 3,
+        s"expected >=3 bounded batches, got $nonEmptyBatches")
+    } finally q.stop()
+    spark.sql("DROP VIEW IF EXISTS cdc_adm_sink")
+  }
+
+  test("batch cdc-range options read the lineage diff through the DSv2 face") {
+    val t = catalog.createTable("t_cdc_batch", Schema.fromSpark(orders.schema),
+      properties = Map("format-version" -> "3"))
+    t.append(orders.filter(col("o_orderkey") % 2 === 1))
+    val cursor = t.metadata.currentSnapshotId.get
+    t.deleteAsDeletionVector("o_orderkey = " + orders.filter(col("o_orderkey") % 2 === 1)
+      .agg(min("o_orderkey")).head().getLong(0))
+    t.append(orders.filter(col("o_orderkey") % 2 === 0))
+    val diff = spark.read.format("graft")
+      .option("warehouse", warehouse).option("table", "t_cdc_batch")
+      .option("cdc-range-from", cursor.toString).load()
+    val byType = diff.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.getOrElse("insert", 0L) ===
+      orders.filter(col("o_orderkey") % 2 === 0).count())
+    assert(byType.getOrElse("delete", 0L) === 1L)
+    // from table start: everything currently live as inserts
+    val all = spark.read.format("graft")
+      .option("warehouse", warehouse).option("table", "t_cdc_batch")
+      .option("cdc-range-from", "0").load()
+    assert(all.count() === orders.count() - 1)
+  }
+
   test("sorted writes record the sort order and sort within files") {
     val t = catalog.createTable("t_sorted", Schema.fromSpark(orders.schema))
     t.replaceSortOrder("o_orderkey" -> "asc")
