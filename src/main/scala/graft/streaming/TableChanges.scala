@@ -311,8 +311,11 @@ object TableChanges {
     val emptyOut = emptyLineageDiff(table)
     from.filter(_ != 0L) match {
       case None =>
-        out(new graft.table.IceScan(table).useSnapshot(to).toDFWithLineage,
-          lit("insert"))
+        // current-schema pin for the same reason as the diff scans: the
+        // output shape is the table's current schema even when `to` is
+        // behind the head
+        out(new graft.table.IceScan(table).useSnapshot(to).withCurrentSchema
+          .toDFWithLineage, lit("insert"))
       case Some(c) if c == to => emptyOut
       case Some(c) =>
         val cur = to

@@ -406,10 +406,15 @@ class IceTable(
 
   /** Lineage scan of a pinned snapshot restricted to an explicit task
     * subset (tasks must come from [[planTasksAt]] of the same snapshot —
-    * the applicable-delete refs are snapshot-scoped). */
+    * the applicable-delete refs are snapshot-scoped). Reads with the
+    * table's CURRENT schema, not the snapshot's: the CDC diff's output
+    * speaks one schema for both sides of a range that may span an
+    * evolution — a column added mid-range null-fills for cursor-time
+    * rows, a dropped one disappears (id-based resolution handles both). */
   private[graft] def lineageScanForTasksAt(snapshotId: Long,
       tasks: Seq[FileScanTask]): DataFrame =
-    new IceScan(this).useSnapshot(snapshotId).toDFWithLineageForTasks(tasks)
+    new IceScan(this).useSnapshot(snapshotId).withCurrentSchema
+      .toDFWithLineageForTasks(tasks)
 
   /** Copy-on-write group replacement where the replacement data files
     * already exist on disk (the DSv2 write's direct-commit path: staged

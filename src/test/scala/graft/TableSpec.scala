@@ -1282,6 +1282,33 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.count() === orders.count() - 1)
   }
 
+  test("lineage CDC poll spans a schema evolution (added column nulls for old rows)") {
+    val t = catalog.createTable("t_cdc_evo", Schema.fromSpark(
+      orders.select("o_orderkey", "o_orderstatus").schema),
+      properties = Map("format-version" -> "3"))
+    t.append(orders.select("o_orderkey", "o_orderstatus")
+      .filter(col("o_orderkey") % 2 === 1))
+    val (_, c1) = graft.streaming.TableChanges.pollLineageCdc(t, None)
+    // evolve: add a column, then churn BOTH sides of the diff — a delete
+    // of an old-schema row and an append carrying the new column
+    t.updateSchema.addColumn("note", IString).commit()
+    val delKey = orders.filter(col("o_orderkey") % 2 === 1)
+      .agg(min("o_orderkey")).head().getLong(0)
+    t.refresh().deleteAsDeletionVector(s"o_orderkey = $delKey")
+    t.append(orders.select("o_orderkey", "o_orderstatus")
+      .filter(col("o_orderkey") % 2 === 0).limit(5)
+      .withColumn("note", lit("new")))
+    val (batch, _) = graft.streaming.TableChanges.pollLineageCdc(t.refresh(), c1)
+    val rows = batch.select("o_orderkey", "note", "_change_type").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2)))
+    assert(rows.count(_._3 == "insert") === 5)
+    assert(rows.filter(_._3 == "insert").forall(_._2.contains("new")))
+    val dels = rows.filter(_._3 == "delete")
+    assert(dels.map(_._1).toSeq === Seq(delKey))
+    assert(dels.forall(_._2.isEmpty),
+      "a pre-evolution deleted row reads the added column as null")
+  }
+
   test("sorted writes record the sort order and sort within files") {
     val t = catalog.createTable("t_sorted", Schema.fromSpark(orders.schema))
     t.replaceSortOrder("o_orderkey" -> "asc")
