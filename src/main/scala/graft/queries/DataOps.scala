@@ -118,7 +118,7 @@ object DataOps {
   // distinct 3-word shingles — order-sensitive, so far more discriminative
   // than word sets on repetitive corpora (oracle-side formulation; the
   // Spark side works on ShingleHashes3 int64 arrays)
-  private val shingleSetSql =
+  private[queries] val shingleSetSql =
     """list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))""".stripMargin
 
@@ -127,7 +127,7 @@ object DataOps {
     * string-shingle Jaccard absent 64-bit collisions (P ≈ n²/2⁶⁵ —
     * ~7e-7 for the 2.6e5 distinct shingles at sf0.1; a collision merges
     * two shingles and perturbs J by ~1/|set|). */
-  private def jaccardHashes(a: Column, b: Column): Column = {
+  private[queries] def jaccardHashes(a: Column, b: Column): Column = {
     val inter = TextFunctions.sorted_intersect_size(a, b)
     inter.cast("double") / (size(a) + size(b) - inter).cast("double")
   }

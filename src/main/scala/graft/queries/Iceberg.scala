@@ -641,6 +641,123 @@ object Iceberg {
       |WHERE h NOT IN (SELECT h FROM idx1)
       |ORDER BY doc_id""".stripMargin
 
+  /** J×near-dup synthesis: INCREMENTAL NEAR-DUP (MinHash-LSH) INDEX
+    * MAINTENANCE from the CDC feed — the near-dup answer to "the corpus
+    * changed; re-near-dedup only what changed". The maintained index is
+    * (doc_id, shingle-hash set, 128-perm minhash signature); ONE
+    * pollLineageCdc batch retires deleted/updated docs' rows by doc_id
+    * and adds the re-signed updated rows — maintenance ∝ |changes|,
+    * and since r13 the feed itself is file-pruned too. The ingest batch
+    * probes 64 two-row LSH bands against the index (catch probability
+    * 1-(1-j²)^64) and exact-rescores candidates by shingle Jaccard
+    * ≥ 0.5; kept = ingest docs near-dup of NO live corpus doc.
+    *
+    * Semantic contrast with the exact-hash `ds_dedup_cdc`: a re-crawl of
+    * a PRE-UPDATE text is still NEAR the updated content (the update
+    * appended one token), so it is DROPPED here where the exact variant
+    * keeps it — the reason near-dup maintenance exists.
+    *
+    * At 100 TB the index is a maintained table bucketed by band keys;
+    * only the ingest side and the changed rows shuffle. The oracle is
+    * the naive quadratic shingle-Jaccard of the same ingest against the
+    * churned corpus (LSH is a recall-~1 prefilter — same convention as
+    * `ds_dedup_minhash_lsh`, whose oracle is the exact pairwise join). */
+  def dedupCdcLsh(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val cat = s"gdclsh${sqlCatSeq.incrementAndGet()}"
+    val whDir = Files.createTempDirectory("graft_dedupcdclsh").toString
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", whDir)
+    val tab = new graft.catalog.HadoopCatalog(whDir, s)
+      .createTable("db.corpus", Schema.fromSpark(docs.schema),
+        properties = Map("format-version" -> "3"))
+    tab.append(docs.filter(col("doc_id") % 3 =!= 0))
+    val c0 = tab.refresh().metadata.currentSnapshotId
+    s.sql(s"DELETE FROM $cat.db.corpus WHERE doc_id % 9 = 1")
+    s.sql(s"UPDATE $cat.db.corpus SET text = concat(text, ' v2') WHERE doc_id % 9 = 2")
+    // ingest: new docs; near-miss re-crawls of live docs (one appended
+    // token → J=(n-2)/(n-1) ≥ 0.5); verbatim re-crawls of DELETED docs
+    // (content left the corpus); re-crawls of PRE-UPDATE texts
+    tab.refresh().append(
+      docs.filter(col("doc_id") % 3 === 0).unionByName(
+        docs.filter(col("doc_id") % 9 === 4)
+          .withColumn("doc_id", col("doc_id") + 1000000)
+          .withColumn("text", concat(col("text"), lit(" almost")))).unionByName(
+        docs.filter(col("doc_id") % 9 === 1)
+          .withColumn("doc_id", col("doc_id") + 2000000)).unionByName(
+        docs.filter(col("doc_id") % 9 === 2)
+          .withColumn("doc_id", col("doc_id") + 3000000)))
+    val rel = tab.refresh()
+    def signed(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), TextFunctions.shingle_hashes3(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"),
+        TextFunctions.minhash_of_hashes(col("ws"), 128).as("sig"))
+    val (changes, _) = graft.streaming.TableChanges.pollLineageCdc(rel, c0)
+    val idx0 = signed(rel.scan.useSnapshot(c0.get).toDF)
+    // maintenance ∝ |changes|: retire deleted + pre-update rows by
+    // doc_id, add the re-signed updated rows
+    val retired = changes.filter(col("_change_type").isin("delete", "update"))
+      .select(col("doc_id"))
+    val upds = signed(changes.filter(col("_change_type") === "update")
+      .select(col("doc_id"), col("text")))
+    val idx1 = idx0.join(retired, Seq("doc_id"), "left_anti").unionByName(upds)
+    val ins = signed(changes.filter(col("_change_type") === "insert")
+      .select(col("doc_id"), col("text")))
+    def bandRows(d: DataFrame): DataFrame = d.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(63)), b => struct(b.as("band"),
+        element_at(col("sig"), b * 2 + 1).as("h1"),
+        element_at(col("sig"), b * 2 + 2).as("h2")))).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.h1").as("h1"), col("bk.h2").as("h2"))
+    val cands = bandRows(ins).select(col("doc_id").as("i_id"),
+        col("band"), col("h1"), col("h2"))
+      .join(bandRows(idx1).select(col("doc_id").as("c_id"),
+        col("band"), col("h1"), col("h2")), Seq("band", "h1", "h2"))
+      .select(col("i_id"), col("c_id"))
+      .distinct()
+    val matched = cands
+      .join(ins.select(col("doc_id").as("i_id"), col("ws").as("i_ws")), Seq("i_id"))
+      .join(idx1.select(col("doc_id").as("c_id"), col("ws").as("c_ws")), Seq("c_id"))
+      .filter(DataOps.jaccardHashes(col("i_ws"), col("c_ws")) >= 0.5)
+      .select(col("i_id").as("doc_id")).distinct()
+    nonEmpty(ins.select(col("doc_id"))
+      .join(matched, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id")))
+  }
+  val dedupCdcLshSql =
+    s"""WITH corpus0 AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+      |corpus1 AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 9 = 2 THEN text || ' v2' ELSE text END AS text
+      |  FROM corpus0 WHERE doc_id % 9 <> 1),
+      |ins AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text || ' almost' FROM documents WHERE doc_id % 9 = 4
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 9 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 9 = 2),
+      |ti AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS w
+      |  FROM ins),
+      |si AS (SELECT doc_id, ${DataOps.shingleSetSql} AS s FROM ti),
+      |tc AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS w
+      |  FROM corpus1),
+      |sc AS (SELECT doc_id, ${DataOps.shingleSetSql} AS s FROM tc),
+      |matched AS (
+      |  SELECT DISTINCT i.doc_id FROM si i JOIN sc c
+      |  ON CAST(len(list_intersect(i.s, c.s)) AS DOUBLE) /
+      |     CAST(len(list_distinct(list_concat(i.s, c.s))) AS DOUBLE) >= 0.5)
+      |SELECT doc_id FROM ins
+      |WHERE doc_id NOT IN (SELECT doc_id FROM matched)
+      |ORDER BY doc_id""".stripMargin
+
   val rowLineageDmlSql =
     """WITH odd AS (
       |  SELECT o_orderkey, o_orderstatus, o_totalprice,
@@ -1550,6 +1667,7 @@ object Iceberg {
     "ice_lineage_cdc" -> (lineageCdc _),
     "stream_lineage_cdc" -> (streamLineageCdc _),
     "stream_cdc_source" -> (streamCdcSource _),
+    "ds_dedup_cdc_lsh" -> (dedupCdcLsh _),
     "ds_dedup_cdc" -> (dedupCdc _),
     "ice_equality_deletes" -> (equalityDeletes _),
     "ice_dsv2_scan" -> (dsv2Scan _),
@@ -1608,6 +1726,7 @@ object Iceberg {
     "ice_lineage_cdc" -> lineageCdcSql,
     "stream_lineage_cdc" -> streamLineageCdcSql,
     "stream_cdc_source" -> streamCdcSourceSql,
+    "ds_dedup_cdc_lsh" -> dedupCdcLshSql,
     "ds_dedup_cdc" -> dedupCdcSql,
     "ice_equality_deletes" -> equalityDeletesSql,
     "ice_dsv2_scan" -> dsv2ScanSql,
