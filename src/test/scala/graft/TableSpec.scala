@@ -1309,6 +1309,68 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a pre-evolution deleted row reads the added column as null")
   }
 
+  test("lineage CDC poll equals the brute-force snapshot diff under random churn") {
+    // differential fuzz for the file-pruned diff: random op sequences
+    // (append / MoR DV delete / CoW update / compaction), then the poll's
+    // output must equal a naive full-outer _row_id diff of the two
+    // snapshots with content compare — the unpruned ground truth
+    import graft.streaming.TableChanges
+    val s = spark
+    s.conf.set("spark.sql.catalog.gfz", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gfz.warehouse", warehouse)
+    val base = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    (0 until 3).foreach { seed =>
+      val rnd = new scala.util.Random(1234 + seed)
+      val name = s"t_cdc_fuzz$seed"
+      val t = catalog.createTable(name, Schema.fromSpark(base.schema),
+        properties = Map("format-version" -> "3",
+          "write.delete.mode" -> "merge-on-read"))
+      t.append(base.filter(col("o_orderkey") % 4 === 0))
+      t.append(base.filter(col("o_orderkey") % 4 === 1))
+      val cursor = t.metadata.currentSnapshotId.get
+      (1 to 6).foreach { step =>
+        rnd.nextInt(4) match {
+          case 0 => t.refresh().append(base.filter(col("o_orderkey") % 7 === step)
+            .withColumn("o_orderkey", col("o_orderkey") + step * 1000000L))
+          case 1 => s.sql(
+            s"DELETE FROM gfz.$name WHERE o_orderkey % 13 = ${rnd.nextInt(13)}")
+          case 2 => s.sql(s"""UPDATE gfz.$name
+            |SET o_orderstatus = concat(o_orderstatus, 'X')
+            |WHERE o_orderkey % 11 = ${rnd.nextInt(11)}""".stripMargin)
+          case 3 => t.refresh().rewriteDataFiles(1L << 30)
+        }
+      }
+      val rel = t.refresh()
+      val cur = rel.metadata.currentSnapshotId.get
+      if (cur != cursor) {
+        val (batch, _) = TableChanges.pollLineageCdc(rel, Some(cursor))
+        val got = batch.collect().map(_.toString).sorted.toSeq
+        // ground truth: unpruned full-outer diff by _row_id
+        val idName = graft.core.RowLineage.RowIdName
+        def lin(id: Long) = rel.lineageScanForTasksAt(id, rel.planTasksAt(id))
+        val dataCols = Seq("o_orderkey", "o_orderstatus", "o_totalprice")
+        val b = lin(cursor).select((dataCols :+ idName).map(c => col(c).as(s"b_$c")): _*)
+        val a = lin(cur).select((dataCols :+ idName).map(c => col(c).as(s"a_$c")): _*)
+        val j = b.join(a, col(s"b_$idName") === col(s"a_$idName"), "full_outer")
+        val changed = dataCols.map(c => not(col(s"a_$c") <=> col(s"b_$c")))
+          .reduce(_ || _)
+        val want = j.withColumn("_change_type",
+            when(col(s"b_$idName").isNull, "insert")
+              .when(col(s"a_$idName").isNull, "delete")
+              .when(changed, "update").otherwise("unchanged"))
+          .filter(col("_change_type") =!= "unchanged")
+          // coalesce(a, b): inserts/updates carry current content, deletes
+          // (a-side null) fall back to cursor-time content — the poll's contract
+          .select(dataCols.map(c =>
+              coalesce(col(s"a_$c"), col(s"b_$c")).as(c)) ++ Seq(
+            coalesce(col(s"a_$idName"), col(s"b_$idName")).as(idName),
+            col("_change_type")): _*)
+          .collect().map(_.toString).sorted.toSeq
+        assert(got === want, s"seed $seed: poll diverges from brute-force diff")
+      }
+    }
+  }
+
   test("sorted writes record the sort order and sort within files") {
     val t = catalog.createTable("t_sorted", Schema.fromSpark(orders.schema))
     t.replaceSortOrder("o_orderkey" -> "asc")
