@@ -1032,7 +1032,11 @@ class GraftDeltaWrite(table: IceTable, op: GraftDeltaOperation, rowSchema: Struc
         val deleteAdded = if (namedDeletes.isEmpty) Nil
           else graft.table.WriteFiles
             .harvest(table.spark, deleteDir, GraftDeltaWrite.PosDeleteSchema,
-              graft.meta.PartitionSpec.Unpartitioned, only = Some(namedDeletes))
+              graft.meta.PartitionSpec.Unpartitioned,
+              // FULL file_path bounds: equal lower/upper path-scope the
+              // delete to its target (truncation breaks the equality)
+              modes = Map(2147483546 -> "full", 2147483545 -> "full"),
+              only = Some(namedDeletes))
             .filter(_.recordCount > 0)
             .map(_.copy(content = graft.meta.FileContent.PositionDeletes))
         if (added.nonEmpty || deleteAdded.nonEmpty) {

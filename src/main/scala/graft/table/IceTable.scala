@@ -903,9 +903,15 @@ class IceTable(
         .orderBy(col("file_path"), col("pos"))
         .write.parquet(stage)
     }
+    // FULL (untruncated) file_path bounds: equal lower/upper bounds are
+    // how readers path-scope a delete file to its single target (the
+    // reference's DeleteFileIndex rule) — the 16-char default truncation
+    // would break the equality and demote every delete to a global
+    // candidate
     val written = WriteFiles.harvest(spark, stage, Schema(Seq(
       NestedField(2147483546, "file_path", IString, required = true),
-      NestedField(2147483545, "pos", ILong, required = true))), PartitionSpec.Unpartitioned)
+      NestedField(2147483545, "pos", ILong, required = true))), PartitionSpec.Unpartitioned,
+      modes = Map(2147483546 -> "full", 2147483545 -> "full"))
       .filter(_.recordCount > 0)
       .map(_.copy(content = FileContent.PositionDeletes))
     commitSnapshot("delete", added = written,

@@ -16,6 +16,10 @@ object IceScan {
   /** Manifest count past which planning fans out as a Spark job instead of
     * a driver loop (var so tests can exercise the distributed path). */
   @volatile var distributedPlanningThreshold: Int = 64
+
+  /** Reserved field id of the position-delete `file_path` column — path
+    * bounds under it scope a delete file to one data file. */
+  val PosPathFieldId: Int = 2147483546
 }
 
 /** Snapshot scan: plan on the driver (manifest → partition → stats
@@ -220,15 +224,27 @@ final class IceScan(
     val deleteRefs: Seq[DeleteRef] = deleteOpened.map { case (e, specId) =>
       DeleteRef(specId, e.dataFile.partition, e.dataSequenceNumber, e.dataFile)
     }
+    // the delete's single target path: referenced_data_file, or (the
+    // reference's rule, delete_file_index.py:79) EQUAL file_path lower
+    // and upper bounds — foreign writers set the bounds without the v3
+    // field, and a truncated (unequal) bound safely yields None
+    def refPathOf(f: DataFile): Option[String] =
+      f.referencedDataFile.orElse {
+        (f.lowerBounds.get(IceScan.PosPathFieldId),
+            f.upperBounds.get(IceScan.PosPathFieldId)) match {
+          case (Some(lo: String), Some(hi: String)) if lo == hi => Some(lo)
+          case _ => None
+        }
+      }
     // byte[] partition values hash by identity — normalize to Seq for keys
     def partKey(specId: Int, p: Seq[Any]): (Int, Seq[Any]) =
       (specId, p.map { case a: Array[Byte] => (a.toSeq: Any); case x => x })
     val (globalDeletes, partitionedDeletes) =
       deleteRefs.partition(d => metadata.specById(d.specId).isUnpartitioned)
     val (pathScopedGlobal, broadGlobal) =
-      globalDeletes.partition(_.file.referencedDataFile.isDefined)
+      globalDeletes.partition(d => refPathOf(d.file).isDefined)
     val globalByPath: Map[String, Seq[DeleteRef]] =
-      pathScopedGlobal.groupBy(d => PathUtil.canon(d.file.referencedDataFile.get))
+      pathScopedGlobal.groupBy(d => PathUtil.canon(refPathOf(d.file).get))
     val deletesByPartition: Map[(Int, Seq[Any]), Seq[DeleteRef]] =
       partitionedDeletes.groupBy(d => partKey(d.specId, d.partition))
 
@@ -241,10 +257,11 @@ final class IceScan(
       val files = candidates.filter { d =>
         // position deletes apply at the same or later sequence; equality
         // deletes only to STRICTLY older data (Iceberg spec scan rules);
-        // a delete scoped to one data file (v3 DV) applies only to it
+        // a delete scoped to one data file (v3 DV, path-bounded position
+        // delete) applies only to it
         (if (d.file.content == FileContent.EqualityDeletes) d.seq > dataSeq
          else d.seq >= dataSeq) &&
-          d.file.referencedDataFile.forall(r => PathUtil.canon(r) == canonPath)
+          refPathOf(d.file).forall(r => PathUtil.canon(r) == canonPath)
       }.map(_.file)
       // v3 scan rule: a deletion vector supersedes every position-delete
       // FILE for its data file (the DV writer merged them; ref spec

@@ -1371,6 +1371,33 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("path-bounded position deletes scope to their file without referenced_data_file") {
+    // v2 MoR delete files carry file_path footer bounds but no v3
+    // referenced_data_file; equal lower/upper bounds must scope the
+    // delete to its single target (the reference's DeleteFileIndex rule)
+    // instead of attaching it to every data file as a global candidate
+    val s = spark
+    s.conf.set("spark.sql.catalog.gpb", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gpb.warehouse", warehouse)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gpb.db")
+    s.sql("""CREATE TABLE gpb.db.pathbound (k BIGINT, v STRING)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    s.sql("INSERT INTO gpb.db.pathbound SELECT id, concat('a', id) FROM range(0, 100, 1, 1)")
+    s.sql("INSERT INTO gpb.db.pathbound SELECT id, concat('b', id) FROM range(100, 200, 1, 1)")
+    // delete rows living in the FIRST file only
+    s.sql("DELETE FROM gpb.db.pathbound WHERE k < 10")
+    val t = new graft.catalog.HadoopCatalog(warehouse, s).loadTable("db.pathbound")
+    val tasks = t.scan.planFiles()
+    assert(tasks.size === 2)
+    val withDel = tasks.filter(_.deletes.nonEmpty)
+    assert(withDel.size === 1,
+      s"the position delete must scope to ONE file by its path bounds, got " +
+        tasks.map(tk => s"${tk.file.filePath}:${tk.deletes.size}").mkString(", "))
+    assert(withDel.head.deletes.forall(_.referencedDataFile.isEmpty),
+      "precondition: the v2 MoR delete file carries no referenced_data_file")
+    assert(s.sql("SELECT count(*) FROM gpb.db.pathbound").head.getLong(0) === 190)
+  }
+
   test("sorted writes record the sort order and sort within files") {
     val t = catalog.createTable("t_sorted", Schema.fromSpark(orders.schema))
     t.replaceSortOrder("o_orderkey" -> "asc")
