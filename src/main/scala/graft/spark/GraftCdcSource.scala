@@ -81,11 +81,15 @@ final case class CdcSnapshotOffset(snapshotId: Long) extends V1Offset {
   override def json(): String = snapshotId.toString
 }
 
-class GraftCdcStreamingSource(table: IceTable,
-    startSnapshotId: Option[Long] = None,
-    maxSnapshotsPerTrigger: Option[Int] = None) extends Source {
+/** Shared V1 snapshot-range source machinery: offsets are snapshot ids;
+  * subclasses provide the per-range batch plan. */
+abstract class SnapshotRangeSource(table: IceTable,
+    startSnapshotId: Option[Long],
+    maxSnapshotsPerTrigger: Option[Int]) extends Source {
 
-  override val schema: StructType = GraftCdcSource.cdcSchema(table)
+  /** The (exclusive-from, inclusive-to] batch plan; from = None means
+    * table start. */
+  protected def rangeBatch(from: Option[Long], to: Long): DataFrame
 
   /** The floor for admission control: the end offset of the last batch
     * this source planned (getBatch updates it — on a checkpointed
@@ -94,7 +98,7 @@ class GraftCdcStreamingSource(table: IceTable,
   @volatile private var planned: Option[Long] = None
 
   /** Admission control: a backfill over 10k committed snapshots becomes
-    * bounded micro-batches instead of one giant diff — the offset
+    * bounded micro-batches instead of one giant batch — the offset
     * advances at most `max-snapshots-per-trigger` snapshots along the
     * current ancestry per trigger (mirrors the append stream's
     * admission; always at least one so the stream advances). */
@@ -120,14 +124,83 @@ class GraftCdcStreamingSource(table: IceTable,
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     table.refresh()
     planned = Some(idOf(end))
-    // a fresh query's first batch starts from the configured cursor (no
-    // backfill) when one was given; a checkpointed restart always carries
-    // its own committed start offset
-    val diff = graft.streaming.TableChanges.lineageDiff(
-      table, start.map(idOf).orElse(startSnapshotId), idOf(end))
+    // a fresh query's first batch starts from the configured cursor when
+    // one was given; a checkpointed restart always carries its own
+    // committed start offset
+    val df = rangeBatch(start.map(idOf).orElse(startSnapshotId), idOf(end))
     // V1 contract: the returned frame must carry isStreaming=true
-    org.apache.spark.sql.GraftBridge.streamingBatchFrame(table.spark, diff)
+    org.apache.spark.sql.GraftBridge.streamingBatchFrame(table.spark, df)
   }
 
   override def stop(): Unit = ()
+}
+
+class GraftCdcStreamingSource(table: IceTable,
+    startSnapshotId: Option[Long] = None,
+    maxSnapshotsPerTrigger: Option[Int] = None)
+    extends SnapshotRangeSource(table, startSnapshotId, maxSnapshotsPerTrigger) {
+
+  override val schema: StructType = GraftCdcSource.cdcSchema(table)
+
+  override protected def rangeBatch(from: Option[Long], to: Long): DataFrame =
+    graft.streaming.TableChanges.lineageDiff(table, from, to)
+}
+
+/** Snapshot-diff CHANGELOG as a streaming source — the v2-compatible
+  * companion of `graft-cdc` (no row lineage required): each micro-batch
+  * carries the table's columns + `_change_type` ('insert' | 'delete') +
+  * `_change_ordinal` (commit position WITHIN the batch's range) +
+  * `_commit_snapshot_id`, computed by [[graft.streaming.TableChanges
+  * .changelog]]'s per-commit manifest diff (CoW carry-overs cancelled,
+  * MoR deletes resolved, 'replace' commits silent). Offsets and options
+  * (`start-snapshot-id`, `max-snapshots-per-trigger`) are shared with
+  * the CDC source. Updates surface as delete+insert pairs — row
+  * identity needs v3 and the `graft-cdc` source. */
+class GraftChangelogSource extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-changelog"
+
+  private def load(parameters: Map[String, String]): IceTable = {
+    import scala.jdk.CollectionConverters._
+    val (table, pinned) = new GraftSource().load(
+      new CaseInsensitiveStringMap(parameters.asJava))
+    require(pinned.isEmpty,
+      "the changelog stream follows main — time-travel/branch/tag pins are not streamable")
+    table
+  }
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    (shortName(), GraftChangelogSource.changeSchema(load(parameters)))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    def opt(name: String): Option[String] = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(name) => v
+    }
+    new GraftChangelogStreamingSource(load(parameters),
+      opt("start-snapshot-id").map(_.toLong),
+      opt("max-snapshots-per-trigger").map(_.toInt))
+  }
+}
+
+object GraftChangelogSource {
+  def changeSchema(table: IceTable): StructType =
+    StructType(table.schema.toSpark.fields ++ Seq(
+      StructField("_change_type", StringType),
+      StructField("_change_ordinal", org.apache.spark.sql.types.IntegerType),
+      StructField("_commit_snapshot_id", LongType)))
+}
+
+class GraftChangelogStreamingSource(table: IceTable,
+    startSnapshotId: Option[Long] = None,
+    maxSnapshotsPerTrigger: Option[Int] = None)
+    extends SnapshotRangeSource(table, startSnapshotId, maxSnapshotsPerTrigger) {
+
+  override val schema: StructType = GraftChangelogSource.changeSchema(table)
+
+  override protected def rangeBatch(from: Option[Long], to: Long): DataFrame =
+    graft.streaming.TableChanges.changelog(
+      table, from.filter(_ != 0L), Some(to))
 }

@@ -1371,6 +1371,39 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("graft-changelog streaming source: snapshot-diff batches on a v2 table") {
+    // the v2-compatible companion of graft-cdc: no row lineage needed;
+    // CoW churn surfaces as delete+insert with carry-overs cancelled
+    val t = catalog.createTable("t_chlog_src", Schema.fromSpark(orders.schema))
+    t.append(orders.filter(col("o_orderkey") <= 800))
+    val q = spark.readStream.format("graft-changelog")
+      .option("warehouse", warehouse).option("table", "t_chlog_src").load()
+      .writeStream.format("memory").queryName("chlog_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // backfill: the append as inserts
+      val seeded = orders.filter(col("o_orderkey") <= 800).count()
+      assert(spark.sql(
+        "SELECT count(*) FROM chlog_sink WHERE _change_type = 'insert'")
+        .head().getLong(0) === seeded)
+      // CoW upsert of ONE changed row: carry-overs cancel, so the next
+      // batch is exactly one delete + one insert
+      val key = orders.filter(col("o_orderkey") <= 800)
+        .agg(max("o_orderkey")).head().getLong(0)
+      t.refresh().upsert(orders.filter(col("o_orderkey") === key)
+        .withColumn("o_orderstatus", lit("Z")), Seq("o_orderkey"))
+      q.processAllAvailable()
+      val batch2 = spark.sql(
+        s"SELECT _change_type, o_orderkey, o_orderstatus FROM chlog_sink " +
+          s"WHERE o_orderkey = $key OR _commit_snapshot_id != " +
+          s"(SELECT min(_commit_snapshot_id) FROM chlog_sink)")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      assert(batch2.count(_._1 == "delete") === 1, s"got ${batch2.toSeq}")
+      assert(batch2.count(b => b._1 == "insert" && b._3 == "Z") === 1)
+    } finally q.stop()
+    spark.sql("DROP VIEW IF EXISTS chlog_sink")
+  }
+
   test("path-bounded position deletes scope to their file without referenced_data_file") {
     // v2 MoR delete files carry file_path footer bounds but no v3
     // referenced_data_file; equal lower/upper bounds must scope the
