@@ -533,11 +533,14 @@ object Iceberg {
       .writeStream.format("memory").queryName(sink).outputMode("append").start()
     try {
       q.processAllAvailable() // backfill batch: the whole table as inserts
+      // one churn range holding a compaction (zero phantom rows — its
+      // files all change but no row identity does), a MoR DV DELETE and
+      // a CoW UPDATE: the output multiset is invariant to how the
+      // engine batches the range (the oracle is batch-agnostic; the
+      // per-batch-boundary behaviors are pinned in TableSpec)
       val (rew, _) = tab.rewriteDataFiles(1L << 30)
       require(rew > 0, "compaction must actually rewrite")
-      q.processAllAvailable() // compaction-only range: zero phantom rows
       s.sql(s"DELETE FROM $cat.db.orders WHERE o_orderkey % 7 = 3") // MoR DV
-      q.processAllAvailable()
       s.sql(s"""UPDATE $cat.db.orders
                |SET o_orderstatus = concat(o_orderstatus, 'X')
                |WHERE o_totalprice > 200000""".stripMargin) // CoW rewrite
