@@ -216,4 +216,74 @@ class PlanScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fullSec < 90.0, f"full MoR plan took $fullSec%.1fs")
     info(f"MoR planFiles: one-day=$sec%.2fs (opens=$opens) full=$fullSec%.2fs")
   }
+
+  test("CDC pruning at 100k files: candidate sets exact, planning bounded") {
+    // the file-pruned lineage diff's driver-side pruning must stay
+    // metadata-proportional: 100k cursor files + a 100-file append →
+    // changedTasks = exactly the appended files, NO delete candidates
+    // (nothing removed or re-masked), and the whole pruning pass inside
+    // the wall-time bound of two metadata plans
+    val schema = Schema(Seq(
+      NestedField(1, "id", ILong, required = true),
+      NestedField(2, "d", IDate, required = true)), 0)
+    val spec = PartitionSpec.build(schema, 0, ("d", IdentityTransform, "d"))
+    val t = catalog.createTable("cdcscale", schema, spec)
+    val metaDir = s"${t.metadata.location}/metadata"
+    def mkManifest(m: Int, days: Int, seq: Long, snapId: Long): ManifestFile = {
+      val d0 = Day0 + m * days
+      val entries = for {
+        day <- d0 until d0 + days
+        f <- 0 until FilesPerDay
+      } yield ManifestEntry(status = 1, snapshotId = snapId,
+        dataSequenceNumber = seq, fileSequenceNumber = seq,
+        dataFile = DataFile(content = 0,
+          filePath = s"$warehouse/cdcscale/data/d=$day/s$snapId-f-$f.parquet",
+          fileFormat = "PARQUET", partition = Seq(day),
+          recordCount = 1000L, fileSizeInBytes = 1000000L,
+          firstRowId = Some((m.toLong * days + day - d0) * FilesPerDay * 1000L)))
+      val path = s"$metaDir/m-cdc-$snapId-$m.avro"
+      val len = ManifestIO.writeManifest(path, entries, spec, schema)
+      ManifestFile(path, len, spec.specId, content = 0,
+        sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId,
+        addedFilesCount = entries.size, existingFilesCount = 0, deletedFilesCount = 0,
+        addedRowsCount = entries.size * 1000L, existingRowsCount = 0L,
+        deletedRowsCount = 0L,
+        partitions = Seq(FieldSummary(containsNull = false, Some(false),
+          Some(Conversions.toBytes(IDate, d0)),
+          Some(Conversions.toBytes(IDate, d0 + days - 1)))))
+    }
+    val corpusManifests = (0 until Manifests).map(mkManifest(_, DaysPerManifest, 1L, 1L))
+    val list1 = s"$metaDir/snap-1-cdc.avro"
+    ManifestIO.writeManifestList(list1, corpusManifests)
+    // snapshot 2 appends ONE manifest of 100 files past the corpus range
+    val added = mkManifest(Manifests + 1, 10, 2L, 2L)
+    val list2 = s"$metaDir/snap-2-cdc.avro"
+    ManifestIO.writeManifestList(list2, corpusManifests :+ added)
+    val now = System.currentTimeMillis()
+    val s1 = Snapshot(1L, None, 1L, now, list1,
+      Map("operation" -> "append"), t.metadata.currentSchemaId,
+      firstRowId = Some(0L), addedRows = Some(100000000L))
+    val s2 = Snapshot(2L, Some(1L), 2L, now + 1, list2,
+      Map("operation" -> "append"), t.metadata.currentSchemaId,
+      firstRowId = Some(100000000L), addedRows = Some(100000L))
+    catalog.commit("cdcscale", 1, t.metadata.copy(
+      lastSequenceNumber = 2L, lastUpdatedMs = now,
+      currentSnapshotId = Some(2L), snapshots = Seq(s1, s2),
+      refs = Map("main" -> SnapshotRef(2L, "branch"))))
+    val table = catalog.loadTable("cdcscale")
+
+    val t0 = System.nanoTime()
+    val (changed, beforeCand, curCand, beforeTasks) =
+      graft.streaming.TableChanges.prunedDiffTasks(table, 1L, 2L, 1L)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(beforeTasks.size === Manifests * DaysPerManifest * FilesPerDay)
+    assert(changed.size === 10 * FilesPerDay,
+      s"change set must be exactly the appended files, got ${changed.size}")
+    assert(changed.forall(_.file.filePath.contains("/s2-")))
+    assert(beforeCand.isEmpty,
+      "append-only churn must produce ZERO cursor-side delete candidates")
+    assert(curCand.size === 10 * FilesPerDay)
+    assert(sec < 90.0, f"CDC pruning took $sec%.1fs at 100k files")
+    info(f"prunedDiffTasks at 100k files: $sec%.2fs")
+  }
 }
