@@ -118,8 +118,16 @@ abstract class SnapshotRangeSource(table: IceTable,
   }
 
   /** A recovered offset arrives as SerializedOffset — parse through the
-    * json face rather than the case class. */
-  private def idOf(o: V1Offset): Long = o.json().toLong
+    * json face rather than the case class. Diagnosable on corruption:
+    * name the payload and table instead of a bare NumberFormatException. */
+  private def idOf(o: V1Offset): Long = {
+    val j = o.json()
+    try j.toLong catch {
+      case e: NumberFormatException => throw new IllegalStateException(
+        s"unparseable snapshot offset '$j' (${o.getClass.getSimpleName}) " +
+          s"for table ${table.name}", e)
+    }
+  }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     table.refresh()

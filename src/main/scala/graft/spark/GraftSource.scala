@@ -2590,7 +2590,11 @@ class GraftMicroBatchStream(table: IceTable, required: StructType,
 
   override def reportLatestOffset(): Offset = latestOffset()
 
-  override def deserializeOffset(json: String): Offset = SnapshotOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset =
+    try SnapshotOffset(json.toLong) catch {
+      case e: NumberFormatException => throw new IllegalStateException(
+        s"unparseable snapshot offset '$json' for table ${table.name}", e)
+    }
 
   override def commit(end: Offset): Unit = ()
 
