@@ -109,11 +109,17 @@ case class AssignedColumnsRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // each assigned column that shadows an original attribute of the
     // same name contributes a null-safe runtime compare; an alias with
     // no original counterpart (__row_operation) is not a data column
-    val comparisons: Seq[Expression] = p.projectList.collect {
-      case a: Alias if a.name != seqName && childByName.contains(a.name) =>
-        Not(EqualNullSafe(a.child, childByName(a.name)))
+    val assigned = p.projectList.collect {
+      case a: Alias if a.name != seqName && childByName.contains(a.name) => a
     }
-    if (comparisons.isEmpty) return None // assignment-free: nothing to stamp
+    if (assigned.isEmpty) return None // assignment-free: nothing to stamp
+    // the compare DUPLICATES each assigned expression: a nondeterministic
+    // assignment (SET c = rand()) would evaluate twice and the stamp could
+    // disagree with the projected value — leave the plan unstamped so the
+    // read-back diff runs (expensive but correct)
+    if (assigned.exists(a => !a.child.deterministic)) return None
+    val comparisons: Seq[Expression] = assigned.map(a =>
+      Not(EqualNullSafe(a.child, childByName(a.name))))
     val stampedSeq = Alias(
       If(comparisons.reduce(Or), Literal(null, LongType), seqAttr), seqName)(
       exprId = seqAttr.exprId, qualifier = seqAttr.qualifier,
@@ -138,6 +144,11 @@ case class AssignedColumnsRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (updates.exists(u => !u.output(seqIdx).isInstanceOf[Attribute]))
       return None // already stamped (idempotency)
     val copy = copies.head
+    // same determinism guard as stampProject: the cmp duplicates each
+    // assigned output expression, so a nondeterministic assignment in ANY
+    // update instruction vetoes the stamp (all-or-nothing — a partially
+    // stamped plan would wrongly claim lineageStampedInPlan)
+    if (updates.exists(u => u.output.exists(e => !e.deterministic))) return None
     val reserved = Set(seqName, graft.core.RowLineage.RowIdName,
       GraftSparkTable.FileColumn)
     // data positions: every output column except the metadata trio —

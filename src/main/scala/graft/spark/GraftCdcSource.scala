@@ -65,7 +65,9 @@ class GraftCdcSource extends StreamSourceProvider with DataSourceRegister {
     }
     new GraftCdcStreamingSource(load(parameters),
       opt("start-snapshot-id").map(_.toLong),
-      opt("max-snapshots-per-trigger").map(_.toInt))
+      opt("max-snapshots-per-trigger").map(_.toInt),
+      opt("max-files-per-trigger").map(_.toInt),
+      metadataPath)
   }
 }
 
@@ -76,66 +78,179 @@ object GraftCdcSource {
       StructField("_change_type", StringType)))
 }
 
-/** Snapshot-id offset of the CDC stream (0 = table start). */
-final case class CdcSnapshotOffset(snapshotId: Long) extends V1Offset {
-  override def json(): String = snapshotId.toString
+/** Snapshot-position offset of the CDC/changelog streams. Two shapes:
+  * a bare snapshot id (`"123"`) = the snapshot fully consumed, or
+  * `"123#40"` = the first 40 path-sorted data files ADDED by (pure
+  * append) snapshot 123 consumed, everything through its parent fully
+  * consumed — the intra-snapshot position file-granular admission emits
+  * so one bulk append becomes several bounded batches. 0 = table start. */
+final case class CdcSnapshotOffset(snapshotId: Long,
+    filesConsumed: Option[Long] = None) extends V1Offset {
+  override def json(): String =
+    filesConsumed.fold(snapshotId.toString)(k => s"$snapshotId#$k")
 }
 
-/** Shared V1 snapshot-range source machinery: offsets are snapshot ids;
-  * subclasses provide the per-range batch plan. */
+object CdcSnapshotOffset {
+  def parse(json: String, context: => String): (Long, Option[Long]) =
+    try json.split('#') match {
+      case Array(id) => (id.toLong, None)
+      case Array(id, k) => (id.toLong, Some(k.toLong))
+      case _ => throw new NumberFormatException(json)
+    } catch {
+      case e: NumberFormatException => throw new IllegalStateException(
+        s"unparseable snapshot offset '$json' $context", e)
+    }
+}
+
+/** Shared V1 snapshot-range source machinery: offsets are snapshot ids
+  * (optionally with an intra-snapshot file position); subclasses provide
+  * the per-range batch plan and the append-slice plan. */
 abstract class SnapshotRangeSource(table: IceTable,
     startSnapshotId: Option[Long],
-    maxSnapshotsPerTrigger: Option[Int]) extends Source {
+    maxSnapshotsPerTrigger: Option[Int],
+    maxFilesPerTrigger: Option[Int] = None,
+    metadataPath: String = "") extends Source {
 
   /** The (exclusive-from, inclusive-to] batch plan; from = None means
-    * table start. */
+    * table start. from == to must yield an EMPTY frame of the source's
+    * schema (the fallback shape for degenerate partial ranges). */
   protected def rangeBatch(from: Option[Long], to: Long): DataFrame
 
+  /** The [fromIdx, toIdx) slice of the path-sorted data files ADDED by
+    * (pure append) snapshot `s`, as this source's insert rows; toIdx =
+    * None means through the last file. */
+  protected def appendSlice(s: Long, fromIdx: Long, toIdx: Option[Long]): DataFrame
+
   /** The floor for admission control: the end offset of the last batch
-    * this source planned (getBatch updates it — on a checkpointed
-    * restart the engine's recovery getBatch seeds it), else the
-    * configured start, else table start. */
-  @volatile private var planned: Option[Long] = None
+    * this source planned (getBatch updates it and PERSISTS it under the
+    * stream's metadataPath — a clean checkpointed restart would otherwise
+    * see None here, fall back to start-snapshot-id, and with
+    * max-snapshots-per-trigger emit a capped offset BEHIND the committed
+    * one, wedging the stream on the ancestor check; on a crash restart
+    * the engine's recovery getBatch re-seeds it too). */
+  @volatile private var planned: Option[(Long, Option[Long])] = None
+
+  private def plannedFile: Option[String] =
+    Option(metadataPath).filter(_.nonEmpty).map(_ + "/graft-last-planned-offset")
+
+  private def persistPlanned(id: Long, files: Option[Long]): Unit =
+    plannedFile.foreach { p =>
+      val out = graft.meta.Io.create(p)
+      try out.write(CdcSnapshotOffset(id, files).json()
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+
+  private def recoverPlanned(): Option[(Long, Option[Long])] =
+    plannedFile.filter(graft.meta.Io.exists).map { p =>
+      val json = new String(graft.meta.Io.readBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      CdcSnapshotOffset.parse(json,
+        s"persisted under $p for table ${table.name}")
+    }
+
+  /** Count of data files first added by snapshot `s` — summary fast path,
+    * manifest walk (cache-served) otherwise. */
+  private def addedFileCount(s: graft.meta.Snapshot): Long =
+    s.summary.get("added-data-files").map(_.toLong).getOrElse(
+      graft.streaming.TableChanges.addedDataFiles(table, s.snapshotId).size.toLong)
 
   /** Admission control: a backfill over 10k committed snapshots becomes
     * bounded micro-batches instead of one giant batch — the offset
     * advances at most `max-snapshots-per-trigger` snapshots along the
-    * current ancestry per trigger (mirrors the append stream's
-    * admission; always at least one so the stream advances). */
+    * current ancestry per trigger, and with `max-files-per-trigger` a
+    * single bulk APPEND snapshot is further split into intra-snapshot
+    * file slices (delete/update-bearing commits stay atomic: only pure
+    * appends get partial offsets). Always advances so the stream makes
+    * progress. */
   override def getOffset: Option[V1Offset] = {
     table.refresh()
     val cur = table.metadata.currentSnapshotId.getOrElse(return None)
-    val floor = planned.orElse(startSnapshotId).getOrElse(0L)
-    if (cur == floor) return Some(CdcSnapshotOffset(cur))
-    val capped = maxSnapshotsPerTrigger match {
-      case None => cur
-      case Some(n) =>
-        val pending = table.metadata.ancestorsOf(cur) // newest first
-          .takeWhile(_.snapshotId != floor).reverse // oldest first
-        pending.take(math.max(1, n)).lastOption.map(_.snapshotId).getOrElse(cur)
+    val (floorId, floorFiles) = planned.orElse(recoverPlanned())
+      .getOrElse((startSnapshotId.getOrElse(0L), None))
+    if (cur == floorId && floorFiles.isEmpty) return Some(CdcSnapshotOffset(cur))
+    // mid-snapshot floor: keep slicing the same append snapshot
+    floorFiles.foreach { k =>
+      val s = table.metadata.snapshotById(floorId).getOrElse(
+        throw new IllegalStateException(s"snapshot $floorId (the stream's " +
+          s"partial floor) no longer exists in table ${table.name}"))
+      val total = addedFileCount(s)
+      val next = k + math.max(1L, maxFilesPerTrigger.map(_.toLong).getOrElse(total))
+      return Some(if (next >= total) CdcSnapshotOffset(floorId)
+        else CdcSnapshotOffset(floorId, Some(next)))
     }
-    Some(CdcSnapshotOffset(capped))
+    val chain = table.metadata.ancestorsOf(cur) // newest first
+    // a floor that fell out of the ancestry (expired snapshot, branch
+    // rewrite) must fail HERE with a named diagnosis — takeWhile would
+    // silently consume the whole chain and re-emit offsets near table
+    // start, surfacing later as an opaque ancestor error inside getBatch
+    if (floorId != 0L && !chain.exists(_.snapshotId == floorId))
+      throw new IllegalStateException(
+        s"snapshot $floorId (the stream's resume floor) is not an ancestor " +
+          s"of the current snapshot $cur of table ${table.name} — it was " +
+          "expired or the branch was rewritten; restart the stream with a " +
+          "fresh checkpoint or a valid start-snapshot-id")
+    val pending = chain.takeWhile(_.snapshotId != floorId).reverse // oldest first
+    if (pending.isEmpty) return Some(CdcSnapshotOffset(cur))
+    val bySnap = maxSnapshotsPerTrigger
+      .map(n => pending.take(math.max(1, n))).getOrElse(pending)
+    maxFilesPerTrigger match {
+      case None => Some(CdcSnapshotOffset(bySnap.last.snapshotId))
+      case Some(m) =>
+        val head = bySnap.head
+        // one giant append becomes its first slice; non-append commits
+        // (deletes/updates ride them) stay atomic per snapshot
+        if (head.operation == "append" && addedFileCount(head) > m)
+          return Some(CdcSnapshotOffset(head.snapshotId, Some(m.toLong)))
+        // otherwise admit whole snapshots under the file budget (≥ 1)
+        var budget = m.toLong - addedFileCount(head)
+        val admitted = head +: bySnap.tail.takeWhile { s =>
+          val f = addedFileCount(s)
+          val ok = f <= budget
+          if (ok) budget -= f
+          ok
+        }
+        Some(CdcSnapshotOffset(admitted.last.snapshotId))
+    }
   }
 
   /** A recovered offset arrives as SerializedOffset — parse through the
     * json face rather than the case class. Diagnosable on corruption:
     * name the payload and table instead of a bare NumberFormatException. */
-  private def idOf(o: V1Offset): Long = {
-    val j = o.json()
-    try j.toLong catch {
-      case e: NumberFormatException => throw new IllegalStateException(
-        s"unparseable snapshot offset '$j' (${o.getClass.getSimpleName}) " +
-          s"for table ${table.name}", e)
-    }
-  }
+  private def posOf(o: V1Offset): (Long, Option[Long]) =
+    CdcSnapshotOffset.parse(o.json(),
+      s"(${o.getClass.getSimpleName}) for table ${table.name}")
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     table.refresh()
-    planned = Some(idOf(end))
+    val (endId, endFiles) = posOf(end)
+    planned = Some((endId, endFiles))
+    persistPlanned(endId, endFiles)
     // a fresh query's first batch starts from the configured cursor when
     // one was given; a checkpointed restart always carries its own
     // committed start offset
-    val df = rangeBatch(start.map(idOf).orElse(startSnapshotId), idOf(end))
+    val (startIdOpt, startFiles) = start.map(posOf)
+      .map { case (i, f) => (Option(i), f) }
+      .getOrElse((startSnapshotId, None))
+    val parts = Seq.newBuilder[DataFrame]
+    if (startIdOpt.contains(endId)) {
+      // intra-snapshot advance: only a file slice of one append snapshot
+      parts += appendSlice(endId, startFiles.getOrElse(0L), endFiles)
+    } else {
+      // finish the partially-consumed start snapshot first
+      startFiles.foreach(k => parts += appendSlice(startIdOpt.get, k, None))
+      // full-snapshot diff up to the end (or its parent when the end is
+      // itself a partial position)
+      val diffTo =
+        if (endFiles.isEmpty) Some(endId)
+        else table.metadata.snapshotById(endId).flatMap(_.parentSnapshotId)
+      diffTo.filterNot(startIdOpt.contains).foreach(t =>
+        parts += rangeBatch(startIdOpt, t))
+      // the end's own partial slice
+      endFiles.foreach(k => parts += appendSlice(endId, 0L, Some(k)))
+    }
+    val df = parts.result().reduceOption(_ unionByName _)
+      .getOrElse(rangeBatch(Some(endId), endId)) // degenerate: empty shape
     // V1 contract: the returned frame must carry isStreaming=true
     org.apache.spark.sql.GraftBridge.streamingBatchFrame(table.spark, df)
   }
@@ -145,13 +260,20 @@ abstract class SnapshotRangeSource(table: IceTable,
 
 class GraftCdcStreamingSource(table: IceTable,
     startSnapshotId: Option[Long] = None,
-    maxSnapshotsPerTrigger: Option[Int] = None)
-    extends SnapshotRangeSource(table, startSnapshotId, maxSnapshotsPerTrigger) {
+    maxSnapshotsPerTrigger: Option[Int] = None,
+    maxFilesPerTrigger: Option[Int] = None,
+    metadataPath: String = "")
+    extends SnapshotRangeSource(table, startSnapshotId, maxSnapshotsPerTrigger,
+      maxFilesPerTrigger, metadataPath) {
 
   override val schema: StructType = GraftCdcSource.cdcSchema(table)
 
   override protected def rangeBatch(from: Option[Long], to: Long): DataFrame =
     graft.streaming.TableChanges.lineageDiff(table, from, to)
+
+  override protected def appendSlice(s: Long, fromIdx: Long,
+      toIdx: Option[Long]): DataFrame =
+    graft.streaming.TableChanges.cdcAppendSlice(table, s, fromIdx, toIdx)
 }
 
 /** Snapshot-diff CHANGELOG as a streaming source — the v2-compatible
@@ -189,7 +311,9 @@ class GraftChangelogSource extends StreamSourceProvider with DataSourceRegister 
     }
     new GraftChangelogStreamingSource(load(parameters),
       opt("start-snapshot-id").map(_.toLong),
-      opt("max-snapshots-per-trigger").map(_.toInt))
+      opt("max-snapshots-per-trigger").map(_.toInt),
+      opt("max-files-per-trigger").map(_.toInt),
+      metadataPath)
   }
 }
 
@@ -203,12 +327,19 @@ object GraftChangelogSource {
 
 class GraftChangelogStreamingSource(table: IceTable,
     startSnapshotId: Option[Long] = None,
-    maxSnapshotsPerTrigger: Option[Int] = None)
-    extends SnapshotRangeSource(table, startSnapshotId, maxSnapshotsPerTrigger) {
+    maxSnapshotsPerTrigger: Option[Int] = None,
+    maxFilesPerTrigger: Option[Int] = None,
+    metadataPath: String = "")
+    extends SnapshotRangeSource(table, startSnapshotId, maxSnapshotsPerTrigger,
+      maxFilesPerTrigger, metadataPath) {
 
   override val schema: StructType = GraftChangelogSource.changeSchema(table)
 
   override protected def rangeBatch(from: Option[Long], to: Long): DataFrame =
     graft.streaming.TableChanges.changelog(
       table, from.filter(_ != 0L), Some(to))
+
+  override protected def appendSlice(s: Long, fromIdx: Long,
+      toIdx: Option[Long]): DataFrame =
+    graft.streaming.TableChanges.changelogAppendSlice(table, s, fromIdx, toIdx)
 }

@@ -417,6 +417,75 @@ object TableChanges {
     (changedTasks, beforeCand, curCand, beforeTasks)
   }
 
+  /** Data files first ADDED by snapshot `s`, canonical-path-sorted —
+    * descriptors only (manifest reads, cache-served). The deterministic
+    * file order under the streaming sources' intra-snapshot
+    * (file-granular) admission: slicing [k1, k2) of this sequence across
+    * triggers partitions one bulk append into bounded batches. */
+  def addedDataFiles(table: IceTable, snapshotId: Long): Seq[graft.meta.DataFile] = {
+    import graft.meta.{EntryStatus, FileContent, ManifestIO}
+    val m = table.metadata
+    val s = m.snapshotById(snapshotId).getOrElse(throw new IllegalArgumentException(
+      s"Snapshot $snapshotId not found in table ${table.name}"))
+    ManifestIO.readManifestList(s.manifestList)
+      .filter(mf => mf.content == 0 && mf.addedSnapshotId == snapshotId)
+      .flatMap { mf =>
+        ManifestIO.readManifest(mf, m.specById(mf.partitionSpecId), m.schema, null)
+          .filter(e => e.status == EntryStatus.Added &&
+            e.snapshotId == snapshotId &&
+            e.dataFile.content == FileContent.Data)
+          .map(_.dataFile)
+      }
+      .sortBy(f => graft.core.PathUtil.canon(f.filePath))
+  }
+
+  /** Tasks of [[addedDataFiles]]' [fromIdx, toIdx) slice, resolved
+    * against the snapshot's plan (delete refs stay snapshot-scoped —
+    * vacuous for a pure append, whose new files carry none). */
+  private def appendSliceTasks(table: IceTable, snapshotId: Long,
+      fromIdx: Long, toIdx: Option[Long]): Seq[graft.table.FileScanTask] = {
+    import graft.core.PathUtil
+    val paths = addedDataFiles(table, snapshotId).map(f => PathUtil.canon(f.filePath))
+    val want = paths.slice(fromIdx.toInt,
+      toIdx.map(_.toInt).getOrElse(paths.size)).toSet
+    table.planTasksAt(snapshotId)
+      .filter(t => want.contains(PathUtil.canon(t.file.filePath)))
+  }
+
+  /** A file slice of one append snapshot as CDC inserts (data columns +
+    * `_row_id` + `_change_type`) — the intra-snapshot face of
+    * [[lineageDiff]] behind the `graft-cdc` source's
+    * `max-files-per-trigger` admission. */
+  def cdcAppendSlice(table: IceTable, snapshotId: Long, fromIdx: Long,
+      toIdx: Option[Long]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tasks = appendSliceTasks(table, snapshotId, fromIdx, toIdx)
+    if (tasks.isEmpty) return emptyLineageDiff(table)
+    val dataCols = table.schema.fields.map(f => col(f.name))
+    table.lineageScanForTasksAt(snapshotId, tasks)
+      .select(dataCols :+ col(graft.core.RowLineage.RowIdName) :+
+        lit("insert").as("_change_type"): _*)
+  }
+
+  /** The same slice in the changelog's shape (`_change_type` /
+    * `_change_ordinal` / `_commit_snapshot_id`) for the v2-compatible
+    * `graft-changelog` source. The slice is always ordinal 0: it carries
+    * exactly one commit's (partial) inserts. */
+  def changelogAppendSlice(table: IceTable, snapshotId: Long, fromIdx: Long,
+      toIdx: Option[Long]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tasks = appendSliceTasks(table, snapshotId, fromIdx, toIdx)
+    val base =
+      if (tasks.isEmpty)
+        table.spark.createDataFrame(
+          table.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          table.schema.toSpark)
+      else table.scanForTasksAt(snapshotId, tasks)
+    base.withColumn("_change_type", lit("insert"))
+      .withColumn("_change_ordinal", lit(0))
+      .withColumn("_commit_snapshot_id", lit(snapshotId))
+  }
+
   final class Handle(flag: AtomicBoolean, thread: Thread) {
     def stop(): Unit = { flag.set(false); thread.join(10000) }
   }

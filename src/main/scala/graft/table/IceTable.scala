@@ -416,6 +416,14 @@ class IceTable(
     new IceScan(this).useSnapshot(snapshotId).withCurrentSchema
       .toDFWithLineageForTasks(tasks)
 
+  /** Plain (no lineage columns) current-schema read of an explicit task
+    * subset of a pinned snapshot — the v2-compatible face the changelog
+    * source's file-granular append slices read through. */
+  private[graft] def scanForTasksAt(snapshotId: Long,
+      tasks: Seq[FileScanTask]): DataFrame =
+    new IceScan(this).useSnapshot(snapshotId).withCurrentSchema
+      .toDFForTasks(tasks, applyResidualOnlyWhereNeeded = true)
+
   /** Copy-on-write group replacement where the replacement data files
     * already exist on disk (the DSv2 write's direct-commit path: staged
     * per-task files under the data root, footer stats pre-harvested) —

@@ -1259,6 +1259,72 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP VIEW IF EXISTS cdc_adm_sink")
   }
 
+  test("graft-cdc restart with max-snapshots-per-trigger resumes from the " +
+      "persisted floor (no rewind behind the committed offset)") {
+    val t = catalog.createTable("t_cdc_capckpt", Schema.fromSpark(orders.schema),
+      properties = Map("format-version" -> "3"))
+    (0 until 2).foreach(i => t.append(orders.filter(col("o_orderkey") % 4 === i)))
+    val ckpt = java.nio.file.Files.createTempDirectory("cdc_capckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("cdc_capout").toString
+    def start() = spark.readStream.format("graft-cdc")
+      .option("warehouse", warehouse).option("table", "t_cdc_capckpt")
+      .option("max-snapshots-per-trigger", "1").load()
+      .select(col("o_orderkey"), col("_change_type"))
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    val firstRows = orders.filter(col("o_orderkey") % 4 < 2).count()
+    assert(spark.read.parquet(outDir).count() === firstRows)
+    // a CLEAN restart: the last batch was committed, so the engine never
+    // calls the recovery getBatch — the admission floor must come from
+    // the metadataPath-persisted planned offset, NOT fall back to table
+    // start (which would cap the next offset BEHIND the committed one
+    // and wedge every subsequent restart on the ancestor check)
+    (2 until 4).foreach(i => t.append(orders.filter(col("o_orderkey") % 4 === i)))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.read.parquet(outDir).select("o_orderkey")
+        .collect().map(_.getLong(0))
+      assert(got.length === orders.count(), "exactly the missed range, once")
+      assert(got.sorted.toSeq === orders.select("o_orderkey")
+        .orderBy("o_orderkey").collect().map(_.getLong(0)).toSeq)
+    } finally q2.stop()
+  }
+
+  test("graft-cdc max-files-per-trigger splits one bulk append snapshot " +
+      "into bounded intra-snapshot batches with the same output multiset") {
+    val t = catalog.createTable("t_cdc_fadm", Schema.fromSpark(orders.schema),
+      properties = Map("format-version" -> "3"))
+    // ONE commit, four data files: snapshot-granular admission can't
+    // bound this — file-granular admission must slice within it
+    t.append(orders.repartition(4))
+    assert(t.scan.planFiles().size === 4)
+    val q = spark.readStream.format("graft-cdc")
+      .option("warehouse", warehouse).option("table", "t_cdc_fadm")
+      .option("max-files-per-trigger", "1").load()
+      .writeStream.format("memory").queryName("cdc_fadm_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val nonEmptyBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(nonEmptyBatches >= 2,
+        s"expected >=2 intra-snapshot batches, got $nonEmptyBatches")
+      // same multiset as the unsliced stream: every row exactly once,
+      // every one an insert, ids assigned as if read in one batch
+      val got = spark.sql(
+        "SELECT o_orderkey, _change_type, _row_id FROM cdc_fadm_sink").collect()
+      assert(got.length === orders.count())
+      assert(got.forall(_.getString(1) == "insert"))
+      assert(got.map(_.getLong(0)).sorted.toSeq === orders.select("o_orderkey")
+        .orderBy("o_orderkey").collect().map(_.getLong(0)).toSeq)
+      assert(got.map(_.getLong(2)).distinct.length === got.length,
+        "row ids must stay unique across the slices")
+    } finally q.stop()
+    spark.sql("DROP VIEW IF EXISTS cdc_fadm_sink")
+  }
+
   test("batch cdc-range options read the lineage diff through the DSv2 face") {
     val t = catalog.createTable("t_cdc_batch", Schema.fromSpark(orders.schema),
       properties = Map("format-version" -> "3"))
