@@ -388,9 +388,19 @@ class HadoopCatalog(val warehouse: String, val spark: SparkSession) extends Cata
   }
 
   def currentVersion(name: String): Option[Int] =
-    if (Io.exists(hintFile(name)))
-      Some(new String(Io.readBytes(hintFile(name)), "UTF-8").trim.toInt)
-    else None
+    if (!Io.exists(hintFile(name))) None
+    else {
+      val raw = new String(Io.readBytes(hintFile(name)), "UTF-8").trim
+      raw.toIntOption.orElse {
+        // a torn hint (foreign writer republishing non-atomically while
+        // we read) must not fail a concurrent refresh — the committed
+        // version files are the durable truth; take the newest
+        Io.list(metadataDir(name)).collect {
+          case (n, false) if n.startsWith("v") && n.endsWith(".metadata.json") =>
+            n.stripPrefix("v").stripSuffix(".metadata.json").toIntOption
+        }.flatten.maxOption
+      }
+    }
 
   // ---- views: `view-hint.text` + `v<N>.view-metadata.json` under the
   // view's own metadata dir — the same optimistic-create commit shape as
@@ -412,12 +422,12 @@ class HadoopCatalog(val warehouse: String, val spark: SparkSession) extends Cata
     // tables: a concurrent replace at the same version loses here
     if (!Io.writeBytesIfAbsent(path, json.getBytes("UTF-8")))
       throw new CommitConflictException(name, version)
-    Io.writeBytes(viewHint(name), path.getBytes("UTF-8"))
+    Io.writeBytesAtomic(viewHint(name), path.getBytes("UTF-8"))
     path
   }
 
   protected def linkView(name: String, metadataLocation: String): Unit =
-    Io.writeBytes(viewHint(name), metadataLocation.getBytes("UTF-8"))
+    Io.writeBytesAtomic(viewHint(name), metadataLocation.getBytes("UTF-8"))
 
   protected def forgetView(name: String): Unit = {
     val md = metadataDir(name)
@@ -445,7 +455,9 @@ class HadoopCatalog(val warehouse: String, val spark: SparkSession) extends Cata
     if (!Io.writeBytesIfAbsent(versionFile(name, next),
         MetadataJson.toJson(meta).getBytes("UTF-8")))
       throw new CommitConflictException(name, next)
-    Io.writeBytes(hintFile(name), next.toString.getBytes("UTF-8"))
+    // atomic republish: a streaming source's concurrent refresh must never
+    // read a truncated hint mid-write
+    Io.writeBytesAtomic(hintFile(name), next.toString.getBytes("UTF-8"))
     next
   }
 }

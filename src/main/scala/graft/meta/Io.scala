@@ -138,6 +138,30 @@ object Io {
       try out.write(bytes) finally out.close()
     }
 
+  /** Atomic last-writer-wins publish of a small file (version hints):
+    * concurrent readers must never observe a half-written payload — a
+    * streaming source refreshing the table while a commit republishes the
+    * hint would read "" and fail version parsing. Local: unique temp
+    * sibling + ATOMIC_MOVE replace. Remote: Hadoop create+close (contents
+    * become visible on close for HDFS-like stores); the hint READERS also
+    * tolerate a torn value by falling back to the newest version file. */
+  def writeBytesAtomic(path: String, bytes: Array[Byte]): Unit =
+    if (isLocal(path)) {
+      val p = local(path)
+      java.nio.file.Files.createDirectories(p.getParent)
+      val tmp = p.resolveSibling(
+        p.getFileName.toString + ".tmp-" + java.util.UUID.randomUUID())
+      java.nio.file.Files.write(tmp, bytes)
+      try java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch {
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          java.nio.file.Files.move(tmp, p,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } else writeBytes(path, bytes)
+
   /** Atomic-create-new commit write: fails (returns false) when the target
     * already exists. Local uses link(2) (a true atomic CREATE_NEW — rename
     * silently replaces there); Hadoop writes a uniquely-named sibling and

@@ -303,14 +303,110 @@ object ManifestIO {
 
   /** Manifest-open counter — test instrumentation for pruning asserts
     * (accurate in local mode where executors share the JVM; zero cost
-    * otherwise). */
+    * otherwise). Cache hits do NOT count: the counter measures real
+    * decodes. */
   val manifestOpens = new java.util.concurrent.atomic.AtomicLong(0)
+
+  // ---- manifest entry cache (ref: manifest.py:895 _ManifestCache) ----
+  //
+  // Manifests are IMMUTABLE by path, and consecutive snapshots share most
+  // of their manifest forest — so every repeated metadata walk (a CDC
+  // poll planning both snapshots, a changelog trigger, a metadata table
+  // re-walking the head) re-decodes bytes that cannot have changed. The
+  // reference dedups ManifestFile objects process-wide with a
+  // configurable LRU (manifest.py:895, public clear_manifest_cache
+  // :947); this is the entry-level analog: decoded Seq[ManifestEntry]
+  // keyed by canonical path plus every decode input (spec, schema, the
+  // inheritance triple — the same path re-read under an evolved schema
+  // or a backfilled first_row_id decodes differently and caches
+  // separately). Size-bounded in total ENTRIES; LRU eviction;
+  // invalidation-free. Configure via the `graft.manifest-cache-size`
+  // system property / GRAFT_MANIFEST_CACHE_SIZE env (0 disables,
+  // mirroring the reference's manifest-cache-size).
+
+  /** Default bound: ~the reference's 128-manifest default at a few
+    * thousand entries per manifest. One entry is a descriptor + stats
+    * maps (~1 KB); the default caps the cache at low hundreds of MB. */
+  val DefaultManifestCacheEntries = 262144L
+
+  @volatile private var cacheMax: Long =
+    sys.props.get("graft.manifest-cache-size")
+      .orElse(sys.env.get("GRAFT_MANIFEST_CACHE_SIZE"))
+      .map(_.toLong).getOrElse(DefaultManifestCacheEntries)
+
+  def manifestCacheSize: Long = cacheMax
+
+  /** 0 disables and clears (the reference's `manifest-cache-size: 0`). */
+  def setManifestCacheSize(maxEntries: Long): Unit = {
+    cacheMax = math.max(0L, maxEntries)
+    cacheLock.synchronized { evictTo(cacheMax) }
+  }
+
+  /** Cache-hit counter (test instrumentation, local mode). */
+  val manifestCacheHits = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private final case class EntryCacheKey(path: String, spec: PartitionSpec,
+      schema: Schema, inheritSnapshotId: Option[Long],
+      inheritSequenceNumber: Option[Long], inheritFirstRowId: Option[Long])
+
+  private val cacheLock = new Object
+  // access-order LinkedHashMap = LRU; guarded by cacheLock
+  private val entryCache =
+    new java.util.LinkedHashMap[EntryCacheKey, Seq[ManifestEntry]](64, 0.75f, true)
+  private var cachedEntryCount = 0L
+
+  /** Release all cached manifest metadata (ref: manifest.py:947
+    * clear_manifest_cache — long-lived or memory-sensitive processes). */
+  def clearManifestCache(): Unit = cacheLock.synchronized { evictTo(0L) }
+
+  private def evictTo(budget: Long): Unit = {
+    val it = entryCache.entrySet().iterator()
+    while (cachedEntryCount > budget && it.hasNext) {
+      val e = it.next() // least-recently-used first
+      cachedEntryCount -= math.max(1, e.getValue.size)
+      it.remove()
+    }
+  }
+
+  private def cacheGet(k: EntryCacheKey): Option[Seq[ManifestEntry]] =
+    cacheLock.synchronized(Option(entryCache.get(k)))
+
+  private def cachePut(k: EntryCacheKey, v: Seq[ManifestEntry]): Unit =
+    cacheLock.synchronized {
+      val w = math.max(1, v.size).toLong
+      if (w > cacheMax || entryCache.containsKey(k)) return
+      entryCache.put(k, v)
+      cachedEntryCount += w
+      // the just-put key is most-recent under access order, so eviction
+      // never removes it while anything older remains
+      evictTo(cacheMax)
+    }
 
   def readManifest(path: String, spec: PartitionSpec, schema: Schema,
       confOverride: org.apache.hadoop.conf.Configuration = null,
       inheritSnapshotId: Option[Long] = None,
       inheritSequenceNumber: Option[Long] = None,
       inheritFirstRowId: Option[Long] = None): Seq[ManifestEntry] = {
+    val key =
+      if (cacheMax > 0)
+        Some(EntryCacheKey(PathUtil.canon(path), spec, schema,
+          inheritSnapshotId, inheritSequenceNumber, inheritFirstRowId))
+      else None
+    key.flatMap(cacheGet).foreach { hit =>
+      manifestCacheHits.incrementAndGet()
+      return hit
+    }
+    val out = decodeManifest(path, spec, schema, confOverride,
+      inheritSnapshotId, inheritSequenceNumber, inheritFirstRowId)
+    key.foreach(cachePut(_, out))
+    out
+  }
+
+  private def decodeManifest(path: String, spec: PartitionSpec, schema: Schema,
+      confOverride: org.apache.hadoop.conf.Configuration,
+      inheritSnapshotId: Option[Long],
+      inheritSequenceNumber: Option[Long],
+      inheritFirstRowId: Option[Long]): Seq[ManifestEntry] = {
     manifestOpens.incrementAndGet()
     val reader = openAvro(path, confOverride)
     val partTypes = spec.partitionType(schema)

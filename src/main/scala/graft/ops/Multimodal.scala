@@ -55,4 +55,44 @@ object Multimodal {
       col("doc_id").as("media_id"),
       lit("application/octet-stream").as("mime"),
       col("text").cast("binary").as("content"))
+
+  final case class MediaHash(media_id: Long, dhash: Long)
+
+  /** STUB perceptual hash with the dHash SHAPE: a real implementation
+    * decodes the image, resizes to a 9×8 grayscale grid, and emits one
+    * bit per horizontal neighbour comparison (64 bits total) — identical
+    * payloads hash identically, small luminance changes flip few bits.
+    * The stub derives the 9×8 grid deterministically from the payload
+    * (byte-stripe luminance sums) so the hash's bit layout, its
+    * stability under byte-local edits, and the banded hamming join built
+    * on top are all exercised end-to-end with integer-exact math. */
+  def dHash64(bytes: Array[Byte]): Long = {
+    val grid = new Array[Long](72) // 8 rows × 9 columns of "luminance"
+    var i = 0
+    while (i < bytes.length) {
+      grid(i % 72) += (bytes(i) & 0xff)
+      i += 1
+    }
+    var h = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        h = (h << 1) | (if (grid(r * 9 + c) > grid(r * 9 + c + 1)) 1L else 0L)
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
+  /** Batched perceptual hashing (one decoder init per partition, same
+    * contract as [[extractFeatures]]): media_id → 64-bit dHash. */
+  def perceptualHashes(ds: Dataset[MediaRow]): Dataset[MediaHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      // per-partition decoder/session init would go here
+      rows.map(r => MediaHash(r.media_id, dHash64(r.content)))
+    }
+  }
 }

@@ -1024,6 +1024,49 @@ object DataOps {
       |  CAST(ceil(strlen(text) / 256.0) AS BIGINT) AS n_frames
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** MULTIMODAL NEAR-DUP — perceptual-hash image dedup, closing the
+    * multimodal family's loop: 64-bit dHash over each binary media
+    * payload (stub decode, real hash shape — ops/Multimodal.scala), a
+    * 4×16-bit band index (pigeonhole: hamming ≤ 3 ⟹ some band equal)
+    * generates candidates as an EQUI-join, exact hamming verifies. Same
+    * contract as `ds_dedup_simhash` but over the MEDIA column: the hash
+    * stage is exported so the DuckDB oracle re-derives the band+verify
+    * logic pairwise. At 100 TB: hashing is one embarrassingly-parallel
+    * pass over the binary column; candidates shuffle on (band, key) —
+    * never an all-pairs join. */
+  def multimodalNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+      .as[Multimodal.MediaRow]
+    val hashes = Multimodal.perceptualHashes(media).toDF()
+    exportForOracle(hashes, "media_dhash")
+    val banded = hashes.select(col("media_id"), col("dhash"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"), shiftright(col("dhash"), i * 16)
+          .bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+    val pairs = banded.as("x").join(banded.as("y"),
+        col("x.bk.band") === col("y.bk.band") && col("x.bk.key") === col("y.bk.key") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("a_id"), col("y.media_id").as("b_id"),
+        col("x.dhash").as("a_h"), col("y.dhash").as("b_h"))
+      .distinct()
+    nonEmpty(pairs
+      .withColumn("hamming", bit_count(col("a_h").bitwiseXOR(col("b_h"))))
+      .filter(col("hamming") <= 3)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy(col("a_id"), col("b_id")))
+  }
+  /** Oracle = naive pairwise hamming over the exported hashes; the band
+    * join is exact for hamming ≤ 3 by pigeonhole (4 bands). */
+  val multimodalNearDupSql =
+    s"""WITH h AS (SELECT media_id, dhash
+      |  FROM read_parquet('$ExportDir/media_dhash/*.parquet'))
+      |SELECT a.media_id AS a_id, b.media_id AS b_id,
+      |       CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+      |FROM h a JOIN h b ON a.media_id < b.media_id
+      |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+      |ORDER BY a_id, b_id""".stripMargin
+
   // ------------------------------------------------------------- streaming
 
   /** Structured Streaming: tumbling-window counts over the events table
@@ -2874,6 +2917,7 @@ object DataOps {
     "ds_text_langid" -> (textLangId _),
     "ds_text_fingerprint" -> (textFingerprint _),
     "ds_multimodal_features" -> (multimodalFeatures _),
+    "ds_multimodal_neardup" -> (multimodalNearDup _),
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_dedup" -> (streamDedup _),
     "stream_interval_join" -> (streamIntervalJoin _),
@@ -2931,6 +2975,7 @@ object DataOps {
     "ds_text_langid" -> textLangIdSql,
     "ds_text_fingerprint" -> textFingerprintSql,
     "ds_multimodal_features" -> multimodalFeaturesSql,
+    "ds_multimodal_neardup" -> multimodalNearDupSql,
     "stream_window_agg" -> streamWindowAggSql,
     "stream_dedup" -> streamDedupSql,
     "stream_interval_join" -> streamIntervalJoinSql,

@@ -665,6 +665,134 @@ object Iceberg {
     * the naive quadratic shingle-Jaccard of the same ingest against the
     * churned corpus (LSH is a recall-~1 prefilter — same convention as
     * `ds_dedup_minhash_lsh`, whose oracle is the exact pairwise join). */
+  /** J×decontamination synthesis: INCREMENTAL DECONTAMINATION from the
+    * row-identity CDC feed — "the eval set AND the corpus changed;
+    * re-screen only what changed". One v3 table holds both corpora
+    * (eval docs: doc_id % 7 == 0); the maintained state is the
+    * per-eval-doc gram index (eval-sized — benchmarks are ~10⁵ docs) and
+    * the contamination hit index (doc_id, gram — contamination is rare,
+    * so hit-pair-sized). ONE pollLineageCdc batch then:
+    *  - retires eval docs' grams (delete + pre-update rows by doc_id)
+    *    and adds the new ones (insert + post-update rows); grams whose
+    *    eval support drops to ZERO retire their hits by gram (touches
+    *    only the hit index), and grams NEWLY in the eval set re-screen
+    *    the standing corpus behind a Bloom prefilter of exactly those
+    *    grams (map-side drop — only affected corpus grams shuffle);
+    *  - screens the corpus INGEST batch (insert rows) against a Bloom of
+    *    the full updated eval gram set — only the batch, never the
+    *    standing corpus.
+    * Output = per-doc shared-gram counts of the final corpus vs the
+    * final eval set; the oracle recomputes that FROM SCRATCH in DuckDB,
+    * so the gate proves the incremental maintenance equals a full
+    * re-run. Bloom prefilters are lossless (no false negatives) ahead of
+    * exact gram equi-joins; work ∝ |churn| + |ingest|. */
+  def decontaminateCdc(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BloomFunctions
+    import s.implicits._
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val cat = s"gdecdc${sqlCatSeq.incrementAndGet()}"
+    val whDir = Files.createTempDirectory("graft_decontcdc").toString
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", whDir)
+    val tab = new graft.catalog.HadoopCatalog(whDir, s)
+      .createTable("db.docs", Schema.fromSpark(docs.schema),
+        properties = Map("format-version" -> "3"))
+    // t0: the eval set (minus a held-out slice) + the standing corpus
+    tab.append(docs.filter(col("doc_id") % 7 === 0 && col("doc_id") % 5 =!= 4)
+      .unionByName(docs.filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 3 =!= 0)))
+    val c0 = tab.refresh().metadata.currentSnapshotId
+    // eval churn: one benchmark retired, one revised; then one commit
+    // adds the held-out benchmarks AND the corpus ingest batch
+    s.sql(s"DELETE FROM $cat.db.docs WHERE doc_id % 7 = 0 AND doc_id % 5 = 0")
+    s.sql(s"UPDATE $cat.db.docs SET text = concat(text, ' v2') " +
+      "WHERE doc_id % 7 = 0 AND doc_id % 5 = 1")
+    tab.refresh().append(
+      docs.filter(col("doc_id") % 7 === 0 && col("doc_id") % 5 === 4)
+        .unionByName(docs.filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 3 === 0)))
+    val rel = tab.refresh()
+    def grams(d: DataFrame): DataFrame = d
+      .select(col("doc_id"),
+        filter(split(lower(trim(col("text"))), "\\s+"), w => w =!= "").as("w"))
+      .filter(size(col("w")) >= 4)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(sequence(lit(1), size(col("w")) - 3),
+          i => concat_ws(" ", slice(col("w"), i, lit(4)))))).as("g"))
+    val isEval = col("doc_id") % 7 === 0
+    val (changes0, _) = graft.streaming.TableChanges.pollLineageCdc(rel, c0)
+    val changes = DataOps.trackCache(changes0.persist())
+    // ---- maintained state as of the cursor (conceptually persisted) ----
+    val t0df = rel.scan.useSnapshot(c0.get).toDF
+    val evalDocGrams0 = DataOps.trackCache(grams(t0df.filter(isEval)).persist())
+    val corpusGrams0 = DataOps.trackCache(grams(t0df.filter(col("doc_id") % 7 =!= 0)).persist())
+    val hits0 = corpusGrams0.join(
+      evalDocGrams0.select(col("g")).distinct(), Seq("g"))
+    // ---- eval-side maintenance: gram support as a set diff ----
+    val evalChanges = changes.filter(isEval)
+    val retiredDocs = evalChanges
+      .filter(col("_change_type").isin("delete", "update")).select(col("doc_id"))
+    val addedGrams = grams(evalChanges
+      .filter(col("_change_type").isin("insert", "update"))
+      .select(col("doc_id"), col("text")))
+    val evalDocGrams1 = evalDocGrams0
+      .join(retiredDocs, Seq("doc_id"), "left_anti").unionByName(addedGrams)
+    val g0 = evalDocGrams0.select(col("g")).distinct()
+    val g1 = DataOps.trackCache(evalDocGrams1.select(col("g")).distinct().persist())
+    val deadGrams = g0.except(g1)
+    val newGrams = DataOps.trackCache(g1.except(g0).persist())
+    val nNew = newGrams.count()
+    val newHits =
+      if (nNew == 0) hits0.limit(0)
+      else {
+        val bloomNew = BloomFunctions.buildBloom(
+          newGrams.select(col("g")).as[String], nNew, 0.01)
+        corpusGrams0
+          .filter(BloomFunctions.bloom_might_contain(col("g"), bloomNew))
+          .join(newGrams, Seq("g"))
+      }
+    // the ingest batch screens against the UPDATED eval gram set
+    val ingestGrams = grams(changes
+      .filter(col("doc_id") % 7 =!= 0 && col("_change_type") === "insert")
+      .select(col("doc_id"), col("text")))
+    val bloom1 = BloomFunctions.buildBloom(
+      g1.select(col("g")).as[String], math.max(1L, g1.count()), 0.01)
+    val ingestHits = ingestGrams
+      .filter(BloomFunctions.bloom_might_contain(col("g"), bloom1))
+      .join(g1, Seq("g"))
+    val idx1 = hits0.join(deadGrams, Seq("g"), "left_anti")
+      .unionByName(newHits).unionByName(ingestHits)
+    nonEmpty(idx1.groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_shared"))
+      .orderBy(col("doc_id")))
+  }
+  /** Oracle = the from-scratch screen of the FINAL corpus against the
+    * FINAL eval set — the incremental path must equal a full re-run. */
+  val decontaminateCdcSql =
+    """WITH eval1 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 1 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0),
+      |toke AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS w
+      |  FROM eval1),
+      |ge AS (
+      |  SELECT DISTINCT unnest(list_distinct(list_transform(
+      |    generate_series(1, len(w) - 3),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS g
+      |  FROM toke WHERE len(w) >= 4),
+      |tokc AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS w
+      |  FROM documents WHERE doc_id % 7 <> 0),
+      |gc AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(w) - 3),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS g
+      |  FROM tokc WHERE len(w) >= 4)
+      |SELECT c.doc_id, count(DISTINCT c.g) AS n_shared
+      |FROM gc c JOIN ge e ON c.g = e.g
+      |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+
   def dedupCdcLsh(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -1672,6 +1800,7 @@ object Iceberg {
     "stream_cdc_source" -> (streamCdcSource _),
     "ds_dedup_cdc_lsh" -> (dedupCdcLsh _),
     "ds_dedup_cdc" -> (dedupCdc _),
+    "ds_decontaminate_cdc" -> (decontaminateCdc _),
     "ice_equality_deletes" -> (equalityDeletes _),
     "ice_dsv2_scan" -> (dsv2Scan _),
     "ice_dsv2_agg" -> (dsv2AggPushdown _),
@@ -1731,6 +1860,7 @@ object Iceberg {
     "stream_cdc_source" -> streamCdcSourceSql,
     "ds_dedup_cdc_lsh" -> dedupCdcLshSql,
     "ds_dedup_cdc" -> dedupCdcSql,
+    "ds_decontaminate_cdc" -> decontaminateCdcSql,
     "ice_equality_deletes" -> equalityDeletesSql,
     "ice_dsv2_scan" -> dsv2ScanSql,
     "ice_dsv2_agg" -> dsv2AggPushdownSql,

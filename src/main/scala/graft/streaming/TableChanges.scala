@@ -64,7 +64,11 @@ object TableChanges {
     * All reads use the range-end snapshot's schema (same policy as
     * incrementalAppendScan). Scale: per-commit frames are Spark scans
     * unioned lazily; only file DESCRIPTORS touch the driver, and the
-    * per-commit live-set diff is path-string-sized. Positions written
+    * added/removed sets come from a PER-COMMIT MANIFEST DIFF (the
+    * commit's own new manifests plus whatever it dropped from the
+    * parent's list, cache-served) — a steady-state stream's per-trigger
+    * metadata cost is proportional to each commit's churn, never the
+    * table's live file count. Positions written
     * over already-masked rows (impossible through this library's
     * writers, which plan deletes against visible rows) would be
     * re-reported; foreign writers stacking deletes on dead positions are
@@ -123,19 +127,29 @@ object TableChanges {
       parts.result().reduce(_ unionByName _)
     }
 
-    /** canon path → file format of LIVE data files at snapshot s. */
-    def liveDataFmt(s: graft.meta.Snapshot): Map[String, String] =
+    /** Data manifests of snapshot s (descriptors; cache-served). */
+    def dataManifests(s: graft.meta.Snapshot): Seq[graft.meta.ManifestFile] =
       ManifestIO.readManifestList(s.manifestList).filter(_.content == 0)
-        .flatMap { mf =>
-          ManifestIO.readManifest(mf.manifestPath, m.specById(mf.partitionSpecId), m.schema)
+    def entriesOf(mf: graft.meta.ManifestFile): Seq[graft.meta.ManifestEntry] =
+      ManifestIO.readManifest(mf.manifestPath, m.specById(mf.partitionSpecId), m.schema)
+
+    /** Format of a position-delete's referenced data file. The commit's
+      * own manifests usually reveal it; otherwise the extension decides,
+      * and only an extension-less path (rare: foreign naming) pays one
+      * cache-served walk of the snapshot's data manifests. */
+    def isOrc(s: graft.meta.Snapshot, p: String): Boolean =
+      fmtOf.get(p).map(_.equalsIgnoreCase("ORC")).getOrElse {
+        val lower = p.toLowerCase
+        if (lower.endsWith(".parquet")) false
+        else if (lower.endsWith(".orc")) true
+        else {
+          dataManifests(s).foreach(mf => entriesOf(mf)
             .filter(_.status != EntryStatus.Deleted)
-            .map(e => PathUtil.canon(e.dataFile.filePath) -> e.dataFile.fileFormat)
-        }.toMap
-    def liveData(s: graft.meta.Snapshot): Set[String] = {
-      val fm = liveDataFmt(s)
-      fmtOf ++= fm
-      fm.keySet
-    }
+            .foreach(e => fmtOf +=
+              PathUtil.canon(e.dataFile.filePath) -> e.dataFile.fileFormat))
+          fmtOf.get(p).exists(_.equalsIgnoreCase("ORC"))
+        }
+      }
 
     /** delete files first ADDED by snapshot s (descriptors only). */
     def addedDeleteFiles(s: graft.meta.Snapshot): Seq[graft.meta.DataFile] =
@@ -148,16 +162,45 @@ object TableChanges {
         }
 
     val frames = Seq.newBuilder[DataFrame]
-    var parentLive: Option[Set[String]] = None
     range.zipWithIndex.foreach { case (s, ordinal) =>
-      lazy val live = liveData(s)
       val op = s.operation
-      if (op == "replace") { parentLive = Some(live) }
-      else {
-        val pLive = parentLive.getOrElse(
-          s.parentSnapshotId.flatMap(m.snapshotById).map(liveData).getOrElse(Set.empty))
-        val addedPaths = (live -- pLive).toSeq.sorted
-        val removedPaths = (pLive -- live).toSeq.sorted
+      // 'replace' commits (compaction, manifest rewrite) are logically
+      // silent — and the per-commit diff below needs NO state from them
+      if (op != "replace") {
+        // ---- per-commit manifest DIFF (work ∝ the commit's churn) ----
+        // This library's commits rewrite affected manifests (removed
+        // files drop out; survivors carry over as EXISTING entries), and
+        // foreign writers may instead record DELETED-status entries —
+        // both shapes fall out of the same diff. Paths ADDED by s are the
+        // ADDED entries of s's own new manifests; paths REMOVED by s are
+        // its new manifests' DELETED entries plus the live entries of
+        // manifests DROPPED from the parent's list that no current
+        // manifest still carries. Per-trigger cost = the commit's new +
+        // dropped manifests (cache-served) — never a live-set walk of
+        // the whole table (the r13 shape: O(live files) per commit).
+        val curMs = dataManifests(s)
+        val newEntries = curMs.filter(_.addedSnapshotId == s.snapshotId)
+          .flatMap(entriesOf)
+        newEntries.foreach(e =>
+          fmtOf += PathUtil.canon(e.dataFile.filePath) -> e.dataFile.fileFormat)
+        val presentInNew = newEntries.filter(_.status != EntryStatus.Deleted)
+          .map(e => PathUtil.canon(e.dataFile.filePath)).toSet
+        val addedPaths = newEntries
+          .filter(e => e.status == EntryStatus.Added && e.snapshotId == s.snapshotId)
+          .map(e => PathUtil.canon(e.dataFile.filePath)).distinct.sorted
+        val curMfPaths = curMs.map(_.manifestPath).toSet
+        val droppedLive = s.parentSnapshotId.flatMap(m.snapshotById).toSeq
+          .flatMap(dataManifests)
+          .filterNot(mf => curMfPaths.contains(mf.manifestPath))
+          .flatMap(entriesOf).filter(_.status != EntryStatus.Deleted)
+        droppedLive.foreach(e =>
+          fmtOf += PathUtil.canon(e.dataFile.filePath) -> e.dataFile.fileFormat)
+        val removedPaths = (newEntries
+          .filter(e => e.status == EntryStatus.Deleted && e.snapshotId == s.snapshotId)
+          .map(e => PathUtil.canon(e.dataFile.filePath)) ++
+          droppedLive.map(e => PathUtil.canon(e.dataFile.filePath))
+            .filterNot(presentInNew))
+          .distinct.sorted
         val inserts = if (addedPaths.isEmpty) None else Some(readData(addedPaths))
         val cowDeletes = if (removedPaths.isEmpty) None else Some(readData(removedPaths))
         // cancel carry-overs only when a commit both removed and added
@@ -202,8 +245,7 @@ object TableChanges {
           if (refPaths.nonEmpty) {
             // (file, position) metadata: parquet via _metadata columns;
             // ORC via the bridge reader's own __file/__pos tracking
-            val (orcRefs, parqRefs) = refPaths.partition(p =>
-              fmtOf.get(p).exists(_.equalsIgnoreCase("ORC")))
+            val (orcRefs, parqRefs) = refPaths.partition(isOrc(s, _))
             val withPosParts = Seq.newBuilder[DataFrame]
             if (parqRefs.nonEmpty)
               withPosParts += rs.read.schema(schemaAt.toSpark).parquet(parqRefs: _*)
@@ -222,13 +264,41 @@ object TableChanges {
           val keyCols = ef.equalityIds.flatMap(id => m.schema.byId.get(id)).map(_.name)
           if (keyCols.nonEmpty) {
             val keys = rs.read.parquet(ef.filePath).select(keyCols.map(col): _*).distinct()
-            val parentRows = s.parentSnapshotId.map(pid =>
-              table.scan.useSnapshot(pid).toDF).getOrElse(emptyDf(table))
+            val parentRows = s.parentSnapshotId.map { pid =>
+              // candidate files only: every parent-visible row predates
+              // this delete (seq scoping is implied), so the prune is
+              // METRICS — a file whose column bounds cannot contain any
+              // key value cannot lose a row to it. Key values are
+              // driver-collected up to a cap (eq-delete files are
+              // churn-sized); past it, all parent tasks scan as before.
+              val tasks = table.planTasksAt(pid)
+              val cap = 1000
+              val keyRows = keys.limit(cap + 1).collect()
+              val pruned =
+                if (keyRows.length > cap) tasks
+                else try {
+                  import graft.core.{And => GAnd, Or => GOr, Eq => GEq}
+                  val keyExpr = keyRows.map { r =>
+                    keyCols.zipWithIndex.map { case (kc, i) =>
+                      GEq(kc, r.get(i)): graft.core.Expr
+                    }.reduce(GAnd(_, _))
+                  }.reduceOption[graft.core.Expr](GOr(_, _))
+                    .getOrElse(graft.core.AlwaysFalse)
+                  val bound = graft.core.Exprs.rewriteNot(
+                    graft.core.Binder.bind(m.schema, keyExpr))
+                  tasks.filter(t =>
+                    graft.meta.Evaluators.rowsMightMatch(bound, t.file))
+                } catch {
+                  // an uncoercible key literal falls back to the unpruned
+                  // scan — pruning is an optimization, never a gate
+                  case scala.util.control.NonFatal(_) => tasks
+                }
+              table.scanForTasksAt(pid, pruned)
+            }.getOrElse(emptyDf(table))
             frames += withMeta(parentRows.join(keys, keyCols, "left_semi"),
               "delete", ordinal, s.snapshotId)
           }
         }
-        parentLive = Some(live)
       }
     }
     frames.result().reduceOption(_ unionByName _).getOrElse(emptyOut)
@@ -332,15 +402,14 @@ object TableChanges {
         val boundary: Option[Long] = chain.dropWhile(_.snapshotId != c).iterator
           .flatMap(s => for { f <- s.firstRowId; a <- s.addedRows } yield f + a)
           .nextOption()
-        val (changedTasks, beforeCand, curCand, beforeTasks) =
-          prunedDiffTasks(table, c, cur, cursorSeq)
+        val plan = prunedDiffTasks(table, c, cur, cursorSeq)
         val upserts: Option[DataFrame] =
-          if (changedTasks.isEmpty) None
+          if (plan.changedTasks.isEmpty) None
           else {
             // row-level seq filter inside the pruned files drops
             // compaction survivors (materialized seq ≤ cursorSeq rides
             // in a post-cursor file)
-            val changed = table.lineageScanForTasksAt(cur, changedTasks)
+            val changed = table.lineageScanForTasksAt(cur, plan.changedTasks)
               .filter(col(seqName) > cursorSeq)
             Some(boundary match {
               case Some(b) => out(changed,
@@ -348,7 +417,7 @@ object TableChanges {
               case None => // cursor predates the v3 upgrade: id-set join
                 // (full cursor ID scan — 8 bytes/row, column-pruned; only
                 // reachable when the cursor commit lacks first-row-id)
-                val beforeIds = table.lineageScanForTasksAt(c, beforeTasks)
+                val beforeIds = table.lineageScanForTasksAt(c, plan.beforeTasks)
                   .select(col(idName))
                 out(changed.join(beforeIds, Seq(idName), "left_anti")
                     .withColumn("__ct", lit("insert"))
@@ -357,15 +426,48 @@ object TableChanges {
                   col("__ct"))
             })
           }
-        // deleted rows with cursor-time content: candidate cursor files
-        // anti-join the id columns of the candidate current files
-        val deletes: Option[DataFrame] =
-          if (beforeCand.isEmpty) None
-          else Some(out(
-            table.lineageScanForTasksAt(c, beforeCand).join(
-              table.lineageScanForTasksAt(cur, curCand).select(col(idName)),
-              Seq(idName), "left_anti"),
-            lit("delete")))
+        // deleted rows with cursor-time content, two shapes:
+        //  - removed/non-DV-masked files: cursor-side scan anti-joins the
+        //    id columns of the candidate current files;
+        //  - DV-masked survivors: the deleted rows are EXACTLY the
+        //    positions in (current mask \ cursor mask) — two churn-sized
+        //    blob reads and a position join into the file itself, no
+        //    anti-join, no reads of any other file
+        val deletes: Option[DataFrame] = {
+          val parts = Seq.newBuilder[DataFrame]
+          val legacy = plan.removedCand ++ plan.otherMasked
+          if (legacy.nonEmpty)
+            parts += out(
+              table.lineageScanForTasksAt(c, legacy).join(
+                table.lineageScanForTasksAt(cur, plan.curCand).select(col(idName)),
+                Seq(idName), "left_anti"),
+              lit("delete"))
+          if (plan.dvMasked.nonEmpty) {
+            import graft.meta.{DeletionVector, Io}
+            val ioEntries = Io.confEntries(table.spark)
+            val descs = plan.dvMasked.map { case (bt, ct) =>
+              def refs(t: graft.table.FileScanTask): Seq[(String, Long, Long)] =
+                t.deletes.map(f => (f.filePath, f.contentOffset.getOrElse(0L),
+                  f.contentSizeInBytes.getOrElse(f.fileSizeInBytes)))
+              (graft.core.PathUtil.canon(bt.file.filePath), refs(bt), refs(ct))
+            }
+            val sc = table.spark.sparkContext
+            val rdd = sc.parallelize(descs, math.min(descs.size, sc.defaultParallelism))
+              .flatMap { case (p, bRefs, cRefs) =>
+                def mask(rs: Seq[(String, Long, Long)]): Set[Long] =
+                  rs.iterator.flatMap { case (pp, off, len) =>
+                    DeletionVector.readPositions(pp, off, len, Io.confFrom(ioEntries))
+                  }.toSet
+                (mask(cRefs) -- mask(bRefs)).iterator.map(pos => (p, pos))
+              }
+            val posDf = table.spark.createDataFrame(rdd).toDF("__file", "__pos")
+            val rows = table.lineageScanWithPosForTasksAt(c, plan.dvMasked.map(_._1))
+              .join(posDf, Seq("__file", "__pos"))
+              .drop("__file", "__pos")
+            parts += out(rows, lit("delete"))
+          }
+          parts.result().reduceOption(_ unionByName _)
+        }
         (upserts, deletes) match {
           case (Some(u), Some(d)) => u.unionByName(d)
           case (Some(u), None) => u
@@ -375,21 +477,38 @@ object TableChanges {
     }
   }
 
-  /** File-level pruning for the lineage CDC diff between two snapshots
-    * (both plans are metadata-only). Returns:
+  /** File-level plan of the lineage CDC diff between two snapshots (both
+    * metadata-only), with the delete candidates split by HOW their rows
+    * can be served:
     *  - changedTasks: current-snapshot tasks that can hold changed rows
     *    (`dataSequenceNumber > cursorSeq`);
-    *  - beforeCand: cursor-snapshot tasks whose rows can have been
-    *    deleted (file removed since the cursor, or applicable-delete set
-    *    changed — a rewritten/compacted DV changes the signature too,
-    *    which over-includes but never misses);
-    *  - curCand: current-snapshot tasks that can hold a cursor row's
-    *    survivor (file added since the cursor, or delete set changed);
+    *  - removedCand: cursor tasks whose file is GONE from the current
+    *    snapshot (CoW delete/overwrite/compaction) — their deleted rows
+    *    need the id anti-join (survivors were rewritten into added files);
+    *  - dvMasked: (cursor task, current task) pairs whose file SURVIVED
+    *    but whose delete signature changed with every ref on both sides a
+    *    deletion vector — their deleted rows are EXACTLY the positions in
+    *    (current mask \ cursor mask), derivable from the churn-sized DV
+    *    blobs with no anti-join and no corpus reads;
+    *  - otherMasked: signature-changed survivors with non-DV refs
+    *    (position-delete parquet, equality deletes) — legacy anti-join;
+    *  - curCand: the anti-join's right side — files ADDED since the
+    *    cursor (a removed file's survivors can only live there) plus the
+    *    otherMasked files themselves (a masked file's survivors only in
+    *    itself); dvMasked files need no right side at all;
     *  - beforeTasks: the full cursor plan (legacy pre-v3-cursor path). */
+  private[graft] final case class DiffPlan(
+      changedTasks: Seq[graft.table.FileScanTask],
+      removedCand: Seq[graft.table.FileScanTask],
+      dvMasked: Seq[(graft.table.FileScanTask, graft.table.FileScanTask)],
+      otherMasked: Seq[graft.table.FileScanTask],
+      curCand: Seq[graft.table.FileScanTask],
+      beforeTasks: Seq[graft.table.FileScanTask]) {
+    def deleteCandCount: Int = removedCand.size + dvMasked.size + otherMasked.size
+  }
+
   private[graft] def prunedDiffTasks(table: IceTable, cursorId: Long,
-      currentId: Long, cursorSeq: Long)
-      : (Seq[graft.table.FileScanTask], Seq[graft.table.FileScanTask],
-         Seq[graft.table.FileScanTask], Seq[graft.table.FileScanTask]) = {
+      currentId: Long, cursorSeq: Long): DiffPlan = {
     import graft.core.PathUtil
     val curTasks = table.planTasksAt(currentId)
     val beforeTasks = table.planTasksAt(cursorId)
@@ -402,19 +521,21 @@ object TableChanges {
         (PathUtil.canon(f.filePath), f.contentOffset.getOrElse(-1L))).toSet
     val curByPath = curTasks.map(t => key(t) -> t).toMap
     val beforeByPath = beforeTasks.map(t => key(t) -> t).toMap
-    val beforeCand = beforeTasks.filter { t =>
+    val removedCand = Seq.newBuilder[graft.table.FileScanTask]
+    val maskedPairs = Seq.newBuilder[(graft.table.FileScanTask, graft.table.FileScanTask)]
+    beforeTasks.foreach { t =>
       curByPath.get(key(t)) match {
-        case None => true // removed: CoW delete/overwrite or compaction
-        case Some(ct) => delSig(ct) != delSig(t) // newly delete-targeted
+        case None => removedCand += t // removed: CoW or compaction
+        case Some(ct) if delSig(ct) != delSig(t) => maskedPairs += ((t, ct))
+        case _ => () // untouched
       }
     }
-    val curCand = curTasks.filter { t =>
-      beforeByPath.get(key(t)) match {
-        case None => true // added since the cursor
-        case Some(bt) => delSig(t) != delSig(bt)
-      }
+    val (dvMasked, otherPairs) = maskedPairs.result().partition { case (bt, ct) =>
+      (bt.deletes ++ ct.deletes).forall(_.isDeletionVector)
     }
-    (changedTasks, beforeCand, curCand, beforeTasks)
+    val added = curTasks.filter(t => !beforeByPath.contains(key(t)))
+    DiffPlan(changedTasks, removedCand.result(), dvMasked, otherPairs.map(_._1),
+      added ++ otherPairs.map(_._2), beforeTasks)
   }
 
   /** Data files first ADDED by snapshot `s`, canonical-path-sorted —

@@ -416,6 +416,14 @@ class IceTable(
     new IceScan(this).useSnapshot(snapshotId).withCurrentSchema
       .toDFWithLineageForTasks(tasks)
 
+  /** [[lineageScanForTasksAt]] plus `__file`/`__pos` (canonical path,
+    * physical row position) — the coordinates the CDC poll's DV-diff
+    * delete branch joins newly-masked positions against. */
+  private[graft] def lineageScanWithPosForTasksAt(snapshotId: Long,
+      tasks: Seq[FileScanTask]): DataFrame =
+    new IceScan(this).useSnapshot(snapshotId).withCurrentSchema
+      .toDFWithLineageForTasks(tasks, keepFilePos = true)
+
   /** Plain (no lineage columns) current-schema read of an explicit task
     * subset of a pinned snapshot — the v2-compatible face the changelog
     * source's file-granular append slices read through. */

@@ -323,7 +323,8 @@ final class IceScan(
     * an existing row to a different data file). Materialized values in
     * the source files take precedence over inheritance, so repeated
     * compactions stay id-stable. */
-  private[table] def toDFWithLineageForTasks(tasks: Seq[FileScanTask]): DataFrame = {
+  private[table] def toDFWithLineageForTasks(tasks: Seq[FileScanTask],
+      keepFilePos: Boolean = false): DataFrame = {
     require(metadata.formatVersion >= 3,
       s"Row lineage requires format version >= 3 (table is v${metadata.formatVersion})")
     // parquet positions ride _metadata.row_index; ORC positions come from
@@ -334,7 +335,12 @@ final class IceScan(
         org.apache.spark.sql.types.StructField(RowLineage.RowIdName,
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField(RowLineage.LastUpdatedName,
-          org.apache.spark.sql.types.LongType))
+          org.apache.spark.sql.types.LongType)) ++
+        (if (keepFilePos) Seq(
+          org.apache.spark.sql.types.StructField("__file",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("__pos",
+            org.apache.spark.sql.types.LongType)) else Nil)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         org.apache.spark.sql.types.StructType(fields))
     }
@@ -355,7 +361,8 @@ final class IceScan(
         coalesce(col(RowLineage.RowIdName), col("__first_row_id") + col("__pos"))
           .as(RowLineage.RowIdName),
         coalesce(col(RowLineage.LastUpdatedName), col("__last_seq"))
-          .as(RowLineage.LastUpdatedName)): _*)
+          .as(RowLineage.LastUpdatedName)) ++
+        (if (keepFilePos) Seq(col("__file"), col("__pos")) else Nil): _*)
   }
 
   /** `keepFile` appends a `__file` column (canonical source-file path) to

@@ -205,16 +205,39 @@ class PlanScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
         "(delete-manifest pruning regressed)")
     assert(sec < 10.0, f"one-day MoR plan took $sec%.1fs")
 
-    // full plan exercises the distributed branch with BOTH kinds in one job
+    // full plan exercises the distributed branch with BOTH kinds in one
+    // job; the one-day plan's 2 manifests are already cache-served
     val b2 = ManifestIO.manifestOpens.get()
     val t1 = System.nanoTime()
     val all = table.scan.planFiles()
     val fullSec = (System.nanoTime() - t1) / 1e9
-    assert(ManifestIO.manifestOpens.get() - b2 === (DataManifests + DeleteManifests).toLong)
+    assert(ManifestIO.manifestOpens.get() - b2 ===
+      (DataManifests + DeleteManifests).toLong - 2L)
     assert(all.size === DataManifests * DaysPerManifest * FilesPerDay)
     assert(all.forall(_.deletes.size == 1))
     assert(fullSec < 90.0, f"full MoR plan took $fullSec%.1fs")
-    info(f"MoR planFiles: one-day=$sec%.2fs (opens=$opens) full=$fullSec%.2fs")
+
+    // manifest cache: a REPEAT of the same walk decodes NOTHING — every
+    // manifest of this immutable forest is served from the entry LRU
+    val b3 = ManifestIO.manifestOpens.get()
+    val t2 = System.nanoTime()
+    val again = table.scan.planFiles()
+    val cachedSec = (System.nanoTime() - t2) / 1e9
+    assert(again.size === all.size)
+    assert(ManifestIO.manifestOpens.get() - b3 === 0L,
+      "a repeated full plan over an unchanged table must open ZERO manifests")
+    // cache disabled (0, the reference's manifest-cache-size semantics):
+    // the same walk decodes everything again
+    graft.meta.ManifestIO.setManifestCacheSize(0L)
+    try {
+      val b4 = ManifestIO.manifestOpens.get()
+      table.scan(s"d = '$date'").planFiles()
+      assert(ManifestIO.manifestOpens.get() - b4 === 2L,
+        "manifest-cache-size=0 must disable caching")
+    } finally graft.meta.ManifestIO.setManifestCacheSize(
+      graft.meta.ManifestIO.DefaultManifestCacheEntries)
+    info(f"MoR planFiles: one-day=$sec%.2fs (opens=$opens) " +
+      f"full=$fullSec%.2fs cached=$cachedSec%.2fs")
   }
 
   test("CDC pruning at 100k files: candidate sets exact, planning bounded") {
@@ -273,17 +296,27 @@ class PlanScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     val table = catalog.loadTable("cdcscale")
 
     val t0 = System.nanoTime()
-    val (changed, beforeCand, curCand, beforeTasks) =
-      graft.streaming.TableChanges.prunedDiffTasks(table, 1L, 2L, 1L)
+    val plan = graft.streaming.TableChanges.prunedDiffTasks(table, 1L, 2L, 1L)
     val sec = (System.nanoTime() - t0) / 1e9
-    assert(beforeTasks.size === Manifests * DaysPerManifest * FilesPerDay)
-    assert(changed.size === 10 * FilesPerDay,
-      s"change set must be exactly the appended files, got ${changed.size}")
-    assert(changed.forall(_.file.filePath.contains("/s2-")))
-    assert(beforeCand.isEmpty,
+    assert(plan.beforeTasks.size === Manifests * DaysPerManifest * FilesPerDay)
+    assert(plan.changedTasks.size === 10 * FilesPerDay,
+      s"change set must be exactly the appended files, got ${plan.changedTasks.size}")
+    assert(plan.changedTasks.forall(_.file.filePath.contains("/s2-")))
+    assert(plan.deleteCandCount === 0,
       "append-only churn must produce ZERO cursor-side delete candidates")
-    assert(curCand.size === 10 * FilesPerDay)
+    assert(plan.curCand.size === 10 * FilesPerDay)
     assert(sec < 90.0, f"CDC pruning took $sec%.1fs at 100k files")
-    info(f"prunedDiffTasks at 100k files: $sec%.2fs")
+
+    // a SECOND poll over the unchanged table plans both snapshots
+    // entirely from the manifest cache: zero manifest decodes
+    val b = ManifestIO.manifestOpens.get()
+    val t1 = System.nanoTime()
+    val plan2 = graft.streaming.TableChanges.prunedDiffTasks(table, 1L, 2L, 1L)
+    val sec2 = (System.nanoTime() - t1) / 1e9
+    assert(plan2.changedTasks.size === plan.changedTasks.size &&
+      plan2.deleteCandCount === 0)
+    assert(ManifestIO.manifestOpens.get() - b === 0L,
+      "a repeated CDC poll over an unchanged table must open ZERO manifests")
+    info(f"prunedDiffTasks at 100k files: $sec%.2fs cold, $sec2%.2fs cached")
   }
 }

@@ -102,8 +102,10 @@ class RemoteFsSpec extends AnyFunSuite with BeforeAndAfterAll {
       bare.setBoolean("fs.mockfs.impl.disable.cache", true)
       graft.meta.Io.confFactory = () => bare
       // a fresh executor has neither the fallback factory nor the
-      // driver's per-scheme registration
+      // driver's per-scheme registration — nor the driver's warm entry
+      // cache, which would otherwise serve the manifest without IO
       graft.meta.Io.deregister(warehouse)
+      graft.meta.ManifestIO.clearManifestCache()
       intercept[Exception](graft.meta.ManifestIO.readManifest(
         manifests.head.manifestPath, spec, t.schema))
       val fromShipped = graft.meta.Io.confFrom(shipped)

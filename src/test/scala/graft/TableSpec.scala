@@ -1028,6 +1028,30 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cl2.count() === 0, "replace commits must not appear in the changelog")
   }
 
+  test("append-only changelog range reads only the commit's own manifests " +
+      "and only its files") {
+    import graft.streaming.TableChanges
+    val t = catalog.createTable("t_cl_prune", Schema.fromSpark(orders.schema))
+    (0 until 4).foreach(i => t.append(orders.filter(col("o_orderkey") % 4 === i)))
+    val cursor = t.metadata.currentSnapshotId.get
+    val corpusFiles = t.scan.planFiles().map(tk => PathUtil.canon(tk.file.filePath)).toSet
+    t.append(orders.limit(7).withColumn("o_orderkey", col("o_orderkey") + 9000000L))
+    // the per-commit manifest DIFF must decode ONE manifest (the append's
+    // own) — the r13 shape walked the full live set of BOTH snapshots
+    graft.meta.ManifestIO.clearManifestCache()
+    val opens0 = graft.meta.ManifestIO.manifestOpens.get()
+    val cl = TableChanges.changelog(t, fromIdExclusive = Some(cursor))
+    val planned = graft.meta.ManifestIO.manifestOpens.get() - opens0
+    assert(planned === 1L,
+      s"append-only changelog decoded $planned manifests, expected 1")
+    assert(cl.count() === 7)
+    val appended = t.scan.planFiles().map(tk => PathUtil.canon(tk.file.filePath))
+      .toSet -- corpusFiles
+    val read = cl.inputFiles.map(PathUtil.canon).toSet
+    assert(read.nonEmpty && read.subsetOf(appended),
+      s"changelog read beyond the commit's files: ${read -- appended}")
+  }
+
   test("change feed: poll returns exactly the appended batches") {
     import graft.streaming.TableChanges
     val t = catalog.createTable("t_feed", Schema.fromSpark(orders.schema))
@@ -1125,6 +1149,14 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(b3.count() === 1)
     assert(read3 === masked,
       s"DV-churn poll must read exactly the masked file, got ${read3 -- masked}")
+    // plan shape: the DV-diff branch serves the masked survivor
+    // POSITIONALLY (newDV \ oldDV) — no anti-join, no right-side reads
+    val planDv = TableChanges.prunedDiffTasks(t, c2.get, c3.get,
+      t.metadata.snapshotById(c2.get).get.sequenceNumber)
+    assert(planDv.dvMasked.size === 1 && planDv.removedCand.isEmpty &&
+      planDv.otherMasked.isEmpty)
+    assert(planDv.curCand.isEmpty,
+      "a pure DV-mask poll must need NO anti-join right side")
 
     // no churn: zero data files planned, zero opened
     val (b4, c4) = TableChanges.pollLineageCdc(t, c3)
