@@ -57,6 +57,15 @@ object DataOps {
     }))
   private[graft] def trackTempDir(p: String): String =
     liveCaches.synchronized { tempDirShutdownHook; liveTempDirs += p; p }
+  /** Memory-sink temp views from streaming gates: the sink holds every
+    * output row ON THE DRIVER, and the gate's returned DataFrame reads
+    * it lazily — so the view is dropped when the NEXT query starts
+    * (same contract as the caches). Without this a sequential runner
+    * accumulates one driver-resident result set per streaming gate. */
+  private val liveTempViews =
+    new scala.collection.mutable.ArrayBuffer[(SparkSession, String)]
+  private[graft] def trackTempView(s: SparkSession, name: String): Unit =
+    liveCaches.synchronized { liveTempViews += ((s, name)) }
   private[graft] def releaseCaches(): Unit = liveCaches.synchronized {
     // a tracked cache may belong to an already-stopped SparkSession (test
     // suites cycle sessions in one JVM) — never let stale state fail a
@@ -76,6 +85,11 @@ object DataOps {
       catch { case _: Exception => }
     }
     liveTempDirs.clear()
+    liveTempViews.foreach { case (s, n) =>
+      try if (!s.sparkContext.isStopped) s.catalog.dropTempView(n)
+      catch { case _: Exception => }
+    }
+    liveTempViews.clear()
   }
 
   /** Whitespace token count — ONE definition for every operator that
@@ -1147,6 +1161,7 @@ object DataOps {
         col("c_ts") <= col("v_ts") + expr("interval 30 minutes"))
       .select(col("v_id"), col("c_id"), col("user_id"))
     val qname = "ij_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    trackTempView(s, qname)
     graft.table.WriteFiles.withScopedConfs(s, "spark.sql.shuffle.partitions" -> "8") {
       val q = joined.writeStream.format("memory").queryName(qname)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -1173,6 +1188,7 @@ object DataOps {
       .dropDuplicatesWithinWatermark("user_id", "event_type", "hr")
       .select("user_id", "event_type", "hr")
     val qname = "dd_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    trackTempView(s, qname)
     graft.table.WriteFiles.withScopedConfs(s, "spark.sql.shuffle.partitions" -> "8") {
       val q = stream.writeStream.format("memory").queryName(qname)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -1204,6 +1220,7 @@ object DataOps {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .count()
     val qname = "ev_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    trackTempView(s, qname)
     // the stateful shuffle width is captured at query START: scope it to a
     // handful of state-store partitions — a 32-way state store spends more
     // time on per-partition store setup/commit than on this aggregation
@@ -1274,6 +1291,7 @@ object DataOps {
         closed.iterator
       }
     val qname = "sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    trackTempView(s, qname)
     graft.table.WriteFiles.withScopedConfs(s, "spark.sql.shuffle.partitions" -> "8") {
       val q = closedSessions.toDF.writeStream.format("memory").queryName(qname)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -2247,6 +2265,7 @@ object DataOps {
       .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment"),
         col("c_nationkey"), col("o_totalprice"))
     val qname = "se_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    trackTempView(s, qname)
     val progress = graft.table.WriteFiles.withScopedConfs(
         s, "spark.sql.shuffle.partitions" -> "8") {
       val q = joined.writeStream.format("memory").queryName(qname)

@@ -528,6 +528,7 @@ object Iceberg {
     tab.append(sorted.filter(col("o_orderkey") % 2 === 1)) // seq 1
     tab.append(sorted.filter(col("o_orderkey") % 2 === 0)) // seq 2
     val sink = s"cdc_src_sink_${sqlCatSeq.incrementAndGet()}"
+    DataOps.trackTempView(s, sink)
     val q = s.readStream.format("graft-cdc")
       .option("warehouse", whDir).option("table", "db.orders").load()
       .writeStream.format("memory").queryName(sink).outputMode("append").start()
@@ -888,6 +889,109 @@ object Iceberg {
       |SELECT doc_id FROM ins
       |WHERE doc_id NOT IN (SELECT doc_id FROM matched)
       |ORDER BY doc_id""".stripMargin
+
+  /** J×ANN synthesis: INCREMENTAL IVF-INDEX MAINTENANCE from the
+    * row-identity CDC feed — completing the CDC-composition family
+    * (exact dedup, MinHash-LSH near-dup, decontamination, and now
+    * similarity search): "the embedding corpus changed; re-index only
+    * what changed". The maintained state is the IVF posting table
+    * (cent_id, vec_id, embedding) under FIXED coarse centroids
+    * (embeddings 0..15 — deterministic, no training step, same codebook
+    * as `ds_ann_ivf_topk`). The corpus table takes a CoW DELETE (those
+    * postings must leave the index), an embedding UPDATE (negation —
+    * exact in float, moves the vector to a different cell: its OLD
+    * posting retires, the new one enters the new cell), and an ingest
+    * append; ONE pollLineageCdc batch then maintains the index without
+    * rescanning the corpus — only the changed rows re-assign against
+    * the broadcast centroids. Search is the usual probe: the query's 4
+    * nearest cells, exact cosine rescore, top-10.
+    *
+    * At 100 TB the posting table is a maintained table bucketed by
+    * cent_id; per-poll maintenance shuffles only churn rows (the feed
+    * itself is file-pruned), and a probe reads ~4/16 of the postings.
+    * The oracle re-derives the index FROM SCRATCH over the churned
+    * corpus in DuckDB — the incremental path must equal a full
+    * rebuild. */
+  def annCdc(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Vectors
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val cat = s"ganncdc${sqlCatSeq.incrementAndGet()}"
+    val whDir = Files.createTempDirectory("graft_anncdc").toString
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", whDir)
+    val tab = new HadoopCatalog(whDir, s)
+      .createTable("db.vecs", Schema.fromSpark(e.schema),
+        properties = Map("format-version" -> "3"))
+    tab.append(e.filter(col("vec_id") % 5 =!= 0))
+    val c0 = tab.refresh().metadata.currentSnapshotId
+    // corpus churn: retire ~1/9 of vectors, re-embed ~1/9 (negation flips
+    // the cosine sign — the moved vector MUST change cells, so stale
+    // postings would corrupt the search), ingest the held-out 1/5 under
+    // fresh ids (vec 0's embedding enters as id 10000: the query's true
+    // nearest neighbor exists only if ingest reached the index)
+    s.sql(s"DELETE FROM $cat.db.vecs WHERE vec_id % 9 = 1")
+    s.sql(s"UPDATE $cat.db.vecs SET embedding = transform(embedding, x -> -x) " +
+      "WHERE vec_id % 9 = 2")
+    tab.refresh().append(e.filter(col("vec_id") % 5 === 0)
+      .withColumn("vec_id", col("vec_id") + 10000))
+    val rel = tab.refresh()
+    val (changes, _) = graft.streaming.TableChanges.pollLineageCdc(rel, c0)
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_v"))
+    def assign(d: DataFrame): DataFrame = d.crossJoin(broadcast(cents))
+      .withColumn("cs", Vectors.cosine(col("embedding"), col("cent_v")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(col("cs").desc, col("cent_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cent_id"), col("vec_id"), col("embedding"))
+    val idx0 = assign(rel.scan.useSnapshot(c0.get).toDF)
+    // maintenance ∝ |changes|: deleted + pre-update postings retire by
+    // vec_id; only updated + ingested rows re-assign (broadcast argmax)
+    val retired = changes.filter(col("_change_type").isin("delete", "update"))
+      .select(col("vec_id"))
+    val entered = assign(changes
+      .filter(col("_change_type").isin("update", "insert"))
+      .select(col("vec_id"), col("embedding")))
+    val idx1 = idx0.join(retired, Seq("vec_id"), "left_anti").unionByName(entered)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_v"))
+    val probe = cents.crossJoin(broadcast(q))
+      .withColumn("cs", Vectors.cosine(col("cent_v"), col("q_v")))
+      .orderBy(col("cs").desc, col("cent_id")).limit(4)
+      .select(col("cent_id"))
+    nonEmpty(idx1.join(broadcast(probe), Seq("cent_id"))
+      .crossJoin(broadcast(q))
+      .withColumn("cos", Vectors.cosine(col("embedding"), col("q_v")))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id")))
+  }
+  /** Oracle = from-scratch IVF over the churned corpus: the maintained
+    * index must search identically to a full rebuild. */
+  val annCdcSql =
+    """WITH live AS (
+      |  SELECT vec_id,
+      |    CASE WHEN vec_id % 9 = 2 THEN list_transform(embedding, x -> -x)
+      |         ELSE embedding END AS embedding
+      |  FROM embeddings WHERE vec_id % 5 <> 0 AND vec_id % 9 <> 1
+      |  UNION ALL
+      |  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 5 = 0),
+      |cents AS (
+      |  SELECT vec_id AS cent_id, embedding AS cent_v FROM embeddings WHERE vec_id < 16),
+      |scored AS (
+      |  SELECT e.vec_id, e.embedding, c.cent_id,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |           ORDER BY list_cosine_similarity(e.embedding, c.cent_v) DESC, c.cent_id) AS rn
+      |  FROM live e CROSS JOIN cents c),
+      |assign AS (SELECT vec_id, embedding, cent_id FROM scored WHERE rn = 1),
+      |q AS (SELECT embedding AS q_v FROM embeddings WHERE vec_id = 0),
+      |probe AS (
+      |  SELECT cent_id FROM cents, q
+      |  ORDER BY list_cosine_similarity(cent_v, q_v) DESC, cent_id LIMIT 4)
+      |SELECT a.vec_id
+      |FROM assign a JOIN probe USING (cent_id), q
+      |ORDER BY list_cosine_similarity(a.embedding, q.q_v) DESC, a.vec_id
+      |LIMIT 10""".stripMargin
 
   val rowLineageDmlSql =
     """WITH odd AS (
@@ -1801,6 +1905,7 @@ object Iceberg {
     "ds_dedup_cdc_lsh" -> (dedupCdcLsh _),
     "ds_dedup_cdc" -> (dedupCdc _),
     "ds_decontaminate_cdc" -> (decontaminateCdc _),
+    "ds_ann_cdc" -> (annCdc _),
     "ice_equality_deletes" -> (equalityDeletes _),
     "ice_dsv2_scan" -> (dsv2Scan _),
     "ice_dsv2_agg" -> (dsv2AggPushdown _),
@@ -1861,6 +1966,7 @@ object Iceberg {
     "ds_dedup_cdc_lsh" -> dedupCdcLshSql,
     "ds_dedup_cdc" -> dedupCdcSql,
     "ds_decontaminate_cdc" -> decontaminateCdcSql,
+    "ds_ann_cdc" -> annCdcSql,
     "ice_equality_deletes" -> equalityDeletesSql,
     "ice_dsv2_scan" -> dsv2ScanSql,
     "ice_dsv2_agg" -> dsv2AggPushdownSql,
