@@ -248,9 +248,11 @@ object TableChanges {
             val (orcRefs, parqRefs) = refPaths.partition(isOrc(s, _))
             val withPosParts = Seq.newBuilder[DataFrame]
             if (parqRefs.nonEmpty)
-              withPosParts += rs.read.schema(schemaAt.toSpark).parquet(parqRefs: _*)
-                .withColumn("__path", PathUtil.metaPathCol(col("_metadata.file_path")))
-                .withColumn("__pos", col("_metadata.row_index"))
+              withPosParts += graft.table.PathDict.join(
+                rs.read.schema(schemaAt.toSpark).parquet(parqRefs: _*)
+                  .withColumn("__rawfile", col("_metadata.file_path"))
+                  .withColumn("__pos", col("_metadata.row_index")),
+                rs, parqRefs, as = "__path")
             if (orcRefs.nonEmpty)
               withPosParts += orcFrame(orcRefs, keepFilePos = true)
                 .withColumnRenamed("__file", "__path")
@@ -461,8 +463,23 @@ object TableChanges {
                 (mask(cRefs) -- mask(bRefs)).iterator.map(pos => (p, pos))
               }
             val posDf = table.spark.createDataFrame(rdd).toDF("__file", "__pos")
+            // The RDD-backed frame has no size statistics (defaults to
+            // Long.Max), so without a hint this join sort-merges — i.e.
+            // SHUFFLES the full-width cursor-side file scan. The diff's
+            // cardinality is bounded by the CURRENT DV cardinalities,
+            // which the manifests carry: broadcast the churn-sized
+            // position set whenever that bound is sane, keeping the scan
+            // side shuffle-free (a map-side hash semi-join).
+            val diffBound = plan.dvMasked.iterator
+              .flatMap(_._2.deletes.iterator.map(_.recordCount)).sum
+            val pathBytes = plan.dvMasked.iterator
+              .map { case (bt, _) =>
+                graft.core.PathUtil.canon(bt.file.filePath).length + 24L }.max
+            val posKeyed =
+              if (diffBound * pathBytes <= (64L << 20)) broadcast(posDf)
+              else posDf
             val rows = table.lineageScanWithPosForTasksAt(c, plan.dvMasked.map(_._1))
-              .join(posDf, Seq("__file", "__pos"))
+              .join(posKeyed, Seq("__file", "__pos"))
               .drop("__file", "__pos")
             parts += out(rows, lit("delete"))
           }

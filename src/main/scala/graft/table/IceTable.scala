@@ -904,10 +904,15 @@ class IceTable(
       "spark.sql.parquet.fieldId.read.enabled" -> "true") {
       val branches = Seq.newBuilder[DataFrame]
       if (pqTasks.nonEmpty)
-        branches += spark.read.schema(schema.toSpark).parquet(pqTasks.map(_.file.filePath): _*)
-          .select(PathUtil.metaPathCol(col("_metadata.file_path")).as("file_path"),
-            col("_metadata.row_index").as("pos"))
-          .where(ToColumn.compile(bound))
+        // canonical file_path via the broadcast path dict (per-row
+        // metaPathCol dominated matched-row-heavy deletes)
+        branches += PathDict.join(
+          spark.read.schema(schema.toSpark).parquet(pqTasks.map(_.file.filePath): _*)
+            .where(ToColumn.compile(bound))
+            .select(col("_metadata.file_path").as("__rawfile"),
+              col("_metadata.row_index").as("pos")),
+          spark, pqTasks.map(_.file.filePath), as = "file_path")
+          .select(col("file_path"), col("pos"))
       if (orcTasks.nonEmpty)
         branches += OrcScanBridge.frame(spark, nameMappingNested, schema, Schema(Nil),
             orcTasks.map(t => (t.file.filePath, Array.empty[graft.spark.DeleteFileRef],
@@ -968,11 +973,14 @@ class IceTable(
     val (orcTasks, pqTasks) = tasks.partition(_.file.fileFormat.toUpperCase == "ORC")
     val branches = Seq.newBuilder[DataFrame]
     if (pqTasks.nonEmpty)
-      branches += spark.read.schema(schema.toSpark)
-        .parquet(pqTasks.map(_.file.filePath): _*)
-        .select(PathUtil.metaPathCol(col("_metadata.file_path")).as("__dfile"),
-          col("_metadata.row_index").as("__dpos"))
-        .where(ToColumn.compile(bound))
+      branches += PathDict.join(
+        spark.read.schema(schema.toSpark)
+          .parquet(pqTasks.map(_.file.filePath): _*)
+          .where(ToColumn.compile(bound))
+          .select(col("_metadata.file_path").as("__rawfile"),
+            col("_metadata.row_index").as("__dpos")),
+        spark, pqTasks.map(_.file.filePath), as = "__dfile")
+        .select(col("__dfile"), col("__dpos"))
     // ORC-registered files: absolute positions from the DSv2 ORC reader
     // (no _metadata.row_index in Spark's ORC source)
     if (orcTasks.nonEmpty)

@@ -1,0 +1,47 @@
+package graft.table
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{assert_true, broadcast, col, concat, lit}
+
+import graft.core.PathUtil
+
+/** Broadcast (raw `_metadata.file_path` → canonical path) dictionary for
+  * an explicit file list.
+  *
+  * The canonical source path of a row is per-FILE constant, but deriving
+  * it from `_metadata.file_path` per ROW ([[PathUtil.metaPathCol]]: two
+  * regexes plus url_decode) dominated wide scans' CPU — worse, `__file`
+  * is the JOIN KEY of every lineage / MoR-anti-join / position-delete
+  * read, and the optimizer inlines an aliased expression into the join
+  * key, its inserted `isnotnull` filter, and the output project, so the
+  * regexes ran per row per use (measured 7.2 s vs 0.26 s on a 1.5M-row
+  * file). Scans instead join this driver-built dict on the raw metadata
+  * path: the driver applies the same Hadoop qualification Spark's file
+  * listing applies ([[PathUtil.sparkMetaPaths]]), so per-row work
+  * collapses to one broadcast-hash probe and `__file` stays a plain
+  * dict attribute downstream. A dict miss (an engine path form escaping
+  * the prediction) fails LOUDLY via raise_error — a null-check per row,
+  * never a regex — instead of silently dropping the row.
+  */
+private[graft] object PathDict {
+  /** `df` must carry the raw metadata path as `__rawfile`; returns it
+    * with `__rawfile` replaced by canonical column `as`. */
+  def join(df: DataFrame, rs: SparkSession, paths: Seq[String], as: String): DataFrame = {
+    val hconf = rs.sessionState.newHadoopConf()
+    val dict = paths.distinct.flatMap { p =>
+      val canon = PathUtil.canon(p)
+      PathUtil.sparkMetaPaths(p, hconf).map(enc => (enc, canon))
+    }
+    val dictDf = broadcast(rs.createDataFrame(dict).toDF("__rawfile", "__dictfile"))
+    // the miss guard is a standalone FILTER (assert_true returns null on
+    // pass), not a branch woven into the value — so `as` stays a plain
+    // attribute and downstream joins hash it directly instead of
+    // re-evaluating a guard expression as their key
+    df.join(dictDf, Seq("__rawfile"), "left")
+      .filter(assert_true(col("__dictfile").isNotNull, concat(
+        lit("path-dict miss: _metadata.file_path "), col("__rawfile"),
+        lit(" matched no planned task path"))).isNull)
+      .drop("__rawfile")
+      .withColumnRenamed("__dictfile", as)
+  }
+}

@@ -474,8 +474,12 @@ final class IceScan(
       val base = rs.read.schema(UuidCompat.readSchema(readSchema)).parquet(paths: _*)
       val withCols =
         if (withMeta)
-          base.select(col("*"), PathUtil.metaPathCol(col("_metadata.file_path")).as("__file"),
-            col("_metadata.row_index").as("__pos"))
+          // per-file-constant `__file` via the broadcast path dict — per-row
+          // canonicalization (metaPathCol) dominated wide scans' CPU
+          PathDict.join(
+            base.select(col("*"), col("_metadata.file_path").as("__rawfile"),
+              col("_metadata.row_index").as("__pos")),
+            rs, paths, as = "__file")
         else base
       val baked = if (nsPresent) bakeNsRead(withCols) else withCols
       uuidNormalized(baked, if (withMeta) Seq("__file", "__pos") else Nil)

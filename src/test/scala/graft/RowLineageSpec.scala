@@ -278,6 +278,31 @@ class RowLineageSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"row $k changed _row_id across a CoW delete in a spacey partition") }
   }
 
+  test("path dict serves partition values containing % and + (URI-encoding worst case)") {
+    // r14: __file comes from the broadcast path dict (PathDict) keyed by
+    // the driver-PREDICTED _metadata.file_path; a prediction mismatch
+    // raises loudly instead of silently dropping rows, so this pin covers
+    // the nastiest encodings in one partition directory: literal '%'
+    // (URI-escapes to %25) and literal '+' (stays literal in URI paths
+    // but url_decode would eat it — the old per-row fallback's edge)
+    val schema = Schema.fromSpark(orders.schema)
+    val tagged = orders.limit(200).withColumn("o_orderpriority",
+      concat(lit("p"), col("o_orderkey") % 2, lit("% +x")))
+    val t0 = catalog.createTable("lin_pct", Schema.fromSpark(tagged.schema),
+      PartitionSpec.build(Schema.fromSpark(tagged.schema), 0,
+        ("o_orderpriority", IdentityTransform, "prio")))
+    t0.upgradeFormatVersion(3)
+    val t = catalog.loadTable("lin_pct")
+    t.append(tagged)
+    assert(t.scan.toDFWithLineage.count() === 200)
+    val victim = tagged.select(min(col("o_orderkey"))).head.getLong(0)
+    t.deleteAsDeletionVector(s"o_orderkey = $victim")
+    val t1 = catalog.loadTable("lin_pct")
+    assert(t1.scan.toDF.count() === 199,
+      "DV delete must land inside the %-and-+ partition")
+    assert(t1.scan.toDFWithLineage.count() === 199)
+  }
+
   test("upsert preserves survivor ids, keeps updated rows' ids with a new seq") {
     val t0 = catalog.createTable("lin_upsert", Schema.fromSpark(orders.schema))
     t0.upgradeFormatVersion(3)
