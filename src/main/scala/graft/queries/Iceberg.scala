@@ -993,6 +993,111 @@ object Iceberg {
       |ORDER BY list_cosine_similarity(a.embedding, q.q_v) DESC, a.vec_id
       |LIMIT 10""".stripMargin
 
+  /** J×IR synthesis: INCREMENTAL TF-IDF / DF-STATS MAINTENANCE from the
+    * row-identity CDC feed — the IR-statistics answer to "the corpus
+    * changed; re-score only what changed". The maintained state is the
+    * (doc_id, term, tf) posting table plus the (term, df)
+    * document-frequency stats and the corpus size N. ONE pollLineageCdc
+    * batch maintains all three without rescanning the corpus: deleted
+    * and pre-update docs' postings retire BY doc_id, and their df
+    * decrements derive from the MAINTAINED postings themselves (no
+    * re-read of the old text); inserted/updated docs tokenize only the
+    * churn rows; the df stats absorb the churn-sized ±1 deltas in one
+    * merge. Output = top-3 TF-IDF keywords (score = tf·N/df, the
+    * exactly-representable idf variant of `ds_tfidf_topk`) for the
+    * CHANGED docs only — serving is churn-proportional too, while every
+    * score embeds the maintained GLOBAL stats (N and df), so the
+    * oracle's from-scratch recomputation over the churned corpus proves
+    * the incremental stats exact.
+    *
+    * At 100 TB postings and df are maintained tables bucketed by term;
+    * a poll shuffles only churn postings plus the delta merge (MERGE
+    * INTO df USING delta), and nothing global recomputes. */
+  def tfidfCdc(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val cat = s"gtfcdc${sqlCatSeq.incrementAndGet()}"
+    val whDir = Files.createTempDirectory("graft_tfidfcdc").toString
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", whDir)
+    val tab = new HadoopCatalog(whDir, s)
+      .createTable("db.corpus", Schema.fromSpark(docs.schema),
+        properties = Map("format-version" -> "3"))
+    tab.append(docs.filter(col("doc_id") % 3 =!= 0))
+    val c0 = tab.refresh().metadata.currentSnapshotId
+    s.sql(s"DELETE FROM $cat.db.corpus WHERE doc_id % 9 = 1")
+    s.sql(s"UPDATE $cat.db.corpus SET text = concat(text, ' v2') WHERE doc_id % 9 = 2")
+    tab.refresh().append(docs.filter(col("doc_id") % 3 === 0))
+    val rel = tab.refresh()
+    val (changes0, _) = graft.streaming.TableChanges.pollLineageCdc(rel, c0)
+    val changes = DataOps.trackCache(changes0.persist())
+    def postings(d: DataFrame): DataFrame = d
+      .select(col("doc_id"),
+        explode(filter(split(lower(trim(col("text"))), "\\s+"), w => w =!= "")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // ---- maintained state as of the cursor (conceptually persisted) ----
+    val post0 = DataOps.trackCache(
+      postings(rel.scan.useSnapshot(c0.get).toDF).persist())
+    val df0 = post0.groupBy("term").agg(count(lit(1)).as("df"))
+    val n0 = rel.scan.useSnapshot(c0.get).count()
+    // ---- maintenance ∝ |changes| ----
+    val retiredDocs = changes
+      .filter(col("_change_type").isin("delete", "update")).select(col("doc_id"))
+    val addedPost = DataOps.trackCache(postings(changes
+      .filter(col("_change_type").isin("insert", "update"))
+      .select(col("doc_id"), col("text"))).persist())
+    // retired (doc, term) pairs come from the maintained postings — the
+    // pre-image text is never re-read
+    val retiredPost = post0.join(retiredDocs, Seq("doc_id"), "left_semi")
+    val dfDelta = addedPost.select(col("term"), lit(1L).as("d"))
+      .unionByName(retiredPost.select(col("term"), lit(-1L).as("d")))
+      .groupBy("term").agg(sum(col("d")).as("d"))
+    val df1 = df0.join(dfDelta, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("d"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+    val n1 = n0 - changes.filter(col("_change_type") === "delete").count() +
+      changes.filter(col("_change_type") === "insert").count()
+    // ---- serving: changed docs only, under the maintained global stats
+    val scored = addedPost.join(df1, Seq("term"))
+      .withColumn("score", (col("tf") * n1).cast("double") / col("df").cast("double"))
+    nonEmpty(scored
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("score"), col("rk"))
+      .orderBy(col("doc_id"), col("rk")))
+  }
+  /** Oracle = from-scratch TF-IDF over the CHURNED corpus, filtered to
+    * the changed docs — the incrementally-maintained N/df must score
+    * identically to a full rebuild. */
+  val tfidfCdcSql =
+    """WITH corpus1 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 9 = 2 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 9 <> 1
+      |  UNION ALL
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+      |changed AS (
+      |  SELECT doc_id FROM documents
+      |  WHERE doc_id % 3 = 0 OR (doc_id % 3 <> 0 AND doc_id % 9 = 2)),
+      |words AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS term
+      |  FROM corpus1),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(*) AS n FROM corpus1),
+      |scored AS (
+      |  SELECT doc_id, term, CAST(tf * n AS DOUBLE) / CAST(df AS DOUBLE) AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n
+      |  WHERE doc_id IN (SELECT doc_id FROM changed)),
+      |r AS (SELECT doc_id, term, score,
+      |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+      |      FROM scored)
+      |SELECT doc_id, term, score, rk FROM r WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin
+
   val rowLineageDmlSql =
     """WITH odd AS (
       |  SELECT o_orderkey, o_orderstatus, o_totalprice,
@@ -1906,6 +2011,7 @@ object Iceberg {
     "ds_dedup_cdc" -> (dedupCdc _),
     "ds_decontaminate_cdc" -> (decontaminateCdc _),
     "ds_ann_cdc" -> (annCdc _),
+    "ds_tfidf_cdc" -> (tfidfCdc _),
     "ice_equality_deletes" -> (equalityDeletes _),
     "ice_dsv2_scan" -> (dsv2Scan _),
     "ice_dsv2_agg" -> (dsv2AggPushdown _),
@@ -1967,6 +2073,7 @@ object Iceberg {
     "ds_dedup_cdc" -> dedupCdcSql,
     "ds_decontaminate_cdc" -> decontaminateCdcSql,
     "ds_ann_cdc" -> annCdcSql,
+    "ds_tfidf_cdc" -> tfidfCdcSql,
     "ice_equality_deletes" -> equalityDeletesSql,
     "ice_dsv2_scan" -> dsv2ScanSql,
     "ice_dsv2_agg" -> dsv2AggPushdownSql,
