@@ -53,6 +53,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!readSchema.contains("l_comment") && !readSchema.contains("l_returnflag"), readSchema)
   }
 
+  test("MoR scan pushes residual filters through the path-dict join") {
+    // r14: coordinate-bearing reads carry a broadcast dict join + the
+    // assert_true miss guard BELOW the residual filter — neither may
+    // block the filter's conjuncts from reaching the parquet scan, or
+    // row-group pruning dies on every deleted-from table
+    val wh = new HadoopCatalog(
+      java.nio.file.Files.createTempDirectory("plan_mor").toString, spark)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val t0 = wh.createTable("li_mor", Schema.fromSpark(li.schema))
+    t0.upgradeFormatVersion(3)
+    val t = wh.loadTable("li_mor")
+    t.append(li)
+    t.deleteAsDeletionVector("l_orderkey = 1")
+    val t1 = wh.loadTable("li_mor")
+    val df = t1.scan("l_quantity > 45.0").select("l_orderkey", "l_quantity").toDF
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThan(l_quantity"),
+      plan.linesIterator.filter(_.contains("Pushed")).mkString("\n"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_returnflag"), readSchema)
+  }
+
   test("q3 join broadcasts the small dimension side") {
     val plan = planOf(queries.Relational.q3JoinTopK(spark, dir))
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),

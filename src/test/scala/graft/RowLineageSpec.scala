@@ -303,6 +303,30 @@ class RowLineageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t1.scan.toDFWithLineage.count() === 199)
   }
 
+  test("a path-dict miss raises loudly — never a silent row drop") {
+    // the guard is an assert_true FILTER; this pin exists because the
+    // optimizer is allowed to move it (e.g. into a join condition), and
+    // any move that lets a miss row pass through null-extended would
+    // silently drop it downstream — the exact corruption the guard
+    // prevents. Drive a real file through a dict built for a DIFFERENT
+    // path and require the typed error, not an empty result.
+    val dir = java.nio.file.Files.createTempDirectory("pdmiss").toString
+    orders.limit(10).write.parquet(s"$dir/real")
+    val realFile = new java.io.File(s"$dir/real").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+    val base = spark.read.parquet(realFile)
+      .select(col("*"),
+        col("_metadata.file_path").as("__rawfile"),
+        col("_metadata.row_index").as("__pos"))
+    val joined = graft.table.PathDict.join(
+      base, spark, Seq(s"$dir/not-the-file.parquet"), as = "__file")
+    val e = intercept[Exception](joined.count())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("path-dict miss")),
+      s"expected a loud path-dict miss, got: ${e.getMessage}")
+  }
+
   test("upsert preserves survivor ids, keeps updated rows' ids with a new seq") {
     val t0 = catalog.createTable("lin_upsert", Schema.fromSpark(orders.schema))
     t0.upgradeFormatVersion(3)
