@@ -1098,6 +1098,66 @@ object Iceberg {
       |SELECT doc_id, term, score, rk FROM r WHERE rk <= 3
       |ORDER BY doc_id, rk""".stripMargin
 
+  /** FILTERED row-identity CDC (r14): the change feed of `SELECT * WHERE
+    * p` — a consumer tailing ONE partition (a tenant, a region, a time
+    * slice) gets replica semantics without paying the whole table's
+    * churn. Every branch of the diff prunes FILES through the inclusive
+    * evaluators before any data read (filtered current plan for
+    * inserts/updates, filtered cursor plan for delete candidates,
+    * filtered added files for the anti-join's id side). Semantics under
+    * partition-crossing updates: a row updated OUT of p surfaces as a
+    * DELETE from p's view (its current version fails the row filter on
+    * the anti-join's right side); a row updated INTO p surfaces as an
+    * update whose face carries the full row — exactly the feed needed to
+    * maintain a filtered replica. The churn here exercises all four
+    * shapes: MoR DV deletes across partitions, an in-place update, a
+    * move-out, a move-in, plus a cross-partition ingest append. */
+  def cdcFiltered(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val schema = Schema.fromSpark(orders.schema)
+    val cat = s"gcdcf${sqlCatSeq.incrementAndGet()}"
+    val whDir = Files.createTempDirectory("graft_cdcfilt").toString
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", whDir)
+    val tab = new HadoopCatalog(whDir, s)
+      .createTable("db.orders", schema,
+        Spec.build(schema, 0, ("o_orderpriority", IdentityTransform, "prio")),
+        properties = Map("format-version" -> "3",
+          "write.delete.mode" -> "merge-on-read"))
+    tab.append(orders)
+    val c0 = tab.refresh().metadata.currentSnapshotId
+    s.sql(s"DELETE FROM $cat.db.orders WHERE o_orderkey % 13 = 3")
+    s.sql(s"UPDATE $cat.db.orders SET o_totalprice = o_totalprice + 1 " +
+      "WHERE o_orderkey % 13 = 5")
+    s.sql(s"UPDATE $cat.db.orders SET o_orderpriority = '3-MEDIUM' " +
+      "WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 13 = 7")
+    s.sql(s"UPDATE $cat.db.orders SET o_orderpriority = '1-URGENT' " +
+      "WHERE o_orderpriority = '2-HIGH' AND o_orderkey % 13 = 9")
+    tab.refresh().append(orders.filter(col("o_orderkey") % 13 === 11)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000))
+    val rel = tab.refresh()
+    val (changes, _) = graft.streaming.TableChanges.pollLineageCdc(rel, c0,
+      Some(graft.core.ExprParser.parse("o_orderpriority = '1-URGENT'")))
+    nonEmpty(changes.select(col("_change_type"), col("o_orderkey"))
+      .orderBy(col("_change_type"), col("o_orderkey")))
+  }
+  /** Oracle = the expected filtered feed reconstructed from the churn
+    * recipe: deletes = 1-URGENT rows DELETEd or moved OUT; updates =
+    * 1-URGENT in-place updates plus rows moved IN; inserts = the ingest
+    * batch's 1-URGENT rows. */
+  val cdcFilteredSql =
+    """SELECT 'delete' AS _change_type, o_orderkey FROM orders
+      |WHERE o_orderpriority = '1-URGENT' AND (o_orderkey % 13 = 3 OR o_orderkey % 13 = 7)
+      |UNION ALL
+      |SELECT 'update', o_orderkey FROM orders
+      |WHERE (o_orderpriority = '1-URGENT' AND o_orderkey % 13 = 5)
+      |   OR (o_orderpriority = '2-HIGH' AND o_orderkey % 13 = 9)
+      |UNION ALL
+      |SELECT 'insert', o_orderkey + 10000000 FROM orders
+      |WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 13 = 11
+      |ORDER BY _change_type, o_orderkey""".stripMargin
+
   val rowLineageDmlSql =
     """WITH odd AS (
       |  SELECT o_orderkey, o_orderstatus, o_totalprice,
@@ -2012,6 +2072,7 @@ object Iceberg {
     "ds_decontaminate_cdc" -> (decontaminateCdc _),
     "ds_ann_cdc" -> (annCdc _),
     "ds_tfidf_cdc" -> (tfidfCdc _),
+    "ice_cdc_filtered" -> (cdcFiltered _),
     "ice_equality_deletes" -> (equalityDeletes _),
     "ice_dsv2_scan" -> (dsv2Scan _),
     "ice_dsv2_agg" -> (dsv2AggPushdown _),
@@ -2074,6 +2135,7 @@ object Iceberg {
     "ds_decontaminate_cdc" -> decontaminateCdcSql,
     "ds_ann_cdc" -> annCdcSql,
     "ds_tfidf_cdc" -> tfidfCdcSql,
+    "ice_cdc_filtered" -> cdcFilteredSql,
     "ice_equality_deletes" -> equalityDeletesSql,
     "ice_dsv2_scan" -> dsv2ScanSql,
     "ice_dsv2_agg" -> dsv2AggPushdownSql,

@@ -67,7 +67,11 @@ class GraftCdcSource extends StreamSourceProvider with DataSourceRegister {
       opt("start-snapshot-id").map(_.toLong),
       opt("max-snapshots-per-trigger").map(_.toInt),
       opt("max-files-per-trigger").map(_.toInt),
-      metadataPath)
+      metadataPath,
+      // option("filter", "<predicate DSL>"): the FILTERED feed — replica
+      // semantics (moved-out rows surface as deletes), every batch plan
+      // pruned to matching files before any data read
+      opt("filter").map(graft.core.ExprParser.parse))
   }
 }
 
@@ -262,18 +266,19 @@ class GraftCdcStreamingSource(table: IceTable,
     startSnapshotId: Option[Long] = None,
     maxSnapshotsPerTrigger: Option[Int] = None,
     maxFilesPerTrigger: Option[Int] = None,
-    metadataPath: String = "")
+    metadataPath: String = "",
+    filter: Option[graft.core.Expr] = None)
     extends SnapshotRangeSource(table, startSnapshotId, maxSnapshotsPerTrigger,
       maxFilesPerTrigger, metadataPath) {
 
   override val schema: StructType = GraftCdcSource.cdcSchema(table)
 
   override protected def rangeBatch(from: Option[Long], to: Long): DataFrame =
-    graft.streaming.TableChanges.lineageDiff(table, from, to)
+    graft.streaming.TableChanges.lineageDiff(table, from, to, filter)
 
   override protected def appendSlice(s: Long, fromIdx: Long,
       toIdx: Option[Long]): DataFrame =
-    graft.streaming.TableChanges.cdcAppendSlice(table, s, fromIdx, toIdx)
+    graft.streaming.TableChanges.cdcAppendSlice(table, s, fromIdx, toIdx, filter)
 }
 
 /** Snapshot-diff CHANGELOG as a streaming source — the v2-compatible

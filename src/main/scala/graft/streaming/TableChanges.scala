@@ -343,14 +343,14 @@ object TableChanges {
     *
     * Output: the table's data columns + `_row_id` + `_change_type`;
     * deleted rows carry their content as of the cursor snapshot. */
-  def pollLineageCdc(table: IceTable, cursor: Option[Long])
-      : (DataFrame, Option[Long]) = {
+  def pollLineageCdc(table: IceTable, cursor: Option[Long],
+      rowFilter: Option[graft.core.Expr] = None): (DataFrame, Option[Long]) = {
     table.refresh()
     val current = table.metadata.currentSnapshotId
     (cursor, current) match {
       case (_, None) => (emptyLineageDiff(table), cursor)
       case (Some(c), Some(cur)) if c == cur => (emptyLineageDiff(table), cursor)
-      case (_, Some(cur)) => (lineageDiff(table, cursor, cur), current)
+      case (_, Some(cur)) => (lineageDiff(table, cursor, cur, rowFilter), current)
     }
   }
 
@@ -371,7 +371,8 @@ object TableChanges {
     * `_change_type`) — the shared engine under [[pollLineageCdc]] and the
     * `graft-cdc` streaming source. `from = None` (or a 0 sentinel) means
     * table start: the whole `to` snapshot as inserts. */
-  def lineageDiff(table: IceTable, from: Option[Long], to: Long): DataFrame = {
+  def lineageDiff(table: IceTable, from: Option[Long], to: Long,
+      changeFilter: Option[graft.core.Expr] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     require(table.metadata.formatVersion >= 3,
       "row-identity CDC requires a v3 table (row lineage)")
@@ -381,13 +382,26 @@ object TableChanges {
     def out(df: DataFrame, tpe: org.apache.spark.sql.Column): DataFrame =
       df.select(dataCols :+ col(idName) :+ tpe.as("_change_type"): _*)
     val emptyOut = emptyLineageDiff(table)
+    // FILTERED feed (replica semantics — the changes needed to maintain
+    // `SELECT * WHERE p` of the table): inserts/updates are changed rows
+    // whose CURRENT content matches p; deletes are rows that matched p
+    // at the cursor and either no longer exist or no longer match p (an
+    // update that moves a row OUT of p is a delete from p's view; one
+    // that moves a row IN surfaces as an update — the upsert face
+    // carries the full row). Every branch prunes FILES through the
+    // inclusive evaluators first, so a consumer tailing one partition
+    // pays only that partition's churn.
+    val rowCol = changeFilter.map(f => graft.core.ToColumn.compile(
+      graft.core.Exprs.rewriteNot(graft.core.Binder.bind(table.schema, f))))
+    def rowFiltered(df: DataFrame): DataFrame =
+      rowCol.map(df.filter).getOrElse(df)
     from.filter(_ != 0L) match {
       case None =>
         // current-schema pin for the same reason as the diff scans: the
         // output shape is the table's current schema even when `to` is
         // behind the head
-        out(new graft.table.IceScan(table).useSnapshot(to).withCurrentSchema
-          .toDFWithLineage, lit("insert"))
+        val sc0 = new graft.table.IceScan(table).useSnapshot(to).withCurrentSchema
+        out(changeFilter.map(sc0.filter).getOrElse(sc0).toDFWithLineage, lit("insert"))
       case Some(c) if c == to => emptyOut
       case Some(c) =>
         val cur = to
@@ -404,14 +418,15 @@ object TableChanges {
         val boundary: Option[Long] = chain.dropWhile(_.snapshotId != c).iterator
           .flatMap(s => for { f <- s.firstRowId; a <- s.addedRows } yield f + a)
           .nextOption()
-        val plan = prunedDiffTasks(table, c, cur, cursorSeq)
+        val plan = prunedDiffTasks(table, c, cur, cursorSeq, changeFilter)
         val upserts: Option[DataFrame] =
           if (plan.changedTasks.isEmpty) None
           else {
             // row-level seq filter inside the pruned files drops
             // compaction survivors (materialized seq ≤ cursorSeq rides
             // in a post-cursor file)
-            val changed = table.lineageScanForTasksAt(cur, plan.changedTasks)
+            val changed = rowFiltered(
+              table.lineageScanForTasksAt(cur, plan.changedTasks))
               .filter(col(seqName) > cursorSeq)
             Some(boundary match {
               case Some(b) => out(changed,
@@ -439,9 +454,13 @@ object TableChanges {
           val parts = Seq.newBuilder[DataFrame]
           val legacy = plan.removedCand ++ plan.otherMasked
           if (legacy.nonEmpty)
+            // the anti-join's right side is ALSO row-filtered under a
+            // filtered feed: a row whose current version left the filter
+            // must not suppress its own delete (replica semantics)
             parts += out(
-              table.lineageScanForTasksAt(c, legacy).join(
-                table.lineageScanForTasksAt(cur, plan.curCand).select(col(idName)),
+              rowFiltered(table.lineageScanForTasksAt(c, legacy)).join(
+                rowFiltered(table.lineageScanForTasksAt(cur, plan.curCand))
+                  .select(col(idName)),
                 Seq(idName), "left_anti"),
               lit("delete"))
           if (plan.dvMasked.nonEmpty) {
@@ -481,7 +500,7 @@ object TableChanges {
             val rows = table.lineageScanWithPosForTasksAt(c, plan.dvMasked.map(_._1))
               .join(posKeyed, Seq("__file", "__pos"))
               .drop("__file", "__pos")
-            parts += out(rows, lit("delete"))
+            parts += out(rowFiltered(rows), lit("delete"))
           }
           parts.result().reduceOption(_ unionByName _)
         }
@@ -525,10 +544,22 @@ object TableChanges {
   }
 
   private[graft] def prunedDiffTasks(table: IceTable, cursorId: Long,
-      currentId: Long, cursorSeq: Long): DiffPlan = {
+      currentId: Long, cursorSeq: Long,
+      filter: Option[graft.core.Expr] = None): DiffPlan = {
     import graft.core.PathUtil
-    val curTasks = table.planTasksAt(currentId)
-    val beforeTasks = table.planTasksAt(cursorId)
+    // with a filter, BOTH snapshots plan through the full pruning
+    // machinery — files are immutable, so the inclusive verdict for a
+    // path is identical on both sides and the removed/masked detection
+    // below stays exact within the filtered subset. The legacy
+    // pre-v3-cursor id-set path keeps the UNFILTERED cursor plan
+    // (classification by existence, not by filter); the manifest cache
+    // makes the extra walk metadata-cheap.
+    val curTasks = filter.map(f => table.planTasksAtFiltered(currentId, f))
+      .getOrElse(table.planTasksAt(currentId))
+    val beforeCand = filter.map(f => table.planTasksAtFiltered(cursorId, f))
+      .getOrElse(table.planTasksAt(cursorId))
+    val beforeTasks =
+      if (filter.isEmpty) beforeCand else table.planTasksAt(cursorId)
     val changedTasks = curTasks.filter(_.dataSequenceNumber > cursorSeq)
     def key(t: graft.table.FileScanTask): String = PathUtil.canon(t.file.filePath)
     // delete applicability signature: identity of the delete refs the
@@ -537,10 +568,10 @@ object TableChanges {
       t.deletes.map(f =>
         (PathUtil.canon(f.filePath), f.contentOffset.getOrElse(-1L))).toSet
     val curByPath = curTasks.map(t => key(t) -> t).toMap
-    val beforeByPath = beforeTasks.map(t => key(t) -> t).toMap
+    val beforeByPath = beforeCand.map(t => key(t) -> t).toMap
     val removedCand = Seq.newBuilder[graft.table.FileScanTask]
     val maskedPairs = Seq.newBuilder[(graft.table.FileScanTask, graft.table.FileScanTask)]
-    beforeTasks.foreach { t =>
+    beforeCand.foreach { t =>
       curByPath.get(key(t)) match {
         case None => removedCand += t // removed: CoW or compaction
         case Some(ct) if delSig(ct) != delSig(t) => maskedPairs += ((t, ct))
@@ -595,14 +626,25 @@ object TableChanges {
     * [[lineageDiff]] behind the `graft-cdc` source's
     * `max-files-per-trigger` admission. */
   def cdcAppendSlice(table: IceTable, snapshotId: Long, fromIdx: Long,
-      toIdx: Option[Long]): DataFrame = {
+      toIdx: Option[Long], changeFilter: Option[graft.core.Expr] = None): DataFrame = {
     import org.apache.spark.sql.functions._
-    val tasks = appendSliceTasks(table, snapshotId, fromIdx, toIdx)
+    val tasks0 = appendSliceTasks(table, snapshotId, fromIdx, toIdx)
+    // filtered feed: slice INDEXES stay filter-independent (offsets must
+    // mean the same thing if the option changes across restarts); the
+    // filter prunes files within the slice and rows within the files
+    val tasks = changeFilter.map { f =>
+      val keep = table.planTasksAtFiltered(snapshotId, f)
+        .map(t => graft.core.PathUtil.canon(t.file.filePath)).toSet
+      tasks0.filter(t => keep.contains(graft.core.PathUtil.canon(t.file.filePath)))
+    }.getOrElse(tasks0)
     if (tasks.isEmpty) return emptyLineageDiff(table)
     val dataCols = table.schema.fields.map(f => col(f.name))
-    table.lineageScanForTasksAt(snapshotId, tasks)
-      .select(dataCols :+ col(graft.core.RowLineage.RowIdName) :+
-        lit("insert").as("_change_type"): _*)
+    val base = table.lineageScanForTasksAt(snapshotId, tasks)
+    val rows = changeFilter.map(f => base.filter(graft.core.ToColumn.compile(
+      graft.core.Exprs.rewriteNot(graft.core.Binder.bind(table.schema, f)))))
+      .getOrElse(base)
+    rows.select(dataCols :+ col(graft.core.RowLineage.RowIdName) :+
+      lit("insert").as("_change_type"): _*)
   }
 
   /** The same slice in the changelog's shape (`_change_type` /

@@ -404,6 +404,13 @@ class IceTable(
   private[graft] def planTasksAt(snapshotId: Long): Seq[FileScanTask] =
     new IceScan(this).useSnapshot(snapshotId).planFiles(keepStats = false)
 
+  /** [[planTasksAt]] with the full pruning machinery applied to `f` —
+    * manifest summaries, partition values, file metrics. The FILTERED
+    * CDC diff plans both snapshots through this so a consumer tailing
+    * one partition pays only that partition's metadata + churn. */
+  private[graft] def planTasksAtFiltered(snapshotId: Long, f: Expr): Seq[FileScanTask] =
+    new IceScan(this).useSnapshot(snapshotId).filter(f).planFiles(keepStats = false)
+
   /** Lineage scan of a pinned snapshot restricted to an explicit task
     * subset (tasks must come from [[planTasksAt]] of the same snapshot —
     * the applicable-delete refs are snapshot-scoped). Reads with the

@@ -1116,6 +1116,76 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
       .agg(max(col("o_orderkey"))).head().getLong(0) < delK)
   }
 
+  test("filtered lineage CDC prunes to the partition and maintains a replica") {
+    import graft.streaming.TableChanges
+    import graft.core.PathUtil
+    val schema = Schema.fromSpark(orders.schema)
+    catalog.createTable("t_lincdc_filt", schema,
+      PartitionSpec.build(schema, 0, ("o_orderpriority", IdentityTransform, "prio")),
+      properties = Map("format-version" -> "3",
+        "write.delete.mode" -> "merge-on-read"))
+    val t = catalog.loadTable("t_lincdc_filt")
+    t.append(orders)
+    val (_, c1) = TableChanges.pollLineageCdc(t, None)
+    val p = "1-URGENT"
+    val filt = ExprParser.parse(s"o_orderpriority = '$p'")
+    def keysIn(prio: String, n: Int): Array[Long] =
+      orders.filter(col("o_orderpriority") === prio)
+        .select("o_orderkey").orderBy("o_orderkey").limit(n)
+        .collect().map(_.getLong(0))
+    val Array(kInPlace, kOut, kDvUrgent) = keysIn(p, 3)
+    val Array(kIn, kDvHigh) = keysIn("2-HIGH", 2)
+    // one upsert carrying all four update shapes: in-place (stays in p),
+    // move OUT of p, move INTO p, and a brand-new p row
+    val src = orders.filter(col("o_orderkey") === kInPlace)
+      .withColumn("o_totalprice", col("o_totalprice") + 1)
+      .unionByName(orders.filter(col("o_orderkey") === kOut)
+        .withColumn("o_orderpriority", lit("3-MEDIUM")))
+      .unionByName(orders.filter(col("o_orderkey") === kIn)
+        .withColumn("o_orderpriority", lit(p)))
+      .unionByName(orders.filter(col("o_orderkey") === kInPlace)
+        .withColumn("o_orderkey", lit(91000001L)))
+    t.upsert(src, Seq("o_orderkey"))
+    // MoR DV deletes in BOTH partitions — only p's may be read
+    t.deleteAsDeletionVector(s"o_orderkey = $kDvUrgent or o_orderkey = $kDvHigh")
+    val t2 = catalog.loadTable("t_lincdc_filt")
+    val (feed, _) = TableChanges.pollLineageCdc(t2, c1, Some(filt))
+    val rows = feed.collect()
+    // file pruning: every file the filtered poll opens lives under the
+    // filtered partition's directory — the other partitions' churn
+    // (kDvHigh's DV, kIn's source rewrite, kOut's destination) is never
+    // read
+    val read = feed.inputFiles.map(PathUtil.canon)
+    assert(read.nonEmpty && read.forall(_.contains("prio=1-URGENT")),
+      s"filtered poll read outside the partition: " +
+        read.filterNot(_.contains("prio=1-URGENT")).mkString(","))
+    // replica semantics: moved-out surfaces as delete, moved-in as update
+    val byType = rows.groupBy(_.getAs[String]("_change_type"))
+      .view.mapValues(_.map(_.getAs[Long]("o_orderkey")).toSet).toMap
+    assert(byType("delete") === Set(kOut, kDvUrgent), s"got $byType")
+    assert(byType("update") === Set(kInPlace, kIn), s"got $byType")
+    assert(byType("insert") === Set(91000001L), s"got $byType")
+    // applying the feed to the cursor-time filtered view reproduces the
+    // final filtered view exactly (keyed by _row_id)
+    val idName = RowLineage.RowIdName
+    def viewOf(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, String)] =
+      df.filter(col("o_orderpriority") === p).collect()
+        .map(r => r.getAs[Long](idName) ->
+          ((r.getAs[Long]("o_orderkey"), r.getAs[String]("o_orderpriority")))).toMap
+    val rep0 = viewOf(new graft.table.IceScan(t2).useSnapshot(c1.get)
+      .withCurrentSchema.toDFWithLineage)
+    val applied = rows.foldLeft(rep0) { (m, r) =>
+      val id = r.getAs[Long](idName)
+      r.getAs[String]("_change_type") match {
+        case "delete" => m - id
+        case _ => m + (id -> ((r.getAs[Long]("o_orderkey"),
+          r.getAs[String]("o_orderpriority"))))
+      }
+    }
+    assert(applied === viewOf(t2.scan.toDFWithLineage),
+      "replica maintained from the filtered feed must equal SELECT * WHERE p")
+  }
+
   test("lineage CDC poll prunes at the file level: work ∝ churn, not corpus") {
     import graft.streaming.TableChanges
     import graft.core.PathUtil
@@ -1355,6 +1425,31 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
         "row ids must stay unique across the slices")
     } finally q.stop()
     spark.sql("DROP VIEW IF EXISTS cdc_fadm_sink")
+  }
+
+  test("graft-cdc option(filter) streams only the filtered partition's changes") {
+    val schema = Schema.fromSpark(orders.schema)
+    catalog.createTable("t_cdc_filt_src", schema,
+      PartitionSpec.build(schema, 0, ("o_orderpriority", IdentityTransform, "prio")),
+      properties = Map("format-version" -> "3",
+        "write.delete.mode" -> "merge-on-read"))
+    val t = catalog.loadTable("t_cdc_filt_src")
+    t.append(orders)
+    t.deleteAsDeletionVector("o_orderpriority = '2-HIGH' and o_orderkey < 500")
+    val q = spark.readStream.format("graft-cdc")
+      .option("warehouse", warehouse).option("table", "t_cdc_filt_src")
+      .option("filter", "o_orderpriority = '1-URGENT'").load()
+      .writeStream.format("memory").queryName("cdc_filt_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT o_orderpriority, _change_type FROM cdc_filt_sink").collect()
+      val want = orders.filter(col("o_orderpriority") === "1-URGENT").count()
+      assert(got.length === want, s"expected $want filtered rows, got ${got.length}")
+      assert(got.forall(r => r.getString(0) == "1-URGENT" && r.getString(1) == "insert"))
+    } finally q.stop()
+    spark.sql("DROP VIEW IF EXISTS cdc_filt_sink")
   }
 
   test("batch cdc-range options read the lineage diff through the DSv2 face") {
