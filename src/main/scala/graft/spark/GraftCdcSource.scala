@@ -318,7 +318,8 @@ class GraftChangelogSource extends StreamSourceProvider with DataSourceRegister 
       opt("start-snapshot-id").map(_.toLong),
       opt("max-snapshots-per-trigger").map(_.toInt),
       opt("max-files-per-trigger").map(_.toInt),
-      metadataPath)
+      metadataPath,
+      opt("filter").map(graft.core.ExprParser.parse))
   }
 }
 
@@ -334,7 +335,8 @@ class GraftChangelogStreamingSource(table: IceTable,
     startSnapshotId: Option[Long] = None,
     maxSnapshotsPerTrigger: Option[Int] = None,
     maxFilesPerTrigger: Option[Int] = None,
-    metadataPath: String = "")
+    metadataPath: String = "",
+    filter: Option[graft.core.Expr] = None)
     extends SnapshotRangeSource(table, startSnapshotId, maxSnapshotsPerTrigger,
       maxFilesPerTrigger, metadataPath) {
 
@@ -342,9 +344,9 @@ class GraftChangelogStreamingSource(table: IceTable,
 
   override protected def rangeBatch(from: Option[Long], to: Long): DataFrame =
     graft.streaming.TableChanges.changelog(
-      table, from.filter(_ != 0L), Some(to))
+      table, from.filter(_ != 0L), Some(to), filter)
 
   override protected def appendSlice(s: Long, fromIdx: Long,
       toIdx: Option[Long]): DataFrame =
-    graft.streaming.TableChanges.changelogAppendSlice(table, s, fromIdx, toIdx)
+    graft.streaming.TableChanges.changelogAppendSlice(table, s, fromIdx, toIdx, filter)
 }

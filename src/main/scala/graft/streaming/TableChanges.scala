@@ -74,7 +74,8 @@ object TableChanges {
     * re-reported; foreign writers stacking deletes on dead positions are
     * out of scope. */
   def changelog(table: IceTable, fromIdExclusive: Option[Long] = None,
-      toIdInclusive: Option[Long] = None): DataFrame = {
+      toIdInclusive: Option[Long] = None,
+      changeFilter: Option[graft.core.Expr] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.core.PathUtil
     import graft.meta.{EntryStatus, FileContent, ManifestIO, Io, DeletionVector}
@@ -85,6 +86,27 @@ object TableChanges {
     val schemaAt = toId.map(id => m.schemaById(
       m.snapshotById(id).map(_.schemaId).getOrElse(m.currentSchemaId)))
       .getOrElse(table.schema)
+    // FILTERED changelog: since updates already surface as delete+insert
+    // pairs, filtering each row by its own content is replica-correct by
+    // construction (a move-out is a delete whose content matches, a
+    // move-in an insert). The CoW added/removed file sets prune through
+    // the inclusive evaluators BEFORE any read — carry-over cancellation
+    // stays exact because a carried row matching p is necessarily in
+    // kept files on BOTH sides, and non-matching rows are row-filtered
+    // off both sides symmetrically.
+    val boundF = changeFilter.map(f => graft.core.Exprs.rewriteNot(
+      graft.core.Binder.bind(schemaAt, f)))
+    val rowCol = boundF.map(graft.core.ToColumn.compile)
+    def rowFiltered(df: DataFrame): DataFrame = rowCol.map(df.filter).getOrElse(df)
+    val projCache = scala.collection.mutable.Map.empty[Int, graft.core.BoundExpr]
+    def fileMightMatch(specId: Int, df: graft.meta.DataFile): Boolean =
+      boundF.forall { b =>
+        val spec = m.specById(specId)
+        val proj = projCache.getOrElseUpdate(specId,
+          graft.meta.Evaluators.inclusiveProjection(schemaAt, spec, b))
+        graft.meta.Evaluators.partitionMatches(spec, proj, df.partition) &&
+          graft.meta.Evaluators.rowsMightMatch(b, df)
+      }
     def withMeta(df: DataFrame, tpe: String, ordinal: Int, snapId: Long): DataFrame =
       df.withColumn("_change_type", lit(tpe))
         .withColumn("_change_ordinal", lit(ordinal))
@@ -180,29 +202,40 @@ object TableChanges {
         // the whole table (the r13 shape: O(live files) per commit).
         val curMs = dataManifests(s)
         val newEntries = curMs.filter(_.addedSnapshotId == s.snapshotId)
-          .flatMap(entriesOf)
-        newEntries.foreach(e =>
-          fmtOf += PathUtil.canon(e.dataFile.filePath) -> e.dataFile.fileFormat)
-        val presentInNew = newEntries.filter(_.status != EntryStatus.Deleted)
-          .map(e => PathUtil.canon(e.dataFile.filePath)).toSet
-        val addedPaths = newEntries
-          .filter(e => e.status == EntryStatus.Added && e.snapshotId == s.snapshotId)
-          .map(e => PathUtil.canon(e.dataFile.filePath)).distinct.sorted
+          .flatMap(mf => entriesOf(mf).map(e => (e, mf.partitionSpecId)))
+        newEntries.foreach { case (e, _) =>
+          fmtOf += PathUtil.canon(e.dataFile.filePath) -> e.dataFile.fileFormat }
+        val presentInNew = newEntries.collect {
+          case (e, _) if e.status != EntryStatus.Deleted =>
+            PathUtil.canon(e.dataFile.filePath)
+        }.toSet
+        val addedPaths = newEntries.collect {
+          case (e, sp) if e.status == EntryStatus.Added &&
+            e.snapshotId == s.snapshotId && fileMightMatch(sp, e.dataFile) =>
+            PathUtil.canon(e.dataFile.filePath)
+        }.distinct.sorted
         val curMfPaths = curMs.map(_.manifestPath).toSet
         val droppedLive = s.parentSnapshotId.flatMap(m.snapshotById).toSeq
           .flatMap(dataManifests)
           .filterNot(mf => curMfPaths.contains(mf.manifestPath))
-          .flatMap(entriesOf).filter(_.status != EntryStatus.Deleted)
-        droppedLive.foreach(e =>
-          fmtOf += PathUtil.canon(e.dataFile.filePath) -> e.dataFile.fileFormat)
-        val removedPaths = (newEntries
-          .filter(e => e.status == EntryStatus.Deleted && e.snapshotId == s.snapshotId)
-          .map(e => PathUtil.canon(e.dataFile.filePath)) ++
-          droppedLive.map(e => PathUtil.canon(e.dataFile.filePath))
-            .filterNot(presentInNew))
+          .flatMap(mf => entriesOf(mf).map(e => (e, mf.partitionSpecId)))
+          .filter(_._1.status != EntryStatus.Deleted)
+        droppedLive.foreach { case (e, _) =>
+          fmtOf += PathUtil.canon(e.dataFile.filePath) -> e.dataFile.fileFormat }
+        val removedPaths = (newEntries.collect {
+          case (e, sp) if e.status == EntryStatus.Deleted &&
+            e.snapshotId == s.snapshotId && fileMightMatch(sp, e.dataFile) =>
+            PathUtil.canon(e.dataFile.filePath)
+        } ++
+          droppedLive.collect {
+            case (e, sp) if fileMightMatch(sp, e.dataFile) =>
+              PathUtil.canon(e.dataFile.filePath)
+          }.filterNot(presentInNew))
           .distinct.sorted
-        val inserts = if (addedPaths.isEmpty) None else Some(readData(addedPaths))
-        val cowDeletes = if (removedPaths.isEmpty) None else Some(readData(removedPaths))
+        val inserts =
+          if (addedPaths.isEmpty) None else Some(rowFiltered(readData(addedPaths)))
+        val cowDeletes =
+          if (removedPaths.isEmpty) None else Some(rowFiltered(readData(removedPaths)))
         // cancel carry-overs only when a commit both removed and added
         // (CoW rewrite); append-only and pure-MoR commits skip the shuffle
         val (netInserts, netCowDeletes) = (inserts, cowDeletes) match {
@@ -239,9 +272,17 @@ object TableChanges {
         }
         positions.foreach { posDf =>
           // deleted-row content: join positions back to the referenced
-          // data files through the scan's (file, row-position) metadata
-          val refPaths = posDf.select("__path").distinct()
+          // data files through the scan's (file, row-position) metadata.
+          // Under a change filter the referenced files prune against the
+          // commit snapshot's FILTERED live plan (cache-served metadata)
+          // — a file that provably holds no matching rows is never read
+          val refPathsAll = posDf.select("__path").distinct()
             .collect().map(_.getString(0)).toSeq.sorted
+          val refPaths = changeFilter.map { f =>
+            val keep = table.planTasksAtFiltered(s.snapshotId, f)
+              .map(t => PathUtil.canon(t.file.filePath)).toSet
+            refPathsAll.filter(keep.contains)
+          }.getOrElse(refPathsAll)
           if (refPaths.nonEmpty) {
             // (file, position) metadata: parquet via _metadata columns;
             // ORC via the bridge reader's own __file/__pos tracking
@@ -259,7 +300,7 @@ object TableChanges {
             val rows = withPosParts.result().reduce(_ unionByName _)
               .join(posDf, Seq("__path", "__pos"))
               .drop("__path", "__pos")
-            frames += withMeta(rows, "delete", ordinal, s.snapshotId)
+            frames += withMeta(rowFiltered(rows), "delete", ordinal, s.snapshotId)
           }
         }
         eqDels.foreach { ef =>
@@ -273,7 +314,12 @@ object TableChanges {
               // key value cannot lose a row to it. Key values are
               // driver-collected up to a cap (eq-delete files are
               // churn-sized); past it, all parent tasks scan as before.
-              val tasks = table.planTasksAt(pid)
+              // the change filter prunes the parent plan with the full
+              // machinery (manifest summaries + partition + metrics)
+              // before the key-based metrics prune below
+              val tasks = changeFilter
+                .map(f => table.planTasksAtFiltered(pid, f))
+                .getOrElse(table.planTasksAt(pid))
               val cap = 1000
               val keyRows = keys.limit(cap + 1).collect()
               val pruned =
@@ -297,7 +343,8 @@ object TableChanges {
                 }
               table.scanForTasksAt(pid, pruned)
             }.getOrElse(emptyDf(table))
-            frames += withMeta(parentRows.join(keys, keyCols, "left_semi"),
+            frames += withMeta(
+              rowFiltered(parentRows).join(keys, keyCols, "left_semi"),
               "delete", ordinal, s.snapshotId)
           }
         }
@@ -652,15 +699,28 @@ object TableChanges {
     * `graft-changelog` source. The slice is always ordinal 0: it carries
     * exactly one commit's (partial) inserts. */
   def changelogAppendSlice(table: IceTable, snapshotId: Long, fromIdx: Long,
-      toIdx: Option[Long]): DataFrame = {
+      toIdx: Option[Long], changeFilter: Option[graft.core.Expr] = None): DataFrame = {
     import org.apache.spark.sql.functions._
-    val tasks = appendSliceTasks(table, snapshotId, fromIdx, toIdx)
+    val tasks0 = appendSliceTasks(table, snapshotId, fromIdx, toIdx)
+    // same contract as cdcAppendSlice: slice indexes stay
+    // filter-independent; the filter prunes files within the slice and
+    // rows within the files
+    val tasks = changeFilter.map { f =>
+      val keep = table.planTasksAtFiltered(snapshotId, f)
+        .map(t => graft.core.PathUtil.canon(t.file.filePath)).toSet
+      tasks0.filter(t => keep.contains(graft.core.PathUtil.canon(t.file.filePath)))
+    }.getOrElse(tasks0)
     val base =
       if (tasks.isEmpty)
         table.spark.createDataFrame(
           table.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           table.schema.toSpark)
-      else table.scanForTasksAt(snapshotId, tasks)
+      else {
+        val b0 = table.scanForTasksAt(snapshotId, tasks)
+        changeFilter.map(f => b0.filter(graft.core.ToColumn.compile(
+          graft.core.Exprs.rewriteNot(graft.core.Binder.bind(table.schema, f)))))
+          .getOrElse(b0)
+      }
     base.withColumn("_change_type", lit("insert"))
       .withColumn("_change_ordinal", lit(0))
       .withColumn("_commit_snapshot_id", lit(snapshotId))

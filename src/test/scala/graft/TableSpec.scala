@@ -1001,6 +1001,45 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(clTail.select("_change_type").distinct().head().getString(0) === "insert")
   }
 
+  test("filtered changelog prunes to the partition and filters each row by its own content") {
+    import graft.streaming.TableChanges
+    import graft.core.PathUtil
+    val schema = Schema.fromSpark(orders.schema)
+    catalog.createTable("t_changelog_filt", schema,
+      PartitionSpec.build(schema, 0, ("o_orderpriority", IdentityTransform, "prio")),
+      properties = Map("format-version" -> "3"))
+    val t = catalog.loadTable("t_changelog_filt")
+    t.append(orders)
+    val s1 = t.metadata.currentSnapshotId.get
+    val p = "1-URGENT"
+    def k(prio: String): Long = orders.filter(col("o_orderpriority") === prio)
+      .agg(min("o_orderkey")).head().getLong(0)
+    val (kP, kHigh) = (k(p), k("2-HIGH"))
+    // churn in BOTH partitions: MoR DV deletes + a cross-partition append
+    t.deleteAsDeletionVector(s"o_orderkey = $kP or o_orderkey = $kHigh")
+    t.append(orders.limit(200).withColumn("o_orderkey", col("o_orderkey") + 91000000L))
+    val t2 = catalog.loadTable("t_changelog_filt")
+    val filt = ExprParser.parse(s"o_orderpriority = '$p'")
+    val cl = TableChanges.changelog(t2, fromIdExclusive = Some(s1),
+      changeFilter = Some(filt))
+    val rows = cl.collect()
+    assert(rows.forall(_.getAs[String]("o_orderpriority") == p))
+    val dels = rows.filter(_.getAs[String]("_change_type") == "delete")
+      .map(_.getAs[Long]("o_orderkey")).toSet
+    assert(dels === Set(kP), s"got $dels")
+    val ins = rows.filter(_.getAs[String]("_change_type") == "insert")
+      .map(_.getAs[Long]("o_orderkey")).toSet
+    val wantIns = orders.limit(200).filter(col("o_orderpriority") === p)
+      .collect().map(_.getAs[Long]("o_orderkey") + 91000000L).toSet
+    assert(ins === wantIns)
+    // every DATA file the filtered changelog opens lives in p's partition
+    // (the MoR join must also read only p's referenced file)
+    val read = cl.inputFiles.map(PathUtil.canon).filterNot(_.contains("/metadata/"))
+    assert(read.nonEmpty && read.forall(_.contains("prio=1-URGENT")),
+      s"filtered changelog read outside the partition: " +
+        read.filterNot(_.contains("prio=1-URGENT")).mkString(","))
+  }
+
   test("changelog cancels copy-on-write carry-overs") {
     import graft.streaming.TableChanges
     val t = catalog.createTable("t_changelog_cow", Schema.fromSpark(orders.schema))
