@@ -1599,6 +1599,33 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
             col("_change_type")): _*)
           .collect().map(_.toString).sorted.toSeq
         assert(got === want, s"seed $seed: poll diverges from brute-force diff")
+
+        // FILTERED feed under the same random churn: replica semantics —
+        // applying the feed to the cursor-time filtered view (keyed by
+        // _row_id) must reproduce the final filtered view exactly. The
+        // fuzz's updates concat 'X' onto o_orderstatus, so a predicate on
+        // that column exercises move-OUT-of-filter (must surface as
+        // delete) on every update step.
+        val (fbatch, _) = TableChanges.pollLineageCdc(rel, Some(cursor),
+          Some(ExprParser.parse("o_orderstatus = 'O'")))
+        val frows = fbatch.collect()
+        assert(frows.filter(_.getAs[String]("_change_type") != "delete")
+          .forall(_.getAs[String]("o_orderstatus") == "O"),
+          s"seed $seed: a filtered insert/update row fails the predicate")
+        def tup(r: org.apache.spark.sql.Row) =
+          (r.getAs[Long]("o_orderkey"), r.getAs[String]("o_orderstatus"),
+            r.getAs[Double]("o_totalprice"))
+        def viewAt(id: Long): Map[Long, (Long, String, Double)] =
+          lin(id).filter(col("o_orderstatus") === "O").collect()
+            .map(r => r.getAs[Long](idName) -> tup(r)).toMap
+        val applied = frows.foldLeft(viewAt(cursor)) { (m, r) =>
+          r.getAs[String]("_change_type") match {
+            case "delete" => m - r.getAs[Long](idName)
+            case _ => m + (r.getAs[Long](idName) -> tup(r))
+          }
+        }
+        assert(applied === viewAt(cur),
+          s"seed $seed: filtered feed fails replica equivalence")
       }
     }
   }
