@@ -25,19 +25,37 @@ import graft.core.PathUtil
   */
 private[graft] object PathDict {
   /** `df` must carry the raw metadata path as `__rawfile`; returns it
-    * with `__rawfile` replaced by canonical column `as`. */
-  def join(df: DataFrame, rs: SparkSession, paths: Seq[String], as: String): DataFrame = {
+    * with `__rawfile` replaced by canonical column `as`. When `lineage`
+    * is given (canon path → (first_row_id, data seq)), the dict also
+    * carries `__first_row_id`/`__last_seq` — lineage scans get their
+    * per-file constants from the SAME broadcast probe instead of a
+    * second join keyed on the canonical string. */
+  def join(df: DataFrame, rs: SparkSession, paths: Seq[String], as: String,
+      lineage: Option[String => (Long, Long)] = None): DataFrame = {
     val hconf = rs.sessionState.newHadoopConf()
-    val dict = paths.distinct.flatMap { p =>
-      val canon = PathUtil.canon(p)
-      PathUtil.sparkMetaPaths(p, hconf).map(enc => (enc, canon))
+    val joined = lineage match {
+      case None =>
+        val dict = paths.distinct.flatMap { p =>
+          val canon = PathUtil.canon(p)
+          PathUtil.sparkMetaPaths(p, hconf).map(enc => (enc, canon))
+        }
+        df.join(broadcast(rs.createDataFrame(dict)
+          .toDF("__rawfile", "__dictfile")), Seq("__rawfile"), "left")
+      case Some(info) =>
+        val dict = paths.distinct.flatMap { p =>
+          val canon = PathUtil.canon(p)
+          val (first, seq) = info(canon)
+          PathUtil.sparkMetaPaths(p, hconf).map(enc => (enc, canon, first, seq))
+        }
+        df.join(broadcast(rs.createDataFrame(dict)
+          .toDF("__rawfile", "__dictfile", "__first_row_id", "__last_seq")),
+          Seq("__rawfile"), "left")
     }
-    val dictDf = broadcast(rs.createDataFrame(dict).toDF("__rawfile", "__dictfile"))
     // the miss guard is a standalone FILTER (assert_true returns null on
     // pass), not a branch woven into the value — so `as` stays a plain
     // attribute and downstream joins hash it directly instead of
     // re-evaluating a guard expression as their key
-    df.join(dictDf, Seq("__rawfile"), "left")
+    joined
       .filter(assert_true(col("__dictfile").isNotNull, concat(
         lit("path-dict miss: _metadata.file_path "), col("__rawfile"),
         lit(" matched no planned task path"))).isNull)

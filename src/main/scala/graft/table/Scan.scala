@@ -344,19 +344,20 @@ final class IceScan(
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         org.apache.spark.sql.types.StructType(fields))
     }
-    val base = toDFForTasks(tasks, applyResidualOnlyWhereNeeded = true,
-      keepFile = true, keepPos = true, lineageCols = true)
-    val info = tasks.map { t =>
+    val info: Map[String, (Long, Long)] = tasks.map { t =>
       val first = t.file.firstRowId.getOrElse(throw new IllegalStateException(
         s"${t.file.filePath} has no first_row_id — written before the table became v3? " +
           "Row lineage covers rows committed under format version 3"))
-      (PathUtil.canon(t.file.filePath), first, t.dataSequenceNumber)
-    }
-    val infoDf = broadcast(
-      spark.createDataFrame(info).toDF("__file", "__first_row_id", "__last_seq"))
+      PathUtil.canon(t.file.filePath) -> ((first, t.dataSequenceNumber))
+    }.toMap
+    // per-file constants ride the path dict itself (one broadcast probe
+    // per row, no second join keyed on the canonical string)
+    val base = toDFForTasks(tasks, applyResidualOnlyWhereNeeded = true,
+      keepFile = true, keepPos = true, lineageCols = true,
+      lineageConstants = Some(info))
     // a non-null MATERIALIZED value wins over inheritance (spec: readers
     // must prefer explicit lineage columns — rewritten files carry them)
-    base.join(infoDf, Seq("__file"))
+    base
       .select(proj.fields.map(f => col(f.name)) ++ Seq(
         coalesce(col(RowLineage.RowIdName), col("__first_row_id") + col("__pos"))
           .as(RowLineage.RowIdName),
@@ -370,7 +371,8 @@ final class IceScan(
     * `_metadata.file_path` (upsert file targeting, compaction). */
   private[table] def toDFForTasks(tasks: Seq[FileScanTask],
       applyResidualOnlyWhereNeeded: Boolean, keepFile: Boolean = false,
-      keepPos: Boolean = false, lineageCols: Boolean = false): DataFrame = {
+      keepPos: Boolean = false, lineageCols: Boolean = false,
+      lineageConstants: Option[Map[String, (Long, Long)]] = None): DataFrame = {
     val proj = projection
     val projSpark0 = proj.toSpark
     val metaFields =
@@ -380,6 +382,11 @@ final class IceScan(
         org.apache.spark.sql.types.LongType)) else Nil) ++
       (if (lineageCols) RowLineage.fields.map(f =>
         org.apache.spark.sql.types.StructField(f.name,
+          org.apache.spark.sql.types.LongType)) else Nil) ++
+      (if (lineageConstants.isDefined) Seq(
+        org.apache.spark.sql.types.StructField("__first_row_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__last_seq",
           org.apache.spark.sql.types.LongType)) else Nil)
     val projSpark = if (metaFields.nonEmpty)
       org.apache.spark.sql.types.StructType(projSpark0.fields ++ metaFields)
@@ -470,6 +477,16 @@ final class IceScan(
         UuidCompat.convert(col(f.name), f.fieldType).as(f.name)) ++
         metaCols.map(col): _*)
 
+    // non-parquet branches (ORC bridge, name-mapped external) get the
+    // lineage constants through a broadcast join on their own __file
+    // column; parquet branches get them from the path dict itself
+    val lineageInfoDf = lineageConstants.map { m =>
+      broadcast(rs.createDataFrame(m.toSeq.map { case (p, (f, sq)) => (p, f, sq) })
+        .toDF("__file", "__first_row_id", "__last_seq"))
+    }
+    def withConstants(df: DataFrame): DataFrame =
+      lineageInfoDf.map(i => df.join(i, Seq("__file"))).getOrElse(df)
+
     def readFiles(paths: Seq[String], withMeta: Boolean): DataFrame = {
       val base = rs.read.schema(UuidCompat.readSchema(readSchema)).parquet(paths: _*)
       val withCols =
@@ -479,10 +496,14 @@ final class IceScan(
           PathDict.join(
             base.select(col("*"), col("_metadata.file_path").as("__rawfile"),
               col("_metadata.row_index").as("__pos")),
-            rs, paths, as = "__file")
+            rs, paths, as = "__file",
+            lineage = lineageConstants.map(m => (p: String) => m(p)))
         else base
       val baked = if (nsPresent) bakeNsRead(withCols) else withCols
-      uuidNormalized(baked, if (withMeta) Seq("__file", "__pos") else Nil)
+      uuidNormalized(baked,
+        if (withMeta) Seq("__file", "__pos") ++
+          (if (lineageConstants.isDefined) Seq("__first_row_id", "__last_seq") else Nil)
+        else Nil)
     }
 
     /** name-mapped read: request columns under their mapped (registration
@@ -599,7 +620,7 @@ final class IceScan(
             throw new UnsupportedOperationException(
               s"Cannot read data files in format $fmt (file: " +
                 s"${ts.head.file.filePath}); supported: PARQUET, ORC")
-          branches += readExternal(ts, fmt)
+          branches += withConstants(readExternal(ts, fmt))
       }
     }
     if (orcDeleteTasks.nonEmpty) {
@@ -612,9 +633,9 @@ final class IceScan(
       val eqIds = orcDeleteTasks.flatMap(_.deletes)
         .filter(_.content == FileContent.EqualityDeletes).flatMap(_.equalityIds).distinct
       val eqSchema = Schema(schema.fields.filter(f => eqIds.contains(f.id)))
-      branches += OrcScanBridge.frame(rs, mapping, readSchema, eqSchema,
+      branches += withConstants(OrcScanBridge.frame(rs, mapping, readSchema, eqSchema,
         orcDeleteTasks.map(t => OrcScanBridge.descOf(table.location, t)),
-        keepFile = keepFile, keepPos = keepPos)
+        keepFile = keepFile, keepPos = keepPos))
     }
     if (plainTasks.nonEmpty) {
       val base = readFiles(plainTasks.map(_.file.filePath), withMeta = keepFile || keepPos)
@@ -766,7 +787,9 @@ final class IceScan(
       }
     } ++ (if (keepFile) Seq(col("__file")) else Nil) ++
       (if (keepPos) Seq(col("__pos")) else Nil) ++
-      (if (lineageCols) RowLineage.fields.map(f => col(f.name)) else Nil)
+      (if (lineageCols) RowLineage.fields.map(f => col(f.name)) else Nil) ++
+      (if (lineageConstants.isDefined)
+        Seq(col("__first_row_id"), col("__last_seq")) else Nil)
     df = df.select(outCols: _*)
     // Spark's LocalLimit is Int-bounded — `n.toInt` on a >2³¹ limit would
     // silently wrap. DOCUMENTED DEVIATION for limit > Int.MaxValue: only
