@@ -1225,6 +1225,45 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
       "replica maintained from the filtered feed must equal SELECT * WHERE p")
   }
 
+  test("filtered lineage CDC prunes through a TRANSFORM partition (month)") {
+    // the filter reaches the CDC planner through the inclusive
+    // projection, so a month(ts)-partitioned table prunes candidate
+    // files from a plain range predicate on the source column
+    import graft.streaming.TableChanges
+    import graft.core.PathUtil
+    val schema = Schema.fromSpark(orders.schema)
+    catalog.createTable("t_lincdc_tform", schema,
+      PartitionSpec.build(schema, 0, ("o_orderdate", MonthTransform, "o_month")),
+      properties = Map("format-version" -> "3",
+        "write.delete.mode" -> "merge-on-read"))
+    val t = catalog.loadTable("t_lincdc_tform")
+    t.append(orders)
+    val (_, c1) = TableChanges.pollLineageCdc(t, None)
+    // churn across MANY months: MoR delete + ingest
+    t.deleteAsDeletionVector("o_orderkey < 500")
+    t.append(orders.limit(300).withColumn("o_orderkey", col("o_orderkey") + 77000000L))
+    val t2 = catalog.loadTable("t_lincdc_tform")
+    val filt = ExprParser.parse(
+      "o_orderdate >= '1997-06-01T00:00:00' and o_orderdate < '1997-07-01T00:00:00'")
+    val (feed, _) = TableChanges.pollLineageCdc(t2, c1, Some(filt))
+    val rows = feed.collect()
+    val inMonth = (d: java.sql.Timestamp) =>
+      d.toLocalDateTime.getYear == 1997 && d.toLocalDateTime.getMonthValue == 6
+    assert(rows.nonEmpty && rows.forall(r =>
+      inMonth(java.sql.Timestamp.valueOf(
+        r.getAs[java.time.LocalDateTime]("o_orderdate")))))
+    val wantDel = orders.filter(col("o_orderkey") < 500)
+      .filter(col("o_orderdate") >= "1997-06-01" && col("o_orderdate") < "1997-07-01")
+      .count()
+    assert(rows.count(_.getAs[String]("_change_type") == "delete") === wantDel)
+    // every opened file lives in the filtered month's partition dir
+    // (the month transform stores the epoch-month ordinal: 1997-06 = 329)
+    val read = feed.inputFiles.map(PathUtil.canon)
+    assert(read.nonEmpty && read.forall(_.contains("o_month=329")),
+      s"filtered poll read outside the month: " +
+        read.filterNot(_.contains("o_month=329")).mkString(","))
+  }
+
   test("lineage CDC poll prunes at the file level: work ∝ churn, not corpus") {
     import graft.streaming.TableChanges
     import graft.core.PathUtil
