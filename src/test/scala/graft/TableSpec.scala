@@ -1225,6 +1225,36 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
       "replica maintained from the filtered feed must equal SELECT * WHERE p")
   }
 
+  test("filtered lineage CDC reports equality-delete victims through the legacy branch") {
+    // eq-deletes change a file's delete SIGNATURE with a non-DV ref —
+    // the otherMasked branch; under a filter its cursor-side scan and
+    // the curCand id side must stay consistent (victims matching the
+    // filter reported, others suppressed)
+    import graft.streaming.TableChanges
+    val schema = Schema.fromSpark(orders.schema)
+    catalog.createTable("t_lincdc_eq", schema,
+      PartitionSpec.build(schema, 0, ("o_orderpriority", IdentityTransform, "prio")),
+      properties = Map("format-version" -> "3"))
+    val t = catalog.loadTable("t_lincdc_eq")
+    t.append(orders)
+    val (_, c1) = TableChanges.pollLineageCdc(t, None)
+    val p = "1-URGENT"
+    // equality-delete two keys: one in p, one in another partition
+    val kP = orders.filter(col("o_orderpriority") === p)
+      .agg(min("o_orderkey")).head().getLong(0)
+    val kOther = orders.filter(col("o_orderpriority") === "5-LOW")
+      .agg(min("o_orderkey")).head().getLong(0)
+    t.deleteEqualityKeys(orders.filter(col("o_orderkey").isin(kP, kOther))
+      .select("o_orderkey"))
+    val t2 = catalog.loadTable("t_lincdc_eq")
+    val (feed, _) = TableChanges.pollLineageCdc(t2, c1,
+      Some(ExprParser.parse(s"o_orderpriority = '$p'")))
+    val rows = feed.collect()
+    assert(rows.map(r => (r.getAs[String]("_change_type"),
+      r.getAs[Long]("o_orderkey"))).toSet === Set(("delete", kP)),
+      s"got ${rows.mkString(";")}")
+  }
+
   test("filtered lineage CDC prunes through a TRANSFORM partition (month)") {
     // the filter reaches the CDC planner through the inclusive
     // projection, so a month(ts)-partitioned table prunes candidate
