@@ -235,8 +235,8 @@ class BigQueryCatalog(
     val rec = recordOf(name).getOrElse(
       throw new IllegalArgumentException(s"Table $name not found"))
     val loc = metadataLocationOf(rec)
-    val json = new String(Io.readBytes(loc), "UTF-8")
-    new IceTable(this, name, MetadataJson.fromJson(json), versionOf(loc))
+    // uuid-named metadata files are immutable: parse is path-cache-served
+    new IceTable(this, name, MetadataCache.read(loc), versionOf(loc))
   }
 
   def commit(name: String, expectedVersion: Int, meta: TableMetadata): Int = {

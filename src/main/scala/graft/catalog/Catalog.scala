@@ -189,7 +189,7 @@ trait Catalog {
     * (ref: register_table :498). The table keeps its original location. */
   def registerTable(name: String, metadataPath: String): IceTable = {
     require(!tableExists(name), s"Table $name already exists")
-    val meta = MetadataJson.fromJson(new String(Io.readBytes(metadataPath), "UTF-8"))
+    val meta = MetadataCache.read(metadataPath)
     commit(name, 0, meta)
     loadTable(name)
   }
@@ -345,12 +345,17 @@ class HadoopCatalog(val warehouse: String, val spark: SparkSession) extends Cata
   def loadTable(name: String): IceTable = {
     val v = currentVersion(name).getOrElse(
       throw new IllegalArgumentException(s"Table $name not found"))
-    val json = new String(Io.readBytes(versionFile(name, v)), "UTF-8")
-    new IceTable(this, name, MetadataJson.fromJson(json), v)
+    // version files are CREATE_NEW (write-once), so the parse is
+    // path-cache-served: a streaming refresh() costs one hint probe
+    new IceTable(this, name, MetadataCache.read(versionFile(name, v)), v)
   }
 
   def dropTable(name: String): Unit =
-    if (Io.exists(tableDir(name))) Io.delete(tableDir(name), recursive = true)
+    if (Io.exists(tableDir(name))) {
+      Io.delete(tableDir(name), recursive = true)
+      // a recreated table reuses the deterministic v<N> paths
+      MetadataCache.invalidateUnder(metadataDir(name))
+    }
 
   protected def forgetTable(name: String): Unit = {
     // the catalog ENTRY is the version hint + version files; the avro
@@ -361,6 +366,7 @@ class HadoopCatalog(val warehouse: String, val spark: SparkSession) extends Cata
       if (n == "version-hint.text" || (n.startsWith("v") && n.endsWith(".metadata.json")))
         Io.delete(s"$md/$n")
     }
+    MetadataCache.invalidateUnder(md)
   }
 
   def createNamespace(ns: String): Unit =
@@ -575,8 +581,7 @@ class CommitConflictException(table: String, version: Int)
   * (ref: StaticTable.from_metadata table/__init__.py:1782). */
 object StaticTable {
   def fromMetadata(metadataPath: String, spark: SparkSession): IceTable = {
-    val json = new String(Io.readBytes(metadataPath), "UTF-8")
-    val meta = MetadataJson.fromJson(json)
+    val meta = MetadataCache.read(metadataPath)
     val readOnly = new HadoopCatalog(meta.location, spark) {
       override def commit(name: String, expectedVersion: Int, m: TableMetadata): Int =
         throw new UnsupportedOperationException("StaticTable is read-only")

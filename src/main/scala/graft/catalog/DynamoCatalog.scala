@@ -174,8 +174,8 @@ class DynamoCatalog(
     val item = itemOf(name).getOrElse(
       throw new IllegalArgumentException(s"Table $name not found"))
     val loc = metadataLocationOf(item)
-    val json = new String(Io.readBytes(loc), "UTF-8")
-    new IceTable(this, name, MetadataJson.fromJson(json), versionOf(loc))
+    // uuid-named metadata files are immutable: parse is path-cache-served
+    new IceTable(this, name, MetadataCache.read(loc), versionOf(loc))
   }
 
   def commit(name: String, expectedVersion: Int, meta: TableMetadata): Int = {

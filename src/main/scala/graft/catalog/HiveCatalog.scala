@@ -284,8 +284,8 @@ class HiveCatalog(
     val rec = recordOf(name).getOrElse(
       throw new IllegalArgumentException(s"Table $name not found"))
     val loc = metadataLocationOf(rec)
-    val json = new String(Io.readBytes(loc), "UTF-8")
-    new IceTable(this, name, MetadataJson.fromJson(json), versionOf(loc))
+    // uuid-named metadata files are immutable: parse is path-cache-served
+    new IceTable(this, name, MetadataCache.read(loc), versionOf(loc))
   }
 
   /** ref hive.py:502 _wait_for_lock: exponential backoff (×2 per

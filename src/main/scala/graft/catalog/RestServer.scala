@@ -12,7 +12,7 @@ import com.fasterxml.jackson.databind.node.ObjectNode
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
 import graft.core.Schema
-import graft.meta.{Io, MetadataJson, TableMetadata}
+import graft.meta.{Io, MetadataCache, MetadataJson, TableMetadata}
 import graft.view.{SqlViewRepresentation, ViewHistoryEntry, ViewMetadata, ViewMetadataJson, ViewVersion}
 
 /** In-process Iceberg REST catalog server, bound to 127.0.0.1 only.
@@ -143,7 +143,7 @@ final class RestCatalogServer(
         val n = mapper.readTree(new String(Io.readBytes(s"$pointerDir/$f"), UTF_8))
         val loc = n.get("metadata-location").asText()
         tables.put(name, TableState(n.get("version").asInt(), loc,
-          MetadataJson.fromJson(new String(Io.readBytes(loc), UTF_8))))
+          MetadataCache.read(loc)))
       case (f, false) if f.endsWith(".view.json") =>
         val name = f.stripSuffix(".view.json")
         val n = mapper.readTree(new String(Io.readBytes(s"$pointerDir/$f"), UTF_8))
@@ -462,7 +462,7 @@ final class RestCatalogServer(
     val req = mapper.readTree(body)
     val name = fullName(ns, req.get("name").asText())
     val loc = req.get("metadata-location").asText()
-    val meta = MetadataJson.fromJson(new String(Io.readBytes(loc), UTF_8))
+    val meta = MetadataCache.read(loc)
     val st = TableState(1, loc, meta)
     withTableLock(name) {
       if (tables.putIfAbsent(name, st) != null)

@@ -161,8 +161,8 @@ class SqlCatalog(
   def loadTable(name: String): IceTable = {
     val loc = currentLocation(name).getOrElse(
       throw new IllegalArgumentException(s"Table $name not found"))
-    val json = new String(Io.readBytes(loc), "UTF-8")
-    new IceTable(this, name, MetadataJson.fromJson(json), versionOf(loc))
+    // uuid-named metadata files are immutable: parse is path-cache-served
+    new IceTable(this, name, MetadataCache.read(loc), versionOf(loc))
   }
 
   /** Write the candidate metadata file, then CAS the catalog row

@@ -339,7 +339,7 @@ object ManifestIO {
   /** 0 disables and clears (the reference's `manifest-cache-size: 0`). */
   def setManifestCacheSize(maxEntries: Long): Unit = {
     cacheMax = math.max(0L, maxEntries)
-    cacheLock.synchronized { evictTo(cacheMax) }
+    cacheLock.synchronized { evictTo(cacheMax); listEvictTo(cacheMax) }
   }
 
   /** Cache-hit counter (test instrumentation, local mode). */
@@ -355,9 +355,13 @@ object ManifestIO {
     new java.util.LinkedHashMap[EntryCacheKey, Seq[ManifestEntry]](64, 0.75f, true)
   private var cachedEntryCount = 0L
 
-  /** Release all cached manifest metadata (ref: manifest.py:947
-    * clear_manifest_cache — long-lived or memory-sensitive processes). */
-  def clearManifestCache(): Unit = cacheLock.synchronized { evictTo(0L) }
+  /** Release all cached metadata — manifest entries, manifest lists, and
+    * parsed table-metadata JSON (ref: manifest.py:947 clear_manifest_cache
+    * — long-lived or memory-sensitive processes). */
+  def clearManifestCache(): Unit = {
+    cacheLock.synchronized { evictTo(0L); listEvictTo(0L) }
+    MetadataCache.clear()
+  }
 
   private def evictTo(budget: Long): Unit = {
     val it = entryCache.entrySet().iterator()
@@ -545,6 +549,31 @@ object ManifestIO {
 
   // ---- manifest list ----
 
+  /** Manifest-list-open counter — same instrumentation contract as
+    * manifestOpens: counts real decodes, never cache hits. */
+  val manifestListOpens = new java.util.concurrent.atomic.AtomicLong(0)
+
+  // Manifest LISTS are immutable by path too (one per snapshot, written
+  // once at commit), and every metadata walk — scan plan, CDC poll,
+  // changelog trigger, inspect table — starts by reading one. The list
+  // cache is the entry cache's sibling: keyed by canonical path alone
+  // (decoding needs no spec/schema), budgeted in ManifestFile rows under
+  // the SAME `graft.manifest-cache-size` knob (0 disables both, the
+  // reference's manifest-cache-size semantics), so a repeat walk over an
+  // unchanged table performs ZERO avro IO end to end.
+  private val listCache =
+    new java.util.LinkedHashMap[String, Seq[ManifestFile]](64, 0.75f, true)
+  private var cachedListRows = 0L
+
+  private def listEvictTo(budget: Long): Unit = {
+    val it = listCache.entrySet().iterator()
+    while (cachedListRows > budget && it.hasNext) {
+      val e = it.next()
+      cachedListRows -= math.max(1, e.getValue.size)
+      it.remove()
+    }
+  }
+
   def writeManifestList(path: String, manifests: Seq[ManifestFile],
       codec: String = DefaultAvroCodec,
       snapshotId: Option[Long] = None,
@@ -615,6 +644,29 @@ object ManifestIO {
   }
 
   def readManifestList(path: String): Seq[ManifestFile] = {
+    val key = if (cacheMax > 0) Some(PathUtil.canon(path)) else None
+    key.foreach { k =>
+      cacheLock.synchronized(Option(listCache.get(k))).foreach { hit =>
+        manifestCacheHits.incrementAndGet()
+        return hit
+      }
+    }
+    val out = decodeManifestList(path)
+    key.foreach { k =>
+      cacheLock.synchronized {
+        val w = math.max(1, out.size).toLong
+        if (w <= cacheMax && !listCache.containsKey(k)) {
+          listCache.put(k, out)
+          cachedListRows += w
+          listEvictTo(cacheMax)
+        }
+      }
+    }
+    out
+  }
+
+  private def decodeManifestList(path: String): Seq[ManifestFile] = {
+    manifestListOpens.incrementAndGet()
     val reader = openAvro(path, null)
     try {
       // Foreign v1 lists (Java/pyiceberg ManifestListWriterV1) name the

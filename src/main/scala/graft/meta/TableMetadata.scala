@@ -129,6 +129,65 @@ final case class TableMetadata(
   }
 }
 
+/** Path-keyed LRU of PARSED table metadata.
+  *
+  * Metadata files are write-once in every catalog here (HadoopCatalog uses
+  * CREATE_NEW version files, the SQL/Hive/Glue/Dynamo/BigQuery pointer
+  * catalogs name them `v<N>-<uuid>`), so a path's parse result can never go
+  * stale within a table's lifetime. `refresh()` — which streaming sources
+  * call once per trigger — then costs one pointer probe instead of
+  * re-reading and re-parsing the whole metadata JSON (MBs on a table with
+  * a long snapshot history). The one real hazard, a DROPPED table
+  * recreated at the same deterministic HadoopCatalog paths, is handled by
+  * invalidateUnder from dropTable/forgetTable; a FOREIGN process dropping
+  * and recreating a table under this process's feet has the same staleness
+  * window as Iceberg's own CachingCatalog. Shares the
+  * `graft.manifest-cache-size = 0` kill switch with the manifest caches. */
+object MetadataCache {
+  /** Real read+parse count (cache hits excluded) — test instrumentation. */
+  val parses = new java.util.concurrent.atomic.AtomicLong(0)
+  val hits = new java.util.concurrent.atomic.AtomicLong(0)
+  private val MaxPaths = 128
+  private val lock = new Object
+  private val lru =
+    new java.util.LinkedHashMap[String, TableMetadata](16, 0.75f, true)
+
+  private def parse(path: String): TableMetadata = {
+    parses.incrementAndGet()
+    MetadataJson.fromJson(new String(Io.readBytes(path),
+      java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Read table metadata at an immutable metadata-file `path`. */
+  def read(path: String): TableMetadata = {
+    if (ManifestIO.manifestCacheSize <= 0) return parse(path)
+    val k = PathUtil.canon(path)
+    lock.synchronized(Option(lru.get(k))) match {
+      case Some(h) => hits.incrementAndGet(); h
+      case None =>
+        val m = parse(path)
+        lock.synchronized {
+          lru.put(k, m)
+          val it = lru.keySet().iterator()
+          while (lru.size() > MaxPaths && it.hasNext) { it.next(); it.remove() }
+        }
+        m
+    }
+  }
+
+  /** Drop every cached path under `prefix` — dropTable/forgetTable call
+    * this because a recreated HadoopCatalog table reuses `v<N>` paths. */
+  def invalidateUnder(prefix: String): Unit = {
+    val p = PathUtil.canon(prefix)
+    lock.synchronized {
+      val it = lru.keySet().iterator()
+      while (it.hasNext) if (it.next().startsWith(p)) it.remove()
+    }
+  }
+
+  def clear(): Unit = lock.synchronized(lru.clear())
+}
+
 object MetadataJson {
   private val mapper = new ObjectMapper()
 

@@ -139,10 +139,10 @@ abstract class SnapshotRangeSource(table: IceTable,
 
   private def persistPlanned(id: Long, files: Option[Long]): Unit =
     plannedFile.foreach { p =>
-      val out = graft.meta.Io.create(p)
-      try out.write(CdcSnapshotOffset(id, files).json()
+      // atomic (write-tmp + rename): a crash mid-write must not leave a
+      // truncated floor file that poisons the next clean restart's parse
+      graft.meta.Io.writeBytesAtomic(p, CdcSnapshotOffset(id, files).json()
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
     }
 
   private def recoverPlanned(): Option[(Long, Option[Long])] =

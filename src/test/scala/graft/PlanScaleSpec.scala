@@ -218,22 +218,29 @@ class PlanScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fullSec < 90.0, f"full MoR plan took $fullSec%.1fs")
 
     // manifest cache: a REPEAT of the same walk decodes NOTHING — every
-    // manifest of this immutable forest is served from the entry LRU
+    // manifest of this immutable forest is served from the entry LRU,
+    // and the manifest LIST itself from the list LRU (zero avro IO)
     val b3 = ManifestIO.manifestOpens.get()
+    val bl3 = ManifestIO.manifestListOpens.get()
     val t2 = System.nanoTime()
     val again = table.scan.planFiles()
     val cachedSec = (System.nanoTime() - t2) / 1e9
     assert(again.size === all.size)
     assert(ManifestIO.manifestOpens.get() - b3 === 0L,
       "a repeated full plan over an unchanged table must open ZERO manifests")
+    assert(ManifestIO.manifestListOpens.get() - bl3 === 0L,
+      "a repeated full plan over an unchanged table must re-read ZERO manifest lists")
     // cache disabled (0, the reference's manifest-cache-size semantics):
     // the same walk decodes everything again
     graft.meta.ManifestIO.setManifestCacheSize(0L)
     try {
       val b4 = ManifestIO.manifestOpens.get()
+      val bl4 = ManifestIO.manifestListOpens.get()
       table.scan(s"d = '$date'").planFiles()
       assert(ManifestIO.manifestOpens.get() - b4 === 2L,
         "manifest-cache-size=0 must disable caching")
+      assert(ManifestIO.manifestListOpens.get() - bl4 === 1L,
+        "manifest-cache-size=0 must disable list caching too")
     } finally graft.meta.ManifestIO.setManifestCacheSize(
       graft.meta.ManifestIO.DefaultManifestCacheEntries)
     info(f"MoR planFiles: one-day=$sec%.2fs (opens=$opens) " +
@@ -340,5 +347,52 @@ class PlanScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
         enc.replace("+", "%2B"), "UTF-8")) == canon })
     assert(sec < 10.0, f"path-dict build took $sec%.1fs at 100k files")
     info(f"path dict at 100k files: ${dict.size} entries in $sec%.2fs")
+  }
+
+  test("metadata parse cache: refresh costs a pointer probe, drop invalidates") {
+    val spark2 = spark
+    import spark2.implicits._
+    catalog.createTable("metacache_t", Schema(Seq(
+      NestedField(1, "id", ILong), NestedField(2, "v", IString))))
+    val t = catalog.loadTable("metacache_t")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+
+    // version files are write-once: a second load of the SAME version must
+    // be parse-free (this is what a steady streaming refresh() pays)
+    catalog.loadTable("metacache_t")
+    val p0 = MetadataCache.parses.get()
+    val h0 = MetadataCache.hits.get()
+    t.refresh(); t.refresh(); t.refresh()
+    assert(MetadataCache.parses.get() - p0 === 0L,
+      "refresh of an unchanged table must not re-parse metadata JSON")
+    assert(MetadataCache.hits.get() - h0 === 3L)
+
+    // a commit advances the pointer to a NEW path → exactly one new parse
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    val p1 = MetadataCache.parses.get()
+    t.refresh()
+    assert(MetadataCache.parses.get() - p1 === 1L)
+
+    // drop + recreate reuses HadoopCatalog's deterministic v<N> paths —
+    // the recreated table must NOT be served the dropped table's metadata
+    val uuid1 = t.metadata.tableUuid
+    catalog.dropTable("metacache_t")
+    catalog.createTable("metacache_t", Schema(Seq(
+      NestedField(1, "id", ILong))))
+    val t2 = catalog.loadTable("metacache_t")
+    assert(t2.metadata.tableUuid !== uuid1,
+      "recreated table served STALE cached metadata")
+    assert(t2.schema.fields.map(_.name) === Seq("id"))
+
+    // the kill switch disables this cache too
+    graft.meta.ManifestIO.setManifestCacheSize(0L)
+    try {
+      graft.meta.ManifestIO.clearManifestCache()
+      val p2 = MetadataCache.parses.get()
+      t2.refresh(); t2.refresh()
+      assert(MetadataCache.parses.get() - p2 === 2L,
+        "manifest-cache-size=0 must disable metadata parse caching")
+    } finally graft.meta.ManifestIO.setManifestCacheSize(
+      graft.meta.ManifestIO.DefaultManifestCacheEntries)
   }
 }
