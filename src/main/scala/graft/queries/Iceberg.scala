@@ -1098,6 +1098,130 @@ object Iceberg {
       |SELECT doc_id, term, score, rk FROM r WHERE rk <= 3
       |ORDER BY doc_id, rk""".stripMargin
 
+  /** J×curation synthesis: INCREMENTAL GROUP-WINNER (argmax) MAINTENANCE
+    * from the row-identity CDC feed — the survivorship answer to "the
+    * corpus changed; re-elect dedup winners only for affected groups".
+    * The curation pipeline's URL-dedup stage (`ds_pipeline_curate`) keeps
+    * one winner per canonical url (highest n_chars, ties to lowest
+    * doc_id); its maintained state is the GATED-candidate index
+    * (doc_id, url, k) — quality/language gates applied, k the packed
+    * election key. ONE pollLineageCdc batch maintains it without
+    * rescanning the corpus:
+    *  - deleted + pre-update docs retire index rows BY doc_id (a deleted
+    *    WINNER's runner-up gets promoted — the case that forces groups
+    *    to re-elect rather than diff row sets);
+    *  - updated/inserted docs re-gate only the churn rows (a boosted
+    *    update can newly ENTER the index or seize a win; a demoted one
+    *    retires with no add);
+    *  - winners re-elect ONLY for urls touched by the churn (retired
+    *    rows' urls looked up in the index by doc_id, plus added rows'
+    *    urls) — an index lookup keyed by url, never a corpus groupBy.
+    * Output = the final (url, winner doc_id, n_chars) for affected urls;
+    * the oracle recomputes those winners FROM SCRATCH over the churned
+    * corpus, proving the incremental election equals a full re-run. At
+    * 100 TB the index is a maintained table bucketed by url: a poll
+    * shuffles churn-sized retire/add sets and re-aggregates only the
+    * affected url buckets' candidates. */
+  def curateCdc(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    val cat = s"gcur${sqlCatSeq.incrementAndGet()}"
+    val whDir = Files.createTempDirectory("graft_curatecdc").toString
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", whDir)
+    val tab = new HadoopCatalog(whDir, s)
+      .createTable("db.corpus", Schema.fromSpark(docs.schema),
+        properties = Map("format-version" -> "3"))
+    tab.append(docs.filter(col("doc_id") % 3 =!= 0))
+    val c0 = tab.refresh().metadata.currentSnapshotId
+    // churn: winners die (DELETE), docs get BOOSTED past the gate / into
+    // wins (+500), docs get DEMOTED out of the gate (0), urls contested
+    // by a fresh ingest
+    s.sql(s"DELETE FROM $cat.db.corpus WHERE doc_id % 9 = 1")
+    s.sql(s"UPDATE $cat.db.corpus SET n_chars = n_chars + 500 WHERE doc_id % 9 = 2")
+    s.sql(s"UPDATE $cat.db.corpus SET n_chars = 0 WHERE doc_id % 9 = 4")
+    tab.refresh().append(docs.filter(col("doc_id") % 3 === 0))
+    val rel = tab.refresh()
+    val (changes0, _) = graft.streaming.TableChanges.pollLineageCdc(rel, c0)
+    val changes = DataOps.trackCache(changes0.persist())
+    // same gate + canonicalizer + election key as ds_pipeline_curate
+    def gated(d: DataFrame): DataFrame = {
+      val raw = concat(
+        when(col("doc_id") % 3 === 0, lit("HTTPS://WWW.")).otherwise(lit("http://")),
+        col("source"), lit(".example.com/page/"),
+        (col("doc_id") % 200).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("?utm_source=feed&ref=abc")).otherwise(lit("")))
+      val canon = regexp_replace(regexp_replace(regexp_replace(
+        lower(raw), "^https?://(www\\.)?", ""), "[?#].*$", ""), "/+$", "")
+      d.filter(col("lang").isin("en", "de", "fr") && col("n_chars") >= 100)
+        .select(col("doc_id"), canon.as("url"),
+          (col("n_chars") * 10000000L + (lit(9999999L) - col("doc_id"))).as("k"))
+    }
+    // ---- maintained state as of the cursor (conceptually persisted) ----
+    val idx0 = DataOps.trackCache(
+      gated(rel.scan.useSnapshot(c0.get).toDF).persist())
+    // ---- maintenance ∝ |changes| ----
+    val retired = changes
+      .filter(col("_change_type").isin("delete", "update")).select(col("doc_id"))
+    val added = DataOps.trackCache(gated(changes
+      .filter(col("_change_type").isin("insert", "update"))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))).persist())
+    val idx1 = idx0.join(retired, Seq("doc_id"), "left_anti").unionByName(added)
+    // affected groups: urls of retired index rows (an index lookup by
+    // doc_id) plus urls of added candidates — churn-sized
+    val affected = idx0.join(retired, Seq("doc_id"), "left_semi").select(col("url"))
+      .unionByName(added.select(col("url"))).distinct()
+    // re-elect only those groups; a url whose last candidate retired
+    // simply has no row (the curated replica deletes it)
+    val winners = idx1.join(affected, Seq("url"), "left_semi")
+      .groupBy(col("url")).agg(max(col("k")).as("mk"))
+    nonEmpty(winners.select(col("url"),
+        (lit(9999999L) - pmod(col("mk"), lit(10000000L))).as("doc_id"),
+        expr("mk div 10000000").as("n_chars"))
+      .orderBy(col("url")))
+  }
+  /** Oracle = from-scratch gate + url-dedup election over the CHURNED
+    * corpus, filtered to the urls the churn touched. */
+  val curateCdcSql =
+    """WITH corpus1 AS (
+      |  SELECT doc_id, source, lang,
+      |    CASE WHEN doc_id % 9 = 2 THEN n_chars + 500
+      |         WHEN doc_id % 9 = 4 THEN 0 ELSE n_chars END AS n_chars
+      |  FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 9 <> 1
+      |  UNION ALL
+      |  SELECT doc_id, source, lang, n_chars FROM documents WHERE doc_id % 3 = 0),
+      |u AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(lower(
+      |      (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.' ELSE 'http://' END) ||
+      |      source || '.example.com/page/' || CAST(doc_id % 200 AS VARCHAR) ||
+      |      (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+      |      (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&ref=abc' ELSE '' END)),
+      |      '^https?://(www\.)?', ''), '[?#].*$', ''), '/+$', '') AS url,
+      |    n_chars * 10000000 + (9999999 - doc_id) AS k
+      |  FROM corpus1
+      |  WHERE lang IN ('en','de','fr') AND n_chars >= 100),
+      |idx0 AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(lower(
+      |      'http://' ||
+      |      source || '.example.com/page/' || CAST(doc_id % 200 AS VARCHAR) ||
+      |      (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+      |      (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&ref=abc' ELSE '' END)),
+      |      '^https?://(www\.)?', ''), '[?#].*$', ''), '/+$', '') AS url
+      |  FROM documents
+      |  WHERE doc_id % 3 <> 0 AND lang IN ('en','de','fr') AND n_chars >= 100),
+      |affected AS (
+      |  SELECT DISTINCT url FROM idx0 WHERE doc_id % 9 IN (1, 2, 4)
+      |  UNION
+      |  SELECT DISTINCT url FROM u WHERE doc_id % 3 = 0 OR doc_id % 9 = 2),
+      |w AS (
+      |  SELECT url, max(k) AS mk FROM u
+      |  WHERE url IN (SELECT url FROM affected) GROUP BY url)
+      |SELECT url, 9999999 - (mk % 10000000) AS doc_id, mk // 10000000 AS n_chars
+      |FROM w ORDER BY url""".stripMargin
+
   /** FILTERED row-identity CDC (r14): the change feed of `SELECT * WHERE
     * p` — a consumer tailing ONE partition (a tenant, a region, a time
     * slice) gets replica semantics without paying the whole table's
@@ -2079,6 +2203,7 @@ object Iceberg {
     "ds_decontaminate_cdc" -> (decontaminateCdc _),
     "ds_ann_cdc" -> (annCdc _),
     "ds_tfidf_cdc" -> (tfidfCdc _),
+    "ds_curate_cdc" -> (curateCdc _),
     "ice_cdc_filtered" -> (cdcFiltered _),
     "ice_equality_deletes" -> (equalityDeletes _),
     "ice_dsv2_scan" -> (dsv2Scan _),
@@ -2142,6 +2267,7 @@ object Iceberg {
     "ds_decontaminate_cdc" -> decontaminateCdcSql,
     "ds_ann_cdc" -> annCdcSql,
     "ds_tfidf_cdc" -> tfidfCdcSql,
+    "ds_curate_cdc" -> curateCdcSql,
     "ice_cdc_filtered" -> cdcFilteredSql,
     "ice_equality_deletes" -> equalityDeletesSql,
     "ice_dsv2_scan" -> dsv2ScanSql,
