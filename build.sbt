@@ -34,3 +34,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Test JVMs write oracle exports to their own dir so a concurrent
+// Verify/Bench run's DuckDB oracle never reads a test's overwrite.
+Test / javaOptions += "-Dgraft.export.dir=/tmp/graft_export_test"

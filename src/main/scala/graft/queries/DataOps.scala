@@ -30,7 +30,14 @@ object DataOps {
     * rows-only count. Bench disables the export so measured times stay
     * pure compute. */
   @volatile var oracleExportEnabled: Boolean = true
-  private val ExportDir = "/tmp/graft_export"
+  /** Overridable per PROCESS (`graft.export.dir`): a concurrent test JVM
+    * exercising the same gate functions must not overwrite the export a
+    * Verify run's DuckDB oracle is about to read — the oracle SQL strings
+    * bake this path in at class load, so the override must be a JVM
+    * property set before first use (build.sbt pins the test JVMs to
+    * /tmp/graft_export_test; Verify/Bench/driver keep the default). */
+  private val ExportDir =
+    sys.props.getOrElse("graft.export.dir", "/tmp/graft_export")
 
   /** DataFrames persisted inside query functions, released when the NEXT
     * query starts (SparkEntry wraps every entry with releaseCaches).

@@ -1289,6 +1289,56 @@ object Iceberg {
       |WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 13 = 11
       |ORDER BY _change_type, o_orderkey""".stripMargin
 
+  /** CDC APPLY / physical REPLICATION (r14): the feed's canonical
+    * consumer — a downstream Iceberg table maintained as an exact mirror
+    * of the source, EXACTLY-ONCE. `TableChanges.replicateOnce` polls the
+    * row-identity feed past the cursor the REPLICA itself recorded and
+    * `IceTable.applyCdc` lands the batch: retired rows (deletes +
+    * pre-update images) leave, new images land, and the replication
+    * cursor property rides the SAME atomic commit — the replica is its
+    * own checkpoint, so a crash anywhere re-polls exactly the unapplied
+    * range and a replayed batch is a detected no-op (pinned in
+    * TableSpec). Two cycles here: initial load (full snapshot as
+    * inserts), then a delete + update + ingest churn round. At 100 TB
+    * both sides are churn-proportional: the poll is file-pruned (r13)
+    * and the apply rewrites only the replica files the retired ids
+    * live in (`__file` semi-join targeting). Output = the replica's
+    * final content, which the oracle derives from the churn recipe
+    * applied to the source parquet directly. */
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val cat = s"gcapp${sqlCatSeq.incrementAndGet()}"
+    val whDir = Files.createTempDirectory("graft_cdcapply").toString
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", whDir)
+    val hc = new HadoopCatalog(whDir, s)
+    val src = hc.createTable("db.src", Schema.fromSpark(orders.schema),
+      properties = Map("format-version" -> "3"))
+    val rep = hc.createTable("db.rep", Schema.fromSpark(
+        orders.withColumn("_src_row_id", lit(0L)).schema),
+      properties = Map("format-version" -> "3"))
+    src.append(orders.filter(col("o_orderkey") % 3 =!= 0))
+    graft.streaming.TableChanges.replicateOnce(src.refresh(), rep)
+    s.sql(s"DELETE FROM $cat.db.src WHERE o_orderkey % 9 = 1")
+    s.sql(s"UPDATE $cat.db.src SET o_totalprice = o_totalprice + 1 " +
+      s"WHERE o_orderkey % 9 = 2")
+    src.refresh().append(orders.filter(col("o_orderkey") % 3 === 0))
+    graft.streaming.TableChanges.replicateOnce(src.refresh(), rep)
+    nonEmpty(rep.refresh().scan.toDF
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderkey")))
+  }
+  /** Final replica state from the churn recipe: %9==1 rows were deleted
+    * (all of them were in the initial %3≠0 load, since %9==1 ⟹ %3==1);
+    * %9==2 rows carry the +1 update; %3==0 rows arrived in the ingest. */
+  val cdcApplySql =
+    """SELECT o_orderkey, o_orderstatus,
+      |  CASE WHEN o_orderkey % 9 = 2 THEN o_totalprice + 1
+      |       ELSE o_totalprice END AS o_totalprice
+      |FROM orders WHERE o_orderkey % 9 <> 1
+      |ORDER BY o_orderkey""".stripMargin
+
   val rowLineageDmlSql =
     """WITH odd AS (
       |  SELECT o_orderkey, o_orderstatus, o_totalprice,
@@ -2205,6 +2255,7 @@ object Iceberg {
     "ds_tfidf_cdc" -> (tfidfCdc _),
     "ds_curate_cdc" -> (curateCdc _),
     "ice_cdc_filtered" -> (cdcFiltered _),
+    "ice_cdc_apply" -> (cdcApply _),
     "ice_equality_deletes" -> (equalityDeletes _),
     "ice_dsv2_scan" -> (dsv2Scan _),
     "ice_dsv2_agg" -> (dsv2AggPushdown _),
@@ -2269,6 +2320,7 @@ object Iceberg {
     "ds_tfidf_cdc" -> tfidfCdcSql,
     "ds_curate_cdc" -> curateCdcSql,
     "ice_cdc_filtered" -> cdcFilteredSql,
+    "ice_cdc_apply" -> cdcApplySql,
     "ice_equality_deletes" -> equalityDeletesSql,
     "ice_dsv2_scan" -> dsv2ScanSql,
     "ice_dsv2_agg" -> dsv2AggPushdownSql,

@@ -56,7 +56,7 @@ object GraftProcedures {
       "rewrite_manifests", "rewrite_position_deletes", "rollback_to_snapshot",
       "compute_partition_stats", "rollback_to_timestamp", "set_current_snapshot",
       "fast_forward", "register_table", "add_files", "create_tag",
-      "create_branch", "remove_ref")
+      "create_branch", "remove_ref", "cdc_apply")
 
   def byName(catalog: GCatalog): Map[String, UnboundProcedure] = Map(
     "expire_snapshots" -> new Proc("expire_snapshots",
@@ -280,5 +280,25 @@ object GraftProcedures {
         require(t.metadata.refs.contains(name), s"No ref $name")
         t.manageSnapshots.removeTag(name)
         Seq(Array[Any](utf8(name)))
+      }),
+
+    // graft extension (no iceberg-java counterpart): one exactly-once
+    // replication step of the row-identity CDC feed into a replica —
+    // `CALL cat.system.cdc_apply(source => 'db.src', replica => 'db.rep'
+    //  [, filter => '<predicate DSL>'])`; the replica's own cursor
+    // property picks the range, so a cron of this call IS a mirror
+    "cdc_apply" -> new Proc("cdc_apply",
+      Seq(in("source", StringType), in("replica", StringType),
+        inDefault("filter", StringType, "NULL")),
+      StructType(Seq(
+        StructField("inserted", LongType), StructField("updated", LongType),
+        StructField("deleted", LongType), StructField("cursor", StringType))),
+      { input =>
+        val src = catalog.loadTable(input.getUTF8String(0).toString)
+        val rep = catalog.loadTable(input.getUTF8String(1).toString)
+        val f = if (input.isNullAt(2)) None
+          else Some(graft.core.ExprParser.parse(input.getUTF8String(2).toString))
+        val (i, u, d) = graft.streaming.TableChanges.replicateOnce(src, rep, f)
+        Seq(Array[Any](i, u, d, rep.appliedCdcCursor.map(utf8).orNull))
       }))
 }

@@ -749,4 +749,26 @@ object TableChanges {
     thread.start()
     new Handle(running, thread)
   }
+
+  /** One REPLICATION step: poll `source`'s row-identity feed past the
+    * cursor the replica itself recorded (its `graft.cdc.applied-cursor`
+    * property — [[IceTable.applyCdc]] stamps it in the same commit as
+    * each batch's data) and apply the batch. The loop needs no external
+    * checkpoint: the replica IS the checkpoint, so a crash anywhere
+    * re-polls exactly the unapplied range and a replayed batch is a
+    * detected no-op. With `filter` the replica maintains
+    * `SELECT * WHERE p` of the source (the filtered feed's replica
+    * semantics), paying only the filtered partitions' churn.
+    * Returns (inserted, updated, deleted). */
+  def replicateOnce(source: IceTable, replica: IceTable,
+      filter: Option[graft.core.Expr] = None): (Long, Long, Long) = {
+    replica.refresh()
+    val stored = replica.appliedCdcCursor
+    val (changes, newCur) = pollLineageCdc(source, stored.map(_.toLong), filter)
+    newCur match {
+      case Some(c) if !stored.contains(c.toString) =>
+        replica.applyCdc(changes, stored, c.toString)
+      case _ => (0L, 0L, 0L)
+    }
+  }
 }

@@ -740,6 +740,112 @@ class IceTable(
     } finally src.unpersist()
   }
 
+  /** Last change batch applied to this replica by [[applyCdc]], updated
+    * ATOMICALLY with the batch's data (same metadata swap). */
+  def appliedCdcCursor: Option[String] =
+    metadata.properties.get(IceTable.CdcCursorProp)
+
+  /** CDC APPLY — maintain this table as a physical replica of another
+    * table's row-identity change feed (`TableChanges.pollLineageCdc` /
+    * the `graft-cdc` streaming source), one batch per call, EXACTLY-ONCE.
+    *
+    * `changes` is a feed batch (source data columns + `_row_id` +
+    * `_change_type`); the replica's schema is the source's data columns
+    * plus `srcIdCol`, the persisted source row id that keys every later
+    * batch back to the rows it must touch. The apply is one atomic
+    * commit: retired rows (deletes + pre-update images) leave, new
+    * images (inserts + post-update rows) land, and the replication
+    * cursor property (`graft.cdc.applied-cursor` = `newCursor`) rides
+    * the SAME metadata swap — so there is no crash window between "data
+    * applied" and "cursor recorded". Exactly-once follows: a replayed
+    * batch (stored cursor already `newCursor`) is a detected no-op; a
+    * skipped or out-of-order batch (stored cursor ≠ `expectedCursor`)
+    * fails fast instead of silently corrupting the replica.
+    *
+    * Scale shape: the retire pass locates affected replica files with a
+    * metadata-planned scan + `__file` semi-join on `srcIdCol` (the same
+    * targeting as [[upsert]]) and rewrites ONLY those files; inserts
+    * append. Work ∝ churn × replica clustering, never replica size. A
+    * v3 replica keeps its own row lineage through the apply (survivors
+    * carry ids, new images inherit fresh ones) — so a replica can
+    * itself be CDC-tailed, chaining mirrors.
+    *
+    * Returns (inserted, updated, deleted) row counts. */
+  def applyCdc(changes: DataFrame, expectedCursor: Option[String],
+      newCursor: String, srcIdCol: String = "_src_row_id"): (Long, Long, Long) = {
+    refresh()
+    val stored = appliedCdcCursor
+    if (stored.contains(newCursor)) return (0L, 0L, 0L) // replayed batch
+    require(stored == expectedCursor,
+      s"Replica cursor diverged: stored=${stored.getOrElse("<none>")}, " +
+        s"batch expects ${expectedCursor.getOrElse("<none>")} — batches must " +
+        "apply in feed order, exactly once")
+    require(schema.fields.exists(_.name == srcIdCol),
+      s"Replica schema lacks the source-id column '$srcIdCol'")
+    val idName = RowLineage.RowIdName
+    val baseSnap = branchHeadId(Some("main"))
+    val batch = changes.cache()
+    try {
+      val byType = batch.groupBy(col("_change_type")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nIns = byType.getOrElse("insert", 0L)
+      val nUpd = byType.getOrElse("update", 0L)
+      val nDel = byType.getOrElse("delete", 0L)
+      val cursorStamp = (m: TableMetadata) =>
+        m.copy(properties = m.properties + (IceTable.CdcCursorProp -> newCursor))
+      if (nIns + nUpd + nDel == 0) {
+        // cursor-only advance (source snapshots with zero net row change)
+        commitMetadata(cursorStamp)
+        return (0L, 0L, 0L)
+      }
+      val dataCols = schema.fields.map(_.name).filterNot(_ == srcIdCol)
+      val retire = batch.filter(col("_change_type").isin("delete", "update"))
+        .select(col(idName).as(srcIdCol))
+      val newImages = batch.filter(col("_change_type").isin("insert", "update"))
+        .select(dataCols.map(col) :+ col(idName).as(srcIdCol): _*)
+      val lineage = metadata.formatVersion >= 3
+      val writeSchema = if (lineage) RowLineage.augment(schema) else schema
+      var removedPaths = Set.empty[String]
+      val pieces = Seq.newBuilder[DataFrame]
+      if (nUpd + nDel > 0) branchScan(Some("main")).foreach { scanObj =>
+        // affected replica files via __file semi-join — metadata-sized
+        // path set on the driver, the key set itself never leaves
+        // executors (the upsert targeting shape)
+        val tasks = scanObj.planFiles()
+        val targetWithFile = scanObj.toDFForTasks(tasks,
+          applyResidualOnlyWhereNeeded = true, keepFile = true)
+        val affected = targetWithFile
+          .join(retire, Seq(srcIdCol), "left_semi")
+          .select(col("__file")).distinct().collect().map(_.getString(0)).toSet
+        val affectedTasks = tasks.filter(t =>
+          affected.contains(graft.core.PathUtil.canon(t.file.filePath)))
+        val removedData = affectedTasks.map(_.file.filePath).toSet
+        removedPaths = removedData ++ deadDeleteFiles(removedData, Some("main"))
+        if (affectedTasks.nonEmpty) {
+          val affectedRows = if (lineage) scanObj.toDFWithLineageForTasks(affectedTasks)
+            else scanObj.toDFForTasks(affectedTasks, applyResidualOnlyWhereNeeded = true)
+          pieces += affectedRows.join(retire, Seq(srcIdCol), "left_anti")
+        }
+      }
+      if (nIns + nUpd > 0) {
+        val aligned = WriteFiles.align(newImages, schema)
+        pieces += (if (!lineage) aligned
+          else aligned
+            .withColumn(idName, lit(null).cast("long"))
+            .withColumn(RowLineage.LastUpdatedName, lit(null).cast("long")))
+      }
+      val added = pieces.result().reduceOption(_ unionByName _) match {
+        case Some(rows) => WriteFiles.write(spark, location, writeSchema, spec,
+          rows, UUID.randomUUID().toString, sortOrderOpt, metadata.properties)
+        case None => Nil
+      }
+      commitSnapshot("overwrite", added = added, removedPaths = removedPaths,
+        extraMeta = cursorStamp, conflictFilter = Some(AlwaysTrue),
+        baseSnapshotId = baseSnap)
+      (nIns, nUpd, nDel)
+    } finally batch.unpersist()
+  }
+
   /** NESTED name mapping for files written without ids (ref:
     * table/name_mapping.py:73 NameMapping; property
     * `schema.name-mapping.default`, spec JSON list format). Struct leaves
@@ -1957,4 +2063,11 @@ class IceTable(
       }
     }
   }
+}
+
+object IceTable {
+  /** Replica property holding the identity of the last CDC batch applied
+    * by [[IceTable.applyCdc]] — written in the same atomic commit as the
+    * batch's data, the exactly-once anchor for replication. */
+  val CdcCursorProp = "graft.cdc.applied-cursor"
 }

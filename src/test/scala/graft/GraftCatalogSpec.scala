@@ -860,6 +860,38 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bLong.produceResult(InternalRow(16, null)) === null)
   }
 
+  test("CALL cdc_apply maintains an exactly-once replica via the SQL face") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("""CREATE TABLE g.db.ca_src (k BIGINT, v DOUBLE)
+      TBLPROPERTIES ('format-version'='3')""")
+    spark.sql("""CREATE TABLE g.db.ca_rep (k BIGINT, v DOUBLE, _src_row_id BIGINT)
+      TBLPROPERTIES ('format-version'='3')""")
+    spark.sql("INSERT INTO g.db.ca_src SELECT id, id * 1.5 FROM range(100)")
+    val r1 = spark.sql(
+      "CALL g.system.cdc_apply(source => 'db.ca_src', replica => 'db.ca_rep')").head()
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) === ((100L, 0L, 0L)))
+    spark.sql("DELETE FROM g.db.ca_src WHERE k % 10 = 0")
+    spark.sql("UPDATE g.db.ca_src SET v = v + 1 WHERE k % 10 = 1")
+    spark.sql("INSERT INTO g.db.ca_src SELECT id, 0.0 FROM range(100, 120)")
+    val r2 = spark.sql(
+      "CALL g.system.cdc_apply(source => 'db.ca_src', replica => 'db.ca_rep')").head()
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) === ((20L, 10L, 10L)))
+    // replica ≡ source, and the returned cursor is the source head
+    assert(spark.sql("SELECT k, v FROM g.db.ca_rep EXCEPT ALL " +
+      "SELECT k, v FROM g.db.ca_src").count() === 0L)
+    assert(spark.table("g.db.ca_rep").count() === spark.table("g.db.ca_src").count())
+    val srcHead = new HadoopCatalog(warehouse, spark).loadTable("db.ca_src")
+      .metadata.currentSnapshotId.get
+    assert(r2.getString(3) === srcHead.toString)
+    // idle call: all zeros, no new replica snapshot
+    val rep = new HadoopCatalog(warehouse, spark).loadTable("db.ca_rep")
+    val snaps = rep.metadata.snapshots.size
+    val r3 = spark.sql(
+      "CALL g.system.cdc_apply(source => 'db.ca_src', replica => 'db.ca_rep')").head()
+    assert((r3.getLong(0), r3.getLong(1), r3.getLong(2)) === ((0L, 0L, 0L)))
+    assert(rep.refresh().metadata.snapshots.size === snaps)
+  }
+
   test("CALL procedures: rewrite_data_files, expire_snapshots, rollback, orphan GC") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
     spark.sql("""CREATE TABLE g.db.o_proc (

@@ -1448,6 +1448,45 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q2.stop()
   }
 
+  test("streaming replication: graft-cdc + foreachBatch applyCdc is " +
+      "exactly-once across checkpointed restarts") {
+    val src0 = orders.select(col("o_orderkey"), col("o_totalprice"))
+    val t = catalog.createTable("t_srep_src", Schema.fromSpark(src0.schema),
+      properties = Map("format-version" -> "3"))
+    val rep = catalog.createTable("t_srep_rep", Schema.fromSpark(
+      src0.withColumn("_src_row_id", lit(0L)).schema),
+      properties = Map("format-version" -> "3"))
+    t.append(src0.filter(col("o_orderkey") % 2 === 1))
+    val ckpt = java.nio.file.Files.createTempDirectory("srep_ckpt").toString
+    // the replica records the BATCH ID as its cursor: a crash-replayed
+    // batch arrives with the SAME id (stored cursor detects it, no-op),
+    // ids are consecutive (the chain check holds), and the cursor still
+    // rides the same atomic commit as the data — the replica needs no
+    // state of its own beyond what applyCdc already persists
+    def start() = spark.readStream.format("graft-cdc")
+      .option("warehouse", warehouse).option("table", "t_srep_src").load()
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        rep.applyCdc(batch, if (id == 0) None else Some((id - 1).toString),
+          id.toString)
+        ()
+      }
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(rep.refresh().scan.toDF.count() ===
+      src0.filter(col("o_orderkey") % 2 === 1).count())
+    // churn BETWEEN incarnations: the restart resumes from the
+    // checkpointed offset and the missed range applies exactly once
+    t.append(src0.filter(col("o_orderkey") % 2 === 0))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val want = t.scan.toDF.select(src0.columns.map(col): _*)
+    val got = rep.refresh().scan.toDF.select(src0.columns.map(col): _*)
+    assert(got.count() === want.count(), "restart must not replay or lose")
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
+
   test("graft-cdc max-snapshots-per-trigger bounds each micro-batch") {
     val t = catalog.createTable("t_cdc_adm", Schema.fromSpark(orders.schema),
       properties = Map("format-version" -> "3"))
@@ -2593,5 +2632,143 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
       .withColumn("mystery", lit("oops")).withColumn("shape", lit(wkb))
     val err = intercept[Exception](t.append(bad))
     assert(err.getMessage.contains("mystery"))
+  }
+
+  test("cdc apply maintains an exact replica; cursor rides the data commit") {
+    import graft.streaming.TableChanges
+    val cols = Seq("o_orderkey", "o_orderstatus", "o_totalprice")
+    val src0 = orders.select(cols.map(col): _*)
+    val t = catalog.createTable("t_capply_src", Schema.fromSpark(src0.schema),
+      properties = Map("format-version" -> "3"))
+    val rep = catalog.createTable("t_capply_rep", Schema.fromSpark(
+      src0.withColumn("_src_row_id", lit(0L)).schema),
+      properties = Map("format-version" -> "3"))
+
+    // cycle 1: initial load
+    t.append(src0.filter(col("o_orderkey") % 2 === 1))
+    val r1 = TableChanges.replicateOnce(t, rep)
+    assert(r1._1 === src0.filter(col("o_orderkey") % 2 === 1).count())
+    // the cursor property rides the SAME snapshot commit as the data
+    assert(rep.appliedCdcCursor === Some(t.metadata.currentSnapshotId.get.toString))
+
+    // cycle 2: delete + update + ingest, one poll applies all three
+    val delKeys = src0.filter(col("o_orderkey") % 10 === 1)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    t.delete(In("o_orderkey", delKeys))
+    t.upsert(t.scan("o_totalprice > 200000").toDF
+      .withColumn("o_orderstatus", lit("X")), Seq("o_orderkey"))
+    t.append(src0.filter(col("o_orderkey") % 2 === 0))
+    val r2 = TableChanges.replicateOnce(t, rep)
+    assert(r2._3 > 0 && r2._2 > 0 && r2._1 > 0)
+
+    val want = t.scan.toDF.select(cols.map(col): _*)
+    val got = rep.refresh().scan.toDF.select(cols.map(col): _*)
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+    // the replica's _src_row_id keys are exactly the source's live row ids
+    val srcIds = t.scan.toDFWithLineage.select(col("_row_id")).orderBy("_row_id")
+    val repIds = rep.scan.toDF.select(col("_src_row_id").as("_row_id")).orderBy("_row_id")
+    assert(repIds.exceptAll(srcIds).count() === 0)
+    assert(srcIds.exceptAll(repIds).count() === 0)
+
+    // idle poll: nothing to do, no new replica snapshot
+    val snaps = rep.metadata.snapshots.size
+    assert(TableChanges.replicateOnce(t, rep) === ((0L, 0L, 0L)))
+    assert(rep.refresh().metadata.snapshots.size === snaps)
+  }
+
+  test("cdc apply is exactly-once: replay no-ops, out-of-order fails fast") {
+    import graft.streaming.TableChanges
+    val src0 = orders.select(col("o_orderkey"), col("o_totalprice"))
+    val t = catalog.createTable("t_capply_once_src", Schema.fromSpark(src0.schema),
+      properties = Map("format-version" -> "3"))
+    val rep = catalog.createTable("t_capply_once_rep", Schema.fromSpark(
+      src0.withColumn("_src_row_id", lit(0L)).schema),
+      properties = Map("format-version" -> "3"))
+    t.append(src0.limit(100))
+    val (b1, c1) = TableChanges.pollLineageCdc(t, None)
+    assert(rep.applyCdc(b1, None, c1.get.toString)._1 === 100L)
+    val snaps = rep.refresh().metadata.snapshots.size
+
+    // crash-replay: the same batch again — detected via the stored
+    // cursor, applied as a no-op, zero new snapshots
+    assert(rep.applyCdc(b1, None, c1.get.toString) === ((0L, 0L, 0L)))
+    assert(rep.refresh().metadata.snapshots.size === snaps)
+
+    // out-of-order / skipped batch: expectedCursor mismatch fails fast
+    t.append(src0.limit(10).withColumn("o_orderkey", col("o_orderkey") + 5000000L))
+    val (b2, c2) = TableChanges.pollLineageCdc(t, c1)
+    val err = intercept[IllegalArgumentException](
+      rep.applyCdc(b2, Some("99999"), c2.get.toString))
+    assert(err.getMessage.contains("cursor diverged"))
+    // the correct chain applies
+    assert(rep.applyCdc(b2, Some(c1.get.toString), c2.get.toString)._1 === 10L)
+
+    // a zero-change batch still advances the cursor (metadata-only commit)
+    val empty = b2.filter(lit(false))
+    assert(rep.applyCdc(empty, Some(c2.get.toString), "synthetic-end") === ((0L, 0L, 0L)))
+    assert(rep.refresh().appliedCdcCursor === Some("synthetic-end"))
+  }
+
+  test("cdc apply rewrites only the replica files the churn touches") {
+    import graft.streaming.TableChanges
+    val src0 = orders.select(col("o_orderkey"), col("o_totalprice"))
+    val t = catalog.createTable("t_capply_prune_src", Schema.fromSpark(src0.schema),
+      properties = Map("format-version" -> "3"))
+    val rep = catalog.createTable("t_capply_prune_rep", Schema.fromSpark(
+      src0.withColumn("_src_row_id", lit(0L)).schema),
+      properties = Map("format-version" -> "3"))
+    // two replication cycles → two disjoint replica files
+    t.append(src0.filter(col("o_orderkey") % 2 === 1))
+    TableChanges.replicateOnce(t, rep)
+    t.append(src0.filter(col("o_orderkey") % 2 === 0))
+    TableChanges.replicateOnce(t, rep)
+    assert(rep.refresh().scan.planFiles().size === 2)
+
+    // churn one EVEN row: only the second replica file may rewrite
+    val key = src0.filter(col("o_orderkey") % 2 === 0)
+      .agg(min("o_orderkey")).head().getLong(0)
+    t.delete(s"o_orderkey = $key")
+    TableChanges.replicateOnce(t, rep)
+    val summary = rep.refresh().metadata.snapshots.last.summary
+    assert(summary.get("removed-files").contains("1"),
+      s"churn in one file must rewrite one file, summary=$summary")
+    assert(rep.scan.toDF.count() === t.scan.toDF.count())
+  }
+
+  test("filtered replica: replicateOnce(filter) maintains SELECT * WHERE p") {
+    import graft.streaming.TableChanges
+    val src0 = orders.select(col("o_orderkey"), col("o_orderpriority"),
+      col("o_totalprice"))
+    val t = catalog.createTable("t_capply_filt_src", Schema.fromSpark(src0.schema),
+      properties = Map("format-version" -> "3"))
+    val rep = catalog.createTable("t_capply_filt_rep", Schema.fromSpark(
+      src0.withColumn("_src_row_id", lit(0L)).schema),
+      properties = Map("format-version" -> "3"))
+    val p = ExprParser.parse("o_orderpriority = '1-URGENT'")
+    t.append(src0.filter(col("o_orderkey") % 2 === 1))
+    TableChanges.replicateOnce(t, rep, Some(p))
+    // churn all four shapes: delete, in-place update, move-out, move-in
+    val delKeys = src0.filter(col("o_orderkey") % 10 === 1)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    t.delete(In("o_orderkey", delKeys))
+    def updWhere(cond: org.apache.spark.sql.Column)(
+        mod: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit =
+      t.upsert(mod(t.scan.toDF.filter(cond)), Seq("o_orderkey"))
+    updWhere(col("o_orderkey") % 10 === 3 && col("o_orderpriority") === "1-URGENT")(
+      _.withColumn("o_totalprice", col("o_totalprice") + 1))
+    updWhere(col("o_orderkey") % 10 === 5 && col("o_orderpriority") === "1-URGENT")(
+      _.withColumn("o_orderpriority", lit("3-MEDIUM")))
+    updWhere(col("o_orderkey") % 10 === 7 && col("o_orderpriority") === "2-HIGH")(
+      _.withColumn("o_orderpriority", lit("1-URGENT")))
+    t.append(src0.filter(col("o_orderkey") % 2 === 0))
+    TableChanges.replicateOnce(t, rep, Some(p))
+    val want = t.scan("o_orderpriority = '1-URGENT'").toDF
+      .select(src0.columns.map(col): _*)
+    val got = rep.refresh().scan.toDF.select(src0.columns.map(col): _*)
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
   }
 }
