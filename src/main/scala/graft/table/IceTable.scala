@@ -805,6 +805,28 @@ class IceTable(
         .select(dataCols.map(col) :+ col(idName).as(srcIdCol): _*)
       val lineage = metadata.formatVersion >= 3
       val writeSchema = if (lineage) RowLineage.augment(schema) else schema
+      def imageRows: DataFrame = {
+        val aligned = WriteFiles.align(newImages, schema)
+        if (!lineage) aligned
+        else aligned
+          .withColumn(idName, lit(null).cast("long"))
+          .withColumn(RowLineage.LastUpdatedName, lit(null).cast("long"))
+      }
+      // merge-on-read apply: the replica's declared MERGE mode governs —
+      // retired ids are MASKED with deletion vectors (v3) instead of
+      // rewriting their files, the cheaper shape under scattered churn
+      // (DV bytes ∝ churn; CoW rewrite ∝ churn × file size). v2 replicas
+      // fall back to the CoW rewrite (their MoR currency is parquet
+      // position-delete files — not worth a second legacy write path here).
+      if (lineage && nUpd + nDel > 0 &&
+          metadata.properties.get("write.merge.mode").contains("merge-on-read")) {
+        val imageFiles = if (nIns + nUpd > 0)
+          WriteFiles.write(spark, location, writeSchema, spec, imageRows,
+            UUID.randomUUID().toString, sortOrderOpt, metadata.properties)
+        else Nil
+        applyCdcMor(retire, srcIdCol, imageFiles, cursorStamp, baseSnap)
+        return (nIns, nUpd, nDel)
+      }
       var removedPaths = Set.empty[String]
       val pieces = Seq.newBuilder[DataFrame]
       if (nUpd + nDel > 0) branchScan(Some("main")).foreach { scanObj =>
@@ -827,13 +849,7 @@ class IceTable(
           pieces += affectedRows.join(retire, Seq(srcIdCol), "left_anti")
         }
       }
-      if (nIns + nUpd > 0) {
-        val aligned = WriteFiles.align(newImages, schema)
-        pieces += (if (!lineage) aligned
-          else aligned
-            .withColumn(idName, lit(null).cast("long"))
-            .withColumn(RowLineage.LastUpdatedName, lit(null).cast("long")))
-      }
+      if (nIns + nUpd > 0) pieces += imageRows
       val added = pieces.result().reduceOption(_ unionByName _) match {
         case Some(rows) => WriteFiles.write(spark, location, writeSchema, spec,
           rows, UUID.randomUUID().toString, sortOrderOpt, metadata.properties)
@@ -844,6 +860,63 @@ class IceTable(
         baseSnapshotId = baseSnap)
       (nIns, nUpd, nDel)
     } finally batch.unpersist()
+  }
+
+  /** [[applyCdc]]'s merge-on-read retire: one pass over the replica's
+    * live files semi-joins the retired source ids to (file, position)
+    * pairs (churn-sized once materialized), then the shared DV commit
+    * masks them and lands the new-image files in the SAME snapshot — the
+    * cursor stamp still rides that one metadata swap. Files without a
+    * retired row get no DV and are never rewritten. */
+  private def applyCdcMor(retire: DataFrame, srcIdCol: String,
+      imageFiles: Seq[DataFile], cursorStamp: TableMetadata => TableMetadata,
+      baseSnap: Option[Long]): Unit = {
+    val tasks = branchScan(Some("main")).map(_.planFiles()).getOrElse(Nil)
+    val branches = Seq.newBuilder[DataFrame]
+    val (orcTasks, pqTasks) = tasks.partition(_.file.fileFormat.toUpperCase == "ORC")
+    if (pqTasks.nonEmpty)
+      branches += PathDict.join(
+        spark.read.schema(schema.toSpark).parquet(pqTasks.map(_.file.filePath): _*)
+          .select(col(srcIdCol), col("_metadata.file_path").as("__rawfile"),
+            col("_metadata.row_index").as("__dpos"))
+          .join(retire, Seq(srcIdCol), "left_semi"),
+        spark, pqTasks.map(_.file.filePath), as = "__dfile")
+        .select(col("__dfile"), col("__dpos"))
+    if (orcTasks.nonEmpty)
+      branches += OrcScanBridge.frame(spark, nameMappingNested, schema, Schema(Nil),
+          orcTasks.map(t => (t.file.filePath, Array.empty[graft.spark.DeleteFileRef],
+            Array.empty[graft.spark.EqDeleteRef])),
+          keepFile = true, keepPos = true)
+        .join(retire, Seq(srcIdCol), "left_semi")
+        .select(col("__file").as("__dfile"), col("__pos").as("__dpos"))
+    branches.result().reduceOption(_ unionByName _) match {
+      case None =>
+        commitSnapshot("overwrite", added = imageFiles, removedPaths = Set.empty,
+          extraMeta = cursorStamp, conflictFilter = Some(AlwaysTrue),
+          baseSnapshotId = baseSnap)
+      case Some(posFrame) =>
+        // materialize under the field-id read conf (the same scoped block
+        // the DV commit re-enters — served from this cache there)
+        val newPos = posFrame.cache()
+        try {
+          val affectedFiles = WriteFiles.withScopedConfs(spark,
+            "spark.sql.parquet.fieldId.read.enabled" -> "true") {
+            newPos.select(col("__dfile")).distinct()
+              .collect().map(_.getString(0)).toSet
+          }
+          if (affectedFiles.isEmpty)
+            commitSnapshot("overwrite", added = imageFiles, removedPaths = Set.empty,
+              extraMeta = cursorStamp, conflictFilter = Some(AlwaysTrue),
+              baseSnapshotId = baseSnap)
+          else {
+            val affected = tasks
+              .filter(t => affectedFiles.contains(PathUtil.canon(t.file.filePath)))
+              .map(t => PathUtil.canon(t.file.filePath) -> t).toMap
+            commitDeletionVectors(affected, newPos, "overwrite",
+              Some(AlwaysTrue), baseSnap, imageFiles, cursorStamp)
+          }
+        } finally newPos.unpersist()
+    }
   }
 
   /** NESTED name mapping for files written without ids (ref:
@@ -1117,7 +1190,8 @@ class IceTable(
     * (merge-on-read SQL) write on v3 tables. */
   private[graft] def commitDeletionVectors(affected: Map[String, FileScanTask],
       newPos: DataFrame, operation: String, conflictFilter: Option[Expr],
-      baseSnap: Option[Long], extraAdded: Seq[DataFile]): Unit = {
+      baseSnap: Option[Long], extraAdded: Seq[DataFile],
+      extraMeta: TableMetadata => TableMetadata = identity): Unit = {
     val tasks = affected.values.toSeq
     // prior deletes for the affected files (metadata only — outside the
     // scoped block because `priorDVs` also names superseded blobs below)
@@ -1226,7 +1300,7 @@ class IceTable(
           d.referencedDataFile.forall(r => !affected.contains(PathUtil.canon(r))))
         .distinctBy(f => (f.filePath, f.contentOffset))
     commitSnapshot(operation, added = dvFiles ++ siblings ++ extraAdded,
-      removedPaths = removedPuffins,
+      removedPaths = removedPuffins, extraMeta = extraMeta,
       conflictFilter = conflictFilter, baseSnapshotId = baseSnap)
   }
 

@@ -2737,6 +2737,53 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rep.scan.toDF.count() === t.scan.toDF.count())
   }
 
+  test("cdc apply merge-on-read: retires mask via deletion vectors, no rewrite") {
+    import graft.streaming.TableChanges
+    val src0 = orders.select(col("o_orderkey"), col("o_totalprice"))
+    val t = catalog.createTable("t_capply_mor_src", Schema.fromSpark(src0.schema),
+      properties = Map("format-version" -> "3"))
+    val rep = catalog.createTable("t_capply_mor_rep", Schema.fromSpark(
+      src0.withColumn("_src_row_id", lit(0L)).schema),
+      properties = Map("format-version" -> "3",
+        "write.merge.mode" -> "merge-on-read"))
+    t.append(src0.filter(col("o_orderkey") % 2 === 1))
+    TableChanges.replicateOnce(t, rep)
+    val pathsBefore = rep.refresh().scan.planFiles()
+      .map(tk => PathUtil.canon(tk.file.filePath)).toSet
+
+    // scattered churn round 1: delete + update in one poll
+    val delKeys = src0.filter(col("o_orderkey") % 10 === 1)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    t.delete(In("o_orderkey", delKeys))
+    t.upsert(t.scan.toDF.filter(col("o_orderkey") % 10 === 3)
+      .withColumn("o_totalprice", col("o_totalprice") + 1), Seq("o_orderkey"))
+    TableChanges.replicateOnce(t, rep)
+    val after1 = rep.refresh().scan.planFiles()
+    assert(pathsBefore.subsetOf(after1.map(tk => PathUtil.canon(tk.file.filePath)).toSet),
+      "MoR apply must mask, never rewrite, existing replica data files")
+    assert(after1.exists(_.deletes.exists(_.isDeletionVector)),
+      "retired ids must be masked by deletion vectors")
+    def sameContent(): Unit = {
+      val want = t.scan.toDF.select(src0.columns.map(col): _*)
+      val got = rep.refresh().scan.toDF.select(src0.columns.map(col): _*)
+      assert(got.count() === want.count())
+      assert(got.exceptAll(want).count() === 0)
+      assert(want.exceptAll(got).count() === 0)
+    }
+    sameContent()
+
+    // round 2: more churn on the SAME files — the new DV must merge the
+    // prior round's masked positions (supersede, not stack)
+    val delKeys2 = src0.filter(col("o_orderkey") % 10 === 5)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    t.delete(In("o_orderkey", delKeys2))
+    TableChanges.replicateOnce(t, rep)
+    sameContent()
+    val dvPerFile = rep.refresh().scan.planFiles()
+      .map(tk => tk.deletes.count(_.isDeletionVector))
+    assert(dvPerFile.forall(_ <= 1), "at most one DV per data file (spec)")
+  }
+
   test("filtered replica: replicateOnce(filter) maintains SELECT * WHERE p") {
     import graft.streaming.TableChanges
     val src0 = orders.select(col("o_orderkey"), col("o_orderpriority"),
