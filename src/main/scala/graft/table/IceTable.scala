@@ -830,10 +830,10 @@ class IceTable(
       var removedPaths = Set.empty[String]
       val pieces = Seq.newBuilder[DataFrame]
       if (nUpd + nDel > 0) branchScan(Some("main")).foreach { scanObj =>
-        // affected replica files via __file semi-join — metadata-sized
-        // path set on the driver, the key set itself never leaves
-        // executors (the upsert targeting shape)
-        val tasks = scanObj.planFiles()
+        // affected replica files via id-bounds pruning + __file semi-join
+        // — metadata-sized path set on the driver, the key set itself
+        // never leaves executors (the upsert targeting shape)
+        val tasks = retireCandidates(scanObj.planFiles(), retire, srcIdCol)
         val targetWithFile = scanObj.toDFForTasks(tasks,
           applyResidualOnlyWhereNeeded = true, keepFile = true)
         val affected = targetWithFile
@@ -862,8 +862,40 @@ class IceTable(
     } finally batch.unpersist()
   }
 
-  /** [[applyCdc]]'s merge-on-read retire: one pass over the replica's
-    * live files semi-joins the retired source ids to (file, position)
+  /** Replica files that might hold a retired source id: per-file
+    * `srcIdCol` min/max footer stats against the retire-id set, as a
+    * range-contains join against the broadcast (metadata-sized) bounds
+    * table — so the retire pass reads candidate files, not the replica.
+    * Source row ids are assigned monotonically per commit, so replica
+    * files written by sequential applies carry naturally DISJOINT id
+    * ranges and churn concentrated in recent ingest prunes to recent
+    * files; scattered churn degrades gracefully toward all-files (the
+    * set any engine must open). Files missing bounds stay candidates —
+    * conservative, never wrong. */
+  private[graft] def retireCandidates(tasks: Seq[FileScanTask], retire: DataFrame,
+      srcIdCol: String): Seq[FileScanTask] = {
+    val fid = schema.findField(srcIdCol).map(_.id).getOrElse(return tasks)
+    def bounds(t: FileScanTask): Option[(Long, Long)] =
+      for {
+        lo <- t.file.lowerBounds.get(fid).collect { case l: Long => l }
+        hi <- t.file.upperBounds.get(fid).collect { case h: Long => h }
+      } yield (lo, hi)
+    val bounded = tasks.flatMap(t => bounds(t).map { case (lo, hi) =>
+      (PathUtil.canon(t.file.filePath), lo, hi) })
+    if (bounded.isEmpty) return tasks
+    val bdf = spark.createDataFrame(bounded).toDF("__path", "__lo", "__hi")
+    // churn rows × broadcast file-bounds rows: executor-side, never an
+    // all-pairs shuffle; the path set coming back is metadata-sized
+    val hit = retire.join(broadcast(bdf),
+        col(srcIdCol) >= col("__lo") && col(srcIdCol) <= col("__hi"))
+      .select(col("__path")).distinct().collect().map(_.getString(0)).toSet
+    tasks.filter(t => bounds(t).isEmpty ||
+      hit.contains(PathUtil.canon(t.file.filePath)))
+  }
+
+  /** [[applyCdc]]'s merge-on-read retire: one pass over the CANDIDATE
+    * replica files (id-bounds-pruned via [[retireCandidates]]) semi-joins
+    * the retired source ids to (file, position)
     * pairs (churn-sized once materialized), then the shared DV commit
     * masks them and lands the new-image files in the SAME snapshot — the
     * cursor stamp still rides that one metadata swap. Files without a
@@ -871,7 +903,8 @@ class IceTable(
   private def applyCdcMor(retire: DataFrame, srcIdCol: String,
       imageFiles: Seq[DataFile], cursorStamp: TableMetadata => TableMetadata,
       baseSnap: Option[Long]): Unit = {
-    val tasks = branchScan(Some("main")).map(_.planFiles()).getOrElse(Nil)
+    val live = branchScan(Some("main")).map(_.planFiles()).getOrElse(Nil)
+    val tasks = retireCandidates(live, retire, srcIdCol)
     val branches = Seq.newBuilder[DataFrame]
     val (orcTasks, pqTasks) = tasks.partition(_.file.fileFormat.toUpperCase == "ORC")
     if (pqTasks.nonEmpty)

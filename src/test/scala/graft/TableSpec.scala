@@ -2784,6 +2784,38 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dvPerFile.forall(_ <= 1), "at most one DV per data file (spec)")
   }
 
+  test("cdc apply prunes retire candidates by _src_row_id file bounds") {
+    import graft.streaming.TableChanges
+    val src0 = orders.select(col("o_orderkey"), col("o_totalprice"))
+    val t = catalog.createTable("t_capply_bounds_src", Schema.fromSpark(src0.schema),
+      properties = Map("format-version" -> "3"))
+    val rep = catalog.createTable("t_capply_bounds_rep", Schema.fromSpark(
+      src0.withColumn("_src_row_id", lit(0L)).schema),
+      properties = Map("format-version" -> "3"))
+    // two sequential applies → two replica files with DISJOINT source-id
+    // ranges (row ids are assigned monotonically per source commit)
+    t.append(src0.limit(500))
+    TableChanges.replicateOnce(t, rep)
+    t.append(src0.limit(100).withColumn("o_orderkey", col("o_orderkey") + 9000000L))
+    TableChanges.replicateOnce(t, rep)
+    val tasks = rep.refresh().scan.planFiles()
+    assert(tasks.size === 2)
+    // a retire set drawn from the SECOND batch's id range [500, 600)
+    // must prune the first file via its srcId min/max footer stats
+    val cand = rep.retireCandidates(tasks,
+      spark.range(500, 600).toDF("_src_row_id"), "_src_row_id")
+    assert(cand.size === 1,
+      s"bounds pruning must drop the untouched file, got ${cand.size}")
+    assert(cand.head.file.lowerBounds.nonEmpty)
+    // an id in NEITHER range prunes everything; a stats-covered spread
+    // keeps both
+    assert(rep.retireCandidates(tasks,
+      spark.range(1000000, 1000001).toDF("_src_row_id"), "_src_row_id").isEmpty)
+    assert(rep.retireCandidates(tasks,
+      spark.createDataFrame(Seq(Tuple1(0L), Tuple1(599L))).toDF("_src_row_id"),
+      "_src_row_id").size === 2)
+  }
+
   test("filtered replica: replicateOnce(filter) maintains SELECT * WHERE p") {
     import graft.streaming.TableChanges
     val src0 = orders.select(col("o_orderkey"), col("o_orderpriority"),
