@@ -798,11 +798,31 @@ class IceTable(
         commitMetadata(cursorStamp)
         return (0L, 0L, 0L)
       }
+      // SCHEMA PROPAGATION: a column the source added since the last
+      // batch appears in the feed — auto-add it to the replica first
+      // (metadata-only commit; idempotent, so a crash between it and the
+      // data commit is benign). A replica column the feed lacks (dropped
+      // upstream) fills NULL: the mirror keeps its shape and history.
+      val reserved = RowLineage.ReservedNames + "_change_type"
+      val feedFields = batch.schema.fields
+        .filterNot(f => reserved(f.name) || f.name == srcIdCol)
+      val missing = feedFields.filterNot(f => schema.fields.exists(_.name == f.name))
+      if (missing.nonEmpty) {
+        val up = updateSchema
+        missing.foreach { f =>
+          val ice = Schema.fromSpark(
+            org.apache.spark.sql.types.StructType(Seq(f))).fields.head.fieldType
+          up.addColumn(f.name, ice)
+        }
+        up.commit()
+      }
+      val feedNames = batch.columns.toSet
       val dataCols = schema.fields.map(_.name).filterNot(_ == srcIdCol)
       val retire = batch.filter(col("_change_type").isin("delete", "update"))
         .select(col(idName).as(srcIdCol))
       val newImages = batch.filter(col("_change_type").isin("insert", "update"))
-        .select(dataCols.map(col) :+ col(idName).as(srcIdCol): _*)
+        .select(dataCols.map(c =>
+          if (feedNames(c)) col(c) else lit(null).as(c)) :+ col(idName).as(srcIdCol): _*)
       val lineage = metadata.formatVersion >= 3
       val writeSchema = if (lineage) RowLineage.augment(schema) else schema
       def imageRows: DataFrame = {

@@ -2816,6 +2816,46 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
       "_src_row_id").size === 2)
   }
 
+  test("cdc apply propagates source schema evolution to the replica") {
+    import graft.streaming.TableChanges
+    val src0 = orders.select(col("o_orderkey"), col("o_totalprice")).limit(200)
+    val t = catalog.createTable("t_capply_evo_src", Schema.fromSpark(src0.schema),
+      properties = Map("format-version" -> "3"))
+    val rep = catalog.createTable("t_capply_evo_rep", Schema.fromSpark(
+      src0.withColumn("_src_row_id", lit(0L)).schema),
+      properties = Map("format-version" -> "3"))
+    t.append(src0)
+    TableChanges.replicateOnce(t, rep)
+
+    // source ADDS a column: the next batch carries it, the replica
+    // auto-evolves, pre-evolution replica rows read NULL
+    t.updateSchema.addColumn("tag", IString).commit()
+    catalog.loadTable("t_capply_evo_src").append(
+      src0.limit(10).withColumn("o_orderkey", col("o_orderkey") + 7000000L)
+        .withColumn("tag", lit("new")))
+    TableChanges.replicateOnce(t, rep)
+    val repT = catalog.loadTable("t_capply_evo_rep")
+    assert(repT.schema.fields.exists(_.name === "tag"))
+    val out = repT.scan.toDF
+    assert(out.filter(col("tag") === "new").count() === 10)
+    assert(out.filter(col("tag").isNull).count() === 200)
+
+    // source DROPS the column: the feed no longer carries it; the
+    // replica keeps its shape — churn rows fill NULL, others keep values
+    val t2 = catalog.loadTable("t_capply_evo_src")
+    t2.updateSchema.dropColumn("tag").commit()
+    val t3 = catalog.loadTable("t_capply_evo_src")
+    t3.upsert(t3.scan.toDF.filter(col("o_orderkey") >= 7000000L)
+      .withColumn("o_totalprice", col("o_totalprice") + 1), Seq("o_orderkey"))
+    TableChanges.replicateOnce(t3, repT)
+    val out2 = catalog.loadTable("t_capply_evo_rep").scan.toDF
+    assert(out2.schema.fieldNames.contains("tag"), "replica keeps its columns")
+    assert(out2.filter(col("tag").isNotNull).count() === 0 ||
+      out2.filter(col("o_orderkey") >= 7000000L && col("tag").isNotNull).count() === 0,
+      "updated rows must not resurrect dropped-column values")
+    assert(out2.count() === 210)
+  }
+
   test("filtered replica: replicateOnce(filter) maintains SELECT * WHERE p") {
     import graft.streaming.TableChanges
     val src0 = orders.select(col("o_orderkey"), col("o_orderpriority"),
