@@ -761,13 +761,14 @@ object TableChanges {
     * semantics), paying only the filtered partitions' churn.
     * Returns (inserted, updated, deleted). */
   def replicateOnce(source: IceTable, replica: IceTable,
-      filter: Option[graft.core.Expr] = None): (Long, Long, Long) = {
+      filter: Option[graft.core.Expr] = None,
+      srcIdCol: String = "_src_row_id"): (Long, Long, Long) = {
     replica.refresh()
     val stored = replica.appliedCdcCursor
     val (changes, newCur) = pollLineageCdc(source, stored.map(_.toLong), filter)
     newCur match {
       case Some(c) if !stored.contains(c.toString) =>
-        replica.applyCdc(changes, stored, c.toString)
+        replica.applyCdc(changes, stored, c.toString, srcIdCol)
       case _ => (0L, 0L, 0L)
     }
   }

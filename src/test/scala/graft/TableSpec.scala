@@ -2856,6 +2856,47 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out2.count() === 210)
   }
 
+  test("mirrors chain and survive replica compaction") {
+    import graft.streaming.TableChanges
+    val src0 = orders.select(col("o_orderkey"), col("o_totalprice"))
+    val t = catalog.createTable("t_capply_chain_src", Schema.fromSpark(src0.schema),
+      properties = Map("format-version" -> "3"))
+    val rep = catalog.createTable("t_capply_chain_rep", Schema.fromSpark(
+      src0.withColumn("_src_row_id", lit(0L)).schema),
+      properties = Map("format-version" -> "3"))
+    // second-tier mirror: tails the FIRST replica's own lineage feed
+    val rep2 = catalog.createTable("t_capply_chain_rep2", Schema.fromSpark(
+      src0.withColumn("_src_row_id", lit(0L)).withColumn("_src2", lit(0L)).schema),
+      properties = Map("format-version" -> "3"))
+    t.append(src0.filter(col("o_orderkey") % 2 === 1))
+    TableChanges.replicateOnce(t, rep)
+    TableChanges.replicateOnce(rep, rep2, srcIdCol = "_src2")
+    // churn + COMPACT THE REPLICA between applies: compaction must not
+    // disturb _src_row_id keys (survivors materialize their lineage) nor
+    // produce phantom changes in rep's own feed toward rep2
+    val delKeys = src0.filter(col("o_orderkey") % 10 === 1)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    t.delete(In("o_orderkey", delKeys))
+    t.append(src0.filter(col("o_orderkey") % 2 === 0))
+    TableChanges.replicateOnce(t, rep)
+    rep.rewriteDataFiles(1L << 30)
+    TableChanges.replicateOnce(rep, rep2, srcIdCol = "_src2")
+    val want = t.scan.toDF.select(src0.columns.map(col): _*)
+    val got2 = rep2.refresh().scan.toDF.select(src0.columns.map(col): _*)
+    assert(got2.count() === want.count())
+    assert(got2.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got2).count() === 0)
+    // one more churn round after the compaction still applies cleanly
+    t.upsert(t.scan.toDF.filter(col("o_orderkey") % 10 === 4)
+      .withColumn("o_totalprice", col("o_totalprice") + 1), Seq("o_orderkey"))
+    TableChanges.replicateOnce(t, rep)
+    TableChanges.replicateOnce(rep, rep2, srcIdCol = "_src2")
+    val want2 = t.scan.toDF.select(src0.columns.map(col): _*)
+    val got3 = rep2.refresh().scan.toDF.select(src0.columns.map(col): _*)
+    assert(got3.exceptAll(want2).count() === 0)
+    assert(want2.exceptAll(got3).count() === 0)
+  }
+
   test("filtered replica: replicateOnce(filter) maintains SELECT * WHERE p") {
     import graft.streaming.TableChanges
     val src0 = orders.select(col("o_orderkey"), col("o_orderpriority"),
