@@ -95,10 +95,48 @@ class RestCatalog(
 
   private def token: Option[String] = auth.token
 
+  /** Pluggable managers (ref rest/__init__.py:444): `auth.type` names a
+    * registered manager (noop | basic | an extension), `custom` requires
+    * `auth.impl` (class path), per-type config rides `auth.<type>.*`.
+    * oauth2/legacyoauth2 — and no `auth.type` at all — keep the built-in
+    * token lifecycle above. */
+  private val authManager: Option[RestAuthManager] = props.get("auth.type").flatMap {
+    case "oauth2" | "legacyoauth2" => None
+    case tpe =>
+      val cfgPrefix = s"auth.$tpe."
+      val cfg = props.collect {
+        case (k, v) if k.startsWith(cfgPrefix) => k.drop(cfgPrefix.length) -> v
+      }
+      val implName =
+        if (tpe == "custom") props.getOrElse("auth.impl",
+          throw new IllegalArgumentException(
+            "auth.impl must be specified when using custom auth.type"))
+        else {
+          require(!props.contains("auth.impl"),
+            "auth.impl can only be specified when using custom auth.type")
+          tpe
+        }
+      Some(RestAuthManagers.create(implName, cfg))
+  }
+
+  /** The Authorization header value for the next request. */
+  private def authHeaderValue: Option[String] = authManager match {
+    case Some(m) => m.authHeader()
+    case None => token.map("Bearer " + _)
+  }
+
+  private def authRefreshable: Boolean =
+    authManager.map(_.canRefresh).getOrElse(auth.canRefresh)
+
+  private def authInvalidate(): Unit = authManager match {
+    case Some(m) => m.invalidate()
+    case None => auth.invalidate()
+  }
+
   // config handshake: defaults ++ client props ++ overrides (ref :707)
   private val config: Map[String, String] = {
     val q = props.get("warehouse").map(w => s"?warehouse=${enc(w)}").getOrElse("")
-    val resp = rawRequest("GET", s"$uri/v1/config$q", None, auth = token)
+    val resp = rawRequest("GET", s"$uri/v1/config$q", None, auth = authHeaderValue)
     if (resp.statusCode() != 200)
       throw new IllegalStateException(s"REST config fetch failed: ${resp.body()}")
     val n = mapper.readTree(resp.body())
@@ -138,7 +176,7 @@ class RestCatalog(
       contentType: String = "application/json",
       auth: Option[String]): HttpResponse[String] = {
     val b = HttpRequest.newBuilder(URI.create(fullUrl))
-    auth.foreach(t => b.header("Authorization", s"Bearer $t"))
+    auth.foreach(h => b.header("Authorization", h))
     val withBody = method match {
       case "GET" => b.GET()
       case "HEAD" => b.method("HEAD", HttpRequest.BodyPublishers.noBody())
@@ -155,12 +193,12 @@ class RestCatalog(
   private def request(method: String, path: String, body: Option[JsonNode] = None,
       query: String = ""): JsonNode = {
     var resp = rawRequest(method, url(path) + query,
-      body.map(mapper.writeValueAsString), auth = token)
-    // expired/revoked token: re-run the credential exchange once and retry
-    if (resp.statusCode() == 401 && auth.canRefresh) {
-      auth.invalidate()
+      body.map(mapper.writeValueAsString), auth = authHeaderValue)
+    // expired/revoked credentials: invalidate + retry once
+    if (resp.statusCode() == 401 && authRefreshable) {
+      authInvalidate()
       resp = rawRequest(method, url(path) + query,
-        body.map(mapper.writeValueAsString), auth = token)
+        body.map(mapper.writeValueAsString), auth = authHeaderValue)
     }
     val code = resp.statusCode()
     if (code >= 200 && code < 300) {
@@ -181,7 +219,7 @@ class RestCatalog(
   }
 
   private def exists(path: String): Boolean =
-    rawRequest("HEAD", url(path), None, auth = token).statusCode() < 300
+    rawRequest("HEAD", url(path), None, auth = authHeaderValue).statusCode() < 300
 
   private def split(name: String): (String, String) = {
     val i = name.lastIndexOf('.')

@@ -34,6 +34,10 @@ import graft.view.{SqlViewRepresentation, ViewHistoryEntry, ViewMetadata, ViewMe
 final class RestCatalogServer(
     val warehouse: String,
     token: Option[String] = None,
+    /** HTTP Basic mode: when set, every route (there is no token
+      * endpoint to exempt) requires `Basic base64(user:password)` — the
+      * server face of the client's `auth.type = basic` manager. */
+    basic: Option[(String, String)] = None,
     /** OAuth2 client credentials ("id:secret") allowed to EXCHANGE for
       * the bearer via /v1/oauth/tokens. Without this, the token endpoint
       * refuses when a bearer is configured — otherwise any caller could
@@ -180,10 +184,18 @@ final class RestCatalogServer(
       if (segs.headOption != Some("v1")) fail(404, "NotFoundException", s"No route: $path")
       val route = segs.tail
       // auth: everything except the token endpoint requires the bearer
-      if (route != Seq("oauth", "tokens")) token.foreach { t =>
-        val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
-        if (!auth.contains(s"Bearer $t"))
-          fail(401, "NotAuthorizedException", "Missing or invalid token")
+      // (or, in basic mode, every route requires the Basic credentials)
+      val authHdr = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      basic match {
+        case Some((u, pw)) =>
+          val want = "Basic " + java.util.Base64.getEncoder
+            .encodeToString(s"$u:$pw".getBytes(UTF_8))
+          if (!authHdr.contains(want))
+            fail(401, "NotAuthorizedException", "Missing or invalid basic credentials")
+        case None => if (route != Seq("oauth", "tokens")) token.foreach { t =>
+          if (!authHdr.contains(s"Bearer $t"))
+            fail(401, "NotAuthorizedException", "Missing or invalid token")
+        }
       }
       val method = ex.getRequestMethod
       val out: (Int, Option[JsonNode]) = route match {

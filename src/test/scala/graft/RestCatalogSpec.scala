@@ -457,4 +457,52 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
     spark.sql("DROP VIEW IF EXISTS cdc_rest_sink")
   }
+  test("pluggable auth managers: basic, custom class, config validation") {
+    val wh2 = Files.createTempDirectory("graft-rest-basic").toString
+    val srv = new RestCatalogServer(wh2, basic = Some(("alice", "s3cr3t"))).start()
+    try {
+      // basic: the manager emits `Basic base64(user:password)` and the
+      // construction-time config handshake itself is the authed round-trip
+      val cat = new RestCatalog(srv.uri, spark, Map(
+        "auth.type" -> "basic",
+        "auth.basic.username" -> "alice", "auth.basic.password" -> "s3cr3t"))
+      cat.createNamespace("authns")
+      assert(cat.listNamespaces().contains("authns"))
+      // wrong password → 401 surfaces at the handshake
+      val bad = intercept[Exception](new RestCatalog(srv.uri, spark, Map(
+        "auth.type" -> "basic",
+        "auth.basic.username" -> "alice", "auth.basic.password" -> "wrong")))
+      assert(bad.getMessage.toLowerCase.contains("config"))
+      // missing config fails typed, naming the property
+      val miss = intercept[IllegalArgumentException](new RestCatalog(srv.uri, spark,
+        Map("auth.type" -> "basic", "auth.basic.username" -> "alice")))
+      assert(miss.getMessage.contains("auth.basic.password"))
+      // custom class path (the factory's reflective arm)
+      val hdr = "Basic " + java.util.Base64.getEncoder
+        .encodeToString("alice:s3cr3t".getBytes("UTF-8"))
+      val viaCustom = new RestCatalog(srv.uri, spark, Map(
+        "auth.type" -> "custom",
+        "auth.impl" -> classOf[FixedHeaderAuthManager].getName,
+        "auth.custom.header" -> hdr))
+      assert(viaCustom.listNamespaces().contains("authns"))
+      // custom demands impl; impl only valid with custom (ref :451/:454)
+      assert(intercept[IllegalArgumentException](new RestCatalog(srv.uri, spark,
+        Map("auth.type" -> "custom"))).getMessage.contains("auth.impl"))
+      assert(intercept[IllegalArgumentException](new RestCatalog(srv.uri, spark,
+        Map("auth.type" -> "basic", "auth.impl" -> "x",
+          "auth.basic.username" -> "alice", "auth.basic.password" -> "s3cr3t")))
+        .getMessage.contains("auth.impl"))
+      // unknown name fails typed
+      assert(intercept[IllegalArgumentException](new RestCatalog(srv.uri, spark,
+        Map("auth.type" -> "nope"))).getMessage.contains("nope"))
+    } finally srv.stop()
+  }
+
+}
+
+/** Custom-class path for the AuthManagerFactory test: emits whatever
+  * header the config supplies (reflective `(Map[String, String])` ctor). */
+class FixedHeaderAuthManager(cfg: Map[String, String])
+    extends graft.catalog.RestAuthManager {
+  override def authHeader(): Option[String] = cfg.get("header")
 }
