@@ -2897,6 +2897,52 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(want2.exceptAll(got3).count() === 0)
   }
 
+  test("cdc apply differential fuzz: replica tracks source under random churn") {
+    import graft.streaming.TableChanges
+    val rnd = new scala.util.Random(42)
+    val src0 = orders.select(col("o_orderkey"), col("o_totalprice")).limit(400)
+    for (mode <- Seq("cow", "mor")) {
+      val t = catalog.createTable(s"t_fz_src_$mode", Schema.fromSpark(src0.schema),
+        properties = Map("format-version" -> "3"))
+      val rep = catalog.createTable(s"t_fz_rep_$mode", Schema.fromSpark(
+        src0.withColumn("_src_row_id", lit(0L)).schema),
+        properties = Map("format-version" -> "3") ++
+          (if (mode == "mor") Map("write.merge.mode" -> "merge-on-read") else Map.empty))
+      t.append(src0)
+      TableChanges.replicateOnce(t, rep)
+      var nextShift = 10000000L
+      (1 to 4).foreach { round =>
+        (0 to rnd.nextInt(2)).foreach { _ =>
+          rnd.nextInt(3) match {
+            case 0 =>
+              val r = rnd.nextInt(17)
+              val keys = t.scan.toDF.filter(col("o_orderkey") % 17 === r)
+                .select("o_orderkey").limit(50).collect().map(_.getLong(0)).toSeq
+              if (keys.nonEmpty) t.delete(In("o_orderkey", keys))
+            case 1 =>
+              val r = rnd.nextInt(17)
+              val upd = t.scan.toDF.filter(col("o_orderkey") % 17 === r)
+                .limit(50).withColumn("o_totalprice", col("o_totalprice") + 1)
+              if (!upd.isEmpty) t.upsert(upd, Seq("o_orderkey"))
+            case 2 =>
+              val n = rnd.nextInt(30) + 1
+              t.append(src0.limit(n)
+                .withColumn("o_orderkey", col("o_orderkey") + lit(nextShift)))
+              nextShift += 1000000L
+          }
+        }
+        // occasional compaction on either side — moves must be invisible
+        if (rnd.nextBoolean()) t.rewriteDataFiles(1L << 30)
+        if (round == 3) rep.rewriteDataFiles(1L << 30)
+        TableChanges.replicateOnce(t, rep)
+        val want = t.scan.toDF.select(src0.columns.map(col): _*)
+        val got = rep.refresh().scan.toDF.select(src0.columns.map(col): _*)
+        assert(got.exceptAll(want).count() === 0, s"$mode round $round: extra rows")
+        assert(want.exceptAll(got).count() === 0, s"$mode round $round: missing rows")
+      }
+    }
+  }
+
   test("filtered replica: replicateOnce(filter) maintains SELECT * WHERE p") {
     import graft.streaming.TableChanges
     val src0 = orders.select(col("o_orderkey"), col("o_orderpriority"),
