@@ -760,6 +760,25 @@ object TableChanges {
     * `SELECT * WHERE p` of the source (the filtered feed's replica
     * semantics), paying only the filtered partitions' churn.
     * Returns (inserted, updated, deleted). */
+  /** v2-compatible replication step: apply the source's CHANGELOG since
+    * the replica's stored cursor, keyed by `keyCols` — the face for
+    * sources without v3 row lineage. Same replica-is-the-checkpoint
+    * contract as [[replicateOnce]]; per key the highest-ordinal event
+    * wins (see [[IceTable.applyChangelog]]). Returns (upserted, deleted). */
+  def replicateChangelogOnce(source: IceTable, replica: IceTable,
+      keyCols: Seq[String],
+      filter: Option[graft.core.Expr] = None): (Long, Long) = {
+    replica.refresh()
+    val stored = replica.appliedCdcCursor
+    source.refresh()
+    source.metadata.currentSnapshotId match {
+      case Some(c) if !stored.contains(c.toString) =>
+        val changes = changelog(source, stored.map(_.toLong), Some(c), filter)
+        replica.applyChangelog(changes, keyCols, stored, c.toString)
+      case _ => (0L, 0L)
+    }
+  }
+
   def replicateOnce(source: IceTable, replica: IceTable,
       filter: Option[graft.core.Expr] = None,
       srcIdCol: String = "_src_row_id"): (Long, Long, Long) = {

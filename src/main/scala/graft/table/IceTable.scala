@@ -798,24 +798,7 @@ class IceTable(
         commitMetadata(cursorStamp)
         return (0L, 0L, 0L)
       }
-      // SCHEMA PROPAGATION: a column the source added since the last
-      // batch appears in the feed — auto-add it to the replica first
-      // (metadata-only commit; idempotent, so a crash between it and the
-      // data commit is benign). A replica column the feed lacks (dropped
-      // upstream) fills NULL: the mirror keeps its shape and history.
-      val reserved = RowLineage.ReservedNames + "_change_type"
-      val feedFields = batch.schema.fields
-        .filterNot(f => reserved(f.name) || f.name == srcIdCol)
-      val missing = feedFields.filterNot(f => schema.fields.exists(_.name == f.name))
-      if (missing.nonEmpty) {
-        val up = updateSchema
-        missing.foreach { f =>
-          val ice = Schema.fromSpark(
-            org.apache.spark.sql.types.StructType(Seq(f))).fields.head.fieldType
-          up.addColumn(f.name, ice)
-        }
-        up.commit()
-      }
+      propagateFeedSchema(batch, excluded = Set(srcIdCol))
       val feedNames = batch.columns.toSet
       val dataCols = schema.fields.map(_.name).filterNot(_ == srcIdCol)
       val retire = batch.filter(col("_change_type").isin("delete", "update"))
@@ -823,63 +806,157 @@ class IceTable(
       val newImages = batch.filter(col("_change_type").isin("insert", "update"))
         .select(dataCols.map(c =>
           if (feedNames(c)) col(c) else lit(null).as(c)) :+ col(idName).as(srcIdCol): _*)
-      val lineage = metadata.formatVersion >= 3
-      val writeSchema = if (lineage) RowLineage.augment(schema) else schema
-      def imageRows: DataFrame = {
-        val aligned = WriteFiles.align(newImages, schema)
-        if (!lineage) aligned
-        else aligned
-          .withColumn(idName, lit(null).cast("long"))
-          .withColumn(RowLineage.LastUpdatedName, lit(null).cast("long"))
-      }
-      // merge-on-read apply: the replica's declared MERGE mode governs —
-      // retired ids are MASKED with deletion vectors (v3) instead of
-      // rewriting their files, the cheaper shape under scattered churn
-      // (DV bytes ∝ churn; CoW rewrite ∝ churn × file size). v2 replicas
-      // fall back to the CoW rewrite (their MoR currency is parquet
-      // position-delete files — not worth a second legacy write path here).
-      if (lineage && nUpd + nDel > 0 &&
-          metadata.properties.get("write.merge.mode").contains("merge-on-read")) {
-        val imageFiles = if (nIns + nUpd > 0)
-          WriteFiles.write(spark, location, writeSchema, spec, imageRows,
-            UUID.randomUUID().toString, sortOrderOpt, metadata.properties)
-        else Nil
-        applyCdcMor(retire, srcIdCol, imageFiles, cursorStamp, baseSnap)
-        return (nIns, nUpd, nDel)
-      }
-      var removedPaths = Set.empty[String]
-      val pieces = Seq.newBuilder[DataFrame]
-      if (nUpd + nDel > 0) branchScan(Some("main")).foreach { scanObj =>
-        // affected replica files via id-bounds pruning + __file semi-join
-        // — metadata-sized path set on the driver, the key set itself
-        // never leaves executors (the upsert targeting shape)
-        val tasks = retireCandidates(scanObj.planFiles(), retire, srcIdCol)
-        val targetWithFile = scanObj.toDFForTasks(tasks,
-          applyResidualOnlyWhereNeeded = true, keepFile = true)
-        val affected = targetWithFile
-          .join(retire, Seq(srcIdCol), "left_semi")
-          .select(col("__file")).distinct().collect().map(_.getString(0)).toSet
-        val affectedTasks = tasks.filter(t =>
-          affected.contains(graft.core.PathUtil.canon(t.file.filePath)))
-        val removedData = affectedTasks.map(_.file.filePath).toSet
-        removedPaths = removedData ++ deadDeleteFiles(removedData, Some("main"))
-        if (affectedTasks.nonEmpty) {
-          val affectedRows = if (lineage) scanObj.toDFWithLineageForTasks(affectedTasks)
-            else scanObj.toDFForTasks(affectedTasks, applyResidualOnlyWhereNeeded = true)
-          pieces += affectedRows.join(retire, Seq(srcIdCol), "left_anti")
-        }
-      }
-      if (nIns + nUpd > 0) pieces += imageRows
-      val added = pieces.result().reduceOption(_ unionByName _) match {
-        case Some(rows) => WriteFiles.write(spark, location, writeSchema, spec,
-          rows, UUID.randomUUID().toString, sortOrderOpt, metadata.properties)
-        case None => Nil
-      }
-      commitSnapshot("overwrite", added = added, removedPaths = removedPaths,
-        extraMeta = cursorStamp, conflictFilter = Some(AlwaysTrue),
-        baseSnapshotId = baseSnap)
+      applyKeyed(if (nUpd + nDel > 0) Some(retire) else None, Seq(srcIdCol),
+        if (nIns + nUpd > 0) Some(newImages) else None, cursorStamp, baseSnap)
       (nIns, nUpd, nDel)
     } finally batch.unpersist()
+  }
+
+  /** CHANGELOG APPLY — the v2-compatible face of replication: apply one
+    * source CHANGELOG batch (`TableChanges.changelog` / the
+    * `graft-changelog` source — table columns + `_change_type`
+    * 'insert' | 'delete' + `_change_ordinal`) to this table as a KEYED
+    * mirror. Below v3 there is no row identity, so the key columns
+    * stand in (the upsert contract: unique per source state). Per key,
+    * the HIGHEST-ordinal event wins: an update is a delete + insert at
+    * one ordinal (→ upsert of the new content), a lone trailing delete
+    * removes the key, an insert-then-later-delete range nets to absent.
+    * Cursor semantics are exactly [[applyCdc]]'s — the stamp rides the
+    * data commit, replays no-op, out-of-order fails fast. Returns
+    * (upserted, deleted). */
+  def applyChangelog(changes: DataFrame, keyCols: Seq[String],
+      expectedCursor: Option[String], newCursor: String): (Long, Long) = {
+    refresh()
+    val stored = appliedCdcCursor
+    if (stored.contains(newCursor)) return (0L, 0L) // replayed batch
+    require(stored == expectedCursor,
+      s"Replica cursor diverged: stored=${stored.getOrElse("<none>")}, " +
+        s"batch expects ${expectedCursor.getOrElse("<none>")} — batches must " +
+        "apply in feed order, exactly once")
+    require(keyCols.nonEmpty, "applyChangelog needs key columns")
+    keyCols.foreach(k => require(schema.fields.exists(_.name == k),
+      s"Replica schema lacks key column '$k'"))
+    val baseSnap = branchHeadId(Some("main"))
+    val batch = changes.cache()
+    try {
+      val cursorStamp = (m: TableMetadata) =>
+        m.copy(properties = m.properties + (IceTable.CdcCursorProp -> newCursor))
+      if (batch.isEmpty) {
+        commitMetadata(cursorStamp)
+        return (0L, 0L)
+      }
+      propagateFeedSchema(batch, excluded = Set("_change_ordinal",
+        "_commit_snapshot_id") ++ keyCols)
+      val keys = keyCols.map(col)
+      // per key: events at the highest ordinal decide; an insert there
+      // wins over its paired delete (that pair IS an update)
+      val lastOrd = batch.groupBy(keys: _*)
+        .agg(max(col("_change_ordinal")).as("__ord"))
+      val last = batch.join(lastOrd, keyCols)
+        .filter(col("_change_ordinal") === col("__ord"))
+      val ups = last.filter(col("_change_type") === "insert")
+      val dupes = ups.groupBy(keys: _*).count().filter(col("count") > 1).limit(1).count()
+      require(dupes == 0,
+        s"Changelog has duplicate keys on (${keyCols.mkString(",")}) at their " +
+          "final ordinal — a keyed mirror needs unique keys")
+      val nUps = ups.count()
+      val nDel = last.filter(col("_change_type") === "delete")
+        .join(ups.select(keys: _*), keyCols, "left_anti")
+        .select(keys: _*).distinct().count()
+      // retire EVERY touched key: upserts replace-by-key, removed keys
+      // leave, keys never present in the replica no-op through the join
+      val retire = batch.select(keys: _*).distinct()
+      val feedNames = batch.columns.toSet
+      val images = ups.select(schema.fields.map(_.name).map(c =>
+        if (feedNames(c)) col(c) else lit(null).as(c)): _*)
+      applyKeyed(Some(retire), keyCols,
+        if (nUps > 0) Some(images) else None, cursorStamp, baseSnap)
+      (nUps, nDel)
+    } finally batch.unpersist()
+  }
+
+  /** SCHEMA PROPAGATION for the apply faces: a column the source added
+    * since the last batch appears in the feed — auto-add it to the
+    * replica first (metadata-only commit; idempotent, so a crash between
+    * it and the data commit is benign). A replica column the feed lacks
+    * (dropped upstream) fills NULL at image build: the mirror keeps its
+    * shape and history. */
+  private def propagateFeedSchema(batch: DataFrame, excluded: Set[String]): Unit = {
+    val reserved = RowLineage.ReservedNames + "_change_type" ++ excluded
+    val missing = batch.schema.fields
+      .filterNot(f => reserved(f.name))
+      .filterNot(f => schema.fields.exists(_.name == f.name))
+    if (missing.nonEmpty) {
+      val up = updateSchema
+      missing.foreach { f =>
+        val ice = Schema.fromSpark(
+          org.apache.spark.sql.types.StructType(Seq(f))).fields.head.fieldType
+        up.addColumn(f.name, ice)
+      }
+      up.commit()
+    }
+  }
+
+  /** Shared landing stage for the keyed applies ([[applyCdc]] retires by
+    * the persisted source row id, [[applyChangelog]] by user key
+    * columns): retire `retire`'s keys — a CoW rewrite of only the
+    * candidate files, or DV masks when a v3 replica declares
+    * `write.merge.mode=merge-on-read` (v2 falls back to the rewrite; its
+    * MoR currency is parquet position-delete files, not worth a second
+    * legacy write path) — land `images`, and stamp the cursor, all in
+    * ONE atomic commit. */
+  private def applyKeyed(retire: Option[DataFrame], joinCols: Seq[String],
+      images: Option[DataFrame], cursorStamp: TableMetadata => TableMetadata,
+      baseSnap: Option[Long]): Unit = {
+    val lineage = metadata.formatVersion >= 3
+    val writeSchema = if (lineage) RowLineage.augment(schema) else schema
+    def imageRows: Option[DataFrame] = images.map { img =>
+      val aligned = WriteFiles.align(img, schema)
+      if (!lineage) aligned
+      else aligned
+        .withColumn(RowLineage.RowIdName, lit(null).cast("long"))
+        .withColumn(RowLineage.LastUpdatedName, lit(null).cast("long"))
+    }
+    if (lineage && retire.isDefined &&
+        metadata.properties.get("write.merge.mode").contains("merge-on-read")) {
+      val imageFiles = imageRows.map(r =>
+        WriteFiles.write(spark, location, writeSchema, spec, r,
+          UUID.randomUUID().toString, sortOrderOpt, metadata.properties))
+        .getOrElse(Nil)
+      applyCdcMor(retire.get, joinCols, imageFiles, cursorStamp, baseSnap)
+      return
+    }
+    var removedPaths = Set.empty[String]
+    val pieces = Seq.newBuilder[DataFrame]
+    retire.foreach { r => branchScan(Some("main")).foreach { scanObj =>
+      // affected replica files via id-bounds pruning + __file semi-join
+      // — metadata-sized path set on the driver, the key set itself
+      // never leaves executors (the upsert targeting shape)
+      val tasks = retireCandidates(scanObj.planFiles(), r, joinCols)
+      val targetWithFile = scanObj.toDFForTasks(tasks,
+        applyResidualOnlyWhereNeeded = true, keepFile = true)
+      val affected = targetWithFile
+        .join(r, joinCols, "left_semi")
+        .select(col("__file")).distinct().collect().map(_.getString(0)).toSet
+      val affectedTasks = tasks.filter(t =>
+        affected.contains(graft.core.PathUtil.canon(t.file.filePath)))
+      val removedData = affectedTasks.map(_.file.filePath).toSet
+      removedPaths = removedData ++ deadDeleteFiles(removedData, Some("main"))
+      if (affectedTasks.nonEmpty) {
+        val affectedRows = if (lineage) scanObj.toDFWithLineageForTasks(affectedTasks)
+          else scanObj.toDFForTasks(affectedTasks, applyResidualOnlyWhereNeeded = true)
+        pieces += affectedRows.join(r, joinCols, "left_anti")
+      }
+    }}
+    imageRows.foreach(pieces += _)
+    val added = pieces.result().reduceOption(_ unionByName _) match {
+      case Some(rows) => WriteFiles.write(spark, location, writeSchema, spec,
+        rows, UUID.randomUUID().toString, sortOrderOpt, metadata.properties)
+      case None => Nil
+    }
+    commitSnapshot("overwrite", added = added, removedPaths = removedPaths,
+      extraMeta = cursorStamp, conflictFilter = Some(AlwaysTrue),
+      baseSnapshotId = baseSnap)
   }
 
   /** Replica files that might hold a retired source id: per-file
@@ -893,7 +970,13 @@ class IceTable(
     * set any engine must open). Files missing bounds stay candidates —
     * conservative, never wrong. */
   private[graft] def retireCandidates(tasks: Seq[FileScanTask], retire: DataFrame,
-      srcIdCol: String): Seq[FileScanTask] = {
+      joinCols: Seq[String]): Seq[FileScanTask] = {
+    // bounds pruning needs ONE long-typed key; composite or non-numeric
+    // keys keep every file (the semi-join still narrows the rewrite set)
+    val srcIdCol = joinCols match {
+      case Seq(one) => one
+      case _ => return tasks
+    }
     val fid = schema.findField(srcIdCol).map(_.id).getOrElse(return tasks)
     def bounds(t: FileScanTask): Option[(Long, Long)] =
       for {
@@ -920,19 +1003,19 @@ class IceTable(
     * masks them and lands the new-image files in the SAME snapshot — the
     * cursor stamp still rides that one metadata swap. Files without a
     * retired row get no DV and are never rewritten. */
-  private def applyCdcMor(retire: DataFrame, srcIdCol: String,
+  private def applyCdcMor(retire: DataFrame, joinCols: Seq[String],
       imageFiles: Seq[DataFile], cursorStamp: TableMetadata => TableMetadata,
       baseSnap: Option[Long]): Unit = {
     val live = branchScan(Some("main")).map(_.planFiles()).getOrElse(Nil)
-    val tasks = retireCandidates(live, retire, srcIdCol)
+    val tasks = retireCandidates(live, retire, joinCols)
     val branches = Seq.newBuilder[DataFrame]
     val (orcTasks, pqTasks) = tasks.partition(_.file.fileFormat.toUpperCase == "ORC")
     if (pqTasks.nonEmpty)
       branches += PathDict.join(
         spark.read.schema(schema.toSpark).parquet(pqTasks.map(_.file.filePath): _*)
-          .select(col(srcIdCol), col("_metadata.file_path").as("__rawfile"),
-            col("_metadata.row_index").as("__dpos"))
-          .join(retire, Seq(srcIdCol), "left_semi"),
+          .select(joinCols.map(col) ++ Seq(col("_metadata.file_path").as("__rawfile"),
+            col("_metadata.row_index").as("__dpos")): _*)
+          .join(retire, joinCols, "left_semi"),
         spark, pqTasks.map(_.file.filePath), as = "__dfile")
         .select(col("__dfile"), col("__dpos"))
     if (orcTasks.nonEmpty)
@@ -940,7 +1023,7 @@ class IceTable(
           orcTasks.map(t => (t.file.filePath, Array.empty[graft.spark.DeleteFileRef],
             Array.empty[graft.spark.EqDeleteRef])),
           keepFile = true, keepPos = true)
-        .join(retire, Seq(srcIdCol), "left_semi")
+        .join(retire, joinCols, "left_semi")
         .select(col("__file").as("__dfile"), col("__pos").as("__dpos"))
     branches.result().reduceOption(_ unionByName _) match {
       case None =>

@@ -2803,17 +2803,17 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a retire set drawn from the SECOND batch's id range [500, 600)
     // must prune the first file via its srcId min/max footer stats
     val cand = rep.retireCandidates(tasks,
-      spark.range(500, 600).toDF("_src_row_id"), "_src_row_id")
+      spark.range(500, 600).toDF("_src_row_id"), Seq("_src_row_id"))
     assert(cand.size === 1,
       s"bounds pruning must drop the untouched file, got ${cand.size}")
     assert(cand.head.file.lowerBounds.nonEmpty)
     // an id in NEITHER range prunes everything; a stats-covered spread
     // keeps both
     assert(rep.retireCandidates(tasks,
-      spark.range(1000000, 1000001).toDF("_src_row_id"), "_src_row_id").isEmpty)
+      spark.range(1000000, 1000001).toDF("_src_row_id"), Seq("_src_row_id")).isEmpty)
     assert(rep.retireCandidates(tasks,
       spark.createDataFrame(Seq(Tuple1(0L), Tuple1(599L))).toDF("_src_row_id"),
-      "_src_row_id").size === 2)
+      Seq("_src_row_id")).size === 2)
   }
 
   test("cdc apply propagates source schema evolution to the replica") {
@@ -2941,6 +2941,55 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(want.exceptAll(got).count() === 0, s"$mode round $round: missing rows")
       }
     }
+  }
+
+  test("changelog apply: keyed v2 replication, highest-ordinal event wins") {
+    import graft.streaming.TableChanges
+    val src0 = orders.select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice"))
+    // BOTH sides v2 — no row lineage anywhere; the key column stands in
+    val t = catalog.createTable("t_clrep_src", Schema.fromSpark(src0.schema))
+    val rep = catalog.createTable("t_clrep_rep", Schema.fromSpark(src0.schema))
+    t.append(src0.filter(col("o_orderkey") % 2 === 1))
+    val r1 = TableChanges.replicateChangelogOnce(t, rep, Seq("o_orderkey"))
+    assert(r1._1 === src0.filter(col("o_orderkey") % 2 === 1).count())
+    assert(rep.appliedCdcCursor === Some(t.metadata.currentSnapshotId.get.toString))
+
+    // churn: CoW delete, upsert (→ delete+insert at ONE ordinal), ingest,
+    // and an insert-then-delete pair ACROSS commits (must net to absent)
+    val delKeys = src0.filter(col("o_orderkey") % 10 === 1)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    t.delete(In("o_orderkey", delKeys))
+    t.upsert(t.scan.toDF.filter(col("o_orderkey") % 10 === 3)
+      .withColumn("o_totalprice", col("o_totalprice") + 1), Seq("o_orderkey"))
+    t.append(src0.filter(col("o_orderkey") % 2 === 0))
+    t.append(src0.limit(1).withColumn("o_orderkey", lit(99999999L)))
+    t.delete("o_orderkey = 99999999")
+    val r2 = TableChanges.replicateChangelogOnce(t, rep, Seq("o_orderkey"))
+    assert(r2._1 > 0 && r2._2 > 0)
+    val want = t.scan.toDF.select(src0.columns.map(col): _*)
+    val got = rep.refresh().scan.toDF.select(src0.columns.map(col): _*)
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+    assert(got.filter(col("o_orderkey") === 99999999L).count() === 0,
+      "insert-then-delete across commits must net to absent")
+
+    // replay of the same batch is a detected no-op
+    val snaps = rep.refresh().metadata.snapshots.size
+    assert(TableChanges.replicateChangelogOnce(t, rep, Seq("o_orderkey")) ===
+      ((0L, 0L)))
+    assert(rep.refresh().metadata.snapshots.size === snaps)
+
+    // MoR churn on the source (position deletes) flows through the
+    // changelog's delete resolution into the keyed mirror too
+    val morKey = src0.filter(col("o_orderkey") % 2 === 0)
+      .agg(min("o_orderkey")).head().getLong(0)
+    t.deletePositional(s"o_orderkey = $morKey")
+    TableChanges.replicateChangelogOnce(t, rep, Seq("o_orderkey"))
+    assert(rep.refresh().scan.toDF
+      .filter(col("o_orderkey") === morKey).count() === 0)
+    assert(rep.scan.toDF.count() === t.scan.toDF.count())
   }
 
   test("filtered replica: replicateOnce(filter) maintains SELECT * WHERE p") {
