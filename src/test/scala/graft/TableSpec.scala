@@ -1487,6 +1487,37 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(want.exceptAll(got).count() === 0)
   }
 
+  test("streaming v2 replication: graft-changelog + foreachBatch applyChangelog") {
+    val src0 = orders.select(col("o_orderkey"), col("o_totalprice"))
+    val t = catalog.createTable("t_screp_src", Schema.fromSpark(src0.schema))
+    val rep = catalog.createTable("t_screp_rep", Schema.fromSpark(src0.schema))
+    t.append(src0.filter(col("o_orderkey") % 2 === 1))
+    val ckpt = java.nio.file.Files.createTempDirectory("screp_ckpt").toString
+    def start() = spark.readStream.format("graft-changelog")
+      .option("warehouse", warehouse).option("table", "t_screp_src").load()
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        rep.applyChangelog(batch, Seq("o_orderkey"),
+          if (id == 0) None else Some((id - 1).toString), id.toString)
+        ()
+      }
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(rep.refresh().scan.toDF.count() ===
+      src0.filter(col("o_orderkey") % 2 === 1).count())
+    // churn between incarnations, incl. an upsert (delete+insert pair)
+    t.upsert(t.scan.toDF.filter(col("o_orderkey") % 10 === 3)
+      .withColumn("o_totalprice", col("o_totalprice") + 1), Seq("o_orderkey"))
+    t.append(src0.filter(col("o_orderkey") % 2 === 0))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val want = t.scan.toDF.select(src0.columns.map(col): _*)
+    val got = rep.refresh().scan.toDF.select(src0.columns.map(col): _*)
+    assert(got.count() === want.count(), "restart must not replay or lose")
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
+
   test("graft-cdc max-snapshots-per-trigger bounds each micro-batch") {
     val t = catalog.createTable("t_cdc_adm", Schema.fromSpark(orders.schema),
       properties = Map("format-version" -> "3"))
