@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Generic INCREMENTAL AGGREGATE-VIEW MAINTENANCE (IVM) from a changelog
+  * feed — the unifying engine behind the per-use-case incremental
+  * operators (curation argmax, TF-IDF df-stats, ANN postings): a
+  * declarative `GROUP BY keys` view with count / sum / avg / min / max
+  * aggregates, maintained from one CDC batch without re-scanning the
+  * corpus.
+  *
+  * The feed contract is the v2-compatible changelog face
+  * (`TableChanges.changelog` / the `graft-changelog` source): every
+  * change surfaces as `_change_type` 'insert' (post-image) or 'delete'
+  * (pre-image), an update being a delete+insert pair. Because the
+  * pre-image rides the feed, DISTRIBUTIVE aggregates retract exactly:
+  *
+  *  - `cnt` (count(*)) and `s_<c>` (sum(c)) absorb the batch as ±deltas
+  *    in one churn-sized groupBy + one key-join against the state —
+  *    never a corpus read; `avg` serves as `s_<c> / cnt`.
+  *  - `mn_<c>` / `mx_<c>` (min/max) are NOT retractable: an extremum can
+  *    only grow tighter from inserts (`least/greatest` with the batch's
+  *    per-group insert extrema), but a retired row that may have HELD
+  *    the extremum leaves a HOLE — those groups (and only those) are
+  *    re-elected by the caller-supplied `reElect` scan over the current
+  *    base, exactly the survivorship shape of the curation winner
+  *    election generalized from argmax to any min/max column.
+  *
+  * At 100 TB the state is a maintained Iceberg table bucketed by the
+  * group keys: a batch shuffles churn-sized deltas, the state join is
+  * MERGE-INTO shaped, and the re-election scan is bounded by the hole
+  * groups' keys — when the keys align with the base table's partitioning
+  * the caller's `reElect` prunes to those partitions' files (the
+  * `ds_mv_incremental` gate passes a capped IN-predicate scan). Groups
+  * whose count reaches zero leave the state; groups first seen in the
+  * batch are born from their own deltas.
+  *
+  * Null semantics match SQL: sum/min/max ignore null values (a null
+  * contributes 0 both ways, so retraction stays exact); `cnt` is
+  * count(*). Null KEY values form their own group — the state join is
+  * null-safe (`<=>`).
+  */
+object IncrementalAgg {
+
+  /** The view definition: group keys plus aggregate column lists. State
+    * column layout: `keys* , cnt, s_<c>*, mn_<c>*, mx_<c>*`. */
+  final case class AggView(
+      keys: Seq[String],
+      sums: Seq[String] = Nil,
+      mins: Seq[String] = Nil,
+      maxs: Seq[String] = Nil) {
+    def stateCols: Seq[String] =
+      keys ++ ("cnt" +: (sums.map("s_" + _) ++ mins.map("mn_" + _) ++
+        maxs.map("mx_" + _)))
+  }
+
+  /** Build the state from scratch over the base relation (the bootstrap
+    * at the CDC cursor; also the differential oracle in tests). */
+  def init(base: DataFrame, v: AggView): DataFrame = {
+    val aggs =
+      (count(lit(1)).as("cnt") +:
+        (v.sums.map(c => sum(col(c)).as(s"s_$c")) ++
+          v.mins.map(c => min(col(c)).as(s"mn_$c")) ++
+          v.maxs.map(c => max(col(c)).as(s"mx_$c"))))
+    base.groupBy(v.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Apply ONE changelog batch to the state.
+    *
+    * @param state   the maintained view as of the batch's start cursor
+    * @param batch   changelog rows: the view's key+agg columns plus
+    *                `_change_type` ('insert' | 'delete'; update pairs
+    *                already split). Other feed columns are ignored.
+    * @param reElect given a DataFrame of hole-group key tuples (columns
+    *                = `v.keys`, churn-bounded), return the CURRENT base
+    *                rows of those groups (at minimum the key + min/max
+    *                columns). Callers prune this scan: a semi-join for
+    *                arbitrary keys, an IN-predicate pushed to the table
+    *                scan when key cardinality is capped. Never invoked
+    *                when no group needs re-election.
+    * @return the maintained view as of the batch's end cursor
+    */
+  def applyChangelog(
+      state: DataFrame,
+      batch: DataFrame,
+      v: AggView,
+      reElect: DataFrame => DataFrame): DataFrame = {
+    // ---- churn-sized per-group deltas (one groupBy over the batch) ----
+    val w = when(col("_change_type") === "insert", 1L)
+      .when(col("_change_type") === "delete", -1L)
+    val deltaAggs =
+      sum(w).as("d_cnt") +:
+        (v.sums.map(c => sum(w * col(c)).as(s"d_$c")) ++
+          v.mins.flatMap(c => Seq(
+            min(when(col("_change_type") === "insert", col(c))).as(s"in_mn_$c"),
+            min(when(col("_change_type") === "delete", col(c))).as(s"del_mn_$c"))) ++
+          v.maxs.flatMap(c => Seq(
+            max(when(col("_change_type") === "insert", col(c))).as(s"in_mx_$c"),
+            max(when(col("_change_type") === "delete", col(c))).as(s"del_mx_$c"))))
+    val delta = batch
+      .filter(col("_change_type").isin("insert", "delete"))
+      .groupBy(v.keys.map(col): _*).agg(deltaAggs.head, deltaAggs.tail: _*)
+
+    // ---- merge: null-safe full-outer on the keys ----
+    val st = state.alias("st")
+    val dl = delta.alias("dl")
+    val joinCond = v.keys
+      .map(k => st.col(k) <=> dl.col(k))
+      .reduce(_ && _)
+    val merged0 = st.join(dl, joinCond, "full_outer")
+    val keyed = v.keys.map(k => coalesce(st.col(k), dl.col(k)).as(k))
+    val stateMissing = st.col("cnt").isNull
+    val cnt1 = (coalesce(st.col("cnt"), lit(0L)) +
+      coalesce(dl.col("d_cnt"), lit(0L))).as("cnt")
+    val sums1 = v.sums.map { c =>
+      // sum over an all-null group is null both in state and delta;
+      // coalesce to the other side so a null never zeroes a real sum
+      val s0 = st.col(s"s_$c"); val d0 = dl.col(s"d_$c")
+      when(s0.isNull, d0).when(d0.isNull, s0).otherwise(s0 + d0).as(s"s_$c")
+    }
+    // a HOLE: a retired value that could have held the extremum, or a
+    // delete hitting a group the state never saw (anomalous feed —
+    // re-elect rather than trust either side)
+    def hole(pfx: String, c: String, cmp: (Column, Column) => Column): Column = {
+      val cur = st.col(s"$pfx$c"); val del = dl.col(s"del_$pfx$c")
+      del.isNotNull && (cur.isNull || cmp(del, cur)) ||
+        (stateMissing && del.isNotNull)
+    }
+    val holeMin = v.mins.map(c => c -> hole("mn_", c, _ <= _)).toMap
+    val holeMax = v.maxs.map(c => c -> hole("mx_", c, _ >= _)).toMap
+    val anyHole = (holeMin.values ++ holeMax.values)
+      .foldLeft(lit(false))(_ || _).as("__hole")
+    val mins1 = v.mins.map(c =>
+      least(st.col(s"mn_$c"), dl.col(s"in_mn_$c")).as(s"mn_$c"))
+    val maxs1 = v.maxs.map(c =>
+      greatest(st.col(s"mx_$c"), dl.col(s"in_mx_$c")).as(s"mx_$c"))
+    val merged = merged0
+      .select((keyed :+ cnt1) ++ sums1 ++ mins1 ++ maxs1 :+ anyHole: _*)
+      .filter(col("cnt") > 0 || col("__hole"))
+
+    if (v.mins.isEmpty && v.maxs.isEmpty) return merged.drop("__hole")
+
+    // ---- re-elect extrema for hole groups only ----
+    // (cnt/sum stay delta-exact; only the non-retractable aggregates
+    // re-derive, and only where a retirement could have held them)
+    val holes = merged.filter(col("__hole")).select(v.keys.map(col): _*)
+    val clean = merged.filter(!col("__hole")).drop("__hole")
+    if (holes.isEmpty) return clean
+    val reAggs =
+      (v.mins.map(c => min(col(c)).as(s"re_mn_$c")) ++
+        v.maxs.map(c => max(col(c)).as(s"re_mx_$c")))
+    val re = reElect(holes)
+      .groupBy(v.keys.map(col): _*).agg(reAggs.head, reAggs.tail: _*)
+    val hm = merged.filter(col("__hole")).alias("hm")
+    val ra = re.alias("ra")
+    val fixCond = v.keys.map(k => hm.col(k) <=> ra.col(k)).reduce(_ && _)
+    val fixed = hm.join(ra, fixCond, "left_outer")
+      .select((v.keys.map(k => hm.col(k).as(k)) :+ hm.col("cnt").as("cnt")) ++
+        v.sums.map(c => hm.col(s"s_$c").as(s"s_$c")) ++
+        v.mins.map(c => ra.col(s"re_mn_$c").as(s"mn_$c")) ++
+        v.maxs.map(c => ra.col(s"re_mx_$c").as(s"mx_$c")): _*)
+      // a hole group with no surviving base rows died with the batch
+      .filter(col("cnt") > 0)
+    clean.unionByName(fixed)
+  }
+}

@@ -1222,6 +1222,92 @@ object Iceberg {
       |SELECT url, 9999999 - (mk % 10000000) AS doc_id, mk // 10000000 AS n_chars
       |FROM w ORDER BY url""".stripMargin
 
+  /** GENERIC INCREMENTAL VIEW MAINTENANCE (r14): a declarative
+    * `GROUP BY (source, lang)` aggregate view — count / sum / avg /
+    * min / max over the documents corpus — maintained from ONE
+    * v2-compatible changelog batch by `graft.ops.IncrementalAgg`, the
+    * engine that unifies the per-use-case incremental operators
+    * (curation argmax, TF-IDF stats, ANN postings) into textbook IVM:
+    * the changelog's delete rows carry PRE-IMAGES, so count/sum/avg
+    * absorb the batch as exact ± deltas with zero auxiliary state and
+    * zero corpus reads; min/max tighten from insert extrema and
+    * RE-ELECT only for groups where a retired value could have held
+    * the extremum — here via a table scan pushed an `In(source, …)`
+    * predicate, so with the corpus partitioned by source the
+    * re-election reads only the hole groups' partitions. The churn
+    * exercises every maintenance shape: deletes that vacate extrema,
+    * updates that raise values past maxima (insert-side tighten) and
+    * sink them below minima (hole + re-elect), and an ingest append
+    * that births groups. Output = the FULL maintained view; the oracle
+    * recomputes it from scratch over the churned corpus, proving the
+    * incremental state exact, not just the touched groups. Needs only
+    * format v2 — row lineage not required on this face. */
+  def mvIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    val schema = Schema.fromSpark(docs.schema)
+    val cat = s"gmv${sqlCatSeq.incrementAndGet()}"
+    val whDir = Files.createTempDirectory("graft_mvcdc").toString
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", whDir)
+    val tab = new HadoopCatalog(whDir, s)
+      .createTable("db.corpus", schema,
+        Spec.build(schema, 0, ("source", IdentityTransform, "src")),
+        properties = Map("format-version" -> "2"))
+    tab.append(docs.filter(col("doc_id") % 3 =!= 0))
+    val c0 = tab.refresh().metadata.currentSnapshotId
+    s.sql(s"DELETE FROM $cat.db.corpus WHERE doc_id % 9 = 1")
+    s.sql(s"UPDATE $cat.db.corpus SET n_chars = n_chars + 500 WHERE doc_id % 9 = 2")
+    s.sql(s"UPDATE $cat.db.corpus SET n_chars = n_chars - 600 WHERE doc_id % 9 = 4")
+    tab.refresh().append(docs.filter(col("doc_id") % 3 === 0))
+    val rel = tab.refresh()
+    val view = graft.ops.IncrementalAgg.AggView(
+      keys = Seq("source", "lang"), sums = Seq("n_chars"),
+      mins = Seq("n_chars", "doc_id"), maxs = Seq("n_chars", "doc_id"))
+    val state0 = graft.ops.IncrementalAgg.init(
+      rel.scan.useSnapshot(c0.get).toDF, view)
+    val batch = graft.streaming.TableChanges.changelog(rel, c0)
+    val reElect: DataFrame => DataFrame = { keys =>
+      // hole groups are churn-bounded: push their sources into the scan
+      // (partition-pruned — only affected sources' files open), exact
+      // group membership restored by the semi-join; past the cap, the
+      // unpruned semi-join is still row-correct
+      val cap = 1000
+      val srcs = keys.select(col("source")).distinct()
+        .limit(cap + 1).collect().map(_.getString(0)).toSeq
+      val base =
+        if (srcs.length > cap) rel.scan.toDF
+        else rel.scan.filter(In("source", srcs)).toDF
+      base.select(col("source"), col("lang"), col("n_chars"), col("doc_id"))
+        .join(keys, Seq("source", "lang"), "left_semi")
+    }
+    val state1 = graft.ops.IncrementalAgg.applyChangelog(
+      state0, batch, view, reElect)
+    nonEmpty(state1.select(col("source"), col("lang"), col("cnt"),
+        col("s_n_chars").as("sum_chars"),
+        (col("s_n_chars").cast("double") / col("cnt")).as("avg_chars"),
+        col("mn_n_chars").as("min_chars"), col("mx_n_chars").as("max_chars"),
+        col("mn_doc_id").as("min_doc"), col("mx_doc_id").as("max_doc"))
+      .orderBy(col("source"), col("lang")))
+  }
+  /** Oracle = the same view recomputed FROM SCRATCH over the churned
+    * corpus. */
+  val mvIncrementalSql =
+    """WITH corpus1 AS (
+      |  SELECT doc_id, source, lang,
+      |    CASE WHEN doc_id % 9 = 2 THEN n_chars + 500
+      |         WHEN doc_id % 9 = 4 THEN n_chars - 600 ELSE n_chars END AS n_chars
+      |  FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 9 <> 1
+      |  UNION ALL
+      |  SELECT doc_id, source, lang, n_chars FROM documents WHERE doc_id % 3 = 0)
+      |SELECT source, lang, count(*) AS cnt,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM corpus1 GROUP BY source, lang
+      |ORDER BY source, lang""".stripMargin
+
   /** FILTERED row-identity CDC (r14): the change feed of `SELECT * WHERE
     * p` — a consumer tailing ONE partition (a tenant, a region, a time
     * slice) gets replica semantics without paying the whole table's
@@ -2254,6 +2340,7 @@ object Iceberg {
     "ds_ann_cdc" -> (annCdc _),
     "ds_tfidf_cdc" -> (tfidfCdc _),
     "ds_curate_cdc" -> (curateCdc _),
+    "ds_mv_incremental" -> (mvIncremental _),
     "ice_cdc_filtered" -> (cdcFiltered _),
     "ice_cdc_apply" -> (cdcApply _),
     "ice_equality_deletes" -> (equalityDeletes _),
@@ -2319,6 +2406,7 @@ object Iceberg {
     "ds_ann_cdc" -> annCdcSql,
     "ds_tfidf_cdc" -> tfidfCdcSql,
     "ds_curate_cdc" -> curateCdcSql,
+    "ds_mv_incremental" -> mvIncrementalSql,
     "ice_cdc_filtered" -> cdcFilteredSql,
     "ice_cdc_apply" -> cdcApplySql,
     "ice_equality_deletes" -> equalityDeletesSql,

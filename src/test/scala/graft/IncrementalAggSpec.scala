@@ -1,0 +1,236 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.IncrementalAgg
+import graft.ops.IncrementalAgg.AggView
+
+/** Generic incremental view maintenance: deterministic pins for every
+  * maintenance shape (delta-exact count/sum, insert-side extremum
+  * tighten, hole re-election, group death/birth, duplicate extrema,
+  * null keys/values, re-elect invoked ONLY for hole groups) plus a
+  * seeded differential fuzz against the from-scratch aggregate. */
+class IncrementalAggSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val view = AggView(keys = Seq("g"), sums = Seq("v"),
+    mins = Seq("v"), maxs = Seq("v"))
+
+  private def df(rows: Seq[(String, java.lang.Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("g", "v")
+  }
+
+  private def batch(rows: Seq[(String, java.lang.Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("g", "v", "_change_type")
+  }
+
+  /** reElect over an explicit current base, recording the asked keys. */
+  private def electorOver(base: DataFrame,
+      asked: scala.collection.mutable.Set[String]): DataFrame => DataFrame =
+    keys => {
+      asked ++= keys.collect().map(r => String.valueOf(r.get(0)))
+      base.join(keys, Seq("g"), "left_semi")
+    }
+
+  private def stateMap(st: DataFrame): Map[String, (Long, Long, Long, Long)] =
+    st.collect().map { r =>
+      String.valueOf(r.getAs[Any]("g")) ->
+        ((r.getAs[Long]("cnt"), r.getAs[Long]("s_v"),
+          r.getAs[Long]("mn_v"), r.getAs[Long]("mx_v")))
+    }.toMap
+
+  test("count/sum are delta-exact and min/max tighten without re-election " +
+      "when no retired value touches an extremum") {
+    val base0 = df(Seq(("a", 10L), ("a", 20L), ("a", 30L)))
+    val st0 = IncrementalAgg.init(base0, view)
+    // delete a MIDDLE value (20), insert 40: min survives, max tightens
+    val b = batch(Seq(("a", 20L, "delete"), ("a", 40L, "insert")))
+    val asked = scala.collection.mutable.Set[String]()
+    val base1 = df(Seq(("a", 10L), ("a", 30L), ("a", 40L)))
+    val st1 = IncrementalAgg.applyChangelog(st0, b, view,
+      electorOver(base1, asked))
+    assert(stateMap(st1) === Map("a" -> ((3L, 80L, 10L, 40L))))
+    assert(asked.isEmpty, "no hole group may trigger a re-election scan")
+  }
+
+  test("retiring the extremum holder re-elects from the current base — " +
+      "and ONLY the hole group is asked") {
+    val base0 = df(Seq(("a", 10L), ("a", 30L), ("b", 5L), ("b", 7L)))
+    val st0 = IncrementalAgg.init(base0, view)
+    val b = batch(Seq(
+      ("a", 30L, "delete"), ("a", 15L, "insert"), // max holder retired
+      ("b", 9L, "insert"))) // b untouched on the delete side
+    val asked = scala.collection.mutable.Set[String]()
+    val base1 = df(Seq(("a", 10L), ("a", 15L), ("b", 5L), ("b", 7L), ("b", 9L)))
+    val st1 = IncrementalAgg.applyChangelog(st0, b, view,
+      electorOver(base1, asked))
+    assert(stateMap(st1) === Map(
+      "a" -> ((2L, 25L, 10L, 15L)), "b" -> ((3L, 21L, 5L, 9L))))
+    assert(asked === Set("a"))
+  }
+
+  test("duplicate extremum: retiring ONE of two equal minima re-elects " +
+      "and finds the same value") {
+    val base0 = df(Seq(("a", 10L), ("a", 10L), ("a", 20L)))
+    val st0 = IncrementalAgg.init(base0, view)
+    val b = batch(Seq(("a", 10L, "delete")))
+    val asked = scala.collection.mutable.Set[String]()
+    val base1 = df(Seq(("a", 10L), ("a", 20L)))
+    val st1 = IncrementalAgg.applyChangelog(st0, b, view,
+      electorOver(base1, asked))
+    assert(stateMap(st1) === Map("a" -> ((2L, 30L, 10L, 20L))))
+    assert(asked === Set("a"), "equal-value retire cannot skip re-election")
+  }
+
+  test("group death and birth: a fully-retired group leaves the state, " +
+      "a first-seen group is born from its own deltas") {
+    val base0 = df(Seq(("a", 1L), ("a", 2L)))
+    val st0 = IncrementalAgg.init(base0, view)
+    val b = batch(Seq(
+      ("a", 1L, "delete"), ("a", 2L, "delete"),
+      ("c", 100L, "insert"), ("c", 50L, "insert")))
+    val asked = scala.collection.mutable.Set[String]()
+    val base1 = df(Seq(("c", 100L), ("c", 50L)))
+    val st1 = IncrementalAgg.applyChangelog(st0, b, view,
+      electorOver(base1, asked))
+    assert(stateMap(st1) === Map("c" -> ((2L, 150L, 50L, 100L))))
+  }
+
+  test("update pair within one batch nets exactly (delete pre-image + " +
+      "insert post-image)") {
+    val base0 = df(Seq(("a", 10L), ("a", 99L)))
+    val st0 = IncrementalAgg.init(base0, view)
+    val b = batch(Seq(("a", 99L, "delete"), ("a", 7L, "insert")))
+    val base1 = df(Seq(("a", 10L), ("a", 7L)))
+    val st1 = IncrementalAgg.applyChangelog(st0, b, view,
+      electorOver(base1, scala.collection.mutable.Set[String]()))
+    assert(stateMap(st1) === Map("a" -> ((2L, 17L, 7L, 10L))))
+  }
+
+  test("null agg values contribute nothing and retract nothing; null keys " +
+      "form their own maintained group") {
+    val nl: java.lang.Long = null
+    val base0 = df(Seq(("a", java.lang.Long.valueOf(10L)), ("a", nl),
+      (null, java.lang.Long.valueOf(3L))))
+    val st0 = IncrementalAgg.init(base0, view)
+    val b = batch(Seq(
+      ("a", nl, "delete"), // retiring a null value: no hole
+      (null, java.lang.Long.valueOf(4L), "insert")))
+    val asked = scala.collection.mutable.Set[String]()
+    val base1 = df(Seq(("a", java.lang.Long.valueOf(10L)),
+      (null, java.lang.Long.valueOf(3L)), (null, java.lang.Long.valueOf(4L))))
+    val st1 = IncrementalAgg.applyChangelog(st0, b, view,
+      electorOver(base1, asked))
+    assert(asked.isEmpty)
+    val m = st1.collect().map { r =>
+      (if (r.isNullAt(0)) "<null>" else r.getString(0)) ->
+        ((r.getAs[Long]("cnt"), r.getAs[Long]("s_v")))
+    }.toMap
+    assert(m === Map("a" -> ((1L, 10L)), "<null>" -> ((2L, 7L))))
+  }
+
+  test("differential fuzz: 20 seeded random churn batches equal the " +
+      "from-scratch aggregate (and never over-ask the elector)") {
+    val rnd = new scala.util.Random(20260816L)
+    for (round <- 1 to 20) {
+      val groups = (0 until (2 + rnd.nextInt(6))).map(i => s"g$i")
+      var rows = (0 until (5 + rnd.nextInt(40))).map { i =>
+        (groups(rnd.nextInt(groups.size)), java.lang.Long.valueOf(rnd.nextInt(21) - 10))
+      }
+      val st0 = IncrementalAgg.init(df(rows), view)
+      // churn: delete a random subset, update a subset, insert fresh rows
+      val (dead, kept) = rows.partition(_ => rnd.nextInt(4) == 0)
+      val (upd, same) = kept.partition(_ => rnd.nextInt(4) == 0)
+      val upd2 = upd.map { case (g, v) =>
+        (g, java.lang.Long.valueOf(v + rnd.nextInt(11) - 5)) }
+      val fresh = (0 until rnd.nextInt(10)).map { _ =>
+        (groups(rnd.nextInt(groups.size)), java.lang.Long.valueOf(rnd.nextInt(21) - 10)) }
+      val b = batch(
+        dead.map { case (g, v) => (g, v, "delete") } ++
+        upd.map { case (g, v) => (g, v, "delete") } ++
+        upd2.map { case (g, v) => (g, v, "insert") } ++
+        fresh.map { case (g, v) => (g, v, "insert") })
+      rows = same ++ upd2 ++ fresh
+      val st1 = IncrementalAgg.applyChangelog(st0, b, view,
+        electorOver(df(rows), scala.collection.mutable.Set[String]()))
+      val expect = IncrementalAgg.init(df(rows), view)
+      val got = stateMap(st1)
+      val want = stateMap(expect)
+      assert(got === want, s"fuzz round $round diverged")
+    }
+  }
+
+  test("re-election over a source-partitioned Iceberg table reads ONLY the " +
+      "hole group's partition (In pushdown through the scan)") {
+    import graft.catalog.HadoopCatalog
+    import graft.core.{Schema, IdentityTransform, In}
+    import graft.meta.{PartitionSpec => Spec}
+    import graft.streaming.TableChanges
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_ivmpin").toString
+    val rows = Seq(
+      ("A", 1L, 10L), ("A", 2L, 30L), ("A", 3L, 20L),
+      ("B", 4L, 5L), ("B", 5L, 7L)).toDF("source", "doc_id", "v")
+    val schema = Schema.fromSpark(rows.schema)
+    val tab = new HadoopCatalog(wh, spark).createTable("ivm", schema,
+      Spec.build(schema, 0, ("source", IdentityTransform, "src")),
+      properties = Map("format-version" -> "2"))
+    tab.append(rows)
+    val c0 = tab.refresh().metadata.currentSnapshotId
+    // retire A's max holder (doc_id=2, v=30): hole in A only
+    tab.delete("doc_id = 2")
+    val rel = tab.refresh()
+    val v = AggView(keys = Seq("source"), sums = Seq("v"),
+      mins = Seq("v"), maxs = Seq("v"))
+    val st0 = IncrementalAgg.init(rel.scan.useSnapshot(c0.get).toDF, v)
+    val b = TableChanges.changelog(rel, c0)
+    var electorRead: Set[String] = Set.empty
+    val st1 = IncrementalAgg.applyChangelog(st0, b, v, { keys =>
+      val srcs = keys.select(col("source")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      val base = rel.scan.filter(In("source", srcs)).toDF
+      electorRead = base.inputFiles.toSet
+      base.select(col("source"), col("v"))
+        .join(keys, Seq("source"), "left_semi")
+    })
+    assert(electorRead.nonEmpty && electorRead.forall(_.contains("src=A")),
+      s"re-election must open only A's partition, read: $electorRead")
+    val got = st1.orderBy("source").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("cnt"), r.getAs[Long]("s_v"),
+        r.getAs[Long]("mn_v"), r.getAs[Long]("mx_v")))
+    assert(got.toSeq === Seq(("A", 2L, 30L, 10L, 20L), ("B", 2L, 12L, 5L, 7L)))
+  }
+
+  test("multi-column view: independent holes re-elect each column from " +
+      "the same single scan") {
+    val v2 = AggView(keys = Seq("g"), sums = Seq("x", "y"),
+      mins = Seq("x"), maxs = Seq("y"))
+    import spark.implicits._
+    val base0 = Seq(("a", 1L, 100L), ("a", 5L, 300L), ("a", 9L, 200L))
+      .toDF("g", "x", "y")
+    val st0 = IncrementalAgg.init(base0, v2)
+    // one delete vacates min(x)=1 AND max(y)=300 across two rows
+    val b = Seq(("a", 1L, 100L, "delete"), ("a", 5L, 300L, "delete"),
+      ("a", 2L, 150L, "insert")).toDF("g", "x", "y", "_change_type")
+    val base1 = Seq(("a", 9L, 200L), ("a", 2L, 150L)).toDF("g", "x", "y")
+    val st1 = IncrementalAgg.applyChangelog(st0, b, v2,
+      keys => base1.join(keys, Seq("g"), "left_semi"))
+    val r = st1.collect().head
+    assert(r.getAs[Long]("cnt") === 2L)
+    assert(r.getAs[Long]("s_x") === 11L && r.getAs[Long]("s_y") === 350L)
+    assert(r.getAs[Long]("mn_x") === 2L && r.getAs[Long]("mx_y") === 200L)
+  }
+}
