@@ -41,10 +41,14 @@ class GraftCdcSource extends StreamSourceProvider with DataSourceRegister {
 
   private def load(parameters: Map[String, String]): IceTable = {
     import scala.jdk.CollectionConverters._
-    val (table, pinned) = new GraftSource().load(
-      new CaseInsensitiveStringMap(parameters.asJava))
+    // `branch` is OURS (a moving ref the stream follows — the WAP-audit
+    // feed), not a static pin for the batch loader; everything that
+    // cannot move (snapshot-id / as-of-timestamp / tag) stays rejected
+    val (table, pinned) = new GraftSource().load(new CaseInsensitiveStringMap(
+      parameters.filterNot(_._1.equalsIgnoreCase("branch")).asJava))
     require(pinned.isEmpty,
-      "the CDC stream follows main — time-travel/branch/tag pins are not streamable")
+      "the CDC stream follows a moving ref — snapshot-id/as-of-timestamp/" +
+        "tag pins are not streamable (a BRANCH is: option(\"branch\", …))")
     require(table.metadata.formatVersion >= 3,
       "row-identity CDC requires a v3 table (row lineage)")
     table
@@ -71,7 +75,10 @@ class GraftCdcSource extends StreamSourceProvider with DataSourceRegister {
       // option("filter", "<predicate DSL>"): the FILTERED feed — replica
       // semantics (moved-out rows surface as deletes), every batch plan
       // pruned to matching files before any data read
-      opt("filter").map(graft.core.ExprParser.parse))
+      opt("filter").map(graft.core.ExprParser.parse),
+      // option("branch", "audit"): follow that branch's head instead of
+      // main — the WAP-audit feed (see TableChanges.refHead)
+      opt("branch"))
   }
 }
 
@@ -113,7 +120,8 @@ abstract class SnapshotRangeSource(table: IceTable,
     startSnapshotId: Option[Long],
     maxSnapshotsPerTrigger: Option[Int],
     maxFilesPerTrigger: Option[Int] = None,
-    metadataPath: String = "") extends Source {
+    metadataPath: String = "",
+    branch: Option[String] = None) extends Source {
 
   /** The (exclusive-from, inclusive-to] batch plan; from = None means
     * table start. from == to must yield an EMPTY frame of the source's
@@ -169,7 +177,10 @@ abstract class SnapshotRangeSource(table: IceTable,
     * progress. */
   override def getOffset: Option[V1Offset] = {
     table.refresh()
-    val cur = table.metadata.currentSnapshotId.getOrElse(return None)
+    // main's head, or the named branch's (WAP-audit feed); a branch not
+    // yet created = no data yet, so the stream idles instead of failing
+    val cur = graft.streaming.TableChanges.refHead(table, branch)
+      .getOrElse(return None)
     val (floorId, floorFiles) = planned.orElse(recoverPlanned())
       .getOrElse((startSnapshotId.getOrElse(0L), None))
     if (cur == floorId && floorFiles.isEmpty) return Some(CdcSnapshotOffset(cur))
@@ -238,8 +249,12 @@ abstract class SnapshotRangeSource(table: IceTable,
       .getOrElse((startSnapshotId, None))
     val parts = Seq.newBuilder[DataFrame]
     if (startIdOpt.contains(endId)) {
-      // intra-snapshot advance: only a file slice of one append snapshot
-      parts += appendSlice(endId, startFiles.getOrElse(0L), endFiles)
+      // intra-snapshot advance: only a file slice of one append snapshot.
+      // Equal FULL positions are an empty batch — a fresh query whose
+      // configured start-snapshot-id IS the current head must not replay
+      // that snapshot's files as a backfill
+      if (startFiles.isDefined || endFiles.isDefined)
+        parts += appendSlice(endId, startFiles.getOrElse(0L), endFiles)
     } else {
       // finish the partially-consumed start snapshot first
       startFiles.foreach(k => parts += appendSlice(startIdOpt.get, k, None))
@@ -267,9 +282,10 @@ class GraftCdcStreamingSource(table: IceTable,
     maxSnapshotsPerTrigger: Option[Int] = None,
     maxFilesPerTrigger: Option[Int] = None,
     metadataPath: String = "",
-    filter: Option[graft.core.Expr] = None)
+    filter: Option[graft.core.Expr] = None,
+    branch: Option[String] = None)
     extends SnapshotRangeSource(table, startSnapshotId, maxSnapshotsPerTrigger,
-      maxFilesPerTrigger, metadataPath) {
+      maxFilesPerTrigger, metadataPath, branch) {
 
   override val schema: StructType = GraftCdcSource.cdcSchema(table)
 
@@ -297,10 +313,12 @@ class GraftChangelogSource extends StreamSourceProvider with DataSourceRegister 
 
   private def load(parameters: Map[String, String]): IceTable = {
     import scala.jdk.CollectionConverters._
-    val (table, pinned) = new GraftSource().load(
-      new CaseInsensitiveStringMap(parameters.asJava))
+    val (table, pinned) = new GraftSource().load(new CaseInsensitiveStringMap(
+      parameters.filterNot(_._1.equalsIgnoreCase("branch")).asJava))
     require(pinned.isEmpty,
-      "the changelog stream follows main — time-travel/branch/tag pins are not streamable")
+      "the changelog stream follows a moving ref — snapshot-id/as-of-" +
+        "timestamp/tag pins are not streamable (a BRANCH is: " +
+        "option(\"branch\", …))")
     table
   }
 
@@ -319,7 +337,8 @@ class GraftChangelogSource extends StreamSourceProvider with DataSourceRegister 
       opt("max-snapshots-per-trigger").map(_.toInt),
       opt("max-files-per-trigger").map(_.toInt),
       metadataPath,
-      opt("filter").map(graft.core.ExprParser.parse))
+      opt("filter").map(graft.core.ExprParser.parse),
+      opt("branch"))
   }
 }
 
@@ -336,9 +355,10 @@ class GraftChangelogStreamingSource(table: IceTable,
     maxSnapshotsPerTrigger: Option[Int] = None,
     maxFilesPerTrigger: Option[Int] = None,
     metadataPath: String = "",
-    filter: Option[graft.core.Expr] = None)
+    filter: Option[graft.core.Expr] = None,
+    branch: Option[String] = None)
     extends SnapshotRangeSource(table, startSnapshotId, maxSnapshotsPerTrigger,
-      maxFilesPerTrigger, metadataPath) {
+      maxFilesPerTrigger, metadataPath, branch) {
 
   override val schema: StructType = GraftChangelogSource.changeSchema(table)
 

@@ -391,15 +391,37 @@ object TableChanges {
     * Output: the table's data columns + `_row_id` + `_change_type`;
     * deleted rows carry their content as of the cursor snapshot. */
   def pollLineageCdc(table: IceTable, cursor: Option[Long],
-      rowFilter: Option[graft.core.Expr] = None): (DataFrame, Option[Long]) = {
+      rowFilter: Option[graft.core.Expr] = None,
+      branch: Option[String] = None): (DataFrame, Option[Long]) = {
     table.refresh()
-    val current = table.metadata.currentSnapshotId
+    val current = refHead(table, branch)
     (cursor, current) match {
       case (_, None) => (emptyLineageDiff(table), cursor)
       case (Some(c), Some(cur)) if c == cur => (emptyLineageDiff(table), cursor)
       case (_, Some(cur)) => (lineageDiff(table, cursor, cur, rowFilter), current)
     }
   }
+
+  /** The snapshot a change feed follows: main's head by default, a
+    * BRANCH ref's head when one is named — the WAP-audit face (tail the
+    * staging branch's churn before it publishes; after a fastForward the
+    * published commits are on main's ancestry, so a main feed whose
+    * cursor predates the publish picks them up exactly once). A
+    * not-yet-created branch reads as "no data yet" (None) rather than an
+    * error, so a feed can start before the first audit write; a TAG is
+    * rejected — tags never move, so there is nothing to stream. */
+  def refHead(table: IceTable, branch: Option[String]): Option[Long] =
+    branch.filter(_ != "main") match {
+      case None => table.metadata.currentSnapshotId
+      case Some(b) => table.metadata.refs.get(b) match {
+        case Some(r) =>
+          require(r.refType == "branch",
+            s"ref '$b' of table ${table.name} is a ${r.refType}, not a " +
+              "branch — only branch heads move, so only branches stream")
+          Some(r.snapshotId)
+        case None => None
+      }
+    }
 
   private def emptyLineageDiff(table: IceTable): DataFrame = {
     import org.apache.spark.sql.functions._

@@ -2390,6 +2390,87 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](t.manageSnapshots.fastForward("diverged", "main"))
   }
 
+  test("branch-scoped CDC: the WAP-audit feed tails the staging branch, " +
+      "publish delivers the same changes to the main feed exactly once") {
+    import graft.streaming.TableChanges
+    val t = catalog.createTable("t_cdc_branch", Schema.fromSpark(orders.schema),
+      properties = Map("format-version" -> "3"))
+    t.append(orders.filter(col("o_orderkey") % 2 === 0))
+    val c0 = t.metadata.currentSnapshotId
+    t.manageSnapshots.createBranch("audit", c0.get)
+    t.append(orders.filter(col("o_orderkey") % 2 =!= 0), Map.empty, Some("audit"))
+    // the audit feed sees the staged rows; main's feed sees nothing yet
+    val oddCount = orders.filter(col("o_orderkey") % 2 =!= 0).count()
+    val (auditBatch, aCur) = TableChanges.pollLineageCdc(t, c0,
+      branch = Some("audit"))
+    assert(auditBatch.filter(col("_change_type") === "insert").count() === oddCount)
+    assert(aCur === Some(t.metadata.refs("audit").snapshotId))
+    val (mainBatch, mCur) = TableChanges.pollLineageCdc(t, c0)
+    assert(mainBatch.count() === 0 && mCur === c0,
+      "staged-branch churn must not leak into the main feed before publish")
+    // publish: the same commits enter main's ancestry; the main feed
+    // picks them up exactly once from its pre-publish cursor
+    t.manageSnapshots.fastForward("main", "audit")
+    val (pub, pCur) = TableChanges.pollLineageCdc(t, c0)
+    assert(pub.filter(col("_change_type") === "insert").count() === oddCount)
+    assert(pub.count() === oddCount)
+    assert(pCur === t.metadata.currentSnapshotId)
+    // the audit feed's cursor carries over the publish: nothing new
+    assert(TableChanges.pollLineageCdc(t, aCur, branch = Some("audit"))
+      ._1.count() === 0)
+    // a tag never moves — rejected with a named error, not an empty feed
+    t.manageSnapshots.createTag("v1", t.metadata.currentSnapshotId.get)
+    val e = intercept[IllegalArgumentException](
+      TableChanges.pollLineageCdc(t, None, branch = Some("v1")))
+    assert(e.getMessage.contains("tag") && e.getMessage.contains("v1"))
+    // a not-yet-created branch idles (no data yet) instead of failing —
+    // a feed can start before the first audit write
+    val (ghost, gCur) = TableChanges.pollLineageCdc(t, None,
+      branch = Some("ghost"))
+    assert(ghost.count() === 0 && gCur === None)
+  }
+
+  test("graft-cdc option(branch): the streaming WAP-audit feed follows the " +
+      "branch head through appends and branch-targeted deletes") {
+    val t = catalog.createTable("t_cdc_branch_src",
+      Schema.fromSpark(orders.schema),
+      properties = Map("format-version" -> "3"))
+    t.append(orders.filter(col("o_orderkey") % 2 === 0))
+    val fork = t.metadata.currentSnapshotId.get
+    t.manageSnapshots.createBranch("audit", fork)
+    val q = spark.readStream.format("graft-cdc")
+      .option("warehouse", warehouse).option("table", "t_cdc_branch_src")
+      .option("branch", "audit")
+      .option("start-snapshot-id", fork.toString).load()
+      .writeStream.format("memory").queryName("cdc_branch_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // branch at fork == cursor: nothing yet
+      assert(spark.sql("SELECT count(*) FROM cdc_branch_sink")
+        .head().getLong(0) === 0L)
+      // staged churn: an append and a branch-targeted delete
+      t.append(orders.filter(col("o_orderkey") % 2 =!= 0), Map.empty,
+        Some("audit"))
+      q.processAllAvailable()
+      val oddCount = orders.filter(col("o_orderkey") % 2 =!= 0).count()
+      assert(spark.sql(
+        "SELECT count(*) FROM cdc_branch_sink WHERE _change_type = 'insert'")
+        .head().getLong(0) === oddCount)
+      val delKey = orders.filter(col("o_orderkey") % 2 =!= 0)
+        .agg(min(col("o_orderkey"))).head().getLong(0)
+      t.delete(graft.core.ExprParser.parse(s"o_orderkey = $delKey"),
+        Some("audit"))
+      q.processAllAvailable()
+      val dels = spark.sql(
+        "SELECT o_orderkey FROM cdc_branch_sink WHERE _change_type = 'delete'")
+        .collect().map(_.getLong(0))
+      assert(dels.toSeq === Seq(delKey))
+      // main untouched through it all
+      assert(t.metadata.currentSnapshotId.get === fork)
+    } finally q.stop()
+    spark.sql("DROP VIEW IF EXISTS cdc_branch_sink")
+  }
+
   test("rewritePositionDeletes merges delete files and drops dangling entries") {
     val schema = Schema.fromSpark(orders.schema)
     val t = catalog.createTable("t_posrw", schema)
