@@ -16,6 +16,33 @@ final case class Schema(
 
   lazy val struct: IStruct = IStruct(fields)
 
+  // Column resolution is BY ID: a duplicate id silently shadows a column
+  // in every id-keyed index and writes duplicate parquet field ids that
+  // only fail later, at read, with an opaque vectorized-reader error
+  // (e.g. assembling a schema from a scan-derived frame whose surviving
+  // metadata ids collide with freshly assigned ones). Fail at
+  // construction, naming the colliding columns.
+  locally {
+    val seen = scala.collection.mutable.Map[Int, String]()
+    def walk(prefix: String, fs: Seq[NestedField]): Unit = fs.foreach { f =>
+      val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+      seen.put(f.id, path).foreach { prev =>
+        throw new IllegalArgumentException(
+          s"Schema has duplicate field id ${f.id}: [$prev, $path]")
+      }
+      f.fieldType match {
+        case IStruct(nested) => walk(path, nested)
+        case IList(eid, e, req) =>
+          walk(path, Seq(NestedField(eid, "element", e, req)))
+        case IMap(kid, k, vid, v, req) =>
+          walk(path, Seq(NestedField(kid, "key", k, required = true),
+            NestedField(vid, "value", v, req)))
+        case _ =>
+      }
+    }
+    walk("", fields)
+  }
+
   /** id → field, including nested (ref: schema.py:1041). */
   lazy val byId: Map[Int, NestedField] = {
     val b = Map.newBuilder[Int, NestedField]

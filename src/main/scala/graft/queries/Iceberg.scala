@@ -1308,6 +1308,55 @@ object Iceberg {
       |FROM corpus1 GROUP BY source, lang
       |ORDER BY source, lang""".stripMargin
 
+  /** MATERIALIZED VIEW TABLE (r14): the persisted, exactly-once face of
+    * generic IVM — `graft.streaming.MaterializedAgg` keeps the
+    * aggregate view in its own Iceberg TABLE whose refresh cursor
+    * (last source snapshot folded in) rides the same atomic commit as
+    * the refreshed rows, so the MV is its own checkpoint (the replica
+    * contract). Two churn rounds each fold in with ONE `refreshOnce`
+    * call reading only that range's changelog and rewriting only the
+    * touched groups' MV files; the oracle recomputes the final view
+    * from scratch over the churned corpus. Same view and churn as
+    * `ds_mv_incremental`, so the two gates cross-check: the in-memory
+    * single-batch fold and the persisted two-refresh fold must land on
+    * the identical aggregate. */
+  def mvTable(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    val cat = s"gmvt${sqlCatSeq.incrementAndGet()}"
+    val whDir = Files.createTempDirectory("graft_mvtab").toString
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", whDir)
+    val hc = new HadoopCatalog(whDir, s)
+    val tab = hc.createTable("db.corpus", Schema.fromSpark(docs.schema),
+      properties = Map("format-version" -> "2"))
+    tab.append(docs.filter(col("doc_id") % 3 =!= 0))
+    val view = graft.ops.IncrementalAgg.AggView(
+      keys = Seq("source", "lang"), sums = Seq("n_chars"),
+      mins = Seq("n_chars", "doc_id"), maxs = Seq("n_chars", "doc_id"))
+    val mv = hc.createTable("db.corpus_stats",
+      graft.streaming.MaterializedAgg.schemaFor(view, tab),
+      properties = Map("format-version" -> "2"))
+    graft.streaming.MaterializedAgg.bootstrap(tab, mv, view)
+    // round 1: deletes vacate extrema, boosts tighten maxima
+    s.sql(s"DELETE FROM $cat.db.corpus WHERE doc_id % 9 = 1")
+    s.sql(s"UPDATE $cat.db.corpus SET n_chars = n_chars + 500 WHERE doc_id % 9 = 2")
+    graft.streaming.MaterializedAgg.refreshOnce(tab.refresh(), mv, view)
+    // round 2: demotions sink minima, an ingest births groups
+    s.sql(s"UPDATE $cat.db.corpus SET n_chars = n_chars - 600 WHERE doc_id % 9 = 4")
+    tab.refresh().append(docs.filter(col("doc_id") % 3 === 0))
+    graft.streaming.MaterializedAgg.refreshOnce(tab.refresh(), mv, view)
+    nonEmpty(mv.refresh().scan.toDF.select(col("source"), col("lang"),
+        col("cnt"), col("s_n_chars").as("sum_chars"),
+        (col("s_n_chars").cast("double") / col("cnt")).as("avg_chars"),
+        col("mn_n_chars").as("min_chars"), col("mx_n_chars").as("max_chars"),
+        col("mn_doc_id").as("min_doc"), col("mx_doc_id").as("max_doc"))
+      .orderBy(col("source"), col("lang")))
+  }
+  /** Oracle = identical to `ds_mv_incremental` — same churned corpus,
+    * same view, recomputed from scratch. */
+  val mvTableSql = mvIncrementalSql
+
   /** FILTERED row-identity CDC (r14): the change feed of `SELECT * WHERE
     * p` — a consumer tailing ONE partition (a tenant, a region, a time
     * slice) gets replica semantics without paying the whole table's
@@ -2341,6 +2390,7 @@ object Iceberg {
     "ds_tfidf_cdc" -> (tfidfCdc _),
     "ds_curate_cdc" -> (curateCdc _),
     "ds_mv_incremental" -> (mvIncremental _),
+    "ice_mv_table" -> (mvTable _),
     "ice_cdc_filtered" -> (cdcFiltered _),
     "ice_cdc_apply" -> (cdcApply _),
     "ice_equality_deletes" -> (equalityDeletes _),
@@ -2407,6 +2457,7 @@ object Iceberg {
     "ds_tfidf_cdc" -> tfidfCdcSql,
     "ds_curate_cdc" -> curateCdcSql,
     "ds_mv_incremental" -> mvIncrementalSql,
+    "ice_mv_table" -> mvTableSql,
     "ice_cdc_filtered" -> cdcFilteredSql,
     "ice_cdc_apply" -> cdcApplySql,
     "ice_equality_deletes" -> equalityDeletesSql,

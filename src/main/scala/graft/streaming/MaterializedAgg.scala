@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.IncrementalAgg
+import graft.ops.IncrementalAgg.AggView
+import graft.table.IceTable
+
+/** INCREMENTALLY-REFRESHED MATERIALIZED VIEWS as Iceberg tables — the
+  * persisted, exactly-once face of [[graft.ops.IncrementalAgg]]:
+  *
+  * {{{
+  * val mv = catalog.createTable("db.daily_stats", MaterializedAgg.schemaFor(view, source))
+  * MaterializedAgg.bootstrap(source, mv, view)     // full build + cursor, one commit
+  * // then, on any cadence (a cron of one call is a live MV):
+  * MaterializedAgg.refreshOnce(source, mv, view)   // ∝ churn, exactly-once
+  * }}}
+  *
+  * The MV table holds one row per group (`keys*, cnt, s_<c>*, mn_<c>*,
+  * mx_<c>*`) and its OWN refresh cursor (`graft.mv.source-cursor` = last
+  * source snapshot folded in) as a table property that rides the SAME
+  * atomic commit as the refreshed rows — the MV is its own checkpoint,
+  * exactly the replica contract of `applyCdc`: a crash between data and
+  * cursor cannot happen, a replayed refresh (cursor already at the
+  * source head) is a detected no-op, and concurrent refreshers conflict
+  * on the metadata swap, not on each other's data.
+  *
+  * Each refresh reads the source CHANGELOG for (cursor, head] — the
+  * v2-compatible feed whose delete rows carry pre-images — so the
+  * incremental fold is IncrementalAgg's: count/sum/avg absorb exact
+  * deltas, min/max re-elect only hole groups via a semi-join-pruned
+  * source scan. The MV table write then touches ONLY the churned
+  * groups: retire/re-insert target files through the same key-bounds +
+  * `__file` semi-join machinery as upsert, so a refresh rewrites the
+  * affected groups' MV files, never the view (partition the MV by a
+  * group key and untouched partitions' files survive byte-identical —
+  * spec-pinned). Groups whose count reaches zero leave the MV.
+  *
+  * At 100 TB: refresh cost = changelog churn + hole-group re-election +
+  * affected-MV-file rewrite; a steady trickle of source commits folds
+  * in at trickle cost while a from-scratch rebuild would re-aggregate
+  * the corpus every refresh. */
+object MaterializedAgg {
+
+  val CursorProp = "graft.mv.source-cursor"
+
+  /** The MV table's schema for `view` over `source` (group keys typed
+    * from the source schema after `prepare`, partials typed as Spark
+    * derives them). Field-id metadata riding the source scan is
+    * stripped first: the MV is its own table with its own fresh ids —
+    * keeping the source's ids on pass-through key columns while the
+    * aggregate columns take positional ids would collide. */
+  def schemaFor(view: AggView, source: IceTable,
+      prepare: DataFrame => DataFrame = identity): graft.core.Schema = {
+    val st = IncrementalAgg.init(prepare(source.scan.toDF.limit(0)), view).schema
+    graft.core.Schema.fromSpark(org.apache.spark.sql.types.StructType(
+      st.fields.map(_.copy(metadata = org.apache.spark.sql.types.Metadata.empty))))
+  }
+
+  /** Full build: aggregate the source's CURRENT state into the (empty)
+    * MV table and stamp the cursor at the source head — one atomic
+    * commit. Returns the cursor. */
+  def bootstrap(source: IceTable, mv: IceTable, view: AggView,
+      prepare: DataFrame => DataFrame = identity): Option[Long] = {
+    source.refresh(); mv.refresh()
+    require(mv.metadata.properties.get(CursorProp).isEmpty,
+      s"table ${mv.name} is already a materialized view (cursor present) — " +
+        "use refreshOnce")
+    val head = source.metadata.currentSnapshotId.getOrElse(return None)
+    val full = IncrementalAgg.init(
+      prepare(source.scan.useSnapshot(head).toDF), view)
+    mv.applyKeyed(None, view.keys, Some(full),
+      m => m.copy(properties = m.properties + (CursorProp -> head.toString)),
+      mv.metadata.currentSnapshotId)
+    Some(head)
+  }
+
+  /** Fold every source commit since the MV's cursor into the MV,
+    * exactly-once — call on any cadence. Returns (groups refreshed,
+    * groups retired); (0, 0) when the source hasn't moved or the range
+    * carried no net change (cursor still advances, metadata-only). */
+  def refreshOnce(source: IceTable, mv: IceTable, view: AggView,
+      prepare: DataFrame => DataFrame = identity): (Long, Long) = {
+    source.refresh(); mv.refresh()
+    val head = source.metadata.currentSnapshotId.getOrElse(return (0L, 0L))
+    val stored = mv.metadata.properties.get(CursorProp).map(_.toLong)
+    require(stored.nonEmpty,
+      s"table ${mv.name} has no MV cursor — bootstrap it first")
+    if (stored.contains(head)) return (0L, 0L) // nothing new (or a replay)
+    val stamp = (m: graft.meta.TableMetadata) =>
+      m.copy(properties = m.properties + (CursorProp -> head.toString))
+    val batch = prepare(TableChanges.changelog(source, stored, Some(head)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the churned groups — the ONLY rows of the MV this refresh touches
+    val touched = batch.select(view.keys.map(col): _*).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nTouched = touched.count()
+      if (nTouched == 0) { // e.g. a compaction-only range: cursor-only
+        mv.commitMetadata(stamp)
+        return (0L, 0L)
+      }
+      val state = mv.scan.toDF
+      val st1 = IncrementalAgg.applyChangelog(state, batch, view,
+        keys => prepare(source.scan.toDF).join(keys, view.keys, "left_semi"))
+      val images = st1.join(touched, view.keys, "left_semi")
+      val nSurvived = images.count()
+      mv.applyKeyed(Some(touched), view.keys,
+        if (nSurvived > 0) Some(images) else None,
+        stamp, mv.metadata.currentSnapshotId)
+      (nSurvived, nTouched - nSurvived)
+    } finally { touched.unpersist(); batch.unpersist() }
+  }
+}

@@ -905,7 +905,7 @@ class IceTable(
     * MoR currency is parquet position-delete files, not worth a second
     * legacy write path) — land `images`, and stamp the cursor, all in
     * ONE atomic commit. */
-  private def applyKeyed(retire: Option[DataFrame], joinCols: Seq[String],
+  private[graft] def applyKeyed(retire: Option[DataFrame], joinCols: Seq[String],
       images: Option[DataFrame], cursorStamp: TableMetadata => TableMetadata,
       baseSnap: Option[Long]): Unit = {
     val lineage = metadata.formatVersion >= 3

@@ -214,6 +214,70 @@ class IncrementalAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq === Seq(("A", 2L, 30L, 10L, 20L), ("B", 2L, 12L, 5L, 7L)))
   }
 
+  test("MaterializedAgg table: bootstrap + exactly-once incremental refresh; " +
+      "untouched MV partitions survive; cursor rides the data commit") {
+    import graft.catalog.HadoopCatalog
+    import graft.core.{Schema, IdentityTransform}
+    import graft.meta.{PartitionSpec => Spec}
+    import graft.streaming.MaterializedAgg
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_mvtab").toString
+    val cat = new HadoopCatalog(wh, spark)
+    val rows = Seq(
+      ("A", 1L, 10L), ("A", 2L, 30L), ("A", 3L, 20L),
+      ("B", 4L, 5L), ("B", 5L, 7L), ("C", 6L, 9L)).toDF("g", "doc_id", "v")
+    val src = cat.createTable("src", Schema.fromSpark(rows.schema),
+      properties = Map("format-version" -> "2"))
+    src.append(rows)
+    val v = AggView(keys = Seq("g"), sums = Seq("v"),
+      mins = Seq("v"), maxs = Seq("v"))
+    val mvSchema = MaterializedAgg.schemaFor(v, src)
+    val mv = cat.createTable("mv", mvSchema,
+      Spec.build(mvSchema, 0, ("g", IdentityTransform, "g")),
+      properties = Map("format-version" -> "2"))
+    val c0 = MaterializedAgg.bootstrap(src, mv, v)
+    assert(c0 === src.metadata.currentSnapshotId)
+    def mvMap(): Map[String, (Long, Long, Long, Long)] =
+      mv.refresh().scan.toDF.collect().map(r =>
+        r.getAs[String]("g") -> ((r.getAs[Long]("cnt"), r.getAs[Long]("s_v"),
+          r.getAs[Long]("mn_v"), r.getAs[Long]("mx_v")))).toMap
+    assert(mvMap() === Map("A" -> ((3L, 60L, 10L, 30L)),
+      "B" -> ((2L, 12L, 5L, 7L)), "C" -> ((1L, 9L, 9L, 9L))))
+    val bBefore = mv.refresh().scan.toDF.inputFiles.filter(_.contains("g=B")).toSet
+    assert(bBefore.nonEmpty)
+    // churn: A's max holder retires (hole + re-elect), C dies entirely
+    src.delete("doc_id = 2")
+    src.delete("g = 'C'")
+    val (r1, d1) = MaterializedAgg.refreshOnce(src, mv, v)
+    assert(r1 === 1L && d1 === 1L)
+    assert(mvMap() === Map("A" -> ((2L, 30L, 10L, 20L)),
+      "B" -> ((2L, 12L, 5L, 7L))))
+    assert(mv.refresh().scan.toDF.inputFiles.filter(_.contains("g=B")).toSet
+      === bBefore, "an untouched group's MV partition must not rewrite")
+    // replay: source unmoved → detected no-op, no new MV commit
+    val snaps = mv.metadata.snapshots.size
+    assert(MaterializedAgg.refreshOnce(src, mv, v) === ((0L, 0L)))
+    assert(mv.refresh().metadata.snapshots.size === snaps)
+    // compaction-only source range: cursor advances METADATA-ONLY
+    val (rew, _) = src.rewriteDataFiles(1L << 30)
+    assert(rew > 0)
+    val mvHead = mv.refresh().metadata.currentSnapshotId
+    assert(MaterializedAgg.refreshOnce(src, mv, v) === ((0L, 0L)))
+    assert(mv.refresh().metadata.currentSnapshotId === mvHead,
+      "a no-net-change refresh must not commit a data snapshot")
+    assert(mv.metadata.properties(MaterializedAgg.CursorProp).toLong ===
+      src.metadata.currentSnapshotId.get)
+    // second round: a birth (D) and a min-holder retire in B
+    src.append(Seq(("D", 7L, 100L)).toDF("g", "doc_id", "v"))
+    src.delete("doc_id = 4")
+    val (r2, d2) = MaterializedAgg.refreshOnce(src, mv, v)
+    assert(r2 === 2L && d2 === 0L)
+    assert(mvMap() === Map("A" -> ((2L, 30L, 10L, 20L)),
+      "B" -> ((1L, 7L, 7L, 7L)), "D" -> ((1L, 100L, 100L, 100L))))
+    // bootstrap refuses a table that is already an MV
+    intercept[IllegalArgumentException](MaterializedAgg.bootstrap(src, mv, v))
+  }
+
   test("multi-column view: independent holes re-elect each column from " +
       "the same single scan") {
     val v2 = AggView(keys = Seq("g"), sums = Seq("x", "y"),
