@@ -56,7 +56,7 @@ object GraftProcedures {
       "rewrite_manifests", "rewrite_position_deletes", "rollback_to_snapshot",
       "compute_partition_stats", "rollback_to_timestamp", "set_current_snapshot",
       "fast_forward", "register_table", "add_files", "create_tag",
-      "create_branch", "remove_ref", "cdc_apply")
+      "create_branch", "remove_ref", "cdc_apply", "mv_create", "mv_refresh")
 
   def byName(catalog: GCatalog): Map[String, UnboundProcedure] = Map(
     "expire_snapshots" -> new Proc("expire_snapshots",
@@ -300,5 +300,53 @@ object GraftProcedures {
           else Some(graft.core.ExprParser.parse(input.getUTF8String(2).toString))
         val (i, u, d) = graft.streaming.TableChanges.replicateOnce(src, rep, f)
         Seq(Array[Any](i, u, d, rep.appliedCdcCursor.map(utf8).orNull))
+      }),
+
+    // graft extension: incrementally-refreshed MATERIALIZED VIEWS.
+    // `CALL cat.system.mv_create(source => 'db.t', mv => 'db.t_stats',
+    //  keys => 'a,b' [, sums => 'x'] [, mins => 'x'] [, maxs => 'x'])`
+    // creates the MV table (schema derived from the view over the
+    // source) and full-builds it, stamping the cursor AND the view
+    // definition in the same commit — the MV self-describes, so
+    // `CALL cat.system.mv_refresh(source => 'db.t', mv => 'db.t_stats')`
+    // on any cadence keeps it fresh, exactly-once (replays no-op).
+    "mv_create" -> new Proc("mv_create",
+      Seq(in("source", StringType), in("mv", StringType),
+        in("keys", StringType), inDefault("sums", StringType, "''"),
+        inDefault("mins", StringType, "''"), inDefault("maxs", StringType, "''")),
+      StructType(Seq(
+        StructField("groups", LongType), StructField("cursor", StringType))),
+      { input =>
+        import graft.streaming.MaterializedAgg
+        val src = catalog.loadTable(input.getUTF8String(0).toString)
+        def list(i: Int) = input.getUTF8String(i).toString
+          .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        val view = graft.ops.IncrementalAgg.AggView(
+          list(2), list(3), list(4), list(5))
+        require(view.keys.nonEmpty, "mv_create needs at least one key column")
+        val mv = catalog.createTable(input.getUTF8String(1).toString,
+          MaterializedAgg.schemaFor(view, src),
+          properties = Map("format-version" ->
+            src.metadata.properties.getOrElse("format-version", "2")))
+        MaterializedAgg.bootstrap(src, mv, view)
+        Seq(Array[Any](mv.refresh().scan.toDF.count(),
+          mv.metadata.properties.get(MaterializedAgg.CursorProp)
+            .map(utf8).orNull))
+      }),
+
+    "mv_refresh" -> new Proc("mv_refresh",
+      Seq(in("source", StringType), in("mv", StringType)),
+      StructType(Seq(
+        StructField("refreshed_groups", LongType),
+        StructField("retired_groups", LongType),
+        StructField("cursor", StringType))),
+      { input =>
+        import graft.streaming.MaterializedAgg
+        val src = catalog.loadTable(input.getUTF8String(0).toString)
+        val mv = catalog.loadTable(input.getUTF8String(1).toString)
+        val (r, d) = MaterializedAgg.refreshOnce(src, mv)
+        Seq(Array[Any](r, d,
+          mv.refresh().metadata.properties.get(MaterializedAgg.CursorProp)
+            .map(utf8).orNull))
       }))
 }

@@ -44,6 +44,31 @@ import graft.table.IceTable
 object MaterializedAgg {
 
   val CursorProp = "graft.mv.source-cursor"
+  // the view DEFINITION rides the MV table too (stamped by bootstrap, in
+  // the same commit as the data): the MV self-describes, so a refresh —
+  // the SQL `CALL cat.system.mv_refresh(source, mv)` face especially —
+  // never restates the view and cannot silently fold with the wrong one
+  val KeysProp = "graft.mv.keys"
+  val SumsProp = "graft.mv.sums"
+  val MinsProp = "graft.mv.mins"
+  val MaxsProp = "graft.mv.maxs"
+
+  private def viewProps(v: AggView): Map[String, String] = {
+    val all = v.keys ++ v.sums ++ v.mins ++ v.maxs
+    require(all.forall(!_.contains(",")),
+      "view column names must not contain ','")
+    Map(KeysProp -> v.keys.mkString(","), SumsProp -> v.sums.mkString(","),
+      MinsProp -> v.mins.mkString(","), MaxsProp -> v.maxs.mkString(","))
+  }
+
+  /** The view definition the MV table carries (stamped by [[bootstrap]]). */
+  def viewOf(mv: IceTable): Option[AggView] =
+    mv.metadata.properties.get(KeysProp).map { ks =>
+      def list(p: String) = mv.metadata.properties.getOrElse(p, "")
+        .split(",").toSeq.filter(_.nonEmpty)
+      AggView(ks.split(",").toSeq.filter(_.nonEmpty),
+        list(SumsProp), list(MinsProp), list(MaxsProp))
+    }
 
   /** The MV table's schema for `view` over `source` (group keys typed
     * from the source schema after `prepare`, partials typed as Spark
@@ -71,9 +96,19 @@ object MaterializedAgg {
     val full = IncrementalAgg.init(
       prepare(source.scan.useSnapshot(head).toDF), view)
     mv.applyKeyed(None, view.keys, Some(full),
-      m => m.copy(properties = m.properties + (CursorProp -> head.toString)),
+      m => m.copy(properties = m.properties ++ viewProps(view) +
+        (CursorProp -> head.toString)),
       mv.metadata.currentSnapshotId)
     Some(head)
+  }
+
+  /** [[refreshOnce]] with the view the MV table itself carries. */
+  def refreshOnce(source: IceTable, mv: IceTable): (Long, Long) = {
+    mv.refresh()
+    val v = viewOf(mv).getOrElse(throw new IllegalArgumentException(
+      s"table ${mv.name} carries no materialized-view definition — " +
+        "bootstrap it first"))
+    refreshOnce(source, mv, v)
   }
 
   /** Fold every source commit since the MV's cursor into the MV,
@@ -87,6 +122,10 @@ object MaterializedAgg {
     val stored = mv.metadata.properties.get(CursorProp).map(_.toLong)
     require(stored.nonEmpty,
       s"table ${mv.name} has no MV cursor — bootstrap it first")
+    viewOf(mv).foreach(carried => require(carried == view,
+      s"view mismatch for ${mv.name}: the table carries $carried, the " +
+        s"refresh was given $view — folding with a different view would " +
+        "silently corrupt the aggregate"))
     if (stored.contains(head)) return (0L, 0L) // nothing new (or a replay)
     val stamp = (m: graft.meta.TableMetadata) =>
       m.copy(properties = m.properties + (CursorProp -> head.toString))

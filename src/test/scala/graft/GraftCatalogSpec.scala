@@ -892,6 +892,40 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rep.refresh().metadata.snapshots.size === snaps)
   }
 
+  test("CALL mv_create + mv_refresh keep a self-describing materialized " +
+      "view fresh through the SQL face") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("""CREATE TABLE g.db.mv_src (g STRING, v BIGINT)
+      TBLPROPERTIES ('format-version'='2')""")
+    spark.sql("INSERT INTO g.db.mv_src VALUES " +
+      "('a', 10), ('a', 30), ('a', 20), ('b', 5), ('b', 7)")
+    val c = spark.sql("CALL g.system.mv_create(source => 'db.mv_src', " +
+      "mv => 'db.mv_stats', keys => 'g', sums => 'v', mins => 'v', " +
+      "maxs => 'v')").head()
+    assert(c.getLong(0) === 2L) // two groups materialized
+    def stats() = spark.sql(
+      "SELECT g, cnt, s_v, mn_v, mx_v FROM g.db.mv_stats ORDER BY g")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(stats() === Seq(("a", 3L, 60L, 10L, 30L), ("b", 2L, 12L, 5L, 7L)))
+    // churn: a's max retires (hole), b gains a row
+    spark.sql("DELETE FROM g.db.mv_src WHERE v = 30")
+    spark.sql("INSERT INTO g.db.mv_src VALUES ('b', 1)")
+    val r = spark.sql("CALL g.system.mv_refresh(source => 'db.mv_src', " +
+      "mv => 'db.mv_stats')").head()
+    assert((r.getLong(0), r.getLong(1)) === ((2L, 0L)))
+    assert(stats() === Seq(("a", 2L, 30L, 10L, 20L), ("b", 3L, 13L, 1L, 7L)))
+    // replay: no-op, cursor unchanged, no new MV snapshot
+    val mv = new HadoopCatalog(warehouse, spark).loadTable("db.mv_stats")
+    val snaps = mv.metadata.snapshots.size
+    val r2 = spark.sql("CALL g.system.mv_refresh(source => 'db.mv_src', " +
+      "mv => 'db.mv_stats')").head()
+    assert((r2.getLong(0), r2.getLong(1)) === ((0L, 0L)))
+    assert(mv.refresh().metadata.snapshots.size === snaps)
+    assert(r2.getString(2) === new HadoopCatalog(warehouse, spark)
+      .loadTable("db.mv_src").metadata.currentSnapshotId.get.toString)
+  }
+
   test("CALL procedures: rewrite_data_files, expire_snapshots, rollback, orphan GC") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
     spark.sql("""CREATE TABLE g.db.o_proc (
