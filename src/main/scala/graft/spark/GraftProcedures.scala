@@ -313,7 +313,8 @@ object GraftProcedures {
     "mv_create" -> new Proc("mv_create",
       Seq(in("source", StringType), in("mv", StringType),
         in("keys", StringType), inDefault("sums", StringType, "''"),
-        inDefault("mins", StringType, "''"), inDefault("maxs", StringType, "''")),
+        inDefault("mins", StringType, "''"), inDefault("maxs", StringType, "''"),
+        inDefault("filter", StringType, "NULL")),
       StructType(Seq(
         StructField("groups", LongType), StructField("cursor", StringType))),
       { input =>
@@ -324,11 +325,13 @@ object GraftProcedures {
         val view = graft.ops.IncrementalAgg.AggView(
           list(2), list(3), list(4), list(5))
         require(view.keys.nonEmpty, "mv_create needs at least one key column")
+        val filter =
+          if (input.isNullAt(6)) None else Some(input.getUTF8String(6).toString)
         val mv = catalog.createTable(input.getUTF8String(1).toString,
           MaterializedAgg.schemaFor(view, src),
           properties = Map("format-version" ->
             src.metadata.properties.getOrElse("format-version", "2")))
-        MaterializedAgg.bootstrap(src, mv, view)
+        MaterializedAgg.bootstrap(src, mv, view, identity, filter)
         Seq(Array[Any](mv.refresh().scan.toDF.count(),
           mv.metadata.properties.get(MaterializedAgg.CursorProp)
             .map(utf8).orNull))

@@ -52,6 +52,12 @@ object MaterializedAgg {
   val SumsProp = "graft.mv.sums"
   val MinsProp = "graft.mv.mins"
   val MaxsProp = "graft.mv.maxs"
+  // a FILTERED MV aggregates `SELECT * WHERE p` — stored as the predicate
+  // DSL string so the MV self-describes it like the view; the changelog's
+  // filtered face is replica-correct for it (an update moving a row OUT
+  // of p is a pre-image delete = a retraction from the view, one moving
+  // IN is an insert)
+  val FilterProp = "graft.mv.filter"
 
   private def viewProps(v: AggView): Map[String, String] = {
     val all = v.keys ++ v.sums ++ v.mins ++ v.maxs
@@ -83,21 +89,30 @@ object MaterializedAgg {
       st.fields.map(_.copy(metadata = org.apache.spark.sql.types.Metadata.empty))))
   }
 
+  /** The filter predicate the MV table carries, parsed. */
+  def filterOf(mv: IceTable): Option[graft.core.Expr] =
+    mv.metadata.properties.get(FilterProp).map(graft.core.ExprParser.parse)
+
   /** Full build: aggregate the source's CURRENT state into the (empty)
     * MV table and stamp the cursor at the source head — one atomic
-    * commit. Returns the cursor. */
+    * commit. `filter` (predicate DSL) makes it a FILTERED MV: the
+    * aggregate of `SELECT * WHERE filter`, maintained from the filtered
+    * changelog. Returns the cursor. */
   def bootstrap(source: IceTable, mv: IceTable, view: AggView,
-      prepare: DataFrame => DataFrame = identity): Option[Long] = {
+      prepare: DataFrame => DataFrame = identity,
+      filter: Option[String] = None): Option[Long] = {
     source.refresh(); mv.refresh()
     require(mv.metadata.properties.get(CursorProp).isEmpty,
       s"table ${mv.name} is already a materialized view (cursor present) — " +
         "use refreshOnce")
     val head = source.metadata.currentSnapshotId.getOrElse(return None)
+    val f = filter.map(graft.core.ExprParser.parse) // validates the DSL
+    val sc = source.scan.useSnapshot(head)
     val full = IncrementalAgg.init(
-      prepare(source.scan.useSnapshot(head).toDF), view)
+      prepare(f.map(sc.filter).getOrElse(sc).toDF), view)
     mv.applyKeyed(None, view.keys, Some(full),
-      m => m.copy(properties = m.properties ++ viewProps(view) +
-        (CursorProp -> head.toString)),
+      m => m.copy(properties = m.properties ++ viewProps(view) ++
+        filter.map(FilterProp -> _) + (CursorProp -> head.toString)),
       mv.metadata.currentSnapshotId)
     Some(head)
   }
@@ -129,7 +144,8 @@ object MaterializedAgg {
     if (stored.contains(head)) return (0L, 0L) // nothing new (or a replay)
     val stamp = (m: graft.meta.TableMetadata) =>
       m.copy(properties = m.properties + (CursorProp -> head.toString))
-    val batch = prepare(TableChanges.changelog(source, stored, Some(head)))
+    val f = filterOf(mv) // filtered MV: the filtered changelog retracts
+    val batch = prepare(TableChanges.changelog(source, stored, Some(head), f))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the churned groups — the ONLY rows of the MV this refresh touches
     val touched = batch.select(view.keys.map(col): _*).distinct()
@@ -142,7 +158,8 @@ object MaterializedAgg {
       }
       val state = mv.scan.toDF
       val st1 = IncrementalAgg.applyChangelog(state, batch, view,
-        keys => prepare(source.scan.toDF).join(keys, view.keys, "left_semi"))
+        keys => prepare(f.map(source.scan.filter).getOrElse(source.scan).toDF)
+          .join(keys, view.keys, "left_semi"))
       val images = st1.join(touched, view.keys, "left_semi")
       val nSurvived = images.count()
       mv.applyKeyed(Some(touched), view.keys,

@@ -214,6 +214,36 @@ class IncrementalAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq === Seq(("A", 2L, 30L, 10L, 20L), ("B", 2L, 12L, 5L, 7L)))
   }
 
+  test("chained differential fuzz: state carried across 6 consecutive " +
+      "batches equals the from-scratch aggregate at every step") {
+    val rnd = new scala.util.Random(20260817L)
+    for (scenario <- 1 to 4) {
+      val groups = (0 until (2 + rnd.nextInt(5))).map(i => s"g$i")
+      var rows = (0 until (10 + rnd.nextInt(30))).map { _ =>
+        (groups(rnd.nextInt(groups.size)), java.lang.Long.valueOf(rnd.nextInt(21) - 10))
+      }
+      var st = IncrementalAgg.init(df(rows), view)
+      for (step <- 1 to 6) {
+        val (dead, kept) = rows.partition(_ => rnd.nextInt(4) == 0)
+        val (upd, same) = kept.partition(_ => rnd.nextInt(4) == 0)
+        val upd2 = upd.map { case (g, v) =>
+          (g, java.lang.Long.valueOf(v + rnd.nextInt(11) - 5)) }
+        val fresh = (0 until rnd.nextInt(8)).map { _ =>
+          (groups(rnd.nextInt(groups.size)), java.lang.Long.valueOf(rnd.nextInt(21) - 10)) }
+        val b = batch(
+          dead.map { case (g, v) => (g, v, "delete") } ++
+          upd.map { case (g, v) => (g, v, "delete") } ++
+          upd2.map { case (g, v) => (g, v, "insert") } ++
+          fresh.map { case (g, v) => (g, v, "insert") })
+        rows = same ++ upd2 ++ fresh
+        st = IncrementalAgg.applyChangelog(st, b, view,
+          electorOver(df(rows), scala.collection.mutable.Set[String]()))
+        assert(stateMap(st) === stateMap(IncrementalAgg.init(df(rows), view)),
+          s"scenario $scenario diverged at step $step")
+      }
+    }
+  }
+
   test("MaterializedAgg table: bootstrap + exactly-once incremental refresh; " +
       "untouched MV partitions survive; cursor rides the data commit") {
     import graft.catalog.HadoopCatalog
@@ -276,6 +306,48 @@ class IncrementalAggSpec extends AnyFunSuite with BeforeAndAfterAll {
       "B" -> ((1L, 7L, 7L, 7L)), "D" -> ((1L, 100L, 100L, 100L))))
     // bootstrap refuses a table that is already an MV
     intercept[IllegalArgumentException](MaterializedAgg.bootstrap(src, mv, v))
+  }
+
+  test("filtered MV: the aggregate of SELECT * WHERE p — updates moving " +
+      "rows across p retract and insert correctly") {
+    import graft.catalog.HadoopCatalog
+    import graft.core.Schema
+    import graft.streaming.MaterializedAgg
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_mvfilt").toString
+    val cat = new HadoopCatalog(wh, spark)
+    val rows = Seq(
+      ("a", 1L, 50L), ("a", 2L, 30L), ("a", 3L, 5L),
+      ("b", 4L, 40L), ("b", 5L, 8L)).toDF("g", "id", "v")
+    val src = cat.createTable("srcf", Schema.fromSpark(rows.schema),
+      properties = Map("format-version" -> "2"))
+    src.append(rows)
+    val v = AggView(keys = Seq("g"), sums = Seq("v"),
+      mins = Seq("v"), maxs = Seq("v"))
+    val mvSchema = MaterializedAgg.schemaFor(v, src)
+    val mv = cat.createTable("mvf", mvSchema,
+      properties = Map("format-version" -> "2"))
+    MaterializedAgg.bootstrap(src, mv, v, identity, Some("v >= 10"))
+    def mvMap(): Map[String, (Long, Long, Long, Long)] =
+      mv.refresh().scan.toDF.collect().map(r =>
+        r.getAs[String]("g") -> ((r.getAs[Long]("cnt"), r.getAs[Long]("s_v"),
+          r.getAs[Long]("mn_v"), r.getAs[Long]("mx_v")))).toMap
+    // only v >= 10 rows aggregate: a has 50+30, b has 40
+    assert(mvMap() === Map("a" -> ((2L, 80L, 30L, 50L)),
+      "b" -> ((1L, 40L, 40L, 40L))))
+    // move OUT of p (a's max 50 → 3: retract + hole), move INTO p
+    // (b's 8 → 25: insert), and churn fully below p (a's 5 → 7: silent)
+    val eng = new HadoopCatalog(wh, spark).loadTable("srcf")
+    eng.upsert(Seq(("a", 1L, 3L), ("b", 5L, 25L), ("a", 3L, 7L))
+      .toDF("g", "id", "v"), Seq("id"))
+    val (r1, d1) = MaterializedAgg.refreshOnce(src, mv, v)
+    assert(mvMap() === Map("a" -> ((1L, 30L, 30L, 30L)),
+      "b" -> ((2L, 65L, 25L, 40L))))
+    assert(r1 === 2L && d1 === 0L)
+    // a group leaving p entirely dies in the view
+    eng.upsert(Seq(("a", 2L, 9L)).toDF("g", "id", "v"), Seq("id"))
+    MaterializedAgg.refreshOnce(src, mv, v)
+    assert(mvMap() === Map("b" -> ((2L, 65L, 25L, 40L))))
   }
 
   test("multi-column view: independent holes re-elect each column from " +
