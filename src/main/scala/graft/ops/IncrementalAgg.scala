@@ -81,13 +81,12 @@ object IncrementalAgg {
     *                when no group needs re-election.
     * @return the maintained view as of the batch's end cursor
     *
-    * Internally caches the per-group delta (churn-sized) and the merged
-    * state (view-sized, one row per group) with MEMORY_AND_DISK — three
-    * branches reference them (hole scan, clean groups, re-elected
-    * groups), and without the cache each branch would re-read the
-    * changelog and re-evaluate the state side, which is often an
-    * uncached scan of the view's base at the cursor. Neither cache is
-    * ever corpus-sized.
+    * Internally materializes the merged state (view-sized, one row per
+    * group) as an eager local checkpoint — three branches reference it
+    * (hole scan, clean groups, re-elected groups), and without it each
+    * branch would re-read the changelog and re-evaluate the state side.
+    * Checkpoint blocks release when the returned frame is
+    * garbage-collected, so repeated applies leak nothing.
     */
   def applyChangelog(
       state: DataFrame,
@@ -106,12 +105,9 @@ object IncrementalAgg {
           v.maxs.flatMap(c => Seq(
             max(when(col("_change_type") === "insert", col(c))).as(s"in_mx_$c"),
             max(when(col("_change_type") === "delete", col(c))).as(s"del_mx_$c"))))
-    // churn-sized after the groupBy — cached so the state join, the hole
-    // scan, and the re-election branch don't each re-read the changelog
     val delta = batch
       .filter(col("_change_type").isin("insert", "delete"))
       .groupBy(v.keys.map(col): _*).agg(deltaAggs.head, deltaAggs.tail: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- merge: null-safe full-outer on the keys ----
     val st = state.alias("st")
@@ -147,13 +143,19 @@ object IncrementalAgg {
     val maxs1 = v.maxs.map(c =>
       greatest(st.col(s"mx_$c"), dl.col(s"in_mx_$c")).as(s"mx_$c"))
     // view-sized (one row per surviving group) and referenced by the
-    // hole scan, the clean branch, and the re-elected branch — cached so
-    // the state side (often an UNcached scan of the view's base at the
-    // cursor) and the delta evaluate once per apply, not once per branch
+    // hole scan, the clean branch, and the re-elected branch — an EAGER
+    // local checkpoint materializes it once (one job: the changelog
+    // groupBy + the state join, which is often an uncached scan of the
+    // view's base), so no branch re-reads the feed, and unlike persist()
+    // the blocks release through the ContextCleaner when the frame is
+    // garbage-collected — repeated applies leak nothing. (On a cluster
+    // with dynamic allocation, executor loss cannot recompute a local
+    // checkpoint; a maintained-view pipeline consumes the result into a
+    // write immediately, which is the supported shape.)
     val merged = merged0
       .select((keyed :+ cnt1) ++ sums1 ++ mins1 ++ maxs1 :+ anyHole: _*)
       .filter(col("cnt") > 0 || col("__hole"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     if (v.mins.isEmpty && v.maxs.isEmpty) return merged.drop("__hole")
 

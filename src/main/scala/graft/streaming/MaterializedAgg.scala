@@ -110,9 +110,14 @@ object MaterializedAgg {
     val sc = source.scan.useSnapshot(head)
     val full = IncrementalAgg.init(
       prepare(f.map(sc.filter).getOrElse(sc).toDF), view)
+    val guard = graft.table.IceTable.guardedCursorStamp(
+      mv.name, None, head.toString, CursorProp)
     mv.applyKeyed(None, view.keys, Some(full),
-      m => m.copy(properties = m.properties ++ viewProps(view) ++
-        filter.map(FilterProp -> _) + (CursorProp -> head.toString)),
+      m => { // a concurrent bootstrap loses on the guard, not by doubling
+        val g = guard(m)
+        g.copy(properties = g.properties ++ viewProps(view) ++
+          filter.map(FilterProp -> _))
+      },
       mv.metadata.currentSnapshotId)
     Some(head)
   }
@@ -142,8 +147,12 @@ object MaterializedAgg {
         s"refresh was given $view — folding with a different view would " +
         "silently corrupt the aggregate"))
     if (stored.contains(head)) return (0L, 0L) // nothing new (or a replay)
-    val stamp = (m: graft.meta.TableMetadata) =>
-      m.copy(properties = m.properties + (CursorProp -> head.toString))
+    // re-validated on every (retried) commit: a concurrent refresher that
+    // already advanced the cursor must fail this apply, never be
+    // overwritten backwards (a regressed cursor re-folds an applied
+    // range — double-counted aggregates)
+    val stamp = graft.table.IceTable.guardedCursorStamp(
+      mv.name, stored.map(_.toString), head.toString, CursorProp)
     val f = filterOf(mv) // filtered MV: the filtered changelog retracts
     val batch = prepare(TableChanges.changelog(source, stored, Some(head), f))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -791,8 +791,7 @@ class IceTable(
       val nIns = byType.getOrElse("insert", 0L)
       val nUpd = byType.getOrElse("update", 0L)
       val nDel = byType.getOrElse("delete", 0L)
-      val cursorStamp = (m: TableMetadata) =>
-        m.copy(properties = m.properties + (IceTable.CdcCursorProp -> newCursor))
+      val cursorStamp = IceTable.guardedCursorStamp(name, stored, newCursor)
       if (nIns + nUpd + nDel == 0) {
         // cursor-only advance (source snapshots with zero net row change)
         commitMetadata(cursorStamp)
@@ -839,8 +838,7 @@ class IceTable(
     val baseSnap = branchHeadId(Some("main"))
     val batch = changes.cache()
     try {
-      val cursorStamp = (m: TableMetadata) =>
-        m.copy(properties = m.properties + (IceTable.CdcCursorProp -> newCursor))
+      val cursorStamp = IceTable.guardedCursorStamp(name, stored, newCursor)
       if (batch.isEmpty) {
         commitMetadata(cursorStamp)
         return (0L, 0L)
@@ -2280,4 +2278,27 @@ object IceTable {
     * by [[IceTable.applyCdc]] — written in the same atomic commit as the
     * batch's data, the exactly-once anchor for replication. */
   val CdcCursorProp = "graft.cdc.applied-cursor"
+
+  /** A cursor stamp that RE-VALIDATES against the base it is applied to:
+    * commit retries re-run the metadata change on a REFRESHED base, so a
+    * stamp that blindly overwrites would let the loser of a concurrent
+    * apply regress the cursor a winner just advanced — and a regressed
+    * cursor makes the next apply re-fold an already-applied range
+    * (double-counted rows). The entry-time cursor check cannot catch
+    * this: both racers read the same stored cursor before either
+    * commits. Data-bearing applies are additionally guarded by commit
+    * validation (removed files must be live, AlwaysTrue conflict
+    * filter); this guard closes the cursor-only/metadata-retry path. */
+  private[graft] def guardedCursorStamp(tableName: String,
+      expected: Option[String], newCursor: String,
+      prop: String = CdcCursorProp): TableMetadata => TableMetadata = { m =>
+    val cur = m.properties.get(prop)
+    if (cur != expected)
+      throw new ValidationException(
+        s"cursor of $tableName moved concurrently: this apply read " +
+          s"${expected.getOrElse("<none>")} but the table now carries " +
+          s"${cur.getOrElse("<none>")} — a concurrent apply won; rerun " +
+          "to fold from the advanced cursor")
+    m.copy(properties = m.properties + (prop -> newCursor))
+  }
 }

@@ -350,6 +350,60 @@ class IncrementalAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mvMap() === Map("b" -> ((2L, 65L, 25L, 40L))))
   }
 
+  test("concurrent MV refreshers never double-count: winners advance the " +
+      "cursor atomically, losers fail on the guard or no-op") {
+    import graft.catalog.HadoopCatalog
+    import graft.core.Schema
+    import graft.streaming.MaterializedAgg
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_mvrace").toString
+    val rows = (1L to 200L).map(i => (s"g${i % 8}", i, i % 37)).toDF("g", "id", "v")
+    val cat = new HadoopCatalog(wh, spark)
+    val src0 = cat.createTable("srcr", Schema.fromSpark(rows.schema),
+      properties = Map("format-version" -> "2"))
+    src0.append(rows)
+    val v = AggView(keys = Seq("g"), sums = Seq("v"),
+      mins = Seq("v"), maxs = Seq("v"))
+    val mv0 = cat.createTable("mvr", MaterializedAgg.schemaFor(v, src0),
+      properties = Map("format-version" -> "2"))
+    MaterializedAgg.bootstrap(src0, mv0, v)
+    src0.delete("id <= 40")
+    new HadoopCatalog(wh, spark).loadTable("srcr")
+      .upsert((201L to 220L).map(i => (s"g${i % 8}", i, i % 41))
+        .toDF("g", "id", "v"), Seq("id"))
+    // four racers, each with its OWN table handles (separate processes in
+    // miniature — IceTable instances are not shared across threads)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val outcomes = Await.result(Future.sequence((1 to 4).map { _ =>
+      Future(scala.util.Try {
+        val c = new HadoopCatalog(wh, spark)
+        MaterializedAgg.refreshOnce(c.loadTable("srcr"), c.loadTable("mvr"), v)
+      })
+    }), 120.seconds)
+    pool.shutdown()
+    val applied = outcomes.collect { case scala.util.Success((r, d)) if r + d > 0 => 1 }.sum
+    val failures = outcomes.collect { case scala.util.Failure(e) => e }
+    failures.foreach(e => assert(
+      e.isInstanceOf[graft.table.ValidationException] ||
+        e.getMessage.contains("cursor"),
+      s"unexpected failure shape: $e"))
+    assert(applied >= 1, s"someone must win: $outcomes")
+    // the view is EXACT regardless of interleaving — no double-count
+    val check = new HadoopCatalog(wh, spark)
+    val srcF = check.loadTable("srcr"); val mvF = check.loadTable("mvr")
+    val got = mvF.scan.toDF.orderBy("g").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("cnt"), r.getAs[Long]("s_v"))).toSeq
+    val want = IncrementalAgg.init(srcF.scan.toDF, v).orderBy("g").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("cnt"), r.getAs[Long]("s_v"))).toSeq
+    assert(got === want)
+    assert(mvF.metadata.properties(MaterializedAgg.CursorProp).toLong ===
+      srcF.metadata.currentSnapshotId.get)
+  }
+
   test("multi-column view: independent holes re-elect each column from " +
       "the same single scan") {
     val v2 = AggView(keys = Seq("g"), sums = Seq("x", "y"),
