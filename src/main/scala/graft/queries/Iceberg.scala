@@ -1257,8 +1257,11 @@ object Iceberg {
     tab.append(docs.filter(col("doc_id") % 3 =!= 0))
     val c0 = tab.refresh().metadata.currentSnapshotId
     s.sql(s"DELETE FROM $cat.db.corpus WHERE doc_id % 9 = 1")
-    s.sql(s"UPDATE $cat.db.corpus SET n_chars = n_chars + 500 WHERE doc_id % 9 = 2")
-    s.sql(s"UPDATE $cat.db.corpus SET n_chars = n_chars - 600 WHERE doc_id % 9 = 4")
+    // boosts and demotions in ONE CoW round (disjoint residues — same
+    // semantics as two statements, one rewrite)
+    s.sql(s"""UPDATE $cat.db.corpus SET n_chars = CASE
+      |  WHEN doc_id % 9 = 2 THEN n_chars + 500 ELSE n_chars - 600 END
+      |WHERE doc_id % 9 = 2 OR doc_id % 9 = 4""".stripMargin)
     tab.refresh().append(docs.filter(col("doc_id") % 3 === 0))
     val rel = tab.refresh()
     val view = graft.ops.IncrementalAgg.AggView(
@@ -1328,8 +1331,14 @@ object Iceberg {
     s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", whDir)
     val hc = new HadoopCatalog(whDir, s)
+    // merge-on-read churn: deletes/updates land as position-delete masks,
+    // so each refresh's changelog reads the REFERENCED rows, not a CoW
+    // rewrite's full remove+add file pair — the cheaper feed shape the
+    // MoR changelog branch serves (and the one a steady pipeline runs)
     val tab = hc.createTable("db.corpus", Schema.fromSpark(docs.schema),
-      properties = Map("format-version" -> "2"))
+      properties = Map("format-version" -> "2",
+        "write.delete.mode" -> "merge-on-read",
+        "write.update.mode" -> "merge-on-read"))
     tab.append(docs.filter(col("doc_id") % 3 =!= 0))
     val view = graft.ops.IncrementalAgg.AggView(
       keys = Seq("source", "lang"), sums = Seq("n_chars"),
