@@ -404,6 +404,43 @@ class IncrementalAggSpec extends AnyFunSuite with BeforeAndAfterAll {
       srcF.metadata.currentSnapshotId.get)
   }
 
+  test("MV refresh across source schema evolution: an added column leaves " +
+      "the view exact; a renamed view column fails fast, not silently") {
+    import graft.catalog.HadoopCatalog
+    import graft.core.{Schema, ILong}
+    import graft.streaming.MaterializedAgg
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_mvevo").toString
+    val cat = new HadoopCatalog(wh, spark)
+    val rows = Seq(("a", 1L, 10L), ("a", 2L, 30L), ("b", 3L, 5L))
+      .toDF("g", "id", "v")
+    val src = cat.createTable("srce", Schema.fromSpark(rows.schema),
+      properties = Map("format-version" -> "2"))
+    src.append(rows)
+    val v = AggView(keys = Seq("g"), sums = Seq("v"),
+      mins = Seq("v"), maxs = Seq("v"))
+    val mv = cat.createTable("mve", MaterializedAgg.schemaFor(v, src),
+      properties = Map("format-version" -> "2"))
+    MaterializedAgg.bootstrap(src, mv, v)
+    // source grows a column the view doesn't reference; churn follows
+    src.updateSchema.addColumn("extra", ILong).commit()
+    val src2 = new HadoopCatalog(wh, spark).loadTable("srce")
+    src2.append(Seq(("b", 4L, 9L, 77L)).toDF("g", "id", "v", "extra"))
+    src2.delete("id = 2") // a's max retires through the evolved schema
+    val (r1, d1) = MaterializedAgg.refreshOnce(src2, mv, v)
+    assert(r1 === 2L && d1 === 0L)
+    val got = mv.refresh().scan.toDF.orderBy("g").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("cnt"), r.getAs[Long]("s_v"),
+        r.getAs[Long]("mn_v"), r.getAs[Long]("mx_v"))).toSeq
+    assert(got === Seq(("a", 1L, 10L, 10L, 10L), ("b", 2L, 14L, 5L, 9L)))
+    // renaming a column the VIEW references breaks the view's contract —
+    // the refresh must fail loudly (unresolved column), never fold wrong
+    src2.updateSchema.renameColumn("v", "val").commit()
+    val src3 = new HadoopCatalog(wh, spark).loadTable("srce")
+    src3.delete("id = 1")
+    intercept[Exception](MaterializedAgg.refreshOnce(src3, mv, v))
+  }
+
   test("multi-column view: independent holes re-elect each column from " +
       "the same single scan") {
     val v2 = AggView(keys = Seq("g"), sums = Seq("x", "y"),
