@@ -36,23 +36,28 @@ import org.apache.spark.sql.functions._
   * whose count reaches zero leave the state; groups first seen in the
   * batch are born from their own deltas.
   *
-  * Null semantics match SQL: sum/min/max ignore null values (a null
-  * contributes 0 both ways, so retraction stays exact); `cnt` is
-  * count(*). Null KEY values form their own group — the state join is
-  * null-safe (`<=>`).
+  * Null semantics match SQL: sum/min/max ignore null values, and SQL's
+  * `sum` over a group whose remaining values are ALL null is NULL, not
+  * 0 — so each sum carries a companion non-null count `nn_<c>` in the
+  * state, and `s_<c>` nulls out exactly when `nn_<c>` reaches 0 (the
+  * case a plain ±delta gets wrong: retracting a group's last non-null
+  * value leaves `s0 + d0 = 0` where SQL says NULL). `cnt` is count(*).
+  * Null KEY values form their own group — the state join is null-safe
+  * (`<=>`).
   */
 object IncrementalAgg {
 
   /** The view definition: group keys plus aggregate column lists. State
-    * column layout: `keys* , cnt, s_<c>*, mn_<c>*, mx_<c>*`. */
+    * column layout: `keys* , cnt, s_<c>*, nn_<c>*, mn_<c>*, mx_<c>*`
+    * (`nn_<c>` = non-null count feeding `s_<c>`, the SQL-null guard). */
   final case class AggView(
       keys: Seq[String],
       sums: Seq[String] = Nil,
       mins: Seq[String] = Nil,
       maxs: Seq[String] = Nil) {
     def stateCols: Seq[String] =
-      keys ++ ("cnt" +: (sums.map("s_" + _) ++ mins.map("mn_" + _) ++
-        maxs.map("mx_" + _)))
+      keys ++ ("cnt" +: (sums.map("s_" + _) ++ sums.map("nn_" + _) ++
+        mins.map("mn_" + _) ++ maxs.map("mx_" + _)))
   }
 
   /** Build the state from scratch over the base relation (the bootstrap
@@ -61,6 +66,7 @@ object IncrementalAgg {
     val aggs =
       (count(lit(1)).as("cnt") +:
         (v.sums.map(c => sum(col(c)).as(s"s_$c")) ++
+          v.sums.map(c => count(col(c)).as(s"nn_$c")) ++
           v.mins.map(c => min(col(c)).as(s"mn_$c")) ++
           v.maxs.map(c => max(col(c)).as(s"mx_$c"))))
     base.groupBy(v.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
@@ -99,6 +105,8 @@ object IncrementalAgg {
     val deltaAggs =
       sum(w).as("d_cnt") +:
         (v.sums.map(c => sum(w * col(c)).as(s"d_$c")) ++
+          v.sums.map(c =>
+            sum(w * when(col(c).isNotNull, 1L).otherwise(0L)).as(s"dn_$c")) ++
           v.mins.flatMap(c => Seq(
             min(when(col("_change_type") === "insert", col(c))).as(s"in_mn_$c"),
             min(when(col("_change_type") === "delete", col(c))).as(s"del_mn_$c"))) ++
@@ -120,12 +128,20 @@ object IncrementalAgg {
     val stateMissing = st.col("cnt").isNull
     val cnt1 = (coalesce(st.col("cnt"), lit(0L)) +
       coalesce(dl.col("d_cnt"), lit(0L))).as("cnt")
+    def nn1(c: String) = coalesce(st.col(s"nn_$c"), lit(0L)) +
+      coalesce(dl.col(s"dn_$c"), lit(0L))
     val sums1 = v.sums.map { c =>
       // sum over an all-null group is null both in state and delta;
-      // coalesce to the other side so a null never zeroes a real sum
+      // coalesce to the other side so a null never zeroes a real sum —
+      // and when the batch retires a group's LAST non-null value while
+      // null rows keep it alive, the ±delta lands on 0 where SQL says
+      // NULL: the maintained non-null count decides, exactly
       val s0 = st.col(s"s_$c"); val d0 = dl.col(s"d_$c")
-      when(s0.isNull, d0).when(d0.isNull, s0).otherwise(s0 + d0).as(s"s_$c")
+      when(nn1(c) <= 0L, lit(null))
+        .otherwise(when(s0.isNull, d0).when(d0.isNull, s0).otherwise(s0 + d0))
+        .as(s"s_$c")
     }
+    val nns1 = v.sums.map(c => nn1(c).as(s"nn_$c"))
     // a HOLE: a retired value that could have held the extremum, or a
     // delete hitting a group the state never saw (anomalous feed —
     // re-elect rather than trust either side)
@@ -153,7 +169,7 @@ object IncrementalAgg {
     // checkpoint; a maintained-view pipeline consumes the result into a
     // write immediately, which is the supported shape.)
     val merged = merged0
-      .select((keyed :+ cnt1) ++ sums1 ++ mins1 ++ maxs1 :+ anyHole: _*)
+      .select((keyed :+ cnt1) ++ sums1 ++ nns1 ++ mins1 ++ maxs1 :+ anyHole: _*)
       .filter(col("cnt") > 0 || col("__hole"))
       .localCheckpoint(true)
 
@@ -176,6 +192,7 @@ object IncrementalAgg {
     val fixed = hm.join(ra, fixCond, "left_outer")
       .select((v.keys.map(k => hm.col(k).as(k)) :+ hm.col("cnt").as("cnt")) ++
         v.sums.map(c => hm.col(s"s_$c").as(s"s_$c")) ++
+        v.sums.map(c => hm.col(s"nn_$c").as(s"nn_$c")) ++
         v.mins.map(c => ra.col(s"re_mn_$c").as(s"mn_$c")) ++
         v.maxs.map(c => ra.col(s"re_mx_$c").as(s"mx_$c")): _*)
       // a hole group with no surviving base rows died with the batch

@@ -327,10 +327,13 @@ object GraftProcedures {
         require(view.keys.nonEmpty, "mv_create needs at least one key column")
         val filter =
           if (input.isNullAt(6)) None else Some(input.getUTF8String(6).toString)
+        // the source's format version comes from its METADATA, not its
+        // properties — applyFormatVersion strips the property at creation,
+        // so a properties lookup would pin every MV to v2
         val mv = catalog.createTable(input.getUTF8String(1).toString,
           MaterializedAgg.schemaFor(view, src),
           properties = Map("format-version" ->
-            src.metadata.properties.getOrElse("format-version", "2")))
+            src.metadata.formatVersion.toString))
         MaterializedAgg.bootstrap(src, mv, view, identity, filter)
         Seq(Array[Any](mv.refresh().scan.toDF.count(),
           mv.metadata.properties.get(MaterializedAgg.CursorProp)

@@ -166,10 +166,19 @@ object MaterializedAgg {
         return (0L, 0L)
       }
       val state = mv.scan.toDF
+      // the elector's base scan pins to the fold's END cursor (`head`):
+      // an unpinned scan under a concurrent source writer would elect
+      // min/max from commits beyond the stamped cursor — a transiently
+      // inconsistent MV-at-cursor. Key joins are null-safe (<=>): a
+      // null-valued group key is its own group throughout IncrementalAgg,
+      // and a using-column join here would silently never refresh it.
       val st1 = IncrementalAgg.applyChangelog(state, batch, view,
-        keys => prepare(f.map(source.scan.filter).getOrElse(source.scan).toDF)
-          .join(keys, view.keys, "left_semi"))
-      val images = st1.join(touched, view.keys, "left_semi")
+        keys => {
+          val sc = source.scan.useSnapshot(head)
+          graft.ops.Joins.nullSafeSemi(
+            prepare(f.map(sc.filter).getOrElse(sc).toDF), keys, view.keys)
+        })
+      val images = graft.ops.Joins.nullSafeSemi(st1, touched, view.keys)
       val nSurvived = images.count()
       mv.applyKeyed(Some(touched), view.keys,
         if (nSurvived > 0) Some(images) else None,

@@ -933,8 +933,10 @@ class IceTable(
       val tasks = retireCandidates(scanObj.planFiles(), r, joinCols)
       val targetWithFile = scanObj.toDFForTasks(tasks,
         applyResidualOnlyWhereNeeded = true, keepFile = true)
-      val affected = targetWithFile
-        .join(r, joinCols, "left_semi")
+      // null-safe (<=>) key joins throughout the retire stage: the MV
+      // face maintains null-valued group keys as their own group, and a
+      // using-column join would never target (so never retire) them
+      val affected = graft.ops.Joins.nullSafeSemi(targetWithFile, r, joinCols)
         .select(col("__file")).distinct().collect().map(_.getString(0)).toSet
       val affectedTasks = tasks.filter(t =>
         affected.contains(graft.core.PathUtil.canon(t.file.filePath)))
@@ -943,7 +945,7 @@ class IceTable(
       if (affectedTasks.nonEmpty) {
         val affectedRows = if (lineage) scanObj.toDFWithLineageForTasks(affectedTasks)
           else scanObj.toDFForTasks(affectedTasks, applyResidualOnlyWhereNeeded = true)
-        pieces += affectedRows.join(r, joinCols, "left_anti")
+        pieces += graft.ops.Joins.nullSafeAnti(affectedRows, r, joinCols)
       }
     }}
     imageRows.foreach(pieces += _)
@@ -1013,7 +1015,7 @@ class IceTable(
         spark.read.schema(schema.toSpark).parquet(pqTasks.map(_.file.filePath): _*)
           .select(joinCols.map(col) ++ Seq(col("_metadata.file_path").as("__rawfile"),
             col("_metadata.row_index").as("__dpos")): _*)
-          .join(retire, joinCols, "left_semi"),
+          .transform(graft.ops.Joins.nullSafeSemi(_, retire, joinCols)),
         spark, pqTasks.map(_.file.filePath), as = "__dfile")
         .select(col("__dfile"), col("__dpos"))
     if (orcTasks.nonEmpty)
@@ -1021,7 +1023,7 @@ class IceTable(
           orcTasks.map(t => (t.file.filePath, Array.empty[graft.spark.DeleteFileRef],
             Array.empty[graft.spark.EqDeleteRef])),
           keepFile = true, keepPos = true)
-        .join(retire, joinCols, "left_semi")
+        .transform(graft.ops.Joins.nullSafeSemi(_, retire, joinCols))
         .select(col("__file").as("__dfile"), col("__pos").as("__dpos"))
     branches.result().reduceOption(_ unionByName _) match {
       case None =>

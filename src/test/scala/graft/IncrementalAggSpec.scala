@@ -45,11 +45,13 @@ class IncrementalAggSpec extends AnyFunSuite with BeforeAndAfterAll {
       base.join(keys, Seq("g"), "left_semi")
     }
 
-  private def stateMap(st: DataFrame): Map[String, (Long, Long, Long, Long)] =
+  // Any-typed agg reads: a null sum/min/max must compare as NULL, not
+  // unbox to 0 — the exact distinction the nn_<c> guard exists for
+  private def stateMap(st: DataFrame): Map[String, (Long, Any, Any, Any)] =
     st.collect().map { r =>
       String.valueOf(r.getAs[Any]("g")) ->
-        ((r.getAs[Long]("cnt"), r.getAs[Long]("s_v"),
-          r.getAs[Long]("mn_v"), r.getAs[Long]("mx_v")))
+        ((r.getAs[Long]("cnt"), r.getAs[Any]("s_v"),
+          r.getAs[Any]("mn_v"), r.getAs[Any]("mx_v")))
     }.toMap
 
   test("count/sum are delta-exact and min/max tighten without re-election " +
@@ -142,22 +144,45 @@ class IncrementalAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m === Map("a" -> ((1L, 10L)), "<null>" -> ((2L, 7L))))
   }
 
-  test("differential fuzz: 20 seeded random churn batches equal the " +
-      "from-scratch aggregate (and never over-ask the elector)") {
+  test("retracting a group's LAST non-null sum value while null rows keep " +
+      "it alive nulls the sum (SQL semantics), and a later non-null " +
+      "insert revives it") {
+    val nl: java.lang.Long = null
+    val base0 = df(Seq(("a", java.lang.Long.valueOf(10L)), ("a", nl), ("a", nl)))
+    val st0 = IncrementalAgg.init(base0, view)
+    val b1 = batch(Seq(("a", java.lang.Long.valueOf(10L), "delete")))
+    val base1 = df(Seq(("a", nl), ("a", nl)))
+    val st1 = IncrementalAgg.applyChangelog(st0, b1, view,
+      electorOver(base1, scala.collection.mutable.Set[String]()))
+    // SQL: sum over the two remaining all-null rows is NULL, not 0
+    assert(stateMap(st1) === Map("a" -> ((2L, null, null, null))))
+    assert(stateMap(st1) === stateMap(IncrementalAgg.init(base1, view)))
+    val b2 = batch(Seq(("a", java.lang.Long.valueOf(7L), "insert")))
+    val base2 = df(Seq(("a", nl), ("a", nl), ("a", java.lang.Long.valueOf(7L))))
+    val st2 = IncrementalAgg.applyChangelog(st1, b2, view,
+      electorOver(base2, scala.collection.mutable.Set[String]()))
+    assert(stateMap(st2) === Map("a" -> ((3L, 7L, 7L, 7L))))
+  }
+
+  test("differential fuzz: 20 seeded random churn batches (incl. null " +
+      "values) equal the from-scratch aggregate") {
     val rnd = new scala.util.Random(20260816L)
+    // ~1 in 6 values NULL: nulls must contribute nothing, retract
+    // nothing, and null the sum when a group's last non-null retires
+    def gen(): java.lang.Long =
+      if (rnd.nextInt(6) == 0) null else java.lang.Long.valueOf(rnd.nextInt(21) - 10)
     for (round <- 1 to 20) {
       val groups = (0 until (2 + rnd.nextInt(6))).map(i => s"g$i")
       var rows = (0 until (5 + rnd.nextInt(40))).map { i =>
-        (groups(rnd.nextInt(groups.size)), java.lang.Long.valueOf(rnd.nextInt(21) - 10))
+        (groups(rnd.nextInt(groups.size)), gen())
       }
       val st0 = IncrementalAgg.init(df(rows), view)
       // churn: delete a random subset, update a subset, insert fresh rows
       val (dead, kept) = rows.partition(_ => rnd.nextInt(4) == 0)
       val (upd, same) = kept.partition(_ => rnd.nextInt(4) == 0)
-      val upd2 = upd.map { case (g, v) =>
-        (g, java.lang.Long.valueOf(v + rnd.nextInt(11) - 5)) }
+      val upd2 = upd.map { case (g, v) => (g, gen()) }
       val fresh = (0 until rnd.nextInt(10)).map { _ =>
-        (groups(rnd.nextInt(groups.size)), java.lang.Long.valueOf(rnd.nextInt(21) - 10)) }
+        (groups(rnd.nextInt(groups.size)), gen()) }
       val b = batch(
         dead.map { case (g, v) => (g, v, "delete") } ++
         upd.map { case (g, v) => (g, v, "delete") } ++
@@ -217,19 +242,20 @@ class IncrementalAggSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("chained differential fuzz: state carried across 6 consecutive " +
       "batches equals the from-scratch aggregate at every step") {
     val rnd = new scala.util.Random(20260817L)
+    def gen(): java.lang.Long =
+      if (rnd.nextInt(6) == 0) null else java.lang.Long.valueOf(rnd.nextInt(21) - 10)
     for (scenario <- 1 to 4) {
       val groups = (0 until (2 + rnd.nextInt(5))).map(i => s"g$i")
       var rows = (0 until (10 + rnd.nextInt(30))).map { _ =>
-        (groups(rnd.nextInt(groups.size)), java.lang.Long.valueOf(rnd.nextInt(21) - 10))
+        (groups(rnd.nextInt(groups.size)), gen())
       }
       var st = IncrementalAgg.init(df(rows), view)
       for (step <- 1 to 6) {
         val (dead, kept) = rows.partition(_ => rnd.nextInt(4) == 0)
         val (upd, same) = kept.partition(_ => rnd.nextInt(4) == 0)
-        val upd2 = upd.map { case (g, v) =>
-          (g, java.lang.Long.valueOf(v + rnd.nextInt(11) - 5)) }
+        val upd2 = upd.map { case (g, v) => (g, gen()) }
         val fresh = (0 until rnd.nextInt(8)).map { _ =>
-          (groups(rnd.nextInt(groups.size)), java.lang.Long.valueOf(rnd.nextInt(21) - 10)) }
+          (groups(rnd.nextInt(groups.size)), gen()) }
         val b = batch(
           dead.map { case (g, v) => (g, v, "delete") } ++
           upd.map { case (g, v) => (g, v, "delete") } ++
@@ -348,6 +374,41 @@ class IncrementalAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     eng.upsert(Seq(("a", 2L, 9L)).toDF("g", "id", "v"), Seq("id"))
     MaterializedAgg.refreshOnce(src, mv, v)
     assert(mvMap() === Map("b" -> ((2L, 65L, 25L, 40L))))
+  }
+
+  test("null-keyed group: MV refresh retires and rewrites it like any " +
+      "other group (null-safe targeting joins)") {
+    import graft.catalog.HadoopCatalog
+    import graft.core.Schema
+    import graft.streaming.MaterializedAgg
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_mvnullk").toString
+    val cat = new HadoopCatalog(wh, spark)
+    val rows = Seq((null, 1L, 10L), (null, 2L, 30L), ("b", 3L, 5L))
+      .toDF("g", "id", "v")
+    val src = cat.createTable("srcn", Schema.fromSpark(rows.schema),
+      properties = Map("format-version" -> "2"))
+    src.append(rows)
+    val v = AggView(keys = Seq("g"), sums = Seq("v"),
+      mins = Seq("v"), maxs = Seq("v"))
+    val mv = cat.createTable("mvn", MaterializedAgg.schemaFor(v, src),
+      properties = Map("format-version" -> "2"))
+    MaterializedAgg.bootstrap(src, mv, v)
+    def mvMap(): Map[String, (Long, Any)] =
+      mv.refresh().scan.toDF.collect().map(r =>
+        String.valueOf(r.getAs[Any]("g")) ->
+          ((r.getAs[Long]("cnt"), r.getAs[Any]("s_v")))).toMap
+    assert(mvMap() === Map("null" -> ((2L, 40L)), "b" -> ((1L, 5L))))
+    // churn the NULL group: retire its max holder — a using-column
+    // retire join would leave the stale (2, 40) row in place forever
+    src.delete("id = 2")
+    val (r1, _) = MaterializedAgg.refreshOnce(src, mv, v)
+    assert(r1 === 1L)
+    assert(mvMap() === Map("null" -> ((1L, 10L)), "b" -> ((1L, 5L))))
+    // and a full retire: the null-keyed group must LEAVE the MV
+    src.delete("id = 1")
+    MaterializedAgg.refreshOnce(src, mv, v)
+    assert(mvMap() === Map("b" -> ((1L, 5L))))
   }
 
   test("concurrent MV refreshers never double-count: winners advance the " +
