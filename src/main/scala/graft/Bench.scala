@@ -2,6 +2,27 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+  /** 1-minute system load average — stamped around every measured rep so
+    * the artifact is self-adjudicating on this box's periodic external
+    * load (same-code totals drifted 154.9→224.4 s across windows; a
+    * number without load evidence can't be told from a regression). */
+  private def load1(): Double = java.lang.management.ManagementFactory
+    .getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** Cumulative JVM process CPU seconds. Wall time that the CPU column
+    * can't account for = scheduler pressure from OUTSIDE this process —
+    * the direct fingerprint of a poisoned window. */
+  private def procCpuSec(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        os.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
+
+  /** One measured rep: (wall sec, ok, load before, load after, cpu sec). */
+  final case class Rep(t: Double, ok: Boolean, loadBefore: Double,
+    loadAfter: Double, cpuSec: Double)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -41,7 +62,7 @@ object Bench {
     val recycleEvery = sys.env.getOrElse("SPARK_GRAFT_RECYCLE", "20").toInt.max(1)
     var failed = List.empty[String]
     var sinceRecycle = 0
-    val results = selected.map { case (name, fn) =>
+    val measured = selected.map { case (name, fn) =>
       if (sinceRecycle >= recycleEvery) {
         spark.stop()
         spark = mkSession()
@@ -59,6 +80,8 @@ object Bench {
       // a crashing query must fail the bench run, not record a fast time —
       // and a fast-CRASHING rep must not win the min either
       val times = (1 to reps).map { _ =>
+        val lb = load1()
+        val c0 = procCpuSec()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
           case e: Throwable =>
@@ -69,11 +92,14 @@ object Bench {
             }
             false
         }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        Rep((System.nanoTime() - t0) / 1e9, ok, lb, load1(),
+          procCpuSec() - c0)
       }
-      val good = times.filter(_._2).map(_._1)
-      name -> (if (good.nonEmpty) good.min else times.map(_._1).max)
+      val good = times.filter(_.ok).map(_.t)
+      name -> (if (good.nonEmpty) good.min else times.map(_.t).max, times)
     }
+    val results: Map[String, Double] = measured.map { case (n, (t, _)) => n -> t }
+    val repStats: Map[String, Seq[Rep]] = measured.map { case (n, (_, ts)) => n -> ts }
 
     // prior settled numbers (last run's BENCH_FULL.json, committed at round
     // end): a query's settled value is its isolated time when one was
@@ -133,6 +159,9 @@ object Bench {
     // single-query `sbt runMain` would measure. The child is Bench
     // itself with SPARK_GRAFT_ONLY=<name> and isolation disabled; its
     // best-of-reps number is read back from its full-artifact file.
+    // per-suspect attempt records for the artifact: (wall, loadBefore,
+    // loadAfter, cpuSec) of every child run, accepted or not
+    val isoAttempts = scala.collection.mutable.Map.empty[String, Seq[Seq[Double]]]
     val isolated: Seq[(String, Double)] =
       if (suspects.isEmpty) Nil
       else {
@@ -146,7 +175,27 @@ object Bench {
         val jvmArgs = java.lang.management.ManagementFactory
           .getRuntimeMXBean.getInputArguments.asScala.toSeq
         val cp = sys.props("java.class.path")
-        suspects.flatMap { name =>
+        // quiet-window gating (this box's external load cycles 0 → ~3.5
+        // on an hourly cadence): wait for load1 under the threshold
+        // before each child, and re-run (bounded) when load rose through
+        // the run — an isolated number stamped "quiet" is evidence; one
+        // stamped "noisy" after retries ran out is at least labeled
+        val quietLoad =
+          sys.env.getOrElse("SPARK_GRAFT_ISO_QUIET_LOAD", "1.5").toDouble
+        val quietWaitMs =
+          sys.env.getOrElse("SPARK_GRAFT_ISO_QUIET_WAIT_MS", "180000").toLong
+        val isoTries =
+          sys.env.getOrElse("SPARK_GRAFT_ISO_TRIES", "3").toInt.max(1)
+        def awaitQuiet(): Double = {
+          val deadline = System.nanoTime() + quietWaitMs * 1000000L
+          var l = load1()
+          while (l > quietLoad && System.nanoTime() < deadline) {
+            Thread.sleep(5000)
+            l = load1()
+          }
+          l
+        }
+        def runChild(name: String): Option[Double] = {
           val out = java.nio.file.Files.createTempFile("bench-iso-", ".json")
           java.nio.file.Files.delete(out) // child must see it absent (prior-parse)
           val pb = new ProcessBuilder(
@@ -167,28 +216,51 @@ object Bench {
           val p = pb.start()
           val done = p.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
           if (!done) { p.destroyForcibly(); p.waitFor() }
-          val t: Option[Double] =
-            if (!done || p.exitValue() != 0) None
-            else try {
-              import org.json4s._
-              import org.json4s.jackson.JsonMethods
-              JsonMethods.parse(new String(
-                  java.nio.file.Files.readAllBytes(out))) \ "queries" \ name match {
-                case JDouble(v) => Some(v)
-                case JInt(v) => Some(v.toDouble)
-                case _ => None
+          if (!done || p.exitValue() != 0) None
+          else try {
+            import org.json4s._
+            import org.json4s.jackson.JsonMethods
+            val j = JsonMethods.parse(new String(
+              java.nio.file.Files.readAllBytes(out)))
+            val reps = j \ "load" \ name match {
+              case JArray(rows) => rows.collect { case JArray(vs) =>
+                vs.collect { case JDouble(d) => d; case JInt(i) => i.toDouble }
               }
-            } catch { case _: Throwable => None }
-          if (t.isEmpty) {
+              case _ => Nil
+            }
+            isoAttempts(name) = isoAttempts.getOrElse(name, Nil) ++ reps
+            val t = j \ "queries" \ name match {
+              case JDouble(v) => Some(v)
+              case JInt(v) => Some(v.toDouble)
+              case _ => None
+            }
+            try {
+              java.nio.file.Files.deleteIfExists(out)
+              java.nio.file.Files.deleteIfExists(
+                java.nio.file.Paths.get(out.toString + ".summary"))
+            } catch { case _: Throwable => }
+            t
+          } catch { case _: Throwable => None }
+        }
+        suspects.flatMap { name =>
+          var best: Option[Double] = None
+          var attempt = 0
+          var quiet = false
+          while (attempt < isoTries && !quiet) {
+            attempt += 1
+            awaitQuiet()
+            val t = runChild(name)
+            best = (best.toSeq ++ t.toSeq).minOption
+            // the child's own reps carry the verdict: a rep whose window
+            // stayed under the threshold on both edges is trustworthy
+            quiet = isoAttempts.getOrElse(name, Nil)
+              .exists(r => r.length >= 4 && r(1) <= quietLoad && r(2) <= quietLoad)
+          }
+          if (best.isEmpty) {
             System.err.println(s"BENCH ISOLATED FAILURE in $name (fresh-JVM child)")
             if (!failed.contains(name)) failed ::= name
           }
-          try {
-            java.nio.file.Files.deleteIfExists(out)
-            java.nio.file.Files.deleteIfExists(
-              java.nio.file.Paths.get(out.toString + ".summary"))
-          } catch { case _: Throwable => }
-          t.map(name -> _)
+          best.map(name -> _)
         }
       }
     // locale-fixed: under a comma-decimal default locale f"%.3f" would
@@ -199,9 +271,23 @@ object Bench {
       .mkString("{", ",", "}")
     val iso = isolated.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // per-rep load evidence: [wall, load1 before, load1 after, proc-cpu] —
+    // a rep whose wall ≫ cpu/cores or whose load edges sit above the
+    // quiet threshold was measured through external box load, and the
+    // artifact now says so itself (same-code totals drifted 154.9→224.4 s
+    // across windows before this field existed)
+    def repRow(r: Rep): String =
+      s"[${fmt(r.t)},${fmt(r.loadBefore)},${fmt(r.loadAfter)},${fmt(r.cpuSec)}]"
+    val loads = repStats.map { case (k, rs) =>
+      "\"" + k + "\":" + rs.map(repRow).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val isoLoads = isoAttempts.map { case (k, rows) =>
+      "\"" + k + "\":" + rows.map(_.map(fmt).mkString("[", ",", "]"))
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"isolated":$iso,"isolation_mode":"fresh-jvm-warm","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"isolated":$iso,"isolation_mode":"fresh-jvm-warm-quiet","load":$loads,"isolated_load":$isoLoads,"sf":"$sfDir"}"""
     java.nio.file.Files.write(fullPath, full.getBytes("UTF-8"))
     println(full)
     // the driver records only the final ~2000 chars of output and parses
@@ -214,7 +300,7 @@ object Bench {
     val top = results.toSeq.sortBy(-_._2).take(25)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val summary =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"full":"${fullPath.toString}","queries":$top,"isolated":$iso,"isolation_mode":"fresh-jvm-warm"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"full":"${fullPath.toString}","queries":$top,"isolated":$iso,"isolation_mode":"fresh-jvm-warm-quiet"}"""
     val summaryPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_SUMMARY_OUT", "BENCH_SUMMARY.json"))
     java.nio.file.Files.write(summaryPath, summary.getBytes("UTF-8"))

@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import IncrementalAgg.AggView
+
+/** JOIN-VIEW incremental maintenance — the delta-join tier on top of
+  * [[IncrementalAgg]]: a declarative
+  *
+  * {{{ SELECT keys, aggs FROM fact F JOIN dim D ON F.fk = D.pk GROUP BY keys }}}
+  *
+  * view (equi-join; the dim side unique on `pk` — the star-schema shape
+  * real MV workloads run) maintained from the two sides' CHANGELOG
+  * batches without re-joining the corpora. The classic delta rule, in
+  * weighted (insert = +1, delete = −1) multiset algebra:
+  *
+  * {{{ Δ(F ⋈ D)  =  ΔF ⋈ D_old  ∪  F_new ⋈ ΔD }}}
+  *
+  * (expand `F_new = F_old + ΔF`: the cross term `ΔF ⋈ ΔD` is absorbed
+  * by the second part, so the two parts are EXACT together — both sides
+  * may churn in the same refresh). Each part's joined rows keep the
+  * changelog side's `_change_type`, producing a changelog OF THE JOIN
+  * that [[IncrementalAgg.applyChangelog]] folds like any single-table
+  * feed: count/sum/avg absorb ± deltas, min/max re-elect hole groups
+  * only.
+  *
+  * The non-delta side of each part is never read whole — the caller
+  * closures receive the delta's distinct JOIN-KEY tuples and return only
+  * those keys' rows, the same pushed-In / semi-join hole-election
+  * machinery the single-table engine uses:
+  *
+  *  - `dimAtCursor(pkKeys)`: dim rows AT THE DIM BATCH'S START CURSOR
+  *    for the given pk tuples (ΔF enriches against the dim state its
+  *    aggregate last saw — using current dim here would double-apply
+  *    dim churn the ΔD part already folds);
+  *  - `factAtHead(fkKeys)`: fact rows AT THE FACT BATCH'S END CURSOR
+  *    for the given fk tuples (ΔD re-enriches exactly the facts that
+  *    reference churned dim keys).
+  *
+  * At 100 TB: a fact churn batch joins against a broadcast-sized pruned
+  * dim read; a dim churn batch re-reads only the fact partitions holding
+  * the churned foreign keys (fk-clustered fact layouts prune to files);
+  * the fold itself is churn-sized. Rows whose fk matches no dim row (or
+  * null fks) drop from the view on both the insert and retract path —
+  * inner-join SQL semantics, symmetric and exact.
+  *
+  * Column contract: every view column (group keys and aggregates) must
+  * live on exactly one side; when a name exists on both frames the FACT
+  * side wins (document disjoint names for clarity). The reference has no
+  * IVM at all — this extends the engine the way `ice_mv_table` extended
+  * `ds_mv_incremental`. */
+object IncrementalJoinAgg {
+
+  /** The join-view definition: fk columns on the fact side, matching pk
+    * columns on the (unique-keyed) dim side, and the aggregate view over
+    * the joined relation. */
+  final case class JoinView(
+      factKeys: Seq[String],
+      dimKeys: Seq[String],
+      agg: AggView) {
+    require(factKeys.nonEmpty && factKeys.size == dimKeys.size,
+      s"join keys must pair up: fact=$factKeys dim=$dimKeys")
+  }
+
+  /** Columns of the joined relation the view consumes. */
+  private def viewCols(v: AggView): Seq[String] =
+    (v.keys ++ v.sums ++ v.mins ++ v.maxs).distinct
+
+  /** fact ⋈ dim (inner equi-join on fk=pk) projected to the view's
+    * columns — the from-scratch shape ([[init]]'s input, the caller's
+    * `reElect` base, and the differential oracle in tests). */
+  def joinRows(fact: DataFrame, dim: DataFrame, jv: JoinView): DataFrame = {
+    val fa = fact.alias("__jf")
+    val da = dim.alias("__jd")
+    val cond = jv.factKeys.zip(jv.dimKeys)
+      .map { case (fk, pk) => fa.col(fk) === da.col(pk) }.reduce(_ && _)
+    val fCols = fact.columns.toSet
+    fa.join(da, cond, "inner")
+      .select(viewCols(jv.agg).map(c =>
+        (if (fCols(c)) fa.col(c) else da.col(c)).as(c)): _*)
+  }
+
+  /** Build the state from scratch over the two base relations. */
+  def init(fact: DataFrame, dim: DataFrame, jv: JoinView): DataFrame =
+    IncrementalAgg.init(joinRows(fact, dim, jv), jv.agg)
+
+  /** One delta part: the changelog side (carrying `_change_type`) joined
+    * to the pruned non-delta side, projected to the view's columns plus
+    * the change type — each joined row inherits the changed row's ±. */
+  private def deltaPart(changed: DataFrame, other: DataFrame,
+      changedIsFact: Boolean, jv: JoinView): DataFrame = {
+    val ca = changed.alias("__jc")
+    val oa = other.alias("__jo")
+    val (fSide, dSide) = if (changedIsFact) (ca, oa) else (oa, ca)
+    val cond = jv.factKeys.zip(jv.dimKeys)
+      .map { case (fk, pk) => fSide.col(fk) === dSide.col(pk) }.reduce(_ && _)
+    val factCols =
+      (if (changedIsFact) changed.columns else other.columns).toSet
+    ca.join(oa, cond, "inner")
+      .select(viewCols(jv.agg).map(c =>
+        (if (factCols(c)) fSide.col(c) else dSide.col(c)).as(c)) :+
+        ca.col("_change_type").as("_change_type"): _*)
+  }
+
+  /** The changes of (fact ⋈ dim) implied by one fact changelog batch
+    * and/or one dim changelog batch — a changelog of the JOIN, directly
+    * consumable by [[IncrementalAgg.applyChangelog]]. Either side may be
+    * None (only the other churned). */
+  def joinDelta(
+      factBatch: Option[DataFrame],
+      dimBatch: Option[DataFrame],
+      jv: JoinView,
+      dimAtCursor: DataFrame => DataFrame,
+      factAtHead: DataFrame => DataFrame): Option[DataFrame] = {
+    val parts = Seq.newBuilder[DataFrame]
+    factBatch.foreach { fb0 =>
+      val fb = fb0.filter(col("_change_type").isin("insert", "delete"))
+      // the delta's distinct join keys, renamed to the DIM side's names:
+      // the closure prunes its scan to exactly these
+      val keys = fb.select(jv.factKeys.map(col): _*).distinct()
+        .toDF(jv.dimKeys: _*)
+      parts += deltaPart(fb, dimAtCursor(keys), changedIsFact = true, jv)
+    }
+    dimBatch.foreach { db0 =>
+      val db = db0.filter(col("_change_type").isin("insert", "delete"))
+      val keys = db.select(jv.dimKeys.map(col): _*).distinct()
+        .toDF(jv.factKeys: _*)
+      parts += deltaPart(db, factAtHead(keys), changedIsFact = false, jv)
+    }
+    parts.result().reduceOption(_ unionByName _)
+  }
+
+  /** Apply one refresh round — fold both sides' changelog batches into
+    * the maintained join-view state, exactly (see the delta rule above).
+    *
+    * @param state       the maintained view as of both batches' start
+    * @param factBatch   fact changelog rows over (fact cursor, fact head]
+    * @param dimBatch    dim changelog rows over (dim cursor, dim head]
+    * @param dimAtCursor pk-keyed pruned dim read AT THE DIM CURSOR
+    * @param factAtHead  fk-keyed pruned fact read AT THE FACT HEAD
+    * @param reElect     hole-group re-election over the CURRENT joined
+    *                    base (fact head ⋈ dim head), pruned to the given
+    *                    group-key tuples — [[IncrementalAgg]]'s contract
+    */
+  def applyChangelog(
+      state: DataFrame,
+      factBatch: Option[DataFrame],
+      dimBatch: Option[DataFrame],
+      jv: JoinView,
+      dimAtCursor: DataFrame => DataFrame,
+      factAtHead: DataFrame => DataFrame,
+      reElect: DataFrame => DataFrame): DataFrame =
+    joinDelta(factBatch, dimBatch, jv, dimAtCursor, factAtHead) match {
+      case Some(delta) =>
+        IncrementalAgg.applyChangelog(state, delta, jv.agg, reElect)
+      case None => state
+    }
+}

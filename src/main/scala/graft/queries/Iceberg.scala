@@ -1366,6 +1366,176 @@ object Iceberg {
     * same view, recomputed from scratch. */
   val mvTableSql = mvIncrementalSql
 
+  /** JOIN-VIEW IVM (r15): the delta-join tier —
+    * `SELECT c_mktsegment, aggs FROM orders ⋈ customer GROUP BY 1`
+    * maintained by `graft.ops.IncrementalJoinAgg` from the two tables'
+    * changelog feeds via the classic delta rule
+    * `Δ(F ⋈ D) = ΔF ⋈ D_old ∪ F_new ⋈ ΔD`, with the non-delta side of
+    * each part PRUNED to the delta's join keys (a fact batch joins a
+    * keyed dim read; a dim batch re-enriches only the facts referencing
+    * churned customers) — never a corpus re-join. Two refresh rounds
+    * exercise every delta shape: fact deletes that retract enriched
+    * rows and vacate extrema, fact updates that raise values, dim
+    * UPDATES that move every referencing order across groups, dim
+    * DELETES that drop their orders from the view (inner-join
+    * semantics), and a fact ingest APPEND folding through the second
+    * round. The oracle recomputes the final join+aggregate from scratch
+    * over both churned corpora. The reference has no IVM at all; at
+    * 100 TB each refresh costs churn ⋈ pruned-other-side + a
+    * churn-sized fold. */
+  def mvJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.IncrementalAgg.AggView
+    import graft.ops.IncrementalJoinAgg
+    import graft.ops.IncrementalJoinAgg.JoinView
+    val fact0 = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val dim0 = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val cat = s"gmvj${sqlCatSeq.incrementAndGet()}"
+    val whDir = Files.createTempDirectory("graft_mvjoin").toString
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", whDir)
+    val hc = new HadoopCatalog(whDir, s)
+    val factTab = hc.createTable("db.orders", Schema.fromSpark(fact0.schema),
+      properties = Map("format-version" -> "2"))
+    val dimTab = hc.createTable("db.customer", Schema.fromSpark(dim0.schema),
+      properties = Map("format-version" -> "2"))
+    factTab.append(fact0.filter(col("o_orderkey") % 3 =!= 0))
+    dimTab.append(dim0)
+    val c0f = factTab.refresh().metadata.currentSnapshotId
+    val c0d = dimTab.refresh().metadata.currentSnapshotId
+    val jv = JoinView(factKeys = Seq("o_custkey"), dimKeys = Seq("c_custkey"),
+      agg = AggView(keys = Seq("c_mktsegment"), sums = Seq("o_orderkey"),
+        mins = Seq("o_totalprice"), maxs = Seq("o_totalprice")))
+    val state0 = IncrementalJoinAgg.init(
+      factTab.scan.useSnapshot(c0f.get).toDF,
+      dimTab.scan.useSnapshot(c0d.get).toDF, jv)
+    def applyRound(state: DataFrame, fCur: Option[Long], dCur: Option[Long])
+        : (DataFrame, Option[Long], Option[Long]) = {
+      val fRel = factTab.refresh(); val dRel = dimTab.refresh()
+      val hF = fRel.metadata.currentSnapshotId
+      val hD = dRel.metadata.currentSnapshotId
+      val fb = Option.when(hF != fCur)(
+        graft.streaming.TableChanges.changelog(fRel, fCur, hF))
+      val db = Option.when(hD != dCur)(
+        graft.streaming.TableChanges.changelog(dRel, dCur, hD))
+      val st1 = IncrementalJoinAgg.applyChangelog(state, fb, db, jv,
+        // ΔF enriches against the dim AT ITS CURSOR, pruned to the
+        // delta's customer keys (a keyed semi-join — with the dim
+        // clustered by pk this is the same file-pruned shape the spec
+        // pins via pushed-In)
+        dimAtCursor = keys => dimTab.scan.useSnapshot(dCur.get).toDF
+          .join(keys, Seq("c_custkey"), "left_semi"),
+        // ΔD re-enriches only the facts referencing churned customers,
+        // read at the fact head this round folds to
+        factAtHead = keys => factTab.scan.useSnapshot(hF.get).toDF
+          .join(keys, Seq("o_custkey"), "left_semi"),
+        reElect = keys => IncrementalJoinAgg.joinRows(
+          factTab.scan.useSnapshot(hF.get).toDF,
+          dimTab.scan.useSnapshot(hD.get).toDF, jv)
+          .join(keys, Seq("c_mktsegment"), "left_semi"))
+      (st1, hF, hD)
+    }
+    // round 1: fact deletes + price raises, dim segment moves + deaths
+    s.sql(s"DELETE FROM $cat.db.orders WHERE o_orderkey % 9 = 1")
+    s.sql(s"UPDATE $cat.db.orders SET o_totalprice = o_totalprice + 1000 " +
+      "WHERE o_orderkey % 9 = 2")
+    s.sql(s"UPDATE $cat.db.customer SET c_mktsegment = 'MACHINERY' " +
+      "WHERE c_custkey % 7 = 3")
+    s.sql(s"DELETE FROM $cat.db.customer WHERE c_custkey % 11 = 4")
+    val (state1, h1f, h1d) = applyRound(state0, c0f, c0d)
+    // round 2: a fact ingest append + another dim segment move
+    factTab.refresh().append(fact0.filter(col("o_orderkey") % 3 === 0))
+    s.sql(s"UPDATE $cat.db.customer SET c_mktsegment = 'BUILDING' " +
+      "WHERE c_custkey % 7 = 5")
+    val (state2, _, _) = applyRound(state1, h1f, h1d)
+    nonEmpty(state2.select(col("c_mktsegment"), col("cnt"),
+        col("s_o_orderkey").as("sum_key"),
+        col("mn_o_totalprice").as("min_price"),
+        col("mx_o_totalprice").as("max_price"))
+      .orderBy(col("c_mktsegment")))
+  }
+  /** JOIN-MV TABLE (r15): the persisted, exactly-once face of join-view
+    * IVM — `graft.streaming.MaterializedJoinAgg` keeps the join
+    * aggregate in its own Iceberg TABLE carrying TWO refresh cursors
+    * (last folded fact snapshot + last folded dim snapshot), both
+    * riding the same atomic commit as the refreshed rows, so the MV is
+    * its own checkpoint for BOTH feeds. Same churn and oracle as
+    * `ds_mv_join`, folded through two `refreshOnce` calls instead of
+    * in-memory applies — the two gates cross-check exactly like
+    * `ds_mv_incremental`/`ice_mv_table`. Each refresh reads only the
+    * two ranges' changelogs, prunes the non-delta sides to the deltas'
+    * join keys, and rewrites only the groups whose MV row changed. */
+  def mvJoinTable(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.IncrementalAgg.AggView
+    import graft.ops.IncrementalJoinAgg.JoinView
+    import graft.streaming.MaterializedJoinAgg
+    val fact0 = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val dim0 = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val cat = s"gmvjt${sqlCatSeq.incrementAndGet()}"
+    val whDir = Files.createTempDirectory("graft_mvjtab").toString
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", whDir)
+    val hc = new HadoopCatalog(whDir, s)
+    val factTab = hc.createTable("db.orders", Schema.fromSpark(fact0.schema),
+      properties = Map("format-version" -> "2"))
+    val dimTab = hc.createTable("db.customer", Schema.fromSpark(dim0.schema),
+      properties = Map("format-version" -> "2"))
+    factTab.append(fact0.filter(col("o_orderkey") % 3 =!= 0))
+    dimTab.append(dim0)
+    val jv = JoinView(factKeys = Seq("o_custkey"), dimKeys = Seq("c_custkey"),
+      agg = AggView(keys = Seq("c_mktsegment"), sums = Seq("o_orderkey"),
+        mins = Seq("o_totalprice"), maxs = Seq("o_totalprice")))
+    val mv = hc.createTable("db.seg_stats",
+      MaterializedJoinAgg.schemaFor(jv, factTab, dimTab),
+      properties = Map("format-version" -> "2"))
+    MaterializedJoinAgg.bootstrap(factTab, dimTab, mv, jv)
+    // round 1: fact deletes + price raises, dim segment moves + deaths
+    s.sql(s"DELETE FROM $cat.db.orders WHERE o_orderkey % 9 = 1")
+    s.sql(s"UPDATE $cat.db.orders SET o_totalprice = o_totalprice + 1000 " +
+      "WHERE o_orderkey % 9 = 2")
+    s.sql(s"UPDATE $cat.db.customer SET c_mktsegment = 'MACHINERY' " +
+      "WHERE c_custkey % 7 = 3")
+    s.sql(s"DELETE FROM $cat.db.customer WHERE c_custkey % 11 = 4")
+    MaterializedJoinAgg.refreshOnce(factTab.refresh(), dimTab.refresh(), mv)
+    // round 2: a fact ingest append + another dim segment move
+    factTab.refresh().append(fact0.filter(col("o_orderkey") % 3 === 0))
+    s.sql(s"UPDATE $cat.db.customer SET c_mktsegment = 'BUILDING' " +
+      "WHERE c_custkey % 7 = 5")
+    MaterializedJoinAgg.refreshOnce(factTab.refresh(), dimTab.refresh(), mv)
+    nonEmpty(mv.refresh().scan.toDF.select(col("c_mktsegment"), col("cnt"),
+        col("s_o_orderkey").as("sum_key"),
+        col("mn_o_totalprice").as("min_price"),
+        col("mx_o_totalprice").as("max_price"))
+      .orderBy(col("c_mktsegment")))
+  }
+
+  /** Oracle = the join-view recomputed FROM SCRATCH over both churned
+    * corpora. */
+  val mvJoinSql =
+    """WITH fact1 AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey % 9 = 2 THEN o_totalprice + 1000
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 9 <> 1
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |  WHERE o_orderkey % 3 = 0),
+      |dim1 AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 7 = 3 THEN 'MACHINERY'
+      |         WHEN c_custkey % 7 = 5 THEN 'BUILDING'
+      |         ELSE c_mktsegment END AS c_mktsegment
+      |  FROM customer WHERE c_custkey % 11 <> 4)
+      |SELECT c_mktsegment, count(*) AS cnt,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+      |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+      |FROM fact1 JOIN dim1 ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   /** FILTERED row-identity CDC (r14): the change feed of `SELECT * WHERE
     * p` — a consumer tailing ONE partition (a tenant, a region, a time
     * slice) gets replica semantics without paying the whole table's
@@ -2399,7 +2569,9 @@ object Iceberg {
     "ds_tfidf_cdc" -> (tfidfCdc _),
     "ds_curate_cdc" -> (curateCdc _),
     "ds_mv_incremental" -> (mvIncremental _),
+    "ds_mv_join" -> (mvJoin _),
     "ice_mv_table" -> (mvTable _),
+    "ice_mv_join_table" -> (mvJoinTable _),
     "ice_cdc_filtered" -> (cdcFiltered _),
     "ice_cdc_apply" -> (cdcApply _),
     "ice_equality_deletes" -> (equalityDeletes _),
@@ -2466,7 +2638,9 @@ object Iceberg {
     "ds_tfidf_cdc" -> tfidfCdcSql,
     "ds_curate_cdc" -> curateCdcSql,
     "ds_mv_incremental" -> mvIncrementalSql,
+    "ds_mv_join" -> mvJoinSql,
     "ice_mv_table" -> mvTableSql,
+    "ice_mv_join_table" -> mvJoinSql,
     "ice_cdc_filtered" -> cdcFilteredSql,
     "ice_cdc_apply" -> cdcApplySql,
     "ice_equality_deletes" -> equalityDeletesSql,

@@ -78,7 +78,10 @@ class GraftCdcSource extends StreamSourceProvider with DataSourceRegister {
       opt("filter").map(graft.core.ExprParser.parse),
       // option("branch", "audit"): follow that branch's head instead of
       // main — the WAP-audit feed (see TableChanges.refHead)
-      opt("branch"))
+      opt("branch"),
+      // option("max-bytes-per-trigger", …): byte-budget admission — file
+      // counts are a poor proxy for batch size under skewed file sizes
+      opt("max-bytes-per-trigger").map(_.toLong))
   }
 }
 
@@ -121,7 +124,8 @@ abstract class SnapshotRangeSource(table: IceTable,
     maxSnapshotsPerTrigger: Option[Int],
     maxFilesPerTrigger: Option[Int] = None,
     metadataPath: String = "",
-    branch: Option[String] = None) extends Source {
+    branch: Option[String] = None,
+    maxBytesPerTrigger: Option[Long] = None) extends Source {
 
   /** The (exclusive-from, inclusive-to] batch plan; from = None means
     * table start. from == to must yield an EMPTY frame of the source's
@@ -167,14 +171,47 @@ abstract class SnapshotRangeSource(table: IceTable,
     s.summary.get("added-data-files").map(_.toLong).getOrElse(
       graft.streaming.TableChanges.addedDataFiles(table, s.snapshotId).size.toLong)
 
+  /** Bytes of the files first added by snapshot `s` — summary fast path
+    * (`added-files-size`), manifest walk (cache-served) otherwise. */
+  private def addedByteSize(s: graft.meta.Snapshot): Long =
+    s.summary.get("added-files-size").map(_.toLong).getOrElse(
+      graft.streaming.TableChanges.addedDataFiles(table, s.snapshotId)
+        .map(_.fileSizeInBytes).sum)
+
+  /** How many of `s`'s path-sorted added files to admit starting at
+    * index `fromIdx`, honoring BOTH budgets: at most
+    * `max-files-per-trigger` files and (cumulatively) at most
+    * `max-bytes-per-trigger` bytes — file COUNT alone is a poor proxy
+    * (10 files can be 10 KB or 10 GB; the spec-mandated
+    * `file_size_in_bytes` rides every manifest entry, so the byte
+    * budget is metadata-only too). Always ≥ 1 so the stream advances
+    * even past a single over-budget file. */
+  private def sliceLen(snapshotId: Long, fromIdx: Long): Long = {
+    val files = graft.streaming.TableChanges.addedDataFiles(table, snapshotId)
+      .drop(fromIdx.toInt)
+    val byCount = maxFilesPerTrigger.map(_.toLong).getOrElse(Long.MaxValue)
+    val byBytes = maxBytesPerTrigger.getOrElse(Long.MaxValue)
+    var n = 0L
+    var bytes = 0L
+    val it = files.iterator
+    while (it.hasNext && n < byCount) {
+      val f = it.next()
+      if (n > 0 && bytes + f.fileSizeInBytes > byBytes) return n
+      bytes += f.fileSizeInBytes
+      n += 1
+      if (bytes >= byBytes) return n
+    }
+    math.max(1L, n)
+  }
+
   /** Admission control: a backfill over 10k committed snapshots becomes
     * bounded micro-batches instead of one giant batch — the offset
     * advances at most `max-snapshots-per-trigger` snapshots along the
-    * current ancestry per trigger, and with `max-files-per-trigger` a
-    * single bulk APPEND snapshot is further split into intra-snapshot
-    * file slices (delete/update-bearing commits stay atomic: only pure
-    * appends get partial offsets). Always advances so the stream makes
-    * progress. */
+    * current ancestry per trigger, and with `max-files-per-trigger` /
+    * `max-bytes-per-trigger` a single bulk APPEND snapshot is further
+    * split into intra-snapshot file slices (delete/update-bearing
+    * commits stay atomic: only pure appends get partial offsets).
+    * Always advances so the stream makes progress. */
   override def getOffset: Option[V1Offset] = {
     table.refresh()
     // main's head, or the named branch's (WAP-audit feed); a branch not
@@ -190,7 +227,7 @@ abstract class SnapshotRangeSource(table: IceTable,
         throw new IllegalStateException(s"snapshot $floorId (the stream's " +
           s"partial floor) no longer exists in table ${table.name}"))
       val total = addedFileCount(s)
-      val next = k + math.max(1L, maxFilesPerTrigger.map(_.toLong).getOrElse(total))
+      val next = k + sliceLen(floorId, k)
       return Some(if (next >= total) CdcSnapshotOffset(floorId)
         else CdcSnapshotOffset(floorId, Some(next)))
     }
@@ -209,24 +246,32 @@ abstract class SnapshotRangeSource(table: IceTable,
     if (pending.isEmpty) return Some(CdcSnapshotOffset(cur))
     val bySnap = maxSnapshotsPerTrigger
       .map(n => pending.take(math.max(1, n))).getOrElse(pending)
-    maxFilesPerTrigger match {
-      case None => Some(CdcSnapshotOffset(bySnap.last.snapshotId))
-      case Some(m) =>
-        val head = bySnap.head
-        // one giant append becomes its first slice; non-append commits
-        // (deletes/updates ride them) stay atomic per snapshot
-        if (head.operation == "append" && addedFileCount(head) > m)
-          return Some(CdcSnapshotOffset(head.snapshotId, Some(m.toLong)))
-        // otherwise admit whole snapshots under the file budget (≥ 1)
-        var budget = m.toLong - addedFileCount(head)
-        val admitted = head +: bySnap.tail.takeWhile { s =>
-          val f = addedFileCount(s)
-          val ok = f <= budget
-          if (ok) budget -= f
-          ok
-        }
-        Some(CdcSnapshotOffset(admitted.last.snapshotId))
+    if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty)
+      return Some(CdcSnapshotOffset(bySnap.last.snapshotId))
+    val head = bySnap.head
+    val headFiles = addedFileCount(head)
+    // one giant append becomes its first slice; non-append commits
+    // (deletes/updates ride them) stay atomic per snapshot
+    if (head.operation == "append" &&
+        (maxFilesPerTrigger.exists(headFiles > _) ||
+          maxBytesPerTrigger.exists(addedByteSize(head) > _))) {
+      val n = sliceLen(head.snapshotId, 0L)
+      return Some(if (n >= headFiles) CdcSnapshotOffset(head.snapshotId)
+        else CdcSnapshotOffset(head.snapshotId, Some(n)))
     }
+    // otherwise admit whole snapshots under both budgets (≥ 1 snapshot)
+    var fileBudget =
+      maxFilesPerTrigger.map(_.toLong).getOrElse(Long.MaxValue) - headFiles
+    var byteBudget =
+      maxBytesPerTrigger.getOrElse(Long.MaxValue) - addedByteSize(head)
+    val admitted = head +: bySnap.tail.takeWhile { s =>
+      val f = addedFileCount(s)
+      val b = addedByteSize(s)
+      val ok = f <= fileBudget && b <= byteBudget
+      if (ok) { fileBudget -= f; byteBudget -= b }
+      ok
+    }
+    Some(CdcSnapshotOffset(admitted.last.snapshotId))
   }
 
   /** A recovered offset arrives as SerializedOffset — parse through the
@@ -283,9 +328,10 @@ class GraftCdcStreamingSource(table: IceTable,
     maxFilesPerTrigger: Option[Int] = None,
     metadataPath: String = "",
     filter: Option[graft.core.Expr] = None,
-    branch: Option[String] = None)
+    branch: Option[String] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends SnapshotRangeSource(table, startSnapshotId, maxSnapshotsPerTrigger,
-      maxFilesPerTrigger, metadataPath, branch) {
+      maxFilesPerTrigger, metadataPath, branch, maxBytesPerTrigger) {
 
   override val schema: StructType = GraftCdcSource.cdcSchema(table)
 
@@ -338,7 +384,8 @@ class GraftChangelogSource extends StreamSourceProvider with DataSourceRegister 
       opt("max-files-per-trigger").map(_.toInt),
       metadataPath,
       opt("filter").map(graft.core.ExprParser.parse),
-      opt("branch"))
+      opt("branch"),
+      opt("max-bytes-per-trigger").map(_.toLong))
   }
 }
 
@@ -356,9 +403,10 @@ class GraftChangelogStreamingSource(table: IceTable,
     maxFilesPerTrigger: Option[Int] = None,
     metadataPath: String = "",
     filter: Option[graft.core.Expr] = None,
-    branch: Option[String] = None)
+    branch: Option[String] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends SnapshotRangeSource(table, startSnapshotId, maxSnapshotsPerTrigger,
-      maxFilesPerTrigger, metadataPath, branch) {
+      maxFilesPerTrigger, metadataPath, branch, maxBytesPerTrigger) {
 
   override val schema: StructType = GraftChangelogSource.changeSchema(table)
 

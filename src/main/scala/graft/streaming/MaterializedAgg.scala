@@ -52,6 +52,18 @@ object MaterializedAgg {
   val SumsProp = "graft.mv.sums"
   val MinsProp = "graft.mv.mins"
   val MaxsProp = "graft.mv.maxs"
+  // the CANONICAL view identity: SOURCE FIELD IDS (stamped alongside the
+  // names when every view column maps to a top-level source field) — id
+  // resolution is this engine's core invariant, so an upstream RENAME of
+  // a referenced column keeps the MV refreshing ([[resolveView]] follows
+  // the rename, migrating the MV's own state columns); only a DROP of a
+  // referenced field fails the refresh, loudly. Name props remain for
+  // display and for views over `prepare`-synthesized columns, which have
+  // no source ids and stay name-bound (rename fails fast, as before).
+  val KeyIdsProp = "graft.mv.key-ids"
+  val SumIdsProp = "graft.mv.sum-ids"
+  val MinIdsProp = "graft.mv.min-ids"
+  val MaxIdsProp = "graft.mv.max-ids"
   // a FILTERED MV aggregates `SELECT * WHERE p` — stored as the predicate
   // DSL string so the MV self-describes it like the view; the changelog's
   // filtered face is replica-correct for it (an update moving a row OUT
@@ -59,12 +71,81 @@ object MaterializedAgg {
   // IN is an insert)
   val FilterProp = "graft.mv.filter"
 
-  private def viewProps(v: AggView): Map[String, String] = {
+  private def nameProps(v: AggView): Map[String, String] = {
     val all = v.keys ++ v.sums ++ v.mins ++ v.maxs
     require(all.forall(!_.contains(",")),
       "view column names must not contain ','")
     Map(KeysProp -> v.keys.mkString(","), SumsProp -> v.sums.mkString(","),
       MinsProp -> v.mins.mkString(","), MaxsProp -> v.maxs.mkString(","))
+  }
+
+  private def viewProps(v: AggView, source: IceTable): Map[String, String] = {
+    val byName = source.schema.fields.map(f => f.name -> f.id).toMap
+    def ids(cols: Seq[String]): Option[String] = {
+      val resolved = cols.map(byName.get)
+      if (resolved.forall(_.isDefined)) Some(resolved.flatten.mkString(","))
+      else None // a prepare-synthesized column: the view stays name-bound
+    }
+    val idProps = for {
+      k <- ids(v.keys); s <- ids(v.sums); mn <- ids(v.mins); mx <- ids(v.maxs)
+    } yield Map(KeyIdsProp -> k, SumIdsProp -> s,
+      MinIdsProp -> mn, MaxIdsProp -> mx)
+    nameProps(v) ++ idProps.getOrElse(Map.empty)
+  }
+
+  /** The MV's view resolved BY FIELD ID against the source's CURRENT
+    * schema. When the source renamed a referenced column, the resolved
+    * names differ from the stamped ones: the MV's own state columns are
+    * renamed to follow (schema evolution — ids stay, data files stay
+    * valid) and the name props re-stamped, so the refresh keeps folding
+    * and the MV's output column tracks the source's new name. A DROPPED
+    * referenced field fails with a named error. Id-less (legacy or
+    * prepare-synthesized) views resolve by name, as before. A FILTERED
+    * MV's predicate stays name-bound (DSL string): renaming a filtered
+    * column still fails the refresh loudly at bind time. */
+  def resolveView(source: IceTable, mv: IceTable): AggView = {
+    val props = mv.metadata.properties
+    val named = viewOf(mv).getOrElse(throw new IllegalArgumentException(
+      s"table ${mv.name} carries no materialized-view definition — " +
+        "bootstrap it first"))
+    props.get(KeyIdsProp) match {
+      case None => named
+      case Some(_) =>
+        val byId = source.schema.byId
+        def names(p: String, kind: String): Seq[String] =
+          props.getOrElse(p, "").split(",").toSeq.filter(_.nonEmpty)
+            .map(_.toInt).map(id => byId.getOrElse(id,
+              throw new IllegalArgumentException(
+                s"materialized view ${mv.name} references source field id " +
+                  s"$id ($kind column) that no longer exists in " +
+                  s"${source.name} — the column was dropped, the view " +
+                  "cannot refresh")).name)
+        val resolved = AggView(names(KeyIdsProp, "key"),
+          names(SumIdsProp, "sum"), names(MinIdsProp, "min"),
+          names(MaxIdsProp, "max"))
+        if (resolved != named) migrateNames(mv, named, resolved)
+        resolved
+    }
+  }
+
+  /** Follow a source rename: rename the MV's state columns (key columns
+    * and the `s_/nn_/mn_/mx_` partials) and re-stamp the name props.
+    * Idempotent — a crash between the two metadata commits re-detects
+    * the remaining renames on the next refresh. */
+  private def migrateNames(mv: IceTable, old: AggView, nu: AggView): Unit = {
+    val pairs = (old.keys.zip(nu.keys) ++
+      old.sums.zip(nu.sums).flatMap { case (o, n) =>
+        Seq(s"s_$o" -> s"s_$n", s"nn_$o" -> s"nn_$n") } ++
+      old.mins.zip(nu.mins).map { case (o, n) => s"mn_$o" -> s"mn_$n" } ++
+      old.maxs.zip(nu.maxs).map { case (o, n) => s"mx_$o" -> s"mx_$n" })
+      .filter { case (o, n) => o != n }.distinct
+    if (pairs.nonEmpty) {
+      val have = mv.schema.fields.map(_.name).toSet
+      val up = mv.updateSchema
+      pairs.foreach { case (o, n) => if (have(o)) up.renameColumn(o, n) }
+      up.commit()
+    }
+    mv.setProperties(nameProps(nu).toSeq: _*)
   }
 
   /** The view definition the MV table carries (stamped by [[bootstrap]]). */
@@ -115,26 +196,29 @@ object MaterializedAgg {
     mv.applyKeyed(None, view.keys, Some(full),
       m => { // a concurrent bootstrap loses on the guard, not by doubling
         val g = guard(m)
-        g.copy(properties = g.properties ++ viewProps(view) ++
+        g.copy(properties = g.properties ++ viewProps(view, source) ++
           filter.map(FilterProp -> _))
       },
       mv.metadata.currentSnapshotId)
     Some(head)
   }
 
-  /** [[refreshOnce]] with the view the MV table itself carries. */
+  /** [[refreshOnce]] with the view the MV table itself carries — resolved
+    * BY FIELD ID against the source's current schema, so an upstream
+    * rename of a referenced column keeps the MV refreshing (the MV's own
+    * output column follows the rename). */
   def refreshOnce(source: IceTable, mv: IceTable): (Long, Long) = {
-    mv.refresh()
-    val v = viewOf(mv).getOrElse(throw new IllegalArgumentException(
-      s"table ${mv.name} carries no materialized-view definition — " +
-        "bootstrap it first"))
-    refreshOnce(source, mv, v)
+    mv.refresh(); source.refresh()
+    refreshOnce(source, mv, resolveView(source, mv))
   }
 
   /** Fold every source commit since the MV's cursor into the MV,
-    * exactly-once — call on any cadence. Returns (groups refreshed,
-    * groups retired); (0, 0) when the source hasn't moved or the range
-    * carried no net change (cursor still advances, metadata-only). */
+    * exactly-once — call on any cadence. Returns (groups whose MV row
+    * CHANGED — rewritten, incl. births — , groups retired); (0, 0) when
+    * the source hasn't moved or the range carried no net change (cursor
+    * still advances, metadata-only: a churn batch that nets zero
+    * aggregate change — or a compaction-only range — never rewrites an
+    * MV file). */
   def refreshOnce(source: IceTable, mv: IceTable, view: AggView,
       prepare: DataFrame => DataFrame = identity): (Long, Long) = {
     source.refresh(); mv.refresh()
@@ -147,21 +231,90 @@ object MaterializedAgg {
         s"refresh was given $view — folding with a different view would " +
         "silently corrupt the aggregate"))
     if (stored.contains(head)) return (0L, 0L) // nothing new (or a replay)
+    val f = filterOf(mv) // filtered MV: the filtered changelog retracts
+    val batch = prepare(TableChanges.changelog(source, stored, Some(head), f))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try foldBatch(source, mv, view, prepare, f, batch, stored, head)
+    finally batch.unpersist()
+  }
+
+  /** Refresh N MVs over ONE source with a SHARED feed read: MVs whose
+    * cursors coincide (the steady state of a same-cadence fleet) share
+    * one materialized changelog range — one feed read, N folds — while
+    * each MV keeps its own exactly-once cursor commit. Filtered MVs
+    * row-filter the shared (unfiltered) feed: file pruning is an
+    * optimization of the solo path, row filtering is the semantics, so
+    * the fold is identical. Returns per-MV (changed, retired) in input
+    * order. `changelogFn` is a seam (tests count materializations);
+    * production callers leave the default. */
+  def refreshAll(source: IceTable, mvs: Seq[IceTable],
+      prepare: DataFrame => DataFrame = identity,
+      changelogFn: (IceTable, Option[Long], Option[Long]) => DataFrame =
+        (t, from, to) => TableChanges.changelog(t, from, to)): Seq[(Long, Long)] = {
+    source.refresh()
+    val headOpt = source.metadata.currentSnapshotId
+    if (headOpt.isEmpty) return mvs.map(_ => (0L, 0L))
+    val head = headOpt.get
+    val views = mvs.map { mv => mv.refresh(); resolveView(source, mv) }
+    val cursors = mvs.map { mv =>
+      val c = mv.metadata.properties.get(CursorProp).map(_.toLong)
+      require(c.nonEmpty, s"table ${mv.name} has no MV cursor — bootstrap it first")
+      c
+    }
+    val results = Array.fill(mvs.size)((0L, 0L))
+    cursors.zipWithIndex.groupBy(_._1).foreach { case (stored, entries) =>
+      val idxs = entries.map(_._2)
+      if (!stored.contains(head)) {
+        val shared = prepare(changelogFn(source, stored, Some(head)))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try idxs.foreach { i =>
+          val mv = mvs(i)
+          val f = filterOf(mv)
+          val batch = f.map { e =>
+            shared.filter(graft.core.ToColumn.compile(
+              graft.core.Exprs.rewriteNot(
+                graft.core.Binder.bind(source.schema, e))))
+          }.getOrElse(shared)
+          results(i) = foldBatch(source, mv, views(i), prepare, f, batch,
+            stored, head)
+        } finally shared.unpersist()
+      }
+    }
+    results.toSeq
+  }
+
+  /** The shared fold: apply one already-planned changelog batch to one
+    * MV and stamp its cursor, exactly-once. Only groups whose MV row
+    * actually CHANGED (or died) retire and rewrite — a touched group
+    * whose aggregate landed back on its current row is skipped, and a
+    * batch with zero net change commits CURSOR-ONLY (metadata swap, no
+    * file writes, no count barrier on the full image set). */
+  private def foldBatch(source: IceTable, mv: IceTable, view: AggView,
+      prepare: DataFrame => DataFrame, f: Option[graft.core.Expr],
+      batch: DataFrame, stored: Option[Long], head: Long): (Long, Long) = {
     // re-validated on every (retried) commit: a concurrent refresher that
     // already advanced the cursor must fail this apply, never be
     // overwritten backwards (a regressed cursor re-folds an applied
     // range — double-counted aggregates)
     val stamp = graft.table.IceTable.guardedCursorStamp(
       mv.name, stored.map(_.toString), head.toString, CursorProp)
-    val f = filterOf(mv) // filtered MV: the filtered changelog retracts
-    val batch = prepare(TableChanges.changelog(source, stored, Some(head), f))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // a state-layout guard before any work: an MV built by an engine
+    // version without the nn_<c> sum guards (or with a different view)
+    // must fail NAMED, not as an unresolved-column analysis error
+    // mid-fold — the fix is a re-bootstrap, and the error should say so
+    locally {
+      val have = mv.schema.fields.map(_.name).toSet
+      val missing = view.stateCols.filterNot(have)
+      require(missing.isEmpty,
+        s"MV ${mv.name} lacks state column(s) ${missing.mkString(", ")} " +
+          "for its declared view — built by an older engine version or " +
+          "with a different view; re-bootstrap the MV")
+    }
     // the churned groups — the ONLY rows of the MV this refresh touches
     val touched = batch.select(view.keys.map(col): _*).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val nTouched = touched.count()
-      if (nTouched == 0) { // e.g. a compaction-only range: cursor-only
+      if (touched.isEmpty) { // e.g. a compaction-only range: cursor-only
         mv.commitMetadata(stamp)
         return (0L, 0L)
       }
@@ -178,12 +331,44 @@ object MaterializedAgg {
           graft.ops.Joins.nullSafeSemi(
             prepare(f.map(sc.filter).getOrElse(sc).toDF), keys, view.keys)
         })
-      val images = graft.ops.Joins.nullSafeSemi(st1, touched, view.keys)
-      val nSurvived = images.count()
-      mv.applyKeyed(Some(touched), view.keys,
-        if (nSurvived > 0) Some(images) else None,
-        stamp, mv.metadata.currentSnapshotId)
-      (nSurvived, nTouched - nSurvived)
-    } finally { touched.unpersist(); batch.unpersist() }
+      landChanged(mv, view.keys, state, touched, st1, stamp)
+    } finally touched.unpersist()
+  }
+
+  /** The shared LANDING stage (also the join-MV face's): diff the folded
+    * state against the current MV rows of the touched groups, retire and
+    * rewrite ONLY the groups whose row changed or died, stamp the
+    * cursor(s) — or commit cursor-only when the batch netted nothing. */
+  private[streaming] def landChanged(mv: IceTable, keys: Seq[String],
+      state: DataFrame, touched: DataFrame, st1: DataFrame,
+      stamp: graft.meta.TableMetadata => graft.meta.TableMetadata): (Long, Long) = {
+    // persist the view-sized image set FIRST: st1's lineage includes the
+    // hole-election scan (IncrementalAgg checkpoints only its pre-elect
+    // merge), and the diff/retire/write stages below reference it 3–4
+    // times — uncached, each reference re-runs the elector
+    val images = graft.ops.Joins.nullSafeSemi(st1, touched, keys)
+      .select(state.columns.map(col).toSeq: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cur = graft.ops.Joins.nullSafeSemi(state, touched, keys)
+      // EXCEPT ALL is null-safe per column: a group re-landing on its
+      // exact current row drops out — no retire, no rewrite
+      val changed = images.exceptAll(cur)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nChanged = changed.count()
+        val died = graft.ops.Joins.nullSafeAnti(touched, images, keys)
+        val nDied = died.count()
+        if (nChanged == 0 && nDied == 0) {
+          mv.commitMetadata(stamp) // net-zero churn: cursor-only
+          return (0L, 0L)
+        }
+        val retire = changed.select(keys.map(col): _*).unionByName(died)
+        mv.applyKeyed(Some(retire), keys,
+          if (nChanged > 0) Some(changed) else None,
+          stamp, mv.metadata.currentSnapshotId)
+        (nChanged, nDied)
+      } finally changed.unpersist()
+    } finally images.unpersist()
   }
 }

@@ -156,19 +156,25 @@ object TableChanges {
       ManifestIO.readManifest(mf.manifestPath, m.specById(mf.partitionSpecId), m.schema)
 
     /** Format of a position-delete's referenced data file. The commit's
-      * own manifests usually reveal it; otherwise the extension decides,
-      * and only an extension-less path (rare: foreign naming) pays one
-      * cache-served walk of the snapshot's data manifests. */
+      * own manifest diff usually reveals it (fmtOf accumulates every
+      * entry the diff decodes); otherwise the extension decides, and only
+      * an extension-less path (rare: foreign naming) pays a cache-served
+      * manifest walk that STOPS at the manifest carrying the file — never
+      * an unconditional live-set decode (at 100 TB a snapshot's manifest
+      * list is long; the one unresolved path lives in exactly one). */
     def isOrc(s: graft.meta.Snapshot, p: String): Boolean =
       fmtOf.get(p).map(_.equalsIgnoreCase("ORC")).getOrElse {
         val lower = p.toLowerCase
         if (lower.endsWith(".parquet")) false
         else if (lower.endsWith(".orc")) true
         else {
-          dataManifests(s).foreach(mf => entriesOf(mf)
-            .filter(_.status != EntryStatus.Deleted)
-            .foreach(e => fmtOf +=
-              PathUtil.canon(e.dataFile.filePath) -> e.dataFile.fileFormat))
+          val it = dataManifests(s).iterator
+          while (it.hasNext && !fmtOf.contains(p)) {
+            entriesOf(it.next())
+              .filter(_.status != EntryStatus.Deleted)
+              .foreach(e => fmtOf +=
+                PathUtil.canon(e.dataFile.filePath) -> e.dataFile.fileFormat)
+          }
           fmtOf.get(p).exists(_.equalsIgnoreCase("ORC"))
         }
       }
@@ -310,37 +316,44 @@ object TableChanges {
             val parentRows = s.parentSnapshotId.map { pid =>
               // candidate files only: every parent-visible row predates
               // this delete (seq scoping is implied), so the prune is
-              // METRICS — a file whose column bounds cannot contain any
-              // key value cannot lose a row to it. Key values are
-              // driver-collected up to a cap (eq-delete files are
-              // churn-sized); past it, all parent tasks scan as before.
-              // the change filter prunes the parent plan with the full
-              // machinery (manifest summaries + partition + metrics)
-              // before the key-based metrics prune below
-              val tasks = changeFilter
+              // METADATA-ONLY — the delete FILE's own footer bounds (its
+              // per-key-column lower/upper ride its manifest entry) bound
+              // every key tuple it carries, so a parent file whose column
+              // ranges cannot overlap them cannot lose a row. The range
+              // predicate is pushed into the PARENT PLAN itself (manifest
+              // partition summaries + partition tuples + file metrics all
+              // apply, and the verdict lands before planning strips file
+              // stats). No driver key collect, no key-count cap: a
+              // Flink-style eq-delete commit carrying 100k keys prunes
+              // exactly as cheaply as a 10-key one, and the row-exact
+              // semi-join below reads only the surviving candidates
+              // (work ∝ candidates, never the parent snapshot).
+              val rangeExpr: Option[graft.core.Expr] = {
+                import graft.core.{And => GAnd, GtEq => GGtEq, LtEq => GLtEq}
+                ef.equalityIds.flatMap { id =>
+                  for {
+                    f <- m.schema.byId.get(id)
+                    lo <- ef.lowerBounds.get(id)
+                    hi <- ef.upperBounds.get(id)
+                  } yield GAnd(GGtEq(f.name, lo), GLtEq(f.name, hi)): graft.core.Expr
+                }.reduceOption(GAnd(_, _))
+              }
+              def basePlan(): Seq[graft.table.FileScanTask] = changeFilter
                 .map(f => table.planTasksAtFiltered(pid, f))
                 .getOrElse(table.planTasksAt(pid))
-              val cap = 1000
-              val keyRows = keys.limit(cap + 1).collect()
-              val pruned =
-                if (keyRows.length > cap) tasks
-                else try {
-                  import graft.core.{And => GAnd, Or => GOr, Eq => GEq}
-                  val keyExpr = keyRows.map { r =>
-                    keyCols.zipWithIndex.map { case (kc, i) =>
-                      GEq(kc, r.get(i)): graft.core.Expr
-                    }.reduce(GAnd(_, _))
-                  }.reduceOption[graft.core.Expr](GOr(_, _))
-                    .getOrElse(graft.core.AlwaysFalse)
-                  val bound = graft.core.Exprs.rewriteNot(
-                    graft.core.Binder.bind(m.schema, keyExpr))
-                  tasks.filter(t =>
-                    graft.meta.Evaluators.rowsMightMatch(bound, t.file))
-                } catch {
-                  // an uncoercible key literal falls back to the unpruned
-                  // scan — pruning is an optimization, never a gate
-                  case scala.util.control.NonFatal(_) => tasks
-                }
+              val pruned = rangeExpr match {
+                case Some(re) =>
+                  try table.planTasksAtFiltered(pid,
+                    changeFilter.map(graft.core.And(_, re)).getOrElse(re))
+                  catch {
+                    // an uncoercible bound literal falls back to the
+                    // unpruned plan — pruning is an optimization, never a
+                    // gate (a boundless foreign delete file keeps all
+                    // candidates, conservative and correct)
+                    case scala.util.control.NonFatal(_) => basePlan()
+                  }
+                case None => basePlan()
+              }
               table.scanForTasksAt(pid, pruned)
             }.getOrElse(emptyDf(table))
             frames += withMeta(

@@ -80,6 +80,57 @@ object MvProfile {
       time("final MV scan")(mv.refresh().scan.toDF
         .orderBy(col("source"), col("lang")).collect().length)
     }
+
+    // r15: the two refresh-floor cuts, measured. (a) refreshAll shares
+    // ONE changelog materialization across same-cursor MVs (vs N solo
+    // reads); (b) a net-zero churn batch commits CURSOR-ONLY — no keyed
+    // DML, no file writes, so the ~2-2.5 s commit floor disappears for
+    // ranges that net nothing.
+    for (mode <- Seq("solo", "shared")) {
+      println(s"--- 3 same-cursor MVs, $mode ---")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      val cat = s"gmvs_$mode"
+      val whDir = java.nio.file.Files.createTempDirectory("graft_mvshared").toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", whDir)
+      val hc = new graft.catalog.HadoopCatalog(whDir, s)
+      val tab = hc.createTable("db.corpus",
+        graft.core.Schema.fromSpark(docs.schema),
+        properties = Map("format-version" -> "2",
+          "write.delete.mode" -> "merge-on-read",
+          "write.update.mode" -> "merge-on-read"))
+      tab.append(docs.filter(col("doc_id") % 3 =!= 0))
+      val view = graft.ops.IncrementalAgg.AggView(
+        keys = Seq("source", "lang"), sums = Seq("n_chars"),
+        mins = Seq("n_chars"), maxs = Seq("n_chars"))
+      val mvs = (1 to 3).map { i =>
+        val m = hc.createTable(s"db.stats$i",
+          graft.streaming.MaterializedAgg.schemaFor(view, tab),
+          properties = Map("format-version" -> "2"))
+        graft.streaming.MaterializedAgg.bootstrap(tab, m, view); m
+      }
+      s.sql(s"DELETE FROM $cat.db.corpus WHERE doc_id % 9 = 1")
+      s.sql(s"UPDATE $cat.db.corpus SET n_chars = n_chars + 500 WHERE doc_id % 9 = 2")
+      val rel = tab.refresh()
+      if (mode == "solo")
+        time("3x refreshOnce (3 feed reads)")(
+          mvs.foreach(m => graft.streaming.MaterializedAgg.refreshOnce(rel, m)))
+      else
+        time("refreshAll (ONE feed read)")(
+          graft.streaming.MaterializedAgg.refreshAll(rel, mvs))
+      // net-zero churn: retire + reinsert identical rows → cursor-only
+      val eng = new graft.catalog.HadoopCatalog(whDir, s).loadTable("db.corpus")
+      val keep = eng.scan.toDF.filter(col("doc_id") % 9 === 5)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        .cache()
+      keep.count()
+      s.sql(s"DELETE FROM $cat.db.corpus WHERE doc_id % 9 = 5")
+      eng.refresh().append(keep)
+      time("net-zero refreshOnce (cursor-only)")(
+        graft.streaming.MaterializedAgg.refreshOnce(eng.refresh(), mvs.head))
+      keep.unpersist()
+    }
     s.stop()
   }
 }

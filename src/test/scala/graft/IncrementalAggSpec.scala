@@ -411,6 +411,102 @@ class IncrementalAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mvMap() === Map("b" -> ((1L, 5L))))
   }
 
+  test("net-zero churn commits CURSOR-ONLY: a delete+reinsert of identical " +
+      "rows advances the cursor without a data snapshot; unchanged touched " +
+      "groups never rewrite") {
+    import graft.catalog.HadoopCatalog
+    import graft.core.Schema
+    import graft.streaming.MaterializedAgg
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_mvzero").toString
+    val cat = new HadoopCatalog(wh, spark)
+    val rows = Seq(("a", 1L, 10L), ("a", 2L, 30L), ("b", 3L, 5L))
+      .toDF("g", "id", "v")
+    val src = cat.createTable("srcz", Schema.fromSpark(rows.schema),
+      properties = Map("format-version" -> "2"))
+    src.append(rows)
+    val v = AggView(keys = Seq("g"), sums = Seq("v"),
+      mins = Seq("v"), maxs = Seq("v"))
+    val mv = cat.createTable("mvz", MaterializedAgg.schemaFor(v, src),
+      properties = Map("format-version" -> "2"))
+    MaterializedAgg.bootstrap(src, mv, v)
+    // retire a's max holder, then re-append an identical row: the hole
+    // re-elects to the SAME extremum, count/sum land back exactly —
+    // zero net aggregate change across the two commits
+    src.delete("id = 2")
+    src.append(Seq(("a", 2L, 30L)).toDF("g", "id", "v"))
+    val snaps = mv.refresh().metadata.snapshots.size
+    val files = mv.scan.toDF.inputFiles.toSet
+    assert(MaterializedAgg.refreshOnce(src, mv, v) === ((0L, 0L)))
+    assert(mv.refresh().metadata.snapshots.size === snaps,
+      "a net-zero refresh must not commit a data snapshot")
+    assert(mv.scan.toDF.inputFiles.toSet === files,
+      "a net-zero refresh must not rewrite any MV file")
+    assert(mv.metadata.properties(MaterializedAgg.CursorProp).toLong ===
+      src.refresh().metadata.currentSnapshotId.get,
+      "the cursor must still advance, metadata-only")
+    // and a mixed batch: b churns for real while a nets zero — only b's
+    // group rewrites (a is touched but lands on its current row)
+    src.delete("id = 1")
+    src.append(Seq(("a", 1L, 10L), ("b", 4L, 50L)).toDF("g", "id", "v"))
+    val (r2, d2) = MaterializedAgg.refreshOnce(src, mv, v)
+    assert(r2 === 1L && d2 === 0L, s"only b changed, got ($r2, $d2)")
+    val got = mv.refresh().scan.toDF.orderBy("g").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("cnt"), r.getAs[Long]("s_v"),
+        r.getAs[Long]("mn_v"), r.getAs[Long]("mx_v"))).toSeq
+    assert(got === Seq(("a", 2L, 40L, 10L, 30L), ("b", 2L, 55L, 5L, 50L)))
+  }
+
+  test("refreshAll: three same-cursor MVs (one filtered) share ONE " +
+      "changelog materialization, each with its own exactly-once cursor") {
+    import graft.catalog.HadoopCatalog
+    import graft.core.Schema
+    import graft.streaming.{MaterializedAgg, TableChanges}
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_mvall").toString
+    val cat = new HadoopCatalog(wh, spark)
+    val rows = Seq(
+      ("a", 1L, 50L), ("a", 2L, 30L), ("a", 3L, 5L),
+      ("b", 4L, 40L), ("b", 5L, 8L)).toDF("g", "id", "v")
+    val src = cat.createTable("srca", Schema.fromSpark(rows.schema),
+      properties = Map("format-version" -> "2"))
+    src.append(rows)
+    val v = AggView(keys = Seq("g"), sums = Seq("v"),
+      mins = Seq("v"), maxs = Seq("v"))
+    val mvs = Seq("mva1", "mva2", "mva3").map(n =>
+      cat.createTable(n, MaterializedAgg.schemaFor(v, src),
+        properties = Map("format-version" -> "2")))
+    MaterializedAgg.bootstrap(src, mvs(0), v)
+    MaterializedAgg.bootstrap(src, mvs(1), v)
+    MaterializedAgg.bootstrap(src, mvs(2), v, identity, Some("v >= 10"))
+    // churn: a's max retires (hole), b gains a row, a row moves across
+    // the filtered MV's predicate (b's 8 → 25)
+    val eng = new HadoopCatalog(wh, spark).loadTable("srca")
+    eng.upsert(Seq(("b", 5L, 25L), ("a", 1L, 3L)).toDF("g", "id", "v"), Seq("id"))
+    var calls = 0
+    val rs = MaterializedAgg.refreshAll(src, mvs, identity,
+      (t, from, to) => { calls += 1; TableChanges.changelog(t, from, to) })
+    assert(calls === 1,
+      s"three same-cursor MVs must share one changelog read, got $calls")
+    assert(rs.forall { case (r, d) => r + d > 0 })
+    def mvMap(i: Int): Map[String, (Long, Long)] =
+      mvs(i).refresh().scan.toDF.collect().map(r =>
+        r.getAs[String]("g") -> ((r.getAs[Long]("cnt"), r.getAs[Long]("s_v")))).toMap
+    // unfiltered MVs agree with the from-scratch aggregate
+    val want = IncrementalAgg.init(src.refresh().scan.toDF, v).collect()
+      .map(r => r.getAs[String]("g") -> ((r.getAs[Long]("cnt"), r.getAs[Long]("s_v")))).toMap
+    assert(mvMap(0) === want && mvMap(1) === want)
+    // the filtered MV sees only v >= 10 (a: 30; b: 40+25)
+    assert(mvMap(2) === Map("a" -> ((1L, 30L)), "b" -> ((2L, 65L))))
+    val head = src.metadata.currentSnapshotId.get
+    mvs.foreach(mv => assert(
+      mv.metadata.properties(MaterializedAgg.CursorProp).toLong === head))
+    // replay: nothing moved — no feed read at all, all no-ops
+    val rs2 = MaterializedAgg.refreshAll(src, mvs, identity,
+      (t, from, to) => { calls += 1; TableChanges.changelog(t, from, to) })
+    assert(rs2 === Seq((0L, 0L), (0L, 0L), (0L, 0L)) && calls === 1)
+  }
+
   test("concurrent MV refreshers never double-count: winners advance the " +
       "cursor atomically, losers fail on the guard or no-op") {
     import graft.catalog.HadoopCatalog
@@ -466,7 +562,8 @@ class IncrementalAggSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("MV refresh across source schema evolution: an added column leaves " +
-      "the view exact; a renamed view column fails fast, not silently") {
+      "the view exact; a renamed view column keeps refreshing BY FIELD ID " +
+      "(the MV's own column follows); a stale explicit view fails fast") {
     import graft.catalog.HadoopCatalog
     import graft.core.{Schema, ILong}
     import graft.streaming.MaterializedAgg
@@ -494,12 +591,27 @@ class IncrementalAggSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getString(0), r.getAs[Long]("cnt"), r.getAs[Long]("s_v"),
         r.getAs[Long]("mn_v"), r.getAs[Long]("mx_v"))).toSeq
     assert(got === Seq(("a", 1L, 10L, 10L, 10L), ("b", 2L, 14L, 5L, 9L)))
-    // renaming a column the VIEW references breaks the view's contract —
-    // the refresh must fail loudly (unresolved column), never fold wrong
+    // the view definition is canonical BY FIELD ID: an upstream rename of
+    // a referenced column must not break the refresh — but an EXPLICITLY
+    // passed stale view must still fail fast, never fold wrong
     src2.updateSchema.renameColumn("v", "val").commit()
     val src3 = new HadoopCatalog(wh, spark).loadTable("srce")
-    src3.delete("id = 1")
+    src3.delete("id = 1") // group a dies entirely through the rename
     intercept[Exception](MaterializedAgg.refreshOnce(src3, mv, v))
+    // no partial fold: the failed attempt must not have advanced the cursor
+    assert(mv.refresh().metadata.properties(MaterializedAgg.CursorProp).toLong
+      !== src3.metadata.currentSnapshotId.get)
+    val (r2, d2) = MaterializedAgg.refreshOnce(src3, mv)
+    assert(r2 === 0L && d2 === 1L)
+    val cols = mv.refresh().schema.fields.map(_.name)
+    assert(cols.contains("s_val") && !cols.contains("s_v"),
+      s"MV state columns must follow the source rename, got $cols")
+    val got2 = mv.scan.toDF.orderBy("g").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("cnt"), r.getAs[Long]("s_val"),
+        r.getAs[Long]("mn_val"), r.getAs[Long]("mx_val"))).toSeq
+    assert(got2 === Seq(("b", 2L, 14L, 5L, 9L)))
+    // replays through the renamed world still no-op
+    assert(MaterializedAgg.refreshOnce(src3, mv) === ((0L, 0L)))
   }
 
   test("multi-column view: independent holes re-elect each column from " +

@@ -1,0 +1,278 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.IncrementalAgg.AggView
+import graft.ops.IncrementalJoinAgg
+import graft.ops.IncrementalJoinAgg.JoinView
+
+/** Join-view IVM (delta-join maintenance): deterministic pins for every
+  * delta shape — fact churn against the dim-at-cursor, dim churn
+  * re-enriching only referencing facts, group moves via dim updates,
+  * dim deletes dropping facts, same-round churn on BOTH sides — plus a
+  * chained differential fuzz against the from-scratch join+aggregate,
+  * and an Iceberg pin that the dim-side read PRUNES to the fact delta's
+  * join keys (pushed-In through the scan). */
+class IncrementalJoinAggSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // fact(fk, v) ⋈ dim(pk, seg) → GROUP BY seg: cnt, sum(v), min(v), max(v)
+  private val jv = JoinView(
+    factKeys = Seq("fk"), dimKeys = Seq("pk"),
+    agg = AggView(keys = Seq("seg"), sums = Seq("v"),
+      mins = Seq("v"), maxs = Seq("v")))
+
+  private def fact(rows: Seq[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("fk", "v")
+  }
+  private def dim(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("pk", "seg")
+  }
+  private def factBatch(rows: Seq[(Long, Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("fk", "v", "_change_type")
+  }
+  private def dimBatch(rows: Seq[(Long, String, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("pk", "seg", "_change_type")
+  }
+
+  private def apply1(state: DataFrame, fb: Option[DataFrame],
+      db: Option[DataFrame], dimOld: DataFrame, factNew: DataFrame,
+      dimNew: DataFrame): DataFrame =
+    IncrementalJoinAgg.applyChangelog(state, fb, db, jv,
+      dimAtCursor = keys => dimOld.join(keys, Seq("pk"), "left_semi"),
+      factAtHead = keys => factNew.join(keys, Seq("fk"), "left_semi"),
+      reElect = keys => IncrementalJoinAgg.joinRows(factNew, dimNew, jv)
+        .join(keys, Seq("seg"), "left_semi"))
+
+  private def stateMap(st: DataFrame): Map[String, (Long, Any, Any, Any)] =
+    st.collect().map { r =>
+      String.valueOf(r.getAs[Any]("seg")) ->
+        ((r.getAs[Long]("cnt"), r.getAs[Any]("s_v"),
+          r.getAs[Any]("mn_v"), r.getAs[Any]("mx_v")))
+    }.toMap
+
+  test("fact churn enriches against the dim at cursor: deletes retract " +
+      "with their group's enrichment, inserts land, extrema re-elect") {
+    val d0 = dim(Seq((1L, "a"), (2L, "b")))
+    val f0 = fact(Seq((1L, 10L), (1L, 30L), (2L, 5L)))
+    val st0 = IncrementalJoinAgg.init(f0, d0, jv)
+    assert(stateMap(st0) === Map(
+      "a" -> ((2L, 40L, 10L, 30L)), "b" -> ((1L, 5L, 5L, 5L))))
+    // retire a's max holder, insert a new a-fact and a dangling fk
+    val fb = factBatch(Seq(
+      (1L, 30L, "delete"), (1L, 15L, "insert"), (99L, 7L, "insert")))
+    val f1 = fact(Seq((1L, 10L), (1L, 15L), (2L, 5L), (99L, 7L)))
+    val st1 = apply1(st0, Some(fb), None, d0, f1, d0)
+    assert(stateMap(st1) === Map(
+      "a" -> ((2L, 25L, 10L, 15L)), "b" -> ((1L, 5L, 5L, 5L))),
+      "a dangling foreign key must not reach the view")
+  }
+
+  test("dim update moves ALL referencing facts across groups; dim delete " +
+      "drops them from the view") {
+    val d0 = dim(Seq((1L, "a"), (2L, "a"), (3L, "c")))
+    val f0 = fact(Seq((1L, 10L), (1L, 20L), (2L, 7L), (3L, 3L)))
+    val st0 = IncrementalJoinAgg.init(f0, d0, jv)
+    // pk 1 moves a→b (update = delete pre-image + insert post-image);
+    // pk 3 leaves entirely
+    val db = dimBatch(Seq(
+      (1L, "a", "delete"), (1L, "b", "insert"), (3L, "c", "delete")))
+    val d1 = dim(Seq((1L, "b"), (2L, "a")))
+    val st1 = apply1(st0, None, Some(db), d0, f0, d1)
+    assert(stateMap(st1) === Map(
+      "a" -> ((1L, 7L, 7L, 7L)), "b" -> ((2L, 30L, 10L, 20L))))
+  }
+
+  test("both sides churn in one round: the cross term is exact (ΔF joins " +
+      "dim-at-cursor, F-at-head joins ΔD)") {
+    val d0 = dim(Seq((1L, "a"), (2L, "b")))
+    val f0 = fact(Seq((1L, 10L), (2L, 5L)))
+    val st0 = IncrementalJoinAgg.init(f0, d0, jv)
+    // same round: a NEW fact references pk 1 while pk 1 moves a→b
+    val fb = factBatch(Seq((1L, 40L, "insert")))
+    val db = dimBatch(Seq((1L, "a", "delete"), (1L, "b", "insert")))
+    val f1 = fact(Seq((1L, 10L), (1L, 40L), (2L, 5L)))
+    val d1 = dim(Seq((1L, "b"), (2L, "b")))
+    val st1 = apply1(st0, Some(fb), Some(db), d0, f1, d1)
+    // from scratch: pk1 facts (10, 40) in b, pk2 fact (5) in b
+    assert(stateMap(st1) === stateMap(IncrementalJoinAgg.init(f1, d1, jv)))
+    assert(stateMap(st1) === Map("b" -> ((3L, 55L, 5L, 40L))))
+  }
+
+  test("chained differential fuzz: fact+dim churn across 6 rounds equals " +
+      "the from-scratch join+aggregate at every step") {
+    val rnd = new scala.util.Random(20260818L)
+    val segs = Vector("s0", "s1", "s2", "s3")
+    for (scenario <- 1 to 4) {
+      var dimRows = (0L until (3 + rnd.nextInt(5)).toLong)
+        .map(pk => (pk, segs(rnd.nextInt(segs.size))))
+      var factRows = (0 until (10 + rnd.nextInt(30))).map { _ =>
+        // fks range past the dim keys: some dangle (inner join drops)
+        (rnd.nextInt(12).toLong, (rnd.nextInt(21) - 10).toLong)
+      }
+      var st = IncrementalJoinAgg.init(fact(factRows), dim(dimRows), jv)
+      for (step <- 1 to 6) {
+        // fact churn
+        val (fDead, fKept) = factRows.partition(_ => rnd.nextInt(4) == 0)
+        val fFresh = (0 until rnd.nextInt(8)).map { _ =>
+          (rnd.nextInt(12).toLong, (rnd.nextInt(21) - 10).toLong) }
+        val fb = factBatch(fDead.map { case (k, v) => (k, v, "delete") } ++
+          fFresh.map { case (k, v) => (k, v, "insert") })
+        val factNew = fKept ++ fFresh
+        // dim churn: moves, deaths, births (pk stays unique throughout)
+        val (dDead, dKept) = dimRows.partition(_ => rnd.nextInt(6) == 0)
+        val (dMove, dSame) = dKept.partition(_ => rnd.nextInt(4) == 0)
+        val dMoved = dMove.map { case (pk, _) => (pk, segs(rnd.nextInt(segs.size))) }
+        val usedPks = dimRows.map(_._1).toSet
+        val dBorn = (0 until rnd.nextInt(3)).map(_ => rnd.nextInt(12).toLong)
+          .distinct.filterNot(usedPks).map(pk => (pk, segs(rnd.nextInt(segs.size))))
+        val db = dimBatch(
+          dDead.map { case (pk, s) => (pk, s, "delete") } ++
+          dMove.map { case (pk, s) => (pk, s, "delete") } ++
+          dMoved.map { case (pk, s) => (pk, s, "insert") } ++
+          dBorn.map { case (pk, s) => (pk, s, "insert") })
+        val dimOld = dimRows
+        val dimNew = dSame ++ dMoved ++ dBorn
+        st = apply1(st,
+          Some(fb).filter(_ => fDead.nonEmpty || fFresh.nonEmpty),
+          Some(db).filter(_ =>
+            dDead.nonEmpty || dMove.nonEmpty || dBorn.nonEmpty),
+          dim(dimOld), fact(factNew), dim(dimNew))
+        factRows = factNew
+        dimRows = dimNew
+        val want = IncrementalJoinAgg.init(fact(factRows), dim(dimRows), jv)
+        assert(stateMap(st) === stateMap(want),
+          s"scenario $scenario diverged at step $step")
+      }
+    }
+  }
+
+  test("MaterializedJoinAgg: bootstrap + exactly-once two-cursor refresh; " +
+      "fact-only and dim-only rounds; replay no-ops; net-zero is " +
+      "cursor-only; stale explicit view fails fast") {
+    import graft.catalog.HadoopCatalog
+    import graft.core.Schema
+    import graft.streaming.MaterializedJoinAgg
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_mvjoin").toString
+    val cat = new HadoopCatalog(wh, spark)
+    val factRows = Seq((1L, 1L, 10L), (2L, 1L, 30L), (3L, 2L, 5L))
+      .toDF("id", "fk", "v")
+    val dimRows = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("pk", "seg")
+    val fact = cat.createTable("factj", Schema.fromSpark(factRows.schema),
+      properties = Map("format-version" -> "2"))
+    val dim = cat.createTable("dimj", Schema.fromSpark(dimRows.schema),
+      properties = Map("format-version" -> "2"))
+    fact.append(factRows); dim.append(dimRows)
+    val mv = cat.createTable("mvj",
+      MaterializedJoinAgg.schemaFor(jv, fact, dim),
+      properties = Map("format-version" -> "2"))
+    val (cf0, cd0) = MaterializedJoinAgg.bootstrap(fact, dim, mv, jv)
+    assert(cf0 === fact.metadata.currentSnapshotId &&
+      cd0 === dim.metadata.currentSnapshotId)
+    def mvMap(): Map[String, (Long, Long, Long, Long)] =
+      mv.refresh().scan.toDF.collect().map(r =>
+        r.getAs[String]("seg") -> ((r.getAs[Long]("cnt"), r.getAs[Long]("s_v"),
+          r.getAs[Long]("mn_v"), r.getAs[Long]("mx_v")))).toMap
+    assert(mvMap() === Map("a" -> ((2L, 40L, 10L, 30L)),
+      "b" -> ((1L, 5L, 5L, 5L))))
+    // fact-only round: a's max holder retires (hole through the join)
+    fact.delete("id = 2")
+    val (r1, d1) = MaterializedJoinAgg.refreshOnce(fact, dim, mv)
+    assert(r1 === 1L && d1 === 0L)
+    assert(mvMap() === Map("a" -> ((1L, 10L, 10L, 10L)),
+      "b" -> ((1L, 5L, 5L, 5L))))
+    // replay: neither source moved → detected no-op, no new MV commit
+    val snaps = mv.refresh().metadata.snapshots.size
+    assert(MaterializedJoinAgg.refreshOnce(fact, dim, mv) === ((0L, 0L)))
+    assert(mv.refresh().metadata.snapshots.size === snaps)
+    // dim-only round: pk 1 moves a→b (every referencing fact follows),
+    // pk 2 dies (its fact leaves the view)
+    dim.upsert(Seq((1L, "b")).toDF("pk", "seg"), Seq("pk"))
+    dim.delete("pk = 2")
+    val (r2, d2) = MaterializedJoinAgg.refreshOnce(fact, dim, mv)
+    assert(r2 === 1L && d2 === 1L, s"got ($r2, $d2)")
+    assert(mvMap() === Map("b" -> ((1L, 10L, 10L, 10L))))
+    // net-zero churn on the fact: delete + reinsert an identical row —
+    // cursor-only commit, zero data snapshots, files untouched
+    fact.delete("id = 1")
+    fact.append(Seq((1L, 1L, 10L)).toDF("id", "fk", "v"))
+    val snaps2 = mv.refresh().metadata.snapshots.size
+    val files2 = mv.scan.toDF.inputFiles.toSet
+    assert(MaterializedJoinAgg.refreshOnce(fact, dim, mv) === ((0L, 0L)))
+    assert(mv.refresh().metadata.snapshots.size === snaps2)
+    assert(mv.scan.toDF.inputFiles.toSet === files2)
+    assert(mv.metadata.properties(
+      MaterializedJoinAgg.FactCursorProp).toLong ===
+      fact.refresh().metadata.currentSnapshotId.get)
+    assert(mv.metadata.properties(
+      MaterializedJoinAgg.DimCursorProp).toLong ===
+      dim.refresh().metadata.currentSnapshotId.get)
+    // a different explicitly-passed view fails fast
+    val stale = jv.copy(agg = jv.agg.copy(sums = Nil))
+    intercept[IllegalArgumentException](
+      MaterializedJoinAgg.refreshOnce(fact, dim, mv, stale))
+    // bootstrap refuses a table that is already an MV
+    intercept[IllegalArgumentException](
+      MaterializedJoinAgg.bootstrap(fact, dim, mv, jv))
+  }
+
+  test("dim-side read prunes to the fact delta's join keys: pushed-In " +
+      "through an Iceberg scan opens only bound-overlapping dim files") {
+    import graft.catalog.HadoopCatalog
+    import graft.core.{Schema, In}
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_jivm").toString
+    val cat = new HadoopCatalog(wh, spark)
+    // dim files with DISJOINT pk ranges (3 single-file appends)
+    def dimSlice(lo: Long, hi: Long, seg: String) =
+      (lo until hi).map(pk => (pk, seg)).toDF("pk", "seg").repartition(1)
+    val dimTab = cat.createTable("dimp", Schema.fromSpark(
+      dimSlice(0, 1, "x").schema), properties = Map("format-version" -> "2"))
+    dimTab.append(dimSlice(0L, 100L, "a"))
+    val dimFilesA = dimTab.refresh().scan.toDF.inputFiles.toSet
+    dimTab.append(dimSlice(100L, 200L, "b"))
+    dimTab.append(dimSlice(200L, 300L, "c"))
+    val d0 = dimTab.refresh().metadata.currentSnapshotId.get
+    val f0 = fact(Seq((5L, 10L), (7L, 20L), (300L, 9L)))
+    val st0 = IncrementalJoinAgg.init(
+      f0, dimTab.scan.toDF.withColumnRenamed("pk", "pk"), jv)
+    // the fact delta touches fks 5 and 7 only — both in file A's range
+    val fb = factBatch(Seq((5L, 10L, "delete"), (7L, 25L, "insert")))
+    val f1 = fact(Seq((7L, 20L), (7L, 25L), (300L, 9L)))
+    var dimRead: Set[String] = Set.empty
+    val st1 = IncrementalJoinAgg.applyChangelog(st0, Some(fb), None, jv,
+      dimAtCursor = keys => {
+        // the gate-shaped elector: collect the churn-sized key set and
+        // push it into the scan — metrics pruning keeps only files whose
+        // pk bounds overlap (the MV-engine hole-election machinery)
+        val pks = keys.select(col("pk")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        val base = dimTab.scan.useSnapshot(d0).filter(In("pk", pks)).toDF
+        dimRead = base.inputFiles.toSet
+        base.join(keys, Seq("pk"), "left_semi")
+      },
+      factAtHead = keys => f1.join(keys, Seq("fk"), "left_semi"),
+      reElect = keys => IncrementalJoinAgg.joinRows(
+        f1, dimTab.scan.useSnapshot(d0).toDF, jv)
+        .join(keys, Seq("seg"), "left_semi"))
+    assert(dimRead.nonEmpty && dimRead.subsetOf(dimFilesA),
+      s"dim read must open only file A, read: ${dimRead -- dimFilesA}")
+    assert(stateMap(st1) === Map("a" -> ((2L, 45L, 20L, 25L))))
+  }
+}

@@ -1605,6 +1605,79 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP VIEW IF EXISTS cdc_fadm_sink")
   }
 
+  test("graft-cdc max-bytes-per-trigger admits files by SIZE: a skewed " +
+      "bulk append slices into byte-bounded batches, small files batch " +
+      "together, same output multiset") {
+    import spark.implicits._
+    val big = (0L until 20000L).map(i => (i, 0L))
+    val tiny = (0 until 3).map(p => (0L until 50L)
+      .map(i => (100000L + p * 100 + i, (p + 1).toLong)))
+    // one single-partition frame per file, unioned: exactly 4 write
+    // partitions with DETERMINISTIC contents (repartitionByRange samples
+    // with an RDD-id-derived seed — on a 130:1 skewed key the boundaries
+    // shift with session history and the fixture collapsed in-suite)
+    val df = (big +: tiny).map(_.toDF("k", "p").repartition(1))
+      .reduce(_ union _)
+    val t = catalog.createTable("t_cdc_badm", Schema.fromSpark(df.schema),
+      properties = Map("format-version" -> "3"))
+    // ONE commit, one ~big file + three tiny ones
+    t.append(df)
+    val files = t.scan.planFiles().map(_.file)
+    assert(files.size === 4, s"fixture wants 4 files, got ${files.size}")
+    val sizes = files.map(_.fileSizeInBytes).sorted
+    assert(sizes.last > 3 * sizes.take(3).sum,
+      s"fixture wants one dominant file, got sizes $sizes")
+    // budget = the big file: it must ride alone, the three tiny files
+    // must share a batch — count-granular admission can't express this
+    val q = spark.readStream.format("graft-cdc")
+      .option("warehouse", warehouse).option("table", "t_cdc_badm")
+      .option("max-bytes-per-trigger", sizes.last.toString).load()
+      .writeStream.format("memory").queryName("cdc_badm_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 2,
+        s"byte budget must slice the bulk append, got ${batches.length} batches")
+      assert(batches.length < files.size,
+        "small files must batch together under the byte budget — " +
+          s"got ${batches.length} batches for ${files.size} files")
+      val got = spark.sql("SELECT k FROM cdc_badm_sink").collect().map(_.getLong(0))
+      assert(got.sorted.toSeq === (big ++ tiny.flatten).map(_._1).sorted)
+    } finally q.stop()
+    spark.sql("DROP VIEW IF EXISTS cdc_badm_sink")
+  }
+
+  test("eq-delete changelog prunes parent candidates by the delete FILE's " +
+      "own footer bounds — a >1000-key commit reads only bound-overlapping " +
+      "files, never the parent snapshot") {
+    import graft.streaming.TableChanges
+    import spark.implicits._
+    def mk(lo: Long, hi: Long) =
+      (lo until hi).map(k => (k, k * 2)).toDF("k", "v").repartition(1)
+    val t = catalog.createTable("t_eqdel_bounds",
+      Schema.fromSpark(mk(0, 1).schema))
+    // three appends with DISJOINT key ranges → files with disjoint bounds
+    t.append(mk(0L, 10000L))
+    val pathsA = t.scan.planFiles().map(f => PathUtil.canon(f.file.filePath)).toSet
+    t.append(mk(10000L, 20000L))
+    t.append(mk(20000L, 30000L))
+    val pathsAll = t.scan.planFiles().map(f => PathUtil.canon(f.file.filePath)).toSet
+    val c0 = t.refresh().metadata.currentSnapshotId
+    // 10k distinct keys — 10× the old driver-collect cap — all in A's range
+    t.deleteEqualityKeys((0L until 10000L).toDF("k"))
+    val log = TableChanges.changelog(t.refresh(), c0)
+    val read = log.inputFiles.map(PathUtil.canon).toSet
+    val dataRead = read.intersect(pathsAll)
+    assert(dataRead.nonEmpty && dataRead.subsetOf(pathsA),
+      s"changelog must read only A's files, read: ${dataRead -- pathsA}")
+    // and the feed itself is exact: all 10k rows of A as deletes
+    val rows = log.collect()
+    assert(rows.length === 10000)
+    assert(rows.forall(_.getAs[String]("_change_type") == "delete"))
+    assert(rows.map(_.getAs[Long]("k")).sorted.toSeq === (0L until 10000L).toSeq)
+  }
+
   test("graft-cdc option(filter) streams only the filtered partition's changes") {
     val schema = Schema.fromSpark(orders.schema)
     catalog.createTable("t_cdc_filt_src", schema,
