@@ -1396,10 +1396,16 @@ object Iceberg {
     s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", whDir)
     val hc = new HadoopCatalog(whDir, s)
+    // merge-on-read churn: the refresh changelogs read position-delete
+    // masks instead of CoW remove+add file pairs (same rationale as
+    // ice_mv_table — the cheaper feed shape a steady pipeline runs)
+    val morProps = Map("format-version" -> "2",
+      "write.delete.mode" -> "merge-on-read",
+      "write.update.mode" -> "merge-on-read")
     val factTab = hc.createTable("db.orders", Schema.fromSpark(fact0.schema),
-      properties = Map("format-version" -> "2"))
+      properties = morProps)
     val dimTab = hc.createTable("db.customer", Schema.fromSpark(dim0.schema),
-      properties = Map("format-version" -> "2"))
+      properties = morProps)
     factTab.append(fact0.filter(col("o_orderkey") % 3 =!= 0))
     dimTab.append(dim0)
     val c0f = factTab.refresh().metadata.currentSnapshotId
@@ -1479,10 +1485,16 @@ object Iceberg {
     s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", whDir)
     val hc = new HadoopCatalog(whDir, s)
+    // merge-on-read churn: the refresh changelogs read position-delete
+    // masks instead of CoW remove+add file pairs (same rationale as
+    // ice_mv_table — the cheaper feed shape a steady pipeline runs)
+    val morProps = Map("format-version" -> "2",
+      "write.delete.mode" -> "merge-on-read",
+      "write.update.mode" -> "merge-on-read")
     val factTab = hc.createTable("db.orders", Schema.fromSpark(fact0.schema),
-      properties = Map("format-version" -> "2"))
+      properties = morProps)
     val dimTab = hc.createTable("db.customer", Schema.fromSpark(dim0.schema),
-      properties = Map("format-version" -> "2"))
+      properties = morProps)
     factTab.append(fact0.filter(col("o_orderkey") % 3 =!= 0))
     dimTab.append(dim0)
     val jv = JoinView(factKeys = Seq("o_custkey"), dimKeys = Seq("c_custkey"),

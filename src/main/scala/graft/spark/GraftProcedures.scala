@@ -354,5 +354,61 @@ object GraftProcedures {
         Seq(Array[Any](r, d,
           mv.refresh().metadata.properties.get(MaterializedAgg.CursorProp)
             .map(utf8).orNull))
+      }),
+
+    // graft extension: JOIN-VIEW materialized views — the SQL face of
+    // MaterializedJoinAgg. `CALL cat.system.mv_join_create(fact =>
+    // 'db.orders', dim => 'db.customer', mv => 'db.seg_stats',
+    // fact_keys => 'o_custkey', dim_keys => 'c_custkey',
+    // keys => 'c_mktsegment' [, sums/mins/maxs => …])` creates +
+    // full-builds, stamping BOTH cursors and the join-view definition in
+    // one commit; `mv_join_refresh(fact, dim, mv)` folds both sides'
+    // changelogs exactly-once on any cadence.
+    "mv_join_create" -> new Proc("mv_join_create",
+      Seq(in("fact", StringType), in("dim", StringType), in("mv", StringType),
+        in("fact_keys", StringType), in("dim_keys", StringType),
+        in("keys", StringType), inDefault("sums", StringType, "''"),
+        inDefault("mins", StringType, "''"), inDefault("maxs", StringType, "''")),
+      StructType(Seq(
+        StructField("groups", LongType),
+        StructField("fact_cursor", StringType),
+        StructField("dim_cursor", StringType))),
+      { input =>
+        import graft.streaming.MaterializedJoinAgg
+        val fact = catalog.loadTable(input.getUTF8String(0).toString)
+        val dim = catalog.loadTable(input.getUTF8String(1).toString)
+        def list(i: Int) = input.getUTF8String(i).toString
+          .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        val jv = graft.ops.IncrementalJoinAgg.JoinView(list(3), list(4),
+          graft.ops.IncrementalAgg.AggView(list(5), list(6), list(7), list(8)))
+        require(jv.agg.keys.nonEmpty, "mv_join_create needs at least one key column")
+        val mv = catalog.createTable(input.getUTF8String(2).toString,
+          MaterializedJoinAgg.schemaFor(jv, fact, dim),
+          properties = Map("format-version" ->
+            fact.metadata.formatVersion.toString))
+        MaterializedJoinAgg.bootstrap(fact, dim, mv, jv)
+        val props = mv.refresh().metadata.properties
+        Seq(Array[Any](mv.scan.toDF.count(),
+          props.get(MaterializedJoinAgg.FactCursorProp).map(utf8).orNull,
+          props.get(MaterializedJoinAgg.DimCursorProp).map(utf8).orNull))
+      }),
+
+    "mv_join_refresh" -> new Proc("mv_join_refresh",
+      Seq(in("fact", StringType), in("dim", StringType), in("mv", StringType)),
+      StructType(Seq(
+        StructField("refreshed_groups", LongType),
+        StructField("retired_groups", LongType),
+        StructField("fact_cursor", StringType),
+        StructField("dim_cursor", StringType))),
+      { input =>
+        import graft.streaming.MaterializedJoinAgg
+        val fact = catalog.loadTable(input.getUTF8String(0).toString)
+        val dim = catalog.loadTable(input.getUTF8String(1).toString)
+        val mv = catalog.loadTable(input.getUTF8String(2).toString)
+        val (r, d) = MaterializedJoinAgg.refreshOnce(fact, dim, mv)
+        val props = mv.refresh().metadata.properties
+        Seq(Array[Any](r, d,
+          props.get(MaterializedJoinAgg.FactCursorProp).map(utf8).orNull,
+          props.get(MaterializedJoinAgg.DimCursorProp).map(utf8).orNull))
       }))
 }

@@ -926,6 +926,46 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .loadTable("db.mv_src").metadata.currentSnapshotId.get.toString)
   }
 
+  test("CALL mv_join_create + mv_join_refresh keep a two-cursor join MV " +
+      "fresh through the SQL face") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("""CREATE TABLE g.db.mvj_fact (id BIGINT, fk BIGINT, v BIGINT)
+      TBLPROPERTIES ('format-version'='2')""")
+    spark.sql("""CREATE TABLE g.db.mvj_dim (pk BIGINT, seg STRING)
+      TBLPROPERTIES ('format-version'='2')""")
+    spark.sql("INSERT INTO g.db.mvj_fact VALUES (1, 1, 10), (2, 1, 30), (3, 2, 5)")
+    spark.sql("INSERT INTO g.db.mvj_dim VALUES (1, 'a'), (2, 'b')")
+    val c = spark.sql("CALL g.system.mv_join_create(fact => 'db.mvj_fact', " +
+      "dim => 'db.mvj_dim', mv => 'db.mvj_stats', fact_keys => 'fk', " +
+      "dim_keys => 'pk', keys => 'seg', sums => 'v', mins => 'v', " +
+      "maxs => 'v')").head()
+    assert(c.getLong(0) === 2L)
+    def stats() = spark.sql(
+      "SELECT seg, cnt, s_v, mn_v, mx_v FROM g.db.mvj_stats ORDER BY seg")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(stats() === Seq(("a", 2L, 40L, 10L, 30L), ("b", 1L, 5L, 5L, 5L)))
+    // churn BOTH sides: a's max retires; pk 2 moves b→a
+    spark.sql("DELETE FROM g.db.mvj_fact WHERE id = 2")
+    spark.sql("UPDATE g.db.mvj_dim SET seg = 'a' WHERE pk = 2")
+    val r = spark.sql("CALL g.system.mv_join_refresh(fact => 'db.mvj_fact', " +
+      "dim => 'db.mvj_dim', mv => 'db.mvj_stats')").head()
+    assert((r.getLong(0), r.getLong(1)) === ((1L, 1L)))
+    assert(stats() === Seq(("a", 2L, 15L, 5L, 10L)))
+    // replay: no-op, both cursors at the source heads, no new MV snapshot
+    val mv = new HadoopCatalog(warehouse, spark).loadTable("db.mvj_stats")
+    val snaps = mv.metadata.snapshots.size
+    val r2 = spark.sql("CALL g.system.mv_join_refresh(fact => 'db.mvj_fact', " +
+      "dim => 'db.mvj_dim', mv => 'db.mvj_stats')").head()
+    assert((r2.getLong(0), r2.getLong(1)) === ((0L, 0L)))
+    assert(mv.refresh().metadata.snapshots.size === snaps)
+    val hc = new HadoopCatalog(warehouse, spark)
+    assert(r2.getString(2) ===
+      hc.loadTable("db.mvj_fact").metadata.currentSnapshotId.get.toString)
+    assert(r2.getString(3) ===
+      hc.loadTable("db.mvj_dim").metadata.currentSnapshotId.get.toString)
+  }
+
   test("CALL procedures: rewrite_data_files, expire_snapshots, rollback, orphan GC") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
     spark.sql("""CREATE TABLE g.db.o_proc (

@@ -1612,12 +1612,15 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     val big = (0L until 20000L).map(i => (i, 0L))
     val tiny = (0 until 3).map(p => (0L until 50L)
       .map(i => (100000L + p * 100 + i, (p + 1).toLong)))
-    // one single-partition frame per file, unioned: exactly 4 write
-    // partitions with DETERMINISTIC contents (repartitionByRange samples
-    // with an RDD-id-derived seed — on a 130:1 skewed key the boundaries
-    // shift with session history and the fixture collapsed in-suite)
-    val df = (big +: tiny).map(_.toDF("k", "p").repartition(1))
-      .reduce(_ union _)
+    // one RDD partition per intended file: exactly 4 write partitions
+    // with DETERMINISTIC contents — a shuffle-based layout here is
+    // unstable (repartitionByRange samples with an RDD-id-derived seed;
+    // unioned local relations collapse in the optimizer), both of which
+    // flaked this fixture in-suite
+    val rdd = spark.sparkContext
+      .parallelize(big +: tiny, 4)
+      .flatMap(identity)
+    val df = spark.createDataFrame(rdd).toDF("k", "p")
     val t = catalog.createTable("t_cdc_badm", Schema.fromSpark(df.schema),
       properties = Map("format-version" -> "3"))
     // ONE commit, one ~big file + three tiny ones
