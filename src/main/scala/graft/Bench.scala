@@ -160,8 +160,10 @@ object Bench {
     // itself with SPARK_GRAFT_ONLY=<name> and isolation disabled; its
     // best-of-reps number is read back from its full-artifact file.
     // per-suspect attempt records for the artifact: (wall, loadBefore,
-    // loadAfter, cpuSec) of every child run, accepted or not
+    // loadAfter, cpuSec) of every child run, accepted or not — plus the
+    // parent's pre-launch load reading per attempt (the quiet verdict)
     val isoAttempts = scala.collection.mutable.Map.empty[String, Seq[Seq[Double]]]
+    val isoPre = scala.collection.mutable.Map.empty[String, Seq[Double]]
     val isolated: Seq[(String, Double)] =
       if (suspects.isEmpty) Nil
       else {
@@ -245,16 +247,20 @@ object Bench {
         suspects.flatMap { name =>
           var best: Option[Double] = None
           var attempt = 0
-          var quiet = false
-          while (attempt < isoTries && !quiet) {
+          var launchedQuiet = false
+          while (attempt < isoTries && !launchedQuiet) {
             attempt += 1
-            awaitQuiet()
+            // quiet is judged at LAUNCH (after the wait, before the child
+            // saturates the cores): the child's own 32-thread reps keep
+            // 1-min loadavg above any sane threshold for their duration,
+            // so in-rep load edges can't distinguish self-load from the
+            // external cycle — the pre-launch reading can, and it is
+            // recorded per attempt as `isolated_pre_load`
+            val pre = awaitQuiet()
+            isoPre(name) = isoPre.getOrElse(name, Nil) :+ pre
+            launchedQuiet = pre <= quietLoad
             val t = runChild(name)
             best = (best.toSeq ++ t.toSeq).minOption
-            // the child's own reps carry the verdict: a rep whose window
-            // stayed under the threshold on both edges is trustworthy
-            quiet = isoAttempts.getOrElse(name, Nil)
-              .exists(r => r.length >= 4 && r(1) <= quietLoad && r(2) <= quietLoad)
           }
           if (best.isEmpty) {
             System.err.println(s"BENCH ISOLATED FAILURE in $name (fresh-JVM child)")
@@ -285,9 +291,12 @@ object Bench {
       "\"" + k + "\":" + rows.map(_.map(fmt).mkString("[", ",", "]"))
         .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val isoPres = isoPre.map { case (k, vs) =>
+      "\"" + k + "\":" + vs.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"isolated":$iso,"isolation_mode":"fresh-jvm-warm-quiet","load":$loads,"isolated_load":$isoLoads,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"isolated":$iso,"isolation_mode":"fresh-jvm-warm-quiet","load":$loads,"isolated_load":$isoLoads,"isolated_pre_load":$isoPres,"sf":"$sfDir"}"""
     java.nio.file.Files.write(fullPath, full.getBytes("UTF-8"))
     println(full)
     // the driver records only the final ~2000 chars of output and parses

@@ -356,6 +356,34 @@ object GraftProcedures {
             .map(utf8).orNull))
       }),
 
+    // graft extension: SHARED-FEED refresh — `CALL cat.system.
+    // mv_refresh_all(source => 'db.t', mvs => 'db.mv1,db.mv2,db.mv3')`
+    // refreshes N MVs over one source with ONE materialized changelog
+    // per distinct cursor range (the steady state of a same-cadence
+    // fleet shares a single feed read), per-MV exactly-once cursors
+    // preserved; returns one row per MV.
+    "mv_refresh_all" -> new Proc("mv_refresh_all",
+      Seq(in("source", StringType), in("mvs", StringType)),
+      StructType(Seq(
+        StructField("mv", StringType),
+        StructField("refreshed_groups", LongType),
+        StructField("retired_groups", LongType),
+        StructField("cursor", StringType))),
+      { input =>
+        import graft.streaming.MaterializedAgg
+        val src = catalog.loadTable(input.getUTF8String(0).toString)
+        val names = input.getUTF8String(1).toString
+          .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        require(names.nonEmpty, "mv_refresh_all needs at least one MV")
+        val mvs = names.map(catalog.loadTable)
+        val rs = MaterializedAgg.refreshAll(src, mvs)
+        names.zip(mvs).zip(rs).map { case ((n, mv), (r, d)) =>
+          Array[Any](utf8(n), r, d,
+            mv.refresh().metadata.properties
+              .get(MaterializedAgg.CursorProp).map(utf8).orNull)
+        }
+      }),
+
     // graft extension: JOIN-VIEW materialized views — the SQL face of
     // MaterializedJoinAgg. `CALL cat.system.mv_join_create(fact =>
     // 'db.orders', dim => 'db.customer', mv => 'db.seg_stats',

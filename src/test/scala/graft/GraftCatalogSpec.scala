@@ -926,6 +926,35 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .loadTable("db.mv_src").metadata.currentSnapshotId.get.toString)
   }
 
+  test("CALL mv_refresh_all refreshes N MVs over one source, one row per " +
+      "MV, exactly-once cursors") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("""CREATE TABLE g.db.mva_src (g STRING, v BIGINT)
+      TBLPROPERTIES ('format-version'='2')""")
+    spark.sql("INSERT INTO g.db.mva_src VALUES ('a', 10), ('a', 30), ('b', 5)")
+    spark.sql("CALL g.system.mv_create(source => 'db.mva_src', " +
+      "mv => 'db.mva_1', keys => 'g', sums => 'v')")
+    spark.sql("CALL g.system.mv_create(source => 'db.mva_src', " +
+      "mv => 'db.mva_2', keys => 'g', mins => 'v', maxs => 'v')")
+    spark.sql("DELETE FROM g.db.mva_src WHERE v = 30")
+    spark.sql("INSERT INTO g.db.mva_src VALUES ('b', 7)")
+    val rows = spark.sql("CALL g.system.mv_refresh_all(" +
+      "source => 'db.mva_src', mvs => 'db.mva_1,db.mva_2')")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq === Seq(("db.mva_1", 2L, 0L), ("db.mva_2", 2L, 0L)))
+    assert(spark.sql("SELECT g, cnt, s_v FROM g.db.mva_1 ORDER BY g")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      === Seq(("a", 1L, 10L), ("b", 2L, 12L)))
+    assert(spark.sql("SELECT g, mn_v, mx_v FROM g.db.mva_2 ORDER BY g")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      === Seq(("a", 10L, 10L), ("b", 5L, 7L)))
+    // replay: all no-op
+    val rows2 = spark.sql("CALL g.system.mv_refresh_all(" +
+      "source => 'db.mva_src', mvs => 'db.mva_1,db.mva_2')")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(rows2.toSeq === Seq((0L, 0L), (0L, 0L)))
+  }
+
   test("CALL mv_join_create + mv_join_refresh keep a two-cursor join MV " +
       "fresh through the SQL face") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
