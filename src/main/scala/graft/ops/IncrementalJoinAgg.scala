@@ -106,7 +106,14 @@ object IncrementalJoinAgg {
   /** The changes of (fact ⋈ dim) implied by one fact changelog batch
     * and/or one dim changelog batch — a changelog of the JOIN, directly
     * consumable by [[IncrementalAgg.applyChangelog]]. Either side may be
-    * None (only the other churned). */
+    * None (only the other churned).
+    *
+    * COMPOSES for snowflake schemas: the result is itself a changelog,
+    * so `F ⋈ D1 ⋈ D2` maintains by chaining — level 1 carries the
+    * columns level 2 consumes (`AggView(keys = carriedCols)`), its
+    * joinDelta output becomes level 2's fact batch, and level 2's
+    * `factAtHead` closure is the CURRENT level-1 join (spec-pinned: all
+    * three tables churning in one round equals from-scratch). */
   def joinDelta(
       factBatch: Option[DataFrame],
       dimBatch: Option[DataFrame],

@@ -1707,7 +1707,9 @@ class GraftScanBuilder(table: IceTable, snapshotId: Option[Long] = None,
     case None =>
       val scan = new GraftScan(table, expr, required, limit, snapshotId,
         Option(options.get("max-snapshots-per-trigger")).map(_.toInt), emitFile, emitPos,
-        schemaAtOrNull = schemaAt, emitLineage = emitLineage)
+        schemaAtOrNull = schemaAt, emitLineage = emitLineage,
+        maxBytesPerTrigger =
+          Option(options.get("max-bytes-per-trigger")).map(_.toLong))
       // the row-level operation's write needs THIS scan at commit (the
       // CoW replacement group / the delta conflict filter)
       onScanBuilt(scan)
@@ -2133,7 +2135,8 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
     pushedLimit: Long = -1L, snapshotId: Option[Long] = None,
     maxSnapshotsPerTrigger: Option[Int] = None,
     emitFile: Boolean = false, emitPos: Boolean = false,
-    schemaAtOrNull: Option[Long] = null, emitLineage: Boolean = false)
+    schemaAtOrNull: Option[Long] = null, emitLineage: Boolean = false,
+    maxBytesPerTrigger: Option[Long] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with SupportsReportStatistics with SupportsReportPartitioning {
@@ -2514,7 +2517,8 @@ class GraftScan(table: IceTable, expr: Expr, required: StructType,
     // stream MAIN's appends; streaming follows the live main lineage only
     require(snapshotId.isEmpty,
       "streaming reads follow main — not a time-travel pin or a branch/tag table")
-    new GraftMicroBatchStream(table, required, maxSnapshotsPerTrigger)
+    new GraftMicroBatchStream(table, required, maxSnapshotsPerTrigger,
+      maxBytesPerTrigger)
   }
 }
 
@@ -2524,7 +2528,8 @@ final case class SnapshotOffset(snapshotId: Long)
 }
 
 class GraftMicroBatchStream(table: IceTable, required: StructType,
-    maxSnapshotsPerTrigger: Option[Int] = None)
+    maxSnapshotsPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -2565,6 +2570,30 @@ class GraftMicroBatchStream(table: IceTable, required: StructType,
     val chain = table.metadata.ancestorsOf(cur)
       .takeWhile(_.snapshotId != from).reverse
     val bySnapshots = maxSnapshotsPerTrigger.fold(chain)(n => chain.take(math.max(1, n)))
+    // byte-budget admission (option("max-bytes-per-trigger", ...)): whole
+    // snapshots admit under a cumulative byte budget from the commit
+    // summaries' `added-files-size` (metadata-only) — file COUNT caps
+    // admit 10 GB as readily as 10 KB under skewed file sizes. Always at
+    // least one snapshot so the stream advances; this source's offsets
+    // are snapshot-granular, so a single giant append still lands whole
+    // (the V1 graft-cdc/graft-changelog sources slice WITHIN a snapshot).
+    val byBytes = maxBytesPerTrigger match {
+      case None => bySnapshots
+      case Some(budget) =>
+        val out = Seq.newBuilder[graft.meta.Snapshot]
+        var bytes = 0L
+        var n = 0
+        var stopped = false
+        bySnapshots.foreach { s =>
+          if (!stopped) {
+            val added = s.summary.get("added-files-size")
+              .flatMap(_.toLongOption).getOrElse(budget)
+            if (n == 0 || bytes + added <= budget) { out += s; bytes += added; n += 1 }
+            else stopped = true
+          }
+        }
+        out.result()
+    }
     val capped = limit match {
       case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
         // stop at the FIRST over-limit snapshot — offsets are a contiguous
@@ -2573,7 +2602,7 @@ class GraftMicroBatchStream(table: IceTable, required: StructType,
         var files = 0L
         var n = 0
         var stopped = false
-        bySnapshots.foreach { s =>
+        byBytes.foreach { s =>
           if (!stopped) {
             val added = s.summary.get("added-data-files").flatMap(_.toLongOption).getOrElse(1L)
             if (n == 0 || files + added <= mf.maxFiles()) { out += s; files += added; n += 1 }
@@ -2581,7 +2610,7 @@ class GraftMicroBatchStream(table: IceTable, required: StructType,
           }
         }
         out.result()
-      case _ => bySnapshots
+      case _ => byBytes
     }
     SnapshotOffset(capped.lastOption.map(_.snapshotId).getOrElse(cur))
   }

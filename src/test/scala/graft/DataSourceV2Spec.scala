@@ -202,6 +202,31 @@ class DataSourceV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batches >= 3, s"expected >=3 bounded batches, got $batches")
   }
 
+  test("readStream max-bytes-per-trigger admits snapshots under a byte " +
+      "budget (metadata-only, from the commit summaries)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val t = catalog.createTable("o_v2_badm", Schema.fromSpark(orders.schema))
+    t.append(orders.filter(col("o_orderkey") <= 500))
+    t.append(orders.filter(col("o_orderkey") > 500 && col("o_orderkey") <= 1000))
+    t.append(orders.filter(col("o_orderkey") > 1000))
+    // budget = the largest single commit: every batch carries exactly one
+    // snapshot (any two would overflow), so the drain takes 3 batches
+    val maxAdded = t.refresh().metadata.snapshots
+      .flatMap(_.summary.get("added-files-size")).map(_.toLong).max
+    val ckpt = Files.createTempDirectory("badm-ckpt").toString
+    val out = Files.createTempDirectory("badm-sink").toString
+    val stream = spark.readStream.format("graft")
+      .option("warehouse", warehouse).option("table", "o_v2_badm")
+      .option("max-bytes-per-trigger", maxAdded.toString).load()
+    val q = stream.writeStream.format("parquet").option("path", out)
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).count() === orders.count())
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 3, s"expected >=3 byte-bounded batches, got $batches")
+  }
+
   test("time travel: snapshot-id / as-of-timestamp / tag options pin the scan") {
     val t = catalog.createTable("o_v2_tt", Schema.fromSpark(orders.schema))
     t.append(orders.filter(col("o_orderkey") <= 1000))

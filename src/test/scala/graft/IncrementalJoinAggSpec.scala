@@ -162,6 +162,67 @@ class IncrementalJoinAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("snowflake composition: a TWO-dim join view maintains by CHAINING " +
+      "joinDelta — the delta of (F ⋈ D1) is itself a changelog that feeds " +
+      "the second join level, all three tables churning in one round") {
+    import spark.implicits._
+    // F(fk1, fk2, v) ⋈ D1(pk1, a) ⋈ D2(pk2, b) → GROUP BY (a, b), sum(v)
+    def f(rows: Seq[(Long, Long, Long)]) = rows.toDF("fk1", "fk2", "v")
+    def d1(rows: Seq[(Long, String)]) = rows.toDF("pk1", "a")
+    def d2(rows: Seq[(Long, String)]) = rows.toDF("pk2", "b")
+    def join3(fx: DataFrame, d1x: DataFrame, d2x: DataFrame): DataFrame = {
+      val j1 = fx.join(d1x, fx("fk1") === d1x("pk1"))
+        .select(fx("fk2"), fx("v"), d1x("a"))
+      j1.join(d2x, j1("fk2") === d2x("pk2"))
+        .select(j1("a"), d2x("b"), j1("v"))
+    }
+    // level 1 CARRIES (fk2, v, a) — a pass-through view whose "keys" are
+    // just the columns level 2 consumes
+    val jv1 = JoinView(Seq("fk1"), Seq("pk1"),
+      AggView(keys = Seq("fk2", "v", "a")))
+    val jv2 = JoinView(Seq("fk2"), Seq("pk2"),
+      AggView(keys = Seq("a", "b"), sums = Seq("v")))
+    val f0 = Seq((1L, 10L, 5L), (1L, 11L, 7L), (2L, 10L, 3L))
+    val d10 = Seq((1L, "a0"), (2L, "a1"))
+    val d20 = Seq((10L, "b0"), (11L, "b1"))
+    val st0 = graft.ops.IncrementalAgg.init(
+      join3(f(f0), d1(d10), d2(d20)), jv2.agg)
+    // one round churning ALL THREE: a fact retire + insert, a D1 group
+    // move, a D2 death + birth
+    val fb = Seq((1L, 10L, 5L, "delete"), (2L, 11L, 9L, "insert"))
+      .toDF("fk1", "fk2", "v", "_change_type")
+    val d1b = Seq((2L, "a1", "delete"), (2L, "a0", "insert"))
+      .toDF("pk1", "a", "_change_type")
+    val d2b = Seq((11L, "b1", "delete"), (12L, "b2", "insert"),
+      (11L, "b9", "insert")).toDF("pk2", "b", "_change_type")
+    val f1 = f(Seq((1L, 11L, 7L), (2L, 10L, 3L), (2L, 11L, 9L)))
+    val d1old = d1(d10); val d1new = d1(Seq((1L, "a0"), (2L, "a0")))
+    val d2old = d2(d20)
+    val d2new = d2(Seq((10L, "b0"), (11L, "b9"), (12L, "b2")))
+    // Δ(F ⋈ D1): the standard two-sided delta, carrying (fk2, v, a)
+    val delta1 = IncrementalJoinAgg.joinDelta(Some(fb), Some(d1b), jv1,
+      dimAtCursor = keys => d1old.join(keys, Seq("pk1"), "left_semi"),
+      factAtHead = keys => f1.join(keys, Seq("fk1"), "left_semi"))
+    // Δ((F ⋈ D1) ⋈ D2): level 1's delta IS the fact changelog of level 2;
+    // the fact-at-head closure is the CURRENT level-1 join
+    val j1new = f1.join(d1new, f1("fk1") === d1new("pk1"))
+      .select(f1("fk2"), f1("v"), d1new("a"))
+    val delta2 = IncrementalJoinAgg.joinDelta(delta1, Some(d2b), jv2,
+      dimAtCursor = keys => d2old.join(keys, Seq("pk2"), "left_semi"),
+      factAtHead = keys => j1new.join(keys, Seq("fk2"), "left_semi"))
+    val st1 = graft.ops.IncrementalAgg.applyChangelog(st0, delta2.get,
+      jv2.agg, keys => join3(f1, d1new, d2new).join(keys, Seq("a", "b"), "left_semi"))
+    val got = st1.orderBy("a", "b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("cnt"),
+        r.getAs[Long]("s_v"))).toSeq
+    val want = graft.ops.IncrementalAgg.init(
+        join3(f1, d1new, d2new), jv2.agg).orderBy("a", "b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("cnt"),
+        r.getAs[Long]("s_v"))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("MaterializedJoinAgg: bootstrap + exactly-once two-cursor refresh; " +
       "fact-only and dim-only rounds; replay no-ops; net-zero is " +
       "cursor-only; stale explicit view fails fast") {

@@ -1651,6 +1651,56 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP VIEW IF EXISTS cdc_badm_sink")
   }
 
+  test("extension-less foreign data path: the changelog's format fallback " +
+      "is cache-served and never re-decodes the live set (zero manifest " +
+      "decodes beyond the commit's own)") {
+    import graft.streaming.TableChanges
+    import graft.meta.{DataFile => DF, FileContent, ManifestIO}
+    import spark.implicits._
+    val rows = (1L to 100L).map(i => (i, i * 2)).toDF("k", "v")
+    val t = catalog.createTable("t_noext", Schema.fromSpark(rows.schema))
+    // foreign writers may name data files without an extension; register
+    // one by committing a hand-built descriptor (add_files rejects the
+    // shape, so this is exactly the foreign-metadata case)
+    val stage = java.nio.file.Files.createTempDirectory("graft_noext").toString
+    // field-id-carrying footer (the pin is about the extension-less NAME)
+    val withIds = spark.createDataFrame(rows.rdd, t.schema.toSpark)
+    graft.table.WriteFiles.withScopedConfs(spark,
+      "spark.sql.parquet.fieldId.write.enabled" -> "true") {
+      withIds.repartition(1).write.mode("overwrite").parquet(stage)
+    }
+    val part = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val target = new java.io.File(
+      t.location.stripPrefix("file:") + "/data", "d1")
+    target.getParentFile.mkdirs()
+    java.nio.file.Files.copy(part.toPath, target.toPath)
+    t.commitSnapshot("append", added = Seq(DF(
+      content = FileContent.Data, filePath = target.toString,
+      fileFormat = "PARQUET", partition = Nil, recordCount = 100L,
+      fileSizeInBytes = target.length())), removedPaths = Set.empty)
+    val c1 = t.refresh().metadata.currentSnapshotId
+    assert(t.scan.toDF.count() === 100,
+      "the extension-less file must scan (format from the descriptor)")
+    // a MoR churn commit whose position deletes REFERENCE the
+    // extension-less file — the changelog must resolve its format
+    t.deletePositional("k <= 10")
+    val rel = t.refresh()
+    val before = ManifestIO.manifestOpens.get()
+    val out = TableChanges.changelog(rel, c1).collect()
+    val opens = ManifestIO.manifestOpens.get() - before
+    assert(out.length === 10 &&
+      out.forall(_.getAs[String]("_change_type") == "delete"))
+    assert(out.map(_.getAs[Long]("k")).sorted.toSeq === (1L to 10L).toSeq)
+    // budget: the delete commit's own new manifest. The extension-less
+    // path's fallback walk is served from the manifest cache (the live
+    // set was decoded when the delete planned) and stops at the carrying
+    // manifest — an unconditional live-set re-decode would blow this.
+    assert(opens <= 2,
+      s"changelog decoded $opens manifests — the format fallback must " +
+        "not re-decode the live set")
+  }
+
   test("eq-delete changelog prunes parent candidates by the delete FILE's " +
       "own footer bounds — a >1000-key commit reads only bound-overlapping " +
       "files, never the parent snapshot") {
