@@ -293,6 +293,65 @@ class IncrementalJoinAggSpec extends AnyFunSuite with BeforeAndAfterAll {
       MaterializedJoinAgg.bootstrap(fact, dim, mv, jv))
   }
 
+  test("persisted join-MV differential fuzz: 3 random churn rounds on BOTH " +
+      "Iceberg tables, each folded by refreshOnce, equal from-scratch at " +
+      "every step") {
+    import graft.catalog.HadoopCatalog
+    import graft.core.Schema
+    import graft.streaming.MaterializedJoinAgg
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260819L)
+    val segs = Vector("s0", "s1", "s2")
+    val wh = java.nio.file.Files.createTempDirectory("graft_mvjfuzz").toString
+    val cat = new HadoopCatalog(wh, spark)
+    var factRows = (1L to 60L).map(id =>
+      (id, rnd.nextInt(10).toLong, (rnd.nextInt(41) - 20).toLong))
+    var dimRows = (0L until 8L).map(pk => (pk, segs(rnd.nextInt(segs.size))))
+    val fact = cat.createTable("factf",
+      Schema.fromSpark(factRows.toDF("id", "fk", "v").schema),
+      properties = Map("format-version" -> "2"))
+    val dim = cat.createTable("dimf",
+      Schema.fromSpark(dimRows.toDF("pk", "seg").schema),
+      properties = Map("format-version" -> "2"))
+    fact.append(factRows.toDF("id", "fk", "v"))
+    dim.append(dimRows.toDF("pk", "seg"))
+    val mv = cat.createTable("mvf2",
+      MaterializedJoinAgg.schemaFor(jv, fact, dim),
+      properties = Map("format-version" -> "2"))
+    MaterializedJoinAgg.bootstrap(fact, dim, mv, jv)
+    var nextId = 1000L
+    for (round <- 1 to 3) {
+      // fact churn: delete a subset, upsert (move/update) a subset, births
+      val dead = factRows.filter(_ => rnd.nextInt(4) == 0)
+      if (dead.nonEmpty)
+        fact.delete(dead.map(_._1).mkString("id in (", ",", ")"))
+      val ups = factRows.filterNot(dead.contains).filter(_ => rnd.nextInt(4) == 0)
+        .map { case (id, _, _) =>
+          (id, rnd.nextInt(10).toLong, (rnd.nextInt(41) - 20).toLong) }
+      val born = (0 until rnd.nextInt(5)).map { _ =>
+        nextId += 1; (nextId, rnd.nextInt(10).toLong, (rnd.nextInt(41) - 20).toLong) }
+      if ((ups ++ born).nonEmpty)
+        fact.upsert((ups ++ born).toDF("id", "fk", "v"), Seq("id"))
+      factRows = factRows.filterNot(dead.contains)
+        .filterNot(r => ups.exists(_._1 == r._1)) ++ ups ++ born
+      // dim churn: group moves and a possible death
+      val moves = dimRows.filter(_ => rnd.nextInt(3) == 0)
+        .map { case (pk, _) => (pk, segs(rnd.nextInt(segs.size))) }
+      if (moves.nonEmpty) dim.upsert(moves.toDF("pk", "seg"), Seq("pk"))
+      dimRows = dimRows.map(r => moves.find(_._1 == r._1).getOrElse(r))
+      if (rnd.nextInt(3) == 0 && dimRows.size > 2) {
+        val gone = dimRows(rnd.nextInt(dimRows.size))._1
+        dim.delete(s"pk = $gone")
+        dimRows = dimRows.filterNot(_._1 == gone)
+      }
+      MaterializedJoinAgg.refreshOnce(fact.refresh(), dim.refresh(), mv)
+      val got = stateMap(mv.refresh().scan.toDF)
+      val want = stateMap(IncrementalJoinAgg.init(
+        factRows.toDF("id", "fk", "v"), dimRows.toDF("pk", "seg"), jv))
+      assert(got === want, s"persisted fuzz diverged at round $round")
+    }
+  }
+
   test("dim-side read prunes to the fact delta's join keys: pushed-In " +
       "through an Iceberg scan opens only bound-overlapping dim files") {
     import graft.catalog.HadoopCatalog
