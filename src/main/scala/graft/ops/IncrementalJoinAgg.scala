@@ -69,27 +69,43 @@ object IncrementalJoinAgg {
 
   /** fact ⋈ dim (inner equi-join on fk=pk) projected to the view's
     * columns — the from-scratch shape ([[init]]'s input, the caller's
-    * `reElect` base, and the differential oracle in tests). */
-  def joinRows(fact: DataFrame, dim: DataFrame, jv: JoinView): DataFrame = {
+    * `reElect` base, and the differential oracle in tests). `rowFilter`
+    * (a predicate over the JOINED row — either side's columns) makes it
+    * a FILTERED join view: applied before projection, so the predicate
+    * may reference columns the aggregates don't. */
+  def joinRows(fact: DataFrame, dim: DataFrame, jv: JoinView,
+      rowFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val fa = fact.alias("__jf")
     val da = dim.alias("__jd")
     val cond = jv.factKeys.zip(jv.dimKeys)
       .map { case (fk, pk) => fa.col(fk) === da.col(pk) }.reduce(_ && _)
     val fCols = fact.columns.toSet
-    fa.join(da, cond, "inner")
+    val joined0 = fa.join(da, cond, "inner")
+    rowFilter.map(joined0.filter).getOrElse(joined0)
       .select(viewCols(jv.agg).map(c =>
         (if (fCols(c)) fa.col(c) else da.col(c)).as(c)): _*)
   }
 
   /** Build the state from scratch over the two base relations. */
-  def init(fact: DataFrame, dim: DataFrame, jv: JoinView): DataFrame =
-    IncrementalAgg.init(joinRows(fact, dim, jv), jv.agg)
+  def init(fact: DataFrame, dim: DataFrame, jv: JoinView,
+      rowFilter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    IncrementalAgg.init(joinRows(fact, dim, jv, rowFilter), jv.agg)
 
   /** One delta part: the changelog side (carrying `_change_type`) joined
     * to the pruned non-delta side, projected to the view's columns plus
-    * the change type — each joined row inherits the changed row's ±. */
+    * the change type — each joined row inherits the changed row's ±.
+    *
+    * A `rowFilter` over the joined row is replica-correct by
+    * construction on BOTH parts: a delete pre-image (fact or dim side)
+    * re-joins with its OLD counterpart content and filters by the OLD
+    * joined row — so a row that matched p retracts, one that didn't
+    * stays silent; an insert post-image filters by the NEW joined row.
+    * A dim update moving its facts across p therefore retracts and
+    * inserts exactly (the move-out's delete pre-image matches p, the
+    * move-in's insert does). */
   private def deltaPart(changed: DataFrame, other: DataFrame,
-      changedIsFact: Boolean, jv: JoinView): DataFrame = {
+      changedIsFact: Boolean, jv: JoinView,
+      rowFilter: Option[org.apache.spark.sql.Column]): DataFrame = {
     val ca = changed.alias("__jc")
     val oa = other.alias("__jo")
     val (fSide, dSide) = if (changedIsFact) (ca, oa) else (oa, ca)
@@ -97,7 +113,8 @@ object IncrementalJoinAgg {
       .map { case (fk, pk) => fSide.col(fk) === dSide.col(pk) }.reduce(_ && _)
     val factCols =
       (if (changedIsFact) changed.columns else other.columns).toSet
-    ca.join(oa, cond, "inner")
+    val joined0 = ca.join(oa, cond, "inner")
+    rowFilter.map(joined0.filter).getOrElse(joined0)
       .select(viewCols(jv.agg).map(c =>
         (if (factCols(c)) fSide.col(c) else dSide.col(c)).as(c)) :+
         ca.col("_change_type").as("_change_type"): _*)
@@ -119,7 +136,8 @@ object IncrementalJoinAgg {
       dimBatch: Option[DataFrame],
       jv: JoinView,
       dimAtCursor: DataFrame => DataFrame,
-      factAtHead: DataFrame => DataFrame): Option[DataFrame] = {
+      factAtHead: DataFrame => DataFrame,
+      rowFilter: Option[org.apache.spark.sql.Column] = None): Option[DataFrame] = {
     val parts = Seq.newBuilder[DataFrame]
     factBatch.foreach { fb0 =>
       val fb = fb0.filter(col("_change_type").isin("insert", "delete"))
@@ -127,13 +145,15 @@ object IncrementalJoinAgg {
       // the closure prunes its scan to exactly these
       val keys = fb.select(jv.factKeys.map(col): _*).distinct()
         .toDF(jv.dimKeys: _*)
-      parts += deltaPart(fb, dimAtCursor(keys), changedIsFact = true, jv)
+      parts += deltaPart(fb, dimAtCursor(keys), changedIsFact = true, jv,
+        rowFilter)
     }
     dimBatch.foreach { db0 =>
       val db = db0.filter(col("_change_type").isin("insert", "delete"))
       val keys = db.select(jv.dimKeys.map(col): _*).distinct()
         .toDF(jv.factKeys: _*)
-      parts += deltaPart(db, factAtHead(keys), changedIsFact = false, jv)
+      parts += deltaPart(db, factAtHead(keys), changedIsFact = false, jv,
+        rowFilter)
     }
     parts.result().reduceOption(_ unionByName _)
   }
@@ -157,8 +177,10 @@ object IncrementalJoinAgg {
       jv: JoinView,
       dimAtCursor: DataFrame => DataFrame,
       factAtHead: DataFrame => DataFrame,
-      reElect: DataFrame => DataFrame): DataFrame =
-    joinDelta(factBatch, dimBatch, jv, dimAtCursor, factAtHead) match {
+      reElect: DataFrame => DataFrame,
+      rowFilter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    joinDelta(factBatch, dimBatch, jv, dimAtCursor, factAtHead,
+      rowFilter) match {
       case Some(delta) =>
         IncrementalAgg.applyChangelog(state, delta, jv.agg, reElect)
       case None => state

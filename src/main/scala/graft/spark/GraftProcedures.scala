@@ -56,7 +56,8 @@ object GraftProcedures {
       "rewrite_manifests", "rewrite_position_deletes", "rollback_to_snapshot",
       "compute_partition_stats", "rollback_to_timestamp", "set_current_snapshot",
       "fast_forward", "register_table", "add_files", "create_tag",
-      "create_branch", "remove_ref", "cdc_apply", "mv_create", "mv_refresh")
+      "create_branch", "remove_ref", "cdc_apply", "mv_create", "mv_refresh",
+      "mv_refresh_all", "mv_join_create", "mv_join_refresh")
 
   def byName(catalog: GCatalog): Map[String, UnboundProcedure] = Map(
     "expire_snapshots" -> new Proc("expire_snapshots",
@@ -396,7 +397,8 @@ object GraftProcedures {
       Seq(in("fact", StringType), in("dim", StringType), in("mv", StringType),
         in("fact_keys", StringType), in("dim_keys", StringType),
         in("keys", StringType), inDefault("sums", StringType, "''"),
-        inDefault("mins", StringType, "''"), inDefault("maxs", StringType, "''")),
+        inDefault("mins", StringType, "''"), inDefault("maxs", StringType, "''"),
+        inDefault("filter", StringType, "NULL")),
       StructType(Seq(
         StructField("groups", LongType),
         StructField("fact_cursor", StringType),
@@ -410,11 +412,13 @@ object GraftProcedures {
         val jv = graft.ops.IncrementalJoinAgg.JoinView(list(3), list(4),
           graft.ops.IncrementalAgg.AggView(list(5), list(6), list(7), list(8)))
         require(jv.agg.keys.nonEmpty, "mv_join_create needs at least one key column")
+        val filter =
+          if (input.isNullAt(9)) None else Some(input.getUTF8String(9).toString)
         val mv = catalog.createTable(input.getUTF8String(2).toString,
           MaterializedJoinAgg.schemaFor(jv, fact, dim),
           properties = Map("format-version" ->
             fact.metadata.formatVersion.toString))
-        MaterializedJoinAgg.bootstrap(fact, dim, mv, jv)
+        MaterializedJoinAgg.bootstrap(fact, dim, mv, jv, filter)
         val props = mv.refresh().metadata.properties
         Seq(Array[Any](mv.scan.toDF.count(),
           props.get(MaterializedJoinAgg.FactCursorProp).map(utf8).orNull,

@@ -46,6 +46,32 @@ object MaterializedJoinAgg {
   val FactKeysProp = "graft.mv.join-fact-keys"
   val DimKeysProp = "graft.mv.join-dim-keys"
 
+  /** A FILTERED join MV aggregates `SELECT * FROM F ⋈ D WHERE p` — the
+    * predicate (DSL string, over the JOINED row: either side's columns,
+    * including columns the aggregates don't consume) rides the MV's
+    * properties under [[MaterializedAgg.FilterProp]]. Replica-correct by
+    * construction on both delta parts: pre-images filter by their OLD
+    * joined row (retractions), post-images by the NEW one — a dim update
+    * moving its facts across p retracts and inserts exactly. */
+  private def filterColumn(fact: IceTable, dim: IceTable,
+      mv: IceTable): Option[org.apache.spark.sql.Column] =
+    mv.metadata.properties.get(MaterializedAgg.FilterProp).map { dsl =>
+      compileJoinedFilter(fact, dim, dsl)
+    }
+
+  private def compileJoinedFilter(fact: IceTable, dim: IceTable,
+      dsl: String): org.apache.spark.sql.Column = {
+    // bind against the JOINED shape with fresh positional ids (the two
+    // sides' id spaces are independent; names must be disjoint — the
+    // JoinView column contract)
+    val joined = graft.core.Schema.fromSpark(
+      org.apache.spark.sql.types.StructType(
+        (fact.schema.toSpark.fields ++ dim.schema.toSpark.fields)
+          .map(_.copy(metadata = org.apache.spark.sql.types.Metadata.empty))))
+    graft.core.ToColumn.compile(graft.core.Exprs.rewriteNot(
+      graft.core.Binder.bind(joined, graft.core.ExprParser.parse(dsl))))
+  }
+
   private def viewProps(jv: JoinView): Map[String, String] = {
     val v = jv.agg
     val all = jv.factKeys ++ jv.dimKeys ++ v.keys ++ v.sums ++ v.mins ++ v.maxs
@@ -82,7 +108,7 @@ object MaterializedJoinAgg {
     * (empty) MV table and stamp BOTH cursors — one atomic commit.
     * Returns (fact cursor, dim cursor). */
   def bootstrap(fact: IceTable, dim: IceTable, mv: IceTable,
-      jv: JoinView): (Option[Long], Option[Long]) = {
+      jv: JoinView, filter: Option[String] = None): (Option[Long], Option[Long]) = {
     fact.refresh(); dim.refresh(); mv.refresh()
     require(mv.metadata.properties.get(FactCursorProp).isEmpty &&
       mv.metadata.properties.get(MaterializedAgg.CursorProp).isEmpty,
@@ -91,9 +117,10 @@ object MaterializedJoinAgg {
     val hf = fact.metadata.currentSnapshotId
     val hd = dim.metadata.currentSnapshotId
     if (hf.isEmpty || hd.isEmpty) return (None, None)
+    val f = filter.map(compileJoinedFilter(fact, dim, _)) // validates the DSL
     val full = IncrementalJoinAgg.init(
       fact.scan.useSnapshot(hf.get).toDF,
-      dim.scan.useSnapshot(hd.get).toDF, jv)
+      dim.scan.useSnapshot(hd.get).toDF, jv, f)
     val guardF = IceTable.guardedCursorStamp(
       mv.name, None, hf.get.toString, FactCursorProp)
     val guardD = IceTable.guardedCursorStamp(
@@ -101,7 +128,8 @@ object MaterializedJoinAgg {
     mv.applyKeyed(None, jv.agg.keys, Some(full),
       m => {
         val g = guardD(guardF(m))
-        g.copy(properties = g.properties ++ viewProps(jv))
+        g.copy(properties = g.properties ++ viewProps(jv) ++
+          filter.map(MaterializedAgg.FilterProp -> _))
       },
       mv.metadata.currentSnapshotId)
     (hf, hd)
@@ -139,6 +167,7 @@ object MaterializedJoinAgg {
         hd.toString, DimCursorProp)(
         IceTable.guardedCursorStamp(mv.name, cf.map(_.toString),
           hf.toString, FactCursorProp)(m))
+    val f = filterColumn(fact, dim, mv)
     val fb = Option.when(!cf.contains(hf))(
       TableChanges.changelog(fact, cf, Some(hf)))
     val db = Option.when(!cd.contains(hd))(
@@ -151,7 +180,8 @@ object MaterializedJoinAgg {
       // ΔD re-enriches only the facts referencing churned dim rows, read
       // at the fact head this refresh folds to
       factAtHead = keys => Joins.nullSafeSemi(
-        fact.scan.useSnapshot(hf).toDF, keys, jv.factKeys)) match {
+        fact.scan.useSnapshot(hf).toDF, keys, jv.factKeys),
+      rowFilter = f) match {
       case Some(d) =>
         d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       case None =>
@@ -172,7 +202,7 @@ object MaterializedJoinAgg {
         keys => Joins.nullSafeSemi(
           IncrementalJoinAgg.joinRows(
             fact.scan.useSnapshot(hf).toDF,
-            dim.scan.useSnapshot(hd).toDF, jv),
+            dim.scan.useSnapshot(hd).toDF, jv, f),
           keys, jv.agg.keys))
       MaterializedAgg.landChanged(mv, jv.agg.keys, state, touched, st1, stamp)
     } finally { touched.unpersist(); delta.unpersist() }

@@ -293,6 +293,50 @@ class IncrementalJoinAggSpec extends AnyFunSuite with BeforeAndAfterAll {
       MaterializedJoinAgg.bootstrap(fact, dim, mv, jv))
   }
 
+  test("FILTERED join MV: a predicate over the JOINED row (a non-view dim " +
+      "column) retracts/inserts exactly as dim churn moves facts across p") {
+    import graft.catalog.HadoopCatalog
+    import graft.core.Schema
+    import graft.streaming.MaterializedJoinAgg
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_mvjfilt").toString
+    val cat = new HadoopCatalog(wh, spark)
+    // dim carries a TIER column the aggregates never consume — the
+    // filter references it through the join
+    val factRows = Seq((1L, 1L, 10L), (2L, 1L, 30L), (3L, 2L, 5L), (4L, 3L, 7L))
+      .toDF("id", "fk", "v")
+    val dimRows = Seq((1L, "a", "gold"), (2L, "a", "basic"), (3L, "b", "gold"))
+      .toDF("pk", "seg", "tier")
+    val fact = cat.createTable("factg", Schema.fromSpark(factRows.schema),
+      properties = Map("format-version" -> "2"))
+    val dim = cat.createTable("dimg", Schema.fromSpark(dimRows.schema),
+      properties = Map("format-version" -> "2"))
+    fact.append(factRows); dim.append(dimRows)
+    val mv = cat.createTable("mvg",
+      MaterializedJoinAgg.schemaFor(jv, fact, dim),
+      properties = Map("format-version" -> "2"))
+    MaterializedJoinAgg.bootstrap(fact, dim, mv, jv,
+      filter = Some("tier = 'gold'"))
+    def mvMap(): Map[String, (Long, Long)] =
+      mv.refresh().scan.toDF.collect().map(r =>
+        r.getAs[String]("seg") -> ((r.getAs[Long]("cnt"),
+          r.getAs[Long]("s_v")))).toMap
+    // only gold-tier customers aggregate: pk1 (a: 10+30), pk3 (b: 7)
+    assert(mvMap() === Map("a" -> ((2L, 40L)), "b" -> ((1L, 7L))))
+    // dim churn across p: pk2 basic→gold (its fact ENTERS the view),
+    // pk1 gold→basic (its two facts LEAVE — group a survives via pk2)
+    dim.upsert(Seq((2L, "a", "gold"), (1L, "a", "basic"))
+      .toDF("pk", "seg", "tier"), Seq("pk"))
+    val (r1, d1) = MaterializedJoinAgg.refreshOnce(fact, dim, mv)
+    assert(mvMap() === Map("a" -> ((1L, 5L)), "b" -> ((1L, 7L))))
+    assert(r1 === 1L && d1 === 0L)
+    // fact churn below p stays silent; above p folds
+    fact.upsert(Seq((5L, 1L, 99L), (6L, 3L, 2L)).toDF("id", "fk", "v"), Seq("id"))
+    MaterializedJoinAgg.refreshOnce(fact, dim, mv)
+    // fk1 is basic now (silent); fk3 is gold → b gains 2
+    assert(mvMap() === Map("a" -> ((1L, 5L)), "b" -> ((2L, 9L))))
+  }
+
   test("persisted join-MV differential fuzz: 3 random churn rounds on BOTH " +
       "Iceberg tables, each folded by refreshOnce, equal from-scratch at " +
       "every step") {
