@@ -223,6 +223,9 @@ object MaterializedAgg {
       prepare: DataFrame => DataFrame = identity): (Long, Long) = {
     source.refresh(); mv.refresh()
     val head = source.metadata.currentSnapshotId.getOrElse(return (0L, 0L))
+    require(!mv.metadata.properties.contains(MaterializedJoinAgg.FactCursorProp),
+      s"table ${mv.name} is a JOIN materialized view (two cursors) — " +
+        "refresh it with MaterializedJoinAgg.refreshOnce(fact, dim, mv)")
     val stored = mv.metadata.properties.get(CursorProp).map(_.toLong)
     require(stored.nonEmpty,
       s"table ${mv.name} has no MV cursor — bootstrap it first")
