@@ -54,13 +54,22 @@ object IncrementalJoinAgg {
 
   /** The join-view definition: fk columns on the fact side, matching pk
     * columns on the (unique-keyed) dim side, and the aggregate view over
-    * the joined relation. */
+    * the joined relation. `joinType` is "inner" (default) or "left" —
+    * LEFT OUTER keeps unmatched facts as NULL-padded rows (dim columns
+    * null), maintained by the pad-delta rule (see [[joinDelta]]):
+    * count(*) counts pads, sums/extrema over dim columns ignore them,
+    * and a dim-side group key collects pads under the NULL group (the
+    * fold's key joins are null-safe already). */
   final case class JoinView(
       factKeys: Seq[String],
       dimKeys: Seq[String],
-      agg: AggView) {
+      agg: AggView,
+      joinType: String = "inner") {
     require(factKeys.nonEmpty && factKeys.size == dimKeys.size,
       s"join keys must pair up: fact=$factKeys dim=$dimKeys")
+    require(joinType == "inner" || joinType == "left",
+      s"joinType must be 'inner' or 'left', got '$joinType'")
+    def leftOuter: Boolean = joinType == "left"
   }
 
   /** Columns of the joined relation the view consumes. */
@@ -80,7 +89,8 @@ object IncrementalJoinAgg {
     val cond = jv.factKeys.zip(jv.dimKeys)
       .map { case (fk, pk) => fa.col(fk) === da.col(pk) }.reduce(_ && _)
     val fCols = fact.columns.toSet
-    val joined0 = fa.join(da, cond, "inner")
+    val joined0 = fa.join(da,
+      cond, if (jv.leftOuter) "left_outer" else "inner")
     rowFilter.map(joined0.filter).getOrElse(joined0)
       .select(viewCols(jv.agg).map(c =>
         (if (fCols(c)) fa.col(c) else da.col(c)).as(c)): _*)
@@ -120,10 +130,46 @@ object IncrementalJoinAgg {
         ca.col("_change_type").as("_change_type"): _*)
   }
 
+  /** NULL-padded view rows for unmatched facts (the LEFT OUTER pad
+    * side): `factRows` carries the fact columns plus `_change_type`;
+    * every dim-side view column becomes a typed NULL. `rowFilter` (over
+    * the padded joined row — SQL's WHERE after a left join sees the
+    * pads) applies before projection. */
+  private def padRows(factRows: DataFrame,
+      dimSchema: org.apache.spark.sql.types.StructType, jv: JoinView,
+      rowFilter: Option[org.apache.spark.sql.Column]): DataFrame = {
+    val fCols = factRows.columns.filter(_ != "_change_type")
+    val fSet = fCols.toSet
+    val padded = factRows.select(
+      (fCols.map(col).toSeq ++
+        dimSchema.fields.toSeq.filterNot(f => fSet(f.name))
+          .map(f => lit(null).cast(f.dataType).as(f.name))) :+
+        col("_change_type"): _*)
+    rowFilter.map(padded.filter).getOrElse(padded)
+      .select(viewCols(jv.agg).map(col) :+ col("_change_type"): _*)
+  }
+
   /** The changes of (fact ⋈ dim) implied by one fact changelog batch
     * and/or one dim changelog batch — a changelog of the JOIN, directly
     * consumable by [[IncrementalAgg.applyChangelog]]. Either side may be
     * None (only the other churned).
+    *
+    * LEFT OUTER views add the PAD-DELTA rule on top of the inner parts:
+    *
+    *  - ΔF rows whose fk has NO dim match at the dim cursor produce
+    *    ±NULL-padded rows directly (anti-join against the already-pruned
+    *    dim read — no second scan);
+    *  - ΔD presence TRANSITIONS repad the referencing facts at head: a
+    *    pk whose batch net (+inserts −deletes) is +1 went absent→present
+    *    (its facts' pads RETRACT — their matched rows arrive via the
+    *    inner ΔD part), net −1 went present→absent (pads INSERT); net 0
+    *    (an update, or insert+delete of a transient pk) changes no pads.
+    *    With the dim unique on pk the net fully determines the
+    *    transition, so one churn-sized groupBy decides — never a dim
+    *    read. The cross terms stay exact: a fact and its dim row both
+    *    born (or both dying) in one round cancel pads between the ΔF
+    *    anti-join (judged at the dim CURSOR) and the ΔD repad (facts at
+    *    HEAD).
     *
     * COMPOSES for snowflake schemas: the result is itself a changelog,
     * so `F ⋈ D1 ⋈ D2` maintains by chaining — level 1 carries the
@@ -145,15 +191,40 @@ object IncrementalJoinAgg {
       // the closure prunes its scan to exactly these
       val keys = fb.select(jv.factKeys.map(col): _*).distinct()
         .toDF(jv.dimKeys: _*)
-      parts += deltaPart(fb, dimAtCursor(keys), changedIsFact = true, jv,
-        rowFilter)
+      val dimC = dimAtCursor(keys)
+      parts += deltaPart(fb, dimC, changedIsFact = true, jv, rowFilter)
+      if (jv.leftOuter) {
+        // churned facts with no dim match at the cursor: ±pad rows
+        val fa = fb.alias("__jc"); val da = dimC.alias("__jo")
+        val cond = jv.factKeys.zip(jv.dimKeys)
+          .map { case (fk, pk) => fa.col(fk) === da.col(pk) }.reduce(_ && _)
+        parts += padRows(fa.join(da, cond, "left_anti"), dimC.schema, jv,
+          rowFilter)
+      }
     }
     dimBatch.foreach { db0 =>
       val db = db0.filter(col("_change_type").isin("insert", "delete"))
       val keys = db.select(jv.dimKeys.map(col): _*).distinct()
         .toDF(jv.factKeys: _*)
-      parts += deltaPart(db, factAtHead(keys), changedIsFact = false, jv,
-        rowFilter)
+      val factsH = factAtHead(keys)
+      parts += deltaPart(db, factsH, changedIsFact = false, jv, rowFilter)
+      if (jv.leftOuter) {
+        // per-pk presence transition from the batch's net weight (dim
+        // unique on pk): +1 → absent→present → pads retract; −1 →
+        // present→absent → pads insert; 0 → no pad change
+        val w = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+        val trans = db.groupBy(jv.dimKeys.map(col): _*)
+          .agg(sum(w).as("__net")).filter(col("__net") =!= 0L)
+          .withColumn("_change_type",
+            when(col("__net") > 0L, "delete").otherwise("insert"))
+        val fa = factsH.alias("__jf"); val ta = trans.alias("__jt")
+        val cond = jv.factKeys.zip(jv.dimKeys)
+          .map { case (fk, pk) => fa.col(fk) === ta.col(pk) }.reduce(_ && _)
+        val repad = fa.join(ta, cond, "inner")
+          .select(factsH.columns.map(c => fa.col(c)).toSeq :+
+            ta.col("_change_type").as("_change_type"): _*)
+        parts += padRows(repad, db.drop("_change_type").schema, jv, rowFilter)
+      }
     }
     parts.result().reduceOption(_ unionByName _)
   }

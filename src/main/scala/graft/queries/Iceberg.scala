@@ -1461,6 +1461,186 @@ object Iceberg {
         col("mx_o_totalprice").as("max_price"))
       .orderBy(col("c_mktsegment")))
   }
+  /** EXACT COUNT(DISTINCT) IVM (r15): the two-level support-table tier
+    * — distinct counts are not ±retractable (deleting one copy of a
+    * duplicated value must NOT decrement), so `IncrementalDistinct`
+    * maintains `GROUP BY (keys, value) COUNT(*)` as a support (itself a
+    * plain retractable aggregate view) and derives `COUNT(DISTINCT)` as
+    * the surviving non-null support rows per group — support-sized,
+    * never corpus-sized. The churn collapses custkeys into a smaller
+    * domain (duplicate retirements that must NOT move the count until
+    * the last copy dies), moves orders across priority groups, and
+    * retires whole slices; the oracle recomputes COUNT(DISTINCT) from
+    * scratch. The reference has no IVM; at 100 TB the support is a
+    * bucketed maintained table and each batch touches only its own
+    * (group, value) pairs. */
+  def mvDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{IncrementalAgg, IncrementalDistinct}
+    import graft.ops.IncrementalAgg.AggView
+    import graft.ops.IncrementalDistinct.DistinctView
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+    val cat = s"gmvd${sqlCatSeq.incrementAndGet()}"
+    val whDir = Files.createTempDirectory("graft_mvdist").toString
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", whDir)
+    val tab = new HadoopCatalog(whDir, s).createTable("db.orders",
+      Schema.fromSpark(orders.schema),
+      properties = Map("format-version" -> "2",
+        "write.delete.mode" -> "merge-on-read",
+        "write.update.mode" -> "merge-on-read"))
+    tab.append(orders)
+    val gv = AggView(keys = Seq("o_orderpriority"))
+    val dvw = DistinctView(keys = Seq("o_orderpriority"), col = "o_custkey")
+    val c0 = tab.refresh().metadata.currentSnapshotId
+    var st = IncrementalAgg.init(tab.scan.useSnapshot(c0.get).toDF, gv)
+    var sup = IncrementalDistinct.initSupport(
+      tab.scan.useSnapshot(c0.get).toDF, dvw)
+    var cur = c0
+    def fold(): Unit = {
+      val rel = tab.refresh()
+      val head = rel.metadata.currentSnapshotId
+      val fb = graft.streaming.TableChanges.changelog(rel, cur, head)
+      st = IncrementalAgg.applyChangelog(st, fb, gv,
+        _ => sys.error("count-only view never re-elects"))
+      sup = IncrementalDistinct.applySupport(sup, fb, dvw)
+      cur = head
+    }
+    // round 1: retire a slice; collapse custkeys into a 50-wide domain
+    // (duplicate births + retirements against surviving copies)
+    s.sql(s"DELETE FROM $cat.db.orders WHERE o_orderkey % 9 = 1")
+    s.sql(s"UPDATE $cat.db.orders SET o_custkey = o_custkey % 50 " +
+      "WHERE o_orderkey % 9 = 2")
+    fold()
+    // round 2: move orders across priority groups; retire another slice
+    s.sql(s"UPDATE $cat.db.orders SET o_orderpriority = '9-SPECIAL' " +
+      "WHERE o_orderkey % 9 = 3")
+    s.sql(s"DELETE FROM $cat.db.orders WHERE o_orderkey % 9 = 4")
+    fold()
+    nonEmpty(IncrementalDistinct.withDistinct(st, sup, dvw)
+      .select(col("o_orderpriority").as("prio"), col("cnt"),
+        col("cd_o_custkey").as("cd_custkey"))
+      .orderBy(col("prio")))
+  }
+
+  val mvDistinctSql =
+    """WITH fact1 AS (
+      |  SELECT
+      |    CASE WHEN o_orderkey % 9 = 3 THEN '9-SPECIAL'
+      |         ELSE o_orderpriority END AS o_orderpriority,
+      |    CASE WHEN o_orderkey % 9 = 2 THEN o_custkey % 50
+      |         ELSE o_custkey END AS o_custkey
+      |  FROM orders WHERE o_orderkey % 9 NOT IN (1, 4))
+      |SELECT o_orderpriority AS prio, count(*) AS cnt,
+      |  count(DISTINCT o_custkey) AS cd_custkey
+      |FROM fact1 GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  /** LEFT-OUTER-JOIN IVM (r15): the pad-delta tier — a `fact ⟕ dim →
+    * GROUP BY` view where unmatched facts survive as NULL-padded rows,
+    * maintained incrementally. On top of the inner delta rule, churned
+    * facts with no dim match at the cursor produce ±pads directly (an
+    * anti-join against the already-pruned dim read), and dim presence
+    * TRANSITIONS (per-pk batch net: +1 absent→present, −1
+    * present→absent) repad exactly the referencing facts at head — one
+    * churn-sized groupBy decides, never a corpus read. The churn here
+    * exercises all pad shapes: the dim starts MISSING 20% of customers
+    * (their orders pad under the NULL segment), a dim delete repads its
+    * orders, and a later ingest of the missing customers UNPADS them
+    * into real groups. The oracle recomputes the final LEFT JOIN from
+    * scratch; the reference has no IVM at all. */
+  def mvLeftJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.IncrementalAgg.AggView
+    import graft.ops.{IncrementalJoinAgg, Joins}
+    import graft.ops.IncrementalJoinAgg.JoinView
+    val fact0 = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val dimFull = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val dim0 = dimFull.filter(col("c_custkey") % 5 =!= 0) // 20% dangle
+    val cat = s"gmvlj${sqlCatSeq.incrementAndGet()}"
+    val whDir = Files.createTempDirectory("graft_mvljoin").toString
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", whDir)
+    val hc = new HadoopCatalog(whDir, s)
+    val morProps = Map("format-version" -> "2",
+      "write.delete.mode" -> "merge-on-read",
+      "write.update.mode" -> "merge-on-read")
+    val factTab = hc.createTable("db.orders", Schema.fromSpark(fact0.schema),
+      properties = morProps)
+    val dimTab = hc.createTable("db.customer", Schema.fromSpark(dim0.schema),
+      properties = morProps)
+    factTab.append(fact0)
+    dimTab.append(dim0)
+    val c0f = factTab.refresh().metadata.currentSnapshotId
+    val c0d = dimTab.refresh().metadata.currentSnapshotId
+    val jv = JoinView(factKeys = Seq("o_custkey"), dimKeys = Seq("c_custkey"),
+      agg = AggView(keys = Seq("c_mktsegment"), sums = Seq("o_orderkey"),
+        mins = Seq("o_totalprice"), maxs = Seq("o_totalprice")),
+      joinType = "left")
+    val state0 = IncrementalJoinAgg.init(
+      factTab.scan.useSnapshot(c0f.get).toDF,
+      dimTab.scan.useSnapshot(c0d.get).toDF, jv)
+    def applyRound(state: DataFrame, fCur: Option[Long], dCur: Option[Long])
+        : (DataFrame, Option[Long], Option[Long]) = {
+      val fRel = factTab.refresh(); val dRel = dimTab.refresh()
+      val hF = fRel.metadata.currentSnapshotId
+      val hD = dRel.metadata.currentSnapshotId
+      val fb = Option.when(hF != fCur)(
+        graft.streaming.TableChanges.changelog(fRel, fCur, hF))
+      val db = Option.when(hD != dCur)(
+        graft.streaming.TableChanges.changelog(dRel, dCur, hD))
+      val st1 = IncrementalJoinAgg.applyChangelog(state, fb, db, jv,
+        dimAtCursor = keys => dimTab.scan.useSnapshot(dCur.get).toDF
+          .join(keys, Seq("c_custkey"), "left_semi"),
+        factAtHead = keys => factTab.scan.useSnapshot(hF.get).toDF
+          .join(keys, Seq("o_custkey"), "left_semi"),
+        // the NULL group (pads) holes too — null-safe elector semi-join
+        reElect = keys => Joins.nullSafeSemi(
+          IncrementalJoinAgg.joinRows(
+            factTab.scan.useSnapshot(hF.get).toDF,
+            dimTab.scan.useSnapshot(hD.get).toDF, jv),
+          keys, Seq("c_mktsegment")))
+      (st1, hF, hD)
+    }
+    // round 1: fact deletes + price raises; a dim delete REPADS its orders
+    s.sql(s"DELETE FROM $cat.db.orders WHERE o_orderkey % 9 = 1")
+    s.sql(s"UPDATE $cat.db.orders SET o_totalprice = o_totalprice + 1000 " +
+      "WHERE o_orderkey % 9 = 2")
+    s.sql(s"DELETE FROM $cat.db.customer WHERE c_custkey % 7 = 3")
+    val (state1, h1f, h1d) = applyRound(state0, c0f, c0d)
+    // round 2: the missing customers ARRIVE (pads retract into their
+    // groups), then a segment move over the grown dim
+    dimTab.refresh().append(dimFull.filter(col("c_custkey") % 5 === 0))
+    s.sql(s"UPDATE $cat.db.customer SET c_mktsegment = 'BUILDING' " +
+      "WHERE c_custkey % 7 = 5")
+    val (state2, _, _) = applyRound(state1, h1f, h1d)
+    nonEmpty(state2.select(
+        coalesce(col("c_mktsegment"), lit("UNMATCHED")).as("seg"), col("cnt"),
+        col("s_o_orderkey").as("sum_key"),
+        col("mn_o_totalprice").as("min_price"),
+        col("mx_o_totalprice").as("max_price"))
+      .orderBy(col("seg")))
+  }
+
+  val mvLeftJoinSql =
+    """WITH fact1 AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey % 9 = 2 THEN o_totalprice + 1000
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 9 <> 1),
+      |dim1 AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 7 = 5 THEN 'BUILDING'
+      |         ELSE c_mktsegment END AS c_mktsegment
+      |  FROM customer WHERE c_custkey % 5 = 0 OR c_custkey % 7 <> 3)
+      |SELECT coalesce(c_mktsegment, 'UNMATCHED') AS seg, count(*) AS cnt,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+      |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+      |FROM fact1 LEFT JOIN dim1 ON o_custkey = c_custkey
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   /** JOIN-MV TABLE (r15): the persisted, exactly-once face of join-view
     * IVM — `graft.streaming.MaterializedJoinAgg` keeps the join
     * aggregate in its own Iceberg TABLE carrying TWO refresh cursors
@@ -2582,6 +2762,8 @@ object Iceberg {
     "ds_curate_cdc" -> (curateCdc _),
     "ds_mv_incremental" -> (mvIncremental _),
     "ds_mv_join" -> (mvJoin _),
+    "ds_mv_left_join" -> (mvLeftJoin _),
+    "ds_mv_distinct" -> (mvDistinct _),
     "ice_mv_table" -> (mvTable _),
     "ice_mv_join_table" -> (mvJoinTable _),
     "ice_cdc_filtered" -> (cdcFiltered _),
@@ -2651,6 +2833,8 @@ object Iceberg {
     "ds_curate_cdc" -> curateCdcSql,
     "ds_mv_incremental" -> mvIncrementalSql,
     "ds_mv_join" -> mvJoinSql,
+    "ds_mv_left_join" -> mvLeftJoinSql,
+    "ds_mv_distinct" -> mvDistinctSql,
     "ice_mv_table" -> mvTableSql,
     "ice_mv_join_table" -> mvJoinSql,
     "ice_cdc_filtered" -> cdcFilteredSql,

@@ -392,13 +392,16 @@ object GraftProcedures {
     // keys => 'c_mktsegment' [, sums/mins/maxs => …])` creates +
     // full-builds, stamping BOTH cursors and the join-view definition in
     // one commit; `mv_join_refresh(fact, dim, mv)` folds both sides'
-    // changelogs exactly-once on any cadence.
+    // changelogs exactly-once on any cadence. `join_type => 'left'`
+    // makes it a LEFT OUTER view (unmatched facts kept, dim columns
+    // NULL-padded, maintained by the pad-delta rule).
     "mv_join_create" -> new Proc("mv_join_create",
       Seq(in("fact", StringType), in("dim", StringType), in("mv", StringType),
         in("fact_keys", StringType), in("dim_keys", StringType),
         in("keys", StringType), inDefault("sums", StringType, "''"),
         inDefault("mins", StringType, "''"), inDefault("maxs", StringType, "''"),
-        inDefault("filter", StringType, "NULL")),
+        inDefault("filter", StringType, "NULL"),
+        inDefault("join_type", StringType, "'inner'")),
       StructType(Seq(
         StructField("groups", LongType),
         StructField("fact_cursor", StringType),
@@ -410,7 +413,8 @@ object GraftProcedures {
         def list(i: Int) = input.getUTF8String(i).toString
           .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
         val jv = graft.ops.IncrementalJoinAgg.JoinView(list(3), list(4),
-          graft.ops.IncrementalAgg.AggView(list(5), list(6), list(7), list(8)))
+          graft.ops.IncrementalAgg.AggView(list(5), list(6), list(7), list(8)),
+          input.getUTF8String(10).toString)
         require(jv.agg.keys.nonEmpty, "mv_join_create needs at least one key column")
         val filter =
           if (input.isNullAt(9)) None else Some(input.getUTF8String(9).toString)

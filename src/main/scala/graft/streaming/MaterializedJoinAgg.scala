@@ -45,6 +45,7 @@ object MaterializedJoinAgg {
   val DimCursorProp = "graft.mv.dim-cursor"
   val FactKeysProp = "graft.mv.join-fact-keys"
   val DimKeysProp = "graft.mv.join-dim-keys"
+  val JoinTypeProp = "graft.mv.join-type" // "inner" (absent = inner) | "left"
 
   /** A FILTERED join MV aggregates `SELECT * FROM F ⋈ D WHERE p` — the
     * predicate (DSL string, over the JOINED row: either side's columns,
@@ -79,6 +80,7 @@ object MaterializedJoinAgg {
       "view column names must not contain ','")
     Map(FactKeysProp -> jv.factKeys.mkString(","),
       DimKeysProp -> jv.dimKeys.mkString(","),
+      JoinTypeProp -> jv.joinType,
       MaterializedAgg.KeysProp -> v.keys.mkString(","),
       MaterializedAgg.SumsProp -> v.sums.mkString(","),
       MaterializedAgg.MinsProp -> v.mins.mkString(","),
@@ -93,7 +95,8 @@ object MaterializedJoinAgg {
       dk <- mv.metadata.properties.get(DimKeysProp)
       agg <- MaterializedAgg.viewOf(mv)
     } yield JoinView(fk.split(",").toSeq.filter(_.nonEmpty),
-      dk.split(",").toSeq.filter(_.nonEmpty), agg)
+      dk.split(",").toSeq.filter(_.nonEmpty), agg,
+      mv.metadata.properties.getOrElse(JoinTypeProp, "inner"))
 
   /** The MV table's schema for `jv` over the two sources (fresh ids —
     * same rationale as [[MaterializedAgg.schemaFor]]). */

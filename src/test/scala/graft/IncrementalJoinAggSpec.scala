@@ -396,6 +396,57 @@ class IncrementalJoinAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("persisted LEFT OUTER MV: the join type rides the table's " +
+      "properties; dim births unpad and deaths repad through the " +
+      "changelog feed, exactly-once") {
+    import graft.catalog.HadoopCatalog
+    import graft.core.Schema
+    import graft.streaming.MaterializedJoinAgg
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_mvjleft").toString
+    val cat = new HadoopCatalog(wh, spark)
+    val jvLeft = jv.copy(joinType = "left")
+    // fks 1,2,9 — pk 9 has no dim row: pads under the NULL group
+    val factRows = Seq((1L, 1L, 10L), (2L, 2L, 30L), (3L, 9L, 5L), (4L, 9L, 8L))
+      .toDF("id", "fk", "v")
+    val dimRows = Seq((1L, "a"), (2L, "b")).toDF("pk", "seg")
+    val fact = cat.createTable("factl", Schema.fromSpark(factRows.schema),
+      properties = Map("format-version" -> "2"))
+    val dim = cat.createTable("diml", Schema.fromSpark(dimRows.schema),
+      properties = Map("format-version" -> "2"))
+    fact.append(factRows); dim.append(dimRows)
+    val mv = cat.createTable("mvl",
+      MaterializedJoinAgg.schemaFor(jvLeft, fact, dim),
+      properties = Map("format-version" -> "2"))
+    MaterializedJoinAgg.bootstrap(fact, dim, mv, jvLeft)
+    assert(MaterializedJoinAgg.viewOf(mv.refresh()) === Some(jvLeft),
+      "the join type must ride the MV's properties")
+    def mvMap(): Map[String, (Long, Long)] =
+      mv.refresh().scan.toDF.collect().map(r =>
+        String.valueOf(r.getAs[Any]("seg")) ->
+          ((r.getAs[Long]("cnt"), r.getAs[Long]("s_v")))).toMap
+    assert(mvMap() === Map(
+      "a" -> ((1L, 10L)), "b" -> ((1L, 30L)), "null" -> ((2L, 13L))))
+    // dim BIRTH pk=9: the two pads retract into the new group — and dim
+    // DEATH pk=1 repads its fact, one refresh folding both
+    dim.append(Seq((9L, "c")).toDF("pk", "seg"))
+    dim.delete("pk = 1")
+    MaterializedJoinAgg.refreshOnce(fact.refresh(), dim.refresh(), mv)
+    assert(mvMap() === Map(
+      "b" -> ((1L, 30L)), "c" -> ((2L, 13L)), "null" -> ((1L, 10L))))
+    // replay no-ops (exactly-once)
+    assert(MaterializedJoinAgg.refreshOnce(fact, dim, mv) === ((0L, 0L)))
+    // fact churn against the padded group: retire one pad... (fk=1 still
+    // dangles — pk 1 died), matching the from-scratch left join
+    fact.delete("id = 1")
+    MaterializedJoinAgg.refreshOnce(fact.refresh(), dim, mv)
+    assert(mvMap() === Map("b" -> ((1L, 30L)), "c" -> ((2L, 13L))))
+    val want = stateMap(IncrementalJoinAgg.init(
+      fact.scan.toDF.select(col("fk"), col("v")),
+      dim.scan.toDF, jvLeft))
+    assert(stateMap(mv.refresh().scan.toDF) === want)
+  }
+
   test("dim-side read prunes to the fact delta's join keys: pushed-In " +
       "through an Iceberg scan opens only bound-overlapping dim files") {
     import graft.catalog.HadoopCatalog
@@ -438,5 +489,118 @@ class IncrementalJoinAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dimRead.nonEmpty && dimRead.subsetOf(dimFilesA),
       s"dim read must open only file A, read: ${dimRead -- dimFilesA}")
     assert(stateMap(st1) === Map("a" -> ((2L, 45L, 20L, 25L))))
+  }
+
+  // ---- LEFT OUTER join views (r15): pads + presence-transition repads ----
+
+  private val jvL = jv.copy(joinType = "left")
+
+  private def apply1L(state: DataFrame, fb: Option[DataFrame],
+      db: Option[DataFrame], dimOld: DataFrame, factNew: DataFrame,
+      dimNew: DataFrame): DataFrame =
+    IncrementalJoinAgg.applyChangelog(state, fb, db, jvL,
+      dimAtCursor = keys => dimOld.join(keys, Seq("pk"), "left_semi"),
+      factAtHead = keys => factNew.join(keys, Seq("fk"), "left_semi"),
+      // the NULL group (pads) can hole too — its key tuple is (null),
+      // so the elector's semi-join must be null-safe
+      reElect = keys => graft.ops.Joins.nullSafeSemi(
+        IncrementalJoinAgg.joinRows(factNew, dimNew, jvL), keys, Seq("seg")))
+
+  test("LEFT OUTER view: dangling facts pad under the NULL group; a dim " +
+      "birth retracts its facts' pads; a dim death repads survivors; an " +
+      "update (net 0) moves groups without touching pads; retiring a " +
+      "pad re-elects the NULL group's extremum null-safely") {
+    val d0 = dim(Seq((1L, "a")))
+    val f0 = fact(Seq((1L, 10L), (2L, 7L), (2L, 3L))) // fk=2 dangles
+    val st0 = IncrementalJoinAgg.init(f0, d0, jvL)
+    assert(stateMap(st0) === Map(
+      "a" -> ((1L, 10L, 10L, 10L)), "null" -> ((2L, 10L, 3L, 7L))))
+    // dim birth pk=2: its facts' pads retract, matched rows land
+    val db1 = dimBatch(Seq((2L, "b", "insert")))
+    val d1 = dim(Seq((1L, "a"), (2L, "b")))
+    val st1 = apply1L(st0, None, Some(db1), d0, f0, d1)
+    assert(stateMap(st1) === Map(
+      "a" -> ((1L, 10L, 10L, 10L)), "b" -> ((2L, 10L, 3L, 7L))))
+    // dim death pk=1: its fact repads into the NULL group
+    val db2 = dimBatch(Seq((1L, "a", "delete")))
+    val d2 = dim(Seq((2L, "b")))
+    val st2 = apply1L(st1, None, Some(db2), d1, f0, d2)
+    assert(stateMap(st2) === Map(
+      "null" -> ((1L, 10L, 10L, 10L)), "b" -> ((2L, 10L, 3L, 7L))))
+    // dim UPDATE (delete+insert, net 0): group moves, pads untouched
+    val db3 = dimBatch(Seq((2L, "b", "delete"), (2L, "c", "insert")))
+    val d3 = dim(Seq((2L, "c")))
+    val st3 = apply1L(st2, None, Some(db3), d2, f0, d3)
+    assert(stateMap(st3) === Map(
+      "null" -> ((1L, 10L, 10L, 10L)), "c" -> ((2L, 10L, 3L, 7L))))
+    // fact churn on the padded side: retire the NULL group's extremum
+    // holder (fk=1 dangles now) — hole re-election under the null key
+    val fb = factBatch(Seq((1L, 10L, "delete"), (1L, 4L, "insert")))
+    val f1 = fact(Seq((1L, 4L), (2L, 7L), (2L, 3L)))
+    val st4 = apply1L(st3, Some(fb), None, d3, f1, d3)
+    assert(stateMap(st4) === Map(
+      "null" -> ((1L, 4L, 4L, 4L)), "c" -> ((2L, 10L, 3L, 7L))))
+  }
+
+  test("LEFT OUTER cross terms are exact: a fact and its dim row born in " +
+      "one round cancel pads; a fact dying with its dim row nets clean") {
+    val d0 = dim(Seq((1L, "a")))
+    val f0 = fact(Seq((1L, 10L)))
+    val st0 = IncrementalJoinAgg.init(f0, d0, jvL)
+    // same round: fact fk=2 AND dim pk=2 born; fact (1,10) dies WITH pk 1
+    val fb = factBatch(Seq((2L, 5L, "insert"), (1L, 10L, "delete")))
+    val db = dimBatch(Seq((2L, "b", "insert"), (1L, "a", "delete")))
+    val f1 = fact(Seq((2L, 5L)))
+    val d1 = dim(Seq((2L, "b")))
+    val st1 = apply1L(st0, Some(fb), Some(db), d0, f1, d1)
+    assert(stateMap(st1) === stateMap(IncrementalJoinAgg.init(f1, d1, jvL)))
+    assert(stateMap(st1) === Map("b" -> ((1L, 5L, 5L, 5L))))
+  }
+
+  test("LEFT OUTER chained differential fuzz: fact+dim churn across 6 " +
+      "rounds equals the from-scratch left join+aggregate at every step") {
+    val rnd = new scala.util.Random(20260816L)
+    val segs = Vector("s0", "s1", "s2", "s3")
+    for (scenario <- 1 to 4) {
+      var dimRows = (0L until (3 + rnd.nextInt(5)).toLong)
+        .map(pk => (pk, segs(rnd.nextInt(segs.size))))
+      var factRows = (0 until (10 + rnd.nextInt(30))).map { _ =>
+        // fks range past the dim keys: some dangle (left join PADS)
+        (rnd.nextInt(12).toLong, (rnd.nextInt(21) - 10).toLong)
+      }
+      var st = IncrementalJoinAgg.init(fact(factRows), dim(dimRows), jvL)
+      for (step <- 1 to 6) {
+        val (fDead, fKept) = factRows.partition(_ => rnd.nextInt(4) == 0)
+        val fFresh = (0 until rnd.nextInt(8)).map { _ =>
+          (rnd.nextInt(12).toLong, (rnd.nextInt(21) - 10).toLong) }
+        val fb = factBatch(fDead.map { case (k, v) => (k, v, "delete") } ++
+          fFresh.map { case (k, v) => (k, v, "insert") })
+        val factNew = fKept ++ fFresh
+        // dim churn: moves (net 0), deaths (repads), births (unpads)
+        val (dDead, dKept) = dimRows.partition(_ => rnd.nextInt(6) == 0)
+        val (dMove, dSame) = dKept.partition(_ => rnd.nextInt(4) == 0)
+        val dMoved = dMove.map { case (pk, _) => (pk, segs(rnd.nextInt(segs.size))) }
+        val usedPks = dimRows.map(_._1).toSet
+        val dBorn = (0 until rnd.nextInt(3)).map(_ => rnd.nextInt(12).toLong)
+          .distinct.filterNot(usedPks).map(pk => (pk, segs(rnd.nextInt(segs.size))))
+        val db = dimBatch(
+          dDead.map { case (pk, s) => (pk, s, "delete") } ++
+          dMove.map { case (pk, s) => (pk, s, "delete") } ++
+          dMoved.map { case (pk, s) => (pk, s, "insert") } ++
+          dBorn.map { case (pk, s) => (pk, s, "insert") })
+        val dimOld = dimRows
+        val dimNew = dSame ++ dMoved ++ dBorn
+        st = apply1L(st,
+          Some(fb).filter(_ => fDead.nonEmpty || fFresh.nonEmpty),
+          Some(db).filter(_ =>
+            dDead.nonEmpty || dMove.nonEmpty || dBorn.nonEmpty),
+          dim(dimOld), fact(factNew), dim(dimNew))
+        factRows = factNew
+        dimRows = dimNew
+        val want = IncrementalJoinAgg.init(fact(factRows), dim(dimRows), jvL)
+        assert(stateMap(st) === stateMap(want),
+          s"left-outer scenario $scenario diverged at step $step")
+      }
+    }
   }
 }
