@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental TOP-K-per-group view maintenance — the rank tier of the
+  * IVM engine, generalizing the curation winner election (argmax = k 1)
+  * to
+  *
+  * {{{
+  * SELECT * FROM (SELECT *, row_number() OVER (
+  *   PARTITION BY keys ORDER BY ord DESC, id ASC) rn FROM base)
+  * WHERE rn <= k
+  * }}}
+  *
+  * maintained from one changelog batch. Rows carry a per-group UNIQUE
+  * `id` (the tiebreaker that makes top-k deterministic, and what a
+  * delete pre-image matches on); `ord` is the ranking column.
+  *
+  * The state invariant does the work: state_g is the exact top-k of
+  * base_g, so when |state_g| < k the state IS base_g entirely. Hence:
+  *
+  *  - INSERTS merge exactly: union the batch's inserts with the state
+  *    and re-rank — a (k·groups + churn)-sized window, never a corpus
+  *    read. An insert below a full group's boundary falls out in the
+  *    re-rank.
+  *  - DELETES of rows NOT in the state (below the boundary of a FULL
+  *    group) change nothing. Deletes of state rows in a NON-FULL group
+  *    remove exactly (the state is the whole group). Only a delete of
+  *    a state row in a FULL group leaves a HOLE — base may hold a
+  *    (k+1)-th row the state never kept — and those groups (only)
+  *    re-elect via the caller's pruned scan, exactly the min/max hole
+  *    machinery of [[IncrementalAgg]] lifted from values to rows.
+  *
+  * At 100 TB: the state is k·groups rows (bucketed by keys), a batch
+  * folds with one churn-sized window, and the re-election scan prunes
+  * to the hole groups' partitions/files. Null group keys form their
+  * own group (null-safe joins); a null `ord` ranks last (SQL NULLS
+  * LAST under DESC). The reference has no IVM at all.
+  */
+object IncrementalTopK {
+
+  /** The view: group keys, ranking column (descending — "top"), the
+    * per-group unique id column, and k. Any extra state columns ride
+    * along (selected at init, matched by (keys, id) on delete). */
+  final case class TopKView(keys: Seq[String], ord: String, id: String, k: Int) {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(!keys.contains(ord) && !keys.contains(id) && ord != id,
+      s"keys/ord/id must be distinct: keys=$keys ord=$ord id=$id")
+  }
+
+  private def rankWindow(v: TopKView) =
+    Window.partitionBy(v.keys.map(col): _*)
+      .orderBy(col(v.ord).desc_nulls_last, col(v.id).asc_nulls_last)
+
+  /** Exact top-k per group over the base relation (the bootstrap and
+    * the differential oracle in tests). Keeps every base column. */
+  def init(base: DataFrame, v: TopKView): DataFrame =
+    base.withColumn("__rn", row_number().over(rankWindow(v)))
+      .filter(col("__rn") <= v.k).drop("__rn")
+
+  /** Fold ONE changelog batch (`_change_type` insert/delete, update =
+    * delete+insert pair) into the state.
+    *
+    * @param reElect given the hole groups' key tuples (churn-bounded),
+    *                return the CURRENT base rows of those groups (all
+    *                state columns) — callers prune the scan, same
+    *                contract as [[IncrementalAgg.applyChangelog]].
+    */
+  def applyChangelog(state: DataFrame, batch: DataFrame, v: TopKView,
+      reElect: DataFrame => DataFrame): DataFrame = {
+    val cols = state.columns.toSeq
+    val matchKeys = v.keys :+ v.id
+    val ins = batch.filter(col("_change_type") === "insert")
+      .select(cols.map(col): _*)
+    val del = batch.filter(col("_change_type") === "delete")
+      .select(matchKeys.map(col): _*)
+
+    // group fullness BEFORE the batch: a delete only holes a FULL group
+    val full = state.groupBy(v.keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") >= v.k)
+      .select(v.keys.map(col): _*)
+    // deletes that hit a state row of a full group → hole groups
+    val holes = Joins.nullSafeSemi(
+        Joins.nullSafeSemi(del, state, matchKeys), full, v.keys)
+      .select(v.keys.map(col): _*).distinct()
+      .localCheckpoint(true) // referenced thrice; churn-bounded
+
+    // exact path (non-hole groups): drop deleted rows, merge inserts,
+    // re-rank — (state + churn)-sized
+    val kept = Joins.nullSafeAnti(state, del, matchKeys)
+    val merged = init(
+      Joins.nullSafeAnti(kept.unionByName(ins), holes, v.keys), v)
+
+    if (holes.isEmpty) return merged
+    // hole groups re-elect from the caller's pruned base-at-head scan
+    // (inserts of this batch are already IN the base at head)
+    merged.unionByName(init(reElect(holes).select(cols.map(col): _*), v))
+  }
+}

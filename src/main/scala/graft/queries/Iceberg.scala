@@ -1461,6 +1461,78 @@ object Iceberg {
         col("mx_o_totalprice").as("max_price"))
       .orderBy(col("c_mktsegment")))
   }
+  /** TOP-K-PER-GROUP IVM (r15): the rank tier — a materialized
+    * `row_number() OVER (PARTITION BY g ORDER BY ord DESC, id) <= k`
+    * view maintained from the changelog. The state invariant (state_g
+    * is the exact top-k of base_g; a non-full group's state IS the
+    * group) makes inserts and below-boundary deletes exact with one
+    * (k·groups + churn)-sized window — only a FULL group losing a
+    * top-k member re-elects, from a scan pruned to the hole groups:
+    * the curation argmax generalized from k=1 to k. The churn kills
+    * top rows (holes promoting unseen (k+1)-ths), boosts prices INTO
+    * the top-k, and moves orders across groups; the oracle is DuckDB's
+    * from-scratch window ranking. */
+  def mvTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{IncrementalTopK, Joins}
+    import graft.ops.IncrementalTopK.TopKView
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val cat = s"gmvtk${sqlCatSeq.incrementAndGet()}"
+    val whDir = Files.createTempDirectory("graft_mvtopk").toString
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", whDir)
+    val tab = new HadoopCatalog(whDir, s).createTable("db.orders",
+      Schema.fromSpark(orders.schema),
+      properties = Map("format-version" -> "2",
+        "write.delete.mode" -> "merge-on-read",
+        "write.update.mode" -> "merge-on-read"))
+    tab.append(orders)
+    val v = TopKView(keys = Seq("o_orderpriority"), ord = "o_totalprice",
+      id = "o_orderkey", k = 3)
+    val c0 = tab.refresh().metadata.currentSnapshotId
+    var st = IncrementalTopK.init(tab.scan.useSnapshot(c0.get).toDF, v)
+    var cur = c0
+    def fold(): Unit = {
+      val rel = tab.refresh()
+      val head = rel.metadata.currentSnapshotId
+      val fb = graft.streaming.TableChanges.changelog(rel, cur, head)
+      st = IncrementalTopK.applyChangelog(st, fb, v,
+        keys => Joins.nullSafeSemi(
+          tab.scan.useSnapshot(head.get).toDF, keys, v.keys))
+      cur = head
+    }
+    // round 1: kill a slice (incl. current top rows → holes) and boost
+    // a slice INTO the top-k
+    s.sql(s"DELETE FROM $cat.db.orders WHERE o_orderkey % 9 = 1")
+    s.sql(s"UPDATE $cat.db.orders SET o_totalprice = o_totalprice + 100000 " +
+      "WHERE o_orderkey % 9 = 2")
+    fold()
+    // round 2: move a slice across groups; kill another slice
+    s.sql(s"UPDATE $cat.db.orders SET o_orderpriority = '9-SPECIAL' " +
+      "WHERE o_orderkey % 9 = 3")
+    s.sql(s"DELETE FROM $cat.db.orders WHERE o_orderkey % 9 = 4")
+    fold()
+    nonEmpty(st.select(col("o_orderpriority").as("prio"), col("o_orderkey"),
+        col("o_totalprice").as("price"))
+      .orderBy(col("prio"), col("o_orderkey")))
+  }
+
+  val mvTopKSql =
+    """WITH fact1 AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 9 = 3 THEN '9-SPECIAL'
+      |         ELSE o_orderpriority END AS o_orderpriority,
+      |    CASE WHEN o_orderkey % 9 = 2 THEN o_totalprice + 100000
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 9 NOT IN (1, 4)),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM fact1)
+      |SELECT o_orderpriority AS prio, o_orderkey, o_totalprice AS price
+      |FROM ranked WHERE rn <= 3
+      |ORDER BY 1, 2""".stripMargin
+
   /** EXACT COUNT(DISTINCT) IVM (r15): the two-level support-table tier
     * — distinct counts are not ±retractable (deleting one copy of a
     * duplicated value must NOT decrement), so `IncrementalDistinct`
@@ -2764,6 +2836,7 @@ object Iceberg {
     "ds_mv_join" -> (mvJoin _),
     "ds_mv_left_join" -> (mvLeftJoin _),
     "ds_mv_distinct" -> (mvDistinct _),
+    "ds_mv_topk" -> (mvTopK _),
     "ice_mv_table" -> (mvTable _),
     "ice_mv_join_table" -> (mvJoinTable _),
     "ice_cdc_filtered" -> (cdcFiltered _),
@@ -2835,6 +2908,7 @@ object Iceberg {
     "ds_mv_join" -> mvJoinSql,
     "ds_mv_left_join" -> mvLeftJoinSql,
     "ds_mv_distinct" -> mvDistinctSql,
+    "ds_mv_topk" -> mvTopKSql,
     "ice_mv_table" -> mvTableSql,
     "ice_mv_join_table" -> mvJoinSql,
     "ice_cdc_filtered" -> cdcFilteredSql,
