@@ -57,7 +57,8 @@ object GraftProcedures {
       "compute_partition_stats", "rollback_to_timestamp", "set_current_snapshot",
       "fast_forward", "register_table", "add_files", "create_tag",
       "create_branch", "remove_ref", "cdc_apply", "mv_create", "mv_refresh",
-      "mv_refresh_all", "mv_join_create", "mv_join_refresh")
+      "mv_refresh_all", "mv_join_create", "mv_join_refresh",
+      "mv_topk_create", "mv_topk_refresh")
 
   def byName(catalog: GCatalog): Map[String, UnboundProcedure] = Map(
     "expire_snapshots" -> new Proc("expire_snapshots",
@@ -427,6 +428,54 @@ object GraftProcedures {
         Seq(Array[Any](mv.scan.toDF.count(),
           props.get(MaterializedJoinAgg.FactCursorProp).map(utf8).orNull,
           props.get(MaterializedJoinAgg.DimCursorProp).map(utf8).orNull))
+      }),
+
+    // graft extension: TOP-K materialized views — the SQL face of
+    // MaterializedTopK. `CALL cat.system.mv_topk_create(source =>
+    // 'db.orders', mv => 'db.top_orders', keys => 'o_orderpriority',
+    // ord => 'o_totalprice', id => 'o_orderkey', k => 3)` creates +
+    // full-builds (view definition + cursor in one commit);
+    // `mv_topk_refresh(source, mv)` folds the changelog exactly-once —
+    // changed groups retire whole and land their full k-row image.
+    "mv_topk_create" -> new Proc("mv_topk_create",
+      Seq(in("source", StringType), in("mv", StringType),
+        in("keys", StringType), in("ord", StringType), in("id", StringType),
+        in("k", IntegerType)),
+      StructType(Seq(
+        StructField("rows", LongType),
+        StructField("cursor", StringType))),
+      { input =>
+        import graft.streaming.{MaterializedAgg, MaterializedTopK}
+        val src = catalog.loadTable(input.getUTF8String(0).toString)
+        val v = graft.ops.IncrementalTopK.TopKView(
+          input.getUTF8String(2).toString
+            .split(",").toSeq.map(_.trim).filter(_.nonEmpty),
+          input.getUTF8String(3).toString,
+          input.getUTF8String(4).toString, input.getInt(5))
+        val mv = catalog.createTable(input.getUTF8String(1).toString,
+          MaterializedTopK.schemaFor(src),
+          properties = Map("format-version" ->
+            src.metadata.formatVersion.toString))
+        MaterializedTopK.bootstrap(src, mv, v)
+        val props = mv.refresh().metadata.properties
+        Seq(Array[Any](mv.scan.toDF.count(),
+          props.get(MaterializedAgg.CursorProp).map(utf8).orNull))
+      }),
+
+    "mv_topk_refresh" -> new Proc("mv_topk_refresh",
+      Seq(in("source", StringType), in("mv", StringType)),
+      StructType(Seq(
+        StructField("refreshed_groups", LongType),
+        StructField("rows_written", LongType),
+        StructField("cursor", StringType))),
+      { input =>
+        import graft.streaming.{MaterializedAgg, MaterializedTopK}
+        val src = catalog.loadTable(input.getUTF8String(0).toString)
+        val mv = catalog.loadTable(input.getUTF8String(1).toString)
+        val (g, r) = MaterializedTopK.refreshOnce(src, mv)
+        val props = mv.refresh().metadata.properties
+        Seq(Array[Any](g, r,
+          props.get(MaterializedAgg.CursorProp).map(utf8).orNull))
       }),
 
     "mv_join_refresh" -> new Proc("mv_join_refresh",

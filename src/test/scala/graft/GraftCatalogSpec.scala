@@ -995,6 +995,35 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       hc.loadTable("db.mvj_dim").metadata.currentSnapshotId.get.toString)
   }
 
+  test("CALL mv_topk_create + mv_topk_refresh keep a top-k rank MV fresh " +
+      "through the SQL face") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("""CREATE TABLE g.db.mvt_src (g STRING, id BIGINT, score BIGINT)
+      TBLPROPERTIES ('format-version'='2')""")
+    spark.sql("INSERT INTO g.db.mvt_src VALUES " +
+      "('a', 1, 50), ('a', 2, 40), ('a', 3, 30), ('b', 4, 5)")
+    val c = spark.sql("CALL g.system.mv_topk_create(source => 'db.mvt_src', " +
+      "mv => 'db.mvt_top', keys => 'g', ord => 'score', id => 'id', " +
+      "k => 2)").head()
+    assert(c.getLong(0) === 3L) // 2 rows of a + 1 of b
+    def top() = spark.sql(
+      "SELECT g, id, score FROM g.db.mvt_top ORDER BY g, id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(top() === Seq(("a", 1L, 50L), ("a", 2L, 40L), ("b", 4L, 5L)))
+    // kill a's top row: the unseen id 3 promotes from the base
+    spark.sql("DELETE FROM g.db.mvt_src WHERE id = 1")
+    val r = spark.sql("CALL g.system.mv_topk_refresh(" +
+      "source => 'db.mvt_src', mv => 'db.mvt_top')").head()
+    assert((r.getLong(0), r.getLong(1)) === ((1L, 2L)))
+    assert(top() === Seq(("a", 2L, 40L), ("a", 3L, 30L), ("b", 4L, 5L)))
+    // replay: no-op, cursor at the source head
+    val r2 = spark.sql("CALL g.system.mv_topk_refresh(" +
+      "source => 'db.mvt_src', mv => 'db.mvt_top')").head()
+    assert((r2.getLong(0), r2.getLong(1)) === ((0L, 0L)))
+    assert(r2.getString(2) === new HadoopCatalog(warehouse, spark)
+      .loadTable("db.mvt_src").metadata.currentSnapshotId.get.toString)
+  }
+
   test("CALL procedures: rewrite_data_files, expire_snapshots, rollback, orphan GC") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
     spark.sql("""CREATE TABLE g.db.o_proc (

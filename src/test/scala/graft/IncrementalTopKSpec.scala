@@ -111,6 +111,58 @@ class IncrementalTopKSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(asSet(st1) === Set(("a", 1L, 10L), ("null", 3L, 9L), ("null", 4L, 9L)))
   }
 
+  test("persisted top-k MV (MaterializedTopK): view definition rides the " +
+      "table, exactly-once refresh through Iceberg churn, replays no-op, " +
+      "a net-zero range commits cursor-only, group images land whole") {
+    import graft.catalog.HadoopCatalog
+    import graft.core.Schema
+    import graft.streaming.{MaterializedAgg, MaterializedTopK}
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_mvtopk").toString
+    val cat = new HadoopCatalog(wh, spark)
+    val src0 = Seq(("a", 1L, 50L), ("a", 2L, 40L), ("a", 3L, 30L),
+      ("b", 4L, 5L)).toDF("g", "id", "score")
+    val src = cat.createTable("srctk", Schema.fromSpark(src0.schema),
+      properties = Map("format-version" -> "2"))
+    src.append(src0)
+    val mv = cat.createTable("mvtk", MaterializedTopK.schemaFor(src),
+      properties = Map("format-version" -> "2"))
+    MaterializedTopK.bootstrap(src, mv, v)
+    assert(MaterializedTopK.viewOf(mv.refresh()) === Some(v))
+    def mvSet(): Set[(String, Long, Long)] = asSet(mv.refresh().scan.toDF)
+    assert(mvSet() === Set(("a", 1L, 50L), ("a", 2L, 40L), ("b", 4L, 5L)))
+    // kill a's top row (hole: id 3 promotes), boost b with a new row
+    src.delete("id = 1")
+    src.append(Seq(("b", 5L, 9L)).toDF("g", "id", "score"))
+    val (g1, r1) = MaterializedTopK.refreshOnce(src.refresh(), mv)
+    assert(g1 === 2L && r1 === 4L) // both groups' images rewrote
+    assert(mvSet() === Set(("a", 2L, 40L), ("a", 3L, 30L),
+      ("b", 4L, 5L), ("b", 5L, 9L)))
+    // replay no-ops (cursor rode the commit)
+    assert(MaterializedTopK.refreshOnce(src, mv) === ((0L, 0L)))
+    // net-zero churn: delete + re-insert the SAME row → cursor-only,
+    // zero data snapshots on the MV
+    val snaps0 = mv.refresh().metadata.snapshots.size
+    src.delete("id = 4")
+    src.append(Seq(("b", 4L, 5L)).toDF("g", "id", "score"))
+    assert(MaterializedTopK.refreshOnce(src.refresh(), mv) === ((0L, 0L)))
+    assert(mv.refresh().metadata.snapshots.size === snaps0,
+      "a net-zero refresh must not add data snapshots")
+    // an aggregate-MV refresh pointed at a top-k MV fails loudly
+    val e = intercept[IllegalArgumentException](
+      MaterializedAgg.refreshOnce(src, mv))
+    assert(e.getMessage.contains("materialized-view") ||
+      e.getMessage.contains("view"), e.getMessage)
+    // below-boundary churn on a full group: touched but image-identical
+    // → cursor-only again
+    src.append(Seq(("a", 9L, 1L)).toDF("g", "id", "score"))
+    assert(MaterializedTopK.refreshOnce(src.refresh(), mv) === ((0L, 0L)))
+    assert(mvSet() === Set(("a", 2L, 40L), ("a", 3L, 30L),
+      ("b", 4L, 5L), ("b", 5L, 9L)))
+    val want = asSet(IncrementalTopK.init(src.scan.toDF, v))
+    assert(mvSet() === want)
+  }
+
   test("chained differential fuzz: churn across 6 rounds equals the " +
       "from-scratch top-k at every step") {
     val rnd = new scala.util.Random(20260817L)
