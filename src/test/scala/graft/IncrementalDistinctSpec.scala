@@ -103,6 +103,46 @@ class IncrementalDistinctSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("composes with join-view IVM: a joinDelta changelog feeds the " +
+      "support, maintaining COUNT(DISTINCT) over fact ⋈ dim — a dim " +
+      "group move drags its facts' values across groups exactly") {
+    import graft.ops.IncrementalJoinAgg
+    import graft.ops.IncrementalJoinAgg.JoinView
+    import spark.implicits._
+    // view: SELECT seg, COUNT(DISTINCT v) FROM fact JOIN dim GROUP BY seg
+    val jv = JoinView(Seq("fk"), Seq("pk"), AggView(keys = Seq("seg")))
+    val jdv = DistinctView(keys = Seq("seg"), col = "v")
+    // v=10 appears under BOTH pks mapped to seg 'a': cd(a)=2, not 3
+    val fact0 = Seq((1L, 10L), (1L, 20L), (2L, 10L)).toDF("fk", "v")
+    val dim0 = Seq((1L, "a"), (2L, "a")).toDF("pk", "seg")
+    def joined(f: DataFrame, d: DataFrame) =
+      f.join(d, f("fk") === d("pk")).select(d("seg"), f("v"))
+    var sup = IncrementalDistinct.initSupport(joined(fact0, dim0), jdv)
+    def cds(): Map[String, Long] =
+      IncrementalDistinct.distinctCounts(sup, jdv).collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("cd_v")).toMap
+    assert(cds() === Map("a" -> 2L))
+    // dim pk 2 moves a→b: its fact's copy of v=10 retracts from a's
+    // support, but ANOTHER copy survives via pk 1 — cd(a) must stay 2
+    // (the duplicate-retraction property through the join) — while
+    // cd(b) births at 1
+    val db = Seq((2L, "a", "delete"), (2L, "b", "insert"))
+      .toDF("pk", "seg", "_change_type")
+    val fact1 = fact0
+    val dim1 = Seq((1L, "a"), (2L, "b")).toDF("pk", "seg")
+    val delta = IncrementalJoinAgg.joinDelta(None, Some(db),
+      JoinView(Seq("fk"), Seq("pk"), AggView(keys = Seq("seg", "v"))),
+      dimAtCursor = keys => dim0.join(keys, Seq("pk"), "left_semi"),
+      factAtHead = keys => fact1.join(keys, Seq("fk"), "left_semi")).get
+    sup = IncrementalDistinct.applySupport(sup, delta, jdv)
+    assert(cds() === Map("a" -> 2L, "b" -> 1L))
+    // from-scratch cross-check
+    val want = joined(fact1, dim1).groupBy("seg")
+      .agg(count_distinct(col("v")).as("cd")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("cd")).toMap
+    assert(cds() === want)
+  }
+
   test("persisted face: the support IS a MaterializedAgg view (keys = " +
       "group + value) — exactly-once refresh maintains COUNT(DISTINCT) " +
       "through Iceberg churn") {
