@@ -440,7 +440,7 @@ object GraftProcedures {
     "mv_topk_create" -> new Proc("mv_topk_create",
       Seq(in("source", StringType), in("mv", StringType),
         in("keys", StringType), in("ord", StringType), in("id", StringType),
-        in("k", IntegerType)),
+        in("k", IntegerType), inDefault("filter", StringType, "NULL")),
       StructType(Seq(
         StructField("rows", LongType),
         StructField("cursor", StringType))),
@@ -452,11 +452,13 @@ object GraftProcedures {
             .split(",").toSeq.map(_.trim).filter(_.nonEmpty),
           input.getUTF8String(3).toString,
           input.getUTF8String(4).toString, input.getInt(5))
+        val filter =
+          if (input.isNullAt(6)) None else Some(input.getUTF8String(6).toString)
         val mv = catalog.createTable(input.getUTF8String(1).toString,
           MaterializedTopK.schemaFor(src),
           properties = Map("format-version" ->
             src.metadata.formatVersion.toString))
-        MaterializedTopK.bootstrap(src, mv, v)
+        MaterializedTopK.bootstrap(src, mv, v, filter)
         val props = mv.refresh().metadata.properties
         Seq(Array[Any](mv.scan.toDF.count(),
           props.get(MaterializedAgg.CursorProp).map(utf8).orNull))

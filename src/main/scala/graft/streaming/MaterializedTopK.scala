@@ -56,18 +56,27 @@ object MaterializedTopK {
   }
 
   /** Full build: the source's current top-k into the (empty) MV table,
-    * view definition + cursor stamped in the same commit. */
-  def bootstrap(source: IceTable, mv: IceTable, v: TopKView): Option[Long] = {
+    * view definition + cursor stamped in the same commit. `filter`
+    * (predicate DSL) makes it a FILTERED rank view — the top-k of
+    * `SELECT * WHERE p`, maintained from the filtered changelog (a row
+    * updated out of p retracts via its filtered pre-image; churn below
+    * p is silent; the elector re-ranks only p's survivors). */
+  def bootstrap(source: IceTable, mv: IceTable, v: TopKView,
+      filter: Option[String] = None): Option[Long] = {
     source.refresh(); mv.refresh()
     require(mv.metadata.properties.get(MaterializedAgg.CursorProp).isEmpty,
       s"table ${mv.name} is already a materialized view (cursor present) — " +
         "use refreshOnce")
     val head = source.metadata.currentSnapshotId.getOrElse(return None)
-    val full = IncrementalTopK.init(source.scan.useSnapshot(head).toDF, v)
+    val f = filter.map(graft.core.ExprParser.parse) // validates the DSL
+    val sc = source.scan.useSnapshot(head)
+    val full = IncrementalTopK.init(f.map(sc.filter).getOrElse(sc).toDF, v)
     val guard = IceTable.guardedCursorStamp(
       mv.name, None, head.toString, MaterializedAgg.CursorProp)
     mv.applyKeyed(None, v.keys, Some(full),
-      m => { val g = guard(m); g.copy(properties = g.properties ++ viewProps(v)) },
+      m => { val g = guard(m)
+        g.copy(properties = g.properties ++ viewProps(v) ++
+          filter.map(MaterializedAgg.FilterProp -> _)) },
       mv.metadata.currentSnapshotId)
     Some(head)
   }
@@ -88,7 +97,8 @@ object MaterializedTopK {
     if (cur.contains(head)) return (0L, 0L) // replay/no-op
     val stamp = IceTable.guardedCursorStamp(
       mv.name, cur.map(_.toString), head.toString, MaterializedAgg.CursorProp)
-    val batch = TableChanges.changelog(source, cur, Some(head))
+    val f = MaterializedAgg.filterOf(mv) // filtered rank view: file-pruned feed
+    val batch = TableChanges.changelog(source, cur, Some(head), f)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val touched = batch.select(v.keys.map(col): _*).distinct()
@@ -98,8 +108,10 @@ object MaterializedTopK {
       }
       val state = mv.scan.toDF
       val st1 = IncrementalTopK.applyChangelog(state, batch, v,
-        keys => Joins.nullSafeSemi(
-          source.scan.useSnapshot(head).toDF, keys, v.keys))
+        keys => { // elector pinned to the fold's end cursor, p-filtered
+          val sc = source.scan.useSnapshot(head)
+          Joins.nullSafeSemi(f.map(sc.filter).getOrElse(sc).toDF, keys, v.keys)
+        })
       // group-image diff: a touched group re-landing on its exact
       // current row-set commits nothing
       val images = Joins.nullSafeSemi(st1, touched, v.keys)

@@ -163,6 +163,43 @@ class IncrementalTopKSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mvSet() === want)
   }
 
+  test("FILTERED top-k MV: the top-k of SELECT * WHERE p — churn below p " +
+      "is silent, an update out of p retracts from the ranking, the " +
+      "elector re-ranks only p's survivors") {
+    import graft.catalog.HadoopCatalog
+    import graft.core.Schema
+    import graft.streaming.MaterializedTopK
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_mvtopkf").toString
+    val cat = new HadoopCatalog(wh, spark)
+    // tier rides the row; the view ranks only gold rows
+    val src0 = Seq(("a", 1L, 50L, "gold"), ("a", 2L, 40L, "gold"),
+      ("a", 3L, 30L, "gold"), ("a", 4L, 99L, "basic"))
+      .toDF("g", "id", "score", "tier")
+    val src = cat.createTable("srctkf", Schema.fromSpark(src0.schema),
+      properties = Map("format-version" -> "2"))
+    src.append(src0)
+    val mv = cat.createTable("mvtkf", MaterializedTopK.schemaFor(src),
+      properties = Map("format-version" -> "2"))
+    MaterializedTopK.bootstrap(src, mv, v, filter = Some("tier = 'gold'"))
+    def ids(): Set[Long] = mv.refresh().scan.toDF.collect()
+      .map(_.getAs[Long]("id")).toSet
+    assert(ids() === Set(1L, 2L)) // id 4's 99 is basic — never ranked
+    // churn below p: a new basic row, even a huge one, is silent
+    src.append(Seq(("a", 5L, 200L, "basic")).toDF("g", "id", "score", "tier"))
+    assert(MaterializedTopK.refreshOnce(src.refresh(), mv) === ((0L, 0L)))
+    assert(ids() === Set(1L, 2L))
+    // id 1 demotes OUT of p: retracts from the ranking (hole) — id 3,
+    // gold all along, promotes; id 4 promotes INTO p and outranks all
+    src.upsert(Seq(("a", 1L, 50L, "basic"), ("a", 4L, 99L, "gold"))
+      .toDF("g", "id", "score", "tier"), Seq("id"))
+    MaterializedTopK.refreshOnce(src.refresh(), mv)
+    assert(ids() === Set(4L, 2L))
+    val want = asSet(IncrementalTopK.init(
+      src.scan.toDF.filter(col("tier") === "gold"), v))
+    assert(asSet(mv.refresh().scan.toDF) === want)
+  }
+
   test("chained differential fuzz: churn across 6 rounds equals the " +
       "from-scratch top-k at every step") {
     val rnd = new scala.util.Random(20260817L)
