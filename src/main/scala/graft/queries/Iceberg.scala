@@ -1481,8 +1481,13 @@ object Iceberg {
     val whDir = Files.createTempDirectory("graft_mvtopk").toString
     s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", whDir)
+    val tkSchema = Schema.fromSpark(orders.schema)
+    // partitioned by the GROUP KEY: hole re-election prunes to the hole
+    // groups' partitions via a pushed In — the shape a 100 TB rank view
+    // wants (group keys aligned with layout)
     val tab = new HadoopCatalog(whDir, s).createTable("db.orders",
-      Schema.fromSpark(orders.schema),
+      tkSchema,
+      Spec.build(tkSchema, 0, ("o_orderpriority", IdentityTransform, "prio")),
       properties = Map("format-version" -> "2",
         "write.delete.mode" -> "merge-on-read",
         "write.update.mode" -> "merge-on-read"))
@@ -1497,8 +1502,13 @@ object Iceberg {
       val head = rel.metadata.currentSnapshotId
       val fb = graft.streaming.TableChanges.changelog(rel, cur, head)
       st = IncrementalTopK.applyChangelog(st, fb, v,
-        keys => Joins.nullSafeSemi(
-          tab.scan.useSnapshot(head.get).toDF, keys, v.keys))
+        keys => { // hole groups ≤ the priority domain: push the In so
+          // only their partitions' files open
+          val prios = keys.select(col("o_orderpriority")).distinct()
+            .collect().map(_.getString(0)).toSeq
+          Joins.nullSafeSemi(rel.scan.useSnapshot(head.get)
+            .filter(In("o_orderpriority", prios)).toDF, keys, v.keys)
+        })
       cur = head
     }
     // round 1: kill a slice (incl. current top rows → holes) and boost
