@@ -1518,6 +1518,50 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(want.exceptAll(got).count() === 0)
   }
 
+  test("continuous MV maintenance: graft-changelog triggers + refreshOnce " +
+      "— at-least-once triggers, exactly-once folds (the MV's own cursor, " +
+      "not the stream checkpoint, is the authority)") {
+    import graft.ops.IncrementalAgg.AggView
+    import graft.streaming.MaterializedAgg
+    val src0 = orders.select(col("o_orderkey"), col("o_orderpriority"))
+    val t = catalog.createTable("t_mvstream_src", Schema.fromSpark(src0.schema))
+    t.append(src0.filter(col("o_orderkey") % 2 === 1))
+    val view = AggView(keys = Seq("o_orderpriority"), sums = Seq("o_orderkey"))
+    val mv = catalog.createTable("t_mvstream_mv",
+      MaterializedAgg.schemaFor(view, t))
+    MaterializedAgg.bootstrap(t, mv, view)
+    val ckpt = java.nio.file.Files.createTempDirectory("mvstream_ckpt").toString
+    // the stream is only a TRIGGER: each micro-batch fires a refresh
+    // that reads ITS OWN (cursor, head] range — a replayed or dropped
+    // trigger cannot double-fold or lose (the cursor rides the MV commit)
+    def start() = spark.readStream.format("graft-changelog")
+      .option("warehouse", warehouse).option("table", "t_mvstream_src").load()
+      .writeStream.foreachBatch {
+        (_: org.apache.spark.sql.DataFrame, _: Long) =>
+          MaterializedAgg.refreshOnce(t.refresh(), mv.refresh()); ()
+      }
+      .option("checkpointLocation", ckpt).start()
+    // churn: deletes retract, an ingest appends — then drain
+    t.delete("o_orderkey < 1000")
+    t.append(src0.filter(col("o_orderkey") % 2 === 0))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    def mvMap() = mv.refresh().scan.toDF.collect()
+      .map(r => r.getAs[String]("o_orderpriority") ->
+        ((r.getAs[Long]("cnt"), r.getAs[Long]("s_o_orderkey")))).toMap
+    def want() = t.refresh().scan.toDF.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("cnt"), r.getAs[Long]("s")))).toMap
+    assert(mvMap() === want())
+    // second incarnation after more churn: restart-safe, no replay
+    t.upsert(t.scan.toDF.filter(col("o_orderkey") % 10 === 3)
+      .withColumn("o_orderpriority", lit("9-MOVED")), Seq("o_orderkey"))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(mvMap() === want())
+  }
+
   test("graft-cdc max-snapshots-per-trigger bounds each micro-batch") {
     val t = catalog.createTable("t_cdc_adm", Schema.fromSpark(orders.schema),
       properties = Map("format-version" -> "3"))
