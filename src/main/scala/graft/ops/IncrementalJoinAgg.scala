@@ -185,8 +185,13 @@ object IncrementalJoinAgg {
       factAtHead: DataFrame => DataFrame,
       rowFilter: Option[org.apache.spark.sql.Column] = None): Option[DataFrame] = {
     val parts = Seq.newBuilder[DataFrame]
+    // each batch is referenced 2–3 times below (join-key distinct, the
+    // delta part, the left-outer pad path) — a LAZY local checkpoint
+    // materializes the changelog read ONCE and truncates lineage for the
+    // other references (blocks release via the ContextCleaner on GC)
     factBatch.foreach { fb0 =>
       val fb = fb0.filter(col("_change_type").isin("insert", "delete"))
+        .localCheckpoint(false)
       // the delta's distinct join keys, renamed to the DIM side's names:
       // the closure prunes its scan to exactly these
       val keys = fb.select(jv.factKeys.map(col): _*).distinct()
@@ -204,6 +209,7 @@ object IncrementalJoinAgg {
     }
     dimBatch.foreach { db0 =>
       val db = db0.filter(col("_change_type").isin("insert", "delete"))
+        .localCheckpoint(false)
       val keys = db.select(jv.dimKeys.map(col): _*).distinct()
         .toDF(jv.factKeys: _*)
       val factsH = factAtHead(keys)

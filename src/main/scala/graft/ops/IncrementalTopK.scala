@@ -68,8 +68,18 @@ object IncrementalTopK {
     *                state columns) — callers prune the scan, same
     *                contract as [[IncrementalAgg.applyChangelog]].
     */
-  def applyChangelog(state: DataFrame, batch: DataFrame, v: TopKView,
+  def applyChangelog(state0: DataFrame, batch0: DataFrame, v: TopKView,
       reElect: DataFrame => DataFrame): DataFrame = {
+    // state and batch are each referenced 2–3 times below (fullness agg,
+    // delete-anti, hole semi / the ins + del splits); LAZY local
+    // checkpoints materialize each ONCE inside the first consuming job
+    // and truncate lineage — without them a fold CHAIN re-evaluated the
+    // entire prior fold's DAG per reference (≈3^rounds blow-up over
+    // k·groups-sized state; ds_mv_topk measured 79+ process-cpu-s at
+    // sf0.1 on tiny data). Blocks release via the ContextCleaner when
+    // the frames are GC'd, so repeated folds leak nothing.
+    val state = state0.localCheckpoint(false)
+    val batch = batch0.localCheckpoint(false)
     val cols = state.columns.toSeq
     val matchKeys = v.keys :+ v.id
     val ins = batch.filter(col("_change_type") === "insert")

@@ -236,7 +236,10 @@ object Iceberg {
     val orders = t(s, dir, "orders")
     val tab = wh(s).createTable("orders", Schema.fromSpark(orders.schema))
     tab.upgradeFormatVersion(3)
-    val sorted = orders.repartition(1).sortWithinPartitions("o_orderkey")
+    // two appends consume it — persist so the 1-task fixture sort (the
+    // rid-determinism device) runs once, not per append
+    val sorted = DataOps.trackCache(
+      orders.repartition(1).sortWithinPartitions("o_orderkey").persist())
     tab.append(sorted.filter(col("o_orderkey") % 2 === 1))
     tab.append(sorted.filter(col("o_orderkey") % 2 === 0))
     tab.deleteAsDeletionVector("o_totalprice > 300000")
@@ -270,7 +273,10 @@ object Iceberg {
     val orders = t(s, dir, "orders")
     val tab = wh(s).createTable("orders", Schema.fromSpark(orders.schema))
     tab.upgradeFormatVersion(3)
-    val sorted = orders.repartition(1).sortWithinPartitions("o_orderkey")
+    // two appends consume it — persist so the 1-task fixture sort (the
+    // rid-determinism device) runs once, not per append
+    val sorted = DataOps.trackCache(
+      orders.repartition(1).sortWithinPartitions("o_orderkey").persist())
     tab.append(sorted.filter(col("o_orderkey") % 2 === 1))
     tab.append(sorted.filter(col("o_orderkey") % 2 === 0))
     tab.deleteAsDeletionVector("o_totalprice > 300000")
@@ -298,7 +304,10 @@ object Iceberg {
     val tab = new graft.catalog.HadoopCatalog(whDir, s)
       .createTable("db.orders", Schema.fromSpark(orders.schema),
         properties = Map("format-version" -> "3"))
-    val sorted = orders.repartition(1).sortWithinPartitions("o_orderkey")
+    // two appends consume it — persist so the 1-task fixture sort (the
+    // rid-determinism device) runs once, not per append
+    val sorted = DataOps.trackCache(
+      orders.repartition(1).sortWithinPartitions("o_orderkey").persist())
     tab.append(sorted.filter(col("o_orderkey") % 2 === 1))
     tab.append(sorted.filter(col("o_orderkey") % 2 === 0))
     tab.deleteAsDeletionVector("o_totalprice > 300000")
@@ -325,7 +334,10 @@ object Iceberg {
     val tab = new graft.catalog.HadoopCatalog(whDir, s)
       .createTable("db.orders", Schema.fromSpark(orders.schema),
         properties = Map("format-version" -> "3"))
-    val sorted = orders.repartition(1).sortWithinPartitions("o_orderkey")
+    // two appends consume it — persist so the 1-task fixture sort (the
+    // rid-determinism device) runs once, not per append
+    val sorted = DataOps.trackCache(
+      orders.repartition(1).sortWithinPartitions("o_orderkey").persist())
     tab.append(sorted.filter(col("o_orderkey") % 2 === 1)) // seq 1
     tab.append(sorted.filter(col("o_orderkey") % 2 === 0)) // seq 2
     s.sql(s"""UPDATE $cat.db.orders
@@ -355,7 +367,10 @@ object Iceberg {
           "write.update.mode" -> "merge-on-read",
           "write.delete.mode" -> "merge-on-read",
           "write.merge.mode" -> "merge-on-read"))
-    val sorted = orders.repartition(1).sortWithinPartitions("o_orderkey")
+    // two appends consume it — persist so the 1-task fixture sort (the
+    // rid-determinism device) runs once, not per append
+    val sorted = DataOps.trackCache(
+      orders.repartition(1).sortWithinPartitions("o_orderkey").persist())
     tab.append(sorted.filter(col("o_orderkey") % 2 === 1)) // seq 1
     tab.append(sorted.filter(col("o_orderkey") % 2 === 0)) // seq 2
     s.sql(s"""UPDATE $cat.db.orders
@@ -393,7 +408,10 @@ object Iceberg {
       .createTable("db.orders", Schema.fromSpark(orders.schema),
         properties = Map("format-version" -> "3",
           "write.delete.mode" -> "merge-on-read"))
-    val sorted = orders.repartition(1).sortWithinPartitions("o_orderkey")
+    // two appends consume it — persist so the 1-task fixture sort (the
+    // rid-determinism device) runs once, not per append
+    val sorted = DataOps.trackCache(
+      orders.repartition(1).sortWithinPartitions("o_orderkey").persist())
     tab.append(sorted.filter(col("o_orderkey") % 2 === 1)) // seq 1
     tab.append(sorted.filter(col("o_orderkey") % 2 === 0)) // seq 2
     val baseSnap = tab.refresh().metadata.currentSnapshotId.get
@@ -464,7 +482,10 @@ object Iceberg {
       .createTable("db.orders", Schema.fromSpark(orders.schema),
         properties = Map("format-version" -> "3",
           "write.delete.mode" -> "merge-on-read"))
-    val sorted = orders.repartition(1).sortWithinPartitions("o_orderkey")
+    // two appends consume it — persist so the 1-task fixture sort (the
+    // rid-determinism device) runs once, not per append
+    val sorted = DataOps.trackCache(
+      orders.repartition(1).sortWithinPartitions("o_orderkey").persist())
     tab.append(sorted.filter(col("o_orderkey") % 2 === 1)) // seq 1
     tab.append(sorted.filter(col("o_orderkey") % 2 === 0)) // seq 2
     val baseSnap = tab.refresh().metadata.currentSnapshotId.get
@@ -524,7 +545,10 @@ object Iceberg {
       .createTable("db.orders", Schema.fromSpark(orders.schema),
         properties = Map("format-version" -> "3",
           "write.delete.mode" -> "merge-on-read"))
-    val sorted = orders.repartition(1).sortWithinPartitions("o_orderkey")
+    // two appends consume it — persist so the 1-task fixture sort (the
+    // rid-determinism device) runs once, not per append
+    val sorted = DataOps.trackCache(
+      orders.repartition(1).sortWithinPartitions("o_orderkey").persist())
     tab.append(sorted.filter(col("o_orderkey") % 2 === 1)) // seq 1
     tab.append(sorted.filter(col("o_orderkey") % 2 === 0)) // seq 2
     val sink = s"cdc_src_sink_${sqlCatSeq.incrementAndGet()}"
@@ -607,7 +631,8 @@ object Iceberg {
         docs.filter(col("doc_id") % 9 === 2)
           .withColumn("doc_id", col("doc_id") + 3000000)))
     val rel = tab.refresh()
-    val (changes, _) = graft.streaming.TableChanges.pollLineageCdc(rel, c0)
+    val (changes0, _) = graft.streaming.TableChanges.pollLineageCdc(rel, c0)
+    val changes = DataOps.trackCache(changes0.persist()) // referenced 3x
     val h = md5(col("text").cast("binary"))
     val idx0 = rel.scan.useSnapshot(c0.get).toDF
       .select(col("doc_id"), h.as("h"))
@@ -825,7 +850,8 @@ object Iceberg {
       .select(col("doc_id"), TextFunctions.shingle_hashes3(col("text")).as("ws"))
       .select(col("doc_id"), col("ws"),
         TextFunctions.minhash_of_hashes(col("ws"), 128).as("sig"))
-    val (changes, _) = graft.streaming.TableChanges.pollLineageCdc(rel, c0)
+    val (changes0, _) = graft.streaming.TableChanges.pollLineageCdc(rel, c0)
+    val changes = DataOps.trackCache(changes0.persist()) // referenced 3x
     val idx0 = signed(rel.scan.useSnapshot(c0.get).toDF)
     // maintenance ∝ |changes|: retire deleted + pre-update rows by
     // doc_id, add the re-signed updated rows
@@ -833,9 +859,15 @@ object Iceberg {
       .select(col("doc_id"))
     val upds = signed(changes.filter(col("_change_type") === "update")
       .select(col("doc_id"), col("text")))
-    val idx1 = idx0.join(retired, Seq("doc_id"), "left_anti").unionByName(upds)
-    val ins = signed(changes.filter(col("_change_type") === "insert")
-      .select(col("doc_id"), col("text")))
+    // idx1's lineage re-signs the CORPUS (128-perm minhash) and is
+    // referenced twice (band join, exact rescore); ins three times —
+    // persist both so the signing pass runs once
+    val idx1 = DataOps.trackCache(
+      idx0.join(retired, Seq("doc_id"), "left_anti").unionByName(upds)
+        .persist())
+    val ins = DataOps.trackCache(signed(
+      changes.filter(col("_change_type") === "insert")
+        .select(col("doc_id"), col("text"))).persist())
     def bandRows(d: DataFrame): DataFrame = d.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(63)), b => struct(b.as("band"),
         element_at(col("sig"), b * 2 + 1).as("h1"),
@@ -935,7 +967,8 @@ object Iceberg {
     tab.refresh().append(e.filter(col("vec_id") % 5 === 0)
       .withColumn("vec_id", col("vec_id") + 10000))
     val rel = tab.refresh()
-    val (changes, _) = graft.streaming.TableChanges.pollLineageCdc(rel, c0)
+    val (changes0, _) = graft.streaming.TableChanges.pollLineageCdc(rel, c0)
+    val changes = DataOps.trackCache(changes0.persist()) // referenced 2x
     val cents = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_v"))
     def assign(d: DataFrame): DataFrame = d.crossJoin(broadcast(cents))

@@ -313,14 +313,17 @@ object MaterializedAgg {
           "for its declared view — built by an older engine version or " +
           "with a different view; re-bootstrap the MV")
     }
-    // the churned groups — the ONLY rows of the MV this refresh touches
+    // the empty test runs on the PERSISTED batch (one cached limit-1 scan)
+    // rather than on touched — `touched` would force the distinct's
+    // exchange first, and batch empty ⟺ touched empty
+    if (batch.isEmpty) { // e.g. a compaction-only range: cursor-only
+      mv.commitMetadata(stamp)
+      return (0L, 0L)
+    }
+    // the churned groups — the ONLY rows of the MV this refresh touches;
+    // referenced once (the landing's 3-way join), so no persist needed
     val touched = batch.select(view.keys.map(col): _*).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      if (touched.isEmpty) { // e.g. a compaction-only range: cursor-only
-        mv.commitMetadata(stamp)
-        return (0L, 0L)
-      }
+    locally {
       val state = mv.scan.toDF
       // the elector's base scan pins to the fold's END cursor (`head`):
       // an unpinned scan under a concurrent source writer would elect
@@ -335,43 +338,66 @@ object MaterializedAgg {
             prepare(f.map(sc.filter).getOrElse(sc).toDF), keys, view.keys)
         })
       landChanged(mv, view.keys, state, touched, st1, stamp)
-    } finally touched.unpersist()
+    }
   }
 
   /** The shared LANDING stage (also the join-MV face's): diff the folded
     * state against the current MV rows of the touched groups, retire and
     * rewrite ONLY the groups whose row changed or died, stamp the
-    * cursor(s) — or commit cursor-only when the batch netted nothing. */
+    * cursor(s) — or commit cursor-only when the batch netted nothing.
+    *
+    * ONE 3-way null-safe join (touched → folded st1 → current MV rows),
+    * persisted once, serves the diff, both counts, the retire set and the
+    * write frame. Both st1 and the MV hold at most ONE row per group (the
+    * engine invariant), so the per-group row comparison is exactly the
+    * former `images EXCEPT ALL cur` multiset diff — but the whole landing
+    * now evaluates st1's lineage (which includes the hole-election scan)
+    * once and runs ONE counting action where the previous shape ran three
+    * (images persist, changed count, died count) plus an EXCEPT ALL's
+    * aggregate-based set op. Job-anatomy measured (sf0.1 ice_mv_table):
+    * the landing was ~38 of the gate's 109 Spark jobs; the fused join
+    * roughly halves that. */
   private[streaming] def landChanged(mv: IceTable, keys: Seq[String],
       state: DataFrame, touched: DataFrame, st1: DataFrame,
       stamp: graft.meta.TableMetadata => graft.meta.TableMetadata): (Long, Long) = {
-    // persist the view-sized image set FIRST: st1's lineage includes the
-    // hole-election scan (IncrementalAgg checkpoints only its pre-elect
-    // merge), and the diff/retire/write stages below reference it 3–4
-    // times — uncached, each reference re-runs the elector
-    val images = graft.ops.Joins.nullSafeSemi(st1, touched, keys)
-      .select(state.columns.map(col).toSeq: _*)
+    val stCols = state.columns.toSeq
+    val aggCols = stCols.filterNot(keys.contains)
+    val t = touched.alias("__lt")
+    val n = st1.alias("__ln") // the folded (new) state
+    val o = state.alias("__lo") // the current MV rows
+    val jnCond = keys.map(k => t.col(k) <=> n.col(k)).reduce(_ && _)
+    val joCond = keys.map(k => t.col(k) <=> o.col(k)).reduce(_ && _)
+    val j = t.join(n, jnCond, "left_outer").join(o, joCond, "left_outer")
+      .select(keys.map(k => t.col(k).as(k)) ++
+        stCols.map(c => n.col(c).as(s"__n_$c")) ++
+        aggCols.map(c => o.col(c).as(s"__o_$c")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val cur = graft.ops.Joins.nullSafeSemi(state, touched, keys)
-      // EXCEPT ALL is null-safe per column: a group re-landing on its
-      // exact current row drops out — no retire, no rewrite
-      val changed = images.exceptAll(cur)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val nChanged = changed.count()
-        val died = graft.ops.Joins.nullSafeAnti(touched, images, keys)
-        val nDied = died.count()
-        if (nChanged == 0 && nDied == 0) {
-          mv.commitMetadata(stamp) // net-zero churn: cursor-only
-          return (0L, 0L)
-        }
-        val retire = changed.select(keys.map(col): _*).unionByName(died)
-        mv.applyKeyed(Some(retire), keys,
-          if (nChanged > 0) Some(changed) else None,
-          stamp, mv.metadata.currentSnapshotId)
-        (nChanged, nDied)
-      } finally changed.unpersist()
-    } finally images.unpersist()
+      // cnt > 0 on every st1 and MV row, so a null cnt marks a missing side
+      val nPresent = col("__n_cnt").isNotNull
+      val oPresent = col("__o_cnt").isNotNull
+      // per-column null-safe row comparison — exactly EXCEPT ALL's
+      // semantics for one-row-per-group sides (keys equal by the join)
+      val differs = aggCols.map(c => !(col(s"__n_$c") <=> col(s"__o_$c")))
+        .reduce(_ || _)
+      val changedCond = nPresent && (!oPresent || differs)
+      val diedCond = !nPresent
+      val row = j.agg(
+        sum(when(changedCond, 1L).otherwise(0L)),
+        sum(when(diedCond, 1L).otherwise(0L))).head()
+      val nChanged = if (row.isNullAt(0)) 0L else row.getLong(0)
+      val nDied = if (row.isNullAt(1)) 0L else row.getLong(1)
+      if (nChanged == 0 && nDied == 0) {
+        mv.commitMetadata(stamp) // net-zero churn: cursor-only
+        return (0L, 0L)
+      }
+      val retire = j.filter(changedCond || diedCond).select(keys.map(col): _*)
+      val changed = j.filter(changedCond)
+        .select(stCols.map(c => col(s"__n_$c").as(c)): _*)
+      mv.applyKeyed(Some(retire), keys,
+        if (nChanged > 0) Some(changed) else None,
+        stamp, mv.metadata.currentSnapshotId)
+      (nChanged, nDied)
+    } finally j.unpersist()
   }
 }

@@ -191,13 +191,16 @@ object MaterializedJoinAgg {
         mv.commitMetadata(stamp) // e.g. compaction-only on both sides
         return (0L, 0L)
     }
-    val touched = delta.select(jv.agg.keys.map(col): _*).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (touched.isEmpty) {
+      // empty test on the PERSISTED delta (cached limit-1) — testing
+      // touched would force the distinct's exchange first, and delta
+      // empty ⟺ touched empty
+      if (delta.isEmpty) {
         mv.commitMetadata(stamp)
         return (0L, 0L)
       }
+      // referenced once (the landing's 3-way join): no persist needed
+      val touched = delta.select(jv.agg.keys.map(col): _*).distinct()
       val state = mv.scan.toDF
       val st1 = IncrementalAgg.applyChangelog(state, delta, jv.agg,
         // hole re-election over the CURRENT joined base, both sides
@@ -208,6 +211,6 @@ object MaterializedJoinAgg {
             dim.scan.useSnapshot(hd).toDF, jv, f),
           keys, jv.agg.keys))
       MaterializedAgg.landChanged(mv, jv.agg.keys, state, touched, st1, stamp)
-    } finally { touched.unpersist(); delta.unpersist() }
+    } finally delta.unpersist()
   }
 }

@@ -355,7 +355,8 @@ class IceTable(
         .filter(ToColumn.complementary(bound))
       added = WriteFiles.write(spark, location,
         if (lineage) RowLineage.augment(schema) else schema, spec, survivors,
-      UUID.randomUUID().toString, sortOrderOpt, metadata.properties)
+      UUID.randomUUID().toString, sortOrderOpt, metadata.properties,
+        rebalance = true)
     }
     val removed = (wholeFiles ++ rewrites).map(_.file.filePath).toSet
     commitSnapshot(if (rewrites.isEmpty) "delete" else "overwrite",
@@ -463,7 +464,8 @@ class IceTable(
     val added = WriteFiles.write(spark, location,
       if (lineageMaterialized) RowLineage.augment(schema) else schema,
       spec, df,
-      UUID.randomUUID().toString, sortOrderOpt, metadata.properties)
+      UUID.randomUUID().toString, sortOrderOpt, metadata.properties,
+      rebalance = true)
     commitSnapshot("overwrite", added = added,
       removedPaths = removed ++ deadDeleteFiles(removed, toBranch),
       conflictFilter = conflictFilter, baseSnapshotId = baseSnapshotId,
@@ -511,7 +513,8 @@ class IceTable(
         .filter(ToColumn.complementary(bound))
       added = added ++ WriteFiles.write(spark, location,
         if (lineage) RowLineage.augment(schema) else schema, spec, survivors,
-      UUID.randomUUID().toString, sortOrderOpt, metadata.properties)
+      UUID.randomUUID().toString, sortOrderOpt, metadata.properties,
+        rebalance = true)
     }
     val removed = (wholeFiles ++ rewrites).map(_.file.filePath).toSet
     commitSnapshot("overwrite", added = added,
@@ -724,7 +727,8 @@ class IceTable(
                 lit(null).cast("long")))
           }
         added = WriteFiles.write(spark, location, writeSchema, spec, replacement,
-      UUID.randomUUID().toString, sortOrderOpt, metadata.properties)
+      UUID.randomUUID().toString, sortOrderOpt, metadata.properties,
+          rebalance = true)
       }
       if (nInserts > 0) {
         val ins = if (!lineage) inserts
@@ -732,7 +736,8 @@ class IceTable(
             .withColumn(RowLineage.RowIdName, lit(null).cast("long"))
             .withColumn(RowLineage.LastUpdatedName, lit(null).cast("long"))
         added = added ++ WriteFiles.write(spark, location, writeSchema, spec, ins,
-      UUID.randomUUID().toString, sortOrderOpt, metadata.properties)
+      UUID.randomUUID().toString, sortOrderOpt, metadata.properties,
+          rebalance = true)
       }
       commitSnapshot("overwrite", added = added, removedPaths = removedPaths,
         conflictFilter = Some(AlwaysTrue), baseSnapshotId = baseSnap, toBranch = branch)
@@ -853,14 +858,24 @@ class IceTable(
       val last = batch.join(lastOrd, keyCols)
         .filter(col("_change_ordinal") === col("__ord"))
       val ups = last.filter(col("_change_type") === "insert")
-      val dupes = ups.groupBy(keys: _*).count().filter(col("count") > 1).limit(1).count()
-      require(dupes == 0,
+      // ONE aggregation answers all three questions the apply needs
+      // (former shape: three actions — a dupe probe, ups.count, and a
+      // delete anti-join count — each re-evaluating the last-ordinal
+      // join): per key at the final ordinal, the insert count classifies
+      // it as upserted (1), duplicate (>1, fail), or deleted (0 inserts
+      // = only deletes survive at that ordinal).
+      val perKey = last.groupBy(keys: _*).agg(
+        sum(when(col("_change_type") === "insert", 1L).otherwise(0L))
+          .as("__ins"))
+      val summaryRow = perKey.agg(
+        sum(when(col("__ins") > 0L, 1L).otherwise(0L)),
+        sum(when(col("__ins") === 0L, 1L).otherwise(0L)),
+        max(col("__ins"))).head()
+      require(summaryRow.isNullAt(2) || summaryRow.getLong(2) <= 1L,
         s"Changelog has duplicate keys on (${keyCols.mkString(",")}) at their " +
           "final ordinal — a keyed mirror needs unique keys")
-      val nUps = ups.count()
-      val nDel = last.filter(col("_change_type") === "delete")
-        .join(ups.select(keys: _*), keyCols, "left_anti")
-        .select(keys: _*).distinct().count()
+      val nUps = if (summaryRow.isNullAt(0)) 0L else summaryRow.getLong(0)
+      val nDel = if (summaryRow.isNullAt(1)) 0L else summaryRow.getLong(1)
       // retire EVERY touched key: upserts replace-by-key, removed keys
       // leave, keys never present in the replica no-op through the join
       val retire = batch.select(keys: _*).distinct()
@@ -919,7 +934,8 @@ class IceTable(
         metadata.properties.get("write.merge.mode").contains("merge-on-read")) {
       val imageFiles = imageRows.map(r =>
         WriteFiles.write(spark, location, writeSchema, spec, r,
-          UUID.randomUUID().toString, sortOrderOpt, metadata.properties))
+          UUID.randomUUID().toString, sortOrderOpt, metadata.properties,
+          rebalance = true))
         .getOrElse(Nil)
       applyCdcMor(retire.get, joinCols, imageFiles, cursorStamp, baseSnap)
       return
@@ -951,7 +967,8 @@ class IceTable(
     imageRows.foreach(pieces += _)
     val added = pieces.result().reduceOption(_ unionByName _) match {
       case Some(rows) => WriteFiles.write(spark, location, writeSchema, spec,
-        rows, UUID.randomUUID().toString, sortOrderOpt, metadata.properties)
+        rows, UUID.randomUUID().toString, sortOrderOpt, metadata.properties,
+        rebalance = true)
       case None => Nil
     }
     commitSnapshot("overwrite", added = added, removedPaths = removedPaths,

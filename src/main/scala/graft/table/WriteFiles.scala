@@ -208,10 +208,26 @@ object WriteFiles {
   /** Write `df` as data files for the table, returning DataFiles with
     * stats. Files land under `<location>/data/<commitUuid>/` so a commit's
     * files are exactly one directory listing (no global listing). */
+  /** `rebalance`: AQE-size the output files of a CHURN-SHAPED write (DML
+    * rewrites, upsert replacements, MV landings, CDC applies). Those
+    * frames arrive partitioned by whatever their joins/caches left behind
+    * — at sf-scale that is `spark.sql.shuffle.partitions` near-empty
+    * slices, i.e. up to one tiny file PER SLICE per commit, and every
+    * later scan/retire/changelog pays per-file overhead on all of them.
+    * A REBALANCE hint before the write lets AQE coalesce (or split) to
+    * `spark.sql.adaptive.advisoryPartitionSizeInBytes` — one file for a
+    * small churn batch, properly sized files for a large one. The cost is
+    * one churn-sized shuffle (never corpus-sized: every caller's input is
+    * bounded by the affected rows). Plain appends keep `false`: their
+    * input partitioning is the scan's, and an extra full-data shuffle at
+    * 100 TB is exactly what guide §2.4 says to remove. Only the
+    * unpartitioned branch consults this — the partitioned fan-out already
+    * repartitions by partition value. */
   def write(spark: SparkSession, location: String, schema: Schema, spec: PartitionSpec,
       df: DataFrame, commitUuid: String,
       sortOrder: Option[SortOrder] = None,
-      props: Map[String, String] = Map.empty): Seq[DataFile] = {
+      props: Map[String, String] = Map.empty,
+      rebalance: Boolean = false): Seq[DataFile] = {
     // ns timestamps are READ-ONLY (the reference itself requires an
     // explicit 'downcast-ns-timestamp-to-us-on-write' opt-in and Spark has
     // no ns type to round-trip losslessly) — fail typed before staging
@@ -392,7 +408,8 @@ object WriteFiles {
     }
     locally {
       if (spec.isUnpartitioned) {
-        writeOut(onWs(sorted(aligned)), Nil)
+        writeOut(onWs(sorted(if (rebalance) aligned.hint("rebalance")
+          else aligned)), Nil)
       } else {
         val partCols = spec.fields.map { pf =>
           val src = schema.byId(pf.sourceId)
