@@ -1898,10 +1898,13 @@ object DataOps {
   def tfidfTopK(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val n = docs.count()
-    val tf = docs
+    // tf feeds both the df derivation and the scoring join (and the
+    // guard+count evaluations) — persist so the explode+groupBy over the
+    // corpus text runs once
+    val tf = trackCache(docs
       .select(col("doc_id"),
         explode(filter(split(lower(trim(col("text"))), "\\s+"), w => w =!= "")).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")).persist())
     val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(dfq), Seq("term"))
       .withColumn("score", (col("tf") * n).cast("double") / col("df").cast("double"))
@@ -2028,11 +2031,15 @@ object DataOps {
     val terms = Seq("spark", "merge", "vector", "stream")
     val toks = docs.select(col("doc_id"),
       filter(split(lower(trim(col("text"))), "\\s+"), w => w =!= "").as("ws"))
-    val per = toks.select(
+    // the narrow per-doc (dl, tf*) proxy feeds BOTH passes (corpus
+    // stats and scoring) and the bench's guard+count — persist so the
+    // tokenize pass over the corpus runs once (guide §8: decide on a
+    // lightweight proxy, never re-derive it from the heavy column)
+    val per = trackCache(toks.select(
       (col("doc_id") +: size(col("ws")).as("dl") +:
         terms.zipWithIndex.map { case (tm, i) =>
           size(filter(col("ws"), w => w === tm)).as(s"tf${i + 1}")
-        }): _*)
+        }): _*).persist())
     val st = per.agg(count(lit(1)).as("n"),
       (sum(col("dl")).as("total") +:
         terms.indices.map(i =>

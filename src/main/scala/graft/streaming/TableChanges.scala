@@ -281,9 +281,32 @@ object TableChanges {
           // data files through the scan's (file, row-position) metadata.
           // Under a change filter the referenced files prune against the
           // commit snapshot's FILTERED live plan (cache-served metadata)
-          // — a file that provably holds no matching rows is never read
-          val refPathsAll = posDf.select("__path").distinct()
-            .collect().map(_.getString(0)).toSeq.sorted
+          // — a file that provably holds no matching rows is never read.
+          // Referenced paths come from METADATA when every delete source
+          // names them — a DV entry carries referenced_data_file (spec-
+          // required), and a pos-delete parquet whose FULL-mode file_path
+          // bounds coincide references exactly one file (this engine
+          // harvests those bounds "full"; a FOREIGN writer's truncated
+          // bound is a path PREFIX, caught by the existence probe, which
+          // falls back to the distinct-collect job). Saves one Spark
+          // action per MoR commit per changelog read.
+          val metaRefs: Option[Seq[String]] = {
+            val dvRefs = dvs.map(_.referencedDataFile)
+            val pqRefs = posParquet.map { f =>
+              (f.lowerBounds.get(2147483546), f.upperBounds.get(2147483546)) match {
+                case (Some(lo), Some(hi))
+                  if lo == hi && Io.exists(lo.toString) => Some(lo.toString)
+                case _ => None
+              }
+            }
+            if (dvRefs.forall(_.isDefined) && pqRefs.forall(_.isDefined))
+              Some((dvRefs.flatten ++ pqRefs.flatten)
+                .map(PathUtil.canon).distinct.sorted)
+            else None
+          }
+          val refPathsAll = metaRefs.getOrElse(
+            posDf.select("__path").distinct()
+              .collect().map(_.getString(0)).toSeq.sorted)
           val refPaths = changeFilter.map { f =>
             val keep = table.planTasksAtFiltered(s.snapshotId, f)
               .map(t => PathUtil.canon(t.file.filePath)).toSet

@@ -408,7 +408,19 @@ object WriteFiles {
     }
     locally {
       if (spec.isUnpartitioned) {
-        writeOut(onWs(sorted(if (rebalance) aligned.hint("rebalance")
+        // rebalance only pays when the input actually arrives as many
+        // near-empty slices (cache/join-shaped churn: shuffle.partitions
+        // slices). File-shaped inputs (a handful of scan splits — the
+        // CDC-apply/upsert image case) would eat a pure-overhead shuffle:
+        // an alternating A/B measured +12–15% process-cpu on ice_cdc_apply
+        // and ice_upsert with an unconditional hint. The planned output
+        // partitioning is known without running jobs; unknown (0) skips —
+        // conservative, same as the old path.
+        val manySlices = rebalance && (try {
+          aligned.queryExecution.executedPlan.outputPartitioning.numPartitions >=
+            math.max(8, spark.sparkContext.defaultParallelism / 2)
+        } catch { case _: Throwable => false })
+        writeOut(onWs(sorted(if (manySlices) aligned.hint("rebalance")
           else aligned)), Nil)
       } else {
         val partCols = spec.fields.map { pf =>

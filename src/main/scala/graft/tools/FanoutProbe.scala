@@ -51,6 +51,23 @@ object FanoutProbe {
       repart.write.mode("overwrite").partitionBy("_p_l_day").parquet(out)
       s.conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
     }
+    run("partitionBy, no column index") { out =>
+      repart.write.mode("overwrite")
+        .option("parquet.columnindex.write.enabled", "false")
+        .partitionBy("_p_l_day").parquet(out)
+    }
+    run("partitionBy, no page checksum") { out =>
+      repart.write.mode("overwrite")
+        .option("parquet.page.write-checksum.enabled", "false")
+        .partitionBy("_p_l_day").parquet(out)
+    }
+    run("partitionBy, no colindex + no checksum + no dict") { out =>
+      repart.write.mode("overwrite")
+        .option("parquet.columnindex.write.enabled", "false")
+        .option("parquet.page.write-checksum.enabled", "false")
+        .option("parquet.enable.dictionary", "false")
+        .partitionBy("_p_l_day").parquet(out)
+    }
     run("single file (no partitionBy), 1 task") { out =>
       li.coalesce(1).write.mode("overwrite").parquet(out)
     }
