@@ -98,7 +98,24 @@ object IncrementalAgg {
       state: DataFrame,
       batch: DataFrame,
       v: AggView,
-      reElect: DataFrame => DataFrame): DataFrame = {
+      reElect: DataFrame => DataFrame): DataFrame =
+    applyChangelogTouched(state, batch, v, reElect)._1
+
+  /** [[applyChangelog]] plus the batch's TOUCHED group keys — derived
+    * from the (checkpointed) merge itself rather than a second pass +
+    * distinct exchange over the batch (the MV landing consumed exactly
+    * that: `batch.select(keys).distinct()` re-read the feed and shuffled
+    * it once more per refresh). A group is touched ⟺ its delta side is
+    * present in the full-outer merge (`d_cnt` is a ±1-sum over the
+    * filtered batch — never null for a present group, 0 at worst), and
+    * the merge keeps died-touched groups through the checkpoint so the
+    * landing can retire them; they are filtered from the returned STATE
+    * exactly as before. */
+  private[graft] def applyChangelogTouched(
+      state: DataFrame,
+      batch: DataFrame,
+      v: AggView,
+      reElect: DataFrame => DataFrame): (DataFrame, DataFrame) = {
     // ---- churn-sized per-group deltas (one groupBy over the batch) ----
     val w = when(col("_change_type") === "insert", 1L)
       .when(col("_change_type") === "delete", -1L)
@@ -168,19 +185,35 @@ object IncrementalAgg {
     // with dynamic allocation, executor loss cannot recompute a local
     // checkpoint; a maintained-view pipeline consumes the result into a
     // write immediately, which is the supported shape.)
+    val touchedFlag = dl.col("d_cnt").isNotNull.as("__touched")
     val merged = merged0
-      .select((keyed :+ cnt1) ++ sums1 ++ nns1 ++ mins1 ++ maxs1 :+ anyHole: _*)
-      .filter(col("cnt") > 0 || col("__hole"))
+      .select((keyed :+ cnt1) ++ sums1 ++ nns1 ++ mins1 ++ maxs1 :+
+        anyHole :+ touchedFlag: _*)
+      // died-touched groups (cnt 0, no hole) survive to the checkpoint —
+      // the caller's landing retires them; the returned STATE drops them
+      .filter(col("cnt") > 0 || col("__hole") || col("__touched"))
       .localCheckpoint(true)
+    // touched is later JOINED against the state derived from the same
+    // checkpoint leaf: the fresh aliases give it new expression ids and
+    // the LAZY local checkpoint its own leaf (zero upfront cost — it
+    // materializes from the merged checkpoint's cached blocks inside the
+    // first consuming job); sharing ids or the leaf would make
+    // DeduplicateRelations remap one join side and break the caller's
+    // df.col references (ambiguous-self-join analysis error)
+    val touched = merged.filter(col("__touched"))
+      .select(v.keys.map(k => col(k).as(k)): _*).localCheckpoint(false)
+    val live = col("cnt") > 0 || col("__hole")
 
-    if (v.mins.isEmpty && v.maxs.isEmpty) return merged.drop("__hole")
+    if (v.mins.isEmpty && v.maxs.isEmpty)
+      return (merged.filter(live).drop("__hole", "__touched"), touched)
 
     // ---- re-elect extrema for hole groups only ----
     // (cnt/sum stay delta-exact; only the non-retractable aggregates
     // re-derive, and only where a retirement could have held them)
     val holes = merged.filter(col("__hole")).select(v.keys.map(col): _*)
-    val clean = merged.filter(!col("__hole")).drop("__hole")
-    if (holes.isEmpty) return clean
+    val clean = merged.filter(live && !col("__hole"))
+      .drop("__hole", "__touched")
+    if (holes.isEmpty) return (clean, touched)
     val reAggs =
       (v.mins.map(c => min(col(c)).as(s"re_mn_$c")) ++
         v.maxs.map(c => max(col(c)).as(s"re_mx_$c")))
@@ -197,6 +230,6 @@ object IncrementalAgg {
         v.maxs.map(c => ra.col(s"re_mx_$c").as(s"mx_$c")): _*)
       // a hole group with no surviving base rows died with the batch
       .filter(col("cnt") > 0)
-    clean.unionByName(fixed)
+    (clean.unionByName(fixed), touched)
   }
 }

@@ -1615,7 +1615,10 @@ object Iceberg {
     def fold(): Unit = {
       val rel = tab.refresh()
       val head = rel.metadata.currentSnapshotId
+      // TWO folds (count view + distinct support) consume the same batch:
+      // a lazy local checkpoint materializes the feed read once
       val fb = graft.streaming.TableChanges.changelog(rel, cur, head)
+        .localCheckpoint(false)
       st = IncrementalAgg.applyChangelog(st, fb, gv,
         _ => sys.error("count-only view never re-elects"))
       sup = IncrementalDistinct.applySupport(sup, fb, dvw)

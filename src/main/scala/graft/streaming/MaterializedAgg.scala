@@ -235,10 +235,15 @@ object MaterializedAgg {
         "silently corrupt the aggregate"))
     if (stored.contains(head)) return (0L, 0L) // nothing new (or a replay)
     val f = filterOf(mv) // filtered MV: the filtered changelog retracts
+    // EAGER local checkpoint, not persist: one job materializes the feed
+    // read and TRUNCATES its lineage, so the fold's merge and the landing
+    // never re-submit the feed DAG's (AQE) stages — with persist the
+    // limit-1 empty probe materialized the exchanges, then every later
+    // action re-planned them (job-anatomy: 9 isEmpty jobs per gate).
+    // Blocks release via the ContextCleaner when the frame is GC'd.
     val batch = prepare(TableChanges.changelog(source, stored, Some(head), f))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try foldBatch(source, mv, view, prepare, f, batch, stored, head)
-    finally batch.unpersist()
+      .localCheckpoint(true)
+    foldBatch(source, mv, view, prepare, f, batch, stored, head)
   }
 
   /** Refresh N MVs over ONE source with a SHARED feed read: MVs whose
@@ -268,9 +273,11 @@ object MaterializedAgg {
     cursors.zipWithIndex.groupBy(_._1).foreach { case (stored, entries) =>
       val idxs = entries.map(_._2)
       if (!stored.contains(head)) {
+        // eager checkpoint (not persist): same rationale as refreshOnce —
+        // N folds over the shared feed read truncated lineage, one job
         val shared = prepare(changelogFn(source, stored, Some(head)))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try idxs.foreach { i =>
+          .localCheckpoint(true)
+        idxs.foreach { i =>
           val mv = mvs(i)
           val f = filterOf(mv)
           val batch = f.map { e =>
@@ -280,7 +287,7 @@ object MaterializedAgg {
           }.getOrElse(shared)
           results(i) = foldBatch(source, mv, views(i), prepare, f, batch,
             stored, head)
-        } finally shared.unpersist()
+        }
       }
     }
     results.toSeq
@@ -320,9 +327,6 @@ object MaterializedAgg {
       mv.commitMetadata(stamp)
       return (0L, 0L)
     }
-    // the churned groups — the ONLY rows of the MV this refresh touches;
-    // referenced once (the landing's 3-way join), so no persist needed
-    val touched = batch.select(view.keys.map(col): _*).distinct()
     locally {
       val state = mv.scan.toDF
       // the elector's base scan pins to the fold's END cursor (`head`):
@@ -331,7 +335,10 @@ object MaterializedAgg {
       // inconsistent MV-at-cursor. Key joins are null-safe (<=>): a
       // null-valued group key is its own group throughout IncrementalAgg,
       // and a using-column join here would silently never refresh it.
-      val st1 = IncrementalAgg.applyChangelog(state, batch, view,
+      // The fold also yields the TOUCHED group keys (from its own
+      // checkpointed merge) — no second pass + distinct over the batch.
+      val (st1, touched) = IncrementalAgg.applyChangelogTouched(
+        state, batch, view,
         keys => {
           val sc = source.scan.useSnapshot(head)
           graft.ops.Joins.nullSafeSemi(

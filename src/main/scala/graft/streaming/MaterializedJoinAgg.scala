@@ -177,40 +177,48 @@ object MaterializedJoinAgg {
       TableChanges.changelog(dim, cd, Some(hd)))
     val delta = IncrementalJoinAgg.joinDelta(fb, db, jv,
       // ΔF enriches against the dim AT ITS CURSOR (current dim would
-      // double-apply churn ΔD already folds), pruned to the delta's keys
-      dimAtCursor = keys => Joins.nullSafeSemi(
-        dim.scan.useSnapshot(cd.get).toDF, keys, jv.dimKeys),
-      // ΔD re-enriches only the facts referencing churned dim rows, read
-      // at the fact head this refresh folds to
-      factAtHead = keys => Joins.nullSafeSemi(
-        fact.scan.useSnapshot(hf).toDF, keys, jv.factKeys),
+      // double-apply churn ΔD already folds). The enrich join's own key
+      // equality restricts the dim to the delta's keys — a semi-join
+      // prefilter here was redundant for exactness (inner enrich, and the
+      // left-outer anti/pad paths are unchanged by a superset dim) and
+      // cost an extra distinct exchange + join per side per refresh; at
+      // scale AQE broadcasts the churn-sized delta, so the non-delta side
+      // is scanned once either way. Callers with partition-aligned
+      // layouts still push file pruning through their own closures.
+      dimAtCursor = _ => dim.scan.useSnapshot(cd.get).toDF,
+      // ΔD re-enriches only the facts referencing churned dim rows (the
+      // repad/enrich joins' key equality), read at the fact head this
+      // refresh folds to
+      factAtHead = _ => fact.scan.useSnapshot(hf).toDF,
       rowFilter = f) match {
       case Some(d) =>
-        d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // EAGER local checkpoint: one job materializes the two-sided
+        // delta (both feed reads + the pruned enrich joins) and truncates
+        // its lineage — the empty probe, the fold's merge and the landing
+        // stop re-submitting that DAG's (AQE) stages per action
+        // (job-anatomy: 27 isEmpty jobs / 15 task-s per gate before).
+        // Blocks release via the ContextCleaner when the frame is GC'd.
+        d.localCheckpoint(true)
       case None =>
         mv.commitMetadata(stamp) // e.g. compaction-only on both sides
         return (0L, 0L)
     }
-    try {
-      // empty test on the PERSISTED delta (cached limit-1) — testing
-      // touched would force the distinct's exchange first, and delta
-      // empty ⟺ touched empty
-      if (delta.isEmpty) {
-        mv.commitMetadata(stamp)
-        return (0L, 0L)
-      }
-      // referenced once (the landing's 3-way join): no persist needed
-      val touched = delta.select(jv.agg.keys.map(col): _*).distinct()
-      val state = mv.scan.toDF
-      val st1 = IncrementalAgg.applyChangelog(state, delta, jv.agg,
-        // hole re-election over the CURRENT joined base, both sides
-        // pinned to the heads this refresh folds to
-        keys => Joins.nullSafeSemi(
-          IncrementalJoinAgg.joinRows(
-            fact.scan.useSnapshot(hf).toDF,
-            dim.scan.useSnapshot(hd).toDF, jv, f),
-          keys, jv.agg.keys))
-      MaterializedAgg.landChanged(mv, jv.agg.keys, state, touched, st1, stamp)
-    } finally delta.unpersist()
+    if (delta.isEmpty) {
+      mv.commitMetadata(stamp)
+      return (0L, 0L)
+    }
+    val state = mv.scan.toDF
+    // the fold also yields the TOUCHED group keys from its own merge —
+    // no second pass + distinct exchange over the delta
+    val (st1, touched) = IncrementalAgg.applyChangelogTouched(
+      state, delta, jv.agg,
+      // hole re-election over the CURRENT joined base, both sides
+      // pinned to the heads this refresh folds to
+      keys => Joins.nullSafeSemi(
+        IncrementalJoinAgg.joinRows(
+          fact.scan.useSnapshot(hf).toDF,
+          dim.scan.useSnapshot(hd).toDF, jv, f),
+        keys, jv.agg.keys))
+    MaterializedAgg.landChanged(mv, jv.agg.keys, state, touched, st1, stamp)
   }
 }
