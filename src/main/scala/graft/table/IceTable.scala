@@ -652,6 +652,7 @@ class IceTable(
     // on that lineage conflicts
     val baseSnap = branchHeadId(branch)
     val src = WriteFiles.align(source, schema).cache()
+    var probe: Option[DataFrame] = None
     try {
       // duplicate keys in source are an error (ref upsert_util.py:51)
       val dup = src.groupBy(keys.map(col): _*).count().filter(col("count") > 1).limit(1).count()
@@ -662,18 +663,37 @@ class IceTable(
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           schema.toSpark))
 
+      // ONE left-outer join + ONE counting action serve the update set,
+      // the insert set and both counts — the former inner + left_anti
+      // pair evaluated the same join twice and ran two count actions
+      // (the applyChangelog count-fusion shape). `matched` rides a
+      // constant marker on the target side: isNotNull is a total
+      // boolean, so null-valued source keys (which never key-match under
+      // `===`) classify as inserts exactly like the left_anti did, and
+      // a matched row appears once per matching target row exactly as
+      // under the inner join (duplicate-target-key multiplicity
+      // preserved; the lineage rewrite's min-id election downstream is
+      // unchanged).
       // rows to UPDATE: key matches and any non-key column differs
       // (null-safe <=>; ref get_rows_to_update upsert_util.py:56)
       val changedCond = nonKeys.map(c => !(src(c) <=> target(c)))
         .reduceOption(_ || _).getOrElse(lit(false))
-      val joined = src.join(target, keys.map(k => src(k) === target(k)).reduce(_ && _), "inner")
-      val updates = joined.filter(changedCond).select(src.columns.map(src(_)): _*).cache()
-      val nUpdates = if (whenMatchedUpdateAll) updates.count() else 0L
-
-      // rows to INSERT: source keys absent from target
-      val inserts = src.join(target, keys.map(k => src(k) === target(k)).reduce(_ && _),
-        "left_anti").cache()
-      val nInserts = if (whenNotMatchedInsertAll) inserts.count() else 0L
+      val marker = "__graft_upsert_matched"
+      val tgtM = target.withColumn(marker, lit(true))
+      val matched = col(marker).isNotNull
+      val j = src.join(tgtM, keys.map(k => src(k) === target(k)).reduce(_ && _),
+          "left_outer")
+        .select(src.columns.map(c => src(c).as(c)) :+
+          (matched && changedCond).as("__upd") :+ (!matched).as("__ins"): _*)
+        .cache()
+      probe = Some(j)
+      val row = j.agg(
+        sum(when(col("__upd"), 1L).otherwise(0L)),
+        sum(when(col("__ins"), 1L).otherwise(0L))).head()
+      val nUpdates = if (whenMatchedUpdateAll && !row.isNullAt(0)) row.getLong(0) else 0L
+      val nInserts = if (whenNotMatchedInsertAll && !row.isNullAt(1)) row.getLong(1) else 0L
+      val updates = j.filter(col("__upd")).drop("__upd", "__ins")
+      val inserts = j.filter(col("__ins")).drop("__upd", "__ins")
 
       if (nUpdates == 0 && nInserts == 0) return (0L, 0L)
 
@@ -742,7 +762,10 @@ class IceTable(
       commitSnapshot("overwrite", added = added, removedPaths = removedPaths,
         conflictFilter = Some(AlwaysTrue), baseSnapshotId = baseSnap, toBranch = branch)
       (nUpdates, nInserts)
-    } finally src.unpersist()
+    } finally {
+      src.unpersist()
+      probe.foreach(_.unpersist())
+    }
   }
 
   /** Last change batch applied to this replica by [[applyCdc]], updated
